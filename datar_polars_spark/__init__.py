@@ -1,0 +1,37 @@
+"""datar_polars_spark — a PySpark-native grammar-of-data-manipulation engine.
+
+Re-hosts the dplyr/tidyr/forcats verb + expression surface of
+``pwwang/datar-polars`` (reference at /root/reference, read-only) on
+Spark DataFrames: expressions compile to ``pyspark.sql.Column``, verbs
+compile to the DataFrame API, Catalyst/Tungsten do the optimizing.
+
+    from datar_polars_spark import f, mutate, group_by, summarise
+    from datar_polars_spark.functions import sum_, mean
+
+    out = td >> group_by(f.g) >> summarise(total=sum_(f.x))
+"""
+
+from .plans.expr import f, Call, Expr, Ref  # noqa: F401
+from .plans.selection import (  # noqa: F401
+    c_,
+    starts_with,
+    ends_with,
+    contains,
+    matches,
+    everything,
+    last_col,
+    all_of,
+    any_of,
+    num_range,
+    where,
+    is_numeric,
+    is_character,
+)
+from .tibble import Tibble, ensure_tibble, tibble, from_pandas  # noqa: F401
+from .operators.core import *  # noqa: F401,F403
+from .operators.join import *  # noqa: F401,F403
+from .operators.bind import *  # noqa: F401,F403
+from .functions.across import across  # noqa: F401
+from .sources import read_parquet, read_csv, load_tables, write_parquet  # noqa: F401
+
+__version__ = "0.1.0"

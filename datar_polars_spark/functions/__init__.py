@@ -1,0 +1,55 @@
+"""Deferred-function builders: the user-facing callables.
+
+Importing this module loads every registry module (side-effect
+registration) and exposes a builder per registered name; ``mean(f.x)``
+returns an unevaluated Call node that verbs compile to a Spark Column.
+"""
+
+from __future__ import annotations
+
+from . import aggregates, conditional, math, strings, types, window  # noqa: F401
+from . import across as _across_mod  # noqa: F401
+from .across import Across, across  # noqa: F401
+from .registry import REGISTRY, builder
+
+_ALIASES = sorted(REGISTRY.keys())
+
+# canonical exported names (avoid shadowing python builtins at import *)
+_EXPORT = {
+    # aggregates
+    "sum_", "mean", "median", "min_", "max_", "sd", "var", "prod",
+    "n", "n_distinct", "quantile", "weighted_mean", "cov", "cor",
+    "all_", "any_", "first", "last", "nth",
+    # window
+    "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
+    "ntile", "lead", "lag", "cumsum", "cummax", "cummin", "cummean",
+    "cumprod", "cumall", "cumany", "cumcount", "consecutive_id",
+    # conditional
+    "if_else", "ifelse", "case_when", "case_match", "coalesce", "na_if",
+    "between", "near", "recode", "is_na", "nan_to_null",
+    # strings
+    "toupper", "tolower", "nchar", "nzchar", "paste", "paste0", "grepl",
+    "gsub", "sub", "substr", "str_sub", "sprintf", "trimws", "startswith",
+    "endswith", "strsplit", "strtoi", "chartr", "str_pad", "str_count",
+    "str_detect", "str_extract", "str_replace", "str_replace_all",
+    # math
+    "abs_", "sqrt", "exp", "log", "log2", "log10", "log1p", "expm1",
+    "floor", "ceiling", "round_", "trunc", "sign", "signif", "pmin",
+    "pmax", "mod", "scale", "proportions", "atan2", "factorial",
+    "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
+    # types
+    "as_character", "as_double", "as_integer", "as_logical", "as_numeric",
+    "as_date", "is_null", "is_finite", "is_infinite", "is_element",
+    "match", "isin",
+    # across-family registry entries
+    "c_across", "if_any", "if_all",
+}
+
+globals().update({name: builder(name) for name in _EXPORT if name in REGISTRY})
+# names registered under a different canonical key
+for name in _EXPORT - set(REGISTRY):
+    base = name.rstrip("_")
+    if base in REGISTRY:
+        globals()[name] = builder(base)
+
+__all__ = sorted(_EXPORT | {"across", "Across"})

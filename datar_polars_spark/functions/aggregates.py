@@ -1,0 +1,169 @@
+"""Aggregate functions (R semantics: na_rm=False -> NA-poisoning).
+
+Covers the reference's aggregate surface at ``api/base/arithm.py:375-954``
+(sum/mean/median/min/max/prod/sd/var/quantile/weighted_mean/cov/cor),
+``api/dplyr/funs.py:34-49`` (n), ``api/dplyr/distinct.py:23-53``
+(n_distinct). In summarise mode these compile to plain Spark aggregates;
+in mutate/filter mode they compile to window aggregates over the group
+partition (``ctx.agg``), matching the reference's ``.over(gvars)``.
+
+NaN handling: the reference treats NaN as NA (e.g. ``api/tidyr.py:78-101``),
+so double inputs are normalized NaN->null before aggregating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..plans.expr import Ref
+from .registry import register
+
+_FLOATY = ("double", "float")
+
+
+def _nn(ctx, node) -> Column:
+    """Evaluate node to a Column with NaN normalized to null for floats."""
+    col = ctx.col(node)
+    try:
+        if isinstance(node, Ref):
+            dtype = dict(ctx.tibble.dtypes).get(node._name)
+            if dtype in _FLOATY:
+                return F.when(F.isnan(col), F.lit(None)).otherwise(col)
+            return col
+    except Exception:
+        pass
+    return col
+
+
+def _narm(ctx, node, aggregated: Column, na_rm: bool) -> Column:
+    """R default na_rm=False: any NA in the group -> NA result."""
+    if na_rm:
+        return ctx.agg(aggregated)
+    col = _nn(ctx, node)
+    has_na = ctx.agg(F.max(col.isNull().cast("int"))) == 1
+    return F.when(has_na, F.lit(None)).otherwise(ctx.agg(aggregated))
+
+
+def _simple_agg(fn):
+    def impl(ctx, x, na_rm: bool = False):
+        col = _nn(ctx, x)
+        return _narm(ctx, x, fn(col), na_rm)
+
+    return impl
+
+
+register("sum", "sum_")(_simple_agg(F.sum))
+register("mean", "avg")(_simple_agg(F.mean))
+register("median")(_simple_agg(F.median))
+register("min", "min_")(_simple_agg(F.min))
+register("max", "max_")(_simple_agg(F.max))
+register("sd", "stddev")(_simple_agg(F.stddev_samp))
+register("var", "variance")(_simple_agg(F.var_samp))
+register("prod")(_simple_agg(F.product))
+
+
+@register("n")
+def _n(ctx):
+    return ctx.agg(F.count(F.lit(1)))
+
+
+@register("n_distinct")
+def _n_distinct(ctx, *xs, na_rm: bool = False):
+    cols = [_nn(ctx, x) for x in xs]
+    if na_rm and len(cols) == 1:
+        return ctx.agg(F.count_distinct(cols[0]))
+    # R n_distinct counts NA as a value; emulate by null-encoding
+    encoded = [F.coalesce(c.cast("string"), F.lit("\x00NA")) for c in cols]
+    return ctx.agg(F.count_distinct(*encoded))
+
+
+@register("quantile")
+def _quantile(ctx, x, probs=0.5, na_rm: bool = False, type: int = 7):
+    col = _nn(ctx, x)
+    probs_val = ctx.eval(probs)
+    agg = F.percentile(col, F.lit(probs_val))
+    return _narm(ctx, x, agg, na_rm)
+
+
+@register("weighted_mean")
+def _weighted_mean(ctx, x, w=None, na_rm: bool = False):
+    col = _nn(ctx, x)
+    if w is None:
+        return _narm(ctx, x, F.mean(col), na_rm)
+    wc = _nn(ctx, w)
+    agg = F.sum(col * wc) / F.sum(F.when(col.isNotNull(), wc))
+    return _narm(ctx, x, agg, na_rm)
+
+
+@register("cov")
+def _cov(ctx, x, y):
+    return ctx.agg(F.covar_samp(ctx.col(x).cast("double"), ctx.col(y).cast("double")))
+
+
+@register("cor")
+def _cor(ctx, x, y):
+    return ctx.agg(F.corr(ctx.col(x).cast("double"), ctx.col(y).cast("double")))
+
+
+@register("all", "all_")
+def _all(ctx, x, na_rm: bool = False):
+    col = _nn(ctx, x).cast("boolean")
+    if na_rm:
+        return ctx.agg(F.min(col))  # F.min skips nulls natively
+    return _narm(ctx, x, F.min(col), False)
+
+
+@register("any", "any_")
+def _any(ctx, x, na_rm: bool = False):
+    col = _nn(ctx, x).cast("boolean")
+    if na_rm:
+        return ctx.agg(F.max(col))
+    return _narm(ctx, x, F.max(col), False)
+
+
+@register("first")
+def _first(ctx, x, order_by=None, default=None, na_rm: bool = False):
+    col = ctx.col(x)
+    if ctx.mode == "agg":
+        res = F.first(col, ignorenulls=na_rm)
+    else:
+        w = ctx.ordered(order_by)
+        res = F.first(col, ignorenulls=na_rm).over(
+            w.rowsBetween(-(1 << 62), (1 << 62))
+        )
+    if default is not None:
+        res = F.coalesce(res, ctx.col(default))
+    return res
+
+
+@register("last")
+def _last(ctx, x, order_by=None, default=None, na_rm: bool = False):
+    col = ctx.col(x)
+    if ctx.mode == "agg":
+        res = F.last(col, ignorenulls=na_rm)
+    else:
+        w = ctx.ordered(order_by)
+        res = F.last(col, ignorenulls=na_rm).over(
+            w.rowsBetween(-(1 << 62), (1 << 62))
+        )
+    if default is not None:
+        res = F.coalesce(res, ctx.col(default))
+    return res
+
+
+@register("nth")
+def _nth(ctx, x, n, order_by=None, default=None):
+    # 0-based in dplyr-datar; collect the group then element_at (n+1)
+    col = ctx.col(x)
+    nval = ctx.eval(n)
+    if ctx.mode == "agg":
+        arr = F.collect_list(col)
+    else:
+        arr = F.collect_list(col).over(
+            ctx.ordered(order_by).rowsBetween(-(1 << 62), (1 << 62))
+        )
+    res = F.when(F.size(arr) > nval, F.element_at(arr, nval + 1))
+    if default is not None:
+        res = F.coalesce(res, ctx.col(default))
+    return res

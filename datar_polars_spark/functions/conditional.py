@@ -1,0 +1,129 @@
+"""Conditional / recoding functions.
+
+Covers reference ``api/dplyr/if_else.py`` (if_else/case_when/case_match),
+``api/dplyr/funs.py:184-248`` (coalesce/na_if/between/near),
+``api/dplyr/recode.py:41-206`` (recode). dplyr NA rule: a NULL condition
+takes the `missing` branch if given, else yields NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+@register("if_else", "ifelse")
+def _if_else(ctx, cond, true, false, missing=None):
+    c = ctx.col(cond)
+    t = ctx.col(true)
+    fa = ctx.col(false)
+    out = F.when(c, t).when(~c, fa)
+    if missing is not None:
+        out = out.otherwise(ctx.col(missing))
+    return out
+
+
+@register("case_when")
+def _case_when(ctx, *args, _default=None):
+    """``case_when(cond1, val1, cond2, val2, ...)`` — first match wins."""
+    if len(args) % 2 != 0:
+        raise ValueError("case_when requires condition/value pairs")
+    out = None
+    for i in range(0, len(args), 2):
+        cond = args[i]
+        val = ctx.col(args[i + 1])
+        if cond is True:
+            condc = F.lit(True)
+        else:
+            condc = ctx.col(cond)
+        out = F.when(condc, val) if out is None else out.when(condc, val)
+    if _default is not None:
+        out = out.otherwise(ctx.col(_default))
+    return out
+
+
+@register("case_match")
+def _case_match(ctx, x, *args, _default=None):
+    """``case_match(f.x, [vals], repl, ...)`` value-matching switch."""
+    col = ctx.col(x)
+    out = None
+    for i in range(0, len(args), 2):
+        vals = ctx.eval(args[i])
+        repl = ctx.col(args[i + 1])
+        if not isinstance(vals, (list, tuple)):
+            vals = [vals]
+        if any(v is None for v in vals):
+            nonnull = [v for v in vals if v is not None]
+            cond = col.isNull() | col.isin(nonnull) if nonnull else col.isNull()
+        else:
+            cond = col.isin(list(vals))
+        out = F.when(cond, repl) if out is None else out.when(cond, repl)
+    if _default is not None:
+        out = out.otherwise(ctx.col(_default))
+    return out
+
+
+@register("coalesce")
+def _coalesce(ctx, *xs):
+    return F.coalesce(*[ctx.col(x) for x in xs])
+
+
+@register("na_if")
+def _na_if(ctx, x, y):
+    col = ctx.col(x)
+    return F.when(col.eqNullSafe(ctx.col(y)), F.lit(None)).otherwise(col)
+
+
+@register("between")
+def _between(ctx, x, left, right):
+    col = ctx.col(x)
+    return (col >= ctx.col(left)) & (col <= ctx.col(right))
+
+
+@register("near")
+def _near(ctx, x, y, tol: float = 1.5e-8):
+    return F.abs(ctx.col(x) - ctx.col(y)) < F.lit(tol)
+
+
+@register("recode")
+def _recode(ctx, x, *args, _default=None, _missing=None, **kwargs):
+    """Positional args recode by position (R), kwargs by value."""
+    col = ctx.col(x)
+    out = None
+    for i, repl in enumerate(args):
+        cond = col == F.lit(i + 1)  # R positional recode is 1-based
+        rc = ctx.col(repl)
+        out = F.when(cond, rc) if out is None else out.when(cond, rc)
+    for old, new in kwargs.items():
+        cond = col == F.lit(old)
+        rc = ctx.col(new)
+        out = F.when(cond, rc) if out is None else out.when(cond, rc)
+    if _missing is not None:
+        prev = out
+        out = F.when(col.isNull(), ctx.col(_missing))
+        for _ in range(1):
+            pass
+        out = prev.when(col.isNull(), ctx.col(_missing)) if prev is not None else out
+    if out is None:
+        return col
+    return out.otherwise(ctx.col(_default) if _default is not None else col)
+
+
+@register("is_na")
+def _is_na(ctx, x):
+    col = ctx.col(x)
+    from ..plans.expr import Ref
+
+    if isinstance(x, Ref):
+        dtype = dict(ctx.tibble.dtypes).get(x._name)
+        if dtype in ("double", "float"):
+            return col.isNull() | F.isnan(col)
+    return col.isNull()
+
+
+@register("nan_to_null")
+def _nan_to_null(ctx, x):
+    col = ctx.col(x)
+    return F.when(F.isnan(col), F.lit(None)).otherwise(col)

@@ -1,0 +1,93 @@
+"""Function registry: deferred Call nodes -> Spark Column compilers.
+
+The reference dispatches scalar/aggregate functions through pipda's
+backend registry (``datar_polars/plugin.py:82-165``). Here the registry
+is a plain dict: each entry is a compiler ``(ctx, *raw_args, **kwargs)
+-> Column`` that receives *unevaluated* arguments and uses
+``ctx.col``/``ctx.eval`` so it can decide which args are columns and
+which are plain parameters (e.g. quantile probabilities).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from ..plans.expr import Call
+
+REGISTRY: dict[str, Callable] = {}
+
+
+def register(*names: str):
+    """Register a compiler under one or more names."""
+
+    def deco(fn: Callable) -> Callable:
+        for n in names:
+            REGISTRY[n] = fn
+        return fn
+
+    return deco
+
+
+def dispatch(name: str, ctx, args: tuple, kwargs: dict) -> Any:
+    fn = REGISTRY.get(name)
+    if fn is None:
+        raise NotImplementedError(f"datar function not implemented: {name!r}")
+    return fn(ctx, *args, **kwargs)
+
+
+# functions whose compilation references the hidden frame-order column
+# (windows ordered by __datar_ro__); verbs materialize it lazily before
+# evaluating any expression containing these
+NEEDS_ORDER: set[str] = {
+    "row_number",
+    "min_rank",
+    "dense_rank",
+    "percent_rank",
+    "cume_dist",
+    "ntile",
+    "lead",
+    "lag",
+    "cumsum",
+    "cummax",
+    "cummin",
+    "cummean",
+    "cumprod",
+    "cumall",
+    "cumany",
+    "cumcount",
+    "consecutive_id",
+    "first",
+    "last",
+    "nth",
+    "paste",
+    "paste0",
+}
+
+
+def tree_needs_order(node) -> bool:
+    from ..plans.expr import BinOp, Call, Desc, UnaryOp
+
+    if isinstance(node, Call):
+        if node._fname in NEEDS_ORDER:
+            return True
+        return any(tree_needs_order(a) for a in node._args) or any(
+            tree_needs_order(v) for v in node._kwargs.values()
+        )
+    if isinstance(node, BinOp):
+        return tree_needs_order(node._left) or tree_needs_order(node._right)
+    if isinstance(node, (UnaryOp, Desc)):
+        return tree_needs_order(node._operand)
+    if isinstance(node, (list, tuple)):
+        return any(tree_needs_order(a) for a in node)
+    return False
+
+
+def builder(name: str) -> Callable:
+    """User-facing callable that captures a deferred Call node."""
+
+    def build(*args: Any, **kwargs: Any) -> Call:
+        return Call(name, args, kwargs)
+
+    build.__name__ = name
+    build.__qualname__ = name
+    return build

@@ -1,0 +1,84 @@
+"""Type predicates and casts (reference ``api/base/types.py``, ``asis.py``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+@register("as_character", "as_string")
+def _as_character(ctx, x):
+    return ctx.col(x).cast("string")
+
+
+@register("as_double")
+def _as_double(ctx, x):
+    return ctx.col(x).cast("double")
+
+
+@register("as_numeric")
+def _as_numeric(ctx, x):
+    return ctx.col(x).cast("double")
+
+
+@register("as_integer", "as_int")
+def _as_integer(ctx, x):
+    return ctx.col(x).cast("long")
+
+
+@register("as_logical", "as_bool")
+def _as_logical(ctx, x):
+    return ctx.col(x).cast("boolean")
+
+
+@register("as_date")
+def _as_date(ctx, x, format=None):
+    col = ctx.col(x)
+    fmt = ctx.eval(format) if format is not None else None
+    if fmt is not None:
+        return F.to_date(col, _r_to_java_fmt(fmt))
+    return F.to_date(col)
+
+
+def _r_to_java_fmt(fmt: str) -> str:
+    return (
+        fmt.replace("%Y", "yyyy")
+        .replace("%m", "MM")
+        .replace("%d", "dd")
+        .replace("%H", "HH")
+        .replace("%M", "mm")
+        .replace("%S", "ss")
+    )
+
+
+@register("is_null")
+def _is_null(ctx, x):
+    return ctx.col(x).isNull()
+
+
+@register("is_finite")
+def _is_finite(ctx, x):
+    col = ctx.col(x).cast("double")
+    return col.isNotNull() & ~F.isnan(col) & (F.abs(col) != float("inf"))
+
+
+@register("is_infinite")
+def _is_infinite(ctx, x):
+    col = ctx.col(x).cast("double")
+    return F.abs(col) == float("inf")
+
+
+@register("is_element", "isin")
+def _is_element(ctx, x, table):
+    vals = ctx.eval(table)
+    if isinstance(vals, (list, tuple, set)):
+        return ctx.col(x).isin(list(vals))
+    return ctx.col(x).isin(vals)
+
+
+@register("match")
+def _match(ctx, x, table):
+    """1-based index of first match in table (R ``match``)."""
+    vals = list(ctx.eval(table))
+    return F.array_position(F.lit(vals), ctx.col(x).cast("string") if all(isinstance(v, str) for v in vals) else ctx.col(x))

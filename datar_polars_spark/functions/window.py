@@ -1,0 +1,158 @@
+"""Window / ordered functions.
+
+Covers the reference's rank/shift/cumulative surface
+(``api/base/rank.py:30-265``, ``api/base/cum.py:17-79``,
+``api/dplyr/funs.py:102-158``, ``api/dplyr/context.py:277-315``).
+Every function compiles to ``F.<fn>().over(Window.partitionBy(*groups)
+.orderBy(...))``; frame order comes from the hidden ``__datar_ro__``
+column (SURVEY §1.4) unless an explicit ranking key is given.
+
+Rank functions follow dplyr NA rules: NA inputs rank as NA (the
+reference masks them at ``api/dplyr/rank.py:48-56``); ranks are
+computed over non-NA rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from .aggregates import _nn
+from .registry import register
+
+_UNB_PREV = Window.unboundedPreceding
+_CUR = Window.currentRow
+
+
+def _rank_window(ctx, node, desc: bool = False):
+    """Window ordered by the ranking key, NA rows excluded via masking."""
+    col = _nn(ctx, node)
+    key = col.desc_nulls_last() if desc else col.asc_nulls_last()
+    w = ctx.partition().orderBy(key, F.col("__datar_ro__").asc())
+    return col, w
+
+
+@register("row_number")
+def _row_number(ctx, x=None):
+    if x is None:
+        return F.row_number().over(ctx.ordered())
+    col, w = _rank_window(ctx, x)
+    return F.when(col.isNotNull(), F.row_number().over(w))
+
+
+@register("min_rank")
+def _min_rank(ctx, x):
+    col, w = _rank_window(ctx, x)
+    # rank over key order; NAs sort last and are masked to null
+    rw = ctx.partition().orderBy(_nn(ctx, x).asc_nulls_last())
+    return F.when(col.isNotNull(), F.rank().over(rw))
+
+
+@register("dense_rank")
+def _dense_rank(ctx, x):
+    col = _nn(ctx, x)
+    rw = ctx.partition().orderBy(col.asc_nulls_last())
+    return F.when(col.isNotNull(), F.dense_rank().over(rw))
+
+
+@register("percent_rank")
+def _percent_rank(ctx, x):
+    col = _nn(ctx, x)
+    rw = ctx.partition().orderBy(col.asc_nulls_last())
+    n_ok = F.sum(col.isNotNull().cast("long")).over(ctx.partition())
+    rank = F.rank().over(rw)
+    return F.when(col.isNotNull(), (rank - 1) / (n_ok - 1))
+
+
+@register("cume_dist")
+def _cume_dist(ctx, x):
+    col = _nn(ctx, x)
+    rw = ctx.partition().orderBy(col.asc_nulls_last())
+    n_ok = F.sum(col.isNotNull().cast("long")).over(ctx.partition())
+    # rows with key <= current, among non-NA rows
+    upto = F.max(F.when(col.isNotNull(), F.row_number().over(rw))).over(
+        rw.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return F.when(col.isNotNull(), upto / n_ok)
+
+
+@register("ntile")
+def _ntile(ctx, x=None, n: int = 1):
+    nval = int(ctx.eval(n))
+    if x is None:
+        return F.ntile(nval).over(ctx.ordered())
+    col = _nn(ctx, x)
+    rw = ctx.partition().orderBy(col.asc_nulls_last())
+    return F.when(col.isNotNull(), F.ntile(nval).over(rw))
+
+
+@register("lead")
+def _lead(ctx, x, n: int = 1, default=None, order_by=None):
+    col = ctx.col(x)
+    dflt = ctx.eval(default)
+    return F.lead(col, int(ctx.eval(n)), dflt).over(ctx.ordered(order_by))
+
+
+@register("lag")
+def _lag(ctx, x, n: int = 1, default=None, order_by=None):
+    col = ctx.col(x)
+    dflt = ctx.eval(default)
+    return F.lag(col, int(ctx.eval(n)), dflt).over(ctx.ordered(order_by))
+
+
+def _cum(aggfn):
+    def impl(ctx, x, order_by=None):
+        col = ctx.col(x)
+        return aggfn(col).over(
+            ctx.ordered(order_by).rowsBetween(_UNB_PREV, _CUR)
+        )
+
+    return impl
+
+
+register("cumsum")(_cum(F.sum))
+register("cummax")(_cum(F.max))
+register("cummin")(_cum(F.min))
+register("cummean")(_cum(F.mean))
+
+
+@register("cumprod")
+def _cumprod(ctx, x, order_by=None):
+    col = ctx.col(x)
+    return F.product(col).over(ctx.ordered(order_by).rowsBetween(_UNB_PREV, _CUR))
+
+
+@register("cumall")
+def _cumall(ctx, x, order_by=None):
+    col = ctx.col(x).cast("boolean")
+    return (
+        F.min(col).over(ctx.ordered(order_by).rowsBetween(_UNB_PREV, _CUR))
+    )
+
+
+@register("cumany")
+def _cumany(ctx, x, order_by=None):
+    col = ctx.col(x).cast("boolean")
+    return (
+        F.max(col).over(ctx.ordered(order_by).rowsBetween(_UNB_PREV, _CUR))
+    )
+
+
+@register("cumcount")
+def _cumcount(ctx, x=None):
+    return F.count(F.lit(1)).over(ctx.ordered().rowsBetween(_UNB_PREV, _CUR))
+
+
+@register("consecutive_id")
+def _consecutive_id(ctx, *xs):
+    """Run-length id: increments whenever any key changes (reference
+    ``api/dplyr/context.py:277-315``)."""
+    w = ctx.ordered()
+    changed = F.lit(0)
+    for x in xs:
+        col = ctx.col(x)
+        prev = F.lag(col).over(w)
+        neq = ~(col.eqNullSafe(prev))
+        changed = F.greatest(changed, neq.cast("int"))
+    changed = F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(changed)
+    return F.sum(changed).over(ctx.ordered().rowsBetween(_UNB_PREV, _CUR))

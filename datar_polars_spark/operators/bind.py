@@ -1,0 +1,277 @@
+"""bind_rows / bind_cols and table-level set operations.
+
+Reference: ``api/dplyr/bind.py:38-134``, ``api/dplyr/sets.py`` and the
+keyed DML family ``api/dplyr/rows.py:81-349``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from ..plans.context import ORDER_COL
+from ..plans.verb import verb, verb2
+from ..tibble import Tibble, ensure_tibble
+
+__all__ = [
+    "bind_rows",
+    "bind_cols",
+    "union_",
+    "union_all",
+    "intersect_",
+    "setdiff_",
+    "symdiff",
+    "setequal",
+    "rows_insert",
+    "rows_append",
+    "rows_update",
+    "rows_patch",
+    "rows_upsert",
+    "rows_delete",
+]
+
+_SRC = "__datar_src__"
+
+
+def _stacked_order(df):
+    """Rebuild a total order from (source index, per-source order)."""
+    if ORDER_COL not in df.columns:
+        return df.drop(_SRC)
+    return (
+        df.withColumn(
+            "__datar_ro_new__",
+            F.struct(F.col(_SRC).alias("p"), F.col(ORDER_COL).alias("s")),
+        )
+        .drop(ORDER_COL, _SRC)
+        .withColumnRenamed("__datar_ro_new__", ORDER_COL)
+    )
+
+
+@verb2
+def bind_rows(*data: Any, _id: str | None = None, **kwargs: Any) -> Tibble:
+    """Diagonal concat: union of columns, missing -> null (reference
+    bind.py:38-93)."""
+    items: list[tuple[str, Tibble]] = []
+    for i, d in enumerate(data):
+        if isinstance(d, (list, tuple)):
+            for j, dd in enumerate(d):
+                items.append((str(len(items) + 1), ensure_tibble(dd)))
+        else:
+            items.append((str(len(items) + 1), ensure_tibble(d)))
+    for k, d in kwargs.items():
+        items.append((k, ensure_tibble(d)))
+
+    frames = []
+    for i, (key, td) in enumerate(items):
+        df = td.df.withColumn(_SRC, F.lit(i))
+        if _id:
+            df = df.withColumn(_id, F.lit(key))
+        frames.append(df)
+    out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+    out = _stacked_order(out)
+    first = items[0][1]
+    levels: dict = {}
+    for _, td in items:
+        levels.update(td.levels)
+    # column order: _id first if present, then first-seen order
+    cols = []
+    if _id:
+        cols.append(_id)
+    for _, td in items:
+        for c in td.columns:
+            if c not in cols:
+                cols.append(c)
+    hidden = [c for c in out.columns if c.startswith("__datar_")]
+    out = out.select(*cols, *hidden)
+    return Tibble(out, groups=first.group_vars, levels=levels)
+
+
+@verb2
+def bind_cols(*data: Any) -> Tibble:
+    """Horizontal concat zip-joined on row position (Spark has no
+    positional hstack; reference bind.py:96-134)."""
+    from pyspark.sql import Window
+
+    tds = [ensure_tibble(d).ensure_order() for d in data]
+    out = None
+    seen: set[str] = set()
+    for i, td in enumerate(tds):
+        w = Window.orderBy(F.col(ORDER_COL).asc())
+        df = td.df.withColumn("__datar_pos__", F.row_number().over(w))
+        renames = {}
+        for c in td.columns:
+            name = c
+            k = 1
+            while name in seen:
+                name = f"{c}_{k}"
+                k += 1
+            seen.add(name)
+            if name != c:
+                renames[c] = name
+        for old, new in renames.items():
+            df = df.withColumnRenamed(old, new)
+        if out is None:
+            out = df
+        else:
+            out = out.join(
+                df.drop(ORDER_COL), on="__datar_pos__", how="full"
+            )
+    out = out.drop("__datar_pos__")
+    levels: dict = {}
+    for td in tds:
+        levels.update(td.levels)
+    return Tibble(out, groups=tds[0].group_vars, levels=levels)
+
+
+def _check_xy(x: Tibble, y: Tibble) -> None:
+    if set(x.columns) != set(y.columns):
+        raise ValueError(
+            f"set operations need identical columns; got {x.columns} vs {y.columns}"
+        )
+
+
+def _bare(td: Tibble):
+    return td.df.select(*td.columns)
+
+
+@verb2
+def union_(x: Any, y: Any) -> Tibble:
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    _check_xy(x, y)
+    out = _bare(x).unionByName(_bare(y)).dropDuplicates()
+    return Tibble(out, groups=x.group_vars, levels=x.levels)
+
+
+@verb2
+def union_all(x: Any, y: Any) -> Tibble:
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    _check_xy(x, y)
+    out = _bare(x).unionByName(_bare(y))
+    return Tibble(out, groups=x.group_vars, levels=x.levels)
+
+
+@verb2
+def intersect_(x: Any, y: Any) -> Tibble:
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    _check_xy(x, y)
+    out = _bare(x).intersect(_bare(y).select(*x.columns))
+    return Tibble(out, groups=x.group_vars, levels=x.levels)
+
+
+@verb2
+def setdiff_(x: Any, y: Any) -> Tibble:
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    _check_xy(x, y)
+    out = _bare(x).subtract(_bare(y).select(*x.columns))
+    return Tibble(out, groups=x.group_vars, levels=x.levels)
+
+
+@verb2
+def symdiff(x: Any, y: Any) -> Tibble:
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    _check_xy(x, y)
+    a = _bare(x)
+    b = _bare(y).select(*x.columns)
+    out = a.subtract(b).unionByName(b.subtract(a))
+    return Tibble(out, groups=x.group_vars, levels=x.levels)
+
+
+@verb2
+def setequal(x: Any, y: Any) -> bool:
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    _check_xy(x, y)
+    a = _bare(x)
+    b = _bare(y).select(*x.columns)
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+# --------------------------------------------------------------------------
+# rows_* keyed DML (reference api/dplyr/rows.py:81-349) — compositions of
+# semi/anti joins + unionByName, per SURVEY §2.8.
+# --------------------------------------------------------------------------
+
+def _key_names(x: Tibble, by: Any) -> list[str]:
+    from ..plans.expr import Ref
+
+    if by is None:
+        return [x.columns[0]]
+    if isinstance(by, (str, Ref)):
+        by = [by]
+    return [b._name if isinstance(b, Ref) else str(b) for b in by]
+
+
+@verb2
+def rows_insert(x: Any, y: Any, by: Any = None, conflict: str = "error") -> Tibble:
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    keys = _key_names(x, by)
+    if conflict == "error":
+        n_clash = y.df.join(x.df.select(*keys), on=keys, how="left_semi").count()
+        if n_clash:
+            raise ValueError(f"rows_insert: {n_clash} keys already exist")
+        new_rows = y
+    else:  # ignore
+        new_rows = y.with_df(y.df.join(x.df.select(*keys), on=keys, how="left_anti"))
+    from .bind import bind_rows
+
+    return bind_rows(x, new_rows)
+
+
+@verb2
+def rows_append(x: Any, y: Any) -> Tibble:
+    return bind_rows(ensure_tibble(x), ensure_tibble(y))
+
+
+def _rows_merge(x: Tibble, y: Tibble, by: Any, patch_only_na: bool, unmatched: str = "error") -> Tibble:
+    keys = _key_names(x, by)
+    ydf = y.df.select(*y.columns)
+    upd_cols = [c for c in y.columns if c not in keys]
+    renamed = ydf
+    for c in upd_cols:
+        renamed = renamed.withColumnRenamed(c, f"__datar_y_{c}")
+    joined = x.df.join(renamed, on=keys, how="left")
+    out = joined
+    for c in upd_cols:
+        yc = F.col(f"__datar_y_{c}")
+        xc = F.col(c)
+        if patch_only_na:
+            new = F.coalesce(xc, yc)  # patch: fill only NAs (rows.py:237-251)
+        else:
+            new = F.coalesce(yc, xc)  # update: y wins when matched
+        out = out.withColumn(c, new).drop(f"__datar_y_{c}")
+    return x.with_df(out)
+
+
+@verb2
+def rows_update(x: Any, y: Any, by: Any = None, unmatched: str = "error") -> Tibble:
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    if unmatched == "error":
+        keys = _key_names(x, by)
+        n = y.df.join(x.df.select(*keys), on=keys, how="left_anti").count()
+        if n:
+            raise ValueError(f"rows_update: {n} keys in y not present in x")
+    return _rows_merge(x, y, by, patch_only_na=False)
+
+
+@verb2
+def rows_patch(x: Any, y: Any, by: Any = None, unmatched: str = "error") -> Tibble:
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    return _rows_merge(x, y, by, patch_only_na=True)
+
+
+@verb2
+def rows_upsert(x: Any, y: Any, by: Any = None) -> Tibble:
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    keys = _key_names(x, by)
+    updated = _rows_merge(x, y, by, patch_only_na=False)
+    new_rows = y.with_df(y.df.join(x.df.select(*keys), on=keys, how="left_anti"))
+    return bind_rows(updated, new_rows)
+
+
+@verb2
+def rows_delete(x: Any, y: Any, by: Any = None) -> Tibble:
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    keys = _key_names(x, by)
+    out = x.df.join(y.df.select(*keys).dropDuplicates(), on=keys, how="left_anti")
+    return x.with_df(out)

@@ -1,0 +1,672 @@
+"""Core dplyr verbs on Spark DataFrames.
+
+Semantics follow the reference implementations cited per-verb (all
+paths under ``/root/reference/datar_polars/``); compilation targets the
+Spark DataFrame API so Catalyst handles pushdown/pruning/join-selection
+(SURVEY §4.2). Grouping is metadata-only (reference
+``api/dplyr/group_by.py:24-52``): no physical regrouping ever happens
+here — grouped mutate/filter compile to window expressions, summarise
+compiles to ``groupBy().agg``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from ..plans.context import ORDER_COL, EvalContext, eval_expr
+from ..plans.expr import Call, Desc, Expr, Ref, collect_refs, deparse
+from ..plans.selection import resolve_selection
+from ..plans.verb import verb
+from ..tibble import Tibble
+from ..functions.across import Across, expand_across
+from ..functions.registry import tree_needs_order
+
+__all__ = [
+    "select",
+    "rename",
+    "rename_with",
+    "relocate",
+    "pull",
+    "mutate",
+    "transmute",
+    "filter_",
+    "group_by",
+    "ungroup",
+    "rowwise",
+    "summarise",
+    "summarize",
+    "reframe",
+    "arrange",
+    "distinct",
+    "count",
+    "tally",
+    "add_count",
+    "add_tally",
+    "slice_",
+    "slice_head",
+    "slice_tail",
+    "slice_min",
+    "slice_max",
+    "slice_sample",
+    "head_",
+    "tail_",
+    "glimpse",
+    "desc",
+]
+
+
+def desc(x: Any) -> Desc:
+    """Descending sort key (reference ``api/dplyr/desc.py:15-29``)."""
+    return Desc(x)
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _dtype_map(td: Tibble) -> dict[str, str]:
+    return dict(td.dtypes)
+
+
+def _expand_items(td: Tibble, args: tuple, kwargs: dict) -> list[tuple[str, Any]]:
+    """Flatten mutate/summarise arguments to ordered (name, expr) pairs,
+    expanding ``across()`` blocks (reference ``api/dplyr/across.py:84-228``)."""
+    items: list[tuple[str, Any]] = []
+    for a in args:
+        if isinstance(a, Across):
+            items.extend(expand_across(td, a))
+        elif isinstance(a, Ref):
+            items.append((a._name, a))
+        elif isinstance(a, Expr):
+            items.append((deparse(a), a))
+        elif a is None:
+            continue
+        else:
+            raise TypeError(f"unnamed argument must be an expression: {a!r}")
+    for k, v in kwargs.items():
+        if isinstance(v, Across):
+            for name, node in expand_across(td, v):
+                items.append((f"{k}${name}", node))
+        else:
+            items.append((k, v))
+    return items
+
+
+def _contains_call(node: Any) -> bool:
+    from ..plans.expr import BinOp, UnaryOp
+
+    if isinstance(node, Call):
+        return True
+    if isinstance(node, BinOp):
+        return _contains_call(node._left) or _contains_call(node._right)
+    if isinstance(node, UnaryOp):
+        return _contains_call(node._operand)
+    return False
+
+
+def _ordered_select(df, cols: list[str]):
+    keep = [c for c in cols if c in df.columns]
+    hidden = [c for c in df.columns if c.startswith("__datar_")]
+    return df.select(*keep, *hidden)
+
+
+# --------------------------------------------------------------------------
+# projection verbs (reference api/dplyr/select.py:36-142, rename.py, relocate.py)
+# --------------------------------------------------------------------------
+
+@verb
+def select(td: Tibble, *args: Any, **renames: Any) -> Tibble:
+    cols = resolve_selection(args, td.columns, _dtype_map(td)) if args else []
+    out_names = list(cols)
+    df = td.df
+    # kwargs are renames: select(new=f.old)
+    for new, old in renames.items():
+        old_name = old._name if isinstance(old, Ref) else str(old)
+        if old_name not in td.columns:
+            raise KeyError(old_name)
+        df = df.withColumnRenamed(old_name, new)
+        if old_name in out_names:
+            out_names[out_names.index(old_name)] = new
+        else:
+            out_names.append(new)
+    # always retain group vars (reference select.py:104-108)
+    for g in td.group_vars:
+        g2 = renames.get(g, g)
+        if g not in out_names and g in df.columns:
+            out_names.insert(0, g)
+    return td.with_df(_ordered_select(df, out_names))
+
+
+@verb
+def rename(td: Tibble, **mapping: Any) -> Tibble:
+    """``rename(new=f.old)``."""
+    df = td.df
+    groups = list(td.group_vars)
+    levels = dict(td.levels)
+    for new, old in mapping.items():
+        old_name = old._name if isinstance(old, Ref) else str(old)
+        df = df.withColumnRenamed(old_name, new)
+        groups = [new if g == old_name else g for g in groups]
+        if old_name in levels:
+            levels[new] = levels.pop(old_name)
+    return Tibble(df, groups=groups, rowwise=td.rowwise, levels=levels)
+
+
+@verb
+def rename_with(td: Tibble, fn, *args: Any) -> Tibble:
+    cols = (
+        resolve_selection(args, td.columns, _dtype_map(td)) if args else td.columns
+    )
+    df = td.df
+    groups = list(td.group_vars)
+    for c in cols:
+        new = fn(c)
+        if new != c:
+            df = df.withColumnRenamed(c, new)
+            groups = [new if g == c else g for g in groups]
+    return Tibble(df, groups=groups, rowwise=td.rowwise, levels=td.levels)
+
+
+@verb
+def relocate(td: Tibble, *args: Any, _before: Any = None, _after: Any = None) -> Tibble:
+    moved = resolve_selection(args, td.columns, _dtype_map(td))
+    rest = [c for c in td.columns if c not in moved]
+    if _before is not None:
+        anchor = resolve_selection([_before], td.columns, _dtype_map(td))[0]
+        idx = rest.index(anchor)
+        new_order = rest[:idx] + moved + rest[idx:]
+    elif _after is not None:
+        anchor = resolve_selection([_after], td.columns, _dtype_map(td))[0]
+        idx = rest.index(anchor) + 1
+        new_order = rest[:idx] + moved + rest[idx:]
+    else:
+        new_order = moved + rest
+    return td.with_df(_ordered_select(td.df, new_order))
+
+
+@verb
+def pull(td: Tibble, col: Any = -1, name: Any = None, to: str = "list"):
+    if isinstance(col, Ref):
+        cname = col._name
+    elif isinstance(col, int):
+        cname = td.columns[col if col >= 0 else len(td.columns) + col]
+    else:
+        cname = str(col)
+    if to == "frame":
+        return td.with_df(_ordered_select(td.df, [cname]))
+    d = td.df.orderBy(ORDER_COL) if td.has_order else td.df
+    pdf = d.select(cname).toPandas()
+    vals = pdf[cname].tolist()
+    if name is not None:
+        names = pull(td, name)
+        return dict(zip(names, vals))
+    return vals
+
+
+# --------------------------------------------------------------------------
+# mutate / transmute (reference api/dplyr/mutate.py:70-364)
+# --------------------------------------------------------------------------
+
+@verb
+def mutate(
+    td: Tibble,
+    *args: Any,
+    _before: Any = None,
+    _after: Any = None,
+    _keep: str = "all",
+    **kwargs: Any,
+) -> Tibble:
+    items = _expand_items(td, args, kwargs)
+    if any(tree_needs_order(node) for _, node in items):
+        td = td.ensure_order()
+    ctx = EvalContext(td, "eval")
+    df = td.df
+    orig_cols = td.columns
+    new_cols: list[str] = []
+    used: set[str] = set()
+    for name, node in items:
+        used |= collect_refs(node)
+        if node is None:
+            df = df.drop(name)
+            continue
+        col = eval_expr(node, ctx)
+        if not isinstance(col, Column):
+            col = F.lit(col)
+        df = df.withColumn(name, col)
+        if name not in new_cols and name not in orig_cols:
+            new_cols.append(name)
+    # column placement (_before/_after), reference mutate.py:204-232
+    if _before is not None or _after is not None:
+        cols_now = [c for c in df.columns if not c.startswith("__datar_")]
+        rest = [c for c in cols_now if c not in new_cols]
+        anchor_sel = _before if _before is not None else _after
+        anchor = resolve_selection([anchor_sel], orig_cols, _dtype_map(td))[0]
+        idx = rest.index(anchor) + (0 if _before is not None else 1)
+        order = rest[:idx] + new_cols + rest[idx:]
+        df = _ordered_select(df, order)
+    # _keep logic (reference mutate.py:246-276)
+    if _keep != "all":
+        cols_now = [c for c in df.columns if not c.startswith("__datar_")]
+        created = [c for c in cols_now if c in new_cols or c not in orig_cols]
+        touched = [c for c in cols_now if c in {n for n, _ in items}]
+        keep_set: list[str]
+        if _keep == "none" or _keep == "trans":
+            keep_set = list(dict.fromkeys([*td.group_vars, *touched, *created]))
+        elif _keep == "used":
+            keep_set = list(
+                dict.fromkeys(
+                    [*td.group_vars, *[c for c in cols_now if c in used], *touched, *created]
+                )
+            )
+        elif _keep == "unused":
+            keep_set = list(
+                dict.fromkeys(
+                    [*td.group_vars, *[c for c in cols_now if c not in used], *touched, *created]
+                )
+            )
+        else:
+            keep_set = cols_now
+        df = _ordered_select(df, keep_set)
+    return td.with_df(df)
+
+
+@verb
+def transmute(td: Tibble, *args: Any, **kwargs: Any) -> Tibble:
+    return mutate(td, *args, _keep="none", **kwargs)
+
+
+# --------------------------------------------------------------------------
+# filter (reference api/dplyr/filter_.py:32-136)
+# --------------------------------------------------------------------------
+
+@verb
+def filter_(td: Tibble, *conds: Any, _preserve: bool = False) -> Tibble:
+    if any(c is False for c in conds):
+        return td.with_df(td.df.limit(0))  # trivially-false short circuit
+    if any(tree_needs_order(c) for c in conds if isinstance(c, Expr)):
+        td = td.ensure_order()
+    ctx = EvalContext(td, "eval")
+    combined: Column | None = None
+    has_call = False
+    for c in conds:
+        if c is True or c is None:
+            continue
+        has_call = has_call or _contains_call(c)
+        col = ctx.col(c)
+        combined = col if combined is None else (combined & col)
+    if combined is None:
+        return td
+    if has_call:
+        # function calls may compile to window aggregates, which Spark
+        # forbids in WHERE — materialize the predicate first (Catalyst
+        # still collapses the projection)
+        df = (
+            td.df.withColumn("__datar_cond__", combined)
+            .filter(F.col("__datar_cond__"))
+            .drop("__datar_cond__")
+        )
+        return td.with_df(df)
+    return td.with_df(td.df.filter(combined))
+
+
+# --------------------------------------------------------------------------
+# grouping (reference api/dplyr/group_by.py)
+# --------------------------------------------------------------------------
+
+@verb
+def group_by(td: Tibble, *args: Any, _add: bool = False, _drop: bool = True, **kwargs: Any) -> Tibble:
+    if kwargs:
+        td = mutate(td, **kwargs)
+    names = [a._name if isinstance(a, Ref) else str(a) for a in args]
+    names += list(kwargs.keys())
+    groups = list(td.group_vars) + [n for n in names if n not in td.group_vars] if _add else names
+    return Tibble(td.df, groups=groups, rowwise=False, levels=td.levels)
+
+
+@verb
+def ungroup(td: Tibble, *args: Any) -> Tibble:
+    if not args:
+        return Tibble(td.df, groups=(), rowwise=False, levels=td.levels)
+    drop = {a._name if isinstance(a, Ref) else str(a) for a in args}
+    return Tibble(
+        td.df,
+        groups=[g for g in td.group_vars if g not in drop],
+        rowwise=False,
+        levels=td.levels,
+    )
+
+
+@verb
+def rowwise(td: Tibble, *args: Any) -> Tibble:
+    names = [a._name if isinstance(a, Ref) else str(a) for a in args]
+    return Tibble(td.df, groups=names, rowwise=True, levels=td.levels)
+
+
+# --------------------------------------------------------------------------
+# summarise (reference api/dplyr/summarise.py:215-303)
+# --------------------------------------------------------------------------
+
+@verb
+def summarise(td: Tibble, *args: Any, _groups: str | None = None, **kwargs: Any) -> Tibble:
+    items = _expand_items(td, args, kwargs)
+    if any(tree_needs_order(node) for _, node in items):
+        td = td.ensure_order()
+    ctx = EvalContext(td, "agg")
+    gvars = list(td.group_vars)
+
+    agg_cols: list[Column] = []
+    created: list[str] = []
+    deferred: list[tuple[str, Any]] = []
+    for name, node in items:
+        refs = collect_refs(node)
+        if created and (refs & set(created)):
+            # dependent expression referencing a just-created aggregate:
+            # second pass as withColumn (reference summarise.py:150-158)
+            deferred.append((name, node))
+            created.append(name)
+            continue
+        col = eval_expr(node, ctx)
+        if not isinstance(col, Column):
+            col = F.lit(col)
+        agg_cols.append(col.alias(name))
+        created.append(name)
+
+    if gvars:
+        # maintain_order=True analogue: carry first-seen order per group
+        order_aggs = [F.min(ORDER_COL).alias(ORDER_COL)] if td.has_order else []
+        out = td.df.groupBy(*gvars).agg(*agg_cols, *order_aggs)
+    else:
+        out = td.df.groupBy().agg(*agg_cols)
+
+    result = Tibble(out, groups=(), levels=td.levels)
+    if deferred:
+        post_ctx = EvalContext(result, "eval")
+        df = result.df
+        for name, node in deferred:
+            col = eval_expr(node, post_ctx)
+            df = df.withColumn(name, col if isinstance(col, Column) else F.lit(col))
+        result = result.with_df(df)
+
+    # _groups protocol, default drop_last (reference summarise.py:277-302)
+    if _groups in (None, "drop_last"):
+        new_groups = gvars[:-1]
+    elif _groups == "keep":
+        new_groups = gvars
+    else:  # "drop" / "rowwise"
+        new_groups = []
+    return Tibble(result.df, groups=new_groups, levels=td.levels)
+
+
+summarize = summarise
+
+
+@verb
+def reframe(td: Tibble, *args: Any, **kwargs: Any) -> Tibble:
+    out = summarise(td, *args, _groups="drop", **kwargs)
+    return out
+
+
+# --------------------------------------------------------------------------
+# arrange (reference api/dplyr/arrange.py:25-126)
+# --------------------------------------------------------------------------
+
+@verb
+def arrange(td: Tibble, *keys: Any, _by_group: bool = False) -> Tibble:
+    if not keys and not _by_group:
+        return td
+    td = td.ensure_order()
+    ctx = EvalContext(td, "eval")
+    sort_cols: list[Column] = []
+    if _by_group:
+        sort_cols += [F.col(g).asc() for g in td.group_vars]
+    for k in keys:
+        sort_cols.append(_sort_key(td, ctx, k))
+    sort_cols.append(F.col(ORDER_COL).asc())  # stable sort
+    return td.reassign_order(*sort_cols)
+
+
+def _sort_key(td: Tibble, ctx: EvalContext, k: Any) -> Column:
+    """Factor-aware sort key: factor columns sort by level order."""
+    desc_flag = isinstance(k, Desc)
+    node = k._operand if desc_flag else k
+    if isinstance(node, Ref) and node._name in td.levels:
+        col = F.array_position(F.lit(td.levels[node._name]), F.col(node._name))
+    else:
+        col = ctx.col(node)
+    return col.desc() if desc_flag else col.asc()
+
+
+# --------------------------------------------------------------------------
+# distinct (reference api/dplyr/distinct.py:59-119)
+# --------------------------------------------------------------------------
+
+@verb
+def distinct(td: Tibble, *args: Any, _keep_all: bool = False, **kwargs: Any) -> Tibble:
+    if kwargs:
+        td = mutate(td, **kwargs)
+    names = [a._name if isinstance(a, Ref) else str(a) for a in args]
+    names += list(kwargs.keys())
+    subset = list(dict.fromkeys([*td.group_vars, *names])) or td.columns
+    if not td.has_order:
+        if _keep_all:
+            td = td.ensure_order()
+        else:
+            df = td.df.select(*subset).dropDuplicates()
+            return td.with_df(df)
+    if _keep_all or set(subset) == set(td.columns):
+        w = Window.partitionBy(*subset).orderBy(F.col(ORDER_COL).asc())
+        df = (
+            td.df.withColumn("__datar_rn__", F.row_number().over(w))
+            .filter(F.col("__datar_rn__") == 1)
+            .drop("__datar_rn__")
+        )
+        if not _keep_all:
+            df = _ordered_select(df, subset)
+        return td.with_df(df)
+    # first-seen order preserved via min(order) per distinct key
+    df = td.df.groupBy(*subset).agg(F.min(ORDER_COL).alias(ORDER_COL))
+    return td.with_df(df)
+
+
+# --------------------------------------------------------------------------
+# count / tally (reference api/dplyr/count.py:77-244)
+# --------------------------------------------------------------------------
+
+def _count_name(existing: list[str], name: str | None) -> str:
+    if name is not None:
+        return name
+    n = "n"
+    while n in existing:
+        n = n + "n"  # reference count.py:51-71 collision repair
+    return n
+
+
+@verb
+def count(
+    td: Tibble,
+    *args: Any,
+    wt: Any = None,
+    sort: bool = False,
+    name: str | None = None,
+    **kwargs: Any,
+) -> Tibble:
+    orig_groups = list(td.group_vars)
+    if args or kwargs:
+        gb = group_by(td, *args, _add=True, **kwargs)
+    else:
+        gb = td
+    out = tally(gb, wt=wt, sort=sort, name=name)
+    return Tibble(out.df, groups=orig_groups, levels=td.levels)
+
+
+@verb
+def tally(td: Tibble, wt: Any = None, sort: bool = False, name: str | None = None) -> Tibble:
+    nm = _count_name(list(td.group_vars), name)
+    ctx = EvalContext(td, "agg")
+    agg = F.count(F.lit(1)) if wt is None else F.sum(ctx.col(wt))
+    gvars = list(td.group_vars)
+    if gvars:
+        order_aggs = [F.min(ORDER_COL).alias(ORDER_COL)] if td.has_order else []
+        df = td.df.groupBy(*gvars).agg(agg.alias(nm), *order_aggs)
+    else:
+        df = td.df.groupBy().agg(agg.alias(nm))
+    out = Tibble(df, groups=gvars[:-1], levels=td.levels)
+    if sort:
+        out = out.reassign_order(F.col(nm).desc())
+    return out
+
+
+@verb
+def add_count(
+    td: Tibble, *args: Any, wt: Any = None, sort: bool = False, name: str | None = None, **kwargs: Any
+) -> Tibble:
+    if kwargs:
+        td = mutate(td, **kwargs)
+    names = [a._name if isinstance(a, Ref) else str(a) for a in args] + list(kwargs.keys())
+    gvars = list(dict.fromkeys([*td.group_vars, *names]))
+    nm = _count_name(td.columns, name)
+    ctx = EvalContext(td, "eval")
+    w = Window.partitionBy(*gvars) if gvars else Window.partitionBy()
+    agg = F.count(F.lit(1)).over(w) if wt is None else F.sum(ctx.col(wt)).over(w)
+    out = td.with_df(td.df.withColumn(nm, agg))
+    if sort:
+        out = out.reassign_order(F.col(nm).desc())
+    return out
+
+
+@verb
+def add_tally(td: Tibble, wt: Any = None, sort: bool = False, name: str | None = None) -> Tibble:
+    return add_count(td, wt=wt, sort=sort, name=name)
+
+
+# --------------------------------------------------------------------------
+# slice family (reference api/dplyr/slice_.py)
+# --------------------------------------------------------------------------
+
+def _group_window(td: Tibble) -> Window:
+    if td.group_vars:
+        return Window.partitionBy(*td.group_vars)
+    return Window.partitionBy()
+
+
+@verb
+def slice_(td: Tibble, *rows: Any) -> Tibble:
+    """1-based positional rows, per group (reference slice_.py:102-138)."""
+    td = td.ensure_order()
+    idx: list[int] = []
+    neg: list[int] = []
+    for r in rows:
+        vals = r if isinstance(r, (list, tuple, range)) else [r]
+        for v in vals:
+            v = int(v)
+            (neg if v < 0 else idx).append(v)
+    w = _group_window(td).orderBy(F.col(ORDER_COL).asc())
+    rn = F.row_number().over(w)
+    df = td.df.withColumn("__datar_rn__", rn)
+    if idx:
+        cond = F.col("__datar_rn__").isin(idx)
+    else:
+        cond = ~F.col("__datar_rn__").isin([-v for v in neg])
+    return td.with_df(df.filter(cond).drop("__datar_rn__"))
+
+
+def _resolve_n(n: int | None, prop: float | None) -> tuple[int | None, float | None]:
+    if n is None and prop is None:
+        return 1, None
+    return n, prop
+
+
+@verb
+def slice_head(td: Tibble, n: int | None = None, prop: float | None = None) -> Tibble:
+    td = td.ensure_order()
+    n, prop = _resolve_n(n, prop)
+    w = _group_window(td).orderBy(F.col(ORDER_COL).asc())
+    df = td.df.withColumn("__datar_rn__", F.row_number().over(w))
+    if prop is not None:
+        df = df.withColumn("__datar_cnt__", F.count(F.lit(1)).over(_group_window(td)))
+        out = df.filter(F.col("__datar_rn__") <= F.floor(F.col("__datar_cnt__") * prop))
+        return td.with_df(out.drop("__datar_rn__", "__datar_cnt__"))
+    return td.with_df(df.filter(F.col("__datar_rn__") <= n).drop("__datar_rn__"))
+
+
+@verb
+def slice_tail(td: Tibble, n: int | None = None, prop: float | None = None) -> Tibble:
+    td = td.ensure_order()
+    n, prop = _resolve_n(n, prop)
+    w = _group_window(td).orderBy(F.col(ORDER_COL).desc())
+    df = td.df.withColumn("__datar_rn__", F.row_number().over(w))
+    if prop is not None:
+        df = df.withColumn("__datar_cnt__", F.count(F.lit(1)).over(_group_window(td)))
+        out = df.filter(F.col("__datar_rn__") <= F.floor(F.col("__datar_cnt__") * prop))
+        return td.with_df(out.drop("__datar_rn__", "__datar_cnt__"))
+    return td.with_df(df.filter(F.col("__datar_rn__") <= n).drop("__datar_rn__"))
+
+
+def _slice_rank(td: Tibble, order_by: Any, n: int | None, prop: float | None, desc_: bool, with_ties: bool) -> Tibble:
+    if not with_ties:
+        td = td.ensure_order()  # row_number tiebreaks on frame order
+    n, prop = _resolve_n(n, prop)
+    ctx = EvalContext(td, "eval")
+    key = ctx.col(order_by)
+    key = key.desc_nulls_last() if desc_ else key.asc_nulls_last()
+    w = _group_window(td).orderBy(key, F.col(ORDER_COL).asc())
+    rankfn = F.rank() if with_ties else F.row_number()
+    df = td.df.withColumn("__datar_rn__", rankfn.over(w))
+    if prop is not None:
+        df = df.withColumn("__datar_cnt__", F.count(F.lit(1)).over(_group_window(td)))
+        out = df.filter(F.col("__datar_rn__") <= F.floor(F.col("__datar_cnt__") * prop))
+        return td.with_df(out.drop("__datar_rn__", "__datar_cnt__"))
+    return td.with_df(df.filter(F.col("__datar_rn__") <= n).drop("__datar_rn__"))
+
+
+@verb
+def slice_min(td: Tibble, order_by: Any, n: int | None = None, prop: float | None = None, with_ties: bool = True) -> Tibble:
+    return _slice_rank(td, order_by, n, prop, desc_=False, with_ties=with_ties)
+
+
+@verb
+def slice_max(td: Tibble, order_by: Any, n: int | None = None, prop: float | None = None, with_ties: bool = True) -> Tibble:
+    return _slice_rank(td, order_by, n, prop, desc_=True, with_ties=with_ties)
+
+
+@verb
+def slice_sample(
+    td: Tibble,
+    n: int | None = None,
+    prop: float | None = None,
+    replace: bool = False,
+    seed: int | None = None,
+) -> Tibble:
+    n, prop = _resolve_n(n, prop)
+    if prop is not None and not td.group_vars and not replace:
+        return td.with_df(td.df.sample(fraction=prop, seed=seed))
+    # exact-n per group: rank by rand()
+    w = _group_window(td).orderBy(F.rand(seed) if seed is not None else F.rand())
+    df = td.df.withColumn("__datar_rn__", F.row_number().over(w))
+    if prop is not None:
+        df = df.withColumn("__datar_cnt__", F.count(F.lit(1)).over(_group_window(td)))
+        out = df.filter(F.col("__datar_rn__") <= F.floor(F.col("__datar_cnt__") * prop))
+        return td.with_df(out.drop("__datar_rn__", "__datar_cnt__"))
+    return td.with_df(df.filter(F.col("__datar_rn__") <= n).drop("__datar_rn__"))
+
+
+@verb
+def head_(td: Tibble, n: int = 6) -> Tibble:
+    out = slice_head(ungroup(td), n=n)
+    return Tibble(out.df, groups=td.group_vars, levels=td.levels)
+
+
+@verb
+def tail_(td: Tibble, n: int = 6) -> Tibble:
+    out = slice_tail(ungroup(td), n=n)
+    return Tibble(out.df, groups=td.group_vars, levels=td.levels)
+
+
+@verb
+def glimpse(td: Tibble, width: int | None = None) -> None:
+    print(f"Rows: ??? (lazy)\nColumns: {len(td.columns)}")
+    for name, dtype in td.dtypes:
+        print(f"$ {name:<20} <{dtype}>")

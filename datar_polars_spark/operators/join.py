@@ -1,0 +1,204 @@
+"""Join verbs (reference ``api/dplyr/join.py``).
+
+All reference joins are equi-joins; Catalyst picks broadcast vs
+sort-merge vs shuffled-hash per side statistics (AQE re-plans at
+runtime), so no join-strategy code lives here. ``nest_join`` — a
+per-row driver loop in the reference (``join.py:239-250``) — is
+re-expressed distributed as ``collect_list(struct)`` + left join.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from ..plans.context import ORDER_COL
+from ..plans.expr import Ref
+from ..plans.verb import verb, verb2
+from ..tibble import Tibble, ensure_tibble
+
+__all__ = [
+    "inner_join",
+    "left_join",
+    "right_join",
+    "full_join",
+    "semi_join",
+    "anti_join",
+    "cross_join",
+    "nest_join",
+]
+
+_Y_ORDER = "__datar_ro_y__"
+
+
+def _resolve_by(x: Tibble, y: Tibble, by: Any) -> tuple[list[str], list[str]]:
+    """None -> natural join on common columns (reference join.py:29-46)."""
+    if by is None:
+        common = [c for c in x.columns if c in set(y.columns)]
+        if not common:
+            raise ValueError("no common columns to join by")
+        return common, common
+    if isinstance(by, dict):
+        return list(by.keys()), list(by.values())
+    if isinstance(by, (str, Ref)):
+        by = [by]
+    names = [b._name if isinstance(b, Ref) else str(b) for b in by]
+    return names, names
+
+
+def _prep_sides(x: Tibble, y: Tibble, left_on: list[str], right_on: list[str],
+                suffix: tuple[str, str], keep: bool):
+    xdf = x.df
+    ydf = y.df.withColumnRenamed(ORDER_COL, _Y_ORDER)
+    # rename right keys to the left names so Spark's name-based `on`
+    # coalesces key columns (dplyr default keep=False)
+    if not keep:
+        for lk, rk in zip(left_on, right_on):
+            if rk != lk:
+                ydf = ydf.withColumnRenamed(rk, lk)
+        right_keys = list(left_on)
+    else:
+        right_keys = list(right_on)
+    # suffix non-key clashes (reference join.py:62-73)
+    xkeys = set(left_on)
+    ykeys = set(right_keys)
+    xcols = [c for c in x.columns]
+    ycols = [c for c in ydf.columns if not c.startswith("__datar_")]
+    clashes = (set(xcols) - xkeys) & (set(ycols) - ykeys)
+    for c in clashes:
+        xdf = xdf.withColumnRenamed(c, c + suffix[0])
+        ydf = ydf.withColumnRenamed(c, c + suffix[1])
+    return xdf, ydf, right_keys
+
+
+def _join(x: Any, y: Any, by: Any, how: str, suffix=("_x", "_y"), keep: bool = False) -> Tibble:
+    x = ensure_tibble(x)
+    y = ensure_tibble(y)
+    left_on, right_on = _resolve_by(x, y, by)
+    xdf, ydf, right_keys = _prep_sides(x, y, left_on, right_on, suffix, keep)
+
+    if keep:
+        cond = None
+        for lk, rk in zip(left_on, right_keys):
+            c = xdf[lk] == ydf[rk]
+            cond = c if cond is None else (cond & c)
+        out = xdf.join(ydf, on=cond, how=how)
+    else:
+        out = xdf.join(ydf, on=left_on, how=how)
+
+    # frame order: left order primary, right order tiebreak (reference
+    # maintain_order="left"/"right", join.py:111). Combined as a struct
+    # (structs are orderable in Spark) — NO physical sort at join time;
+    # order is only realized if a downstream op needs it.
+    if how == "right":
+        primary, secondary = _Y_ORDER, ORDER_COL
+    else:
+        primary, secondary = ORDER_COL, _Y_ORDER
+    if ORDER_COL in out.columns and _Y_ORDER in out.columns:
+        combined = F.struct(
+            F.col(primary).alias("p"), F.col(secondary).alias("s")
+        )
+        out = (
+            out.withColumn("__datar_ro_new__", combined)
+            .drop(ORDER_COL, _Y_ORDER)
+            .withColumnRenamed("__datar_ro_new__", ORDER_COL)
+        )
+    elif _Y_ORDER in out.columns:
+        out = out.withColumnRenamed(_Y_ORDER, ORDER_COL)
+
+    levels = {**y.levels, **x.levels}
+    return Tibble(out, groups=[g for g in x.group_vars if g in out.columns], levels=levels)
+
+
+@verb2
+def inner_join(x, y, by=None, suffix=("_x", "_y"), keep=False):
+    return _join(x, y, by, "inner", suffix, keep)
+
+
+@verb2
+def left_join(x, y, by=None, suffix=("_x", "_y"), keep=False):
+    return _join(x, y, by, "left", suffix, keep)
+
+
+@verb2
+def right_join(x, y, by=None, suffix=("_x", "_y"), keep=False):
+    return _join(x, y, by, "right", suffix, keep)
+
+
+@verb2
+def full_join(x, y, by=None, suffix=("_x", "_y"), keep=False):
+    return _join(x, y, by, "full", suffix, keep)
+
+
+@verb2
+def semi_join(x, y, by=None):
+    x = ensure_tibble(x)
+    y = ensure_tibble(y)
+    left_on, right_on = _resolve_by(x, y, by)
+    ydf = y.df.select(*right_on)
+    for lk, rk in zip(left_on, right_on):
+        if rk != lk:
+            ydf = ydf.withColumnRenamed(rk, lk)
+    out = x.df.join(ydf, on=left_on, how="left_semi")
+    return x.with_df(out)
+
+
+@verb2
+def anti_join(x, y, by=None):
+    x = ensure_tibble(x)
+    y = ensure_tibble(y)
+    left_on, right_on = _resolve_by(x, y, by)
+    ydf = y.df.select(*right_on)
+    for lk, rk in zip(left_on, right_on):
+        if rk != lk:
+            ydf = ydf.withColumnRenamed(rk, lk)
+    out = x.df.join(ydf, on=left_on, how="left_anti")
+    return x.with_df(out)
+
+
+@verb2
+def cross_join(x, y, suffix=("_x", "_y")):
+    x = ensure_tibble(x)
+    y = ensure_tibble(y)
+    ydf = y.df.withColumnRenamed(ORDER_COL, _Y_ORDER)
+    clashes = set(x.columns) & set(y.columns)
+    xdf = x.df
+    for c in clashes:
+        xdf = xdf.withColumnRenamed(c, c + suffix[0])
+        ydf = ydf.withColumnRenamed(c, c + suffix[1])
+    out = xdf.crossJoin(ydf)
+    if ORDER_COL in out.columns and _Y_ORDER in out.columns:
+        out = (
+            out.withColumn(
+                "__datar_ro_new__",
+                F.struct(F.col(ORDER_COL).alias("p"), F.col(_Y_ORDER).alias("s")),
+            )
+            .drop(ORDER_COL, _Y_ORDER)
+            .withColumnRenamed("__datar_ro_new__", ORDER_COL)
+        )
+    elif _Y_ORDER in out.columns:
+        out = out.withColumnRenamed(_Y_ORDER, ORDER_COL)
+    return Tibble(out, groups=x.group_vars, levels={**y.levels, **x.levels})
+
+
+@verb2
+def nest_join(x, y, by=None, name: str | None = None):
+    """Left row × matching right rows nested as array<struct> — the
+    distributed re-expression of the reference's driver loop
+    (``join.py:239-250``), per SURVEY §2.4."""
+    x = ensure_tibble(x)
+    y = ensure_tibble(y)
+    left_on, right_on = _resolve_by(x, y, by)
+    nm = name or "y_data"
+    payload = [c for c in y.columns if c not in right_on]
+    ydf = y.df
+    for lk, rk in zip(left_on, right_on):
+        if rk != lk:
+            ydf = ydf.withColumnRenamed(rk, lk)
+    nested = ydf.groupBy(*left_on).agg(
+        F.collect_list(F.struct(*payload)).alias(nm)
+    )
+    out = x.df.join(nested, on=left_on, how="left")
+    out = out.withColumn(nm, F.coalesce(F.col(nm), F.array()))
+    return x.with_df(out)

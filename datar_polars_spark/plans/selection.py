@@ -1,0 +1,212 @@
+"""Tidy-selection algebra (reference ``collections.py`` +
+``api/dplyr/tidyselect.py:39-261``).
+
+Pure driver-side logic over ``Tibble.columns`` — resolving a selection
+never runs a Spark job. Supports names, ``f.x`` refs, 1-based/negative
+ints, ``~x`` / ``-x`` exclusion, ``c_(...)`` collections, and the
+tidyselect helper predicates.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Iterable
+
+from .expr import Call, Expr, Ref, UnaryOp
+
+__all__ = [
+    "resolve_selection",
+    "c_",
+    "starts_with",
+    "ends_with",
+    "contains",
+    "matches",
+    "everything",
+    "last_col",
+    "all_of",
+    "any_of",
+    "num_range",
+    "where",
+]
+
+
+class SelectHelper:
+    def __init__(self, fn: Callable[[list[str], dict[str, str]], list[str]], label: str):
+        self._fn = fn
+        self._label = label
+
+    def resolve(self, columns: list[str], dtypes: dict[str, str]) -> list[str]:
+        return self._fn(columns, dtypes)
+
+    def __invert__(self) -> "_Excluded":
+        return _Excluded(self)
+
+    def __repr__(self) -> str:
+        return self._label
+
+
+class _Excluded:
+    def __init__(self, item: Any):
+        self.item = item
+
+
+class Collection(list):
+    """R-style ``c(...)`` of selection items."""
+
+
+def c_(*items: Any) -> Collection:
+    return Collection(items)
+
+
+def starts_with(prefix: str) -> SelectHelper:
+    return SelectHelper(
+        lambda cols, dt: [c for c in cols if c.startswith(prefix)],
+        f"starts_with({prefix!r})",
+    )
+
+
+def ends_with(suffix: str) -> SelectHelper:
+    return SelectHelper(
+        lambda cols, dt: [c for c in cols if c.endswith(suffix)],
+        f"ends_with({suffix!r})",
+    )
+
+
+def contains(needle: str) -> SelectHelper:
+    return SelectHelper(
+        lambda cols, dt: [c for c in cols if needle in c], f"contains({needle!r})"
+    )
+
+
+def matches(pattern: str) -> SelectHelper:
+    rx = re.compile(pattern)
+    return SelectHelper(
+        lambda cols, dt: [c for c in cols if rx.search(c)], f"matches({pattern!r})"
+    )
+
+
+def everything() -> SelectHelper:
+    return SelectHelper(lambda cols, dt: list(cols), "everything()")
+
+
+def last_col(offset: int = 0) -> SelectHelper:
+    return SelectHelper(lambda cols, dt: [cols[-1 - offset]], f"last_col({offset})")
+
+
+def all_of(names: Iterable[str]) -> SelectHelper:
+    names = list(names)
+
+    def fn(cols, dt):
+        missing = [n for n in names if n not in cols]
+        if missing:
+            raise KeyError(f"all_of: columns not found: {missing}")
+        return list(names)
+
+    return SelectHelper(fn, f"all_of({names!r})")
+
+
+def any_of(names: Iterable[str]) -> SelectHelper:
+    names = list(names)
+    return SelectHelper(
+        lambda cols, dt: [n for n in names if n in cols], f"any_of({names!r})"
+    )
+
+
+def num_range(prefix: str, range_: Iterable[int], width: int = 0) -> SelectHelper:
+    wanted = [f"{prefix}{str(i).zfill(width)}" for i in range_]
+    return SelectHelper(
+        lambda cols, dt: [n for n in wanted if n in cols], "num_range(...)"
+    )
+
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+
+def where(pred) -> SelectHelper:
+    """``where(is_numeric)`` etc: predicate over (name, dtype)."""
+
+    def fn(cols, dt):
+        out = []
+        for c in cols:
+            t = dt.get(c, "")
+            if callable(pred):
+                try:
+                    keep = pred(t)
+                except TypeError:
+                    keep = pred(c, t)
+            else:
+                keep = False
+            if keep:
+                out.append(c)
+        return out
+
+    return SelectHelper(fn, "where(...)")
+
+
+def is_numeric(dtype: str) -> bool:
+    return dtype.split("(")[0] in _NUMERIC
+
+
+def is_character(dtype: str) -> bool:
+    return dtype == "string"
+
+
+def _expand(item: Any, columns: list[str], dtypes: dict[str, str]) -> tuple[list[str], bool]:
+    """Returns (names, excluded)."""
+    if isinstance(item, _Excluded):
+        names, _ = _expand(item.item, columns, dtypes)
+        return names, True
+    if isinstance(item, UnaryOp) and item._op in ("~", "-"):
+        names, _ = _expand(item._operand, columns, dtypes)
+        return names, True
+    if isinstance(item, Ref):
+        return [item._name], False
+    if isinstance(item, str):
+        return [item], False
+    if isinstance(item, bool):
+        raise TypeError("boolean is not a valid column selection")
+    if isinstance(item, int):
+        if item < 0:
+            return [columns[(-item) - 1]], True  # R: -k excludes position k
+        return [columns[item - 1]], False  # R 1-based
+    if isinstance(item, SelectHelper):
+        return item.resolve(columns, dtypes), False
+    if isinstance(item, (Collection, list, tuple)):
+        out: list[str] = []
+        excl = False
+        for sub in item:
+            names, ex = _expand(sub, columns, dtypes)
+            excl = excl or ex
+            out.extend(names)
+        return out, excl
+    if isinstance(item, Call) and item._fname in ("starts_with", "ends_with", "contains", "matches"):
+        # allow the function-registry names to double as helpers
+        helper = globals()[item._fname](*item._args, **item._kwargs)
+        return helper.resolve(columns, dtypes), False
+    raise TypeError(f"cannot use {item!r} as a column selection")
+
+
+def resolve_selection(
+    items: Iterable[Any], columns: list[str], dtypes: dict[str, str] | None = None
+) -> list[str]:
+    dtypes = dtypes or {}
+    include: list[str] = []
+    exclude: list[str] = []
+    saw_include = False
+    for item in items:
+        names, excluded = _expand(item, columns, dtypes)
+        if excluded:
+            exclude.extend(names)
+        else:
+            saw_include = True
+            for n in names:
+                if n not in include:
+                    include.append(n)
+    if not saw_include:
+        include = [c for c in columns if c not in exclude]
+    else:
+        include = [c for c in include if c not in exclude]
+    unknown = [c for c in include if c not in columns]
+    if unknown:
+        raise KeyError(f"columns not found: {unknown}")
+    return include

@@ -1,0 +1,64 @@
+"""Data sources (reference has only ``read_csv`` at
+``datar_polars/polars.py:17`` / ``plugin.py:63-79``; we add parquet —
+the native columnar format for the 100 TB target — plus JSON/ORC).
+
+Each reader returns a :class:`Tibble` with the hidden row-order column
+assigned at ingest (monotonically_increasing_id over the scan — narrow,
+order = file order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..tibble import Tibble
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> Tibble:
+    return Tibble(spark.read.parquet(path))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    null_values: list[str] | None = None,
+    infer_schema: bool = True,
+) -> Tibble:
+    reader = spark.read.option("header", header).option("inferSchema", infer_schema)
+    if null_values:
+        reader = reader.option("nullValue", null_values[0])
+    return Tibble(reader.csv(path))
+
+
+def read_json(spark: SparkSession, path: str) -> Tibble:
+    return Tibble(spark.read.json(path))
+
+
+def read_orc(spark: SparkSession, path: str) -> Tibble:
+    return Tibble(spark.read.orc(path))
+
+
+def write_parquet(td: Tibble, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    w = td.df.select(*td.columns).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, Tibble]:
+    """Load the driver's TPC-H-ish tables (TESTDATA.md)."""
+    return {n: read_parquet(spark, f"{sf_dir}/{n}.parquet") for n in names}

@@ -1,0 +1,212 @@
+"""Tibble: a Spark DataFrame + datar metadata wrapper.
+
+The reference subclasses ``pl.DataFrame`` and stores metadata in a
+``_datar`` dict (``datar_polars/tibble.py:19-44``): group variables
+(``group_by.py:24-52``), rowwise flag, factor levels. Spark DataFrames
+are not subclass-friendly, so we wrap by composition. Spark frames are
+always lazy, so the reference's Tibble/LazyTibble split collapses into
+one class (`lazy()`/`collect()` stay as API no-ops / action boundaries).
+
+Row-order discipline (SURVEY §1.4): dplyr semantics are row-order-
+deterministic but Spark frames are unordered. Every Tibble carries a
+hidden ``__datar_ro__`` long column:
+
+* assigned at ingest via ``monotonically_increasing_id()`` (narrow, no
+  shuffle; ids increase with partition index -> preserves file order);
+* after a sort, reassigned with the same function *on the sorted
+  frame* — Spark's ``orderBy`` range-partitions, so partition index
+  increases with sort order and the new ids form a valid total order
+  consistent with the sort, with no single-partition window;
+* group-bys propagate ``min(__datar_ro__)`` per group (the analogue of
+  the reference's ``maintain_order=True`` at ``summarise.py:239``);
+* ``collect()`` sorts by it before handing rows to the driver.
+
+Scale note: the hidden column is 8 bytes/row and never induces a
+shuffle on its own; order-sensitive *windows* ordered by it are only
+created when the user actually calls an order-sensitive function.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.context import ORDER_COL
+
+HIDDEN_PREFIX = "__datar_"
+
+
+class Tibble:
+    def __init__(
+        self,
+        df: DataFrame,
+        groups: Sequence[str] = (),
+        rowwise: bool = False,
+        levels: dict[str, list] | None = None,
+        sorted_by: tuple | None = None,
+    ):
+        # NOTE: the order column is LAZY — assigned only when an
+        # order-sensitive operation first needs it. Materializing it at
+        # ingest would put a nondeterministic projection between the scan
+        # and later filters, blocking Catalyst's predicate pushdown.
+        self._df = df
+        self.group_vars: tuple[str, ...] = tuple(groups)
+        self.rowwise: bool = rowwise
+        # factor levels per column (SURVEY §1.1: Spark has no categorical
+        # dtype -> string column + levels list in metadata)
+        self.levels: dict[str, list] = dict(levels or {})
+
+    # ---- basic accessors -------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._df.columns if not c.startswith(HIDDEN_PREFIX)]
+
+    @property
+    def dtypes(self) -> list[tuple[str, str]]:
+        return [
+            (n, t) for n, t in self._df.dtypes if not n.startswith(HIDDEN_PREFIX)
+        ]
+
+    @property
+    def schema(self):
+        return self._df.schema
+
+    def nrow(self) -> int:
+        return self._df.count()
+
+    def ncol(self) -> int:
+        return len(self.columns)
+
+    # ---- metadata-propagating constructors -------------------------------
+    def with_df(
+        self,
+        df: DataFrame,
+        *,
+        groups: Sequence[str] | None = None,
+        rowwise: bool | None = None,
+        levels: dict[str, list] | None = None,
+    ) -> "Tibble":
+        new_groups = self.group_vars if groups is None else tuple(groups)
+        new_groups = tuple(g for g in new_groups if g in df.columns)
+        lv = self.levels if levels is None else levels
+        lv = {k: v for k, v in lv.items() if k in df.columns}
+        return Tibble(
+            df,
+            groups=new_groups,
+            rowwise=self.rowwise if rowwise is None else rowwise,
+            levels=lv,
+        )
+
+    # ---- order helpers ----------------------------------------------------
+    @property
+    def has_order(self) -> bool:
+        return ORDER_COL in self._df.columns
+
+    def ensure_order(self) -> "Tibble":
+        """Materialize the hidden order column (ids increase with
+        partition index -> preserves scan/file order; narrow, no shuffle)."""
+        if self.has_order:
+            return self
+        return self.with_df(
+            self._df.withColumn(ORDER_COL, F.monotonically_increasing_id())
+        )
+
+    def reassign_order(self, *sort_keys: Column) -> "Tibble":
+        """Global sort + distributed order-id reassignment (no global window)."""
+        d = self._df.orderBy(*sort_keys)
+        if ORDER_COL in d.columns:
+            d = d.drop(ORDER_COL)
+        d = d.withColumn(ORDER_COL, F.monotonically_increasing_id())
+        return self.with_df(d)
+
+    # ---- actions ----------------------------------------------------------
+    def collect(self):
+        """Materialize to pandas in frame order, hidden columns dropped."""
+        d = self._df
+        if self.has_order:
+            d = d.orderBy(F.col(ORDER_COL).asc())
+        return d.select(*self.columns).toPandas()
+
+    def rows(self) -> list[tuple]:
+        pdf = self.collect()
+        return list(pdf.itertuples(index=False, name=None))
+
+    def show(self, n: int = 20, truncate: bool = False) -> None:
+        d = self._df.orderBy(ORDER_COL) if self.has_order else self._df
+        d.select(*self.columns).show(n, truncate)
+
+    def lazy(self) -> "Tibble":
+        return self
+
+    def cache(self) -> "Tibble":
+        return self.with_df(self._df.cache())
+
+    def __getitem__(self, name: str) -> list:
+        d = self._df.orderBy(ORDER_COL) if self.has_order else self._df
+        pdf = d.select(name).toPandas()
+        return pdf[name].tolist()
+
+    def __repr__(self) -> str:
+        g = f" groups={list(self.group_vars)}" if self.group_vars else ""
+        rw = " rowwise" if self.rowwise else ""
+        return f"<Tibble [{len(self.columns)} cols]{g}{rw}>"
+
+    # piping: VerbCall defines __rrshift__; this covers Tibble >> verbcall
+    def __rshift__(self, other: Any):
+        rr = getattr(other, "__rrshift__", None)
+        if rr is None:
+            return NotImplemented
+        return rr(self)
+
+
+def ensure_tibble(data: Any) -> Tibble:
+    if isinstance(data, Tibble):
+        return data
+    if isinstance(data, DataFrame):
+        return Tibble(data)
+    raise TypeError(f"expected Tibble or Spark DataFrame, got {type(data)}")
+
+
+def from_pandas(spark: SparkSession, pdf) -> Tibble:
+    """pandas NaN in object/float columns becomes a true Spark null —
+    pandas uses NaN as its missing marker, and the reference treats NaN
+    as NA anyway (``api/tidyr.py:78-101``)."""
+    import pandas as pd
+
+    pdf = pdf.copy()
+    pdf[ORDER_COL] = range(len(pdf))
+    pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+    return Tibble(spark.createDataFrame(pdf))
+
+
+def tibble(spark: SparkSession = None, /, **columns) -> Tibble:
+    """Construct a Tibble from python vectors/scalars (reference
+    ``api/tibble.py:45-208``). Length-1 values are recycled."""
+    import pandas as pd
+
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    n = 1
+    for v in columns.values():
+        if isinstance(v, (list, tuple, range)):
+            n = max(n, len(v))
+    data = {}
+    for k, v in columns.items():
+        if isinstance(v, (list, tuple, range)):
+            v = list(v)
+            if len(v) == 1:
+                v = v * n
+            elif len(v) != n:
+                raise ValueError(
+                    f"tibble column {k!r}: length {len(v)} incompatible with {n}"
+                )
+            data[k] = v
+        else:
+            data[k] = [v] * n
+    return from_pandas(spark, pd.DataFrame(data))
