@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry runs a datar_polars_spark DSL pipeline (this
+is the point — the gate exercises the engine, not raw Spark), and the
+matching ``oracle_sql()`` entry is the ANSI-SQL equivalent DuckDB runs
+on the same parquet views. Conventions for hash-stability:
+
+* every computed/aggregate column is aliased identically on both sides;
+* float results are rounded to 4 decimals on both sides (ROUND is the
+  only float op whose exact result both engines agree on);
+* timestamps are cast to DATE (or strings) on both sides;
+* DuckDB integer SUMs are cast to BIGINT (DuckDB widens to HUGEINT).
 """
 
 from __future__ import annotations
@@ -13,26 +18,646 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datar_polars_spark import (
+    f,
+    read_parquet,
+    select,
+    rename,
+    mutate,
+    transmute,
+    filter_,
+    group_by,
+    summarise,
+    arrange,
+    distinct,
+    count,
+    add_count,
+    slice_min,
+    slice_max,
+    inner_join,
+    left_join,
+    semi_join,
+    anti_join,
+    bind_rows,
+    intersect_,
+    setdiff_,
+    union_all,
+    rows_upsert,
+    desc,
+)
+from datar_polars_spark.functions import (
+    sum_,
+    mean,
+    median,
+    quantile,
+    sd,
+    n,
+    n_distinct,
+    min_,
+    max_,
+    lag,
+    cumsum,
+    min_rank,
+    if_else,
+    case_when,
+    na_if,
+    coalesce,
+    between,
+    grepl,
+    toupper,
+    substr,
+    nchar,
+    paste0,
+    round_,
+    floor,
+    as_date,
+    as_double,
+    as_integer,
+    consecutive_id,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns the materialized Spark DataFrame (hidden columns
+# dropped; the Tibble wrapper's .df after select of visible columns)
+# ---------------------------------------------------------------------------
+
+def _finish(td) -> DataFrame:
+    return td.df.select(*td.columns)
+
+
+def q01_pricing_summary(spark, sf):
+    """TPC-H Q1 style: filter + group_by + summarise + arrange.
+    Covers: filter_, group_by, summarise(sum/mean/n), arrange."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li
+        >> filter_(f.l_shipdate <= as_date("1998-09-02"))
+        >> group_by(f.l_returnflag, f.l_linestatus)
+        >> summarise(
+            # money sums in exact integer cents: floor(x*100) is an exact
+            # IEEE754 op on identical inputs, so Spark and the oracle agree
+            # bit-for-bit (float SUM + ROUND is tie-unstable across engines)
+            sum_qty=sum_(as_integer(f.l_quantity), na_rm=True),
+            sum_base_price_c=sum_(as_integer(floor(f.l_extendedprice * 100)), na_rm=True),
+            sum_disc_price_c=sum_(
+                as_integer(floor(f.l_extendedprice * (1 - f.l_discount) * 100)), na_rm=True
+            ),
+            avg_qty=round_(mean(f.l_quantity, na_rm=True), 4),
+            avg_price=round_(mean(f.l_extendedprice, na_rm=True), 4),
+            avg_disc=round_(mean(f.l_discount, na_rm=True), 4),
+            count_order=n(),
+        )
+        >> arrange(f.l_returnflag, f.l_linestatus)
+    )
+    return _finish(out)
+
+
+def q02_select_mutate(spark, sf):
+    """Covers: select, mutate (arithmetic, sequential refs)."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li
+        >> filter_(f.l_quantity >= 45)
+        >> select(f.l_orderkey, f.l_linenumber, f.l_extendedprice, f.l_discount, f.l_tax)
+        >> mutate(
+            disc_price_c=as_integer(floor(f.l_extendedprice * (1 - f.l_discount) * 100)),
+            charge_c=as_integer(
+                floor(f.l_extendedprice * (1 - f.l_discount) * (1 + f.l_tax) * 100)
+            ),
+        )
+        >> select(f.l_orderkey, f.l_linenumber, f.disc_price_c, f.charge_c)
+    )
+    return _finish(out)
+
+
+def q03_filter_between_regex(spark, sf):
+    """Covers: between, grepl (regex filter), string predicates."""
+    p = _t(spark, sf, "part")
+    out = (
+        p
+        >> filter_(between(f.p_size, 10, 20), grepl("^PROMO", f.p_type))
+        >> select(f.p_partkey, f.p_name, f.p_type, f.p_size)
+    )
+    return _finish(out)
+
+
+def q04_count_weighted(spark, sf):
+    """Covers: count (weighted + plain)."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li
+        >> count(f.l_returnflag, wt=f.l_quantity, name="total_qty")
+        >> mutate(total_qty=round_(as_double(f.total_qty), 4))
+    )
+    return _finish(out)
+
+
+def q05_distinct(spark, sf):
+    """Covers: distinct on a column subset."""
+    o = _t(spark, sf, "orders")
+    out = o >> distinct(f.o_orderstatus, f.o_orderpriority)
+    return _finish(out)
+
+
+def q06_join_revenue_per_nation(spark, sf):
+    """Covers: inner_join chain (dims auto-broadcast by AQE), grouped agg."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    out = (
+        o
+        >> inner_join(c, by={"o_custkey": "c_custkey"})
+        >> inner_join(nat, by={"c_nationkey": "n_nationkey"})
+        >> group_by(f.n_name)
+        >> summarise(
+            revenue_c=sum_(as_integer(floor(f.o_totalprice * 100)), na_rm=True),
+            n_orders=n(),
+        )
+    )
+    return _finish(out)
+
+
+def q07_left_join_zero_counts(spark, sf):
+    """Covers: left_join with unmatched rows, count of non-null."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    big = o >> filter_(f.o_totalprice > 150000)
+    out = (
+        c
+        >> left_join(big, by={"c_custkey": "o_custkey"})
+        >> group_by(f.c_custkey, f.c_mktsegment)
+        >> summarise(n_big=sum_(if_else(f.o_orderkey.is_null(), 0, 1), na_rm=True))
+    )
+    return _finish(out)
+
+
+def q08_semi_join(spark, sf):
+    """Covers: semi_join."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    out = (
+        c
+        >> semi_join(o >> filter_(f.o_totalprice > 200000), by={"c_custkey": "o_custkey"})
+        >> select(f.c_custkey, f.c_name, f.c_mktsegment)
+    )
+    return _finish(out)
+
+
+def q09_anti_join(spark, sf):
+    """Covers: anti_join."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    big = o >> filter_(f.o_totalprice > 300000)
+    out = (
+        c
+        >> anti_join(big, by={"c_custkey": "o_custkey"})
+        >> select(f.c_custkey, f.c_name)
+    )
+    return _finish(out)
+
+
+def q10_topk_per_group(spark, sf):
+    """Covers: slice_max (rank <= k with ties, grouped)."""
+    o = _t(spark, sf, "orders")
+    out = (
+        o
+        >> group_by(f.o_orderpriority)
+        >> slice_max(f.o_totalprice, n=3)
+        >> select(f.o_orderpriority, f.o_orderkey, f.o_totalprice)
+    )
+    return _finish(out)
+
+
+def q11_lag_delta(spark, sf):
+    """Covers: lag with explicit ordering, grouped window."""
+    o = _t(spark, sf, "orders")
+    out = (
+        o
+        >> group_by(f.o_custkey)
+        >> mutate(
+            prev_price=lag(f.o_totalprice, order_by=f.o_orderkey),
+            delta=round_(f.o_totalprice - f.prev_price, 4),
+        )
+        >> select(f.o_orderkey, f.o_custkey, f.delta)
+    )
+    return _finish(out)
+
+
+def q12_cumsum_running(spark, sf):
+    """Covers: cumsum over explicit order, grouped."""
+    o = _t(spark, sf, "orders")
+    out = (
+        o
+        >> group_by(f.o_custkey)
+        >> mutate(running=round_(cumsum(f.o_totalprice, order_by=f.o_orderkey), 4))
+        >> select(f.o_orderkey, f.o_custkey, f.running)
+    )
+    return _finish(out)
+
+
+def q13_case_when_buckets(spark, sf):
+    """Covers: case_when, derived group_by, count."""
+    o = _t(spark, sf, "orders")
+    out = (
+        o
+        >> mutate(
+            bucket=case_when(
+                f.o_totalprice < 50000, "small",
+                f.o_totalprice < 150000, "medium",
+                _default="large",
+            )
+        )
+        >> count(f.bucket)
+    )
+    return _finish(out)
+
+
+def q14_if_else_na_if(spark, sf):
+    """Covers: if_else, na_if, coalesce, summarise of transformed col."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li
+        >> mutate(
+            disc0=na_if(f.l_discount, 0.0),
+            disc_filled=coalesce(f.disc0, -1.0),
+            is_cheap=if_else(f.l_extendedprice < 20000, 1, 0),
+        )
+        >> group_by(f.l_returnflag)
+        >> summarise(
+            n_cheap=sum_(f.is_cheap, na_rm=True),
+            n_no_disc=sum_(if_else(f.disc_filled == -1.0, 1, 0), na_rm=True),
+        )
+    )
+    return _finish(out)
+
+
+def q15_string_functions(spark, sf):
+    """Covers: toupper, substr, nchar, paste0."""
+    c = _t(spark, sf, "customer")
+    out = (
+        c
+        >> filter_(f.c_acctbal > 9000)
+        >> transmute(
+            c_custkey=f.c_custkey,
+            seg_upper=toupper(f.c_mktsegment),
+            name_pfx=substr(f.c_name, 1, 8),
+            name_len=nchar(f.c_name),
+            tag=paste0(f.c_mktsegment, "-", f.c_custkey),
+        )
+    )
+    return _finish(out)
+
+
+def q16_bind_rows(spark, sf):
+    """Covers: bind_rows / UNION ALL."""
+    o = _t(spark, sf, "orders")
+    hi = o >> filter_(f.o_totalprice > 250000) >> select(f.o_orderkey, f.o_totalprice)
+    lo = o >> filter_(f.o_totalprice < 10000) >> select(f.o_orderkey, f.o_totalprice)
+    out = bind_rows(hi, lo) >> mutate(o_totalprice=round_(f.o_totalprice, 4))
+    return _finish(out)
+
+
+def q17_intersect(spark, sf):
+    """Covers: intersect (table-level)."""
+    o = _t(spark, sf, "orders")
+    a = o >> filter_(f.o_totalprice > 100000) >> select(f.o_custkey)
+    b = o >> filter_(f.o_orderstatus == "F") >> select(f.o_custkey)
+    out = intersect_(a >> distinct(f.o_custkey), b >> distinct(f.o_custkey))
+    return _finish(out)
+
+
+def q18_setdiff(spark, sf):
+    """Covers: setdiff (table-level)."""
+    o = _t(spark, sf, "orders")
+    a = o >> distinct(f.o_custkey)
+    b = o >> filter_(f.o_orderstatus == "O") >> distinct(f.o_custkey)
+    out = setdiff_(a, b)
+    return _finish(out)
+
+
+def q19_quantiles(spark, sf):
+    """Covers: median, quantile (linear interpolation), sd."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li
+        >> group_by(f.l_returnflag)
+        >> summarise(
+            med_price=round_(median(f.l_extendedprice, na_rm=True), 4),
+            p90_price=round_(quantile(f.l_extendedprice, 0.9, na_rm=True), 4),
+            sd_price=round_(sd(f.l_extendedprice, na_rm=True), 4),
+        )
+    )
+    return _finish(out)
+
+
+def q20_n_distinct(spark, sf):
+    """Covers: n_distinct, multiple aggregates."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li
+        >> group_by(f.l_returnflag)
+        >> summarise(
+            n_parts=n_distinct(f.l_partkey),
+            n_supps=n_distinct(f.l_suppkey),
+            n_rows=n(),
+        )
+    )
+    return _finish(out)
+
+
+def q21_slice_min(spark, sf):
+    """Covers: slice_min (grouped, with ties)."""
+    p = _t(spark, sf, "part")
+    out = (
+        p
+        >> group_by(f.p_brand)
+        >> slice_min(f.p_retailprice, n=1)
+        >> select(f.p_brand, f.p_partkey, f.p_retailprice)
+    )
+    return _finish(out)
+
+
+def q22_group_deviation(spark, sf):
+    """Covers: grouped mutate window aggregate + filter on it."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li
+        >> group_by(f.l_suppkey)
+        >> mutate(supp_avg=mean(f.l_extendedprice, na_rm=True))
+        >> filter_(f.l_extendedprice > 2 * f.supp_avg)
+        >> transmute(
+            l_orderkey=f.l_orderkey,
+            l_linenumber=f.l_linenumber,
+            l_suppkey=f.l_suppkey,
+            ratio=round_(f.l_extendedprice / f.supp_avg, 4),
+        )
+    )
+    return _finish(out)
+
+
+def q23_events_daily(spark, sf):
+    """Covers: timestamp handling, multi-key group, avg."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf, "events")
+    out = (
+        e
+        >> mutate(day=f.ts.cast("date").cast("string"))
+        >> group_by(f.day, f.event_type)
+        >> summarise(
+            n_events=n(),
+            avg_value=round_(mean(f.value, na_rm=True), 4),
+        )
+    )
+    return _finish(out)
+
+
+def q24_consecutive_runs(spark, sf):
+    """Covers: consecutive_id (run-length encoding id) per user."""
+    e = _t(spark, sf, "events")
+    out = (
+        e
+        >> arrange(f.event_id)
+        >> group_by(f.user_id)
+        >> mutate(run_id=consecutive_id(f.event_type))
+        >> summarise(n_runs=max_(f.run_id, na_rm=True), n_events=n())
+    )
+    return _finish(out)
+
+
+def q25_rows_upsert(spark, sf):
+    """Covers: rows_upsert keyed DML."""
+    c = _t(spark, sf, "customer")
+    x = c >> select(f.c_custkey, f.c_acctbal) >> filter_(f.c_custkey <= 1000)
+    y = (
+        c
+        >> filter_(f.c_acctbal > 5000)
+        >> transmute(c_custkey=f.c_custkey, c_acctbal=round_(f.c_acctbal * 2, 4))
+    )
+    out = rows_upsert(x, y, by=f.c_custkey) >> mutate(c_acctbal=round_(f.c_acctbal, 4))
+    return _finish(out)
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_select_mutate": q02_select_mutate,
+        "q03_filter_between_regex": q03_filter_between_regex,
+        "q04_count_weighted": q04_count_weighted,
+        "q05_distinct": q05_distinct,
+        "q06_join_revenue_per_nation": q06_join_revenue_per_nation,
+        "q07_left_join_zero_counts": q07_left_join_zero_counts,
+        "q08_semi_join": q08_semi_join,
+        "q09_anti_join": q09_anti_join,
+        "q10_topk_per_group": q10_topk_per_group,
+        "q11_lag_delta": q11_lag_delta,
+        "q12_cumsum_running": q12_cumsum_running,
+        "q13_case_when_buckets": q13_case_when_buckets,
+        "q14_if_else_na_if": q14_if_else_na_if,
+        "q15_string_functions": q15_string_functions,
+        "q16_bind_rows": q16_bind_rows,
+        "q17_intersect": q17_intersect,
+        "q18_setdiff": q18_setdiff,
+        "q19_quantiles": q19_quantiles,
+        "q20_n_distinct": q20_n_distinct,
+        "q21_slice_min": q21_slice_min,
+        "q22_group_deviation": q22_group_deviation,
+        "q23_events_daily": q23_events_daily,
+        "q24_consecutive_runs": q24_consecutive_runs,
+        "q25_rows_upsert": q25_rows_upsert,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_select_mutate": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS disc_price_c,
+                   CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT) AS charge_c
+            FROM lineitem WHERE l_quantity >= 45
+        """,
+        "q03_filter_between_regex": """
+            SELECT p_partkey, p_name, p_type, p_size
+            FROM part
+            WHERE p_size BETWEEN 10 AND 20 AND regexp_matches(p_type, '^PROMO')
+        """,
+        "q04_count_weighted": """
+            SELECT l_returnflag, ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS total_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q05_distinct": """
+            SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        """,
+        "q06_join_revenue_per_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q07_left_join_zero_counts": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_big
+            FROM customer c
+            LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+              ON c.c_custkey = o.o_custkey
+            GROUP BY c_custkey, c_mktsegment
+        """,
+        "q08_semi_join": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        """,
+        "q09_anti_join": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+        """,
+        "q10_topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS r
+                FROM orders
+            ) WHERE r <= 3
+        """,
+        "q11_lag_delta": """
+            SELECT o_orderkey, o_custkey,
+                   ROUND(o_totalprice - LAG(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey), 4) AS delta
+            FROM orders
+        """,
+        "q12_cumsum_running": """
+            SELECT o_orderkey, o_custkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+            FROM orders
+        """,
+        "q13_case_when_buckets": """
+            SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                        WHEN o_totalprice < 150000 THEN 'medium'
+                        ELSE 'large' END AS bucket,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "q14_if_else_na_if": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN l_extendedprice < 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_cheap,
+                   CAST(SUM(CASE WHEN COALESCE(NULLIF(l_discount, 0.0), -1.0) = -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q15_string_functions": """
+            SELECT c_custkey,
+                   UPPER(c_mktsegment) AS seg_upper,
+                   SUBSTRING(c_name, 1, 8) AS name_pfx,
+                   CAST(LENGTH(c_name) AS INT) AS name_len,
+                   c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS tag
+            FROM customer WHERE c_acctbal > 9000
+        """,
+        "q16_bind_rows": """
+            SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+            FROM orders WHERE o_totalprice > 250000
+            UNION ALL
+            SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+            FROM orders WHERE o_totalprice < 10000
+        """,
+        "q17_intersect": """
+            SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "q18_setdiff": """
+            SELECT DISTINCT o_custkey FROM orders
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "q19_quantiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med_price,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+                   ROUND(stddev_samp(l_extendedprice), 4) AS sd_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q20_n_distinct": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   COUNT(DISTINCT l_suppkey) AS n_supps,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q21_slice_min": """
+            SELECT p_brand, p_partkey, p_retailprice FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice ASC) AS r
+                FROM part
+            ) WHERE r <= 1
+        """,
+        "q22_group_deviation": """
+            SELECT l_orderkey, l_linenumber, l_suppkey,
+                   ROUND(l_extendedprice / supp_avg, 4) AS ratio
+            FROM (
+                SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+                       AVG(l_extendedprice) OVER (PARTITION BY l_suppkey) AS supp_avg
+                FROM lineitem
+            ) WHERE l_extendedprice > 2 * supp_avg
+        """,
+        "q23_events_daily": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(AVG(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q24_consecutive_runs": """
+            WITH runs AS (
+                SELECT user_id,
+                       CASE WHEN event_type IS DISTINCT FROM
+                                 LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(chg) AS BIGINT) AS n_runs,
+                   COUNT(*) AS n_events
+            FROM runs GROUP BY user_id
+        """,
+        "q25_rows_upsert": """
+            WITH x AS (
+                SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 1000
+            ), y AS (
+                SELECT c_custkey, ROUND(c_acctbal * 2, 4) AS c_acctbal
+                FROM customer WHERE c_acctbal > 5000
+            )
+            SELECT COALESCE(x.c_custkey, y.c_custkey) AS c_custkey,
+                   ROUND(COALESCE(y.c_acctbal, x.c_acctbal), 4) AS c_acctbal
+            FROM x FULL JOIN y ON x.c_custkey = y.c_custkey
+        """,
+    }

@@ -1,0 +1,93 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set = the shuffle/join/window-heavy subset of the correctness
+gate (the ones whose cost scales), so BENCH measures the same plans the
+driver verifies for correctness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import __spark_entry__ as entry_mod
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_select_mutate",
+    "q06_join_revenue_per_nation",
+    "q07_left_join_zero_counts",
+    "q10_topk_per_group",
+    "q12_cumsum_running",
+    "q19_quantiles",
+    "q20_n_distinct",
+    "q22_group_deviation",
+    "q23_events_daily",
+]
+
+
+def build_session(cpus: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("datar-polars-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # JVM/codegen warm-up on the smallest SF so measured times reflect
+    # steady-state plans, not first-query classloading
+    try:
+        entry_mod.entry(spark).count()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n_rows = df.count()  # materialize the whole result
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n_rows
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

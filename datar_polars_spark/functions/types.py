@@ -52,6 +52,11 @@ def _r_to_java_fmt(fmt: str) -> str:
     )
 
 
+@register("cast")
+def _cast(ctx, x, dtype):
+    return ctx.col(x).cast(ctx.eval(dtype))
+
+
 @register("is_null")
 def _is_null(ctx, x):
     return ctx.col(x).isNull()

@@ -606,14 +606,19 @@ def slice_tail(td: Tibble, n: int | None = None, prop: float | None = None) -> T
 
 
 def _slice_rank(td: Tibble, order_by: Any, n: int | None, prop: float | None, desc_: bool, with_ties: bool) -> Tibble:
-    if not with_ties:
-        td = td.ensure_order()  # row_number tiebreaks on frame order
     n, prop = _resolve_n(n, prop)
     ctx = EvalContext(td, "eval")
     key = ctx.col(order_by)
     key = key.desc_nulls_last() if desc_ else key.asc_nulls_last()
-    w = _group_window(td).orderBy(key, F.col(ORDER_COL).asc())
-    rankfn = F.rank() if with_ties else F.row_number()
+    if with_ties:
+        # rank() must see ONLY the key — adding a tiebreak would turn
+        # ties into distinct ranks and break with_ties semantics
+        w = _group_window(td).orderBy(key)
+        rankfn = F.rank()
+    else:
+        td = td.ensure_order()  # row_number tiebreaks on frame order
+        w = _group_window(td).orderBy(key, F.col(ORDER_COL).asc())
+        rankfn = F.row_number()
     df = td.df.withColumn("__datar_rn__", rankfn.over(w))
     if prop is not None:
         df = df.withColumn("__datar_cnt__", F.count(F.lit(1)).over(_group_window(td)))

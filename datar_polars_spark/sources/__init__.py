@@ -28,7 +28,44 @@ TABLES = (
 
 
 def read_parquet(spark: SparkSession, path: str) -> Tibble:
-    return Tibble(spark.read.parquet(path))
+    """Parquet scan; transparently handles TIMESTAMP(NANOS) columns,
+    which Spark's vectorized reader rejects (events.parquet uses ns
+    precision): those are read as nano longs and converted to
+    microsecond timestamps JVM-side — still a distributed scan."""
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return Tibble(spark.read.parquet(path))
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return Tibble(df)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Driver-side footer peek: which columns are timestamp[ns]?"""
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            files = glob.glob(os.path.join(path, "*.parquet"))
+            if not files:
+                return []
+            target = files[0]
+        schema = pq.read_schema(target)
+        return [
+            field.name
+            for field in schema
+            if str(field.type).startswith("timestamp[ns")
+        ]
+    except Exception:
+        return []
 
 
 def read_csv(
