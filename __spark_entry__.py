@@ -443,6 +443,110 @@ def q25_rows_upsert(spark, sf):
     return _finish(out)
 
 
+def q26_pivot_wider(spark, sf):
+    """Covers: pivot_wider (long->wide with aggregation)."""
+    li = _t(spark, sf, "lineitem")
+    from datar_polars_spark import pivot_wider
+
+    out = (
+        li
+        >> count(f.l_returnflag, f.l_linestatus)
+        >> pivot_wider(names_from=f.l_linestatus, values_from=f.n, values_fill=0)
+    )
+    return _finish(out)
+
+
+def q27_pivot_longer(spark, sf):
+    """Covers: pivot_longer (wide->long unpivot)."""
+    p = _t(spark, sf, "part")
+    from datar_polars_spark import pivot_longer
+
+    out = (
+        p
+        >> select(f.p_partkey, f.p_retailprice, f.p_size)
+        >> mutate(p_size=as_double(f.p_size))
+        >> pivot_longer([f.p_retailprice, f.p_size], names_to="metric", values_to="val")
+        >> mutate(val=round_(f.val, 4))
+    )
+    return _finish(out)
+
+
+def q28_separate_unite(spark, sf):
+    """Covers: separate (regex split to columns), unite (concat)."""
+    p = _t(spark, sf, "part")
+    from datar_polars_spark import separate, unite
+
+    out = (
+        p
+        >> select(f.p_partkey, f.p_type, f.p_brand)
+        >> separate(f.p_type, [f.t1, f.t2], sep=" ", extra="merge", remove=False)
+        >> unite("brand_type", f.p_brand, f.t1, sep=":")
+        >> select(f.p_partkey, f.brand_type, f.t2)
+    )
+    return _finish(out)
+
+
+def q29_separate_rows_uncount(spark, sf):
+    """Covers: separate_rows (explode split), uncount (row replication)."""
+    d = _t(spark, sf, "documents")
+    from datar_polars_spark import separate_rows, uncount
+
+    out = (
+        d
+        >> filter_(f.doc_id < 50)
+        >> transmute(doc_id=f.doc_id, lang=f.lang, w=as_integer(f.n_chars % 3))
+        >> uncount(f.w, _id="copy_id")
+    )
+    return _finish(out)
+
+
+def q30_fill_gaps(spark, sf):
+    """Covers: fill (forward fill per group over explicit order)."""
+    o = _t(spark, sf, "orders")
+    from datar_polars_spark import fill, arrange
+
+    out = (
+        o
+        >> transmute(
+            o_custkey=f.o_custkey,
+            o_orderkey=f.o_orderkey,
+            big_price=if_else(f.o_totalprice > 150000, round_(f.o_totalprice, 4), None),
+        )
+        >> arrange(f.o_orderkey)
+        >> group_by(f.o_custkey)
+        >> fill(f.big_price, _direction="down")
+    )
+    return _finish(out)
+
+
+def q31_nest_unnest_roundtrip(spark, sf):
+    """Covers: nest (collect_list struct) + unnest (explode) roundtrip."""
+    o = _t(spark, sf, "orders")
+    from datar_polars_spark import nest, unnest
+
+    out = (
+        o
+        >> select(f.o_custkey, f.o_orderkey, f.o_totalprice)
+        >> nest(data=[f.o_orderkey, f.o_totalprice])
+        >> unnest(f.data)
+        >> mutate(o_totalprice=round_(f.o_totalprice, 4))
+    )
+    return _finish(out)
+
+
+def q32_complete_grid(spark, sf):
+    """Covers: expand/complete (grid + left join + fill)."""
+    li = _t(spark, sf, "lineitem")
+    from datar_polars_spark import complete
+
+    out = (
+        li
+        >> count(f.l_returnflag, f.l_linestatus)
+        >> complete(f.l_returnflag, f.l_linestatus, fill={"n": 0})
+    )
+    return _finish(out)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -477,6 +581,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_events_daily": q23_events_daily,
         "q24_consecutive_runs": q24_consecutive_runs,
         "q25_rows_upsert": q25_rows_upsert,
+        "q26_pivot_wider": q26_pivot_wider,
+        "q27_pivot_longer": q27_pivot_longer,
+        "q28_separate_unite": q28_separate_unite,
+        "q29_separate_rows_uncount": q29_separate_rows_uncount,
+        "q30_fill_gaps": q30_fill_gaps,
+        "q31_nest_unnest_roundtrip": q31_nest_unnest_roundtrip,
+        "q32_complete_grid": q32_complete_grid,
     }
 
 
@@ -659,5 +770,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(x.c_custkey, y.c_custkey) AS c_custkey,
                    ROUND(COALESCE(y.c_acctbal, x.c_acctbal), 4) AS c_acctbal
             FROM x FULL JOIN y ON x.c_custkey = y.c_custkey
+        """,
+        "q26_pivot_wider": """
+            SELECT l_returnflag,
+                   COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END), 0) AS "F",
+                   COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END), 0) AS "O"
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q27_pivot_longer": """
+            SELECT p_partkey, 'p_retailprice' AS metric, ROUND(p_retailprice, 4) AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_size' AS metric, ROUND(CAST(p_size AS DOUBLE), 4) AS val FROM part
+        """,
+        "q28_separate_unite": """
+            SELECT p_partkey,
+                   p_brand || ':' || split_part(p_type, ' ', 1) AS brand_type,
+                   CASE WHEN strpos(p_type, ' ') > 0
+                        THEN substring(p_type, strpos(p_type, ' ') + 1)
+                        ELSE NULL END AS t2
+            FROM part
+        """,
+        "q29_separate_rows_uncount": """
+            SELECT doc_id, lang,
+                   CAST(UNNEST(generate_series(1, CAST(n_chars % 3 AS BIGINT)))
+                        AS BIGINT) AS copy_id
+            FROM documents
+            WHERE doc_id < 50 AND n_chars % 3 > 0
+        """,
+        "q30_fill_gaps": """
+            SELECT o_custkey, o_orderkey,
+                   LAST_VALUE(CASE WHEN o_totalprice > 150000 THEN ROUND(o_totalprice, 4) END IGNORE NULLS)
+                       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS big_price
+            FROM orders
+        """,
+        "q31_nest_unnest_roundtrip": """
+            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+            FROM orders
+        """,
+        "q32_complete_grid": """
+            WITH counts AS (
+                SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+                FROM lineitem GROUP BY 1, 2
+            ), grid AS (
+                SELECT rf.l_returnflag, ls.l_linestatus
+                FROM (SELECT DISTINCT l_returnflag FROM lineitem) rf
+                CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem) ls
+            )
+            SELECT g.l_returnflag, g.l_linestatus, COALESCE(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c
+              ON g.l_returnflag = c.l_returnflag AND g.l_linestatus = c.l_linestatus
         """,
     }
