@@ -547,6 +547,122 @@ def q32_complete_grid(spark, sf):
     return _finish(out)
 
 
+def q33_dedup_exact(spark, sf):
+    """Covers: exact deduplication (hash-groupBy keep-min-id)."""
+    from datar_polars_spark.scale import dedup_exact
+
+    d = _t(spark, sf, "documents")
+    out = (
+        dedup_exact(d, f.lang, f.source, id_col=f.doc_id)
+        >> select(f.doc_id, f.lang, f.source)
+    )
+    return _finish(out)
+
+
+def q34_fingerprint_dedup(spark, sf):
+    """Covers: document fingerprinting (md5 of normalized text) +
+    fingerprint-keyed dedup."""
+    from datar_polars_spark.functions.registry import builder
+
+    doc_fingerprint = builder("doc_fingerprint")
+    d = _t(spark, sf, "documents")
+    out = (
+        d
+        >> mutate(fp=doc_fingerprint(f.text))
+        >> group_by(f.fp)
+        >> summarise(n_copies=n(), keep_id=min_(f.doc_id, na_rm=True))
+    )
+    return _finish(out)
+
+
+def q35_text_stats(spark, sf):
+    """Covers: token counting + text-quality component metrics."""
+    from datar_polars_spark.functions.registry import builder
+
+    token_count = builder("token_count")
+    punct_ratio = builder("punct_ratio")
+    mean_word_length = builder("mean_word_length")
+    d = _t(spark, sf, "documents")
+    out = (
+        d
+        >> mutate(
+            tokens=token_count(f.text),
+            punct=round_(punct_ratio(f.text), 4),
+            mwl=round_(mean_word_length(f.text), 4),
+        )
+        >> group_by(f.lang)
+        >> summarise(
+            n_docs=n(),
+            total_tokens=sum_(f.tokens, na_rm=True),
+            avg_mwl=round_(mean(f.mwl, na_rm=True), 4),
+        )
+    )
+    return _finish(out)
+
+
+def q36_quality_filter(spark, sf):
+    """Covers: composite quality scoring as a pre-filter."""
+    from datar_polars_spark.functions.registry import builder
+
+    quality_score = builder("quality_score")
+    d = _t(spark, sf, "documents")
+    out = (
+        d
+        >> mutate(q=quality_score(f.text, min_chars=100, max_chars=10000))
+        >> filter_(f.q >= 0.8)
+        >> select(f.doc_id, f.lang)
+    )
+    return _finish(out)
+
+
+def q37_cosine_topk(spark, sf):
+    """Covers: brute-force cosine top-k similarity search (the exact
+    ANN baseline; TakeOrderedAndProject, no full sort)."""
+    from datar_polars_spark.scale import cosine_topk
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf, "embeddings")
+    qv = [float(v) for v in e.df.filter("vec_id = 0").select("embedding").first()[0]]
+    out = cosine_topk(e, qv, f.embedding, f.vec_id, k=10)
+    return out.df.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q38_minhash_dedup(spark, sf):
+    """Covers: MinHash+LSH near-duplicate removal (shingle->minhash->
+    band->bucket-join). Not SQL-expressible -> rows-only check."""
+    from datar_polars_spark.scale import minhash_dedup
+
+    d = _t(spark, sf, "documents")
+    out = minhash_dedup(d, f.text, f.doc_id, threshold=0.5) >> select(
+        f.doc_id, f.lang
+    )
+    return _finish(out)
+
+
+def q39_simhash_dedup(spark, sf):
+    """Covers: SimHash near-dup removal (64-bit, pigeonhole blocking).
+    Not SQL-expressible -> rows-only check."""
+    from datar_polars_spark.scale import simhash_dedup
+
+    d = _t(spark, sf, "documents")
+    out = simhash_dedup(d, f.text, f.doc_id, max_hamming=3) >> select(
+        f.doc_id, f.lang
+    )
+    return _finish(out)
+
+
+def q40_lsh_topk(spark, sf):
+    """Covers: LSH-bucketed approximate nearest neighbors.
+    Not SQL-expressible -> rows-only check."""
+    from datar_polars_spark.scale import lsh_topk
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf, "embeddings")
+    qv = [float(v) for v in e.df.filter("vec_id = 0").select("embedding").first()[0]]
+    out = lsh_topk(e, qv, f.embedding, f.vec_id, k=10, probe_hamming=2)
+    return out.df.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -588,6 +704,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_fill_gaps": q30_fill_gaps,
         "q31_nest_unnest_roundtrip": q31_nest_unnest_roundtrip,
         "q32_complete_grid": q32_complete_grid,
+        "q33_dedup_exact": q33_dedup_exact,
+        "q34_fingerprint_dedup": q34_fingerprint_dedup,
+        "q35_text_stats": q35_text_stats,
+        "q36_quality_filter": q36_quality_filter,
+        "q37_cosine_topk": q37_cosine_topk,
+        "q38_minhash_dedup": q38_minhash_dedup,
+        "q39_simhash_dedup": q39_simhash_dedup,
+        "q40_lsh_topk": q40_lsh_topk,
     }
 
 
@@ -820,5 +944,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.l_returnflag, g.l_linestatus, COALESCE(c.n, 0) AS n
             FROM grid g LEFT JOIN counts c
               ON g.l_returnflag = c.l_returnflag AND g.l_linestatus = c.l_linestatus
+        """,
+        "q33_dedup_exact": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "q34_fingerprint_dedup": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   COUNT(*) AS n_copies,
+                   MIN(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "q35_text_stats": """
+            WITH stats AS (
+                SELECT lang,
+                       len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tokens,
+                       ROUND(
+                         list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                                 t -> length(t)))
+                         / GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1),
+                         4) AS mwl
+                FROM documents
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(mwl), 4) AS avg_mwl
+            FROM stats GROUP BY lang
+        """,
+        "q36_quality_filter": """
+            WITH q AS (
+                SELECT doc_id, lang,
+                       (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 0.4 ELSE 0 END)
+                     + (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                               / GREATEST(length(text), 1) < 0.2 THEN 0.2 ELSE 0 END)
+                     + (CASE WHEN len(regexp_extract_all(text, '[0-9]')) * 1.0
+                               / GREATEST(length(text), 1) < 0.3 THEN 0.2 ELSE 0 END)
+                     + (CASE WHEN
+                           list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> length(t)))
+                           * 1.0 / GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1)
+                           BETWEEN 2 AND 12 THEN 0.2 ELSE 0 END) AS q
+                FROM documents
+            )
+            SELECT doc_id, lang FROM q WHERE q >= 0.8
+        """,
+        "q37_cosine_topk": """
+            WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id,
+                       list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.qe,
+                                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+                FROM embeddings e, qv q
+            )
+            SELECT vec_id, ROUND(cos, 4) AS cosine
+            FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
     }

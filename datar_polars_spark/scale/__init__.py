@@ -1,0 +1,26 @@
+"""Scale extensions: LLM-training-data pipeline operators
+(BASELINE.json north star — beyond reference parity)."""
+
+from .dedup import (  # noqa: F401
+    dedup_exact,
+    minhash_pairs,
+    minhash_dedup,
+    simhash_dedup,
+    simhash64,
+    ngram_jaccard_pairs,
+    embedding_cosine_pairs,
+    embedding_dedup,
+    cosine_sim,
+    word_shingles,
+    char_shingles,
+    minhash_signature,
+)
+from .similarity import cosine_topk, lsh_plan_buckets, lsh_topk  # noqa: F401
+from . import text  # noqa: F401 (registers text-analysis functions)
+from .multimodal import (  # noqa: F401
+    attach_binary_metadata,
+    decode_images,
+    image_features,
+    resize_images,
+    sample_frames,
+)

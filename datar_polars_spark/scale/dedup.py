@@ -1,0 +1,376 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond reference parity (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine
+near-dup. All JVM-side (higher-order functions + xxhash64) — no Python
+UDFs in any hot path, so the plans scale to 100 TB: the only shuffles
+are the groupBy/join on hash buckets, which are uniformly distributed
+by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.expr import Ref
+from ..plans.verb import verb, verb2
+from ..tibble import Tibble, ensure_tibble
+
+__all__ = [
+    "dedup_exact",
+    "tokenize_words",
+    "word_shingles",
+    "char_shingles",
+    "minhash_signature",
+    "minhash_pairs",
+    "minhash_dedup",
+    "simhash64",
+    "simhash_dedup",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+    "embedding_dedup",
+]
+
+
+def _name_of(x: Any) -> str:
+    return x._name if isinstance(x, Ref) else str(x)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+@verb
+def dedup_exact(td: Tibble, *cols: Any, id_col: Any = None) -> Tibble:
+    """Keep one row per distinct value of ``cols`` (all columns if
+    empty). With ``id_col``, deterministically keeps the row with the
+    smallest id (hash-groupBy; one shuffle on the dedup key)."""
+    names = [_name_of(c) for c in cols] or list(td.columns)
+    if id_col is None:
+        out = td.df.select(*td.columns).dropDuplicates(names)
+        return Tibble(out, groups=td.group_vars, levels=td.levels)
+    idn = _name_of(id_col)
+    w = Window.partitionBy(*names).orderBy(F.col(idn).asc())
+    out = (
+        td.df.select(*td.columns)
+        .withColumn("__dedup_rn__", F.row_number().over(w))
+        .filter(F.col("__dedup_rn__") == 1)
+        .drop("__dedup_rn__")
+    )
+    return Tibble(out, groups=td.group_vars, levels=td.levels)
+
+
+# --------------------------------------------------------------------------
+# shingling (JVM-side higher-order functions)
+# --------------------------------------------------------------------------
+
+def tokenize_words(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column, as array<string>."""
+    toks = tokenize_words(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def char_shingles(col: Column, k: int = 8) -> Column:
+    """Distinct character k-grams, as array<string>."""
+    s = F.lower(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - k + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(s, i, k))
+    return F.array_distinct(grams)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (shingle -> minhash -> band -> bucket-join)
+# --------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+    """num_perm minhash values: min over shingles of xxhash64(x, seed).
+    xxhash64 with a distinct literal seed per permutation plays the role
+    of the independent hash family — all JVM codegen."""
+    def _seeded(i: int):
+        return lambda x: F.xxhash64(x, F.lit(i))
+
+    mins = [
+        F.array_min(F.transform(shingles, _seeded(i))) for i in range(num_perm)
+    ]
+    return F.array(*mins)
+
+
+def _banded(df: DataFrame, sig: str, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature to (band_idx, band_hash) LSH buckets."""
+    band_hashes = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col(sig), b * rows_per_band + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.withColumn("__band__", F.explode(band_hashes)).select(
+        "*", F.col("__band__.band").alias("band"), F.col("__band__.bhash").alias("bhash")
+    ).drop("__band__")
+
+
+@verb
+def minhash_pairs(
+    td: Tibble,
+    text: Any,
+    id_col: Any,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    threshold: float = 0.7,
+) -> Tibble:
+    """Candidate near-duplicate pairs with estimated Jaccard >= threshold.
+
+    Plan shape: one narrow pass computes signatures, one shuffle groups
+    by (band, band_hash) — bucket sizes are tiny for non-duplicate data,
+    so the self-join inside buckets never blows up; a final exact
+    estimate filters false positives. No driver collection."""
+    tname, idn = _name_of(text), _name_of(id_col)
+    rows_per_band = num_perm // bands
+    base = td.df.select(
+        F.col(idn).alias("id"),
+        minhash_signature(word_shingles(F.col(tname), shingle_words), num_perm).alias(
+            "sig"
+        ),
+    )
+    banded = _banded(base, "sig", bands, rows_per_band)
+    left = banded.select(
+        F.col("band"), F.col("bhash"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("bhash"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    pairs = (
+        left.join(right, on=["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    ) / F.lit(num_perm)
+    out = (
+        pairs.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+    return Tibble(out)
+
+
+@verb
+def minhash_dedup(
+    td: Tibble,
+    text: Any,
+    id_col: Any,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    threshold: float = 0.7,
+) -> Tibble:
+    """Drop near-duplicates, keeping the smallest id of each duplicate
+    set (single-link approximation: b is dropped if any a < b matches —
+    equivalent to keeping each connected component's minimum for
+    pairwise-dense duplicate clusters)."""
+    idn = _name_of(id_col)
+    dupes = (
+        minhash_pairs(td, text, id_col, num_perm, bands, shingle_words, threshold)
+        .df.select(F.col("id_b").alias(idn))
+        .dropDuplicates()
+    )
+    out = td.df.select(*td.columns).join(dupes, on=idn, how="left_anti")
+    return Tibble(out, groups=td.group_vars, levels=td.levels)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(col: Column, n_bits: int = 64) -> Column:
+    """SimHash over word tokens: per bit, majority vote of token-hash
+    bits, packed into a long. Pure JVM expression tree."""
+    toks = F.array_distinct(tokenize_words(col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    def _bit_set(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    acc = F.lit(0).cast("long")
+    for b in range(n_bits):
+        ones = F.size(F.filter(hashes, _bit_set(b)))
+        bit = (ones * 2 > n).cast("long")
+        acc = acc.bitwiseOR(F.shiftleft(bit, b))
+    return acc
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+@verb
+def simhash_dedup(td: Tibble, text: Any, id_col: Any, max_hamming: int = 3) -> Tibble:
+    """Near-dup removal via SimHash: block on 4 16-bit sub-keys (any
+    pair within hamming distance 3 shares at least one identical
+    quarter, by pigeonhole), verify with exact hamming distance."""
+    tname, idn = _name_of(text), _name_of(id_col)
+    base = td.df.select(
+        F.col(idn).alias("id"), simhash64(F.col(tname)).alias("sh")
+    )
+    quarters = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftright(F.col("sh"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qk"),
+            )
+            for q in range(4)
+        ]
+    )
+    blocked = base.withColumn("__q__", F.explode(quarters)).select(
+        "id", "sh", F.col("__q__.q").alias("q"), F.col("__q__.qk").alias("qk")
+    )
+    left = blocked.select("q", "qk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = blocked.select("q", "qk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    dupes = (
+        left.join(right, on=["q", "qk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("sh_a"), F.col("sh_b")) <= max_hamming)
+        .select(F.col("id_b").alias(idn))
+        .dropDuplicates()
+    )
+    out = td.df.select(*td.columns).join(dupes, on=idn, how="left_anti")
+    return Tibble(out, groups=td.group_vars, levels=td.levels)
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard on candidate pairs
+# --------------------------------------------------------------------------
+
+@verb
+def ngram_jaccard_pairs(
+    td: Tibble,
+    text: Any,
+    id_col: Any,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> Tibble:
+    """Exact n-gram Jaccard for pairs surviving MinHash-LSH blocking
+    (blocking keeps this O(candidates), not O(n^2))."""
+    tname, idn = _name_of(text), _name_of(id_col)
+    cands = minhash_pairs(
+        td, text, id_col, num_perm=num_perm, bands=bands, shingle_words=n, threshold=0.0
+    ).df
+    grams = td.df.select(
+        F.col(idn).alias("id"), word_shingles(F.col(tname), n).alias("grams")
+    )
+    out = (
+        cands.join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "g_a"), on="id_a")
+        .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "g_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("g_a", "g_b"))
+            / F.size(F.array_union("g_a", "g_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return Tibble(out)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in
+    double via zip_with + aggregate (JVM, no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+@verb
+def embedding_cosine_pairs(
+    td: Tibble,
+    embedding: Any,
+    id_col: Any,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> Tibble:
+    """Near-duplicate embedding pairs: random-hyperplane LSH blocking
+    (vectors above ~0.95 cosine almost surely share the full sign
+    signature), exact cosine verify inside buckets."""
+    ename, idn = _name_of(embedding), _name_of(id_col)
+    import random
+
+    rng = random.Random(seed)
+    base = td.df.select(F.col(idn).alias("id"), F.col(ename).alias("vec"))
+    dim = len(base.select("vec").first()[0])
+    sig = None
+    for p in range(n_planes):
+        plane = [rng.gauss(0, 1) for _ in range(dim)]
+        dot = F.aggregate(
+            F.zip_with(F.col("vec"), F.lit(plane), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = (dot > 0).cast("long")
+        sig = bit if sig is None else sig.bitwiseOR(F.shiftleft(bit, p))
+    hashed = base.withColumn("bucket", sig)
+    left = hashed.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("v_a"))
+    right = hashed.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
+    out = (
+        left.join(right, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_sim(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+    return Tibble(out)
+
+
+@verb
+def embedding_dedup(td: Tibble, embedding: Any, id_col: Any, threshold: float = 0.95) -> Tibble:
+    idn = _name_of(id_col)
+    dupes = (
+        embedding_cosine_pairs(td, embedding, id_col, threshold)
+        .df.select(F.col("id_b").alias(idn))
+        .dropDuplicates()
+    )
+    out = td.df.select(*td.columns).join(dupes, on=idn, how="left_anti")
+    return Tibble(out, groups=td.group_vars, levels=td.levels)

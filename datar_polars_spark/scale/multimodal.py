@@ -1,0 +1,215 @@
+"""Multimodal column support: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side plumbing is real and tested: schema conventions,
+Arrow-batched ``mapInPandas`` pipelines, partition sizing. The actual
+codec work (image decode, resampling) is STUBBED behind deterministic
+fakes — the decode libraries (PIL/cv2/torchaudio) are not in this
+container — with the UDF signatures, batch shapes, and schemas exactly
+as the real implementations would use. Swap `_STUB_*` for the real
+codecs and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Iterator
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..plans.expr import Ref
+from ..plans.verb import verb
+from ..tibble import Tibble
+
+__all__ = [
+    "IMAGE_SCHEMA",
+    "attach_binary_metadata",
+    "decode_images",
+    "image_features",
+    "resize_images",
+    "sample_frames",
+]
+
+# canonical multimodal column convention: content + typed metadata struct
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("content", BinaryType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+@verb
+def attach_binary_metadata(td: Tibble, content: Any = "content") -> Tibble:
+    """Wrap a raw binary column into the typed multimodal struct
+    (metadata fields null until a decode pass fills them)."""
+    cname = content._name if isinstance(content, Ref) else str(content)
+    out = td.df.withColumn(
+        "media",
+        F.struct(
+            F.col(cname).alias("content"),
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(F.col(cname)).cast("long").alias("n_bytes"),
+        ),
+    )
+    return Tibble(out, groups=td.group_vars, levels=td.levels)
+
+
+def _stub_decode(content: bytes) -> tuple[str, int, int]:
+    """STUB: deterministic fake decode (real impl: PIL.Image.open).
+
+    Raises NotImplementedError when strict decoding is requested; the
+    deterministic fake keys off a content hash so tests are stable."""
+    if content is None:
+        raise NotImplementedError(
+            "real image decode requires PIL/cv2 (not in this container)"
+        )
+    h = hashlib.sha256(content).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    fmt = ["jpeg", "png", "webp"][h[2] % 3]
+    return fmt, width, height
+
+
+def decode_images(td: Tibble, content: str = "content", batch_size: int = 256) -> Tibble:
+    """Decode pass over binary content via Arrow-batched mapInPandas.
+
+    Partitioning note for 100 TB: binary payloads dominate row size —
+    upstream readers should set spark.sql.files.maxPartitionBytes so a
+    partition holds ~batch_size rows of payload, keeping Arrow batches
+    within executor memory."""
+    import pandas as pd
+
+    in_cols = [c for c in td.columns]
+    schema = StructType(
+        [td.df.select(*in_cols).schema[c] for c in in_cols]
+        + [
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmts, ws, hs = [], [], []
+            for content_bytes in pdf[content]:
+                fmt, w, h = _stub_decode(bytes(content_bytes)) if content_bytes is not None else (None, None, None)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+            pdf = pdf.copy()
+            pdf["format"] = fmts
+            pdf["width"] = ws
+            pdf["height"] = hs
+            yield pdf
+
+    out = td.df.select(*in_cols).mapInPandas(batches, schema)
+    return Tibble(out)
+
+
+def image_features(td: Tibble, content: str = "content", dim: int = 32) -> Tibble:
+    """Feature-extraction pass -> array<float> embedding column.
+    STUB: hash-derived deterministic vector (real impl: a vision
+    encoder over the decoded pixels, same batch shape)."""
+    import numpy as np
+    import pandas as pd
+
+    in_cols = [c for c in td.columns]
+    schema = StructType(
+        [td.df.select(*in_cols).schema[c] for c in in_cols]
+        + [StructField("features", ArrayType(FloatType()))]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            feats = []
+            for content_bytes in pdf[content]:
+                if content_bytes is None:
+                    feats.append(None)
+                    continue
+                seed = int.from_bytes(
+                    hashlib.sha256(bytes(content_bytes)).digest()[:8], "big"
+                )
+                rng = np.random.default_rng(seed)
+                v = rng.standard_normal(dim)
+                feats.append((v / np.linalg.norm(v)).astype("float32").tolist())
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    out = td.df.select(*in_cols).mapInPandas(batches, schema)
+    return Tibble(out)
+
+
+def resize_images(td: Tibble, content: str = "content", width: int = 224, height: int = 224) -> Tibble:
+    """Resize pass. STUB: passes content through and records the target
+    size (real impl: decode -> resample -> re-encode in the same
+    mapInPandas batch loop)."""
+    import pandas as pd
+
+    in_cols = [c for c in td.columns]
+    schema = StructType(
+        [td.df.select(*in_cols).schema[c] for c in in_cols]
+        + [
+            StructField("resized_width", IntegerType()),
+            StructField("resized_height", IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["resized_width"] = width
+            pdf["resized_height"] = height
+            yield pdf
+
+    out = td.df.select(*in_cols).mapInPandas(batches, schema)
+    return Tibble(out)
+
+
+def sample_frames(td: Tibble, content: str = "content", every_n: int = 30) -> Tibble:
+    """Video frame sampling -> one row per sampled frame. STUB: emits
+    deterministic frame indices from the content hash (real impl:
+    container demux). Demonstrates the 1->N mapInPandas shape."""
+    import pandas as pd
+
+    in_cols = [c for c in td.columns]
+    schema = StructType(
+        [td.df.select(*in_cols).schema[c] for c in in_cols]
+        + [StructField("frame_idx", IntegerType())]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                content_bytes = row[content]
+                n_frames = (
+                    30 + hashlib.sha256(bytes(content_bytes)).digest()[0]
+                    if content_bytes is not None
+                    else 0
+                )
+                for i in range(0, n_frames, every_n):
+                    r = row.to_dict()
+                    r["frame_idx"] = i
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[*pdf.columns, "frame_idx"])
+
+    out = td.df.select(*in_cols).mapInPandas(batches, schema)
+    return Tibble(out)

@@ -1,0 +1,138 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All registry functions (usable inside mutate/summarise) compiled to
+JVM expressions — regex + higher-order functions, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.registry import register
+
+__all__ = ["STOPWORDS"]
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"],
+    "es": ["el", "la", "los", "de", "y", "que", "es", "en", "un", "para"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+@register("token_count")
+def _token_count(ctx, x):
+    """Whitespace token count."""
+    return F.size(_tokens(ctx.col(x)))
+
+
+@register("bpe_token_estimate")
+def _bpe_token_estimate(ctx, x):
+    """BPE-ish token estimate: word-piece regex (letters runs, digit
+    runs, punctuation singles), the standard ~4-chars-per-token proxy."""
+    col = ctx.col(x)
+    pieces = F.regexp_count(col, F.lit(r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"))
+    return pieces
+
+
+@register("char_count")
+def _char_count(ctx, x):
+    return F.length(ctx.col(x))
+
+
+@register("punct_ratio")
+def _punct_ratio(ctx, x):
+    col = ctx.col(x)
+    return F.regexp_count(col, F.lit(r"[^\w\s]")) / F.greatest(
+        F.length(col), F.lit(1)
+    )
+
+
+@register("digit_ratio")
+def _digit_ratio(ctx, x):
+    col = ctx.col(x)
+    return F.regexp_count(col, F.lit(r"[0-9]")) / F.greatest(F.length(col), F.lit(1))
+
+
+@register("mean_word_length")
+def _mean_word_length(ctx, x):
+    toks = _tokens(ctx.col(x))
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+@register("stopword_ratio")
+def _stopword_ratio(ctx, x, lang: str = "en"):
+    toks = _tokens(ctx.col(x))
+    sw = STOPWORDS.get(lang, STOPWORDS["en"])
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+@register("lang_id")
+def _lang_id(ctx, x):
+    """Heuristic language ID: CJK-character detection for zh, then
+    argmax of per-language stopword hit counts."""
+    col = ctx.col(x)
+    toks = _tokens(col)
+    cjk = F.regexp_count(col, F.lit(r"[一-鿿]"))
+    def _hits(sw: list):
+        return lambda t: t.isin(sw)
+
+    scores = {
+        lang: F.size(F.filter(toks, _hits(sw))) for lang, sw in STOPWORDS.items()
+    }
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(cjk > 0, F.lit("zh")).otherwise(best)
+
+
+@register("quality_score")
+def _quality_score(ctx, x, min_chars: int = 50, max_chars: int = 100_000):
+    """Composite [0,1] quality score: length window, low punct/digit
+    noise, sane mean word length — the standard cheap pre-filter."""
+    col = ctx.col(x)
+    length_ok = (F.length(col) >= min_chars) & (F.length(col) <= max_chars)
+    punct = _punct_ratio(ctx, x)
+    digit = _digit_ratio(ctx, x)
+    mwl = _mean_word_length(ctx, x)
+    score = (
+        length_ok.cast("double") * 0.4
+        + (punct < 0.2).cast("double") * 0.2
+        + (digit < 0.3).cast("double") * 0.2
+        + ((mwl >= 2) & (mwl <= 12)).cast("double") * 0.2
+    )
+    return score
+
+
+@register("doc_fingerprint")
+def _doc_fingerprint(ctx, x):
+    """Deterministic content fingerprint: md5 of the normalized text
+    (lowercased, whitespace collapsed). Exact-dup key that survives
+    formatting noise; SQL-portable (md5 exists everywhere)."""
+    col = ctx.col(x)
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(norm.cast("binary"))
+
+
+@register("rolling_hash_fingerprint")
+def _rolling_hash_fingerprint(ctx, x, window: int = 16):
+    """Winnowing-style fingerprint: min xxhash64 over character
+    k-gram windows — robust to local edits, one pass, JVM-side."""
+    col = F.lower(ctx.col(x))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - window + 1, F.lit(1)))
+    hashes = F.transform(idx, lambda i: F.xxhash64(F.substring(col, i, window)))
+    return F.array_min(hashes)

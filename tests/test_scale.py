@@ -1,0 +1,130 @@
+"""Scale-extension behavior: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import pytest
+
+from datar_polars_spark import f, tibble, mutate, select
+from datar_polars_spark.functions.registry import builder
+from datar_polars_spark.scale import (
+    cosine_topk,
+    dedup_exact,
+    embedding_cosine_pairs,
+    lsh_topk,
+    minhash_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    attach_binary_metadata,
+    decode_images,
+    image_features,
+    sample_frames,
+)
+
+from conftest import assert_iterable_equal
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+FAR = "completely different content about spark catalyst optimizer internals"
+
+
+@pytest.fixture()
+def docs(spark):
+    return tibble(
+        spark,
+        doc_id=[1, 2, 3, 4],
+        text=[BASE, NEAR, FAR, BASE],
+    )
+
+
+def test_dedup_exact(docs):
+    out = dedup_exact(docs, f.text, id_col=f.doc_id).collect()
+    assert sorted(out["doc_id"].tolist()) == [1, 2, 3]  # doc 4 == doc 1
+
+
+def test_minhash_pairs_finds_near_dup(docs):
+    pairs = minhash_pairs(docs, f.text, f.doc_id, num_perm=64, bands=16, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.df.collect()}
+    assert (1, 4) in got  # exact dup always caught
+    assert (1, 2) in got or (2, 4) in got  # near dup caught
+    assert not any(3 in p for p in got)  # unrelated doc not paired
+
+
+def test_minhash_dedup(docs):
+    out = minhash_dedup(docs, f.text, f.doc_id, threshold=0.5).collect()
+    kept = sorted(out["doc_id"].tolist())
+    assert 1 in kept and 3 in kept
+    assert 4 not in kept
+
+
+def test_simhash_dedup(docs):
+    out = simhash_dedup(docs, f.text, f.doc_id, max_hamming=3).collect()
+    kept = sorted(out["doc_id"].tolist())
+    assert 3 in kept
+    assert 4 not in kept  # exact dup has hamming 0
+
+
+def test_ngram_jaccard(docs):
+    pairs = ngram_jaccard_pairs(docs, f.text, f.doc_id, n=3, threshold=0.5)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in pairs.df.collect()}
+    assert rows[(1, 4)] == 1.0
+    assert (1, 2) in rows and 0.5 <= rows[(1, 2)] < 1.0
+
+
+def test_cosine_topk(spark):
+    emb = tibble(
+        spark,
+        vec_id=[1, 2, 3, 4],
+        embedding=[
+            [1.0, 0.0, 0.0],
+            [0.9, 0.1, 0.0],
+            [0.0, 1.0, 0.0],
+            [-1.0, 0.0, 0.0],
+        ],
+    )
+    out = cosine_topk(emb, [1.0, 0.0, 0.0], f.embedding, f.vec_id, k=2)
+    ids = [r.vec_id for r in out.df.collect()]
+    assert ids == [1, 2]
+
+
+def test_embedding_cosine_pairs(spark):
+    emb = tibble(
+        spark,
+        vec_id=[1, 2, 3],
+        embedding=[[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]],
+    )
+    pairs = embedding_cosine_pairs(emb, f.embedding, f.vec_id, threshold=0.95)
+    got = {(r.id_a, r.id_b) for r in pairs.df.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_text_functions(docs):
+    token_count = builder("token_count")
+    lang_id = builder("lang_id")
+    doc_fingerprint = builder("doc_fingerprint")
+    out = (
+        docs
+        >> mutate(tc=token_count(f.text), lid=lang_id(f.text), fp=doc_fingerprint(f.text))
+        >> select(f.doc_id, f.tc, f.lid, f.fp)
+    ).collect()
+    assert out["tc"].tolist()[0] == len(BASE.split())
+    assert out["lid"].tolist()[0] == "en"
+    fps = out["fp"].tolist()
+    assert fps[0] == fps[3] and fps[0] != fps[2]
+
+
+def test_multimodal_plumbing(spark):
+    bins = tibble(spark, doc_id=[1, 2], content=[b"imagebytes1", b"imagebytes2"])
+    meta = attach_binary_metadata(bins, f.content)
+    assert "media" in meta.df.columns
+    dec = decode_images(bins, "content")
+    rows = dec.df.collect()
+    assert all(r.format in ("jpeg", "png", "webp") for r in rows)
+    assert all(64 <= r.width < 256 for r in rows)
+    feats = image_features(bins, "content", dim=16)
+    v = feats.df.select("features").first()[0]
+    assert len(v) == 16
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-5  # normalized
+    frames = sample_frames(bins, "content", every_n=30)
+    assert frames.df.count() >= 2
+    assert "frame_idx" in frames.df.columns
