@@ -436,7 +436,8 @@ def _sort_key(td: Tibble, ctx: EvalContext, k: Any) -> Column:
         col = F.array_position(F.lit(td.levels[node._name]), F.col(node._name))
     else:
         col = ctx.col(node)
-    return col.desc() if desc_flag else col.asc()
+    # dplyr arrange puts NAs last regardless of direction
+    return col.desc_nulls_last() if desc_flag else col.asc_nulls_last()
 
 
 # --------------------------------------------------------------------------

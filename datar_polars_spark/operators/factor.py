@@ -1,0 +1,464 @@
+"""Factor (R categorical) subsystem + forcats API.
+
+Reference: ``api/base/factor.py`` (458 LoC) + ``api/forcats.py``
+(1493 LoC). Spark has no categorical dtype (SURVEY §1.1), so a factor
+is a **StringType column + an ordered ``levels`` list in the Tibble's
+metadata**. Level-order-sensitive operations (arrange/desc on factors)
+compile to ``array_position(lit(levels), col)`` — see
+``operators/core.py:_sort_key``. Pure level permutations are
+zero-cost metadata edits; ``fct_infreq``/``fct_reorder`` run one
+aggregate query to compute the order (as the reference does,
+``api/forcats.py:369-430,543-630``).
+
+API shape note: in R these operate on vectors inside mutate; here they
+are verbs taking (tibble, column) and returning a new Tibble, because
+level metadata lives on the table wrapper.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..plans.context import ORDER_COL, EvalContext
+from ..plans.expr import Ref
+from ..plans.verb import verb
+from ..tibble import Tibble
+
+__all__ = [
+    "factor_",
+    "levels_",
+    "nlevels",
+    "is_factor",
+    "droplevels",
+    "fct_drop",
+    "fct_relevel",
+    "fct_inorder",
+    "fct_infreq",
+    "fct_inseq",
+    "fct_rev",
+    "fct_shift",
+    "fct_shuffle",
+    "fct_reorder",
+    "fct_recode",
+    "fct_collapse",
+    "fct_lump_n",
+    "fct_lump_min",
+    "fct_lump_prop",
+    "fct_other",
+    "fct_anon",
+    "fct_expand",
+    "fct_explicit_na",
+    "fct_cross",
+    "fct_count",
+    "fct_unique",
+    "lvls_union",
+    "cut_",
+]
+
+
+def _name_of(x: Any) -> str:
+    return x._name if isinstance(x, Ref) else str(x)
+
+
+def _with_levels(td: Tibble, col: str, levels: list) -> Tibble:
+    lv = dict(td.levels)
+    lv[col] = list(levels)
+    return Tibble(td.df, groups=td.group_vars, rowwise=td.rowwise, levels=lv)
+
+
+def _observed_levels(td: Tibble, col: str) -> list[str]:
+    rows = (
+        td.df.select(col)
+        .filter(F.col(col).isNotNull())
+        .distinct()
+        .orderBy(col)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+# --------------------------------------------------------------------------
+# construction / inspection (reference api/base/factor.py:93-343)
+# --------------------------------------------------------------------------
+
+@verb
+def factor_(td: Tibble, col: Any, levels: list | None = None, ordered: bool = False) -> Tibble:
+    """Declare a string column as a factor. Values outside ``levels``
+    become NA (R factor semantics)."""
+    cname = _name_of(col)
+    if levels is None:
+        levels = _observed_levels(td, cname)
+    df = td.df.withColumn(
+        cname,
+        F.when(F.col(cname).isin([str(l) for l in levels]), F.col(cname)),
+    )
+    return _with_levels(td.with_df(df), cname, levels)
+
+
+@verb
+def levels_(td: Tibble, col: Any) -> list | None:
+    return td.levels.get(_name_of(col))
+
+
+@verb
+def nlevels(td: Tibble, col: Any) -> int:
+    return len(td.levels.get(_name_of(col), []))
+
+
+@verb
+def is_factor(td: Tibble, col: Any) -> bool:
+    return _name_of(col) in td.levels
+
+
+@verb
+def droplevels(td: Tibble, col: Any = None) -> Tibble:
+    """Drop levels not present in the data (one distinct per column)."""
+    cols = [_name_of(col)] if col is not None else list(td.levels)
+    out = td
+    for c in cols:
+        observed = set(_observed_levels(td, c))
+        out = _with_levels(out, c, [l for l in td.levels.get(c, []) if l in observed])
+    return out
+
+
+fct_drop = droplevels
+
+
+# --------------------------------------------------------------------------
+# level reordering (metadata permutations; reference api/forcats.py:298-630)
+# --------------------------------------------------------------------------
+
+@verb
+def fct_relevel(td: Tibble, col: Any, *first: str, after: int = 0) -> Tibble:
+    cname = _name_of(col)
+    levels = list(td.levels.get(cname, _observed_levels(td, cname)))
+    moved = [l for l in first if l in levels]
+    rest = [l for l in levels if l not in moved]
+    new = rest[:after] + moved + rest[after:]
+    return _with_levels(td, cname, new)
+
+
+@verb
+def fct_inorder(td: Tibble, col: Any) -> Tibble:
+    """Levels in first-appearance order."""
+    cname = _name_of(col)
+    td2 = td.ensure_order()
+    rows = (
+        td2.df.filter(F.col(cname).isNotNull())
+        .groupBy(cname)
+        .agg(F.min(ORDER_COL).alias("__first__"))
+        .orderBy("__first__")
+        .select(cname)
+        .collect()
+    )
+    return _with_levels(td, cname, [r[0] for r in rows])
+
+
+@verb
+def fct_infreq(td: Tibble, col: Any) -> Tibble:
+    """Levels by descending frequency (one count query)."""
+    cname = _name_of(col)
+    rows = (
+        td.df.filter(F.col(cname).isNotNull())
+        .groupBy(cname)
+        .count()
+        .orderBy(F.col("count").desc(), F.col(cname).asc())
+        .select(cname)
+        .collect()
+    )
+    return _with_levels(td, cname, [r[0] for r in rows])
+
+
+@verb
+def fct_inseq(td: Tibble, col: Any) -> Tibble:
+    cname = _name_of(col)
+    levels = td.levels.get(cname, _observed_levels(td, cname))
+    def _key(v):
+        try:
+            return (0, float(v))
+        except (TypeError, ValueError):
+            return (1, v)
+    return _with_levels(td, cname, sorted(levels, key=_key))
+
+
+@verb
+def fct_rev(td: Tibble, col: Any) -> Tibble:
+    cname = _name_of(col)
+    levels = td.levels.get(cname, _observed_levels(td, cname))
+    return _with_levels(td, cname, list(reversed(levels)))
+
+
+@verb
+def fct_shift(td: Tibble, col: Any, n: int = 1) -> Tibble:
+    cname = _name_of(col)
+    levels = list(td.levels.get(cname, _observed_levels(td, cname)))
+    n = n % len(levels) if levels else 0
+    return _with_levels(td, cname, levels[n:] + levels[:n])
+
+
+@verb
+def fct_shuffle(td: Tibble, col: Any, seed: int | None = None) -> Tibble:
+    cname = _name_of(col)
+    levels = list(td.levels.get(cname, _observed_levels(td, cname)))
+    rng = random.Random(seed)
+    rng.shuffle(levels)
+    return _with_levels(td, cname, levels)
+
+
+@verb
+def fct_reorder(td: Tibble, col: Any, by: Any, fn: str = "median", desc: bool = False) -> Tibble:
+    """Reorder levels by a summary of a second variable (one agg query;
+    reference api/forcats.py:543-630)."""
+    cname, bname = _name_of(col), _name_of(by)
+    aggfns = {"median": F.median, "mean": F.mean, "min": F.min, "max": F.max, "sum": F.sum}
+    agg = aggfns[fn](F.col(bname)).alias("__stat__")
+    rows = (
+        td.df.filter(F.col(cname).isNotNull())
+        .groupBy(cname)
+        .agg(agg)
+        .orderBy(F.col("__stat__").desc() if desc else F.col("__stat__").asc())
+        .select(cname)
+        .collect()
+    )
+    return _with_levels(td, cname, [r[0] for r in rows])
+
+
+# --------------------------------------------------------------------------
+# level recoding / lumping (data rewrite + metadata; api/forcats.py:699-1130)
+# --------------------------------------------------------------------------
+
+@verb
+def fct_recode(td: Tibble, col: Any, **mapping: str) -> Tibble:
+    """``fct_recode(f.g, new_name="old_name", ...)``."""
+    cname = _name_of(col)
+    levels = list(td.levels.get(cname, _observed_levels(td, cname)))
+    rev = {old: new for new, old in mapping.items()}
+    colr = F.col(cname)
+    expr = colr
+    for old, new in rev.items():
+        expr = F.when(colr == old, F.lit(new)).otherwise(expr)
+    df = td.df.withColumn(cname, expr)
+    new_levels = list(dict.fromkeys(rev.get(l, l) for l in levels))
+    return _with_levels(td.with_df(df), cname, new_levels)
+
+
+@verb
+def fct_collapse(td: Tibble, col: Any, other_level: str | None = None, **groups: list) -> Tibble:
+    cname = _name_of(col)
+    levels = list(td.levels.get(cname, _observed_levels(td, cname)))
+    colr = F.col(cname)
+    expr = colr if other_level is None else F.lit(other_level)
+    mapped = set()
+    for new, olds in groups.items():
+        olds = [olds] if isinstance(olds, str) else list(olds)
+        mapped |= set(olds)
+        expr = F.when(colr.isin(olds), F.lit(new)).otherwise(expr)
+    if other_level is None:
+        pass
+    else:
+        expr = F.when(colr.isNull(), F.lit(None)).otherwise(expr)
+    df = td.df.withColumn(cname, expr)
+    new_levels = list(dict.fromkeys(
+        [new for new in groups] + [l for l in levels if l not in mapped]
+    ))
+    if other_level is not None:
+        new_levels = list(groups.keys()) + ([other_level] if other_level else [])
+    return _with_levels(td.with_df(df), cname, new_levels)
+
+
+def _lump(td: Tibble, cname: str, keep_expr, other_level: str) -> Tibble:
+    """Shared lump machinery: one count query -> keep-set -> when/otherwise."""
+    counts = td.df.filter(F.col(cname).isNotNull()).groupBy(cname).count()
+    keep = [r[0] for r in keep_expr(counts).collect()]
+    colr = F.col(cname)
+    df = td.df.withColumn(
+        cname,
+        F.when(colr.isin(keep) | colr.isNull(), colr).otherwise(F.lit(other_level)),
+    )
+    levels = td.levels.get(cname, sorted(keep))
+    new_levels = [l for l in levels if l in keep] + [other_level]
+    return _with_levels(td.with_df(df), cname, new_levels)
+
+
+@verb
+def fct_lump_n(td: Tibble, col: Any, n: int, other_level: str = "Other") -> Tibble:
+    cname = _name_of(col)
+    return _lump(
+        td,
+        cname,
+        lambda c: c.orderBy(F.col("count").desc(), F.col(cname).asc()).limit(n).select(cname),
+        other_level,
+    )
+
+
+@verb
+def fct_lump_min(td: Tibble, col: Any, min: int, other_level: str = "Other") -> Tibble:
+    cname = _name_of(col)
+    return _lump(
+        td, cname, lambda c: c.filter(F.col("count") >= min).select(cname), other_level
+    )
+
+
+@verb
+def fct_lump_prop(td: Tibble, col: Any, prop: float, other_level: str = "Other") -> Tibble:
+    cname = _name_of(col)
+
+    def keep(c):
+        total = c.agg(F.sum("count")).first()[0]
+        return c.filter(F.col("count") / total >= prop).select(cname)
+
+    return _lump(td, cname, keep, other_level)
+
+
+@verb
+def fct_other(td: Tibble, col: Any, keep: list | None = None, drop: list | None = None, other_level: str = "Other") -> Tibble:
+    cname = _name_of(col)
+    colr = F.col(cname)
+    levels = td.levels.get(cname, _observed_levels(td, cname))
+    if keep is not None:
+        cond = colr.isin(list(keep)) | colr.isNull()
+        new_levels = [l for l in levels if l in keep] + [other_level]
+    else:
+        cond = ~colr.isin(list(drop or [])) | colr.isNull()
+        new_levels = [l for l in levels if l not in (drop or [])] + [other_level]
+    df = td.df.withColumn(cname, F.when(cond, colr).otherwise(F.lit(other_level)))
+    return _with_levels(td.with_df(df), cname, new_levels)
+
+
+@verb
+def fct_anon(td: Tibble, col: Any, prefix: str = "") -> Tibble:
+    cname = _name_of(col)
+    levels = td.levels.get(cname, _observed_levels(td, cname))
+    width = len(str(len(levels)))
+    mapping = {l: f"{prefix}{str(i + 1).zfill(width)}" for i, l in enumerate(levels)}
+    colr = F.col(cname)
+    expr = colr
+    for old, new in mapping.items():
+        expr = F.when(colr == old, F.lit(new)).otherwise(expr)
+    df = td.df.withColumn(cname, expr)
+    return _with_levels(td.with_df(df), cname, sorted(mapping.values()))
+
+
+# --------------------------------------------------------------------------
+# level sets (api/forcats.py:1158-1300)
+# --------------------------------------------------------------------------
+
+@verb
+def fct_expand(td: Tibble, col: Any, *extra: str, after: int | None = None) -> Tibble:
+    cname = _name_of(col)
+    levels = list(td.levels.get(cname, _observed_levels(td, cname)))
+    new = [l for l in extra if l not in levels]
+    if after is None:
+        return _with_levels(td, cname, levels + new)
+    return _with_levels(td, cname, levels[:after] + new + levels[after:])
+
+
+@verb
+def fct_explicit_na(td: Tibble, col: Any, na_level: str = "(Missing)") -> Tibble:
+    cname = _name_of(col)
+    levels = list(td.levels.get(cname, _observed_levels(td, cname)))
+    df = td.df.withColumn(cname, F.coalesce(F.col(cname), F.lit(na_level)))
+    return _with_levels(td.with_df(df), cname, levels + [na_level])
+
+
+@verb
+def fct_cross(td: Tibble, col1: Any, col2: Any, sep: str = ":", name: str = "fct_cross") -> Tibble:
+    c1, c2 = _name_of(col1), _name_of(col2)
+    l1 = td.levels.get(c1, _observed_levels(td, c1))
+    l2 = td.levels.get(c2, _observed_levels(td, c2))
+    df = td.df.withColumn(name, F.concat_ws(sep, F.col(c1), F.col(c2)))
+    levels = [f"{a}{sep}{b}" for b in l2 for a in l1]
+    return _with_levels(td.with_df(df), name, levels)
+
+
+def lvls_union(tds: list[Tibble], col: Any) -> list[str]:
+    cname = _name_of(col)
+    out: list[str] = []
+    for td in tds:
+        for l in td.levels.get(cname, []):
+            if l not in out:
+                out.append(l)
+    return out
+
+
+# --------------------------------------------------------------------------
+# queries (api/forcats.py:1417-1493)
+# --------------------------------------------------------------------------
+
+@verb
+def fct_count(td: Tibble, col: Any, sort: bool = False, prop: bool = False) -> Tibble:
+    cname = _name_of(col)
+    levels = td.levels.get(cname, None)
+    counts = td.df.groupBy(cname).agg(F.count(F.lit(1)).alias("n"))
+    if levels is not None:
+        # include zero-count levels (R keeps them)
+        spark = td.df.sparkSession
+        lv = spark.createDataFrame([(l,) for l in levels], [cname])
+        counts = lv.join(counts, on=cname, how="left").fillna(0, subset=["n"])
+        order = F.array_position(F.lit(levels), F.col(cname))
+    else:
+        order = F.col(cname)
+    out = counts.withColumnRenamed(cname, "f")
+    if prop:
+        total = td.df.count()
+        out = out.withColumn("p", F.col("n") / F.lit(total))
+    out = out.orderBy(F.col("n").desc() if sort else order.asc())
+    result = Tibble(out)
+    return result
+
+
+@verb
+def fct_unique(td: Tibble, col: Any) -> list:
+    cname = _name_of(col)
+    levels = td.levels.get(cname)
+    if levels is not None:
+        return list(levels)
+    return _observed_levels(td, cname)
+
+
+# --------------------------------------------------------------------------
+# binning (reference api/base/factor.py:403-458)
+# --------------------------------------------------------------------------
+
+@verb
+def cut_(
+    td: Tibble,
+    col: Any,
+    new: str,
+    breaks: list | int,
+    labels: list | None = None,
+    right: bool = True,
+    include_lowest: bool = False,
+) -> Tibble:
+    """Bin a numeric column into a factor. Fixed breaks -> when-chain;
+    integer breaks -> equal-width bins from one min/max query."""
+    cname = _name_of(col)
+    colr = F.col(cname)
+    if isinstance(breaks, int):
+        lo, hi = td.df.agg(F.min(colr), F.max(colr)).first()
+        step = (hi - lo) / breaks
+        breaks = [lo + i * step for i in range(breaks + 1)]
+        include_lowest = True
+    if labels is None:
+        labels = []
+        for i in range(len(breaks) - 1):
+            l, r = breaks[i], breaks[i + 1]
+            labels.append(f"({l:g},{r:g}]" if right else f"[{l:g},{r:g})")
+    expr = F.lit(None).cast("string")
+    for i in range(len(breaks) - 1):
+        lo_b, hi_b = breaks[i], breaks[i + 1]
+        if right:
+            cond = (colr > lo_b) & (colr <= hi_b)
+            if i == 0 and include_lowest:
+                cond = cond | (colr == lo_b)
+        else:
+            cond = (colr >= lo_b) & (colr < hi_b)
+            if i == len(breaks) - 2 and include_lowest:
+                cond = cond | (colr == hi_b)
+        expr = F.when(cond, F.lit(labels[i])).otherwise(expr)
+    df = td.df.withColumn(new, expr)
+    return _with_levels(td.with_df(df), new, list(labels))
