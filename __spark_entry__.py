@@ -663,6 +663,117 @@ def q40_lsh_topk(spark, sf):
     return out.df.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q41_fct_lump(spark, sf):
+    """Covers: factor subsystem — fct_lump_n (top-n levels kept by
+    count desc / name asc, rest lumped to 'Other')."""
+    from datar_polars_spark import factor_, fct_lump_n
+
+    e = _t(spark, sf, "events")
+    out = (
+        e
+        >> factor_(f.event_type)
+        >> fct_lump_n(f.event_type, 3)
+        >> count(f.event_type)
+    )
+    return _finish(out)
+
+
+def q42_cut_buckets(spark, sf):
+    """Covers: cut (fixed-break binning into a factor column)."""
+    from datar_polars_spark import cut_
+
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li
+        >> cut_(f.l_quantity, "bucket", [0, 10, 25, 50], labels=["low", "mid", "high"])
+        >> count(f.bucket)
+    )
+    return _finish(out)
+
+
+def q43_group_modify(spark, sf):
+    """Covers: group_modify via applyInPandas (distributed per-group
+    pandas transform): top-2 orders by totalprice per priority."""
+    from datar_polars_spark import group_modify
+
+    o = _t(spark, sf, "orders")
+
+    def top2(pdf):
+        return pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(2)[["o_orderkey", "o_totalprice"]]
+
+    out = (
+        o
+        >> select(f.o_orderpriority, f.o_orderkey, f.o_totalprice)
+        >> group_by(f.o_orderpriority)
+        >> group_modify(top2, "o_orderkey long, o_totalprice double")
+        >> mutate(o_totalprice=round_(f.o_totalprice, 4))
+    )
+    return _finish(out)
+
+
+def q44_add_count(spark, sf):
+    """Covers: add_count (window count joined onto original rows)."""
+    o = _t(spark, sf, "orders")
+    out = (
+        o
+        >> add_count(f.o_custkey)
+        >> filter_(f.n >= 18)
+        >> select(f.o_orderkey, f.o_custkey, f.n)
+    )
+    return _finish(out)
+
+
+def q45_duplicated(spark, sf):
+    """Covers: duplicated() (R semantics: 2nd+ occurrence mask)."""
+    from datar_polars_spark.functions import duplicated, as_integer
+
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li
+        >> mutate(d=as_integer(duplicated(f.l_partkey, f.l_suppkey)))
+        >> summarise(n_dup=sum_(f.d, na_rm=True))
+    )
+    return _finish(out)
+
+
+def q46_fct_collapse(spark, sf):
+    """Covers: fct_collapse (many-to-few level recoding)."""
+    from datar_polars_spark import factor_, fct_collapse
+
+    e = _t(spark, sf, "events")
+    out = (
+        e
+        >> factor_(f.event_type)
+        >> fct_collapse(
+            f.event_type,
+            engagement=["click", "view"],
+            conversion=["signup", "purchase"],
+            other_level="misc",
+        )
+        >> count(f.event_type)
+    )
+    return _finish(out)
+
+
+def q47_row_stats(spark, sf):
+    """Covers: horizontal (row-wise) aggregation helpers."""
+    from datar_polars_spark.functions import row_sums, row_means
+
+    p = _t(spark, sf, "part")
+    out = (
+        p
+        >> mutate(
+            rs=round_(row_sums(f.p_retailprice, as_double(f.p_size)), 4),
+            rm=round_(row_means(f.p_retailprice, as_double(f.p_size)), 4),
+        )
+        >> filter_(f.rs > 990)
+        >> select(f.p_partkey, f.rs, f.rm)
+    )
+    return _finish(out)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -712,6 +823,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_minhash_dedup": q38_minhash_dedup,
         "q39_simhash_dedup": q39_simhash_dedup,
         "q40_lsh_topk": q40_lsh_topk,
+        "q41_fct_lump": q41_fct_lump,
+        "q42_cut_buckets": q42_cut_buckets,
+        "q43_group_modify": q43_group_modify,
+        "q44_add_count": q44_add_count,
+        "q45_duplicated": q45_duplicated,
+        "q46_fct_collapse": q46_fct_collapse,
+        "q47_row_stats": q47_row_stats,
     }
 
 
@@ -1004,5 +1122,67 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, ROUND(cos, 4) AS cosine
             FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "q41_fct_lump": """
+            WITH cnt AS (
+                SELECT event_type, COUNT(*) AS c
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY event_type
+            ), keep AS (
+                SELECT event_type FROM (
+                    SELECT event_type,
+                           ROW_NUMBER() OVER (ORDER BY c DESC, event_type ASC) AS rn
+                    FROM cnt
+                ) WHERE rn <= 3
+            )
+            SELECT CASE WHEN e.event_type IN (SELECT event_type FROM keep)
+                          OR e.event_type IS NULL
+                        THEN e.event_type ELSE 'Other' END AS event_type,
+                   COUNT(*) AS n
+            FROM events e GROUP BY 1
+        """,
+        "q42_cut_buckets": """
+            SELECT CASE WHEN l_quantity > 0  AND l_quantity <= 10 THEN 'low'
+                        WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'mid'
+                        WHEN l_quantity > 25 AND l_quantity <= 50 THEN 'high'
+                   END AS bucket,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "q43_group_modify": """
+            SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+            FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 2
+        """,
+        "q44_add_count": """
+            SELECT o_orderkey, o_custkey, n FROM (
+                SELECT o_orderkey, o_custkey,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS n
+                FROM orders
+            ) WHERE n >= 18
+        """,
+        "q45_duplicated": """
+            SELECT CAST(COUNT(*) - (
+                SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            ) AS BIGINT) AS n_dup
+            FROM lineitem
+        """,
+        "q46_fct_collapse": """
+            SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                        WHEN event_type IN ('signup', 'purchase') THEN 'conversion'
+                        WHEN event_type IS NULL THEN NULL
+                        ELSE 'misc' END AS event_type,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "q47_row_stats": """
+            SELECT p_partkey,
+                   ROUND(p_retailprice + p_size, 4) AS rs,
+                   ROUND((p_retailprice + p_size) / 2, 4) AS rm
+            FROM part WHERE ROUND(p_retailprice + p_size, 4) > 990
         """,
     }

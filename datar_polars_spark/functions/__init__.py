@@ -7,7 +7,7 @@ returns an unevaluated Call node that verbs compile to a Spark Column.
 
 from __future__ import annotations
 
-from . import aggregates, conditional, math, strings, types, window  # noqa: F401
+from . import aggregates, conditional, math, strings, types, vectors, window  # noqa: F401
 from . import across as _across_mod  # noqa: F401
 from .across import Across, across  # noqa: F401
 from .registry import REGISTRY, builder
@@ -43,6 +43,10 @@ _EXPORT = {
     "match", "isin",
     # across-family registry entries
     "c_across", "if_any", "if_all",
+    # vectors / context
+    "rev_", "duplicated", "lengths", "seq_along", "runif", "rnorm",
+    "row_sums", "row_means", "row_mins", "row_maxs",
+    "cur_group", "cur_group_id",
 }
 
 globals().update({name: builder(name) for name in _EXPORT if name in REGISTRY})

@@ -1,0 +1,244 @@
+"""Grouping metadata + group iteration verbs.
+
+Reference: ``api/dplyr/group_data.py:56-210`` (group_data/keys/rows/
+indices/vars/size/n_groups) and ``api/dplyr/group_iter.py:73-253``
+(group_split/map/modify/walk/with_groups). The reference computes
+these with driver-side Python dict grouping; here the per-group shapes
+come from distributed aggregations and ``group_modify`` runs as
+``applyInPandas`` (Arrow-batched, one pandas frame per group on the
+executors — the reference's one genuinely UDF-shaped verb, SURVEY
+§2.5). Only ``group_split``/``group_map`` collect keys to the driver,
+mirroring the reference's small-data utility semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..plans.context import ORDER_COL
+from ..plans.expr import Ref
+from ..plans.verb import verb
+from ..tibble import Tibble
+
+__all__ = [
+    "group_vars",
+    "group_keys",
+    "group_size",
+    "n_groups",
+    "group_data",
+    "group_rows",
+    "group_indices",
+    "group_split",
+    "group_map",
+    "group_walk",
+    "group_modify",
+    "with_groups",
+    "cur_group_id_col",
+]
+
+
+def _gvars(td: Tibble, extra: tuple) -> list[str]:
+    if extra:
+        return [x._name if isinstance(x, Ref) else str(x) for x in extra]
+    return list(td.group_vars)
+
+
+def _key_sorted(td: Tibble, gvars: list[str]):
+    """Distinct group keys in dplyr order (sorted by key values)."""
+    return (
+        td.df.select(*gvars)
+        .dropDuplicates(gvars)
+        .orderBy(*[F.col(g).asc_nulls_last() for g in gvars])
+    )
+
+
+@verb
+def group_vars(td: Tibble) -> list[str]:
+    return list(td.group_vars)
+
+
+@verb
+def group_keys(td: Tibble) -> Tibble:
+    gvars = list(td.group_vars)
+    if not gvars:
+        return Tibble(td.df.limit(0).select())
+    return Tibble(_key_sorted(td, gvars))
+
+
+@verb
+def group_size(td: Tibble) -> list[int]:
+    gvars = list(td.group_vars)
+    if not gvars:
+        return [td.nrow()]
+    rows = (
+        td.df.groupBy(*gvars)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .orderBy(*[F.col(g).asc_nulls_last() for g in gvars])
+        .select("__n__")
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+@verb
+def n_groups(td: Tibble) -> int:
+    gvars = list(td.group_vars)
+    if not gvars:
+        return 1
+    return td.df.select(*gvars).dropDuplicates(gvars).count()
+
+
+@verb
+def group_data(td: Tibble) -> Tibble:
+    """Group keys + ``_rows`` (0-based row positions per group, in frame
+    order) — reference ``group_data.py:56-116``."""
+    gvars = list(td.group_vars)
+    t = td.ensure_order()
+    w = Window.orderBy(F.col(ORDER_COL).asc())
+    d = t.df.withColumn("__pos__", F.row_number().over(w) - 1)
+    if not gvars:
+        out = d.agg(F.sort_array(F.collect_list("__pos__")).alias("_rows"))
+        return Tibble(out)
+    out = (
+        d.groupBy(*gvars)
+        .agg(F.sort_array(F.collect_list("__pos__")).alias("_rows"))
+        .orderBy(*[F.col(g).asc_nulls_last() for g in gvars])
+    )
+    return Tibble(out)
+
+
+@verb
+def group_rows(td: Tibble) -> list[list[int]]:
+    gd = group_data(td)
+    return [r[-1] for r in gd.df.collect()]
+
+
+@verb
+def group_indices(td: Tibble) -> list[int]:
+    """1-based group id per row, in frame order."""
+    gvars = list(td.group_vars)
+    t = td.ensure_order()
+    if not gvars:
+        return [1] * t.nrow()
+    gid = F.dense_rank().over(
+        Window.orderBy(*[F.col(g).asc_nulls_last() for g in gvars])
+    )
+    rows = (
+        t.df.withColumn("__gid__", gid)
+        .orderBy(F.col(ORDER_COL).asc())
+        .select("__gid__")
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def cur_group_id_col(td: Tibble):
+    """Column expr: 1-based id of the row's group (keys sorted ascending,
+    dplyr ``cur_group_id()``). Global dense_rank over the key order —
+    fine for the modest group-cardinalities this context fn implies."""
+    gvars = list(td.group_vars)
+    if not gvars:
+        return F.lit(1)
+    return F.dense_rank().over(
+        Window.orderBy(*[F.col(g).asc_nulls_last() for g in gvars])
+    )
+
+
+# --------------------------------------------------------------------------
+# group iteration (reference api/dplyr/group_iter.py:73-253)
+# --------------------------------------------------------------------------
+
+@verb
+def group_split(td: Tibble, *cols: Any, _keep: bool = True) -> list[Tibble]:
+    """List of per-group Tibbles (driver iteration over collected keys —
+    small-data utility, as in the reference)."""
+    gvars = _gvars(td, cols)
+    if not gvars:
+        return [Tibble(td.df)]
+    keys = _key_sorted(td, gvars).collect()
+    out = []
+    for row in keys:
+        cond = None
+        for g in gvars:
+            c = F.col(g).isNull() if row[g] is None else (F.col(g) == F.lit(row[g]))
+            cond = c if cond is None else (cond & c)
+        sub = td.df.filter(cond)
+        if not _keep:
+            sub = sub.drop(*gvars)
+        out.append(Tibble(sub))
+    return out
+
+
+@verb
+def group_map(td: Tibble, fn: Callable, *cols: Any) -> list:
+    """Apply ``fn(pandas_df, key_dict)`` per group on the driver; returns
+    the list of results in key order."""
+    gvars = _gvars(td, cols)
+    parts = group_split(td, *cols, _keep=False)
+    keys = _key_sorted(td, gvars).collect() if gvars else [None]
+    out = []
+    for part, key in zip(parts, keys):
+        kd = dict(key.asDict()) if key is not None else {}
+        out.append(fn(part.collect(), kd))
+    return out
+
+
+@verb
+def group_walk(td: Tibble, fn: Callable, *cols: Any) -> Tibble:
+    group_map(td, fn, *cols)
+    return td
+
+
+@verb
+def group_modify(td: Tibble, fn: Callable, schema: Any) -> Tibble:
+    """Distributed per-group frame transform: ``fn(pandas.DataFrame) ->
+    pandas.DataFrame`` runs on executors via ``applyInPandas`` (Arrow
+    batches). ``schema`` is the output schema *excluding* group keys,
+    which are re-attached as dplyr does (keys prepended, result stays
+    grouped). Reference semantics: ``group_iter.py:170-212``."""
+    from pyspark.sql.types import StructType
+
+    gvars = list(td.group_vars)
+    if not gvars:
+        raise ValueError("group_modify requires a grouped tibble")
+    if isinstance(schema, str):
+        key_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in td.df.schema
+            if f.name in gvars
+        )
+        full_schema = f"{key_schema}, {schema}"
+    else:
+        key_fields = [f for f in td.df.schema if f.name in gvars]
+        full_schema = StructType(key_fields + list(schema.fields))
+
+    def apply_fn(pdf):
+        keys = pdf[gvars].iloc[:1]
+        body = fn(pdf.drop(columns=gvars))
+        body = body.reset_index(drop=True)
+        for g in reversed(gvars):
+            body.insert(0, g, keys[g].iloc[0])
+        return body
+
+    plain = td.df.drop(ORDER_COL) if ORDER_COL in td.df.columns else td.df
+    out = plain.groupBy(*gvars).applyInPandas(apply_fn, schema=full_schema)
+    return Tibble(out, groups=gvars)
+
+
+@verb
+def with_groups(td: Tibble, groups: Any, verb_call: Any) -> Tibble:
+    """Temporarily regroup, apply a verb, restore original grouping
+    (reference ``group_iter.py:215-253``)."""
+    old = list(td.group_vars)
+    if groups is None:
+        gvars: list[str] = []
+    elif isinstance(groups, (list, tuple)):
+        gvars = [g._name if isinstance(g, Ref) else str(g) for g in groups]
+    else:
+        gvars = [groups._name if isinstance(groups, Ref) else str(groups)]
+    regrouped = td.with_df(td.df, groups=gvars)
+    out = verb_call(regrouped)
+    return out.with_df(out.df, groups=[g for g in old if g in out.df.columns])

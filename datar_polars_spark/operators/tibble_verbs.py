@@ -1,0 +1,193 @@
+"""Tibble construction / row-column surgery verbs.
+
+Reference: ``api/tibble.py`` — ``tribble`` (243), ``tibble_row`` (295),
+``enframe``/``deframe`` (354-423), ``add_row``/``add_column`` (459-545),
+rownames family (582-687). Row identity maps to the hidden order
+column; positional splicing (``_before``/``_after``) rewrites it so the
+appended rows land at the requested position without a global sort.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.context import ORDER_COL
+from ..plans.expr import Ref
+from ..plans.verb import verb
+from ..tibble import Tibble, from_pandas, tibble
+
+__all__ = [
+    "tribble",
+    "tibble_row",
+    "enframe",
+    "deframe",
+    "add_row",
+    "add_column",
+    "rowid_to_column",
+    "remove_rownames",
+    "has_rownames",
+]
+
+
+def _spark() -> SparkSession:
+    return SparkSession.getActiveSession()
+
+
+def tribble(*args: Any) -> Tibble:
+    """Row-wise constructor: ``tribble(f.x, f.y, 1, "a", 2, "b")``.
+    Leading ``Ref``s name the columns; the rest fill rows left-to-right."""
+    cols: list[str] = []
+    i = 0
+    while i < len(args) and isinstance(args[i], Ref):
+        cols.append(args[i]._name)
+        i += 1
+    if not cols:
+        raise ValueError("tribble needs leading f.<name> column headers")
+    vals = args[i:]
+    if len(vals) % len(cols) != 0:
+        raise ValueError("tribble values are not a multiple of column count")
+    import pandas as pd
+
+    rows = [list(vals[j : j + len(cols)]) for j in range(0, len(vals), len(cols))]
+    return from_pandas(_spark(), pd.DataFrame(rows, columns=cols))
+
+
+def tibble_row(**kwargs: Any) -> Tibble:
+    """Single-row constructor; every value must be scalar."""
+    for k, v in kwargs.items():
+        if isinstance(v, (list, tuple)) and len(v) != 1:
+            raise ValueError(f"tibble_row: column {k!r} must be length 1")
+    return tibble(_spark(), **{k: (v[0] if isinstance(v, (list, tuple)) else v) for k, v in kwargs.items()})
+
+
+def enframe(x: Any, name: str = "name", value: str = "value") -> Tibble:
+    """Vector/dict -> two-column (name, value) table."""
+    import pandas as pd
+
+    if isinstance(x, dict):
+        pdf = pd.DataFrame({name: list(x.keys()), value: list(x.values())})
+    else:
+        x = list(x)
+        pdf = pd.DataFrame({name: range(1, len(x) + 1), value: x})
+    return from_pandas(_spark(), pdf)
+
+
+@verb
+def deframe(td: Tibble):
+    """Two-column table -> driver dict (one column -> list)."""
+    cols = td.columns
+    pdf = td.collect()
+    if len(cols) == 1:
+        return pdf[cols[0]].tolist()
+    return dict(zip(pdf[cols[0]], pdf[cols[1]]))
+
+
+@verb
+def add_row(td: Tibble, _before: int | None = None, _after: int | None = None, **kwargs: Any) -> Tibble:
+    """Append a row (or rows) at a position (default: end). The new
+    rows' order keys are spliced between the neighbours' keys, so no
+    global renumbering happens."""
+    t = td.ensure_order()
+    new = tibble(t.df.sparkSession, **kwargs)
+    # align schema: missing columns -> null
+    new_df = new.df.drop(ORDER_COL)
+    for c in t.columns:
+        if c not in new_df.columns:
+            new_df = new_df.withColumn(c, F.lit(None))
+    new_df = new_df.select(*t.columns)
+
+    n = t.nrow()
+    if _before is not None:
+        pos = _before - 1  # 1-based -> insert before that row
+    elif _after is not None:
+        pos = _after
+    else:
+        pos = n
+    # order keys are longs from monotonically_increasing_id; renumber via
+    # a compact rank so splicing at integer positions is safe
+    from pyspark.sql import Window
+
+    d = t.df.withColumn(
+        ORDER_COL,
+        (F.row_number().over(Window.orderBy(F.col(ORDER_COL).asc())) - 1).cast("long"),
+    )
+    d = d.withColumn(
+        ORDER_COL,
+        F.when(F.col(ORDER_COL) >= pos, F.col(ORDER_COL) + 1_000_000).otherwise(
+            F.col(ORDER_COL)
+        ),
+    )
+    new_df = new_df.withColumn(
+        ORDER_COL, (F.monotonically_increasing_id() % 1_000_000 + pos).cast("long")
+    )
+    return td.with_df(d.unionByName(new_df))
+
+
+@verb
+def add_column(td: Tibble, _before: Any = None, _after: Any = None, **kwargs: Any) -> Tibble:
+    """Add columns (from scalars or driver vectors) at a position."""
+    t = td.ensure_order()
+    d = t.df
+    names = list(kwargs)
+    for k, v in kwargs.items():
+        if isinstance(v, (list, tuple, range)):
+            v = list(v)
+            if len(v) == 1:
+                d = d.withColumn(k, F.lit(v[0]))
+            else:
+                # zip-join the vector by row position
+                import pandas as pd
+
+                vec = from_pandas(d.sparkSession, pd.DataFrame({k: v}))
+                from pyspark.sql import Window
+
+                left = d.withColumn(
+                    "__pos__", F.row_number().over(Window.orderBy(F.col(ORDER_COL).asc()))
+                )
+                right = vec.df.withColumn(
+                    "__pos__", F.row_number().over(Window.orderBy(F.col(ORDER_COL).asc()))
+                ).drop(ORDER_COL)
+                d = left.join(right, "__pos__", "left").drop("__pos__")
+        else:
+            d = d.withColumn(k, F.lit(v))
+    cols = [c for c in d.columns if c not in names or c.startswith("__datar_")]
+    visible = [c for c in cols if not c.startswith("__datar_")]
+    anchor = None
+    if _before is not None:
+        anchor = _before._name if isinstance(_before, Ref) else str(_before)
+        idx = visible.index(anchor)
+    elif _after is not None:
+        anchor = _after._name if isinstance(_after, Ref) else str(_after)
+        idx = visible.index(anchor) + 1
+    else:
+        idx = len(visible)
+    ordered = visible[:idx] + names + visible[idx:]
+    hidden = [c for c in d.columns if c.startswith("__datar_")]
+    return td.with_df(d.select(*ordered, *hidden))
+
+
+@verb
+def rowid_to_column(td: Tibble, var: str = "rowid") -> Tibble:
+    """1..n row-id column in frame order (reference ``api/tibble.py:610-665``)."""
+    from pyspark.sql import Window
+
+    t = td.ensure_order()
+    d = t.df.withColumn(
+        var, F.row_number().over(Window.orderBy(F.col(ORDER_COL).asc()))
+    )
+    visible = [c for c in d.columns if not c.startswith("__datar_") and c != var]
+    hidden = [c for c in d.columns if c.startswith("__datar_")]
+    return td.with_df(d.select(var, *visible, *hidden))
+
+
+@verb
+def remove_rownames(td: Tibble) -> Tibble:
+    return td
+
+
+@verb
+def has_rownames(td: Tibble) -> bool:
+    return False

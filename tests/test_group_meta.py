@@ -1,0 +1,154 @@
+"""Group metadata / iteration verbs + tibble constructors + vector fns
+(modeled on reference tests/dplyr/test_group_data.py, test_group_map.py,
+tests/tibble/)."""
+
+import pytest
+
+from datar_polars_spark import (
+    f,
+    tibble,
+    group_by,
+    mutate,
+    summarise,
+    arrange,
+    group_vars,
+    group_keys,
+    group_size,
+    n_groups,
+    group_data,
+    group_rows,
+    group_indices,
+    group_split,
+    group_map,
+    group_modify,
+    with_groups,
+    tribble,
+    tibble_row,
+    enframe,
+    deframe,
+    add_row,
+    add_column,
+    rowid_to_column,
+)
+from datar_polars_spark.functions import (
+    sum_,
+    mean,
+    rev_,
+    duplicated,
+    cur_group_id,
+    row_sums,
+    row_means,
+)
+
+from conftest import assert_frame_equal, assert_iterable_equal
+
+
+@pytest.fixture
+def gdf(spark):
+    return tibble(spark, g=["b", "a", "b", "a", "c"], x=[1, 2, 3, 4, 5])
+
+
+def test_group_metadata(gdf):
+    g = gdf >> group_by(f.g)
+    assert (g >> group_vars()) == ["g"]
+    assert_frame_equal(group_keys(g).collect(), {"g": ["a", "b", "c"]})
+    assert (g >> group_size()) == [2, 2, 1]
+    assert (g >> n_groups()) == 3
+
+
+def test_group_data_rows_indices(gdf):
+    g = gdf >> group_by(f.g)
+    gd = group_data(g).collect()
+    assert list(gd.columns) == ["g", "_rows"]
+    assert [list(r) for r in gd["_rows"]] == [[1, 3], [0, 2], [4]]
+    assert group_rows(g) == [[1, 3], [0, 2], [4]]
+    assert group_indices(g) == [2, 1, 2, 1, 3]
+
+
+def test_group_split_map(gdf):
+    g = gdf >> group_by(f.g)
+    parts = group_split(g)
+    assert [p.collect()["x"].tolist() for p in parts] == [[2, 4], [1, 3], [5]]
+    sums = group_map(g, lambda pdf, key: int(pdf["x"].sum()))
+    assert sums == [6, 4, 5]
+
+
+def test_group_modify_applyinpandas(gdf):
+    g = gdf >> group_by(f.g)
+
+    def topn(pdf):
+        return pdf.nlargest(1, "x")[["x"]]
+
+    out = group_modify(g, topn, "x long") >> arrange(f.g)
+    assert_frame_equal(out.collect(), {"g": ["a", "b", "c"], "x": [4, 3, 5]})
+
+
+def test_with_groups(gdf):
+    out = gdf >> group_by(f.g) >> with_groups(None, summarise(total=sum_(f.x)))
+    assert out.collect()["total"].tolist() == [15]
+
+
+def test_cur_group_id(gdf):
+    out = gdf >> group_by(f.g) >> mutate(gid=cur_group_id())
+    assert_iterable_equal(out.collect()["gid"].tolist(), [2, 1, 2, 1, 3])
+
+
+def test_tribble_and_row(spark):
+    td = tribble(f.x, f.y, 1, "a", 2, "b")
+    assert_frame_equal(td.collect(), {"x": [1, 2], "y": ["a", "b"]})
+    tr = tibble_row(x=5, y="z")
+    assert_frame_equal(tr.collect(), {"x": [5], "y": ["z"]})
+
+
+def test_enframe_deframe(spark):
+    spark.sparkContext.setLogLevel("ERROR")
+    td = enframe({"a": 1, "b": 2})
+    assert_frame_equal(td.collect(), {"name": ["a", "b"], "value": [1, 2]})
+    assert deframe(td) == {"a": 1, "b": 2}
+    td2 = enframe([10, 20])
+    assert_frame_equal(td2.collect(), {"name": [1, 2], "value": [10, 20]})
+
+
+def test_add_row(spark):
+    td = tibble(spark, x=[1, 2], y=["a", "b"])
+    out = td >> add_row(x=3, y="c")
+    assert_frame_equal(out.collect(), {"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    out2 = td >> add_row(x=0, _before=1)
+    assert_frame_equal(
+        out2.collect(), {"x": [0, 1, 2], "y": [None, "a", "b"]}
+    )
+
+
+def test_add_column(spark):
+    td = tibble(spark, x=[1, 2, 3])
+    out = td >> add_column(y=[9, 8, 7], _before=f.x)
+    assert_frame_equal(out.collect(), {"y": [9, 8, 7], "x": [1, 2, 3]})
+
+
+def test_rowid_to_column(spark):
+    td = tibble(spark, x=["c", "a", "b"])
+    out = td >> rowid_to_column()
+    assert_frame_equal(out.collect(), {"rowid": [1, 2, 3], "x": ["c", "a", "b"]})
+
+
+def test_rev_duplicated(spark):
+    td = tibble(spark, g=["a", "a", "b", "b"], x=[1, 2, 3, 3])
+    out = td >> mutate(r=rev_(f.x), d=duplicated(f.x))
+    assert_frame_equal(
+        out.collect(),
+        {"g": ["a", "a", "b", "b"], "x": [1, 2, 3, 3],
+         "r": [3, 3, 2, 1], "d": [False, False, False, True]},
+    )
+    gout = td >> group_by(f.g) >> mutate(r=rev_(f.x))
+    assert_iterable_equal(gout.collect()["r"].tolist(), [2, 1, 3, 3])
+
+
+def test_row_sums_means(spark):
+    td = tibble(spark, a=[1.0, None], b=[2.0, 4.0])
+    out = td >> mutate(s=row_sums(f.a, f.b), sn=row_sums(f.a, f.b, na_rm=True),
+                       m=row_means(f.a, f.b, na_rm=True))
+    assert_frame_equal(
+        out.collect(),
+        {"a": [1.0, None], "b": [2.0, 4.0], "s": [3.0, None],
+         "sn": [3.0, 4.0], "m": [1.5, 4.0]},
+    )
