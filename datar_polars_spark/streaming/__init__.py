@@ -1,0 +1,177 @@
+"""Structured Streaming layer.
+
+The reference is batch-only (SURVEY §2.17) — this module is the
+Spark-first extension for continuous pipelines: the same Tibble/verb
+code compiles onto streaming DataFrames because both are unresolved
+logical plans; what differs is the source (``readStream``), the
+late-data contract (watermarks), and time-windowed grouping.
+
+Provided operators:
+
+* ``stream_read_parquet`` — file-stream source (schema required by
+  Structured Streaming; inferred from existing files if absent).
+* ``windowed_agg`` — event-time tumbling/sliding window aggregation
+  with a watermark; aggregation expressions use the same deferred DSL
+  (``sum_(f.value)``) as batch ``summarise``.
+* ``sessionize`` — session-window (gap-based) aggregation.
+* ``stream_dedup`` — exactly-once-per-key dedup with bounded state
+  (``dropDuplicatesWithinWatermark``).
+* ``run_to_memory`` — test/debug sink: availableNow trigger into an
+  in-memory table, returns the collected pandas frame.
+
+Scale notes: windowed aggregation shuffles on (window, *keys) — state
+is bounded by the watermark horizon; dedup state is bounded the same
+way. No collect() in any hot path.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.context import EvalContext
+from ..plans.expr import Ref
+from ..tibble import Tibble
+
+__all__ = [
+    "stream_read_parquet",
+    "windowed_agg",
+    "sessionize",
+    "stream_dedup",
+    "run_to_memory",
+]
+
+
+def _name_of(x: Any) -> str:
+    return x._name if isinstance(x, Ref) else str(x)
+
+
+def stream_read_parquet(
+    spark: SparkSession, path: str, schema: Any = None
+) -> DataFrame:
+    """File-stream source. Streaming needs an explicit schema; when not
+    given, infer it from the files already present (one driver-side
+    batch-read of footers only). TIMESTAMP(NANOS) columns — which
+    Spark's parquet reader rejects — are read as nano longs and
+    converted to microsecond timestamps, same as the batch reader."""
+    from ..sources import _nanos_timestamp_cols
+
+    import os
+
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        # file-stream sources monitor directories; a single-file path
+        # becomes parent-dir + filename filter
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    sdf = reader.parquet(path)
+    for c in ns_cols:
+        sdf = sdf.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return sdf
+
+
+def _agg_exprs(sdf: DataFrame, aggs: dict) -> list:
+    """Compile deferred DSL aggregation expressions against the stream."""
+    ctx = EvalContext(Tibble(sdf), mode="agg")
+    return [ctx.col(expr).alias(name) for name, expr in aggs.items()]
+
+
+def windowed_agg(
+    sdf: DataFrame,
+    ts: Any,
+    *keys: Any,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    **aggs: Any,
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data watermark.
+
+    ``windowed_agg(s, f.ts, f.event_type, window="1 day",
+    n=n(), total=sum_(f.value))`` — groups by (tumbling-or-sliding
+    time window, keys), emits window_start/window_end columns.
+    """
+    tcol = _name_of(ts)
+    kcols = [_name_of(k) for k in keys]
+    wm = sdf.withWatermark(tcol, watermark)
+    win = (
+        F.window(F.col(tcol), window, slide)
+        if slide
+        else F.window(F.col(tcol), window)
+    )
+    out = wm.groupBy(win.alias("__w__"), *[F.col(k) for k in kcols]).agg(
+        *_agg_exprs(sdf, aggs)
+    )
+    return out.select(
+        F.col("__w__.start").alias("window_start"),
+        F.col("__w__.end").alias("window_end"),
+        *kcols,
+        *aggs.keys(),
+    )
+
+
+def sessionize(
+    sdf: DataFrame,
+    ts: Any,
+    *keys: Any,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    **aggs: Any,
+) -> DataFrame:
+    """Session windows: rows within ``gap`` of each other (per key)
+    merge into one session. State closes once the watermark passes the
+    session end, so memory stays bounded."""
+    tcol = _name_of(ts)
+    kcols = [_name_of(k) for k in keys]
+    wm = sdf.withWatermark(tcol, watermark)
+    if not aggs:
+        aggs = {"n_events": __import__(
+            "datar_polars_spark.functions", fromlist=["n"]
+        ).n()}
+    out = wm.groupBy(
+        F.session_window(F.col(tcol), gap).alias("__s__"),
+        *[F.col(k) for k in kcols],
+    ).agg(*_agg_exprs(sdf, aggs))
+    return out.select(
+        F.col("__s__.start").alias("session_start"),
+        F.col("__s__.end").alias("session_end"),
+        *kcols,
+        *aggs.keys(),
+    )
+
+
+def stream_dedup(
+    sdf: DataFrame, *keys: Any, ts: Any = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Keep the first arrival per key; state expires past the watermark
+    (requires an event-time column when watermarking)."""
+    kcols = [_name_of(k) for k in keys]
+    if ts is not None:
+        wm = sdf.withWatermark(_name_of(ts), watermark)
+        return wm.dropDuplicatesWithinWatermark(kcols)
+    return sdf.dropDuplicates(kcols)
+
+
+def run_to_memory(sdf: DataFrame, mode: str = "complete") -> "Any":
+    """Drain the stream with an availableNow trigger into a memory sink
+    and return the result as pandas (test/debug utility — real sinks are
+    ``writeStream.format("parquet"/"kafka"/"delta")``)."""
+    name = "mem_" + uuid.uuid4().hex[:12]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = sdf.sparkSession
+    return spark.table(name).toPandas()

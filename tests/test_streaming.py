@@ -1,0 +1,81 @@
+"""Structured Streaming layer: windowed agg, sessions, dedup — each
+verified against the equivalent batch computation on the same files."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datar_polars_spark import f
+from datar_polars_spark.functions import n, sum_, mean
+from datar_polars_spark.streaming import (
+    stream_read_parquet,
+    windowed_agg,
+    sessionize,
+    stream_dedup,
+    run_to_memory,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_windowed_agg_matches_batch(spark):
+    s = stream_read_parquet(spark, EVENTS)
+    out = windowed_agg(
+        s, f.ts, f.event_type, window="1 day", watermark="1 day",
+        n_events=n(), total=sum_(f.value, na_rm=True),
+    )
+    got = run_to_memory(out, mode="complete")
+
+    from datar_polars_spark import read_parquet
+
+    batch = (
+        read_parquet(spark, EVENTS).df
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "total",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b)
+    assert g["n_events"].tolist() == b["n_events"].tolist()
+    assert g["total"].tolist() == pytest.approx(b["total"].tolist())
+
+
+def test_sessionize_runs(spark):
+    s = stream_read_parquet(spark, EVENTS)
+    out = sessionize(
+        s, f.ts, f.user_id, gap="10 minutes", watermark="1 day",
+        n_events=n(), avg_value=mean(f.value, na_rm=True),
+    )
+    got = run_to_memory(out, mode="complete")
+    assert len(got) > 0
+    assert set(got.columns) == {
+        "session_start", "session_end", "user_id", "n_events", "avg_value"
+    }
+    # sessions per user never exceed that user's event count
+    per_user = got.groupby("user_id")["n_events"].sum()
+    from datar_polars_spark import read_parquet
+
+    batch_counts = (
+        read_parquet(spark, EVENTS).df.groupBy("user_id").count().toPandas()
+        .set_index("user_id")["count"]
+    )
+    for uid, total in per_user.items():
+        assert total == batch_counts[uid]
+
+
+def test_stream_dedup(spark):
+    s = stream_read_parquet(spark, EVENTS)
+    out = stream_dedup(s, f.user_id, f.event_type, ts=f.ts, watermark="1 day")
+    got = run_to_memory(out, mode="append")
+    from datar_polars_spark import read_parquet
+
+    n_combos = (
+        read_parquet(spark, EVENTS).df
+        .select("user_id", "event_type").distinct().count()
+    )
+    assert len(got) == n_combos
