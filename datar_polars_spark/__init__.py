@@ -35,6 +35,7 @@ from .operators.tidyr import *  # noqa: F401,F403
 from .operators.factor import *  # noqa: F401,F403
 from .operators.group_meta import *  # noqa: F401,F403
 from .operators.tibble_verbs import *  # noqa: F401,F403
+from .operators.misc import *  # noqa: F401,F403
 from .functions.across import across  # noqa: F401
 from .sources import read_parquet, read_csv, load_tables, write_parquet  # noqa: F401
 

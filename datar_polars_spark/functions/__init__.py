@@ -7,7 +7,7 @@ returns an unevaluated Call node that verbs compile to a Spark Column.
 
 from __future__ import annotations
 
-from . import aggregates, conditional, math, strings, types, vectors, window  # noqa: F401
+from . import aggregates, conditional, math, special, strings, types, vectors, window  # noqa: F401
 from . import across as _across_mod  # noqa: F401
 from .across import Across, across  # noqa: F401
 from .registry import REGISTRY, builder
@@ -47,6 +47,11 @@ _EXPORT = {
     "rev_", "duplicated", "lengths", "seq_along", "runif", "rnorm",
     "row_sums", "row_means", "row_mins", "row_maxs",
     "cur_group", "cur_group_id",
+    # special math
+    "gamma", "lgamma", "lfactorial", "beta", "lbeta", "choose", "lchoose",
+    "digamma", "trigamma", "bessel_i", "bessel_j", "bessel_k", "bessel_y",
+    # ordering sugar
+    "with_order", "order_by",
 }
 
 globals().update({name: builder(name) for name in _EXPORT if name in REGISTRY})

@@ -143,6 +143,29 @@ def _cumcount(ctx, x=None):
     return F.count(F.lit(1)).over(ctx.ordered().rowsBetween(_UNB_PREV, _CUR))
 
 
+@register("with_order")
+def _with_order(ctx, order, call):
+    """Evaluate a window expression with an explicit ordering instead of
+    frame order (reference ``api/dplyr/order_by.py:26-145`` — there it
+    sorts, applies, unsorts; Spark windows take the ordering natively,
+    so this just swaps the window key)."""
+    from ..plans.expr import Desc
+
+    if isinstance(order, Desc):
+        key = ctx.col(order._operand).desc()
+    else:
+        key = ctx.col(order).asc()
+    saved = ctx.order_override
+    ctx.order_override = key
+    try:
+        return ctx.col(call)
+    finally:
+        ctx.order_override = saved
+
+
+register("order_by")(_with_order)
+
+
 @register("consecutive_id")
 def _consecutive_id(ctx, *xs):
     """Run-length id: increments whenever any key changes (reference

@@ -1,0 +1,158 @@
+"""Long-tail base verbs: contingency tables, completeness, picks.
+
+Reference: ``api/base/table.py:21-102`` (table/tabulate),
+``api/base/verbs.py:294-303`` (complete_cases), ``api/dplyr/pick.py``
+(pick), ``api/base/which.py`` (which/which_min/which_max),
+``api/dplyr/order_by.py:26-145`` (with_order).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_
+from typing import Any
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..plans.context import ORDER_COL
+from ..plans.expr import Ref
+from ..plans.verb import verb
+from ..tibble import Tibble
+
+__all__ = [
+    "table_",
+    "tabulate",
+    "complete_cases",
+    "pick",
+    "which_",
+    "which_min_",
+    "which_max_",
+    "nrow",
+    "ncol",
+    "dim",
+    "colnames",
+]
+
+
+def _name_of(x: Any) -> str:
+    return x._name if isinstance(x, Ref) else str(x)
+
+
+@verb
+def table_(td: Tibble, x: Any, y: Any = None) -> Tibble:
+    """1-2 variable contingency counts, long form (x[, y], n); zero
+    combinations included for the 2-var case (R table semantics)."""
+    xn = _name_of(x)
+    if y is None:
+        out = (
+            td.df.groupBy(xn)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col(xn).asc_nulls_last())
+        )
+        return Tibble(out)
+    yn = _name_of(y)
+    counts = td.df.groupBy(xn, yn).agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        td.df.select(xn).distinct().crossJoin(td.df.select(yn).distinct())
+    )
+    out = (
+        grid.join(counts, [xn, yn], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .orderBy(F.col(xn).asc_nulls_last(), F.col(yn).asc_nulls_last())
+    )
+    return Tibble(out)
+
+
+@verb
+def tabulate(td: Tibble, x: Any, nbins: int | None = None) -> list[int]:
+    """Counts of integer values 1..nbins (R tabulate)."""
+    xn = _name_of(x)
+    if nbins is None:
+        nbins = td.df.agg(F.max(xn)).first()[0] or 0
+    rows = (
+        td.df.filter((F.col(xn) >= 1) & (F.col(xn) <= nbins))
+        .groupBy(xn)
+        .count()
+        .collect()
+    )
+    got = {r[0]: r[1] for r in rows}
+    return [got.get(i, 0) for i in range(1, nbins + 1)]
+
+
+@verb
+def complete_cases(td: Tibble) -> Tibble:
+    """Rows with no NA (null or NaN) in any column."""
+    conds = []
+    for cname, dtype in td.dtypes:
+        c = F.col(cname).isNotNull()
+        if dtype in ("double", "float"):
+            c = c & ~F.isnan(F.col(cname))
+        conds.append(c)
+    return td.with_df(td.df.filter(reduce(and_, conds)))
+
+
+@verb
+def pick(td: Tibble, *cols: Any) -> Tibble:
+    """Sub-table of the selection (group vars retained) — reference
+    ``api/dplyr/pick.py:17-33``."""
+    from ..plans.selection import resolve_selection
+
+    sel = resolve_selection(list(cols), td.columns, dict(td.dtypes))
+    keep = list(dict.fromkeys([*td.group_vars, *sel]))
+    hidden = [c for c in td.df.columns if c.startswith("__datar_")]
+    return td.with_df(td.df.select(*keep, *hidden))
+
+
+@verb
+def which_(td: Tibble, cond: Any) -> list[int]:
+    """1-based positions (frame order) where the condition holds."""
+    from ..plans.context import EvalContext
+
+    t = td.ensure_order()
+    ctx = EvalContext(t, mode="eval")
+    w = Window.orderBy(F.col(ORDER_COL).asc())
+    d = t.df.withColumn("__pos__", F.row_number().over(w))
+    rows = d.filter(ctx.col(cond)).orderBy(ORDER_COL).select("__pos__").collect()
+    return [r[0] for r in rows]
+
+
+@verb
+def which_min_(td: Tibble, col: Any) -> int:
+    """1-based position of the minimum (first on ties, frame order)."""
+    t = td.ensure_order()
+    w = Window.orderBy(F.col(ORDER_COL).asc())
+    d = t.df.withColumn("__pos__", F.row_number().over(w))
+    cn = _name_of(col)
+    return d.agg(F.min_by("__pos__", F.struct(F.col(cn), F.col("__pos__")))).first()[0]
+
+
+@verb
+def which_max_(td: Tibble, col: Any) -> int:
+    t = td.ensure_order()
+    w = Window.orderBy(F.col(ORDER_COL).asc())
+    d = t.df.withColumn("__pos__", F.row_number().over(w))
+    cn = _name_of(col)
+    return d.agg(
+        F.min_by("__pos__", F.struct((-F.col(cn)).alias("k"), F.col("__pos__")))
+    ).first()[0]
+
+
+@verb
+def nrow(td: Tibble) -> int:
+    return td.nrow()
+
+
+@verb
+def ncol(td: Tibble) -> int:
+    return td.ncol()
+
+
+@verb
+def dim(td: Tibble) -> tuple[int, int]:
+    return (td.nrow(), td.ncol())
+
+
+@verb
+def colnames(td: Tibble) -> list[str]:
+    return td.columns

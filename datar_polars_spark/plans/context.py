@@ -40,6 +40,8 @@ class EvalContext:
         self.rowwise: bool = tibble.rowwise
         # names created earlier in the same mutate/summarise (sequential refs)
         self.local_names: dict[str, Column] = {}
+        # with_order(): replaces the default frame-order window key
+        self.order_override: Column | None = None
 
     # ---- resolution helpers -------------------------------------------
     def eval(self, node: Any) -> Any:
@@ -65,6 +67,8 @@ class EvalContext:
         if order_by is not None:
             key = self.col(order_by)
             key = key.desc() if desc else key.asc()
+        elif self.order_override is not None:
+            key = self.order_override
         else:
             key = F.col(ORDER_COL).asc()
         return self.partition().orderBy(key)

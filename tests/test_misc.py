@@ -1,0 +1,102 @@
+"""Long-tail verbs: table/tabulate, complete_cases, pick, which,
+with_order, special math functions."""
+
+import math
+
+import pytest
+
+from datar_polars_spark import (
+    f,
+    tibble,
+    mutate,
+    group_by,
+    table_,
+    tabulate,
+    complete_cases,
+    pick,
+    which_,
+    which_min_,
+    which_max_,
+    nrow,
+    ncol,
+    dim,
+    colnames,
+    desc,
+)
+from datar_polars_spark.functions import (
+    gamma,
+    lgamma,
+    choose,
+    cumsum,
+    with_order,
+    lag,
+)
+
+from conftest import assert_frame_equal, assert_iterable_equal
+
+
+def test_table_one_var(spark):
+    td = tibble(spark, x=["b", "a", "b", "b"])
+    out = table_(td, f.x)
+    assert_frame_equal(out.collect(), {"x": ["a", "b"], "n": [1, 3]})
+
+
+def test_table_two_var_includes_zeros(spark):
+    td = tibble(spark, x=["a", "a", "b"], y=["u", "v", "u"])
+    out = table_(td, f.x, f.y)
+    assert_frame_equal(
+        out.collect(),
+        {"x": ["a", "a", "b", "b"], "y": ["u", "v", "u", "v"], "n": [1, 1, 1, 0]},
+    )
+
+
+def test_tabulate(spark):
+    td = tibble(spark, x=[2, 3, 3, 5])
+    assert tabulate(td, f.x, 5) == [0, 1, 2, 0, 1]
+
+
+def test_complete_cases(spark):
+    td = tibble(spark, x=[1.0, None, 3.0], y=["a", "b", None])
+    out = complete_cases(td)
+    assert_frame_equal(out.collect(), {"x": [1.0], "y": ["a"]})
+
+
+def test_pick_keeps_groups(spark):
+    td = tibble(spark, g=[1, 2], a=[3, 4], b=[5, 6]) >> group_by(f.g)
+    out = td >> pick(f.b)
+    assert out.columns == ["g", "b"]
+    assert out.group_vars == ("g",)
+
+
+def test_which(spark):
+    td = tibble(spark, x=[5, 1, 7, 1])
+    assert which_(td, f.x > 4) == [1, 3]
+    assert which_min_(td, f.x) == 2
+    assert which_max_(td, f.x) == 3
+    assert nrow(td) == 4
+    assert ncol(td) == 1
+    assert dim(td) == (4, 1)
+    assert colnames(td) == ["x"]
+
+
+def test_with_order(spark):
+    td = tibble(spark, t=[3, 1, 2], x=[30, 10, 20])
+    # cumsum in t-order, result in frame order: t=3 row sees 10+20+30
+    out = td >> mutate(cs=with_order(f.t, cumsum(f.x)))
+    assert_iterable_equal(out.collect()["cs"].tolist(), [60, 10, 30])
+    out2 = td >> mutate(prev=with_order(desc(f.t), lag(f.x)))
+    assert_iterable_equal(out2.collect()["prev"].tolist(), [None, 20, 30])
+
+
+def test_special_math(spark):
+    td = tibble(spark, x=[1.0, 4.0, 0.5])
+    out = td >> mutate(g=gamma(f.x), lg=lgamma(f.x))
+    got = out.collect()
+    assert got["g"].tolist() == pytest.approx([1.0, 6.0, math.sqrt(math.pi)])
+    assert got["lg"].tolist() == pytest.approx([0.0, math.log(6.0), math.lgamma(0.5)])
+
+
+def test_choose(spark):
+    td = tibble(spark, n=[5.0, 6.0], k=[2.0, 3.0])
+    out = td >> mutate(c=choose(f.n, f.k))
+    assert out.collect()["c"].tolist() == pytest.approx([10.0, 20.0])
