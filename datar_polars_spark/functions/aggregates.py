@@ -45,22 +45,76 @@ def _narm(ctx, node, aggregated: Column, na_rm: bool) -> Column:
     return F.when(has_na, F.lit(None)).otherwise(ctx.agg(aggregated))
 
 
-def _simple_agg(fn):
+def _is_arrayish(ctx, node) -> bool:
+    """Rowwise aggregation target? c_across() or an array-typed column."""
+    from ..plans.expr import Call
+
+    if isinstance(node, Call) and node._fname == "c_across":
+        return True
+    if isinstance(node, Ref):
+        dtype = dict(ctx.tibble.dtypes).get(node._name, "")
+        return dtype.startswith("array")
+    return False
+
+
+def _rowwise_agg(ctx, node, kind: str, na_rm: bool) -> Column:
+    """Horizontal (within-row) aggregation over an array via
+    higher-order functions — the distributed replacement for the
+    reference's per-row Python loop (``mutate.py:101-141``)."""
+    arr = ctx.col(node)
+    arr = F.transform(arr, lambda v: F.when(F.isnan(v.cast("double")), None).otherwise(v))
+    valid = F.filter(arr, lambda v: v.isNotNull())
+    has_na = F.exists(arr, lambda v: v.isNull())
+    nv = F.size(valid)
+    z = F.lit(0.0)
+    total = F.aggregate(valid, z, lambda a, v: a + v.cast("double"))
+    if kind == "sum":
+        out = total
+    elif kind == "mean":
+        out = F.when(nv > 0, total / nv)
+    elif kind == "min":
+        out = F.array_min(valid)
+    elif kind == "max":
+        out = F.array_max(valid)
+    elif kind == "prod":
+        out = F.aggregate(valid, F.lit(1.0), lambda a, v: a * v.cast("double"))
+    elif kind in ("sd", "var"):
+        m = total / nv
+        ss = F.aggregate(
+            valid, z, lambda a, v: a + (v.cast("double") - m) * (v.cast("double") - m)
+        )
+        out = F.when(nv > 1, ss / (nv - 1))
+        if kind == "sd":
+            out = F.sqrt(out)
+    elif kind == "median":
+        out = F.element_at(
+            F.array_sort(valid), ((nv + 1) / 2).cast("int")
+        )  # lower median; exact for odd n
+    else:  # pragma: no cover
+        raise NotImplementedError(kind)
+    if na_rm:
+        return out
+    return F.when(has_na, F.lit(None)).otherwise(out)
+
+
+def _simple_agg(fn, kind: str | None = None):
     def impl(ctx, x, na_rm: bool = False):
+        if ctx.rowwise and kind is not None and _is_arrayish(ctx, x):
+            return _rowwise_agg(ctx, x, kind, na_rm)
         col = _nn(ctx, x)
         return _narm(ctx, x, fn(col), na_rm)
 
     return impl
 
 
-register("sum", "sum_")(_simple_agg(F.sum))
-register("mean", "avg")(_simple_agg(F.mean))
-register("median")(_simple_agg(F.median))
-register("min", "min_")(_simple_agg(F.min))
-register("max", "max_")(_simple_agg(F.max))
-register("sd", "stddev")(_simple_agg(F.stddev_samp))
-register("var", "variance")(_simple_agg(F.var_samp))
-register("prod")(_simple_agg(F.product))
+register("sum", "sum_")(_simple_agg(F.sum, "sum"))
+register("mean", "avg")(_simple_agg(F.mean, "mean"))
+register("median")(_simple_agg(F.median, "median"))
+register("min", "min_")(_simple_agg(F.min, "min"))
+register("max", "max_")(_simple_agg(F.max, "max"))
+register("sd", "stddev")(_simple_agg(F.stddev_samp, "sd"))
+register("var", "variance")(_simple_agg(F.var_samp, "var"))
+register("prod")(_simple_agg(F.product, "prod"))
 
 
 @register("n")

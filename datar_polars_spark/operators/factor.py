@@ -45,10 +45,22 @@ __all__ = [
     "fct_reorder",
     "fct_recode",
     "fct_collapse",
+    "fct_lump",
     "fct_lump_n",
     "fct_lump_min",
     "fct_lump_prop",
+    "fct_lump_lowfreq",
     "fct_other",
+    "lvls_reorder",
+    "lvls_revalue",
+    "lvls_expand",
+    "fct_relabel",
+    "fct_reorder2",
+    "fct_match",
+    "fct_unify",
+    "as_factor",
+    "as_ordered",
+    "set_levels",
     "fct_anon",
     "fct_expand",
     "fct_explicit_na",
@@ -388,6 +400,149 @@ def lvls_union(tds: list[Tibble], col: Any) -> list[str]:
 # --------------------------------------------------------------------------
 # queries (api/forcats.py:1417-1493)
 # --------------------------------------------------------------------------
+
+@verb
+def lvls_reorder(td: Tibble, col: Any, idx: list[int]) -> Tibble:
+    """Permute levels by 0-based index (reference ``forcats.py:202``)."""
+    cname = _name_of(col)
+    levels = td.levels.get(cname, _observed_levels(td, cname))
+    return _with_levels(td, cname, [levels[i] for i in idx])
+
+
+@verb
+def lvls_revalue(td: Tibble, col: Any, new_levels: list[str]) -> Tibble:
+    """Replace level values positionally (reference ``forcats.py:229``)."""
+    cname = _name_of(col)
+    levels = td.levels.get(cname, _observed_levels(td, cname))
+    if len(new_levels) != len(levels):
+        raise ValueError("new_levels must match the number of levels")
+    mapping = dict(zip(levels, new_levels))
+    expr = F.col(cname)
+    for old, new in mapping.items():
+        expr = F.when(F.col(cname) == old, F.lit(new)).otherwise(expr)
+    df = td.df.withColumn(cname, expr)
+    # collapse duplicates in level order
+    out_levels = list(dict.fromkeys(new_levels))
+    return _with_levels(td.with_df(df), cname, out_levels)
+
+
+@verb
+def lvls_expand(td: Tibble, col: Any, new_levels: list[str]) -> Tibble:
+    """Superset the level list (reference ``forcats.py:257``)."""
+    cname = _name_of(col)
+    levels = td.levels.get(cname, _observed_levels(td, cname))
+    missing = [l for l in levels if l not in new_levels]
+    if missing:
+        raise ValueError(f"new_levels must include existing levels: {missing}")
+    return _with_levels(td, cname, list(new_levels))
+
+
+@verb
+def fct_relabel(td: Tibble, col: Any, fn) -> Tibble:
+    """Relabel levels with a python function over the level strings
+    (reference ``forcats.py:1130``) — driver-side on the level list,
+    one when-chain on the data."""
+    cname = _name_of(col)
+    levels = td.levels.get(cname, _observed_levels(td, cname))
+    return lvls_revalue(td, col, [fn(l) for l in levels])
+
+
+@verb
+def fct_reorder2(
+    td: Tibble, col: Any, x: Any, y: Any, fn: str = "last2", desc: bool = True
+) -> Tibble:
+    """Reorder levels by ``y`` at the maximum ``x`` per level (the
+    forcats default ``last2``) — one distributed max_by aggregation."""
+    cname = _name_of(col)
+    xn, yn = _name_of(x), _name_of(y)
+    rows = (
+        td.df.filter(F.col(cname).isNotNull())
+        .groupBy(cname)
+        .agg(F.max_by(F.col(yn), F.col(xn)).alias("__k__"))
+        .orderBy(F.col("__k__").desc() if desc else F.col("__k__").asc())
+        .select(cname)
+        .collect()
+    )
+    ordered = [r[0] for r in rows]
+    levels = td.levels.get(cname, _observed_levels(td, cname))
+    ordered += [l for l in levels if l not in ordered]
+    return _with_levels(td, cname, ordered)
+
+
+@verb
+def fct_lump(td: Tibble, col: Any, n: int | None = None, prop: float | None = None,
+             other_level: str = "Other") -> Tibble:
+    """Generic lump dispatcher (reference ``forcats.py:850``)."""
+    if n is not None:
+        return fct_lump_n(td, col, n, other_level=other_level)
+    if prop is not None:
+        return fct_lump_prop(td, col, prop, other_level=other_level)
+    return fct_lump_lowfreq(td, col, other_level=other_level)
+
+
+@verb
+def fct_lump_lowfreq(td: Tibble, col: Any, other_level: str = "Other") -> Tibble:
+    """Lump the least-frequent levels while 'Other' stays the smallest
+    level (reference ``forcats.py:1048``)."""
+    cname = _name_of(col)
+    counts = (
+        td.df.filter(F.col(cname).isNotNull())
+        .groupBy(cname)
+        .count()
+        .orderBy(F.col("count").desc(), F.col(cname).asc())
+        .collect()
+    )
+    vals = [(r[0], r[1]) for r in counts]
+    # forcats lump_cutoff: walking counts in descending order, keep
+    # levels until one exceeds the total of everything after it — the
+    # lumped remainder is then guaranteed smaller than every kept level
+    left = sum(c for _, c in vals)
+    keep_n = len(vals)
+    for i, (_, c) in enumerate(vals):
+        left -= c
+        if c > left:
+            keep_n = i + 1
+            break
+    keep = [v for v, _ in vals[:keep_n]]
+    return _lump(td, cname, lambda c: c.filter(F.col(cname).isin(keep)).select(cname), other_level)
+
+
+@verb
+def fct_match(td: Tibble, col: Any, lvls: list[str]) -> Tibble:
+    """Boolean column ``__fct_match__``: is the value in lvls (errors on
+    unknown levels, reference ``forcats.py:1458``)."""
+    cname = _name_of(col)
+    levels = td.levels.get(cname, _observed_levels(td, cname))
+    unknown = [l for l in lvls if l not in levels]
+    if unknown:
+        raise ValueError(f"levels not present in factor: {unknown}")
+    return td.with_df(
+        td.df.withColumn("__fct_match__", F.col(cname).isin(list(lvls)))
+    )
+
+
+def fct_unify(tds: list[Tibble], col: Any) -> list[Tibble]:
+    """Give every tibble the union of levels (reference ``forcats.py:1221``)."""
+    cname = _name_of(col)
+    union = lvls_union(tds, col)
+    return [_with_levels(t, cname, list(union)) for t in tds]
+
+
+@verb
+def as_factor(td: Tibble, col: Any) -> Tibble:
+    return factor_(td, col)
+
+
+@verb
+def as_ordered(td: Tibble, col: Any) -> Tibble:
+    return factor_(td, col)
+
+
+@verb
+def set_levels(td: Tibble, col: Any, levels: list[str]) -> Tibble:
+    cname = _name_of(col)
+    return _with_levels(td, cname, list(levels))
+
 
 @verb
 def fct_count(td: Tibble, col: Any, sort: bool = False, prop: bool = False) -> Tibble:
