@@ -1,0 +1,94 @@
+"""Physical-plan regression guards — scale properties that silently
+break (pushdown past the lazy order column, schema pruning, broadcast
+selection, hidden-column leakage) get locked in here."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from datar_polars_spark import (
+    f,
+    read_parquet,
+    select,
+    filter_,
+    mutate,
+    group_by,
+    summarise,
+    inner_join,
+    slice_max,
+)
+from datar_polars_spark.functions import sum_, n
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(td) -> str:
+    return td.df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_survives_lazy_order(spark):
+    """The hidden order column must stay lazy: a filtered scan shows a
+    non-empty PushedFilters (materializing monotonically_increasing_id
+    before the filter would block pushdown)."""
+    td = (
+        read_parquet(spark, f"{SF}/lineitem.parquet")
+        >> filter_(f.l_quantity > 40)
+        >> select(f.l_orderkey, f.l_quantity)
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", _plan(td))
+    assert m and "GreaterThan(l_quantity,40.0)" in m.group(1)
+
+
+def test_projection_prunes_scan(spark):
+    td = read_parquet(spark, f"{SF}/lineitem.parquet") >> select(
+        f.l_orderkey, f.l_quantity
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", _plan(td))
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_quantity"}
+
+
+def test_small_dim_join_broadcasts(spark):
+    o = read_parquet(spark, f"{SF}/orders.parquet")
+    c = read_parquet(spark, f"{SF}/customer.parquet")
+    td = o >> inner_join(c, by={"o_custkey": "c_custkey"})
+    assert "BroadcastHashJoin" in _plan(td)
+
+
+def test_join_carries_no_hidden_columns(spark):
+    o = read_parquet(spark, f"{SF}/orders.parquet")
+    c = read_parquet(spark, f"{SF}/customer.parquet")
+    td = o >> inner_join(c, by={"o_custkey": "c_custkey"})
+    assert not [col for col in td.df.columns if col.startswith("__datar_") and td.df.columns.count(col) > 1]
+    assert not [col for col in td.columns if col.startswith("__datar_")]
+
+
+def test_grouped_agg_is_partial(spark):
+    """groupBy compiles to partial (map-side) + final aggregation."""
+    td = (
+        read_parquet(spark, f"{SF}/lineitem.parquet")
+        >> group_by(f.l_returnflag)
+        >> summarise(s=sum_(f.l_quantity, na_rm=True), c=n())
+    )
+    plan = _plan(td)
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    """slice_max compiles to a rank window that Spark 4 executes with
+    map-side WindowGroupLimit (partial top-k before the shuffle)."""
+    td = (
+        read_parquet(spark, f"{SF}/orders.parquet")
+        >> group_by(f.o_orderpriority)
+        >> slice_max(f.o_totalprice, n=3)
+    )
+    assert "WindowGroupLimit" in _plan(td)
+
+
+def test_mutate_arithmetic_no_python_udf(spark):
+    td = read_parquet(spark, f"{SF}/lineitem.parquet") >> mutate(
+        v=f.l_extendedprice * (1 - f.l_discount)
+    )
+    plan = _plan(td)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
