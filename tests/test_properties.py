@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis): the row-order discipline and core
+verb semantics hold for arbitrary small frames, with pandas as oracle.
+The reference has no property tests — this locks in the engine's one
+custom invariant (SURVEY §1.4) harder than example tests can."""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datar_polars_spark import (
+    f,
+    tibble,
+    arrange,
+    mutate,
+    filter_,
+    group_by,
+    summarise,
+    slice_,
+    distinct,
+    desc,
+)
+from datar_polars_spark.functions import lag, lead, cumsum, row_number, sum_
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+vals = st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=12)
+
+
+@given(xs=vals)
+@SET
+def test_arrange_matches_pandas_stable_sort(spark, xs):
+    td = tibble(spark, x=xs, i=list(range(len(xs))))
+    got = (td >> arrange(f.x)).collect()
+    exp = pd.DataFrame({"x": xs, "i": range(len(xs))}).sort_values(
+        "x", kind="stable"
+    )
+    assert got["x"].tolist() == exp["x"].tolist()
+    assert got["i"].tolist() == exp["i"].tolist()  # stability
+
+
+@given(xs=vals)
+@SET
+def test_lead_lag_frame_order(spark, xs):
+    td = tibble(spark, x=xs)
+    got = (td >> mutate(l1=lag(f.x), n1=lead(f.x))).collect()
+    assert got["x"].tolist() == xs
+    exp_lag = [None] + xs[:-1]
+    exp_lead = xs[1:] + [None]
+    assert [None if pd.isna(v) else int(v) for v in got["l1"]] == exp_lag
+    assert [None if pd.isna(v) else int(v) for v in got["n1"]] == exp_lead
+
+
+@given(xs=vals)
+@SET
+def test_cumsum_frame_order(spark, xs):
+    td = tibble(spark, x=xs)
+    got = (td >> mutate(cs=cumsum(f.x))).collect()
+    run, exp = 0, []
+    for v in xs:
+        run += v
+        exp.append(run)
+    assert got["cs"].tolist() == exp
+
+
+@given(xs=vals, g=st.lists(st.sampled_from("ab"), min_size=1, max_size=12))
+@SET
+def test_grouped_sum_matches_pandas(spark, xs, g):
+    n = min(len(xs), len(g))
+    xs, g = xs[:n], g[:n]
+    td = tibble(spark, g=g, x=xs)
+    got = (td >> group_by(f.g) >> summarise(s=sum_(f.x, na_rm=True))).collect()
+    exp = pd.DataFrame({"g": g, "x": xs}).groupby("g")["x"].sum()
+    assert dict(zip(got["g"], got["s"])) == exp.to_dict()
+
+
+@given(xs=vals)
+@SET
+def test_filter_then_row_number_compacts(spark, xs):
+    td = tibble(spark, x=xs)
+    got = (td >> filter_(f.x > 0) >> mutate(rn=row_number())).collect()
+    kept = [v for v in xs if v > 0]
+    assert got["x"].tolist() == kept
+    assert got["rn"].tolist() == list(range(1, len(kept) + 1))
+
+
+@given(xs=vals)
+@SET
+def test_slice_positions(spark, xs):
+    td = tibble(spark, x=xs)
+    take = [1, min(3, len(xs))]
+    got = (td >> slice_(*take)).collect()
+    exp = [xs[i - 1] for i in dict.fromkeys(take)]
+    assert got["x"].tolist() == exp
+
+
+@given(xs=vals)
+@SET
+def test_distinct_keeps_first_seen_order(spark, xs):
+    td = tibble(spark, x=xs)
+    got = (td >> distinct(f.x)).collect()
+    assert got["x"].tolist() == list(dict.fromkeys(xs))
+
+
+@given(xs=vals)
+@SET
+def test_arrange_desc_then_asc_roundtrip(spark, xs):
+    td = tibble(spark, x=xs)
+    got = (td >> arrange(desc(f.x)) >> arrange(f.x)).collect()
+    assert got["x"].tolist() == sorted(xs)
