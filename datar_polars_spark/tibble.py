@@ -176,13 +176,21 @@ def ensure_tibble(data: Any) -> Tibble:
 def from_pandas(spark: SparkSession, pdf) -> Tibble:
     """pandas NaN in object/float columns becomes a true Spark null —
     pandas uses NaN as its missing marker, and the reference treats NaN
-    as NA anyway (``api/tidyr.py:78-101``)."""
+    as NA anyway (``api/tidyr.py:78-101``). All-null columns (untyped
+    NA vectors, reference ``api/dplyr/join.py:95-100``) default to
+    double — Spark can't infer a type from pure nulls."""
     import pandas as pd
+    from pyspark.sql import functions as F
 
     pdf = pdf.copy()
+    all_null = [c for c in pdf.columns if pdf[c].isna().all()]
     pdf[ORDER_COL] = range(len(pdf))
     pdf = pdf.astype(object).where(pd.notnull(pdf), None)
-    return Tibble(spark.createDataFrame(pdf))
+    df = spark.createDataFrame(pdf.drop(columns=all_null))
+    for c in all_null:
+        df = df.withColumn(c, F.lit(None).cast("double"))
+    order = [c for c in pdf.columns if c != ORDER_COL] + [ORDER_COL]
+    return Tibble(df.select(*order))
 
 
 def tibble(spark: SparkSession = None, /, **columns) -> Tibble:
