@@ -774,6 +774,30 @@ def q47_row_stats(spark, sf):
     return _finish(out)
 
 
+def q48_stream_windowed(spark, sf):
+    """Covers: Structured Streaming — watermarked 1-day tumbling window
+    aggregation over a file stream, drained with availableNow. The
+    result is hash-compared to the batch SQL oracle, proving the
+    streaming plan computes the same answer as batch."""
+    from datar_polars_spark.functions import n as n_
+    from datar_polars_spark.streaming import (
+        run_to_memory,
+        stream_read_parquet,
+        windowed_agg,
+    )
+    from pyspark.sql import functions as F
+
+    s = stream_read_parquet(spark, f"{sf}/events.parquet")
+    out = windowed_agg(
+        s, f.ts, f.event_type, window="1 day", watermark="1 day",
+        n_events=n_(), total=sum_(f.value, na_rm=True),
+    )
+    pdf = run_to_memory(out, mode="complete")
+    pdf["day"] = pdf["window_start"].astype(str).str.slice(0, 10)
+    pdf["total"] = pdf["total"].round(4)
+    return spark.createDataFrame(pdf[["day", "event_type", "n_events", "total"]])
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -830,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_duplicated": q45_duplicated,
         "q46_fct_collapse": q46_fct_collapse,
         "q47_row_stats": q47_row_stats,
+        "q48_stream_windowed": q48_stream_windowed,
     }
 
 
@@ -1184,5 +1209,11 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(p_retailprice + p_size, 4) AS rs,
                    ROUND((p_retailprice + p_size) / 2, 4) AS rm
             FROM part WHERE ROUND(p_retailprice + p_size, 4) > 990
+        """,
+        "q48_stream_windowed": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS total
+            FROM events GROUP BY 1, 2
         """,
     }
