@@ -798,6 +798,30 @@ def q48_stream_windowed(spark, sf):
     return spark.createDataFrame(pdf[["day", "event_type", "n_events", "total"]])
 
 
+def q49_ngram_jaccard(spark, sf):
+    """Covers: n-gram Jaccard near-dup pair mining (exact set overlap
+    on word shingles). Not SQL-expressible -> rows-only check."""
+    from datar_polars_spark.scale.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    out = ngram_jaccard_pairs(d, f.text, f.doc_id, n=3, threshold=0.3)
+    from pyspark.sql import functions as F
+
+    return out.df.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q50_embedding_dedup(spark, sf):
+    """Covers: embedding-cosine near-duplicate removal (sign-LSH
+    bucketing + exact verify). Not SQL-expressible -> rows-only check."""
+    from datar_polars_spark.scale.dedup import embedding_dedup
+
+    e = _t(spark, sf, "embeddings")
+    out = embedding_dedup(e, f.embedding, f.vec_id, threshold=0.95)
+    return out.df.select("vec_id")
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -855,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_fct_collapse": q46_fct_collapse,
         "q47_row_stats": q47_row_stats,
         "q48_stream_windowed": q48_stream_windowed,
+        "q49_ngram_jaccard": q49_ngram_jaccard,
+        "q50_embedding_dedup": q50_embedding_dedup,
     }
 
 
