@@ -8,6 +8,16 @@ returns an unevaluated Call node that verbs compile to a Spark Column.
 from __future__ import annotations
 
 from . import aggregates, conditional, math, special, strings, types, vectors, window  # noqa: F401
+from .rbase import (  # noqa: F401
+    seq,
+    seq_len,
+    rep,
+    rev_list,
+    sort_list,
+    order_list,
+    sample_list,
+    set_seed,
+)
 from . import across as _across_mod  # noqa: F401
 from .across import Across, across  # noqa: F401
 from .registry import REGISTRY, builder
@@ -52,6 +62,8 @@ _EXPORT = {
     "digamma", "trigamma", "bessel_i", "bessel_j", "bessel_k", "bessel_y",
     # ordering sugar
     "with_order", "order_by",
+    # context data
+    "cur_data",
 }
 
 globals().update({name: builder(name) for name in _EXPORT if name in REGISTRY})
@@ -61,4 +73,9 @@ for name in _EXPORT - set(REGISTRY):
     if base in REGISTRY:
         globals()[name] = builder(base)
 
-__all__ = sorted(_EXPORT | {"across", "Across"})
+__all__ = sorted(
+    _EXPORT
+    | {"across", "Across"}
+    | {"seq", "seq_len", "rep", "rev_list", "sort_list", "order_list",
+       "sample_list", "set_seed"}
+)

@@ -1,0 +1,98 @@
+"""R-base vector constructors — driver-side list helpers.
+
+Reference: ``api/base/seq.py`` (seq:473, seq_len:58, seq_along:39,
+rep:78, rev:146, sort:297, order:378, sample:160). These build plain
+Python lists for use in ``tibble()`` / ``add_column()`` / verb
+parameters; the distributed analogues are ``F.sequence`` + explode
+(used by ``uncount``/``full_seq``) and the window functions in
+``vectors.py`` (rev/seq_along as expressions).
+"""
+
+from __future__ import annotations
+
+import random as _random
+from typing import Any, Iterable
+
+__all__ = [
+    "seq",
+    "seq_len",
+    "rep",
+    "rev_list",
+    "sort_list",
+    "order_list",
+    "sample_list",
+    "set_seed",
+]
+
+_rng = _random.Random()
+
+
+def set_seed(seed: int) -> None:
+    _rng.seed(seed)
+
+
+def seq(from_: float = 1, to: float | None = None, by: float | None = None,
+        length_out: int | None = None) -> list:
+    """R seq(): from/to/by or from/to/length_out (1-based inclusive)."""
+    if to is None:
+        from_, to = 1, from_
+    if length_out is not None:
+        if length_out == 1:
+            return [from_]
+        by = (to - from_) / (length_out - 1)
+        return [from_ + i * by for i in range(length_out)]
+    if by is None:
+        by = 1 if to >= from_ else -1
+    out, v, i = [], from_, 0
+    while (by > 0 and v <= to + 1e-12) or (by < 0 and v >= to - 1e-12):
+        out.append(v)
+        i += 1
+        v = from_ + i * by
+    if all(float(x).is_integer() for x in out):
+        return [int(x) for x in out]
+    return out
+
+
+def seq_len(n: int) -> list[int]:
+    return list(range(1, n + 1))
+
+
+def rep(x: Any, times: int | list[int] = 1, each: int = 1) -> list:
+    """R rep(): recycle a value/vector `times` times, each element
+    repeated `each` times; vector `times` repeats element-wise."""
+    xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+    xs = [v for v in xs for _ in range(each)]
+    if isinstance(times, (list, tuple)):
+        if len(times) != len(xs):
+            raise ValueError("times vector must match length of x")
+        return [v for v, t in zip(xs, times) for _ in range(t)]
+    return xs * times
+
+
+def rev_list(x: Iterable) -> list:
+    return list(x)[::-1]
+
+
+def sort_list(x: Iterable, decreasing: bool = False) -> list:
+    xs = [v for v in x if v is not None]
+    return sorted(xs, reverse=decreasing)
+
+
+def order_list(x: Iterable, decreasing: bool = False) -> list[int]:
+    """1-based argsort (R order())."""
+    xs = list(x)
+    idx = sorted(range(len(xs)), key=lambda i: (xs[i] is None, xs[i]),
+                 reverse=decreasing)
+    return [i + 1 for i in idx]
+
+
+def sample_list(x: Iterable | int, size: int | None = None,
+                replace: bool = False, seed: int | None = None) -> list:
+    """R sample(): from a vector or 1..n."""
+    rng = _random.Random(seed) if seed is not None else _rng
+    xs = list(range(1, x + 1)) if isinstance(x, int) else list(x)
+    if size is None:
+        size = len(xs)
+    if replace:
+        return [rng.choice(xs) for _ in range(size)]
+    return rng.sample(xs, size)

@@ -105,6 +105,20 @@ def _row_maxs(ctx, *xs):
     return F.greatest(*[_nn(ctx, x) for x in xs])
 
 
+@register("cur_data")
+def _cur_data(ctx):
+    """Per-group sub-frame as an array of structs (the reference's
+    Object-column escape hatch re-expressed, SURVEY §1.1c):
+    ``collect_list(struct(non-group cols)).over(partition)``."""
+    cols = [c for c in ctx.tibble.columns if c not in ctx.groups]
+    w = (
+        ctx.partition()
+        .orderBy(F.col(ORDER_COL).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return F.collect_list(F.struct(*[F.col(c) for c in cols])).over(w)
+
+
 # ---- grouping-context functions -------------------------------------------
 
 @register("cur_group")
@@ -135,3 +149,8 @@ def _n_groups_expr(ctx):
 
 
 NEEDS_ORDER.update({"rev", "duplicated", "seq_along"})
+
+
+# cur_data() collects whole-group structs — harmless unordered, but
+# order it by frame order for deterministic list contents
+NEEDS_ORDER.add("cur_data")
