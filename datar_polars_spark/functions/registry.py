@@ -82,6 +82,18 @@ def tree_needs_order(node) -> bool:
     return False
 
 
+# functions that can return multiple values per group in summarise
+# (reference `_MultiValueExpr`, summarise.py:61-64): the verb explodes
+# their array results post-aggregation
+def tree_is_multi_value(node) -> bool:
+    if not isinstance(node, Call):
+        return False
+    if node._fname == "quantile":
+        probs = node._kwargs.get("probs", node._args[1] if len(node._args) > 1 else None)
+        return isinstance(probs, (list, tuple))
+    return False
+
+
 def builder(name: str) -> Callable:
     """User-facing callable that captures a deferred Call node."""
 

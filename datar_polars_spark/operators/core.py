@@ -381,6 +381,22 @@ def summarise(td: Tibble, *args: Any, _groups: str | None = None, **kwargs: Any)
     else:
         out = td.df.groupBy().agg(*agg_cols)
 
+    # multi-value results (e.g. quantile with a probs list) come back as
+    # arrays; explode them to rows post-agg, zipped together when several
+    # (reference summarise.py:61-64,240-247 `_MultiValueExpr`)
+    from ..functions.registry import tree_is_multi_value
+
+    multi = [name for name, node in items if tree_is_multi_value(node)]
+    if multi:
+        if len(multi) == 1:
+            out = out.withColumn(multi[0], F.explode(F.col(multi[0])))
+        else:
+            zipped = F.explode(F.arrays_zip(*[F.col(m) for m in multi]))
+            out = out.withColumn("__mv__", zipped)
+            for m in multi:
+                out = out.withColumn(m, F.col(f"__mv__.{m}"))
+            out = out.drop("__mv__")
+
     result = Tibble(out, groups=(), levels=td.levels)
     if deferred:
         post_ctx = EvalContext(result, "eval")
