@@ -323,7 +323,9 @@ def group_by(td: Tibble, *args: Any, _add: bool = False, _drop: bool = True, **k
     names = [a._name if isinstance(a, Ref) else str(a) for a in args]
     names += list(kwargs.keys())
     groups = list(td.group_vars) + [n for n in names if n not in td.group_vars] if _add else names
-    return Tibble(td.df, groups=groups, rowwise=False, levels=td.levels)
+    return Tibble(
+        td.df, groups=groups, rowwise=False, levels=td.levels, group_drop=_drop
+    )
 
 
 @verb
@@ -378,6 +380,8 @@ def summarise(td: Tibble, *args: Any, _groups: str | None = None, **kwargs: Any)
         # maintain_order=True analogue: carry first-seen order per group
         order_aggs = [F.min(ORDER_COL).alias(ORDER_COL)] if td.has_order else []
         out = td.df.groupBy(*gvars).agg(*agg_cols, *order_aggs)
+        if not td.group_drop and any(g in td.levels for g in gvars):
+            out = _expand_unused_levels(td, out, gvars)
     else:
         out = td.df.groupBy().agg(*agg_cols)
 
@@ -528,6 +532,8 @@ def tally(td: Tibble, wt: Any = None, sort: bool = False, name: str | None = Non
     if gvars:
         order_aggs = [F.min(ORDER_COL).alias(ORDER_COL)] if td.has_order else []
         df = td.df.groupBy(*gvars).agg(agg.alias(nm), *order_aggs)
+        if not td.group_drop and any(g in td.levels for g in gvars):
+            df = _expand_unused_levels(td, df, gvars, fill={nm: 0})
     else:
         df = td.df.groupBy().agg(agg.alias(nm))
     out = Tibble(df, groups=gvars[:-1], levels=td.levels)
@@ -562,6 +568,25 @@ def add_tally(td: Tibble, wt: Any = None, sort: bool = False, name: str | None =
 # --------------------------------------------------------------------------
 # slice family (reference api/dplyr/slice_.py)
 # --------------------------------------------------------------------------
+
+def _expand_unused_levels(td: Tibble, agg_df, gvars: list[str], fill: dict | None = None):
+    """group_by(_drop=False): right-join the aggregate onto the full
+    level grid so unused factor levels appear as (empty) groups
+    (reference group_data.py:84-100 — cross-join of per-var level
+    frames; the grid is tiny, Spark broadcasts it)."""
+    spark = agg_df.sparkSession
+    grid = None
+    for g in gvars:
+        if g in td.levels:
+            part = spark.createDataFrame([(l,) for l in td.levels[g]], [g])
+        else:
+            part = td.df.select(g).distinct()
+        grid = part if grid is None else grid.crossJoin(part)
+    out = grid.join(agg_df, gvars, "left")
+    if fill:
+        out = out.fillna(fill)
+    return out
+
 
 def _group_window(td: Tibble) -> Window:
     if td.group_vars:

@@ -46,6 +46,7 @@ class Tibble:
         rowwise: bool = False,
         levels: dict[str, list] | None = None,
         sorted_by: tuple | None = None,
+        group_drop: bool = True,
     ):
         # NOTE: the order column is LAZY — assigned only when an
         # order-sensitive operation first needs it. Materializing it at
@@ -57,6 +58,8 @@ class Tibble:
         # factor levels per column (SURVEY §1.1: Spark has no categorical
         # dtype -> string column + levels list in metadata)
         self.levels: dict[str, list] = dict(levels or {})
+        # group_by(_drop=False): keep unused factor levels as empty groups
+        self.group_drop: bool = group_drop
 
     # ---- basic accessors -------------------------------------------------
     @property
@@ -101,6 +104,7 @@ class Tibble:
             groups=new_groups,
             rowwise=self.rowwise if rowwise is None else rowwise,
             levels=lv,
+            group_drop=self.group_drop,
         )
 
     # ---- order helpers ----------------------------------------------------
@@ -130,7 +134,9 @@ class Tibble:
         """Materialize to pandas in frame order, hidden columns dropped."""
         d = self._df
         if self.has_order:
-            d = d.orderBy(F.col(ORDER_COL).asc())
+            # nulls last: synthetic rows (e.g. _drop=False empty groups)
+            # sort after real data
+            d = d.orderBy(F.col(ORDER_COL).asc_nulls_last())
         return d.select(*self.columns).toPandas()
 
     def rows(self) -> list[tuple]:

@@ -99,3 +99,23 @@ def test_fct_match_and_set_levels(spark):
         fct_match(td, f.x, ["z"])
     td2 = set_levels(td, f.x, ["c", "b", "a"])
     assert levels_(td2, f.x) == ["c", "b", "a"]
+
+
+def test_group_by_drop_false_keeps_unused_levels(spark):
+    from datar_polars_spark import fct_expand, group_by, count, summarise
+    from datar_polars_spark.functions import sum_
+
+    td = (
+        tibble(spark, x=["a", "a", "b"], v=[1.0, 2.0, 3.0])
+        >> factor_(f.x)
+        >> fct_expand(f.x, "c")
+    )
+    out = (td >> group_by(f.x, _drop=False) >> count()).collect().sort_values("x")
+    assert out.values.tolist() == [["a", 2], ["b", 1], ["c", 0]]
+    s = (td >> group_by(f.x, _drop=False) >> summarise(s=sum_(f.v, na_rm=True)))
+    got = s.collect().sort_values("x")
+    assert got["x"].tolist() == ["a", "b", "c"]
+    assert got["s"].isna().tolist() == [False, False, True]
+    # default drops unused levels
+    d = (td >> group_by(f.x) >> count()).collect()
+    assert sorted(d["x"].tolist()) == ["a", "b"]
