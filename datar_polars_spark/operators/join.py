@@ -27,6 +27,7 @@ __all__ = [
     "anti_join",
     "cross_join",
     "nest_join",
+    "salted_join",
 ]
 
 _Y_ORDER = "__datar_ro_y__"
@@ -183,6 +184,35 @@ def cross_join(x, y, suffix=("_x", "_y")):
 
 
 @verb2
+def salted_join(
+    x, y, by, how: str = "inner", salt: int = 16, suffix=("_x", "_y")
+):
+    """Skew-mitigated equi-join: salt the skewed (left) side's key into
+    ``salt`` sub-keys and replicate the right side once per salt value,
+    so one hot key spreads over ``salt`` reducers instead of one.
+
+    Use when AQE's skew-join split isn't enough (e.g. a single key
+    holding >10% of rows). ``by`` must be a dict {left_key: right_key}
+    or a shared column name. The salt columns never escape the join.
+    """
+    from pyspark.sql import functions as F
+
+    from ..tibble import ensure_tibble
+
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    left_on, right_on = _resolve_by(x, y, by)
+    xd = x.df.withColumn("__salt__", (F.rand(42) * salt).cast("int"))
+    yd = y.df.crossJoin(
+        y.df.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt__"))
+    )
+    xdf, ydf, _ = _prep_sides(
+        x.with_df(xd), y.with_df(yd),
+        left_on + ["__salt__"], right_on + ["__salt__"], suffix, keep=False,
+    )
+    out = xdf.join(ydf, left_on + ["__salt__"], how).drop("__salt__", _Y_ORDER)
+    return Tibble(out)
+
+
 def nest_join(x, y, by=None, name: str | None = None):
     """Left row × matching right rows nested as array<struct> — the
     distributed re-expression of the reference's driver loop

@@ -92,3 +92,17 @@ def test_mutate_arithmetic_no_python_udf(spark):
     )
     plan = _plan(td)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from datar_polars_spark import inner_join
+    from datar_polars_spark.operators.join import salted_join
+
+    o = read_parquet(spark, f"{SF}/orders.parquet")
+    c = read_parquet(spark, f"{SF}/customer.parquet")
+    plain = (o >> inner_join(c, by={"o_custkey": "c_custkey"})).df
+    salted = salted_join(o, c, by={"o_custkey": "c_custkey"}, salt=8).df
+    cols = ["o_orderkey", "o_custkey", "c_name"]
+    a = sorted(tuple(r) for r in plain.select(*cols).collect())
+    b = sorted(tuple(r) for r in salted.select(*cols).collect())
+    assert a == b
