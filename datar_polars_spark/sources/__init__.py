@@ -99,3 +99,37 @@ def write_parquet(td: Tibble, path: str, mode: str = "overwrite", partition_by=N
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, Tibble]:
     """Load the driver's TPC-H-ish tables (TESTDATA.md)."""
     return {n: read_parquet(spark, f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def write_bucketed(
+    td: Tibble,
+    table: str,
+    bucket_by: list[str] | str,
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed catalog table: rows hash-partitioned into
+    ``n_buckets`` files by the bucket keys at write time. Joins and
+    aggregations on the bucket keys between co-bucketed tables then run
+    WITHOUT a shuffle — the big-join co-location strategy at 100 TB
+    (pay the shuffle once at ingest, never again)."""
+    if isinstance(bucket_by, str):
+        bucket_by = [bucket_by]
+    w = (
+        td.df.select(*td.columns)
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_by)
+    )
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> Tibble:
+    """Read a catalog table (bucketed metadata preserved)."""
+    return Tibble(spark.table(table))

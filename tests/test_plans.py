@@ -106,3 +106,30 @@ def test_salted_join_matches_plain_join(spark):
     a = sorted(tuple(r) for r in plain.select(*cols).collect())
     b = sorted(tuple(r) for r in salted.select(*cols).collect())
     assert a == b
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from datar_polars_spark import rename
+    from datar_polars_spark.sources import write_bucketed, read_table
+
+    o = read_parquet(spark, f"{SF}/orders.parquet")
+    c = read_parquet(spark, f"{SF}/customer.parquet")
+    write_bucketed(o, "orders_b", "o_custkey", 8, path=str(tmp_path / "o"))
+    write_bucketed(
+        c >> rename(o_custkey=f.c_custkey), "customer_b", "o_custkey", 8,
+        path=str(tmp_path / "c"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_table(spark, "orders_b") >> inner_join(
+            read_table(spark, "customer_b"), by="o_custkey"
+        )
+        plan = _plan(j)
+        assert j.nrow() == o.nrow()
+        # co-bucketed scan: the join needs no Exchange at all
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
