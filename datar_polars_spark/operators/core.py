@@ -385,12 +385,17 @@ def summarise(td: Tibble, *args: Any, _groups: str | None = None, **kwargs: Any)
     else:
         out = td.df.groupBy().agg(*agg_cols)
 
-    # multi-value results (e.g. quantile with a probs list) come back as
-    # arrays; explode them to rows post-agg, zipped together when several
-    # (reference summarise.py:61-64,240-247 `_MultiValueExpr`)
+    # multi-value results (e.g. quantile with a probs list, or literal
+    # vectors like prob=c(0.25, 0.75)) come back as arrays; explode them
+    # to rows post-agg, zipped together when several (reference
+    # summarise.py:61-64,240-247 `_MultiValueExpr`)
     from ..functions.registry import tree_is_multi_value
 
-    multi = [name for name, node in items if tree_is_multi_value(node)]
+    multi = [
+        name
+        for name, node in items
+        if tree_is_multi_value(node) or isinstance(node, (list, tuple))
+    ]
     if multi:
         if len(multi) == 1:
             out = out.withColumn(multi[0], F.explode(F.col(multi[0])))
@@ -409,6 +414,13 @@ def summarise(td: Tibble, *args: Any, _groups: str | None = None, **kwargs: Any)
             col = eval_expr(node, post_ctx)
             df = df.withColumn(name, col if isinstance(col, Column) else F.lit(col))
         result = result.with_df(df)
+
+    # leading-underscore names are temp variables: computable, reusable
+    # by later expressions, excluded from the output (reference
+    # tests/dplyr/test_summarise.py:123-130)
+    temps = [name for name, _ in items if name.startswith("_")]
+    if temps:
+        result = result.with_df(result.df.drop(*temps))
 
     # _groups protocol, default drop_last (reference summarise.py:277-302)
     if _groups in (None, "drop_last"):
