@@ -74,6 +74,7 @@ from datar_polars_spark.functions import (
     as_double,
     as_integer,
     consecutive_id,
+    abs_,
 )
 
 
@@ -822,6 +823,43 @@ def q50_embedding_dedup(spark, sf):
     return out.df.select("vec_id")
 
 
+def q51_sessionize(spark, sf):
+    """Covers: batch sessionization (gap-based session ids via lag +
+    running sum — one shuffle, no UDF) + per-session stats."""
+    from datar_polars_spark.scale import session_stats
+
+    e = _t(spark, sf, "events")
+    out = (
+        session_stats(e, f.ts, f.user_id, gap_seconds=1800)
+        >> group_by(f.user_id)
+        >> summarise(
+            n_sessions=max_(f.session_id, na_rm=True),
+            total_events=sum_(f.n_events, na_rm=True),
+        )
+    )
+    return _finish(out)
+
+
+def q52_approx_sketches(spark, sf):
+    """Covers: sketch aggregates (HyperLogLog++ distinct counts). The
+    estimate is checked against the exact count within the sketch's
+    rsd bound; the oracle sees the exact count + the always-true flag."""
+    li = _t(spark, sf, "lineitem")
+    from datar_polars_spark.functions.registry import builder
+
+    approx_n_distinct = builder("approx_n_distinct")
+    out = (
+        li
+        >> group_by(f.l_returnflag)
+        >> summarise(
+            _est=approx_n_distinct(f.l_partkey, rsd=0.02),
+            nd=n_distinct(f.l_partkey),
+            within_bounds=abs_((f._est - f.nd) / f.nd) < 0.06,
+        )
+    )
+    return _finish(out)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -881,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_stream_windowed": q48_stream_windowed,
         "q49_ngram_jaccard": q49_ngram_jaccard,
         "q50_embedding_dedup": q50_embedding_dedup,
+        "q51_sessionize": q51_sessionize,
+        "q52_approx_sketches": q52_approx_sketches,
     }
 
 
@@ -1241,5 +1281,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS total
             FROM events GROUP BY 1, 2
+        """,
+        "q51_sessionize": """
+            WITH gaps AS (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts)) > 1800
+                              OR LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS total_events
+            FROM gaps GROUP BY user_id
+        """,
+        "q52_approx_sketches": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS nd,
+                   TRUE AS within_bounds
+            FROM lineitem GROUP BY l_returnflag
         """,
     }

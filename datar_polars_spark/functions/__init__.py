@@ -64,6 +64,8 @@ _EXPORT = {
     "with_order", "order_by",
     # context data
     "cur_data",
+    # sketch aggregates (scale path)
+    "approx_n_distinct", "approx_quantile",
 }
 
 globals().update({name: builder(name) for name in _EXPORT if name in REGISTRY})

@@ -122,6 +122,20 @@ def _n(ctx):
     return ctx.agg(F.count(F.lit(1)))
 
 
+@register("approx_n_distinct")
+def _approx_n_distinct(ctx, x, rsd: float = 0.05):
+    """HyperLogLog++ distinct-count sketch — the 100 TB alternative to
+    exact n_distinct (no per-key state, fixed memory)."""
+    return ctx.agg(F.approx_count_distinct(ctx.col(x), rsd))
+
+
+@register("approx_quantile")
+def _approx_quantile(ctx, x, probs=0.5, accuracy: int = 10000):
+    """Greenwald-Khanna sketch quantile — bounded memory at any scale;
+    exact `quantile` sorts the full group."""
+    return ctx.agg(F.percentile_approx(_nn(ctx, x), F.lit(probs), F.lit(accuracy)))
+
+
 @register("n_distinct")
 def _n_distinct(ctx, *xs, na_rm: bool = False):
     cols = [_nn(ctx, x) for x in xs]

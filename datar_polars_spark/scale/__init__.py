@@ -17,6 +17,7 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import cosine_topk, lsh_plan_buckets, lsh_topk  # noqa: F401
 from . import text  # noqa: F401 (registers text-analysis functions)
+from .sessions import sessionize_batch, session_stats  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_binary_metadata,
     decode_images,

@@ -191,7 +191,11 @@ def from_pandas(spark: SparkSession, pdf) -> Tibble:
     pdf = pdf.copy()
     all_null = [c for c in pdf.columns if pdf[c].isna().all()]
     pdf[ORDER_COL] = range(len(pdf))
-    pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+    for c in pdf.columns:
+        # datetime64 columns convert natively (NaT -> null); object-ifying
+        # them would leave pandas Timestamps Spark can't infer
+        if not str(pdf[c].dtype).startswith("datetime"):
+            pdf[c] = pdf[c].astype(object).where(pd.notnull(pdf[c]), None)
     df = spark.createDataFrame(pdf.drop(columns=all_null))
     for c in all_null:
         df = df.withColumn(c, F.lit(None).cast("double"))

@@ -128,3 +128,38 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(bins, "content", every_n=30)
     assert frames.df.count() >= 2
     assert "frame_idx" in frames.df.columns
+
+
+def test_sessionize_batch(spark):
+    import pandas as pd
+    from datar_polars_spark import f, from_pandas
+    from datar_polars_spark.scale import sessionize_batch, session_stats
+
+    pdf = pd.DataFrame({
+        "u": [1, 1, 1, 2],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:10:00",
+            "2024-01-01 02:00:00", "2024-01-01 00:00:00",
+        ]),
+    })
+    td = from_pandas(spark, pdf)
+    out = sessionize_batch(td, f.ts, f.u, gap_seconds=1800)
+    got = out.collect().sort_values(["u", "ts"])
+    assert got["session_id"].tolist() == [1, 1, 2, 1]
+    stats = session_stats(td, f.ts, f.u, gap_seconds=1800).collect()
+    assert len(stats) == 3
+    assert sorted(stats["n_events"].tolist()) == [1, 1, 2]
+
+
+def test_approx_sketches(spark):
+    from datar_polars_spark import f, tibble, summarise
+    from datar_polars_spark.functions import approx_n_distinct, approx_quantile
+
+    td = tibble(spark, x=list(range(1000)) + list(range(500)))
+    out = td >> summarise(
+        nd=approx_n_distinct(f.x, rsd=0.02),
+        q50=approx_quantile(f.x, probs=0.5),
+    )
+    got = out.collect()
+    assert abs(got["nd"][0] - 1000) / 1000 < 0.06
+    assert 300 <= got["q50"][0] <= 600
