@@ -13,7 +13,7 @@ so double inputs are normalized NaN->null before aggregating.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from ..plans.expr import Ref
@@ -198,7 +198,7 @@ def _first(ctx, x, order_by=None, default=None, na_rm: bool = False):
     else:
         w = ctx.ordered(order_by)
         res = F.first(col, ignorenulls=na_rm).over(
-            w.rowsBetween(-(1 << 62), (1 << 62))
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         )
     if default is not None:
         res = F.coalesce(res, ctx.col(default))
@@ -213,7 +213,7 @@ def _last(ctx, x, order_by=None, default=None, na_rm: bool = False):
     else:
         w = ctx.ordered(order_by)
         res = F.last(col, ignorenulls=na_rm).over(
-            w.rowsBetween(-(1 << 62), (1 << 62))
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         )
     if default is not None:
         res = F.coalesce(res, ctx.col(default))
@@ -229,7 +229,9 @@ def _nth(ctx, x, n, order_by=None, default=None):
         arr = F.collect_list(col)
     else:
         arr = F.collect_list(col).over(
-            ctx.ordered(order_by).rowsBetween(-(1 << 62), (1 << 62))
+            ctx.ordered(order_by).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
         )
     res = F.when(F.size(arr) > nval, F.element_at(arr, nval + 1))
     if default is not None:
