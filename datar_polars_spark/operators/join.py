@@ -54,39 +54,51 @@ def _prep_sides(x: Tibble, y: Tibble, left_on: list[str], right_on: list[str],
     ydf = y.df.withColumnRenamed(ORDER_COL, _Y_ORDER)
     # rename right keys to the left names so Spark's name-based `on`
     # coalesces key columns (dplyr default keep=False)
+    left_keys = list(left_on)
     if not keep:
         for lk, rk in zip(left_on, right_on):
             if rk != lk:
                 ydf = ydf.withColumnRenamed(rk, lk)
         right_keys = list(left_on)
     else:
-        right_keys = list(right_on)
+        # keep=True with equal names: both key columns survive, so
+        # suffix them like dplyr's k.x/k.y (reference join.py:62-73)
+        left_keys, right_keys = [], []
+        for lk, rk in zip(left_on, right_on):
+            if rk == lk:
+                xdf = xdf.withColumnRenamed(lk, lk + suffix[0])
+                ydf = ydf.withColumnRenamed(rk, rk + suffix[1])
+                left_keys.append(lk + suffix[0])
+                right_keys.append(rk + suffix[1])
+            else:
+                left_keys.append(lk)
+                right_keys.append(rk)
     # suffix non-key clashes (reference join.py:62-73)
-    xkeys = set(left_on)
+    xkeys = set(left_keys)
     ykeys = set(right_keys)
-    xcols = [c for c in x.columns]
+    xcols = [c for c in xdf.columns if not c.startswith("__datar_")]
     ycols = [c for c in ydf.columns if not c.startswith("__datar_")]
     clashes = (set(xcols) - xkeys) & (set(ycols) - ykeys)
     for c in clashes:
         xdf = xdf.withColumnRenamed(c, c + suffix[0])
         ydf = ydf.withColumnRenamed(c, c + suffix[1])
-    return xdf, ydf, right_keys
+    return xdf, ydf, left_keys, right_keys
 
 
 def _join(x: Any, y: Any, by: Any, how: str, suffix=("_x", "_y"), keep: bool = False) -> Tibble:
     x = ensure_tibble(x)
     y = ensure_tibble(y)
     left_on, right_on = _resolve_by(x, y, by)
-    xdf, ydf, right_keys = _prep_sides(x, y, left_on, right_on, suffix, keep)
+    xdf, ydf, left_keys, right_keys = _prep_sides(x, y, left_on, right_on, suffix, keep)
 
     if keep:
         cond = None
-        for lk, rk in zip(left_on, right_keys):
+        for lk, rk in zip(left_keys, right_keys):
             c = xdf[lk] == ydf[rk]
             cond = c if cond is None else (cond & c)
         out = xdf.join(ydf, on=cond, how=how)
     else:
-        out = xdf.join(ydf, on=left_on, how=how)
+        out = xdf.join(ydf, on=left_keys, how=how)
 
     # frame order: left order primary, right order tiebreak (reference
     # maintain_order="left"/"right", join.py:111). Combined as a struct
@@ -205,14 +217,15 @@ def salted_join(
     yd = y.df.crossJoin(
         y.df.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt__"))
     )
-    xdf, ydf, _ = _prep_sides(
+    xdf, ydf, left_keys, _ = _prep_sides(
         x.with_df(xd), y.with_df(yd),
         left_on + ["__salt__"], right_on + ["__salt__"], suffix, keep=False,
     )
-    out = xdf.join(ydf, left_on + ["__salt__"], how).drop("__salt__", _Y_ORDER)
+    out = xdf.join(ydf, left_keys, how).drop("__salt__", _Y_ORDER)
     return Tibble(out)
 
 
+@verb2
 def nest_join(x, y, by=None, name: str | None = None):
     """Left row × matching right rows nested as array<struct> — the
     distributed re-expression of the reference's driver loop
