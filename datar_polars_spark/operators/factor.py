@@ -58,6 +58,7 @@ __all__ = [
     "fct_reorder2",
     "fct_match",
     "fct_unify",
+    "fct_c",
     "as_factor",
     "as_ordered",
     "set_levels",
@@ -526,6 +527,17 @@ def fct_unify(tds: list[Tibble], col: Any) -> list[Tibble]:
     cname = _name_of(col)
     union = lvls_union(tds, col)
     return [_with_levels(t, cname, list(union)) for t in tds]
+
+
+def fct_c(tds: list[Tibble], col: Any) -> Tibble:
+    """Concatenate factors: row-bind the tibbles with the union of
+    levels in first-seen order (reference ``forcats.py:1237``)."""
+    from .bind import bind_rows
+
+    cname = _name_of(col)
+    union = lvls_union(tds, col)
+    out = bind_rows(*tds)
+    return _with_levels(out, cname, list(union))
 
 
 @verb

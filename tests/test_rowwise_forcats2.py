@@ -119,3 +119,15 @@ def test_group_by_drop_false_keeps_unused_levels(spark):
     # default drops unused levels
     d = (td >> group_by(f.x) >> count()).collect()
     assert sorted(d["x"].tolist()) == ["a", "b"]
+
+
+def test_fct_c_and_unify(spark):
+    from datar_polars_spark.operators.factor import fct_c, fct_unify
+
+    a = tibble(spark, x=["a", "b"]) >> factor_(f.x)
+    b = tibble(spark, x=["b", "c"]) >> factor_(f.x)
+    out = fct_c([a, b], f.x)
+    assert levels_(out, f.x) == ["a", "b", "c"]
+    assert sorted(out.collect()["x"].tolist()) == ["a", "b", "b", "c"]
+    ua, ub = fct_unify([a, b], f.x)
+    assert levels_(ua, f.x) == levels_(ub, f.x) == ["a", "b", "c"]
