@@ -100,3 +100,12 @@ def test_choose(spark):
     td = tibble(spark, n=[5.0, 6.0], k=[2.0, 3.0])
     out = td >> mutate(c=choose(f.n, f.k))
     assert out.collect()["c"].tolist() == pytest.approx([10.0, 20.0])
+
+
+def test_glimpse_runs(spark, capsys):
+    from datar_polars_spark import glimpse
+
+    td = tibble(spark, x=[1, 2, 3], s=["a", "b", "c"])
+    glimpse(td)
+    outp = capsys.readouterr().out
+    assert "x" in outp and "s" in outp
