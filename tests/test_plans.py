@@ -133,3 +133,16 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from datar_polars_spark.sources import write_parquet
+
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
+    write_parquet(li, str(tmp_path / "li"), partition_by=["l_returnflag"])
+    back = read_parquet(spark, str(tmp_path / "li"))
+    td = back >> filter_(f.l_returnflag == "A") >> select(f.l_orderkey)
+    plan = _plan(td)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # the partition predicate reaches the scan: only the A directory is read
+    assert m and "l_returnflag" in m.group(1)
