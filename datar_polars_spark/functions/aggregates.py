@@ -87,9 +87,11 @@ def _rowwise_agg(ctx, node, kind: str, na_rm: bool) -> Column:
         if kind == "sd":
             out = F.sqrt(out)
     elif kind == "median":
-        out = F.element_at(
-            F.array_sort(valid), ((nv + 1) / 2).cast("int")
-        )  # lower median; exact for odd n
+        # lower median; exact for odd n. Guard nv=0: element_at(arr, 0)
+        # is a runtime error, not null
+        out = F.when(
+            nv > 0, F.element_at(F.array_sort(valid), ((nv + 1) / 2).cast("int"))
+        )
     else:  # pragma: no cover
         raise NotImplementedError(kind)
     if na_rm:

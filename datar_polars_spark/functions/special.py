@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
@@ -94,6 +95,16 @@ def _scipy_fn(name):
         fn = getattr(_sps, name)
         if args:
             nu = ctx.eval(args[0])
+            if isinstance(nu, Column):
+                # per-row order column: two-series Arrow UDF
+                @F.pandas_udf(DoubleType())
+                def udf2(sn: pd.Series, sx: pd.Series) -> pd.Series:
+                    return pd.Series(
+                        [None if (a is None or b is None) else float(fn(a, b))
+                         for a, b in zip(sn, sx)]
+                    )
+
+                return udf2(nu, ctx.col(x))
             return _vec_udf(lambda v: fn(nu, v))(ctx.col(x))
         return _vec_udf(fn)(ctx.col(x))
 

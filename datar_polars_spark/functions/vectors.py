@@ -144,7 +144,9 @@ def _cur_group_id(ctx):
 def _n_groups_expr(ctx):
     if not ctx.groups:
         return F.lit(1)
-    key = F.concat_ws("", *[F.col(g).cast("string") for g in ctx.groups])
+    # struct keys, not string concat: concat_ws skips nulls, conflating
+    # ('a', NULL) with (NULL, 'a')
+    key = F.struct(*[F.col(g) for g in ctx.groups])
     return F.size(F.collect_set(key).over(Window.partitionBy()))
 
 

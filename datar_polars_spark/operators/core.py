@@ -317,14 +317,18 @@ def filter_(td: Tibble, *conds: Any, _preserve: bool = False) -> Tibble:
 # --------------------------------------------------------------------------
 
 @verb
-def group_by(td: Tibble, *args: Any, _add: bool = False, _drop: bool = True, **kwargs: Any) -> Tibble:
+def group_by(td: Tibble, *args: Any, _add: bool = False, _drop: bool | None = None, **kwargs: Any) -> Tibble:
     if kwargs:
         td = mutate(td, **kwargs)
     names = [a._name if isinstance(a, Ref) else str(a) for a in args]
     names += list(kwargs.keys())
     groups = list(td.group_vars) + [n for n in names if n not in td.group_vars] if _add else names
+    # _drop=None inherits the tibble's current setting (dplyr's
+    # group_by_drop_default) so regrouping, e.g. inside count(), does
+    # not silently discard an earlier _drop=False
+    drop = td.group_drop if _drop is None else _drop
     return Tibble(
-        td.df, groups=groups, rowwise=False, levels=td.levels, group_drop=_drop
+        td.df, groups=groups, rowwise=False, levels=td.levels, group_drop=drop
     )
 
 

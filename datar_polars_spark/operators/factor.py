@@ -80,7 +80,9 @@ def _name_of(x: Any) -> str:
 def _with_levels(td: Tibble, col: str, levels: list) -> Tibble:
     lv = dict(td.levels)
     lv[col] = list(levels)
-    return Tibble(td.df, groups=td.group_vars, rowwise=td.rowwise, levels=lv)
+    # with_df propagates group_drop (and any future metadata) — a bare
+    # Tibble() here would silently reset group_by(_drop=False)
+    return td.with_df(td.df, levels=lv)
 
 
 def _observed_levels(td: Tibble, col: str) -> list[str]:
@@ -562,10 +564,12 @@ def fct_count(td: Tibble, col: Any, sort: bool = False, prop: bool = False) -> T
     levels = td.levels.get(cname, None)
     counts = td.df.groupBy(cname).agg(F.count(F.lit(1)).alias("n"))
     if levels is not None:
-        # include zero-count levels (R keeps them)
+        # include zero-count levels (R keeps them); the NA count row can
+        # never match the level grid, so re-attach it after the join
         spark = td.df.sparkSession
         lv = spark.createDataFrame([(l,) for l in levels], [cname])
-        counts = lv.join(counts, on=cname, how="left").fillna(0, subset=["n"])
+        grid = lv.join(counts, on=cname, how="left").fillna(0, subset=["n"])
+        counts = grid.unionByName(counts.filter(F.col(cname).isNull()))
         order = F.array_position(F.lit(levels), F.col(cname))
     else:
         order = F.col(cname)
@@ -573,7 +577,7 @@ def fct_count(td: Tibble, col: Any, sort: bool = False, prop: bool = False) -> T
     if prop:
         total = td.df.count()
         out = out.withColumn("p", F.col("n") / F.lit(total))
-    out = out.orderBy(F.col("n").desc() if sort else order.asc())
+    out = out.orderBy(F.col("n").desc() if sort else order.asc_nulls_last())
     result = Tibble(out)
     return result
 

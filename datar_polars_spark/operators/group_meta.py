@@ -36,7 +36,6 @@ __all__ = [
     "group_walk",
     "group_modify",
     "with_groups",
-    "cur_group_id_col",
 ]
 
 
@@ -133,18 +132,6 @@ def group_indices(td: Tibble) -> list[int]:
         .collect()
     )
     return [r[0] for r in rows]
-
-
-def cur_group_id_col(td: Tibble):
-    """Column expr: 1-based id of the row's group (keys sorted ascending,
-    dplyr ``cur_group_id()``). Global dense_rank over the key order —
-    fine for the modest group-cardinalities this context fn implies."""
-    gvars = list(td.group_vars)
-    if not gvars:
-        return F.lit(1)
-    return F.dense_rank().over(
-        Window.orderBy(*[F.col(g).asc_nulls_last() for g in gvars])
-    )
 
 
 # --------------------------------------------------------------------------

@@ -211,6 +211,10 @@ def salted_join(
 
     from ..tibble import ensure_tibble
 
+    if how in ("right", "full", "outer", "full_outer"):
+        # unmatched right rows would be emitted once per salt replica
+        raise ValueError(f"salted_join does not support how={how!r}; "
+                         "salt the other side and use 'left' instead")
     x, y = ensure_tibble(x), ensure_tibble(y)
     left_on, right_on = _resolve_by(x, y, by)
     xd = x.df.withColumn("__salt__", (F.rand(42) * salt).cast("int"))

@@ -118,24 +118,37 @@ def which_(td: Tibble, cond: Any) -> list[int]:
 
 
 @verb
-def which_min_(td: Tibble, col: Any) -> int:
-    """1-based position of the minimum (first on ties, frame order)."""
+def which_min_(td: Tibble, col: Any) -> int | None:
+    """1-based position of the minimum (first on ties, frame order);
+    NAs are ignored (R which.min). None when all values are NA."""
     t = td.ensure_order()
     w = Window.orderBy(F.col(ORDER_COL).asc())
     d = t.df.withColumn("__pos__", F.row_number().over(w))
     cn = _name_of(col)
-    return d.agg(F.min_by("__pos__", F.struct(F.col(cn), F.col("__pos__")))).first()[0]
+    row = (
+        d.filter(F.col(cn).isNotNull())
+        .agg(F.min_by("__pos__", F.struct(F.col(cn), F.col("__pos__"))))
+        .first()
+    )
+    return row[0] if row else None
 
 
 @verb
-def which_max_(td: Tibble, col: Any) -> int:
+def which_max_(td: Tibble, col: Any) -> int | None:
+    """1-based position of the maximum (first on ties); NAs ignored."""
     t = td.ensure_order()
     w = Window.orderBy(F.col(ORDER_COL).asc())
     d = t.df.withColumn("__pos__", F.row_number().over(w))
     cn = _name_of(col)
-    return d.agg(
-        F.min_by("__pos__", F.struct((-F.col(cn)).alias("k"), F.col("__pos__")))
-    ).first()[0]
+    row = (
+        d.filter(F.col(cn).isNotNull())
+        .agg(
+            # max of (value, -pos): largest value, earliest position on ties
+            F.max_by("__pos__", F.struct(F.col(cn), (-F.col("__pos__")).alias("t")))
+        )
+        .first()
+    )
+    return row[0] if row else None
 
 
 @verb

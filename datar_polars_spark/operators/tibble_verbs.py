@@ -92,12 +92,6 @@ def add_row(td: Tibble, _before: int | None = None, _after: int | None = None, *
     global renumbering happens."""
     t = td.ensure_order()
     new = tibble(t.df.sparkSession, **kwargs)
-    # align schema: missing columns -> null
-    new_df = new.df.drop(ORDER_COL)
-    for c in t.columns:
-        if c not in new_df.columns:
-            new_df = new_df.withColumn(c, F.lit(None))
-    new_df = new_df.select(*t.columns)
 
     n = t.nrow()
     if _before is not None:
@@ -106,8 +100,9 @@ def add_row(td: Tibble, _before: int | None = None, _after: int | None = None, *
         pos = _after
     else:
         pos = n
-    # order keys are longs from monotonically_increasing_id; renumber via
-    # a compact rank so splicing at integer positions is safe
+    # order keys are arbitrary longs from monotonically_increasing_id;
+    # renumber to a compact 0..n-1 rank so splicing at an integer
+    # position is safe, then shift rows at/after the insertion point
     from pyspark.sql import Window
 
     d = t.df.withColumn(
@@ -120,9 +115,15 @@ def add_row(td: Tibble, _before: int | None = None, _after: int | None = None, *
             F.col(ORDER_COL)
         ),
     )
-    new_df = new_df.withColumn(
-        ORDER_COL, (F.monotonically_increasing_id() % 1_000_000 + pos).cast("long")
-    )
+    # the freshly-built tibble carries a sequential 0..k-1 order column
+    # (from_pandas assigns range(k)); shift it to the insertion point —
+    # monotonically_increasing_id is NOT sequential across partitions,
+    # so multi-row inserts must reuse that sequential key
+    new_df = new.df.withColumn(ORDER_COL, (F.col(ORDER_COL) + pos).cast("long"))
+    for c in t.columns:
+        if c not in new_df.columns:
+            new_df = new_df.withColumn(c, F.lit(None))
+    new_df = new_df.select(*t.columns, ORDER_COL)
     return td.with_df(d.unionByName(new_df))
 
 

@@ -145,3 +145,78 @@ def test_coalesce_chain(spark):
     td = tibble(spark, a=[None, 1.0], b=[2.0, None])
     out = td >> mutate(c=coalesce(f.a, f.b, 0.0))
     assert out.collect()["c"].tolist() == [2.0, 1.0]
+
+
+def test_which_min_max_ignore_na(spark):
+    from datar_polars_spark import which_min_, which_max_
+
+    td = tibble(spark, x=[2.0, None, 1.0, 2.0])
+    assert which_min_(td, f.x) == 3
+    assert which_max_(td, f.x) == 1  # first max, NA ignored
+    all_na = tibble(spark, x=[None, None])
+    assert which_min_(all_na, f.x) is None
+
+
+def test_add_row_multiple_rows_in_order(spark):
+    from datar_polars_spark import add_row
+
+    td = tibble(spark, x=[1], y=["a"])
+    out = td >> add_row(x=[2, 3, 4], y=["b", "c", "d"])
+    got = out.collect()
+    assert got["x"].tolist() == [1, 2, 3, 4]
+    assert got["y"].tolist() == ["a", "b", "c", "d"]
+
+
+def test_factor_verbs_preserve_group_drop(spark):
+    from datar_polars_spark import factor_, fct_expand, group_by, count
+
+    td = (
+        tibble(spark, x=["a", "b"])
+        >> group_by(f.x, _drop=False)
+        >> fct_expand(f.x, "c")
+    )
+    out = (td >> count()).collect().sort_values("x")
+    assert out.values.tolist() == [["a", 1], ["b", 1], ["c", 0]]
+
+
+def test_count_regroup_preserves_drop_false(spark):
+    from datar_polars_spark import factor_, fct_expand, group_by, count
+
+    td = (
+        tibble(spark, x=["a", "b"], y=[1, 1])
+        >> factor_(f.x)
+        >> fct_expand(f.x, "c")
+        >> group_by(f.x, _drop=False)
+    )
+    out = (td >> count()).collect()
+    assert sorted(out["x"].tolist()) == ["a", "b", "c"]
+
+
+def test_fct_count_keeps_na_row(spark):
+    from datar_polars_spark import factor_, fct_count
+
+    td = tibble(spark, x=["a", None, "a"]) >> factor_(f.x)
+    got = fct_count(td, f.x).collect()
+    assert len(got) == 2
+    na_row = got[got["f"].isna()]
+    assert na_row["n"].tolist() == [1]
+
+
+def test_rowwise_median_all_na(spark):
+    from datar_polars_spark import rowwise
+    from datar_polars_spark.functions import median, c_across
+
+    td = tibble(spark, a=[None, 1.0], b=[None, 3.0])
+    out = td >> rowwise() >> mutate(m=median(c_across([f.a, f.b]), na_rm=True))
+    got = out.collect()
+    assert got["m"].isna().tolist() == [True, False]
+    assert got["m"][1] == 1.0
+
+
+def test_salted_join_rejects_right_full(spark):
+    from datar_polars_spark.operators.join import salted_join
+
+    a = tibble(spark, k=[1], x=[1])
+    b = tibble(spark, k=[1], y=[2])
+    with pytest.raises(ValueError):
+        salted_join(a, b, by="k", how="full")
