@@ -41,6 +41,7 @@ __all__ = [
     "windowed_agg",
     "sessionize",
     "stream_dedup",
+    "stateful_running_agg",
     "run_to_memory",
 ]
 
@@ -158,6 +159,64 @@ def stream_dedup(
         wm = sdf.withWatermark(_name_of(ts), watermark)
         return wm.dropDuplicatesWithinWatermark(kcols)
     return sdf.dropDuplicates(kcols)
+
+
+def stateful_running_agg(
+    sdf: DataFrame,
+    *keys: Any,
+    value: Any,
+    timeout_minutes: int = 0,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-key running (count, sum, max) maintained across micro-batches
+    in the state store — the pattern for stateful logic that windowed
+    aggregation can't express (counters, custom accumulators, per-key
+    model state). Emits one updated row per key per micro-batch.
+
+    State is one small tuple per key; with a timeout it is dropped for
+    idle keys, keeping the store bounded.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    kcols = [_name_of(k) for k in keys]
+    vcol = _name_of(value)
+
+    out_schema = (
+        ", ".join(
+            f"{f_.name} {f_.dataType.simpleString()}"
+            for f_ in sdf.schema
+            if f_.name in kcols
+        )
+        + ", n_events bigint, total double, max_value double"
+    )
+    state_schema = "n bigint, total double, mx double"
+
+    def update(key, pdfs, state: GroupState):
+        n_, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf[vcol].dropna()
+            n_ += len(pdf)
+            total += float(vals.sum()) if len(vals) else 0.0
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+        state.update((n_, total, mx))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            [[*key, n_, total, mx if mx != float("-inf") else None]],
+            columns=[*kcols, "n_events", "total", "max_value"],
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return sdf.groupBy(*kcols).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
 
 
 def run_to_memory(sdf: DataFrame, mode: str = "complete") -> "Any":

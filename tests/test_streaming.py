@@ -79,3 +79,23 @@ def test_stream_dedup(spark):
         .select("user_id", "event_type").distinct().count()
     )
     assert len(got) == n_combos
+
+
+def test_stateful_running_agg(spark):
+    from datar_polars_spark import read_parquet
+    from datar_polars_spark.streaming import stateful_running_agg
+
+    s = stream_read_parquet(spark, EVENTS)
+    out = stateful_running_agg(s, f.user_id, value=f.value)
+    got = run_to_memory(out, mode="update")
+    # one emitted row per key per micro-batch; the final state per key
+    # must equal the batch aggregate
+    final = got.groupby("user_id").last()
+    batch = (
+        read_parquet(spark, EVENTS).df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .toPandas().set_index("user_id")
+    )
+    for uid, row in batch.iterrows():
+        assert final.loc[uid, "n_events"] == row["n"]
+        assert final.loc[uid, "total"] == pytest.approx(row["t"])
