@@ -24,6 +24,14 @@ def _as_numeric(ctx, x):
 
 @register("as_integer", "as_int")
 def _as_integer(ctx, x):
+    """Factor columns cast to their 1-based level codes (reference
+    ``api/base/types.py:92-97``: factor -> codes); everything else is a
+    plain numeric cast."""
+    from ..plans.expr import Ref
+
+    if isinstance(x, Ref) and x._name in ctx.tibble.levels:
+        levels = ctx.tibble.levels[x._name]
+        return F.array_position(F.lit(levels), F.col(x._name)).cast("long")
     return ctx.col(x).cast("long")
 
 

@@ -109,3 +109,19 @@ def test_glimpse_runs(spark, capsys):
     glimpse(td)
     outp = capsys.readouterr().out
     assert "x" in outp and "s" in outp
+
+
+def test_as_integer_factor_codes(spark):
+    from datar_polars_spark import factor_, fct_relevel
+    from datar_polars_spark.functions import as_integer
+
+    td = tibble(spark, x=["b", "a", "c"]) >> factor_(f.x)
+    out = td >> mutate(code=as_integer(f.x))
+    # default levels sorted: a=1, b=2, c=3
+    assert out.collect()["code"].tolist() == [2, 1, 3]
+    # releveling changes the codes
+    out2 = td >> fct_relevel(f.x, "c") >> mutate(code=as_integer(f.x))
+    assert out2.collect()["code"].tolist() == [3, 2, 1]
+    # non-factor: plain cast
+    tn = tibble(spark, y=["10", "11"]) >> mutate(v=as_integer(f.y))
+    assert tn.collect()["v"].tolist() == [10, 11]
