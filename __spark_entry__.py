@@ -860,6 +860,79 @@ def q52_approx_sketches(spark, sf):
     return _finish(out)
 
 
+def q53_nest_join(spark, sf):
+    """Covers: nest_join (matching right rows as array<struct>, no
+    driver loop) — order counts derived from the nested arrays."""
+    from datar_polars_spark import nest_join
+    from datar_polars_spark.functions import lengths
+
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    out = (
+        c
+        >> nest_join(o, by={"c_custkey": "o_custkey"}, name="ods")
+        >> mutate(n_orders=lengths(f.ods))
+        >> select(f.c_custkey, f.c_mktsegment, f.n_orders)
+    )
+    return _finish(out)
+
+
+def q54_rowwise_sum(spark, sf):
+    """Covers: rowwise() + c_across aggregation via array HOFs."""
+    from datar_polars_spark import rowwise
+    from datar_polars_spark.functions import c_across
+
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li
+        >> rowwise()
+        >> mutate(rs=round_(sum_(c_across([f.l_quantity, f.l_tax, f.l_discount])), 4))
+        >> select(f.l_orderkey, f.l_linenumber, f.rs)
+    )
+    return _finish(out)
+
+
+def q55_table_contingency(spark, sf):
+    """Covers: table_ (2-var contingency counts incl. zero combos)."""
+    from datar_polars_spark import table_
+
+    o = _t(spark, sf, "orders")
+    out = table_(o, f.o_orderstatus, f.o_orderpriority)
+    return _finish(out)
+
+
+def q56_fill_up(spark, sf):
+    """Covers: fill(_direction='up') — backward fill per group over an
+    explicit frame order."""
+    from datar_polars_spark import fill
+
+    o = _t(spark, sf, "orders")
+    out = (
+        o
+        >> mutate(bp=if_else(f.o_totalprice > 150000, round_(f.o_totalprice, 4), None))
+        >> arrange(f.o_orderkey)
+        >> group_by(f.o_custkey)
+        >> fill(f.bp, _direction="up")
+        >> select(f.o_orderkey, f.o_custkey, f.bp)
+    )
+    return _finish(out)
+
+
+def q57_factor_codes(spark, sf):
+    """Covers: fct_infreq level ordering + as_integer factor->codes."""
+    from datar_polars_spark import factor_, fct_infreq
+
+    e = _t(spark, sf, "events")
+    out = (
+        e
+        >> factor_(f.event_type)
+        >> fct_infreq(f.event_type)
+        >> mutate(code=as_integer(f.event_type))
+        >> count(f.event_type, f.code)
+    )
+    return _finish(out)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -921,6 +994,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_embedding_dedup": q50_embedding_dedup,
         "q51_sessionize": q51_sessionize,
         "q52_approx_sketches": q52_approx_sketches,
+        "q53_nest_join": q53_nest_join,
+        "q54_rowwise_sum": q54_rowwise_sum,
+        "q55_table_contingency": q55_table_contingency,
+        "q56_fill_up": q56_fill_up,
+        "q57_factor_codes": q57_factor_codes,
     }
 
 
@@ -1302,5 +1380,50 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_partkey) AS nd,
                    TRUE AS within_bounds
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q53_nest_join": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(COUNT(o.o_orderkey) AS INT) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment
+        """,
+        "q54_rowwise_sum": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(l_quantity + l_tax + l_discount, 4) AS rs
+            FROM lineitem
+        """,
+        "q55_table_contingency": """
+            WITH counts AS (
+                SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+                FROM orders GROUP BY 1, 2
+            ), grid AS (
+                SELECT s.o_orderstatus, p.o_orderpriority
+                FROM (SELECT DISTINCT o_orderstatus FROM orders) s
+                CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+            )
+            SELECT g.o_orderstatus, g.o_orderpriority, COALESCE(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c
+              ON g.o_orderstatus = c.o_orderstatus
+             AND g.o_orderpriority = c.o_orderpriority
+        """,
+        "q56_fill_up": """
+            SELECT o_orderkey, o_custkey,
+                   FIRST_VALUE(CASE WHEN o_totalprice > 150000
+                                    THEN ROUND(o_totalprice, 4) END IGNORE NULLS)
+                       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bp
+            FROM orders
+        """,
+        "q57_factor_codes": """
+            WITH cnt AS (
+                SELECT event_type, COUNT(*) AS n FROM events
+                WHERE event_type IS NOT NULL GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n DESC, event_type ASC)
+                        AS BIGINT) AS code,
+                   n
+            FROM cnt
         """,
     }
