@@ -28,6 +28,9 @@ __all__ = [
     "which_",
     "which_min_",
     "which_max_",
+    "t_",
+    "diag_",
+    "max_col",
     "nrow",
     "ncol",
     "dim",
@@ -149,6 +152,40 @@ def which_max_(td: Tibble, col: Any) -> int | None:
         .first()
     )
     return row[0] if row else None
+
+
+@verb
+def t_(td: Tibble) -> Tibble:
+    """Transpose (reference ``verbs.py:360``) — a small-matrix helper:
+    collects to the driver, transposes in pandas, re-distributes.
+    Column names become V1..Vn as in R's t() on unnamed matrices."""
+    import pandas as pd
+
+    from ..tibble import from_pandas
+
+    pdf = td.collect()
+    tp = pdf.T.reset_index(drop=True)
+    tp.columns = [f"V{i + 1}" for i in range(tp.shape[1])]
+    return from_pandas(td.df.sparkSession, tp)
+
+
+@verb
+def diag_(td: Tibble) -> list:
+    """Matrix diagonal (reference ``verbs.py:315``) — driver-side."""
+    pdf = td.collect()
+    k = min(len(pdf), len(pdf.columns))
+    return [pdf.iloc[i, i] for i in range(k)]
+
+
+@verb
+def max_col(td: Tibble, *cols: Any) -> Tibble:
+    """1-based index of the largest value across the selected columns,
+    per row (reference ``verbs.py:402``) — distributed via
+    array_position(array_max), no driver loop."""
+    names = [_name_of(c) for c in cols] if cols else td.columns
+    arr = F.array(*[F.col(c).cast("double") for c in names])
+    idx = F.array_position(arr, F.array_max(arr)).cast("long")
+    return td.with_df(td.df.withColumn("max_col", idx))
 
 
 @verb

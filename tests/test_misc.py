@@ -125,3 +125,18 @@ def test_as_integer_factor_codes(spark):
     # non-factor: plain cast
     tn = tibble(spark, y=["10", "11"]) >> mutate(v=as_integer(f.y))
     assert tn.collect()["v"].tolist() == [10, 11]
+
+
+def test_t_diag_max_col(spark):
+    from datar_polars_spark import t_, diag_, max_col
+
+    td = tibble(spark, a=[1, 4], b=[2, 5], c=[3, 6])
+    tp = t_(td).collect()
+    assert list(tp.columns) == ["V1", "V2"]
+    assert tp["V1"].tolist() == [1, 2, 3]
+    assert tp["V2"].tolist() == [4, 5, 6]
+    assert diag_(td) == [1, 5]
+    mc = max_col(td).collect()
+    assert mc["max_col"].tolist() == [3, 3]
+    mc2 = max_col(td, f.a, f.b).collect()
+    assert mc2["max_col"].tolist() == [2, 2]
