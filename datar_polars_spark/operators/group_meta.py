@@ -36,6 +36,7 @@ __all__ = [
     "group_walk",
     "group_modify",
     "with_groups",
+    "group_trim",
 ]
 
 
@@ -213,6 +214,25 @@ def group_modify(td: Tibble, fn: Callable, schema: Any) -> Tibble:
     plain = td.df.drop(ORDER_COL) if ORDER_COL in td.df.columns else td.df
     out = plain.groupBy(*gvars).applyInPandas(apply_fn, schema=full_schema)
     return Tibble(out, groups=gvars)
+
+
+@verb
+def group_trim(td: Tibble) -> Tibble:
+    """Drop unused factor levels on the grouping variables (reference
+    ``group_iter.py`` group_trim): re-observe each grouped factor's
+    levels from the data, keeping relative level order."""
+    out = td
+    for g in td.group_vars:
+        if g in td.levels:
+            observed = {
+                r[0]
+                for r in td.df.select(g).dropDuplicates([g]).collect()
+                if r[0] is not None
+            }
+            lv = dict(out.levels)
+            lv[g] = [l for l in out.levels[g] if l in observed]
+            out = out.with_df(out.df, levels=lv)
+    return out
 
 
 @verb

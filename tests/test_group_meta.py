@@ -152,3 +152,17 @@ def test_row_sums_means(spark):
         {"a": [1.0, None], "b": [2.0, 4.0], "s": [3.0, None],
          "sn": [3.0, 4.0], "m": [1.5, 4.0]},
     )
+
+
+def test_group_trim(spark):
+    from datar_polars_spark import factor_, fct_expand, filter_, group_trim, levels_
+
+    td = (
+        tibble(spark, x=["a", "b"], v=[1, 2])
+        >> factor_(f.x)
+        >> fct_expand(f.x, "c")
+        >> group_by(f.x)
+    )
+    assert levels_(td, f.x) == ["a", "b", "c"]
+    trimmed = td >> filter_(f.v > 1) >> group_trim()
+    assert levels_(trimmed, f.x) == ["b"]
