@@ -14,12 +14,14 @@ def _as_character(ctx, x):
 
 @register("as_double")
 def _as_double(ctx, x):
-    return ctx.col(x).cast("double")
+    # try_cast: unparseable input -> NA (R as.numeric semantics), not an
+    # ANSI cast error
+    return ctx.col(x).try_cast("double")
 
 
 @register("as_numeric")
 def _as_numeric(ctx, x):
-    return ctx.col(x).cast("double")
+    return ctx.col(x).try_cast("double")
 
 
 @register("as_integer", "as_int")
@@ -32,12 +34,28 @@ def _as_integer(ctx, x):
     if isinstance(x, Ref) and x._name in ctx.tibble.levels:
         levels = ctx.tibble.levels[x._name]
         return F.array_position(F.lit(levels), F.col(x._name)).cast("long")
-    return ctx.col(x).cast("long")
+    return ctx.col(x).try_cast("long")
 
 
 @register("as_logical", "as_bool")
 def _as_logical(ctx, x):
-    return ctx.col(x).cast("boolean")
+    """R as.logical: strings map only from TRUE/FALSE/T/F spellings
+    (numeric strings like "1" are NA, unlike Spark's boolean cast);
+    numeric input is nonzero->TRUE."""
+    from ..plans.expr import Ref
+
+    col = ctx.col(x)
+    dtype = ""
+    if isinstance(x, Ref):
+        dtype = dict(ctx.tibble.dtypes).get(x._name, "")
+    if dtype == "string":
+        s = F.lower(col)
+        return (
+            F.when(s.isin("true", "t"), F.lit(True))
+            .when(s.isin("false", "f"), F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+    return col.try_cast("boolean")
 
 
 @register("as_date")
@@ -92,6 +110,9 @@ def _is_element(ctx, x, table):
 
 @register("match")
 def _match(ctx, x, table):
-    """1-based index of first match in table (R ``match``)."""
+    """1-based index of first match in table; NA when absent (R
+    ``match`` — array_position's 0-for-missing is not R semantics)."""
     vals = list(ctx.eval(table))
-    return F.array_position(F.lit(vals), ctx.col(x).cast("string") if all(isinstance(v, str) for v in vals) else ctx.col(x))
+    col = ctx.col(x).cast("string") if all(isinstance(v, str) for v in vals) else ctx.col(x)
+    pos = F.array_position(F.lit(vals), col)
+    return F.when(pos > 0, pos)
