@@ -63,7 +63,7 @@ _EXPORT = {
     # ordering sugar
     "with_order", "order_by",
     # context data
-    "cur_data",
+    "cur_data", "cur_data_all",
     # sketch aggregates (scale path)
     "approx_n_distinct", "approx_quantile",
 }

@@ -105,6 +105,18 @@ def _row_maxs(ctx, *xs):
     return F.greatest(*[_nn(ctx, x) for x in xs])
 
 
+@register("cur_data_all")
+def _cur_data_all(ctx):
+    """Like cur_data() but including the grouping columns."""
+    cols = list(ctx.tibble.columns)
+    w = (
+        ctx.partition()
+        .orderBy(F.col(ORDER_COL).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return F.collect_list(F.struct(*[F.col(c) for c in cols])).over(w)
+
+
 @register("cur_data")
 def _cur_data(ctx):
     """Per-group sub-frame as an array of structs (the reference's

@@ -44,6 +44,7 @@ __all__ = [
     "fct_shuffle",
     "fct_reorder",
     "fct_recode",
+    "recode_factor",
     "fct_collapse",
     "fct_lump",
     "fct_lump_n",
@@ -259,6 +260,23 @@ def fct_recode(td: Tibble, col: Any, **mapping: str) -> Tibble:
     df = td.df.withColumn(cname, expr)
     new_levels = list(dict.fromkeys(rev.get(l, l) for l in levels))
     return _with_levels(td.with_df(df), cname, new_levels)
+
+
+@verb
+def recode_factor(td: Tibble, col: Any, **mapping: str) -> Tibble:
+    """recode + make the result a factor whose levels follow the
+    replacement order (reference ``api/dplyr/recode.py:152-206``)."""
+    cname = _name_of(col)
+    colr = F.col(cname)
+    expr = colr
+    for old, new in mapping.items():
+        expr = F.when(colr == old, F.lit(new)).otherwise(expr)
+    df = td.df.withColumn(cname, expr)
+    out = td.with_df(df)
+    observed = _observed_levels(out, cname)
+    new_levels = list(dict.fromkeys(mapping.values()))
+    new_levels += [l for l in observed if l not in new_levels]
+    return _with_levels(out, cname, new_levels)
 
 
 @verb

@@ -27,8 +27,13 @@ __all__ = [
     "add_row",
     "add_column",
     "rowid_to_column",
+    "rownames_to_column",
     "remove_rownames",
     "has_rownames",
+    "as_tibble",
+    "lazy_",
+    "collect_",
+    "group_by_drop_default",
 ]
 
 
@@ -185,6 +190,14 @@ def rowid_to_column(td: Tibble, var: str = "rowid") -> Tibble:
 
 
 @verb
+def rownames_to_column(td: Tibble, var: str = "rowname") -> Tibble:
+    """R rownames are "1".."n" strings when none were set — a string
+    rowid column (reference ``api/tibble.py:582-640``)."""
+    out = rowid_to_column(td, var=var)
+    return out.with_df(out.df.withColumn(var, F.col(var).cast("string")))
+
+
+@verb
 def remove_rownames(td: Tibble) -> Tibble:
     return td
 
@@ -192,3 +205,37 @@ def remove_rownames(td: Tibble) -> Tibble:
 @verb
 def has_rownames(td: Tibble) -> bool:
     return False
+
+
+def as_tibble(data: Any, spark: SparkSession | None = None) -> Tibble:
+    """Coerce a Spark DataFrame / dict / pandas frame to a Tibble
+    (reference ``tibble.py:211-253``)."""
+    import pandas as pd
+
+    from ..tibble import ensure_tibble
+
+    if isinstance(data, Tibble):
+        return data
+    if isinstance(data, dict):
+        return tibble(spark or _spark(), **data)
+    if isinstance(data, pd.DataFrame):
+        return from_pandas(spark or _spark(), data)
+    return ensure_tibble(data)
+
+
+@verb
+def lazy_(td: Tibble) -> Tibble:
+    """No-op: Spark frames are always lazy (reference ``api/misc.py:29``)."""
+    return td
+
+
+@verb
+def collect_(td: Tibble):
+    """Materialize to pandas in frame order (reference ``api/misc.py:74``)."""
+    return td.collect()
+
+
+@verb
+def group_by_drop_default(td: Tibble) -> bool:
+    """The tibble's current _drop setting (dplyr helper of the same name)."""
+    return td.group_drop

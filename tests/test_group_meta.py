@@ -166,3 +166,30 @@ def test_group_trim(spark):
     assert levels_(td, f.x) == ["a", "b", "c"]
     trimmed = td >> filter_(f.v > 1) >> group_trim()
     assert levels_(trimmed, f.x) == ["b"]
+
+
+def test_api_audit_additions(spark):
+    from datar_polars_spark import (
+        as_tibble, lazy_, collect_, group_by_drop_default,
+        rownames_to_column, recode_factor, levels_, factor_,
+    )
+    from datar_polars_spark.functions import cur_data_all, lengths
+
+    td = as_tibble({"x": [1, 2]}, spark)
+    assert td.columns == ["x"]
+    assert (td >> lazy_()).columns == ["x"]
+    assert (td >> collect_())["x"].tolist() == [1, 2]
+    assert group_by_drop_default(td) is True
+    assert group_by_drop_default(td >> group_by(f.x, _drop=False)) is False
+
+    rn = td >> rownames_to_column()
+    assert rn.collect()["rowname"].tolist() == ["1", "2"]
+
+    fc = tibble(spark, x=["lo", "hi", "mid"]) >> factor_(f.x)
+    rec = recode_factor(fc, f.x, lo="low", hi="high")
+    assert levels_(rec, f.x)[:2] == ["low", "high"]
+    assert sorted(rec.collect()["x"].tolist()) == ["high", "low", "mid"]
+
+    g = tibble(spark, g=["a", "a", "b"], v=[1, 2, 3]) >> group_by(f.g)
+    out = g >> mutate(sz=lengths(cur_data_all()))
+    assert out.collect()["sz"].tolist() == [2, 2, 1]
