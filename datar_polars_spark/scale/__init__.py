@@ -15,7 +15,14 @@ from .dedup import (  # noqa: F401
     char_shingles,
     minhash_signature,
 )
-from .similarity import cosine_topk, lsh_plan_buckets, lsh_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    lsh_plan_buckets,
+    lsh_topk,
+    ivf_train,
+    ivf_assign,
+    ivf_topk,
+)
 from . import text  # noqa: F401 (registers text-analysis functions)
 from .sessions import sessionize_batch, session_stats  # noqa: F401
 from .multimodal import (  # noqa: F401

@@ -16,6 +16,8 @@ import math
 import random
 from typing import Any, Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -25,7 +27,8 @@ from ..tibble import Tibble
 
 from .dedup import cosine_sim
 
-__all__ = ["cosine_topk", "lsh_plan_buckets", "lsh_topk"]
+__all__ = ["cosine_topk", "lsh_plan_buckets", "lsh_topk",
+           "ivf_train", "ivf_assign", "ivf_topk"]
 
 
 def _name_of(x: Any) -> str:
@@ -131,4 +134,102 @@ def lsh_topk(
         F.col(idn), _query_cosine(F.col(ename), query).alias("cosine")
     )
     out = scored.orderBy(F.col("cosine").desc(), F.col(idn).asc()).limit(k)
+    return Tibble(out)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed clusters
+# ---------------------------------------------------------------------------
+
+def ivf_train(
+    td: Tibble,
+    embedding: Any = "embedding",
+    n_clusters: int = 64,
+    iters: int = 5,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train the coarse quantizer: Lloyd's k-means on a driver-side
+    sample (the centroid table is tiny — k × dim floats — and training
+    on a sample is the standard IVF recipe). Returns the centroids."""
+    import numpy as np
+
+    col = _name_of(embedding)
+    n = td.df.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    rows = td.df.select(col).sample(fraction=frac, seed=seed).collect()
+    X = np.array([list(r[0]) for r in rows], dtype="float64")
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(iters):
+        # assign (sample_size × k distances — driver numpy, sub-second)
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for ci in range(len(cents)):
+            members = X[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
+@verb
+def ivf_assign(
+    td: Tibble,
+    centroids: list[list[float]],
+    embedding: Any = "embedding",
+    cluster_col: str = "__ivf_cluster__",
+) -> Tibble:
+    """Assign each vector to its nearest centroid — Arrow-batched
+    pandas UDF doing one numpy matmul per batch (the per-row HOF
+    alternative is k array passes; matmul is the vectorized path).
+    At scale: compute once, write bucketed/partitioned by cluster."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    C = np.array(centroids, dtype="float64")
+    cn2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf(IntegerType())
+    def assign(s: pd.Series) -> pd.Series:
+        X = np.array(s.tolist(), dtype="float64")
+        # argmin ||x-c||^2 = argmin (c·c - 2 x·c)
+        d = cn2[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    col = _name_of(embedding)
+    return td.with_df(td.df.withColumn(cluster_col, assign(F.col(col))))
+
+
+@verb
+def ivf_topk(
+    td: Tibble,
+    query: Sequence[float],
+    centroids: list[list[float]],
+    embedding: Any = "embedding",
+    id_col: Any = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+    cluster_col: str = "__ivf_cluster__",
+) -> Tibble:
+    """Probed IVF search: exact cosine only inside the ``nprobe``
+    clusters nearest the query. If the frame lacks the cluster column
+    (no prior ivf_assign), it is computed on the fly."""
+    import numpy as np
+
+    if cluster_col not in td.df.columns:
+        td = ivf_assign(td, centroids, embedding, cluster_col)
+    q = np.array([float(v) for v in query], dtype="float64")
+    C = np.array(centroids, dtype="float64")
+    d = ((C - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in d.argsort()[:nprobe]]
+
+    col = _name_of(embedding)
+    idc = _name_of(id_col)
+    cand = td.df.filter(F.col(cluster_col).isin(probe))
+    scored = cand.withColumn("cosine", _query_cosine(F.col(col), query))
+    out = (
+        scored.select(idc, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(idc).asc())
+        .limit(k)
+    )
     return Tibble(out)

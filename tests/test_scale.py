@@ -163,3 +163,23 @@ def test_approx_sketches(spark):
     got = out.collect()
     assert abs(got["nd"][0] - 1000) / 1000 < 0.06
     assert 300 <= got["q50"][0] <= 600
+
+
+def test_ivf_topk_recall(spark):
+    from datar_polars_spark import f, read_parquet
+    from datar_polars_spark.scale import cosine_topk, ivf_train, ivf_assign, ivf_topk
+
+    e = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(v) for v in e.df.select("embedding").first()[0]]
+    cents = ivf_train(e, f.embedding, n_clusters=8, iters=3, seed=7)
+    assert len(cents) == 8
+
+    exact = {r[0] for r in cosine_topk(e, qv, f.embedding, f.vec_id, k=10).df.collect()}
+    assigned = ivf_assign(e, cents, f.embedding)
+    approx = ivf_topk(assigned, qv, cents, f.embedding, f.vec_id, k=10, nprobe=4)
+    got = {r[0] for r in approx.df.collect()}
+    # probing half the clusters must recover most of the exact top-10
+    assert len(got & exact) >= 5
+    # probing everything IS exact
+    full = ivf_topk(assigned, qv, cents, f.embedding, f.vec_id, k=10, nprobe=8)
+    assert {r[0] for r in full.df.collect()} == exact
