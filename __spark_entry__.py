@@ -933,6 +933,22 @@ def q57_factor_codes(spark, sf):
     return _finish(out)
 
 
+def q58_ivf_topk(spark, sf):
+    """Covers: IVF ANN (k-means coarse quantizer + probed clusters).
+    Probing every cluster makes IVF exact, so the result hash-matches
+    the brute-force cosine oracle; the approximate path (small nprobe)
+    is exercised in tests with recall assertions."""
+    from datar_polars_spark.scale import ivf_assign, ivf_topk, ivf_train
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf, "embeddings")
+    qv = [float(v) for v in e.df.filter("vec_id = 0").select("embedding").first()[0]]
+    cents = ivf_train(e, f.embedding, n_clusters=16, iters=3, seed=11)
+    a = ivf_assign(e, cents, f.embedding)
+    out = ivf_topk(a, qv, cents, f.embedding, f.vec_id, k=10, nprobe=16)
+    return out.df.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -999,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_table_contingency": q55_table_contingency,
         "q56_fill_up": q56_fill_up,
         "q57_factor_codes": q57_factor_codes,
+        "q58_ivf_topk": q58_ivf_topk,
     }
 
 
@@ -1414,6 +1431,21 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY o_custkey ORDER BY o_orderkey
                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bp
             FROM orders
+        """,
+        "q58_ivf_topk": """
+            WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id,
+                       list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.qe,
+                                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+                FROM embeddings e, qv q
+            )
+            SELECT vec_id, ROUND(cos, 4) AS cosine
+            FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
         "q57_factor_codes": """
             WITH cnt AS (
