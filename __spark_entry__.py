@@ -949,6 +949,30 @@ def q58_ivf_topk(spark, sf):
     return out.df.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q59_multimodal_features(spark, sf):
+    """Covers: multimodal binary-column plumbing — wrap bytes into the
+    typed media struct, run the Arrow-batched mapInPandas feature
+    extractor (deterministic stub encoder; real codec swaps in with the
+    same schema/batch shape). Not SQL-expressible -> rows-only check."""
+    from datar_polars_spark import rename
+    from datar_polars_spark.scale import attach_binary_metadata, image_features
+    from pyspark.sql import functions as F
+
+    d = _t(spark, sf, "documents")
+    binary = d.with_df(
+        d.df.withColumn("content", F.encode(F.col("text"), "utf-8"))
+    )
+    feats = image_features(
+        attach_binary_metadata(binary, "content"), content="content", dim=16
+    )
+    out = feats.df.select(
+        "doc_id",
+        F.col("media.n_bytes").alias("n_bytes"),
+        F.size("features").alias("feat_dim"),
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1016,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_fill_up": q56_fill_up,
         "q57_factor_codes": q57_factor_codes,
         "q58_ivf_topk": q58_ivf_topk,
+        "q59_multimodal_features": q59_multimodal_features,
     }
 
 

@@ -1,0 +1,103 @@
+"""Every verb family must survive a 0-row input without raising —
+crashes on empty partitions are a classic distributed-engine failure."""
+
+import pytest
+
+from datar_polars_spark import (
+    f,
+    tibble,
+    filter_,
+    select,
+    mutate,
+    transmute,
+    group_by,
+    summarise,
+    arrange,
+    distinct,
+    count,
+    add_count,
+    slice_head,
+    slice_max,
+    rename,
+    relocate,
+    pivot_longer,
+    pivot_wider,
+    separate,
+    unite,
+    drop_na,
+    replace_na,
+    fill,
+    nest,
+    uncount,
+    left_join,
+    bind_rows,
+    rows_upsert,
+    factor_,
+    fct_infreq,
+    rowid_to_column,
+    complete_cases,
+)
+from datar_polars_spark.functions import (
+    sum_,
+    mean,
+    n,
+    lag,
+    cumsum,
+    row_number,
+    if_else,
+    paste0,
+)
+
+
+@pytest.fixture
+def empty(spark):
+    return tibble(spark, g=["a"], x=[1.0], s=["p-q"]) >> filter_(f.x > 99)
+
+
+PIPELINES = [
+    lambda e: e >> select(f.g, f.x),
+    lambda e: e >> mutate(y=f.x * 2, z=if_else(f.x > 0, "p", "n")),
+    lambda e: e >> transmute(y=f.x + 1),
+    lambda e: e >> group_by(f.g) >> summarise(s=sum_(f.x, na_rm=True), c=n()),
+    lambda e: e >> group_by(f.g) >> mutate(l=lag(f.x), cs=cumsum(f.x)),
+    lambda e: e >> arrange(f.x),
+    lambda e: e >> distinct(),
+    lambda e: e >> count(f.g),
+    lambda e: e >> add_count(f.g),
+    lambda e: e >> slice_head(n=5),
+    lambda e: e >> group_by(f.g) >> slice_max(f.x, n=2),
+    lambda e: e >> rename(gg=f.g),
+    lambda e: e >> relocate(f.x),
+    lambda e: e >> mutate(rn=row_number()),
+    lambda e: e >> pivot_longer([f.x], names_to="k", values_to="v"),
+    lambda e: e >> separate(f.s, ["a", "b"], sep="-"),
+    lambda e: e >> unite("gx", f.g, f.s),
+    lambda e: e >> drop_na(),
+    lambda e: e >> replace_na(x=0.0),
+    lambda e: e >> group_by(f.g) >> fill(f.x, _direction="down"),
+    lambda e: e >> nest(data=f.x),
+    lambda e: e >> uncount(2),
+    lambda e: e >> rowid_to_column(),
+    lambda e: e >> complete_cases(),
+    lambda e: e >> factor_(f.g) >> fct_infreq(f.g),
+]
+
+
+@pytest.mark.parametrize("i", range(len(PIPELINES)))
+def test_verb_on_empty_frame(empty, i):
+    out = PIPELINES[i](empty)
+    # collecting must also work, and yield zero rows
+    assert len(out.collect()) == 0
+
+
+def test_two_table_verbs_on_empty(spark, empty):
+    other = tibble(spark, g=["a"], y=[9])
+    assert (empty >> left_join(other, by="g")).nrow() == 0
+    assert bind_rows(empty, empty).nrow() == 0
+    # upsert of empty into empty
+    assert rows_upsert(empty >> select(f.g, f.x), empty >> select(f.g, f.x), by="g").nrow() == 0
+
+
+def test_pivot_wider_on_empty(spark, empty):
+    out = empty >> pivot_wider(names_from=f.g, values_from=f.x)
+    assert out.nrow() == 0
