@@ -73,6 +73,7 @@ def pivot_longer(
     values_to: str = "value",
     names_prefix: str | None = None,
     names_sep: str | None = None,
+    names_pattern: str | None = None,
     values_drop_na: bool = False,
 ) -> Tibble:
     value_cols = _sel(td, cols)
@@ -104,9 +105,19 @@ def pivot_longer(
     name_col: Column = F.col("__datar_name__")
     if names_prefix:
         name_col = F.regexp_replace(name_col, f"^{names_prefix}", "")
-    if isinstance(names_to, str) and names_sep is None:
+    if isinstance(names_to, str) and names_sep is None and names_pattern is None:
         long = long.withColumn(names_to, name_col).drop("__datar_name__")
         out_cols = [*id_cols, names_to, values_to]
+    elif names_pattern is not None:
+        # regex capture groups -> one target column each (tidyr
+        # names_pattern; reference api/tidyr.py:264)
+        targets = names_to if isinstance(names_to, (list, tuple)) else [names_to]
+        for i, t in enumerate(targets):
+            long = long.withColumn(
+                t, F.regexp_extract(name_col, names_pattern, i + 1)
+            )
+        long = long.drop("__datar_name__")
+        out_cols = [*id_cols, *targets, values_to]
     else:
         targets = names_to if isinstance(names_to, (list, tuple)) else [names_to]
         parts = F.split(name_col, names_sep)

@@ -156,3 +156,15 @@ def test_across_names_template(spark):
     got = out.collect()
     assert got["x_m"].tolist() == [1.5, 1.5]
     assert got["y_m"].tolist() == [4.0, 4.0]
+
+
+def test_pivot_longer_names_pattern(spark):
+    td = tibble(spark, id=[1], wk1_new=[5], wk2_old=[6])
+    out = td >> pivot_longer(
+        starts_with("wk"), names_to=["week", "status"],
+        names_pattern=r"wk(\d+)_(\w+)", values_to="v",
+    )
+    got = out.collect()
+    assert got["week"].tolist() == ["1", "2"]
+    assert got["status"].tolist() == ["new", "old"]
+    assert got["v"].tolist() == [5, 6]
