@@ -24,10 +24,27 @@ _UNB_PREV = Window.unboundedPreceding
 _CUR = Window.currentRow
 
 
+def _unwrap_key(ctx, node):
+    """Resolve a ranking key, honoring a desc() wrapper: returns the
+    VALUE column (for NA masking) and the ordered sort key. Without
+    this, a Desc node evaluates to a sort-order expression that cannot
+    be re-ordered or used as a value (reference test:
+    test_desc_correctly_handled_by_window_functions)."""
+    from ..plans.expr import Desc
+
+    if isinstance(node, Desc):
+        col = _nn(ctx, node._operand)
+        return col, col.desc_nulls_last()
+    col = _nn(ctx, node)
+    return col, col.asc_nulls_last()
+
+
 def _rank_window(ctx, node, desc: bool = False):
     """Window ordered by the ranking key, NA rows excluded via masking."""
-    col = _nn(ctx, node)
-    key = col.desc_nulls_last() if desc else col.asc_nulls_last()
+    col, key = _unwrap_key(ctx, node)
+    if desc:
+        col2 = col
+        key = col2.desc_nulls_last()
     w = ctx.partition().orderBy(key, F.col("__datar_ro__").asc())
     return col, w
 
@@ -42,23 +59,22 @@ def _row_number(ctx, x=None):
 
 @register("min_rank")
 def _min_rank(ctx, x):
-    col, w = _rank_window(ctx, x)
-    # rank over key order; NAs sort last and are masked to null
-    rw = ctx.partition().orderBy(_nn(ctx, x).asc_nulls_last())
+    col, key = _unwrap_key(ctx, x)
+    rw = ctx.partition().orderBy(key)
     return F.when(col.isNotNull(), F.rank().over(rw))
 
 
 @register("dense_rank")
 def _dense_rank(ctx, x):
-    col = _nn(ctx, x)
-    rw = ctx.partition().orderBy(col.asc_nulls_last())
+    col, key = _unwrap_key(ctx, x)
+    rw = ctx.partition().orderBy(key)
     return F.when(col.isNotNull(), F.dense_rank().over(rw))
 
 
 @register("percent_rank")
 def _percent_rank(ctx, x):
-    col = _nn(ctx, x)
-    rw = ctx.partition().orderBy(col.asc_nulls_last())
+    col, key = _unwrap_key(ctx, x)
+    rw = ctx.partition().orderBy(key)
     n_ok = F.sum(col.isNotNull().cast("long")).over(ctx.partition())
     rank = F.rank().over(rw)
     return F.when(col.isNotNull(), (rank - 1) / (n_ok - 1))
@@ -66,8 +82,8 @@ def _percent_rank(ctx, x):
 
 @register("cume_dist")
 def _cume_dist(ctx, x):
-    col = _nn(ctx, x)
-    rw = ctx.partition().orderBy(col.asc_nulls_last())
+    col, key = _unwrap_key(ctx, x)
+    rw = ctx.partition().orderBy(key)
     n_ok = F.sum(col.isNotNull().cast("long")).over(ctx.partition())
     # rows with key <= current, among non-NA rows
     upto = F.max(F.when(col.isNotNull(), F.row_number().over(rw))).over(
@@ -81,8 +97,8 @@ def _ntile(ctx, x=None, n: int = 1):
     nval = int(ctx.eval(n))
     if x is None:
         return F.ntile(nval).over(ctx.ordered())
-    col = _nn(ctx, x)
-    rw = ctx.partition().orderBy(col.asc_nulls_last())
+    col, key = _unwrap_key(ctx, x)
+    rw = ctx.partition().orderBy(key)
     return F.when(col.isNotNull(), F.ntile(nval).over(rw))
 
 

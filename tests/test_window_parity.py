@@ -120,3 +120,18 @@ def test_rank_na_masked_grouped(spark):
     td = tibble(spark, g=["a", "a", "b"], x=[None, 2.0, 5.0])
     got = (td >> group_by(f.g) >> mutate(r=min_rank(f.x))).collect()
     assert_iterable_equal(got["r"].tolist(), [None, 1, 1])
+
+
+def test_min_rank_desc_key(spark):
+    from datar_polars_spark import desc
+
+    td = tibble(spark, x=list(range(1, 11)))
+    out = td >> mutate(r=min_rank(desc(f.x)), dr=dense_rank(desc(f.x)))
+    assert out.collect()["r"].tolist() == list(range(10, 0, -1))
+    assert out.collect()["dr"].tolist() == list(range(10, 0, -1))
+
+
+def test_min_rank_all_na_column(spark):
+    td = tibble(spark, ID=[1] * 3, e=[None] * 3) >> group_by(f.ID)
+    out = td >> mutate(r=min_rank(f.e))
+    assert out.collect()["r"].isna().all()
