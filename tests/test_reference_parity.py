@@ -224,3 +224,18 @@ def test_join_suffix_on_clash(spark):
     b = tibble(spark, k=[1], v=[20])
     out = a >> left_join(b, by="k")
     assert set(out.columns) == {"k", "v_x", "v_y"}
+
+
+def test_across_dict_and_list_functions(spark):
+    td = tibble(spark, a=[1.0, 2.0, 3.0], b=[4.0, 5.0, 6.0])
+    o1 = td >> summarise(across([f.a, f.b], {"sum": sum_, "mean": mean}))
+    assert list(o1.columns) == ["a_sum", "a_mean", "b_sum", "b_mean"]
+    assert o1.rows() == [(6.0, 2.0, 15.0, 5.0)]
+    o2 = td >> summarise(across(f.a, [sum_, mean]))
+    assert list(o2.columns) == ["a_sum", "a_mean"]
+
+
+def test_across_grouped_summarise(spark):
+    td = tibble(spark, g=["a", "a", "b"], x=[1.0, 2.0, 3.0])
+    out = td >> group_by(f.g) >> summarise(across(f.x, sum_))
+    assert sorted(out.rows()) == [("a", 3.0), ("b", 3.0)]
