@@ -239,3 +239,19 @@ def test_across_grouped_summarise(spark):
     td = tibble(spark, g=["a", "a", "b"], x=[1.0, 2.0, 3.0])
     out = td >> group_by(f.g) >> summarise(across(f.x, sum_))
     assert sorted(out.rows()) == [("a", 3.0), ("b", 3.0)]
+
+
+def test_slice_negative_drops(spark):
+    from datar_polars_spark import slice_, c_
+
+    td = tibble(spark, x=[10, 20, 30, 40])
+    assert (td >> slice_(-1)).collect()["x"].tolist() == [20, 30, 40]
+    assert (td >> slice_(c_(1, 3))).collect()["x"].tolist() == [10, 30]
+
+
+def test_tidyselect_num_range_and_where(spark):
+    from datar_polars_spark import num_range, where, is_numeric
+
+    td = tibble(spark, x1=[1], x2=[2], y=["a"])
+    assert (td >> select(num_range("x", range(1, 3)))).columns == ["x1", "x2"]
+    assert (td >> select(where(is_numeric))).columns == ["x1", "x2"]
