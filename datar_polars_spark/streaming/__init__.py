@@ -42,6 +42,8 @@ __all__ = [
     "sessionize",
     "stream_dedup",
     "stateful_running_agg",
+    "stream_enrich",
+    "stream_write_parquet",
     "run_to_memory",
 ]
 
@@ -217,6 +219,48 @@ def stateful_running_agg(
     return sdf.groupBy(*kcols).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def stream_enrich(
+    sdf: DataFrame, static: Any, by: Any, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a batch
+    dimension table (broadcast by Catalyst when small). ``static`` may
+    be a Tibble or DataFrame; ``by`` is a column name or
+    {stream_key: static_key} dict."""
+    sdf_static = static.df.select(*static.columns) if isinstance(static, Tibble) else static
+    if isinstance(by, dict):
+        (lk, rk), = by.items()
+        sdf_static = sdf_static.withColumnRenamed(rk, lk)
+        on = lk
+    else:
+        on = _name_of(by)
+    return sdf.join(sdf_static, on, how)
+
+
+def stream_write_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = False,
+):
+    """Parquet sink with exactly-once semantics via checkpointing.
+    ``available_now=True`` drains what exists and stops (backfill /
+    test mode); otherwise runs continuously."""
+    w = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()
 
 
 def run_to_memory(sdf: DataFrame, mode: str = "complete") -> "Any":

@@ -99,3 +99,38 @@ def test_stateful_running_agg(spark):
     for uid, row in batch.iterrows():
         assert final.loc[uid, "n_events"] == row["n"]
         assert final.loc[uid, "total"] == pytest.approx(row["t"])
+
+
+def test_stream_enrich_static_join(spark):
+    from datar_polars_spark import read_parquet, tibble, f
+    from datar_polars_spark.streaming import stream_enrich
+
+    s = stream_read_parquet(spark, EVENTS)
+    dim = tibble(
+        spark,
+        event_type=["click", "view", "purchase", "signup", "error"],
+        category=["engage", "engage", "convert", "convert", "ops"],
+    )
+    out = stream_enrich(s, dim, by="event_type").groupBy("category").count()
+    got = run_to_memory(out, mode="complete")
+    batch = (
+        read_parquet(spark, EVENTS).df
+        .join(dim.df.select(*dim.columns), "event_type")
+        .groupBy("category").count().toPandas()
+    )
+    g = got.sort_values("category").reset_index(drop=True)
+    b = batch.sort_values("category").reset_index(drop=True)
+    assert g["category"].tolist() == b["category"].tolist()
+    assert g["count"].tolist() == b["count"].tolist()
+
+
+def test_stream_write_parquet_roundtrip(spark, tmp_path):
+    from datar_polars_spark import read_parquet
+    from datar_polars_spark.streaming import stream_write_parquet
+
+    s = stream_read_parquet(spark, EVENTS).select("event_id", "event_type")
+    stream_write_parquet(
+        s, str(tmp_path / "out"), str(tmp_path / "ckpt"), available_now=True
+    )
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == read_parquet(spark, EVENTS).nrow()
