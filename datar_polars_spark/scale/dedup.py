@@ -150,11 +150,19 @@ def minhash_pairs(
     estimate filters false positives. No driver collection."""
     tname, idn = _name_of(text), _name_of(id_col)
     rows_per_band = num_perm // bands
-    base = td.df.select(
+    # signature via explode -> 64 partial-aggregated mins: each shingle
+    # is constructed and hashed exactly once. The naive expression form
+    # (array_min(transform(shingles, hash_i)) per permutation) re-inlines
+    # the whole shingle-array construction num_perm times after
+    # Catalyst's CollapseProject — ~60x slower at sf0.1.
+    shingled = td.df.select(
         F.col(idn).alias("id"),
-        minhash_signature(word_shingles(F.col(tname), shingle_words), num_perm).alias(
-            "sig"
-        ),
+        F.explode(word_shingles(F.col(tname), shingle_words)).alias("__g__"),
+    )
+    base = shingled.groupBy("id").agg(
+        F.array(
+            *[F.min(F.xxhash64(F.col("__g__"), F.lit(i))) for i in range(num_perm)]
+        ).alias("sig")
     )
     banded = _banded(base, "sig", bands, rows_per_band)
     left = banded.select(
@@ -237,9 +245,26 @@ def simhash_dedup(td: Tibble, text: Any, id_col: Any, max_hamming: int = 3) -> T
     pair within hamming distance 3 shares at least one identical
     quarter, by pigeonhole), verify with exact hamming distance."""
     tname, idn = _name_of(text), _name_of(id_col)
-    base = td.df.select(
-        F.col(idn).alias("id"), simhash64(F.col(tname)).alias("sh")
+    # SimHash via explode -> per-bit majority sums: each token hashed
+    # once (the expression form re-inlines tokenization per bit after
+    # CollapseProject — same pathology as the minhash signature)
+    exploded = td.df.select(
+        F.col(idn).alias("id"),
+        F.explode(F.array_distinct(tokenize_words(F.col(tname)))).alias("__t__"),
     )
+    h = F.xxhash64(F.col("__t__"))
+    agg = exploded.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        *[
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"__o{b}__")
+            for b in range(64)
+        ],
+    )
+    sh = F.lit(0).cast("long")
+    for b in range(64):
+        bit = (F.col(f"__o{b}__") * 2 > F.col("__n__")).cast("long")
+        sh = sh.bitwiseOR(F.shiftleft(bit, b))
+    base = agg.select("id", sh.alias("sh"))
     quarters = F.array(
         *[
             F.struct(
