@@ -38,5 +38,6 @@ from .operators.tibble_verbs import *  # noqa: F401,F403
 from .operators.misc import *  # noqa: F401,F403
 from .functions.across import across  # noqa: F401
 from .sources import read_parquet, read_csv, load_tables, write_parquet  # noqa: F401
+from . import scale  # noqa: F401  (registers text-analysis functions)
 
 __version__ = "0.1.0"
