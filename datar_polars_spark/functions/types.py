@@ -60,11 +60,12 @@ def _as_logical(ctx, x):
 
 @register("as_date")
 def _as_date(ctx, x, format=None):
+    # try_to_date: unparseable dates -> NA instead of an ANSI error
     col = ctx.col(x)
     fmt = ctx.eval(format) if format is not None else None
     if fmt is not None:
-        return F.to_date(col, _r_to_java_fmt(fmt))
-    return F.to_date(col)
+        return F.try_to_date(col, _r_to_java_fmt(fmt))
+    return F.try_to_date(col)
 
 
 def _r_to_java_fmt(fmt: str) -> str:

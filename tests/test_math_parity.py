@@ -132,3 +132,14 @@ def test_is_element_and_match(spark):
     assert got["e"].tolist() == [True, False, True]
     # match: 1-based index of first occurrence, NA when absent
     assert_iterable_equal(got["m"].tolist(), [2, None, 1])
+
+
+def test_as_date_formats_and_invalid(spark):
+    from datar_polars_spark.functions import as_date
+    import datetime
+
+    td = tibble(spark, s=["2024-03-05", "bogus"], us=["03/05/2024", "12/31/2023"])
+    got = (td >> mutate(d=as_date(f.s), d2=as_date(f.us, format="%m/%d/%Y"))).collect()
+    assert got["d"][0] == datetime.date(2024, 3, 5)
+    assert got["d"].isna().tolist() == [False, True]  # unparseable -> NA
+    assert got["d2"].tolist() == [datetime.date(2024, 3, 5), datetime.date(2023, 12, 31)]
