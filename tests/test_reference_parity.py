@@ -255,3 +255,15 @@ def test_tidyselect_num_range_and_where(spark):
     td = tibble(spark, x1=[1], x2=[2], y=["a"])
     assert (td >> select(num_range("x", range(1, 3)))).columns == ["x1", "x2"]
     assert (td >> select(where(is_numeric))).columns == ["x1", "x2"]
+
+
+def test_add_count_name_collision_repair(spark):
+    from datar_polars_spark import count, add_count
+
+    td = tibble(spark, g=["a", "a", "b"], n=[1, 2, 3])
+    # count drops non-grouped cols, so the count can keep the name "n"
+    assert (td >> count(f.g)).columns == ["g", "n"]
+    # add_count keeps all cols -> collision repaired to "nn"
+    out = td >> add_count(f.g)
+    assert out.columns == ["g", "n", "nn"]
+    assert out.collect()["nn"].tolist() == [2, 2, 1]
