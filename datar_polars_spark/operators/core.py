@@ -486,7 +486,11 @@ def distinct(td: Tibble, *args: Any, _keep_all: bool = False, **kwargs: Any) -> 
         td = mutate(td, **kwargs)
     names = [a._name if isinstance(a, Ref) else str(a) for a in args]
     names += list(kwargs.keys())
-    subset = list(dict.fromkeys([*td.group_vars, *names])) or td.columns
+    # no selection -> distinct over ALL columns (dplyr), even when
+    # grouped; a selection always re-adds the group vars
+    subset = (
+        list(dict.fromkeys([*td.group_vars, *names])) if names else td.columns
+    )
     if not td.has_order:
         if _keep_all:
             td = td.ensure_order()
