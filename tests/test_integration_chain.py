@@ -138,3 +138,26 @@ def test_window_chain_matches_duckdb(spark, duck):
         ) WHERE r = 1
     """)
     assert _rows(out.df.select(*out.columns)) == want
+
+
+def test_reshape_chain_matches_duckdb(spark, duck):
+    """count -> pivot_wider -> pivot_longer roundtrip + mutate/filter:
+    reshaping composability against DuckDB."""
+    from datar_polars_spark import pivot_wider, pivot_longer
+    from datar_polars_spark.functions import coalesce
+
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
+    out = (
+        li
+        >> count(f.l_returnflag, f.l_linestatus)
+        >> pivot_wider(names_from=f.l_linestatus, values_from=f.n, values_fill=0)
+        >> pivot_longer(
+            [f.F, f.O], names_to="l_linestatus", values_to="n"
+        )
+        >> filter_(f.n > 0)
+    )
+    want = _duck_rows(duck, """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    """)
+    assert _rows(out.df.select(*out.columns)) == want
