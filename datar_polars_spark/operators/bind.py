@@ -72,9 +72,13 @@ def bind_rows(*data: Any, _id: str | None = None, **kwargs: Any) -> Tibble:
     out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
     out = _stacked_order(out)
     first = items[0][1]
+    # factor levels merge as the ORDERED UNION across frames (dict.update
+    # would keep only the last frame's list — reference lvls_union rule)
     levels: dict = {}
     for _, td in items:
-        levels.update(td.levels)
+        for col, lv in td.levels.items():
+            merged = levels.get(col, [])
+            levels[col] = merged + [l for l in lv if l not in merged]
     # column order: _id first if present, then first-seen order
     cols = []
     if _id:

@@ -131,3 +131,12 @@ def test_fct_c_and_unify(spark):
     assert sorted(out.collect()["x"].tolist()) == ["a", "b", "b", "c"]
     ua, ub = fct_unify([a, b], f.x)
     assert levels_(ua, f.x) == levels_(ub, f.x) == ["a", "b", "c"]
+
+
+def test_bind_rows_merges_factor_levels(spark):
+    from datar_polars_spark import bind_rows, fct_relevel
+
+    a = tibble(spark, x=["lo", "hi"]) >> factor_(f.x) >> fct_relevel(f.x, "hi")
+    c = tibble(spark, x=["mid"]) >> factor_(f.x)
+    out = bind_rows(a, c)
+    assert out.levels["x"] == ["hi", "lo", "mid"]
