@@ -52,7 +52,10 @@ def _rank_window(ctx, node, desc: bool = False):
 @register("row_number")
 def _row_number(ctx, x=None):
     if x is None:
-        return F.row_number().over(ctx.ordered())
+        # frame-order numbering: two-pass distributed when ungrouped
+        # (per-bucket row_number + broadcast prefix counts) instead of a
+        # single-partition global window
+        return ctx.row_number_over()
     col, w = _rank_window(ctx, x)
     return F.when(col.isNotNull(), F.row_number().over(w))
 
@@ -116,47 +119,32 @@ def _lag(ctx, x, n: int = 1, default=None, order_by=None):
     return F.lag(col, int(ctx.eval(n)), dflt).over(ctx.ordered(order_by))
 
 
-def _cum(aggfn):
+def _cum(kind):
+    """Cumulative aggregates route through ctx.cum_over: ordinary group
+    windows when grouped, two-pass distributed rewrite when ungrouped on
+    the default frame order (no single-partition window)."""
+
     def impl(ctx, x, order_by=None):
         col = ctx.col(x)
-        return aggfn(col).over(
-            ctx.ordered(order_by).rowsBetween(_UNB_PREV, _CUR)
-        )
+        if kind in ("all", "any"):
+            col = col.cast("boolean")
+        return ctx.cum_over(kind, col, order_by)
 
     return impl
 
 
-register("cumsum")(_cum(F.sum))
-register("cummax")(_cum(F.max))
-register("cummin")(_cum(F.min))
-register("cummean")(_cum(F.mean))
-
-
-@register("cumprod")
-def _cumprod(ctx, x, order_by=None):
-    col = ctx.col(x)
-    return F.product(col).over(ctx.ordered(order_by).rowsBetween(_UNB_PREV, _CUR))
-
-
-@register("cumall")
-def _cumall(ctx, x, order_by=None):
-    col = ctx.col(x).cast("boolean")
-    return (
-        F.min(col).over(ctx.ordered(order_by).rowsBetween(_UNB_PREV, _CUR))
-    )
-
-
-@register("cumany")
-def _cumany(ctx, x, order_by=None):
-    col = ctx.col(x).cast("boolean")
-    return (
-        F.max(col).over(ctx.ordered(order_by).rowsBetween(_UNB_PREV, _CUR))
-    )
+register("cumsum")(_cum("sum"))
+register("cummax")(_cum("max"))
+register("cummin")(_cum("min"))
+register("cummean")(_cum("mean"))
+register("cumprod")(_cum("product"))
+register("cumall")(_cum("all"))
+register("cumany")(_cum("any"))
 
 
 @register("cumcount")
 def _cumcount(ctx, x=None):
-    return F.count(F.lit(1)).over(ctx.ordered().rowsBetween(_UNB_PREV, _CUR))
+    return ctx.cum_over("count", None)
 
 
 @register("with_order")

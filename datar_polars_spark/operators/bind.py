@@ -92,18 +92,42 @@ def bind_rows(*data: Any, _id: str | None = None, **kwargs: Any) -> Tibble:
     return Tibble(out, groups=first.group_vars, levels=levels)
 
 
+def _with_pos(df):
+    """0-based dense positional ids, fully distributed (no global
+    window): range-sort by the order column, tag rows with
+    monotonically-increasing ids ((partition << 33) | offset), count
+    rows per partition in one tiny job, and add broadcast cumulative
+    offsets. The sorted frame is persisted so both passes see the same
+    range boundaries (RangePartitioner samples with a per-compilation
+    seed, so an unpersisted recompute could re-bucket rows)."""
+    d = (
+        df.orderBy(F.col(ORDER_COL).asc())
+        .withColumn("__datar_mono__", F.monotonically_increasing_id())
+        .persist()
+    )
+    pid = F.shiftright(F.col("__datar_mono__"), 33)
+    counts = d.groupBy(pid.alias("__p__")).count().collect()
+    off, total = {}, 0
+    for r in sorted(counts, key=lambda r: r["__p__"]):
+        off[r["__p__"]] = total
+        total += r["count"]
+    pairs = [F.lit(v) for kv in off.items() for v in kv]
+    base = F.create_map(*pairs)[pid] if pairs else F.lit(0)
+    pos = base + F.col("__datar_mono__").bitwiseAND(F.lit((1 << 33) - 1))
+    return d.withColumn("__datar_pos__", pos.cast("long")).drop("__datar_mono__")
+
+
 @verb2
 def bind_cols(*data: Any) -> Tibble:
     """Horizontal concat zip-joined on row position (Spark has no
-    positional hstack; reference bind.py:96-134)."""
-    from pyspark.sql import Window
-
+    positional hstack; reference bind.py:96-134). Positions come from
+    the distributed two-pass id assignment above — every frame keeps
+    its parallelism; the only shuffle is the positional join itself."""
     tds = [ensure_tibble(d).ensure_order() for d in data]
     out = None
     seen: set[str] = set()
     for i, td in enumerate(tds):
-        w = Window.orderBy(F.col(ORDER_COL).asc())
-        df = td.df.withColumn("__datar_pos__", F.row_number().over(w))
+        df = _with_pos(td.df)
         renames = {}
         for c in td.columns:
             name = c
@@ -116,13 +140,14 @@ def bind_cols(*data: Any) -> Tibble:
                 renames[c] = name
         for old, new in renames.items():
             df = df.withColumnRenamed(old, new)
+        df = df.drop(ORDER_COL)
         if out is None:
             out = df
         else:
-            out = out.join(
-                df.drop(ORDER_COL), on="__datar_pos__", how="full"
-            )
-    out = out.drop("__datar_pos__")
+            out = out.join(df, on="__datar_pos__", how="full")
+    # the dense position IS the output order (and it's reproducible:
+    # it reads from the persisted sorted frames)
+    out = out.withColumnRenamed("__datar_pos__", ORDER_COL)
     levels: dict = {}
     for td in tds:
         levels.update(td.levels)
@@ -207,13 +232,18 @@ def _key_names(x: Tibble, by: Any) -> list[str]:
 
 
 @verb2
-def rows_insert(x: Any, y: Any, by: Any = None, conflict: str = "error") -> Tibble:
+def rows_insert(
+    x: Any, y: Any, by: Any = None, conflict: str = "error", check: bool = True
+) -> Tibble:
+    """check=False skips the eager conflict scan (a full extra join
+    pass at scale) and trusts the caller that keys don't clash."""
     x, y = ensure_tibble(x), ensure_tibble(y)
     keys = _key_names(x, by)
     if conflict == "error":
-        n_clash = y.df.join(x.df.select(*keys), on=keys, how="left_semi").count()
-        if n_clash:
-            raise ValueError(f"rows_insert: {n_clash} keys already exist")
+        if check:
+            n_clash = y.df.join(x.df.select(*keys), on=keys, how="left_semi").count()
+            if n_clash:
+                raise ValueError(f"rows_insert: {n_clash} keys already exist")
         new_rows = y
     else:  # ignore
         new_rows = y.with_df(y.df.join(x.df.select(*keys), on=keys, how="left_anti"))
@@ -248,9 +278,13 @@ def _rows_merge(x: Tibble, y: Tibble, by: Any, patch_only_na: bool, unmatched: s
 
 
 @verb2
-def rows_update(x: Any, y: Any, by: Any = None, unmatched: str = "error") -> Tibble:
+def rows_update(
+    x: Any, y: Any, by: Any = None, unmatched: str = "error", check: bool = True
+) -> Tibble:
+    """check=False skips the eager unmatched-key scan (one extra join
+    pass); unmatched y rows are then silently ignored by the merge."""
     x, y = ensure_tibble(x), ensure_tibble(y)
-    if unmatched == "error":
+    if unmatched == "error" and check:
         keys = _key_names(x, by)
         n = y.df.join(x.df.select(*keys), on=keys, how="left_anti").count()
         if n:

@@ -82,7 +82,157 @@ class EvalContext:
         """Wrap an aggregate for the current mode (plain vs window)."""
         if self.mode == "agg":
             return aggregated
+        if not self.groups and not self.rowwise and not self.tibble.df.isStreaming:
+            # Ungrouped window aggregate == one global scalar. Computing
+            # it eagerly (a tiny map-side-combined agg job) and inlining
+            # the literal avoids `Window.partitionBy()` — a window that
+            # funnels every row of the table through a single task.
+            df = self.tibble.df
+            schema = df.select(aggregated.alias("__v__")).schema
+            row = df.agg(aggregated.alias("__v__")).first()
+            return F.lit(row["__v__"]).cast(schema[0].dataType)
         return aggregated.over(self.partition())
+
+    # ---- two-pass distributed cumulative windows -----------------------
+    # Ungrouped order-sensitive windows are semantically a total order,
+    # but the physical plan need not be one task: partition by a coarse
+    # bucket that is a PREFIX of the mono-id order (so buckets tile the
+    # order), cumulate within buckets in parallel, and combine in an
+    # exclusive prefix of per-bucket totals computed by one tiny agg job.
+    # The bucket key is derived from ORDER_COL *values*, not physical
+    # partitioning, so the two passes agree without caching — as long as
+    # the order ids themselves are reproducible (tibble.order_stable).
+
+    MAX_TWO_PASS_BUCKETS = 65536
+
+    def _order_bucket(self) -> Column | None:
+        """Bucket = mono-id prefix (its partition index). None when the
+        order column isn't a plain mono-id long (e.g. bind_rows structs)."""
+        dtype = dict(self.tibble.df.dtypes).get(ORDER_COL)
+        if dtype == "bigint":
+            return F.shiftright(F.col(ORDER_COL), 33)
+        return None
+
+    def _two_pass_ok(self, order_by: Any) -> bool:
+        return (
+            self.mode == "eval"
+            and not self.groups
+            and not self.rowwise
+            and order_by is None
+            and self.order_override is None
+            and self.tibble.order_stable
+            and ORDER_COL in self.tibble.df.columns
+            and not self.tibble.df.isStreaming
+        )
+
+    def _bucket_offsets(self, bucket: Column, total: Column, combine):
+        """Per-bucket totals -> exclusive prefix combine. Returns
+        {bucket_id: offset} (buckets with no prior non-null omitted),
+        or None when the bucket count exceeds the literal-map bound."""
+        rows = (
+            self.tibble.df.groupBy(bucket.alias("__b__"))
+            .agg(total.alias("__t__"))
+            .collect()
+        )
+        if not rows or len(rows) > self.MAX_TWO_PASS_BUCKETS:
+            return None
+        offsets: dict[int, Any] = {}
+        acc = None
+        for r in sorted(rows, key=lambda r: r["__b__"]):
+            if acc is not None:
+                offsets[r["__b__"]] = acc
+            t = r["__t__"]
+            if t is not None:
+                acc = t if acc is None else combine(acc, t)
+        return offsets
+
+    def _offset_lookup(self, bucket: Column, offsets: dict) -> Column:
+        pairs = []
+        for k, v in offsets.items():
+            pairs.extend([F.lit(k), F.lit(v)])
+        if not pairs:
+            return F.lit(None)
+        return F.create_map(*pairs)[bucket]
+
+    def cum_over(self, kind: str, value: Column | None, order_by: Any = None) -> Column:
+        """Cumulative aggregate over frame order; two-pass distributed
+        rewrite for the ungrouped default-order case, ordinary window
+        otherwise. kind: sum|min|max|product|mean|count|all|any."""
+        aggs = {
+            "sum": (F.sum, lambda a, b: a + b, "sum"),
+            "min": (F.min, min, "minmax"),
+            "max": (F.max, max, "minmax"),
+            "product": (F.product, lambda a, b: a * b, "product"),
+            "all": (F.min, lambda a, b: a and b, "minmax"),
+            "any": (F.max, lambda a, b: a or b, "minmax"),
+            "count": (lambda c: F.count(F.lit(1)), lambda a, b: a + b, "count"),
+        }
+        frame = (Window.unboundedPreceding, Window.currentRow)
+
+        if kind == "mean":
+            s = self.cum_over("sum", value, order_by)
+            c_nn = self._cum_nonnull_count(value, order_by)
+            return s / c_nn
+
+        aggfn, combine, merge = aggs[kind]
+        simple = aggfn(value if value is not None else F.lit(1)).over(
+            self.ordered(order_by).rowsBetween(*frame)
+        )
+        if not self._two_pass_ok(order_by):
+            return simple
+        bucket = self._order_bucket()
+        if bucket is None:
+            return simple
+        total = aggfn(value if value is not None else F.lit(1))
+        offsets = self._bucket_offsets(bucket, total, combine)
+        if offsets is None:
+            return simple
+        w = Window.partitionBy(bucket).orderBy(F.col(ORDER_COL).asc()).rowsBetween(*frame)
+        within = aggfn(value if value is not None else F.lit(1)).over(w)
+        off = self._offset_lookup(bucket, offsets)
+        if merge == "count":
+            return within + F.coalesce(off, F.lit(0))
+        if merge == "minmax":
+            return F.least(within, off) if kind in ("min", "all") else F.greatest(within, off)
+        if merge == "product":
+            return F.coalesce(within * off, within, off)
+        return F.coalesce(within + off, within, off)
+
+    def _cum_nonnull_count(self, value: Column, order_by: Any) -> Column:
+        cnt = F.count(value)
+        if not self._two_pass_ok(order_by):
+            return cnt.over(self.ordered(order_by).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            ))
+        bucket = self._order_bucket()
+        if bucket is None:
+            return cnt.over(self.ordered(order_by).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            ))
+        offsets = self._bucket_offsets(bucket, cnt, lambda a, b: a + b)
+        if offsets is None:
+            return cnt.over(self.ordered(order_by).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            ))
+        w = Window.partitionBy(bucket).orderBy(F.col(ORDER_COL).asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return cnt.over(w) + F.coalesce(self._offset_lookup(bucket, offsets), F.lit(0))
+
+    def row_number_over(self) -> Column:
+        """row_number() in frame order; two-pass when ungrouped."""
+        if not self._two_pass_ok(None):
+            return F.row_number().over(self.ordered())
+        bucket = self._order_bucket()
+        if bucket is None:
+            return F.row_number().over(self.ordered())
+        offsets = self._bucket_offsets(bucket, F.count(F.lit(1)), lambda a, b: a + b)
+        if offsets is None:
+            return F.row_number().over(self.ordered())
+        w = Window.partitionBy(bucket).orderBy(F.col(ORDER_COL).asc())
+        return F.row_number().over(w) + F.coalesce(
+            self._offset_lookup(bucket, offsets), F.lit(0)
+        )
 
 
 def eval_expr(node: Any, ctx: EvalContext) -> Any:

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,6 +108,31 @@ def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     return F.array(*mins)
 
 
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket: int, log_dropped: bool = False
+) -> DataFrame:
+    """Skew guard for LSH bucket self-joins: buckets larger than
+    ``max_bucket`` members (giant boilerplate/duplicate clusters in web
+    corpora) would make the candidate join O(bucket^2); drop them from
+    candidate generation. Exact/fingerprint dedup should run first so
+    oversized buckets are rare (see minhash_dedup). The bucket census is
+    a tiny aggregate broadcast back as an anti-join."""
+    counts = banded.groupBy(*keys).count()
+    oversized = counts.filter(F.col("count") > max_bucket).select(*keys)
+    if log_dropped:
+        import logging
+
+        n = oversized.count()
+        if n:
+            logging.getLogger(__name__).warning(
+                "LSH bucket cap: %d buckets over %d members dropped from "
+                "candidate generation",
+                n,
+                max_bucket,
+            )
+    return banded.join(F.broadcast(oversized), on=keys, how="left_anti")
+
+
 def _banded(df: DataFrame, sig: str, bands: int, rows_per_band: int) -> DataFrame:
     """Explode a signature to (band_idx, band_hash) LSH buckets."""
     band_hashes = F.array(
@@ -141,13 +168,18 @@ def minhash_pairs(
     bands: int = 16,
     shingle_words: int = 3,
     threshold: float = 0.7,
+    max_bucket: int = 1000,
+    log_dropped: bool = False,
 ) -> Tibble:
     """Candidate near-duplicate pairs with estimated Jaccard >= threshold.
 
     Plan shape: one narrow pass computes signatures, one shuffle groups
     by (band, band_hash) — bucket sizes are tiny for non-duplicate data,
     so the self-join inside buckets never blows up; a final exact
-    estimate filters false positives. No driver collection."""
+    estimate filters false positives. No driver collection. Buckets over
+    ``max_bucket`` members are excluded from candidate generation (run
+    exact dedup first — minhash_dedup does — so they only arise from
+    pathological boilerplate)."""
     tname, idn = _name_of(text), _name_of(id_col)
     rows_per_band = num_perm // bands
     # signature via explode -> 64 partial-aggregated mins: each shingle
@@ -165,6 +197,7 @@ def minhash_pairs(
         ).alias("sig")
     )
     banded = _banded(base, "sig", bands, rows_per_band)
+    banded = _cap_buckets(banded, ["band", "bhash"], max_bucket, log_dropped)
     left = banded.select(
         F.col("band"), F.col("bhash"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
     )
@@ -190,6 +223,26 @@ def minhash_pairs(
     return Tibble(out)
 
 
+def _fingerprint_survivors(df: DataFrame, tname: str, idn: str) -> DataFrame:
+    """Exact-dup pre-pass: keep the min-id row per normalized-text md5.
+    Identical copies share every LSH band, so running LSH on the raw
+    corpus puts whole duplicate clusters into single buckets (O(k^2)
+    candidate pairs for a k-copy cluster). The pre-pass removes them
+    with one uniform hash-groupBy shuffle; LSH then only sees one
+    representative per exact cluster. Final survivors are identical:
+    both passes keep each cluster's minimum id."""
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(tname))), r"\s+", " ").cast("binary")
+    )
+    w = Window.partitionBy("__fp__").orderBy(F.col(idn).asc())
+    return (
+        df.withColumn("__fp__", fp)
+        .withColumn("__fp_rn__", F.row_number().over(w))
+        .filter(F.col("__fp_rn__") == 1)
+        .drop("__fp__", "__fp_rn__")
+    )
+
+
 @verb
 def minhash_dedup(
     td: Tibble,
@@ -199,18 +252,25 @@ def minhash_dedup(
     bands: int = 16,
     shingle_words: int = 3,
     threshold: float = 0.7,
+    max_bucket: int = 1000,
 ) -> Tibble:
     """Drop near-duplicates, keeping the smallest id of each duplicate
     set (single-link approximation: b is dropped if any a < b matches —
     equivalent to keeping each connected component's minimum for
-    pairwise-dense duplicate clusters)."""
-    idn = _name_of(id_col)
-    dupes = (
-        minhash_pairs(td, text, id_col, num_perm, bands, shingle_words, threshold)
+    pairwise-dense duplicate clusters). Runs an exact fingerprint-dedup
+    pre-pass so giant identical-copy clusters never reach the LSH
+    bucket self-join (see _fingerprint_survivors)."""
+    tname, idn = _name_of(text), _name_of(id_col)
+    survivors = Tibble(_fingerprint_survivors(td.df.select(*td.columns), tname, idn))
+    near = (
+        minhash_pairs(
+            survivors, text, id_col, num_perm, bands, shingle_words, threshold,
+            max_bucket=max_bucket,
+        )
         .df.select(F.col("id_b").alias(idn))
         .dropDuplicates()
     )
-    out = td.df.select(*td.columns).join(dupes, on=idn, how="left_anti")
+    out = survivors.df.join(near, on=idn, how="left_anti")
     return Tibble(out, groups=td.group_vars, levels=td.levels)
 
 
@@ -240,15 +300,24 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 @verb
-def simhash_dedup(td: Tibble, text: Any, id_col: Any, max_hamming: int = 3) -> Tibble:
+def simhash_dedup(
+    td: Tibble,
+    text: Any,
+    id_col: Any,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> Tibble:
     """Near-dup removal via SimHash: block on 4 16-bit sub-keys (any
     pair within hamming distance 3 shares at least one identical
-    quarter, by pigeonhole), verify with exact hamming distance."""
+    quarter, by pigeonhole), verify with exact hamming distance.
+    Fingerprint pre-pass + bucket cap guard against duplicate-cluster
+    skew exactly as in minhash_dedup."""
     tname, idn = _name_of(text), _name_of(id_col)
+    pre = _fingerprint_survivors(td.df.select(*td.columns), tname, idn)
     # SimHash via explode -> per-bit majority sums: each token hashed
     # once (the expression form re-inlines tokenization per bit after
     # CollapseProject — same pathology as the minhash signature)
-    exploded = td.df.select(
+    exploded = pre.select(
         F.col(idn).alias("id"),
         F.explode(F.array_distinct(tokenize_words(F.col(tname)))).alias("__t__"),
     )
@@ -277,6 +346,7 @@ def simhash_dedup(td: Tibble, text: Any, id_col: Any, max_hamming: int = 3) -> T
     blocked = base.withColumn("__q__", F.explode(quarters)).select(
         "id", "sh", F.col("__q__.q").alias("q"), F.col("__q__.qk").alias("qk")
     )
+    blocked = _cap_buckets(blocked, ["q", "qk"], max_bucket)
     left = blocked.select("q", "qk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     right = blocked.select("q", "qk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     dupes = (
@@ -286,7 +356,7 @@ def simhash_dedup(td: Tibble, text: Any, id_col: Any, max_hamming: int = 3) -> T
         .select(F.col("id_b").alias(idn))
         .dropDuplicates()
     )
-    out = td.df.select(*td.columns).join(dupes, on=idn, how="left_anti")
+    out = pre.join(dupes, on=idn, how="left_anti")
     return Tibble(out, groups=td.group_vars, levels=td.levels)
 
 
@@ -354,34 +424,72 @@ def embedding_cosine_pairs(
     embedding: Any,
     id_col: Any,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    bands: int = 16,
+    planes_per_band: int = 12,
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> Tibble:
-    """Near-duplicate embedding pairs: random-hyperplane LSH blocking
-    (vectors above ~0.95 cosine almost surely share the full sign
-    signature), exact cosine verify inside buckets."""
-    ename, idn = _name_of(embedding), _name_of(id_col)
-    import random
+    """Near-duplicate embedding pairs: BANDED random-hyperplane LSH
+    (OR-amplified across bands) + exact cosine verify inside buckets.
 
-    rng = random.Random(seed)
+    A single sign signature misses most near-dupes: P(all bits agree)
+    = (1 - theta/pi)^planes, which at cosine 0.95 (theta ~ 18.2 deg)
+    is only ~0.28 for 12 planes. Banding fixes the recall: a pair is a
+    candidate if ANY band's planes all agree, so recall =
+    1 - (1 - p^planes_per_band)^bands with p = 1 - theta/pi. With the
+    16x12 default: ~0.994 at cosine 0.95. Precision is restored by the
+    exact cosine verify; random pairs collide in a band with
+    0.5^12 ~ 2.4e-4, so candidate volume stays near-linear. Oversized
+    buckets (cap: max_bucket) are excluded — run exact dedup first if
+    the corpus has identical-vector clusters. At planet scale, lower
+    candidate volume further with more planes_per_band (AND) plus more
+    bands (OR), or pre-cluster with IVF (scale/similarity.py)."""
+    ename, idn = _name_of(embedding), _name_of(id_col)
+    from pyspark.sql.functions import pandas_udf
+
     base = td.df.select(F.col(idn).alias("id"), F.col(ename).alias("vec"))
-    dim = len(base.select("vec").first()[0])
-    sig = None
-    for p in range(n_planes):
-        plane = [rng.gauss(0, 1) for _ in range(dim)]
-        dot = F.aggregate(
-            F.zip_with(F.col("vec"), F.lit(plane), lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    first = base.select("vec").first()
+    if first is None:
+        empty = base.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double"
         )
-        bit = (dot > 0).cast("long")
-        sig = bit if sig is None else sig.bitwiseOR(F.shiftleft(bit, p))
-    hashed = base.withColumn("bucket", sig)
-    left = hashed.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("v_a"))
-    right = hashed.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
+        return Tibble(empty)
+    dim = len(first[0])
+    # plane matrix generated once on the driver (deterministic seed) and
+    # shipped in the UDF closure; signatures are one matmul per Arrow
+    # batch — the 100 TB path (the expression-tree alternative is
+    # bands*planes array-aggregates, whose codegen alone takes seconds)
+    planes = np.random.RandomState(seed).standard_normal(
+        (bands * planes_per_band, dim)
+    )
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _band_hashes(vecs: pd.Series) -> pd.Series:
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)
+        bits = (M @ planes.T) > 0  # (n, bands*planes_per_band)
+        H = bits.reshape(len(M), bands, planes_per_band) @ weights  # (n, bands)
+        return pd.Series(list(H.astype(np.int64)))
+
+    banded = (
+        base.withColumn("__bh__", _band_hashes(F.col("vec")))
+        .select(
+            "id",
+            "vec",
+            F.posexplode(F.col("__bh__")).alias("band", "bhash"),
+        )
+    )
+    banded = _cap_buckets(banded, ["band", "bhash"], max_bucket)
+    left = banded.select(
+        "band", "bhash", F.col("id").alias("id_a"), F.col("vec").alias("v_a")
+    )
+    right = banded.select(
+        "band", "bhash", F.col("id").alias("id_b"), F.col("vec").alias("v_b")
+    )
     out = (
-        left.join(right, on="bucket")
+        left.join(right, on=["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos", cosine_sim(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

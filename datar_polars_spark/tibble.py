@@ -47,6 +47,7 @@ class Tibble:
         levels: dict[str, list] | None = None,
         sorted_by: tuple | None = None,
         group_drop: bool = True,
+        order_stable: bool = True,
     ):
         # NOTE: the order column is LAZY — assigned only when an
         # order-sensitive operation first needs it. Materializing it at
@@ -60,6 +61,13 @@ class Tibble:
         self.levels: dict[str, list] = dict(levels or {})
         # group_by(_drop=False): keep unused factor levels as empty groups
         self.group_drop: bool = group_drop
+        # True while __datar_ro__ values are reproducible across separate
+        # jobs over this lineage (scan-order mono ids on deterministic
+        # sources). A range-sort reassignment (arrange) samples partition
+        # boundaries with a per-compilation seed, so its ids are only
+        # valid within one job -> order_stable=False disables the
+        # two-pass distributed window rewrite (it needs a second job).
+        self.order_stable: bool = order_stable
 
     # ---- basic accessors -------------------------------------------------
     @property
@@ -105,6 +113,7 @@ class Tibble:
             rowwise=self.rowwise if rowwise is None else rowwise,
             levels=lv,
             group_drop=self.group_drop,
+            order_stable=self.order_stable,
         )
 
     # ---- order helpers ----------------------------------------------------
@@ -127,7 +136,9 @@ class Tibble:
         if ORDER_COL in d.columns:
             d = d.drop(ORDER_COL)
         d = d.withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return self.with_df(d)
+        out = self.with_df(d)
+        out.order_stable = False
+        return out
 
     # ---- actions ----------------------------------------------------------
     def collect(self):

@@ -146,3 +146,48 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     # the partition predicate reaches the scan: only the A directory is read
     assert m and "l_returnflag" in m.group(1)
+
+
+def test_bind_cols_no_global_window(spark):
+    """bind_cols positional ids are two-pass distributed: the plan must
+    not contain an unpartitioned Window (the old single-task design)."""
+    from datar_polars_spark.operators.bind import bind_cols
+
+    a = read_parquet(spark, f"{SF}/orders.parquet") >> select(f.o_orderkey)
+    b = read_parquet(spark, f"{SF}/orders.parquet") >> select(f.o_totalprice)
+    td = bind_cols(a, b)
+    plan = _plan(td)
+    assert "Window" not in plan
+    assert td.nrow() == a.nrow()
+
+
+def test_ungrouped_row_number_no_single_partition(spark):
+    """Ungrouped mutate(rn=row_number()) uses the two-pass bucket
+    rewrite: no SinglePartition exchange, no unpartitioned window."""
+    from datar_polars_spark.functions import row_number
+
+    td = read_parquet(spark, f"{SF}/orders.parquet") >> mutate(rn=row_number())
+    plan = _plan(td)
+    assert "SinglePartition" not in plan
+
+
+def test_ungrouped_cumsum_no_single_partition(spark):
+    from datar_polars_spark.functions import cumsum
+
+    td = read_parquet(spark, f"{SF}/orders.parquet") >> mutate(
+        cs=cumsum(f.o_totalprice)
+    )
+    plan = _plan(td)
+    assert "SinglePartition" not in plan
+
+
+def test_ungrouped_window_aggregate_inlines_literal(spark):
+    """Ungrouped mutate(m=mean(x)) computes the scalar eagerly and
+    inlines it — no Window at all in the plan."""
+    from datar_polars_spark.functions import mean
+
+    td = read_parquet(spark, f"{SF}/orders.parquet") >> mutate(
+        m=mean(f.o_totalprice, na_rm=True)
+    )
+    plan = _plan(td)
+    assert "Window" not in plan
