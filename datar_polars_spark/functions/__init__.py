@@ -17,9 +17,14 @@ from .rbase import (  # noqa: F401
     order_list,
     sample_list,
     set_seed,
+    intersect,
+    union,
+    setdiff,
+    setequal,
+    append_,
 )
 from . import across as _across_mod  # noqa: F401
-from .across import Across, across  # noqa: F401
+from .across import Across, across, cur_column  # noqa: F401
 from .registry import REGISTRY, builder
 
 _ALIASES = sorted(REGISTRY.keys())
@@ -50,16 +55,21 @@ _EXPORT = {
     # types
     "as_character", "as_double", "as_integer", "as_logical", "as_numeric",
     "as_date", "is_null", "is_finite", "is_infinite", "is_element",
-    "match", "isin",
+    "match", "isin", "is_double", "is_integer", "is_logical",
+    "is_character", "is_numeric", "is_true", "is_false", "is_atomic",
+    "as_null",
     # across-family registry entries
     "c_across", "if_any", "if_all",
     # vectors / context
     "rev_", "duplicated", "lengths", "seq_along", "runif", "rnorm",
-    "row_sums", "row_means", "row_mins", "row_maxs",
+    "rexp", "rcauchy", "rchisq", "rbinom", "rpois",
+    "row_sums", "row_means", "row_mins", "row_maxs", "row_sds",
+    "row_medians", "first2", "last2",
     "cur_group", "cur_group_id",
     # special math
     "gamma", "lgamma", "lfactorial", "beta", "lbeta", "choose", "lchoose",
-    "digamma", "trigamma", "bessel_i", "bessel_j", "bessel_k", "bessel_y",
+    "digamma", "trigamma", "psigamma",
+    "bessel_i", "bessel_j", "bessel_k", "bessel_y",
     # ordering sugar
     "with_order", "order_by",
     # context data
@@ -77,7 +87,8 @@ for name in _EXPORT - set(REGISTRY):
 
 __all__ = sorted(
     _EXPORT
-    | {"across", "Across"}
+    | {"across", "Across", "cur_column"}
     | {"seq", "seq_len", "rep", "rev_list", "sort_list", "order_list",
-       "sample_list", "set_seed"}
+       "sample_list", "set_seed", "intersect", "union", "setdiff",
+       "setequal", "append_"}
 )

@@ -30,6 +30,63 @@ def across(*args: Any, _names: str | None = None, **kwargs: Any) -> Across:
     return Across(*args, _names=_names, **kwargs)
 
 
+class CurColumn:
+    """Marker replaced with the current column's NAME (a string literal)
+    during across() expansion — reference ``api/dplyr/context.py:251-271``."""
+
+    def __repr__(self) -> str:
+        return "cur_column()"
+
+
+def cur_column() -> CurColumn:
+    return CurColumn()
+
+
+def _sub_cur_column(node: Any, colname: str) -> Any:
+    """Rebuild an expression tree with CurColumn markers replaced."""
+    from ..plans.expr import BinOp, Desc, UnaryOp
+
+    if isinstance(node, CurColumn):
+        return colname
+    if isinstance(node, Call):
+        return Call(
+            node._fname,
+            tuple(_sub_cur_column(a, colname) for a in node._args),
+            {k: _sub_cur_column(v, colname) for k, v in node._kwargs.items()},
+        )
+    if isinstance(node, BinOp):
+        return BinOp(
+            node._op,
+            _sub_cur_column(node._left, colname),
+            _sub_cur_column(node._right, colname),
+        )
+    if isinstance(node, UnaryOp):
+        return UnaryOp(node._op, _sub_cur_column(node._operand, colname))
+    if isinstance(node, Desc):
+        return Desc(_sub_cur_column(node._operand, colname))
+    if isinstance(node, (list, tuple)):
+        return type(node)(_sub_cur_column(a, colname) for a in node)
+    return node
+
+
+def _has_cur_column(node: Any) -> bool:
+    from ..plans.expr import BinOp, Desc, UnaryOp
+
+    if isinstance(node, CurColumn):
+        return True
+    if isinstance(node, Call):
+        return any(_has_cur_column(a) for a in node._args) or any(
+            _has_cur_column(v) for v in node._kwargs.values()
+        )
+    if isinstance(node, BinOp):
+        return _has_cur_column(node._left) or _has_cur_column(node._right)
+    if isinstance(node, (UnaryOp, Desc)):
+        return _has_cur_column(node._operand)
+    if isinstance(node, (list, tuple)):
+        return any(_has_cur_column(a) for a in node)
+    return False
+
+
 def _fn_name(fn: Any) -> str:
     return getattr(fn, "__name__", str(fn)).rstrip("_")
 
@@ -76,7 +133,10 @@ def expand_across(td, a: Across) -> list[tuple[str, Any]]:
                 name = f"{c}_{fname}"
             else:
                 name = c
-            out.append((name, _apply(fn, Ref(c), a.fn_kwargs)))
+            node = _apply(fn, Ref(c), a.fn_kwargs)
+            if _has_cur_column(node):
+                node = _sub_cur_column(node, c)
+            out.append((name, node))
     return out
 
 

@@ -222,6 +222,21 @@ def _last(ctx, x, order_by=None, default=None, na_rm: bool = False):
     return res
 
 
+@register("first2")
+def _first2(ctx, x, y):
+    """y value at the minimum of x, NAs in x excluded (reference
+    ``api/forcats.py:522-527``) — one distributed min_by aggregate."""
+    res = F.min_by(ctx.col(y), ctx.col(x))
+    return ctx.agg(res)
+
+
+@register("last2")
+def _last2(ctx, x, y):
+    """y value at the maximum of x (reference ``api/forcats.py:529-534``)."""
+    res = F.max_by(ctx.col(y), ctx.col(x))
+    return ctx.agg(res)
+
+
 @register("nth")
 def _nth(ctx, x, n, order_by=None, default=None):
     # 0-based in dplyr-datar; collect the group then element_at (n+1)

@@ -22,9 +22,76 @@ __all__ = [
     "order_list",
     "sample_list",
     "set_seed",
+    "intersect",
+    "union",
+    "setdiff",
+    "setequal",
+    "append_",
 ]
 
 _rng = _random.Random()
+
+
+# ---- vector set operations (reference api/base/sets.py:32-240) ------------
+# Dual dispatch: plain iterables -> list results on the driver; any
+# expression argument -> a deferred Call compiled to the per-row array
+# set ops in vectors.py (array_intersect / array_union / array_except —
+# JVM-side, no shuffle).
+
+def _any_expr(*xs: Any) -> bool:
+    from ..plans.expr import Expr
+
+    return any(isinstance(x, Expr) for x in xs)
+
+
+def _defer(fname: str, x: Any, y: Any):
+    from ..plans.expr import Call
+
+    return Call(fname, (x, y), {})
+
+
+def intersect(x: Any, y: Any) -> Any:
+    """Unique x values also in y, in x's first-seen order."""
+    if _any_expr(x, y):
+        return _defer("vec_intersect", x, y)
+    xl, ys = list(x), set(y)
+    return sorted(set(xl) & ys, key=xl.index)
+
+
+def union(x: Any, y: Any) -> Any:
+    """Unique values of x then y, first-seen order."""
+    if _any_expr(x, y):
+        return _defer("vec_union", x, y)
+    seen: set = set()
+    out: list = []
+    for v in list(x) + list(y):
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out
+
+
+def setdiff(x: Any, y: Any) -> Any:
+    """Values of x not in y (reference keeps x's duplicates)."""
+    if _any_expr(x, y):
+        return _defer("vec_setdiff", x, y)
+    ys = set(y)
+    return [v for v in x if v not in ys]
+
+
+def setequal(x: Any, y: Any) -> Any:
+    if _any_expr(x, y):
+        return _defer("vec_setequal", x, y)
+    return set(x) == set(y)
+
+
+def append_(x: Any, values: Any, after: int | None = None) -> list:
+    """Insert values into x after position `after` (R append)."""
+    xl = list(x)
+    vl = list(values) if isinstance(values, (list, tuple)) else [values]
+    if after is None:
+        after = len(xl)
+    return xl[:after] + vl + xl[after:]
 
 
 def set_seed(seed: int) -> None:

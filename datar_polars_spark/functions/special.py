@@ -121,6 +121,15 @@ def _trigamma(ctx, x):
     return _vec_udf(lambda v: float(_sps.polygamma(1, v)))(ctx.col(x))
 
 
+@register("psigamma")
+def _psigamma(ctx, x, deriv: int = 0):
+    """n-th derivative of digamma (reference api/base/special.py:203)."""
+    if _sps is None:
+        raise NotImplementedError("psigamma requires scipy, which is not installed")
+    d = int(ctx.eval(deriv))
+    return _vec_udf(lambda v: float(_sps.polygamma(d, v)))(ctx.col(x))
+
+
 
 register("bessel_i")(_scipy_fn("iv"))
 register("bessel_j")(_scipy_fn("jv"))

@@ -117,3 +117,86 @@ def _match(ctx, x, table):
     col = ctx.col(x).cast("string") if all(isinstance(v, str) for v in vals) else ctx.col(x)
     pos = F.array_position(F.lit(vals), col)
     return F.when(pos > 0, pos)
+
+
+# --------------------------------------------------------------------------
+# type predicates (reference api/base/types.py:155-290): schema-time
+# answers — the dtype is known from the plan, so every predicate is a
+# literal column (no job, no per-row work)
+# --------------------------------------------------------------------------
+
+def _dtype_name(ctx, x) -> str:
+    """Spark simpleString dtype of an expression ('' for plain scalars)."""
+    from ..plans.expr import Expr, Ref
+
+    if isinstance(x, Ref):
+        return dict(ctx.tibble.dtypes).get(x._name, "")
+    if isinstance(x, Expr):
+        col = ctx.col(x)
+        return ctx.tibble.df.select(col.alias("__t__")).schema[0].dataType.simpleString()
+    return ""
+
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_DOUBLE_TYPES = {"float", "double"}
+
+
+def _type_pred(name: str, col_types: set, py_check):
+    @register(name)
+    def impl(ctx, x):
+        from ..plans.expr import Expr
+
+        if isinstance(x, Expr):
+            return F.lit(_dtype_name(ctx, x) in col_types)
+        if isinstance(x, (list, tuple)) and x:
+            return F.lit(all(py_check(v) for v in x))
+        return F.lit(py_check(x))
+
+    return impl
+
+
+_type_pred("is_double", _DOUBLE_TYPES, lambda v: isinstance(v, float))
+_type_pred(
+    "is_integer",
+    _INT_TYPES,
+    lambda v: isinstance(v, int) and not isinstance(v, bool),
+)
+_type_pred("is_logical", {"boolean"}, lambda v: isinstance(v, bool))
+_type_pred("is_character", {"string"}, lambda v: isinstance(v, str))
+_type_pred(
+    "is_numeric",
+    _INT_TYPES | _DOUBLE_TYPES | {"decimal"},
+    lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+)
+
+
+@register("is_true")
+def _is_true(ctx, x):
+    """Reference api/base/types.py:268-271: identity check on the plain
+    value — an expression/column is never the scalar TRUE."""
+    from ..plans.expr import Expr
+
+    return F.lit((not isinstance(x, Expr)) and x is True)
+
+
+@register("is_false")
+def _is_false(ctx, x):
+    from ..plans.expr import Expr
+
+    return F.lit((not isinstance(x, Expr)) and x is False)
+
+
+@register("is_atomic")
+def _is_atomic(ctx, x):
+    """Reference api/base/types.py:155-161: columns and scalars are
+    atomic, containers are not."""
+    from ..plans.expr import Expr
+
+    if isinstance(x, Expr):
+        return F.lit(True)
+    return F.lit(isinstance(x, (int, float, str, bool, complex, bytes)))
+
+
+@register("as_null")
+def _as_null(ctx, x=None):
+    return F.lit(None)

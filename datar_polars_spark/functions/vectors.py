@@ -66,6 +66,103 @@ def _rnorm(ctx, n=None, mean: float = 0.0, sd: float = 1.0, seed: int | None = N
     return r * sd + mean
 
 
+# ---- further random distributions (reference api/base/random.py:47-134).
+# The reference draws from numpy on the driver; here every draw is a
+# JVM-side expression derived from rand()/randn() (inverse-CDF or sums),
+# so generation is distributed and seed-threaded — no driver materialize,
+# no Python in the hot path.
+
+def _u(seed, off: int = 0):
+    return F.rand(seed + off) if seed is not None else F.rand()
+
+
+@register("rexp")
+def _rexp(ctx, n=None, rate: float = 1.0, seed: int | None = None):
+    """Inverse CDF: -ln(1-U)/rate."""
+    return -F.log(F.lit(1.0) - _u(seed)) / F.lit(float(rate))
+
+
+@register("rcauchy")
+def _rcauchy(
+    ctx, n=None, location: float = 0.0, scale: float = 1.0, seed: int | None = None
+):
+    """Inverse CDF: location + scale * tan(pi * (U - 1/2))."""
+    import math
+
+    return F.lit(float(location)) + F.lit(float(scale)) * F.tan(
+        F.lit(math.pi) * (_u(seed) - F.lit(0.5))
+    )
+
+
+@register("rchisq")
+def _rchisq(ctx, n=None, df: float = 1.0, seed: int | None = None):
+    """Integer df <= 64: exact sum of df squared standard normals;
+    otherwise the Wilson–Hilferty cube approximation (documented)."""
+    dff = float(df)
+    if dff.is_integer() and 1 <= dff <= 64:
+        acc = None
+        for i in range(int(dff)):
+            z = F.randn(seed + i) if seed is not None else F.randn()
+            acc = z * z if acc is None else acc + z * z
+        return acc
+    z = F.randn(seed) if seed is not None else F.randn()
+    h = F.lit(2.0 / (9.0 * dff))
+    return F.lit(dff) * F.pow(F.lit(1.0) - h + z * F.sqrt(h), F.lit(3.0))
+
+
+@register("rbinom")
+def _rbinom(ctx, n=None, size: int = 1, prob: float = 0.5, seed: int | None = None):
+    """size <= 64: exact sum of Bernoulli indicators; larger sizes use
+    the normal approximation with continuity correction, clamped."""
+    p = float(prob)
+    if size <= 64:
+        acc = None
+        for i in range(int(size)):
+            b = (_u(seed, i) < p).cast("long")
+            acc = b if acc is None else acc + b
+        return acc if acc is not None else F.lit(0).cast("long")
+    mu, sigma = size * p, (size * p * (1 - p)) ** 0.5
+    z = F.randn(seed) if seed is not None else F.randn()
+    raw = F.round(z * F.lit(sigma) + F.lit(mu))
+    return F.greatest(F.lit(0), F.least(F.lit(int(size)), raw)).cast("long")
+
+
+@register("rpois")
+def _rpois(ctx, n=None, lambda_: float = 1.0, seed: int | None = None):
+    """lambda <= 32: exact draw by counting exponential inter-arrivals
+    (N = #prefixes of -ln(U_i) sums below lambda). Each rand() node is
+    referenced exactly ONCE, inside an array constructor — rand is
+    stateful per evaluation, so an inverse-CDF when-chain that reads one
+    uniform many times silently redraws it per branch and biases the
+    result. Larger lambda: normal approximation, clamped at 0."""
+    import math
+
+    lam = float(lambda_)
+    if lam <= 32:
+        kmax = int(lam + 10 * math.sqrt(lam) + 10)
+        arr = F.array(
+            *[-F.log(F.lit(1.0) - _u(seed, i)) for i in range(kmax)]
+        )
+        zero = F.struct(
+            F.lit(0.0).alias("s"), F.lit(0).cast("long").alias("n")
+        )
+        return F.aggregate(
+            arr,
+            zero,
+            lambda acc, e: F.struct(
+                (acc["s"] + e).alias("s"),
+                (
+                    acc["n"]
+                    + F.when(acc["s"] + e < F.lit(lam), F.lit(1)).otherwise(0)
+                ).cast("long").alias("n"),
+            ),
+            lambda acc: acc["n"],
+        )
+    z = F.randn(seed) if seed is not None else F.randn()
+    raw = F.round(z * F.lit(math.sqrt(lam)) + F.lit(lam))
+    return F.greatest(F.lit(0), raw).cast("long")
+
+
 @register("row_sums")
 def _row_sums(ctx, *xs, na_rm: bool = False):
     """Horizontal sum across columns (reference ``api/base/stats.py``).
@@ -95,6 +192,30 @@ def _row_means(ctx, *xs, na_rm: bool = False):
     return out / len(cols)
 
 
+@register("row_sds")
+def _row_sds(ctx, *xs, na_rm: bool = False, ddof: int = 1):
+    """Horizontal sample sd (reference ``api/base/stats.py:124-141``).
+    na_rm=True drops NAs per row; default propagates NA."""
+    arr = F.array(*[_nn(ctx, x).cast("double") for x in xs])
+    vals = F.filter(arr, lambda v: v.isNotNull()) if na_rm else arr
+    cnt = F.size(vals)
+    total = F.aggregate(vals, F.lit(0.0), lambda a, v: a + v)
+    mean = total / cnt
+    ss = F.aggregate(vals, F.lit(0.0), lambda a, v: a + (v - mean) * (v - mean))
+    return F.when(cnt > ddof, F.sqrt(ss / (cnt - F.lit(ddof))))
+
+
+@register("row_medians")
+def _row_medians(ctx, *xs):
+    """Horizontal median. Reference ``api/base/stats.py:170-180`` takes
+    sorted(non-null)[len//2] (upper median, no interpolation) — kept for
+    parity."""
+    arr = F.array(*[_nn(ctx, x).cast("double") for x in xs])
+    vals = F.array_sort(F.filter(arr, lambda v: v.isNotNull()))
+    cnt = F.size(vals)
+    return F.when(cnt > 0, F.element_at(vals, F.floor(cnt / 2).cast("int") + 1))
+
+
 @register("row_mins")
 def _row_mins(ctx, *xs):
     return F.least(*[_nn(ctx, x) for x in xs])
@@ -103,6 +224,38 @@ def _row_mins(ctx, *xs):
 @register("row_maxs")
 def _row_maxs(ctx, *xs):
     return F.greatest(*[_nn(ctx, x) for x in xs])
+
+
+# ---- per-row array set operations (reference api/base/sets.py expr
+# path — polars list.set_* rewritten as Spark array HOFs, JVM-side) ----
+
+def _as_array_col(ctx, v):
+    from ..plans.expr import Expr
+
+    if isinstance(v, Expr):
+        return ctx.col(v)
+    return F.lit(list(v))
+
+
+@register("vec_intersect")
+def _vec_intersect(ctx, x, y):
+    return F.array_intersect(_as_array_col(ctx, x), _as_array_col(ctx, y))
+
+
+@register("vec_union")
+def _vec_union(ctx, x, y):
+    return F.array_union(_as_array_col(ctx, x), _as_array_col(ctx, y))
+
+
+@register("vec_setdiff")
+def _vec_setdiff(ctx, x, y):
+    return F.array_except(_as_array_col(ctx, x), _as_array_col(ctx, y))
+
+
+@register("vec_setequal")
+def _vec_setequal(ctx, x, y):
+    a, b = _as_array_col(ctx, x), _as_array_col(ctx, y)
+    return (F.size(F.array_except(a, b)) == 0) & (F.size(F.array_except(b, a)) == 0)
 
 
 @register("cur_data_all")

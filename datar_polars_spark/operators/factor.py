@@ -62,6 +62,7 @@ __all__ = [
     "fct_c",
     "as_factor",
     "as_ordered",
+    "is_ordered",
     "set_levels",
     "fct_anon",
     "fct_expand",
@@ -112,7 +113,10 @@ def factor_(td: Tibble, col: Any, levels: list | None = None, ordered: bool = Fa
         cname,
         F.when(F.col(cname).isin([str(l) for l in levels]), F.col(cname)),
     )
-    return _with_levels(td.with_df(df), cname, levels)
+    out = _with_levels(td.with_df(df), cname, levels)
+    if ordered:
+        out.ordered_factors = set(out.ordered_factors) | {cname}
+    return out
 
 
 @verb
@@ -567,7 +571,15 @@ def as_factor(td: Tibble, col: Any) -> Tibble:
 
 @verb
 def as_ordered(td: Tibble, col: Any) -> Tibble:
-    return factor_(td, col)
+    # keep an existing factor's declared level order
+    existing = td.levels.get(_name_of(col))
+    return factor_(td, col, levels=existing, ordered=True)
+
+
+@verb
+def is_ordered(td: Tibble, col: Any) -> bool:
+    """True for factors declared ordered (reference api/base/types.py)."""
+    return _name_of(col) in td.ordered_factors
 
 
 @verb

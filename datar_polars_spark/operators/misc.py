@@ -35,7 +35,53 @@ __all__ = [
     "ncol",
     "dim",
     "colnames",
+    "col_sums",
+    "col_means",
+    "col_sds",
+    "col_medians",
 ]
+
+# ---- vertical (per-column) aggregations -----------------------------------
+# Reference api/base/stats.py:31-184 returns one value per column from an
+# eager scan. Here each family is ONE Spark agg job over every selected
+# column at once (map-side partial aggregation — a single pass whatever
+# the column count), returning {column: value}.
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def _numeric_cols(td: Tibble, cols: tuple) -> list[str]:
+    if cols:
+        return [c._name if isinstance(c, Ref) else str(c) for c in cols]
+    return [c for c, t in td.dtypes if t.startswith(_NUMERIC_PREFIXES)]
+
+
+def _col_agg(td: Tibble, cols: tuple, aggfn) -> dict[str, Any]:
+    names = _numeric_cols(td, cols)
+    if not names:
+        return {}
+    row = td.df.agg(*[aggfn(F.col(c)).alias(c) for c in names]).first()
+    return {c: row[c] for c in names}
+
+
+@verb
+def col_sums(td: Tibble, *cols: Any, na_rm: bool = True) -> dict[str, Any]:
+    return _col_agg(td, cols, F.sum)
+
+
+@verb
+def col_means(td: Tibble, *cols: Any, na_rm: bool = True) -> dict[str, Any]:
+    return _col_agg(td, cols, F.avg)
+
+
+@verb
+def col_sds(td: Tibble, *cols: Any, na_rm: bool = True) -> dict[str, Any]:
+    return _col_agg(td, cols, F.stddev_samp)
+
+
+@verb
+def col_medians(td: Tibble, *cols: Any, na_rm: bool = True) -> dict[str, Any]:
+    return _col_agg(td, cols, F.median)
 
 
 def _name_of(x: Any) -> str:

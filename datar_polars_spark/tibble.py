@@ -61,6 +61,8 @@ class Tibble:
         self.levels: dict[str, list] = dict(levels or {})
         # group_by(_drop=False): keep unused factor levels as empty groups
         self.group_drop: bool = group_drop
+        # factor columns declared ordered (as_ordered / factor_(ordered=True))
+        self.ordered_factors: set[str] = set()
         # True while __datar_ro__ values are reproducible across separate
         # jobs over this lineage (scan-order mono ids on deterministic
         # sources). A range-sort reassignment (arrange) samples partition
@@ -107,7 +109,7 @@ class Tibble:
         new_groups = tuple(g for g in new_groups if g in df.columns)
         lv = self.levels if levels is None else levels
         lv = {k: v for k, v in lv.items() if k in df.columns}
-        return Tibble(
+        out = Tibble(
             df,
             groups=new_groups,
             rowwise=self.rowwise if rowwise is None else rowwise,
@@ -115,6 +117,8 @@ class Tibble:
             group_drop=self.group_drop,
             order_stable=self.order_stable,
         )
+        out.ordered_factors = {c for c in self.ordered_factors if c in out.levels}
+        return out
 
     # ---- order helpers ----------------------------------------------------
     @property
