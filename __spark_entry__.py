@@ -9,7 +9,19 @@ on the same parquet views. Conventions for hash-stability:
 * float results are rounded to 4 decimals on both sides (ROUND is the
   only float op whose exact result both engines agree on);
 * timestamps are cast to DATE (or strings) on both sides;
-* DuckDB integer SUMs are cast to BIGINT (DuckDB widens to HUGEINT).
+* DuckDB integer SUMs are cast to BIGINT (DuckDB widens to HUGEINT);
+* EVERY query ends in a total deterministic ordering (sort keys
+  uniquely identify rows) mirrored by an ORDER BY in its oracle — the
+  driver's value hash is row-order-sensitive. Spark ``arrange`` sorts
+  NULLS LAST; DuckDB's default null order is also NULLS LAST.
+
+Exactly 50 queries. Round-1 keys q09/q18/q24/q36/q52/q54/q55/q56/q57/
+q58 were merged into surviving queries (their verbs are still covered:
+anti_join->q08, setdiff->q17, consecutive_id->q51, quality_score->q35,
+sketches->q20, rowwise/c_across->q47, table_->q42, fill-up->q30,
+factor codes->q41, IVF->q37) so the whole gate fits a 50-query driver
+budget with zero rows-only entries except q59 (multimodal) and the two
+bound-style oracles q39/q40 placed last.
 """
 
 from __future__ import annotations
@@ -17,6 +29,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datar_polars_spark import (
     f,
@@ -27,6 +40,8 @@ from datar_polars_spark import (
     transmute,
     filter_,
     group_by,
+    ungroup,
+    rowwise,
     summarise,
     arrange,
     distinct,
@@ -41,9 +56,14 @@ from datar_polars_spark import (
     bind_rows,
     intersect_,
     setdiff_,
+    union_,
     union_all,
     rows_upsert,
     desc,
+    col_sums,
+    col_means,
+    col_sds,
+    col_medians,
 )
 from datar_polars_spark.functions import (
     sum_,
@@ -75,6 +95,13 @@ from datar_polars_spark.functions import (
     as_integer,
     consecutive_id,
     abs_,
+    rbinom,
+    rpois,
+    row_sums,
+    row_means,
+    row_sds,
+    row_medians,
+    c_across,
 )
 
 
@@ -132,6 +159,7 @@ def q02_select_mutate(spark, sf):
             ),
         )
         >> select(f.l_orderkey, f.l_linenumber, f.disc_price_c, f.charge_c)
+        >> arrange(f.l_orderkey, f.l_linenumber)
     )
     return _finish(out)
 
@@ -143,6 +171,7 @@ def q03_filter_between_regex(spark, sf):
         p
         >> filter_(between(f.p_size, 10, 20), grepl("^PROMO", f.p_type))
         >> select(f.p_partkey, f.p_name, f.p_type, f.p_size)
+        >> arrange(f.p_partkey)
     )
     return _finish(out)
 
@@ -154,6 +183,7 @@ def q04_count_weighted(spark, sf):
         li
         >> count(f.l_returnflag, wt=f.l_quantity, name="total_qty")
         >> mutate(total_qty=round_(as_double(f.total_qty), 4))
+        >> arrange(f.l_returnflag)
     )
     return _finish(out)
 
@@ -161,7 +191,11 @@ def q04_count_weighted(spark, sf):
 def q05_distinct(spark, sf):
     """Covers: distinct on a column subset."""
     o = _t(spark, sf, "orders")
-    out = o >> distinct(f.o_orderstatus, f.o_orderpriority)
+    out = (
+        o
+        >> distinct(f.o_orderstatus, f.o_orderpriority)
+        >> arrange(f.o_orderstatus, f.o_orderpriority)
+    )
     return _finish(out)
 
 
@@ -179,6 +213,7 @@ def q06_join_revenue_per_nation(spark, sf):
             revenue_c=sum_(as_integer(floor(f.o_totalprice * 100)), na_rm=True),
             n_orders=n(),
         )
+        >> arrange(f.n_name)
     )
     return _finish(out)
 
@@ -193,31 +228,30 @@ def q07_left_join_zero_counts(spark, sf):
         >> left_join(big, by={"c_custkey": "o_custkey"})
         >> group_by(f.c_custkey, f.c_mktsegment)
         >> summarise(n_big=sum_(if_else(f.o_orderkey.is_null(), 0, 1), na_rm=True))
+        >> arrange(f.c_custkey)
     )
     return _finish(out)
 
 
-def q08_semi_join(spark, sf):
-    """Covers: semi_join."""
+def q08_semi_anti_join(spark, sf):
+    """Covers: semi_join + anti_join (merged r1 q08+q09), tagged and
+    stacked with bind_rows so both verbs are hash-checked."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    out = (
+    s = (
         c
         >> semi_join(o >> filter_(f.o_totalprice > 200000), by={"c_custkey": "o_custkey"})
-        >> select(f.c_custkey, f.c_name, f.c_mktsegment)
+        >> mutate(op="semi")
     )
-    return _finish(out)
-
-
-def q09_anti_join(spark, sf):
-    """Covers: anti_join."""
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    big = o >> filter_(f.o_totalprice > 300000)
-    out = (
+    a = (
         c
-        >> anti_join(big, by={"c_custkey": "o_custkey"})
-        >> select(f.c_custkey, f.c_name)
+        >> anti_join(o >> filter_(f.o_totalprice > 300000), by={"c_custkey": "o_custkey"})
+        >> mutate(op="anti")
+    )
+    out = (
+        bind_rows(s, a)
+        >> select(f.op, f.c_custkey, f.c_name)
+        >> arrange(f.op, f.c_custkey)
     )
     return _finish(out)
 
@@ -230,6 +264,7 @@ def q10_topk_per_group(spark, sf):
         >> group_by(f.o_orderpriority)
         >> slice_max(f.o_totalprice, n=3)
         >> select(f.o_orderpriority, f.o_orderkey, f.o_totalprice)
+        >> arrange(f.o_orderpriority, f.o_orderkey)
     )
     return _finish(out)
 
@@ -245,6 +280,7 @@ def q11_lag_delta(spark, sf):
             delta=round_(f.o_totalprice - f.prev_price, 4),
         )
         >> select(f.o_orderkey, f.o_custkey, f.delta)
+        >> arrange(f.o_orderkey)
     )
     return _finish(out)
 
@@ -257,6 +293,7 @@ def q12_cumsum_running(spark, sf):
         >> group_by(f.o_custkey)
         >> mutate(running=round_(cumsum(f.o_totalprice, order_by=f.o_orderkey), 4))
         >> select(f.o_orderkey, f.o_custkey, f.running)
+        >> arrange(f.o_orderkey)
     )
     return _finish(out)
 
@@ -274,6 +311,7 @@ def q13_case_when_buckets(spark, sf):
             )
         )
         >> count(f.bucket)
+        >> arrange(f.bucket)
     )
     return _finish(out)
 
@@ -293,6 +331,7 @@ def q14_if_else_na_if(spark, sf):
             n_cheap=sum_(f.is_cheap, na_rm=True),
             n_no_disc=sum_(if_else(f.disc_filled == -1.0, 1, 0), na_rm=True),
         )
+        >> arrange(f.l_returnflag)
     )
     return _finish(out)
 
@@ -310,34 +349,42 @@ def q15_string_functions(spark, sf):
             name_len=nchar(f.c_name),
             tag=paste0(f.c_mktsegment, "-", f.c_custkey),
         )
+        >> arrange(f.c_custkey)
     )
     return _finish(out)
 
 
 def q16_bind_rows(spark, sf):
-    """Covers: bind_rows / UNION ALL."""
+    """Covers: bind_rows / UNION ALL (disjoint slices -> o_orderkey is a
+    unique sort key)."""
     o = _t(spark, sf, "orders")
     hi = o >> filter_(f.o_totalprice > 250000) >> select(f.o_orderkey, f.o_totalprice)
     lo = o >> filter_(f.o_totalprice < 10000) >> select(f.o_orderkey, f.o_totalprice)
-    out = bind_rows(hi, lo) >> mutate(o_totalprice=round_(f.o_totalprice, 4))
+    out = (
+        bind_rows(hi, lo)
+        >> mutate(o_totalprice=round_(f.o_totalprice, 4))
+        >> arrange(f.o_orderkey)
+    )
     return _finish(out)
 
 
-def q17_intersect(spark, sf):
-    """Covers: intersect (table-level)."""
+def q17_set_ops(spark, sf):
+    """Covers: intersect_/setdiff_/union_ (merged r1 q17+q18), tagged
+    and stacked so all three table set ops are hash-checked."""
     o = _t(spark, sf, "orders")
-    a = o >> filter_(f.o_totalprice > 100000) >> select(f.o_custkey)
-    b = o >> filter_(f.o_orderstatus == "F") >> select(f.o_custkey)
-    out = intersect_(a >> distinct(f.o_custkey), b >> distinct(f.o_custkey))
-    return _finish(out)
-
-
-def q18_setdiff(spark, sf):
-    """Covers: setdiff (table-level)."""
-    o = _t(spark, sf, "orders")
-    a = o >> distinct(f.o_custkey)
-    b = o >> filter_(f.o_orderstatus == "O") >> distinct(f.o_custkey)
-    out = setdiff_(a, b)
+    a = o >> filter_(f.o_totalprice > 100000) >> distinct(f.o_custkey)
+    b = o >> filter_(f.o_orderstatus == "F") >> distinct(f.o_custkey)
+    i = intersect_(a, b) >> mutate(op="intersect")
+    s = setdiff_(
+        o >> distinct(f.o_custkey),
+        o >> filter_(f.o_orderstatus == "O") >> distinct(f.o_custkey),
+    ) >> mutate(op="setdiff")
+    u = union_(a, b) >> mutate(op="union")
+    out = (
+        bind_rows(i, s, u)
+        >> select(f.op, f.o_custkey)
+        >> arrange(f.op, f.o_custkey)
+    )
     return _finish(out)
 
 
@@ -352,12 +399,18 @@ def q19_quantiles(spark, sf):
             p90_price=round_(quantile(f.l_extendedprice, 0.9, na_rm=True), 4),
             sd_price=round_(sd(f.l_extendedprice, na_rm=True), 4),
         )
+        >> arrange(f.l_returnflag)
     )
     return _finish(out)
 
 
 def q20_n_distinct(spark, sf):
-    """Covers: n_distinct, multiple aggregates."""
+    """Covers: n_distinct + HyperLogLog++ sketch (merged r1 q52): the
+    approx distinct estimate is checked against the exact count within
+    the sketch's rsd bound; the oracle sees exact counts + TRUE."""
+    from datar_polars_spark.functions.registry import builder
+
+    approx_n_distinct = builder("approx_n_distinct")
     li = _t(spark, sf, "lineitem")
     out = (
         li
@@ -366,7 +419,10 @@ def q20_n_distinct(spark, sf):
             n_parts=n_distinct(f.l_partkey),
             n_supps=n_distinct(f.l_suppkey),
             n_rows=n(),
+            _est=approx_n_distinct(f.l_partkey, rsd=0.02),
+            within_bounds=abs_((f._est - f.n_parts) / f.n_parts) < 0.06,
         )
+        >> arrange(f.l_returnflag)
     )
     return _finish(out)
 
@@ -379,6 +435,7 @@ def q21_slice_min(spark, sf):
         >> group_by(f.p_brand)
         >> slice_min(f.p_retailprice, n=1)
         >> select(f.p_brand, f.p_partkey, f.p_retailprice)
+        >> arrange(f.p_brand, f.p_partkey)
     )
     return _finish(out)
 
@@ -397,14 +454,13 @@ def q22_group_deviation(spark, sf):
             l_suppkey=f.l_suppkey,
             ratio=round_(f.l_extendedprice / f.supp_avg, 4),
         )
+        >> arrange(f.l_orderkey, f.l_linenumber)
     )
     return _finish(out)
 
 
 def q23_events_daily(spark, sf):
     """Covers: timestamp handling, multi-key group, avg."""
-    from pyspark.sql import functions as F
-
     e = _t(spark, sf, "events")
     out = (
         e
@@ -414,19 +470,7 @@ def q23_events_daily(spark, sf):
             n_events=n(),
             avg_value=round_(mean(f.value, na_rm=True), 4),
         )
-    )
-    return _finish(out)
-
-
-def q24_consecutive_runs(spark, sf):
-    """Covers: consecutive_id (run-length encoding id) per user."""
-    e = _t(spark, sf, "events")
-    out = (
-        e
-        >> arrange(f.event_id)
-        >> group_by(f.user_id)
-        >> mutate(run_id=consecutive_id(f.event_type))
-        >> summarise(n_runs=max_(f.run_id, na_rm=True), n_events=n())
+        >> arrange(f.day, f.event_type)
     )
     return _finish(out)
 
@@ -440,12 +484,17 @@ def q25_rows_upsert(spark, sf):
         >> filter_(f.c_acctbal > 5000)
         >> transmute(c_custkey=f.c_custkey, c_acctbal=round_(f.c_acctbal * 2, 4))
     )
-    out = rows_upsert(x, y, by=f.c_custkey) >> mutate(c_acctbal=round_(f.c_acctbal, 4))
+    out = (
+        rows_upsert(x, y, by=f.c_custkey)
+        >> mutate(c_acctbal=round_(f.c_acctbal, 4))
+        >> arrange(f.c_custkey)
+    )
     return _finish(out)
 
 
 def q26_pivot_wider(spark, sf):
-    """Covers: pivot_wider (long->wide with aggregation)."""
+    """Covers: pivot_wider (long->wide with aggregation). The r1 gate's
+    only hash-fail was this query's unpinned row order — now arranged."""
     li = _t(spark, sf, "lineitem")
     from datar_polars_spark import pivot_wider
 
@@ -453,6 +502,7 @@ def q26_pivot_wider(spark, sf):
         li
         >> count(f.l_returnflag, f.l_linestatus)
         >> pivot_wider(names_from=f.l_linestatus, values_from=f.n, values_fill=0)
+        >> arrange(f.l_returnflag)
     )
     return _finish(out)
 
@@ -468,6 +518,7 @@ def q27_pivot_longer(spark, sf):
         >> mutate(p_size=as_double(f.p_size))
         >> pivot_longer([f.p_retailprice, f.p_size], names_to="metric", values_to="val")
         >> mutate(val=round_(f.val, 4))
+        >> arrange(f.p_partkey, f.metric)
     )
     return _finish(out)
 
@@ -483,39 +534,54 @@ def q28_separate_unite(spark, sf):
         >> separate(f.p_type, [f.t1, f.t2], sep=" ", extra="merge", remove=False)
         >> unite("brand_type", f.p_brand, f.t1, sep=":")
         >> select(f.p_partkey, f.brand_type, f.t2)
+        >> arrange(f.p_partkey)
     )
     return _finish(out)
 
 
 def q29_separate_rows_uncount(spark, sf):
-    """Covers: separate_rows (explode split), uncount (row replication)."""
+    """Covers: separate_rows (explode split) AND uncount (row
+    replication): tags = 'lang,source' split to rows, then each row
+    replicated w times."""
     d = _t(spark, sf, "documents")
     from datar_polars_spark import separate_rows, uncount
 
     out = (
         d
         >> filter_(f.doc_id < 50)
-        >> transmute(doc_id=f.doc_id, lang=f.lang, w=as_integer(f.n_chars % 3))
+        >> transmute(
+            doc_id=f.doc_id,
+            lang=f.lang,
+            tags=paste0(f.lang, ",", f.source),
+            w=as_integer(f.n_chars % 3),
+        )
+        >> separate_rows(f.tags, sep=",")
         >> uncount(f.w, _id="copy_id")
+        >> arrange(f.doc_id, f.tags, f.copy_id)
     )
     return _finish(out)
 
 
 def q30_fill_gaps(spark, sf):
-    """Covers: fill (forward fill per group over explicit order)."""
+    """Covers: fill down AND up per group over explicit order (merged
+    r1 q30+q56)."""
     o = _t(spark, sf, "orders")
-    from datar_polars_spark import fill, arrange
+    from datar_polars_spark import fill
 
     out = (
         o
         >> transmute(
             o_custkey=f.o_custkey,
             o_orderkey=f.o_orderkey,
-            big_price=if_else(f.o_totalprice > 150000, round_(f.o_totalprice, 4), None),
+            bp=if_else(f.o_totalprice > 150000, round_(f.o_totalprice, 4), None),
         )
+        >> mutate(bp_dn=f.bp, bp_up=f.bp)
         >> arrange(f.o_orderkey)
         >> group_by(f.o_custkey)
-        >> fill(f.big_price, _direction="down")
+        >> fill(f.bp_dn, _direction="down")
+        >> fill(f.bp_up, _direction="up")
+        >> select(f.o_orderkey, f.o_custkey, f.bp_dn, f.bp_up)
+        >> arrange(f.o_orderkey)
     )
     return _finish(out)
 
@@ -531,6 +597,7 @@ def q31_nest_unnest_roundtrip(spark, sf):
         >> nest(data=[f.o_orderkey, f.o_totalprice])
         >> unnest(f.data)
         >> mutate(o_totalprice=round_(f.o_totalprice, 4))
+        >> arrange(f.o_orderkey)
     )
     return _finish(out)
 
@@ -544,6 +611,7 @@ def q32_complete_grid(spark, sf):
         li
         >> count(f.l_returnflag, f.l_linestatus)
         >> complete(f.l_returnflag, f.l_linestatus, fill={"n": 0})
+        >> arrange(f.l_returnflag, f.l_linestatus)
     )
     return _finish(out)
 
@@ -556,6 +624,7 @@ def q33_dedup_exact(spark, sf):
     out = (
         dedup_exact(d, f.lang, f.source, id_col=f.doc_id)
         >> select(f.doc_id, f.lang, f.source)
+        >> arrange(f.doc_id)
     )
     return _finish(out)
 
@@ -572,17 +641,21 @@ def q34_fingerprint_dedup(spark, sf):
         >> mutate(fp=doc_fingerprint(f.text))
         >> group_by(f.fp)
         >> summarise(n_copies=n(), keep_id=min_(f.doc_id, na_rm=True))
+        >> arrange(f.fp)
     )
     return _finish(out)
 
 
 def q35_text_stats(spark, sf):
-    """Covers: token counting + text-quality component metrics."""
+    """Covers: token counting, text-quality metrics AND composite
+    quality scoring (merged r1 q35+q36) — per-lang rollup with a
+    high-quality document count."""
     from datar_polars_spark.functions.registry import builder
 
     token_count = builder("token_count")
     punct_ratio = builder("punct_ratio")
     mean_word_length = builder("mean_word_length")
+    quality_score = builder("quality_score")
     d = _t(spark, sf, "documents")
     out = (
         d
@@ -590,104 +663,91 @@ def q35_text_stats(spark, sf):
             tokens=token_count(f.text),
             punct=round_(punct_ratio(f.text), 4),
             mwl=round_(mean_word_length(f.text), 4),
+            q=quality_score(f.text, min_chars=100, max_chars=10000),
         )
         >> group_by(f.lang)
         >> summarise(
             n_docs=n(),
             total_tokens=sum_(f.tokens, na_rm=True),
             avg_mwl=round_(mean(f.mwl, na_rm=True), 4),
+            n_hq=sum_(if_else(f.q >= 0.8, 1, 0), na_rm=True),
         )
+        >> arrange(f.lang)
     )
     return _finish(out)
 
 
-def q36_quality_filter(spark, sf):
-    """Covers: composite quality scoring as a pre-filter."""
-    from datar_polars_spark.functions.registry import builder
-
-    quality_score = builder("quality_score")
-    d = _t(spark, sf, "documents")
-    out = (
-        d
-        >> mutate(q=quality_score(f.text, min_chars=100, max_chars=10000))
-        >> filter_(f.q >= 0.8)
-        >> select(f.doc_id, f.lang)
-    )
-    return _finish(out)
-
-
-def q37_cosine_topk(spark, sf):
-    """Covers: brute-force cosine top-k similarity search (the exact
-    ANN baseline; TakeOrderedAndProject, no full sort)."""
-    from datar_polars_spark.scale import cosine_topk
-    from pyspark.sql import functions as F
+def q37_ann_topk(spark, sf):
+    """Covers: brute-force cosine top-k AND IVF ANN (merged r1 q37+q58,
+    both tagged). IVF probes every cluster here, so both methods are
+    exact and hash-match the same oracle rows."""
+    from datar_polars_spark.scale import cosine_topk, ivf_assign, ivf_topk, ivf_train
 
     e = _t(spark, sf, "embeddings")
     qv = [float(v) for v in e.df.filter("vec_id = 0").select("embedding").first()[0]]
-    out = cosine_topk(e, qv, f.embedding, f.vec_id, k=10)
-    return out.df.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    brute = cosine_topk(e, qv, f.embedding, f.vec_id, k=10).df.select(
+        F.lit("brute").alias("method"), "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+    cents = ivf_train(e, f.embedding, n_clusters=16, iters=3, seed=11)
+    a = ivf_assign(e, cents, f.embedding)
+    ivf = ivf_topk(a, qv, cents, f.embedding, f.vec_id, k=10, nprobe=16).df.select(
+        F.lit("ivf").alias("method"), "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+    return brute.unionByName(ivf).orderBy(
+        "method", F.col("cosine").desc(), "vec_id"
+    )
 
 
 def q38_minhash_dedup(spark, sf):
-    """Covers: MinHash+LSH near-duplicate removal (shingle->minhash->
-    band->bucket-join). Not SQL-expressible -> rows-only check."""
-    from datar_polars_spark.scale import minhash_dedup
+    """Covers: MinHash+LSH near-duplicate removal. Candidates from
+    high-recall banding (32 bands x 2 rows: recall ~1-3e-15 for the
+    corpus's j>=0.8 near-dup pairs), verified with EXACT n-gram Jaccard
+    — so survivors equal the DuckDB brute-force all-pairs answer and
+    the query is fully value-hash-checked (r1 had no oracle here)."""
+    from datar_polars_spark.scale.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    out = minhash_dedup(d, f.text, f.doc_id, threshold=0.5) >> select(
-        f.doc_id, f.lang
+    pairs = ngram_jaccard_pairs(
+        d, f.text, f.doc_id, n=3, threshold=0.5, num_perm=64, bands=32
+    )
+    out = (
+        d
+        >> anti_join(pairs >> select(f.id_b), by={"doc_id": "id_b"})
+        >> select(f.doc_id, f.lang)
+        >> arrange(f.doc_id)
     )
     return _finish(out)
-
-
-def q39_simhash_dedup(spark, sf):
-    """Covers: SimHash near-dup removal (64-bit, pigeonhole blocking).
-    Not SQL-expressible -> rows-only check."""
-    from datar_polars_spark.scale import simhash_dedup
-
-    d = _t(spark, sf, "documents")
-    out = simhash_dedup(d, f.text, f.doc_id, max_hamming=3) >> select(
-        f.doc_id, f.lang
-    )
-    return _finish(out)
-
-
-def q40_lsh_topk(spark, sf):
-    """Covers: LSH-bucketed approximate nearest neighbors.
-    Not SQL-expressible -> rows-only check."""
-    from datar_polars_spark.scale import lsh_topk
-    from pyspark.sql import functions as F
-
-    e = _t(spark, sf, "embeddings")
-    qv = [float(v) for v in e.df.filter("vec_id = 0").select("embedding").first()[0]]
-    out = lsh_topk(e, qv, f.embedding, f.vec_id, k=10, probe_hamming=2)
-    return out.df.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def q41_fct_lump(spark, sf):
-    """Covers: factor subsystem — fct_lump_n (top-n levels kept by
-    count desc / name asc, rest lumped to 'Other')."""
-    from datar_polars_spark import factor_, fct_lump_n
+    """Covers: factor subsystem — fct_infreq level ordering, fct_lump_n,
+    factor->code casts (merged r1 q41+q57): top-3 levels by frequency
+    keep their infreq codes 1..3, the lump gets code 4."""
+    from datar_polars_spark import factor_, fct_infreq, fct_lump_n
 
     e = _t(spark, sf, "events")
     out = (
         e
         >> factor_(f.event_type)
+        >> fct_infreq(f.event_type)
         >> fct_lump_n(f.event_type, 3)
-        >> count(f.event_type)
+        >> mutate(code=as_integer(f.event_type))
+        >> count(f.event_type, f.code)
+        >> arrange(f.code)
     )
     return _finish(out)
 
 
 def q42_cut_buckets(spark, sf):
-    """Covers: cut (fixed-break binning into a factor column)."""
-    from datar_polars_spark import cut_
+    """Covers: cut (fixed-break binning) + table_ contingency with zero
+    combos (merged r1 q42+q55)."""
+    from datar_polars_spark import cut_, table_
 
     li = _t(spark, sf, "lineitem")
+    binned = li >> cut_(f.l_quantity, "bucket", [0, 10, 25, 50], labels=["low", "mid", "high"])
     out = (
-        li
-        >> cut_(f.l_quantity, "bucket", [0, 10, 25, 50], labels=["low", "mid", "high"])
-        >> count(f.bucket)
+        table_(binned, f.bucket, f.l_returnflag)
+        >> arrange(f.bucket, f.l_returnflag)
     )
     return _finish(out)
 
@@ -710,6 +770,7 @@ def q43_group_modify(spark, sf):
         >> group_by(f.o_orderpriority)
         >> group_modify(top2, "o_orderkey long, o_totalprice double")
         >> mutate(o_totalprice=round_(f.o_totalprice, 4))
+        >> arrange(f.o_orderpriority, f.o_orderkey)
     )
     return _finish(out)
 
@@ -722,13 +783,14 @@ def q44_add_count(spark, sf):
         >> add_count(f.o_custkey)
         >> filter_(f.n >= 18)
         >> select(f.o_orderkey, f.o_custkey, f.n)
+        >> arrange(f.o_orderkey)
     )
     return _finish(out)
 
 
 def q45_duplicated(spark, sf):
     """Covers: duplicated() (R semantics: 2nd+ occurrence mask)."""
-    from datar_polars_spark.functions import duplicated, as_integer
+    from datar_polars_spark.functions import duplicated
 
     li = _t(spark, sf, "lineitem")
     out = (
@@ -740,7 +802,9 @@ def q45_duplicated(spark, sf):
 
 
 def q46_fct_collapse(spark, sf):
-    """Covers: fct_collapse (many-to-few level recoding)."""
+    """Covers: fct_collapse (many-to-few level recoding). The sort key
+    is pushed through paste0 so it is NOT factor-level-ordered (matches
+    the oracle's plain alphabetical ORDER BY)."""
     from datar_polars_spark import factor_, fct_collapse
 
     e = _t(spark, sf, "events")
@@ -754,23 +818,29 @@ def q46_fct_collapse(spark, sf):
             other_level="misc",
         )
         >> count(f.event_type)
+        >> arrange(paste0(f.event_type, ""))
     )
     return _finish(out)
 
 
 def q47_row_stats(spark, sf):
-    """Covers: horizontal (row-wise) aggregation helpers."""
-    from datar_polars_spark.functions import row_sums, row_means
-
+    """Covers: horizontal aggregation helpers (row_sums/means/sds/
+    medians) AND rowwise()+c_across (merged r1 q47+q54)."""
     p = _t(spark, sf, "part")
     out = (
         p
         >> mutate(
             rs=round_(row_sums(f.p_retailprice, as_double(f.p_size)), 4),
             rm=round_(row_means(f.p_retailprice, as_double(f.p_size)), 4),
+            rsd=round_(row_sds(f.p_retailprice, as_double(f.p_size)), 4),
+            rmed=round_(row_medians(f.p_retailprice, as_double(f.p_size)), 4),
         )
         >> filter_(f.rs > 990)
-        >> select(f.p_partkey, f.rs, f.rm)
+        >> rowwise()
+        >> mutate(ca=round_(sum_(c_across([f.p_retailprice, f.p_size])), 4))
+        >> ungroup()
+        >> select(f.p_partkey, f.rs, f.rm, f.rsd, f.rmed, f.ca)
+        >> arrange(f.p_partkey)
     )
     return _finish(out)
 
@@ -786,7 +856,6 @@ def q48_stream_windowed(spark, sf):
         stream_read_parquet,
         windowed_agg,
     )
-    from pyspark.sql import functions as F
 
     s = stream_read_parquet(spark, f"{sf}/events.parquet")
     out = windowed_agg(
@@ -796,40 +865,68 @@ def q48_stream_windowed(spark, sf):
     pdf = run_to_memory(out, mode="complete")
     pdf["day"] = pdf["window_start"].astype(str).str.slice(0, 10)
     pdf["total"] = pdf["total"].round(4)
-    return spark.createDataFrame(pdf[["day", "event_type", "n_events", "total"]])
+    pdf = pdf.sort_values(["day", "event_type"])
+    return spark.createDataFrame(
+        pdf[["day", "event_type", "n_events", "total"]]
+    ).orderBy("day", "event_type")
 
 
 def q49_ngram_jaccard(spark, sf):
-    """Covers: n-gram Jaccard near-dup pair mining (exact set overlap
-    on word shingles). Not SQL-expressible -> rows-only check."""
+    """Covers: n-gram Jaccard near-dup pair mining (exact set overlap on
+    word shingles, LSH-blocked). High-recall banding (32x2) makes the
+    candidate set complete for this corpus's j>=0.8 pairs, so the pairs
+    hash-match a DuckDB brute-force all-pairs oracle (r1: no oracle)."""
     from datar_polars_spark.scale.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    out = ngram_jaccard_pairs(d, f.text, f.doc_id, n=3, threshold=0.3)
-    from pyspark.sql import functions as F
-
-    return out.df.select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    out = ngram_jaccard_pairs(
+        d, f.text, f.doc_id, n=3, threshold=0.3, num_perm=64, bands=32
+    )
+    return (
+        out.df.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
     )
 
 
 def q50_embedding_dedup(spark, sf):
-    """Covers: embedding-cosine near-duplicate removal (sign-LSH
-    bucketing + exact verify). Not SQL-expressible -> rows-only check."""
+    """Covers: embedding-cosine near-duplicate removal (banded
+    hyperplane LSH + exact verify). The corpus has no organic pairs at
+    cosine>=0.95, so 50 near-duplicates are PLANTED (copy_i = v_i +
+    0.25*v_{i+1}, cosine ~0.96-0.99, ids 10000+i): survivors must be
+    exactly the original vec_ids, which the oracle states directly — a
+    missed pair leaves a planted id alive and fails the hash (this is
+    the recall>=~1 gate VERDICT asked for; r1: no oracle)."""
     from datar_polars_spark.scale.dedup import embedding_dedup
+    from datar_polars_spark.tibble import Tibble
 
     e = _t(spark, sf, "embeddings")
-    out = embedding_dedup(e, f.embedding, f.vec_id, threshold=0.95)
-    return out.df.select("vec_id")
+    base = e.df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    nxt = base.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("e2")
+    )
+    planted = (
+        base.filter(F.col("vec_id") < 50)
+        .join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.zip_with("embedding", "e2", lambda x, y: x + 0.25 * y).alias("embedding"),
+        )
+    )
+    corpus = Tibble(base.unionByName(planted))
+    out = embedding_dedup(corpus, f.embedding, f.vec_id, threshold=0.95)
+    return out.df.select("vec_id").orderBy("vec_id")
 
 
 def q51_sessionize(spark, sf):
-    """Covers: batch sessionization (gap-based session ids via lag +
-    running sum — one shuffle, no UDF) + per-session stats."""
+    """Covers: batch sessionization (gap-based ids via lag + running
+    sum) AND consecutive_id run-length ids (merged r1 q51+q24), joined
+    per user."""
     from datar_polars_spark.scale import session_stats
 
     e = _t(spark, sf, "events")
-    out = (
+    sess = (
         session_stats(e, f.ts, f.user_id, gap_seconds=1800)
         >> group_by(f.user_id)
         >> summarise(
@@ -837,25 +934,17 @@ def q51_sessionize(spark, sf):
             total_events=sum_(f.n_events, na_rm=True),
         )
     )
-    return _finish(out)
-
-
-def q52_approx_sketches(spark, sf):
-    """Covers: sketch aggregates (HyperLogLog++ distinct counts). The
-    estimate is checked against the exact count within the sketch's
-    rsd bound; the oracle sees the exact count + the always-true flag."""
-    li = _t(spark, sf, "lineitem")
-    from datar_polars_spark.functions.registry import builder
-
-    approx_n_distinct = builder("approx_n_distinct")
+    runs = (
+        e
+        >> arrange(f.event_id)
+        >> group_by(f.user_id)
+        >> mutate(run_id=consecutive_id(f.event_type))
+        >> summarise(n_runs=max_(f.run_id, na_rm=True))
+    )
     out = (
-        li
-        >> group_by(f.l_returnflag)
-        >> summarise(
-            _est=approx_n_distinct(f.l_partkey, rsd=0.02),
-            nd=n_distinct(f.l_partkey),
-            within_bounds=abs_((f._est - f.nd) / f.nd) < 0.06,
-        )
+        sess
+        >> inner_join(runs, by={"user_id": "user_id"})
+        >> arrange(f.user_id)
     )
     return _finish(out)
 
@@ -873,80 +962,112 @@ def q53_nest_join(spark, sf):
         >> nest_join(o, by={"c_custkey": "o_custkey"}, name="ods")
         >> mutate(n_orders=lengths(f.ods))
         >> select(f.c_custkey, f.c_mktsegment, f.n_orders)
+        >> arrange(f.c_custkey)
     )
     return _finish(out)
 
 
-def q54_rowwise_sum(spark, sf):
-    """Covers: rowwise() + c_across aggregation via array HOFs."""
-    from datar_polars_spark import rowwise
-    from datar_polars_spark.functions import c_across
-
+def q60_col_random(spark, sf):
+    """Covers: col_sums/col_means/col_sds/col_medians (one-pass vertical
+    aggregates) + seeded rbinom/rpois moment checks (NEW in r2, per
+    VERDICT item 6). The random draws are seed-threaded JVM expressions;
+    the oracle verifies the exact column stats and the TRUE moment
+    bounds."""
     li = _t(spark, sf, "lineitem")
+    cs = col_sums(li, f.l_quantity)["l_quantity"]
+    cm = col_means(li, f.l_quantity)["l_quantity"]
+    csd = col_sds(li, f.l_quantity)["l_quantity"]
+    cmed = col_medians(li, f.l_quantity)["l_quantity"]
     out = (
         li
-        >> rowwise()
-        >> mutate(rs=round_(sum_(c_across([f.l_quantity, f.l_tax, f.l_discount])), 4))
-        >> select(f.l_orderkey, f.l_linenumber, f.rs)
+        >> mutate(
+            b=rbinom(size=10, prob=0.3, seed=11),
+            p=rpois(lambda_=4.0, seed=7),
+        )
+        >> summarise(
+            _mb=mean(f.b, na_rm=True),
+            _mp=mean(f.p, na_rm=True),
+            rbinom_ok=between(f._mb, 2.85, 3.15),
+            rpois_ok=between(f._mp, 3.8, 4.2),
+        )
+        >> mutate(
+            sum_qty=round_(cs, 4),
+            mean_qty=round_(cm, 4),
+            sd_qty=round_(csd, 4),
+            med_qty=round_(cmed, 4),
+        )
     )
     return _finish(out)
 
 
-def q55_table_contingency(spark, sf):
-    """Covers: table_ (2-var contingency counts incl. zero combos)."""
-    from datar_polars_spark import table_
-
-    o = _t(spark, sf, "orders")
-    out = table_(o, f.o_orderstatus, f.o_orderpriority)
-    return _finish(out)
-
-
-def q56_fill_up(spark, sf):
-    """Covers: fill(_direction='up') — backward fill per group over an
-    explicit frame order."""
-    from datar_polars_spark import fill
-
-    o = _t(spark, sf, "orders")
-    out = (
-        o
-        >> mutate(bp=if_else(f.o_totalprice > 150000, round_(f.o_totalprice, 4), None))
-        >> arrange(f.o_orderkey)
-        >> group_by(f.o_custkey)
-        >> fill(f.bp, _direction="up")
-        >> select(f.o_orderkey, f.o_custkey, f.bp)
+def q39_simhash_dedup(spark, sf):
+    """Covers: SimHash near-dup removal (64-bit, pigeonhole blocking).
+    The signature is hash-defined (xxhash64) so no SQL oracle can
+    recompute it; instead the query PROVES the blocked plan lossless by
+    comparing its survivors against a brute-force all-pairs hamming scan
+    of the same signatures (the pigeonhole guarantee, executed). The
+    oracle pins the data-derived doc count and the always-TRUE
+    consistency flag."""
+    from datar_polars_spark.scale.dedup import (
+        _fingerprint_survivors,
+        simhash_dedup,
+        simhash_signatures,
     )
-    return _finish(out)
 
-
-def q57_factor_codes(spark, sf):
-    """Covers: fct_infreq level ordering + as_integer factor->codes."""
-    from datar_polars_spark import factor_, fct_infreq
-
-    e = _t(spark, sf, "events")
-    out = (
-        e
-        >> factor_(f.event_type)
-        >> fct_infreq(f.event_type)
-        >> mutate(code=as_integer(f.event_type))
-        >> count(f.event_type, f.code)
+    d = _t(spark, sf, "documents")
+    surv_blocked = simhash_dedup(d, f.text, f.doc_id, max_hamming=3).df.select("doc_id")
+    pre = _fingerprint_survivors(d.df.select(*d.columns), "text", "doc_id")
+    sigs = simhash_signatures(pre, "text", "doc_id")
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    dupes = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
+        .select(F.col("id_b").alias("doc_id"))
+        .dropDuplicates()
     )
-    return _finish(out)
+    surv_brute = pre.select("doc_id").join(dupes, "doc_id", "left_anti")
+    n_diff = (
+        surv_blocked.exceptAll(surv_brute).count()
+        + surv_brute.exceptAll(surv_blocked).count()
+    )
+    n_docs = d.df.count()
+    return spark.createDataFrame(
+        [(n_docs, n_diff == 0)], "n_docs long, blocked_eq_brute boolean"
+    )
 
 
-def q58_ivf_topk(spark, sf):
-    """Covers: IVF ANN (k-means coarse quantizer + probed clusters).
-    Probing every cluster makes IVF exact, so the result hash-matches
-    the brute-force cosine oracle; the approximate path (small nprobe)
-    is exercised in tests with recall assertions."""
-    from datar_polars_spark.scale import ivf_assign, ivf_topk, ivf_train
-    from pyspark.sql import functions as F
+def q40_lsh_topk(spark, sf):
+    """Covers: LSH-bucketed approximate nearest neighbors. Random
+    embeddings give LSH nothing to find (all cosines ~0), so 10 TRUE
+    near-neighbors of the query are planted (q_v + 0.25*v_i, ids
+    10001..10010) — the exact top-10 is the planted set, LSH must
+    retrieve it from its probed buckets, and the oracle recomputes the
+    same construction + exact top-10 in SQL (r1: no oracle)."""
+    from datar_polars_spark.scale import lsh_topk
+    from datar_polars_spark.tibble import Tibble
 
     e = _t(spark, sf, "embeddings")
-    qv = [float(v) for v in e.df.filter("vec_id = 0").select("embedding").first()[0]]
-    cents = ivf_train(e, f.embedding, n_clusters=16, iters=3, seed=11)
-    a = ivf_assign(e, cents, f.embedding)
-    out = ivf_topk(a, qv, cents, f.embedding, f.vec_id, k=10, nprobe=16)
-    return out.df.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    base = e.df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qrow = base.filter("vec_id = 0").select("embedding").first()
+    qv = [float(v) for v in qrow[0]]
+    planted = (
+        base.filter(F.col("vec_id").between(1, 10))
+        .crossJoin(base.filter("vec_id = 0").select(F.col("embedding").alias("qe")))
+        .select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.zip_with("qe", "embedding", lambda x, y: x + 0.25 * y).alias("embedding"),
+        )
+    )
+    corpus = Tibble(base.unionByName(planted))
+    out = lsh_topk(corpus, qv, f.embedding, f.vec_id, k=10, probe_hamming=3)
+    return (
+        out.df.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+    )
 
 
 def q59_multimodal_features(spark, sf):
@@ -954,9 +1075,7 @@ def q59_multimodal_features(spark, sf):
     typed media struct, run the Arrow-batched mapInPandas feature
     extractor (deterministic stub encoder; real codec swaps in with the
     same schema/batch shape). Not SQL-expressible -> rows-only check."""
-    from datar_polars_spark import rename
     from datar_polars_spark.scale import attach_binary_metadata, image_features
-    from pyspark.sql import functions as F
 
     d = _t(spark, sf, "documents")
     binary = d.with_df(
@@ -969,7 +1088,7 @@ def q59_multimodal_features(spark, sf):
         "doc_id",
         F.col("media.n_bytes").alias("n_bytes"),
         F.size("features").alias("feat_dim"),
-    )
+    ).orderBy("doc_id")
     return out
 
 
@@ -989,8 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_distinct": q05_distinct,
         "q06_join_revenue_per_nation": q06_join_revenue_per_nation,
         "q07_left_join_zero_counts": q07_left_join_zero_counts,
-        "q08_semi_join": q08_semi_join,
-        "q09_anti_join": q09_anti_join,
+        "q08_semi_anti_join": q08_semi_anti_join,
         "q10_topk_per_group": q10_topk_per_group,
         "q11_lag_delta": q11_lag_delta,
         "q12_cumsum_running": q12_cumsum_running,
@@ -998,14 +1116,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_if_else_na_if": q14_if_else_na_if,
         "q15_string_functions": q15_string_functions,
         "q16_bind_rows": q16_bind_rows,
-        "q17_intersect": q17_intersect,
-        "q18_setdiff": q18_setdiff,
+        "q17_set_ops": q17_set_ops,
         "q19_quantiles": q19_quantiles,
         "q20_n_distinct": q20_n_distinct,
         "q21_slice_min": q21_slice_min,
         "q22_group_deviation": q22_group_deviation,
         "q23_events_daily": q23_events_daily,
-        "q24_consecutive_runs": q24_consecutive_runs,
         "q25_rows_upsert": q25_rows_upsert,
         "q26_pivot_wider": q26_pivot_wider,
         "q27_pivot_longer": q27_pivot_longer,
@@ -1017,11 +1133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_dedup_exact": q33_dedup_exact,
         "q34_fingerprint_dedup": q34_fingerprint_dedup,
         "q35_text_stats": q35_text_stats,
-        "q36_quality_filter": q36_quality_filter,
-        "q37_cosine_topk": q37_cosine_topk,
+        "q37_ann_topk": q37_ann_topk,
         "q38_minhash_dedup": q38_minhash_dedup,
-        "q39_simhash_dedup": q39_simhash_dedup,
-        "q40_lsh_topk": q40_lsh_topk,
         "q41_fct_lump": q41_fct_lump,
         "q42_cut_buckets": q42_cut_buckets,
         "q43_group_modify": q43_group_modify,
@@ -1033,13 +1146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_ngram_jaccard": q49_ngram_jaccard,
         "q50_embedding_dedup": q50_embedding_dedup,
         "q51_sessionize": q51_sessionize,
-        "q52_approx_sketches": q52_approx_sketches,
         "q53_nest_join": q53_nest_join,
-        "q54_rowwise_sum": q54_rowwise_sum,
-        "q55_table_contingency": q55_table_contingency,
-        "q56_fill_up": q56_fill_up,
-        "q57_factor_codes": q57_factor_codes,
-        "q58_ivf_topk": q58_ivf_topk,
+        "q60_col_random": q60_col_random,
+        "q39_simhash_dedup": q39_simhash_dedup,
+        "q40_lsh_topk": q40_lsh_topk,
         "q59_multimodal_features": q59_multimodal_features,
     }
 
@@ -1058,24 +1168,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "q02_select_mutate": """
             SELECT l_orderkey, l_linenumber,
                    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS disc_price_c,
                    CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT) AS charge_c
             FROM lineitem WHERE l_quantity >= 45
+            ORDER BY l_orderkey, l_linenumber
         """,
         "q03_filter_between_regex": """
             SELECT p_partkey, p_name, p_type, p_size
             FROM part
             WHERE p_size BETWEEN 10 AND 20 AND regexp_matches(p_type, '^PROMO')
+            ORDER BY p_partkey
         """,
         "q04_count_weighted": """
             SELECT l_returnflag, ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS total_qty
             FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "q05_distinct": """
             SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+            ORDER BY o_orderstatus, o_orderpriority
         """,
         "q06_join_revenue_per_nation": """
             SELECT n_name,
@@ -1085,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+            ORDER BY n_name
         """,
         "q07_left_join_zero_counts": """
             SELECT c_custkey, c_mktsegment,
@@ -1093,18 +1209,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
               ON c.c_custkey = o.o_custkey
             GROUP BY c_custkey, c_mktsegment
+            ORDER BY c_custkey
         """,
-        "q08_semi_join": """
-            SELECT c_custkey, c_name, c_mktsegment
+        "q08_semi_anti_join": """
+            SELECT 'semi' AS op, c_custkey, c_name
             FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
-        """,
-        "q09_anti_join": """
-            SELECT c_custkey, c_name
+            UNION ALL
+            SELECT 'anti' AS op, c_custkey, c_name
             FROM customer
             WHERE c_custkey NOT IN (
                 SELECT o_custkey FROM orders
                 WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+            ORDER BY op, c_custkey
         """,
         "q10_topk_per_group": """
             SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
@@ -1112,12 +1229,14 @@ def oracle_sql() -> dict[str, str]:
                        RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS r
                 FROM orders
             ) WHERE r <= 3
+            ORDER BY o_orderpriority, o_orderkey
         """,
         "q11_lag_delta": """
             SELECT o_orderkey, o_custkey,
                    ROUND(o_totalprice - LAG(o_totalprice) OVER (
                        PARTITION BY o_custkey ORDER BY o_orderkey), 4) AS delta
             FROM orders
+            ORDER BY o_orderkey
         """,
         "q12_cumsum_running": """
             SELECT o_orderkey, o_custkey,
@@ -1125,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
             FROM orders
+            ORDER BY o_orderkey
         """,
         "q13_case_when_buckets": """
             SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
@@ -1132,12 +1252,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'large' END AS bucket,
                    COUNT(*) AS n
             FROM orders GROUP BY 1
+            ORDER BY bucket
         """,
         "q14_if_else_na_if": """
             SELECT l_returnflag,
                    CAST(SUM(CASE WHEN l_extendedprice < 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_cheap,
                    CAST(SUM(CASE WHEN COALESCE(NULLIF(l_discount, 0.0), -1.0) = -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_disc
             FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "q15_string_functions": """
             SELECT c_custkey,
@@ -1146,23 +1268,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LENGTH(c_name) AS INT) AS name_len,
                    c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS tag
             FROM customer WHERE c_acctbal > 9000
+            ORDER BY c_custkey
         """,
         "q16_bind_rows": """
             SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
-            FROM orders WHERE o_totalprice > 250000
+            FROM orders WHERE o_totalprice > 250000 OR o_totalprice < 10000
+            ORDER BY o_orderkey
+        """,
+        "q17_set_ops": """
+            WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000),
+                 b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            SELECT 'intersect' AS op, o_custkey FROM (
+                SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
             UNION ALL
-            SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
-            FROM orders WHERE o_totalprice < 10000
-        """,
-        "q17_intersect": """
-            SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
-            INTERSECT
-            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        """,
-        "q18_setdiff": """
-            SELECT DISTINCT o_custkey FROM orders
-            EXCEPT
-            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            SELECT 'setdiff' AS op, o_custkey FROM (
+                SELECT DISTINCT o_custkey FROM orders
+                EXCEPT
+                SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+            UNION ALL
+            SELECT 'union' AS op, o_custkey FROM (
+                SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+            ORDER BY op, o_custkey
         """,
         "q19_quantiles": """
             SELECT l_returnflag,
@@ -1170,13 +1296,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
                    ROUND(stddev_samp(l_extendedprice), 4) AS sd_price
             FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "q20_n_distinct": """
             SELECT l_returnflag,
                    COUNT(DISTINCT l_partkey) AS n_parts,
                    COUNT(DISTINCT l_suppkey) AS n_supps,
-                   COUNT(*) AS n_rows
+                   COUNT(*) AS n_rows,
+                   TRUE AS within_bounds
             FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "q21_slice_min": """
             SELECT p_brand, p_partkey, p_retailprice FROM (
@@ -1184,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
                        RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice ASC) AS r
                 FROM part
             ) WHERE r <= 1
+            ORDER BY p_brand, p_partkey
         """,
         "q22_group_deviation": """
             SELECT l_orderkey, l_linenumber, l_suppkey,
@@ -1193,25 +1323,14 @@ def oracle_sql() -> dict[str, str]:
                        AVG(l_extendedprice) OVER (PARTITION BY l_suppkey) AS supp_avg
                 FROM lineitem
             ) WHERE l_extendedprice > 2 * supp_avg
+            ORDER BY l_orderkey, l_linenumber
         """,
         "q23_events_daily": """
             SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
                    COUNT(*) AS n_events,
                    ROUND(AVG(value), 4) AS avg_value
             FROM events GROUP BY 1, 2
-        """,
-        "q24_consecutive_runs": """
-            WITH runs AS (
-                SELECT user_id,
-                       CASE WHEN event_type IS DISTINCT FROM
-                                 LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
-                            THEN 1 ELSE 0 END AS chg
-                FROM events
-            )
-            SELECT user_id,
-                   CAST(SUM(chg) AS BIGINT) AS n_runs,
-                   COUNT(*) AS n_events
-            FROM runs GROUP BY user_id
+            ORDER BY day, event_type
         """,
         "q25_rows_upsert": """
             WITH x AS (
@@ -1223,17 +1342,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(x.c_custkey, y.c_custkey) AS c_custkey,
                    ROUND(COALESCE(y.c_acctbal, x.c_acctbal), 4) AS c_acctbal
             FROM x FULL JOIN y ON x.c_custkey = y.c_custkey
+            ORDER BY c_custkey
         """,
         "q26_pivot_wider": """
             SELECT l_returnflag,
                    COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END), 0) AS "F",
                    COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END), 0) AS "O"
             FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "q27_pivot_longer": """
-            SELECT p_partkey, 'p_retailprice' AS metric, ROUND(p_retailprice, 4) AS val FROM part
-            UNION ALL
-            SELECT p_partkey, 'p_size' AS metric, ROUND(CAST(p_size AS DOUBLE), 4) AS val FROM part
+            SELECT p_partkey, metric, val FROM (
+                SELECT p_partkey, 'p_retailprice' AS metric, ROUND(p_retailprice, 4) AS val FROM part
+                UNION ALL
+                SELECT p_partkey, 'p_size' AS metric, ROUND(CAST(p_size AS DOUBLE), 4) AS val FROM part
+            ) ORDER BY p_partkey, metric
         """,
         "q28_separate_unite": """
             SELECT p_partkey,
@@ -1242,24 +1365,34 @@ def oracle_sql() -> dict[str, str]:
                         THEN substring(p_type, strpos(p_type, ' ') + 1)
                         ELSE NULL END AS t2
             FROM part
+            ORDER BY p_partkey
         """,
         "q29_separate_rows_uncount": """
-            SELECT doc_id, lang,
-                   CAST(UNNEST(generate_series(1, CAST(n_chars % 3 AS BIGINT)))
-                        AS BIGINT) AS copy_id
-            FROM documents
-            WHERE doc_id < 50 AND n_chars % 3 > 0
+            WITH base AS (
+                SELECT doc_id, lang, source, CAST(n_chars % 3 AS BIGINT) AS w
+                FROM documents WHERE doc_id < 50
+            )
+            SELECT doc_id, lang, tag AS tags, CAST(c AS BIGINT) AS copy_id
+            FROM base, UNNEST([lang, source]) AS u(tag),
+                 UNNEST(generate_series(1, w)) AS g(c)
+            WHERE w > 0
+            ORDER BY doc_id, tags, copy_id
         """,
         "q30_fill_gaps": """
-            SELECT o_custkey, o_orderkey,
+            SELECT o_orderkey, o_custkey,
                    LAST_VALUE(CASE WHEN o_totalprice > 150000 THEN ROUND(o_totalprice, 4) END IGNORE NULLS)
                        OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS big_price
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bp_dn,
+                   FIRST_VALUE(CASE WHEN o_totalprice > 150000 THEN ROUND(o_totalprice, 4) END IGNORE NULLS)
+                       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bp_up
             FROM orders
+            ORDER BY o_orderkey
         """,
         "q31_nest_unnest_roundtrip": """
             SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
             FROM orders
+            ORDER BY o_orderkey
         """,
         "q32_complete_grid": """
             WITH counts AS (
@@ -1273,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.l_returnflag, g.l_linestatus, COALESCE(c.n, 0) AS n
             FROM grid g LEFT JOIN counts c
               ON g.l_returnflag = c.l_returnflag AND g.l_linestatus = c.l_linestatus
+            ORDER BY g.l_returnflag, g.l_linestatus
         """,
         "q33_dedup_exact": """
             SELECT doc_id, lang, source FROM (
@@ -1280,12 +1414,14 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
                 FROM documents
             ) WHERE rn = 1
+            ORDER BY doc_id
         """,
         "q34_fingerprint_dedup": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
                    COUNT(*) AS n_copies,
                    MIN(doc_id) AS keep_id
             FROM documents GROUP BY 1
+            ORDER BY fp
         """,
         "q35_text_stats": """
             WITH stats AS (
@@ -1295,17 +1431,7 @@ def oracle_sql() -> dict[str, str]:
                          list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
                                                  t -> length(t)))
                          / GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1),
-                         4) AS mwl
-                FROM documents
-            )
-            SELECT lang, COUNT(*) AS n_docs,
-                   CAST(SUM(tokens) AS BIGINT) AS total_tokens,
-                   ROUND(AVG(mwl), 4) AS avg_mwl
-            FROM stats GROUP BY lang
-        """,
-        "q36_quality_filter": """
-            WITH q AS (
-                SELECT doc_id, lang,
+                         4) AS mwl,
                        (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 0.4 ELSE 0 END)
                      + (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
                                / GREATEST(length(text), 1) < 0.2 THEN 0.2 ELSE 0 END)
@@ -1317,9 +1443,14 @@ def oracle_sql() -> dict[str, str]:
                            BETWEEN 2 AND 12 THEN 0.2 ELSE 0 END) AS q
                 FROM documents
             )
-            SELECT doc_id, lang FROM q WHERE q >= 0.8
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(mwl), 4) AS avg_mwl,
+                   CAST(SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_hq
+            FROM stats GROUP BY lang
+            ORDER BY lang
         """,
-        "q37_cosine_topk": """
+        "q37_ann_topk": """
             WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             scored AS (
                 SELECT e.vec_id,
@@ -1330,35 +1461,70 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_sum(list_transform(q.qe,
                                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
                 FROM embeddings e, qv q
+            ), top AS (
+                SELECT vec_id, ROUND(cos, 4) AS cosine
+                FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
             )
-            SELECT vec_id, ROUND(cos, 4) AS cosine
-            FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+            SELECT method, vec_id, cosine FROM (
+                SELECT 'brute' AS method, vec_id, cosine FROM top
+                UNION ALL
+                SELECT 'ivf' AS method, vec_id, cosine FROM top
+            ) ORDER BY method, cosine DESC, vec_id
+        """,
+        "q38_minhash_dedup": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                                      FOR i IN range(0, greatest(len(toks)-3, 0)+1)]) AS grams
+                FROM t
+            ), dup AS (
+                SELECT DISTINCT b.doc_id
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+                      / len(list_distinct(a.grams || b.grams)) >= 0.5
+            )
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+            ORDER BY doc_id
         """,
         "q41_fct_lump": """
             WITH cnt AS (
                 SELECT event_type, COUNT(*) AS c
                 FROM events WHERE event_type IS NOT NULL
                 GROUP BY event_type
-            ), keep AS (
-                SELECT event_type FROM (
-                    SELECT event_type,
-                           ROW_NUMBER() OVER (ORDER BY c DESC, event_type ASC) AS rn
-                    FROM cnt
-                ) WHERE rn <= 3
+            ), ranked AS (
+                SELECT event_type, c,
+                       ROW_NUMBER() OVER (ORDER BY c DESC, event_type ASC) AS rn
+                FROM cnt
             )
-            SELECT CASE WHEN e.event_type IN (SELECT event_type FROM keep)
-                          OR e.event_type IS NULL
-                        THEN e.event_type ELSE 'Other' END AS event_type,
-                   COUNT(*) AS n
-            FROM events e GROUP BY 1
+            SELECT CASE WHEN rn <= 3 THEN event_type ELSE 'Other' END AS event_type,
+                   CAST(CASE WHEN rn <= 3 THEN rn ELSE 4 END AS BIGINT) AS code,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM ranked GROUP BY 1, 2
+            ORDER BY code
         """,
         "q42_cut_buckets": """
-            SELECT CASE WHEN l_quantity > 0  AND l_quantity <= 10 THEN 'low'
-                        WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'mid'
-                        WHEN l_quantity > 25 AND l_quantity <= 50 THEN 'high'
-                   END AS bucket,
-                   COUNT(*) AS n
-            FROM lineitem GROUP BY 1
+            WITH b AS (
+                SELECT CASE WHEN l_quantity > 0  AND l_quantity <= 10 THEN 'low'
+                            WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'mid'
+                            WHEN l_quantity > 25 AND l_quantity <= 50 THEN 'high'
+                       END AS bucket,
+                       l_returnflag
+                FROM lineitem
+            ), counts AS (
+                SELECT bucket, l_returnflag, COUNT(*) AS n FROM b GROUP BY 1, 2
+            ), grid AS (
+                SELECT x.bucket, y.l_returnflag
+                FROM (SELECT DISTINCT bucket FROM b) x
+                CROSS JOIN (SELECT DISTINCT l_returnflag FROM b) y
+            )
+            SELECT g.bucket, g.l_returnflag, COALESCE(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c
+              ON g.bucket = c.bucket AND g.l_returnflag = c.l_returnflag
+            ORDER BY g.bucket, g.l_returnflag
         """,
         "q43_group_modify": """
             SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
@@ -1368,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
                 FROM orders
             ) WHERE rn <= 2
+            ORDER BY o_orderpriority, o_orderkey
         """,
         "q44_add_count": """
             SELECT o_orderkey, o_custkey, n FROM (
@@ -1375,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(*) OVER (PARTITION BY o_custkey) AS n
                 FROM orders
             ) WHERE n >= 18
+            ORDER BY o_orderkey
         """,
         "q45_duplicated": """
             SELECT CAST(COUNT(*) - (
@@ -1389,18 +1557,46 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'misc' END AS event_type,
                    COUNT(*) AS n
             FROM events GROUP BY 1
+            ORDER BY event_type
         """,
         "q47_row_stats": """
             SELECT p_partkey,
                    ROUND(p_retailprice + p_size, 4) AS rs,
-                   ROUND((p_retailprice + p_size) / 2, 4) AS rm
+                   ROUND((p_retailprice + p_size) / 2, 4) AS rm,
+                   ROUND(SQRT(POWER(p_retailprice - (p_retailprice + p_size) / 2, 2)
+                            + POWER(p_size - (p_retailprice + p_size) / 2, 2)), 4) AS rsd,
+                   ROUND(GREATEST(p_retailprice, CAST(p_size AS DOUBLE)), 4) AS rmed,
+                   ROUND(p_retailprice + p_size, 4) AS ca
             FROM part WHERE ROUND(p_retailprice + p_size, 4) > 990
+            ORDER BY p_partkey
         """,
         "q48_stream_windowed": """
             SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS total
             FROM events GROUP BY 1, 2
+            ORDER BY day, event_type
+        """,
+        "q49_ngram_jaccard": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                                      FOR i IN range(0, greatest(len(toks)-3, 0)+1)]) AS grams
+                FROM t
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.grams, b.grams)) * 1.0
+                         / len(list_distinct(a.grams || b.grams)), 4) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+                  / len(list_distinct(a.grams || b.grams)) >= 0.3
+            ORDER BY id_a, id_b
+        """,
+        "q50_embedding_dedup": """
+            SELECT vec_id FROM embeddings ORDER BY vec_id
         """,
         "q51_sessionize": """
             WITH gaps AS (
@@ -1411,17 +1607,23 @@ def oracle_sql() -> dict[str, str]:
                                 PARTITION BY user_id ORDER BY ts) IS NULL
                             THEN 1 ELSE 0 END AS new_s
                 FROM events
+            ), sess AS (
+                SELECT user_id,
+                       CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                       COUNT(*) AS total_events
+                FROM gaps GROUP BY user_id
+            ), runs AS (
+                SELECT user_id, CAST(SUM(chg) AS BIGINT) AS n_runs FROM (
+                    SELECT user_id,
+                           CASE WHEN event_type IS DISTINCT FROM
+                                     LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                                THEN 1 ELSE 0 END AS chg
+                    FROM events
+                ) GROUP BY user_id
             )
-            SELECT user_id,
-                   CAST(SUM(new_s) AS BIGINT) AS n_sessions,
-                   COUNT(*) AS total_events
-            FROM gaps GROUP BY user_id
-        """,
-        "q52_approx_sketches": """
-            SELECT l_returnflag,
-                   COUNT(DISTINCT l_partkey) AS nd,
-                   TRUE AS within_bounds
-            FROM lineitem GROUP BY l_returnflag
+            SELECT s.user_id, s.n_sessions, s.total_events, r.n_runs
+            FROM sess s JOIN runs r ON s.user_id = r.user_id
+            ORDER BY s.user_id
         """,
         "q53_nest_join": """
             SELECT c.c_custkey, c.c_mktsegment,
@@ -1429,58 +1631,44 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c
             LEFT JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey, c.c_mktsegment
+            ORDER BY c.c_custkey
         """,
-        "q54_rowwise_sum": """
-            SELECT l_orderkey, l_linenumber,
-                   ROUND(l_quantity + l_tax + l_discount, 4) AS rs
+        "q60_col_random": """
+            SELECT TRUE AS rbinom_ok,
+                   TRUE AS rpois_ok,
+                   ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty,
+                   ROUND(AVG(l_quantity), 4) AS mean_qty,
+                   ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+                   ROUND(MEDIAN(l_quantity), 4) AS med_qty
             FROM lineitem
         """,
-        "q55_table_contingency": """
-            WITH counts AS (
-                SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-                FROM orders GROUP BY 1, 2
-            ), grid AS (
-                SELECT s.o_orderstatus, p.o_orderpriority
-                FROM (SELECT DISTINCT o_orderstatus FROM orders) s
-                CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
-            )
-            SELECT g.o_orderstatus, g.o_orderpriority, COALESCE(c.n, 0) AS n
-            FROM grid g LEFT JOIN counts c
-              ON g.o_orderstatus = c.o_orderstatus
-             AND g.o_orderpriority = c.o_orderpriority
+        "q39_simhash_dedup": """
+            SELECT COUNT(*) AS n_docs, TRUE AS blocked_eq_brute FROM documents
         """,
-        "q56_fill_up": """
-            SELECT o_orderkey, o_custkey,
-                   FIRST_VALUE(CASE WHEN o_totalprice > 150000
-                                    THEN ROUND(o_totalprice, 4) END IGNORE NULLS)
-                       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bp
-            FROM orders
-        """,
-        "q58_ivf_topk": """
-            WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-            scored AS (
-                SELECT e.vec_id,
-                       list_sum(list_transform(list_zip(e.embedding, q.qe),
+        "q40_lsh_topk": """
+            WITH base AS (
+                SELECT vec_id,
+                       list_transform(embedding, v -> CAST(v AS DOUBLE)) AS embedding
+                FROM embeddings
+            ), q AS (SELECT embedding AS qe FROM base WHERE vec_id = 0),
+            planted AS (
+                SELECT b.vec_id + 10000 AS vec_id,
+                       list_transform(list_zip(q.qe, b.embedding),
+                                      x -> CAST(x[1] AS DOUBLE) + 0.25 * CAST(x[2] AS DOUBLE)) AS embedding
+                FROM base b, q WHERE b.vec_id BETWEEN 1 AND 10
+            ), corpus AS (
+                SELECT * FROM base UNION ALL SELECT * FROM planted
+            ), scored AS (
+                SELECT c.vec_id,
+                       list_sum(list_transform(list_zip(c.embedding, q.qe),
                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                       / (sqrt(list_sum(list_transform(e.embedding,
+                       / (sqrt(list_sum(list_transform(c.embedding,
                                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
                           * sqrt(list_sum(list_transform(q.qe,
                                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
-                FROM embeddings e, qv q
+                FROM corpus c, q
             )
             SELECT vec_id, ROUND(cos, 4) AS cosine
-            FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
-        """,
-        "q57_factor_codes": """
-            WITH cnt AS (
-                SELECT event_type, COUNT(*) AS n FROM events
-                WHERE event_type IS NOT NULL GROUP BY event_type
-            )
-            SELECT event_type,
-                   CAST(ROW_NUMBER() OVER (ORDER BY n DESC, event_type ASC)
-                        AS BIGINT) AS code,
-                   n
-            FROM cnt
+            FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
     }

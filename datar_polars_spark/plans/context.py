@@ -246,6 +246,11 @@ def eval_expr(node: Any, ctx: EvalContext) -> Any:
         right = eval_expr(node._right, ctx)
         if node._op == "//":
             return F.floor(_as_col(left) / _as_col(right)).cast("long")
+        if node._op == "%" and (isinstance(left, Column) or isinstance(right, Column)):
+            # R modulo: a - floor(a/b)*b (result takes the DIVISOR's
+            # sign; Spark's % is C-style truncation toward zero)
+            a, b = _as_col(left), _as_col(right)
+            return a - F.floor(a / b) * b
         if node._op in ("&", "|") and not isinstance(left, Column) and not isinstance(right, Column):
             return BIN_IMPL[node._op](bool(left), bool(right))
         if not isinstance(left, Column) and not isinstance(right, Column):

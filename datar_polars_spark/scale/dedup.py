@@ -30,6 +30,7 @@ __all__ = [
     "minhash_pairs",
     "minhash_dedup",
     "simhash64",
+    "simhash_signatures",
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
@@ -299,25 +300,12 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-@verb
-def simhash_dedup(
-    td: Tibble,
-    text: Any,
-    id_col: Any,
-    max_hamming: int = 3,
-    max_bucket: int = 1000,
-) -> Tibble:
-    """Near-dup removal via SimHash: block on 4 16-bit sub-keys (any
-    pair within hamming distance 3 shares at least one identical
-    quarter, by pigeonhole), verify with exact hamming distance.
-    Fingerprint pre-pass + bucket cap guard against duplicate-cluster
-    skew exactly as in minhash_dedup."""
-    tname, idn = _name_of(text), _name_of(id_col)
-    pre = _fingerprint_survivors(td.df.select(*td.columns), tname, idn)
-    # SimHash via explode -> per-bit majority sums: each token hashed
-    # once (the expression form re-inlines tokenization per bit after
-    # CollapseProject — same pathology as the minhash signature)
-    exploded = pre.select(
+def simhash_signatures(df: DataFrame, tname: str, idn: str) -> DataFrame:
+    """(id, sh) 64-bit SimHash per row. Explode -> per-bit majority sums:
+    each token hashed once (the expression form re-inlines tokenization
+    per bit after CollapseProject — same pathology as the minhash
+    signature)."""
+    exploded = df.select(
         F.col(idn).alias("id"),
         F.explode(F.array_distinct(tokenize_words(F.col(tname)))).alias("__t__"),
     )
@@ -333,7 +321,25 @@ def simhash_dedup(
     for b in range(64):
         bit = (F.col(f"__o{b}__") * 2 > F.col("__n__")).cast("long")
         sh = sh.bitwiseOR(F.shiftleft(bit, b))
-    base = agg.select("id", sh.alias("sh"))
+    return agg.select("id", sh.alias("sh"))
+
+
+@verb
+def simhash_dedup(
+    td: Tibble,
+    text: Any,
+    id_col: Any,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> Tibble:
+    """Near-dup removal via SimHash: block on 4 16-bit sub-keys (any
+    pair within hamming distance 3 shares at least one identical
+    quarter, by pigeonhole), verify with exact hamming distance.
+    Fingerprint pre-pass + bucket cap guard against duplicate-cluster
+    skew exactly as in minhash_dedup."""
+    tname, idn = _name_of(text), _name_of(id_col)
+    pre = _fingerprint_survivors(td.df.select(*td.columns), tname, idn)
+    base = simhash_signatures(pre, tname, idn)
     quarters = F.array(
         *[
             F.struct(
@@ -424,8 +430,8 @@ def embedding_cosine_pairs(
     embedding: Any,
     id_col: Any,
     threshold: float = 0.95,
-    bands: int = 16,
-    planes_per_band: int = 12,
+    bands: int = 32,
+    planes_per_band: int = 8,
     seed: int = 42,
     max_bucket: int = 1000,
 ) -> Tibble:
@@ -437,9 +443,11 @@ def embedding_cosine_pairs(
     is only ~0.28 for 12 planes. Banding fixes the recall: a pair is a
     candidate if ANY band's planes all agree, so recall =
     1 - (1 - p^planes_per_band)^bands with p = 1 - theta/pi. With the
-    16x12 default: ~0.994 at cosine 0.95. Precision is restored by the
-    exact cosine verify; random pairs collide in a band with
-    0.5^12 ~ 2.4e-4, so candidate volume stays near-linear. Oversized
+    32x8 default: miss probability ~2e-8 per 0.95-cosine pair (a 16x12
+    scheme still loses ~0.2% of pairs — observed as a real missed
+    near-dup at sf0.01). Precision is restored by the exact cosine
+    verify; random pairs collide in a band with 0.5^8 ~ 3.9e-3, so
+    candidate volume stays near-linear in corpus size. Oversized
     buckets (cap: max_bucket) are excluded — run exact dedup first if
     the corpus has identical-vector clusters. At planet scale, lower
     candidate volume further with more planes_per_band (AND) plus more

@@ -1,7 +1,9 @@
 """Local replica of the driver's correctness gate: run each
 __spark_entry__.queries() entry on Spark AND its oracle_sql() on DuckDB
-at a given sf, compare row count + column set + order-insensitive
-values (sorted rows, floats rounded).
+at a given sf, compare row count + column set + ORDER-SENSITIVE values
+(the driver's hash is row-order-sensitive — r1's only red row was an
+unpinned ordering — so rows are compared in returned order; columns are
+sorted by name as the driver does; floats rounded).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -45,9 +47,7 @@ def norm_cell(v):
 
 def frame_signature(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    sig_rows = sorted(
-        tuple(norm_cell(r[i]) for i in order) for r in rows
-    )
+    sig_rows = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     return [cols[i] for i in order], sig_rows
 
 
