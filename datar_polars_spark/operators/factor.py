@@ -308,9 +308,15 @@ def fct_collapse(td: Tibble, col: Any, other_level: str | None = None, **groups:
 
 
 def _lump(td: Tibble, cname: str, keep_expr, other_level: str) -> Tibble:
-    """Shared lump machinery: one count query -> keep-set -> when/otherwise."""
+    """Shared lump machinery: one count query -> keep-set -> when/otherwise.
+
+    ``other_level`` is only appended to the level list when something was
+    actually lumped (R forcats keeps the factor unchanged otherwise)."""
     counts = td.df.filter(F.col(cname).isNotNull()).groupBy(cname).count()
+    observed = [r[0] for r in counts.select(cname).collect()]
     keep = [r[0] for r in keep_expr(counts).collect()]
+    if set(observed) <= set(keep):
+        return td
     colr = F.col(cname)
     df = td.df.withColumn(
         cname,
@@ -345,14 +351,22 @@ def fct_lump_prop(td: Tibble, col: Any, prop: float, other_level: str = "Other")
     cname = _name_of(col)
 
     def keep(c):
-        total = c.agg(F.sum("count")).first()[0]
-        return c.filter(F.col("count") / total >= prop).select(cname)
+        rows = c.collect()
+        total = sum(r["count"] for r in rows) or 1
+        kept = [r[cname] for r in rows if r["count"] / total >= prop]
+        # R forcats: lumping a single level is pointless — keep as-is
+        if len(rows) - len(kept) <= 1:
+            kept = [r[cname] for r in rows]
+        spark = td.df.sparkSession
+        return spark.createDataFrame([(k,) for k in kept], [cname])
 
     return _lump(td, cname, keep, other_level)
 
 
 @verb
 def fct_other(td: Tibble, col: Any, keep: list | None = None, drop: list | None = None, other_level: str = "Other") -> Tibble:
+    if (keep is None) == (drop is None):
+        raise ValueError("fct_other: supply exactly one of `keep` or `drop`")
     cname = _name_of(col)
     colr = F.col(cname)
     levels = td.levels.get(cname, _observed_levels(td, cname))
@@ -396,19 +410,40 @@ def fct_expand(td: Tibble, col: Any, *extra: str, after: int | None = None) -> T
 
 @verb
 def fct_explicit_na(td: Tibble, col: Any, na_level: str = "(Missing)") -> Tibble:
+    """NA values become an explicit level; the level is only added when
+    missing values actually exist (R forcats leaves the factor alone
+    otherwise)."""
     cname = _name_of(col)
     levels = list(td.levels.get(cname, _observed_levels(td, cname)))
+    if td.df.filter(F.col(cname).isNull()).limit(1).count() == 0:
+        return _with_levels(td, cname, levels)
     df = td.df.withColumn(cname, F.coalesce(F.col(cname), F.lit(na_level)))
     return _with_levels(td.with_df(df), cname, levels + [na_level])
 
 
 @verb
-def fct_cross(td: Tibble, col1: Any, col2: Any, sep: str = ":", name: str = "fct_cross") -> Tibble:
+def fct_cross(td: Tibble, col1: Any, col2: Any, sep: str = ":",
+              name: str = "fct_cross", keep_empty: bool = False) -> Tibble:
+    """Cross two factors element-wise. NULL in either input yields NULL
+    (concat_ws would silently drop it). ``keep_empty=True`` keeps the
+    full level product; the default keeps only observed combinations
+    (reference ``forcats.py:1266``)."""
     c1, c2 = _name_of(col1), _name_of(col2)
     l1 = td.levels.get(c1, _observed_levels(td, c1))
     l2 = td.levels.get(c2, _observed_levels(td, c2))
-    df = td.df.withColumn(name, F.concat_ws(sep, F.col(c1), F.col(c2)))
-    levels = [f"{a}{sep}{b}" for b in l2 for a in l1]
+    crossed = F.when(
+        F.col(c1).isNull() | F.col(c2).isNull(), F.lit(None)
+    ).otherwise(F.concat_ws(sep, F.col(c1), F.col(c2)))
+    df = td.df.withColumn(name, crossed)
+    grid = [f"{a}{sep}{b}" for b in l2 for a in l1]
+    if keep_empty:
+        levels = grid
+    else:
+        seen = set(
+            r[0]
+            for r in df.select(name).filter(F.col(name).isNotNull()).distinct().collect()
+        )
+        levels = [l for l in grid if l in seen]
     return _with_levels(td.with_df(df), name, levels)
 
 
@@ -498,6 +533,8 @@ def fct_reorder2(
 def fct_lump(td: Tibble, col: Any, n: int | None = None, prop: float | None = None,
              other_level: str = "Other") -> Tibble:
     """Generic lump dispatcher (reference ``forcats.py:850``)."""
+    if n is not None and prop is not None:
+        raise ValueError("fct_lump: supply at most one of `n` and `prop`")
     if n is not None:
         return fct_lump_n(td, col, n, other_level=other_level)
     if prop is not None:

@@ -133,9 +133,12 @@ def test_fct_expand_explicit_na(td):
 
 def test_fct_cross(spark):
     td = tibble(spark, a=["x", "y"], b=["1", "2"])
-    ft = td >> factor_(f.a) >> factor_(f.b) >> fct_cross(f.a, f.b)
+    ft = td >> factor_(f.a) >> factor_(f.b) >> fct_cross(f.a, f.b, keep_empty=True)
     assert levels_(ft, "fct_cross") == ["x:1", "y:1", "x:2", "y:2"]
     assert ft.collect()["fct_cross"].tolist() == ["x:1", "y:2"]
+    # default keeps only observed combinations (reference forcats.py:1266)
+    ft2 = td >> factor_(f.a) >> factor_(f.b) >> fct_cross(f.a, f.b)
+    assert levels_(ft2, "fct_cross") == ["x:1", "y:2"]
 
 
 def test_fct_count(td):
