@@ -227,17 +227,41 @@ def mutate(
     orig_cols = td.columns
     new_cols: list[str] = []
     used: set[str] = set()
+    # two-phase: evaluate every item first (references resolve lazily by
+    # name), then join any per-group aggregates back in one pass, then
+    # apply the withColumns in order. The agg-join rewrite is only safe
+    # for items that don't read columns modified earlier in this mutate
+    # (those aggregates must see the UPDATED values, which only the
+    # window form does) and when no group key is being rewritten.
+    touched_names: set[str] = set()
+    group_set = set(td.group_vars)
+    evaluated: list[tuple[str, Column | None]] = []
     for name, node in items:
         used |= collect_refs(node)
         if node is None:
-            df = df.drop(name)
+            touched_names.add(name)
+            evaluated.append((name, None))
             continue
+        ctx.allow_agg_join = (
+            not (collect_refs(node) & touched_names)
+            and not (group_set & {n for n, _ in items})
+        )
         col = eval_expr(node, ctx)
         if not isinstance(col, Column):
             col = F.lit(col)
-        df = df.withColumn(name, col)
+        touched_names.add(name)
+        evaluated.append((name, col))
         if name not in new_cols and name not in orig_cols:
             new_cols.append(name)
+    gagg_aliases = list(ctx.pending_group_aggs)
+    df = ctx.apply_pending_group_aggs(df)
+    for name, col in evaluated:
+        if col is None:
+            df = df.drop(name)
+        else:
+            df = df.withColumn(name, col)
+    if gagg_aliases:
+        df = df.drop(*gagg_aliases)
     # column placement (_before/_after), reference mutate.py:204-232
     if _before is not None or _after is not None:
         cols_now = [c for c in df.columns if not c.startswith("__datar_")]
@@ -289,6 +313,7 @@ def filter_(td: Tibble, *conds: Any, _preserve: bool = False) -> Tibble:
     if any(tree_needs_order(c) for c in conds if isinstance(c, Expr)):
         td = td.ensure_order()
     ctx = EvalContext(td, "eval")
+    ctx.allow_agg_join = True  # filter never rewrites columns
     combined: Column | None = None
     has_call = False
     for c in conds:
@@ -299,6 +324,21 @@ def filter_(td: Tibble, *conds: Any, _preserve: bool = False) -> Tibble:
         combined = col if combined is None else (combined & col)
     if combined is None:
         return td
+    if ctx.pending_group_aggs:
+        # grouped aggregates in the predicate: join the per-group values
+        # (one groupBy + broadcast-able join, no full-table window
+        # shuffle), filter, drop the helpers. Route through a
+        # materialized predicate column in case other window exprs
+        # (ranks, lags) share the condition — Spark forbids them in
+        # WHERE.
+        aliases = list(ctx.pending_group_aggs)
+        df = (
+            ctx.apply_pending_group_aggs(td.df)
+            .withColumn("__datar_cond__", combined)
+            .filter(F.col("__datar_cond__"))
+            .drop("__datar_cond__", *aliases)
+        )
+        return td.with_df(df)
     if has_call:
         # function calls may compile to window aggregates, which Spark
         # forbids in WHERE — materialize the predicate first (Catalyst

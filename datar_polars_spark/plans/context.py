@@ -42,6 +42,11 @@ class EvalContext:
         self.local_names: dict[str, Column] = {}
         # with_order(): replaces the default frame-order window key
         self.order_override: Column | None = None
+        # grouped-aggregate join rewrite (see agg()): the calling verb
+        # opts in per-item; collected aggregates are joined back in one
+        # pass by apply_pending_group_aggs()
+        self.allow_agg_join: bool = False
+        self.pending_group_aggs: dict[str, Column] = {}
 
     # ---- resolution helpers -------------------------------------------
     def eval(self, node: Any) -> Any:
@@ -91,7 +96,47 @@ class EvalContext:
             schema = df.select(aggregated.alias("__v__")).schema
             row = df.agg(aggregated.alias("__v__")).first()
             return F.lit(row["__v__"]).cast(schema[0].dataType)
+        if (
+            self.allow_agg_join
+            and self.groups
+            and not self.rowwise
+            and not self.tibble.df.isStreaming
+            # an aggregate built on another pending aggregate (nested
+            # window) can't be computed in one groupBy pass — keep the
+            # window form, which fails/succeeds exactly as before
+            and "__datar_gagg_" not in str(aggregated)
+        ):
+            # Grouped unordered window aggregate -> per-group groupBy
+            # agg (map-side partial combine) joined back on the keys.
+            # `mean(x).over(partitionBy(g))` shuffles EVERY row of the
+            # table by g; the rewrite shuffles only (g, partial-state)
+            # rows and AQE broadcasts the small agg side, so the fact
+            # table never moves — the difference between a 100 TB
+            # shuffle and a metadata-sized one.
+            alias = f"__datar_gagg_{len(self.pending_group_aggs)}__"
+            self.pending_group_aggs[alias] = aggregated
+            return F.col(alias)
         return aggregated.over(self.partition())
+
+    def apply_pending_group_aggs(self, df: "DataFrame") -> "DataFrame":
+        """Compute all aggregates collected by agg() in ONE groupBy over
+        the base tibble and left-join them onto ``df`` with null-safe
+        key equality (window partitioning groups NULL keys together, so
+        the join must too). Placeholder columns are dropped by the
+        caller after the dependent expressions are applied."""
+        if not self.pending_group_aggs:
+            return df
+        base = self.tibble.df
+        keyed = [F.col(g).alias(f"__datar_gk_{i}__") for i, g in enumerate(self.groups)]
+        aggdf = base.groupBy(*keyed).agg(
+            *[c.alias(a) for a, c in self.pending_group_aggs.items()]
+        )
+        cond = None
+        for i, g in enumerate(self.groups):
+            c = F.col(g).eqNullSafe(F.col(f"__datar_gk_{i}__"))
+            cond = c if cond is None else cond & c
+        out = df.join(aggdf, cond, "left")
+        return out.drop(*[f"__datar_gk_{i}__" for i in range(len(self.groups))])
 
     # ---- two-pass distributed cumulative windows -----------------------
     # Ungrouped order-sensitive windows are semantically a total order,
