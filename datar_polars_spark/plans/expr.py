@@ -208,6 +208,18 @@ class _MethodProxy:
         return f"{self._obj!r}.{self._mname}"
 
 
+class RangeSel:
+    """Inclusive column range ``f[f.a:f.b]`` (reference tidyselect
+    ``a:b`` — both endpoints included, positional span)."""
+
+    def __init__(self, start: Any, stop: Any):
+        self.start = start
+        self.stop = stop
+
+    def __repr__(self) -> str:
+        return f"f[{self.start!r}:{self.stop!r}]"
+
+
 class FProxy:
     """The ``f`` symbol: attribute/item access yields column references."""
 
@@ -216,7 +228,9 @@ class FProxy:
             raise AttributeError(name)
         return Ref(name)
 
-    def __getitem__(self, name: str) -> Ref:
+    def __getitem__(self, name) -> Ref:
+        if isinstance(name, slice):
+            return RangeSel(name.start, name.stop)
         return Ref(name)
 
     def __repr__(self) -> str:

@@ -12,7 +12,7 @@ from __future__ import annotations
 import re
 from typing import Any, Callable, Iterable
 
-from .expr import Call, Expr, Ref, UnaryOp
+from .expr import Call, Expr, RangeSel, Ref, UnaryOp
 
 __all__ = [
     "resolve_selection",
@@ -169,6 +169,17 @@ def _expand(item: Any, columns: list[str], dtypes: dict[str, str]) -> tuple[list
         if item < 0:
             return [columns[(-item) - 1]], True  # R: -k excludes position k
         return [columns[item - 1]], False  # R 1-based
+    if isinstance(item, RangeSel):
+        def _pos(endpoint, default):
+            if endpoint is None:
+                return default
+            name = endpoint._name if isinstance(endpoint, Ref) else str(endpoint)
+            if name not in columns:
+                raise KeyError(f"columns not found: ['{name}']")
+            return columns.index(name)
+        lo = _pos(item.start, 0)
+        hi = _pos(item.stop, len(columns) - 1)
+        return columns[lo : hi + 1], False
     if isinstance(item, SelectHelper):
         return item.resolve(columns, dtypes), False
     if isinstance(item, (Collection, list, tuple)):

@@ -191,3 +191,26 @@ def test_ungrouped_window_aggregate_inlines_literal(spark):
     )
     plan = _plan(td)
     assert "Window" not in plan
+
+
+def test_grouped_agg_mutate_avoids_window_shuffle(spark):
+    """Grouped unordered aggregates in mutate compile to groupBy +
+    join (fact side unshuffled, agg side broadcast-able), NOT to a
+    full-table Window.partitionBy shuffle."""
+    from datar_polars_spark.functions import mean
+
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
+    td = li >> group_by(f.l_suppkey) >> mutate(avg_p=mean(f.l_extendedprice, na_rm=True))
+    plan = _plan(td)
+    assert "Window" not in plan
+    assert "Join" in plan
+
+
+def test_grouped_agg_filter_avoids_window_shuffle(spark):
+    from datar_polars_spark.functions import mean
+
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
+    td = li >> group_by(f.l_suppkey) >> filter_(f.l_extendedprice > mean(f.l_extendedprice, na_rm=True))
+    plan = _plan(td)
+    assert "Window" not in plan
+    assert not re.search(r"__datar_gagg_|__datar_gk_", plan.split("Project")[0])
