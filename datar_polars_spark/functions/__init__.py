@@ -76,6 +76,8 @@ _EXPORT = {
     "cur_data", "cur_data_all",
     # sketch aggregates (scale path)
     "approx_n_distinct", "approx_quantile",
+    # cube/rollup helpers
+    "grouping_id",
 }
 
 globals().update({name: builder(name) for name in _EXPORT if name in REGISTRY})

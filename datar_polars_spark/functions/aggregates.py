@@ -124,6 +124,14 @@ def _n(ctx):
     return ctx.agg(F.count(F.lit(1)))
 
 
+@register("grouping_id")
+def _grouping_id(ctx, *cols):
+    """Bit vector of which keys are aggregated away in a cube/rollup
+    row (Spark `grouping_id`); only meaningful inside a summarise after
+    group_by_cube / group_by_rollup."""
+    return F.grouping_id(*[_nn(ctx, c) for c in cols]) if cols else F.grouping_id()
+
+
 @register("approx_n_distinct")
 def _approx_n_distinct(ctx, x, rsd: float = 0.05):
     """HyperLogLog++ distinct-count sketch — the 100 TB alternative to

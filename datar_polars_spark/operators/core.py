@@ -34,6 +34,8 @@ __all__ = [
     "transmute",
     "filter_",
     "group_by",
+    "group_by_cube",
+    "group_by_rollup",
     "ungroup",
     "rowwise",
     "summarise",
@@ -391,6 +393,28 @@ def rowwise(td: Tibble, *args: Any) -> Tibble:
     return Tibble(td.df, groups=names, rowwise=True, levels=td.levels)
 
 
+@verb
+def group_by_cube(td: Tibble, *args: Any) -> Tibble:
+    """Group for a CUBE aggregation: the next summarise computes every
+    subset of the keys (Spark `Dataset.cube` — one shuffle, Catalyst
+    expands the grouping sets map-side). NULL key = subtotal row; use
+    grouping_id() to tell subtotals from genuine NULL data."""
+    names = [a._name if isinstance(a, Ref) else str(a) for a in args]
+    out = Tibble(td.df, groups=names, levels=td.levels)
+    out.grouping_mode = "cube"
+    return out
+
+
+@verb
+def group_by_rollup(td: Tibble, *args: Any) -> Tibble:
+    """Group for a ROLLUP aggregation: hierarchical subtotals
+    (a,b,c) -> (a,b) -> (a) -> () in one pass."""
+    names = [a._name if isinstance(a, Ref) else str(a) for a in args]
+    out = Tibble(td.df, groups=names, levels=td.levels)
+    out.grouping_mode = "rollup"
+    return out
+
+
 # --------------------------------------------------------------------------
 # summarise (reference api/dplyr/summarise.py:215-303)
 # --------------------------------------------------------------------------
@@ -423,8 +447,17 @@ def summarise(td: Tibble, *args: Any, _groups: str | None = None, **kwargs: Any)
     if gvars:
         # maintain_order=True analogue: carry first-seen order per group
         order_aggs = [F.min(ORDER_COL).alias(ORDER_COL)] if td.has_order else []
-        out = td.df.groupBy(*gvars).agg(*agg_cols, *order_aggs)
-        if not td.group_drop and any(g in td.levels for g in gvars):
+        if td.grouping_mode == "cube":
+            out = td.df.cube(*gvars).agg(*agg_cols, *order_aggs)
+        elif td.grouping_mode == "rollup":
+            out = td.df.rollup(*gvars).agg(*agg_cols, *order_aggs)
+        else:
+            out = td.df.groupBy(*gvars).agg(*agg_cols, *order_aggs)
+        if (
+            td.grouping_mode == "groups"
+            and not td.group_drop
+            and any(g in td.levels for g in gvars)
+        ):
             out = _expand_unused_levels(td, out, gvars)
     else:
         out = td.df.groupBy().agg(*agg_cols)
@@ -467,7 +500,9 @@ def summarise(td: Tibble, *args: Any, _groups: str | None = None, **kwargs: Any)
         result = result.with_df(result.df.drop(*temps))
 
     # _groups protocol, default drop_last (reference summarise.py:277-302)
-    if _groups in (None, "drop_last"):
+    if td.grouping_mode != "groups":
+        new_groups = []  # a cube/rollup grid is not re-groupable by prefix
+    elif _groups in (None, "drop_last"):
         new_groups = gvars[:-1]
     elif _groups == "keep":
         new_groups = gvars

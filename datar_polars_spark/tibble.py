@@ -70,6 +70,10 @@ class Tibble:
         # valid within one job -> order_stable=False disables the
         # two-pass distributed window rewrite (it needs a second job).
         self.order_stable: bool = order_stable
+        # "groups" (plain group_by) | "cube" | "rollup": how summarise
+        # builds its aggregation grid (Spark-native multi-dimensional
+        # aggregates — absent from the reference, free on Catalyst)
+        self.grouping_mode: str = "groups"
 
     # ---- basic accessors -------------------------------------------------
     @property
@@ -118,6 +122,7 @@ class Tibble:
             order_stable=self.order_stable,
         )
         out.ordered_factors = {c for c in self.ordered_factors if c in out.levels}
+        out.grouping_mode = self.grouping_mode
         return out
 
     # ---- order helpers ----------------------------------------------------
