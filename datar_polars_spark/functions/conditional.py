@@ -88,8 +88,10 @@ def _near(ctx, x, y, tol: float = 1.5e-8):
 
 
 @register("recode")
-def _recode(ctx, x, *args, _default=None, _missing=None, **kwargs):
-    """Positional args recode by position (R), kwargs by value."""
+def _recode(ctx, x, /, *args, _default=None, _missing=None, **kwargs):
+    """Positional args recode by position (R 1-based), kwargs by value.
+    ``x`` is positional-only so a column literally named ``x`` can still
+    be recoded by keyword (reference tests/dplyr/test_recode.py)."""
     col = ctx.col(x)
     out = None
     for i, repl in enumerate(args):
@@ -101,14 +103,24 @@ def _recode(ctx, x, *args, _default=None, _missing=None, **kwargs):
         rc = ctx.col(new)
         out = F.when(cond, rc) if out is None else out.when(cond, rc)
     if _missing is not None:
-        prev = out
-        out = F.when(col.isNull(), ctx.col(_missing))
-        for _ in range(1):
-            pass
-        out = prev.when(col.isNull(), ctx.col(_missing)) if prev is not None else out
+        cond = col.isNull()
+        rc = ctx.col(_missing)
+        out = F.when(cond, rc) if out is None else out.when(cond, rc)
+    if out is None and _default is None:
+        raise ValueError("recode: no replacements provided")
+    # R coerces the result to the replacement type: with string
+    # replacements, unmatched values fall through as their string form
+    repls = list(args) + list(kwargs.values())
+    str_repl = bool(repls) and all(isinstance(r, str) for r in repls)
+    if _default is not None:
+        fallthrough = ctx.col(_default)
+    elif str_repl:
+        fallthrough = col.cast("string")
+    else:
+        fallthrough = col
     if out is None:
-        return col
-    return out.otherwise(ctx.col(_default) if _default is not None else col)
+        return fallthrough
+    return out.otherwise(fallthrough)
 
 
 @register("is_na")
