@@ -223,19 +223,29 @@ def from_pandas(spark: SparkSession, pdf) -> Tibble:
     return Tibble(df.select(*order))
 
 
-def tibble(spark: SparkSession = None, /, **columns) -> Tibble:
+def tibble(spark: SparkSession = None, /, _rows: int | None = None, **columns) -> Tibble:
     """Construct a Tibble from python vectors/scalars (reference
-    ``api/tibble.py:45-208``). Length-1 values are recycled."""
+    ``api/tibble.py:45-208``). Length-1 values are recycled; expression
+    values (``b=f.a * 2``) are deferred — evaluated against the columns
+    to their left, preserving argument order; ``_rows`` makes an empty
+    n-row frame."""
     import pandas as pd
+
+    from .plans.expr import Expr
 
     if spark is None:
         spark = SparkSession.getActiveSession()
+    if not columns:
+        df = spark.range(_rows or 0).drop("id")
+        return Tibble(df)
+    exprs = {k: v for k, v in columns.items() if isinstance(v, Expr)}
+    literals = {k: v for k, v in columns.items() if k not in exprs}
     n = 1
-    for v in columns.values():
+    for v in literals.values():
         if isinstance(v, (list, tuple, range)):
             n = max(n, len(v))
     data = {}
-    for k, v in columns.items():
+    for k, v in literals.items():
         if isinstance(v, (list, tuple, range)):
             v = list(v)
             if len(v) == 1:
@@ -247,4 +257,11 @@ def tibble(spark: SparkSession = None, /, **columns) -> Tibble:
             data[k] = v
         else:
             data[k] = [v] * n
-    return from_pandas(spark, pd.DataFrame(data))
+    out = from_pandas(spark, pd.DataFrame(data))
+    if exprs:
+        from .operators.core import mutate, select
+        from .plans.expr import Ref
+
+        out = mutate(out, **exprs)
+        out = select(out, *[Ref(k) for k in columns])
+    return out
