@@ -37,7 +37,19 @@ from .operators.group_meta import *  # noqa: F401,F403
 from .operators.tibble_verbs import *  # noqa: F401,F403
 from .operators.misc import *  # noqa: F401,F403
 from .functions.across import across  # noqa: F401
-from .sources import read_parquet, read_csv, load_tables, write_parquet  # noqa: F401
+from .sources import (  # noqa: F401
+    read_parquet,
+    read_csv,
+    read_json,
+    read_orc,
+    load_tables,
+    write_parquet,
+    write_csv,
+    write_json,
+    write_orc,
+    write_bucketed,
+    read_table,
+)
 from . import scale  # noqa: F401  (registers text-analysis functions)
 
 __version__ = "0.1.0"

@@ -96,6 +96,21 @@ def write_parquet(td: Tibble, path: str, mode: str = "overwrite", partition_by=N
     w.parquet(path)
 
 
+def write_csv(td: Tibble, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    td.df.select(*td.columns).write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(td: Tibble, path: str, mode: str = "overwrite") -> None:
+    td.df.select(*td.columns).write.mode(mode).json(path)
+
+
+def write_orc(td: Tibble, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    w = td.df.select(*td.columns).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, Tibble]:
     """Load the driver's TPC-H-ish tables (TESTDATA.md)."""
     return {n: read_parquet(spark, f"{sf_dir}/{n}.parquet") for n in names}

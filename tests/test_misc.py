@@ -140,3 +140,30 @@ def test_t_diag_max_col(spark):
     assert mc["max_col"].tolist() == [3, 3]
     mc2 = max_col(td, f.a, f.b).collect()
     assert mc2["max_col"].tolist() == [2, 2]
+
+
+def test_sink_roundtrips(spark, tmp_path):
+    """write_csv / write_json / write_orc round-trip through their readers."""
+    from datar_polars_spark import (
+        tibble,
+        read_csv,
+        read_json,
+        read_orc,
+        write_csv,
+        write_json,
+        write_orc,
+        arrange,
+        f,
+    )
+
+    td = tibble(spark, k=[1, 2, 3], s=["a", "b", "c"])
+    for writer, reader, name in (
+        (write_csv, read_csv, "csv"),
+        (write_json, read_json, "json"),
+        (write_orc, read_orc, "orc"),
+    ):
+        p = str(tmp_path / name)
+        writer(td, p)
+        back = (reader(spark, p) >> arrange(f.k)).collect()
+        assert back["k"].tolist() == [1, 2, 3]
+        assert back["s"].tolist() == ["a", "b", "c"]
