@@ -28,6 +28,7 @@ __all__ = [
     "cross_join",
     "nest_join",
     "salted_join",
+    "asof_join",
 ]
 
 _Y_ORDER = "__datar_ro_y__"
@@ -249,3 +250,114 @@ def nest_join(x, y, by=None, name: str | None = None):
     out = x.df.join(nested, on=left_on, how="left")
     out = out.withColumn(nm, F.coalesce(F.col(nm), F.array()))
     return x.with_df(out)
+
+
+@verb2
+def asof_join(
+    x,
+    y,
+    by=None,
+    on=None,
+    direction: str = "backward",
+    suffix=("_x", "_y"),
+    tolerance=None,
+):
+    """As-of join (no reference equivalent; dplyr 1.1 ``join_by``
+    rolling-join / pandas ``merge_asof`` semantics): for each left row,
+    attach the single nearest right row whose ``on`` value is <= the
+    left's (``backward``) or >= (``forward``), within equal ``by`` keys.
+    Left rows with no candidate keep NULL right columns (left-join-like).
+
+    Distributed shape: tag + union both sides, then ONE window over
+    partitionBy(by) orderBy(on, side) carrying the last right payload —
+    a merge-join, not a range cross-product. At scale this costs one
+    shuffle of (left + right), same as a sort-merge join; there is no
+    per-key loop and no bucket blow-up on dense time series. With
+    ``by=None`` the window is a single global partition — supply keys at
+    scale.
+
+    ``tolerance``: maximum |left.on - right.on| for a match (same units
+    as the ``on`` column); farther matches become NULL.
+    """
+    from pyspark.sql import Window
+
+    x = ensure_tibble(x)
+    y = ensure_tibble(y)
+    if on is None:
+        raise ValueError("asof_join requires `on`")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if isinstance(on, dict):
+        (on_l, on_r), = on.items()
+    else:
+        on_l = on_r = on._name if isinstance(on, Ref) else str(on)
+
+    by_l, by_r = ([], []) if by is None else _resolve_by(x, y, by)
+
+    xdf = x.df
+    ydf = y.df.drop(_Y_ORDER, ORDER_COL)
+    # align right key names with left
+    for lk, rk in zip(by_l, by_r):
+        if rk != lk:
+            ydf = ydf.withColumnRenamed(rk, lk)
+    # suffix right payload columns clashing with left non-key columns
+    payload = [c for c in ydf.columns if c not in by_l and c != on_r]
+    xvis = set(c for c in xdf.columns if not c.startswith("__datar_"))
+    renamed = []
+    for c in payload:
+        out_name = c + suffix[1] if c in xvis else c
+        if out_name != c:
+            ydf = ydf.withColumnRenamed(c, out_name)
+        renamed.append(out_name)
+    if not renamed:
+        raise ValueError("asof_join: right side has no payload columns")
+
+    pay_struct = F.struct(
+        F.col(on_r).cast("double").alias("__yt__"),
+        *[F.col(c) for c in renamed],
+    )
+    rside = ydf.select(
+        *by_l,
+        F.col(on_r).cast("double").alias("__t__"),
+        pay_struct.alias("__y__"),
+        F.lit(0).alias("__side__"),
+    )
+    # left side carries every left column + the probe time
+    lside = xdf.withColumn("__t__", F.col(on_l).cast("double")).withColumn(
+        "__side__", F.lit(1)
+    )
+    lonly = [c for c in lside.columns if c not in rside.columns]
+    for c in lonly:
+        dt = dict(lside.dtypes)[c]
+        rside = rside.withColumn(c, F.lit(None).cast(dt))
+    for c in ("__y__",):
+        lside = lside.withColumn(c, F.lit(None).cast(rside.schema["__y__"].dataType))
+    both = lside.unionByName(rside)
+
+    part = Window.partitionBy(*by_l) if by_l else Window.partitionBy()
+    if direction == "backward":
+        w = part.orderBy(F.col("__t__").asc_nulls_first(), F.col("__side__").asc())
+    else:
+        w = part.orderBy(F.col("__t__").desc_nulls_first(), F.col("__side__").asc())
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = F.last("__y__", ignorenulls=True).over(w)
+
+    out = (
+        both.withColumn("__m__", carried)
+        .filter(F.col("__side__") == 1)
+        .drop("__side__")
+    )
+    # a NULL probe value never matches
+    matched = F.when(F.col("__t__").isNull(), F.lit(None)).otherwise(F.col("__m__"))
+    if tolerance is not None:
+        matched = F.when(
+            F.abs(F.col("__t__") - matched["__yt__"]) <= F.lit(tolerance), matched
+        )
+    out = out.withColumn("__m__", matched)
+    for c in renamed:
+        out = out.withColumn(c, F.col("__m__")[c])
+    out = out.drop("__m__", "__t__")
+
+    levels = {**y.levels, **x.levels}
+    levels = {k: v for k, v in levels.items() if k in out.columns}
+    return Tibble(out, groups=[g for g in x.group_vars if g in out.columns], levels=levels)
