@@ -52,6 +52,7 @@ _EXPORT = {
     "floor", "ceiling", "round_", "trunc", "sign", "signif", "pmin",
     "pmax", "mod", "scale", "proportions", "atan2", "factorial",
     "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
+    "asinh", "acosh", "atanh", "sinpi", "cospi", "tanpi",
     # types
     "as_character", "as_double", "as_integer", "as_logical", "as_numeric",
     "as_date", "is_null", "is_finite", "is_infinite", "is_element",

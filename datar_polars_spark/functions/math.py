@@ -40,6 +40,28 @@ register("atan")(_unary(F.atan))
 register("sinh")(_unary(F.sinh))
 register("cosh")(_unary(F.cosh))
 register("tanh")(_unary(F.tanh))
+register("asinh")(_unary(F.asinh))
+register("acosh")(_unary(F.acosh))
+register("atanh")(_unary(F.atanh))
+# R's *pi variants: f(pi * x), with exact 0 at the half-integer poles R
+# special-cases (cospi(0.5) == 0 exactly; Spark's cos(pi/2) is ~6e-17)
+register("sinpi")(
+    _unary(lambda c: F.when(c == F.floor(c), F.lit(0.0)).otherwise(F.sin(c * math.pi)))
+)
+register("cospi")(
+    _unary(
+        lambda c: F.when(c - F.floor(c) == 0.5, F.lit(0.0)).otherwise(
+            F.cos(c * math.pi)
+        )
+    )
+)
+register("tanpi")(
+    _unary(
+        lambda c: F.when(c == F.floor(c), F.lit(0.0))
+        .when(c - F.floor(c) == 0.5, F.lit(None).cast("double"))
+        .otherwise(F.tan(c * math.pi))
+    )
+)
 register("factorial")(_unary(lambda c: F.factorial(c.cast("int")).cast("double")))
 
 
