@@ -1264,7 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_string_functions": """
             SELECT c_custkey,
                    UPPER(c_mktsegment) AS seg_upper,
-                   SUBSTRING(c_name, 1, 8) AS name_pfx,
+                   SUBSTRING(c_name, 2, 7) AS name_pfx,
                    CAST(LENGTH(c_name) AS INT) AS name_len,
                    c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS tag
             FROM customer WHERE c_acctbal > 9000

@@ -25,6 +25,7 @@ from .rbase import (  # noqa: F401
 )
 from . import across as _across_mod  # noqa: F401
 from .across import Across, across, cur_column  # noqa: F401
+from .strings import grep  # noqa: F401  (eager index helper, not a builder)
 from .registry import REGISTRY, builder
 
 _ALIASES = sorted(REGISTRY.keys())
@@ -44,7 +45,8 @@ _EXPORT = {
     "between", "near", "recode", "is_na", "nan_to_null",
     # strings
     "toupper", "tolower", "nchar", "nzchar", "paste", "paste0", "grepl",
-    "gsub", "sub", "substr", "str_sub", "sprintf", "trimws", "startswith",
+    "gsub", "sub", "substr", "substring", "str_sub", "sprintf", "trimws",
+    "startswith",
     "endswith", "strsplit", "strtoi", "chartr", "str_pad", "str_count",
     "str_detect", "str_extract", "str_replace", "str_replace_all",
     # math
@@ -90,7 +92,7 @@ for name in _EXPORT - set(REGISTRY):
 
 __all__ = sorted(
     _EXPORT
-    | {"across", "Across", "cur_column"}
+    | {"across", "Across", "cur_column", "grep"}
     | {"seq", "seq_len", "rep", "rev_list", "sort_list", "order_list",
        "sample_list", "set_seed", "intersect", "union", "setdiff",
        "setequal", "append_"}

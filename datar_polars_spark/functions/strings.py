@@ -58,10 +58,36 @@ def _grepl(ctx, pattern, x=None, ignore_case: bool = False, fixed: bool = False)
     return col.rlike(pat)
 
 
+def _repl_to_java(repl: str, fixed: bool = False, shift: int = 0) -> str:
+    """R-style replacement (``\\N`` group refs, literal ``$``) to Java
+    Matcher syntax (``$N`` refs, ``\\$`` literal dollar). ``shift``
+    renumbers group refs when the pattern gained a leading group."""
+    if fixed:
+        # fixed pattern has no groups: replacement is fully literal
+        return repl.replace("\\", "\\\\").replace("$", "\\$")
+    out: list[str] = []
+    i = 0
+    while i < len(repl):
+        ch = repl[i]
+        if ch == "\\" and i + 1 < len(repl):
+            nxt = repl[i + 1]
+            if nxt.isdigit():
+                out.append("$" + str(int(nxt) + shift))
+            elif nxt == "$":
+                out.append("\\\\\\$")
+            else:
+                out.append("\\\\" + nxt)
+            i += 2
+            continue
+        out.append("\\$" if ch == "$" else ch)
+        i += 1
+    return "".join(out)
+
+
 @register("gsub", "str_replace_all")
 def _gsub(ctx, pattern, replacement, x=None, ignore_case: bool = False, fixed: bool = False):
     pat = ctx.eval(pattern)
-    repl = ctx.eval(replacement)
+    repl = _repl_to_java(ctx.eval(replacement), fixed=fixed)
     col = ctx.col(x)
     if fixed:
         pat = re.escape(pat)
@@ -72,24 +98,26 @@ def _gsub(ctx, pattern, replacement, x=None, ignore_case: bool = False, fixed: b
 
 @register("sub", "str_replace")
 def _sub(ctx, pattern, replacement, x=None, ignore_case: bool = False, fixed: bool = False):
-    """Replace FIRST occurrence only: anchor via capturing the prefix."""
+    """Replace FIRST occurrence only: anchor via capturing the prefix
+    (group refs in the replacement renumber by one)."""
     pat = ctx.eval(pattern)
-    repl = ctx.eval(replacement)
+    repl = _repl_to_java(ctx.eval(replacement), fixed=fixed, shift=1)
     col = ctx.col(x)
     if fixed:
         pat = re.escape(pat)
     flags = "(?i)" if ignore_case else ""
     # ^(.*?) lazily matches the shortest prefix before the first match
-    shifted = re.sub(r"\\(\d)", lambda m: "\\" + str(int(m.group(1)) + 1), repl)
-    return F.regexp_replace(col, f"{flags}^((?s:.*?)){pat}", "$1" + shifted, )
+    return F.regexp_replace(col, f"{flags}^((?s:.*?)){pat}", "$1" + repl)
 
 
 @register("substr", "substring")
 def _substr(ctx, x, start, stop):
+    """Reference semantics (api/base/string.py:497-505): 0-indexed
+    start, EXCLUSIVE stop, like Python slices — not R's 1-based."""
     col = ctx.col(x)
-    s = ctx.eval(start)
-    e = ctx.eval(stop)
-    return F.substring(col, int(s), int(e) - int(s) + 1)
+    s = int(ctx.eval(start))
+    e = int(ctx.eval(stop))
+    return F.substring(col, s + 1, max(e - s, 0))
 
 
 @register("str_sub")
@@ -109,12 +137,14 @@ def _sprintf(ctx, fmt, *xs):
 
 @register("trimws")
 def _trimws(ctx, x, which: str = "both"):
+    """R trimws strips ALL whitespace (tabs/newlines too); Spark's
+    trim() strips spaces only, so compile to a regexp."""
     col = ctx.col(x)
     if which == "left":
-        return F.ltrim(col)
+        return F.regexp_replace(col, r"^\s+", "")
     if which == "right":
-        return F.rtrim(col)
-    return F.trim(col)
+        return F.regexp_replace(col, r"\s+$", "")
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
 
 
 @register("startswith", "starts_with_str", "str_starts")
@@ -168,3 +198,37 @@ def _str_count(ctx, x, pattern):
 @register("regexp_extract", "str_extract")
 def _str_extract(ctx, x, pattern, group: int = 0):
     return F.regexp_extract(ctx.col(x), ctx.eval(pattern), int(ctx.eval(group)))
+
+
+def grep(
+    pattern,
+    x,
+    ignore_case: bool = False,
+    value: bool = False,
+    fixed: bool = False,
+    invert: bool = False,
+) -> list:
+    """Indices (0-based) of elements matching ``pattern`` — an eager
+    driver-side list helper like the reference's scalar dispatch
+    (api/base/string.py:244-274). ``value=True`` returns the matching
+    elements instead. Scalars are treated as 1-element vectors. For a
+    distributed membership test on a column, use ``grepl`` (compiles to
+    a JVM regexp filter).
+    """
+    xs = [x] if isinstance(x, str) else list(x)
+    pat = str(pattern)
+    if fixed:
+        hit = (
+            (lambda s: pat.lower() in s.lower())
+            if ignore_case
+            else (lambda s: pat in s)
+        )
+    else:
+        rx = re.compile(pat, re.IGNORECASE if ignore_case else 0)
+        hit = lambda s: bool(rx.search(s))
+    out = [
+        (s if value else i)
+        for i, s in enumerate(xs)
+        if s is not None and bool(hit(str(s))) != invert
+    ]
+    return out

@@ -284,7 +284,7 @@ class TestStrings:
         td = tibble(spark, s=["spark"])
         out = (td >> mutate(nc=nchar(f.s), ss=substr(f.s, 2, 4))).collect()
         assert out["nc"].tolist() == [5]
-        assert out["ss"].tolist() == ["par"]
+        assert out["ss"].tolist() == ["ar"]
 
     def test_paste_sep_collapse_free(self, spark):
         td = tibble(spark, a=["x"], b=["y"])

@@ -78,10 +78,11 @@ def test_gsub_vs_sub(spark):
     assert got["s1"].tolist() == ["baa"]
 
 
-def test_substr_one_based(spark):
+def test_substr_python_slice_semantics(spark):
+    # reference api/base/string.py:497: 0-indexed start, exclusive stop
     td = tibble(spark, s=["abcdef"])
-    got = (td >> mutate(x=substr(f.s, 2, 4))).collect()
-    assert got["x"].tolist() == ["bcd"]
+    got = (td >> mutate(x=substr(f.s, 1, 3))).collect()
+    assert got["x"].tolist() == ["bc"]
 
 
 def test_sprintf_and_strtoi(spark):
