@@ -1,0 +1,109 @@
+"""Eager scalar/list dispatch for numeric functions.
+
+The reference registers every base function for BOTH ``pl.Expr`` and
+plain objects (e.g. ``api/base/verbs.py``: ``sum_([1,2,3]) == 6``,
+exercised by ``tests/base/test_verbs.py``). Our builders normally
+return deferred Call nodes; this module supplies driver-side Python
+implementations used by ``builder()`` when NO argument contains a
+deferred expression — so ``sum_(f.x)`` still compiles to a Spark
+aggregate while ``sum_([1, 2, 3])`` returns ``6`` immediately.
+"""
+
+from __future__ import annotations
+
+import math
+import statistics
+from typing import Any, Callable, Iterable
+
+__all__ = ["EAGER_IMPLS", "has_deferred"]
+
+
+def has_deferred(args: tuple, kwargs: dict) -> bool:
+    from ..plans.expr import Expr
+
+    def walk(x: Any) -> bool:
+        if isinstance(x, Expr):
+            return True
+        if isinstance(x, (list, tuple, set)):
+            return any(walk(v) for v in x)
+        if isinstance(x, dict):
+            return any(walk(v) for v in x.values())
+        return False
+
+    return walk(args) or walk(kwargs)
+
+
+def _vals(x: Any, na_rm: bool) -> list | None:
+    """Flatten to a list of values; None result means the NA answer."""
+    xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+    clean = [v for v in xs if v is not None and not (isinstance(v, float) and math.isnan(v))]
+    if len(clean) != len(xs) and not na_rm:
+        return None
+    return clean
+
+
+def _agg(fn: Callable[[list], Any]):
+    def run(x: Any, na_rm: bool = False):
+        vs = _vals(x, na_rm)
+        return None if vs is None else fn(vs)
+
+    return run
+
+
+def _unary(fn: Callable[[Any], Any]):
+    def run(x: Any):
+        if isinstance(x, (list, tuple, range)):
+            return [None if v is None else fn(v) for v in x]
+        return None if x is None else fn(x)
+
+    return run
+
+
+def _prod(vs: Iterable) -> float:
+    out = 1
+    for v in vs:
+        out *= v
+    return out
+
+
+def _round(x: Any, digits: int = 0):
+    return _unary(lambda v: round(v + 0.0, digits))(x)
+
+
+def _log(x: Any, base: float = math.e):
+    return _unary(lambda v: math.log(v, base))(x)
+
+
+def _signif(x: Any, digits: int = 6):
+    def one(v: float) -> float:
+        if v == 0:
+            return 0.0
+        return round(v, -int(math.floor(math.log10(abs(v)))) + (digits - 1))
+
+    return _unary(one)(x)
+
+
+EAGER_IMPLS: dict[str, Callable] = {
+    "sum": _agg(sum),
+    "mean": _agg(statistics.fmean),
+    "median": _agg(statistics.median),
+    "min": _agg(min),
+    "max": _agg(max),
+    "prod": _agg(_prod),
+    "sd": _agg(lambda vs: statistics.stdev(vs) if len(vs) > 1 else None),
+    "var": _agg(lambda vs: statistics.variance(vs) if len(vs) > 1 else None),
+    "abs": _unary(abs),
+    "sqrt": _unary(math.sqrt),
+    "exp": _unary(math.exp),
+    "expm1": _unary(math.expm1),
+    "log1p": _unary(math.log1p),
+    "log": _log,
+    "log2": _unary(math.log2),
+    "log10": _unary(math.log10),
+    "floor": _unary(lambda v: float(math.floor(v))),
+    "ceiling": _unary(lambda v: float(math.ceil(v))),
+    "trunc": _unary(lambda v: float(math.trunc(v))),
+    "sign": _unary(lambda v: float((v > 0) - (v < 0))),
+    "round": _round,
+    "signif": _signif,
+}

@@ -95,9 +95,18 @@ def tree_is_multi_value(node) -> bool:
 
 
 def builder(name: str) -> Callable:
-    """User-facing callable that captures a deferred Call node."""
+    """User-facing callable that captures a deferred Call node — or,
+    for plain list/scalar input, evaluates eagerly on the driver (the
+    reference registers both dispatches; tests/base/test_verbs.py
+    asserts ``sum_([1,2,3,4]) == 10``)."""
+    from .eager import EAGER_IMPLS, has_deferred
 
-    def build(*args: Any, **kwargs: Any) -> Call:
+    # aliases like "sum_"/"max_" share the canonical eager impl
+    eager = EAGER_IMPLS.get(name) or EAGER_IMPLS.get(name.rstrip("_"))
+
+    def build(*args: Any, **kwargs: Any) -> Any:
+        if eager is not None and not has_deferred(args, kwargs):
+            return eager(*args, **kwargs)
         return Call(name, args, kwargs)
 
     build.__name__ = name

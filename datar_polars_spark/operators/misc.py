@@ -215,9 +215,15 @@ def t_(td: Tibble) -> Tibble:
     return from_pandas(td.df.sparkSession, tp)
 
 
-@verb
-def diag_(td: Tibble) -> list:
-    """Matrix diagonal (reference ``verbs.py:315``) — driver-side."""
+def diag_(td: Tibble | list | tuple) -> Any:
+    """Matrix diagonal (reference ``verbs.py:315``) — driver-side.
+    On a plain vector, builds the diagonal matrix like R's diag()
+    (reference tests/base/test_verbs.py TestDiag); on a frame,
+    extracts the diagonal values."""
+    if isinstance(td, (list, tuple)):
+        import numpy as np
+
+        return np.diag(td)
     pdf = td.collect()
     k = min(len(pdf), len(pdf.columns))
     return [pdf.iloc[i, i] for i in range(k)]
