@@ -556,8 +556,8 @@ def q29_separate_rows_uncount(spark, sf):
             w=as_integer(f.n_chars % 3),
         )
         >> separate_rows(f.tags, sep=",")
-        >> uncount(f.w, _id="copy_id")
-        >> arrange(f.doc_id, f.tags, f.copy_id)
+        >> uncount(f.w)
+        >> arrange(f.doc_id, f.tags)
     )
     return _finish(out)
 
@@ -1372,11 +1372,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, source, CAST(n_chars % 3 AS BIGINT) AS w
                 FROM documents WHERE doc_id < 50
             )
-            SELECT doc_id, lang, tag AS tags, CAST(c AS BIGINT) AS copy_id
+            SELECT doc_id, lang, tag AS tags
             FROM base, UNNEST([lang, source]) AS u(tag),
                  UNNEST(generate_series(1, w)) AS g(c)
             WHERE w > 0
-            ORDER BY doc_id, tags, copy_id
+            ORDER BY doc_id, tags
         """,
         "q30_fill_gaps": """
             SELECT o_orderkey, o_custkey,

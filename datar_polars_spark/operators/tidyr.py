@@ -158,7 +158,13 @@ def pivot_wider(
         "max": F.max,
         "count": F.count,
     }
-    fn = aggfns[values_fn] if isinstance(values_fn, str) else values_fn
+    if isinstance(values_fn, str):
+        fn = aggfns[values_fn]
+    elif getattr(values_fn, "__name__", "").rstrip("_") in aggfns:
+        # datar builder passed directly (reference: values_fn=mean)
+        fn = aggfns[getattr(values_fn, "__name__").rstrip("_")]
+    else:
+        fn = values_fn
 
     df = td.df
     gb = df.groupBy(*ids) if ids else df.groupBy()
@@ -185,6 +191,20 @@ def pivot_wider(
 # string-splitting reshapes (reference api/tidyr.py:450-659, 1442-1492)
 # --------------------------------------------------------------------------
 
+_PY_TO_SPARK_T = {int: "long", float: "double", str: "string", bool: "boolean"}
+
+
+def _convert_cast(val: Column, target: str, convert: Any) -> Column:
+    """``convert`` is the reference's bool-or-dict: True casts every
+    piece to long; {col: python_type} casts per target column."""
+    if isinstance(convert, dict):
+        t = convert.get(target)
+        return val.cast(_PY_TO_SPARK_T[t]) if t is not None else val
+    if convert:
+        return val.cast("long")
+    return val
+
+
 @verb
 def separate(
     td: Tibble,
@@ -197,6 +217,8 @@ def separate(
     fill: str = "warn",
 ) -> Tibble:
     cname = _name_of(col)
+    if not isinstance(into, (list, tuple)):
+        into = [into]
     n_into = len(into)
     df = td.df
     if extra == "merge":
@@ -216,8 +238,7 @@ def separate(
             ).otherwise(F.get(F.col("__datar_parts__"), i - (F.lit(n_into) - n_parts)))
         else:
             val = F.get(F.col("__datar_parts__"), i)
-        if convert:
-            val = val.cast("long")
+        val = _convert_cast(val, t, convert)
         df = df.withColumn(t, val)
     df = df.drop("__datar_parts__")
     if remove and cname not in {(_name_of(t) if t is not None else None) for t in into}:
@@ -301,14 +322,12 @@ def separate_rows(td: Tibble, *cols: Any, sep: str = "[^0-9A-Za-z]+", convert: b
     if len(names) == 1:
         c = names[0]
         df = df.withColumn(c, F.explode(F.split(F.col(c), sep)))
-        if convert:
-            df = df.withColumn(c, F.col(c).cast("long"))
+        df = df.withColumn(c, _convert_cast(F.col(c), c, convert))
     else:
         zipped = F.arrays_zip(*[F.split(F.col(c), sep).alias(c) for c in names])
         df = df.withColumn("__datar_z__", F.explode(zipped))
         for c in names:
-            val = F.col("__datar_z__")[c]
-            df = df.withColumn(c, val.cast("long") if convert else val)
+            df = df.withColumn(c, _convert_cast(F.col("__datar_z__")[c], c, convert))
         df = df.drop("__datar_z__")
     return td.with_df(_ordered_select(df, td.columns))
 
@@ -316,10 +335,38 @@ def separate_rows(td: Tibble, *cols: Any, sep: str = "[^0-9A-Za-z]+", convert: b
 @verb
 def uncount(td: Tibble, weights: Any, _remove: bool = True, _id: str | None = None) -> Tibble:
     """Row replication — explode(sequence(1, w)), distributed (the
-    reference loops on the driver, api/tidyr.py:1531-1566)."""
+    reference loops on the driver, api/tidyr.py:1531-1566). ``_id``
+    is the 0-based ORIGINATING ROW index, like the reference's
+    ``row_copy[_id] = i`` — computed with the two-pass distributed
+    row_number, not a single-partition window. Non-integral float
+    weights raise, as in the reference (one extra tiny agg job, only
+    for float weight columns)."""
+    if isinstance(weights, str):
+        # reference accepts a column NAME; a bare string is never a
+        # meaningful literal weight
+        if weights not in td.columns:
+            raise ValueError(f"`weights` column not found: {weights!r}")
+        weights = Ref(weights)
+    if isinstance(weights, Ref) and weights._name not in td.columns:
+        raise ValueError(f"`weights` column not found: {weights._name!r}")
+    if _id:
+        td = td.ensure_order()
     ctx = EvalContext(td, "eval")
-    w = ctx.col(weights).cast("long")
-    df = td.df.withColumn(
+    w_raw = ctx.col(weights)
+    w_type = dict(td.df.select(w_raw.alias("__w__")).dtypes)["__w__"]
+    if w_type in ("float", "double"):
+        bad = td.df.select(w_raw.alias("__w__")).filter(
+            F.col("__w__") != F.floor("__w__")
+        )
+        if bad.limit(1).count() > 0:
+            raise ValueError("`weights` must evaluate to integer.")
+    w = w_raw.cast("long")
+    df = td.df
+    out_cols = list(td.columns)
+    if _id:
+        df = df.withColumn(_id, ctx.row_number_over() - 1)
+        out_cols.append(_id)
+    df = df.withColumn(
         "__datar_rep__",
         F.explode(
             F.when(w > 0, F.sequence(F.lit(1).cast("long"), w)).otherwise(
@@ -327,10 +374,6 @@ def uncount(td: Tibble, weights: Any, _remove: bool = True, _id: str | None = No
             )
         ),
     )
-    out_cols = list(td.columns)
-    if _id:
-        df = df.withColumn(_id, F.col("__datar_rep__"))
-        out_cols.append(_id)
     if _remove and isinstance(weights, Ref) and weights._name in out_cols:
         out_cols.remove(weights._name)
     df = df.drop("__datar_rep__")
@@ -349,7 +392,9 @@ def _na_cond(dtypes: dict, c: str) -> Column:
 
 
 @verb
-def drop_na(td: Tibble, *cols: Any, how: str = "any") -> Tibble:
+def drop_na(td: Tibble, *cols: Any, how: str = "any", _how: str | None = None) -> Tibble:
+    """``_how`` is the reference's kwarg spelling (api/tidyr.py drop_na)."""
+    how = _how or how
     names = _sel(td, list(cols)) if cols else td.columns
     dtypes = dict(td.dtypes)
     conds = [_na_cond(dtypes, c) for c in names]
@@ -357,6 +402,19 @@ def drop_na(td: Tibble, *cols: Any, how: str = "any") -> Tibble:
         lambda a, b: a & b, conds
     )
     return td.with_df(td.df.filter(~bad))
+
+
+_NUMERIC_T = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal", "long", "short", "byte")
+
+
+def _lit_compatible(dtype: str, v: Any) -> bool:
+    if isinstance(v, bool):
+        return dtype == "boolean"
+    if isinstance(v, (int, float)):
+        return any(dtype.startswith(t) for t in _NUMERIC_T)
+    if isinstance(v, str):
+        return dtype == "string"
+    return True
 
 
 @verb
@@ -369,8 +427,11 @@ def replace_na(td: Tibble, replace: Any = None, **kwargs: Any) -> Tibble:
         mapping.update({_name_of(k): v for k, v in replace.items()})
     mapping.update(kwargs)
     if replace is not None and not isinstance(replace, dict):
+        # scalar applies to every TYPE-COMPATIBLE column (a numeric
+        # default must not poison string columns with a cast error)
         for c in td.columns:
-            mapping.setdefault(c, replace)
+            if _lit_compatible(dtypes.get(c, ""), replace):
+                mapping.setdefault(c, replace)
     for c, v in mapping.items():
         col = F.col(c)
         cond = _na_cond(dtypes, c)
@@ -441,6 +502,24 @@ def unnest(td: Tibble, *cols: Any, keep_empty: bool = False) -> Tibble:
     names = _sel(td, list(cols))
     df = td.df
     dtypes = dict(df.dtypes)
+    plain_arrays = [
+        c
+        for c in names
+        if dtypes.get(c, "").startswith("array")
+        and not dtypes.get(c, "").startswith("array<struct")
+    ]
+    if len(plain_arrays) > 1:
+        # parallel list columns unnest TOGETHER, element-wise (tidyr
+        # unchop semantics; reference test_unnest_multiple_columns) —
+        # one zip-explode, not a cartesian chain of explodes
+        explode_fn = F.explode_outer if keep_empty else F.explode
+        zipped = F.arrays_zip(*[F.col(c).alias(c) for c in plain_arrays])
+        df = df.withColumn("__datar_uz__", explode_fn(zipped))
+        for c in plain_arrays:
+            df = df.withColumn(c, F.col("__datar_uz__")[c])
+        df = df.drop("__datar_uz__")
+        dtypes = dict(df.dtypes)
+        names = [c for c in names if c not in plain_arrays]
     for c in names:
         dt = dtypes.get(c, "")
         explode_fn = F.explode_outer if keep_empty else F.explode

