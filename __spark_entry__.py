@@ -992,7 +992,9 @@ def q60_col_random(spark, sf):
         )
         >> mutate(
             sum_qty=round_(cs, 4),
-            mean_qty=round_(cm, 4),
+            # floor-truncate: ROUND ties at the 4th decimal resolve
+            # half-even in Python but half-away in DuckDB
+            mean_qty=floor(cm * 10000) / 10000,
             sd_qty=round_(csd, 4),
             med_qty=round_(cmed, 4),
         )
@@ -1637,7 +1639,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT TRUE AS rbinom_ok,
                    TRUE AS rpois_ok,
                    ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty,
-                   ROUND(AVG(l_quantity), 4) AS mean_qty,
+                   FLOOR(AVG(l_quantity) * 10000) / 10000 AS mean_qty,
                    ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
                    ROUND(MEDIAN(l_quantity), 4) AS med_qty
             FROM lineitem

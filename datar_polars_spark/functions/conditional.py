@@ -77,9 +77,12 @@ def _na_if(ctx, x, y):
 
 
 @register("between")
-def _between(ctx, x, left, right):
+def _between(ctx, x, left, right, inclusive: str = "both"):
     col = ctx.col(x)
-    return (col >= ctx.col(left)) & (col <= ctx.col(right))
+    l, r = ctx.col(left), ctx.col(right)
+    lo = col >= l if inclusive in ("both", "left") else col > l
+    hi = col <= r if inclusive in ("both", "right") else col < r
+    return lo & hi
 
 
 @register("near")

@@ -107,3 +107,72 @@ EAGER_IMPLS: dict[str, Callable] = {
     "round": _round,
     "signif": _signif,
 }
+
+
+# ---- conditional / positional scalar dispatch (reference
+# tests/base/test_funs.py, tests/dplyr/test_funs.py) ----------------------
+
+def _if_else(condition, true, false, missing=None):
+    if condition is None:
+        return missing
+    return true if condition else false
+
+
+def _coalesce(*args):
+    for a in args:
+        if a is not None:
+            return a
+    return None
+
+
+def _na_if(x, y):
+    if isinstance(x, (list, tuple, range)):
+        xs = list(x)
+        ys = list(y) if isinstance(y, (list, tuple, range)) else [y] * len(xs)
+        return [None if a == b else a for a, b in zip(xs, ys)]
+    return None if x == y else x
+
+
+def _nth_scalar(x, n, order_by=None, default=None):
+    xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+    if order_by is not None:
+        xs = [v for _, v in sorted(zip(list(order_by), xs), key=lambda p: p[0])]
+    n = int(n)
+    if -len(xs) <= n < len(xs):
+        return xs[n]
+    return default
+
+
+def _first_scalar(x, order_by=None, default=None, na_rm: bool = False):
+    return _nth_scalar(x, 0, order_by, default)
+
+
+def _last_scalar(x, order_by=None, default=None, na_rm: bool = False):
+    return _nth_scalar(x, -1, order_by, default)
+
+
+def _between(x, left, right, inclusive: str = "both"):
+    def one(v):
+        if v is None:
+            return None
+        lo = v >= left if inclusive in ("both", "left") else v > left
+        hi = v <= right if inclusive in ("both", "right") else v < right
+        return bool(lo and hi)
+
+    if isinstance(x, (list, tuple, range)):
+        return [one(v) for v in x]
+    return one(x)
+
+
+EAGER_IMPLS.update(
+    {
+        "if_else": _if_else,
+        "ifelse": _if_else,
+        "coalesce": _coalesce,
+        "na_if": _na_if,
+        "nth": _nth_scalar,
+        "first": _first_scalar,
+        "last": _last_scalar,
+        "between": _between,
+    }
+)
