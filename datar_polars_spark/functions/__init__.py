@@ -11,6 +11,7 @@ from . import aggregates, conditional, math, special, strings, types, vectors, w
 from .rbase import (  # noqa: F401
     seq,
     seq_len,
+    length,
     rep,
     rev_list,
     sort_list,
@@ -93,7 +94,7 @@ for name in _EXPORT - set(REGISTRY):
 __all__ = sorted(
     _EXPORT
     | {"across", "Across", "cur_column", "grep"}
-    | {"seq", "seq_len", "rep", "rev_list", "sort_list", "order_list",
+    | {"seq", "seq_len", "length", "rep", "rev_list", "sort_list", "order_list",
        "sample_list", "set_seed", "intersect", "union", "setdiff",
        "setequal", "append_"}
 )

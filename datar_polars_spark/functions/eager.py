@@ -164,8 +164,20 @@ def _between(x, left, right, inclusive: str = "both"):
     return one(x)
 
 
+def _seq_along(x=None):
+    if x is None:
+        # bare seq_along() inside a verb == row counter: stay deferred
+        from ..plans.expr import Call
+
+        return Call("seq_along", (), {})
+    if isinstance(x, (str, bytes)) or not hasattr(x, "__iter__"):
+        return [1]
+    return list(range(1, len(list(x)) + 1))
+
+
 EAGER_IMPLS.update(
     {
+        "seq_along": _seq_along,
         "if_else": _if_else,
         "ifelse": _if_else,
         "coalesce": _coalesce,
@@ -174,5 +186,54 @@ EAGER_IMPLS.update(
         "first": _first_scalar,
         "last": _last_scalar,
         "between": _between,
+    }
+)
+
+
+# ---- type predicates, scalar/list dispatch (reference
+# tests/base/test_asis.py; api/base/types.py object registrations) --------
+
+def _elementwise_or_scalar(fn):
+    def run(x):
+        if isinstance(x, (list, tuple, range)):
+            return [fn(v) for v in x]
+        return fn(x)
+
+    return run
+
+
+def _isna_one(v) -> bool:
+    return v is None or (isinstance(v, float) and math.isnan(v))
+
+
+def _all_of_type(x, ok) -> bool:
+    xs = x if isinstance(x, (list, tuple, range)) else [x]
+    return all(ok(v) for v in xs)
+
+
+def _num_ok(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+EAGER_IMPLS.update(
+    {
+        "is_na": _elementwise_or_scalar(_isna_one),
+        "is_null": lambda x: x is None,
+        "is_finite": _elementwise_or_scalar(
+            lambda v: v is not None and _num_ok(v) and math.isfinite(v)
+        ),
+        "is_infinite": _elementwise_or_scalar(
+            lambda v: _num_ok(v) and math.isinf(v)
+        ),
+        "is_numeric": lambda x: _all_of_type(x, _num_ok),
+        "is_integer": lambda x: _all_of_type(
+            x, lambda v: isinstance(v, int) and not isinstance(v, bool)
+        ),
+        "is_double": lambda x: _all_of_type(x, lambda v: isinstance(v, float)),
+        "is_character": lambda x: _all_of_type(x, lambda v: isinstance(v, str)),
+        "is_logical": lambda x: _all_of_type(x, lambda v: isinstance(v, bool)),
+        "is_true": lambda x: x is True,
+        "is_false": lambda x: x is False,
+        "is_atomic": lambda x: not isinstance(x, (dict, set)),
     }
 )

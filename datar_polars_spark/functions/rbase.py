@@ -16,6 +16,7 @@ from typing import Any, Iterable
 __all__ = [
     "seq",
     "seq_len",
+    "length",
     "rep",
     "rev_list",
     "sort_list",
@@ -120,20 +121,41 @@ def seq(from_: float = 1, to: float | None = None, by: float | None = None,
     return out
 
 
-def seq_len(n: int) -> list[int]:
-    return list(range(1, n + 1))
+def seq_len(n: Any) -> Any:
+    """0-based like the reference (api/base/seq.py:58-72: range(0, n) —
+    it deviates from R's 1..n on purpose). An expression argument
+    defers to the per-row range-array compiler in vectors.py."""
+    if _any_expr(n):
+        from ..plans.expr import Call
+
+        return Call("seq_len", (n,), {})
+    return list(range(int(n)))
 
 
-def rep(x: Any, times: int | list[int] = 1, each: int = 1) -> list:
+def rep(x: Any, times: int | list[int] = 1, length: int | None = None, each: int = 1) -> list:
     """R rep(): recycle a value/vector `times` times, each element
-    repeated `each` times; vector `times` repeats element-wise."""
+    repeated `each` times; vector `times` repeats element-wise;
+    ``length`` recycles/truncates the result to that length."""
     xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
     xs = [v for v in xs for _ in range(each)]
     if isinstance(times, (list, tuple)):
         if len(times) != len(xs):
             raise ValueError("times vector must match length of x")
-        return [v for v, t in zip(xs, times) for _ in range(t)]
-    return xs * times
+        out = [v for v, t in zip(xs, times) for _ in range(t)]
+    else:
+        out = xs * times
+    if length is not None:
+        while len(out) < length:
+            out.extend(out[: length - len(out)])
+        out = out[:length]
+    return out
+
+
+def length(x: Any) -> int:
+    """R length(): scalars (including strings) are length-1 vectors."""
+    if isinstance(x, (str, bytes)) or not hasattr(x, "__iter__"):
+        return 1
+    return len(list(x))
 
 
 def rev_list(x: Iterable) -> list:

@@ -54,6 +54,16 @@ def _seq_along(ctx, x=None):
     return F.row_number().over(ctx.ordered())
 
 
+@register("seq_len")
+def _seq_len(ctx, x):
+    """Per-row 0-based range array, the reference's Expr dispatch
+    (api/base/seq.py:58-62: pl.int_ranges(0, x))."""
+    n = ctx.col(x).cast("long")
+    return F.when(n > 0, F.sequence(F.lit(0).cast("long"), n - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 @register("runif")
 def _runif(ctx, n=None, min: float = 0.0, max: float = 1.0, seed: int | None = None):
     r = F.rand(seed) if seed is not None else F.rand()

@@ -238,7 +238,8 @@ def nest_join(x, y, by=None, name: str | None = None):
     x = ensure_tibble(x)
     y = ensure_tibble(y)
     left_on, right_on = _resolve_by(x, y, by)
-    nm = name or "y_data"
+    # reference default column name (tests/dplyr/test_join.py:267)
+    nm = name or "_y_joined"
     payload = [c for c in y.columns if c not in right_on]
     ydf = y.df
     for lk, rk in zip(left_on, right_on):

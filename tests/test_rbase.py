@@ -21,7 +21,8 @@ def test_seq():
     assert seq(2, 10, by=2) == [2, 4, 6, 8, 10]
     assert seq(0, 1, length_out=5) == [0.0, 0.25, 0.5, 0.75, 1.0]
     assert seq(5, 1) == [5, 4, 3, 2, 1]
-    assert seq_len(3) == [1, 2, 3]
+    # reference api/base/seq.py:64: seq_len is 0-based range(n)
+    assert seq_len(3) == [0, 1, 2]
 
 
 def test_rep():
