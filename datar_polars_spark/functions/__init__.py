@@ -65,7 +65,7 @@ _EXPORT = {
     # across-family registry entries
     "c_across", "if_any", "if_all",
     # vectors / context
-    "rev_", "duplicated", "lengths", "seq_along", "runif", "rnorm",
+    "rev_", "duplicated", "lengths", "seq_along", "diff", "runif", "rnorm",
     "rexp", "rcauchy", "rchisq", "rbinom", "rpois",
     "row_sums", "row_means", "row_mins", "row_maxs", "row_sds",
     "row_medians", "first2", "last2",

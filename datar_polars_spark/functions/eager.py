@@ -237,3 +237,84 @@ EAGER_IMPLS.update(
         "is_atomic": lambda x: not isinstance(x, (dict, set)),
     }
 )
+
+
+def _diff_eager(x, lag: int = 1, differences: int = 1):
+    """Length-preserving lagged differences (reference keeps leading
+    NULLs, unlike R's shorter vector). Scalar -> None."""
+    if not isinstance(x, (list, tuple, range)):
+        return None
+    xs = list(x)
+    for _ in range(differences):
+        xs = [None] * lag + [
+            None if xs[i] is None or xs[i - lag] is None else xs[i] - xs[i - lag]
+            for i in range(lag, len(xs))
+        ]
+    return xs
+
+
+EAGER_IMPLS["diff"] = _diff_eager
+
+
+def _scale_eager(x, center: bool = True, scale: bool = True, scale_=None):
+    if scale_ is not None:
+        scale = scale_
+    xs = [float(v) for v in x]
+    out = xs
+    if center:
+        m = sum(out) / len(out)
+        out = [v - m for v in out]
+    if scale:
+        n = len(out)
+        if center:
+            m2 = sum(out) / n
+            s = math.sqrt(sum((v - m2) ** 2 for v in out) / (n - 1))
+        else:
+            s = math.sqrt(sum(v * v for v in out) / (n - 1))
+        out = [v / s for v in out]
+    return out
+
+
+def _weighted_mean_eager(x, w=None, na_rm: bool = False):
+    xs = list(x)
+    ws = list(w) if w is not None else [1.0] * len(xs)
+    pairs = [(a, b) for a, b in zip(xs, ws) if not (na_rm and _isna_one(a))]
+    if any(_isna_one(a) for a, _ in pairs):
+        return None
+    tw = sum(b for _, b in pairs)
+    return sum(a * b for a, b in pairs) / tw
+
+
+def _quantile_eager(x, probs=(0.0, 0.25, 0.5, 0.75, 1.0), na_rm: bool = False):
+    """R type-7 linear interpolation (the reference/polars default)."""
+    xs = sorted(v for v in x if not (na_rm and _isna_one(v)))
+    n = len(xs)
+
+    def one(p: float) -> float:
+        h = (n - 1) * p
+        lo = int(math.floor(h))
+        hi = min(lo + 1, n - 1)
+        return xs[lo] + (h - lo) * (xs[hi] - xs[lo])
+
+    if isinstance(probs, (list, tuple)):
+        return [one(float(p)) for p in probs]
+    return one(float(probs))
+
+
+def _cov_eager(x, y=None, ddof: int = 1):
+    if y is None:
+        raise ValueError("cov on a plain vector requires `y`")
+    xs, ys = [float(v) for v in x], [float(v) for v in y]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    return sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / (n - ddof)
+
+
+EAGER_IMPLS.update(
+    {
+        "scale": _scale_eager,
+        "weighted_mean": _weighted_mean_eager,
+        "quantile": _quantile_eager,
+        "cov": _cov_eager,
+    }
+)

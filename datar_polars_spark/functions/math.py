@@ -114,7 +114,9 @@ def _mod(ctx, x, y):
 
 
 @register("scale")
-def _scale(ctx, x, center: bool = True, scale: bool = True):
+def _scale(ctx, x, center: bool = True, scale: bool = True, scale_=None):
+    if scale_ is not None:  # reference kwarg spelling (api/base/stats.py)
+        scale = scale_
     col = ctx.col(x).cast("double")
     out = col
     if center:

@@ -56,6 +56,7 @@ NEEDS_ORDER: set[str] = {
     "cumany",
     "cumcount",
     "consecutive_id",
+    "diff",
     "first",
     "last",
     "nth",

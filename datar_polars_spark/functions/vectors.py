@@ -54,6 +54,27 @@ def _seq_along(ctx, x=None):
     return F.row_number().over(ctx.ordered())
 
 
+@register("diff")
+def _diff(ctx, x, lag: int = 1, differences: int = 1, order_by=None):
+    """Lagged differences, length-preserving (leading NULLs) like the
+    reference (api/base/stats.py diff). d-th difference expands to the
+    binomial sum Σ (-1)^k C(d,k) lag(x, kL) — ONE window level, since
+    Spark forbids nesting a window inside another window."""
+    from math import comb
+
+    col = ctx.col(x)
+    L = int(ctx.eval(lag))
+    d = int(ctx.eval(differences))
+    w = ctx.ordered(order_by)
+    out = None
+    for k in range(d + 1):
+        term = F.lag(col, k * L).over(w) if k else col
+        coef = (-1) ** k * comb(d, k)
+        term = term * F.lit(coef)
+        out = term if out is None else out + term
+    return out
+
+
 @register("seq_len")
 def _seq_len(ctx, x):
     """Per-row 0-based range array, the reference's Expr dispatch

@@ -363,6 +363,9 @@ def group_by(td: Tibble, *args: Any, _add: bool = False, _drop: bool | None = No
     if kwargs:
         td = mutate(td, **kwargs)
     names = [a._name if isinstance(a, Ref) else str(a) for a in args]
+    missing = [n for n in names if n not in td.columns]
+    if missing:
+        raise KeyError(f"group_by: columns not found: {missing}")
     names += list(kwargs.keys())
     groups = list(td.group_vars) + [n for n in names if n not in td.group_vars] if _add else names
     # _drop=None inherits the tibble's current setting (dplyr's
@@ -379,6 +382,9 @@ def ungroup(td: Tibble, *args: Any) -> Tibble:
     if not args:
         return Tibble(td.df, groups=(), rowwise=False, levels=td.levels)
     drop = {a._name if isinstance(a, Ref) else str(a) for a in args}
+    unknown = drop - set(td.columns)
+    if unknown:
+        raise KeyError(f"ungroup: columns not found: {sorted(unknown)}")
     return Tibble(
         td.df,
         groups=[g for g in td.group_vars if g not in drop],
