@@ -125,21 +125,24 @@ def select(td: Tibble, *args: Any, **renames: Any) -> Tibble:
     out_names = list(cols)
     df = td.df
     # kwargs are renames: select(new=f.old)
+    old_to_new: dict[str, str] = {}
     for new, old in renames.items():
         old_name = old._name if isinstance(old, Ref) else str(old)
         if old_name not in td.columns:
             raise KeyError(old_name)
+        old_to_new[old_name] = new
         df = df.withColumnRenamed(old_name, new)
         if old_name in out_names:
             out_names[out_names.index(old_name)] = new
         else:
             out_names.append(new)
-    # always retain group vars (reference select.py:104-108)
-    for g in td.group_vars:
-        g2 = renames.get(g, g)
+    # always retain group vars, tracking renames (reference
+    # select.py:104-108; tests/dplyr/test_select.py renamed-groups)
+    new_groups = [old_to_new.get(g, g) for g in td.group_vars]
+    for g in new_groups:
         if g not in out_names and g in df.columns:
             out_names.insert(0, g)
-    return td.with_df(_ordered_select(df, out_names))
+    return td.with_df(_ordered_select(df, out_names), groups=new_groups)
 
 
 @verb
@@ -616,8 +619,15 @@ def count(
     **kwargs: Any,
 ) -> Tibble:
     orig_groups = list(td.group_vars)
+    # reference count.py: a plain-Ref kwarg (count(count=f.x)) groups by
+    # the REFERENCED column and the key names the count column; only
+    # computed kwargs become derived group columns
+    simple = {k: v for k, v in kwargs.items() if isinstance(v, Ref)}
+    derived = {k: v for k, v in kwargs.items() if k not in simple}
+    if name is None and simple:
+        name = next(iter(simple))
     if args or kwargs:
-        gb = group_by(td, *args, _add=True, **kwargs)
+        gb = group_by(td, *args, *simple.values(), _add=True, **derived)
     else:
         gb = td
     out = tally(gb, wt=wt, sort=sort, name=name)

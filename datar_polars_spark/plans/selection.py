@@ -41,6 +41,26 @@ class SelectHelper:
     def __invert__(self) -> "_Excluded":
         return _Excluded(self)
 
+    def __and__(self, other: "SelectHelper") -> "SelectHelper":
+        """Intersection of two helpers, in frame column order
+        (reference: select(ends_with("t") & starts_with("h")))."""
+        return SelectHelper(
+            lambda cols, dt: [
+                c
+                for c in self._fn(cols, dt)
+                if c in set(other._fn(cols, dt))
+            ],
+            f"({self._label} & {other._label})",
+        )
+
+    def __or__(self, other: "SelectHelper") -> "SelectHelper":
+        def fn(cols, dt):
+            a = self._fn(cols, dt)
+            b = [c for c in other._fn(cols, dt) if c not in set(a)]
+            return a + b
+
+        return SelectHelper(fn, f"({self._label} | {other._label})")
+
     def __repr__(self) -> str:
         return self._label
 
@@ -163,6 +183,9 @@ def _expand(item: Any, columns: list[str], dtypes: dict[str, str]) -> tuple[list
         return [item._name], False
     if isinstance(item, str):
         return [item], False
+    if item is None:
+        # reference vars_select: NULL args are silently skipped
+        return [], False
     if isinstance(item, bool):
         raise TypeError("boolean is not a valid column selection")
     if isinstance(item, int):
