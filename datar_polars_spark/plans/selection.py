@@ -79,22 +79,27 @@ def c_(*items: Any) -> Collection:
 
 
 def starts_with(prefix: str) -> SelectHelper:
+    # tidyselect matches case-insensitively (reference
+    # tests/dplyr/test_tidyselect.py: "Abc"/"abd" both match "ab")
+    p = prefix.lower()
     return SelectHelper(
-        lambda cols, dt: [c for c in cols if c.startswith(prefix)],
+        lambda cols, dt: [c for c in cols if c.lower().startswith(p)],
         f"starts_with({prefix!r})",
     )
 
 
 def ends_with(suffix: str) -> SelectHelper:
+    s = suffix.lower()
     return SelectHelper(
-        lambda cols, dt: [c for c in cols if c.endswith(suffix)],
+        lambda cols, dt: [c for c in cols if c.lower().endswith(s)],
         f"ends_with({suffix!r})",
     )
 
 
 def contains(needle: str) -> SelectHelper:
+    n = needle.lower()
     return SelectHelper(
-        lambda cols, dt: [c for c in cols if needle in c], f"contains({needle!r})"
+        lambda cols, dt: [c for c in cols if n in c.lower()], f"contains({needle!r})"
     )
 
 
@@ -132,11 +137,13 @@ def any_of(names: Iterable[str]) -> SelectHelper:
     )
 
 
-def num_range(prefix: str, range_: Iterable[int], width: int = 0) -> SelectHelper:
-    wanted = [f"{prefix}{str(i).zfill(width)}" for i in range_]
-    return SelectHelper(
-        lambda cols, dt: [n for n in wanted if n in cols], "num_range(...)"
-    )
+def num_range(prefix: str, range_: Iterable[int] | int, width: int = 0) -> list[str]:
+    """Plain name list, 0-based for an int count, like the reference
+    (api/dplyr/tidyselect.py:215-226). Inside select() the list resolves
+    through the normal string path (unknown names raise there)."""
+    if isinstance(range_, int):
+        range_ = range(range_)
+    return [f"{prefix}{str(i).zfill(width)}" for i in range_]
 
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}

@@ -83,3 +83,32 @@ class TestSelectErrors:
         td = tibble(spark, x=[1])
         with pytest.raises(KeyError):
             td >> select(f.z)
+
+
+class TestTidyselectPorted:
+    # reference tests/dplyr/test_tidyselect.py
+    def test_starts_with_case_insensitive(self, spark):
+        td = tibble(spark, Abc=[1], abd=[2], xyz=[3])
+        out = td >> select(starts_with("ab"))
+        assert out.columns == ["Abc", "abd"]
+
+    def test_matches_regex(self, spark):
+        from datar_polars_spark.plans.selection import matches
+
+        td = tibble(spark, x1=[1], x2=[2], y1=[3], y2=[4])
+        out = td >> select(matches(r"^x\d$"))
+        assert out.columns == ["x1", "x2"]
+
+    def test_all_of_any_of(self, spark):
+        from datar_polars_spark.plans.selection import all_of, any_of
+
+        td = tibble(spark, a=[1], b=[2], c=[3])
+        assert (td >> select(all_of(["a", "c"]))).columns == ["a", "c"]
+        assert (td >> select(any_of(["a", "z"]))).columns == ["a"]
+        assert (td >> select(any_of(["z"]))).columns == []
+
+    def test_num_range_plain_list(self):
+        from datar_polars_spark.plans.selection import num_range
+
+        assert num_range("x", 3) == ["x0", "x1", "x2"]
+        assert num_range("wk", range(1, 3), width=2) == ["wk01", "wk02"]
