@@ -318,3 +318,77 @@ EAGER_IMPLS.update(
         "cov": _cov_eager,
     }
 )
+
+
+# ---- special functions, scalar/list dispatch (reference
+# tests/base/test_special.py; api/base/special.py) ------------------------
+
+def _binary(fn):
+    def run(a, b):
+        a_l = isinstance(a, (list, tuple, range))
+        b_l = isinstance(b, (list, tuple, range))
+        if a_l or b_l:
+            al = list(a) if a_l else [a] * len(list(b))
+            bl = list(b) if b_l else [b] * len(al)
+            return [fn(x, y) for x, y in zip(al, bl)]
+        return fn(a, b)
+
+    return run
+
+
+def _beta(a: float, b: float) -> float:
+    return math.exp(math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b))
+
+
+def _lbeta(a: float, b: float) -> float:
+    return math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+
+
+def _choose(n: float, k: float) -> float:
+    # R choose: real n via gamma; integer n uses exact comb
+    if float(k).is_integer():
+        k = int(k)
+        if k < 0:
+            return 0.0
+        if float(n).is_integer():
+            return float(math.comb(int(n), k)) if int(n) >= 0 else (
+                (-1) ** k * math.comb(k - int(n) - 1, k)
+            )
+        out = 1.0
+        for i in range(k):
+            out *= (n - i) / (k - i)
+        return out
+    return math.exp(_lchoose(n, k))
+
+
+def _lchoose(n: float, k: float) -> float:
+    return math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)
+
+
+EAGER_IMPLS.update(
+    {
+        "gamma": _unary(math.gamma),
+        "lgamma": _unary(math.lgamma),
+        "factorial": _unary(lambda v: float(math.gamma(v + 1))),
+        "lfactorial": _unary(lambda v: math.lgamma(v + 1)),
+        "beta": _binary(_beta),
+        "lbeta": _binary(_lbeta),
+        "choose": _binary(_choose),
+        "lchoose": _binary(_lchoose),
+    }
+)
+
+try:  # digamma-family needs scipy; the deferred compilers are likewise gated
+    from scipy import special as _sp
+
+    EAGER_IMPLS.update(
+        {
+            "digamma": _unary(_sp.digamma),
+            "trigamma": _unary(lambda v: _sp.polygamma(1, v).item()),
+            "psigamma": lambda x, deriv=0: _unary(
+                lambda v: _sp.polygamma(int(deriv), v).item()
+            )(x),
+        }
+    )
+except ImportError:
+    pass

@@ -254,7 +254,12 @@ def rows_insert(
 
 @verb2
 def rows_append(x: Any, y: Any) -> Tibble:
-    return bind_rows(ensure_tibble(x), ensure_tibble(y))
+    x, y = ensure_tibble(x), ensure_tibble(y)
+    extra = [c for c in y.columns if c not in x.columns]
+    if extra:
+        # reference rows.py: y must not carry columns absent from x
+        raise ValueError(f"rows_append: columns in y but not x: {extra}")
+    return bind_rows(x, y)
 
 
 def _rows_merge(x: Tibble, y: Tibble, by: Any, patch_only_na: bool, unmatched: str = "error") -> Tibble:

@@ -176,7 +176,13 @@ def rename_with(td: Tibble, fn, *args: Any) -> Tibble:
 
 
 @verb
-def relocate(td: Tibble, *args: Any, _before: Any = None, _after: Any = None) -> Tibble:
+def relocate(td: Tibble, *args: Any, _before: Any = None, _after: Any = None, **renames: Any) -> Tibble:
+    if _before is not None and _after is not None:
+        raise ValueError("relocate: specify only one of _before and _after")
+    if renames:
+        # reference relocate.py: kwargs rename (new=f.old) then move
+        td = rename(td, **renames)
+        args = tuple(args) + tuple(renames.keys())
     moved = resolve_selection(args, td.columns, _dtype_map(td))
     rest = [c for c in td.columns if c not in moved]
     if _before is not None:
@@ -206,8 +212,13 @@ def pull(td: Tibble, col: Any = -1, name: Any = None, to: str = "list"):
     pdf = d.select(cname).toPandas()
     vals = pdf[cname].tolist()
     if name is not None:
-        names = pull(td, name)
+        # name: a parallel column (Ref/str) or an explicit list of keys
+        names = list(name) if isinstance(name, (list, tuple)) else pull(td, name)
         return dict(zip(names, vals))
+    if to == "array":
+        import numpy as np
+
+        return np.asarray(vals)
     return vals
 
 
