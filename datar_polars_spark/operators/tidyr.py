@@ -15,7 +15,7 @@ from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from ..plans.context import ORDER_COL, EvalContext
-from ..plans.expr import Expr, Ref
+from ..plans.expr import Call, Expr, Ref
 from ..plans.selection import resolve_selection
 from ..plans.verb import verb, verb2
 from ..tibble import Tibble, ensure_tibble
@@ -589,18 +589,56 @@ def unpack(td: Tibble, cols: Any, names_sep: str | None = None) -> Tibble:
 
 @verb
 def expand(td: Tibble, *cols: Any) -> Tibble:
+    """Cross product of per-unit uniques in FIRST-SEEN order (reference
+    api/tidyr.py:667-760: unique(maintain_order), factor columns expand
+    to their FULL level set, full_seq(col, by) expands to the complete
+    range). Distributed: each unit keeps min(order) as its sort key;
+    the product order is reassigned without a global window."""
+    td = td.ensure_order()
+    spark = td.df.sparkSession
     frames = []
-    for c in cols:
+    rank_cols = []
+    for i, c in enumerate(cols):
+        rk = f"__datar_xrk{i}__"
+        rank_cols.append(rk)
         if isinstance(c, _Nesting):
             names = [_name_of(x) for x in c.items]
-            frames.append(td.df.select(*names).distinct())
+            frames.append(
+                td.df.groupBy(*names).agg(F.min(ORDER_COL).alias(rk))
+            )
+        elif isinstance(c, Call) and c._fname == "full_seq":
+            name = _name_of(c._args[0])
+            by = c._args[1] if len(c._args) > 1 else 1
+            lo, hi = td.df.agg(
+                F.min(name).alias("a"), F.max(name).alias("b")
+            ).first()
+            frames.append(
+                spark.range(0, 1)
+                .select(
+                    F.explode(
+                        F.sequence(F.lit(lo), F.lit(hi), F.lit(by))
+                    ).alias(name)
+                )
+                .withColumn(rk, F.col(name))
+            )
         else:
             name = _name_of(c)
-            frames.append(td.df.select(name).distinct())
+            if name in td.levels:
+                frames.append(
+                    spark.createDataFrame(
+                        [(v, j) for j, v in enumerate(td.levels[name])],
+                        [name, rk],
+                    )
+                )
+            else:
+                frames.append(
+                    td.df.groupBy(name).agg(F.min(ORDER_COL).alias(rk))
+                )
     out = reduce(lambda a, b: a.crossJoin(b), frames)
-    sort_keys = [F.col(c).asc_nulls_last() for c in out.columns]
-    out = out.orderBy(*sort_keys)
-    return Tibble(out, levels=td.levels)
+    res = Tibble(out, levels=td.levels).reassign_order(
+        *[F.col(rk).asc_nulls_last() for rk in rank_cols]
+    )
+    return res.with_df(res.df.drop(*rank_cols))
 
 
 class _Nesting:
@@ -632,14 +670,22 @@ def crossing(td: Tibble, *cols: Any) -> Tibble:
 def complete(td: Tibble, *cols: Any, fill: dict | None = None) -> Tibble:
     grid = expand(td, *cols)
     key_names = [c for c in grid.columns]
-    out = grid.df.join(td.df, on=key_names, how="left")
+    tdf = td.df.drop(ORDER_COL) if ORDER_COL in td.df.columns else td.df
+    out = grid.df.join(tdf, on=key_names, how="left")
     result = Tibble(out, groups=td.group_vars, levels=td.levels)
+    result.order_stable = False
     if fill:
         result = replace_na(result, {k: v for k, v in fill.items()})
     return result
 
 
-def full_seq(spark, from_: int, to: int, by: int = 1, col: str = "x") -> Tibble:
+def full_seq(spark, from_: int = 1, to: int | None = None, by: int = 1, col: str = "x"):
+    """Two dispatches like the reference: ``full_seq(f.col, period)``
+    inside expand() defers to a range unit; ``full_seq(spark, a, b)``
+    builds a one-column range frame."""
+    if isinstance(spark, Expr):
+        period = from_ if to is None else by
+        return Call("full_seq", (spark, period), {})
     df = spark.range(0).sql_ctx.sparkSession.createDataFrame([(from_, to)], ["a", "b"])
     out = df.select(
         F.explode(F.sequence(F.col("a"), F.col("b"), F.lit(by))).alias(col)

@@ -238,3 +238,87 @@ class TestExpandGrid:
         assert out.shape == (4, 2)
         assert set(out["x"].tolist()) == {"a", None}
         assert set(out["y"].tolist()) == {"b", None}
+
+
+class TestExpandCompleteNesting:
+    # reference tests/tidyr/test_tidyr_verbs_ext.py:215-345
+    def test_complete_cross(self, spark):
+        td = tibble(spark, x=[1, 2], y=[3, 4])
+        from datar_polars_spark import complete
+
+        out = (td >> complete(f.x, f.y)).collect()
+        assert out["x"].tolist() == [1, 1, 2, 2]
+        assert out["y"].tolist() == [3, 4, 3, 4]
+
+    def test_complete_with_nesting(self, spark):
+        from datar_polars_spark import complete, nesting
+
+        td = tibble(
+            spark,
+            group=[1, 2, 1],
+            item_id=[1, 2, 2],
+            item_name=["a", "b", "b"],
+            value1=[1, 2, 3],
+            value2=[4, 5, 6],
+        )
+        out = (td >> complete(f.group, nesting(f.item_id, f.item_name))).collect()
+        assert out["group"].tolist() == [1, 1, 2, 2]
+        assert out["item_id"].tolist() == [1, 2, 1, 2]
+        assert out["item_name"].tolist() == ["a", "b", "a", "b"]
+        from conftest import assert_iterable_equal
+
+        assert_iterable_equal(out["value1"].tolist(), [1, 3, None, 2])
+        assert_iterable_equal(out["value2"].tolist(), [4, 6, None, 5])
+
+    def test_complete_with_nesting_and_fill(self, spark):
+        from datar_polars_spark import complete, nesting
+
+        td = tibble(
+            spark,
+            group=[1, 2, 1],
+            item_id=[1, 2, 2],
+            item_name=["a", "b", "b"],
+            value1=[1, 2, 3],
+            value2=[4.0, 5.0, 6.0],
+        )
+        out = (
+            td
+            >> complete(f.group, nesting(f.item_id, f.item_name), fill={"value1": 0})
+        ).collect()
+        assert out["value1"].tolist() == [1, 3, 0, 2]
+
+    def test_expand_factor_levels(self, spark):
+        from datar_polars_spark import expand, factor_
+
+        td = tibble(
+            spark,
+            type=["apple", "orange", "apple", "orange", "orange", "orange"],
+            size=["XS", "S", "M", "S", "S", "M"],
+        ) >> factor_(f.size, levels=["XS", "S", "M", "L"])
+        out = td >> expand(f.type, f.size)
+        assert len(out.collect()) == 8  # 2 types x 4 levels incl unused L
+
+    def test_expand_nesting_first_seen_order(self, spark):
+        from datar_polars_spark import expand, nesting
+
+        td = tibble(
+            spark,
+            type=["apple", "orange", "apple", "orange", "orange", "orange"],
+            size=["XS", "S", "M", "S", "S", "M"],
+        )
+        out = (td >> expand(nesting(f.type, f.size))).collect()
+        assert out["type"].tolist() == ["apple", "orange", "apple", "orange"]
+        assert out["size"].tolist() == ["XS", "S", "M", "M"]
+
+    def test_expand_with_full_seq(self, spark):
+        from datar_polars_spark import expand
+        from datar_polars_spark.operators.tidyr import full_seq
+
+        td = tibble(
+            spark,
+            type=["apple", "orange", "apple"],
+            year=[2010, 2010, 2012],
+        )
+        out = (td >> expand(f.type, full_seq(f.year, 1))).collect()
+        assert len(out) == 6  # 2 types x years 2010..2012
+        assert sorted(set(out["year"].tolist())) == [2010, 2011, 2012]
