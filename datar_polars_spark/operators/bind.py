@@ -122,8 +122,18 @@ def bind_cols(*data: Any) -> Tibble:
     """Horizontal concat zip-joined on row position (Spark has no
     positional hstack; reference bind.py:96-134). Positions come from
     the distributed two-pass id assignment above — every frame keeps
-    its parallelism; the only shuffle is the positional join itself."""
-    tds = [ensure_tibble(d).ensure_order() for d in data]
+    its parallelism; the only shuffle is the positional join itself.
+    Plain dicts become one-off tibbles (reference bind_cols(df, {...}))."""
+    from ..tibble import tibble as _tibble
+
+    frames = []
+    for d in data:
+        if isinstance(d, dict):
+            spark = ensure_tibble(data[0]).df.sparkSession
+            frames.append(_tibble(spark, **d))
+        else:
+            frames.append(d)
+    tds = [ensure_tibble(d).ensure_order() for d in frames]
     out = None
     seen: set[str] = set()
     for i, td in enumerate(tds):

@@ -61,6 +61,10 @@ def verb2(fn: Callable) -> Callable:
             and isinstance(args[1], (Tibble, DataFrame))
         ):
             return fn(ensure_tibble(args[0]), *args[1:], **kwargs)
+        if any(isinstance(v, (Tibble, DataFrame)) for v in kwargs.values()):
+            # named-frame call (bind_rows(a=df1, b=df2, _id=...)) — no
+            # leading table will ever arrive by pipe
+            return fn(*args, **kwargs)
         return VerbCall(fn, args, kwargs)
 
     wrapper.__verb__ = True
