@@ -313,18 +313,29 @@ def asof_join(
     if not renamed:
         raise ValueError("asof_join: right side has no payload columns")
 
+    def _numeric_key(df: DataFrame, name: str) -> Column:
+        # temporal keys can't cast straight to double in Spark 4
+        # (TIMESTAMP_NTZ -> DOUBLE is a DATATYPE_MISMATCH); route them
+        # through TIMESTAMP, which yields fractional epoch seconds and
+        # preserves order on both sides identically.
+        dt = dict(df.dtypes).get(name, "")
+        col = F.col(name)
+        if dt.startswith("timestamp") or dt == "date":
+            return col.cast("timestamp").cast("double")
+        return col.cast("double")
+
     pay_struct = F.struct(
-        F.col(on_r).cast("double").alias("__yt__"),
+        _numeric_key(ydf, on_r).alias("__yt__"),
         *[F.col(c) for c in renamed],
     )
     rside = ydf.select(
         *by_l,
-        F.col(on_r).cast("double").alias("__t__"),
+        _numeric_key(ydf, on_r).alias("__t__"),
         pay_struct.alias("__y__"),
         F.lit(0).alias("__side__"),
     )
     # left side carries every left column + the probe time
-    lside = xdf.withColumn("__t__", F.col(on_l).cast("double")).withColumn(
+    lside = xdf.withColumn("__t__", _numeric_key(xdf, on_l)).withColumn(
         "__side__", F.lit(1)
     )
     lonly = [c for c in lside.columns if c not in rside.columns]
@@ -357,7 +368,7 @@ def asof_join(
     out = out.withColumn("__m__", matched)
     for c in renamed:
         out = out.withColumn(c, F.col("__m__")[c])
-    out = out.drop("__m__", "__t__")
+    out = out.drop("__m__", "__t__", "__y__")
 
     levels = {**y.levels, **x.levels}
     levels = {k: v for k, v in levels.items() if k in out.columns}

@@ -24,6 +24,18 @@ def _name_of(x: Any) -> str:
     return x._name if isinstance(x, Ref) else str(x)
 
 
+def _epoch_s(df, name: str):
+    """Epoch seconds from any temporal/numeric column. TIMESTAMP_NTZ
+    can't cast straight to BIGINT in Spark 4 — route temporals through
+    TIMESTAMP (identical on both sides of a gap, so any session-tz
+    offset cancels; sessions pin UTC anyway)."""
+    dt = dict(df.dtypes).get(name, "")
+    c = F.col(name)
+    if dt.startswith("timestamp") or dt == "date":
+        return c.cast("timestamp").cast("long")
+    return c.cast("long")
+
+
 @verb
 def sessionize_batch(
     td: Tibble, ts: Any, *keys: Any, gap_seconds: int = 1800,
@@ -34,7 +46,7 @@ def sessionize_batch(
     tcol = _name_of(ts)
     kcols = [_name_of(k) for k in keys]
     w = Window.partitionBy(*kcols).orderBy(F.col(tcol).asc())
-    gap = F.col(tcol).cast("long") - F.lag(F.col(tcol).cast("long")).over(w)
+    gap = _epoch_s(td.df, tcol) - F.lag(_epoch_s(td.df, tcol)).over(w)
     new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     sid = F.sum(new_session).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -57,9 +69,9 @@ def session_stats(
             F.max(tcol).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .withColumn(
-            "duration_s",
-            F.col("session_end").cast("long") - F.col("session_start").cast("long"),
-        )
+    )
+    out = out.withColumn(
+        "duration_s",
+        _epoch_s(out, "session_end") - _epoch_s(out, "session_start"),
     )
     return Tibble(out, levels=td.levels)

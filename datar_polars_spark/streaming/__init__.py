@@ -87,6 +87,16 @@ def _agg_exprs(sdf: DataFrame, aggs: dict) -> list:
     return [ctx.col(expr).alias(name) for name, expr in aggs.items()]
 
 
+def _as_event_time(sdf: DataFrame, tcol: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; TIMESTAMP_NTZ (what parquet
+    isAdjustedToUTC=false columns read as) is rejected. Normalize in
+    place — with the session tz pinned to UTC the values are
+    unchanged."""
+    if dict(sdf.dtypes).get(tcol) == "timestamp_ntz":
+        return sdf.withColumn(tcol, F.col(tcol).cast("timestamp"))
+    return sdf
+
+
 def windowed_agg(
     sdf: DataFrame,
     ts: Any,
@@ -104,7 +114,7 @@ def windowed_agg(
     """
     tcol = _name_of(ts)
     kcols = [_name_of(k) for k in keys]
-    wm = sdf.withWatermark(tcol, watermark)
+    wm = _as_event_time(sdf, tcol).withWatermark(tcol, watermark)
     win = (
         F.window(F.col(tcol), window, slide)
         if slide
@@ -134,7 +144,7 @@ def sessionize(
     session end, so memory stays bounded."""
     tcol = _name_of(ts)
     kcols = [_name_of(k) for k in keys]
-    wm = sdf.withWatermark(tcol, watermark)
+    wm = _as_event_time(sdf, tcol).withWatermark(tcol, watermark)
     if not aggs:
         aggs = {"n_events": __import__(
             "datar_polars_spark.functions", fromlist=["n"]
@@ -158,7 +168,7 @@ def stream_dedup(
     (requires an event-time column when watermarking)."""
     kcols = [_name_of(k) for k in keys]
     if ts is not None:
-        wm = sdf.withWatermark(_name_of(ts), watermark)
+        wm = _as_event_time(sdf, _name_of(ts)).withWatermark(_name_of(ts), watermark)
         return wm.dropDuplicatesWithinWatermark(kcols)
     return sdf.dropDuplicates(kcols)
 
