@@ -1076,7 +1076,10 @@ def q59_multimodal_features(spark, sf):
     """Covers: multimodal binary-column plumbing — wrap bytes into the
     typed media struct, run the Arrow-batched mapInPandas feature
     extractor (deterministic stub encoder; real codec swaps in with the
-    same schema/batch shape). Not SQL-expressible -> rows-only check."""
+    same schema/batch shape). The feature values aren't SQL-expressible,
+    so the oracle checks the projected plumbing outputs: per-doc utf-8
+    byte counts carried through the binary struct and the feature
+    dimensionality produced by the mapInPandas stage."""
     from datar_polars_spark.scale import attach_binary_metadata, image_features
 
     d = _t(spark, sf, "documents")
@@ -1672,5 +1675,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, ROUND(cos, 4) AS cosine
             FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # the stub feature VALUES aren't SQL-expressible, but the
+        # projected plumbing outputs (utf-8 byte counts through the
+        # binary struct, feature dimensionality out of mapInPandas) are
+        "q59_multimodal_features": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   16 AS feat_dim
+            FROM documents ORDER BY doc_id
         """,
     }
