@@ -65,6 +65,8 @@ _EXPORT = {
     # across-family registry entries
     "c_across", "if_any", "if_all",
     # vectors / context
+    "sort_", "order_", "rank", "sample_", "unique_", "any_na",
+    "cur_group_rows",
     "rev_", "duplicated", "lengths", "seq_along", "diff", "runif", "rnorm",
     "rexp", "rcauchy", "rchisq", "rbinom", "rpois",
     "row_sums", "row_means", "row_mins", "row_maxs", "row_sds",
@@ -85,6 +87,8 @@ _EXPORT = {
 }
 
 globals().update({name: builder(name) for name in _EXPORT if name in REGISTRY})
+# eager-only (no deferred compiler): outer product on plain vectors
+outer = builder("outer")
 # names registered under a different canonical key
 for name in _EXPORT - set(REGISTRY):
     base = name.rstrip("_")
@@ -93,7 +97,7 @@ for name in _EXPORT - set(REGISTRY):
 
 __all__ = sorted(
     _EXPORT
-    | {"across", "Across", "cur_column", "grep"}
+    | {"across", "Across", "cur_column", "grep", "outer"}
     | {"seq", "seq_len", "length", "rep", "rev_list", "sort_list", "order_list",
        "sample_list", "set_seed", "intersect", "union", "setdiff",
        "setequal", "append_"}

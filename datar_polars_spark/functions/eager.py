@@ -392,3 +392,101 @@ try:  # digamma-family needs scipy; the deferred compilers are likewise gated
     )
 except ImportError:
     pass
+
+
+# ---- column reorderers / set queries on plain vectors ---------------------
+# (reference registers object dispatches for each: api/base/seq.py,
+# api/base/verbs.py:269, api/base/sets.py:163)
+
+def _eager_sort(x, decreasing=False, na_last=True):
+    xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+    nulls = [v for v in xs if v is None or (isinstance(v, float) and math.isnan(v))]
+    vals = sorted(
+        (v for v in xs if not (v is None or (isinstance(v, float) and math.isnan(v)))),
+        reverse=bool(decreasing),
+    )
+    return vals + nulls if na_last else nulls + vals
+
+
+def _eager_order(x, decreasing=False, na_last=True):
+    xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+    isna = lambda v: v is None or (isinstance(v, float) and math.isnan(v))
+    nn = [i for i in range(len(xs)) if not isna(xs[i])]
+    na = [i for i in range(len(xs)) if isna(xs[i])]
+    nn.sort(key=lambda i: xs[i], reverse=bool(decreasing))
+    return nn + na if na_last else na + nn
+
+
+def _eager_rank(x, na_last=True, ties_method="average"):
+    xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+    isna = lambda v: v is None or (isinstance(v, float) and math.isnan(v))
+    order = sorted((i for i in range(len(xs)) if not isna(xs[i])), key=lambda i: xs[i])
+    out: list = [None] * len(xs)
+    pos = 0
+    while pos < len(order):
+        end = pos
+        while end + 1 < len(order) and xs[order[end + 1]] == xs[order[pos]]:
+            end += 1
+        ranks = list(range(pos + 1, end + 2))
+        for j, i in enumerate(order[pos : end + 1]):
+            if ties_method == "min":
+                out[i] = ranks[0]
+            elif ties_method == "max":
+                out[i] = ranks[-1]
+            elif ties_method in ("first", "random"):
+                out[i] = ranks[j]
+            else:
+                out[i] = sum(ranks) / len(ranks)
+        pos = end + 1
+    return out
+
+
+def _eager_unique(x):
+    seen, out = set(), []
+    for v in x if isinstance(x, (list, tuple, range)) else [x]:
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out
+
+
+def _eager_any_na(x):
+    xs = x if isinstance(x, (list, tuple, range)) else [x]
+    return any(v is None or (isinstance(v, float) and math.isnan(v)) for v in xs)
+
+
+def _eager_outer(x, y, fun="*"):
+    ops = {
+        "*": lambda a, b: a * b,
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "/": lambda a, b: a / b,
+    }
+    op = ops[fun] if isinstance(fun, str) else fun
+    xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+    ys = list(y) if isinstance(y, (list, tuple, range)) else [y]
+    return [[op(a, b) for b in ys] for a in xs]
+
+
+def _eager_sample(x, size=None, replace=False, prob=None, seed=None):
+    import random as _random
+
+    xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+    rng = _random.Random(seed) if seed is not None else _random
+    n = len(xs) if size is None else int(size)
+    if replace:
+        return rng.choices(xs, weights=prob, k=n)
+    return rng.sample(xs, min(n, len(xs)))
+
+
+EAGER_IMPLS.update(
+    {
+        "sort": _eager_sort,
+        "sample": _eager_sample,
+        "order": _eager_order,
+        "rank": _eager_rank,
+        "unique": _eager_unique,
+        "any_na": _eager_any_na,
+        "outer": _eager_outer,
+    }
+)

@@ -92,6 +92,30 @@ def tree_is_multi_value(node) -> bool:
     if node._fname == "quantile":
         probs = node._kwargs.get("probs", node._args[1] if len(node._args) > 1 else None)
         return isinstance(probs, (list, tuple))
+    # column reorderers return the whole group as an array in summarise
+    if node._fname in ("sort", "order", "unique"):
+        return True
+    return False
+
+
+# functions needing the materialized 0-based position column
+# (``Tibble.ensure_pos``, distributed two-pass id assignment)
+NEEDS_POS: set[str] = {"cur_group_rows"}
+
+
+def tree_needs_pos(node) -> bool:
+    from ..plans.expr import BinOp, Call, Desc, UnaryOp
+
+    if isinstance(node, Call):
+        if node._fname in NEEDS_POS:
+            return True
+        return any(tree_needs_pos(a) for a in node._args) or any(
+            tree_needs_pos(v) for v in node._kwargs.values()
+        )
+    if isinstance(node, BinOp):
+        return tree_needs_pos(node._left) or tree_needs_pos(node._right)
+    if isinstance(node, (UnaryOp, Desc)):
+        return tree_needs_pos(node._operand)
     return False
 
 

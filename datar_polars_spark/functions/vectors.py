@@ -352,3 +352,182 @@ NEEDS_ORDER.update({"rev", "duplicated", "seq_along"})
 # cur_data() collects whole-group structs — harmless unordered, but
 # order it by frame order for deterministic list contents
 NEEDS_ORDER.add("cur_data")
+
+
+# ---- column-level ordering / sampling functions ---------------------------
+# Reference ``api/base/seq.py:280-420`` (sort/order/rank/sample) and
+# ``api/base/verbs.py:269-289`` (unique): Polars evaluates each column
+# expression independently, so sort(x) reorders one column in place.
+# Spark rows are atomic — the positional-reorder pattern (as in rev)
+# collects the group frame once into an array and indexes it by the
+# row's frame position, keeping evaluation JVM-side and distributed by
+# group.
+
+def _full_frame(ctx):
+    return (
+        ctx.partition()
+        .orderBy(F.col(ORDER_COL).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+
+
+@register("sort")
+def _sort(ctx, x, decreasing: bool = False, na_last: bool = True):
+    """Value at the row's position in sorted order. collect_list drops
+    NULLs (matching R sort()'s NA removal); with na_last the NULL slots
+    land at the tail of the frame, else at the head. In summarise:
+    the sorted values as a multi-value array (one row per value)."""
+    col = ctx.col(x)
+    dec = bool(ctx.eval(decreasing))
+    if ctx.mode == "agg":
+        lst = F.array_sort(F.collect_list(col))
+        return F.reverse(lst) if dec else lst
+    wf = _full_frame(ctx)
+    lst = F.array_sort(F.collect_list(col).over(wf))
+    if dec:
+        lst = F.reverse(lst)
+    rn = F.row_number().over(ctx.ordered())
+    if bool(ctx.eval(na_last)):
+        return F.get(lst, rn - 1)  # past-the-end → NULL
+    n_null = F.count(F.when(col.isNull(), 1)).over(wf)
+    return F.get(lst, rn - n_null - 1)  # negative index → NULL
+
+
+@register("order")
+def _order(ctx, x, decreasing: bool = False, na_last: bool = True):
+    """0-based frame positions that would sort x (reference arg_sort,
+    ``seq.py:378-398``). Builds (x, frame-index) structs in frame order
+    via transform()'s index argument, sorts with an explicit comparator
+    (NULL x handled by a null-flag field; ties stable on index), then
+    reads the index at the row's own frame position."""
+    col = ctx.col(x)
+    dec = bool(ctx.eval(decreasing))
+    nl = bool(ctx.eval(na_last))
+    wf = _full_frame(ctx)
+    lst = F.collect_list(
+        F.struct(
+            F.when(col.isNull(), F.lit(1 if nl else -1)).otherwise(0).alias("nf"),
+            col.alias("x"),
+        )
+    ).over(wf)
+    # collect_list skips nothing here (struct itself is never null)
+    with_idx = F.transform(
+        lst, lambda s, i: F.struct(s["nf"].alias("nf"), s["x"].alias("x"), i.alias("i"))
+    )
+    lt, gt = (F.lit(1), F.lit(-1)) if dec else (F.lit(-1), F.lit(1))
+
+    def cmp(a, b):
+        return (
+            F.when(a["nf"] < b["nf"], -1)
+            .when(a["nf"] > b["nf"], 1)
+            .when(a["x"] < b["x"], lt)
+            .when(a["x"] > b["x"], gt)
+            .when(a["i"] < b["i"], -1)
+            .when(a["i"] > b["i"], 1)
+            .otherwise(0)
+        )
+
+    ordered = F.transform(F.array_sort(with_idx, cmp), lambda s: s["i"])
+    if ctx.mode == "agg":
+        return ordered
+    rn = F.row_number().over(ctx.ordered())
+    return F.get(ordered, rn - 1)
+
+
+@register("rank")
+def _rank(ctx, x, na_last: bool = True, ties_method: str = "average"):
+    """R rank() with the reference's ties methods (``seq.py:333-372``).
+    NULL inputs rank NULL (Polars semantics). min/first/random/max are
+    single windows; average = (min + max) / 2."""
+    col = ctx.col(x)
+    method = str(ctx.eval(ties_method))
+    w = ctx.partition().orderBy(col.asc_nulls_last())
+
+    def min_rank():
+        return F.rank().over(w)
+
+    def max_rank():
+        peers = F.count(F.lit(1)).over(Window.partitionBy(*list(ctx.groups), col))
+        return F.rank().over(w) + peers - 1
+
+    if method == "min":
+        r = min_rank()
+    elif method == "max":
+        r = max_rank()
+    elif method == "first":
+        r = F.row_number().over(
+            ctx.partition().orderBy(col.asc_nulls_last(), F.col(ORDER_COL).asc())
+        )
+    elif method == "random":
+        r = F.row_number().over(ctx.partition().orderBy(col.asc_nulls_last(), F.rand()))
+    else:  # average
+        r = (min_rank() + max_rank()) / F.lit(2.0)
+    return F.when(col.isNull(), F.lit(None)).otherwise(r)
+
+
+@register("sample")
+def _sample(ctx, x, size=None, replace: bool = False, prob=None, seed=None):
+    """Shuffle the column within its group (reference ``seq.py:165-181``:
+    size=None → full shuffle; explicit size → the first `size` draws as
+    one array value, mirroring Polars implode broadcast). With
+    replace=True each row draws independently."""
+    col = ctx.col(x)
+    sd = ctx.eval(seed)
+    rnd = F.rand(int(sd)) if sd is not None else F.rand()
+    sz = ctx.eval(size)
+    wf = _full_frame(ctx)
+    if bool(ctx.eval(replace)):
+        lst = F.collect_list(col).over(wf)
+        pick = F.get(lst, F.floor(rnd * F.size(lst)).cast("int"))
+        if sz is None:
+            return pick
+        raise NotImplementedError("sample(size=, replace=True) on columns")
+    w_rand = (
+        ctx.partition()
+        .orderBy(rnd)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    lst = F.collect_list(col).over(w_rand)
+    if sz is not None:
+        return F.slice(lst, 1, int(sz))
+    rn = F.row_number().over(ctx.ordered())
+    return F.get(lst, rn - 1)
+
+
+@register("unique")
+def _unique(ctx, x):
+    """Distinct values, ascending (Spark collect aggregates drop NULLs
+    and give no stable encounter order, so the deterministic contract
+    here is sorted-distinct — reference ``verbs.py:269-289`` makes no
+    order promise either). Multi-value in summarise."""
+    col = ctx.col(x)
+    if ctx.mode == "agg":
+        return F.array_sort(F.array_distinct(F.collect_list(col)))
+    return F.array_sort(F.array_distinct(F.collect_list(col).over(_full_frame(ctx))))
+
+
+@register("any_na")
+def _any_na(ctx, x):
+    """True when any value in the group is NULL (reference
+    ``sets.py:163-178``)."""
+    col = ctx.col(x)
+    return ctx.agg(F.max(col.isNull()))
+
+
+POS_COL = "__datar_pos__"
+
+
+@register("cur_group_rows")
+def _cur_group_rows(ctx):
+    """0-based global frame positions of the current group's rows
+    (reference ``api/dplyr/context.py:208-245`` — which builds a
+    driver-side case-when per group; here the positions column is
+    materialized once by the distributed two-pass id assignment
+    (`Tibble.ensure_pos`) and this is a plain collect_list per group)."""
+    pos = F.col(POS_COL)
+    if ctx.mode == "agg":
+        return F.sort_array(F.collect_list(pos))
+    return F.sort_array(F.collect_list(pos).over(_full_frame(ctx)))
+
+
+NEEDS_ORDER.update({"sort", "order", "sample", "cur_group_rows"})

@@ -22,7 +22,7 @@ from ..plans.selection import resolve_selection
 from ..plans.verb import verb
 from ..tibble import Tibble
 from ..functions.across import Across, expand_across
-from ..functions.registry import tree_needs_order
+from ..functions.registry import tree_needs_order, tree_needs_pos
 
 __all__ = [
     "select",
@@ -238,6 +238,8 @@ def mutate(
     items = _expand_items(td, args, kwargs)
     if any(tree_needs_order(node) for _, node in items):
         td = td.ensure_order()
+    if any(tree_needs_pos(node) for _, node in items):
+        td = td.ensure_pos()
     ctx = EvalContext(td, "eval")
     df = td.df
     orig_cols = td.columns
@@ -444,6 +446,8 @@ def summarise(td: Tibble, *args: Any, _groups: str | None = None, **kwargs: Any)
     items = _expand_items(td, args, kwargs)
     if any(tree_needs_order(node) for _, node in items):
         td = td.ensure_order()
+    if any(tree_needs_pos(node) for _, node in items):
+        td = td.ensure_pos()
     ctx = EvalContext(td, "agg")
     gvars = list(td.group_vars)
 

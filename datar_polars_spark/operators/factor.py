@@ -62,6 +62,7 @@ __all__ = [
     "fct_c",
     "as_factor",
     "as_ordered",
+    "ordered_",
     "is_ordered",
     "set_levels",
     "fct_anon",
@@ -117,6 +118,13 @@ def factor_(td: Tibble, col: Any, levels: list | None = None, ordered: bool = Fa
     if ordered:
         out.ordered_factors = set(out.ordered_factors) | {cname}
     return out
+
+
+@verb
+def ordered_(td: Tibble, col: Any, levels: list | None = None) -> Tibble:
+    """Ordered-factor constructor: factor_(ordered=True) (reference
+    ``api/base/factor.py:192-216``)."""
+    return factor_(td, col, levels=levels, ordered=True)
 
 
 @verb

@@ -31,6 +31,7 @@ __all__ = [
     "group_data",
     "group_rows",
     "group_indices",
+    "group_cols",
     "group_split",
     "group_map",
     "group_walk",
@@ -114,6 +115,14 @@ def group_data(td: Tibble) -> Tibble:
 def group_rows(td: Tibble) -> list[list[int]]:
     gd = group_data(td)
     return [r[-1] for r in gd.df.collect()]
+
+
+@verb
+def group_cols(td: Tibble) -> list[int]:
+    """Column indices of the grouping variables (reference
+    ``group_data.py:202-210``)."""
+    cols = td.columns
+    return [cols.index(g) for g in td.group_vars if g in cols]
 
 
 @verb

@@ -30,6 +30,10 @@ __all__ = [
     "rownames_to_column",
     "remove_rownames",
     "has_rownames",
+    "rownames",
+    "set_rownames",
+    "set_colnames",
+    "column_to_rownames",
     "as_tibble",
     "lazy_",
     "collect_",
@@ -192,19 +196,87 @@ def rowid_to_column(td: Tibble, var: str = "rowid") -> Tibble:
 @verb
 def rownames_to_column(td: Tibble, var: str = "rowname") -> Tibble:
     """R rownames are "1".."n" strings when none were set — a string
-    rowid column (reference ``api/tibble.py:582-640``)."""
+    rowid column; explicit rownames metadata (set_rownames) maps in by
+    position (reference ``api/tibble.py:582-640``)."""
     out = rowid_to_column(td, var=var)
+    if td.rownames is not None:
+        mapping = F.array(*[F.lit(str(v)) for v in td.rownames])
+        d = out.df.withColumn(var, F.get(mapping, F.col(var) - 1))
+        res = out.with_df(d)
+        res.rownames = None
+        return res
     return out.with_df(out.df.withColumn(var, F.col(var).cast("string")))
 
 
 @verb
 def remove_rownames(td: Tibble) -> Tibble:
-    return td
+    if td.rownames is None:
+        return td
+    out = td.with_df(td.df)
+    out.rownames = None
+    return out
 
 
 @verb
 def has_rownames(td: Tibble) -> bool:
-    return False
+    return td.rownames is not None
+
+
+@verb
+def rownames(td: Tibble) -> list | None:
+    """The stored rownames, or None (reference ``verbs.py:118-128``:
+    R frames without explicit rownames report implicit "1".."n"; the
+    reference returns the stored list / None — matched here)."""
+    return td.rownames
+
+
+@verb
+def set_rownames(td: Tibble, names: list) -> Tibble:
+    """Attach rownames metadata (reference ``verbs.py:159-172``).
+    Driver-side list — intended for small lookup frames, not the fact
+    table (documented; the reference stores the same way)."""
+    out = td.with_df(td.df)
+    out.rownames = list(names)
+    return out
+
+
+@verb
+def set_colnames(td: Tibble, names: list) -> Tibble:
+    """Rename every visible column positionally (reference
+    ``verbs.py:134-143``)."""
+    old = td.columns
+    names = list(names)
+    if len(names) != len(old):
+        raise ValueError(
+            f"Length of new names ({len(names)}) must match "
+            f"number of columns ({len(old)})."
+        )
+    d = td.df
+    for o, n in zip(old, names):
+        if o != n:
+            d = d.withColumnRenamed(o, n)
+    lv = {names[old.index(k)] if k in old else k: v for k, v in td.levels.items()}
+    out = td.with_df(d, groups=[names[old.index(g)] if g in old else g for g in td.group_vars])
+    out.levels = lv
+    return out
+
+
+@verb
+def column_to_rownames(td: Tibble, var: str = "rowname") -> Tibble:
+    """Move a column into rownames metadata (reference
+    ``api/tibble.py:663-694``). Collects the column to the driver —
+    rownames are inherently a driver-side concept; errors if rownames
+    already set, like the reference."""
+    if td.rownames is not None:
+        raise ValueError("`_data` must be a data frame without row names.")
+    if var not in td.columns:
+        raise KeyError(f"Column `{var}` does not exist.")
+    from .core import pull
+
+    values = [str(v) for v in pull(td, var)]
+    out = td.with_df(td.df.drop(var))
+    out.rownames = values
+    return out
 
 
 def as_tibble(data: Any, spark: SparkSession | None = None) -> Tibble:

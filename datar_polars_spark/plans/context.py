@@ -22,6 +22,7 @@ if TYPE_CHECKING:
     from ..tibble import Tibble
 
 ORDER_COL = "__datar_ro__"
+POS_COL = "__datar_pos__"
 
 
 class EvalContext:

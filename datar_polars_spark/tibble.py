@@ -74,6 +74,10 @@ class Tibble:
         # builds its aggregation grid (Spark-native multi-dimensional
         # aggregates — absent from the reference, free on Catalyst)
         self.grouping_mode: str = "groups"
+        # R-style rownames metadata (set_rownames/column_to_rownames —
+        # reference api/base/verbs.py:156-172 stores them in _datar).
+        # Driver-side list; meaningful only for small frames.
+        self.rownames: list | None = None
 
     # ---- basic accessors -------------------------------------------------
     @property
@@ -123,6 +127,7 @@ class Tibble:
         )
         out.ordered_factors = {c for c in self.ordered_factors if c in out.levels}
         out.grouping_mode = self.grouping_mode
+        out.rownames = self.rownames
         return out
 
     # ---- order helpers ----------------------------------------------------
@@ -137,6 +142,37 @@ class Tibble:
             return self
         return self.with_df(
             self._df.withColumn(ORDER_COL, F.monotonically_increasing_id())
+        )
+
+    def ensure_pos(self) -> "Tibble":
+        """Materialize __datar_pos__: 0-based dense frame positions,
+        fully distributed (no global window). Range-sort by the order
+        column, tag rows with mono ids ((partition << 33) | offset),
+        count rows per partition in one tiny job, add broadcast
+        cumulative offsets. Persisted so both passes see the same range
+        boundaries (the RangePartitioner samples with a per-compilation
+        seed)."""
+        from .plans.context import POS_COL
+
+        t = self.ensure_order()
+        if POS_COL in t._df.columns:
+            return t
+        d = (
+            t._df.orderBy(F.col(ORDER_COL).asc())
+            .withColumn("__datar_mono__", F.monotonically_increasing_id())
+            .persist()
+        )
+        pid = F.shiftright(F.col("__datar_mono__"), 33)
+        counts = d.groupBy(pid.alias("__p__")).count().collect()
+        off, total = {}, 0
+        for r in sorted(counts, key=lambda r: r["__p__"]):
+            off[r["__p__"]] = total
+            total += r["count"]
+        pairs = [F.lit(v) for kv in off.items() for v in kv]
+        base = F.create_map(*pairs)[pid] if pairs else F.lit(0)
+        pos = base + F.col("__datar_mono__").bitwiseAND(F.lit((1 << 33) - 1))
+        return t.with_df(
+            d.withColumn(POS_COL, pos.cast("long")).drop("__datar_mono__")
         )
 
     def reassign_order(self, *sort_keys: Column) -> "Tibble":
