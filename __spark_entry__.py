@@ -298,40 +298,46 @@ def q12_cumsum_running(spark, sf):
     return _finish(out)
 
 
-def q13_case_when_buckets(spark, sf):
-    """Covers: case_when, derived group_by, count."""
-    o = _t(spark, sf, "orders")
+def q13_conditionals(spark, sf):
+    """Covers: case_when, if_else, na_if, coalesce, derived group_by
+    (merged former q13 + q14 to free a slot in the 50-query budget)."""
+    li = _t(spark, sf, "lineitem")
     out = (
-        o
+        li
         >> mutate(
             bucket=case_when(
-                f.o_totalprice < 50000, "small",
-                f.o_totalprice < 150000, "medium",
+                f.l_extendedprice < 20000, "small",
+                f.l_extendedprice < 60000, "medium",
                 _default="large",
-            )
+            ),
+            disc0=na_if(f.l_discount, 0.0),
+            disc_filled=coalesce(f.disc0, -1.0),
+            is_cheap=if_else(f.l_extendedprice < 20000, 1, 0),
         )
-        >> count(f.bucket)
+        >> group_by(f.bucket)
+        >> summarise(
+            n=n(),
+            n_cheap=sum_(f.is_cheap, na_rm=True),
+            n_no_disc=sum_(if_else(f.disc_filled == -1.0, 1, 0), na_rm=True),
+        )
         >> arrange(f.bucket)
     )
     return _finish(out)
 
 
-def q14_if_else_na_if(spark, sf):
-    """Covers: if_else, na_if, coalesce, summarise of transformed col."""
-    li = _t(spark, sf, "lineitem")
+def q14_decontaminate(spark, sf):
+    """Covers: contamination_report (GPT-3/PaLM-style word-n-gram
+    decontamination; scale/filters.py). Benchmark = every 17th doc;
+    corpus 3-gram instances joined against broadcast distinct benchmark
+    grams, counted per doc — corpus side never shuffles."""
+    from datar_polars_spark.scale import contamination_report
+
+    d = _t(spark, sf, "documents")
+    bench = d >> filter_(f.doc_id % 17 == 0)
     out = (
-        li
-        >> mutate(
-            disc0=na_if(f.l_discount, 0.0),
-            disc_filled=coalesce(f.disc0, -1.0),
-            is_cheap=if_else(f.l_extendedprice < 20000, 1, 0),
-        )
-        >> group_by(f.l_returnflag)
-        >> summarise(
-            n_cheap=sum_(f.is_cheap, na_rm=True),
-            n_no_disc=sum_(if_else(f.disc_filled == -1.0, 1, 0), na_rm=True),
-        )
-        >> arrange(f.l_returnflag)
+        contamination_report(d, bench, text="text", id="doc_id", n=3)
+        >> filter_(f.contaminated_ngrams > 0)
+        >> arrange(f.doc_id)
     )
     return _finish(out)
 
@@ -788,15 +794,39 @@ def q44_add_count(spark, sf):
     return _finish(out)
 
 
-def q45_duplicated(spark, sf):
-    """Covers: duplicated() (R semantics: 2nd+ occurrence mask)."""
-    from datar_polars_spark.functions import duplicated
+def q45_gopher_packing(spark, sf):
+    """Covers: Gopher repetition metrics (top/dup word-bigram char
+    fractions, alpha-word ratio — scale/filters.py) + token counting +
+    pack_documents(mode="chunk") sequence packing, aggregated per pack.
+    duplicated() (former q45) retains pytest coverage."""
+    from datar_polars_spark.functions import builder
+    from datar_polars_spark.scale import pack_documents
 
-    li = _t(spark, sf, "lineitem")
+    top_ngram_char_fraction = builder("top_ngram_char_fraction")
+    dup_ngram_char_fraction = builder("dup_ngram_char_fraction")
+    alpha_word_ratio = builder("alpha_word_ratio")
+    token_count = builder("token_count")
+
+    d = _t(spark, sf, "documents")
     out = (
-        li
-        >> mutate(d=as_integer(duplicated(f.l_partkey, f.l_suppkey)))
-        >> summarise(n_dup=sum_(f.d, na_rm=True))
+        d
+        >> arrange(f.doc_id)
+        >> mutate(
+            toks=token_count(f.text),
+            top2=round_(top_ngram_char_fraction(f.text, 2), 4),
+            dup2=round_(dup_ngram_char_fraction(f.text, 2), 4),
+            awr=round_(alpha_word_ratio(f.text), 4),
+        )
+        >> pack_documents(tokens="toks", budget=500, mode="chunk")
+        >> group_by(f.pack_id)
+        >> summarise(
+            n_docs=n(),
+            tok_total=sum_(f.toks),
+            mean_top2=round_(mean(f.top2), 4),
+            mean_dup2=round_(mean(f.dup2), 4),
+            mean_awr=round_(mean(f.awr), 4),
+        )
+        >> arrange(f.pack_id)
     )
     return _finish(out)
 
@@ -1117,8 +1147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_topk_per_group": q10_topk_per_group,
         "q11_lag_delta": q11_lag_delta,
         "q12_cumsum_running": q12_cumsum_running,
-        "q13_case_when_buckets": q13_case_when_buckets,
-        "q14_if_else_na_if": q14_if_else_na_if,
+        "q13_conditionals": q13_conditionals,
+        "q14_decontaminate": q14_decontaminate,
         "q15_string_functions": q15_string_functions,
         "q16_bind_rows": q16_bind_rows,
         "q17_set_ops": q17_set_ops,
@@ -1144,7 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_cut_buckets": q42_cut_buckets,
         "q43_group_modify": q43_group_modify,
         "q44_add_count": q44_add_count,
-        "q45_duplicated": q45_duplicated,
+        "q45_gopher_packing": q45_gopher_packing,
         "q46_fct_collapse": q46_fct_collapse,
         "q47_row_stats": q47_row_stats,
         "q48_stream_windowed": q48_stream_windowed,
@@ -1251,20 +1281,33 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_orderkey
         """,
-        "q13_case_when_buckets": """
-            SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
-                        WHEN o_totalprice < 150000 THEN 'medium'
+        "q13_conditionals": """
+            SELECT CASE WHEN l_extendedprice < 20000 THEN 'small'
+                        WHEN l_extendedprice < 60000 THEN 'medium'
                         ELSE 'large' END AS bucket,
-                   COUNT(*) AS n
-            FROM orders GROUP BY 1
-            ORDER BY bucket
-        """,
-        "q14_if_else_na_if": """
-            SELECT l_returnflag,
+                   COUNT(*) AS n,
                    CAST(SUM(CASE WHEN l_extendedprice < 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_cheap,
                    CAST(SUM(CASE WHEN COALESCE(NULLIF(l_discount, 0.0), -1.0) = -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_disc
-            FROM lineitem GROUP BY l_returnflag
-            ORDER BY l_returnflag
+            FROM lineitem GROUP BY 1
+            ORDER BY bucket
+        """,
+        "q14_decontaminate": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                   x -> len(x) > 0) AS words
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram
+                FROM w),
+            b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0)
+            SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS contaminated_ngrams
+            FROM g JOIN b USING (gram)
+            GROUP BY g.doc_id
+            HAVING COUNT(*) > 0
+            ORDER BY doc_id
         """,
         "q15_string_functions": """
             SELECT c_custkey,
@@ -1549,11 +1592,46 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE n >= 18
             ORDER BY o_orderkey
         """,
-        "q45_duplicated": """
-            SELECT CAST(COUNT(*) - (
-                SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-            ) AS BIGINT) AS n_dup
-            FROM lineitem
+        "q45_gopher_packing": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                   x -> len(x) > 0) AS words,
+                       len(string_split_regex(trim(lower(text)), '\\s+')) AS toks,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> len(x) > 0) AS wtoks
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(words)),
+                              i -> words[i] || ' ' || words[i+1])) AS gram
+                FROM w),
+            g2 AS (SELECT doc_id, gram, COUNT(*) AS c, LEN(gram) AS L
+                   FROM g GROUP BY doc_id, gram),
+            m AS (SELECT doc_id, MAX(c * L) AS top_chars,
+                         SUM(CASE WHEN c > 1 THEN c * L ELSE 0 END) AS dup_chars
+                  FROM g2 GROUP BY doc_id),
+            metrics AS (
+                SELECT w.doc_id, w.toks,
+                       ROUND(COALESCE(m.top_chars, 0) * 1.0 / LEN(w.text), 4) AS top2,
+                       ROUND(COALESCE(m.dup_chars, 0) * 1.0 / LEN(w.text), 4) AS dup2,
+                       ROUND(len(list_filter(w.wtoks, x -> regexp_matches(x, '[A-Za-z]')))
+                             * 1.0 / len(w.wtoks), 4) AS awr
+                FROM w LEFT JOIN m USING (doc_id)),
+            packed AS (
+                SELECT *,
+                       CAST(FLOOR(COALESCE(SUM(toks) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           / 500.0) AS BIGINT) AS pack_id
+                FROM metrics)
+            SELECT pack_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS tok_total,
+                   ROUND(AVG(top2), 4) AS mean_top2,
+                   ROUND(AVG(dup2), 4) AS mean_dup2,
+                   ROUND(AVG(awr), 4) AS mean_awr
+            FROM packed GROUP BY pack_id
+            ORDER BY pack_id
         """,
         "q46_fct_collapse": """
             SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'

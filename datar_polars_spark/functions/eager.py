@@ -119,6 +119,17 @@ def _if_else(condition, true, false, missing=None):
 
 
 def _coalesce(*args):
+    """Elementwise when any argument is a vector (R semantics:
+    coalesce(c(NA,1), 1) == c(1,1)); scalar first-non-null otherwise."""
+    if any(isinstance(a, (list, tuple, range)) for a in args):
+        n = max(len(a) for a in args if isinstance(a, (list, tuple, range)))
+        cols = [
+            list(a) if isinstance(a, (list, tuple, range)) else [a] * n
+            for a in args
+        ]
+        return [
+            next((c[i] for c in cols if c[i] is not None), None) for i in range(n)
+        ]
     for a in args:
         if a is not None:
             return a
@@ -479,8 +490,56 @@ def _eager_sample(x, size=None, replace=False, prob=None, seed=None):
     return rng.sample(xs, min(n, len(xs)))
 
 
+def _eager_n_distinct(x, na_rm: bool = False):
+    xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+    isna = lambda v: v is None or (isinstance(v, float) and math.isnan(v))
+    vals = [v for v in xs if not isna(v)]
+    base = len(set(vals))
+    if na_rm:
+        return base
+    return base + (1 if len(vals) != len(xs) else 0)
+
+
+def _eager_recode(*args, _default=None, _missing=None, **kwargs):
+    """Dict / kwarg / (old, new) pair replacement on plain vectors
+    (reference test_recode.py; the column compiler handles Columns).
+    Unmatched values coerce to str when any replacement is a str.
+    First positional arg is the data — taken from *args so a column
+    named 'x' recoded by kwarg never collides with a parameter name."""
+    x, args = args[0], args[1:]
+    mapping: dict = {}
+    for a in args:
+        if isinstance(a, dict):
+            mapping.update(a)
+    pairs = [a for a in args if not isinstance(a, dict)]
+    for old, new in zip(pairs[::2], pairs[1::2]):
+        mapping[old] = new
+    mapping.update(kwargs)
+    if not mapping and _default is None and _missing is None:
+        raise ValueError("recode: no replacements provided")
+    coerce = any(isinstance(v, str) for v in mapping.values()) or isinstance(
+        _default, str
+    )
+    xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+    out = []
+    for v in xs:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            out.append(_missing)
+        elif v in mapping:
+            out.append(mapping[v])
+        elif str(v) in mapping:
+            out.append(mapping[str(v)])
+        elif _default is not None:
+            out.append(_default)
+        else:
+            out.append(str(v) if coerce else v)
+    return out if isinstance(x, (list, tuple, range)) else out[0]
+
+
 EAGER_IMPLS.update(
     {
+        "n_distinct": _eager_n_distinct,
+        "recode": _eager_recode,
         "sort": _eager_sort,
         "sample": _eager_sample,
         "order": _eager_order,

@@ -109,6 +109,12 @@ def tree_needs_pos(node) -> bool:
     if isinstance(node, Call):
         if node._fname in NEEDS_POS:
             return True
+        # with_order/order_by keyed by a plain list indexes the literal
+        # array by frame position
+        if node._fname in ("with_order", "order_by") and node._args and isinstance(
+            node._args[0], (list, tuple)
+        ):
+            return True
         return any(tree_needs_pos(a) for a in node._args) or any(
             tree_needs_pos(v) for v in node._kwargs.values()
         )

@@ -148,14 +148,25 @@ def _cumcount(ctx, x=None):
 
 
 @register("with_order")
-def _with_order(ctx, order, call):
+def _with_order(ctx, order, call, *args):
     """Evaluate a window expression with an explicit ordering instead of
     frame order (reference ``api/dplyr/order_by.py:26-145`` — there it
     sorts, applies, unsorts; Spark windows take the ordering natively,
-    so this just swaps the window key)."""
+    so this just swaps the window key). A plain-list order is a
+    per-position key: indexed out of a literal array by the
+    materialized frame position (``Tibble.ensure_pos``). The reference
+    3-arg form with_order(order, fun, x) builds fun(x) first."""
     from ..plans.expr import Desc
 
-    if isinstance(order, Desc):
+    if callable(call) and not hasattr(call, "_fname"):
+        call = call(*args)
+
+    if isinstance(order, (list, tuple)):
+        from ..plans.context import POS_COL
+
+        arr = F.array(*[F.lit(v) for v in order])
+        key = F.get(arr, F.col(POS_COL).cast("int")).asc()
+    elif isinstance(order, Desc):
         key = ctx.col(order._operand).desc()
     else:
         key = ctx.col(order).asc()

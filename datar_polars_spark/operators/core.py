@@ -93,8 +93,19 @@ def _expand_items(td: Tibble, args: tuple, kwargs: dict) -> list[tuple[str, Any]
             for name, node in expand_across(td, v):
                 items.append((f"{k}${name}", node))
         else:
-            items.append((k, v))
+            items.append((k, _verbcall_to_expr(v)))
     return items
+
+
+def _verbcall_to_expr(v: Any) -> Any:
+    """pick(...) used as a mutate value (reference pick.py: a sub-frame
+    column) arrives as an unapplied VerbCall — rewrite to the struct
+    compiler registered in misc.py."""
+    from ..plans.verb import VerbCall
+
+    if isinstance(v, VerbCall) and getattr(v._fn, "__name__", "") == "pick":
+        return Call("pick_struct", v._args, v._kwargs)
+    return v
 
 
 def _contains_call(node: Any) -> bool:

@@ -258,3 +258,22 @@ def dim(td: Tibble) -> tuple[int, int]:
 @verb
 def colnames(td: Tibble) -> list[str]:
     return td.columns
+
+
+# pick() as a mutate value: compile the selection to a struct column
+# (reference pick.py returns a sub-frame; a struct is the Spark
+# analogue — one JVM expression, no data movement)
+from ..functions.registry import register as _register
+
+
+@_register("pick_struct")
+def _pick_struct(ctx, *cols, **kwargs):
+    from ..plans.selection import resolve_selection
+
+    if not cols:
+        raise ValueError("pick() must supply at least one selector")
+    td = ctx.tibble
+    sel = resolve_selection(list(cols), td.columns, dict(td.dtypes))
+    if not sel:
+        raise ValueError("pick() selected no columns")
+    return F.struct(*[F.col(c) for c in sel])

@@ -24,6 +24,13 @@ from .similarity import (  # noqa: F401
     ivf_topk,
 )
 from . import text  # noqa: F401 (registers text-analysis functions)
+from .filters import (  # noqa: F401 (also registers repetition metrics)
+    gopher_quality_filter,
+    c4_clean,
+    decontaminate,
+    contamination_report,
+    pack_documents,
+)
 from .sessions import sessionize_batch, session_stats  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_binary_metadata,

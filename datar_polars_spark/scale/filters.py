@@ -1,0 +1,414 @@
+"""Training-data quality filters: Gopher-style repetition metrics,
+C4-style line heuristics, n-gram decontamination, PII redaction, and
+sequence packing.
+
+Everything row-local compiles to JVM expressions (split / higher-order
+array functions / regex) — no Python in the hot path; the only shuffles
+are the n-gram join in `decontaminate` and the cumsum in
+`pack_documents`. Repetition metrics follow the published Gopher
+(Rae et al. 2021, §A1.1) and C4 (Raffel et al. 2020, §2.2) filter
+definitions; the quadratic-in-lines HOF scans are per-document arrays
+(documents are KB-sized), so the work stays embarrassingly parallel at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from ..functions.registry import register
+from ..plans.verb import verb, verb2
+from ..tibble import Tibble
+
+__all__ = [
+    "gopher_quality_filter",
+    "c4_clean",
+    "decontaminate",
+    "contamination_report",
+    "pack_documents",
+]
+
+
+# --------------------------------------------------------------------------
+# row-local repetition metrics (registry functions, mutate/filter-able)
+# --------------------------------------------------------------------------
+
+def _lines(col: Column) -> Column:
+    return F.filter(F.split(col, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+
+
+def _paragraphs(col: Column) -> Column:
+    return F.filter(F.split(col, r"\n\n+"), lambda p: F.length(F.trim(p)) > 0)
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9']+"), lambda w: F.length(w) > 0)
+
+
+def _dup_fraction(arr: Column) -> Column:
+    """1 - distinct/total: fraction of segments that repeat an earlier one."""
+    n = F.size(arr)
+    return F.when(n > 0, 1.0 - F.size(F.array_distinct(arr)) / n).otherwise(0.0)
+
+
+def _dup_char_fraction(arr: Column) -> Column:
+    """Fraction of characters inside segments occurring more than once
+    (Gopher counts every occurrence of a duplicated segment)."""
+    total = F.aggregate(arr, F.lit(0.0), lambda a, l: a + F.length(l))
+    dup_chars = F.aggregate(
+        F.filter(arr, lambda l: F.size(F.filter(arr, lambda m: m == l)) > 1),
+        F.lit(0.0),
+        lambda a, l: a + F.length(l),
+    )
+    return F.when(total > 0, dup_chars / total).otherwise(0.0)
+
+
+@register("dup_line_fraction")
+def _dup_line_fraction(ctx, x):
+    return _dup_fraction(_lines(ctx.col(x)))
+
+
+@register("dup_paragraph_fraction")
+def _dup_paragraph_fraction(ctx, x):
+    return _dup_fraction(_paragraphs(ctx.col(x)))
+
+
+@register("dup_line_char_fraction")
+def _dup_line_char_fraction(ctx, x):
+    return _dup_char_fraction(_lines(ctx.col(x)))
+
+
+@register("dup_paragraph_char_fraction")
+def _dup_paragraph_char_fraction(ctx, x):
+    return _dup_char_fraction(_paragraphs(ctx.col(x)))
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (empty array when the doc
+    has fewer than n words)."""
+    count = F.size(words) - (n - 1)
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register("top_ngram_char_fraction")
+def _top_ngram_char_fraction(ctx, x, n: int = 2):
+    """Characters covered by the single most frequent word n-gram /
+    total characters (Gopher repetition signal, n=2..4)."""
+    col = ctx.col(x)
+    grams = _word_ngrams(_words(col), int(ctx.eval(n)))
+    total = F.length(col).cast("double")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda h: h == g)) * F.length(g),
+        )
+    )
+    return F.when(
+        (total > 0) & (F.size(grams) > 0), top / total
+    ).otherwise(0.0)
+
+
+@register("dup_ngram_char_fraction")
+def _dup_ngram_char_fraction(ctx, x, n: int = 5):
+    """Characters inside word n-grams that occur more than once / total
+    characters (Gopher, n=5..10)."""
+    col = ctx.col(x)
+    grams = _word_ngrams(_words(col), int(ctx.eval(n)))
+    total = F.length(col).cast("double")
+    dup_chars = F.aggregate(
+        F.filter(grams, lambda g: F.size(F.filter(grams, lambda h: h == g)) > 1),
+        F.lit(0.0),
+        lambda a, g: a + F.length(g),
+    )
+    return F.when(total > 0, dup_chars / total).otherwise(0.0)
+
+
+@register("symbol_word_ratio")
+def _symbol_word_ratio(ctx, x, symbols: str = "#…"):
+    """Symbols per word (Gopher drops docs with ratio > 0.1 for # and …)."""
+    col = ctx.col(x)
+    sym = str(ctx.eval(symbols))
+    pattern = "[" + "".join("\\" + c for c in sym) + "]"
+    n_sym = F.length(col) - F.length(F.regexp_replace(col, pattern, ""))
+    # '…' is often spelled '...': count both
+    if "…" in sym:
+        n_sym = n_sym + F.size(F.split(col, r"\.\.\.")) - 1
+    n_words = F.size(_words(col))
+    return F.when(n_words > 0, n_sym / n_words).otherwise(0.0)
+
+
+@register("bullet_line_fraction")
+def _bullet_line_fraction(ctx, x):
+    lines = _lines(ctx.col(x))
+    n = F.size(lines)
+    bullets = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•‣◦]|\d+[.)])"))
+    )
+    return F.when(n > 0, bullets / n).otherwise(0.0)
+
+
+@register("ellipsis_line_fraction")
+def _ellipsis_line_fraction(ctx, x):
+    lines = _lines(ctx.col(x))
+    n = F.size(lines)
+    ell = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    return F.when(n > 0, ell / n).otherwise(0.0)
+
+
+@register("alpha_word_ratio")
+def _alpha_word_ratio(ctx, x):
+    """Fraction of whitespace-tokens containing at least one letter
+    (Gopher requires ≥ 0.8)."""
+    toks = F.filter(F.split(F.trim(ctx.col(x)), r"\s+"), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n > 0, alpha / n).otherwise(0.0)
+
+
+@register("redact_pii")
+def _redact_pii(ctx, x):
+    """Mask emails, phone numbers, and IPv4 addresses with typed
+    placeholder tokens — regexp only, fully pushed to the JVM."""
+    col = ctx.col(x)
+    col = F.regexp_replace(
+        col, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    col = F.regexp_replace(
+        col, r"(\+?\d{1,3}[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"
+    )
+    col = F.regexp_replace(
+        col, r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"
+    )
+    return col
+
+
+# --------------------------------------------------------------------------
+# composite verbs
+# --------------------------------------------------------------------------
+
+@verb
+def gopher_quality_filter(
+    td: Tibble,
+    text: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_top_2gram_frac: float = 0.20,
+    min_alpha_word_ratio: float = 0.80,
+    keep_flags: bool = False,
+) -> Tibble:
+    """Gopher rule-set document filter (Rae et al. 2021 §A1.1): word
+    count bounds, duplicate line/paragraph fractions, top-bigram
+    character fraction, alphabetic-word ratio. keep_flags=True keeps
+    the per-rule booleans instead of filtering (for audit pipelines).
+    One narrow projection + filter — fully pushdown-friendly."""
+    col = F.col(text)
+    words = _words(col)
+    checks = {
+        "ok_word_count": F.size(words).between(min_words, max_words),
+        "ok_dup_lines": _dup_fraction(_lines(col)) <= max_dup_line_frac,
+        "ok_dup_paras": _dup_fraction(_paragraphs(col)) <= max_dup_para_frac,
+        "ok_top_2gram": (
+            F.when(
+                F.size(words) >= 2,
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(_word_ngrams(words, 2)),
+                        lambda g: F.size(
+                            F.filter(_word_ngrams(words, 2), lambda h: h == g)
+                        )
+                        * F.length(g),
+                    )
+                )
+                / F.length(col)
+            ).otherwise(F.lit(0.0))
+            <= max_top_2gram_frac
+        ),
+        "ok_alpha_ratio": (
+            F.size(F.filter(F.split(F.trim(col), r"\s+"), lambda t: t.rlike("[A-Za-z]")))
+            / F.greatest(F.size(F.filter(F.split(F.trim(col), r"\s+"),
+                                         lambda t: F.length(t) > 0)), F.lit(1))
+            >= min_alpha_word_ratio
+        ),
+    }
+    d = td.df
+    if keep_flags:
+        for name, c in checks.items():
+            d = d.withColumn(name, c)
+        return td.with_df(d)
+    cond = None
+    for c in checks.values():
+        cond = c if cond is None else (cond & c)
+    return td.with_df(d.filter(cond))
+
+
+@verb
+def c4_clean(td: Tibble, text: str = "text", min_line_words: int = 3) -> Tibble:
+    """C4-style line-level cleanup (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation and have ≥ min_line_words
+    words; drop documents mentioning lorem ipsum or containing '{'
+    (code), rejoin surviving lines. Pure array HOFs — one narrow map."""
+    col = F.col(text)
+    lines = F.split(col, r"\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"”]\s*$')
+        & (F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: F.length(w) > 0))
+           >= min_line_words),
+    )
+    cleaned = F.concat_ws("\n", kept)
+    d = (
+        td.df.withColumn(text, cleaned)
+        .filter(~F.lower(F.col(text)).contains("lorem ipsum"))
+        .filter(~F.col(text).contains("{"))
+        .filter(F.length(F.col(text)) > 0)
+    )
+    return td.with_df(d)
+
+
+def _ngram_hashes(df, text: str, idcol: str, n: int):
+    """(id, xxhash64(n-gram)) pairs, one row per n-gram — explode is
+    Spark's native flatMap, so generation is distributed and narrow."""
+    words = _words(F.col(text))
+    grams = _word_ngrams(words, n)
+    return df.select(
+        F.col(idcol), F.explode(grams).alias("__gram__")
+    ).select(idcol, F.xxhash64("__gram__").alias("__gh__"))
+
+
+@verb2
+def contamination_report(
+    td: Tibble,
+    benchmark: Tibble,
+    text: str = "text",
+    id: str = "doc_id",
+    bench_text: str | None = None,
+    n: int = 13,
+) -> Tibble:
+    """Per-document count of word n-grams shared with a benchmark set
+    (GPT-3/PaLM-style 13-gram decontamination audit). Corpus n-grams
+    stay distributed; benchmark n-grams are the small side of the join
+    (AQE broadcasts them), so the corpus never shuffles."""
+    bt = bench_text or text
+    corpus = _ngram_hashes(td.df, text, id, n)
+    bench_df = benchmark.df.withColumn("__bid__", F.lit(0))
+    bench = _ngram_hashes(bench_df, bt, "__bid__", n).select("__gh__").distinct()
+    hits = (
+        corpus.join(F.broadcast(bench), "__gh__")
+        .groupBy(id)
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+    )
+    out = (
+        td.df.select(id)
+        .join(hits, id, "left")
+        .withColumn(
+            "contaminated_ngrams", F.coalesce(F.col("contaminated_ngrams"), F.lit(0))
+        )
+    )
+    return Tibble(out)
+
+
+@verb2
+def decontaminate(
+    td: Tibble,
+    benchmark: Tibble,
+    text: str = "text",
+    id: str = "doc_id",
+    bench_text: str | None = None,
+    n: int = 13,
+    max_overlap: int = 0,
+) -> Tibble:
+    """Drop documents sharing more than max_overlap word n-grams with
+    the benchmark: contamination_report + anti-join on the offenders."""
+    report = contamination_report(
+        td, benchmark, text=text, id=id, bench_text=bench_text, n=n
+    )
+    bad = report.df.filter(F.col("contaminated_ngrams") > max_overlap).select(id)
+    return td.with_df(td.df.join(F.broadcast(bad), id, "left_anti"))
+
+
+@verb
+def pack_documents(
+    td: Tibble,
+    tokens: str = "n_tokens",
+    budget: int = 2048,
+    by: str | None = None,
+    mode: str = "chunk",
+) -> Tibble:
+    """Assign documents to fixed-token-budget packs for sequence
+    training.
+
+    mode="chunk" (default, deterministic, SQL-expressible): pack id =
+    floor(exclusive-prefix-sum(tokens) / budget) in frame order — the
+    standard streaming approximation of bin packing (each pack holds
+    ≤ budget tokens carried over plus at most one boundary doc). One
+    window over `by` partitions (or the global two-pass rewrite when
+    ungrouped), no Python.
+
+    mode="greedy" runs first-fit-decreasing *within* each `by`
+    partition via applyInPandas — tighter packs, one shuffle, local
+    quadratic work; requires `by`."""
+    t = td.ensure_order()
+    from ..plans.context import ORDER_COL
+
+    if mode == "chunk":
+        if by:
+            w = Window.partitionBy(by).orderBy(F.col(ORDER_COL).asc())
+            cum_excl = F.coalesce(
+                F.sum(tokens).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        else:
+            # ungrouped: inclusive two-pass distributed cumsum (no
+            # single-partition window) minus the row's own tokens
+            from ..plans.context import EvalContext
+
+            ctx = EvalContext(t, "eval")
+            cum_excl = ctx.cum_over("sum", F.col(tokens)) - F.col(tokens)
+        d = t.df.withColumn("pack_id", F.floor(cum_excl / F.lit(int(budget))))
+        return t.with_df(d)
+
+    if mode == "greedy":
+        if by is None:
+            raise ValueError("pack_documents(mode='greedy') requires by=")
+        import pandas as pd
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        # StructType.add mutates in place — build a fresh copy
+        out_schema = StructType(
+            list(t.df.schema.fields) + [StructField("pack_id", LongType())]
+        )
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(tokens, ascending=False).reset_index(drop=True)
+            packs: list[int] = []
+            remaining: list[int] = []
+            ids = []
+            for tk in pdf[tokens]:
+                placed = None
+                for i, r in enumerate(remaining):
+                    if tk <= r:
+                        placed = i
+                        break
+                if placed is None:
+                    remaining.append(int(budget) - int(tk))
+                    ids.append(len(remaining) - 1)
+                else:
+                    remaining[placed] -= int(tk)
+                    ids.append(placed)
+            pdf["pack_id"] = ids
+            return pdf
+
+        d = t.df.groupBy(by).applyInPandas(pack, schema=out_schema)
+        return t.with_df(d)
+
+    raise ValueError(f"pack_documents: unknown mode {mode!r}")

@@ -1,0 +1,191 @@
+"""Training-data quality filters: Gopher repetition metrics, C4 line
+cleanup, n-gram decontamination, PII redaction, sequence packing."""
+
+import pytest
+
+from datar_polars_spark import Tibble, f, arrange, filter_, mutate, pull, tibble
+from datar_polars_spark.functions import builder
+from datar_polars_spark.scale import (
+    c4_clean,
+    contamination_report,
+    decontaminate,
+    gopher_quality_filter,
+    pack_documents,
+)
+
+dup_line_fraction = builder("dup_line_fraction")
+dup_paragraph_fraction = builder("dup_paragraph_fraction")
+dup_line_char_fraction = builder("dup_line_char_fraction")
+top_ngram_char_fraction = builder("top_ngram_char_fraction")
+dup_ngram_char_fraction = builder("dup_ngram_char_fraction")
+symbol_word_ratio = builder("symbol_word_ratio")
+bullet_line_fraction = builder("bullet_line_fraction")
+alpha_word_ratio = builder("alpha_word_ratio")
+redact_pii = builder("redact_pii")
+
+
+def col(t, name):
+    return list(t.collect()[name])
+
+
+# ---- repetition metrics ---------------------------------------------------
+
+def test_dup_line_fraction(spark):
+    t = tibble(
+        spark,
+        text=["a line\nb line\na line\nc line", "x\ny\nz", ""],
+    )
+    out = t >> mutate(d=dup_line_fraction(f.text))
+    vals = col(out, "d")
+    assert vals[0] == pytest.approx(0.25)  # 4 lines, 3 distinct
+    assert vals[1] == 0.0
+    assert vals[2] == 0.0
+
+
+def test_dup_paragraph_fraction(spark):
+    t = tibble(spark, text=["p1\n\np2\n\np1", "solo"])
+    out = t >> mutate(d=dup_paragraph_fraction(f.text))
+    assert col(out, "d")[0] == pytest.approx(1 / 3)
+
+
+def test_dup_line_char_fraction(spark):
+    # "aa" twice (4 chars duplicated), "b" once → 4/5
+    t = tibble(spark, text=["aa\nb\naa"])
+    out = t >> mutate(d=dup_line_char_fraction(f.text))
+    assert col(out, "d")[0] == pytest.approx(4 / 5)
+
+
+def test_top_ngram_char_fraction(spark):
+    t = tibble(spark, text=["spam ham spam ham spam ham"])
+    out = t >> mutate(r=top_ngram_char_fraction(f.text, 2))
+    # bigrams: 'spam ham' x3 (8 chars each), 'ham spam' x2; top covers 24/26
+    assert col(out, "r")[0] == pytest.approx(24 / 26)
+
+
+def test_dup_ngram_char_fraction_zero_for_unique(spark):
+    t = tibble(spark, text=["one two three four five six seven eight"])
+    out = t >> mutate(r=dup_ngram_char_fraction(f.text, 5))
+    assert col(out, "r")[0] == 0.0
+
+
+def test_symbol_word_ratio(spark):
+    t = tibble(spark, text=["# hello # world"])
+    out = t >> mutate(r=symbol_word_ratio(f.text, "#"))
+    assert col(out, "r")[0] == pytest.approx(2 / 2)  # 2 '#', 2 words
+
+
+def test_bullet_and_alpha(spark):
+    t = tibble(spark, text=["- a\n- b\nplain c"])
+    out = t >> mutate(b=bullet_line_fraction(f.text), a=alpha_word_ratio(f.text))
+    assert col(out, "b")[0] == pytest.approx(2 / 3)
+    assert col(out, "a")[0] < 1.0  # '-' tokens carry no letters
+
+
+def test_redact_pii(spark):
+    t = tibble(
+        spark,
+        text=["mail me at joe@example.com or call 555-123-4567 from 10.0.0.1"],
+    )
+    out = t >> mutate(text=redact_pii(f.text))
+    v = col(out, "text")[0]
+    assert "<EMAIL>" in v and "<PHONE>" in v and "<IP>" in v
+    assert "joe@" not in v and "10.0.0.1" not in v
+
+
+# ---- gopher composite -----------------------------------------------------
+
+def _make_docs(spark):
+    good = " ".join(f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(15))
+    reps = "repeat line\n" * 40
+    short = "too short"
+    return tibble(spark, doc_id=[1, 2, 3], text=[good, reps, short])
+
+
+def test_gopher_filter_drops_bad(spark):
+    t = _make_docs(spark)
+    out = t >> gopher_quality_filter(text="text", min_words=20)
+    assert col(out, "doc_id") == [1]
+
+
+def test_gopher_flags_mode(spark):
+    t = _make_docs(spark)
+    out = t >> gopher_quality_filter(text="text", min_words=20, keep_flags=True)
+    pdf = out.collect()
+    assert "ok_word_count" in pdf.columns and len(pdf) == 3
+    flags = pdf.set_index("doc_id")
+    assert not flags.loc[2, "ok_dup_lines"]
+    assert not flags.loc[3, "ok_word_count"]
+
+
+# ---- c4 clean -------------------------------------------------------------
+
+def test_c4_clean_lines(spark):
+    t = tibble(
+        spark,
+        doc_id=[1, 2, 3],
+        text=[
+            "This is a proper sentence.\nshort\nAnother good line here!",
+            "code sample {\nreturn 1;\n}",
+            "totally lorem ipsum filler text here.",
+        ],
+    )
+    out = t >> c4_clean(text="text")
+    pdf = out.collect()
+    assert list(pdf["doc_id"]) == [1]
+    assert pdf["text"][0] == "This is a proper sentence.\nAnother good line here!"
+
+
+# ---- decontamination ------------------------------------------------------
+
+def test_contamination_and_decontaminate(spark):
+    secret = "alpha beta gamma delta epsilon"
+    corpus = tibble(
+        spark,
+        doc_id=[1, 2],
+        text=[f"prefix {secret} suffix words", "clean document with other words"],
+    )
+    bench = tibble(spark, text=[secret])
+    rep = corpus >> contamination_report(bench, text="text", id="doc_id", n=5)
+    pdf = rep.collect().set_index("doc_id")
+    assert pdf.loc[1, "contaminated_ngrams"] >= 1
+    assert pdf.loc[2, "contaminated_ngrams"] == 0
+    clean = corpus >> decontaminate(bench, text="text", id="doc_id", n=5)
+    assert col(clean, "doc_id") == [2]
+
+
+# ---- packing --------------------------------------------------------------
+
+def test_pack_documents_chunk(spark):
+    t = tibble(spark, doc_id=[1, 2, 3, 4, 5], n_tokens=[100, 100, 100, 100, 100])
+    out = t >> pack_documents(tokens="n_tokens", budget=250, mode="chunk")
+    pdf = out.collect().sort_values("doc_id")
+    # exclusive cumsum: 0,100,200,300,400 → packs 0,0,0,1,1
+    assert list(pdf["pack_id"]) == [0, 0, 0, 1, 1]
+
+
+def test_pack_documents_chunk_grouped(spark):
+    t = tibble(
+        spark,
+        grp=["a", "a", "b", "b"],
+        doc_id=[1, 2, 3, 4],
+        n_tokens=[200, 200, 200, 200],
+    )
+    out = t >> pack_documents(tokens="n_tokens", budget=300, by="grp")
+    pdf = out.collect().sort_values("doc_id")
+    assert list(pdf["pack_id"]) == [0, 0, 0, 0]  # resets per group
+
+
+def test_pack_documents_greedy(spark):
+    t = tibble(
+        spark,
+        grp=["g"] * 5,
+        doc_id=[1, 2, 3, 4, 5],
+        n_tokens=[900, 700, 300, 100, 100],
+    )
+    out = t >> pack_documents(tokens="n_tokens", budget=1000, by="grp", mode="greedy")
+    pdf = out.collect()
+    sums = pdf.groupby("pack_id")["n_tokens"].sum()
+    assert (sums <= 1000).all()
+    assert len(pdf) == 5
+    # FFD: [900,100], [700,300], [100] → 3 packs
+    assert pdf["pack_id"].nunique() == 3
