@@ -53,13 +53,15 @@ def _stacked_order(df):
 def bind_rows(*data: Any, _id: str | None = None, **kwargs: Any) -> Tibble:
     """Diagonal concat: union of columns, missing -> null (reference
     bind.py:38-93)."""
-    items: list[tuple[str, Tibble]] = []
+    # _id keys: 0-based integers for positional frames, the names for
+    # named frames (reference tests/dplyr/test_bind.py:29-50)
+    items: list[tuple[Any, Tibble]] = []
     for i, d in enumerate(data):
         if isinstance(d, (list, tuple)):
             for j, dd in enumerate(d):
-                items.append((str(len(items) + 1), ensure_tibble(dd)))
+                items.append((len(items), ensure_tibble(dd)))
         else:
-            items.append((str(len(items) + 1), ensure_tibble(d)))
+            items.append((len(items), ensure_tibble(d)))
     for k, d in kwargs.items():
         items.append((k, ensure_tibble(d)))
 

@@ -58,7 +58,8 @@ def verb2(fn: Callable) -> Callable:
         if (
             len(args) >= 2
             and isinstance(args[0], (Tibble, DataFrame))
-            and isinstance(args[1], (Tibble, DataFrame))
+            # a dict second table is a one-off frame (bind_cols(df, {...}))
+            and isinstance(args[1], (Tibble, DataFrame, dict))
         ):
             return fn(ensure_tibble(args[0]), *args[1:], **kwargs)
         if any(isinstance(v, (Tibble, DataFrame)) for v in kwargs.values()):

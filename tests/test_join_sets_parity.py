@@ -98,7 +98,7 @@ def test_bind_rows_id_tag(spark):
     a = tibble(spark, x=[1])
     b = tibble(spark, x=[2])
     out = bind_rows(a, b, _id="src").collect()
-    assert out["src"].tolist() == ["1", "2"]
+    assert out["src"].tolist() == [0, 1]  # reference: 0-based int ids
     assert out["x"].tolist() == [1, 2]
 
 
