@@ -9,6 +9,9 @@ from __future__ import annotations
 
 from . import aggregates, conditional, math, special, strings, types, vectors, window  # noqa: F401
 from .rbase import (  # noqa: F401
+    make_names,
+    make_unique,
+    identity_,
     seq,
     seq_len,
     length,
@@ -100,5 +103,5 @@ __all__ = sorted(
     | {"across", "Across", "cur_column", "grep", "outer"}
     | {"seq", "seq_len", "length", "rep", "rev_list", "sort_list", "order_list",
        "sample_list", "set_seed", "intersect", "union", "setdiff",
-       "setequal", "append_"}
+       "setequal", "append_", "make_names", "make_unique", "identity_"}
 )

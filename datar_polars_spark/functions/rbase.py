@@ -28,6 +28,9 @@ __all__ = [
     "setdiff",
     "setequal",
     "append_",
+    "make_names",
+    "make_unique",
+    "identity_",
 ]
 
 _rng = _random.Random()
@@ -185,3 +188,41 @@ def sample_list(x: Iterable | int, size: int | None = None,
     if replace:
         return [rng.choice(xs) for _ in range(size)]
     return rng.sample(xs, size)
+
+
+def make_names(names, unique: bool = False) -> list[str]:
+    """R make.names: syntactically valid names — invalid chars become
+    '.', names not starting with a letter/dot get an 'X' prefix
+    (datar-core helper listed in the reference API audit)."""
+    import re as _re
+
+    if isinstance(names, str):
+        names = [names]
+    out = []
+    for n in names:
+        n = str(n)
+        n = _re.sub(r"[^A-Za-z0-9._]", ".", n)
+        if not _re.match(r"^[A-Za-z.]", n) or _re.match(r"^\.\d", n):
+            n = "X" + n
+        out.append(n)
+    return make_unique(out) if unique else out
+
+
+def make_unique(names) -> list[str]:
+    """R make.unique: append .1, .2, ... to later duplicates (first
+    occurrence keeps the bare name)."""
+    seen: dict[str, int] = {}
+    out = []
+    for n in (str(x) for x in names):
+        if n in seen:
+            seen[n] += 1
+            out.append(f"{n}.{seen[n]}")
+        else:
+            seen[n] = 0
+            out.append(n)
+    return out
+
+
+def identity_(x):
+    """R identity()."""
+    return x

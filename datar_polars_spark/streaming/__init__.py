@@ -288,3 +288,56 @@ def run_to_memory(sdf: DataFrame, mode: str = "complete") -> "Any":
     q.awaitTermination()
     spark = sdf.sparkSession
     return spark.table(name).toPandas()
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Any,
+    left_time: Any,
+    right_time: Any,
+    watermark: str = "1 hour",
+    within: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join (Structured Streaming's two-sided
+    state-store join). Both sides get an event-time watermark so the
+    state store can evict; ``within`` adds the time-range predicate
+    (right.ts between left.ts and left.ts + within) that BOUNDS state —
+    without it an outer join cannot emit and inner-join state grows
+    until eviction. Keys join on equality; suffix `_r` disambiguates
+    right columns.
+
+    This is the streaming analogue of asof/range enrichment: at 100 TB
+    both sides shard by join key across the cluster and each executor
+    holds only its key-range's in-flight state."""
+    lt, rt = _name_of(left_time), _name_of(right_time)
+    keys = [by] if isinstance(by, str) else (
+        [_name_of(by)] if not isinstance(by, (list, tuple)) else [_name_of(k) for k in by]
+    )
+    left = _as_event_time(left, lt).withWatermark(lt, watermark)
+    right = _as_event_time(right, rt)
+    # disambiguate right-side column names (Spark rejects ambiguous refs
+    # in the join condition otherwise)
+    ren = {c: f"{c}_r" for c in right.columns if c not in keys}
+    for old, new in ren.items():
+        right = right.withColumnRenamed(old, new)
+    rt_r = ren.get(rt, rt)
+    right = right.withWatermark(rt_r, watermark)
+
+    cond = None
+    for k in keys:
+        c = left[k] == right[k]
+        cond = c if cond is None else (cond & c)
+    if within is not None:
+        rng = (right[rt_r] >= left[lt]) & (
+            right[rt_r] <= left[lt] + F.expr(f"INTERVAL {within}")
+        )
+        cond = cond & rng
+    joined = left.join(right, cond, how)
+    for k in keys:  # drop the right-side key copies, keep left's
+        joined = joined.drop(right[k])
+    return joined
+
+
+__all__.append("stream_stream_join")

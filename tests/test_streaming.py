@@ -134,3 +134,43 @@ def test_stream_write_parquet_roundtrip(spark, tmp_path):
     )
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.count() == read_parquet(spark, EVENTS).nrow()
+
+
+def test_stream_stream_join(spark):
+    """Watermarked two-sided join: every event inner-joins to itself
+    within the time bound, so comparing against the batch self-join
+    checks both the key equality and the range predicate."""
+    from datar_polars_spark.streaming import stream_stream_join
+
+    left = stream_read_parquet(spark, EVENTS)
+    right = stream_read_parquet(spark, EVENTS)
+    out = stream_stream_join(
+        left,
+        right,
+        by="user_id",
+        left_time=f.ts,
+        right_time=f.ts,
+        watermark="2 days",
+        within="1 hour",
+    )
+    # stream-stream joins emit in append mode only; aggregate in pandas
+    joined = run_to_memory(out.select("user_id"), mode="append")
+    got = joined.groupby("user_id").size().rename("count").reset_index()
+
+    from datar_polars_spark import read_parquet
+
+    b = read_parquet(spark, EVENTS).df.select("user_id", "ts")
+    b2 = b.withColumnRenamed("ts", "ts2")
+    batch = (
+        b.join(b2, "user_id")
+        .filter(
+            (F.col("ts2") >= F.col("ts"))
+            & (F.col("ts2") <= F.col("ts") + F.expr("INTERVAL 1 hour"))
+        )
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+    )
+    g = got.sort_values("user_id").reset_index(drop=True)
+    bt = batch.sort_values("user_id").reset_index(drop=True)
+    assert g["count"].tolist() == bt["count"].tolist()
