@@ -102,6 +102,26 @@ def tree_is_multi_value(node) -> bool:
 # (``Tibble.ensure_pos``, distributed two-pass id assignment)
 NEEDS_POS: set[str] = {"cur_group_rows"}
 
+# functions needing the materialized dense group-id column
+# (``Tibble.ensure_gid``, rank-over-distinct-keys broadcast join)
+NEEDS_GID: set[str] = {"cur_group_id", "n_groups_", "n_groups"}
+
+
+def tree_needs_gid(node) -> bool:
+    from ..plans.expr import BinOp, Call, Desc, UnaryOp
+
+    if isinstance(node, Call):
+        if node._fname in NEEDS_GID:
+            return True
+        return any(tree_needs_gid(a) for a in node._args) or any(
+            tree_needs_gid(v) for v in node._kwargs.values()
+        )
+    if isinstance(node, BinOp):
+        return tree_needs_gid(node._left) or tree_needs_gid(node._right)
+    if isinstance(node, (UnaryOp, Desc)):
+        return tree_needs_gid(node._operand)
+    return False
+
 
 def tree_needs_pos(node) -> bool:
     from ..plans.expr import BinOp, Call, Desc, UnaryOp

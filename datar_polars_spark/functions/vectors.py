@@ -327,10 +327,15 @@ def _cur_group(ctx):
 @register("cur_group_id")
 def _cur_group_id(ctx):
     """1-based id of the current row's group; keys sorted ascending
-    (dplyr group order). Global dense_rank — acceptable because group
-    cardinality, not row count, bounds the rank domain."""
+    (dplyr group order). Reads the materialized ``__datar_gid__``
+    column (``Tibble.ensure_gid``: rank over DISTINCT keys broadcast-
+    joined back) — ``dense_rank().over(Window.orderBy(keys))`` would
+    sort every row of the table through a single task."""
     if not ctx.groups:
         return F.lit(1)
+    if "__datar_gid__" in ctx.tibble.df.columns:
+        gid = F.col("__datar_gid__")
+        return F.first(gid) if ctx.mode == "agg" else gid
     return F.dense_rank().over(
         Window.orderBy(*[F.col(g).asc_nulls_last() for g in ctx.groups])
     )
@@ -340,6 +345,13 @@ def _cur_group_id(ctx):
 def _n_groups_expr(ctx):
     if not ctx.groups:
         return F.lit(1)
+    df = ctx.tibble.df
+    if "__datar_gid__" in df.columns and not df.isStreaming:
+        # gid is dense 1..k: its max IS the group count — one tiny
+        # map-side-combined agg job, inlined as a literal (the global
+        # collect_set window below funnels every row through one task)
+        n = df.agg(F.max("__datar_gid__")).first()[0]
+        return F.lit(n)
     # struct keys, not string concat: concat_ws skips nulls, conflating
     # ('a', NULL) with (NULL, 'a')
     key = F.struct(*[F.col(g) for g in ctx.groups])

@@ -22,7 +22,7 @@ from ..plans.selection import resolve_selection
 from ..plans.verb import verb
 from ..tibble import Tibble
 from ..functions.across import Across, expand_across
-from ..functions.registry import tree_needs_order, tree_needs_pos
+from ..functions.registry import tree_needs_gid, tree_needs_order, tree_needs_pos
 
 __all__ = [
     "select",
@@ -251,6 +251,8 @@ def mutate(
         td = td.ensure_order()
     if any(tree_needs_pos(node) for _, node in items):
         td = td.ensure_pos()
+    if any(tree_needs_gid(node) for _, node in items):
+        td = td.ensure_gid()
     ctx = EvalContext(td, "eval")
     df = td.df
     orig_cols = td.columns
@@ -459,6 +461,8 @@ def summarise(td: Tibble, *args: Any, _groups: str | None = None, **kwargs: Any)
         td = td.ensure_order()
     if any(tree_needs_pos(node) for _, node in items):
         td = td.ensure_pos()
+    if any(tree_needs_gid(node) for _, node in items):
+        td = td.ensure_gid()
     ctx = EvalContext(td, "agg")
     gvars = list(td.group_vars)
 

@@ -175,6 +175,40 @@ class Tibble:
             d.withColumn(POS_COL, pos.cast("long")).drop("__datar_mono__")
         )
 
+    def ensure_gid(self) -> "Tibble":
+        """Materialize __datar_gid__: 1-based dense group id in key-sorted
+        order. The rank window runs over the DISTINCT keys only (group
+        cardinality, not row count — tiny), then broadcast-joins back, so
+        the fact table never funnels through one task the way
+        ``dense_rank().over(Window.orderBy(keys))`` would."""
+        GID = "__datar_gid__"
+        if GID in self._df.columns:
+            return self
+        gvars = list(self.group_vars)
+        if not gvars:
+            return self.with_df(self._df.withColumn(GID, F.lit(1)))
+        from pyspark.sql import Window
+
+        keys = (
+            self._df.select(*gvars)
+            .distinct()
+            .withColumn(
+                GID,
+                F.dense_rank().over(
+                    Window.orderBy(*[F.col(g).asc_nulls_last() for g in gvars])
+                ),
+            )
+        )
+        joined = self._df.join(
+            F.broadcast(keys),
+            [self._df[g].eqNullSafe(keys[g]) for g in gvars],
+            "left",
+        )
+        # keep the left copy of each key column
+        for g in gvars:
+            joined = joined.drop(keys[g])
+        return self.with_df(joined)
+
     def reassign_order(self, *sort_keys: Column) -> "Tibble":
         """Global sort + distributed order-id reassignment (no global window)."""
         d = self._df.orderBy(*sort_keys)

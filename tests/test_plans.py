@@ -214,3 +214,17 @@ def test_grouped_agg_filter_avoids_window_shuffle(spark):
     plan = _plan(td)
     assert "Window" not in plan
     assert not re.search(r"__datar_gagg_|__datar_gk_", plan.split("Project")[0])
+
+
+def test_cur_group_id_avoids_global_sort_window(spark):
+    """cur_group_id materializes via rank-over-distinct-keys broadcast
+    join (Tibble.ensure_gid): the fact table must NOT pass through a
+    single-partition global sort window."""
+    from datar_polars_spark.functions import builder
+
+    cur_group_id = builder("cur_group_id")
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
+    td = li >> group_by(f.l_returnflag) >> mutate(gid=cur_group_id())
+    plan = _plan(td)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert not re.search(r"Window.*\n.*SinglePartition", plan)
