@@ -49,6 +49,8 @@ from .sources import (  # noqa: F401
     write_orc,
     write_bucketed,
     read_table,
+    read_text,
+    write_text,
 )
 from . import scale  # noqa: F401  (registers text-analysis functions)
 

@@ -30,6 +30,8 @@ from .filters import (  # noqa: F401 (also registers repetition metrics)
     decontaminate,
     contamination_report,
     pack_documents,
+    hash_split,
+    stratified_sample,
 )
 from .sessions import sessionize_batch, session_stats  # noqa: F401
 from .multimodal import (  # noqa: F401

@@ -27,6 +27,8 @@ __all__ = [
     "decontaminate",
     "contamination_report",
     "pack_documents",
+    "hash_split",
+    "stratified_sample",
 ]
 
 
@@ -412,3 +414,45 @@ def pack_documents(
         return t.with_df(d)
 
     raise ValueError(f"pack_documents: unknown mode {mode!r}")
+
+
+@verb
+def hash_split(
+    td: Tibble,
+    id: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    col: str = "split",
+) -> Tibble:
+    """Deterministic train/val/test assignment: bucket = xxhash64 of
+    (salt, id) mod 10_000 mapped onto the cumulative weight ranges.
+    Stable across runs/cluster sizes (pure function of the id — the
+    property that keeps training and eval sets disjoint as the corpus
+    grows), no shuffle, no RNG state."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(id)), F.lit(10_000))
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w / total
+        cond = bucket < F.lit(int(round(acc * 10_000)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    d = td.df.withColumn(col, expr)
+    return td.with_df(d)
+
+
+@verb
+def stratified_sample(
+    td: Tibble,
+    by: str,
+    fractions: dict | float,
+    seed: int = 7,
+) -> Tibble:
+    """Per-stratum Bernoulli sample (DataFrame.sampleBy — one narrow
+    pass, no shuffle). fractions: {stratum: fraction} or a single
+    fraction applied to every stratum."""
+    if isinstance(fractions, float):
+        keys = [r[0] for r in td.df.select(by).distinct().collect()]
+        fractions = {k: fractions for k in keys}
+    return td.with_df(td.df.sampleBy(by, fractions=fractions, seed=seed))

@@ -148,3 +148,27 @@ def write_bucketed(
 def read_table(spark: SparkSession, table: str) -> Tibble:
     """Read a catalog table (bucketed metadata preserved)."""
     return Tibble(spark.table(table))
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> Tibble:
+    """Plain-text source for document pipelines: one row per line
+    (default) or per file (whole_file=True — document-shaped, adds the
+    source path column). Distributed scan; lines never pass through
+    the driver."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read
+    if whole_file:
+        df = reader.text(path, wholetext=True)
+        df = df.withColumn("path", F.input_file_name()).withColumnRenamed(
+            "value", "text"
+        )
+        return Tibble(df.select("path", "text"))
+    return Tibble(reader.text(path).withColumnRenamed("value", "text"))
+
+
+def write_text(td: Tibble, path: str, col: str = "text", mode: str = "overwrite") -> None:
+    """Write one string column as plain text files (one row per line)."""
+    td.df.select(col).write.mode(mode).text(path)

@@ -189,3 +189,36 @@ def test_pack_documents_greedy(spark):
     assert len(pdf) == 5
     # FFD: [900,100], [700,300], [100] → 3 packs
     assert pdf["pack_id"].nunique() == 3
+
+
+# ---- dataset splits -------------------------------------------------------
+
+def test_hash_split_deterministic_and_disjoint(spark):
+    from datar_polars_spark.scale import hash_split
+
+    t = tibble(spark, doc_id=list(range(1000)))
+    a = (t >> hash_split(id="doc_id")).collect()
+    b = (t >> hash_split(id="doc_id")).collect()
+    assert a["split"].tolist() == b["split"].tolist()  # pure function of id
+    counts = a["split"].value_counts()
+    assert counts.get("train", 0) > 900  # ~98%
+    assert set(counts.index) <= {"train", "val", "test"}
+
+
+def test_hash_split_custom_weights(spark):
+    from datar_polars_spark.scale import hash_split
+
+    t = tibble(spark, doc_id=list(range(2000)))
+    out = (t >> hash_split(id="doc_id", weights={"a": 0.5, "b": 0.5})).collect()
+    counts = out["split"].value_counts()
+    assert abs(counts["a"] - counts["b"]) < 300  # roughly balanced
+
+
+def test_stratified_sample(spark):
+    from datar_polars_spark.scale import stratified_sample
+
+    t = tibble(spark, g=["x"] * 500 + ["y"] * 500, v=list(range(1000)))
+    out = (t >> stratified_sample(by="g", fractions={"x": 0.1, "y": 0.9})).collect()
+    cx = (out["g"] == "x").sum()
+    cy = (out["g"] == "y").sum()
+    assert cx < 150 and cy > 350  # fractions respected per stratum

@@ -167,3 +167,24 @@ def test_sink_roundtrips(spark, tmp_path):
         back = (reader(spark, p) >> arrange(f.k)).collect()
         assert back["k"].tolist() == [1, 2, 3]
         assert back["s"].tolist() == ["a", "b", "c"]
+
+
+def test_read_write_text_roundtrip(spark, tmp_path):
+    from datar_polars_spark import read_text, write_text, tibble
+
+    t = tibble(spark, text=["line one", "line two", "line three"])
+    out = str(tmp_path / "txt")
+    write_text(t, out)
+    back = read_text(spark, out)
+    assert sorted(back.collect()["text"]) == ["line one", "line three", "line two"]
+
+
+def test_read_text_whole_file(spark, tmp_path):
+    from datar_polars_spark import read_text
+
+    p = tmp_path / "doc.txt"
+    p.write_text("alpha\nbeta\n")
+    td = read_text(spark, str(p), whole_file=True)
+    pdf = td.collect()
+    assert list(pdf.columns) == ["path", "text"]
+    assert pdf["text"][0] == "alpha\nbeta\n"
