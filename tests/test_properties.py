@@ -112,3 +112,66 @@ def test_arrange_desc_then_asc_roundtrip(spark, xs):
     td = tibble(spark, x=xs)
     got = (td >> arrange(desc(f.x)) >> arrange(f.x)).collect()
     assert got["x"].tolist() == sorted(xs)
+
+
+# ---- column reorderers (sort/order/rank) vs python oracles ----------------
+
+@given(xs=vals)
+@SET
+def test_sort_column_matches_python(spark, xs):
+    from datar_polars_spark.functions import sort_
+
+    td = tibble(spark, x=xs)
+    got = list((td >> mutate(s=sort_(f.x))).collect()["s"])
+    assert got == sorted(xs)
+
+
+@given(xs=vals)
+@SET
+def test_order_column_is_argsort(spark, xs):
+    from datar_polars_spark.functions import order_
+
+    td = tibble(spark, x=xs)
+    got = list((td >> mutate(o=order_(f.x))).collect()["o"])
+    exp = sorted(range(len(xs)), key=lambda i: (xs[i], i))
+    assert got == exp
+
+
+@given(xs=vals)
+@SET
+def test_rank_min_matches_python(spark, xs):
+    from datar_polars_spark.functions import rank
+
+    td = tibble(spark, x=xs)
+    got = list((td >> mutate(r=rank(f.x, ties_method="min"))).collect()["r"])
+    exp = [1 + sum(1 for y in xs if y < v) for v in xs]
+    assert got == exp
+
+
+@given(xs=vals)
+@SET
+def test_rank_average_matches_python(spark, xs):
+    from datar_polars_spark.functions import rank
+
+    td = tibble(spark, x=xs)
+    got = list((td >> mutate(r=rank(f.x))).collect()["r"])
+    exp = [
+        (1 + sum(1 for y in xs if y < v) + sum(1 for y in xs if y <= v)) / 2
+        for v in xs
+    ]
+    assert got == pytest.approx(exp)
+
+
+@given(xs=st.lists(st.text(alphabet="ab \n", min_size=0, max_size=30), min_size=1, max_size=6))
+@SET
+def test_dup_line_fraction_bounds_and_python_oracle(spark, xs):
+    from datar_polars_spark.functions import builder
+
+    dup_line_fraction = builder("dup_line_fraction")
+    td = tibble(spark, t=xs)
+    got = list((td >> mutate(d=dup_line_fraction(f.t))).collect()["d"])
+    for v, s in zip(got, xs):
+        lines = [l for l in s.split("\n") if l.strip()]
+        exp = 1 - len(set(lines)) / len(lines) if lines else 0.0
+        assert v == pytest.approx(exp)
+        assert 0.0 <= v < 1.0 or v == 0.0
