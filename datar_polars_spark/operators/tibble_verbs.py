@@ -37,6 +37,8 @@ __all__ = [
     "as_tibble",
     "lazy_",
     "collect_",
+    "cache_",
+    "unpersist_",
     "group_by_drop_default",
 ]
 
@@ -311,3 +313,25 @@ def collect_(td: Tibble):
 def group_by_drop_default(td: Tibble) -> bool:
     """The tibble's current _drop setting (dplyr helper of the same name)."""
     return td.group_drop
+
+
+@verb
+def cache_(td: Tibble, storage_level: str | None = None) -> Tibble:
+    """Persist the frame across actions (Spark's cache/persist).
+    Multi-stage pipelines that trigger several jobs (dedup's candidate
+    generation, packing's offset pass, repeated downstream counts)
+    otherwise re-evaluate the whole upstream plan per action."""
+    if storage_level:
+        from pyspark import StorageLevel
+
+        td.df.persist(getattr(StorageLevel, storage_level))
+    else:
+        td.df.cache()
+    return td
+
+
+@verb
+def unpersist_(td: Tibble, blocking: bool = False) -> Tibble:
+    """Release a cached frame's storage."""
+    td.df.unpersist(blocking)
+    return td

@@ -188,3 +188,13 @@ def test_read_text_whole_file(spark, tmp_path):
     pdf = td.collect()
     assert list(pdf.columns) == ["path", "text"]
     assert pdf["text"][0] == "alpha\nbeta\n"
+
+
+def test_cache_unpersist_roundtrip(spark):
+    from datar_polars_spark import cache_, unpersist_, tibble, mutate, f
+
+    t = tibble(spark, x=[1, 2, 3]) >> mutate(y=f.x * 2) >> cache_()
+    assert t.df.is_cached
+    assert t.nrow() == 3  # materializes the cache
+    t2 = t >> unpersist_()
+    assert not t2.df.is_cached
