@@ -549,3 +549,40 @@ EAGER_IMPLS.update(
         "outer": _eager_outer,
     }
 )
+
+
+# ---- trig family, scalar/list dispatch (reference tests/base/test_trig.py
+# scalar + Series registrations; the deferred compilers live in math.py) ---
+
+def _safe(fn):
+    """R semantics: out-of-domain -> NaN (math.* raises ValueError)."""
+
+    def run(v):
+        try:
+            return fn(v)
+        except (ValueError, OverflowError):
+            return float("nan")
+
+    return run
+
+
+EAGER_IMPLS.update(
+    {
+        "sin": _unary(math.sin),
+        "cos": _unary(math.cos),
+        "tan": _unary(math.tan),
+        "asin": _unary(_safe(math.asin)),
+        "acos": _unary(_safe(math.acos)),
+        "atan": _unary(math.atan),
+        "sinh": _unary(math.sinh),
+        "cosh": _unary(math.cosh),
+        "tanh": _unary(math.tanh),
+        "asinh": _unary(math.asinh),
+        "acosh": _unary(_safe(math.acosh)),
+        "atanh": _unary(_safe(math.atanh)),
+        "sinpi": _unary(lambda v: math.sin(math.pi * v)),
+        "cospi": _unary(lambda v: math.cos(math.pi * v)),
+        "tanpi": _unary(lambda v: math.tan(math.pi * v)),
+        "atan2": _binary(math.atan2),
+    }
+)

@@ -281,20 +281,34 @@ def column_to_rownames(td: Tibble, var: str = "rowname") -> Tibble:
     return out
 
 
-def as_tibble(data: Any, spark: SparkSession | None = None) -> Tibble:
+def as_tibble(
+    data: Any, spark: SparkSession | None = None, name_repair: Any = "minimal"
+) -> Tibble:
     """Coerce a Spark DataFrame / dict / pandas frame to a Tibble
-    (reference ``tibble.py:211-253``)."""
+    (reference ``tibble.py:211-253``). ``name_repair`` matters here:
+    Spark DataFrames CAN carry duplicate column names (e.g. after a
+    join) — "unique" repairs them positionally via ``toDF``."""
     import pandas as pd
 
-    from ..tibble import ensure_tibble
+    from ..tibble import ensure_tibble, repair_names
 
     if isinstance(data, Tibble):
-        return data
-    if isinstance(data, dict):
-        return tibble(spark or _spark(), **data)
-    if isinstance(data, pd.DataFrame):
-        return from_pandas(spark or _spark(), data)
-    return ensure_tibble(data)
+        out = data
+    elif isinstance(data, dict):
+        out = tibble(spark or _spark(), **data)
+    elif isinstance(data, pd.DataFrame):
+        out = from_pandas(spark or _spark(), data)
+    else:
+        out = ensure_tibble(data)
+    if name_repair != "minimal":
+        cols = list(out.df.columns)
+        visible = [c for c in cols if not c.startswith("__datar_")]
+        repaired = repair_names(visible, name_repair)
+        it = iter(repaired)
+        newcols = [next(it) if not c.startswith("__datar_") else c for c in cols]
+        if newcols != cols:
+            out = out.with_df(out.df.toDF(*newcols))
+    return out
 
 
 @verb

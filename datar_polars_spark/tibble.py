@@ -293,12 +293,59 @@ def from_pandas(spark: SparkSession, pdf) -> Tibble:
     return Tibble(df.select(*order))
 
 
-def tibble(spark: SparkSession = None, /, _rows: int | None = None, **columns) -> Tibble:
+def repair_names(names: list[str], how="check_unique") -> list[str]:
+    """tibble _name_repair protocol (reference ``api/tibble.py`` /
+    tests/tibble name-repair cases): "check_unique" errors on
+    duplicates, "unique" suffixes them x__0/x__1, "minimal" keeps them,
+    "universal" additionally makes them syntactic, and a list is a
+    positional rename."""
+    if isinstance(how, (list, tuple)):
+        if len(how) != len(names):
+            raise ValueError(
+                f"_name_repair: {len(how)} names for {len(names)} columns"
+            )
+        return [str(n) for n in how]
+    if how == "minimal":
+        return list(names)
+    if how == "check_unique":
+        seen = set()
+        for n in names:
+            if n in seen:
+                raise ValueError(f"tibble: duplicate column name {n!r}")
+            seen.add(n)
+        return list(names)
+    if how in ("unique", "universal"):
+        from .functions.rbase import make_names
+
+        counts: dict[str, int] = {}
+        for n in names:
+            counts[n] = counts.get(n, 0) + 1
+        idx: dict[str, int] = {}
+        out = []
+        for n in names:
+            if counts[n] > 1:
+                k = idx.get(n, 0)
+                idx[n] = k + 1
+                out.append(f"{n}__{k}")
+            else:
+                out.append(n)
+        return make_names(out) if how == "universal" else out
+    raise ValueError(f"unknown _name_repair: {how!r}")
+
+
+def tibble(
+    spark: SparkSession = None,
+    /,
+    _rows: int | None = None,
+    _name_repair="check_unique",
+    **columns,
+) -> Tibble:
     """Construct a Tibble from python vectors/scalars (reference
     ``api/tibble.py:45-208``). Length-1 values are recycled; expression
     values (``b=f.a * 2``) are deferred — evaluated against the columns
     to their left, preserving argument order; ``_rows`` makes an empty
-    n-row frame."""
+    n-row frame; ``_name_repair`` follows the reference protocol
+    (kwargs can't collide, so it matters for the list-rename form)."""
     import pandas as pd
 
     from .plans.expr import Expr
@@ -334,4 +381,11 @@ def tibble(spark: SparkSession = None, /, _rows: int | None = None, **columns) -
 
         out = mutate(out, **exprs)
         out = select(out, *[Ref(k) for k in columns])
+    if _name_repair != "check_unique":  # kwargs are unique by construction
+        repaired = repair_names(out.columns, _name_repair)
+        d = out.df
+        for old, new in zip(out.columns, repaired):
+            if old != new:
+                d = d.withColumnRenamed(old, new)
+        out = out.with_df(d)
     return out

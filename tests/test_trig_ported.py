@@ -189,3 +189,82 @@ class TestDomainEdges:
         assert got["a"].isna().tolist() == [True, False]
         assert got["b"].isna().tolist() == [True, False]
         assert got["c"].isna().tolist() == [True, False]
+
+
+# -- scalar / list dispatch (reference test_trig.py *_scalar/*_series
+# forms; exercises functions/eager.py rather than the column compilers) ----
+
+class TestTrigScalarDispatch:
+    def test_log_scalar_default(self):
+        assert log(math.e) == pytest.approx(1.0)
+
+    def test_log_scalar_base2(self):
+        assert log(8, 2) == pytest.approx(3.0)
+
+    def test_log_scalar_base10(self):
+        assert log(1000, 10) == pytest.approx(3.0)
+
+    def test_log2_scalar(self):
+        assert log2(8) == pytest.approx(3.0)
+
+    def test_log10_scalar(self):
+        assert log10(100) == pytest.approx(2.0)
+
+    def test_exp_scalar(self):
+        assert exp(1.0) == pytest.approx(math.e)
+        assert exp(0.0) == pytest.approx(1.0)
+
+    def test_log1p_scalar(self):
+        assert log1p(0.0) == pytest.approx(0.0)
+        assert log1p(math.e - 1) == pytest.approx(1.0)
+
+    def test_cos_scalar(self):
+        assert cos(0.0) == pytest.approx(1.0)
+        assert cos(math.pi) == pytest.approx(-1.0)
+
+    def test_sin_scalar(self):
+        assert sin(0.0) == pytest.approx(0.0)
+        assert sin(math.pi / 2) == pytest.approx(1.0)
+
+    def test_tan_scalar(self):
+        assert tan(0.0) == pytest.approx(0.0)
+        assert tan(math.pi / 4) == pytest.approx(1.0)
+
+    def test_cosh_sinh_tanh_scalar(self):
+        assert cosh(0.0) == pytest.approx(1.0)
+        assert sinh(0.0) == pytest.approx(0.0)
+        assert tanh(0.0) == pytest.approx(0.0)
+
+    def test_acos_asin_atan_scalar(self):
+        assert acos(1.0) == pytest.approx(0.0)
+        assert asin(1.0) == pytest.approx(math.pi / 2)
+        assert atan(1.0) == pytest.approx(math.pi / 4)
+
+    def test_acos_out_of_domain_nan(self):
+        assert math.isnan(acos(2.0))
+        assert math.isnan(asin(-2.0))
+
+    def test_acosh_asinh_atanh_scalar(self):
+        assert acosh(1.0) == pytest.approx(0.0)
+        assert asinh(0.0) == pytest.approx(0.0)
+        assert atanh(0.0) == pytest.approx(0.0)
+        assert math.isnan(acosh(0.5))
+
+    def test_atan2_scalar(self):
+        assert atan2(1.0, 1.0) == pytest.approx(math.pi / 4)
+        assert atan2(0.0, 1.0) == pytest.approx(0.0)
+
+    def test_pi_variants_scalar(self):
+        assert cospi(1.0) == pytest.approx(-1.0)
+        assert sinpi(0.5) == pytest.approx(1.0)
+        assert tanpi(0.25) == pytest.approx(1.0)
+
+    def test_series_forms(self):
+        assert sin([0.0, math.pi / 2]) == pytest.approx([0.0, 1.0])
+        assert cos([0.0, math.pi]) == pytest.approx([1.0, -1.0])
+        assert log([1.0, math.e]) == pytest.approx([0.0, 1.0])
+        assert exp([0.0, 1.0]) == pytest.approx([1.0, math.e])
+
+    def test_series_none_propagates(self):
+        out = sin([0.0, None])
+        assert out[0] == pytest.approx(0.0) and out[1] is None
