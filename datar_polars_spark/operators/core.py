@@ -298,7 +298,12 @@ def mutate(
         cols_now = [c for c in df.columns if not c.startswith("__datar_")]
         rest = [c for c in cols_now if c not in new_cols]
         anchor_sel = _before if _before is not None else _after
-        anchor = resolve_selection([anchor_sel], orig_cols, _dtype_map(td))[0]
+        if isinstance(anchor_sel, int) and not isinstance(anchor_sel, bool):
+            # integer anchors are 0-based column positions (reference
+            # tests/dplyr/test_mutate.py before_int/after_int)
+            anchor = orig_cols[anchor_sel]
+        else:
+            anchor = resolve_selection([anchor_sel], orig_cols, _dtype_map(td))[0]
         idx = rest.index(anchor) + (0 if _before is not None else 1)
         order = rest[:idx] + new_cols + rest[idx:]
         df = _ordered_select(df, order)

@@ -545,3 +545,43 @@ class TestSelectPull:
         td = tibble(spark, a=[1], b=[2], c=[3])
         out = td >> select(f.c, f.a)
         assert out.columns == ["c", "a"]
+
+
+# -- mutate placement/selection corners (reference test_mutate.py) ----------
+
+class TestMutatePlacementCorners:
+    def test_before_int(self, spark):
+        df = tibble(spark, x=[1], y=[2])
+        out = df >> mutate(z=1, _before=1)
+        assert out.columns == ["x", "z", "y"]
+
+    def test_after_int(self, spark):
+        df = tibble(spark, x=[1], y=[2])
+        out = df >> mutate(z=1, _after=0)
+        assert out.columns == ["x", "z", "y"]
+
+    def test_keep_unused(self, spark):
+        df = tibble(spark, x=[1], y=[2])
+        out = df >> mutate(x1=f.x + 1, _keep="unused")
+        assert "x1" in out.columns and "y" in out.columns and "x" not in out.columns
+
+    def test_mutate_with_across_range(self, spark):
+        from datar_polars_spark.functions import across
+
+        df = tibble(spark, a=[1, 2], b=[3, 4])
+        out = (df >> mutate(across(f[f.a:], lambda c: c + 1))).collect()
+        assert list(out["a"]) == [2, 3]
+        assert list(out["b"]) == [4, 5]
+
+    def test_mutate_rowwise_arithmetic(self, spark):
+        from datar_polars_spark import rowwise
+
+        df = tibble(spark, a=[1, 2], b=[3, 4])
+        out = df >> rowwise() >> mutate(c=f.a + f.b)
+        assert list(out.collect()["c"]) == [4, 6]
+
+    def test_group_vars_preserved_when_overwriting_group_col(self, spark):
+        df = tibble(spark, g=[1, 2], x=[3, 4])
+        out = df >> group_by(f.g) >> mutate(g=f.g * 10)
+        assert list(out.group_vars) == ["g"]
+        assert sorted(out.collect()["g"]) == [10, 20]
