@@ -586,3 +586,130 @@ EAGER_IMPLS.update(
         "atan2": _binary(math.atan2),
     }
 )
+
+
+# ---- string family, scalar/list dispatch (reference test_string.py /
+# test_string_ext.py *_scalar forms; column compilers live in strings.py) --
+
+def _str_elementwise(fn):
+    def run(x, *a, **k):
+        if isinstance(x, (list, tuple, range)):
+            return [None if v is None else fn(str(v), *a, **k) for v in x]
+        return None if x is None else fn(str(x), *a, **k)
+
+    return run
+
+
+def _re_flags(ignore_case: bool):
+    import re as _re
+
+    return _re.IGNORECASE if ignore_case else 0
+
+
+def _eager_grepl(pattern, x, ignore_case=False, fixed=False):
+    import re as _re
+
+    def one(s):
+        if fixed:
+            return (pattern.lower() in s.lower()) if ignore_case else (pattern in s)
+        return _re.search(pattern, s, _re_flags(ignore_case)) is not None
+
+    return _str_elementwise(one)(x)
+
+
+def _eager_gsub(pattern, replacement, x, ignore_case=False, fixed=False):
+    import re as _re
+
+    def one(s):
+        if fixed:
+            return s.replace(pattern, replacement)
+        return _re.sub(pattern, replacement, s, flags=_re_flags(ignore_case))
+
+    return _str_elementwise(one)(x)
+
+
+def _eager_sub(pattern, replacement, x, ignore_case=False, fixed=False):
+    import re as _re
+
+    def one(s):
+        if fixed:
+            return s.replace(pattern, replacement, 1)
+        return _re.sub(pattern, replacement, s, count=1, flags=_re_flags(ignore_case))
+
+    return _str_elementwise(one)(x)
+
+
+def _eager_chartr(old, new, x):
+    return _str_elementwise(lambda s: s.translate(str.maketrans(old, new)))(x)
+
+
+def _eager_sprintf(fmt, *args):
+    vecs = [a for a in args if isinstance(a, (list, tuple, range))]
+    if not vecs and not isinstance(fmt, (list, tuple, range)):
+        return fmt % tuple(args)
+    n = max(
+        [len(v) for v in vecs]
+        + ([len(fmt)] if isinstance(fmt, (list, tuple, range)) else [1])
+    )
+    fmts = list(fmt) if isinstance(fmt, (list, tuple, range)) else [fmt] * n
+    cols = [
+        list(a) if isinstance(a, (list, tuple, range)) else [a] * n for a in args
+    ]
+    return [fmts[i] % tuple(c[i] for c in cols) for i in range(n)]
+
+
+def _eager_substr(x, start, stop):
+    # reference semantics: 0-indexed start, exclusive stop
+    return _str_elementwise(lambda s: s[int(start):int(stop)])(x)
+
+
+def _eager_strsplit(x, split, fixed=True):
+    import re as _re
+
+    def one(s):
+        return s.split(split) if fixed else _re.split(split, s)
+
+    return _str_elementwise(one)(x)
+
+
+EAGER_IMPLS.update(
+    {
+        "toupper": _str_elementwise(str.upper),
+        "tolower": _str_elementwise(str.lower),
+        "nchar": _str_elementwise(len),
+        "nzchar": _str_elementwise(lambda s: len(s) > 0),
+        "trimws": _str_elementwise(str.strip),
+        "startswith": lambda x, prefix: _str_elementwise(
+            lambda s: s.startswith(prefix)
+        )(x),
+        "endswith": lambda x, suffix: _str_elementwise(
+            lambda s: s.endswith(suffix)
+        )(x),
+        "strtoi": lambda x, base=10: _str_elementwise(
+            lambda s: int(s, int(base))
+        )(x),
+        "grepl": _eager_grepl,
+        "gsub": _eager_gsub,
+        "sub": _eager_sub,
+        "chartr": _eager_chartr,
+        "sprintf": _eager_sprintf,
+        "substr": _eager_substr,
+        "substring": _eager_substr,
+        "strsplit": _eager_strsplit,
+        "paste": lambda *xs, sep=" ", collapse=None: _eager_paste(xs, sep, collapse),
+        "paste0": lambda *xs, collapse=None: _eager_paste(xs, "", collapse),
+    }
+)
+
+
+def _eager_paste(xs, sep, collapse=None):
+    vecs = [x for x in xs if isinstance(x, (list, tuple, range))]
+    if not vecs:
+        out = sep.join(str(x) for x in xs)
+        return out
+    n = max(len(v) for v in vecs)
+    cols = [list(x) if isinstance(x, (list, tuple, range)) else [x] * n for x in xs]
+    out = [sep.join(str(c[i]) for c in cols) for i in range(n)]
+    if collapse is not None:
+        return str(collapse).join(out)
+    return out

@@ -19,6 +19,13 @@ from datar_polars_spark.functions import (
     substr,
     substring,
     trimws,
+
+    toupper,
+    tolower,
+    nchar,
+    nzchar,
+    paste,
+    paste0,
 )
 
 
@@ -181,3 +188,76 @@ class TestStartsEndsWith:
     def test_endswith_in_mutate(self, spark):
         got = _col(spark, ["hello", "world", "held"], endswith(f.x, "ld"))
         assert got == [False, True, True]
+
+
+# -- scalar / list dispatch (reference *_scalar forms; exercises
+# functions/eager.py rather than the column compilers) ----------------------
+
+class TestStringScalarDispatch:
+    def test_grepl_scalar(self):
+        assert grepl("an", "banana") is True
+        assert grepl("zz", "banana") is False
+
+    def test_grepl_ignore_case(self):
+        assert grepl("AN", "banana", ignore_case=True) is True
+
+    def test_grepl_fixed(self):
+        assert grepl(".", "a.b", fixed=True) is True
+        assert grepl("x", "ab", fixed=True) is False
+
+    def test_gsub_scalar(self):
+        assert gsub("a", "o", "banana") == "bonono"
+
+    def test_gsub_fixed(self):
+        assert gsub(".", "-", "a.b.c", fixed=True) == "a-b-c"
+
+    def test_gsub_replace_with_ref(self):
+        assert gsub(r"(\w+)@", r"\1 at ", "joe@x") == "joe at x"
+
+    def test_sub_scalar_first_only(self):
+        assert sub("a", "o", "banana") == "bonana"
+
+    def test_chartr_scalar(self):
+        assert chartr("ab", "xy", "aabb") == "xxyy"
+
+    def test_sprintf_scalar(self):
+        assert sprintf("%d-%s", 3, "x") == "3-x"
+
+    def test_sprintf_vectorized(self):
+        assert sprintf("%d", [1, 2]) == ["1", "2"]
+
+    def test_toupper_tolower_scalar(self):
+        assert toupper("ab") == "AB"
+        assert tolower("AB") == "ab"
+
+    def test_nchar_nzchar_scalar(self):
+        assert nchar("abc") == 3
+        assert nzchar("") is False
+        assert nzchar("x") is True
+
+    def test_trimws_scalar(self):
+        assert trimws("  x ") == "x"
+
+    def test_strtoi_scalar(self):
+        assert strtoi("ff", 16) == 255
+        assert strtoi("10", 2) == 2
+
+    def test_substr_scalar_reference_slice(self):
+        # reference semantics: 0-indexed start, exclusive stop
+        assert substr("hello", 1, 3) == "el"
+
+    def test_strsplit_scalar(self):
+        assert strsplit("a,b", ",") == ["a", "b"]
+
+    def test_startswith_endswith_scalar(self):
+        assert startswith("abc", "a") is True
+        assert endswith("abc", "c") is True
+
+    def test_paste_scalar_and_collapse(self):
+        assert paste("a", "b") == "a b"
+        assert paste0("a", "b") == "ab"
+        assert paste0(["x", "y"], collapse="-") == "x-y"
+
+    def test_list_forms_propagate_none(self):
+        out = toupper(["a", None])
+        assert out == ["A", None]
