@@ -713,3 +713,153 @@ def _eager_paste(xs, sep, collapse=None):
     if collapse is not None:
         return str(collapse).join(out)
     return out
+
+
+# ---- casts / cumulative / elementwise families (reference object
+# dispatches: api/base/asis.py, test_cum.py, arithm pmin/pmax) -------------
+
+def _cast(fn):
+    def run(x):
+        if isinstance(x, (list, tuple, range)):
+            return [None if _isna_one(v) else fn(v) for v in x]
+        return None if _isna_one(x) else fn(x)
+
+    return run
+
+
+def _as_logical_one(v):
+    if isinstance(v, str):
+        u = v.upper()
+        if u in ("TRUE", "T"):
+            return True
+        if u in ("FALSE", "F"):
+            return False
+        return None
+    return bool(v)
+
+
+def _cum(fn):
+    def run(x):
+        xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+        out, acc = [], None
+        for v in xs:
+            if v is None:
+                out.append(None)
+                continue
+            acc = v if acc is None else fn(acc, v)
+            out.append(acc)
+        return out if isinstance(x, (list, tuple, range)) else out[0]
+
+    return run
+
+
+def _cummean(x):
+    xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+    out, s, n = [], 0.0, 0
+    for v in xs:
+        if v is None:
+            out.append(None)
+            continue
+        s += v
+        n += 1
+        out.append(s / n)
+    return out if isinstance(x, (list, tuple, range)) else out[0]
+
+
+def _pairwise(fn):
+    def run(*args, na_rm: bool = False):
+        vecs = [a for a in args if isinstance(a, (list, tuple, range))]
+        if not vecs:
+            vals = [a for a in args if a is not None or not na_rm]
+            if any(v is None for v in vals):
+                return None
+            return fn(vals)
+        n = max(len(v) for v in vecs)
+        cols = [
+            list(a) if isinstance(a, (list, tuple, range)) else [a] * n
+            for a in args
+        ]
+        out = []
+        for i in range(n):
+            vals = [c[i] for c in cols]
+            if na_rm:
+                vals = [v for v in vals if v is not None]
+            if not vals or any(v is None for v in vals):
+                out.append(None)
+            else:
+                out.append(fn(vals))
+        return out
+
+    return run
+
+
+def _eager_match(x, table, nomatch=None):
+    tbl = list(table)
+    def one(v):
+        try:
+            return tbl.index(v) + 1
+        except ValueError:
+            return nomatch
+    if isinstance(x, (list, tuple, range)):
+        return [one(v) for v in x]
+    return one(x)
+
+
+def _eager_duplicated(x):
+    seen, out = set(), []
+    for v in x if isinstance(x, (list, tuple, range)) else [x]:
+        out.append(v in seen)
+        seen.add(v)
+    return out
+
+
+EAGER_IMPLS.update(
+    {
+        "as_character": _cast(str),
+        "as_string": _cast(str),
+        "as_double": _cast(float),
+        "as_numeric": _cast(float),
+        "as_integer": _cast(lambda v: int(float(v))),
+        "as_int": _cast(lambda v: int(float(v))),
+        "as_logical": _cast(_as_logical_one),
+        "as_bool": _cast(_as_logical_one),
+        "as_null": lambda *a: None,
+        "all": lambda x, na_rm=False: (
+            None if not na_rm and any(_isna_one(v) for v in x) else
+            all(v for v in x if not _isna_one(v))
+        ),
+        "any": lambda x, na_rm=False: (
+            None if not na_rm and any(_isna_one(v) for v in x)
+            and not any(v for v in x if not _isna_one(v)) else
+            any(v for v in x if not _isna_one(v))
+        ),
+        "cumsum": _cum(lambda a, b: a + b),
+        "cumprod": _cum(lambda a, b: a * b),
+        "cummax": _cum(max),
+        "cummin": _cum(min),
+        "cumall": _cum(lambda a, b: bool(a and b)),
+        "cumany": _cum(lambda a, b: bool(a or b)),
+        "cummean": _cummean,
+        "pmin": _pairwise(min),
+        "pmax": _pairwise(max),
+        "mod": lambda x, y: _unary(lambda v: v % y)(x),
+        "near": lambda x, y, tol=1.5e-8: _unary(lambda v: abs(v - y) < tol)(x),
+        "match": _eager_match,
+        "is_element": lambda x, table: (
+            [v in set(table) for v in x]
+            if isinstance(x, (list, tuple, range))
+            else x in set(table)
+        ),
+        "isin": lambda x, table: (
+            [v in set(table) for v in x]
+            if isinstance(x, (list, tuple, range))
+            else x in set(table)
+        ),
+        "duplicated": _eager_duplicated,
+        "lengths": lambda x: [
+            len(v) if isinstance(v, (list, tuple, str)) else 1 for v in x
+        ]
+        if isinstance(x, (list, tuple, range))
+        else [1],
+    }
+)

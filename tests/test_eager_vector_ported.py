@@ -189,3 +189,78 @@ def test_glimpse_returns_object(spark):
     df = tibble(spark, x=list(range(10)), y=[str(i) for i in range(10)])
     g = df >> glimpse()
     assert len(str(g)) > 0
+
+
+# -- casts / cumulative / pairwise eager dispatch (reference
+# test_asis.py, test_cum.py, arithm pmin/pmax object forms) -----------------
+
+class TestEagerCasts:
+    def test_as_character(self):
+        from datar_polars_spark.functions import as_character
+
+        assert as_character([1, None, 2.5]) == ["1", None, "2.5"]
+
+    def test_as_double_integer(self):
+        from datar_polars_spark.functions import as_double, as_integer
+
+        assert as_double("2.5") == 2.5
+        assert as_integer("3") == 3
+        assert as_integer(2.9) == 2
+
+    def test_as_logical(self):
+        from datar_polars_spark.functions import as_logical
+
+        assert as_logical(["TRUE", "F", 1, 0]) == [True, False, True, False]
+
+
+class TestEagerCumulative:
+    def test_cumsum_prod(self):
+        assert cumsum([1, 2, 3]) == [1, 3, 6]
+        from datar_polars_spark.functions import cumprod
+
+        assert cumprod([1, 2, 3]) == [1, 2, 6]
+
+    def test_cummax_min_none(self):
+        assert cummax([1, 3, 2]) == [1, 3, 3]
+        assert cummin([3, 1, 2]) == [3, 1, 1]
+        assert cumsum([1, None, 2]) == [1, None, 3]
+
+    def test_cummean(self):
+        from datar_polars_spark.functions import cummean
+
+        assert cummean([2, 4, 6]) == [2.0, 3.0, 4.0]
+
+    def test_cumall_cumany(self):
+        from datar_polars_spark.functions import cumall, cumany
+
+        assert cumall([True, True, False, True]) == [True, True, False, False]
+        assert cumany([False, True, False]) == [False, True, True]
+
+
+class TestEagerPairwise:
+    def test_pmin_pmax(self):
+        from datar_polars_spark.functions import pmax, pmin
+
+        assert pmin([1, 5], [3, 2]) == [1, 2]
+        assert pmax([1, 5], 3) == [3, 5]
+
+    def test_match_is_element(self):
+        from datar_polars_spark.functions import builder, is_element
+
+        match = builder("match")
+        assert match(["b", "z"], ["a", "b"]) == [2, None]
+        assert is_element(["a", "z"], ["a", "b"]) == [True, False]
+
+    def test_duplicated_lengths(self):
+        from datar_polars_spark.functions import duplicated, lengths
+
+        assert duplicated([1, 1, 2, 2, 3]) == [False, True, False, True, False]
+        assert lengths([[1, 2], "abc", 5]) == [2, 3, 1]
+
+    def test_all_any_na(self):
+        from datar_polars_spark.functions import all_, any_
+
+        assert all_([True, True]) is True
+        assert all_([True, None]) is None
+        assert all_([True, None], na_rm=True) is True
+        assert any_([False, True]) is True
