@@ -322,3 +322,42 @@ class TestExpandCompleteNesting:
         out = (td >> expand(f.type, full_seq(f.year, 1))).collect()
         assert len(out) == 6  # 2 types x years 2010..2012
         assert sorted(set(out["year"].tolist())) == [2010, 2011, 2012]
+
+
+class TestTidyrRemainingCorners:
+    def test_uncount_zero_weight_drops_rows(self, spark):
+        from datar_polars_spark import uncount
+
+        t = tibble(spark, x=["a", "b", "c"], w=[2, 0, 1])
+        out = (t >> uncount(f.w)).collect()
+        assert list(out["x"]) == ["a", "a", "c"]
+
+    def test_unite_custom_sep(self, spark):
+        from datar_polars_spark import unite
+
+        t = tibble(spark, a=["x"], b=["y"])
+        out = t >> unite("ab", f.a, f.b, sep="::")
+        assert list(out.collect()["ab"]) == ["x::y"]
+
+    def test_separate_custom_sep(self, spark):
+        from datar_polars_spark import separate
+
+        t = tibble(spark, v=["a::b"])
+        out = t >> separate(f.v, ["l", "r"], sep="::")
+        pdf = out.collect()
+        assert pdf["l"][0] == "a" and pdf["r"][0] == "b"
+
+    def test_replace_na_no_nulls_is_noop(self, spark):
+        from datar_polars_spark import replace_na
+
+        t = tibble(spark, x=[1, 2])
+        out = t >> replace_na(0)
+        assert list(out.collect()["x"]) == [1, 2]
+
+    def test_fill_works_with_nas_mixed(self, spark):
+        from datar_polars_spark import fill
+
+        t = tibble(spark, x=[None, 1.0, None, None, 2.0, None])
+        down = t >> fill(f.x)
+        vals = list(down.collect()["x"])
+        assert vals[1:] == [1.0, 1.0, 1.0, 2.0, 2.0]
