@@ -143,13 +143,20 @@ def is_factor(td: Tibble, col: Any) -> bool:
 
 
 @verb
-def droplevels(td: Tibble, col: Any = None) -> Tibble:
-    """Drop levels not present in the data (one distinct per column)."""
+def droplevels(td: Tibble, col: Any = None, only: list | None = None) -> Tibble:
+    """Drop levels not present in the data (one distinct per column).
+    ``only`` restricts dropping to those levels (reference forcats
+    fct_drop(only=))."""
     cols = [_name_of(col)] if col is not None else list(td.levels)
     out = td
     for c in cols:
         observed = set(_observed_levels(td, c))
-        out = _with_levels(out, c, [l for l in td.levels.get(c, []) if l in observed])
+        keep = [
+            l
+            for l in td.levels.get(c, [])
+            if l in observed or (only is not None and l not in only)
+        ]
+        out = _with_levels(out, c, keep)
     return out
 
 
@@ -161,9 +168,13 @@ fct_drop = droplevels
 # --------------------------------------------------------------------------
 
 @verb
-def fct_relevel(td: Tibble, col: Any, *first: str, after: int = 0) -> Tibble:
+def fct_relevel(td: Tibble, col: Any, *first, after: int = 0) -> Tibble:
     cname = _name_of(col)
     levels = list(td.levels.get(cname, _observed_levels(td, cname)))
+    if len(first) == 1 and callable(first[0]) and not isinstance(first[0], str):
+        # callable form: fn(levels) returns the levels to move first
+        # (reference test_relevel_callable)
+        first = tuple(first[0](levels))
     moved = [l for l in first if l in levels]
     rest = [l for l in levels if l not in moved]
     new = rest[:after] + moved + rest[after:]
@@ -512,6 +523,14 @@ def fct_relabel(td: Tibble, col: Any, fn) -> Tibble:
     one when-chain on the data."""
     cname = _name_of(col)
     levels = td.levels.get(cname, _observed_levels(td, cname))
+    # reference passes the WHOLE level list to fn; a same-length list
+    # result is a positional relabel. Per-level callables also accepted.
+    try:
+        out = fn(list(levels))
+        if isinstance(out, (list, tuple)) and len(out) == len(levels):
+            return lvls_revalue(td, col, list(out))
+    except TypeError:
+        pass
     return lvls_revalue(td, col, [fn(l) for l in levels])
 
 
@@ -578,10 +597,13 @@ def fct_lump_lowfreq(td: Tibble, col: Any, other_level: str = "Other") -> Tibble
 
 
 @verb
-def fct_match(td: Tibble, col: Any, lvls: list[str]) -> Tibble:
+def fct_match(td: Tibble, col: Any, lvls) -> Tibble:
     """Boolean column ``__fct_match__``: is the value in lvls (errors on
-    unknown levels, reference ``forcats.py:1458``)."""
+    unknown levels, reference ``forcats.py:1458``). A scalar level is a
+    1-element list (reference test_match_scalar)."""
     cname = _name_of(col)
+    if isinstance(lvls, str):
+        lvls = [lvls]
     levels = td.levels.get(cname, _observed_levels(td, cname))
     unknown = [l for l in lvls if l not in levels]
     if unknown:

@@ -495,3 +495,33 @@ class TestFctOther:
         td = _t(spark, ["a", "b"]) >> factor_(f.x)
         with pytest.raises(ValueError):
             fct_other(td, f.x, keep=["a"], drop=["b"])
+
+
+class TestForcatsRemainingCorners:
+    def test_drop_only_specific(self, spark):
+        t = tibble(spark, x=["a", "b", "a"]) >> factor_(
+            f.x, levels=["a", "b", "c", "d"]
+        )
+        out = t >> fct_drop(f.x, only=["d"])
+        assert out.levels["x"] == ["a", "b", "c"]
+
+    def test_relabel_with_whole_list_fun(self, spark):
+        t = tibble(spark, x=["a", "b", "c"]) >> factor_(f.x)
+        out = t >> fct_relabel(f.x, lambda levs: [f"level_{i}" for i in range(len(levs))])
+        assert out.levels["x"] == ["level_0", "level_1", "level_2"]
+        assert sorted(out.collect()["x"]) == ["level_0", "level_1", "level_2"]
+
+    def test_relevel_callable(self, spark):
+        t = tibble(spark, x=["a", "b", "c"]) >> factor_(f.x)
+        out = t >> fct_relevel(f.x, lambda levs: ["c"])
+        assert out.levels["x"] == ["c", "a", "b"]
+
+    def test_match_scalar(self, spark):
+        t = tibble(spark, x=["a", "b", "c"]) >> factor_(f.x)
+        out = (t >> fct_match(f.x, "b")).collect()
+        assert list(out["__fct_match__"]) == [False, True, False]
+
+    def test_lump_no_args_is_lowfreq(self, spark):
+        t = tibble(spark, x=["a", "a", "a", "b", "c"]) >> factor_(f.x)
+        out = t >> fct_lump(f.x)
+        assert "Other" in out.levels["x"]
