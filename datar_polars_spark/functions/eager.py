@@ -245,7 +245,9 @@ EAGER_IMPLS.update(
         "is_logical": lambda x: _all_of_type(x, lambda v: isinstance(v, bool)),
         "is_true": lambda x: x is True,
         "is_false": lambda x: x is False,
-        "is_atomic": lambda x: not isinstance(x, (dict, set)),
+        # R is.atomic: scalars are atomic, containers are not
+        # (reference tests/base/test_types.py:159-167)
+        "is_atomic": lambda x: not isinstance(x, (dict, set, list, tuple, range)),
     }
 )
 
