@@ -237,3 +237,110 @@ class TestReframe:
         t = tibble(spark, g=["a", "b"], x=[1, 2])
         out = t >> group_by(f.g) >> reframe(k=1)
         assert out.nrow() == 2
+
+
+# -- slice / join remaining corners (reference test_slice.py, test_join.py) --
+
+class TestSliceCorners:
+    def test_slice_head_default_n1(self, spark):
+        from datar_polars_spark import slice_head
+
+        t = tibble(spark, x=[1, 2, 3])
+        assert col(t >> slice_head(), "x") == [1]
+
+    def test_slice_tail_default_n1(self, spark):
+        from datar_polars_spark import slice_tail
+
+        t = tibble(spark, x=[1, 2, 3])
+        assert col(t >> slice_tail(), "x") == [3]
+
+    def test_slice_tail_prop(self, spark):
+        from datar_polars_spark import slice_tail
+
+        t = tibble(spark, x=[1, 2, 3, 4])
+        assert col(t >> slice_tail(prop=0.5), "x") == [3, 4]
+
+    def test_slice_negative_drops_r_convention(self, spark):
+        # this engine keeps R's 1-based slice with drop-negatives
+        # (documented in operators/core.py); the reference forked to
+        # polars 0-based indices — the R behavior is asserted here
+        from datar_polars_spark import slice_
+
+        t = tibble(spark, x=[1, 2, 3])
+        assert col(t >> slice_(-1), "x") == [2, 3]
+
+    def test_slice_no_rows_returns_empty(self, spark):
+        from datar_polars_spark import slice_head
+
+        t = tibble(spark, x=[1]) >> filter_(f.x > 5)
+        assert (t >> slice_head(n=3)).nrow() == 0
+
+    def test_slice_min_string_column(self, spark):
+        from datar_polars_spark import slice_min
+
+        t = tibble(spark, s=["b", "a", "c"])
+        assert col(t >> slice_min(f.s), "s") == ["a"]
+
+    def test_slice_max_string_column(self, spark):
+        from datar_polars_spark import slice_max
+
+        t = tibble(spark, s=["b", "a", "c"])
+        assert col(t >> slice_max(f.s), "s") == ["c"]
+
+    def test_slice_min_n2(self, spark):
+        from datar_polars_spark import slice_min
+
+        t = tibble(spark, x=[5, 1, 3, 2])
+        assert sorted(col(t >> slice_min(f.x, n=2), "x")) == [1, 2]
+
+    def test_slice_sample_n1_and_prop(self, spark):
+        from datar_polars_spark import slice_sample
+
+        t = tibble(spark, x=list(range(10)))
+        assert (t >> slice_sample(n=1)).nrow() == 1
+        got = (t >> slice_sample(prop=0.5)).nrow()
+        assert 0 <= got <= 10
+
+
+class TestJoinCorners:
+    def test_join_by_dict(self, spark):
+        from datar_polars_spark import inner_join
+
+        a = tibble(spark, k1=[1, 2], v=[10, 20])
+        b = tibble(spark, k2=[2, 3], w=[200, 300])
+        out = inner_join(a, b, by={"k1": "k2"})
+        pdf = out.collect()
+        assert list(pdf["v"]) == [20] and list(pdf["w"]) == [200]
+
+    def test_semi_join_keeps_left_rows(self, spark):
+        from datar_polars_spark import semi_join
+
+        a = tibble(spark, k=[1, 2, 3])
+        b = tibble(spark, k=[2, 3, 4])
+        assert sorted(col(semi_join(a, b, by="k"), "k")) == [2, 3]
+
+    def test_anti_join_drops_matching_rows(self, spark):
+        from datar_polars_spark import anti_join
+
+        a = tibble(spark, k=[1, 2, 3])
+        b = tibble(spark, k=[2])
+        assert sorted(col(anti_join(a, b, by="k"), "k")) == [1, 3]
+
+    def test_cross_join(self, spark):
+        from datar_polars_spark import cross_join
+
+        a = tibble(spark, x=[1, 2])
+        b = tibble(spark, y=["a", "b"])
+        assert cross_join(a, b).nrow() == 4
+
+    def test_nested_joins(self, spark):
+        from datar_polars_spark import inner_join, left_join
+
+        a = tibble(spark, k=[1, 2], v=[10, 20])
+        b = tibble(spark, k=[1, 2], w=[100, 200])
+        c = tibble(spark, k=[1], z=[1000])
+        out = left_join(inner_join(a, b, by="k"), c, by="k")
+        pdf = out.collect().sort_values("k")
+        assert list(pdf["v"]) == [10, 20]
+        vals = [None if v != v else v for v in pdf["z"]]
+        assert vals == [1000, None]
