@@ -8,6 +8,7 @@ returns an unevaluated Call node that verbs compile to a Spark Column.
 from __future__ import annotations
 
 from . import aggregates, conditional, math, special, strings, types, vectors, window  # noqa: F401
+from . import complex as _complex_mod  # noqa: F401  (side-effect registration)
 from .rbase import (  # noqa: F401
     make_names,
     make_unique,
@@ -75,6 +76,8 @@ _EXPORT = {
     "row_sums", "row_means", "row_mins", "row_maxs", "row_sds",
     "row_medians", "first2", "last2",
     "cur_group", "cur_group_id",
+    # complex (struct<re,im> representation)
+    "arg", "as_complex", "complex_", "conj", "im", "is_complex", "re_",
     # special math
     "gamma", "lgamma", "lfactorial", "beta", "lbeta", "choose", "lchoose",
     "digamma", "trigamma", "psigamma",

@@ -11,9 +11,28 @@ aggregate while ``sum_([1, 2, 3])`` returns ``6`` immediately.
 
 from __future__ import annotations
 
+import cmath as _cmath
 import math
 import statistics
 from typing import Any, Callable, Iterable
+
+
+def _eager_mod(x, y=None):
+    """2-arg: remainder. 1-arg: R Mod — absolute value / complex
+    magnitude (reference api/base/arithm.py:176-189)."""
+    if y is None:
+        return _unary(abs)(x)
+    return _unary(lambda v: v % y)(x)
+
+
+def _eager_as_complex(x):
+    def one(v):
+        try:
+            return complex(v)
+        except (TypeError, ValueError):
+            return None
+
+    return _unary(one)(x)
 
 __all__ = ["EAGER_IMPLS", "has_deferred"]
 
@@ -844,7 +863,18 @@ EAGER_IMPLS.update(
         "cummean": _cummean,
         "pmin": _pairwise(min),
         "pmax": _pairwise(max),
-        "mod": lambda x, y: _unary(lambda v: v % y)(x),
+        "mod": _eager_mod,
+        "arg": _unary(lambda v: _cmath.phase(v)),
+        "conj": _unary(lambda v: v.conjugate() if isinstance(v, complex) else v),
+        "re_": _unary(lambda v: complex(v).real),
+        "im": _unary(lambda v: complex(v).imag),
+        "as_complex": _eager_as_complex,
+        "complex_": lambda real=0.0, imaginary=0.0: (
+            [complex(r, i) for r, i in zip(real, imaginary)]
+            if isinstance(real, (list, tuple))
+            else complex(real, imaginary)
+        ),
+        "is_complex": lambda x: isinstance(x, complex),
         "near": lambda x, y, tol=1.5e-8: _unary(lambda v: abs(v - y) < tol)(x),
         "match": _eager_match,
         "is_element": lambda x, table: (

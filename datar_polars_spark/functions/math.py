@@ -109,7 +109,15 @@ def _pmax(ctx, *xs, na_rm: bool = False):
 
 
 @register("mod")
-def _mod(ctx, x, y):
+def _mod(ctx, x, y=None):
+    """Two args: R ``%%`` remainder. One arg: R ``Mod`` — the modulus
+    (absolute value; complex magnitude for struct<re,im> columns),
+    reference ``api/base/arithm.py:170-189``."""
+    if y is None:
+        from .complex import complex_parts
+
+        re, im = complex_parts(ctx, x)
+        return F.sqrt(re * re + im * im)
     return F.pmod(ctx.col(x), ctx.col(y))
 
 
