@@ -33,6 +33,7 @@ from .filters import (  # noqa: F401 (also registers repetition metrics)
     hash_split,
     stratified_sample,
 )
+from .graph import connected_components, components_from_pairs  # noqa: F401
 from .sessions import sessionize_batch, session_stats  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_binary_metadata,

@@ -224,6 +224,33 @@ def minhash_pairs(
     return Tibble(out)
 
 
+def _drop_duplicates_by_pairs(
+    survivors: DataFrame, pairs: DataFrame, idn: str, resolve: str
+) -> DataFrame:
+    """Turn a near-duplicate pair list into row drops.
+
+    ``single_link`` (default, one extra join): drop ``id_b`` of every
+    pair — cheap, but when a member links two sub-clusters whose other
+    members don't pair directly, more than one representative can
+    survive. ``components`` runs true connected-components over the
+    pair graph (scale/graph.py, O(log n) alternating-star rounds) and
+    keeps exactly each component's minimum id."""
+    if resolve == "components":
+        from .graph import components_from_pairs
+
+        labels = components_from_pairs(pairs, "id_a", "id_b")
+        drop = labels.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(idn)
+        )
+        return survivors.join(drop, on=idn, how="left_anti")
+    if resolve != "single_link":
+        raise ValueError(
+            f"resolve must be 'single_link' or 'components', got {resolve!r}"
+        )
+    near = pairs.select(F.col("id_b").alias(idn)).dropDuplicates()
+    return survivors.join(near, on=idn, how="left_anti")
+
+
 def _fingerprint_survivors(df: DataFrame, tname: str, idn: str) -> DataFrame:
     """Exact-dup pre-pass: keep the min-id row per normalized-text md5.
     Identical copies share every LSH band, so running LSH on the raw
@@ -254,24 +281,23 @@ def minhash_dedup(
     shingle_words: int = 3,
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    resolve: str = "single_link",
 ) -> Tibble:
     """Drop near-duplicates, keeping the smallest id of each duplicate
-    set (single-link approximation: b is dropped if any a < b matches —
-    equivalent to keeping each connected component's minimum for
-    pairwise-dense duplicate clusters). Runs an exact fingerprint-dedup
-    pre-pass so giant identical-copy clusters never reach the LSH
-    bucket self-join (see _fingerprint_survivors)."""
+    set. ``resolve='single_link'`` drops b when any a < b matches
+    (equivalent to keeping each connected component's minimum for
+    pairwise-dense duplicate clusters); ``resolve='components'`` runs
+    distributed connected components over the pair graph so chained
+    clusters keep exactly one representative. Runs an exact
+    fingerprint-dedup pre-pass so giant identical-copy clusters never
+    reach the LSH bucket self-join (see _fingerprint_survivors)."""
     tname, idn = _name_of(text), _name_of(id_col)
     survivors = Tibble(_fingerprint_survivors(td.df.select(*td.columns), tname, idn))
-    near = (
-        minhash_pairs(
-            survivors, text, id_col, num_perm, bands, shingle_words, threshold,
-            max_bucket=max_bucket,
-        )
-        .df.select(F.col("id_b").alias(idn))
-        .dropDuplicates()
-    )
-    out = survivors.df.join(near, on=idn, how="left_anti")
+    pairs = minhash_pairs(
+        survivors, text, id_col, num_perm, bands, shingle_words, threshold,
+        max_bucket=max_bucket,
+    ).df
+    out = _drop_duplicates_by_pairs(survivors.df, pairs, idn, resolve)
     return Tibble(out, groups=td.group_vars, levels=td.levels)
 
 
@@ -331,12 +357,13 @@ def simhash_dedup(
     id_col: Any,
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    resolve: str = "single_link",
 ) -> Tibble:
     """Near-dup removal via SimHash: block on 4 16-bit sub-keys (any
     pair within hamming distance 3 shares at least one identical
     quarter, by pigeonhole), verify with exact hamming distance.
     Fingerprint pre-pass + bucket cap guard against duplicate-cluster
-    skew exactly as in minhash_dedup."""
+    skew exactly as in minhash_dedup; ``resolve`` as in minhash_dedup."""
     tname, idn = _name_of(text), _name_of(id_col)
     pre = _fingerprint_survivors(td.df.select(*td.columns), tname, idn)
     base = simhash_signatures(pre, tname, idn)
@@ -355,14 +382,14 @@ def simhash_dedup(
     blocked = _cap_buckets(blocked, ["q", "qk"], max_bucket)
     left = blocked.select("q", "qk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     right = blocked.select("q", "qk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    dupes = (
+    pairs = (
         left.join(right, on=["q", "qk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(hamming64(F.col("sh_a"), F.col("sh_b")) <= max_hamming)
-        .select(F.col("id_b").alias(idn))
+        .select("id_a", "id_b")
         .dropDuplicates()
     )
-    out = pre.join(dupes, on=idn, how="left_anti")
+    out = _drop_duplicates_by_pairs(pre, pairs, idn, resolve)
     return Tibble(out, groups=td.group_vars, levels=td.levels)
 
 
@@ -506,12 +533,16 @@ def embedding_cosine_pairs(
 
 
 @verb
-def embedding_dedup(td: Tibble, embedding: Any, id_col: Any, threshold: float = 0.95) -> Tibble:
+def embedding_dedup(
+    td: Tibble,
+    embedding: Any,
+    id_col: Any,
+    threshold: float = 0.95,
+    resolve: str = "single_link",
+) -> Tibble:
     idn = _name_of(id_col)
-    dupes = (
-        embedding_cosine_pairs(td, embedding, id_col, threshold)
-        .df.select(F.col("id_b").alias(idn))
-        .dropDuplicates()
+    pairs = embedding_cosine_pairs(td, embedding, id_col, threshold).df
+    out = _drop_duplicates_by_pairs(
+        td.df.select(*td.columns), pairs, idn, resolve
     )
-    out = td.df.select(*td.columns).join(dupes, on=idn, how="left_anti")
     return Tibble(out, groups=td.group_vars, levels=td.levels)

@@ -1,0 +1,116 @@
+"""Connected components (scale/graph.py: alternating large-star /
+small-star, Kiveris et al. SoCC 2014) — verified against a driver-side
+union-find, including the case where single-link dedup diverges from
+true components."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from datar_polars_spark import f, tibble
+from datar_polars_spark.scale import connected_components, minhash_dedup
+
+
+def union_find(edges, nodes=None):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for x in list(parent) + list(nodes or []):
+        out[x] = find(x)
+    return out
+
+
+def _cc(spark, edges, **kw):
+    td = tibble(spark, a=[e[0] for e in edges], b=[e[1] for e in edges])
+    rows = (td >> connected_components(f.a, f.b, **kw)).collect()
+    return dict(zip(rows["id"], rows["component"]))
+
+
+class TestConnectedComponents:
+    def test_two_components(self, spark):
+        edges = [(1, 2), (2, 3), (10, 11)]
+        assert _cc(spark, edges) == union_find(edges)
+
+    def test_single_link_counterexample(self, spark):
+        # pairs (1,5) and (3,5): single-link keeps {1, 3}; true
+        # components keep only 1 (component minimum of {1,3,5})
+        edges = [(1, 5), (3, 5)]
+        got = _cc(spark, edges)
+        assert got == {1: 1, 3: 1, 5: 1}
+
+    def test_long_chain_converges(self, spark):
+        # path graph 0-1-2-...-40: naive propagation needs ~40 rounds;
+        # alternating stars must finish well under the 50-iteration cap
+        edges = [(i, i + 1) for i in range(40)]
+        got = _cc(spark, edges)
+        assert set(got.values()) == {0}
+        assert len(got) == 41
+
+    def test_random_graphs_match_union_find(self, spark):
+        rng = random.Random(7)
+        for _ in range(3):
+            n = 30
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+            ]
+            edges = [e for e in edges if e[0] != e[1]]
+            assert _cc(spark, edges) == union_find(edges)
+
+    def test_star_cluster(self, spark):
+        # hub node with many spokes — the large-star round collapses it
+        edges = [(0, i) for i in range(1, 200)]
+        got = _cc(spark, edges)
+        assert set(got.values()) == {0}
+        assert len(got) == 200
+
+    def test_ids_need_not_be_dense(self, spark):
+        edges = [(1000000, 5), (5, 70000), (2, 999)]
+        assert _cc(spark, edges) == union_find(edges)
+
+
+class TestDedupResolve:
+    def _docs(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again "
+        texts, ids = [], []
+        # chain of three near-identical docs (each adjacent pair is a
+        # near-dup) plus two unrelated docs
+        for i, suffix in enumerate(["one two three", "one two four", "one five four"]):
+            texts.append(base * 3 + suffix)
+            ids.append(i + 1)
+        texts += ["completely different content about spark plans and shuffles " * 4,
+                  "yet another unrelated document mentioning parquet pushdown " * 4]
+        ids += [10, 11]
+        return tibble(spark, doc_id=ids, text=texts)
+
+    def test_components_resolution_keeps_one_per_cluster(self, spark):
+        td = self._docs(spark)
+        out = (
+            td >> minhash_dedup(f.text, f.doc_id, threshold=0.5, resolve="components")
+        ).collect()
+        kept = sorted(out["doc_id"])
+        assert 1 in kept and 10 in kept and 11 in kept
+        # at most one of the chained trio survives
+        assert len([k for k in kept if k in (1, 2, 3)]) == 1
+
+    def test_single_link_default_unchanged(self, spark):
+        td = self._docs(spark)
+        out = (td >> minhash_dedup(f.text, f.doc_id, threshold=0.5)).collect()
+        assert 1 in list(out["doc_id"])
+
+    def test_bad_resolve_raises(self, spark):
+        td = self._docs(spark)
+        with pytest.raises(ValueError, match="resolve"):
+            (td >> minhash_dedup(f.text, f.doc_id, resolve="nope")).collect()
