@@ -97,6 +97,87 @@ def _expand_items(td: Tibble, args: tuple, kwargs: dict) -> list[tuple[str, Any]
     return items
 
 
+def _assign_list_values(td: Tibble, items: list[tuple[str, Any]]):
+    """Reference semantics for plain Python list/tuple mutate values
+    (``api/dplyr/mutate.py`` + tidyverse recycling rules, exercised by
+    ``tests/dplyr/test_mutate.py`` TestErrors): length 1 recycles,
+    length == nrow assigns by row position (per group size when
+    grouped), anything else raises. The list lives on the driver by
+    definition, so the eager size check + broadcast positional join
+    this costs cannot become a scale bottleneck — a Python list never
+    holds 100 TB; the big side is only joined, never collected."""
+    import pandas as pd
+
+    from ..functions.eager import has_deferred
+
+    list_idx = [
+        i
+        for i, (_, v) in enumerate(items)
+        if isinstance(v, (list, tuple)) and not has_deferred((v,), {})
+    ]
+    if not list_idx:
+        return td, items, []
+    items = list(items)
+    # scalar recycle needs no plan surgery
+    for i in list(list_idx):
+        v = items[i][1]
+        if len(v) == 1:
+            items[i] = (items[i][0], v[0])
+            list_idx.remove(i)
+    if not list_idx:
+        return td, items, []
+    df = td.df
+    groups = list(td.group_vars)
+    if groups:
+        sizes = [
+            r[0]
+            for r in df.groupBy(*groups).count().select("count").distinct().collect()
+        ]
+        n = sizes[0] if len(sizes) == 1 else -1
+    else:
+        n = td.nrow()
+    for i in list_idx:
+        name, v = items[i]
+        if len(v) != n:
+            raise ValueError(
+                f"mutate value for {name!r}: length {len(v)} incompatible "
+                f"with {'group size' if groups else 'row count'} {n}"
+            )
+    # positional join: one tiny broadcast lookup per list column, keyed
+    # by the (group-local) row position
+    td = td.ensure_order()
+    df = td.df
+    if groups:
+        w = Window.partitionBy(*groups).orderBy(F.col(ORDER_COL).asc())
+    else:
+        td = td.ensure_pos()
+        df = td.df
+    tmps: list[str] = []
+    for i in list_idx:
+        name, v = items[i]
+        tmp = f"__datar_listval_{i}__"
+        if len(v) == 0:  # 0-row frame: no values to look up, just type
+            df = df.withColumn(tmp, F.lit(None).cast("double"))
+            items[i] = (name, Ref(tmp))
+            tmps.append(tmp)
+            continue
+        lookup = df.sparkSession.createDataFrame(
+            pd.DataFrame({"__datar_lpos__": range(len(v)), tmp: list(v)})
+        )
+        if groups:
+            df = df.withColumn("__datar_lpos__", F.row_number().over(w) - 1)
+        else:
+            df = df.withColumn(
+                "__datar_lpos__", F.col("__datar_pos__").cast("long")
+            )
+        df = df.join(F.broadcast(lookup), on="__datar_lpos__", how="left").drop(
+            "__datar_lpos__"
+        )
+        items[i] = (name, Ref(tmp))
+        tmps.append(tmp)
+    return td.with_df(df), items, tmps
+
+
 def _verbcall_to_expr(v: Any) -> Any:
     """pick(...) used as a mutate value (reference pick.py: a sub-frame
     column) arrives as an unapplied VerbCall — rewrite to the struct
@@ -247,6 +328,7 @@ def mutate(
     **kwargs: Any,
 ) -> Tibble:
     items = _expand_items(td, args, kwargs)
+    td, items, list_tmps = _assign_list_values(td, items)
     if any(tree_needs_order(node) for _, node in items):
         td = td.ensure_order()
     if any(tree_needs_pos(node) for _, node in items):
@@ -330,6 +412,8 @@ def mutate(
         else:
             keep_set = cols_now
         df = _ordered_select(df, keep_set)
+    if list_tmps:
+        df = df.drop(*list_tmps)
     return td.with_df(df)
 
 

@@ -279,6 +279,36 @@ def from_pandas(spark: SparkSession, pdf) -> Tibble:
     from pyspark.sql import functions as F
 
     pdf = pdf.copy()
+    if len(pdf) == 0:
+        # no rows -> no type evidence for inference; build the schema
+        # from the pandas dtypes (object -> string, everything numeric
+        # keeps its width)
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        def _sparktype(dt):
+            s = str(dt)
+            if s.startswith("int") or s.startswith("uint"):
+                return LongType()
+            if s.startswith("float"):
+                return DoubleType()
+            if s.startswith("bool"):
+                return BooleanType()
+            if s.startswith("datetime"):
+                return TimestampType()
+            return StringType()
+
+        fields = [StructField(c, _sparktype(pdf[c].dtype)) for c in pdf.columns]
+        fields.append(StructField(ORDER_COL, LongType()))
+        df = spark.createDataFrame([], StructType(fields))
+        return Tibble(df)
     all_null = [c for c in pdf.columns if pdf[c].isna().all()]
     pdf[ORDER_COL] = range(len(pdf))
     for c in pdf.columns:
@@ -357,15 +387,22 @@ def tibble(
         return Tibble(df)
     exprs = {k: v for k, v in columns.items() if isinstance(v, Expr)}
     literals = {k: v for k, v in columns.items() if k not in exprs}
-    n = 1
-    for v in literals.values():
-        if isinstance(v, (list, tuple, range)):
-            n = max(n, len(v))
+    # vctrs common-size rule: lengths other than 1 must agree (0 rows is
+    # a legal common size — tibble(x=[]) builds an empty frame)
+    sizes = {
+        len(v) for v in literals.values() if isinstance(v, (list, tuple, range))
+    }
+    candidates = sizes - {1}
+    if len(candidates) > 1:
+        raise ValueError(
+            f"tibble columns have incompatible lengths: {sorted(candidates)}"
+        )
+    n = candidates.pop() if candidates else 1
     data = {}
     for k, v in literals.items():
         if isinstance(v, (list, tuple, range)):
             v = list(v)
-            if len(v) == 1:
+            if len(v) == 1 and n != 1:
                 v = v * n
             elif len(v) != n:
                 raise ValueError(
@@ -374,7 +411,12 @@ def tibble(
             data[k] = v
         else:
             data[k] = [v] * n
-    out = from_pandas(spark, pd.DataFrame(data))
+    pdf = pd.DataFrame(data)
+    if n == 0:
+        # empty columns carry no type evidence; default to double (the
+        # reference's polars backend lands on Float64 the same way)
+        pdf = pdf.astype("float64")
+    out = from_pandas(spark, pdf)
     if exprs:
         from .operators.core import mutate, select
         from .plans.expr import Ref
