@@ -95,6 +95,10 @@ def tree_is_multi_value(node) -> bool:
     # column reorderers return the whole group as an array in summarise
     if node._fname in ("sort", "order", "unique"):
         return True
+    # vector set ops on a scalar column collect to a value-set array
+    # (reference reframe(x=intersect(f.x, tbl)) explodes to rows)
+    if node._fname in ("vec_intersect", "vec_union", "vec_setdiff"):
+        return True
     return False
 
 

@@ -260,12 +260,38 @@ def _row_maxs(ctx, *xs):
 # ---- per-row array set operations (reference api/base/sets.py expr
 # path — polars list.set_* rewritten as Spark array HOFs, JVM-side) ----
 
+def _is_array_operand(ctx, v) -> bool:
+    from ..plans.expr import Ref
+
+    if isinstance(v, Ref):
+        return dict(ctx.tibble.dtypes).get(v._name, "").startswith("array")
+    try:
+        dt = ctx.tibble.df.select(ctx.col(v).alias("__c__")).schema[0].dataType
+        return dt.typeName() == "array"
+    except Exception:
+        return False
+
+
 def _as_array_col(ctx, v):
+    """Array operand for a set op. Array columns keep per-row
+    element-wise semantics; a SCALAR-element column is treated as "the
+    vector" (reference ``api/base/sets.py`` object path: the op runs
+    over the column's values) — collected to its sorted-distinct value
+    set, a multi-value aggregate that summarise/reframe explode to rows
+    (reference ``tests/dplyr/test_summarise.py`` reframe+intersect)."""
     from ..plans.expr import Expr
 
-    if isinstance(v, Expr):
-        return ctx.col(v)
-    return F.lit(list(v))
+    if not isinstance(v, Expr):
+        return F.lit(list(v))
+    col = ctx.col(v)
+    if _is_array_operand(ctx, v):
+        return col
+    collected = F.array_sort(F.array_distinct(F.collect_list(col)))
+    if ctx.mode == "agg":
+        return collected
+    return F.array_sort(
+        F.array_distinct(F.collect_list(col).over(_full_frame(ctx)))
+    )
 
 
 @register("vec_intersect")

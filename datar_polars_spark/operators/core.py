@@ -572,9 +572,15 @@ def summarise(td: Tibble, *args: Any, _groups: str | None = None, **kwargs: Any)
         agg_cols.append(col.alias(name))
         created.append(name)
 
+    if not agg_cols and not gvars:
+        # bare summarise(): one row, no columns (reference
+        # tests/dplyr/test_summarise.py shape (1, 0))
+        return Tibble(td.df.sparkSession.range(1).drop("id"), groups=())
     if gvars:
         # maintain_order=True analogue: carry first-seen order per group
         order_aggs = [F.min(ORDER_COL).alias(ORDER_COL)] if td.has_order else []
+        if not agg_cols and not order_aggs:
+            order_aggs = [F.count(F.lit(1)).alias("__datar_nagg__")]
         if td.grouping_mode == "cube":
             out = td.df.cube(*gvars).agg(*agg_cols, *order_aggs)
         elif td.grouping_mode == "rollup":
