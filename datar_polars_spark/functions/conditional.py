@@ -93,15 +93,21 @@ def _near(ctx, x, y, tol: float = 1.5e-8):
 @register("recode")
 def _recode(ctx, x, /, *args, _default=None, _missing=None, **kwargs):
     """Positional args recode by position (R 1-based), kwargs by value.
-    ``x`` is positional-only so a column literally named ``x`` can still
-    be recoded by keyword (reference tests/dplyr/test_recode.py)."""
+    A dict in the first positional slot maps values directly (reference
+    ``recode(vec, {1: "one"})``; ``None`` there is the empty-dict
+    placeholder). ``x`` is positional-only so a column literally named
+    ``x`` can still be recoded by keyword (tests/dplyr/test_recode.py)."""
     col = ctx.col(x)
+    mapping: dict = {}
+    if args and (args[0] is None or isinstance(args[0], dict)):
+        mapping = args[0] or {}
+        args = args[1:]
     out = None
     for i, repl in enumerate(args):
         cond = col == F.lit(i + 1)  # R positional recode is 1-based
         rc = ctx.col(repl)
         out = F.when(cond, rc) if out is None else out.when(cond, rc)
-    for old, new in kwargs.items():
+    for old, new in {**mapping, **kwargs}.items():
         cond = col == F.lit(old)
         rc = ctx.col(new)
         out = F.when(cond, rc) if out is None else out.when(cond, rc)
@@ -113,7 +119,7 @@ def _recode(ctx, x, /, *args, _default=None, _missing=None, **kwargs):
         raise ValueError("recode: no replacements provided")
     # R coerces the result to the replacement type: with string
     # replacements, unmatched values fall through as their string form
-    repls = list(args) + list(kwargs.values())
+    repls = list(args) + list(mapping.values()) + list(kwargs.values())
     str_repl = bool(repls) and all(isinstance(r, str) for r in repls)
     if _default is not None:
         fallthrough = ctx.col(_default)

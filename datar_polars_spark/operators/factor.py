@@ -286,18 +286,44 @@ def fct_recode(td: Tibble, col: Any, **mapping: str) -> Tibble:
 
 
 @verb
-def recode_factor(td: Tibble, col: Any, **mapping: str) -> Tibble:
+def recode_factor(
+    td: Tibble,
+    col: Any,
+    *args: Any,
+    _default: Any = None,
+    _missing: Any = None,
+    **kwargs: str,
+) -> Tibble:
     """recode + make the result a factor whose levels follow the
-    replacement order (reference ``api/dplyr/recode.py:152-206``)."""
+    replacement order (reference ``api/dplyr/recode.py:152-206``). A
+    dict positional maps original values directly; ``_default`` catches
+    unmatched values, ``_missing`` catches NULL."""
+    mapping: dict = {}
+    for a in args:
+        if isinstance(a, dict):
+            mapping.update(a)
+        elif a is not None:
+            raise TypeError("recode_factor: positional args must be dicts")
+    mapping.update(kwargs)
+    if not mapping:
+        raise ValueError("recode_factor: no replacements provided")
     cname = _name_of(col)
     colr = F.col(cname)
-    expr = colr
+    fallthrough = (
+        F.lit(_default) if _default is not None else colr.cast("string")
+    )
+    expr = F.when(colr.isNull(), F.lit(_missing)) if _missing is not None else None
     for old, new in mapping.items():
-        expr = F.when(colr == old, F.lit(new)).otherwise(expr)
+        cond = colr == F.lit(old)
+        expr = F.when(cond, F.lit(new)) if expr is None else expr.when(cond, F.lit(new))
+    expr = expr.otherwise(fallthrough)
     df = td.df.withColumn(cname, expr)
     out = td.with_df(df)
     observed = _observed_levels(out, cname)
     new_levels = list(dict.fromkeys(mapping.values()))
+    for extra in (_default, _missing):  # reference level order: repl, default, missing
+        if extra is not None and extra not in new_levels:
+            new_levels.append(extra)
     new_levels += [l for l in observed if l not in new_levels]
     return _with_levels(out, cname, new_levels)
 

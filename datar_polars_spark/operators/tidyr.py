@@ -293,11 +293,16 @@ def extract(
     cname = _name_of(col)
     df = td.df
     matched = F.col(cname).rlike(regex)
+    # duplicate names in `into` concatenate their matched groups in
+    # order (reference tests/tidyr test_extract_concat_dup_names)
+    groups_by_target: dict[str, list[int]] = {}
     for i, target in enumerate(into):
         if target is None:
             continue
-        t = _name_of(target)
-        val = F.when(matched, F.regexp_extract(F.col(cname), regex, i + 1))
+        groups_by_target.setdefault(_name_of(target), []).append(i + 1)
+    for t, idxs in groups_by_target.items():
+        parts = [F.regexp_extract(F.col(cname), regex, i) for i in idxs]
+        val = F.when(matched, parts[0] if len(parts) == 1 else F.concat(*parts))
         if convert:
             val = val.cast("long")
         df = df.withColumn(t, val)
@@ -307,7 +312,7 @@ def extract(
     out_cols = []
     for c in td.columns:
         if c == cname:
-            out_cols.extend([t for t in new if t])
+            out_cols.extend(dict.fromkeys(t for t in new if t))
             if not remove:
                 out_cols.append(cname)
         elif c not in new:

@@ -310,15 +310,29 @@ def from_pandas(spark: SparkSession, pdf) -> Tibble:
         df = spark.createDataFrame([], StructType(fields))
         return Tibble(df)
     all_null = [c for c in pdf.columns if pdf[c].isna().all()]
+    # columns whose every value is an empty list carry no element-type
+    # evidence either — default to array<double> (mirrors the all-null
+    # rule below; reference unchop-empty cases)
+    all_empty_arr = [
+        c
+        for c in pdf.columns
+        if c not in all_null
+        and len(pdf)
+        and all(
+            isinstance(v, (list, tuple)) and len(v) == 0 for v in pdf[c]
+        )
+    ]
     pdf[ORDER_COL] = range(len(pdf))
     for c in pdf.columns:
         # datetime64 columns convert natively (NaT -> null); object-ifying
         # them would leave pandas Timestamps Spark can't infer
         if not str(pdf[c].dtype).startswith("datetime"):
             pdf[c] = pdf[c].astype(object).where(pd.notnull(pdf[c]), None)
-    df = spark.createDataFrame(pdf.drop(columns=all_null))
+    df = spark.createDataFrame(pdf.drop(columns=all_null + all_empty_arr))
     for c in all_null:
         df = df.withColumn(c, F.lit(None).cast("double"))
+    for c in all_empty_arr:
+        df = df.withColumn(c, F.array().cast("array<double>"))
     order = [c for c in pdf.columns if c != ORDER_COL] + [ORDER_COL]
     return Tibble(df.select(*order))
 
