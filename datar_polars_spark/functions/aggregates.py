@@ -258,7 +258,11 @@ def _nth(ctx, x, n, order_by=None, default=None):
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         )
-    res = F.when(F.size(arr) > nval, F.element_at(arr, nval + 1))
+    if isinstance(nval, int) and nval < 0:
+        # python-style negative index (reference polars x.get(n))
+        res = F.when(F.size(arr) >= -nval, F.element_at(arr, nval))
+    else:
+        res = F.when(F.size(arr) > nval, F.element_at(arr, nval + 1))
     if default is not None:
         res = F.coalesce(res, ctx.col(default))
     return res

@@ -114,6 +114,10 @@ def seq(from_: float = 1, to: float | None = None, by: float | None = None,
         return [from_ + i * by for i in range(length_out)]
     if by is None:
         by = 1 if to >= from_ else -1
+    if by == 0:
+        if to != from_:
+            raise ValueError("seq: invalid '(to - from)/by' (by must be nonzero)")
+        return [int(from_)] if float(from_).is_integer() else [from_]
     out, v, i = [], from_, 0
     while (by > 0 and v <= to + 1e-12) or (by < 0 and v >= to - 1e-12):
         out.append(v)

@@ -310,3 +310,31 @@ def test_cur_column_in_across_mutate(td):
         >> mutate(across([f.s], lambda c: paste0(cur_column(), "_", c), _names="{_col}_tag"))
     ).collect()
     assert out["s_tag"].tolist() == ["s_a", "s_b", "s_c", "s_d"]
+
+
+class TestNthNegativeAndSeqByZero:
+    """Reference: polars x.get(n) python-style negative nth; R seq
+    rejects by=0 unless from == to."""
+
+    def test_nth_negative_index(self, spark):
+        from datar_polars_spark import f, tibble, summarise
+        from datar_polars_spark.functions import nth
+
+        td = tibble(spark, x=[3.0, 1.0, 2.0])
+        assert (td >> summarise(v=nth(f.x, -1))).collect()["v"].tolist() == [2.0]
+
+    def test_nth_negative_out_of_bounds_default(self, spark):
+        from datar_polars_spark import f, tibble, summarise
+        from datar_polars_spark.functions import nth
+
+        td = tibble(spark, x=[3.0, 1.0, 2.0])
+        got = (td >> summarise(v=nth(f.x, -5, default=0.0))).collect()
+        assert got["v"].tolist() == [0.0]
+
+    def test_seq_by_zero(self):
+        import pytest
+        from datar_polars_spark.functions import seq
+
+        assert seq(1, 1, by=0) == [1]
+        with pytest.raises(ValueError):
+            seq(1, 5, by=0)
