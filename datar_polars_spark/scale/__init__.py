@@ -32,6 +32,8 @@ from .filters import (  # noqa: F401 (also registers repetition metrics)
     pack_documents,
     hash_split,
     stratified_sample,
+    mix_corpora,
+    temperature_mix,
 )
 from .graph import connected_components, components_from_pairs  # noqa: F401
 from .sessions import sessionize_batch, session_stats  # noqa: F401

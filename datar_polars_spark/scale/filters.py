@@ -29,6 +29,8 @@ __all__ = [
     "pack_documents",
     "hash_split",
     "stratified_sample",
+    "mix_corpora",
+    "temperature_mix",
 ]
 
 
@@ -470,3 +472,63 @@ def stratified_sample(
         keys = [r[0] for r in td.df.select(by).distinct().collect()]
         fractions = {k: fractions for k in keys}
     return td.with_df(td.df.sampleBy(by, fractions=fractions, seed=seed))
+
+
+@verb
+def mix_corpora(
+    td: Tibble,
+    source: Any,
+    weights: dict[str, float],
+    id_col: Any = "doc_id",
+    salt: str = "mix",
+) -> Tibble:
+    """Resample a multi-source corpus to target mix proportions.
+
+    ``weights`` maps source values to target weights (normalized to
+    proportions). One tiny aggregation computes per-source counts; the
+    largest total reachable WITHOUT upsampling is ``min(n_s / p_s)``,
+    giving per-source keep-fractions ``p_s * T / n_s``. Rows are kept
+    by a deterministic hash of (salt, id) against the fraction —
+    reproducible across runs and cluster sizes, one narrow filter pass,
+    no RNG state, no shuffle. Sources missing from ``weights`` are
+    dropped; to upsample a source, union extra epochs of it first."""
+    sname = source._name if hasattr(source, "_name") else str(source)
+    idn = id_col._name if hasattr(id_col, "_name") else str(id_col)
+    total_w = float(sum(weights.values()))
+    props = {k: w / total_w for k, w in weights.items()}
+    counts = {
+        r[0]: r[1]
+        for r in td.df.groupBy(sname).count().collect()
+        if r[0] in props
+    }
+    missing = [k for k in props if k not in counts]
+    if missing:
+        raise ValueError(f"mix_corpora: sources not in data: {missing}")
+    target_total = min(counts[k] / p for k, p in props.items() if p > 0)
+    fracs = {k: min(1.0, props[k] * target_total / counts[k]) for k in props}
+    res = F.pmod(F.xxhash64(F.lit(salt), F.col(idn)), F.lit(1_000_000))
+    keep = None
+    for k, frac in fracs.items():
+        cond = (F.col(sname) == F.lit(k)) & (res < F.lit(int(round(frac * 1_000_000))))
+        keep = cond if keep is None else (keep | cond)
+    out = td.df.filter(keep)
+    return td.with_df(out)
+
+
+@verb
+def temperature_mix(
+    td: Tibble,
+    source: Any,
+    alpha: float = 0.7,
+    id_col: Any = "doc_id",
+    salt: str = "mix",
+) -> Tibble:
+    """Temperature-based source rebalancing: target weights are the
+    per-source counts raised to ``alpha`` (the multilingual sampling
+    rule of XLM-R/mT5: alpha < 1 flattens the source distribution so
+    small sources aren't drowned out, alpha=1 keeps it, alpha=0 makes
+    it uniform), then resampled exactly as in ``mix_corpora``."""
+    sname = source._name if hasattr(source, "_name") else str(source)
+    counts = {r[0]: r[1] for r in td.df.groupBy(sname).count().collect()}
+    weights = {k: float(n) ** alpha for k, n in counts.items()}
+    return mix_corpora(td, source, weights, id_col=id_col, salt=salt)

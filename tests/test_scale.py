@@ -183,3 +183,52 @@ def test_ivf_topk_recall(spark):
     # probing everything IS exact
     full = ivf_topk(assigned, qv, cents, f.embedding, f.vec_id, k=10, nprobe=8)
     assert {r[0] for r in full.df.collect()} == exact
+
+
+def test_mix_corpora_proportions(spark):
+    from datar_polars_spark import tibble, f
+    from datar_polars_spark.scale import mix_corpora
+
+    # 800 web / 150 books / 50 code, target 1:1 web:books (code dropped)
+    n = {"web": 800, "books": 150, "code": 50}
+    ids, srcs = [], []
+    i = 0
+    for s, k in n.items():
+        for _ in range(k):
+            ids.append(i); srcs.append(s); i += 1
+    td = tibble(spark, doc_id=ids, source=srcs)
+    out = (td >> mix_corpora(f.source, {"web": 1, "books": 1})).collect()
+    got = out["source"].value_counts().to_dict()
+    # books is the limiting source: ~150 each, hash sampling is +-jitter
+    assert got.get("code", 0) == 0
+    assert abs(got["web"] - 150) < 40
+    assert got["books"] == 150  # fraction 1.0 keeps every row
+
+    # deterministic: same salt -> identical selection
+    out2 = (td >> mix_corpora(f.source, {"web": 1, "books": 1})).collect()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_temperature_mix_flattens(spark):
+    from datar_polars_spark import tibble, f
+    from datar_polars_spark.scale import temperature_mix
+
+    ids = list(range(1100))
+    srcs = ["big"] * 1000 + ["small"] * 100
+    td = tibble(spark, doc_id=ids, source=srcs)
+    out = (td >> temperature_mix(f.source, alpha=0.5)).collect()
+    got = out["source"].value_counts().to_dict()
+    # alpha=0.5: weights sqrt(1000):sqrt(100) ~ 3.16:1 (vs raw 10:1);
+    # small stays complete, big is downsampled to ~316
+    assert got["small"] == 100
+    assert abs(got["big"] - 316) < 60
+
+
+def test_mix_corpora_unknown_source_raises(spark):
+    import pytest
+    from datar_polars_spark import tibble, f
+    from datar_polars_spark.scale import mix_corpora
+
+    td = tibble(spark, doc_id=[1], source=["web"])
+    with pytest.raises(ValueError, match="sources not in data"):
+        td >> mix_corpora(f.source, {"nope": 1.0})
