@@ -122,15 +122,16 @@ def _dup_paragraph_char_fraction(ctx, x):
 
 def _word_ngrams(words: Column, n: int) -> Column:
     """Word n-grams as space-joined strings (empty array when the doc
-    has fewer than n words)."""
-    count = F.size(words) - (n - 1)
-    return F.when(
-        count > 0,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    has fewer than n words). Built by zip_with over n shifted views of
+    the word array — n slices total instead of one O(n) slice+join per
+    gram (~5x less codegen work per row; see scale/dedup.word_shingles)."""
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.slice(words, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(words, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.coalesce(grams, F.array().cast("array<string>"))
 
 
 @register("top_ngram_char_fraction")
@@ -295,9 +296,11 @@ def c4_clean(td: Tibble, text: str = "text", min_line_words: int = 3) -> Tibble:
 def _ngram_hashes(df, text: str, idcol: str, n: int):
     """(id, xxhash64(n-gram)) pairs, one row per n-gram — explode is
     Spark's native flatMap, so generation is distributed and narrow."""
+    from .dedup import _ensure_parallelism
+
     words = _words(F.col(text))
     grams = _word_ngrams(words, n)
-    return df.select(
+    return _ensure_parallelism(df).select(
         F.col(idcol), F.explode(grams).alias("__gram__")
     ).select(idcol, F.xxhash64("__gram__").alias("__gh__"))
 
