@@ -20,8 +20,9 @@ q58 were merged into surviving queries (their verbs are still covered:
 anti_join->q08, setdiff->q17, consecutive_id->q51, quality_score->q35,
 sketches->q20, rowwise/c_across->q47, table_->q42, fill-up->q30,
 factor codes->q41, IVF->q37) so the whole gate fits a 50-query driver
-budget with zero rows-only entries except q59 (multimodal) and the two
-bound-style oracles q39/q40 placed last.
+budget with zero rows-only entries: even q59 (multimodal) hash-checks
+its projected plumbing outputs, and the two bound-style oracles q39/q40
+are placed last.
 """
 
 from __future__ import annotations

@@ -228,3 +228,42 @@ def test_cur_group_id_avoids_global_sort_window(spark):
     plan = _plan(td)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert not re.search(r"Window.*\n.*SinglePartition", plan)
+
+
+def test_complex_ops_keep_pushdown(spark):
+    """struct<re,im> complex ops are plain JVM expressions — a filter
+    before them still reaches the parquet scan."""
+    from datar_polars_spark.functions import arg, complex_, mod
+
+    td = (
+        read_parquet(spark, f"{SF}/lineitem.parquet")
+        >> filter_(f.l_quantity > 40)
+        >> mutate(m=mod(complex_(real=f.l_extendedprice, imaginary=f.l_discount)))
+    )
+    plan = _plan(td)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThan(l_quantity,40.0)" in m.group(1)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_corpora_is_narrow(spark):
+    """The resample itself is one filter pass: no Exchange in the plan
+    (the per-source count agg is a separate tiny job)."""
+    from datar_polars_spark.scale import mix_corpora
+    from datar_polars_spark import tibble
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    out = docs >> mix_corpora(f.source, {k: 1.0 for k in
+        [r[0] for r in docs.df.select("source").distinct().collect()]})
+    assert "Exchange" not in _plan(out)
+
+
+def test_connected_components_no_single_partition(spark):
+    """Every stage of the alternating-star rounds is keyed groupBy/join
+    — nothing funnels through one task."""
+    from datar_polars_spark.scale.graph import _large_star, _small_star
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    stepped = _small_star(_large_star(edges))
+    plan = stepped._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
