@@ -114,3 +114,51 @@ class TestDedupResolve:
         td = self._docs(spark)
         with pytest.raises(ValueError, match="resolve"):
             (td >> minhash_dedup(f.text, f.doc_id, resolve="nope")).collect()
+
+
+class TestDuplicateClusterSkew:
+    """VERDICT r1 item 5: a mega-cluster of identical copies must not
+    send the LSH bucket self-join quadratic. The fingerprint pre-pass
+    removes all but one copy before banding; with the pre-pass bypassed,
+    the bucket cap bounds candidate generation."""
+
+    def _skewed(self, spark, n_copies=10_000):
+        from datar_polars_spark import from_pandas
+        import pandas as pd
+
+        boiler = "subscribe to our newsletter for the latest updates " * 4
+        texts = [boiler] * n_copies + [
+            f"unique document number {i} about topic {i % 7} with words " * 3
+            for i in range(50)
+        ]
+        return from_pandas(
+            spark, pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+
+    def test_dedup_mega_cluster_no_quadratic(self, spark):
+        import time
+
+        from datar_polars_spark import f
+        from datar_polars_spark.scale import minhash_dedup
+
+        td = self._skewed(spark)
+        t0 = time.perf_counter()
+        out = (td >> minhash_dedup(f.text, f.doc_id, threshold=0.7)).collect()
+        elapsed = time.perf_counter() - t0
+        # one survivor from the 10k-copy cluster + the 50 uniques
+        kept = set(out["doc_id"])
+        assert 0 in kept and len([k for k in kept if k < 10_000]) == 1
+        # a quadratic candidate stage (1e8 pairs) cannot finish this fast
+        assert elapsed < 60, f"dedup took {elapsed:.1f}s — quadratic blowup?"
+
+    def test_bucket_cap_bounds_pairs_without_prepass(self, spark):
+        from datar_polars_spark import f
+        from datar_polars_spark.scale import minhash_pairs
+
+        td = self._skewed(spark, n_copies=2_000)
+        # raw pairs on the skewed corpus, pre-pass bypassed: the bucket
+        # cap must exclude the mega-cluster buckets outright
+        pairs = (
+            td >> minhash_pairs(f.text, f.doc_id, threshold=0.7, max_bucket=100)
+        ).df.count()
+        assert pairs < 100_000  # uncapped would be ~2e6 within one bucket
