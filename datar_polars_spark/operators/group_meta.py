@@ -171,15 +171,27 @@ def group_split(td: Tibble, *cols: Any, _keep: bool = True) -> list[Tibble]:
 
 @verb
 def group_map(td: Tibble, fn: Callable, *cols: Any) -> list:
-    """Apply ``fn(pandas_df, key_dict)`` per group on the driver; returns
-    the list of results in key order."""
+    """Apply ``fn`` per group on the driver, in key order. Like the
+    reference (``group_iter.py:142-167``), a one-parameter ``fn``
+    receives just the group's frame; a two-parameter ``fn`` receives
+    ``(pandas_df, key_dict)``."""
+    import inspect
+
     gvars = _gvars(td, cols)
     parts = group_split(td, *cols, _keep=False)
     keys = _key_sorted(td, gvars).collect() if gvars else [None]
+    try:
+        n_params = len(inspect.signature(fn).parameters)
+    except (ValueError, TypeError):
+        n_params = 2
     out = []
     for part, key in zip(parts, keys):
-        kd = dict(key.asDict()) if key is not None else {}
-        out.append(fn(part.collect(), kd))
+        pdf = part.collect()
+        if n_params == 1:
+            out.append(fn(pdf))
+        else:
+            kd = dict(key.asDict()) if key is not None else {}
+            out.append(fn(pdf, kd))
     return out
 
 
@@ -245,9 +257,13 @@ def group_trim(td: Tibble) -> Tibble:
 
 
 @verb
-def with_groups(td: Tibble, groups: Any, verb_call: Any) -> Tibble:
+def with_groups(
+    td: Tibble, groups: Any, verb_call: Any, *args: Any, **kwargs: Any
+) -> Tibble:
     """Temporarily regroup, apply a verb, restore original grouping
-    (reference ``group_iter.py:215-253``)."""
+    (reference ``group_iter.py:73-117``): the verb's own arguments pass
+    through, so ``td >> with_groups(f.g, summarise, s=sum_(f.x))``
+    works exactly as in the reference."""
     old = list(td.group_vars)
     if groups is None:
         gvars: list[str] = []
@@ -256,5 +272,12 @@ def with_groups(td: Tibble, groups: Any, verb_call: Any) -> Tibble:
     else:
         gvars = [groups._name if isinstance(groups, Ref) else str(groups)]
     regrouped = td.with_df(td.df, groups=gvars)
-    out = verb_call(regrouped)
+    from ..plans.verb import VerbCall
+
+    if isinstance(verb_call, VerbCall):  # pre-built verb: pipe it in
+        out = regrouped >> verb_call
+    else:
+        out = verb_call(regrouped, *args, **kwargs)
+        if isinstance(out, VerbCall):
+            out = regrouped >> out
     return out.with_df(out.df, groups=[g for g in old if g in out.df.columns])

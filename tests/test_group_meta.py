@@ -193,3 +193,39 @@ def test_api_audit_additions(spark):
     g = tibble(spark, g=["a", "a", "b"], v=[1, 2, 3]) >> group_by(f.g)
     out = g >> mutate(sz=lengths(cur_data_all()))
     assert out.collect()["sz"].tolist() == [2, 2, 1]
+
+
+def test_group_map_one_param_fn(spark):
+    from datar_polars_spark import f, group_by, tibble
+    from datar_polars_spark.operators.group_meta import group_map
+
+    td = tibble(spark, g=["b", "a", "a"], x=[1, 2, 3])
+    out = td >> group_by(f.g) >> group_map(lambda d: d.shape)
+    assert out == [(2, 1), (1, 1)]
+
+
+def test_group_map_two_param_fn_gets_keys(spark):
+    from datar_polars_spark import f, group_by, tibble
+    from datar_polars_spark.operators.group_meta import group_map
+
+    td = tibble(spark, g=["b", "a", "a"], x=[1, 2, 3])
+    out = td >> group_by(f.g) >> group_map(lambda d, k: (k["g"], len(d)))
+    assert out == [("a", 2), ("b", 1)]
+
+
+def test_with_groups_reference_calling_convention(spark):
+    """reference group_iter.py:73-117: with_groups(.groups, .f, **kwargs)"""
+    from datar_polars_spark import f, group_by, mutate, summarise, tibble
+    from datar_polars_spark.functions import sum_
+    from datar_polars_spark.operators.group_meta import with_groups
+
+    td = tibble(spark, g=["b", "a", "a"], x=[1, 2, 3])
+    out = (td >> with_groups(f.g, summarise, s=sum_(f.x))).collect()
+    assert dict(zip(out["g"], out["s"])) == {"a": 5, "b": 1}
+
+    # None temporarily ungroups
+    out2 = (
+        td >> group_by(f.g) >> with_groups(None, mutate, s=sum_(f.x))
+    )
+    assert out2.collect()["s"].tolist() == [6, 6, 6]
+    assert tuple(out2.group_vars) == ("g",)
