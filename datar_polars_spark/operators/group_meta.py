@@ -202,17 +202,35 @@ def group_walk(td: Tibble, fn: Callable, *cols: Any) -> Tibble:
 
 
 @verb
-def group_modify(td: Tibble, fn: Callable, schema: Any) -> Tibble:
+def group_modify(td: Tibble, fn: Callable, schema: Any = None) -> Tibble:
     """Distributed per-group frame transform: ``fn(pandas.DataFrame) ->
     pandas.DataFrame`` runs on executors via ``applyInPandas`` (Arrow
     batches). ``schema`` is the output schema *excluding* group keys,
     which are re-attached as dplyr does (keys prepended, result stays
-    grouped). Reference semantics: ``group_iter.py:170-212``."""
+    grouped). When omitted (the reference needs none —
+    ``group_iter.py:178-212`` — but Spark's applyInPandas demands one
+    upfront), it is inferred by running ``fn`` on ONE sample group on
+    the driver: one small filtered collect, independent of corpus size."""
     from pyspark.sql.types import StructType
 
     gvars = list(td.group_vars)
     if not gvars:
         raise ValueError("group_modify requires a grouped tibble")
+    if schema is None:
+        sample_key = td.df.select(*gvars).first()
+        cond = None
+        for g in gvars:
+            c = (
+                F.col(g).isNull()
+                if sample_key[g] is None
+                else (F.col(g) == F.lit(sample_key[g]))
+            )
+            cond = c if cond is None else (cond & c)
+        sample = td.df.filter(cond).drop(
+            *[c for c in td.df.columns if c.startswith("__datar_")]
+        )
+        body = fn(sample.toPandas().drop(columns=gvars))
+        schema = td.df.sparkSession.createDataFrame(body).schema
     if isinstance(schema, str):
         key_schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"

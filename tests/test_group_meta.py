@@ -229,3 +229,17 @@ def test_with_groups_reference_calling_convention(spark):
     )
     assert out2.collect()["s"].tolist() == [6, 6, 6]
     assert tuple(out2.group_vars) == ("g",)
+
+
+def test_group_modify_infers_schema(spark):
+    """Schema omitted (reference convention): inferred from one sample
+    group on the driver."""
+    from datar_polars_spark import f, group_by, tibble
+    from datar_polars_spark.operators.group_meta import group_modify
+
+    td = tibble(spark, g=["b", "a", "a"], x=[1.0, 2.0, 3.0])
+    out = (
+        td >> group_by(f.g) >> group_modify(lambda d: d.assign(dx=d["x"] * 2))
+    ).collect()
+    assert sorted(out.columns) == ["dx", "g", "x"]
+    assert sorted(zip(out["g"], out["dx"])) == [("a", 4.0), ("a", 6.0), ("b", 2.0)]
