@@ -19,9 +19,10 @@ from .registry import register
 
 class Across:
     def __init__(self, *args: Any, _names: str | None = None, **kwargs: Any):
-        # across(selection) or across(selection, fns)
+        # across(selection) or across(selection, fns, *fn_args)
         self.selection = args[0] if args else None
         self.fns = args[1] if len(args) > 1 else None
+        self.fn_args = args[2:]  # extra positionals forwarded to fns
         self.names_tpl = _names
         self.fn_kwargs = kwargs
 
@@ -91,11 +92,10 @@ def _fn_name(fn: Any) -> str:
     return getattr(fn, "__name__", str(fn)).rstrip("_")
 
 
-def _apply(fn: Any, ref: Ref, kwargs: dict) -> Expr:
+def _apply(fn: Any, ref: Ref, kwargs: dict, args: tuple = ()) -> Expr:
     if isinstance(fn, str):
-        return Call(fn, (ref,), kwargs)
-    out = fn(ref, **kwargs) if kwargs else fn(ref)
-    return out
+        return Call(fn, (ref, *args), kwargs)
+    return fn(ref, *args, **kwargs)
 
 
 def expand_across(td, a: Across) -> list[tuple[str, Any]]:
@@ -133,7 +133,7 @@ def expand_across(td, a: Across) -> list[tuple[str, Any]]:
                 name = f"{c}_{fname}"
             else:
                 name = c
-            node = _apply(fn, Ref(c), a.fn_kwargs)
+            node = _apply(fn, Ref(c), a.fn_kwargs, a.fn_args)
             if _has_cur_column(node):
                 node = _sub_cur_column(node, c)
             out.append((name, node))

@@ -249,9 +249,25 @@ def fct_shuffle(td: Tibble, col: Any, seed: int | None = None) -> Tibble:
 
 
 @verb
-def fct_reorder(td: Tibble, col: Any, by: Any, fn: str = "median", desc: bool = False) -> Tibble:
+def fct_reorder(
+    td: Tibble,
+    col: Any,
+    by: Any,
+    fn: Any = "median",
+    desc: bool = False,
+    _fun: Any = None,
+    _desc: bool | None = None,
+) -> Tibble:
     """Reorder levels by a summary of a second variable (one agg query;
-    reference api/forcats.py:543-630)."""
+    reference api/forcats.py:543-630). ``_fun``/``_desc`` are the
+    reference kwarg spellings; ``fn`` also accepts the datar builders
+    (``max_``, ``mean``, ...) besides name strings."""
+    if _fun is not None:
+        fn = _fun
+    if _desc is not None:
+        desc = _desc
+    if callable(fn):
+        fn = getattr(fn, "__name__", "").rstrip("_") or "median"
     cname, bname = _name_of(col), _name_of(by)
     aggfns = {"median": F.median, "mean": F.mean, "min": F.min, "max": F.max, "sum": F.sum}
     agg = aggfns[fn](F.col(bname)).alias("__stat__")

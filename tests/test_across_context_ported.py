@@ -195,3 +195,41 @@ class TestContext:
         td = tibble(spark, g=["a", "a", "b"], x=[1, 1, 3])
         out = (td >> group_by(f.g) >> summarise(nd=n_distinct(f.x)) >> arrange(f.g)).collect()
         assert out["nd"].tolist() == [1, 1]
+
+
+class TestAcrossExtraArgs:
+    """Reference across(.cols, .fns, *args, **kwargs) forwards the
+    function's own arguments (tests/dplyr/test_across.py)."""
+
+    def test_positional_args_forwarded(self, spark):
+        from datar_polars_spark import f, mutate, tibble
+        from datar_polars_spark.functions import across, round_
+
+        out = (
+            tibble(spark, a=[1.234]) >> mutate(across(f[f.a:], round_, 1))
+        ).collect()
+        assert out["a"].tolist() == [1.2]
+
+    def test_kwargs_forwarded(self, spark):
+        from datar_polars_spark import f, mutate, tibble
+        from datar_polars_spark.functions import across, round_
+
+        out = (
+            tibble(spark, a=[1.234]) >> mutate(across(f[f.a:], round_, digits=2))
+        ).collect()
+        assert out["a"].tolist() == [1.23]
+
+
+class TestFctReorderConventions:
+    def test_fun_spelling_and_callable(self, spark):
+        from datar_polars_spark import f, tibble
+        from datar_polars_spark.functions import max_
+        from datar_polars_spark.operators.factor import factor_, fct_reorder
+
+        ft = tibble(spark, x=["lo", "hi", "mid"], v=[1.0, 3.0, 2.0]) >> factor_(f.x)
+        assert (ft >> fct_reorder(f.x, f.v, _fun="max")).levels["x"] == [
+            "lo", "mid", "hi",
+        ]
+        assert (ft >> fct_reorder(f.x, f.v, fn=max_, _desc=True)).levels["x"] == [
+            "hi", "mid", "lo",
+        ]
