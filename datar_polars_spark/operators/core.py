@@ -478,13 +478,23 @@ def filter_(td: Tibble, *conds: Any, _preserve: bool = False) -> Tibble:
 
 @verb
 def group_by(td: Tibble, *args: Any, _add: bool = False, _drop: bool | None = None, **kwargs: Any) -> Tibble:
+    # unnamed computed expressions group by the derived column named by
+    # its deparse — dplyr group_by(x > 1) / count(x > 1) convention.
+    # Dots are scrubbed from the name (Spark would parse them as struct
+    # field access in groupBy/col references).
+    args = list(args)
+    for i, a in enumerate(args):
+        if isinstance(a, Expr) and not isinstance(a, Ref):
+            nm = deparse(a).replace("f.", "").replace(".", "_")
+            kwargs[nm] = a
+            args[i] = Ref(nm)
     if kwargs:
         td = mutate(td, **kwargs)
     names = [a._name if isinstance(a, Ref) else str(a) for a in args]
     missing = [n for n in names if n not in td.columns]
     if missing:
         raise KeyError(f"group_by: columns not found: {missing}")
-    names += list(kwargs.keys())
+    names += [k for k in kwargs if k not in names]
     groups = list(td.group_vars) + [n for n in names if n not in td.group_vars] if _add else names
     # _drop=None inherits the tibble's current setting (dplyr's
     # group_by_drop_default) so regrouping, e.g. inside count(), does
@@ -662,6 +672,15 @@ def reframe(td: Tibble, *args: Any, **kwargs: Any) -> Tibble:
 def arrange(td: Tibble, *keys: Any, _by_group: bool = False) -> Tibble:
     if not keys and not _by_group:
         return td
+    # arrange(across(cols)) sorts by every selected column in order
+    # (dplyr convention); fns-less across expands to its Refs
+    expanded: list[Any] = []
+    for k in keys:
+        if isinstance(k, Across):
+            expanded.extend(node for _, node in expand_across(td, k))
+        else:
+            expanded.append(k)
+    keys = tuple(expanded)
     td = td.ensure_order()
     ctx = EvalContext(td, "eval")
     sort_cols: list[Column] = []

@@ -149,14 +149,31 @@ def num_range(prefix: str, range_: Iterable[int] | int, width: int = 0) -> list[
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
 
 
+# the datar type-predicate builders (functions.is_double etc.) dispatch
+# on VALUES, not dtype strings — map them by name so where(is_double)
+# works with either import (reference tests pass datar.base predicates)
+_DTYPE_PREDS = {
+    "is_numeric": lambda t: t.split("(")[0] in _NUMERIC,
+    "is_double": lambda t: t in ("double", "float"),
+    "is_integer": lambda t: t in ("tinyint", "smallint", "int", "bigint"),
+    "is_character": lambda t: t == "string",
+    "is_string": lambda t: t == "string",
+    "is_logical": lambda t: t == "boolean",
+    "is_bool": lambda t: t == "boolean",
+}
+
+
 def where(pred) -> SelectHelper:
     """``where(is_numeric)`` etc: predicate over (name, dtype)."""
+    named = _DTYPE_PREDS.get(getattr(pred, "__name__", ""))
 
     def fn(cols, dt):
         out = []
         for c in cols:
             t = dt.get(c, "")
-            if callable(pred):
+            if named is not None:
+                keep = named(t)
+            elif callable(pred):
                 try:
                     keep = pred(t)
                 except TypeError:

@@ -78,12 +78,14 @@ class TestAcrossSelections:
         assert out["b"].tolist() == [4, 5]
 
     def test_across_where_is_double(self, spark):
+        # non-round inputs prove the selection actually matched
         out = (
-            tibble(spark, a=[1.0, 2.0], b=[3.0, 4.0])
+            tibble(spark, a=[1.4, 2.6], b=[3.5, 4.4], s=["x", "y"])
             >> mutate(across(where(is_double), round_))
         ).collect()
-        assert out["a"].tolist() == [1.0, 2.0]
-        assert out["b"].tolist() == [3.0, 4.0]
+        assert out["a"].tolist() == [1.0, 3.0]
+        assert out["b"].tolist() == [4.0, 4.0]
+        assert out["s"].tolist() == ["x", "y"]
 
 
 class TestNoneAndKeep:
@@ -147,3 +149,41 @@ class TestEmptyTibble:
     def test_incompatible_lengths_raise(self, spark):
         with pytest.raises(ValueError, match="incompatible"):
             tibble(spark, x=[], y=[1, 2])
+
+
+class TestVerbConventionSweep:
+    """dplyr conventions: arrange(across()), count/group_by on computed
+    expressions, where() with the datar type-predicate builders."""
+
+    def test_arrange_across(self, spark):
+        from datar_polars_spark.functions import across
+
+        td = tibble(spark, g=["a", "a", "b"], x=[3, 1, 2])
+        out = (td >> arrange(across(f[f.x:]))).collect()
+        assert out["x"].tolist() == [1, 2, 3]
+
+    def test_count_expression(self, spark):
+        from datar_polars_spark import count
+
+        td = tibble(spark, x=[3, 1, 2])
+        out = (td >> count(f.x > 1)).collect()
+        assert dict(zip(out["(x > 1)"], out["n"])) == {True: 2, False: 1}
+
+    def test_group_by_expression_positional(self, spark):
+        from datar_polars_spark import summarise
+        from datar_polars_spark.functions import n
+
+        td = tibble(spark, x=[3, 1, 2])
+        out = (td >> group_by(f.x % 2) >> summarise(n=n())).collect()
+        assert dict(zip(out["(x % 2)"], out["n"])) == {1: 2, 0: 1}
+
+    def test_where_with_builder_predicates(self, spark):
+        from datar_polars_spark import summarise
+        from datar_polars_spark.functions import across, is_character, is_numeric
+        from datar_polars_spark.plans.selection import where
+
+        td = tibble(spark, g=["a", "a", "b"], x=[3.0, 1.0, 2.0])
+        out = (td >> summarise(across(where(is_numeric), "mean"))).collect()
+        assert out["x"].tolist() == [2.0]
+        out2 = (td >> summarise(across(where(is_character), "n_distinct"))).collect()
+        assert out2["g"].tolist() == [2]
