@@ -851,23 +851,45 @@ def _group_window(td: Tibble) -> Window:
 
 @verb
 def slice_(td: Tibble, *rows: Any) -> Tibble:
-    """1-based positional rows, per group (reference slice_.py:102-138)."""
+    """1-based positional rows, per group (reference slice_.py:102-138;
+    this repo's documented fork keeps R's 1-based convention rather
+    than the reference's 0-based one). Expression rows evaluate per
+    group — ``slice_(n())`` keeps each group's last row."""
     td = td.ensure_order()
     idx: list[int] = []
     neg: list[int] = []
+    expr_rows: list[Any] = []
     for r in rows:
         vals = r if isinstance(r, (list, tuple, range)) else [r]
         for v in vals:
+            if isinstance(v, Expr):
+                expr_rows.append(v)
+                continue
             v = int(v)
             (neg if v < 0 else idx).append(v)
     w = _group_window(td).orderBy(F.col(ORDER_COL).asc())
     rn = F.row_number().over(w)
     df = td.df.withColumn("__datar_rn__", rn)
+    cond = None
     if idx:
         cond = F.col("__datar_rn__").isin(idx)
-    else:
+    if expr_rows:
+        # window-compiled aggregates (grouped n()) can't live in a WHERE
+        # clause — materialize each as a column, filter on the column
+        ctx = EvalContext(td.with_df(df), "eval")
+        for i, e in enumerate(expr_rows):
+            tmp = f"__datar_sl{i}__"
+            df = df.withColumn(tmp, ctx.col(e).cast("int"))
+            c = F.col("__datar_rn__") == F.col(tmp)
+            cond = c if cond is None else (cond | c)
+    if cond is None and neg:
         cond = ~F.col("__datar_rn__").isin([-v for v in neg])
-    return td.with_df(df.filter(cond).drop("__datar_rn__"))
+    elif neg:
+        cond = cond & ~F.col("__datar_rn__").isin([-v for v in neg])
+    if cond is None:
+        return td
+    tmps = [f"__datar_sl{i}__" for i in range(len(expr_rows))]
+    return td.with_df(df.filter(cond).drop("__datar_rn__", *tmps))
 
 
 def _resolve_n(n: int | None, prop: float | None) -> tuple[int | None, float | None]:

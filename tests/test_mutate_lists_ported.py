@@ -187,3 +187,30 @@ class TestVerbConventionSweep:
         assert out["x"].tolist() == [2.0]
         out2 = (td >> summarise(across(where(is_character), "n_distinct"))).collect()
         assert out2["g"].tolist() == [2]
+
+
+class TestSliceExpressions:
+    """Reference slice_(n()-1) (0-based) -> our 1-based fork: slice_(n())
+    keeps each group's last row; expressions evaluate per group."""
+
+    def test_slice_n_last_row(self, spark):
+        from datar_polars_spark.functions import n
+        from datar_polars_spark.operators.core import slice_
+
+        td = tibble(spark, x=[3, 1, 2])
+        assert (td >> slice_(n())).collect()["x"].tolist() == [2]
+
+    def test_grouped_slice_n(self, spark):
+        from datar_polars_spark.functions import n
+        from datar_polars_spark.operators.core import slice_
+
+        td = tibble(spark, g=["a", "a", "b"], x=[3, 1, 2])
+        got = (td >> group_by(f.g) >> slice_(n())).collect()["x"].tolist()
+        assert sorted(got) == [1, 2]
+
+    def test_mixed_int_and_expr(self, spark):
+        from datar_polars_spark.functions import n
+        from datar_polars_spark.operators.core import slice_
+
+        td = tibble(spark, x=[3, 1, 2])
+        assert (td >> slice_(1, n())).collect()["x"].tolist() == [3, 2]
