@@ -685,12 +685,23 @@ def complete(td: Tibble, *cols: Any, fill: dict | None = None) -> Tibble:
 
 
 def full_seq(spark, from_: int = 1, to: int | None = None, by: int = 1, col: str = "x"):
-    """Two dispatches like the reference: ``full_seq(f.col, period)``
-    inside expand() defers to a range unit; ``full_seq(spark, a, b)``
-    builds a one-column range frame."""
+    """Three dispatches like the reference: ``full_seq(f.col, period)``
+    inside expand() defers to a range unit; ``full_seq([1, 4, 2], 1)``
+    fills a plain vector's range eagerly (reference ``api/tidyr.py``
+    full_seq on vectors); ``full_seq(spark, a, b)`` builds a one-column
+    range frame."""
     if isinstance(spark, Expr):
         period = from_ if to is None else by
         return Call("full_seq", (spark, period), {})
+    if isinstance(spark, (list, tuple, range)):
+        vals = [v for v in spark if v is not None]
+        period = from_
+        lo, hi = min(vals), max(vals)
+        n = int(round((hi - lo) / period))
+        out = [lo + i * period for i in range(n + 1)]
+        if all(float(v).is_integer() for v in out):
+            out = [int(v) for v in out]
+        return out
     df = spark.range(0).sql_ctx.sparkSession.createDataFrame([(from_, to)], ["a", "b"])
     out = df.select(
         F.explode(F.sequence(F.col("a"), F.col("b"), F.lit(by))).alias(col)

@@ -168,3 +168,11 @@ def test_pivot_longer_names_pattern(spark):
     assert got["week"].tolist() == ["1", "2"]
     assert got["status"].tolist() == ["new", "old"]
     assert got["v"].tolist() == [5, 6]
+
+
+def test_full_seq_on_vectors():
+    """Reference full_seq vector dispatch: fill the range at the period."""
+    from datar_polars_spark.operators.tidyr import full_seq
+
+    assert full_seq([1, 4, 2], 1) == [1, 2, 3, 4]
+    assert full_seq([1.0, 2.5], 0.5) == [1.0, 1.5, 2.0, 2.5]
