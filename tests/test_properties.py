@@ -175,3 +175,49 @@ def test_dup_line_fraction_bounds_and_python_oracle(spark, xs):
         exp = 1 - len(set(lines)) / len(lines) if lines else 0.0
         assert v == pytest.approx(exp)
         assert 0.0 <= v < 1.0 or v == 0.0
+
+
+@given(
+    res=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1, max_size=8,
+    ),
+    ims=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1, max_size=8,
+    ),
+)
+@SET
+def test_complex_roundtrip_and_identities(spark, res, ims):
+    """re/im round-trip, |conj(z)| == |z|, arg matches cmath."""
+    import cmath
+
+    from datar_polars_spark.functions import arg, complex_, conj, im, mod, re_
+
+    n = min(len(res), len(ims))
+    res, ims = res[:n], ims[:n]
+    td = tibble(spark, r=res, i=ims) >> mutate(z=complex_(real=f.r, imaginary=f.i))
+    out = (
+        td >> mutate(rr=re_(f.z), ii=im(f.z), m=mod(f.z), a=arg(f.z),
+                     cm=mod(conj(f.z)))
+    ).collect()
+    for k in range(n):
+        zz = complex(res[k], ims[k])
+        assert out["rr"][k] == pytest.approx(res[k])
+        assert out["ii"][k] == pytest.approx(ims[k])
+        assert out["m"][k] == pytest.approx(abs(zz), abs=1e-9)
+        assert out["cm"][k] == pytest.approx(abs(zz), abs=1e-9)
+        if zz != 0:
+            assert out["a"][k] == pytest.approx(cmath.phase(zz), abs=1e-9)
+
+
+@given(xs=vals)
+@SET
+def test_list_assignment_positional(spark, xs):
+    """mutate(y=<list>) assigns by frame position for any frame."""
+    ys = [v * 10 + 1 for v in xs]
+    td = tibble(spark, x=xs)
+    out = (td >> mutate(y=ys)).collect() if len(ys) != 1 else None
+    if out is not None:
+        assert out["y"].tolist() == ys
+        assert out["x"].tolist() == xs
