@@ -172,3 +172,28 @@ def read_text(
 def write_text(td: Tibble, path: str, col: str = "text", mode: str = "overwrite") -> None:
     """Write one string column as plain text files (one row per line)."""
     td.df.select(col).write.mode(mode).text(path)
+
+
+def sql_(spark: SparkSession, query: str, **views) -> Tibble:
+    """Run an ANSI-SQL query through Spark SQL and wrap the result.
+
+    Keyword arguments register tibbles (or DataFrames) as temp views
+    for the query's duration, so the two front-ends compose:
+
+        sql_(spark, "SELECT g, sum(x) s FROM t GROUP BY g", t=td)
+
+    The full Catalyst pipeline applies exactly as for the verb API —
+    this is a front-end switch, not a different engine path."""
+    from ..tibble import ensure_tibble
+
+    names = []
+    try:
+        for name, v in views.items():
+            df = ensure_tibble(v).df if not hasattr(v, "createOrReplaceTempView") else v
+            hidden = [c for c in df.columns if c.startswith("__datar_")]
+            df.drop(*hidden).createOrReplaceTempView(name)
+            names.append(name)
+        return Tibble(spark.sql(query))
+    finally:
+        for name in names:
+            spark.catalog.dropTempView(name)
