@@ -43,4 +43,6 @@ from .multimodal import (  # noqa: F401
     image_features,
     resize_images,
     sample_frames,
+    decode_audio,
+    audio_features,
 )

@@ -33,6 +33,9 @@ from ..tibble import Tibble
 
 __all__ = [
     "IMAGE_SCHEMA",
+    "AUDIO_SCHEMA",
+    "decode_audio",
+    "audio_features",
     "attach_binary_metadata",
     "decode_images",
     "image_features",
@@ -212,4 +215,104 @@ def sample_frames(td: Tibble, content: str = "content", every_n: int = 30) -> Ti
             yield pd.DataFrame(rows, columns=[*pdf.columns, "frame_idx"])
 
     out = td.df.select(*in_cols).mapInPandas(batches, schema)
+    return Tibble(out)
+
+
+# --------------------------------------------------------------------------
+# audio (same real-plumbing / stub-codec pattern as images)
+# --------------------------------------------------------------------------
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("content", BinaryType()),
+        StructField("format", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _stub_decode_audio(content: bytes) -> tuple[str, int, int]:
+    """STUB: deterministic fake header parse (real impl: torchaudio /
+    soundfile). Keys off a content hash so tests are stable."""
+    if content is None:
+        raise NotImplementedError(
+            "real audio decode requires torchaudio/soundfile (not in this container)"
+        )
+    h = hashlib.sha256(content).digest()
+    fmt = ["wav", "flac", "mp3"][h[0] % 3]
+    sample_rate = [16_000, 22_050, 44_100][h[1] % 3]
+    n_samples = sample_rate * (1 + h[2] % 30)  # 1-30 s clips
+    return fmt, sample_rate, n_samples
+
+
+@verb
+def decode_audio(td: Tibble, content: str = "content", batch_size: int = 256) -> Tibble:
+    """Header-decode pass over binary audio via Arrow-batched
+    mapInPandas — adds (format, sample_rate, n_samples). Partition
+    sizing note as for decode_images: payload bytes dominate row size;
+    size spark.sql.files.maxPartitionBytes so ~batch_size rows of
+    payload fit one partition."""
+    import pandas as pd
+
+    in_cols = [c for c in td.columns]
+    schema = StructType(
+        [td.df.select(*in_cols).schema[c] for c in in_cols]
+        + [
+            StructField("format", StringType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmts, srs, ns = [], [], []
+            for b in pdf[content]:
+                if b is None:
+                    fmts.append(None); srs.append(None); ns.append(None)
+                    continue
+                fmt, sr, n = _stub_decode_audio(bytes(b))
+                fmts.append(fmt); srs.append(sr); ns.append(n)
+            pdf = pdf.copy()
+            pdf["format"], pdf["sample_rate"], pdf["n_samples"] = fmts, srs, ns
+            yield pdf
+
+    out = td.df.select(*in_cols).mapInPandas(batches, schema=schema)
+    return Tibble(out)
+
+
+@verb
+def audio_features(td: Tibble, content: str = "content", dim: int = 32) -> Tibble:
+    """Feature-extraction pass -> array<float> embedding column.
+    STUB: hash-derived deterministic unit vector (real impl: an audio
+    encoder over the decoded waveform, same batch shape)."""
+    import numpy as np
+    import pandas as pd
+
+    in_cols = [c for c in td.columns]
+    schema = StructType(
+        [td.df.select(*in_cols).schema[c] for c in in_cols]
+        + [StructField("audio_features", ArrayType(FloatType()))]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            feats = []
+            for b in pdf[content]:
+                if b is None:
+                    feats.append(None)
+                    continue
+                seed = int.from_bytes(
+                    hashlib.sha256(b"audio" + bytes(b)).digest()[:8], "big"
+                )
+                rng = np.random.default_rng(seed)
+                v = rng.standard_normal(dim)
+                feats.append((v / np.linalg.norm(v)).astype("float32").tolist())
+            pdf = pdf.copy()
+            pdf["audio_features"] = feats
+            yield pdf
+
+    out = td.df.select(*in_cols).mapInPandas(batches, schema=schema)
     return Tibble(out)

@@ -232,3 +232,27 @@ def test_mix_corpora_unknown_source_raises(spark):
     td = tibble(spark, doc_id=[1], source=["web"])
     with pytest.raises(ValueError, match="sources not in data"):
         td >> mix_corpora(f.source, {"nope": 1.0})
+
+
+def test_audio_multimodal_plumbing(spark):
+    """Audio leg of the multimodal pipeline: real mapInPandas plumbing,
+    deterministic stub codec (torchaudio absent from the container)."""
+    from datar_polars_spark import f, tibble, mutate
+    from datar_polars_spark.scale import audio_features, decode_audio
+
+    td = tibble(spark, clip_id=[1, 2, 3])
+    binary = td >> mutate(content=f.clip_id.cast("string").cast("binary"))
+    dec = (binary >> decode_audio(content="content")).collect()
+    assert set(dec.columns) >= {"clip_id", "format", "sample_rate", "n_samples"}
+    assert set(dec["format"]) <= {"wav", "flac", "mp3"}
+    assert all(sr in (16_000, 22_050, 44_100) for sr in dec["sample_rate"])
+
+    feats = (binary >> audio_features(content="content", dim=8)).collect()
+    import numpy as np
+
+    vecs = feats["audio_features"].tolist()
+    assert all(len(v) == 8 for v in vecs)
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-5 for v in vecs)
+    # deterministic: same content -> same features
+    feats2 = (binary >> audio_features(content="content", dim=8)).collect()
+    assert vecs == feats2["audio_features"].tolist()
