@@ -52,6 +52,7 @@ from .sources import (  # noqa: F401
     read_text,
     write_text,
     sql_,
+    connect,
 )
 from . import scale  # noqa: F401  (registers text-analysis functions)
 

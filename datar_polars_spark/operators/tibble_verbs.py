@@ -38,6 +38,7 @@ __all__ = [
     "lazy_",
     "collect_",
     "cache_",
+    "explain_",
     "unpersist_",
     "group_by_drop_default",
 ]
@@ -348,4 +349,15 @@ def cache_(td: Tibble, storage_level: str | None = None) -> Tibble:
 def unpersist_(td: Tibble, blocking: bool = False) -> Tibble:
     """Release a cached frame's storage."""
     td.df.unpersist(blocking)
+    return td
+
+
+@verb
+def explain_(td: Tibble, mode: str = "formatted") -> Tibble:
+    """Print the physical plan (thin sugar over DataFrame.explain).
+    Modes: 'simple', 'extended', 'codegen', 'cost', 'formatted'.
+    Returns the tibble unchanged so it chains mid-pipeline — drop an
+    ``>> explain_()`` into any pipeline to check pushdown/pruning/
+    broadcast decisions before running it at scale."""
+    td.df.explain(mode=mode)
     return td

@@ -197,3 +197,32 @@ def sql_(spark: SparkSession, query: str, **views) -> Tibble:
     finally:
         for name in names:
             spark.catalog.dropTempView(name)
+
+
+def connect(
+    master: str | None = None,
+    app_name: str = "datar-polars-spark",
+    shuffle_partitions: int | None = None,
+    **conf: str,
+) -> SparkSession:
+    """Tuned SparkSession builder with this engine's recommended
+    defaults (see README "Deploying at 100 TB"): AQE on with coalescing
+    and skew-join handling, UTC session timezone. Any **conf entry
+    overrides; master defaults to local[*] outside a cluster."""
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    elif not SparkSession.getActiveSession():
+        b = b.master("local[*]")
+    defaults = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
+    if shuffle_partitions is not None:
+        defaults["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    defaults.update({k: str(v) for k, v in conf.items()})
+    for k, v in defaults.items():
+        b = b.config(k, v)
+    return b.getOrCreate()

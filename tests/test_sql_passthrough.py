@@ -48,3 +48,21 @@ def test_sql_composes_with_verbs(spark):
         >> mutate(y=f.x * 10)
     ).collect()
     assert sorted(out["y"]) == [20, 30]
+
+
+def test_explain_chains_and_prints(spark, capsys):
+    from datar_polars_spark import explain_, filter_, mutate
+
+    td = tibble(spark, x=[1, 2, 3])
+    out = td >> filter_(f.x > 1) >> explain_("simple") >> mutate(y=f.x * 2)
+    printed = capsys.readouterr().out
+    assert "Physical Plan" in printed
+    assert out.collect()["y"].tolist() == [4, 6]
+
+
+def test_connect_reuses_active_session(spark):
+    from datar_polars_spark import connect
+
+    s2 = connect()
+    assert s2 is spark or s2.sparkContext is spark.sparkContext
+    assert s2.conf.get("spark.sql.adaptive.enabled") == "true"
