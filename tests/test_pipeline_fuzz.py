@@ -1,0 +1,128 @@
+"""Differential pipeline fuzzing: hypothesis composes random verb
+chains (mutate/filter/arrange/distinct/head + optional terminal
+grouped summarise) and checks the engine against a pandas oracle that
+applies the same ops — including the frame-order discipline, which the
+oracle models as plain positional order."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datar_polars_spark import (
+    arrange,
+    desc,
+    distinct,
+    f,
+    filter_,
+    group_by,
+    mutate,
+    summarise,
+    tibble,
+)
+from datar_polars_spark.functions import mean, n, sum_
+from datar_polars_spark.operators.core import head_
+
+SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+OPS = st.lists(
+    st.sampled_from(
+        [
+            "mutate_add",
+            "mutate_prod",
+            "filter_gt",
+            "filter_even",
+            "arrange_x",
+            "arrange_desc_y",
+            "distinct",
+            "head3",
+        ]
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def apply_engine(td, ops, terminal):
+    for op in ops:
+        if op == "mutate_add":
+            td = td >> mutate(y=f.y + f.x)
+        elif op == "mutate_prod":
+            td = td >> mutate(z=f.x * f.g)
+        elif op == "filter_gt":
+            td = td >> filter_(f.x > 0)
+        elif op == "filter_even":
+            td = td >> filter_(f.x % 2 == 0)
+        elif op == "arrange_x":
+            td = td >> arrange(f.x)
+        elif op == "arrange_desc_y":
+            td = td >> arrange(desc(f.y))
+        elif op == "distinct":
+            td = td >> distinct()
+        elif op == "head3":
+            td = td >> head_(3)
+    if terminal:
+        td = td >> group_by(f.g) >> summarise(s=sum_(f.x), m=mean(f.y), k=n())
+    return td.collect()
+
+
+def apply_pandas(pdf, ops, terminal):
+    for op in ops:
+        if op == "mutate_add":
+            pdf = pdf.assign(y=pdf["y"] + pdf["x"])
+        elif op == "mutate_prod":
+            pdf = pdf.assign(z=pdf["x"] * pdf["g"])
+        elif op == "filter_gt":
+            pdf = pdf[pdf["x"] > 0]
+        elif op == "filter_even":
+            pdf = pdf[pdf["x"] % 2 == 0]
+        elif op == "arrange_x":
+            pdf = pdf.sort_values("x", kind="stable")
+        elif op == "arrange_desc_y":
+            pdf = pdf.sort_values("y", ascending=False, kind="stable")
+        elif op == "distinct":
+            pdf = pdf.drop_duplicates()
+        elif op == "head3":
+            pdf = pdf.head(3)
+    pdf = pdf.reset_index(drop=True)
+    if terminal:
+        g = pdf.groupby("g", sort=True)
+        pdf = pd.DataFrame(
+            {
+                "s": g["x"].sum(),
+                "m": g["y"].mean(),
+                "k": g.size(),
+            }
+        ).reset_index()
+    return pdf
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-4, max_value=4), min_size=1, max_size=10),
+    ops=OPS,
+    terminal=st.booleans(),
+)
+@SET
+def test_random_pipeline_matches_pandas(spark, xs, ops, terminal):
+    ys = [v * 2 - 1 for v in xs]
+    gs = [abs(v) % 3 for v in xs]
+    td = tibble(spark, x=xs, y=ys, g=gs)
+    pdf = pd.DataFrame({"x": xs, "y": ys, "g": gs})
+
+    got = apply_engine(td, ops, terminal)
+    exp = apply_pandas(pdf, ops, terminal)
+
+    assert list(got.columns) == list(exp.columns)
+    if terminal:
+        got = got.sort_values("g").reset_index(drop=True)
+        exp = exp.sort_values("g").reset_index(drop=True)
+    for c in exp.columns:
+        assert got[c].tolist() == pytest.approx(exp[c].tolist()), (
+            f"column {c} diverged after {ops} (terminal={terminal})"
+        )
