@@ -126,3 +126,36 @@ def test_random_pipeline_matches_pandas(spark, xs, ops, terminal):
         assert got[c].tolist() == pytest.approx(exp[c].tolist()), (
             f"column {c} diverged after {ops} (terminal={terminal})"
         )
+
+
+@given(
+    ka=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=8),
+    kb=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=8),
+    how=st.sampled_from(["inner", "left", "semi", "anti"]),
+)
+@SET
+def test_random_joins_match_pandas(spark, ka, kb, how):
+    from datar_polars_spark import anti_join, inner_join, left_join, semi_join
+
+    a = tibble(spark, k=ka, va=[v * 10 for v in ka])
+    b = tibble(spark, k=kb, vb=[v * 100 for v in kb])
+    pa = pd.DataFrame({"k": ka, "va": [v * 10 for v in ka]})
+    pb = pd.DataFrame({"k": kb, "vb": [v * 100 for v in kb]})
+
+    if how == "inner":
+        got = (a >> inner_join(b, by="k")).collect()
+        exp = pa.merge(pb, on="k", how="inner")
+    elif how == "left":
+        got = (a >> left_join(b, by="k")).collect()
+        exp = pa.merge(pb, on="k", how="left")
+    elif how == "semi":
+        got = (a >> semi_join(b, by="k")).collect()
+        exp = pa[pa["k"].isin(set(kb))]
+    else:
+        got = (a >> anti_join(b, by="k")).collect()
+        exp = pa[~pa["k"].isin(set(kb))]
+
+    key = [c for c in got.columns]
+    got_rows = sorted(map(tuple, got[key].fillna(-999).values.tolist()))
+    exp_rows = sorted(map(tuple, exp[key].fillna(-999).values.tolist()))
+    assert got_rows == exp_rows, f"{how} join diverged"
