@@ -159,3 +159,58 @@ def test_random_joins_match_pandas(spark, ka, kb, how):
     got_rows = sorted(map(tuple, got[key].fillna(-999).values.tolist()))
     exp_rows = sorted(map(tuple, exp[key].fillna(-999).values.tolist()))
     assert got_rows == exp_rows, f"{how} join diverged"
+
+
+@given(
+    a=st.lists(st.integers(min_value=-9, max_value=9), min_size=1, max_size=6),
+)
+@SET
+def test_pivot_roundtrip_identity(spark, a):
+    """pivot_longer >> pivot_wider returns the original frame."""
+    from datar_polars_spark.operators.tidyr import pivot_longer, pivot_wider
+
+    b = [v + 100 for v in a]
+    td = tibble(spark, id=list(range(len(a))), a=a, b=b)
+    back = (
+        td
+        >> pivot_longer([f.a, f.b], names_to="k", values_to="v")
+        >> pivot_wider(names_from=f.k, values_from=f.v)
+        >> arrange(f.id)
+    ).collect()
+    assert back["a"].tolist() == a
+    assert back["b"].tolist() == b
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-9, max_value=9), min_size=1, max_size=8),
+)
+@SET
+def test_nest_unnest_roundtrip(spark, xs):
+    from datar_polars_spark.operators.tidyr import nest, unnest
+
+    gs = [abs(v) % 2 for v in xs]
+    td = tibble(spark, g=gs, x=xs)
+    back = (td >> nest(data=[f.x]) >> unnest(f.data)).collect()
+    assert sorted(zip(back["g"], back["x"])) == sorted(zip(gs, xs))
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@SET
+def test_unite_separate_roundtrip(spark, words):
+    from datar_polars_spark.operators.tidyr import separate, unite
+
+    other = [w[::-1] for w in words]
+    td = tibble(spark, p=words, q=other)
+    back = (
+        td
+        >> unite("u", f.p, f.q, sep="-")
+        >> separate(f.u, ["p", "q"], sep="-")
+    ).collect()
+    assert back["p"].tolist() == words
+    assert back["q"].tolist() == other
