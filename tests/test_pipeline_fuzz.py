@@ -214,3 +214,32 @@ def test_unite_separate_roundtrip(spark, words):
     ).collect()
     assert back["p"].tolist() == words
     assert back["q"].tolist() == other
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from([
+            "the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "the quick brown fox jumps over the lazy dog",  # exact dup
+            "sphinx of black quartz judge my vow",
+        ]),
+        min_size=2,
+        max_size=8,
+    ),
+)
+@SET
+def test_dedup_idempotent_and_monotone(spark, texts):
+    """dedup(dedup(x)) == dedup(x); survivors are a subset of input;
+    exact duplicates never survive together."""
+    from datar_polars_spark.scale import dedup_exact, minhash_dedup
+
+    td = tibble(spark, doc_id=list(range(len(texts))), text=texts)
+    once = td >> minhash_dedup(f.text, f.doc_id, threshold=0.99)
+    twice = once >> minhash_dedup(f.text, f.doc_id, threshold=0.99)
+    ids1 = sorted(once.collect()["doc_id"])
+    ids2 = sorted(twice.collect()["doc_id"])
+    assert ids1 == ids2  # idempotent
+    assert set(ids1) <= set(range(len(texts)))  # subset
+    kept_texts = [texts[i] for i in ids1]
+    assert len(kept_texts) == len(set(kept_texts))  # no exact dups survive
