@@ -228,7 +228,11 @@ def test_unite_separate_roundtrip(spark, words):
         max_size=8,
     ),
 )
-@SET
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
 def test_dedup_idempotent_and_monotone(spark, texts):
     """dedup(dedup(x)) == dedup(x); survivors are a subset of input;
     exact duplicates never survive together."""
