@@ -247,3 +247,31 @@ def test_dedup_idempotent_and_monotone(spark, texts):
     assert set(ids1) <= set(range(len(texts)))  # subset
     kept_texts = [texts[i] for i in ids1]
     assert len(kept_texts) == len(set(kept_texts))  # no exact dups survive
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=12),
+)
+@SET
+def test_grouped_windows_match_pandas(spark, xs):
+    """Grouped cumsum/lag/min_rank in frame order vs pandas groupby."""
+    from datar_polars_spark.functions import cumsum, lag, min_rank
+
+    gs = [abs(v) % 3 for v in xs]
+    td = tibble(spark, g=gs, x=xs)
+    got = (
+        td
+        >> group_by(f.g)
+        >> mutate(cs=cumsum(f.x), lg=lag(f.x), rk=min_rank(f.x))
+    ).collect()
+
+    pdf = pd.DataFrame({"g": gs, "x": xs})
+    grp = pdf.groupby("g", sort=False)["x"]
+    exp_cs = grp.cumsum()
+    exp_lg = grp.shift(1)
+    exp_rk = grp.rank(method="min")
+    assert got["cs"].tolist() == exp_cs.tolist()
+    got_lg = [None if pd.isna(v) else v for v in got["lg"]]
+    exp_lg = [None if pd.isna(v) else int(v) for v in exp_lg]
+    assert got_lg == exp_lg
+    assert [int(v) for v in got["rk"]] == [int(v) for v in exp_rk]
