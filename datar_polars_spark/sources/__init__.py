@@ -27,21 +27,40 @@ TABLES = (
 )
 
 
+def _restore_levels(df) -> Tibble:
+    """Factor levels written by write_parquet live in the parquet column
+    metadata (key 'datar_levels'); restore them into Tibble metadata so
+    factors round-trip through the lake."""
+    levels: dict[str, list] = {}
+    ordered: set[str] = set()
+    for field in df.schema:
+        md = field.metadata or {}
+        if "datar_levels" in md:
+            levels[field.name] = list(md["datar_levels"])
+            if md.get("datar_ordered"):
+                ordered.add(field.name)
+    out = Tibble(df, levels=levels)
+    out.ordered_factors = ordered
+    return out
+
+
 def read_parquet(spark: SparkSession, path: str) -> Tibble:
     """Parquet scan; transparently handles TIMESTAMP(NANOS) columns,
     which Spark's vectorized reader rejects (events.parquet uses ns
     precision): those are read as nano longs and converted to
-    microsecond timestamps JVM-side — still a distributed scan."""
+    microsecond timestamps JVM-side — still a distributed scan. Factor
+    levels persisted by write_parquet are restored from column
+    metadata."""
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
-        return Tibble(spark.read.parquet(path))
+        return _restore_levels(spark.read.parquet(path))
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
-    return Tibble(df)
+    return _restore_levels(df)
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
@@ -90,7 +109,20 @@ def read_orc(spark: SparkSession, path: str) -> Tibble:
 
 
 def write_parquet(td: Tibble, path: str, mode: str = "overwrite", partition_by=None) -> None:
-    w = td.df.select(*td.columns).write.mode(mode)
+    """Factor levels are persisted as parquet column metadata
+    ('datar_levels' + 'datar_ordered') so read_parquet restores them —
+    factors round-trip through the lake without a side table."""
+    df = td.df.select(*td.columns)
+    for col, levels in td.levels.items():
+        if col in df.columns:
+            df = df.withMetadata(
+                col,
+                {
+                    "datar_levels": [str(l) for l in levels],
+                    "datar_ordered": col in getattr(td, "ordered_factors", set()),
+                },
+            )
+    w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

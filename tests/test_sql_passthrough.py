@@ -66,3 +66,23 @@ def test_connect_reuses_active_session(spark):
     s2 = connect()
     assert s2 is spark or s2.sparkContext is spark.sparkContext
     assert s2.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_factor_levels_roundtrip_parquet(spark, tmp_path):
+    """Factor levels persist through parquet as column metadata."""
+    from datar_polars_spark import arrange, read_parquet, write_parquet
+    from datar_polars_spark.operators.factor import as_ordered, factor_
+
+    td = tibble(spark, k=[1, 2, 3], lv=["hi", "lo", "hi"]) >> factor_(
+        f.lv, levels=["lo", "hi"]
+    )
+    p = str(tmp_path / "fct")
+    write_parquet(td, p)
+    back = read_parquet(spark, p)
+    assert back.levels == {"lv": ["lo", "hi"]}
+    assert (back >> arrange(f.lv)).collect()["lv"].tolist() == ["lo", "hi", "hi"]
+
+    ordered = td >> as_ordered(f.lv)
+    write_parquet(ordered, p)
+    back2 = read_parquet(spark, p)
+    assert "lv" in back2.ordered_factors
