@@ -105,13 +105,11 @@ def read_json(spark: SparkSession, path: str) -> Tibble:
 
 
 def read_orc(spark: SparkSession, path: str) -> Tibble:
-    return Tibble(spark.read.orc(path))
+    return _restore_levels(spark.read.orc(path))
 
 
-def write_parquet(td: Tibble, path: str, mode: str = "overwrite", partition_by=None) -> None:
-    """Factor levels are persisted as parquet column metadata
-    ('datar_levels' + 'datar_ordered') so read_parquet restores them —
-    factors round-trip through the lake without a side table."""
+def _with_level_metadata(td: Tibble):
+    """Attach factor levels as column metadata before a write."""
     df = td.df.select(*td.columns)
     for col, levels in td.levels.items():
         if col in df.columns:
@@ -122,7 +120,14 @@ def write_parquet(td: Tibble, path: str, mode: str = "overwrite", partition_by=N
                     "datar_ordered": col in getattr(td, "ordered_factors", set()),
                 },
             )
-    w = df.write.mode(mode)
+    return df
+
+
+def write_parquet(td: Tibble, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    """Factor levels are persisted as parquet column metadata
+    ('datar_levels' + 'datar_ordered') so read_parquet restores them —
+    factors round-trip through the lake without a side table."""
+    w = _with_level_metadata(td).write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
@@ -137,7 +142,7 @@ def write_json(td: Tibble, path: str, mode: str = "overwrite") -> None:
 
 
 def write_orc(td: Tibble, path: str, mode: str = "overwrite", partition_by=None) -> None:
-    w = td.df.select(*td.columns).write.mode(mode)
+    w = _with_level_metadata(td).write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
@@ -178,8 +183,8 @@ def write_bucketed(
 
 
 def read_table(spark: SparkSession, table: str) -> Tibble:
-    """Read a catalog table (bucketed metadata preserved)."""
-    return Tibble(spark.table(table))
+    """Read a catalog table (bucketed metadata + factor levels preserved)."""
+    return _restore_levels(spark.table(table))
 
 
 def read_text(
