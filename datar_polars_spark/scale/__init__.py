@@ -34,6 +34,7 @@ from .filters import (  # noqa: F401 (also registers repetition metrics)
     stratified_sample,
     mix_corpora,
     temperature_mix,
+    classifier_score,
 )
 from .graph import connected_components, components_from_pairs  # noqa: F401
 from .sessions import sessionize_batch, session_stats  # noqa: F401

@@ -31,6 +31,7 @@ __all__ = [
     "stratified_sample",
     "mix_corpora",
     "temperature_mix",
+    "classifier_score",
 ]
 
 
@@ -535,3 +536,46 @@ def temperature_mix(
     counts = {r[0]: r[1] for r in td.df.groupBy(sname).count().collect()}
     weights = {k: float(n) ** alpha for k, n in counts.items()}
     return mix_corpora(td, source, weights, id_col=id_col, salt=salt)
+
+
+@verb
+def classifier_score(
+    td: Tibble,
+    text: Any = "text",
+    model_fn: Any = None,
+    col: str = "clf_score",
+    batch_size: int = 1024,
+) -> Tibble:
+    """Model-based quality scoring (the fasttext/KenLM-classifier stage
+    of CCNet/RefinedWeb-style pipelines) as an Arrow-batched pandas UDF.
+
+    ``model_fn`` takes a list[str] batch and returns list[float] scores
+    — plug in a real classifier (fasttext .predict, an ONNX session, a
+    KenLM perplexity) loaded per-executor; the default STUB is a
+    deterministic hash-derived score in [0, 1) so the distributed
+    plumbing is testable without model libraries in the container.
+    Partitioning: one narrow map, no shuffle; batch_size only bounds
+    Arrow batch memory."""
+    import hashlib as _hl
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    tname = text._name if hasattr(text, "_name") else str(text)
+
+    if model_fn is None:
+        def model_fn(batch):  # deterministic stub
+            return [
+                int.from_bytes(_hl.sha256(t.encode()).digest()[:4], "big")
+                / 2**32
+                if t is not None
+                else None
+                for t in batch
+            ]
+
+    @pandas_udf("double")
+    def _score(s: pd.Series) -> pd.Series:
+        return pd.Series(model_fn(s.tolist()), dtype="float64")
+
+    out = td.df.withColumn(col, _score(F.col(tname)))
+    return td.with_df(out)

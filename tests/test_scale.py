@@ -256,3 +256,23 @@ def test_audio_multimodal_plumbing(spark):
     # deterministic: same content -> same features
     feats2 = (binary >> audio_features(content="content", dim=8)).collect()
     assert vecs == feats2["audio_features"].tolist()
+
+
+def test_classifier_score_stub_and_pluggable(spark):
+    from datar_polars_spark import tibble, f, filter_
+    from datar_polars_spark.scale import classifier_score
+
+    td = tibble(spark, doc_id=[1, 2], text=["good text here", "bad"])
+    out = (td >> classifier_score(f.text)).collect()
+    assert all(0.0 <= s < 1.0 for s in out["clf_score"])
+    # deterministic
+    out2 = (td >> classifier_score(f.text)).collect()
+    assert out["clf_score"].tolist() == out2["clf_score"].tolist()
+
+    # pluggable model: score = text length
+    out3 = (
+        td
+        >> classifier_score(f.text, model_fn=lambda b: [float(len(t)) for t in b])
+        >> filter_(f.clf_score > 5)
+    ).collect()
+    assert out3["doc_id"].tolist() == [1]
