@@ -573,9 +573,10 @@ def classifier_score(
                 for t in batch
             ]
 
-    @pandas_udf("double")
-    def _score(s: pd.Series) -> pd.Series:
+    def _score_fn(s):
         return pd.Series(model_fn(s.tolist()), dtype="float64")
+
+    _score = pandas_udf(_score_fn, "double")
 
     out = td.df.withColumn(col, _score(F.col(tname)))
     return td.with_df(out)
