@@ -35,6 +35,8 @@ from .filters import (  # noqa: F401 (also registers repetition metrics)
     mix_corpora,
     temperature_mix,
     classifier_score,
+    domain_filter,
+    cap_per_key,
 )
 from .graph import connected_components, components_from_pairs  # noqa: F401
 from .sessions import sessionize_batch, session_stats  # noqa: F401

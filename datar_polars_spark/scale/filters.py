@@ -32,6 +32,8 @@ __all__ = [
     "mix_corpora",
     "temperature_mix",
     "classifier_score",
+    "domain_filter",
+    "cap_per_key",
 ]
 
 
@@ -579,4 +581,56 @@ def classifier_score(
     _score = pandas_udf(_score_fn, "double")
 
     out = td.df.withColumn(col, _score(F.col(tname)))
+    return td.with_df(out)
+
+
+@verb
+def domain_filter(
+    td: Tibble,
+    url: Any = "url",
+    blocklist: Any = (),
+    allowlist: Any = None,
+) -> Tibble:
+    """Drop rows whose URL host matches a blocked domain (suffix match,
+    so 'spam.example' also blocks 'www.spam.example'); with an
+    allowlist, keep ONLY matching hosts. Lists are driver-side (they
+    are curated files in practice) and compile to one JVM predicate —
+    a narrow filter, no shuffle, pushdown-friendly."""
+    uname = url._name if hasattr(url, "_name") else str(url)
+    host = F.lower(F.parse_url(F.col(uname), F.lit("HOST")))
+
+    def _match_any(domains):
+        cond = F.lit(False)
+        for d in domains:
+            d = str(d).lower()
+            cond = cond | (host == d) | host.endswith("." + d)
+        return cond
+
+    df = td.df
+    if allowlist is not None:
+        df = df.filter(_match_any(allowlist))
+    if blocklist:
+        df = df.filter(~_match_any(blocklist))
+    return td.with_df(df)
+
+
+@verb
+def cap_per_key(
+    td: Tibble,
+    key: Any,
+    n: int,
+    id_col: Any = "doc_id",
+) -> Tibble:
+    """Keep at most ``n`` rows per key (per-domain caps in web-corpus
+    curation). Selection order is the deterministic hash of the id —
+    reproducible across runs and cluster layouts, and NOT frame order,
+    so no global ordering materializes; one keyed window shuffle."""
+    kname = key._name if hasattr(key, "_name") else str(key)
+    idn = id_col._name if hasattr(id_col, "_name") else str(id_col)
+    w = Window.partitionBy(kname).orderBy(F.xxhash64(F.col(idn)).asc())
+    out = (
+        td.df.withColumn("__cap_rn__", F.row_number().over(w))
+        .filter(F.col("__cap_rn__") <= n)
+        .drop("__cap_rn__")
+    )
     return td.with_df(out)

@@ -136,3 +136,24 @@ def _rolling_hash_fingerprint(ctx, x, window: int = 16):
     idx = F.sequence(F.lit(1), F.greatest(F.length(col) - window + 1, F.lit(1)))
     hashes = F.transform(idx, lambda i: F.xxhash64(F.substring(col, i, window)))
     return F.array_min(hashes)
+
+
+@register("url_host")
+def _url_host(ctx, x):
+    """Hostname of a URL column (Spark's built-in parse_url — JVM)."""
+    return F.lower(F.parse_url(ctx.col(x), F.lit("HOST")))
+
+
+@register("url_domain")
+def _url_domain(ctx, x):
+    """Registrable domain approximation: last two host labels (three
+    for common ccTLD second-levels like co.uk). Heuristic — a full
+    public-suffix list lookup would broadcast-join a suffix table."""
+    host = F.lower(F.parse_url(ctx.col(x), F.lit("HOST")))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    second = F.element_at(parts, -2)
+    take3 = (n >= 3) & second.isin("co", "com", "org", "net", "ac", "gov", "edu")
+    return F.when(
+        take3, F.concat_ws(".", F.element_at(parts, -3), second, F.element_at(parts, -1))
+    ).otherwise(F.concat_ws(".", second, F.element_at(parts, -1)))

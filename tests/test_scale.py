@@ -276,3 +276,44 @@ def test_classifier_score_stub_and_pluggable(spark):
         >> filter_(f.clf_score > 5)
     ).collect()
     assert out3["doc_id"].tolist() == [1]
+
+
+def test_url_domain_utilities(spark):
+    from datar_polars_spark import tibble, f, mutate
+    from datar_polars_spark.functions.registry import builder
+    from datar_polars_spark.scale import cap_per_key, domain_filter
+
+    url_host = builder("url_host")
+    url_domain = builder("url_domain")
+    urls = [
+        "https://www.example.com/page",
+        "http://spam.bad.co.uk/x?q=1",
+        "https://sub.spam.bad.co.uk/y",
+        "https://good.org/z",
+    ]
+    td = tibble(spark, doc_id=[1, 2, 3, 4], url=urls)
+    out = (td >> mutate(h=url_host(f.url), d=url_domain(f.url))).collect()
+    assert out["h"].tolist() == [
+        "www.example.com", "spam.bad.co.uk", "sub.spam.bad.co.uk", "good.org",
+    ]
+    assert out["d"].tolist() == [
+        "example.com", "bad.co.uk", "bad.co.uk", "good.org",
+    ]
+
+    blocked = (td >> domain_filter(f.url, blocklist=["bad.co.uk"])).collect()
+    assert sorted(blocked["doc_id"]) == [1, 4]
+    allowed = (td >> domain_filter(f.url, allowlist=["good.org"])).collect()
+    assert allowed["doc_id"].tolist() == [4]
+
+
+def test_cap_per_key_deterministic(spark):
+    from datar_polars_spark import tibble, f
+    from datar_polars_spark.scale import cap_per_key
+
+    ks = ["a"] * 10 + ["b"] * 3
+    td = tibble(spark, doc_id=list(range(13)), k=ks)
+    out = (td >> cap_per_key(f.k, 4, id_col=f.doc_id)).collect()
+    counts = out["k"].value_counts().to_dict()
+    assert counts == {"a": 4, "b": 3}
+    out2 = (td >> cap_per_key(f.k, 4, id_col=f.doc_id)).collect()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])  # reproducible
