@@ -275,3 +275,47 @@ def test_grouped_windows_match_pandas(spark, xs):
     exp_lg = [None if pd.isna(v) else int(v) for v in exp_lg]
     assert got_lg == exp_lg
     assert [int(v) for v in got["rk"]] == [int(v) for v in exp_rk]
+
+
+@given(
+    vals=st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=10),
+    op=st.sampled_from(["rev", "infreq", "inorder", "shift", "relevel", "lump_n"]),
+)
+@SET
+def test_factor_level_ops_preserve_values(spark, vals, op):
+    """Level reorder ops never change the column's value multiset, and
+    the new level list is a permutation of the observed/old levels
+    (except lump, which may merge into 'Other')."""
+    from datar_polars_spark.operators.factor import (
+        factor_,
+        fct_infreq,
+        fct_inorder,
+        fct_lump_n,
+        fct_relevel,
+        fct_rev,
+        fct_shift,
+    )
+
+    td = tibble(spark, x=vals) >> factor_(f.x)
+    before_levels = set(td.levels["x"])
+    if op == "rev":
+        out = td >> fct_rev(f.x)
+    elif op == "infreq":
+        out = td >> fct_infreq(f.x)
+    elif op == "inorder":
+        out = td >> fct_inorder(f.x)
+    elif op == "shift":
+        out = td >> fct_shift(f.x)
+    elif op == "relevel":
+        out = td >> fct_relevel(f.x, vals[0])
+    else:
+        out = td >> fct_lump_n(f.x, 2)
+
+    got_vals = out.collect()["x"].tolist()
+    if op == "lump_n":
+        kept = set(out.levels["x"])
+        assert kept - {"Other"} <= before_levels
+        assert len(got_vals) == len(vals)
+    else:
+        assert sorted(got_vals) == sorted(vals)  # values untouched
+        assert set(out.levels["x"]) == before_levels  # permutation
