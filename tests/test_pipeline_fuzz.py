@@ -319,3 +319,44 @@ def test_factor_level_ops_preserve_values(spark, vals, op):
     else:
         assert sorted(got_vals) == sorted(vals)  # values untouched
         assert set(out.levels["x"]) == before_levels  # permutation
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcXY 12.", min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@SET
+def test_string_functions_match_python(spark, texts):
+    import re as _re
+
+    from datar_polars_spark.functions import (
+        gsub,
+        nchar,
+        substr,
+        tolower,
+        toupper,
+        trimws,
+    )
+
+    td = tibble(spark, s=texts)
+    out = (
+        td
+        >> mutate(
+            up=toupper(f.s),
+            lo=tolower(f.s),
+            n=nchar(f.s),
+            tr=trimws(f.s),
+            sb=substr(f.s, 2, 4),
+            gs=gsub("[0-9]+", "#", f.s),
+        )
+    ).collect()
+    for i, t in enumerate(texts):
+        assert out["up"][i] == t.upper()
+        assert out["lo"][i] == t.lower()
+        assert out["n"][i] == len(t)
+        assert out["tr"][i] == t.strip()
+        assert out["sb"][i] == t[2:4]  # reference fork: python-slice substr
+        assert out["gs"][i] == _re.sub(r"[0-9]+", "#", t)
