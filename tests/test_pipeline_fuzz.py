@@ -360,3 +360,37 @@ def test_string_functions_match_python(spark, texts):
         assert out["tr"][i] == t.strip()
         assert out["sb"][i] == t[2:4]  # reference fork: python-slice substr
         assert out["gs"][i] == _re.sub(r"[0-9]+", "#", t)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=12),
+    agg=st.sampled_from(["sum", "mean", "min", "max", "count"]),
+    with_filter=st.booleans(),
+)
+@SET
+def test_grouped_aggregates_match_duckdb(spark, xs, agg, with_filter):
+    """Differential vs DuckDB — the driver's own oracle engine."""
+    import duckdb
+
+    from datar_polars_spark.functions import max_, mean, min_, n, sum_
+
+    gs = [abs(v) % 3 for v in xs]
+    td = tibble(spark, g=gs, x=xs)
+    if with_filter:
+        td = td >> filter_(f.x > -2)
+    fns = {"sum": sum_, "mean": mean, "min": min_, "max": max_}
+    agg_expr = n() if agg == "count" else fns[agg](f.x)
+    got = (
+        (td >> group_by(f.g) >> summarise(v=agg_expr) >> arrange(f.g))
+        .collect()
+    )
+
+    pdf = pd.DataFrame({"g": gs, "x": xs})
+    where = "WHERE x > -2" if with_filter else ""
+    sql_agg = "COUNT(*)" if agg == "count" else f"{agg.upper()}(x)"
+    exp = duckdb.sql(
+        f"SELECT g, {sql_agg} AS v FROM pdf {where} GROUP BY g ORDER BY g"
+    ).df()
+
+    assert got["g"].tolist() == exp["g"].tolist()
+    assert got["v"].tolist() == pytest.approx(exp["v"].tolist())
