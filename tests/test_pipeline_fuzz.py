@@ -394,3 +394,41 @@ def test_grouped_aggregates_match_duckdb(spark, xs, agg, with_filter):
 
     assert got["g"].tolist() == exp["g"].tolist()
     assert got["v"].tolist() == pytest.approx(exp["v"].tolist())
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=12),
+)
+@SET
+def test_windows_match_duckdb(spark, xs):
+    """Grouped window core (row_number/lag/cumsum ordered by frame
+    position) vs DuckDB window SQL over the same positional order."""
+    import duckdb
+
+    from datar_polars_spark.functions import cumsum, lag, row_number
+
+    gs = [abs(v) % 2 for v in xs]
+    td = tibble(spark, g=gs, x=xs)
+    got = (
+        td
+        >> group_by(f.g)
+        >> mutate(rn=row_number(), lg=lag(f.x), cs=cumsum(f.x))
+    ).collect()
+
+    pdf = pd.DataFrame({"pos": range(len(xs)), "g": gs, "x": xs})
+    exp = duckdb.sql(
+        """
+        SELECT g, x,
+               ROW_NUMBER() OVER w AS rn,
+               LAG(x) OVER w AS lg,
+               SUM(x) OVER (w ROWS UNBOUNDED PRECEDING) AS cs
+        FROM pdf WINDOW w AS (PARTITION BY g ORDER BY pos)
+        ORDER BY pos
+        """
+    ).df()
+
+    assert got["rn"].tolist() == exp["rn"].tolist()
+    got_lg = [None if pd.isna(v) else int(v) for v in got["lg"]]
+    exp_lg = [None if pd.isna(v) else int(v) for v in exp["lg"]]
+    assert got_lg == exp_lg
+    assert [int(v) for v in got["cs"]] == [int(v) for v in exp["cs"]]
