@@ -99,7 +99,7 @@ def _cume_dist(ctx, x):
 def _ntile(ctx, x=None, n: int = 1):
     nval = int(ctx.eval(n))
     if x is None:
-        return F.ntile(nval).over(ctx.ordered())
+        return ctx.ntile_over(nval)
     col, key = _unwrap_key(ctx, x)
     rw = ctx.partition().orderBy(key)
     return F.when(col.isNotNull(), F.ntile(nval).over(rw))
@@ -107,16 +107,18 @@ def _ntile(ctx, x=None, n: int = 1):
 
 @register("lead")
 def _lead(ctx, x, n: int = 1, default=None, order_by=None):
+    # two-pass distributed (per-bucket shift + broadcast carry map)
+    # when ungrouped on the default frame order; group window otherwise
     col = ctx.col(x)
     dflt = ctx.eval(default)
-    return F.lead(col, int(ctx.eval(n)), dflt).over(ctx.ordered(order_by))
+    return ctx.shift_over(col, int(ctx.eval(n)), dflt, lead=True, order_by=order_by)
 
 
 @register("lag")
 def _lag(ctx, x, n: int = 1, default=None, order_by=None):
     col = ctx.col(x)
     dflt = ctx.eval(default)
-    return F.lag(col, int(ctx.eval(n)), dflt).over(ctx.ordered(order_by))
+    return ctx.shift_over(col, int(ctx.eval(n)), dflt, lead=False, order_by=order_by)
 
 
 def _cum(kind):

@@ -175,11 +175,16 @@ class EvalContext:
         """Per-bucket totals -> exclusive prefix combine. Returns
         {bucket_id: offset} (buckets with no prior non-null omitted),
         or None when the bucket count exceeds the literal-map bound."""
-        rows = (
-            self.tibble.df.groupBy(bucket.alias("__b__"))
-            .agg(total.alias("__t__"))
-            .collect()
-        )
+        try:
+            rows = (
+                self.tibble.df.groupBy(bucket.alias("__b__"))
+                .agg(total.alias("__t__"))
+                .collect()
+            )
+        except Exception:
+            # value not computable in an aggregate (e.g. it nests
+            # another window function) -> caller keeps the window form
+            return None
         if not rows or len(rows) > self.MAX_TWO_PASS_BUCKETS:
             return None
         offsets: dict[int, Any] = {}
@@ -279,6 +284,128 @@ class EvalContext:
         return F.row_number().over(w) + F.coalesce(
             self._offset_lookup(bucket, offsets), F.lit(0)
         )
+
+    # largest shift distance rewritten two-pass; the carry map literal
+    # holds up to MAX_TWO_PASS_SHIFT values per bucket, so this bounds
+    # codegen size (larger n falls back to the global window)
+    MAX_TWO_PASS_SHIFT = 32
+
+    def shift_over(
+        self,
+        value: Column,
+        n: int,
+        default: Any,
+        lead: bool,
+        order_by: Any = None,
+    ) -> Column:
+        """lag/lead over frame order; two-pass distributed rewrite for
+        the ungrouped default-order case.
+
+        Pass 1 is a tiny agg job collecting each order-bucket's boundary
+        slice (last n rows for lag, first n for lead) plus nothing else;
+        the driver stitches per-bucket "carry" arrays (the n nearest
+        neighbour values across the bucket edge) and broadcasts them as
+        a literal map. Pass 2 shifts WITHIN buckets in parallel and
+        patches the n edge rows of each bucket from the carry map — so
+        no row ever crosses a single-partition window. Values are
+        wrapped in single-field structs inside the carry arrays so a
+        genuinely-null neighbour value stays distinguishable from
+        out-of-range (which must yield ``default``, matching
+        ``F.lag``/``F.lead``)."""
+        fn = F.lead if lead else F.lag
+        dflt = default if isinstance(default, Column) else F.lit(default)
+        simple = fn(value, n, default).over(self.ordered(order_by))
+        if (
+            n < 1
+            or n > self.MAX_TWO_PASS_SHIFT
+            or not self._two_pass_ok(order_by)
+        ):
+            return simple
+        bucket = self._order_bucket()
+        if bucket is None:
+            return simple
+        df = self.tibble.df
+        try:
+            dtype = df.select(value.alias("__v__")).schema[0].dataType
+            rows = (
+                df.groupBy(bucket.alias("__b__"))
+                .agg(
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col(ORDER_COL).alias("o"),
+                                    value.alias("v"),
+                                )
+                            ),
+                            asc=bool(lead),
+                        ),
+                        1,
+                        n,
+                    ).alias("__t__")
+                )
+                .collect()
+            )
+        except Exception:
+            # value not computable in an aggregate (e.g. it nests
+            # another window function) -> keep the window form
+            return simple
+        if not rows or len(rows) > self.MAX_TWO_PASS_BUCKETS:
+            return simple
+        # walk buckets in neighbour order (ascending for lag: carry
+        # flows forward; descending for lead: carry flows backward),
+        # keeping the n nearest boundary values, nearest first
+        rows.sort(key=lambda r: r["__b__"], reverse=bool(lead))
+        carry: dict[int, list] = {}
+        acc: list = []
+        for r in rows:
+            if acc:
+                carry[r["__b__"]] = acc[:n]
+            vals = [t["v"] for t in r["__t__"]]
+            acc = (vals + acc)[:n]
+        w_asc = Window.partitionBy(bucket).orderBy(F.col(ORDER_COL).asc())
+        within = fn(value, n, None).over(w_asc)
+        if lead:
+            rn_b = F.row_number().over(
+                Window.partitionBy(bucket).orderBy(F.col(ORDER_COL).desc())
+            )
+        else:
+            rn_b = F.row_number().over(w_asc)
+        pairs: list[Column] = []
+        for b, vals in carry.items():
+            pairs.append(F.lit(b))
+            pairs.append(
+                F.array(
+                    *[
+                        F.struct(F.lit(v).cast(dtype).alias("v"))
+                        for v in vals
+                    ]
+                )
+            )
+        if pairs:
+            # edge row r (counted from the bucket boundary) needs the
+            # neighbour at distance n-(r-1): carry index n-r, 0-based.
+            # F.get returns NULL out of range (never an ANSI error).
+            elem = F.get(F.create_map(*pairs)[bucket], F.lit(n) - rn_b)
+            boundary = F.when(elem.isNotNull(), elem["v"]).otherwise(dflt)
+        else:
+            boundary = dflt
+        return F.when(rn_b > n, within).otherwise(boundary)
+
+    def ntile_over(self, nval: int) -> Column:
+        """ntile() in frame order; built from the two-pass row_number
+        plus one eagerly-computed total count when ungrouped (Spark's
+        semantics: first ``N % n`` tiles get one extra row)."""
+        if not self._two_pass_ok(None) or self._order_bucket() is None:
+            return F.ntile(nval).over(self.ordered())
+        rn = self.row_number_over()
+        total = self.tibble.df.count()
+        base, rem = divmod(total, nval)
+        cut = rem * (base + 1)
+        tile = F.when(
+            rn <= F.lit(cut), F.ceil(rn / F.lit(base + 1))
+        ).otherwise(F.lit(rem) + F.ceil((rn - F.lit(cut)) / F.lit(max(base, 1))))
+        return tile.cast("int")
 
 
 def eval_expr(node: Any, ctx: EvalContext) -> Any:

@@ -181,6 +181,26 @@ def test_ungrouped_cumsum_no_single_partition(spark):
     assert "SinglePartition" not in plan
 
 
+def test_ungrouped_lag_lead_no_single_partition(spark):
+    """Ungrouped lag/lead on frame order compile to the two-pass
+    per-bucket shift + broadcast carry map — no single-task window."""
+    from datar_polars_spark.functions import lag, lead
+
+    td = read_parquet(spark, f"{SF}/orders.parquet") >> mutate(
+        prev=lag(f.o_totalprice), nxt=lead(f.o_totalprice, 2, default=0.0)
+    )
+    plan = _plan(td)
+    assert "SinglePartition" not in plan
+
+
+def test_ungrouped_ntile_no_single_partition(spark):
+    from datar_polars_spark.functions import ntile
+
+    td = read_parquet(spark, f"{SF}/orders.parquet") >> mutate(nt=ntile(n=10))
+    plan = _plan(td)
+    assert "SinglePartition" not in plan
+
+
 def test_ungrouped_window_aggregate_inlines_literal(spark):
     """Ungrouped mutate(m=mean(x)) computes the scalar eagerly and
     inlines it — no Window at all in the plan."""

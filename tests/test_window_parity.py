@@ -135,3 +135,42 @@ def test_min_rank_all_na_column(spark):
     td = tibble(spark, ID=[1] * 3, e=[None] * 3) >> group_by(f.ID)
     out = td >> mutate(r=min_rank(f.e))
     assert out.collect()["r"].isna().all()
+
+
+def test_two_pass_shift_multi_bucket_parquet(spark):
+    """lag/lead/ntile over a multi-file parquet scan (several order
+    buckets) agree with the single-order pandas shift — exercises the
+    per-bucket shift + carry-map boundary patch, including a shift
+    distance larger than one bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from datar_polars_spark import read_parquet
+
+    td = read_parquet(spark, "/root/testdata/sf0.01/orders.parquet")
+    out = (
+        td
+        >> mutate(
+            prev=lag(f.o_totalprice),
+            prev9=lag(f.o_totalprice, 9, default=-1.0),
+            nxt=lead(f.o_totalprice),
+            rn=row_number(),
+            nt=ntile(n=7),
+        )
+    ).collect()
+    out = out.sort_values("rn").reset_index(drop=True)
+    v = out["o_totalprice"]
+    exp_prev9 = v.shift(9)
+    exp_prev9.iloc[:9] = -1.0
+    assert np.allclose(out["prev"].to_numpy()[1:], v.shift(1).to_numpy()[1:])
+    assert out["prev"].isna().tolist()[:1] == [True]
+    assert np.allclose(out["prev9"].to_numpy(), exp_prev9.to_numpy())
+    assert np.allclose(out["nxt"].to_numpy()[:-1], v.shift(-1).to_numpy()[:-1])
+    n_rows = len(out)
+    base, rem = divmod(n_rows, 7)
+    cut = rem * (base + 1)
+    exp_nt = [
+        (i // (base + 1) + 1) if i < cut else (rem + (i - cut) // base + 1)
+        for i in range(n_rows)
+    ]
+    assert out["nt"].tolist() == exp_nt
