@@ -83,28 +83,39 @@ def main() -> None:
             pass_timings[name] = round(time.perf_counter() - t0, 3)
             _ = n_rows
 
-    # scale-pipeline ops (LLM-training-data path): timed once, reported
-    # as extra keys — the headline metric stays the same 10 queries
+    # scale-pipeline ops (LLM-training-data path): two timed passes like
+    # the headline queries — pass 1 is dominated by whole-stage-codegen
+    # compilation of the wide signature expressions (a fixed per-plan
+    # cost that amortizes to zero at corpus scale), pass 2 is the
+    # steady-state execution cost that actually scales with data
     scale_ops: dict[str, float] = {}
+    scale_ops_warm: dict[str, float] = {}
     try:
         from datar_polars_spark import f, read_parquet
         from datar_polars_spark.scale import cosine_topk, minhash_dedup
 
         docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
         emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
-        t0 = time.perf_counter()
-        (docs >> minhash_dedup(f.text, f.doc_id, threshold=0.7)).df.count()
-        scale_ops["minhash_dedup"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        (
-            docs
-            >> minhash_dedup(f.text, f.doc_id, threshold=0.7, resolve="components")
-        ).df.count()
-        scale_ops["minhash_dedup_components"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
         q = emb.df.select("embedding").first()[0]
-        cosine_topk(emb, [float(v) for v in q], f.embedding, f.vec_id, k=10).df.count()
-        scale_ops["cosine_topk"] = round(time.perf_counter() - t0, 3)
+        ops = {
+            "minhash_dedup": lambda: (
+                docs >> minhash_dedup(f.text, f.doc_id, threshold=0.7)
+            ).df.count(),
+            "minhash_dedup_components": lambda: (
+                docs
+                >> minhash_dedup(
+                    f.text, f.doc_id, threshold=0.7, resolve="components"
+                )
+            ).df.count(),
+            "cosine_topk": lambda: cosine_topk(
+                emb, [float(v) for v in q], f.embedding, f.vec_id, k=10
+            ).df.count(),
+        }
+        for pass_timings in (scale_ops, scale_ops_warm):
+            for op_name, op in ops.items():
+                t0 = time.perf_counter()
+                op()
+                pass_timings[op_name] = round(time.perf_counter() - t0, 3)
     except Exception:
         pass
 
@@ -120,6 +131,7 @@ def main() -> None:
                 "warm_total": round(sum(warm.values()), 3),
                 "queries_warm": warm,
                 "scale_ops": scale_ops,
+                "scale_ops_warm": scale_ops_warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
