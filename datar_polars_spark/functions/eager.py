@@ -410,20 +410,48 @@ EAGER_IMPLS.update(
     }
 )
 
-try:  # digamma-family needs scipy; the deferred compilers are likewise gated
-    from scipy import special as _sp
+# digamma/bessel families: scipy preferred, mpmath fallback (same
+# backend chain as the deferred compilers in special.py)
+def _psi_eager(deriv_default):
+    def call(x, deriv=None):
+        from .special import psi_scalar_fn
 
-    EAGER_IMPLS.update(
-        {
-            "digamma": _unary(_sp.digamma),
-            "trigamma": _unary(lambda v: _sp.polygamma(1, v).item()),
-            "psigamma": lambda x, deriv=0: _unary(
-                lambda v: _sp.polygamma(int(deriv), v).item()
-            )(x),
-        }
-    )
-except ImportError:
-    pass
+        d = deriv_default if deriv is None else int(deriv)
+        fn = psi_scalar_fn(d)
+        if fn is None:
+            raise NotImplementedError(
+                "digamma family requires scipy or mpmath; neither is installed"
+            )
+        return _unary(fn)(x)
+
+    return call
+
+
+def _bessel_eager(kind):
+    def call(x, nu=0.0, expon_scaled=False):
+        from .special import bessel_scalar_fn
+
+        fn = bessel_scalar_fn(kind, float(nu), bool(expon_scaled))
+        if fn is None:
+            raise NotImplementedError(
+                f"bessel_{kind} requires scipy or mpmath; neither is installed"
+            )
+        return _unary(fn)(x)
+
+    return call
+
+
+EAGER_IMPLS.update(
+    {
+        "digamma": lambda x: _psi_eager(0)(x),
+        "trigamma": lambda x: _psi_eager(1)(x),
+        "psigamma": lambda x, deriv=0: _psi_eager(0)(x, deriv),
+        "bessel_i": _bessel_eager("i"),
+        "bessel_j": _bessel_eager("j"),
+        "bessel_k": _bessel_eager("k"),
+        "bessel_y": _bessel_eager("y"),
+    }
+)
 
 
 # ---- column reorderers / set queries on plain vectors ---------------------
