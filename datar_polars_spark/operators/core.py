@@ -414,7 +414,12 @@ def mutate(
         df = _ordered_select(df, keep_set)
     if list_tmps:
         df = df.drop(*list_tmps)
-    return td.with_df(df)
+    out = td.with_df(df)
+    # rewriting the tracked sort-key column invalidates the key-bucket
+    # two-pass metadata (frame order no longer follows its values)
+    if out.sort_meta and out.sort_meta[0] in {n for n, _ in items}:
+        out.sort_meta = None
+    return out
 
 
 @verb
@@ -689,7 +694,18 @@ def arrange(td: Tibble, *keys: Any, _by_group: bool = False) -> Tibble:
     for k in keys:
         sort_cols.append(_sort_key(td, ctx, k))
     sort_cols.append(F.col(ORDER_COL).asc())  # stable sort
-    return td.reassign_order(*sort_cols)
+    # record the first sort key when it's a plain non-factor column:
+    # two-pass windows downstream can then bucket on its VALUES
+    # (quantile boundaries are cross-job deterministic; post-sort mono
+    # ids are not — see plans/context.py:_key_bucket)
+    first_key = None
+    if not _by_group and keys:
+        k0 = keys[0]
+        asc0 = not isinstance(k0, Desc)
+        node0 = k0._operand if isinstance(k0, Desc) else k0
+        if isinstance(node0, Ref) and node0._name not in td.levels:
+            first_key = (node0._name, asc0)
+    return td.reassign_order(*sort_cols, first_key=first_key)
 
 
 def _sort_key(td: Tibble, ctx: EvalContext, k: Any) -> Column:

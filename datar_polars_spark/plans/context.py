@@ -159,17 +159,86 @@ class EvalContext:
             return F.shiftright(F.col(ORDER_COL), 33)
         return None
 
-    def _two_pass_ok(self, order_by: Any) -> bool:
+    def _two_pass_core_ok(self, order_by: Any) -> bool:
         return (
             self.mode == "eval"
             and not self.groups
             and not self.rowwise
             and order_by is None
             and self.order_override is None
-            and self.tibble.order_stable
             and ORDER_COL in self.tibble.df.columns
             and not self.tibble.df.isStreaming
         )
+
+    def _two_pass_ok(self, order_by: Any) -> bool:
+        return self._two_pass_core_ok(order_by) and self.tibble.order_stable
+
+    _KEY_BUCKET_QUANTILES = 64
+
+    def _key_bucket(self) -> tuple[Column, Column] | None:
+        """(bucket, within-bucket order key) derived from the last
+        arrange's first sort-key VALUES. Post-arrange mono ids are
+        job-local (range-partition boundaries are sampled per
+        compilation), but the key values themselves are not: quantile
+        boundaries computed once on the driver give every job the same
+        bucket for a given key value, so the two-pass offsets job and
+        the main job agree. Equal keys share a bucket by construction
+        (count of boundaries strictly below the key), and per-bucket
+        AGGREGATES are tie-order-independent, so the job-local
+        tie-break inside the main job's window is safe."""
+        meta = getattr(self.tibble, "sort_meta", None)
+        if not meta:
+            return None
+        name, asc = meta
+        df = self.tibble.df
+        if name not in df.columns:
+            return None
+        dtype = dict(df.dtypes).get(name, "")
+        if not (
+            dtype in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            or dtype.startswith("decimal")
+        ):
+            return None  # approxQuantile needs numerics
+        try:
+            nq = self._KEY_BUCKET_QUANTILES
+            qs = [i / nq for i in range(1, nq)]
+            bounds = df.stat.approxQuantile(name, qs, 0.001)
+        except Exception:
+            return None
+        bounds = sorted(set(bounds))
+        if len(bounds) < 2:
+            return None  # low-cardinality key: buckets would all collide
+        k = F.col(name)
+        arr = F.array(*[F.lit(b) for b in bounds])
+        if asc:
+            b = F.size(F.filter(arr, lambda x: x < k))
+            okey = k.asc_nulls_last()
+        else:
+            b = F.size(F.filter(arr, lambda x: x > k))
+            okey = k.desc_nulls_last()
+        # arrange puts NAs last in either direction -> own trailing bucket
+        bucket = F.when(k.isNull(), F.lit(len(bounds) + 1)).otherwise(b)
+        return bucket, okey
+
+    def _two_pass_windows(
+        self, order_by: Any
+    ) -> tuple[Column, list[Column]] | None:
+        """(bucket, window order keys) for the two-pass rewrite, or
+        None when only the single-partition window is semantically
+        available. Mono-id buckets when the frame order is cross-job
+        stable; key-value buckets after an arrange on a plain numeric
+        column; None otherwise."""
+        if not self._two_pass_core_ok(order_by):
+            return None
+        if self.tibble.order_stable:
+            b = self._order_bucket()
+            if b is not None:
+                return b, [F.col(ORDER_COL).asc()]
+            return None
+        kb = self._key_bucket()
+        if kb is not None:
+            return kb[0], [kb[1], F.col(ORDER_COL).asc()]
+        return None
 
     def _bucket_offsets(self, bucket: Column, total: Column, combine):
         """Per-bucket totals -> exclusive prefix combine. Returns
@@ -229,16 +298,15 @@ class EvalContext:
         simple = aggfn(value if value is not None else F.lit(1)).over(
             self.ordered(order_by).rowsBetween(*frame)
         )
-        if not self._two_pass_ok(order_by):
+        bw = self._two_pass_windows(order_by)
+        if bw is None:
             return simple
-        bucket = self._order_bucket()
-        if bucket is None:
-            return simple
+        bucket, order_cols = bw
         total = aggfn(value if value is not None else F.lit(1))
         offsets = self._bucket_offsets(bucket, total, combine)
         if offsets is None:
             return simple
-        w = Window.partitionBy(bucket).orderBy(F.col(ORDER_COL).asc()).rowsBetween(*frame)
+        w = Window.partitionBy(bucket).orderBy(*order_cols).rowsBetween(*frame)
         within = aggfn(value if value is not None else F.lit(1)).over(w)
         off = self._offset_lookup(bucket, offsets)
         if merge == "count":
@@ -251,36 +319,31 @@ class EvalContext:
 
     def _cum_nonnull_count(self, value: Column, order_by: Any) -> Column:
         cnt = F.count(value)
-        if not self._two_pass_ok(order_by):
-            return cnt.over(self.ordered(order_by).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            ))
-        bucket = self._order_bucket()
-        if bucket is None:
-            return cnt.over(self.ordered(order_by).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            ))
+        simple = cnt.over(self.ordered(order_by).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        ))
+        bw = self._two_pass_windows(order_by)
+        if bw is None:
+            return simple
+        bucket, order_cols = bw
         offsets = self._bucket_offsets(bucket, cnt, lambda a, b: a + b)
         if offsets is None:
-            return cnt.over(self.ordered(order_by).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            ))
-        w = Window.partitionBy(bucket).orderBy(F.col(ORDER_COL).asc()).rowsBetween(
+            return simple
+        w = Window.partitionBy(bucket).orderBy(*order_cols).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         return cnt.over(w) + F.coalesce(self._offset_lookup(bucket, offsets), F.lit(0))
 
     def row_number_over(self) -> Column:
         """row_number() in frame order; two-pass when ungrouped."""
-        if not self._two_pass_ok(None):
+        bw = self._two_pass_windows(None)
+        if bw is None:
             return F.row_number().over(self.ordered())
-        bucket = self._order_bucket()
-        if bucket is None:
-            return F.row_number().over(self.ordered())
+        bucket, order_cols = bw
         offsets = self._bucket_offsets(bucket, F.count(F.lit(1)), lambda a, b: a + b)
         if offsets is None:
             return F.row_number().over(self.ordered())
-        w = Window.partitionBy(bucket).orderBy(F.col(ORDER_COL).asc())
+        w = Window.partitionBy(bucket).orderBy(*order_cols)
         return F.row_number().over(w) + F.coalesce(
             self._offset_lookup(bucket, offsets), F.lit(0)
         )
@@ -315,16 +378,29 @@ class EvalContext:
         fn = F.lead if lead else F.lag
         dflt = default if isinstance(default, Column) else F.lit(default)
         simple = fn(value, n, default).over(self.ordered(order_by))
-        if (
-            n < 1
-            or n > self.MAX_TWO_PASS_SHIFT
-            or not self._two_pass_ok(order_by)
-        ):
+        if n < 1 or n > self.MAX_TWO_PASS_SHIFT:
             return simple
-        bucket = self._order_bucket()
+        # mono-id buckets when the frame order is cross-job stable;
+        # key-value buckets after arrange on a plain ASCENDING numeric
+        # column (the struct-sorted boundary slices below tie-break by
+        # mono id in frame direction, which only matches for asc keys)
+        bucket = keycol = None
+        if self._two_pass_ok(order_by):
+            bucket = self._order_bucket()
+        elif self._two_pass_core_ok(order_by):
+            meta = getattr(self.tibble, "sort_meta", None)
+            if meta and meta[1]:
+                kb = self._key_bucket()
+                if kb is not None:
+                    bucket = kb[0]
+                    keycol = F.col(meta[0])
         if bucket is None:
             return simple
         df = self.tibble.df
+        slice_fields = ([keycol.alias("k")] if keycol is not None else []) + [
+            F.col(ORDER_COL).alias("o"),
+            value.alias("v"),
+        ]
         try:
             dtype = df.select(value.alias("__v__")).schema[0].dataType
             rows = (
@@ -332,12 +408,7 @@ class EvalContext:
                 .agg(
                     F.slice(
                         F.sort_array(
-                            F.collect_list(
-                                F.struct(
-                                    F.col(ORDER_COL).alias("o"),
-                                    value.alias("v"),
-                                )
-                            ),
+                            F.collect_list(F.struct(*slice_fields)),
                             asc=bool(lead),
                         ),
                         1,
@@ -363,12 +434,16 @@ class EvalContext:
                 carry[r["__b__"]] = acc[:n]
             vals = [t["v"] for t in r["__t__"]]
             acc = (vals + acc)[:n]
-        w_asc = Window.partitionBy(bucket).orderBy(F.col(ORDER_COL).asc())
+        if keycol is not None:
+            fwd = [keycol.asc_nulls_last(), F.col(ORDER_COL).asc()]
+            rev = [keycol.desc_nulls_first(), F.col(ORDER_COL).desc()]
+        else:
+            fwd = [F.col(ORDER_COL).asc()]
+            rev = [F.col(ORDER_COL).desc()]
+        w_asc = Window.partitionBy(bucket).orderBy(*fwd)
         within = fn(value, n, None).over(w_asc)
         if lead:
-            rn_b = F.row_number().over(
-                Window.partitionBy(bucket).orderBy(F.col(ORDER_COL).desc())
-            )
+            rn_b = F.row_number().over(Window.partitionBy(bucket).orderBy(*rev))
         else:
             rn_b = F.row_number().over(w_asc)
         pairs: list[Column] = []
@@ -396,7 +471,7 @@ class EvalContext:
         """ntile() in frame order; built from the two-pass row_number
         plus one eagerly-computed total count when ungrouped (Spark's
         semantics: first ``N % n`` tiles get one extra row)."""
-        if not self._two_pass_ok(None) or self._order_bucket() is None:
+        if self._two_pass_windows(None) is None:
             return F.ntile(nval).over(self.ordered())
         rn = self.row_number_over()
         total = self.tibble.df.count()

@@ -70,6 +70,13 @@ class Tibble:
         # valid within one job -> order_stable=False disables the
         # two-pass distributed window rewrite (it needs a second job).
         self.order_stable: bool = order_stable
+        # (column_name, ascending) of the last arrange's FIRST sort key
+        # when it is a plain numeric column: lets the two-pass window
+        # rewrite derive buckets from key VALUES (cross-job
+        # deterministic via quantile boundaries) even though post-sort
+        # mono ids are job-local. Reset whenever the column is
+        # overwritten or rows are reordered by other means.
+        self.sort_meta: tuple[str, bool] | None = None
         # "groups" (plain group_by) | "cube" | "rollup": how summarise
         # builds its aggregation grid (Spark-native multi-dimensional
         # aggregates — absent from the reference, free on Catalyst)
@@ -128,6 +135,8 @@ class Tibble:
         out.ordered_factors = {c for c in self.ordered_factors if c in out.levels}
         out.grouping_mode = self.grouping_mode
         out.rownames = self.rownames
+        if self.sort_meta and self.sort_meta[0] in df.columns:
+            out.sort_meta = self.sort_meta
         return out
 
     # ---- order helpers ----------------------------------------------------
@@ -209,14 +218,20 @@ class Tibble:
             joined = joined.drop(keys[g])
         return self.with_df(joined)
 
-    def reassign_order(self, *sort_keys: Column) -> "Tibble":
-        """Global sort + distributed order-id reassignment (no global window)."""
+    def reassign_order(
+        self, *sort_keys: Column, first_key: tuple[str, bool] | None = None
+    ) -> "Tibble":
+        """Global sort + distributed order-id reassignment (no global
+        window). ``first_key=(name, asc)`` records the first sort key
+        when it's a plain column — lets downstream two-pass windows
+        bucket on key values (plans/context.py:_key_bucket)."""
         d = self._df.orderBy(*sort_keys)
         if ORDER_COL in d.columns:
             d = d.drop(ORDER_COL)
         d = d.withColumn(ORDER_COL, F.monotonically_increasing_id())
         out = self.with_df(d)
         out.order_stable = False
+        out.sort_meta = first_key
         return out
 
     # ---- actions ----------------------------------------------------------

@@ -287,3 +287,40 @@ def test_connected_components_no_single_partition(spark):
     stepped = _small_star(_large_star(edges))
     plan = stepped._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_post_arrange_cumsum_no_single_partition(spark):
+    """After arrange(numeric_col), two-pass windows bucket on the sort
+    KEY's quantile boundaries (cross-job deterministic) — cumsum /
+    row_number / lag still avoid the single-partition window even
+    though post-sort mono ids are job-local."""
+    from datar_polars_spark import arrange
+    from datar_polars_spark.functions import cumsum, lag, row_number
+
+    td = (
+        read_parquet(spark, f"{SF}/orders.parquet")
+        >> arrange(f.o_totalprice)
+        >> mutate(
+            cs=cumsum(f.o_totalprice),
+            rn=row_number(),
+            prev=lag(f.o_totalprice),
+        )
+    )
+    plan = _plan(td)
+    assert "SinglePartition" not in plan
+
+
+def test_pack_documents_post_arrange_distributed(spark):
+    """pack_documents(mode='chunk') after arrange — the q45 shape —
+    stays fully distributed via the key-bucket rewrite."""
+    from datar_polars_spark import arrange
+    from datar_polars_spark.scale import pack_documents
+
+    td = (
+        read_parquet(spark, f"{SF}/documents.parquet")
+        >> arrange(f.doc_id)
+        >> mutate(toks=f.n_chars)
+        >> pack_documents(tokens="toks", budget=5000, mode="chunk")
+    )
+    plan = _plan(td)
+    assert "SinglePartition" not in plan
