@@ -186,13 +186,15 @@ register("order_by")(_with_order)
 @register("consecutive_id")
 def _consecutive_id(ctx, *xs):
     """Run-length id: increments whenever any key changes (reference
-    ``api/dplyr/context.py:277-315``)."""
-    w = ctx.ordered()
+    ``api/dplyr/context.py:277-315``). Built on the two-pass shift /
+    row_number / cumsum primitives, so the ungrouped case stays
+    distributed (the change-flag window expression is legal in the
+    offsets job because _bucket_offsets pre-projects its value)."""
     changed = F.lit(0)
     for x in xs:
         col = ctx.col(x)
-        prev = F.lag(col).over(w)
+        prev = ctx.shift_over(col, 1, None, lead=False)
         neq = ~(col.eqNullSafe(prev))
         changed = F.greatest(changed, neq.cast("int"))
-    changed = F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(changed)
-    return F.sum(changed).over(ctx.ordered().rowsBetween(_UNB_PREV, _CUR))
+    changed = F.when(ctx.row_number_over() == 1, F.lit(1)).otherwise(changed)
+    return ctx.cum_over("sum", changed)

@@ -240,19 +240,26 @@ class EvalContext:
             return kb[0], [kb[1], F.col(ORDER_COL).asc()]
         return None
 
-    def _bucket_offsets(self, bucket: Column, total: Column, combine):
+    def _bucket_offsets(self, bucket: Column, value: Column, aggfn, combine):
         """Per-bucket totals -> exclusive prefix combine. Returns
         {bucket_id: offset} (buckets with no prior non-null omitted),
-        or None when the bucket count exceeds the literal-map bound."""
+        or None when the bucket count exceeds the literal-map bound.
+        The value is PRE-PROJECTED before the groupBy, so it may itself
+        be a window expression (e.g. cumsum over a lag-derived change
+        flag): the offsets job computes the window first, then
+        aggregates — only a direct window-inside-agg is illegal."""
         try:
             rows = (
-                self.tibble.df.groupBy(bucket.alias("__b__"))
-                .agg(total.alias("__t__"))
+                self.tibble.df.select(
+                    bucket.alias("__b__"), value.alias("__v__")
+                )
+                .groupBy("__b__")
+                .agg(aggfn(F.col("__v__")).alias("__t__"))
                 .collect()
             )
         except Exception:
-            # value not computable in an aggregate (e.g. it nests
-            # another window function) -> caller keeps the window form
+            # value not computable here (exotic expression) -> caller
+            # keeps the window form
             return None
         if not rows or len(rows) > self.MAX_TWO_PASS_BUCKETS:
             return None
@@ -302,8 +309,9 @@ class EvalContext:
         if bw is None:
             return simple
         bucket, order_cols = bw
-        total = aggfn(value if value is not None else F.lit(1))
-        offsets = self._bucket_offsets(bucket, total, combine)
+        offsets = self._bucket_offsets(
+            bucket, value if value is not None else F.lit(1), aggfn, combine
+        )
         if offsets is None:
             return simple
         w = Window.partitionBy(bucket).orderBy(*order_cols).rowsBetween(*frame)
@@ -326,7 +334,7 @@ class EvalContext:
         if bw is None:
             return simple
         bucket, order_cols = bw
-        offsets = self._bucket_offsets(bucket, cnt, lambda a, b: a + b)
+        offsets = self._bucket_offsets(bucket, value, F.count, lambda a, b: a + b)
         if offsets is None:
             return simple
         w = Window.partitionBy(bucket).orderBy(*order_cols).rowsBetween(
@@ -340,7 +348,9 @@ class EvalContext:
         if bw is None:
             return F.row_number().over(self.ordered())
         bucket, order_cols = bw
-        offsets = self._bucket_offsets(bucket, F.count(F.lit(1)), lambda a, b: a + b)
+        offsets = self._bucket_offsets(
+            bucket, F.lit(1), F.count, lambda a, b: a + b
+        )
         if offsets is None:
             return F.row_number().over(self.ordered())
         w = Window.partitionBy(bucket).orderBy(*order_cols)

@@ -324,3 +324,16 @@ def test_pack_documents_post_arrange_distributed(spark):
     )
     plan = _plan(td)
     assert "SinglePartition" not in plan
+
+
+def test_ungrouped_consecutive_id_no_single_partition(spark):
+    """consecutive_id composes the two-pass shift + row_number + cumsum
+    primitives; the change-flag window expression is legal in the
+    offsets job because _bucket_offsets pre-projects its value."""
+    from datar_polars_spark.functions import consecutive_id
+
+    td = read_parquet(spark, f"{SF}/lineitem.parquet") >> mutate(
+        cid=consecutive_id(f.l_returnflag)
+    )
+    plan = _plan(td)
+    assert "SinglePartition" not in plan
