@@ -49,6 +49,22 @@ def _rank_window(ctx, node, desc: bool = False):
     return col, w
 
 
+def _rank_desc(ctx, node):
+    """(value column, desc?) for a ranking key node."""
+    from ..plans.expr import Desc
+
+    if isinstance(node, Desc):
+        return _nn(ctx, node._operand), True
+    return _nn(ctx, node), False
+
+
+def _n_ok_scalar(ctx, col):
+    """Eager non-NA count (tiny agg job) for rank denominators — the
+    window form would be an unpartitioned whole-table window."""
+    row = ctx.tibble.df.agg(F.count(col).alias("__n__")).first()
+    return int(row["__n__"]) if row is not None else 0
+
+
 @register("row_number")
 def _row_number(ctx, x=None):
     if x is None:
@@ -56,43 +72,65 @@ def _row_number(ctx, x=None):
         # (per-bucket row_number + broadcast prefix counts) instead of a
         # single-partition global window
         return ctx.row_number_over()
-    col, w = _rank_window(ctx, x)
-    return F.when(col.isNotNull(), F.row_number().over(w))
+    col, desc = _rank_desc(ctx, x)
+    two = ctx.rank_over(col, desc, "row_number")
+    if two is not None:
+        return F.when(col.isNotNull(), two)
+    col2, w = _rank_window(ctx, x)
+    return F.when(col2.isNotNull(), F.row_number().over(w))
 
 
 @register("min_rank")
 def _min_rank(ctx, x):
-    col, key = _unwrap_key(ctx, x)
+    col, desc = _rank_desc(ctx, x)
+    two = ctx.rank_over(col, desc, "rank")
+    if two is not None:
+        return F.when(col.isNotNull(), two)
+    key = col.desc_nulls_last() if desc else col.asc_nulls_last()
     rw = ctx.partition().orderBy(key)
     return F.when(col.isNotNull(), F.rank().over(rw))
 
 
 @register("dense_rank")
 def _dense_rank(ctx, x):
-    col, key = _unwrap_key(ctx, x)
+    col, desc = _rank_desc(ctx, x)
+    two = ctx.rank_over(col, desc, "dense_rank")
+    if two is not None:
+        return F.when(col.isNotNull(), two)
+    key = col.desc_nulls_last() if desc else col.asc_nulls_last()
     rw = ctx.partition().orderBy(key)
     return F.when(col.isNotNull(), F.dense_rank().over(rw))
 
 
 @register("percent_rank")
 def _percent_rank(ctx, x):
-    col, key = _unwrap_key(ctx, x)
+    col, desc = _rank_desc(ctx, x)
+    two = ctx.rank_over(col, desc, "rank")
+    if two is not None:
+        n_ok = _n_ok_scalar(ctx, col)
+        return F.when(col.isNotNull(), (two - 1) / F.lit(n_ok - 1))
+    key = col.desc_nulls_last() if desc else col.asc_nulls_last()
     rw = ctx.partition().orderBy(key)
-    n_ok = F.sum(col.isNotNull().cast("long")).over(ctx.partition())
+    n_okw = F.sum(col.isNotNull().cast("long")).over(ctx.partition())
     rank = F.rank().over(rw)
-    return F.when(col.isNotNull(), (rank - 1) / (n_ok - 1))
+    return F.when(col.isNotNull(), (rank - 1) / (n_okw - 1))
 
 
 @register("cume_dist")
 def _cume_dist(ctx, x):
-    col, key = _unwrap_key(ctx, x)
+    col, desc = _rank_desc(ctx, x)
+    two = ctx.rank_over(col, desc, "cume_count")
+    if two is not None:
+        n_ok = _n_ok_scalar(ctx, col)
+        return F.when(col.isNotNull(), two / F.lit(n_ok))
+    key = col.desc_nulls_last() if desc else col.asc_nulls_last()
     rw = ctx.partition().orderBy(key)
-    n_ok = F.sum(col.isNotNull().cast("long")).over(ctx.partition())
+    n_okw = F.sum(col.isNotNull().cast("long")).over(ctx.partition())
     # rows with key <= current, among non-NA rows
     upto = F.max(F.when(col.isNotNull(), F.row_number().over(rw))).over(
         rw.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return F.when(col.isNotNull(), upto / n_ok)
+    return F.when(col.isNotNull(), upto / n_okw)
 
 
 @register("ntile")
@@ -100,7 +138,17 @@ def _ntile(ctx, x=None, n: int = 1):
     nval = int(ctx.eval(n))
     if x is None:
         return ctx.ntile_over(nval)
-    col, key = _unwrap_key(ctx, x)
+    col, desc = _rank_desc(ctx, x)
+    two = ctx.rank_over(col, desc, "row_number")
+    if two is not None:
+        n_ok = _n_ok_scalar(ctx, col)
+        base, rem = divmod(n_ok, nval)
+        cut = rem * (base + 1)
+        tile = F.when(
+            two <= F.lit(cut), F.ceil(two / F.lit(base + 1))
+        ).otherwise(F.lit(rem) + F.ceil((two - F.lit(cut)) / F.lit(max(base, 1))))
+        return F.when(col.isNotNull(), tile.cast("int"))
+    key = col.desc_nulls_last() if desc else col.asc_nulls_last()
     rw = ctx.partition().orderBy(key)
     return F.when(col.isNotNull(), F.ntile(nval).over(rw))
 

@@ -190,10 +190,26 @@ class EvalContext:
         if not meta:
             return None
         name, asc = meta
-        df = self.tibble.df
-        if name not in df.columns:
+        if name not in self.tibble.df.columns:
             return None
-        dtype = dict(df.dtypes).get(name, "")
+        k = F.col(name)
+        bucket = self._value_bucket(k, asc)
+        if bucket is None:
+            return None
+        okey = k.asc_nulls_last() if asc else k.desc_nulls_last()
+        return bucket, okey
+
+    def _value_bucket(self, key: Column, asc: bool) -> Column | None:
+        """Quantile-bounded buckets over an arbitrary numeric
+        expression. Independent of frame order and of mono-id
+        stability: a given value always lands in the same bucket, and
+        equal values share a bucket (count of boundaries strictly
+        beyond the key), so per-bucket aggregates and value ranks are
+        well-defined. NULL keys get their own trailing bucket (R/dplyr
+        sort NAs last in both directions)."""
+        df = self.tibble.df
+        probe = df.select(key.alias("__k__"))
+        dtype = probe.dtypes[0][1]
         if not (
             dtype in ("tinyint", "smallint", "int", "bigint", "float", "double")
             or dtype.startswith("decimal")
@@ -202,23 +218,68 @@ class EvalContext:
         try:
             nq = self._KEY_BUCKET_QUANTILES
             qs = [i / nq for i in range(1, nq)]
-            bounds = df.stat.approxQuantile(name, qs, 0.001)
+            bounds = probe.stat.approxQuantile("__k__", qs, 0.001)
         except Exception:
             return None
         bounds = sorted(set(bounds))
         if len(bounds) < 2:
             return None  # low-cardinality key: buckets would all collide
-        k = F.col(name)
         arr = F.array(*[F.lit(b) for b in bounds])
         if asc:
-            b = F.size(F.filter(arr, lambda x: x < k))
-            okey = k.asc_nulls_last()
+            b = F.size(F.filter(arr, lambda x: x < key))
         else:
-            b = F.size(F.filter(arr, lambda x: x > k))
-            okey = k.desc_nulls_last()
-        # arrange puts NAs last in either direction -> own trailing bucket
-        bucket = F.when(k.isNull(), F.lit(len(bounds) + 1)).otherwise(b)
-        return bucket, okey
+            b = F.size(F.filter(arr, lambda x: x > key))
+        return F.when(key.isNull(), F.lit(len(bounds) + 1)).otherwise(b)
+
+    def rank_over(self, col: Column, desc: bool, kind: str) -> Column | None:
+        """Two-pass distributed UNGROUPED value rank, or None when the
+        single-partition window is the only option. Buckets come from
+        the rank key's own quantiles (equal values never straddle a
+        bucket), per-bucket ranks run in parallel, and the rank of each
+        bucket's first row is recovered from broadcast per-bucket
+        counts: count of non-null keys for ``rank``, count of DISTINCT
+        keys for ``dense_rank`` (additive because buckets partition the
+        value space), plain count with an in-bucket range frame for
+        ``cume_count`` (rows with key <= current)."""
+        if (
+            self.mode != "eval"
+            or self.groups
+            or self.rowwise
+            or self.tibble.df.isStreaming
+        ):
+            return None
+        bucket = self._value_bucket(col, not desc)
+        if bucket is None:
+            return None
+        okey = col.desc_nulls_last() if desc else col.asc_nulls_last()
+        w = Window.partitionBy(bucket).orderBy(okey)
+        if kind == "rank":
+            within = F.rank().over(w)
+            aggfn = F.count
+        elif kind == "dense_rank":
+            within = F.dense_rank().over(w)
+            aggfn = F.count_distinct
+        elif kind == "cume_count":
+            within = F.count(col).over(
+                w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            aggfn = F.count
+        elif kind == "row_number":
+            # first-appearance tie-break (dplyr row_number): frame
+            # order ids — job-local is fine, counts are tie-independent
+            keys = [okey]
+            if ORDER_COL in self.tibble.df.columns:
+                keys.append(F.col(ORDER_COL).asc())
+            within = F.row_number().over(
+                Window.partitionBy(bucket).orderBy(*keys)
+            )
+            aggfn = F.count
+        else:
+            raise ValueError(kind)
+        offsets = self._bucket_offsets(bucket, col, aggfn, lambda a, b: a + b)
+        if offsets is None:
+            return None
+        return within + F.coalesce(self._offset_lookup(bucket, offsets), F.lit(0))
 
     def _two_pass_windows(
         self, order_by: Any

@@ -337,3 +337,26 @@ def test_ungrouped_consecutive_id_no_single_partition(spark):
     )
     plan = _plan(td)
     assert "SinglePartition" not in plan
+
+
+def test_ungrouped_value_ranks_no_single_partition(spark):
+    """min_rank/dense_rank/percent_rank/cume_dist/ntile over a VALUE
+    column bucket on the key's own quantiles: ungrouped whole-table
+    ranking runs in parallel, not through one sort task."""
+    from datar_polars_spark.functions import (
+        cume_dist,
+        dense_rank,
+        min_rank,
+        ntile,
+        percent_rank,
+    )
+
+    td = read_parquet(spark, f"{SF}/lineitem.parquet") >> mutate(
+        r=min_rank(f.l_extendedprice),
+        dr=dense_rank(f.l_extendedprice),
+        pr=percent_rank(f.l_extendedprice),
+        cd=cume_dist(f.l_extendedprice),
+        nt=ntile(f.l_extendedprice, n=7),
+    )
+    plan = _plan(td)
+    assert "SinglePartition" not in plan
