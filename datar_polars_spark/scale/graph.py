@@ -71,20 +71,69 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return emit_nbrs.union(emit_self).dropDuplicates()
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact min-id components for a collected edge list (path
+    compression + union-by-min). Same (id, component) contract as the
+    distributed path."""
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = edges.schema[0].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller -> min-id labels
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    rows = [(x, find(x)) for x in parent]
+    schema = StructType(
+        [StructField("id", id_type), StructField("component", id_type)]
+    )
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def components_from_pairs(
-    pairs: DataFrame, src: str, dst: str, max_iter: int = 50
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 50,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Component labels ``(id, component)`` from an undirected pair list.
 
     ``component`` is the minimum member id of each connected set. Only
     ids that appear in some pair are labeled — callers union isolated
-    nodes themselves (their component is their own id)."""
+    nodes themselves (their component is their own id).
+
+    Hybrid execution: the near-dup pair graph is usually a tiny
+    fraction of the corpus, so when the (already-checkpointed,
+    deduplicated) edge list fits ``small_graph_edges`` it is collected
+    and solved with driver-side union-find — one job instead of
+    O(log n) iterative shuffle rounds. Larger graphs take the
+    alternating-star path unchanged; set ``small_graph_edges=0`` to
+    force it."""
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    if small_graph_edges and edges.count() <= small_graph_edges:
+        return _driver_union_find(edges)
     prev_sig = None
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
@@ -106,12 +155,19 @@ def components_from_pairs(
 
 @verb
 def connected_components(
-    td: Tibble, src: Any, dst: Any, max_iter: int = 50
+    td: Tibble,
+    src: Any,
+    dst: Any,
+    max_iter: int = 50,
+    small_graph_edges: int = 2_000_000,
 ) -> Tibble:
     """Label each node of an undirected edge list with its connected
     component (the component's minimum id). The edge tibble's two key
     columns name the endpoints; output is one row per distinct node:
-    ``(id, component)``."""
+    ``(id, component)``. See components_from_pairs for the hybrid
+    small-graph/driver vs alternating-star execution."""
     sn, dn = _name_of(src), _name_of(dst)
-    out = components_from_pairs(td.df.select(*td.columns), sn, dn, max_iter)
+    out = components_from_pairs(
+        td.df.select(*td.columns), sn, dn, max_iter, small_graph_edges
+    )
     return Tibble(out)

@@ -39,23 +39,32 @@ def _cc(spark, edges, **kw):
     return dict(zip(rows["id"], rows["component"]))
 
 
-class TestConnectedComponents:
-    def test_two_components(self, spark):
-        edges = [(1, 2), (2, 3), (10, 11)]
-        assert _cc(spark, edges) == union_find(edges)
+# every core case runs BOTH execution paths: the driver union-find
+# shortcut (default for small pair graphs) and the distributed
+# alternating-star rounds (small_graph_edges=0 forces it)
+BOTH_PATHS = [{}, {"small_graph_edges": 0}]
 
-    def test_single_link_counterexample(self, spark):
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize("kw", BOTH_PATHS)
+    def test_two_components(self, spark, kw):
+        edges = [(1, 2), (2, 3), (10, 11)]
+        assert _cc(spark, edges, **kw) == union_find(edges)
+
+    @pytest.mark.parametrize("kw", BOTH_PATHS)
+    def test_single_link_counterexample(self, spark, kw):
         # pairs (1,5) and (3,5): single-link keeps {1, 3}; true
         # components keep only 1 (component minimum of {1,3,5})
         edges = [(1, 5), (3, 5)]
-        got = _cc(spark, edges)
+        got = _cc(spark, edges, **kw)
         assert got == {1: 1, 3: 1, 5: 1}
 
-    def test_long_chain_converges(self, spark):
+    @pytest.mark.parametrize("kw", BOTH_PATHS)
+    def test_long_chain_converges(self, spark, kw):
         # path graph 0-1-2-...-40: naive propagation needs ~40 rounds;
         # alternating stars must finish well under the 50-iteration cap
         edges = [(i, i + 1) for i in range(40)]
-        got = _cc(spark, edges)
+        got = _cc(spark, edges, **kw)
         assert set(got.values()) == {0}
         assert len(got) == 41
 
