@@ -29,6 +29,7 @@ __all__ = [
     "nest_join",
     "salted_join",
     "asof_join",
+    "range_join",
 ]
 
 _Y_ORDER = "__datar_ro_y__"
@@ -373,3 +374,141 @@ def asof_join(
     levels = {**y.levels, **x.levels}
     levels = {k: v for k, v in levels.items() if k in out.columns}
     return Tibble(out, groups=[g for g in x.group_vars if g in out.columns], levels=levels)
+
+
+@verb2
+def range_join(
+    x,
+    y,
+    on=None,
+    by=None,
+    suffix=("_x", "_y"),
+    how: str = "inner",
+    bucket_width=None,
+    max_buckets_per_interval: int = 1024,
+):
+    """Point-in-interval join (no reference equivalent; dplyr 1.1
+    ``join_by(between(key, lo, hi))`` semantics): attach every right
+    row whose ``[lo, hi]`` interval contains the left ``key``, within
+    equal ``by`` keys. ``on=(key, lo, hi)`` names the left key column
+    and the right interval columns. ``how``: "inner" or "left".
+
+    Distributed shape — a naive inequality join is a broadcast nested
+    loop (O(|x| * |y|)); instead both sides are BUCKETIZED so Catalyst
+    runs an ordinary hash equi-join:
+
+      * left rows land in bucket floor(key / width);
+      * each right interval explodes to the buckets it spans
+        (``sequence``), so a candidate pair always shares a bucket;
+      * an exact ``lo <= key <= hi`` filter removes false candidates.
+
+    ``bucket_width`` defaults to the p95 interval span (one tiny
+    quantile job), so ~95% of intervals explode to at most 2 buckets
+    and candidate volume stays near-linear. Intervals spanning more
+    than ``max_buckets_per_interval`` buckets (rare giants) are routed
+    through a separate small broadcast side with the raw inequality
+    predicate instead of exploding."""
+    from pyspark.sql import DataFrame as _DF
+
+    x = ensure_tibble(x).ensure_order()
+    y = ensure_tibble(y)
+    if on is None or len(on) != 3:
+        raise ValueError("range_join requires on=(key, lo, hi)")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    key_n, lo_n, hi_n = (
+        c._name if isinstance(c, Ref) else str(c) for c in on
+    )
+    by_l, by_r = ([], []) if by is None else _resolve_by(x, y, by)
+
+    xdf = x.df
+    ydf = y.df.drop(_Y_ORDER, ORDER_COL)
+    for lk, rk in zip(by_l, by_r):
+        if rk != lk:
+            ydf = ydf.withColumnRenamed(rk, lk)
+    # suffix right payload columns clashing with left visible columns
+    xvis = {c for c in xdf.columns if not c.startswith("__datar_")}
+    for c in [c for c in ydf.columns if c not in by_l]:
+        if c in xvis:
+            ydf = ydf.withColumnRenamed(c, c + suffix[1])
+            if c == lo_n:
+                lo_n = c + suffix[1]
+            elif c == hi_n:
+                hi_n = c + suffix[1]
+
+    def _num(df, name):
+        dt = dict(df.dtypes).get(name, "")
+        col = F.col(name)
+        if dt.startswith("timestamp") or dt == "date":
+            return col.cast("timestamp").cast("double")
+        return col.cast("double")
+
+    klc = _num(xdf, key_n)
+    loc, hic = _num(ydf, lo_n), _num(ydf, hi_n)
+
+    if bucket_width is None:
+        spans = ydf.select((hic - loc).alias("__s__"))
+        try:
+            q = spans.stat.approxQuantile("__s__", [0.95], 0.01)
+            bucket_width = q[0] if q else None
+        except Exception:
+            bucket_width = None
+        if not bucket_width or bucket_width <= 0:
+            bucket_width = 1.0
+    width = float(bucket_width)
+
+    cond = [F.col(c) for c in by_l] if by_l else []
+    exact = (F.col(key_n + "__kv__") >= F.col("__lo__")) & (
+        F.col(key_n + "__kv__") <= F.col("__hi__")
+    )
+
+    lb = xdf.withColumn(key_n + "__kv__", klc).withColumn(
+        "__bkt__", F.floor(klc / F.lit(width))
+    )
+    span_buckets = F.floor(hic / F.lit(width)) - F.floor(loc / F.lit(width))
+    ydf2 = ydf.withColumn("__lo__", loc).withColumn("__hi__", hic).withColumn(
+        "__nb__", span_buckets
+    )
+    narrow = ydf2.filter(F.col("__nb__") < max_buckets_per_interval)
+    wide = ydf2.filter(F.col("__nb__") >= max_buckets_per_interval)
+
+    rb = narrow.withColumn(
+        "__bkt__",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__lo__") / F.lit(width)),
+                F.floor(F.col("__hi__") / F.lit(width)),
+            )
+        ),
+    ).drop("__nb__")
+    joined = lb.join(rb, on=[*by_l, "__bkt__"], how="inner").filter(exact)
+
+    # rare giant intervals: tiny side, broadcast + raw inequality
+    if wide.take(1):
+        wide_side = F.broadcast(wide.drop("__nb__"))
+        if by_l:
+            wjoin = lb.join(wide_side, on=by_l, how="inner").filter(exact)
+        else:
+            wjoin = lb.crossJoin(wide_side).filter(exact)
+        joined = joined.unionByName(wjoin, allowMissingColumns=True)
+
+    out = joined.drop("__bkt__", key_n + "__kv__", "__lo__", "__hi__")
+
+    if how == "left":
+        matched_keys = out.select(ORDER_COL).dropDuplicates() if ORDER_COL in out.columns else None
+        if matched_keys is not None:
+            unmatched = xdf.join(matched_keys, on=ORDER_COL, how="left_anti")
+            for c in out.columns:
+                if c not in unmatched.columns:
+                    unmatched = unmatched.withColumn(
+                        c, F.lit(None).cast(dict(out.dtypes)[c])
+                    )
+            out = out.unionByName(unmatched.select(*out.columns))
+
+    levels = {**y.levels, **x.levels}
+    levels = {k: v for k, v in levels.items() if k in out.columns}
+    return Tibble(
+        out,
+        groups=[g for g in x.group_vars if g in out.columns],
+        levels=levels,
+    )
