@@ -59,10 +59,14 @@ def _rank_desc(ctx, node):
 
 
 def _n_ok_scalar(ctx, col):
-    """Eager non-NA count (tiny agg job) for rank denominators — the
-    window form would be an unpartitioned whole-table window."""
-    row = ctx.tibble.df.agg(F.count(col).alias("__n__")).first()
-    return int(row["__n__"]) if row is not None else 0
+    """Eager non-NA count (tiny agg job, memoized per context) for
+    rank denominators — the window form would be an unpartitioned
+    whole-table window."""
+    key = ("n_ok", str(col))
+    if key not in ctx._job_cache:
+        row = ctx.tibble.df.agg(F.count(col).alias("__n__")).first()
+        ctx._job_cache[key] = int(row["__n__"]) if row is not None else 0
+    return ctx._job_cache[key]
 
 
 @register("row_number")

@@ -48,6 +48,12 @@ class EvalContext:
         # pass by apply_pending_group_aggs()
         self.allow_agg_join: bool = False
         self.pending_group_aggs: dict[str, Column] = {}
+        # memo for the tiny eager jobs the two-pass window rewrites run
+        # at plan build (per-bucket offsets, quantile boundaries): a
+        # mutate with several window items shares one EvalContext, so
+        # identical requests (row_number + ntile, repeated keys) cost
+        # one job, not one per item
+        self._job_cache: dict[tuple, Any] = {}
 
     # ---- resolution helpers -------------------------------------------
     def eval(self, node: Any) -> Any:
@@ -215,12 +221,21 @@ class EvalContext:
             or dtype.startswith("decimal")
         ):
             return None  # approxQuantile needs numerics
-        try:
-            nq = self._KEY_BUCKET_QUANTILES
-            qs = [i / nq for i in range(1, nq)]
-            bounds = probe.stat.approxQuantile("__k__", qs, 0.001)
-        except Exception:
-            return None
+        memo_key = ("bounds", str(key))
+        if memo_key in self._job_cache:
+            bounds = self._job_cache[memo_key]
+            if bounds is None:
+                return None
+        else:
+            try:
+                nq = self._KEY_BUCKET_QUANTILES
+                qs = [i / nq for i in range(1, nq)]
+                bounds = probe.stat.approxQuantile("__k__", qs, 0.001)
+            except Exception:
+                bounds = None
+            self._job_cache[memo_key] = bounds
+            if bounds is None:
+                return None
         bounds = sorted(set(bounds))
         if len(bounds) < 2:
             return None  # low-cardinality key: buckets would all collide
@@ -309,6 +324,15 @@ class EvalContext:
         be a window expression (e.g. cumsum over a lag-derived change
         flag): the offsets job computes the window first, then
         aggregates — only a direct window-inside-agg is illegal."""
+        memo_key = ("offsets", str(bucket), str(value), getattr(aggfn, "__name__", ""))
+        if memo_key in self._job_cache:
+            return self._job_cache[memo_key]
+        self._job_cache[memo_key] = out = self._bucket_offsets_uncached(
+            bucket, value, aggfn, combine
+        )
+        return out
+
+    def _bucket_offsets_uncached(self, bucket, value, aggfn, combine):
         try:
             rows = (
                 self.tibble.df.select(
@@ -545,7 +569,9 @@ class EvalContext:
         if self._two_pass_windows(None) is None:
             return F.ntile(nval).over(self.ordered())
         rn = self.row_number_over()
-        total = self.tibble.df.count()
+        if ("nrow",) not in self._job_cache:
+            self._job_cache[("nrow",)] = self.tibble.df.count()
+        total = self._job_cache[("nrow",)]
         base, rem = divmod(total, nval)
         cut = rem * (base + 1)
         tile = F.when(
