@@ -30,6 +30,7 @@ __all__ = [
     "salted_join",
     "asof_join",
     "range_join",
+    "overlap_join",
 ]
 
 _Y_ORDER = "__datar_ro_y__"
@@ -504,6 +505,163 @@ def range_join(
                         c, F.lit(None).cast(dict(out.dtypes)[c])
                     )
             out = out.unionByName(unmatched.select(*out.columns))
+
+    levels = {**y.levels, **x.levels}
+    levels = {k: v for k, v in levels.items() if k in out.columns}
+    return Tibble(
+        out,
+        groups=[g for g in x.group_vars if g in out.columns],
+        levels=levels,
+    )
+
+
+@verb2
+def overlap_join(
+    x,
+    y,
+    on=None,
+    by=None,
+    suffix=("_x", "_y"),
+    how: str = "inner",
+    bucket_width=None,
+    max_buckets_per_interval: int = 1024,
+):
+    """Interval-overlap join (dplyr 1.1 ``join_by(overlaps(...))``):
+    attach every right row whose ``[y_lo, y_hi]`` interval intersects
+    the left ``[x_lo, x_hi]``, within equal ``by`` keys.
+    ``on=((x_lo, x_hi), (y_lo, y_hi))``. ``how``: "inner" or "left".
+
+    Same bucketization as range_join, applied to BOTH sides: each
+    interval explodes to the width-sized buckets it spans, overlapping
+    intervals always share at least one bucket, an exact
+    ``x_lo <= y_hi AND y_lo <= x_hi`` filter drops false candidates,
+    and the (left-id, right-id) pairs are deduplicated (a pair can
+    share several buckets). Giant intervals on either side are routed
+    through a small broadcast leg with the raw predicate instead of
+    exploding."""
+    x = ensure_tibble(x).ensure_order()
+    y = ensure_tibble(y)
+    if (
+        on is None
+        or len(on) != 2
+        or any(len(side) != 2 for side in on)
+    ):
+        raise ValueError("overlap_join requires on=((x_lo, x_hi), (y_lo, y_hi))")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    (xlo_n, xhi_n), (ylo_n, yhi_n) = (
+        tuple(c._name if isinstance(c, Ref) else str(c) for c in side)
+        for side in on
+    )
+    by_l, by_r = ([], []) if by is None else _resolve_by(x, y, by)
+
+    xdf = x.df
+    ydf = y.df.drop(_Y_ORDER, ORDER_COL)
+    for lk, rk in zip(by_l, by_r):
+        if rk != lk:
+            ydf = ydf.withColumnRenamed(rk, lk)
+    xvis = {c for c in xdf.columns if not c.startswith("__datar_")}
+    for c in [c for c in ydf.columns if c not in by_l]:
+        if c in xvis:
+            ydf = ydf.withColumnRenamed(c, c + suffix[1])
+            if c == ylo_n:
+                ylo_n = c + suffix[1]
+            elif c == yhi_n:
+                yhi_n = c + suffix[1]
+
+    def _num(df, name):
+        dt = dict(df.dtypes).get(name, "")
+        col = F.col(name)
+        if dt.startswith("timestamp") or dt == "date":
+            return col.cast("timestamp").cast("double")
+        return col.cast("double")
+
+    xlo, xhi = _num(xdf, xlo_n), _num(xdf, xhi_n)
+    ylo, yhi = _num(ydf, ylo_n), _num(ydf, yhi_n)
+
+    if bucket_width is None:
+        spans = ydf.select((yhi - ylo).alias("__s__")).union(
+            xdf.select((xhi - xlo).alias("__s__"))
+        )
+        try:
+            q = spans.stat.approxQuantile("__s__", [0.95], 0.01)
+            bucket_width = q[0] if q else None
+        except Exception:
+            bucket_width = None
+        if not bucket_width or bucket_width <= 0:
+            bucket_width = 1.0
+    width = float(bucket_width)
+
+    exact = (F.col("__xlo__") <= F.col("__yhi__")) & (
+        F.col("__ylo__") <= F.col("__xhi__")
+    )
+
+    xb = xdf.withColumn("__xlo__", xlo).withColumn("__xhi__", xhi)
+    yb = ydf.withColumn("__ylo__", ylo).withColumn("__yhi__", yhi).withColumn(
+        "__yid__", F.monotonically_increasing_id()
+    )
+    x_span = F.floor(F.col("__xhi__") / F.lit(width)) - F.floor(
+        F.col("__xlo__") / F.lit(width)
+    )
+    y_span = F.floor(F.col("__yhi__") / F.lit(width)) - F.floor(
+        F.col("__ylo__") / F.lit(width)
+    )
+    x_narrow = xb.filter(x_span < max_buckets_per_interval)
+    x_wide = xb.filter(x_span >= max_buckets_per_interval)
+    y_narrow = yb.filter(y_span < max_buckets_per_interval)
+    y_wide = yb.filter(y_span >= max_buckets_per_interval)
+
+    def _explode(df, lo, hi):
+        return df.withColumn(
+            "__bkt__",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(width)),
+                    F.floor(F.col(hi) / F.lit(width)),
+                )
+            ),
+        )
+
+    lx = _explode(x_narrow, "__xlo__", "__xhi__")
+    ry = _explode(y_narrow, "__ylo__", "__yhi__")
+    pair_keys = [ORDER_COL, "__yid__"]
+    joined = (
+        lx.join(ry, on=[*by_l, "__bkt__"], how="inner")
+        .filter(exact)
+        .dropDuplicates(pair_keys)
+        .drop("__bkt__")
+    )
+
+    legs = [joined]
+    # giant-interval legs: broadcast the small side, raw predicate
+    if y_wide.take(1):
+        yw = F.broadcast(y_wide)
+        leg = (
+            x_narrow.join(yw, on=by_l, how="inner")
+            if by_l
+            else x_narrow.crossJoin(yw)
+        ).filter(exact)
+        legs.append(leg)
+    if x_wide.take(1):
+        xw = F.broadcast(x_wide)
+        leg = (
+            xw.join(yb, on=by_l, how="inner") if by_l else xw.crossJoin(yb)
+        ).filter(exact).dropDuplicates(pair_keys)
+        legs.append(leg)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg, allowMissingColumns=True)
+    out = out.drop("__bkt__", "__xlo__", "__xhi__", "__ylo__", "__yhi__", "__yid__")
+
+    if how == "left":
+        matched = out.select(ORDER_COL).dropDuplicates()
+        unmatched = xdf.join(matched, on=ORDER_COL, how="left_anti")
+        for c in out.columns:
+            if c not in unmatched.columns:
+                unmatched = unmatched.withColumn(
+                    c, F.lit(None).cast(dict(out.dtypes)[c])
+                )
+        out = out.unionByName(unmatched.select(*out.columns))
 
     levels = {**y.levels, **x.levels}
     levels = {k: v for k, v in levels.items() if k in out.columns}
