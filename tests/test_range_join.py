@@ -103,3 +103,30 @@ def test_bad_args_raise(spark):
         range_join(tx, ty)
     with pytest.raises(ValueError, match="how"):
         range_join(tx, ty, on=(f.k, f.lo, f.hi), how="outer")
+
+
+def test_timestamp_keys(spark):
+    """Temporal keys route through the timestamp->double cast (same
+    path asof_join uses); event time joined into [start, end] windows."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    events = tibble(
+        spark,
+        t=[base + dt.timedelta(minutes=m) for m in (5, 30, 65, 200)],
+        eid=[0, 1, 2, 3],
+    )
+    windows = tibble(
+        spark,
+        w_start=[base, base + dt.timedelta(hours=1)],
+        w_end=[base + dt.timedelta(minutes=45), base + dt.timedelta(hours=2)],
+        wid=[10, 20],
+    )
+    out = (
+        range_join(events, windows, on=(f.t, f.w_start, f.w_end), how="left")
+        .collect()
+        .sort_values("eid")
+    )
+    got = dict(zip(out["eid"], out["wid"]))
+    assert got[0] == 10 and got[1] == 10 and got[2] == 20
+    assert pd.isna(got[3])
