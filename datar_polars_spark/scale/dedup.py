@@ -217,6 +217,15 @@ def minhash_pairs(
             ).alias("sig")
         )
     )
+    # the signature frame feeds THREE consumers (bucket census, join
+    # left, join right) — without a persist the shingle explode + 64
+    # partial-agg mins re-run per consumer. Signatures are tiny
+    # (id + num_perm longs per doc, ~0.5 KB/doc), so MEMORY_AND_DISK
+    # caching is the standard minhash-pipeline recipe at corpus scale;
+    # Spark evicts LRU when executors need the space.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     banded = _banded(base, "sig", bands, rows_per_band)
     banded = _cap_buckets(banded, ["band", "bhash"], max_bucket, log_dropped)
     left = banded.select(
