@@ -407,6 +407,12 @@ def simhash_dedup(
     tname, idn = _name_of(text), _name_of(id_col)
     pre = _fingerprint_survivors(td.df.select(*td.columns), tname, idn)
     base = simhash_signatures(pre, tname, idn)
+    # three consumers (census + both join sides) — persist the tiny
+    # (id, 64-bit hash) frame so the token explode + 64 bit-majority
+    # sums run once (same recipe as minhash_pairs)
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     quarters = F.array(
         *[
             F.struct(
@@ -556,6 +562,11 @@ def embedding_cosine_pairs(
             F.posexplode(F.col("__bh__")).alias("band", "bhash"),
         )
     )
+    # census + both join sides consume `banded`; persisting it runs the
+    # Arrow matmul signature UDF once instead of three times
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     banded = _cap_buckets(banded, ["band", "bhash"], max_bucket)
     left = banded.select(
         "band", "bhash", F.col("id").alias("id_a"), F.col("vec").alias("v_a")
