@@ -130,3 +130,16 @@ def test_timestamp_keys(spark):
     got = dict(zip(out["eid"], out["wid"]))
     assert got[0] == 10 and got[1] == 10 and got[2] == 20
     assert pd.isna(got[3])
+
+
+def test_empty_sides(spark):
+    """Empty left / empty right frames: quantile probe degrades
+    gracefully to the fallback width; no crash, correct emptiness."""
+    tx = tibble(spark, k=[1.0, 2.0], pid=[0, 1])
+    te = tibble(spark, k=[], pid=[])
+    ty = tibble(spark, lo=[0.0], hi=[5.0], iid=[9])
+    tye = tibble(spark, lo=[], hi=[], iid=[])
+    assert len(range_join(te, ty, on=(f.k, f.lo, f.hi)).collect()) == 0
+    assert len(range_join(tx, tye, on=(f.k, f.lo, f.hi)).collect()) == 0
+    left = range_join(tx, tye, on=(f.k, f.lo, f.hi), how="left").collect()
+    assert len(left) == 2 and left["iid"].isna().all()
