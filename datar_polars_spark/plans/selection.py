@@ -74,8 +74,28 @@ class Collection(list):
     """R-style ``c(...)`` of selection items."""
 
 
-def c_(*items: Any) -> Collection:
-    return Collection(items)
+class _CBuilder:
+    """``c_(...)`` collection constructor that also supports the
+    reference's subscript form (plugin hook ``c_getitem``,
+    reference plugin.py: ``c[f.a:f.b]`` -> Collection / range
+    selection): slices become RangeSel (both endpoints inclusive,
+    like tidyselect ``a:b``), plain keys become one-item
+    collections."""
+
+    def __call__(self, *items: Any) -> Collection:
+        return Collection(items)
+
+    def __getitem__(self, key: Any):
+        from .expr import RangeSel
+
+        if isinstance(key, slice):
+            return RangeSel(key.start, key.stop)
+        if isinstance(key, tuple):
+            return Collection(key)
+        return Collection([key])
+
+
+c_ = _CBuilder()
 
 
 def starts_with(prefix: str) -> SelectHelper:
