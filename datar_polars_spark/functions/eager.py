@@ -817,6 +817,9 @@ def _cummean(x):
 
 def _pairwise(fn):
     def run(*args, na_rm: bool = False):
+        if not args:
+            # reference: pmin()/pmax() with no inputs return NULL
+            return None
         vecs = [a for a in args if isinstance(a, (list, tuple, range))]
         if not vecs:
             vals = [a for a in args if a is not None or not na_rm]
