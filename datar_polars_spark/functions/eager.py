@@ -132,9 +132,100 @@ EAGER_IMPLS: dict[str, Callable] = {
 # tests/base/test_funs.py, tests/dplyr/test_funs.py) ----------------------
 
 def _if_else(condition, true, false, missing=None):
+    """Vectorized over list/tuple/range inputs (reference
+    tests/dplyr/test_if_else.py): NA conditions yield ``missing``,
+    branch vectors must match the condition length (length-1 recycles,
+    like dplyr's size-checking)."""
+    if isinstance(condition, (list, tuple, range)):
+        conds = list(condition)
+        n = len(conds)
+
+        def _branch(v, name):
+            if isinstance(v, (list, tuple, range)):
+                vals = list(v)
+                if len(vals) == 1:
+                    return vals * n
+                if len(vals) != n:
+                    raise ValueError(
+                        f"if_else: `{name}` must be size {n} or 1, "
+                        f"not {len(vals)}"
+                    )
+                return vals
+            return [v] * n
+
+        tv = _branch(true, "true")
+        fv = _branch(false, "false")
+        mv = _branch(missing, "missing")
+        return [
+            (mv[i] if c is None else (tv[i] if c else fv[i]))
+            for i, c in enumerate(conds)
+        ]
     if condition is None:
         return missing
     return true if condition else false
+
+
+def _case_when_eager(*args):
+    """Eager case_when over plain vectors (reference
+    tests/dplyr/test_if_else.py): flat (cond, value) pairs, first
+    match wins, NA conditions don't match, unmatched yields None."""
+    if len(args) < 2:
+        raise TypeError("case_when requires at least one condition/value pair")
+    if len(args) % 2:
+        raise ValueError("case_when arguments must be paired")
+    pairs = list(zip(args[::2], args[1::2]))
+    vec_lens = [
+        len(a)
+        for a in args
+        if isinstance(a, (list, tuple, range))
+    ]
+    n = max(vec_lens) if vec_lens else 1
+    def _vec(v):
+        if isinstance(v, (list, tuple, range)):
+            vals = list(v)
+            return vals * n if len(vals) == 1 and n > 1 else vals
+        return [v] * n
+    out = [None] * n
+    decided = [False] * n
+    for cond, val in pairs:
+        cv, vv = _vec(cond), _vec(val)
+        for i in range(n):
+            if not decided[i] and i < len(cv) and cv[i]:
+                out[i] = vv[i] if i < len(vv) else None
+                decided[i] = True
+    return out
+
+
+def _case_match_eager(*args, _default=None, _dtypes=None):
+    """Eager case_match (reference tests/dplyr/test_if_else.py):
+    x matched against 'from' sets, position-wise 'to' values,
+    _default fallback, optional _dtypes cast."""
+    if len(args) < 3:
+        raise ValueError("case_match requires x and at least one from/to pair")
+    if (len(args) - 1) % 2:
+        raise ValueError("case_match from/to arguments must be paired")
+    x = args[0]
+    scalar_in = not isinstance(x, (list, tuple, range))
+    xs = [x] if scalar_in else list(x)
+    n = len(xs)
+    def _vec(v):
+        if isinstance(v, (list, tuple, range)):
+            vals = list(v)
+            return vals * n if len(vals) == 1 and n > 1 else vals
+        return [v] * n
+    dv = _vec(_default)
+    out = list(dv[:n]) if len(dv) >= n else dv + [None] * (n - len(dv))
+    decided = [False] * n
+    for frm, to in zip(args[1::2], args[2::2]):
+        fset = list(frm) if isinstance(frm, (list, tuple, range)) else [frm]
+        tv = _vec(to)
+        for i, v in enumerate(xs):
+            if not decided[i] and v in fset:
+                out[i] = tv[i] if i < len(tv) else None
+                decided[i] = True
+    if _dtypes is not None:
+        out = [None if v is None else _dtypes(v) for v in out]
+    return out
 
 
 def _coalesce(*args):
@@ -210,6 +301,8 @@ EAGER_IMPLS.update(
         "seq_along": _seq_along,
         "if_else": _if_else,
         "ifelse": _if_else,
+        "case_when": _case_when_eager,
+        "case_match": _case_match_eager,
         "coalesce": _coalesce,
         "na_if": _na_if,
         "nth": _nth_scalar,
