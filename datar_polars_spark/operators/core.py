@@ -60,8 +60,11 @@ __all__ = [
 ]
 
 
-def desc(x: Any) -> Desc:
-    """Descending sort key (reference ``api/dplyr/desc.py:15-29``)."""
+def desc(x: Any) -> Any:
+    """Descending sort key (reference ``api/dplyr/desc.py:15-29``).
+    On a plain vector, eager dispatch negates the values (R's desc)."""
+    if isinstance(x, (list, tuple, range)):
+        return [None if v is None else -v for v in x]
     return Desc(x)
 
 
