@@ -733,6 +733,12 @@ EAGER_IMPLS.update(
 # ---- string family, scalar/list dispatch (reference test_string.py /
 # test_string_ext.py *_scalar forms; column compilers live in strings.py) --
 
+def _nchar_one(s):
+    if s.endswith("\0"):
+        raise ValueError("invalid zero-byte character")
+    return len(s.replace("\0", ""))
+
+
 def _str_elementwise(fn):
     def run(x, *a, **k):
         if isinstance(x, (list, tuple, range)):
@@ -818,7 +824,9 @@ EAGER_IMPLS.update(
     {
         "toupper": _str_elementwise(str.upper),
         "tolower": _str_elementwise(str.lower),
-        "nchar": _str_elementwise(len),
+        # R zero-byte semantics (reference api/base/string.py:84-97):
+        # embedded NULs don't count; a trailing NUL is invalid
+        "nchar": _str_elementwise(_nchar_one),
         "nzchar": _str_elementwise(lambda s: len(s) > 0),
         "trimws": _str_elementwise(str.strip),
         "startswith": lambda x, prefix: _str_elementwise(
