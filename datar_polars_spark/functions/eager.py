@@ -165,6 +165,23 @@ def _if_else(condition, true, false, missing=None):
     return true if condition else false
 
 
+def _shift_eager(is_lead):
+    """Eager lead/lag over plain vectors (reference
+    tests/dplyr/test_lead_lag.py): scalars become length-1 vectors,
+    out-of-range positions take ``default``."""
+
+    def run(x, n=1, default=None, order_by=None):
+        if isinstance(n, bool) or not isinstance(n, int):
+            raise ValueError("`n` must be a nonnegative integer scalar")
+        xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+        m = len(xs)
+        if is_lead:
+            return [xs[i + n] if i + n < m else default for i in range(m)]
+        return [xs[i - n] if i - n >= 0 else default for i in range(m)]
+
+    return run
+
+
 def _case_when_eager(*args):
     """Eager case_when over plain vectors (reference
     tests/dplyr/test_if_else.py): flat (cond, value) pairs, first
@@ -302,6 +319,8 @@ EAGER_IMPLS.update(
         "if_else": _if_else,
         "ifelse": _if_else,
         "case_when": _case_when_eager,
+        "lead": _shift_eager(True),
+        "lag": _shift_eager(False),
         "case_match": _case_match_eager,
         "coalesce": _coalesce,
         "na_if": _na_if,
