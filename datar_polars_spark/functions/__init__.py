@@ -75,6 +75,7 @@ _EXPORT = {
     "rexp", "rcauchy", "rchisq", "rbinom", "rpois",
     "row_sums", "row_means", "row_mins", "row_maxs", "row_sds",
     "row_medians", "first2", "last2",
+    "which", "which_min", "which_max",
     "cur_group", "cur_group_id",
     # complex (struct<re,im> representation)
     "arg", "as_complex", "complex_", "conj", "im", "is_complex", "re_",
@@ -95,6 +96,11 @@ _EXPORT = {
 globals().update({name: builder(name) for name in _EXPORT if name in REGISTRY})
 # eager-only (no deferred compiler): outer product on plain vectors
 outer = builder("outer")
+# eager-only R which family over plain vectors (table-level forms are
+# the which_/which_min_/which_max_ verbs in operators.misc)
+which = builder("which")
+which_min = builder("which_min")
+which_max = builder("which_max")
 # names registered under a different canonical key
 for name in _EXPORT - set(REGISTRY):
     base = name.rstrip("_")

@@ -319,6 +319,34 @@ EAGER_IMPLS.update(
         "if_else": _if_else,
         "ifelse": _if_else,
         "case_when": _case_when_eager,
+        # R which family over plain vectors (reference
+        # tests/base/test_which.py; 1-based, NAs/falsy skipped). The
+        # table-level forms are the which_/which_min_/which_max_ verbs.
+        "which": lambda x: [
+            i + 1
+            for i, v in enumerate(
+                x if isinstance(x, (list, tuple, range)) else [x]
+            )
+            if v
+        ],
+        "which_min": lambda x: (
+            min(
+                (v, i + 1)
+                for i, v in enumerate(x)
+                if v is not None and not (isinstance(v, float) and math.isnan(v))
+            )[1]
+            if any(v is not None for v in x)
+            else None
+        ),
+        "which_max": lambda x: (
+            min(
+                (-v, i + 1)
+                for i, v in enumerate(x)
+                if v is not None and not (isinstance(v, float) and math.isnan(v))
+            )[1]
+            if any(v is not None for v in x)
+            else None
+        ),
         "lead": _shift_eager(True),
         "lag": _shift_eager(False),
         "case_match": _case_match_eager,
