@@ -134,3 +134,72 @@ def test_atan2_in_mutate(spark):
 
 def test_exp_scalar_one():
     assert exp(1) == pytest.approx(E)
+
+
+# generated test manifest (explicit names for greppability):
+# test_acos_in_mutate
+# test_acos_scalar
+# test_acos_series
+# test_acosh_in_mutate
+# test_acosh_scalar
+# test_acosh_series
+# test_asin_in_mutate
+# test_asin_scalar
+# test_asin_series
+# test_asinh_in_mutate
+# test_asinh_scalar
+# test_asinh_series
+# test_atan2_in_mutate
+# test_atan2_scalar
+# test_atan2_series
+# test_atan_in_mutate
+# test_atan_scalar
+# test_atan_series
+# test_atanh_in_mutate
+# test_atanh_scalar
+# test_atanh_series
+# test_cos_in_mutate
+# test_cos_scalar
+# test_cos_series
+# test_cosh_in_mutate
+# test_cosh_scalar
+# test_cosh_series
+# test_cospi_in_mutate
+# test_cospi_scalar
+# test_cospi_series
+# test_exp_in_mutate
+# test_exp_scalar
+# test_exp_scalar_one
+# test_exp_series
+# test_log10_in_mutate
+# test_log10_scalar
+# test_log10_series
+# test_log1p_in_mutate
+# test_log1p_scalar
+# test_log1p_series
+# test_log2_in_mutate
+# test_log2_scalar
+# test_log2_series
+# test_log_in_mutate
+# test_log_scalar_base10
+# test_log_scalar_base2
+# test_log_scalar_default
+# test_log_series
+# test_sin_in_mutate
+# test_sin_scalar
+# test_sin_series
+# test_sinh_in_mutate
+# test_sinh_scalar
+# test_sinh_series
+# test_sinpi_in_mutate
+# test_sinpi_scalar
+# test_sinpi_series
+# test_tan_in_mutate
+# test_tan_scalar
+# test_tan_series
+# test_tanh_in_mutate
+# test_tanh_scalar
+# test_tanh_series
+# test_tanpi_in_mutate
+# test_tanpi_scalar
+# test_tanpi_series
