@@ -316,6 +316,11 @@ def _seq_along(x=None):
 EAGER_IMPLS.update(
     {
         "seq_along": _seq_along,
+        # R rev: vectors reverse, scalars pass through (reference
+        # tests/base/test_seq.py::test_rev_scalar)
+        "rev": lambda x: (
+            list(reversed(x)) if isinstance(x, (list, tuple, range)) else x
+        ),
         "if_else": _if_else,
         "ifelse": _if_else,
         "case_when": _case_when_eager,
