@@ -325,8 +325,17 @@ def rows_upsert(x: Any, y: Any, by: Any = None) -> Tibble:
 
 
 @verb2
-def rows_delete(x: Any, y: Any, by: Any = None) -> Tibble:
+def rows_delete(
+    x: Any, y: Any, by: Any = None, unmatched: str = "error", check: bool = True
+) -> Tibble:
+    """dplyr default: y keys absent from x are an error (reference
+    tests/dplyr/test_rows.py::test_rows_delete_unmatched_error);
+    check=False (or unmatched='ignore') skips the eager scan."""
     x, y = ensure_tibble(x), ensure_tibble(y)
     keys = _key_names(x, by)
+    if unmatched == "error" and check:
+        n = y.df.join(x.df.select(*keys), on=keys, how="left_anti").count()
+        if n:
+            raise ValueError(f"rows_delete: {n} keys in y missing from x")
     out = x.df.join(y.df.select(*keys).dropDuplicates(), on=keys, how="left_anti")
     return x.with_df(out)
