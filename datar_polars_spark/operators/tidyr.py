@@ -422,9 +422,28 @@ def _lit_compatible(dtype: str, v: Any) -> bool:
     return True
 
 
+def replace_na(*args: Any, **kwargs: Any):
+    """replace: scalar (all columns) or {col: value}; kwargs also
+    accepted. Plain-vector dispatch (reference tidyr.py object
+    registration): replace_na([1, None], 0) -> [1, 0]."""
+    import math as _math
+
+    if args and isinstance(args[0], (list, tuple, range)):
+        data = list(args[0])
+        repl = args[1] if len(args) > 1 else None
+        if repl is None:
+            return data
+        return [
+            repl
+            if (v is None or (isinstance(v, float) and _math.isnan(v)))
+            else v
+            for v in data
+        ]
+    return _replace_na_verb(*args, **kwargs)
+
+
 @verb
-def replace_na(td: Tibble, replace: Any = None, **kwargs: Any) -> Tibble:
-    """replace: scalar (all columns) or {col: value}; kwargs also accepted."""
+def _replace_na_verb(td: Tibble, replace: Any = None, **kwargs: Any) -> Tibble:
     df = td.df
     dtypes = dict(td.dtypes)
     mapping: dict[str, Any] = {}
