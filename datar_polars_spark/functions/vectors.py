@@ -315,30 +315,40 @@ def _vec_setequal(ctx, x, y):
     return (F.size(F.array_except(a, b)) == 0) & (F.size(F.array_except(b, a)) == 0)
 
 
-@register("cur_data_all")
-def _cur_data_all(ctx):
-    """Like cur_data() but including the grouping columns."""
-    cols = list(ctx.tibble.columns)
+def _collect_frame(ctx, cols):
+    """Sub-frame as an ordered array of structs. In summarise mode a
+    plain sorted aggregate (a window inside agg is illegal — it was
+    raising MISSING_GROUP_BY for the ungrouped case); in mutate mode a
+    whole-partition window."""
+    payload = F.struct(*[F.col(c) for c in cols])
+    if ctx.mode == "agg":
+        arr = F.sort_array(
+            F.collect_list(
+                F.struct(F.col(ORDER_COL).alias("__o__"), payload.alias("p"))
+            )
+        )
+        return F.transform(arr, lambda s: s["p"])
     w = (
         ctx.partition()
         .orderBy(F.col(ORDER_COL).asc())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return F.collect_list(F.struct(*[F.col(c) for c in cols])).over(w)
+    return F.collect_list(payload).over(w)
+
+
+@register("cur_data_all")
+def _cur_data_all(ctx):
+    """Like cur_data() but including the grouping columns."""
+    return _collect_frame(ctx, list(ctx.tibble.columns))
 
 
 @register("cur_data")
 def _cur_data(ctx):
     """Per-group sub-frame as an array of structs (the reference's
-    Object-column escape hatch re-expressed, SURVEY §1.1c):
-    ``collect_list(struct(non-group cols)).over(partition)``."""
-    cols = [c for c in ctx.tibble.columns if c not in ctx.groups]
-    w = (
-        ctx.partition()
-        .orderBy(F.col(ORDER_COL).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Object-column escape hatch re-expressed, SURVEY §1.1c)."""
+    return _collect_frame(
+        ctx, [c for c in ctx.tibble.columns if c not in ctx.groups]
     )
-    return F.collect_list(F.struct(*[F.col(c) for c in cols])).over(w)
 
 
 # ---- grouping-context functions -------------------------------------------
