@@ -878,8 +878,19 @@ def slice_(td: Tibble, *rows: Any) -> Tibble:
     idx: list[int] = []
     neg: list[int] = []
     expr_rows: list[Any] = []
+    from ..plans.expr import RangeSel
+
     for r in rows:
-        vals = r if isinstance(r, (list, tuple, range)) else [r]
+        if isinstance(r, RangeSel):
+            # c_[a:b] positional span, R-inclusive; open ends default
+            # to the frame edges (stop defaults handled per group via
+            # the expression path when unbounded — here a plain span)
+            start = 1 if r.start is None else int(r.start)
+            if r.stop is None:
+                raise ValueError("slice_(c_[a:b]) needs a bounded stop")
+            vals = list(range(start, int(r.stop) + 1))
+        else:
+            vals = r if isinstance(r, (list, tuple, range)) else [r]
         for v in vals:
             if isinstance(v, Expr):
                 expr_rows.append(v)
@@ -945,8 +956,12 @@ def slice_tail(td: Tibble, n: int | None = None, prop: float | None = None) -> T
 
 def _slice_rank(td: Tibble, order_by: Any, n: int | None, prop: float | None, desc_: bool, with_ties: bool) -> Tibble:
     n, prop = _resolve_n(n, prop)
+    td = td.ensure_order()
     ctx = EvalContext(td, "eval")
-    key = ctx.col(order_by)
+    if isinstance(order_by, str) and order_by in td.columns:
+        key = F.col(order_by)  # string names a column (dplyr-compatible)
+    else:
+        key = ctx.col(order_by)
     key = key.desc_nulls_last() if desc_ else key.asc_nulls_last()
     if with_ties:
         # rank() must see ONLY the key — adding a tiebreak would turn
@@ -954,15 +969,22 @@ def _slice_rank(td: Tibble, order_by: Any, n: int | None, prop: float | None, de
         w = _group_window(td).orderBy(key)
         rankfn = F.rank()
     else:
-        td = td.ensure_order()  # row_number tiebreaks on frame order
         w = _group_window(td).orderBy(key, F.col(ORDER_COL).asc())
         rankfn = F.row_number()
     df = td.df.withColumn("__datar_rn__", rankfn.over(w))
     if prop is not None:
         df = df.withColumn("__datar_cnt__", F.count(F.lit(1)).over(_group_window(td)))
         out = df.filter(F.col("__datar_rn__") <= F.floor(F.col("__datar_cnt__") * prop))
-        return td.with_df(out.drop("__datar_rn__", "__datar_cnt__"))
-    return td.with_df(df.filter(F.col("__datar_rn__") <= n).drop("__datar_rn__"))
+        out = out.drop("__datar_cnt__")
+    else:
+        out = df.filter(F.col("__datar_rn__") <= n)
+    # dplyr: the result is ORDERED BY the ranking key (groups in key
+    # order, rows by rank within group) — not by original frame order
+    res = td.with_df(out)
+    sort_cols = [F.col(g).asc_nulls_last() for g in td.group_vars]
+    sort_cols += [F.col("__datar_rn__").asc(), F.col(ORDER_COL).asc()]
+    res = res.reassign_order(*sort_cols)
+    return res.with_df(res.df.drop("__datar_rn__"))
 
 
 @verb
