@@ -165,6 +165,86 @@ def _if_else(condition, true, false, missing=None):
     return true if condition else false
 
 
+def _no_x(name, **kw):
+    """Frame-order form (no x): fall back to the deferred Call node."""
+    from .registry import Call
+
+    return Call(name, (), kw)
+
+
+def _eager_rank_method(method):
+    """dplyr vector ranks: NA -> None, ties per method."""
+
+    def run(x):
+        xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+        ok = [
+            (v, i)
+            for i, v in enumerate(xs)
+            if v is not None and not (isinstance(v, float) and math.isnan(v))
+        ]
+        n = len(ok)
+        out = [None] * len(xs)
+        by_val = sorted(ok)
+        if method == "dense":
+            seen = {}
+            for v, i in by_val:
+                if v not in seen:
+                    seen[v] = len(seen) + 1
+            for v, i in ok:
+                out[i] = seen[v]
+            return out
+        # min rank of each value
+        minrank = {}
+        for pos, (v, i) in enumerate(by_val):
+            minrank.setdefault(v, pos + 1)
+        if method == "min":
+            for v, i in ok:
+                out[i] = minrank[v]
+            return out
+        if method == "first":
+            for pos, (v, i) in enumerate(by_val):
+                out[i] = pos + 1
+            return out
+        if method == "percent":
+            for v, i in ok:
+                out[i] = (minrank[v] - 1) / (n - 1) if n > 1 else None
+            return out
+        if method == "cume":
+            import collections
+
+            counts = collections.Counter(v for v, _ in ok)
+            cum = {}
+            acc = 0
+            for v in sorted(counts):
+                acc += counts[v]
+                cum[v] = acc
+            for v, i in ok:
+                out[i] = cum[v] / n
+            return out
+        raise ValueError(method)
+
+    return run
+
+
+def _eager_ntile(x, n=1):
+    xs = list(x) if isinstance(x, (list, tuple, range)) else [x]
+    ranks = _eager_rank_method("first")(xs)
+    n_ok = sum(1 for r in ranks if r is not None)
+    if n_ok == 0:
+        return [None] * len(xs)
+    base, rem = divmod(n_ok, int(n))
+    cut = rem * (base + 1)
+    out = []
+    for r in ranks:
+        if r is None:
+            out.append(None)
+        elif base == 0 or r <= cut:
+            out.append((r - 1) // (base + 1) + 1)
+        else:
+            out.append(rem + (r - cut - 1) // base + 1)
+    return out
+
+
 def _shift_eager(is_lead):
     """Eager lead/lag over plain vectors (reference
     tests/dplyr/test_lead_lag.py): scalars become length-1 vectors,
@@ -354,6 +434,19 @@ EAGER_IMPLS.update(
         ),
         "lead": _shift_eager(True),
         "lag": _shift_eager(False),
+        # eager rank family over plain vectors (reference
+        # tests/dplyr/test_rank.py; NA ranks as None, like dplyr)
+        # row_number()/ntile() with NO x are frame-order ops -> deferred
+        "row_number": lambda x=None: (
+            _eager_rank_method("first")(x) if x is not None else _no_x("row_number")
+        ),
+        "min_rank": _eager_rank_method("min"),
+        "dense_rank": _eager_rank_method("dense"),
+        "percent_rank": _eager_rank_method("percent"),
+        "cume_dist": _eager_rank_method("cume"),
+        "ntile": lambda x=None, n=1: (
+            _eager_ntile(x, n) if x is not None else _no_x("ntile", n=n)
+        ),
         "case_match": _case_match_eager,
         "coalesce": _coalesce,
         "na_if": _na_if,
