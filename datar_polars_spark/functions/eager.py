@@ -165,6 +165,65 @@ def _if_else(condition, true, false, missing=None):
     return true if condition else false
 
 
+def _eager_random(draw):
+    """Eager R random generators over an explicit n (reference
+    api/base/random.py object dispatch: rnorm(100) -> 100 draws)."""
+
+    name = draw.__name__.replace("_draw_", "")
+
+    def run(n=None, *args, seed=None, **kwargs):
+        import random as _random
+
+        if n is None:
+            kw = dict(kwargs)
+            if seed is not None:
+                kw["seed"] = seed
+            return _no_x(name, **kw)
+        rng = _random.Random(seed)
+        return [draw(rng, *args, **kwargs) for _ in range(int(n))]
+
+    return run
+
+
+def _draw_rnorm(rng, mean=0.0, sd=1.0):
+    return rng.gauss(mean, sd)
+
+
+def _draw_runif(rng, min=0.0, max=1.0):
+    return rng.uniform(min, max)
+
+
+def _draw_rexp(rng, rate=1.0):
+    return rng.expovariate(rate)
+
+
+def _draw_rpois(rng, lambda_=1.0):
+    # Knuth's method — lambda is small in test usage
+    import math as _m
+
+    L = _m.exp(-lambda_)
+    k, p = 0, 1.0
+    while True:
+        p *= rng.random()
+        if p <= L:
+            return k
+        k += 1
+
+
+def _draw_rbinom(rng, size=1, prob=0.5):
+    return sum(1 for _ in range(int(size)) if rng.random() < prob)
+
+
+def _draw_rcauchy(rng, location=0.0, scale=1.0):
+    import math as _m
+
+    return location + scale * _m.tan(_m.pi * (rng.random() - 0.5))
+
+
+def _draw_rchisq(rng, df=1.0):
+    return sum(rng.gauss(0.0, 1.0) ** 2 for _ in range(int(df)))
+
+
 def _no_x(name, **kw):
     """Frame-order form (no x): fall back to the deferred Call node."""
     from .registry import Call
@@ -444,6 +503,13 @@ EAGER_IMPLS.update(
         "dense_rank": _eager_rank_method("dense"),
         "percent_rank": _eager_rank_method("percent"),
         "cume_dist": _eager_rank_method("cume"),
+        "rnorm": _eager_random(_draw_rnorm),
+        "runif": _eager_random(_draw_runif),
+        "rexp": _eager_random(_draw_rexp),
+        "rpois": _eager_random(_draw_rpois),
+        "rbinom": _eager_random(_draw_rbinom),
+        "rcauchy": _eager_random(_draw_rcauchy),
+        "rchisq": _eager_random(_draw_rchisq),
         "ntile": lambda x=None, n=1: (
             _eager_ntile(x, n) if x is not None else _no_x("ntile", n=n)
         ),
