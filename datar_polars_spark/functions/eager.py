@@ -860,14 +860,21 @@ def _eager_recode(*args, _default=None, _missing=None, **kwargs):
     First positional arg is the data — taken from *args so a column
     named 'x' recoded by kwarg never collides with a parameter name."""
     x, args = args[0], args[1:]
+    # reference convention (_args_to_recodings, recode.py:17-37):
+    # positional non-dict args map {index: replacement} — the index is
+    # matched against the VALUES of x; dicts/kwargs merge directly.
+    # (The deferred column path keeps R's 1-based convention.)
     mapping: dict = {}
+    i = 0
     for a in args:
         if isinstance(a, dict):
             mapping.update(a)
-    pairs = [a for a in args if not isinstance(a, dict)]
-    for old, new in zip(pairs[::2], pairs[1::2]):
-        mapping[old] = new
+        else:
+            mapping[i] = a
+        i += 1
     mapping.update(kwargs)
+    # a None replacement at an index is the reference's null marker slot
+    mapping = {k: v for k, v in mapping.items() if v is not None}
     if not mapping and _default is None and _missing is None:
         raise ValueError("recode: no replacements provided")
     coerce = any(isinstance(v, str) for v in mapping.values()) or isinstance(
