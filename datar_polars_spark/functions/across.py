@@ -28,6 +28,12 @@ class Across:
 
 
 def across(*args: Any, _names: str | None = None, **kwargs: Any) -> Across:
+    # across(fn) with no selection applies to every non-group column
+    # (reference across() default); a leading callable is a fns arg
+    if args and callable(args[0]) and not hasattr(args[0], "_name"):
+        from ..plans.selection import everything
+
+        args = (everything(), *args)
     return Across(*args, _names=_names, **kwargs)
 
 

@@ -179,7 +179,11 @@ def _eager_random(draw):
             if seed is not None:
                 kw["seed"] = seed
             return _no_x(name, **kw)
-        rng = _random.Random(seed)
+        if seed is not None:
+            rng = _random.Random(seed)
+        else:
+            # set_seed() threads through the shared module RNG
+            from .rbase import _rng as rng
         return [draw(rng, *args, **kwargs) for _ in range(int(n))]
 
     return run

@@ -147,6 +147,9 @@ def pick(td: Tibble, *cols: Any) -> Tibble:
     ``api/dplyr/pick.py:17-33``."""
     from ..plans.selection import resolve_selection
 
+    if not cols:
+        raise ValueError("pick: must supply at least one column selector")
+
     sel = resolve_selection(list(cols), td.columns, dict(td.dtypes))
     keep = list(dict.fromkeys([*td.group_vars, *sel]))
     hidden = [c for c in td.df.columns if c.startswith("__datar_")]
