@@ -772,3 +772,66 @@ def cut_(
         expr = F.when(cond, F.lit(labels[i])).otherwise(expr)
     df = td.df.withColumn(new, expr)
     return _with_levels(td.with_df(df), new, list(labels))
+
+
+# ---------------------------------------------------------------------------
+# plain-vector dispatch (reference registers every factor fn for both
+# Series and Expr; here vector factors are functions.factor_eager.Factor
+# and the frame verbs above keep the column/metadata behavior)
+# ---------------------------------------------------------------------------
+
+from functools import wraps as _wraps
+
+from ..functions import factor_eager as _fe
+
+_VEC_TYPES = (list, tuple, range, str, int, float, bool)
+
+
+def _vec_dispatch(vec_fn, verb_fn):
+    @_wraps(verb_fn)
+    def wrapper(*args, **kwargs):
+        if args and isinstance(args[0], (_fe.Factor, *_VEC_TYPES)) and not (
+            isinstance(args[0], (list, tuple))
+            and args[0]
+            and isinstance(args[0][0], Tibble)
+        ):
+            return vec_fn(*args, **kwargs)
+        return verb_fn(*args, **kwargs)
+
+    return wrapper
+
+
+factor_ = _vec_dispatch(_fe.factor_eager, factor_)
+as_factor = _vec_dispatch(_fe.as_factor_eager, as_factor)
+as_ordered = _vec_dispatch(_fe.as_ordered_eager, as_ordered)
+levels_ = _vec_dispatch(_fe.levels_eager, levels_)
+nlevels = _vec_dispatch(_fe.nlevels_eager, nlevels)
+droplevels = _vec_dispatch(_fe.droplevels_eager, droplevels)
+is_factor = _vec_dispatch(_fe.is_factor_eager, is_factor)
+is_ordered = _vec_dispatch(_fe.is_ordered_eager, is_ordered)
+fct_relevel = _vec_dispatch(_fe.fct_relevel_vec, fct_relevel)
+fct_reorder = _vec_dispatch(_fe.fct_reorder_vec, fct_reorder)
+fct_relabel = _vec_dispatch(_fe.fct_relabel_vec, fct_relabel)
+fct_rev = _vec_dispatch(_fe.fct_rev_vec, fct_rev)
+fct_drop = _vec_dispatch(_fe.fct_drop_vec, fct_drop)
+fct_cross = _vec_dispatch(_fe.fct_cross_vec, fct_cross)
+
+
+_fct_c_verb = fct_c
+
+
+@_wraps(_fct_c_verb)
+def _fct_c_dispatch(*args, **kwargs):
+    if not args or (
+        isinstance(args[0], (_fe.Factor, *_VEC_TYPES))
+        and not (
+            isinstance(args[0], (list, tuple))
+            and args[0]
+            and isinstance(args[0][0], Tibble)
+        )
+    ):
+        return _fe.fct_c_vec(*args, **kwargs)
+    return _fct_c_verb(*args, **kwargs)
+
+
+fct_c = _fct_c_dispatch
