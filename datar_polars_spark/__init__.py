@@ -55,6 +55,6 @@ from .sources import (  # noqa: F401
     connect,
 )
 from . import scale  # noqa: F401  (registers text-analysis functions)
-from .datasets import load_dataset, descr_datasets  # noqa: F401
+from .datasets import load_dataset, descr_datasets, get_versions  # noqa: F401
 
 __version__ = "0.1.0"

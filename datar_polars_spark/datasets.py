@@ -72,6 +72,19 @@ _TABLE1 = {
 }
 
 
+def get_versions() -> dict:
+    """Engine + substrate versions (reference plugin.py:52-61
+    get_versions hook, polars swapped for pyspark)."""
+    import pyspark
+
+    from . import __version__
+
+    return {
+        "datar-polars-spark": __version__,
+        "pyspark": pyspark.__version__,
+    }
+
+
 def descr_datasets() -> list[str]:
     """Names accepted by load_dataset (reference: datar.data.descr_datasets)."""
     return ["mtcars", "band_members", "band_instruments", "band_instruments2", "table1"]
