@@ -297,6 +297,11 @@ def as_tibble(
         out = data
     elif isinstance(data, dict):
         out = tibble(spark or _spark(), **data)
+    elif isinstance(data, list) and data and all(
+        isinstance(r, dict) for r in data
+    ):
+        # row-oriented records (reference as_tibble on a list of dicts)
+        out = from_pandas(spark or _spark(), pd.DataFrame(data))
     elif isinstance(data, pd.DataFrame):
         out = from_pandas(spark or _spark(), data)
     else:

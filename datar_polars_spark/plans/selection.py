@@ -288,3 +288,59 @@ def resolve_selection(
     if unknown:
         raise KeyError(f"columns not found: {unknown}")
     return include
+
+
+# ---------------------------------------------------------------------------
+# compat helpers mirroring the reference's internal selection utilities
+# (datar_polars/utils.py: vars_select / name_of / is_scalar) — exposed so
+# user code ported from the reference keeps working; the engine's own
+# verbs use resolve_selection above.
+# ---------------------------------------------------------------------------
+
+def vars_select(cols: list, *args: Any, raise_nonexists: bool = True) -> list[int]:
+    """0-based indices of the selected columns (reference semantics:
+    strings/Refs match by name, ints are positions, None is skipped;
+    duplicate pool names error; unknown names raise KeyError unless
+    raise_nonexists=False)."""
+    if len(set(cols)) != len(cols):
+        raise ValueError("Names must be unique")
+    out: list[int] = []
+    for a in args:
+        if a is None:
+            continue
+        if isinstance(a, int) and not isinstance(a, bool):
+            if 0 <= a < len(cols):
+                out.append(a)
+            elif raise_nonexists:
+                raise KeyError(f"index out of range: {a}")
+            continue
+        name = a._name if isinstance(a, Ref) else str(a)
+        if name in cols:
+            out.append(cols.index(name))
+        elif raise_nonexists:
+            raise KeyError(f"columns not found: ['{name}']")
+    return out
+
+
+def name_of(x: Any) -> str | None:
+    """Best-effort display name of a selection item."""
+    if isinstance(x, Ref):
+        return x._name
+    if x is None:
+        return None
+    return str(x)
+
+
+def is_scalar(x: Any) -> bool:
+    """Reference is_scalar: non-iterables (plus strings/bytes) are
+    scalar; an empty list counts as scalar, like numpy.isscalar-adjacent
+    reference behavior."""
+    if isinstance(x, (str, bytes)):
+        return True
+    if isinstance(x, (list, tuple, set, range)):
+        return len(list(x)) == 0
+    try:
+        iter(x)
+    except TypeError:
+        return True
+    return False
