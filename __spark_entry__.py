@@ -1395,8 +1395,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q26_pivot_wider": """
             SELECT l_returnflag,
-                   COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END), 0) AS "F",
-                   COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END), 0) AS "O"
+                   CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "F",
+                   CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "O"
             FROM lineitem GROUP BY l_returnflag
             ORDER BY l_returnflag
         """,

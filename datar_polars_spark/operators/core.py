@@ -178,7 +178,7 @@ def _assign_list_values(td: Tibble, items: list[tuple[str, Any]]):
         )
         items[i] = (name, Ref(tmp))
         tmps.append(tmp)
-    return td.with_df(df), items, tmps
+    return td.with_df(df, keep_sort_meta=True), items, tmps
 
 
 def _verbcall_to_expr(v: Any) -> Any:
@@ -237,7 +237,21 @@ def select(td: Tibble, *args: Any, **renames: Any) -> Tibble:
     for g in new_groups:
         if g not in out_names and g in df.columns:
             out_names.insert(0, g)
-    return td.with_df(_ordered_select(df, out_names), groups=new_groups)
+    out = td.with_df(
+        _ordered_select(df, out_names),
+        groups=new_groups,
+        keep_sort_meta=not renames,
+    )
+    # select-with-rename: remap the tracked sort key through the rename
+    # (values unchanged); if another column was renamed ONTO the key's
+    # name, sort_meta must stay dropped.
+    if renames and td.sort_meta:
+        key, asc = td.sort_meta
+        if key in old_to_new:
+            out.sort_meta = (old_to_new[key], asc)
+        elif key in out.df.columns and key not in renames:
+            out.sort_meta = (key, asc)
+    return out
 
 
 @verb
@@ -290,7 +304,7 @@ def relocate(td: Tibble, *args: Any, _before: Any = None, _after: Any = None, **
         new_order = rest[:idx] + moved + rest[idx:]
     else:
         new_order = moved + rest
-    return td.with_df(_ordered_select(td.df, new_order))
+    return td.with_df(_ordered_select(td.df, new_order), keep_sort_meta=True)
 
 
 @verb
@@ -302,7 +316,7 @@ def pull(td: Tibble, col: Any = -1, name: Any = None, to: str = "list"):
     else:
         cname = str(col)
     if to == "frame":
-        return td.with_df(_ordered_select(td.df, [cname]))
+        return td.with_df(_ordered_select(td.df, [cname]), keep_sort_meta=True)
     d = td.df.orderBy(ORDER_COL) if td.has_order else td.df
     pdf = d.select(cname).toPandas()
     vals = pdf[cname].tolist()
@@ -417,7 +431,7 @@ def mutate(
         df = _ordered_select(df, keep_set)
     if list_tmps:
         df = df.drop(*list_tmps)
-    out = td.with_df(df)
+    out = td.with_df(df, keep_sort_meta=True)
     # rewriting the tracked sort-key column invalidates the key-bucket
     # two-pass metadata (frame order no longer follows its values)
     if out.sort_meta and out.sort_meta[0] in {n for n, _ in items}:
@@ -437,7 +451,7 @@ def transmute(td: Tibble, *args: Any, **kwargs: Any) -> Tibble:
 @verb
 def filter_(td: Tibble, *conds: Any, _preserve: bool = False) -> Tibble:
     if any(c is False for c in conds):
-        return td.with_df(td.df.limit(0))  # trivially-false short circuit
+        return td.with_df(td.df.limit(0), keep_sort_meta=True)  # trivially-false short circuit
     if any(tree_needs_order(c) for c in conds if isinstance(c, Expr)):
         td = td.ensure_order()
     ctx = EvalContext(td, "eval")
@@ -466,7 +480,7 @@ def filter_(td: Tibble, *conds: Any, _preserve: bool = False) -> Tibble:
             .filter(F.col("__datar_cond__"))
             .drop("__datar_cond__", *aliases)
         )
-        return td.with_df(df)
+        return td.with_df(df, keep_sort_meta=True)
     if has_call:
         # function calls may compile to window aggregates, which Spark
         # forbids in WHERE — materialize the predicate first (Catalyst
@@ -476,8 +490,8 @@ def filter_(td: Tibble, *conds: Any, _preserve: bool = False) -> Tibble:
             .filter(F.col("__datar_cond__"))
             .drop("__datar_cond__")
         )
-        return td.with_df(df)
-    return td.with_df(td.df.filter(combined))
+        return td.with_df(df, keep_sort_meta=True)
+    return td.with_df(td.df.filter(combined), keep_sort_meta=True)
 
 
 # --------------------------------------------------------------------------
@@ -743,7 +757,7 @@ def distinct(td: Tibble, *args: Any, _keep_all: bool = False, **kwargs: Any) -> 
             td = td.ensure_order()
         else:
             df = td.df.select(*subset).dropDuplicates()
-            return td.with_df(df)
+            return td.with_df(df, keep_sort_meta=True)
     if _keep_all or set(subset) == set(td.columns):
         w = Window.partitionBy(*subset).orderBy(F.col(ORDER_COL).asc())
         df = (
@@ -753,10 +767,10 @@ def distinct(td: Tibble, *args: Any, _keep_all: bool = False, **kwargs: Any) -> 
         )
         if not _keep_all:
             df = _ordered_select(df, subset)
-        return td.with_df(df)
+        return td.with_df(df, keep_sort_meta=True)
     # first-seen order preserved via min(order) per distinct key
     df = td.df.groupBy(*subset).agg(F.min(ORDER_COL).alias(ORDER_COL))
-    return td.with_df(df)
+    return td.with_df(df, keep_sort_meta=True)
 
 
 # --------------------------------------------------------------------------
@@ -828,7 +842,7 @@ def add_count(
     ctx = EvalContext(td, "eval")
     w = Window.partitionBy(*gvars) if gvars else Window.partitionBy()
     agg = F.count(F.lit(1)).over(w) if wt is None else F.sum(ctx.col(wt)).over(w)
-    out = td.with_df(td.df.withColumn(nm, agg))
+    out = td.with_df(td.df.withColumn(nm, agg), keep_sort_meta=True)
     if sort:
         out = out.reassign_order(F.col(nm).desc())
     return out
@@ -919,7 +933,9 @@ def slice_(td: Tibble, *rows: Any) -> Tibble:
     if cond is None:
         return td
     tmps = [f"__datar_sl{i}__" for i in range(len(expr_rows))]
-    return td.with_df(df.filter(cond).drop("__datar_rn__", *tmps))
+    return td.with_df(
+        df.filter(cond).drop("__datar_rn__", *tmps), keep_sort_meta=True
+    )
 
 
 def _resolve_n(n: int | None, prop: float | None) -> tuple[int | None, float | None]:
@@ -937,8 +953,8 @@ def slice_head(td: Tibble, n: int | None = None, prop: float | None = None) -> T
     if prop is not None:
         df = df.withColumn("__datar_cnt__", F.count(F.lit(1)).over(_group_window(td)))
         out = df.filter(F.col("__datar_rn__") <= F.floor(F.col("__datar_cnt__") * prop))
-        return td.with_df(out.drop("__datar_rn__", "__datar_cnt__"))
-    return td.with_df(df.filter(F.col("__datar_rn__") <= n).drop("__datar_rn__"))
+        return td.with_df(out.drop("__datar_rn__", "__datar_cnt__"), keep_sort_meta=True)
+    return td.with_df(df.filter(F.col("__datar_rn__") <= n).drop("__datar_rn__"), keep_sort_meta=True)
 
 
 @verb
@@ -950,8 +966,8 @@ def slice_tail(td: Tibble, n: int | None = None, prop: float | None = None) -> T
     if prop is not None:
         df = df.withColumn("__datar_cnt__", F.count(F.lit(1)).over(_group_window(td)))
         out = df.filter(F.col("__datar_rn__") <= F.floor(F.col("__datar_cnt__") * prop))
-        return td.with_df(out.drop("__datar_rn__", "__datar_cnt__"))
-    return td.with_df(df.filter(F.col("__datar_rn__") <= n).drop("__datar_rn__"))
+        return td.with_df(out.drop("__datar_rn__", "__datar_cnt__"), keep_sort_meta=True)
+    return td.with_df(df.filter(F.col("__datar_rn__") <= n).drop("__datar_rn__"), keep_sort_meta=True)
 
 
 def _slice_rank(td: Tibble, order_by: Any, n: int | None, prop: float | None, desc_: bool, with_ties: bool) -> Tibble:
@@ -1007,15 +1023,15 @@ def slice_sample(
 ) -> Tibble:
     n, prop = _resolve_n(n, prop)
     if prop is not None and not td.group_vars and not replace:
-        return td.with_df(td.df.sample(fraction=prop, seed=seed))
+        return td.with_df(td.df.sample(fraction=prop, seed=seed), keep_sort_meta=True)
     # exact-n per group: rank by rand()
     w = _group_window(td).orderBy(F.rand(seed) if seed is not None else F.rand())
     df = td.df.withColumn("__datar_rn__", F.row_number().over(w))
     if prop is not None:
         df = df.withColumn("__datar_cnt__", F.count(F.lit(1)).over(_group_window(td)))
         out = df.filter(F.col("__datar_rn__") <= F.floor(F.col("__datar_cnt__") * prop))
-        return td.with_df(out.drop("__datar_rn__", "__datar_cnt__"))
-    return td.with_df(df.filter(F.col("__datar_rn__") <= n).drop("__datar_rn__"))
+        return td.with_df(out.drop("__datar_rn__", "__datar_cnt__"), keep_sort_meta=True)
+    return td.with_df(df.filter(F.col("__datar_rn__") <= n).drop("__datar_rn__"), keep_sort_meta=True)
 
 
 @verb

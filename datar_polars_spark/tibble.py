@@ -119,6 +119,7 @@ class Tibble:
         groups: Sequence[str] | None = None,
         rowwise: bool | None = None,
         levels: dict[str, list] | None = None,
+        keep_sort_meta: bool = False,
     ) -> "Tibble":
         new_groups = self.group_vars if groups is None else tuple(groups)
         new_groups = tuple(g for g in new_groups if g in df.columns)
@@ -135,7 +136,13 @@ class Tibble:
         out.ordered_factors = {c for c in self.ordered_factors if c in out.levels}
         out.grouping_mode = self.grouping_mode
         out.rownames = self.rownames
-        if self.sort_meta and self.sort_meta[0] in df.columns:
+        # sort_meta (last arrange's key) is only valid while frame order
+        # still follows the key column's VALUES. A generic df rewrite
+        # can't prove that, so the default is to DROP it; call sites
+        # that provably preserve both row order and the key's values
+        # (filter, select/relocate, mutate-of-other-columns, slice,
+        # hidden-column bookkeeping) opt in with keep_sort_meta=True.
+        if keep_sort_meta and self.sort_meta and self.sort_meta[0] in df.columns:
             out.sort_meta = self.sort_meta
         return out
 
@@ -150,7 +157,8 @@ class Tibble:
         if self.has_order:
             return self
         return self.with_df(
-            self._df.withColumn(ORDER_COL, F.monotonically_increasing_id())
+            self._df.withColumn(ORDER_COL, F.monotonically_increasing_id()),
+            keep_sort_meta=True,
         )
 
     def ensure_pos(self) -> "Tibble":
@@ -181,7 +189,8 @@ class Tibble:
         base = F.create_map(*pairs)[pid] if pairs else F.lit(0)
         pos = base + F.col("__datar_mono__").bitwiseAND(F.lit((1 << 33) - 1))
         return t.with_df(
-            d.withColumn(POS_COL, pos.cast("long")).drop("__datar_mono__")
+            d.withColumn(POS_COL, pos.cast("long")).drop("__datar_mono__"),
+            keep_sort_meta=True,
         )
 
     def ensure_gid(self) -> "Tibble":
@@ -195,7 +204,9 @@ class Tibble:
             return self
         gvars = list(self.group_vars)
         if not gvars:
-            return self.with_df(self._df.withColumn(GID, F.lit(1)))
+            return self.with_df(
+                self._df.withColumn(GID, F.lit(1)), keep_sort_meta=True
+            )
         from pyspark.sql import Window
 
         keys = (
@@ -216,7 +227,7 @@ class Tibble:
         # keep the left copy of each key column
         for g in gvars:
             joined = joined.drop(keys[g])
-        return self.with_df(joined)
+        return self.with_df(joined, keep_sort_meta=True)
 
     def reassign_order(
         self, *sort_keys: Column, first_key: tuple[str, bool] | None = None
@@ -256,7 +267,7 @@ class Tibble:
         return self
 
     def cache(self) -> "Tibble":
-        return self.with_df(self._df.cache())
+        return self.with_df(self._df.cache(), keep_sort_meta=True)
 
     def __getitem__(self, name: str) -> list:
         d = self._df.orderBy(ORDER_COL) if self.has_order else self._df
