@@ -92,38 +92,48 @@ def _near(ctx, x, y, tol: float = 1.5e-8):
 
 @register("recode")
 def _recode(ctx, x, /, *args, _default=None, _missing=None, **kwargs):
-    """Positional args recode by position (R 1-based), kwargs by value.
-    A dict in the first positional slot maps values directly (reference
-    ``recode(vec, {1: "one"})``; ``None`` there is the empty-dict
-    placeholder). ``x`` is positional-only so a column literally named
-    ``x`` can still be recoded by keyword (tests/dplyr/test_recode.py)."""
+    """Replacement mapping follows the reference's ``_args_to_recodings``
+    (recode.py:17-37): positional args become ``{0: arg0, 1: arg1, ...}``
+    matched against the VALUES of x (0-based — same convention as the
+    eager vector path, round-2 ADVICE alignment); dict args and kwargs
+    merge in directly. The ``None`` KEY is the missing-marker slot
+    (recode.py:90 ``values.pop(None, None)``); ``None`` VALUES are
+    genuine recode-to-null branches. ``x`` is positional-only so a
+    column literally named ``x`` can still be recoded by keyword."""
     col = ctx.col(x)
-    mapping: dict = {}
-    if args and (args[0] is None or isinstance(args[0], dict)):
-        mapping = args[0] or {}
-        args = args[1:]
-    out = None
-    for i, repl in enumerate(args):
-        cond = col == F.lit(i + 1)  # R positional recode is 1-based
-        rc = ctx.col(repl)
-        out = F.when(cond, rc) if out is None else out.when(cond, rc)
-    for old, new in {**mapping, **kwargs}.items():
-        cond = col == F.lit(old)
-        rc = ctx.col(new)
-        out = F.when(cond, rc) if out is None else out.when(cond, rc)
-    if _missing is not None:
-        cond = col.isNull()
-        rc = ctx.col(_missing)
-        out = F.when(cond, rc) if out is None else out.when(cond, rc)
-    if out is None and _default is None:
+    values: dict = {}
+    for i, a in enumerate(args):
+        if isinstance(a, dict):
+            values.update(a)
+        else:
+            values[i] = a
+    values.update(kwargs)
+    if _missing is None:
+        _missing = values.pop(None, None)
+    else:
+        values.pop(None, None)  # x == null never matches: dead branch
+    if not values and _default is None and _missing is None:
         raise ValueError("recode: no replacements provided")
-    # R coerces the result to the replacement type: with string
-    # replacements, unmatched values fall through as their string form
-    repls = list(args) + list(mapping.values()) + list(kwargs.values())
-    str_repl = bool(repls) and all(isinstance(r, str) for r in repls)
+    # R coerces the result to the replacement type: with any string
+    # replacement, every branch (and unmatched fallthrough) goes string
+    repls = [v for v in values.values() if v is not None] + (
+        [] if _default is None else [_default]
+    )
+    coerce = any(isinstance(r, str) for r in repls)
+
+    def branch(v):
+        c = ctx.col(v)
+        return c.cast("string") if coerce else c
+
+    out = None
+    if _missing is not None:
+        out = F.when(col.isNull(), branch(_missing))
+    for old, new in values.items():
+        cond = col == F.lit(old)
+        out = F.when(cond, branch(new)) if out is None else out.when(cond, branch(new))
     if _default is not None:
-        fallthrough = ctx.col(_default)
-    elif str_repl:
+        fallthrough = branch(_default)
+    elif coerce:
         fallthrough = col.cast("string")
     else:
         fallthrough = col

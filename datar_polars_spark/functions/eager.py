@@ -235,6 +235,23 @@ def _no_x(name, **kw):
     return Call(name, (), kw)
 
 
+def _which_extreme(x, *, is_max: bool):
+    """1-based index of the min/max, NA/NaN skipped; None when nothing
+    survives the filter (R returns integer(0)). First occurrence wins
+    ties, and string vectors work (no unary minus on values)."""
+    xs = x if isinstance(x, (list, tuple, range)) else [x]
+    ok = [
+        (v, i + 1)
+        for i, v in enumerate(xs)
+        if v is not None and not (isinstance(v, float) and math.isnan(v))
+    ]
+    if not ok:
+        return None
+    if is_max:
+        return max(ok, key=lambda p: (p[0], -p[1]))[1]
+    return min(ok, key=lambda p: (p[0], p[1]))[1]
+
+
 def _eager_rank_method(method):
     """dplyr vector ranks: NA -> None, ties per method."""
 
@@ -477,24 +494,12 @@ EAGER_IMPLS.update(
             )
             if v
         ],
-        "which_min": lambda x: (
-            min(
-                (v, i + 1)
-                for i, v in enumerate(x)
-                if v is not None and not (isinstance(v, float) and math.isnan(v))
-            )[1]
-            if any(v is not None for v in x)
-            else None
-        ),
-        "which_max": lambda x: (
-            min(
-                (-v, i + 1)
-                for i, v in enumerate(x)
-                if v is not None and not (isinstance(v, float) and math.isnan(v))
-            )[1]
-            if any(v is not None for v in x)
-            else None
-        ),
+        # guard on the FILTERED pairs being non-empty (an all-NaN input
+        # passes an is-not-None check but leaves min() an empty sequence
+        # — round-2 ADVICE); which_max keys on value with a negated
+        # index tiebreak instead of negating v, so strings work too
+        "which_min": lambda x: _which_extreme(x, is_max=False),
+        "which_max": lambda x: _which_extreme(x, is_max=True),
         "lead": _shift_eager(True),
         "lag": _shift_eager(False),
         # eager rank family over plain vectors (reference
@@ -877,8 +882,12 @@ def _eager_recode(*args, _default=None, _missing=None, **kwargs):
             mapping[i] = a
         i += 1
     mapping.update(kwargs)
-    # a None replacement at an index is the reference's null marker slot
-    mapping = {k: v for k, v in mapping.items() if v is not None}
+    # the None KEY is the missing-marker slot (reference recode.py:90
+    # values.pop(None, None)); None VALUES stay as recode-to-null
+    if _missing is None:
+        _missing = mapping.pop(None, None)
+    else:
+        mapping.pop(None, None)  # dead branch: x == null never matches
     if not mapping and _default is None and _missing is None:
         raise ValueError("recode: no replacements provided")
     coerce = any(isinstance(v, str) for v in mapping.values()) or isinstance(

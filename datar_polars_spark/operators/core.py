@@ -62,9 +62,16 @@ __all__ = [
 
 def desc(x: Any) -> Any:
     """Descending sort key (reference ``api/dplyr/desc.py:15-29``).
-    On a plain vector, eager dispatch negates the values (R's desc)."""
+    On a plain vector, eager dispatch negates the values (R's desc);
+    non-numeric elements go through rank order first (R's xtfrm), so
+    ``desc(["b", "a"])`` yields a valid descending key instead of
+    raising on unary minus (round-2 ADVICE)."""
     if isinstance(x, (list, tuple, range)):
-        return [None if v is None else -v for v in x]
+        vals = list(x)
+        if all(v is None or isinstance(v, (int, float)) for v in vals):
+            return [None if v is None else -v for v in vals]
+        order = {v: i + 1 for i, v in enumerate(sorted(set(v for v in vals if v is not None)))}
+        return [None if v is None else -order[v] for v in vals]
     return Desc(x)
 
 

@@ -128,20 +128,39 @@ class TestRecode:
         out = (td >> mutate(y=recode(f.x, x="X", y="Y"))).collect()
         assert out["y"].tolist() == ["X", "Y", "z"]
 
-    def test_recode_positional_1based(self, spark):
-        td = tibble(spark, x=[1, 2, 3])
+    def test_recode_positional_0based(self, spark):
+        # positional args map {0: a0, 1: a1, ...} against x VALUES —
+        # the reference's _args_to_recodings convention (recode.py:17-37),
+        # same as the eager vector path (round-2 ADVICE alignment)
+        td = tibble(spark, x=[0, 1, 2])
         out = (td >> mutate(y=recode(f.x, "one", "two", "three"))).collect()
         assert out["y"].tolist() == ["one", "two", "three"]
 
     def test_recode_default(self, spark):
-        td = tibble(spark, x=[1, 2, 3])
+        td = tibble(spark, x=[0, 2, 3])
         out = (td >> mutate(y=recode(f.x, "a", _default="other"))).collect()
         assert out["y"].tolist() == ["a", "other", "other"]
 
     def test_recode_missing(self, spark):
         td = tibble(spark, x=[1.0, None, 3.0])
-        out = (td >> mutate(y=recode(f.x, "a", _missing="NA_val"))).collect()
+        out = (td >> mutate(y=recode(f.x, {1: "a"}, _missing="NA_val"))).collect()
         assert out["y"].tolist() == ["a", "NA_val", "3.0"]
+
+    def test_recode_to_null_not_dropped(self, spark):
+        # a None VALUE is a genuine recode-to-null branch, not a no-op
+        td = tibble(spark, x=["a", "b", "c"])
+        out = (
+            td >> mutate(y=recode(f.x, {"a": None, "b": "B"}, _default="z"))
+        ).collect()
+        assert out["y"].tolist()[1:] == ["B", "z"]
+        import pandas as pd
+
+        assert pd.isna(out["y"].tolist()[0])
+
+    def test_recode_none_key_is_missing_marker(self, spark):
+        td = tibble(spark, x=["a", None])
+        out = (td >> mutate(y=recode(f.x, {None: "miss"}, _default="d"))).collect()
+        assert out["y"].tolist() == ["d", "miss"]
 
 
 # -- coalesce (reference test_coalesce.py) ----------------------------------
