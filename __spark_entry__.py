@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1104,26 +1105,61 @@ def q40_lsh_topk(spark, sf):
 
 
 def q59_multimodal_features(spark, sf):
-    """Covers: multimodal binary-column plumbing — wrap bytes into the
-    typed media struct, run the Arrow-batched mapInPandas feature
-    extractor (deterministic stub encoder; real codec swaps in with the
-    same schema/batch shape). The feature values aren't SQL-expressible,
-    so the oracle checks the projected plumbing outputs: per-doc utf-8
-    byte counts carried through the binary struct and the feature
-    dimensionality produced by the mapInPandas stage."""
+    """Covers: multimodal binary-column plumbing AND the round-3 REAL
+    header codecs. Per doc we synthesize a genuine PNG header
+    (width = doc_id % 1000 + 1, height = n_chars % 1000 + 1) and a
+    genuine WAV header (16 kHz, n_samples = n_chars * 10), run the
+    Arrow-batched decode_images / decode_audio passes — which parse the
+    bytes with the pure-Python codecs (scale/codecs.py), no stub on
+    this path — and also keep the original utf-8 byte-count + feature
+    dimensionality plumbing checks. The oracle recomputes every parsed
+    field arithmetically from doc_id/n_chars, so a parser regression
+    flips the hash."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
     from datar_polars_spark.scale import attach_binary_metadata, image_features
+    from datar_polars_spark.scale.codecs import make_png, make_wav
+    from datar_polars_spark.scale.multimodal import decode_audio, decode_images
+
+    @F.pandas_udf(BinaryType())
+    def png_bytes(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                make_png(int(d) % 1000 + 1, int(n) % 1000 + 1)
+                for d, n in zip(doc_id, n_chars)
+            ]
+        )
+
+    @F.pandas_udf(BinaryType())
+    def wav_bytes(n_chars: pd.Series) -> pd.Series:
+        return pd.Series([make_wav(16_000, int(n) * 10) for n in n_chars])
 
     d = _t(spark, sf, "documents")
     binary = d.with_df(
         d.df.withColumn("content", F.encode(F.col("text"), "utf-8"))
+        .withColumn("img", png_bytes(F.col("doc_id"), F.col("n_chars")))
+        .withColumn("aud", wav_bytes(F.col("n_chars")))
     )
     feats = image_features(
         attach_binary_metadata(binary, "content"), content="content", dim=16
     )
-    out = feats.df.select(
+    imgs = decode_images(feats, content="img", strict=True)
+    imgs = imgs.with_df(
+        imgs.df.withColumnsRenamed(
+            {"format": "img_format", "width": "img_w", "height": "img_h"}
+        )
+    )
+    decoded = decode_audio(imgs, content="aud", strict=True)
+    out = decoded.df.select(
         "doc_id",
         F.col("media.n_bytes").alias("n_bytes"),
         F.size("features").alias("feat_dim"),
+        "img_format",
+        "img_w",
+        "img_h",
+        F.col("sample_rate").alias("wav_rate"),
+        "n_samples",
     ).orderBy("doc_id")
     return out
 
@@ -1761,7 +1797,12 @@ def oracle_sql() -> dict[str, str]:
         "q59_multimodal_features": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   16 AS feat_dim
+                   16 AS feat_dim,
+                   'png' AS img_format,
+                   CAST(doc_id % 1000 + 1 AS INT) AS img_w,
+                   CAST(n_chars % 1000 + 1 AS INT) AS img_h,
+                   16000 AS wav_rate,
+                   CAST(n_chars * 10 AS BIGINT) AS n_samples
             FROM documents ORDER BY doc_id
         """,
     }

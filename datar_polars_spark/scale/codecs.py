@@ -1,0 +1,254 @@
+"""Pure-Python media header parsers (no PIL/cv2/torchaudio needed).
+
+Real metadata decode for the dominant container formats — PNG, JPEG,
+GIF, BMP, WebP images; WAV and FLAC audio — using nothing but ``struct``
+over the leading bytes. Formats outside this set fall back to the
+deterministic stub in ``multimodal.py`` (or raise in strict mode).
+
+These run inside Arrow-batched ``mapInPandas`` workers: each call reads
+a few dozen header bytes per row, so the cost is negligible next to the
+payload shuffle and the functions stay picklable module-level defs.
+
+Also provides ``make_*`` synthesizers that emit minimal valid headers —
+used by unit tests and the q59 gate fixture so the parsers are
+exercised against real bytes, round-trip.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+__all__ = [
+    "parse_image_header",
+    "parse_audio_header",
+    "make_png",
+    "make_gif",
+    "make_bmp",
+    "make_jpeg",
+    "make_wav",
+    "make_flac",
+]
+
+# --------------------------------------------------------------------------
+# image parsers -> (format, width, height) | None
+# --------------------------------------------------------------------------
+
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def _parse_png(b: bytes):
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    return None
+
+
+def _parse_gif(b: bytes):
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    return None
+
+
+def _parse_bmp(b: bytes):
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return "bmp", w, abs(h)  # negative height = top-down DIB
+    return None
+
+
+def _parse_jpeg(b: bytes):
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        # standalone markers carry no length field
+        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if marker in _JPEG_SOF:
+            if i + 9 <= len(b):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            return None
+        i += 2 + seglen
+    return None
+
+
+def _parse_webp(b: bytes):
+    if len(b) < 30 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    chunk = b[12:16]
+    if chunk == b"VP8X":  # extended: 24-bit canvas size minus one
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        return "webp", w, h
+    if chunk == b"VP8 ":  # lossy: start code then 14-bit dims
+        if b[23:26] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", b[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", b[28:30])[0] & 0x3FFF
+            return "webp", w, h
+        return None
+    if chunk == b"VP8L":  # lossless: 1-byte sig then packed 14-bit dims
+        if b[20] != 0x2F:
+            return None
+        bits = int.from_bytes(b[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return "webp", w, h
+    return None
+
+
+def parse_image_header(b: bytes):
+    """(format, width, height) from leading bytes, or None if the
+    content is not a recognized PNG/JPEG/GIF/BMP/WebP container."""
+    if not b:
+        return None
+    for parse in (_parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_webp):
+        out = parse(b)
+        if out is not None:
+            return out
+    return None
+
+
+# --------------------------------------------------------------------------
+# audio parsers -> (format, sample_rate, n_samples) | None
+# --------------------------------------------------------------------------
+
+def _parse_wav(b: bytes):
+    if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    sr = channels = bps = None
+    data_size = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels = struct.unpack("<H", b[i + 10 : i + 12])[0]
+            sr = struct.unpack("<I", b[i + 12 : i + 16])[0]
+            bps = struct.unpack("<H", b[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr and channels and bps and data_size is not None:
+        n = data_size // max(1, channels * (bps // 8))
+        return "wav", sr, n
+    return None
+
+
+def _parse_flac(b: bytes):
+    if len(b) < 42 or b[:4] != b"fLaC":
+        return None
+    if b[4] & 0x7F != 0:  # first metadata block must be STREAMINFO
+        return None
+    info = b[8:42]  # 34-byte STREAMINFO
+    # layout after 10 bytes of block/frame sizes: sr(20) ch-1(3)
+    # bps-1(5) total_samples(36)
+    sr = (info[10] << 12) | (info[11] << 4) | (info[12] >> 4)
+    total = ((info[13] & 0x0F) << 32) | struct.unpack(">I", info[14:18])[0]
+    if sr == 0:
+        return None
+    return "flac", sr, total
+
+
+def parse_audio_header(b: bytes):
+    """(format, sample_rate, n_samples) from leading bytes, or None if
+    the content is not a recognized WAV/FLAC container."""
+    if not b:
+        return None
+    for parse in (_parse_wav, _parse_flac):
+        out = parse(b)
+        if out is not None:
+            return out
+    return None
+
+
+# --------------------------------------------------------------------------
+# minimal-header synthesizers (tests + gate fixtures)
+# --------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int, height: int) -> bytes:
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    dib = struct.pack("<IiiHH", 40, width, height, 1, 24) + b"\x00" * 24
+    header = b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0, 14 + len(dib))
+    return header + dib
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    sof_payload = (
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    sof = b"\xff\xc0" + struct.pack(">H", len(sof_payload) + 2) + sof_payload
+    return b"\xff\xd8" + sof + b"\xff\xd9"
+
+
+def make_wav(
+    sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Header-only WAV (declared data size, no payload) — enough for
+    any header parser, tiny enough for row-level fixtures."""
+    data_size = n_samples * channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        channels,
+        sample_rate,
+        sample_rate * channels * (bits // 8),
+        channels * (bits // 8),
+        bits,
+    )
+    riff_size = 4 + (8 + len(fmt)) + (8 + data_size)
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def make_flac(sample_rate: int, n_samples: int) -> bytes:
+    info = bytearray(34)
+    info[0:2] = struct.pack(">H", 4096)  # min blocksize
+    info[2:4] = struct.pack(">H", 4096)  # max blocksize
+    info[10] = (sample_rate >> 12) & 0xFF
+    info[11] = (sample_rate >> 4) & 0xFF
+    info[12] = ((sample_rate & 0xF) << 4) | (0 << 1) | ((16 - 1) >> 4)
+    info[13] = (((16 - 1) & 0xF) << 4) | ((n_samples >> 32) & 0xF)
+    info[14:18] = struct.pack(">I", n_samples & 0xFFFFFFFF)
+    return b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + bytes(info)

@@ -74,10 +74,9 @@ def attach_binary_metadata(td: Tibble, content: Any = "content") -> Tibble:
 
 
 def _stub_decode(content: bytes) -> tuple[str, int, int]:
-    """STUB: deterministic fake decode (real impl: PIL.Image.open).
-
-    Raises NotImplementedError when strict decoding is requested; the
-    deterministic fake keys off a content hash so tests are stable."""
+    """STUB for unrecognized containers only: deterministic fake keyed
+    off a content hash so tests are stable. Recognized formats take the
+    real header-parse path in ``_decode_image_meta``."""
     if content is None:
         raise NotImplementedError(
             "real image decode requires PIL/cv2 (not in this container)"
@@ -89,8 +88,33 @@ def _stub_decode(content: bytes) -> tuple[str, int, int]:
     return fmt, width, height
 
 
-def decode_images(td: Tibble, content: str = "content", batch_size: int = 256) -> Tibble:
+def _decode_image_meta(content: bytes, strict: bool = False) -> tuple[str, int, int]:
+    """REAL metadata decode for PNG/JPEG/GIF/BMP/WebP via pure-Python
+    header parsing (scale/codecs.py — no PIL needed); exotic formats
+    fall back to the deterministic stub, or raise when ``strict``."""
+    from .codecs import parse_image_header
+
+    parsed = parse_image_header(content)
+    if parsed is not None:
+        return parsed
+    if strict:
+        raise NotImplementedError(
+            "unrecognized image container (PNG/JPEG/GIF/BMP/WebP supported "
+            "without PIL; other formats need a real codec library)"
+        )
+    return _stub_decode(content)
+
+
+def decode_images(
+    td: Tibble,
+    content: str = "content",
+    batch_size: int = 256,
+    strict: bool = False,
+) -> Tibble:
     """Decode pass over binary content via Arrow-batched mapInPandas.
+    PNG/JPEG/GIF/BMP/WebP headers are parsed for REAL (scale/codecs.py,
+    pure Python); unrecognized containers get the deterministic stub,
+    or raise when ``strict=True``.
 
     Partitioning note for 100 TB: binary payloads dominate row size —
     upstream readers should set spark.sql.files.maxPartitionBytes so a
@@ -112,7 +136,11 @@ def decode_images(td: Tibble, content: str = "content", batch_size: int = 256) -
         for pdf in it:
             fmts, ws, hs = [], [], []
             for content_bytes in pdf[content]:
-                fmt, w, h = _stub_decode(bytes(content_bytes)) if content_bytes is not None else (None, None, None)
+                fmt, w, h = (
+                    _decode_image_meta(bytes(content_bytes), strict)
+                    if content_bytes is not None
+                    else (None, None, None)
+                )
                 fmts.append(fmt)
                 ws.append(w)
                 hs.append(h)
@@ -234,8 +262,9 @@ AUDIO_SCHEMA = StructType(
 
 
 def _stub_decode_audio(content: bytes) -> tuple[str, int, int]:
-    """STUB: deterministic fake header parse (real impl: torchaudio /
-    soundfile). Keys off a content hash so tests are stable."""
+    """STUB for unrecognized containers only: deterministic fake keyed
+    off a content hash. WAV/FLAC take the real parse path in
+    ``_decode_audio_meta``."""
     if content is None:
         raise NotImplementedError(
             "real audio decode requires torchaudio/soundfile (not in this container)"
@@ -247,13 +276,37 @@ def _stub_decode_audio(content: bytes) -> tuple[str, int, int]:
     return fmt, sample_rate, n_samples
 
 
+def _decode_audio_meta(content: bytes, strict: bool = False) -> tuple[str, int, int]:
+    """REAL metadata decode for WAV/FLAC via pure-Python header parsing
+    (scale/codecs.py — no torchaudio needed); other formats fall back
+    to the deterministic stub, or raise when ``strict``."""
+    from .codecs import parse_audio_header
+
+    parsed = parse_audio_header(content)
+    if parsed is not None:
+        return parsed
+    if strict:
+        raise NotImplementedError(
+            "unrecognized audio container (WAV/FLAC supported without "
+            "torchaudio; other formats need a real codec library)"
+        )
+    return _stub_decode_audio(content)
+
+
 @verb
-def decode_audio(td: Tibble, content: str = "content", batch_size: int = 256) -> Tibble:
+def decode_audio(
+    td: Tibble,
+    content: str = "content",
+    batch_size: int = 256,
+    strict: bool = False,
+) -> Tibble:
     """Header-decode pass over binary audio via Arrow-batched
-    mapInPandas — adds (format, sample_rate, n_samples). Partition
-    sizing note as for decode_images: payload bytes dominate row size;
-    size spark.sql.files.maxPartitionBytes so ~batch_size rows of
-    payload fit one partition."""
+    mapInPandas — adds (format, sample_rate, n_samples). WAV/FLAC
+    headers are parsed for REAL (scale/codecs.py); unrecognized
+    containers get the deterministic stub, or raise when ``strict``.
+    Partition sizing note as for decode_images: payload bytes dominate
+    row size; size spark.sql.files.maxPartitionBytes so ~batch_size
+    rows of payload fit one partition."""
     import pandas as pd
 
     in_cols = [c for c in td.columns]
@@ -273,7 +326,7 @@ def decode_audio(td: Tibble, content: str = "content", batch_size: int = 256) ->
                 if b is None:
                     fmts.append(None); srs.append(None); ns.append(None)
                     continue
-                fmt, sr, n = _stub_decode_audio(bytes(b))
+                fmt, sr, n = _decode_audio_meta(bytes(b), strict)
                 fmts.append(fmt); srs.append(sr); ns.append(n)
             pdf = pdf.copy()
             pdf["format"], pdf["sample_rate"], pdf["n_samples"] = fmts, srs, ns
