@@ -529,7 +529,21 @@ def _sample(ctx, x, size=None, replace: bool = False, prob=None, seed=None):
         pick = F.get(lst, F.floor(rnd * F.size(lst)).cast("int"))
         if sz is None:
             return pick
-        raise NotImplementedError("sample(size=, replace=True) on columns")
+        # explicit size + replacement: one shared array of `size`
+        # independent draws, broadcast to every row of the group (the
+        # implode convention of the size!=None no-replace branch;
+        # reference api/base/seq.py:160-217 supports replace there
+        # too). Draw indices come from hash(i, salt) so all rows agree
+        # on the same array and a seed makes it reproducible.
+        import random as _pyrandom
+
+        salt = int(sd) if sd is not None else _pyrandom.randrange(1 << 31)
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(int(sz))),
+            lambda i: F.get(
+                lst, F.pmod(F.hash(i, F.lit(salt)), F.size(lst)).cast("int")
+            ),
+        )
     w_rand = (
         ctx.partition()
         .orderBy(rnd)

@@ -100,3 +100,47 @@ class TestLength:
 
     def test_length_empty(self):
         assert length([]) == 0
+
+
+class TestColumnSampleReplace:
+    """Round-3: deferred sample(size=, replace=True) on columns
+    (reference api/base/seq.py:160-217) — one shared draws array per
+    group, seeded determinism."""
+
+    def test_column_sample_replace_size(self, spark):
+        from datar_polars_spark import f, mutate, tibble
+        from datar_polars_spark.functions import sample_ as sample
+
+        td = tibble(spark, x=[1, 2, 3, 4, 5])
+        out = (td >> mutate(y=sample(f.x, size=10, replace=True, seed=7))).collect()
+        ys = out["y"].tolist()
+        # every row carries the SAME broadcast array of 10 draws
+        assert all(list(v) == list(ys[0]) for v in ys)
+        assert len(ys[0]) == 10
+        assert set(ys[0]).issubset({1, 2, 3, 4, 5})
+
+    def test_column_sample_replace_seeded_deterministic(self, spark):
+        from datar_polars_spark import f, mutate, tibble
+        from datar_polars_spark.functions import sample_ as sample
+
+        td = tibble(spark, x=[1, 2, 3, 4, 5])
+        a = (td >> mutate(y=sample(f.x, size=8, replace=True, seed=42))).collect()
+        b = (td >> mutate(y=sample(f.x, size=8, replace=True, seed=42))).collect()
+        assert list(a["y"].tolist()[0]) == list(b["y"].tolist()[0])
+
+    def test_column_sample_replace_grouped(self, spark):
+        from datar_polars_spark import f, group_by, mutate, tibble
+        from datar_polars_spark.functions import sample_ as sample
+
+        td = tibble(spark, g=["a", "a", "b", "b"], x=[1, 2, 10, 20])
+        out = (
+            td
+            >> group_by(f.g)
+            >> mutate(y=sample(f.x, size=6, replace=True, seed=3))
+        ).collect()
+        by_g = {}
+        for g, y in zip(out["g"], out["y"]):
+            by_g.setdefault(g, []).append(list(y))
+        assert set(by_g["a"][0]).issubset({1, 2})
+        assert set(by_g["b"][0]).issubset({10, 20})
+        assert by_g["a"][0] == by_g["a"][1]
