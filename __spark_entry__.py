@@ -1034,6 +1034,103 @@ def q60_col_random(spark, sf):
     return _finish(out)
 
 
+# ---------------------------------------------------------------------------
+# q61: seeded differential fuzz (r2 VERDICT item 8). One deterministic
+# draw from a small query grammar; the Spark pipeline AND the DuckDB SQL
+# are both generated from the same spec, so the driver exercises a
+# randomized-but-reproducible plan each round. Change _FUZZ_SEED to
+# exercise a different draw.
+# ---------------------------------------------------------------------------
+
+_FUZZ_SEED = 20260814
+
+_FUZZ_RANGES = {
+    "l_quantity": (10.0, 40.0),
+    "l_extendedprice": (20000.0, 60000.0),
+    "l_discount": (0.02, 0.08),
+    "l_tax": (0.01, 0.07),
+}
+
+
+def _fuzz_spec(seed: int = _FUZZ_SEED) -> dict:
+    import random
+
+    rng = random.Random(seed)
+    num_cols = list(_FUZZ_RANGES)
+    gcols = rng.sample(["l_returnflag", "l_linestatus", "l_linenumber"], rng.choice([1, 2]))
+    fcol = rng.choice(num_cols)
+    lo, hi = _FUZZ_RANGES[fcol]
+    return {
+        "gcols": gcols,
+        "fcol": fcol,
+        "fop": rng.choice(["<=", ">"]),
+        "thresh": round(rng.uniform(lo, hi), 4),
+        # three distinct (fn, col) aggregates; sums go through exact
+        # integer cents (the q01 convention — float SUM + ROUND is
+        # tie-unstable across engines)
+        "aggs": rng.sample(
+            [(fn, c) for fn in ("sum", "avg", "min", "max") for c in num_cols], 3
+        ),
+    }
+
+
+def q61_seeded_fuzz(spark, sf):
+    """Covers: the DuckDB differential fuzzers promoted into the gate —
+    filter + group_by + summarise(mixed aggregates) + ungrouped
+    min_rank + arrange, with every choice drawn from _fuzz_spec(seed).
+    The oracle is generated from the SAME spec (see oracle_sql), so any
+    compile-path regression on this plan shape flips the hash."""
+    spec = _fuzz_spec()
+    li = _t(spark, sf, "lineitem")
+    fref = getattr(f, spec["fcol"])
+    cond = (fref <= spec["thresh"]) if spec["fop"] == "<=" else (fref > spec["thresh"])
+    agg_kwargs = {}
+    for i, (fn, c) in enumerate(spec["aggs"]):
+        cref = getattr(f, c)
+        if fn == "sum":
+            agg_kwargs[f"a{i}"] = sum_(as_integer(floor(cref * 100)), na_rm=True)
+        elif fn == "avg":
+            agg_kwargs[f"a{i}"] = round_(mean(cref, na_rm=True), 4)
+        elif fn == "min":
+            agg_kwargs[f"a{i}"] = round_(min_(cref, na_rm=True), 4)
+        else:
+            agg_kwargs[f"a{i}"] = round_(max_(cref, na_rm=True), 4)
+    out = (
+        li
+        >> filter_(cond)
+        >> group_by(*[getattr(f, g) for g in spec["gcols"]])
+        >> summarise(**agg_kwargs, n_rows=n())
+        >> ungroup()
+        >> mutate(rk=min_rank(desc(f.n_rows)))
+        >> arrange(*[getattr(f, g) for g in spec["gcols"]])
+    )
+    return _finish(out)
+
+
+def _fuzz_sql(spec: dict | None = None) -> str:
+    spec = spec or _fuzz_spec()
+    agg_sql = []
+    for i, (fn, c) in enumerate(spec["aggs"]):
+        if fn == "sum":
+            agg_sql.append(
+                f"CAST(SUM(CAST(FLOOR({c} * 100) AS BIGINT)) AS BIGINT) AS a{i}"
+            )
+        elif fn == "avg":
+            agg_sql.append(f"ROUND(AVG({c}), 4) AS a{i}")
+        else:
+            agg_sql.append(f"ROUND({fn.upper()}({c}), 4) AS a{i}")
+    gl = ", ".join(spec["gcols"])
+    return f"""
+        SELECT {gl}, {', '.join(agg_sql)},
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(RANK() OVER (ORDER BY COUNT(*) DESC) AS INTEGER) AS rk
+        FROM lineitem
+        WHERE {spec['fcol']} {spec['fop']} {spec['thresh']}
+        GROUP BY {gl}
+        ORDER BY {gl}
+    """
+
+
 def q39_simhash_dedup(spark, sf):
     """Covers: SimHash near-dup removal (64-bit, pigeonhole blocking).
     The signature is hash-defined (xxhash64) so no SQL oracle can
@@ -1220,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_sessionize": q51_sessionize,
         "q53_nest_join": q53_nest_join,
         "q60_col_random": q60_col_random,
+        "q61_seeded_fuzz": q61_seeded_fuzz,
         "q39_simhash_dedup": q39_simhash_dedup,
         "q40_lsh_topk": q40_lsh_topk,
         "q59_multimodal_features": q59_multimodal_features,
@@ -1805,4 +1903,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_chars * 10 AS BIGINT) AS n_samples
             FROM documents ORDER BY doc_id
         """,
+        # generated from the SAME seeded spec as the Spark pipeline
+        "q61_seeded_fuzz": _fuzz_sql(),
     }
