@@ -48,9 +48,14 @@ def _spark() -> SparkSession:
     return SparkSession.getActiveSession()
 
 
-def tribble(*args: Any) -> Tibble:
+def tribble(*args: Any, _name_repair: Any = "minimal") -> Tibble:
     """Row-wise constructor: ``tribble(f.x, f.y, 1, "a", 2, "b")``.
-    Leading ``Ref``s name the columns; the rest fill rows left-to-right."""
+    Leading ``Ref``s name the columns; the rest fill rows left-to-right.
+    Duplicate headers follow the tibble name-repair protocol (under
+    "minimal" Spark keeps the first occurrence, like the reference's
+    polars backend)."""
+    from ..tibble import repair_names
+
     cols: list[str] = []
     i = 0
     while i < len(args) and isinstance(args[i], Ref):
@@ -64,27 +69,70 @@ def tribble(*args: Any) -> Tibble:
     import pandas as pd
 
     rows = [list(vals[j : j + len(cols)]) for j in range(0, len(vals), len(cols))]
-    return from_pandas(_spark(), pd.DataFrame(rows, columns=cols))
+    repaired = repair_names(cols, _name_repair)
+    keep = []
+    seen: set[str] = set()
+    for idx, name in enumerate(repaired):
+        if name in seen:
+            continue
+        seen.add(name)
+        keep.append((idx, name))
+    pdf = pd.DataFrame(
+        {name: [r[idx] for r in rows] for idx, name in keep}
+    )
+    return from_pandas(_spark(), pdf)
 
 
 def tibble_row(**kwargs: Any) -> Tibble:
-    """Single-row constructor; every value must be scalar."""
+    """Single-row constructor; every value must be scalar (or a
+    length-1 list, whose element may itself be a list -> one array
+    cell, reference test_list_wrapped)."""
     for k, v in kwargs.items():
         if isinstance(v, (list, tuple)) and len(v) != 1:
             raise ValueError(f"tibble_row: column {k!r} must be length 1")
-    return tibble(_spark(), **{k: (v[0] if isinstance(v, (list, tuple)) else v) for k, v in kwargs.items()})
+    if not kwargs:
+        # 1 row x 0 cols (reference tibble_row() empty case)
+        return Tibble(_spark().range(1).drop("id"))
+    # keep every column a one-row LIST so a nested value stays one
+    # array cell instead of exploding into rows
+    return tibble(
+        _spark(),
+        **{
+            k: (list(v) if isinstance(v, (list, tuple)) else [v])
+            for k, v in kwargs.items()
+        },
+    )
 
 
-def enframe(x: Any, name: str = "name", value: str = "value") -> Tibble:
-    """Vector/dict -> two-column (name, value) table."""
+def enframe(x: Any, name: str | None = "name", value: str | None = "value") -> Tibble:
+    """Vector/dict -> two-column (name, value) table; ``name=None``
+    drops the name column (reference api/tibble.py:354-423: value=None
+    errors, None input -> empty frame, 2-D input rejected)."""
     import pandas as pd
 
+    if value is None:
+        raise ValueError("enframe: `value` can't be None")
+    if x is None:
+        cols = {} if name is None else {name: []}
+        cols[value] = []
+        return from_pandas(_spark(), pd.DataFrame(cols))
+    if getattr(x, "ndim", 1) > 1:
+        raise ValueError("enframe: `x` must be one-dimensional")
     if isinstance(x, dict):
-        pdf = pd.DataFrame({name: list(x.keys()), value: list(x.values())})
+        names, vals = list(x.keys()), list(x.values())
     else:
-        x = list(x)
-        pdf = pd.DataFrame({name: range(1, len(x) + 1), value: x})
-    return from_pandas(_spark(), pdf)
+        vals = list(x)
+        names = list(range(1, len(vals) + 1))
+    # mixed scalar/list values can't share a Spark column: promote the
+    # scalars to one-element lists (the reference keeps a pl.Object
+    # column; arrays-of-structs is our documented Object replacement)
+    if any(isinstance(v, (list, tuple)) for v in vals) and not all(
+        isinstance(v, (list, tuple)) for v in vals
+    ):
+        vals = [list(v) if isinstance(v, (list, tuple)) else [v] for v in vals]
+    cols = {} if name is None else {name: names}
+    cols[value] = vals
+    return from_pandas(_spark(), pd.DataFrame(cols))
 
 
 @verb
@@ -102,8 +150,22 @@ def add_row(td: Tibble, _before: int | None = None, _after: int | None = None, *
     """Append a row (or rows) at a position (default: end). The new
     rows' order keys are spliced between the neighbours' keys, so no
     global renumbering happens."""
+    if _before is not None and _after is not None:
+        raise ValueError("add_row: specify only one of _before and _after")
+    extra = [k for k in kwargs if k not in td.columns]
+    if extra:
+        raise ValueError(f"add_row: columns not in data: {extra}")
     t = td.ensure_order()
-    new = tibble(t.df.sparkSession, **kwargs)
+    if kwargs:
+        new = tibble(t.df.sparkSession, **kwargs)
+    else:
+        # add_row() with no values appends one all-null row
+        new = Tibble(
+            t.df.sparkSession.range(1).select(
+                *[F.lit(None).alias(c) for c in td.columns],
+                F.lit(0).cast("long").alias(ORDER_COL),
+            )
+        )
 
     n = t.nrow()
     if _before is not None:
@@ -142,6 +204,20 @@ def add_row(td: Tibble, _before: int | None = None, _after: int | None = None, *
 @verb
 def add_column(td: Tibble, _before: Any = None, _after: Any = None, **kwargs: Any) -> Tibble:
     """Add columns (from scalars or driver vectors) at a position."""
+    if _before is not None and _after is not None:
+        raise ValueError("add_column: specify only one of _before and _after")
+    dup = [k for k in kwargs if k in td.columns]
+    if dup:
+        raise ValueError(f"add_column: columns already exist: {dup}")
+    nrow = None
+    for k, v in kwargs.items():
+        if isinstance(v, (list, tuple, range)) and len(v) not in (1,):
+            nrow = td.nrow() if nrow is None else nrow
+            if len(v) != nrow:
+                raise ValueError(
+                    f"add_column: column {k!r} has length {len(v)}, "
+                    f"data has {nrow} rows"
+                )
     t = td.ensure_order()
     d = t.df
     names = list(kwargs)
@@ -171,9 +247,13 @@ def add_column(td: Tibble, _before: Any = None, _after: Any = None, **kwargs: An
     anchor = None
     if _before is not None:
         anchor = _before._name if isinstance(_before, Ref) else str(_before)
+        if anchor not in visible:
+            raise KeyError(f"add_column: column {anchor!r} not found")
         idx = visible.index(anchor)
     elif _after is not None:
         anchor = _after._name if isinstance(_after, Ref) else str(_after)
+        if anchor not in visible:
+            raise KeyError(f"add_column: column {anchor!r} not found")
         idx = visible.index(anchor) + 1
     else:
         idx = len(visible)
@@ -187,6 +267,8 @@ def rowid_to_column(td: Tibble, var: str = "rowid") -> Tibble:
     """1..n row-id column in frame order (reference ``api/tibble.py:610-665``)."""
     from pyspark.sql import Window
 
+    if var in td.columns:
+        raise ValueError(f"rowid_to_column: column {var!r} already exists")
     t = td.ensure_order()
     d = t.df.withColumn(
         var, F.row_number().over(Window.orderBy(F.col(ORDER_COL).asc()))

@@ -269,7 +269,53 @@ class Tibble:
     def cache(self) -> "Tibble":
         return self.with_df(self._df.cache(), keep_sort_meta=True)
 
-    def __getitem__(self, name: str) -> list:
+    @property
+    def shape(self) -> tuple[int, int]:
+        """(nrow, ncol) — triggers a count job, like the reference's
+        eager .shape on a collected frame."""
+        return self.nrow(), self.ncol()
+
+    def get_column(self, name: str) -> list:
+        """Column values as a driver list (reference Tibble.get_column;
+        missing columns raise KeyError — the ColumnNotFoundError
+        analogue)."""
+        if name not in self.columns:
+            raise KeyError(f"column {name!r} not found")
+        return self[name]
+
+    def __getattr__(self, name: str):
+        # dot access to columns (reference df.x). Only reached when
+        # normal attribute lookup fails; hidden/underscore names never
+        # resolve to columns.
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            cols = object.__getattribute__(self, "_df").columns
+        except Exception:
+            raise AttributeError(name)
+        if name in cols and not name.startswith(HIDDEN_PREFIX):
+            return self[name]
+        raise AttributeError(name)
+
+    def __getitem__(self, name):
+        # df[:, i] / df[:, [i, j]] / df[:, a:b]: positional column
+        # access (reference subsetting tests). A bare string stays the
+        # column-values form.
+        if isinstance(name, tuple) and len(name) == 2:
+            rows, cols = name
+            if not (isinstance(rows, slice) and rows == slice(None)):
+                raise TypeError("only full-row slices (df[:, cols]) are supported")
+            visible = self.columns
+            if isinstance(cols, int):
+                return self[visible[cols]]
+            if isinstance(cols, slice):
+                picked = visible[cols]
+            else:
+                picked = [visible[c] if isinstance(c, int) else str(c) for c in cols]
+            hidden = [c for c in self._df.columns if c.startswith(HIDDEN_PREFIX)]
+            return self.with_df(
+                self._df.select(*picked, *hidden), keep_sort_meta=True
+            )
         d = self._df.orderBy(ORDER_COL) if self.has_order else self._df
         pdf = d.select(name).toPandas()
         return pdf[name].tolist()
@@ -406,6 +452,7 @@ def repair_names(names: list[str], how="check_unique") -> list[str]:
 def tibble(
     spark: SparkSession = None,
     /,
+    *args,
     _rows: int | None = None,
     _name_repair="check_unique",
     **columns,
@@ -414,14 +461,41 @@ def tibble(
     ``api/tibble.py:45-208``). Length-1 values are recycled; expression
     values (``b=f.a * 2``) are deferred — evaluated against the columns
     to their left, preserving argument order; ``_rows`` makes an empty
-    n-row frame; ``_name_repair`` follows the reference protocol
-    (kwargs can't collide, so it matters for the list-rename form)."""
+    n-row frame; ``_name_repair`` follows the reference protocol.
+    Positional args (reference tibble(*args)): a dict contributes its
+    items, a Tibble splices its columns, a plain vector becomes an
+    unnamed column (auto-named V{i}); name repair then applies across
+    the combined name list — under "minimal", Spark cannot hold
+    duplicate names, so the first occurrence wins (the reference's
+    polars backend collapses dupes the same way)."""
     import pandas as pd
 
     from .plans.expr import Expr
 
     if spark is None:
         spark = SparkSession.getActiveSession()
+    if args and isinstance(args[0], SparkSession):
+        # tolerate tibble(spark_session, ...) routed through *args
+        spark, args = args[0], args[1:]
+    if args:
+        pairs: list[tuple[str, Any]] = []
+        for i, a in enumerate(args):
+            if isinstance(a, Tibble):
+                for c in a.columns:
+                    pairs.append((c, a[c]))
+            elif isinstance(a, dict):
+                pairs.extend(a.items())
+            else:
+                pairs.append((f"V{i}", a))
+        pairs.extend(columns.items())
+        repaired = repair_names([n for n, _ in pairs], _name_repair)
+        merged: dict[str, Any] = {}
+        for (_, v), n in zip(pairs, repaired):
+            if n in merged:
+                continue  # "minimal" keeps the first duplicate
+            merged[n] = v
+        columns = merged
+        _name_repair = "check_unique"  # already applied
     if not columns:
         df = spark.range(_rows or 0).drop("id")
         return Tibble(df)

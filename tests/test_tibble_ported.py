@@ -119,9 +119,9 @@ class TestAddRowColumn:
         assert out["y"].tolist() == [9, 8, 7]
 
     def test_add_column_shorter_vector_null_fills(self, spark):
-        # Spark-side semantics: position join, missing tail is NA
-        # (R tibble errors here; distributed add_column can't know nrow
-        # without an extra action)
+        # r3: aligned with the reference — a mismatched vector length
+        # ERRORS (add_column vectors are driver-side by definition, so
+        # the nrow check is one count on a small frame)
         td = tibble(spark, x=[1, 2, 3])
-        out = (td >> add_column(y=[1, 2])).collect()
-        assert_iterable_equal(out["y"].tolist(), [1, 2, None])
+        with pytest.raises(ValueError):
+            td >> add_column(y=[1, 2])
