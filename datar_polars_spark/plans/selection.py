@@ -71,7 +71,120 @@ class _Excluded:
 
 
 class Collection(list):
-    """R-style ``c(...)`` of selection items."""
+    """R-style ``c(...)`` of selection items (reference
+    ``datar_polars/collections.py``). Two construction forms:
+
+    * legacy/engine form — ``Collection(items)`` with one iterable:
+      the items become the elements verbatim (used by ``c_``);
+    * reference form — ``Collection(*items, pool=...)``: when a pool
+      (name list or int size) is given, elements resolve to 0-based
+      pool indices eagerly; anything that doesn't resolve lands in
+      ``.unmatched`` instead of raising (select reports them later).
+    """
+
+    def __init__(self, *args: Any, pool: Any = None):
+        self.pool = pool
+        self.unmatched: set = set()
+        if (
+            pool is None
+            and len(args) == 1
+            and isinstance(args[0], (list, tuple, range))
+        ):
+            list.__init__(self, list(args[0]))
+            return
+        elems = _flatten_items(args)
+        if pool is None:
+            list.__init__(self, elems)
+            return
+        list.__init__(self, self._resolve(elems, pool))
+
+    def _resolve(self, elems: list, pool: Any) -> list[int]:
+        names = None if isinstance(pool, int) else list(pool)
+        size = pool if isinstance(pool, int) else len(names)
+        out: list[int] = []
+        for e in elems:
+            if isinstance(e, int) and not isinstance(e, bool):
+                if 0 <= e < size:
+                    out.append(e)
+                else:
+                    self.unmatched.add(e)
+            elif names is not None and e in names:
+                out.append(names.index(e))
+            else:
+                self.unmatched.add(e)
+        return out
+
+
+def _flatten_items(args) -> list:
+    out: list = []
+    for a in args:
+        if a is None:
+            continue
+        if isinstance(a, (Collection, list, tuple, range)):
+            out.extend(_flatten_items(list(a)))
+        else:
+            out.append(a)
+    return out
+
+
+class Negated(Collection):
+    """``-x`` selection (reference collections.Negated): with a pool,
+    the complement of the resolved elements; without one, numeric
+    negation of each element (deferred until a pool is known)."""
+
+    def __init__(self, *args: Any, pool: Any = None):
+        if pool is None:
+            list.__init__(self, [-e for e in _flatten_items(args)])
+            self.pool = None
+            self.unmatched = set()
+            return
+        base = Collection(*args, pool=pool)
+        self.pool = pool
+        self.unmatched = base.unmatched
+        size = pool if isinstance(pool, int) else len(list(pool))
+        keep = set(base)
+        list.__init__(self, [i for i in range(size) if i not in keep])
+
+
+class Inverted(Collection):
+    """``~x`` selection: complement against the pool; identity until a
+    pool is known (reference collections.Inverted)."""
+
+    def __init__(self, *args: Any, pool: Any = None):
+        if pool is None:
+            list.__init__(self, _flatten_items(args))
+            self.pool = None
+            self.unmatched = set()
+            return
+        base = Collection(*args, pool=pool)
+        self.pool = pool
+        self.unmatched = base.unmatched
+        size = pool if isinstance(pool, int) else len(list(pool))
+        keep = set(base)
+        list.__init__(self, [i for i in range(size) if i not in keep])
+
+
+class Intersect(Collection):
+    """Intersection of sub-collections (reference
+    collections.Intersect); ``expand()`` resolves against the pool."""
+
+    def __init__(self, *args: Any, pool: Any = None):
+        self._parts = [list(a) if isinstance(a, (list, tuple, range)) else [a] for a in args]
+        self.pool = pool
+        self.unmatched = set()
+        list.__init__(self, [])
+
+    def expand(self, pool: Any = None) -> "Intersect":
+        pool = self.pool if pool is None else pool
+        resolved = [Collection(*p, pool=pool) for p in self._parts]
+        if not resolved:
+            return self
+        common = list(resolved[0])
+        for r in resolved[1:]:
+            keep = set(r)
+            common = [i for i in common if i in keep]
+        list.__init__(self, common)
+        return self
 
 
 class _CBuilder:
@@ -323,10 +436,16 @@ def vars_select(cols: list, *args: Any, raise_nonexists: bool = True) -> list[in
 
 
 def name_of(x: Any) -> str | None:
-    """Best-effort display name of a selection item."""
+    """Best-effort display name of a selection item. Our named-series
+    analogue is a one-entry dict ({name: values}); unnamed vectors
+    (plain lists) have no name, like an unnamed pl.Series."""
     if isinstance(x, Ref):
         return x._name
     if x is None:
+        return None
+    if isinstance(x, dict) and len(x) == 1:
+        return next(iter(x))
+    if isinstance(x, (list, tuple, range)):
         return None
     return str(x)
 

@@ -270,6 +270,17 @@ class Tibble:
         return self.with_df(self._df.cache(), keep_sort_meta=True)
 
     @property
+    def _datar(self) -> dict:
+        """Reference-compat metadata view (``Tibble._datar`` dict in
+        the reference): derived from this wrapper's typed attributes."""
+        return {
+            "backend": "spark",
+            "groups": list(self.group_vars) or None,
+            "rownames": self.rownames,
+            "levels": dict(self.levels) or None,
+        }
+
+    @property
     def shape(self) -> tuple[int, int]:
         """(nrow, ncol) — triggers a count job, like the reference's
         eager .shape on a collected frame."""
@@ -331,6 +342,33 @@ class Tibble:
         if rr is None:
             return NotImplemented
         return rr(self)
+
+
+def reconstruct_tibble(data: Any, old: "Tibble | None" = None) -> Tibble:
+    """Wrap a frame and carry metadata forward (reference
+    ``datar_polars/tibble.py`` reconstruct_tibble): plain frames get
+    clean metadata; a Tibble keeps its own; when ``old`` is given, its
+    metadata fills in wherever ``data`` carries none (data's own
+    metadata takes priority)."""
+    out = data if isinstance(data, Tibble) else ensure_tibble(data)
+    if out is data:
+        # copy-construct so the input is never mutated
+        res = out.with_df(out.df, keep_sort_meta=True)
+        res.rownames = out.rownames
+    else:
+        res = out
+    if old is not None:
+        if not res.group_vars and old.group_vars:
+            res.group_vars = tuple(
+                g for g in old.group_vars if g in res.df.columns
+            )
+        if res.rownames is None and old.rownames is not None:
+            res.rownames = old.rownames
+        if not res.levels and old.levels:
+            res.levels = {
+                k: v for k, v in old.levels.items() if k in res.df.columns
+            }
+    return res
 
 
 def ensure_tibble(data: Any) -> Tibble:
