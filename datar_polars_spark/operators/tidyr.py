@@ -582,29 +582,40 @@ def unchop(td: Tibble, cols: Any, keep_empty: bool = False) -> Tibble:
 
 @verb
 def pack(td: Tibble, **cols: Any) -> Tibble:
-    df = td.df
+    # one projection, no intermediate drop: Spark's drop() resolves
+    # case-insensitively, so drop("Y") after withColumn("y", ...) would
+    # silently remove the packed column too
     packed_away: list[str] = []
+    exprs: dict[str, Column] = {}
     for name, selection in cols.items():
         names = _sel(td, selection)
-        df = df.withColumn(name, F.struct(*[F.col(c) for c in names]))
+        exprs[name] = F.struct(*[F.col(c) for c in names])
         packed_away.extend(names)
-        df = df.drop(*names)
-    out_cols = [c for c in td.columns if c not in packed_away] + list(cols.keys())
-    return td.with_df(_ordered_select(df, out_cols))
+    keep = [c for c in td.columns if c not in packed_away]
+    hidden = [c for c in td.df.columns if c.startswith("__datar_")]
+    df = td.df.select(
+        *keep, *[exprs[n].alias(n) for n in exprs], *hidden
+    )
+    return td.with_df(df)
 
 
 @verb
 def unpack(td: Tibble, cols: Any, names_sep: str | None = None) -> Tibble:
-    names = _sel(td, cols)
+    # single projection (no withColumn-then-drop: Spark's drop()
+    # resolves case-insensitively, so drop("z") would remove a freshly
+    # unpacked field "Z" as well)
+    names = set(_sel(td, cols))
     df = td.df
-    for c in names:
-        inner = df.select(f"{c}.*").columns
-        for field in inner:
+    proj: list[Column] = []
+    for c in td.columns:
+        if c not in names:
+            proj.append(F.col(c))
+            continue
+        for field in df.select(f"{c}.*").columns:
             new_name = f"{c}{names_sep}{field}" if names_sep else field
-            df = df.withColumn(new_name, F.col(f"{c}.{field}"))
-        df = df.drop(c)
-    out_cols = [c for c in df.columns if not c.startswith("__datar_")]
-    return td.with_df(_ordered_select(df, out_cols))
+            proj.append(F.col(f"{c}.{field}").alias(new_name))
+    hidden = [c for c in df.columns if c.startswith("__datar_")]
+    return td.with_df(df.select(*proj, *hidden))
 
 
 # --------------------------------------------------------------------------
