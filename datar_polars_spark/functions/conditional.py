@@ -27,7 +27,18 @@ def _if_else(ctx, cond, true, false, missing=None):
 
 @register("case_when")
 def _case_when(ctx, *args, _default=None):
-    """``case_when(cond1, val1, cond2, val2, ...)`` — first match wins."""
+    """``case_when(cond1, val1, cond2, val2, ...)`` — first match wins.
+    The reference also accepts pre-paired tuples
+    (``case_when((cond1, val1), (cond2, val2), ...)``); both spellings
+    may mix (tests/base/test_funs.py case_when cases)."""
+    if any(isinstance(a, tuple) and len(a) == 2 for a in args):
+        flat: list = []
+        for a in args:
+            if isinstance(a, tuple) and len(a) == 2:
+                flat.extend(a)
+            else:
+                flat.append(a)
+        args = tuple(flat)
     if len(args) % 2 != 0:
         raise ValueError("case_when requires condition/value pairs")
     out = None

@@ -647,6 +647,20 @@ def _quantile_eager(x, probs=(0.0, 0.25, 0.5, 0.75, 1.0), na_rm: bool = False):
 
 
 def _cov_eager(x, y=None, ddof: int = 1):
+    from ..tibble import Tibble
+
+    if isinstance(x, Tibble):
+        # frame form (reference api/base/stats.py): pairwise covariance
+        # matrix of the numeric columns; `y` is not allowed here
+        if y is not None:
+            raise ValueError("cov on a data frame does not take `y`")
+        num = [
+            c
+            for c, t in x.dtypes
+            if t in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        ]
+        pdf = x.collect()[num]
+        return pdf.cov(ddof=ddof)
     if y is None:
         raise ValueError("cov on a plain vector requires `y`")
     xs, ys = [float(v) for v in x], [float(v) for v in y]

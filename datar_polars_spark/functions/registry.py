@@ -99,6 +99,9 @@ def tree_is_multi_value(node) -> bool:
     # (reference reframe(x=intersect(f.x, tbl)) explodes to rows)
     if node._fname in ("vec_intersect", "vec_union", "vec_setdiff"):
         return True
+    # summarise(n=row_number()) numbers the group 1..n as rows
+    if node._fname == "row_number" and not node._args and not node._kwargs:
+        return True
     return False
 
 

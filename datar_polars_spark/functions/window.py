@@ -72,6 +72,10 @@ def _n_ok_scalar(ctx, col):
 @register("row_number")
 def _row_number(ctx, x=None):
     if x is None:
+        if ctx.mode == "agg":
+            # summarise(n=row_number()): 1..group_size, exploded to
+            # rows post-agg (reference multi-value expr semantics)
+            return F.sequence(F.lit(1), F.count(F.lit(1)).cast("int"))
         # frame-order numbering: two-pass distributed when ungrouped
         # (per-bucket row_number + broadcast prefix counts) instead of a
         # single-partition global window

@@ -1029,8 +1029,14 @@ def slice_sample(
     seed: int | None = None,
 ) -> Tibble:
     n, prop = _resolve_n(n, prop)
-    if prop is not None and not td.group_vars and not replace:
-        return td.with_df(td.df.sample(fraction=prop, seed=seed), keep_sort_meta=True)
+    if not td.group_vars and not replace:
+        # dplyr semantics are EXACT (floor(n*prop) rows): orderBy(rand)
+        # + limit compiles to TakeOrderedAndProject — distributed, no
+        # single-partition window (and no approximate df.sample)
+        cnt = n if prop is None else int(td.nrow() * prop)
+        rnd = F.rand(seed) if seed is not None else F.rand()
+        out = td.df.orderBy(rnd).limit(int(cnt))
+        return td.with_df(out, keep_sort_meta=True)
     # exact-n per group: rank by rand()
     w = _group_window(td).orderBy(F.rand(seed) if seed is not None else F.rand())
     df = td.df.withColumn("__datar_rn__", F.row_number().over(w))

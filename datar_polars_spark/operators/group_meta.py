@@ -48,12 +48,24 @@ def _gvars(td: Tibble, extra: tuple) -> list[str]:
 
 
 def _key_sorted(td: Tibble, gvars: list[str]):
-    """Distinct group keys in dplyr order (sorted by key values)."""
-    return (
-        td.df.select(*gvars)
-        .dropDuplicates(gvars)
-        .orderBy(*[F.col(g).asc_nulls_last() for g in gvars])
-    )
+    """Distinct group keys in dplyr order (sorted by key values;
+    factor group columns sort by level position). With ``_drop=False``
+    a single factor group var contributes its UNUSED levels as empty
+    groups too (reference group_by.py _drop semantics)."""
+    d = td.df.select(*gvars).dropDuplicates(gvars)
+    if not td.group_drop and len(gvars) == 1 and gvars[0] in td.levels:
+        g = gvars[0]
+        lv = td.df.sparkSession.createDataFrame(
+            [(str(v),) for v in td.levels[g]], f"{g} string"
+        )
+        d = d.unionByName(lv).dropDuplicates(gvars)
+    keys = []
+    for g in gvars:
+        if g in td.levels:
+            keys.append(F.array_position(F.lit(td.levels[g]), F.col(g)).asc())
+        else:
+            keys.append(F.col(g).asc_nulls_last())
+    return d.orderBy(*keys)
 
 
 @verb
@@ -103,12 +115,27 @@ def group_data(td: Tibble) -> Tibble:
     if not gvars:
         out = d.agg(F.sort_array(F.collect_list("__pos__")).alias("_rows"))
         return Tibble(out)
-    out = (
-        d.groupBy(*gvars)
-        .agg(F.sort_array(F.collect_list("__pos__")).alias("_rows"))
-        .orderBy(*[F.col(g).asc_nulls_last() for g in gvars])
+    out = d.groupBy(*gvars).agg(
+        F.sort_array(F.collect_list("__pos__")).alias("_rows")
     )
-    return Tibble(out)
+    # _drop=False: unused factor levels appear as empty groups
+    # (reference group_by.py _drop semantics)
+    if not td.group_drop and len(gvars) == 1 and gvars[0] in td.levels:
+        g = gvars[0]
+        lv = d.sparkSession.createDataFrame(
+            [(str(v),) for v in td.levels[g]], f"{g} string"
+        )
+        missing = lv.join(out.select(g), g, "left_anti").withColumn(
+            "_rows", F.array().cast("array<int>")
+        )
+        out = out.unionByName(missing)
+    keys = [
+        F.array_position(F.lit(td.levels[g]), F.col(g)).asc()
+        if g in td.levels
+        else F.col(g).asc_nulls_last()
+        for g in gvars
+    ]
+    return Tibble(out.orderBy(*keys))
 
 
 @verb

@@ -98,6 +98,17 @@ class Collection(list):
             return
         list.__init__(self, self._resolve(elems, pool))
 
+    def __invert__(self) -> "SelectHelper":
+        """``~c_(f.a, f.b)``: exclude these columns (combinable with
+        helpers, e.g. ``where(is_double) & ~c_(f.x)``)."""
+        names = []
+        for it in self:
+            names.append(it._name if isinstance(it, Ref) else str(it))
+        return SelectHelper(
+            lambda cols, dt: [c for c in cols if c not in names],
+            f"~c_({names})",
+        )
+
     def _resolve(self, elems: list, pool: Any) -> list[int]:
         names = None if isinstance(pool, int) else list(pool)
         size = pool if isinstance(pool, int) else len(names)
