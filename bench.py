@@ -119,6 +119,42 @@ def main() -> None:
     except Exception:
         pass
 
+    # ---- sf1 scaling pass (10x data): one timed pass per headline
+    # query + the dedup scale op, after codegen is warm — the point is
+    # the SCALING CURVE (10x data should cost well under 10x wall on
+    # these plans: fixed per-query overheads amortize and every stage
+    # is a parallel keyed shuffle). The sf1 dataset is a key-shifted
+    # 10x replication of sf0.1 (tools/make_sf1.py), generated on first
+    # use and kept under benchdata/.
+    sf1: dict[str, float] = {}
+    sf1_scale_ops: dict[str, float] = {}
+    sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchdata", "sf1")
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1", "") != "1":
+        try:
+            if not os.path.isdir(sf1_dir):
+                import subprocess
+
+                subprocess.run(
+                    [sys.executable, "tools/make_sf1.py", sf_dir, sf1_dir],
+                    check=True,
+                    capture_output=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+            for name in names:
+                t0 = time.perf_counter()
+                qs[name](spark, sf1_dir).count()
+                sf1[name] = round(time.perf_counter() - t0, 3)
+            from datar_polars_spark import f as _f
+            from datar_polars_spark import read_parquet as _rp
+            from datar_polars_spark.scale import minhash_dedup as _mh
+
+            docs1 = _rp(spark, f"{sf1_dir}/documents.parquet")
+            t0 = time.perf_counter()
+            (docs1 >> _mh(_f.text, _f.doc_id, threshold=0.7)).df.count()
+            sf1_scale_ops["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pass
+
     total = round(sum(cold.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -132,6 +168,9 @@ def main() -> None:
                 "queries_warm": warm,
                 "scale_ops": scale_ops,
                 "scale_ops_warm": scale_ops_warm,
+                "sf1_total": round(sum(sf1.values()), 3) if sf1 else None,
+                "sf1_queries": sf1 or None,
+                "sf1_scale_ops": sf1_scale_ops or None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

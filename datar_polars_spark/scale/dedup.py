@@ -107,15 +107,32 @@ def char_shingles(col: Column, k: int = 8) -> Column:
 
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     """num_perm minhash values: min over shingles of xxhash64(x, seed).
-    xxhash64 with a distinct literal seed per permutation plays the role
-    of the independent hash family — all JVM codegen."""
-    def _seeded(i: int):
-        return lambda x: F.xxhash64(x, F.lit(i))
+    xxhash64 with a distinct int seed per permutation plays the role of
+    the independent hash family — all JVM codegen.
 
-    mins = [
-        F.array_min(F.transform(shingles, _seeded(i))) for i in range(num_perm)
-    ]
-    return F.array(*mins)
+    Formulated as ONE fold over the shingles (aggregate + zip_with
+    least) rather than num_perm separate array_min(transform(...))
+    projections: hash values are identical (same (shingle, int-seed)
+    xxhash64 inputs), but codegen compiles a single loop instead of 64
+    unrolled array passes — r2 BENCH showed the wide form's codegen
+    dominating the cold path (9.1 s cold vs 2.6 s warm at sf0.1) — and
+    execution traverses the shingle array once instead of 64 times."""
+    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    long_max = F.lit(9223372036854775807).cast("long")
+    folded = F.aggregate(
+        shingles,
+        F.array_repeat(long_max, num_perm),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(x, i)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    # empty shingle arrays used to yield all-null signatures
+    # (array_min of nothing); preserve that exact contract
+    return F.when(F.size(shingles) > 0, folded).otherwise(
+        F.array_repeat(F.lit(None).cast("long"), num_perm)
+    )
 
 
 def _cap_buckets(
