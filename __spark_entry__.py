@@ -951,6 +951,41 @@ def q50_embedding_dedup(spark, sf):
     return out.df.select("vec_id").orderBy("vec_id")
 
 
+def q62_semantic_dedup(spark, sf):
+    """Covers: SemDeDup-style semantic dedup (NEW r3, scale/dedup.py
+    semantic_dedup — k-means cluster the embedding space, exact
+    within-cluster cosine prune). The corpus has no organic pairs at
+    cosine >= 0.95, so 50 near-duplicates are PLANTED
+    (copy_i = v_i + 0.05 * v_{i+1}, cosine ~0.9988, ids 20000+i):
+    survivors must be exactly the original vec_ids, which the oracle
+    states directly — a planted id surviving (missed pair: wrong
+    cluster assignment or a broken prune) fails the hash."""
+    from datar_polars_spark.scale.dedup import semantic_dedup
+    from datar_polars_spark.tibble import Tibble
+
+    e = _t(spark, sf, "embeddings")
+    base = e.df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    nxt = base.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("e2")
+    )
+    planted = (
+        base.filter(F.col("vec_id") < 50)
+        .join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + 20000).alias("vec_id"),
+            F.zip_with("embedding", "e2", lambda x, y: x + 0.05 * y).alias(
+                "embedding"
+            ),
+        )
+    )
+    corpus = Tibble(base.unionByName(planted))
+    out = semantic_dedup(corpus, f.embedding, f.vec_id, eps=0.05)
+    return out.df.select("vec_id").orderBy("vec_id")
+
+
 def q51_sessionize(spark, sf):
     """Covers: batch sessionization (gap-based ids via lag + running
     sum) AND consecutive_id run-length ids (merged r1 q51+q24), joined
@@ -1318,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_nest_join": q53_nest_join,
         "q60_col_random": q60_col_random,
         "q61_seeded_fuzz": q61_seeded_fuzz,
+        "q62_semantic_dedup": q62_semantic_dedup,
         "q39_simhash_dedup": q39_simhash_dedup,
         "q40_lsh_topk": q40_lsh_topk,
         "q59_multimodal_features": q59_multimodal_features,
@@ -1905,4 +1941,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # generated from the SAME seeded spec as the Spark pipeline
         "q61_seeded_fuzz": _fuzz_sql(),
+        # planted-duplicate construction: survivors are exactly the
+        # original corpus (see q62 docstring)
+        "q62_semantic_dedup": """
+            SELECT vec_id FROM embeddings ORDER BY vec_id
+        """,
     }

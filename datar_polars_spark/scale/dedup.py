@@ -35,6 +35,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
     "embedding_dedup",
+    "semantic_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -612,6 +614,133 @@ def embedding_dedup(
 ) -> Tibble:
     idn = _name_of(id_col)
     pairs = embedding_cosine_pairs(td, embedding, id_col, threshold).df
+    out = _drop_duplicates_by_pairs(
+        td.df.select(*td.columns), pairs, idn, resolve
+    )
+    return Tibble(out, groups=td.group_vars, levels=td.levels)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (cluster -> exact within-cluster prune)
+# --------------------------------------------------------------------------
+
+def semantic_pairs(
+    td: Tibble,
+    embedding: Any,
+    id_col: Any,
+    eps: float = 0.05,
+    n_clusters: int | None = None,
+    max_cluster: int = 4096,
+    seed: int = 42,
+) -> Tibble:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space with the IVF
+    coarse quantizer (scale/similarity.py ivf_train — sampled driver
+    k-means, deterministic seed), then compute EXACT pairwise cosines
+    only within each cluster and emit every pair with
+    ``cosine >= 1 - eps``.
+
+    100 TB design: the only wide operation is one groupBy shuffle on
+    the cluster id; each group's pair search is a single numpy matmul
+    inside ``applyInPandas`` (Arrow-batched), O(m^2) only within a
+    cluster of size m. Clusters larger than ``max_cluster`` are
+    salt-split on the id hash so no task materializes more than
+    ``max_cluster`` vectors — near-identical vectors still co-locate by
+    cluster, and only pairs straddling a salt split are lost (logged;
+    raise ``n_clusters`` to shrink clusters instead of relying on the
+    salt). Complements ``embedding_cosine_pairs`` (hyperplane LSH):
+    LSH targets high-threshold near-dups with per-pair recall
+    guarantees; SemDeDup prunes semantic redundancy at lower cosine
+    where LSH banding would need impractically many bands."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .similarity import ivf_assign, ivf_train
+
+    ename, idn = _name_of(embedding), _name_of(id_col)
+    n = td.df.count()
+    if n == 0:
+        return Tibble(
+            td.df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos double"
+            )
+        )
+    if n_clusters is None:
+        # sqrt(n) keeps expected cluster size ~sqrt(n): pair work
+        # n/k * m^2 = n * sqrt(n) total comparisons, spread over k tasks
+        n_clusters = max(4, int(math.isqrt(n)))
+    cents = ivf_train(td, embedding, n_clusters=n_clusters, seed=seed)
+    assigned = ivf_assign(td, cents, embedding, cluster_col="__sem_c__")
+    d = assigned.df.select(
+        F.col(idn).alias("id"), F.col(ename).alias("vec"), "__sem_c__"
+    )
+    # salt-split census: tiny aggregate (k rows), broadcast as a map
+    counts = d.groupBy("__sem_c__").count().collect()
+    splits = {
+        int(r["__sem_c__"]): max(1, -(-int(r["count"]) // max_cluster))
+        for r in counts
+    }
+    if any(v > 1 for v in splits.values()):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "semantic_pairs: %d clusters exceed max_cluster=%d and were "
+            "salt-split (cross-split pairs are not compared); raise "
+            "n_clusters for full within-cluster recall",
+            sum(1 for v in splits.values() if v > 1),
+            max_cluster,
+        )
+    pairs_kv = [F.lit(v) for kv in splits.items() for v in kv]
+    split_of = F.create_map(*pairs_kv)[F.col("__sem_c__")]
+    d = d.withColumn(
+        "__sem_s__", F.pmod(F.xxhash64(F.col("id")), split_of).cast("int")
+    )
+
+    def find_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        S = Xn @ Xn.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = S[iu] >= 1.0 - eps
+        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos": S[iu][keep]}
+        )
+
+    out = d.groupBy("__sem_c__", "__sem_s__").applyInPandas(
+        find_pairs, "id_a long, id_b long, cos double"
+    )
+    return Tibble(out.dropDuplicates(["id_a", "id_b"]))
+
+
+@verb
+def semantic_dedup(
+    td: Tibble,
+    embedding: Any,
+    id_col: Any,
+    eps: float = 0.05,
+    n_clusters: int | None = None,
+    max_cluster: int = 4096,
+    resolve: str = "single_link",
+    seed: int = 42,
+) -> Tibble:
+    """Drop semantic near-duplicates: keep one representative (the
+    minimum id under ``single_link``; the component minimum under
+    ``resolve='components'``) of every within-cluster pair at
+    ``cosine >= 1 - eps``. See ``semantic_pairs`` for the plan shape."""
+    idn = _name_of(id_col)
+    pairs = semantic_pairs(
+        td, embedding, id_col, eps=eps, n_clusters=n_clusters,
+        max_cluster=max_cluster, seed=seed,
+    ).df
     out = _drop_duplicates_by_pairs(
         td.df.select(*td.columns), pairs, idn, resolve
     )

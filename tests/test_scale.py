@@ -317,3 +317,84 @@ def test_cap_per_key_deterministic(spark):
     assert counts == {"a": 4, "b": 3}
     out2 = (td >> cap_per_key(f.k, 4, id_col=f.doc_id)).collect()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])  # reproducible
+
+
+class TestSemanticDedup:
+    """SemDeDup-style cluster-then-prune dedup (round 3): planted
+    near-identical vectors must be dropped, orthogonal-ish base vectors
+    kept, min id surviving."""
+
+    def _corpus(self, spark, n=200, dim=16, n_dups=20, noise=0.01):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(7)
+        X = rng.standard_normal((n, dim))
+        dup = X[:n_dups] + noise * rng.standard_normal((n_dups, dim))
+        ids = list(range(n)) + [10_000 + i for i in range(n_dups)]
+        vecs = [list(map(float, v)) for v in np.vstack([X, dup])]
+        pdf = pd.DataFrame({"vec_id": ids, "embedding": vecs})
+        from datar_polars_spark.tibble import from_pandas
+
+        return from_pandas(spark, pdf)
+
+    def test_semantic_dedup_drops_planted(self, spark):
+        from datar_polars_spark import f
+        from datar_polars_spark.scale.dedup import semantic_dedup
+
+        td = self._corpus(spark)
+        out = semantic_dedup(td, f.embedding, f.vec_id, eps=0.05)
+        ids = sorted(out["vec_id"])
+        assert ids == list(range(200))  # planted 10_000+ ids all dropped
+
+    def test_semantic_pairs_cosine_values(self, spark):
+        from datar_polars_spark import f
+        from datar_polars_spark.scale.dedup import semantic_pairs
+
+        td = self._corpus(spark)
+        pairs = semantic_pairs(td, f.embedding, f.vec_id, eps=0.05)
+        rows = pairs.df.collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert r["id_a"] < r["id_b"]
+            assert r["cos"] >= 0.95
+            assert r["id_b"] - 10_000 == r["id_a"]
+
+    def test_semantic_dedup_components_chain(self, spark):
+        # a -> b -> c chained near-dups: components keeps exactly one
+        import numpy as np
+        import pandas as pd
+
+        from datar_polars_spark import f
+        from datar_polars_spark.scale.dedup import semantic_dedup
+        from datar_polars_spark.tibble import from_pandas
+
+        rng = np.random.RandomState(3)
+        base = rng.standard_normal(8)
+        chain = [base + 0.005 * i * rng.standard_normal(8) for i in range(3)]
+        other = [rng.standard_normal(8) for _ in range(5)]
+        vecs = [list(map(float, v)) for v in chain + other]
+        td = from_pandas(
+            spark, pd.DataFrame({"vec_id": list(range(8)), "embedding": vecs})
+        )
+        out = semantic_dedup(
+            td, f.embedding, f.vec_id, eps=0.05, resolve="components"
+        )
+        ids = sorted(out["vec_id"])
+        assert 0 in ids and 1 not in ids and 2 not in ids
+        assert len(ids) == 6
+
+    def test_semantic_pairs_salt_split_cap(self, spark):
+        # oversized cluster: salt split keeps every task bounded; the
+        # planted pair still lands (ids hash to same salt or cluster is
+        # small enough after raising n_clusters) — here we just assert
+        # the cap path runs and returns a frame
+        from datar_polars_spark import f
+        from datar_polars_spark.scale.dedup import semantic_pairs
+
+        td = self._corpus(spark, n=100, n_dups=5)
+        pairs = semantic_pairs(
+            td, f.embedding, f.vec_id, eps=0.05, n_clusters=4, max_cluster=16
+        )
+        assert pairs.df.columns == ["id_a", "id_b", "cos"]
+        pairs.df.count()
