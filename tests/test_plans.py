@@ -360,3 +360,32 @@ def test_ungrouped_value_ranks_no_single_partition(spark):
     )
     plan = _plan(td)
     assert "SinglePartition" not in plan
+
+
+def test_semantic_pairs_single_shuffle_no_funnel(spark):
+    """semantic_pairs (SemDeDup-style, r3): the pair search is one
+    groupBy-cluster shuffle into an Arrow applyInPandas stage — no
+    SinglePartition exchange anywhere."""
+    from datar_polars_spark.scale.dedup import semantic_pairs
+
+    td = read_parquet(spark, f"{SF}/embeddings.parquet")
+    pairs = semantic_pairs(td, f.embedding, f.vec_id, eps=0.05, n_clusters=8)
+    plan = pairs.df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_grouped_agg_join_broadcasts_small_side(spark):
+    """Grouped mutate of an unordered aggregate (the q22 shape): the
+    agg side is probed at compile and broadcast when small, removing
+    the fact-table shuffle (r3 — AQE never demotes this SMJ itself)."""
+    from datar_polars_spark.functions import mean
+
+    td = (
+        read_parquet(spark, f"{SF}/lineitem.parquet")
+        >> group_by(f.l_suppkey)
+        >> mutate(dev=f.l_extendedprice - mean(f.l_extendedprice, na_rm=True))
+    )
+    plan = _plan(td)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
