@@ -163,29 +163,27 @@ def _cap_buckets(
 
 
 def _banded(df: DataFrame, sig: str, bands: int, rows_per_band: int) -> DataFrame:
-    """Explode a signature to (band_idx, band_hash) LSH buckets."""
-    band_hashes = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(F.col(sig), b * rows_per_band + r + 1).cast(
-                                "string"
-                            )
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bhash"),
+    """Explode a signature to (band_idx, band_hash) LSH buckets.
+
+    One ``transform`` over a band-index sequence instead of ``bands``
+    unrolled struct expressions: band-hash values are identical (same
+    comma-joined string per band — array_join skips NULLs exactly like
+    concat_ws), but codegen compiles a single loop, trimming the cold
+    path the same way the minhash_signature fold does."""
+    idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    bh = F.transform(
+        idx,
+        lambda b: F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col(sig), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
             )
-            for b in range(bands)
-        ]
+        ),
     )
-    return df.withColumn("__band__", F.explode(band_hashes)).select(
-        "*", F.col("__band__.band").alias("band"), F.col("__band__.bhash").alias("bhash")
-    ).drop("__band__")
+    return df.select("*", F.posexplode(bh).alias("band", "bhash"))
 
 
 @verb
