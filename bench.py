@@ -97,6 +97,15 @@ def main() -> None:
         docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
         emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
         q = emb.df.select("embedding").first()[0]
+        # same codegen warm-up protocol as the headline queries: run the
+        # dedup plan once at the smallest SF so the timed passes measure
+        # sf-scale execution, not first-call whole-stage-codegen compile
+        if os.path.isdir(warm_dir):
+            try:
+                wdocs = read_parquet(spark, f"{warm_dir}/documents.parquet")
+                (wdocs >> minhash_dedup(f.text, f.doc_id, threshold=0.7)).df.count()
+            except Exception:
+                pass
         ops = {
             "minhash_dedup": lambda: (
                 docs >> minhash_dedup(f.text, f.doc_id, threshold=0.7)
@@ -131,6 +140,10 @@ def main() -> None:
     sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchdata", "sf1")
     if os.environ.get("SPARK_GRAFT_SKIP_SF1", "") != "1":
         try:
+            # drop persisted frames from the sf0.1 passes so the sf1
+            # timings measure execution, not GC pressure from stale
+            # cached state
+            spark.catalog.clearCache()
             if not os.path.isdir(sf1_dir):
                 import subprocess
 
