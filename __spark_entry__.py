@@ -903,6 +903,38 @@ def q48_stream_windowed(spark, sf):
     ).orderBy("day", "event_type")
 
 
+def q63_stream_stateful(spark, sf):
+    """Covers: the custom stateful streaming operator (NEW r3 gate —
+    ``stateful_running_agg`` via ``applyInPandasWithState``, the
+    pattern for per-key state windowed aggregation can't express).
+    Events stream through the state store in update mode; micro-batch
+    boundaries vary, but the FINAL emitted row per key (the one with
+    the largest n_events) is the exact per-key (count, sum, max),
+    which the batch SQL oracle recomputes — proving the state-store
+    accumulation matches batch semantics end to end."""
+    from datar_polars_spark.streaming import run_to_memory, stream_read_parquet
+    from datar_polars_spark.streaming import stateful_running_agg
+
+    s = stream_read_parquet(spark, f"{sf}/events.parquet")
+    out = stateful_running_agg(s, f.user_id, value=f.value)
+    pdf = run_to_memory(out, mode="update")
+    # final state per key = the update with the largest n_events
+    pdf = (
+        pdf.sort_values("n_events")
+        .groupby("user_id", as_index=False)
+        .last()
+        .sort_values("user_id")
+    )
+    pdf["total"] = pdf["total"].round(4)
+    pdf["max_value"] = pdf["max_value"].round(4)
+    # a key with only NULL values has no sum either (SQL SUM -> NULL;
+    # the accumulator's 0.0 is its additive identity)
+    pdf.loc[pdf["max_value"].isna(), "total"] = None
+    return spark.createDataFrame(
+        pdf[["user_id", "n_events", "total", "max_value"]]
+    ).orderBy("user_id")
+
+
 def q49_ngram_jaccard(spark, sf):
     """Covers: n-gram Jaccard near-dup pair mining (exact set overlap on
     word shingles, LSH-blocked). High-recall banding (32x2) makes the
@@ -1354,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_col_random": q60_col_random,
         "q61_seeded_fuzz": q61_seeded_fuzz,
         "q62_semantic_dedup": q62_semantic_dedup,
+        "q63_stream_stateful": q63_stream_stateful,
         "q39_simhash_dedup": q39_simhash_dedup,
         "q40_lsh_topk": q40_lsh_topk,
         "q59_multimodal_features": q59_multimodal_features,
@@ -1945,5 +1978,13 @@ def oracle_sql() -> dict[str, str]:
         # original corpus (see q62 docstring)
         "q62_semantic_dedup": """
             SELECT vec_id FROM embeddings ORDER BY vec_id
+        """,
+        # final per-key state of the streaming accumulator == batch agg
+        "q63_stream_stateful": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 4) AS total,
+                   ROUND(MAX(value), 4) AS max_value
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
     }
