@@ -119,6 +119,9 @@ def main() -> None:
             "cosine_topk": lambda: cosine_topk(
                 emb, [float(v) for v in q], f.embedding, f.vec_id, k=10
             ).df.count(),
+            "semantic_dedup": lambda: __import__(
+                "datar_polars_spark.scale.dedup", fromlist=["semantic_dedup"]
+            ).semantic_dedup(emb, f.embedding, f.vec_id, eps=0.05).df.count(),
         }
         for pass_timings in (scale_ops, scale_ops_warm):
             for op_name, op in ops.items():
