@@ -1174,6 +1174,73 @@ def q61_seeded_fuzz(spark, sf):
     return _finish(out)
 
 
+_FUZZ2_SEED = 20260815
+
+
+def _fuzz2_spec(seed: int = _FUZZ2_SEED) -> dict:
+    """Second grammar: dim-join + grouped aggregate (exercises the
+    join compile path with a randomized-but-reproducible draw)."""
+    import random
+
+    rng = random.Random(seed)
+    return {
+        # orders joins customer on custkey; group by a customer dim
+        "gcol": rng.choice(["c_mktsegment", "c_nationkey"]),
+        "jtype": rng.choice(["inner", "left"]),
+        "fcol": "o_totalprice",
+        "thresh": round(rng.uniform(50_000, 250_000), 2),
+        "agg": rng.choice(["sum", "avg", "max"]),
+    }
+
+
+def q64_seeded_join_fuzz(spark, sf):
+    """Covers: second seeded differential fuzz — a fact-to-dim join +
+    grouped aggregate whose every choice comes from _fuzz2_spec(seed);
+    the oracle is generated from the same spec. Complements q61 (scan +
+    agg + rank grammar) with the join path."""
+    spec = _fuzz2_spec()
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    join_fn = inner_join if spec["jtype"] == "inner" else left_join
+    joined = join_fn(
+        o >> filter_(getattr(f, spec["fcol"]) > spec["thresh"]),
+        c,
+        by={"o_custkey": "c_custkey"},
+    )
+    g = getattr(f, spec["gcol"])
+    if spec["agg"] == "sum":
+        aggc = sum_(as_integer(floor(f.o_totalprice * 100)), na_rm=True)
+    elif spec["agg"] == "avg":
+        aggc = round_(mean(f.o_totalprice, na_rm=True), 4)
+    else:
+        aggc = round_(max_(f.o_totalprice, na_rm=True), 4)
+    out = (
+        joined
+        >> group_by(g)
+        >> summarise(a0=aggc, n_rows=n())
+        >> arrange(g)
+    )
+    return _finish(out)
+
+
+def _fuzz2_sql(spec: dict | None = None) -> str:
+    spec = spec or _fuzz2_spec()
+    if spec["agg"] == "sum":
+        a0 = "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS a0"
+    elif spec["agg"] == "avg":
+        a0 = "ROUND(AVG(o_totalprice), 4) AS a0"
+    else:
+        a0 = "ROUND(MAX(o_totalprice), 4) AS a0"
+    jt = "JOIN" if spec["jtype"] == "inner" else "LEFT JOIN"
+    return f"""
+        SELECT {spec['gcol']}, {a0}, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM (SELECT * FROM orders WHERE {spec['fcol']} > {spec['thresh']}) o
+        {jt} customer c ON o.o_custkey = c.c_custkey
+        GROUP BY {spec['gcol']}
+        ORDER BY {spec['gcol']}
+    """
+
+
 def _fuzz_sql(spec: dict | None = None) -> str:
     spec = spec or _fuzz_spec()
     agg_sql = []
@@ -1387,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_seeded_fuzz": q61_seeded_fuzz,
         "q62_semantic_dedup": q62_semantic_dedup,
         "q63_stream_stateful": q63_stream_stateful,
+        "q64_seeded_join_fuzz": q64_seeded_join_fuzz,
         "q39_simhash_dedup": q39_simhash_dedup,
         "q40_lsh_topk": q40_lsh_topk,
         "q59_multimodal_features": q59_multimodal_features,
@@ -1974,6 +2042,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # generated from the SAME seeded spec as the Spark pipeline
         "q61_seeded_fuzz": _fuzz_sql(),
+        "q64_seeded_join_fuzz": _fuzz2_sql(),
         # planted-duplicate construction: survivors are exactly the
         # original corpus (see q62 docstring)
         "q62_semantic_dedup": """
