@@ -1018,6 +1018,31 @@ def q62_semantic_dedup(spark, sf):
     return out.df.select("vec_id").orderBy("vec_id")
 
 
+def q65_rolling_windows(spark, sf):
+    """Covers: rolling window functions (NEW r3 — roll_sum/roll_mean,
+    the zoo/slider family). UNGROUPED 30-row trailing aggregates after
+    arrange(o_orderkey): the ungrouped form exercises the two-pass
+    distributed rewrite (per-bucket rowsBetween windows + carried
+    previous-bucket tails — no single-partition window, plan-guarded
+    in tests/test_rolling.py); the oracle recomputes with SQL ROWS
+    BETWEEN frames. Rows before the window fills are NULL (rollsumr
+    fill=NA convention), stated as CASE WHEN rn >= 30 in the oracle."""
+    from datar_polars_spark import arrange
+    from datar_polars_spark.functions import roll_mean, roll_sum
+
+    o = _t(spark, sf, "orders")
+    out = (
+        o
+        >> arrange(f.o_orderkey)
+        >> mutate(
+            roll_rev=round_(roll_sum(f.o_totalprice, 30), 4),
+            roll_avg=round_(roll_mean(f.o_totalprice, 30), 4),
+        )
+        >> select(f.o_orderkey, f.roll_rev, f.roll_avg)
+    )
+    return _finish(out)
+
+
 def q51_sessionize(spark, sf):
     """Covers: batch sessionization (gap-based ids via lag + running
     sum) AND consecutive_id run-length ids (merged r1 q51+q24), joined
@@ -1455,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_semantic_dedup": q62_semantic_dedup,
         "q63_stream_stateful": q63_stream_stateful,
         "q64_seeded_join_fuzz": q64_seeded_join_fuzz,
+        "q65_rolling_windows": q65_rolling_windows,
         "q39_simhash_dedup": q39_simhash_dedup,
         "q40_lsh_topk": q40_lsh_topk,
         "q59_multimodal_features": q59_multimodal_features,
@@ -2043,6 +2069,20 @@ def oracle_sql() -> dict[str, str]:
         # generated from the SAME seeded spec as the Spark pipeline
         "q61_seeded_fuzz": _fuzz_sql(),
         "q64_seeded_join_fuzz": _fuzz2_sql(),
+        "q65_rolling_windows": """
+            SELECT o_orderkey,
+                   CASE WHEN rn >= 30 THEN ROUND(rsum, 4) END AS roll_rev,
+                   CASE WHEN rn >= 30 THEN ROUND(rmean, 4) END AS roll_avg
+            FROM (
+                SELECT o_orderkey,
+                       ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+                       SUM(o_totalprice) OVER (ORDER BY o_orderkey
+                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS rsum,
+                       AVG(o_totalprice) OVER (ORDER BY o_orderkey
+                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS rmean
+                FROM orders)
+            ORDER BY o_orderkey
+        """,
         # planted-duplicate construction: survivors are exactly the
         # original corpus (see q62 docstring)
         "q62_semantic_dedup": """

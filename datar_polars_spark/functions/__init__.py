@@ -45,6 +45,7 @@ _EXPORT = {
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
     "ntile", "lead", "lag", "cumsum", "cummax", "cummin", "cummean",
     "cumprod", "cumall", "cumany", "cumcount", "consecutive_id",
+    "roll_sum", "roll_mean", "roll_min", "roll_max",
     # conditional
     "if_else", "ifelse", "case_when", "case_match", "coalesce", "na_if",
     "between", "near", "recode", "is_na", "nan_to_null",

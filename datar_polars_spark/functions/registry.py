@@ -62,6 +62,10 @@ NEEDS_ORDER: set[str] = {
     "nth",
     "paste",
     "paste0",
+    "roll_sum",
+    "roll_mean",
+    "roll_min",
+    "roll_max",
 }
 
 

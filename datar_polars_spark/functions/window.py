@@ -254,3 +254,32 @@ def _consecutive_id(ctx, *xs):
         changed = F.greatest(changed, neq.cast("int"))
     changed = F.when(ctx.row_number_over() == 1, F.lit(1)).otherwise(changed)
     return ctx.cum_over("sum", changed)
+
+
+# --------------------------------------------------------------------------
+# rolling windows (r3 extension; zoo::rollsumr / slider::slide_dbl family —
+# absent from the reference, standard tidyverse-adjacent analytics)
+# --------------------------------------------------------------------------
+
+def _roll(kind):
+    def impl(ctx, x, k, min_periods=None):
+        kk = int(ctx.eval(k))
+        if kk < 1:
+            raise ValueError(f"roll_{kind}: k must be >= 1, got {kk}")
+        mp = None if min_periods is None else int(ctx.eval(min_periods))
+        return ctx.roll_over(kind, ctx.col(x), kk, min_periods=mp)
+
+    impl.__name__ = f"_roll_{kind}"
+    impl.__doc__ = (
+        f"Trailing k-row rolling {kind} in frame order (grouped: inside "
+        "the group partition; ungrouped: two-pass distributed — see "
+        "EvalContext.roll_over). Rows before min_periods (default k) "
+        "yield NULL."
+    )
+    return impl
+
+
+register("roll_sum")(_roll("sum"))
+register("roll_mean")(_roll("mean"))
+register("roll_min")(_roll("min"))
+register("roll_max")(_roll("max"))

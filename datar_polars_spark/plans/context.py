@@ -593,6 +593,130 @@ class EvalContext:
             boundary = dflt
         return F.when(rn_b > n, within).otherwise(boundary)
 
+    def roll_over(
+        self,
+        kind: str,
+        value: Column,
+        k: int,
+        order_by: Any = None,
+        min_periods: int | None = None,
+    ) -> Column:
+        """Trailing k-row rolling aggregate over frame order
+        (kind: sum|mean|min|max; NULL values are skipped, like the
+        window aggregates they compile to). Rows before the window has
+        ``min_periods`` rows (default k) yield NULL — the
+        zoo::rollsumr(fill=NA) convention.
+
+        Grouped: one ``rowsBetween(-(k-1), 0)`` window inside the group
+        partition. Ungrouped: two-pass distributed — per-bucket rolling
+        windows run in parallel, one tiny boundary job collects each
+        bucket's last k-1 values plus its row count, and the driver
+        broadcasts (a) the previous-bucket tail per bucket (newest
+        first) to patch the first k-1 rows and (b) cumulative row
+        offsets for the partial-window mask. No single-partition
+        exchange."""
+        min_p = k if min_periods is None else int(min_periods)
+        frame = (-(k - 1), Window.currentRow)
+        aggf = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max}[kind]
+        ow = self.ordered(order_by)
+        simple = F.when(
+            F.row_number().over(ow) >= min_p,
+            aggf(value).over(ow.rowsBetween(*frame)),
+        )
+        if k < 2:
+            return F.when(
+                F.row_number().over(ow) >= min_p, value
+            ) if k == 1 else simple
+        bw = self._two_pass_windows(order_by)
+        if bw is None or k - 1 > self.MAX_TWO_PASS_SHIFT:
+            return simple
+        bucket, order_cols = bw
+        df = self.tibble.df
+        try:
+            dtype = df.select(value.alias("__v__")).schema[0].dataType
+            rows = (
+                df.groupBy(bucket.alias("__b__"))
+                .agg(
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col(ORDER_COL).alias("o"), value.alias("v")
+                                )
+                            ),
+                            asc=False,  # newest first
+                        ),
+                        1,
+                        k - 1,
+                    ).alias("__t__"),
+                    F.count(F.lit(1)).alias("__c__"),
+                )
+                .collect()
+            )
+        except Exception:
+            return simple
+        if not rows or len(rows) > self.MAX_TWO_PASS_BUCKETS:
+            return simple
+        rows.sort(key=lambda r: r["__b__"])
+        # prev-tail per bucket (newest first) + cumulative row offsets
+        carry: dict[int, list] = {}
+        offsets: dict[int, int] = {}
+        acc: list = []
+        total = 0
+        for r in rows:
+            if acc:
+                carry[r["__b__"]] = acc[: k - 1]
+            offsets[r["__b__"]] = total
+            total += r["__c__"]
+            acc = ([t["v"] for t in r["__t__"]] + acc)[: k - 1]
+        w_b = Window.partitionBy(bucket).orderBy(*order_cols)
+        rn_b = F.row_number().over(w_b)
+        off_pairs = [F.lit(v) for kv in offsets.items() for v in kv]
+        rn_global = rn_b + F.coalesce(
+            F.create_map(*off_pairs)[bucket], F.lit(0)
+        )
+        need = F.greatest(F.lit(k) - rn_b, F.lit(0))
+        carry_pairs: list[Column] = []
+        for b, vals in carry.items():
+            carry_pairs.append(F.lit(b))
+            carry_pairs.append(
+                F.array(*[F.lit(v).cast(dtype) for v in vals])
+            )
+        if carry_pairs:
+            tail = F.coalesce(
+                F.create_map(*carry_pairs)[bucket],
+                F.array().cast(f"array<{dtype.simpleString()}>"),
+            )
+        else:
+            tail = F.array().cast(f"array<{dtype.simpleString()}>")
+        borrowed = F.filter(
+            F.slice(tail, F.lit(1), need), lambda x: x.isNotNull()
+        )
+        b_cnt = F.size(borrowed)
+        zero = F.lit(0).cast(dtype)
+        b_sum = F.when(
+            b_cnt > 0, F.aggregate(borrowed, zero, lambda a, x: a + x)
+        )
+        if kind in ("sum", "mean"):
+            w_sum = F.sum(value).over(w_b.rowsBetween(*frame))
+            w_cnt = F.count(value).over(w_b.rowsBetween(*frame))
+            tot_sum = F.when(
+                w_sum.isNotNull() | b_sum.isNotNull(),
+                F.coalesce(w_sum, zero) + F.coalesce(b_sum, zero),
+            )
+            if kind == "sum":
+                combined = tot_sum
+            else:
+                tot_cnt = w_cnt + b_cnt
+                combined = F.when(tot_cnt > 0, tot_sum / tot_cnt)
+        else:
+            b_ext = F.array_min(borrowed) if kind == "min" else F.array_max(borrowed)
+            w_ext = aggf(value).over(w_b.rowsBetween(*frame))
+            combined = (
+                F.least(w_ext, b_ext) if kind == "min" else F.greatest(w_ext, b_ext)
+            )
+        return F.when(rn_global >= min_p, combined)
+
     def ntile_over(self, nval: int) -> Column:
         """ntile() in frame order; built from the two-pass row_number
         plus one eagerly-computed total count when ungrouped (Spark's
