@@ -1043,6 +1043,25 @@ def q65_rolling_windows(spark, sf):
     return _finish(out)
 
 
+def q66_trailing_time_window(spark, sf):
+    """Covers: time-based trailing window aggregates (NEW r3 —
+    scale/sessions.py trailing_agg, SQL RANGE BETWEEN INTERVAL
+    semantics at microsecond precision). Per-user trailing 1-hour
+    event sum/count; one rangeBetween window partitioned on the user
+    key — the per-entity feature-pipeline shape."""
+    from datar_polars_spark.scale import trailing_agg
+
+    e = _t(spark, sf, "events") >> group_by(f.user_id)
+    out = trailing_agg(e, f.ts, f.value, window="1 hour", fns=("sum", "count"))
+    d = out.df.select(
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.round("value_sum", 4).alias("value_sum"),
+        F.col("value_count").alias("value_count"),
+    ).orderBy("user_id", "ts")
+    return d
+
+
 def q51_sessionize(spark, sf):
     """Covers: batch sessionization (gap-based ids via lag + running
     sum) AND consecutive_id run-length ids (merged r1 q51+q24), joined
@@ -1481,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_stream_stateful": q63_stream_stateful,
         "q64_seeded_join_fuzz": q64_seeded_join_fuzz,
         "q65_rolling_windows": q65_rolling_windows,
+        "q66_trailing_time_window": q66_trailing_time_window,
         "q39_simhash_dedup": q39_simhash_dedup,
         "q40_lsh_topk": q40_lsh_topk,
         "q59_multimodal_features": q59_multimodal_features,
@@ -2082,6 +2102,16 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS rmean
                 FROM orders)
             ORDER BY o_orderkey
+        """,
+        "q66_trailing_time_window": """
+            SELECT user_id,
+                   CAST(ts AS VARCHAR) AS ts,
+                   ROUND(SUM(value) OVER w, 4) AS value_sum,
+                   CAST(COUNT(value) OVER w AS BIGINT) AS value_count
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, ts
         """,
         # planted-duplicate construction: survivors are exactly the
         # original corpus (see q62 docstring)

@@ -17,7 +17,7 @@ from ..plans.expr import Ref
 from ..plans.verb import verb
 from ..tibble import Tibble
 
-__all__ = ["sessionize_batch", "session_stats"]
+__all__ = ["sessionize_batch", "session_stats", "trailing_agg"]
 
 
 def _name_of(x: Any) -> str:
@@ -75,3 +75,70 @@ def session_stats(
         _epoch_s(out, "session_end") - _epoch_s(out, "session_start"),
     )
     return Tibble(out, levels=td.levels)
+
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _window_seconds(window: str | int | float) -> float:
+    if isinstance(window, (int, float)):
+        return float(window)
+    parts = str(window).strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _UNIT_SECONDS:
+        raise ValueError(
+            f"window must be '<n> <unit>' (seconds/minutes/hours/days/"
+            f"weeks) or a number of seconds, got {window!r}"
+        )
+    return float(parts[0]) * _UNIT_SECONDS[parts[1].lower()]
+
+
+@verb
+def trailing_agg(
+    td: Tibble,
+    ts: Any,
+    value: Any,
+    window: str | int = "1 hour",
+    fns: tuple[str, ...] = ("sum",),
+    prefix: str | None = None,
+) -> Tibble:
+    """Time-based trailing window aggregates (r3 extension): for every
+    row, aggregate ``value`` over rows of the same group whose ``ts``
+    falls within ``window`` BEFORE it (inclusive at both ends — SQL
+    ``RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW``).
+
+    fns: any of sum/mean/min/max/count -> columns ``{prefix}_{fn}``
+    (prefix defaults to the value column's name).
+
+    Scale shape: one ``rangeBetween`` window partitioned by the
+    tibble's group vars — the realistic form (per-user / per-entity
+    trailing features) shuffles once on the group key. Ungrouped use
+    orders the WHOLE table by time through one range window; prefer a
+    group_by, which is also what a 100 TB feature pipeline wants."""
+    tcol, vcol = _name_of(ts), _name_of(value)
+    secs = _window_seconds(window)
+    gvars = list(td.group_vars)
+    # microsecond longs preserve sub-second precision (rangeBetween
+    # boundaries must be integral), matching exact INTERVAL arithmetic
+    # in SQL engines
+    tsd = F.unix_micros(F.col(tcol).cast("timestamp"))
+    lo = -int(secs * 1_000_000)
+    w = (
+        Window.partitionBy(*gvars).orderBy(tsd).rangeBetween(lo, 0)
+        if gvars
+        else Window.orderBy(tsd).rangeBetween(lo, 0)
+    )
+    aggfns = {
+        "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+        "count": lambda c: F.count(c),
+    }
+    pref = prefix or vcol
+    d = td.df
+    for fn in fns:
+        if fn not in aggfns:
+            raise ValueError(f"trailing_agg: unknown fn {fn!r}")
+        d = d.withColumn(f"{pref}_{fn}", aggfns[fn](F.col(vcol)).over(w))
+    return td.with_df(d, keep_sort_meta=True)

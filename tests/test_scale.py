@@ -398,3 +398,62 @@ class TestSemanticDedup:
         )
         assert pairs.df.columns == ["id_a", "id_b", "cos"]
         pairs.df.count()
+
+
+class TestTrailingAgg:
+    """Time-based trailing window aggregates (r3: trailing_agg —
+    RANGE BETWEEN INTERVAL ... PRECEDING semantics, microsecond
+    precision)."""
+
+    def test_matches_duckdb_interval_window(self, spark):
+        import duckdb
+        import numpy as np
+
+        from datar_polars_spark import f, group_by, read_parquet
+        from datar_polars_spark.scale import trailing_agg
+
+        src = "/root/testdata/sf0.001/events.parquet"
+        e = read_parquet(spark, src) >> group_by(f.user_id)
+        out = trailing_agg(e, f.ts, f.value, window="1 hour", fns=("sum", "mean", "count"))
+        pdf = (
+            out.df.select("user_id", "ts", "value_sum", "value_mean", "value_count")
+            .orderBy("user_id", "ts")
+            .toPandas()
+        )
+        oracle = duckdb.sql(f"""
+            SELECT user_id, ts,
+                   SUM(value) OVER w AS value_sum,
+                   AVG(value) OVER w AS value_mean,
+                   COUNT(value) OVER w AS value_count
+            FROM read_parquet('{src}')
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, ts""").df()
+        assert np.allclose(pdf["value_sum"].fillna(-1), oracle["value_sum"].fillna(-1))
+        assert np.allclose(pdf["value_mean"].fillna(-1), oracle["value_mean"].fillna(-1))
+        assert (pdf["value_count"].to_numpy() == oracle["value_count"].to_numpy()).all()
+
+    def test_window_parsing_and_errors(self, spark):
+        import pytest as _pytest
+
+        from datar_polars_spark import f, group_by, tibble
+        from datar_polars_spark.scale import trailing_agg
+        from datar_polars_spark.scale.sessions import _window_seconds
+
+        assert _window_seconds("90 seconds") == 90
+        assert _window_seconds("2 hours") == 7200
+        assert _window_seconds(45) == 45
+        with _pytest.raises(ValueError):
+            _window_seconds("fortnight")
+        td = tibble(spark, u=[1], ts=["2024-01-01"], v=[1.0])
+        with _pytest.raises(ValueError):
+            trailing_agg(td >> group_by(f.u), f.ts, f.v, fns=("median",))
+
+    def test_grouped_plan_partitions_by_group(self, spark):
+        from datar_polars_spark import f, group_by, read_parquet
+        from datar_polars_spark.scale import trailing_agg
+
+        e = read_parquet(spark, "/root/testdata/sf0.001/events.parquet") >> group_by(f.user_id)
+        out = trailing_agg(e, f.ts, f.value, window="30 minutes")
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
