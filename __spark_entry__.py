@@ -1040,7 +1040,10 @@ def q65_rolling_windows(spark, sf):
         )
         >> select(f.o_orderkey, f.roll_rev, f.roll_avg)
     )
-    return _finish(out)
+    # the two-pass rolling rewrite hash-partitions by key bucket, so the
+    # physical order no longer follows the arrange — pin the driver's
+    # total order explicitly like every gate query
+    return _finish(out).orderBy("o_orderkey")
 
 
 def q66_trailing_time_window(spark, sf):
