@@ -632,32 +632,39 @@ class EvalContext:
             return simple
         bucket, order_cols = bw
         df = self.tibble.df
-        try:
-            dtype = df.select(value.alias("__v__")).schema[0].dataType
-            rows = (
-                df.groupBy(bucket.alias("__b__"))
-                .agg(
-                    F.slice(
-                        F.sort_array(
-                            F.collect_list(
-                                F.struct(
-                                    F.col(ORDER_COL).alias("o"), value.alias("v")
-                                )
+        # one boundary job per (bucket, value, k) — several roll_* items
+        # in the same mutate (sum + mean of one column) share it
+        memo_key = ("roll_bounds", str(bucket), str(value), k)
+        if memo_key not in self._job_cache:
+            try:
+                dtype = df.select(value.alias("__v__")).schema[0].dataType
+                rows = (
+                    df.groupBy(bucket.alias("__b__"))
+                    .agg(
+                        F.slice(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col(ORDER_COL).alias("o"),
+                                        value.alias("v"),
+                                    )
+                                ),
+                                asc=False,  # newest first
                             ),
-                            asc=False,  # newest first
-                        ),
-                        1,
-                        k - 1,
-                    ).alias("__t__"),
-                    F.count(F.lit(1)).alias("__c__"),
+                            1,
+                            k - 1,
+                        ).alias("__t__"),
+                        F.count(F.lit(1)).alias("__c__"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
-        except Exception:
-            return simple
+            except Exception:
+                rows, dtype = None, None
+            self._job_cache[memo_key] = (rows, dtype)
+        rows, dtype = self._job_cache[memo_key]
         if not rows or len(rows) > self.MAX_TWO_PASS_BUCKETS:
             return simple
-        rows.sort(key=lambda r: r["__b__"])
+        rows = sorted(rows, key=lambda r: r["__b__"])
         # prev-tail per bucket (newest first) + cumulative row offsets
         carry: dict[int, list] = {}
         offsets: dict[int, int] = {}
@@ -676,19 +683,19 @@ class EvalContext:
             F.create_map(*off_pairs)[bucket], F.lit(0)
         )
         need = F.greatest(F.lit(k) - rn_b, F.lit(0))
+        arr_type = f"array<{dtype.simpleString()}>"
         carry_pairs: list[Column] = []
         for b, vals in carry.items():
             carry_pairs.append(F.lit(b))
-            carry_pairs.append(
-                F.array(*[F.lit(v).cast(dtype) for v in vals])
-            )
+            # one list literal per bucket (per-element F.lit would cost
+            # buckets*k py4j round-trips at plan build)
+            carry_pairs.append(F.lit(list(vals)).cast(arr_type))
         if carry_pairs:
             tail = F.coalesce(
-                F.create_map(*carry_pairs)[bucket],
-                F.array().cast(f"array<{dtype.simpleString()}>"),
+                F.create_map(*carry_pairs)[bucket], F.array().cast(arr_type)
             )
         else:
-            tail = F.array().cast(f"array<{dtype.simpleString()}>")
+            tail = F.array().cast(arr_type)
         borrowed = F.filter(
             F.slice(tail, F.lit(1), need), lambda x: x.isNotNull()
         )
