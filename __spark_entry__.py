@@ -462,7 +462,7 @@ def q22_group_deviation(spark, sf):
             l_suppkey=f.l_suppkey,
             ratio=round_(f.l_extendedprice / f.supp_avg, 4),
         )
-        >> arrange(f.l_orderkey, f.l_linenumber)
+        >> arrange(f.l_orderkey, f.l_linenumber, f.l_suppkey, f.ratio)
     )
     return _finish(out)
 
@@ -824,9 +824,13 @@ def q45_gopher_packing(spark, sf):
         >> summarise(
             n_docs=n(),
             tok_total=sum_(f.toks),
-            mean_top2=round_(mean(f.top2), 4),
-            mean_dup2=round_(mean(f.dup2), 4),
-            mean_awr=round_(mean(f.awr), 4),
+            # exact integer ten-thousandths: ROUND of a MEAN of rounded
+            # doubles is tie-unstable across engines at sf>=0.1 (the
+            # per-doc values are 1e-4 multiples, so pack means land on
+            # .00005 boundaries); summing the fixed-point ints is exact
+            sum_top2_e4=sum_(as_integer(round_(f.top2 * 10000, 0))),
+            sum_dup2_e4=sum_(as_integer(round_(f.dup2 * 10000, 0))),
+            sum_awr_e4=sum_(as_integer(round_(f.awr * 10000, 0))),
         )
         >> arrange(f.pack_id)
     )
@@ -1692,7 +1696,7 @@ def oracle_sql() -> dict[str, str]:
                        AVG(l_extendedprice) OVER (PARTITION BY l_suppkey) AS supp_avg
                 FROM lineitem
             ) WHERE l_extendedprice > 2 * supp_avg
-            ORDER BY l_orderkey, l_linenumber
+            ORDER BY l_orderkey, l_linenumber, l_suppkey, ratio
         """,
         "q23_events_daily": """
             SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
@@ -1948,9 +1952,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT pack_id,
                    COUNT(*) AS n_docs,
                    CAST(SUM(toks) AS BIGINT) AS tok_total,
-                   ROUND(AVG(top2), 4) AS mean_top2,
-                   ROUND(AVG(dup2), 4) AS mean_dup2,
-                   ROUND(AVG(awr), 4) AS mean_awr
+                   CAST(SUM(CAST(ROUND(top2 * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_top2_e4,
+                   CAST(SUM(CAST(ROUND(dup2 * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_dup2_e4,
+                   CAST(SUM(CAST(ROUND(awr * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_awr_e4
             FROM packed GROUP BY pack_id
             ORDER BY pack_id
         """,
