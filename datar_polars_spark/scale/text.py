@@ -157,3 +157,41 @@ def _url_domain(ctx, x):
     return F.when(
         take3, F.concat_ws(".", F.element_at(parts, -3), second, F.element_at(parts, -1))
     ).otherwise(F.concat_ws(".", second, F.element_at(parts, -1)))
+
+
+@register("winnow_fingerprints")
+def _winnow_fingerprints(ctx, text, k: int = 8, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram,
+    slide a w-hash window, keep each window's minimum hash; the
+    DISTINCT selected hashes are the document's fingerprint set
+    (array<bigint>). Guarantees every shared substring of length
+    >= k + w - 1 contributes at least one common fingerprint, so
+    fingerprint-set overlap lower-bounds substring-level copying —
+    the standard local-similarity complement to MinHash's global
+    Jaccard.
+
+    All JVM higher-order functions (substring transform, sliding
+    slice + array_min): one narrow map per document, no shuffle."""
+    kk, ww = int(ctx.eval(k)), int(ctx.eval(w))
+    s = F.lower(F.regexp_replace(ctx.col(text), r"\s+", " "))
+    n_grams = F.greatest(F.length(s) - kk + 1, F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(F.substring(s, i, kk)),
+    )
+    n_wins = F.greatest(F.size(hashes) - ww + 1, F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda i: F.array_min(F.slice(hashes, i, ww)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+@register("fingerprint_overlap")
+def _fingerprint_overlap(ctx, a, b):
+    """|A ∩ B| / |A| of two fingerprint-set columns — the containment
+    of a in b (how much of document a's content appears in b)."""
+    aa, bb = ctx.col(a), ctx.col(b)
+    inter = F.size(F.array_intersect(aa, bb))
+    return F.when(F.size(aa) > 0, inter / F.size(aa))

