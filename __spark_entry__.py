@@ -1170,10 +1170,12 @@ _FUZZ_RANGES = {
 }
 
 
-def _fuzz_spec(seed: int = _FUZZ_SEED) -> dict:
+def _fuzz_spec(seed: int | None = None) -> dict:
     import random
 
-    rng = random.Random(seed)
+    # late-bound default: the module constant is read at CALL time so a
+    # seed override (or a future constant bump) actually takes effect
+    rng = random.Random(_FUZZ_SEED if seed is None else seed)
     num_cols = list(_FUZZ_RANGES)
     gcols = rng.sample(["l_returnflag", "l_linestatus", "l_linenumber"], rng.choice([1, 2]))
     fcol = rng.choice(num_cols)
@@ -1228,12 +1230,12 @@ def q61_seeded_fuzz(spark, sf):
 _FUZZ2_SEED = 20260815
 
 
-def _fuzz2_spec(seed: int = _FUZZ2_SEED) -> dict:
+def _fuzz2_spec(seed: int | None = None) -> dict:
     """Second grammar: dim-join + grouped aggregate (exercises the
     join compile path with a randomized-but-reproducible draw)."""
     import random
 
-    rng = random.Random(seed)
+    rng = random.Random(_FUZZ2_SEED if seed is None else seed)
     return {
         # orders joins customer on custkey; group by a customer dim
         "gcol": rng.choice(["c_mktsegment", "c_nationkey"]),

@@ -147,6 +147,19 @@ def main() -> None:
             # timings measure execution, not GC pressure from stale
             # cached state
             spark.catalog.clearCache()
+            # regenerate when the driver refreshed the source testdata
+            src_probe = os.path.join(sf_dir, "orders.parquet")
+            dst_probe = os.path.join(sf1_dir, "orders.parquet")
+            stale = (
+                os.path.isdir(sf1_dir)
+                and os.path.exists(src_probe)
+                and os.path.exists(dst_probe)
+                and os.path.getmtime(src_probe) > os.path.getmtime(dst_probe)
+            )
+            if stale:
+                import shutil
+
+                shutil.rmtree(sf1_dir, ignore_errors=True)
             if not os.path.isdir(sf1_dir):
                 import subprocess
 
