@@ -21,6 +21,7 @@ from ..plans.verb import verb
 from ..tibble import Tibble
 
 __all__ = [
+    "freq_items",
     "table_",
     "tabulate",
     "complete_cases",
@@ -261,6 +262,25 @@ def dim(td: Tibble) -> tuple[int, int]:
 @verb
 def colnames(td: Tibble) -> list[str]:
     return td.columns
+
+
+@verb
+def freq_items(td: Tibble, *cols: Any, support: float = 0.01) -> Tibble:
+    """Approximate frequent items per column (r3 sketch extension):
+    wraps Spark's single-pass Karp/Papadimitriou/Shenker sketch
+    (``DataFrame.stat.freqItems``) — every value with frequency >=
+    ``support`` is guaranteed present (false positives possible, the
+    standard KPS contract). One narrow pass, no shuffle of the raw
+    values; the result is one row of array columns, driver-sized.
+
+    At 100 TB this is THE way to find heavy hitters (hot join keys to
+    salt, dominant domains/languages to cap) without a groupBy over
+    the full key space."""
+    names = [c._name if isinstance(c, Ref) else str(c) for c in cols]
+    if not names:
+        raise ValueError("freq_items: select at least one column")
+    out = td.df.stat.freqItems(names, support)
+    return Tibble(out)
 
 
 # pick() as a mutate value: compile the selection to a struct column

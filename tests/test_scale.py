@@ -524,3 +524,22 @@ class TestWinnowing:
             >> mutate(ov=fo(f.fa, f.fb))
         ).collect()
         assert out["ov"].iloc[0] == 0.0
+
+
+class TestFreqItems:
+    def test_heavy_hitter_guaranteed(self, spark):
+        from datar_polars_spark import f, tibble
+        from datar_polars_spark.operators.misc import freq_items
+
+        xs = ["hot"] * 60 + [f"cold{i}" for i in range(40)]
+        td = tibble(spark, k=xs)
+        row = freq_items(td, f.k, support=0.3).df.first()
+        assert "hot" in list(row[0])
+
+    def test_multiple_columns(self, spark):
+        from datar_polars_spark import f, tibble
+        from datar_polars_spark.operators.misc import freq_items
+
+        td = tibble(spark, a=[1, 1, 1, 2], b=["x", "x", "y", "z"])
+        out = freq_items(td, f.a, f.b, support=0.5)
+        assert out.df.columns == ["a_freqItems", "b_freqItems"]
