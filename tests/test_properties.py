@@ -200,8 +200,11 @@ def test_complex_roundtrip_and_identities(spark, res, ims):
     from datar_polars_spark.functions import arg, complex_, conj, im, mod, re_
 
     n = min(len(res), len(ims))
-    res = [0.0 if v == 0 else v for v in res[:n]]
-    ims = [0.0 if v == 0 else v for v in ims[:n]]
+    # clamp negative zero AND subnormals: CPython's cmath.phase raises
+    # OverflowError ("math range error") on subnormal components, so the
+    # ORACLE can't evaluate them (hypothesis-found, 5e-324)
+    res = [0.0 if v == 0 or abs(v) < 1e-300 else v for v in res[:n]]
+    ims = [0.0 if v == 0 or abs(v) < 1e-300 else v for v in ims[:n]]
     td = tibble(spark, r=res, i=ims) >> mutate(z=complex_(real=f.r, imaginary=f.i))
     out = (
         td >> mutate(rr=re_(f.z), ii=im(f.z), m=mod(f.z), a=arg(f.z),
