@@ -1,9 +1,10 @@
 """Pure-Python media header parsers (no PIL/cv2/torchaudio needed).
 
 Real metadata decode for the dominant container formats — PNG, JPEG,
-GIF, BMP, WebP images; WAV and FLAC audio — using nothing but ``struct``
-over the leading bytes. Formats outside this set fall back to the
-deterministic stub in ``multimodal.py`` (or raise in strict mode).
+GIF, BMP, WebP, TIFF images; WAV, FLAC, MP3 audio — using nothing but
+``struct`` over the leading bytes. Formats outside this set fall back
+to the deterministic stub in ``multimodal.py`` (or raise in strict
+mode).
 
 These run inside Arrow-batched ``mapInPandas`` workers: each call reads
 a few dozen header bytes per row, so the cost is negligible next to the
@@ -26,8 +27,10 @@ __all__ = [
     "make_gif",
     "make_bmp",
     "make_jpeg",
+    "make_tiff",
     "make_wav",
     "make_flac",
+    "make_mp3",
 ]
 
 # --------------------------------------------------------------------------
@@ -108,12 +111,53 @@ def _parse_webp(b: bytes):
     return None
 
 
+def _parse_tiff(b: bytes):
+    """Classic TIFF: byte-order mark, magic 42, then a walk of the first
+    IFD for ImageWidth (256) / ImageLength (257). SHORT and LONG value
+    types, inline or offset-stored, both endiannesses."""
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II\x2a\x00":
+        endian = "<"
+    elif b[:4] == b"MM\x00\x2a":
+        endian = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack(endian + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        return None
+    (n_entries,) = struct.unpack(endian + "H", b[ifd_off : ifd_off + 2])
+    w = h = None
+    for k in range(n_entries):
+        e = ifd_off + 2 + 12 * k
+        if e + 12 > len(b):
+            return None
+        tag, typ, count = struct.unpack(endian + "HHI", b[e : e + 8])
+        if tag not in (256, 257) or count != 1:
+            continue
+        if typ == 3:  # SHORT: value in the first 2 bytes of the field
+            (val,) = struct.unpack(endian + "H", b[e + 8 : e + 10])
+        elif typ == 4:  # LONG: value fills the field
+            (val,) = struct.unpack(endian + "I", b[e + 8 : e + 12])
+        else:
+            continue
+        if tag == 256:
+            w = val
+        else:
+            h = val
+    if w is not None and h is not None:
+        return "tiff", w, h
+    return None
+
+
 def parse_image_header(b: bytes):
     """(format, width, height) from leading bytes, or None if the
-    content is not a recognized PNG/JPEG/GIF/BMP/WebP container."""
+    content is not a recognized PNG/JPEG/GIF/BMP/WebP/TIFF container."""
     if not b:
         return None
-    for parse in (_parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_webp):
+    for parse in (
+        _parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_webp, _parse_tiff,
+    ):
         out = parse(b)
         if out is not None:
             return out
@@ -161,12 +205,64 @@ def _parse_flac(b: bytes):
     return "flac", sr, total
 
 
+# MPEG audio frame-header tables (version-index, layer-index keyed).
+# Bitrates in kbps for (MPEG1, Layer III) and (MPEG2/2.5, Layer III).
+_MP3_BITRATE_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATE_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_frame(b: bytes, i: int):
+    """Decode one MPEG Layer III frame header at offset i ->
+    (sample_rate, frame_len, samples_per_frame) or None."""
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+    version = (b[i + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b[i + 1] >> 1) & 0x3  # 1=Layer III
+    if version == 1 or layer != 1:
+        return None
+    br_idx = (b[i + 2] >> 4) & 0xF
+    sr_idx = (b[i + 2] >> 2) & 0x3
+    padding = (b[i + 2] >> 1) & 0x1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    table = _MP3_BITRATE_V1L3 if version == 3 else _MP3_BITRATE_V2L3
+    bitrate = table[br_idx] * 1000
+    sr = _MP3_RATES[version][sr_idx]
+    spf = 1152 if version == 3 else 576  # samples per Layer III frame
+    frame_len = (spf // 8) * bitrate // sr + padding
+    return sr, frame_len, spf
+
+
+def _parse_mp3(b: bytes):
+    """MP3 (MPEG Layer III). Skips a leading ID3v2 tag (synchsafe
+    size), then walks CBR frame headers; n_samples = frames x
+    samples-per-frame — exact for CBR streams, the header-only
+    equivalent of what a real demuxer reports."""
+    i = 0
+    if len(b) >= 10 and b[:3] == b"ID3":
+        size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]  # synchsafe
+        i = 10 + size
+    first = _mp3_frame(b, i)
+    if first is None:
+        return None
+    sr, _, spf = first
+    n_frames = 0
+    while True:
+        fr = _mp3_frame(b, i)
+        if fr is None:
+            break
+        n_frames += 1
+        i += fr[1]
+    return "mp3", sr, n_frames * spf
+
+
 def parse_audio_header(b: bytes):
     """(format, sample_rate, n_samples) from leading bytes, or None if
-    the content is not a recognized WAV/FLAC container."""
+    the content is not a recognized WAV/FLAC/MP3 container."""
     if not b:
         return None
-    for parse in (_parse_wav, _parse_flac):
+    for parse in (_parse_wav, _parse_flac, _parse_mp3):
         out = parse(b)
         if out is not None:
             return out
@@ -214,6 +310,19 @@ def make_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + sof + b"\xff\xd9"
 
 
+def make_tiff(width: int, height: int, big_endian: bool = False) -> bytes:
+    """Minimal classic TIFF: one IFD with ImageWidth/ImageLength LONGs."""
+    endian = ">" if big_endian else "<"
+    head = (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") + struct.pack(
+        endian + "I", 8
+    )
+    entries = struct.pack(endian + "HHII", 256, 4, 1, width) + struct.pack(
+        endian + "HHII", 257, 4, 1, height
+    )
+    ifd = struct.pack(endian + "H", 2) + entries + struct.pack(endian + "I", 0)
+    return head + ifd
+
+
 def make_wav(
     sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16
 ) -> bytes:
@@ -252,3 +361,29 @@ def make_flac(sample_rate: int, n_samples: int) -> bytes:
     info[13] = (((16 - 1) & 0xF) << 4) | ((n_samples >> 32) & 0xF)
     info[14:18] = struct.pack(">I", n_samples & 0xFFFFFFFF)
     return b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + bytes(info)
+
+
+def make_mp3(
+    sample_rate: int, n_frames: int, bitrate_kbps: int = 128, id3: bool = False
+) -> bytes:
+    """CBR MPEG-1 Layer III stream of ``n_frames`` frames (header +
+    zero payload each); sample_rate in {44100, 48000, 32000}. Each
+    frame carries 1152 samples, so the parser reports
+    n_samples = 1152 * n_frames. Optionally prefixed with an empty
+    ID3v2 tag to exercise the skip path."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    br_idx = _MP3_BITRATE_V1L3.index(bitrate_kbps)
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # MPEG1 (11), Layer III (01), no CRC (1)
+            (br_idx << 4) | (sr_idx << 2),  # no padding, private=0
+            0xC0,  # mono
+        ]
+    )
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + b"\x00" * (frame_len - 4)
+    out = frame * n_frames
+    if id3:
+        out = b"ID3\x04\x00\x00\x00\x00\x00\x00" + out
+    return out

@@ -89,9 +89,10 @@ def _stub_decode(content: bytes) -> tuple[str, int, int]:
 
 
 def _decode_image_meta(content: bytes, strict: bool = False) -> tuple[str, int, int]:
-    """REAL metadata decode for PNG/JPEG/GIF/BMP/WebP via pure-Python
-    header parsing (scale/codecs.py — no PIL needed); exotic formats
-    fall back to the deterministic stub, or raise when ``strict``."""
+    """REAL metadata decode for PNG/JPEG/GIF/BMP/WebP/TIFF via
+    pure-Python header parsing (scale/codecs.py — no PIL needed);
+    exotic formats fall back to the deterministic stub, or raise when
+    ``strict``."""
     from .codecs import parse_image_header
 
     parsed = parse_image_header(content)
@@ -99,8 +100,8 @@ def _decode_image_meta(content: bytes, strict: bool = False) -> tuple[str, int, 
         return parsed
     if strict:
         raise NotImplementedError(
-            "unrecognized image container (PNG/JPEG/GIF/BMP/WebP supported "
-            "without PIL; other formats need a real codec library)"
+            "unrecognized image container (PNG/JPEG/GIF/BMP/WebP/TIFF "
+            "supported without PIL; other formats need a real codec library)"
         )
     return _stub_decode(content)
 
@@ -277,9 +278,9 @@ def _stub_decode_audio(content: bytes) -> tuple[str, int, int]:
 
 
 def _decode_audio_meta(content: bytes, strict: bool = False) -> tuple[str, int, int]:
-    """REAL metadata decode for WAV/FLAC via pure-Python header parsing
-    (scale/codecs.py — no torchaudio needed); other formats fall back
-    to the deterministic stub, or raise when ``strict``."""
+    """REAL metadata decode for WAV/FLAC/MP3 via pure-Python header
+    parsing (scale/codecs.py — no torchaudio needed); other formats
+    fall back to the deterministic stub, or raise when ``strict``."""
     from .codecs import parse_audio_header
 
     parsed = parse_audio_header(content)
@@ -287,7 +288,7 @@ def _decode_audio_meta(content: bytes, strict: bool = False) -> tuple[str, int, 
         return parsed
     if strict:
         raise NotImplementedError(
-            "unrecognized audio container (WAV/FLAC supported without "
+            "unrecognized audio container (WAV/FLAC/MP3 supported without "
             "torchaudio; other formats need a real codec library)"
         )
     return _stub_decode_audio(content)

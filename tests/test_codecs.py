@@ -17,7 +17,9 @@ from datar_polars_spark.scale.codecs import (
     make_flac,
     make_gif,
     make_jpeg,
+    make_mp3,
     make_png,
+    make_tiff,
     make_wav,
     parse_audio_header,
     parse_image_header,
@@ -88,6 +90,25 @@ class TestImageParsers:
         assert parse_image_header(b"") is None
         assert parse_image_header(b"\xff\xd8\x00") is None  # truncated jpeg
 
+    @pytest.mark.parametrize("big_endian", [False, True])
+    @pytest.mark.parametrize("w,h", [(1, 1), (1920, 1080), (70000, 2)])
+    def test_tiff_roundtrip(self, big_endian, w, h):
+        assert parse_image_header(make_tiff(w, h, big_endian)) == ("tiff", w, h)
+
+    def test_tiff_short_type_entries(self):
+        # hand-built little-endian IFD storing dims as SHORT (type 3)
+        head = b"II\x2a\x00" + struct.pack("<I", 8)
+        entries = struct.pack("<HHIHH", 256, 3, 1, 320, 0) + struct.pack(
+            "<HHIHH", 257, 3, 1, 240, 0
+        )
+        ifd = struct.pack("<H", 2) + entries + struct.pack("<I", 0)
+        assert parse_image_header(head + ifd) == ("tiff", 320, 240)
+
+    def test_tiff_truncated_returns_none(self):
+        b = make_tiff(100, 100)
+        assert parse_image_header(b[:10]) is None
+        assert parse_image_header(b"II\x2a\x00") is None
+
 
 class TestAudioParsers:
     @pytest.mark.parametrize("sr,n", [(16_000, 16_000), (44_100, 123_456)])
@@ -119,6 +140,29 @@ class TestAudioParsers:
     def test_garbage_returns_none(self):
         assert parse_audio_header(b"RIFFxxxxJUNK") is None
         assert parse_audio_header(b"") is None
+
+    @pytest.mark.parametrize("sr", [44_100, 48_000, 32_000])
+    @pytest.mark.parametrize("n_frames", [1, 7])
+    def test_mp3_roundtrip(self, sr, n_frames):
+        b = make_mp3(sr, n_frames)
+        assert parse_audio_header(b) == ("mp3", sr, 1152 * n_frames)
+
+    def test_mp3_skips_id3v2_tag(self):
+        b = make_mp3(44_100, 3, id3=True)
+        assert b[:3] == b"ID3"
+        assert parse_audio_header(b) == ("mp3", 44_100, 1152 * 3)
+
+    def test_mp3_handbuilt_mpeg2_frame(self):
+        # MPEG-2 Layer III, 64 kbps, 22050 Hz -> 576 samples/frame
+        hdr = bytes([0xFF, 0xF3, (10 << 4) | (0 << 2), 0xC0])
+        frame_len = (576 // 8) * 64_000 // 22_050
+        b = hdr + b"\x00" * (frame_len - 4)
+        assert parse_audio_header(b) == ("mp3", 22_050, 576)
+
+    def test_mp3_rejects_free_and_bad_indexes(self):
+        # bitrate index 0 (free) and sr index 3 (reserved) are invalid
+        assert parse_audio_header(bytes([0xFF, 0xFB, 0x00, 0xC0])) is None
+        assert parse_audio_header(bytes([0xFF, 0xFB, (5 << 4) | (3 << 2), 0xC0])) is None
 
 
 class TestDecodeMeta:
