@@ -15,14 +15,17 @@ on the same parquet views. Conventions for hash-stability:
   driver's value hash is row-order-sensitive. Spark ``arrange`` sorts
   NULLS LAST; DuckDB's default null order is also NULLS LAST.
 
-Exactly 50 queries. Round-1 keys q09/q18/q24/q36/q52/q54/q55/q56/q57/
-q58 were merged into surviving queries (their verbs are still covered:
-anti_join->q08, setdiff->q17, consecutive_id->q51, quality_score->q35,
-sketches->q20, rowwise/c_across->q47, table_->q42, fill-up->q30,
-factor codes->q41, IVF->q37) so the whole gate fits a 50-query driver
-budget with zero rows-only entries: even q59 (multimodal) hash-checks
-its projected plumbing outputs, and the two bound-style oracles q39/q40
-are placed last.
+Exactly 50 queries — every capability in the gate has a driver-visible
+correctness row (the round-3 gate had 56 entries and the driver checks
+only the first 50; round 4 merged six query pairs so nothing rides
+outside the cap). Round-1 merges: q09/q18/q24/q36/q52/q54/q55/q56/q57/
+q58 folded into surviving queries (anti_join->q08, setdiff->q17,
+consecutive_id->q51, quality_score->q35, sketches->q20,
+rowwise/c_across->q47, table_->q42, fill-up->q30, factor codes->q41,
+IVF->q37). Round-4 merges (q08's multi-block 'op'-tag pattern):
+pivot_longer->q26, fingerprint dedup->q33, multimodal codecs->q35,
+LSH ANN->q37, SimHash consistency proof->q38, stateful streaming->q48.
+Zero rows-only entries: every query hash-checks against its oracle.
 """
 
 from __future__ import annotations
@@ -500,35 +503,51 @@ def q25_rows_upsert(spark, sf):
     return _finish(out)
 
 
-def q26_pivot_wider(spark, sf):
-    """Covers: pivot_wider (long->wide with aggregation). The r1 gate's
-    only hash-fail was this query's unpinned row order — now arranged."""
-    li = _t(spark, sf, "lineitem")
-    from datar_polars_spark import pivot_wider
+def q26_pivot(spark, sf):
+    """Covers: pivot_wider AND pivot_longer (merged r4 q26+q27 for the
+    50-row driver cap). Block 'li' round-trips lineitem counts through
+    pivot_wider(values_fill=0) then pivot_longer over the data-dependent
+    status columns — the round-trip must reproduce the COMPLETE
+    returnflag x status grid with zero-filled holes, which the oracle
+    states as a cross join + COALESCE. Block 'part' keeps r1's original
+    pivot_longer path (numeric wide frame, double harmonization).
+    Both blocks project to one (op, key, metric, val) schema."""
+    from datar_polars_spark import pivot_longer, pivot_wider
 
-    out = (
+    li = _t(spark, sf, "lineitem")
+    wide = (
         li
         >> count(f.l_returnflag, f.l_linestatus)
         >> pivot_wider(names_from=f.l_linestatus, values_from=f.n, values_fill=0)
-        >> arrange(f.l_returnflag)
     )
-    return _finish(out)
+    status_cols = [c for c in wide.columns if c != "l_returnflag"]
+    long_li = (
+        wide
+        >> pivot_longer(status_cols, names_to="metric", values_to="val")
+        >> mutate(val=as_double(f.val))
+    )
+    li_block = _finish(long_li).select(
+        F.lit("li").alias("op"),
+        F.col("l_returnflag").alias("key"),
+        "metric",
+        "val",
+    )
 
-
-def q27_pivot_longer(spark, sf):
-    """Covers: pivot_longer (wide->long unpivot)."""
     p = _t(spark, sf, "part")
-    from datar_polars_spark import pivot_longer
-
-    out = (
+    long_p = (
         p
         >> select(f.p_partkey, f.p_retailprice, f.p_size)
         >> mutate(p_size=as_double(f.p_size))
         >> pivot_longer([f.p_retailprice, f.p_size], names_to="metric", values_to="val")
         >> mutate(val=round_(f.val, 4))
-        >> arrange(f.p_partkey, f.metric)
     )
-    return _finish(out)
+    p_block = _finish(long_p).select(
+        F.lit("part").alias("op"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key"),
+        "metric",
+        "val",
+    )
+    return li_block.unionByName(p_block).orderBy("op", "key", "metric")
 
 
 def q28_separate_unite(spark, sf):
@@ -624,61 +643,144 @@ def q32_complete_grid(spark, sf):
     return _finish(out)
 
 
-def q33_dedup_exact(spark, sf):
-    """Covers: exact deduplication (hash-groupBy keep-min-id)."""
+def q33_dedup(spark, sf):
+    """Covers: exact deduplication (hash-groupBy keep-min-id) AND
+    document fingerprinting (md5 of normalized text) + fingerprint-keyed
+    dedup (merged r4 q33+q34 for the 50-row driver cap). Both blocks
+    project to one (op, key, n_copies, keep_id) schema; the 'exact'
+    block's n_copies is NULL (dedup_exact emits survivors, not group
+    sizes — the fp block covers the counted path)."""
+    from datar_polars_spark.functions.registry import builder
     from datar_polars_spark.scale import dedup_exact
 
     d = _t(spark, sf, "documents")
-    out = (
+    ex = (
         dedup_exact(d, f.lang, f.source, id_col=f.doc_id)
         >> select(f.doc_id, f.lang, f.source)
-        >> arrange(f.doc_id)
     )
-    return _finish(out)
-
-
-def q34_fingerprint_dedup(spark, sf):
-    """Covers: document fingerprinting (md5 of normalized text) +
-    fingerprint-keyed dedup."""
-    from datar_polars_spark.functions.registry import builder
+    ex_block = _finish(ex).select(
+        F.lit("exact").alias("op"),
+        F.concat_ws("|", "lang", "source").alias("key"),
+        F.lit(None).cast("long").alias("n_copies"),
+        F.col("doc_id").alias("keep_id"),
+    )
 
     doc_fingerprint = builder("doc_fingerprint")
-    d = _t(spark, sf, "documents")
-    out = (
+    fp = (
         d
         >> mutate(fp=doc_fingerprint(f.text))
         >> group_by(f.fp)
         >> summarise(n_copies=n(), keep_id=min_(f.doc_id, na_rm=True))
-        >> arrange(f.fp)
     )
-    return _finish(out)
+    fp_block = _finish(fp).select(
+        F.lit("fp").alias("op"),
+        F.col("fp").alias("key"),
+        "n_copies",
+        "keep_id",
+    )
+    return ex_block.unionByName(fp_block).orderBy("op", "key")
 
 
 def q35_text_stats(spark, sf):
-    """Covers: token counting, text-quality metrics AND composite
-    quality scoring (merged r1 q35+q36) — per-lang rollup with a
-    high-quality document count."""
+    """Covers: token counting, text-quality metrics, composite quality
+    scoring (merged r1 q35+q36) AND the multimodal binary-column
+    plumbing + REAL header codecs (merged r4 q35+q59 for the 50-row
+    driver cap). Per doc we synthesize a genuine image header — PNG for
+    even doc_id, little-endian TIFF (IFD walk, NEW r4 codec) for odd —
+    with width = doc_id % 1000 + 1, height = n_chars % 1000 + 1, and a
+    genuine audio container — WAV (16 kHz, n_chars*10 samples) for even
+    doc_id, CBR MP3 (44.1 kHz, (n_chars % 20 + 1) frames x 1152
+    samples, NEW r4 codec) for odd. The Arrow-batched STRICT decode
+    passes parse the bytes with the pure-Python codecs
+    (scale/codecs.py), then everything rolls up per lang; the oracle
+    recomputes every decoded field arithmetically from doc_id/n_chars,
+    so a parser regression flips the hash."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
     from datar_polars_spark.functions.registry import builder
+    from datar_polars_spark.scale import attach_binary_metadata, image_features
+    from datar_polars_spark.scale.codecs import make_mp3, make_png, make_tiff, make_wav
+    from datar_polars_spark.scale.multimodal import decode_audio, decode_images
+    from datar_polars_spark.tibble import Tibble
 
     token_count = builder("token_count")
     punct_ratio = builder("punct_ratio")
     mean_word_length = builder("mean_word_length")
     quality_score = builder("quality_score")
+
+    @F.pandas_udf(BinaryType())
+    def img_bytes(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for d_, n_ in zip(doc_id, n_chars):
+            w, h = int(d_) % 1000 + 1, int(n_) % 1000 + 1
+            out.append(make_png(w, h) if int(d_) % 2 == 0 else make_tiff(w, h))
+        return pd.Series(out)
+
+    @F.pandas_udf(BinaryType())
+    def aud_bytes(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for d_, n_ in zip(doc_id, n_chars):
+            if int(d_) % 2 == 0:
+                out.append(make_wav(16_000, int(n_) * 10))
+            else:
+                out.append(make_mp3(44_100, int(n_) % 20 + 1))
+        return pd.Series(out)
+
     d = _t(spark, sf, "documents")
-    out = (
-        d
-        >> mutate(
-            tokens=token_count(f.text),
-            punct=round_(punct_ratio(f.text), 4),
-            mwl=round_(mean_word_length(f.text), 4),
-            q=quality_score(f.text, min_chars=100, max_chars=10000),
+    staged = d >> mutate(
+        tokens=token_count(f.text),
+        punct=round_(punct_ratio(f.text), 4),
+        mwl=round_(mean_word_length(f.text), 4),
+        q=quality_score(f.text, min_chars=100, max_chars=10000),
+    )
+    binary = staged.with_df(
+        staged.df.withColumn("content", F.encode(F.col("text"), "utf-8"))
+        .withColumn("img", img_bytes(F.col("doc_id"), F.col("n_chars")))
+        .withColumn("aud", aud_bytes(F.col("doc_id"), F.col("n_chars")))
+    )
+    feats = image_features(
+        attach_binary_metadata(binary, "content"), content="content", dim=16
+    )
+    imgs = decode_images(feats, content="img", strict=True)
+    imgs = imgs.with_df(
+        imgs.df.withColumnsRenamed(
+            {"format": "img_format", "width": "img_w", "height": "img_h"}
         )
+    )
+    decoded = decode_audio(imgs, content="aud", strict=True)
+    per_doc = decoded.df.select(
+        "lang",
+        "tokens",
+        "mwl",
+        "q",
+        F.col("media.n_bytes").alias("n_bytes"),
+        F.size("features").alias("feat_dim"),
+        "img_format",
+        "img_w",
+        "img_h",
+        F.col("format").alias("aud_format"),
+        "sample_rate",
+        "n_samples",
+    )
+    out = (
+        Tibble(per_doc)
         >> group_by(f.lang)
         >> summarise(
             n_docs=n(),
             total_tokens=sum_(f.tokens, na_rm=True),
             avg_mwl=round_(mean(f.mwl, na_rm=True), 4),
             n_hq=sum_(if_else(f.q >= 0.8, 1, 0), na_rm=True),
+            bytes_sum=sum_(f.n_bytes, na_rm=True),
+            feat_dim_max=max_(f.feat_dim, na_rm=True),
+            n_png=sum_(if_else(f.img_format == "png", 1, 0), na_rm=True),
+            n_tiff=sum_(if_else(f.img_format == "tiff", 1, 0), na_rm=True),
+            img_w_sum=sum_(f.img_w, na_rm=True),
+            img_h_sum=sum_(f.img_h, na_rm=True),
+            n_wav=sum_(if_else(f.aud_format == "wav", 1, 0), na_rm=True),
+            n_mp3=sum_(if_else(f.aud_format == "mp3", 1, 0), na_rm=True),
+            rate_sum=sum_(f.sample_rate, na_rm=True),
+            samples_sum=sum_(f.n_samples, na_rm=True),
         )
         >> arrange(f.lang)
     )
@@ -686,10 +788,24 @@ def q35_text_stats(spark, sf):
 
 
 def q37_ann_topk(spark, sf):
-    """Covers: brute-force cosine top-k AND IVF ANN (merged r1 q37+q58,
-    both tagged). IVF probes every cluster here, so both methods are
-    exact and hash-match the same oracle rows."""
-    from datar_polars_spark.scale import cosine_topk, ivf_assign, ivf_topk, ivf_train
+    """Covers: brute-force cosine top-k, IVF ANN (merged r1 q37+q58)
+    AND LSH-bucketed ANN (merged r4 q37+q40 for the 50-row driver cap),
+    all method-tagged in one output. IVF probes every cluster here, so
+    brute and ivf are exact and hash-match the same oracle rows. The
+    lsh block keeps q40's planted-neighbor construction: random
+    embeddings give LSH nothing to find (all cosines ~0), so 10 TRUE
+    near-neighbors of the query are planted (q_v + 0.25*v_i, ids
+    10001..10010) — the exact top-10 is the planted set, LSH must
+    retrieve it from its probed buckets, and the oracle recomputes the
+    same construction + exact top-10 in SQL."""
+    from datar_polars_spark.scale import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+        ivf_train,
+        lsh_topk,
+    )
+    from datar_polars_spark.tibble import Tibble
 
     e = _t(spark, sf, "embeddings")
     qv = [float(v) for v in e.df.filter("vec_id = 0").select("embedding").first()[0]]
@@ -701,30 +817,84 @@ def q37_ann_topk(spark, sf):
     ivf = ivf_topk(a, qv, cents, f.embedding, f.vec_id, k=10, nprobe=16).df.select(
         F.lit("ivf").alias("method"), "vec_id", F.round("cosine", 4).alias("cosine")
     )
-    return brute.unionByName(ivf).orderBy(
-        "method", F.col("cosine").desc(), "vec_id"
+
+    base = e.df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = (
+        base.filter(F.col("vec_id").between(1, 10))
+        .crossJoin(base.filter("vec_id = 0").select(F.col("embedding").alias("qe")))
+        .select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.zip_with("qe", "embedding", lambda x, y: x + 0.25 * y).alias("embedding"),
+        )
+    )
+    corpus = Tibble(base.unionByName(planted))
+    qv2 = [float(v) for v in base.filter("vec_id = 0").select("embedding").first()[0]]
+    lsh = lsh_topk(corpus, qv2, f.embedding, f.vec_id, k=10, probe_hamming=4).df.select(
+        F.lit("lsh").alias("method"), "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+    return (
+        brute.unionByName(ivf)
+        .unionByName(lsh)
+        .orderBy("method", F.col("cosine").desc(), "vec_id")
     )
 
 
 def q38_minhash_dedup(spark, sf):
-    """Covers: MinHash+LSH near-duplicate removal. Candidates from
-    high-recall banding (32 bands x 2 rows: recall ~1-3e-15 for the
-    corpus's j>=0.8 near-dup pairs), verified with EXACT n-gram Jaccard
-    — so survivors equal the DuckDB brute-force all-pairs answer and
-    the query is fully value-hash-checked (r1 had no oracle here)."""
-    from datar_polars_spark.scale.dedup import ngram_jaccard_pairs
+    """Covers: MinHash+LSH near-duplicate removal AND SimHash near-dup
+    consistency (merged r4 q38+q39 for the 50-row driver cap). The
+    'minhash' block: candidates from high-recall banding (32 bands x 2
+    rows: recall ~1-3e-15 for the corpus's j>=0.8 near-dup pairs),
+    verified with EXACT n-gram Jaccard — so survivors equal the DuckDB
+    brute-force all-pairs answer and are fully value-hash-checked. The
+    'simhash_check' row: the SimHash signature is hash-defined
+    (xxhash64) so no SQL oracle can recompute it; instead the query
+    PROVES the pigeonhole-blocked plan lossless by comparing its
+    survivors against a brute-force all-pairs hamming scan of the same
+    signatures, emitting (n_diff=0, n_docs) which the oracle pins."""
+    from datar_polars_spark.scale.dedup import (
+        _fingerprint_survivors,
+        ngram_jaccard_pairs,
+        simhash_dedup,
+        simhash_signatures,
+    )
 
     d = _t(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(
         d, f.text, f.doc_id, n=3, threshold=0.5, num_perm=64, bands=32
     )
-    out = (
+    surv = (
         d
         >> anti_join(pairs >> select(f.id_b), by={"doc_id": "id_b"})
         >> select(f.doc_id, f.lang)
-        >> arrange(f.doc_id)
     )
-    return _finish(out)
+    mh_block = _finish(surv).select(
+        F.lit("minhash").alias("op"), "doc_id", "lang"
+    )
+
+    surv_blocked = simhash_dedup(d, f.text, f.doc_id, max_hamming=3).df.select("doc_id")
+    pre = _fingerprint_survivors(d.df.select(*d.columns), "text", "doc_id")
+    sigs = simhash_signatures(pre, "text", "doc_id")
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    dupes = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
+        .select(F.col("id_b").alias("doc_id"))
+        .dropDuplicates()
+    )
+    surv_brute = pre.select("doc_id").join(dupes, "doc_id", "left_anti")
+    n_diff = (
+        surv_blocked.exceptAll(surv_brute).count()
+        + surv_brute.exceptAll(surv_blocked).count()
+    )
+    n_docs = d.df.count()
+    sim_block = spark.createDataFrame(
+        [("simhash_check", n_diff, str(n_docs))], "op string, doc_id long, lang string"
+    )
+    return mh_block.unionByName(sim_block).orderBy("op", "doc_id")
 
 
 def q41_fct_lump(spark, sf):
@@ -881,14 +1051,24 @@ def q47_row_stats(spark, sf):
     return _finish(out)
 
 
-def q48_stream_windowed(spark, sf):
-    """Covers: Structured Streaming — watermarked 1-day tumbling window
-    aggregation over a file stream, drained with availableNow. The
-    result is hash-compared to the batch SQL oracle, proving the
-    streaming plan computes the same answer as batch."""
+def q48_streaming(spark, sf):
+    """Covers: Structured Streaming — BOTH the watermarked 1-day
+    tumbling-window aggregation (file stream drained with availableNow)
+    AND the custom stateful operator (``stateful_running_agg`` via
+    ``applyInPandasWithState``) — merged r4 q48+q63 for the 50-row
+    driver cap. Block 'win': the windowed result hash-compares to the
+    batch SQL oracle, proving the streaming plan computes the same
+    answer as batch. Block 'state': micro-batch boundaries vary, but
+    the FINAL emitted row per key (largest n_events) is the exact
+    per-key (count, sum, max), which the oracle recomputes — proving
+    the state-store accumulation matches batch semantics end to end.
+    Both blocks project to one (op, k, n_events, total, max_value)
+    schema; user_id keys are zero-padded so the string sort equals the
+    numeric sort on both engines."""
     from datar_polars_spark.functions import n as n_
     from datar_polars_spark.streaming import (
         run_to_memory,
+        stateful_running_agg,
         stream_read_parquet,
         windowed_agg,
     )
@@ -898,45 +1078,39 @@ def q48_stream_windowed(spark, sf):
         s, f.ts, f.event_type, window="1 day", watermark="1 day",
         n_events=n_(), total=sum_(f.value, na_rm=True),
     )
-    pdf = run_to_memory(out, mode="complete")
-    pdf["day"] = pdf["window_start"].astype(str).str.slice(0, 10)
-    pdf["total"] = pdf["total"].round(4)
-    pdf = pdf.sort_values(["day", "event_type"])
-    return spark.createDataFrame(
-        pdf[["day", "event_type", "n_events", "total"]]
-    ).orderBy("day", "event_type")
+    wpdf = run_to_memory(out, mode="complete")
+    wpdf["day"] = wpdf["window_start"].astype(str).str.slice(0, 10)
+    wpdf["op"] = "win"
+    wpdf["k"] = wpdf["day"] + "|" + wpdf["event_type"]
+    wpdf["total"] = wpdf["total"].round(4)
+    wpdf["max_value"] = None
 
-
-def q63_stream_stateful(spark, sf):
-    """Covers: the custom stateful streaming operator (NEW r3 gate —
-    ``stateful_running_agg`` via ``applyInPandasWithState``, the
-    pattern for per-key state windowed aggregation can't express).
-    Events stream through the state store in update mode; micro-batch
-    boundaries vary, but the FINAL emitted row per key (the one with
-    the largest n_events) is the exact per-key (count, sum, max),
-    which the batch SQL oracle recomputes — proving the state-store
-    accumulation matches batch semantics end to end."""
-    from datar_polars_spark.streaming import run_to_memory, stream_read_parquet
-    from datar_polars_spark.streaming import stateful_running_agg
-
-    s = stream_read_parquet(spark, f"{sf}/events.parquet")
-    out = stateful_running_agg(s, f.user_id, value=f.value)
-    pdf = run_to_memory(out, mode="update")
+    s2 = stream_read_parquet(spark, f"{sf}/events.parquet")
+    out2 = stateful_running_agg(s2, f.user_id, value=f.value)
+    spdf = run_to_memory(out2, mode="update")
     # final state per key = the update with the largest n_events
-    pdf = (
-        pdf.sort_values("n_events")
+    spdf = (
+        spdf.sort_values("n_events")
         .groupby("user_id", as_index=False)
         .last()
-        .sort_values("user_id")
     )
-    pdf["total"] = pdf["total"].round(4)
-    pdf["max_value"] = pdf["max_value"].round(4)
+    spdf["op"] = "state"
+    spdf["k"] = spdf["user_id"].astype("int64").astype(str).str.zfill(10)
+    spdf["total"] = spdf["total"].round(4)
+    spdf["max_value"] = spdf["max_value"].round(4)
     # a key with only NULL values has no sum either (SQL SUM -> NULL;
     # the accumulator's 0.0 is its additive identity)
-    pdf.loc[pdf["max_value"].isna(), "total"] = None
+    spdf.loc[spdf["max_value"].isna(), "total"] = None
+
+    cols = ["op", "k", "n_events", "total", "max_value"]
+    # astype(object) so the all-NA max_value block concatenates without
+    # pandas' future dtype-inference change warning
+    both = pd.concat(
+        [wpdf[cols].astype({"max_value": object}), spdf[cols]], ignore_index=True
+    )
     return spark.createDataFrame(
-        pdf[["user_id", "n_events", "total", "max_value"]]
-    ).orderBy("user_id")
+        both, "op string, k string, n_events long, total double, max_value double"
+    ).orderBy("op", "k")
 
 
 def q49_ngram_jaccard(spark, sf):
@@ -1318,136 +1492,6 @@ def _fuzz_sql(spec: dict | None = None) -> str:
     """
 
 
-def q39_simhash_dedup(spark, sf):
-    """Covers: SimHash near-dup removal (64-bit, pigeonhole blocking).
-    The signature is hash-defined (xxhash64) so no SQL oracle can
-    recompute it; instead the query PROVES the blocked plan lossless by
-    comparing its survivors against a brute-force all-pairs hamming scan
-    of the same signatures (the pigeonhole guarantee, executed). The
-    oracle pins the data-derived doc count and the always-TRUE
-    consistency flag."""
-    from datar_polars_spark.scale.dedup import (
-        _fingerprint_survivors,
-        simhash_dedup,
-        simhash_signatures,
-    )
-
-    d = _t(spark, sf, "documents")
-    surv_blocked = simhash_dedup(d, f.text, f.doc_id, max_hamming=3).df.select("doc_id")
-    pre = _fingerprint_survivors(d.df.select(*d.columns), "text", "doc_id")
-    sigs = simhash_signatures(pre, "text", "doc_id")
-    a = sigs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sigs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    dupes = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
-        .select(F.col("id_b").alias("doc_id"))
-        .dropDuplicates()
-    )
-    surv_brute = pre.select("doc_id").join(dupes, "doc_id", "left_anti")
-    n_diff = (
-        surv_blocked.exceptAll(surv_brute).count()
-        + surv_brute.exceptAll(surv_blocked).count()
-    )
-    n_docs = d.df.count()
-    return spark.createDataFrame(
-        [(n_docs, n_diff == 0)], "n_docs long, blocked_eq_brute boolean"
-    )
-
-
-def q40_lsh_topk(spark, sf):
-    """Covers: LSH-bucketed approximate nearest neighbors. Random
-    embeddings give LSH nothing to find (all cosines ~0), so 10 TRUE
-    near-neighbors of the query are planted (q_v + 0.25*v_i, ids
-    10001..10010) — the exact top-10 is the planted set, LSH must
-    retrieve it from its probed buckets, and the oracle recomputes the
-    same construction + exact top-10 in SQL (r1: no oracle)."""
-    from datar_polars_spark.scale import lsh_topk
-    from datar_polars_spark.tibble import Tibble
-
-    e = _t(spark, sf, "embeddings")
-    base = e.df.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-    )
-    qrow = base.filter("vec_id = 0").select("embedding").first()
-    qv = [float(v) for v in qrow[0]]
-    planted = (
-        base.filter(F.col("vec_id").between(1, 10))
-        .crossJoin(base.filter("vec_id = 0").select(F.col("embedding").alias("qe")))
-        .select(
-            (F.col("vec_id") + 10000).alias("vec_id"),
-            F.zip_with("qe", "embedding", lambda x, y: x + 0.25 * y).alias("embedding"),
-        )
-    )
-    corpus = Tibble(base.unionByName(planted))
-    out = lsh_topk(corpus, qv, f.embedding, f.vec_id, k=10, probe_hamming=3)
-    return (
-        out.df.select("vec_id", F.round("cosine", 4).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), "vec_id")
-    )
-
-
-def q59_multimodal_features(spark, sf):
-    """Covers: multimodal binary-column plumbing AND the round-3 REAL
-    header codecs. Per doc we synthesize a genuine PNG header
-    (width = doc_id % 1000 + 1, height = n_chars % 1000 + 1) and a
-    genuine WAV header (16 kHz, n_samples = n_chars * 10), run the
-    Arrow-batched decode_images / decode_audio passes — which parse the
-    bytes with the pure-Python codecs (scale/codecs.py), no stub on
-    this path — and also keep the original utf-8 byte-count + feature
-    dimensionality plumbing checks. The oracle recomputes every parsed
-    field arithmetically from doc_id/n_chars, so a parser regression
-    flips the hash."""
-    import pandas as pd
-    from pyspark.sql.types import BinaryType
-
-    from datar_polars_spark.scale import attach_binary_metadata, image_features
-    from datar_polars_spark.scale.codecs import make_png, make_wav
-    from datar_polars_spark.scale.multimodal import decode_audio, decode_images
-
-    @F.pandas_udf(BinaryType())
-    def png_bytes(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                make_png(int(d) % 1000 + 1, int(n) % 1000 + 1)
-                for d, n in zip(doc_id, n_chars)
-            ]
-        )
-
-    @F.pandas_udf(BinaryType())
-    def wav_bytes(n_chars: pd.Series) -> pd.Series:
-        return pd.Series([make_wav(16_000, int(n) * 10) for n in n_chars])
-
-    d = _t(spark, sf, "documents")
-    binary = d.with_df(
-        d.df.withColumn("content", F.encode(F.col("text"), "utf-8"))
-        .withColumn("img", png_bytes(F.col("doc_id"), F.col("n_chars")))
-        .withColumn("aud", wav_bytes(F.col("n_chars")))
-    )
-    feats = image_features(
-        attach_binary_metadata(binary, "content"), content="content", dim=16
-    )
-    imgs = decode_images(feats, content="img", strict=True)
-    imgs = imgs.with_df(
-        imgs.df.withColumnsRenamed(
-            {"format": "img_format", "width": "img_w", "height": "img_h"}
-        )
-    )
-    decoded = decode_audio(imgs, content="aud", strict=True)
-    out = decoded.df.select(
-        "doc_id",
-        F.col("media.n_bytes").alias("n_bytes"),
-        F.size("features").alias("feat_dim"),
-        "img_format",
-        "img_w",
-        "img_h",
-        F.col("sample_rate").alias("wav_rate"),
-        "n_samples",
-    ).orderBy("doc_id")
-    return out
-
-
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1479,15 +1523,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_group_deviation": q22_group_deviation,
         "q23_events_daily": q23_events_daily,
         "q25_rows_upsert": q25_rows_upsert,
-        "q26_pivot_wider": q26_pivot_wider,
-        "q27_pivot_longer": q27_pivot_longer,
+        "q26_pivot": q26_pivot,
         "q28_separate_unite": q28_separate_unite,
         "q29_separate_rows_uncount": q29_separate_rows_uncount,
         "q30_fill_gaps": q30_fill_gaps,
         "q31_nest_unnest_roundtrip": q31_nest_unnest_roundtrip,
         "q32_complete_grid": q32_complete_grid,
-        "q33_dedup_exact": q33_dedup_exact,
-        "q34_fingerprint_dedup": q34_fingerprint_dedup,
+        "q33_dedup": q33_dedup,
         "q35_text_stats": q35_text_stats,
         "q37_ann_topk": q37_ann_topk,
         "q38_minhash_dedup": q38_minhash_dedup,
@@ -1498,7 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_gopher_packing": q45_gopher_packing,
         "q46_fct_collapse": q46_fct_collapse,
         "q47_row_stats": q47_row_stats,
-        "q48_stream_windowed": q48_stream_windowed,
+        "q48_streaming": q48_streaming,
         "q49_ngram_jaccard": q49_ngram_jaccard,
         "q50_embedding_dedup": q50_embedding_dedup,
         "q51_sessionize": q51_sessionize,
@@ -1506,13 +1548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_col_random": q60_col_random,
         "q61_seeded_fuzz": q61_seeded_fuzz,
         "q62_semantic_dedup": q62_semantic_dedup,
-        "q63_stream_stateful": q63_stream_stateful,
         "q64_seeded_join_fuzz": q64_seeded_join_fuzz,
         "q65_rolling_windows": q65_rolling_windows,
         "q66_trailing_time_window": q66_trailing_time_window,
-        "q39_simhash_dedup": q39_simhash_dedup,
-        "q40_lsh_topk": q40_lsh_topk,
-        "q59_multimodal_features": q59_multimodal_features,
     }
 
 
@@ -1719,19 +1757,25 @@ def oracle_sql() -> dict[str, str]:
             FROM x FULL JOIN y ON x.c_custkey = y.c_custkey
             ORDER BY c_custkey
         """,
-        "q26_pivot_wider": """
-            SELECT l_returnflag,
-                   CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "F",
-                   CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "O"
-            FROM lineitem GROUP BY l_returnflag
-            ORDER BY l_returnflag
-        """,
-        "q27_pivot_longer": """
-            SELECT p_partkey, metric, val FROM (
-                SELECT p_partkey, 'p_retailprice' AS metric, ROUND(p_retailprice, 4) AS val FROM part
+        "q26_pivot": """
+            WITH counts AS (
+                SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+                FROM lineitem GROUP BY 1, 2
+            ), rf AS (SELECT DISTINCT l_returnflag FROM lineitem),
+               st AS (SELECT DISTINCT l_linestatus FROM lineitem)
+            SELECT op, key, metric, val FROM (
+                SELECT 'li' AS op, r.l_returnflag AS key, s.l_linestatus AS metric,
+                       CAST(COALESCE(c.n, 0) AS DOUBLE) AS val
+                FROM rf r CROSS JOIN st s
+                LEFT JOIN counts c
+                  ON c.l_returnflag = r.l_returnflag AND c.l_linestatus = s.l_linestatus
                 UNION ALL
-                SELECT p_partkey, 'p_size' AS metric, ROUND(CAST(p_size AS DOUBLE), 4) AS val FROM part
-            ) ORDER BY p_partkey, metric
+                SELECT 'part', LPAD(CAST(p_partkey AS VARCHAR), 8, '0'),
+                       'p_retailprice', ROUND(p_retailprice, 4) FROM part
+                UNION ALL
+                SELECT 'part', LPAD(CAST(p_partkey AS VARCHAR), 8, '0'),
+                       'p_size', ROUND(CAST(p_size AS DOUBLE), 4) FROM part
+            ) ORDER BY op, key, metric
         """,
         "q28_separate_unite": """
             SELECT p_partkey,
@@ -1783,24 +1827,22 @@ def oracle_sql() -> dict[str, str]:
               ON g.l_returnflag = c.l_returnflag AND g.l_linestatus = c.l_linestatus
             ORDER BY g.l_returnflag, g.l_linestatus
         """,
-        "q33_dedup_exact": """
-            SELECT doc_id, lang, source FROM (
-                SELECT doc_id, lang, source,
-                       ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
-                FROM documents
-            ) WHERE rn = 1
-            ORDER BY doc_id
-        """,
-        "q34_fingerprint_dedup": """
-            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-                   COUNT(*) AS n_copies,
-                   MIN(doc_id) AS keep_id
-            FROM documents GROUP BY 1
-            ORDER BY fp
+        "q33_dedup": """
+            SELECT op, key, n_copies, keep_id FROM (
+                SELECT 'exact' AS op, lang || '|' || source AS key,
+                       CAST(NULL AS BIGINT) AS n_copies,
+                       MIN(doc_id) AS keep_id
+                FROM documents GROUP BY lang, source
+                UNION ALL
+                SELECT 'fp', md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                       COUNT(*), MIN(doc_id)
+                FROM documents GROUP BY 2
+            ) ORDER BY op, key
         """,
         "q35_text_stats": """
             WITH stats AS (
-                SELECT lang,
+                SELECT lang, doc_id, n_chars,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                        len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tokens,
                        ROUND(
                          list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -1821,7 +1863,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(tokens) AS BIGINT) AS total_tokens,
                    ROUND(AVG(mwl), 4) AS avg_mwl,
-                   CAST(SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_hq
+                   CAST(SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_hq,
+                   CAST(SUM(n_bytes) AS BIGINT) AS bytes_sum,
+                   16 AS feat_dim_max,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tiff,
+                   CAST(SUM(doc_id % 1000 + 1) AS BIGINT) AS img_w_sum,
+                   CAST(SUM(n_chars % 1000 + 1) AS BIGINT) AS img_h_sum,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wav,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mp3,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END) AS BIGINT) AS rate_sum,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars * 10
+                                 ELSE 1152 * (n_chars % 20 + 1) END) AS BIGINT) AS samples_sum
             FROM stats GROUP BY lang
             ORDER BY lang
         """,
@@ -1840,10 +1893,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, ROUND(cos, 4) AS cosine
                 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
             )
+            , base AS (
+                SELECT vec_id,
+                       list_transform(embedding, v -> CAST(v AS DOUBLE)) AS embedding
+                FROM embeddings
+            ), q2 AS (SELECT embedding AS qe FROM base WHERE vec_id = 0),
+            planted AS (
+                SELECT b.vec_id + 10000 AS vec_id,
+                       list_transform(list_zip(q2.qe, b.embedding),
+                                      x -> CAST(x[1] AS DOUBLE) + 0.25 * CAST(x[2] AS DOUBLE)) AS embedding
+                FROM base b, q2 WHERE b.vec_id BETWEEN 1 AND 10
+            ), corpus AS (
+                SELECT * FROM base UNION ALL SELECT * FROM planted
+            ), lsh_scored AS (
+                SELECT c.vec_id,
+                       list_sum(list_transform(list_zip(c.embedding, q2.qe),
+                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(c.embedding,
+                                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q2.qe,
+                                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+                FROM corpus c, q2
+            ), lsh_top AS (
+                SELECT vec_id, ROUND(cos, 4) AS cosine
+                FROM lsh_scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+            )
             SELECT method, vec_id, cosine FROM (
                 SELECT 'brute' AS method, vec_id, cosine FROM top
                 UNION ALL
                 SELECT 'ivf' AS method, vec_id, cosine FROM top
+                UNION ALL
+                SELECT 'lsh' AS method, vec_id, cosine FROM lsh_top
             ) ORDER BY method, cosine DESC, vec_id
         """,
         "q38_minhash_dedup": """
@@ -1861,9 +1941,13 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(list_intersect(a.grams, b.grams)) * 1.0
                       / len(list_distinct(a.grams || b.grams)) >= 0.5
             )
-            SELECT doc_id, lang FROM documents
-            WHERE doc_id NOT IN (SELECT doc_id FROM dup)
-            ORDER BY doc_id
+            SELECT op, doc_id, lang FROM (
+                SELECT 'minhash' AS op, doc_id, lang FROM documents
+                WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+                UNION ALL
+                SELECT 'simhash_check', 0,
+                       CAST((SELECT COUNT(*) FROM documents) AS VARCHAR)
+            ) ORDER BY op, doc_id
         """,
         "q41_fct_lump": """
             WITH cnt AS (
@@ -1980,12 +2064,20 @@ def oracle_sql() -> dict[str, str]:
             FROM part WHERE ROUND(p_retailprice + p_size, 4) > 990
             ORDER BY p_partkey
         """,
-        "q48_stream_windowed": """
-            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
-                   COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS total
-            FROM events GROUP BY 1, 2
-            ORDER BY day, event_type
+        # both streaming answers (windowed + stateful) == their batch aggs
+        "q48_streaming": """
+            SELECT op, k, n_events, total, max_value FROM (
+                SELECT 'win' AS op,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) || '|' || event_type AS k,
+                       COUNT(*) AS n_events,
+                       ROUND(SUM(value), 4) AS total,
+                       CAST(NULL AS DOUBLE) AS max_value
+                FROM events GROUP BY 2
+                UNION ALL
+                SELECT 'state', LPAD(CAST(user_id AS VARCHAR), 10, '0'),
+                       COUNT(*), ROUND(SUM(value), 4), ROUND(MAX(value), 4)
+                FROM events GROUP BY user_id
+            ) ORDER BY op, k
         """,
         "q49_ngram_jaccard": """
             WITH t AS (
@@ -2052,49 +2144,6 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MEDIAN(l_quantity), 4) AS med_qty
             FROM lineitem
         """,
-        "q39_simhash_dedup": """
-            SELECT COUNT(*) AS n_docs, TRUE AS blocked_eq_brute FROM documents
-        """,
-        "q40_lsh_topk": """
-            WITH base AS (
-                SELECT vec_id,
-                       list_transform(embedding, v -> CAST(v AS DOUBLE)) AS embedding
-                FROM embeddings
-            ), q AS (SELECT embedding AS qe FROM base WHERE vec_id = 0),
-            planted AS (
-                SELECT b.vec_id + 10000 AS vec_id,
-                       list_transform(list_zip(q.qe, b.embedding),
-                                      x -> CAST(x[1] AS DOUBLE) + 0.25 * CAST(x[2] AS DOUBLE)) AS embedding
-                FROM base b, q WHERE b.vec_id BETWEEN 1 AND 10
-            ), corpus AS (
-                SELECT * FROM base UNION ALL SELECT * FROM planted
-            ), scored AS (
-                SELECT c.vec_id,
-                       list_sum(list_transform(list_zip(c.embedding, q.qe),
-                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                       / (sqrt(list_sum(list_transform(c.embedding,
-                                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-                          * sqrt(list_sum(list_transform(q.qe,
-                                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
-                FROM corpus c, q
-            )
-            SELECT vec_id, ROUND(cos, 4) AS cosine
-            FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
-        """,
-        # the stub feature VALUES aren't SQL-expressible, but the
-        # projected plumbing outputs (utf-8 byte counts through the
-        # binary struct, feature dimensionality out of mapInPandas) are
-        "q59_multimodal_features": """
-            SELECT doc_id,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   16 AS feat_dim,
-                   'png' AS img_format,
-                   CAST(doc_id % 1000 + 1 AS INT) AS img_w,
-                   CAST(n_chars % 1000 + 1 AS INT) AS img_h,
-                   16000 AS wav_rate,
-                   CAST(n_chars * 10 AS BIGINT) AS n_samples
-            FROM documents ORDER BY doc_id
-        """,
         # generated from the SAME seeded spec as the Spark pipeline
         "q61_seeded_fuzz": _fuzz_sql(),
         "q64_seeded_join_fuzz": _fuzz2_sql(),
@@ -2126,13 +2175,5 @@ def oracle_sql() -> dict[str, str]:
         # original corpus (see q62 docstring)
         "q62_semantic_dedup": """
             SELECT vec_id FROM embeddings ORDER BY vec_id
-        """,
-        # final per-key state of the streaming accumulator == batch agg
-        "q63_stream_stateful": """
-            SELECT user_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_events,
-                   ROUND(SUM(value), 4) AS total,
-                   ROUND(MAX(value), 4) AS max_value
-            FROM events GROUP BY user_id ORDER BY user_id
         """,
     }
