@@ -24,12 +24,6 @@ if TYPE_CHECKING:
 ORDER_COL = "__datar_ro__"
 POS_COL = "__datar_pos__"
 
-# grouped-aggregate joins broadcast their agg side when it has at most
-# this many groups (~32 B/row -> ~64 MB at the bound; beyond it the
-# plan stays a shuffled join). Override via env for unusual clusters.
-AGG_BROADCAST_MAX_ROWS = int(
-    __import__("os").environ.get("DATAR_AGG_BROADCAST_MAX_ROWS", 2_000_000)
-)
 
 
 class EvalContext:
@@ -102,11 +96,23 @@ class EvalContext:
         if self.mode == "agg":
             return aggregated
         if not self.groups and not self.rowwise and not self.tibble.df.isStreaming:
-            # Ungrouped window aggregate == one global scalar. Computing
-            # it eagerly (a tiny map-side-combined agg job) and inlining
-            # the literal avoids `Window.partitionBy()` — a window that
-            # funnels every row of the table through a single task.
+            # Ungrouped window aggregate == one global scalar. A
+            # `Window.partitionBy()` would funnel every row through one
+            # task, so it compiles to a 1-row global agg instead. The
+            # DEFAULT is fully lazy: register it as a pending agg that
+            # apply_pending_group_aggs() cross-joins back as a 1-row
+            # broadcast — plan construction launches no Spark jobs.
+            if self.allow_agg_join and "__datar_gagg_" not in str(aggregated):
+                alias = f"__datar_gagg_{len(self.pending_group_aggs)}__"
+                self.pending_group_aggs[alias] = aggregated
+                return F.col(alias)
+            # Fallback (verb didn't opt into the join rewrite, or the
+            # aggregate nests another pending aggregate): evaluate the
+            # scalar eagerly and inline the literal. Rare shapes only —
+            # the one case plan construction still runs a job.
             df = self.tibble.df
+            if self.pending_group_aggs and "__datar_gagg_" in str(aggregated):
+                df = self.apply_pending_group_aggs(df)
             schema = df.select(aggregated.alias("__v__")).schema
             row = df.agg(aggregated.alias("__v__")).first()
             return F.lit(row["__v__"]).cast(schema[0].dataType)
@@ -145,36 +151,72 @@ class EvalContext:
         aggdf = base.groupBy(*keyed).agg(
             *[c.alias(a) for a, c in self.pending_group_aggs.items()]
         )
-        # Manual runtime-adaptive broadcast: AQE will NOT demote this
-        # sort-merge join to broadcast (both join-side exchanges are
-        # submitted together, so by decision time the fact-table shuffle
-        # is already materialized — observed on Spark 4.1 even with
-        # adaptive.autoBroadcastJoinThreshold raised). The agg stage has
-        # to run anyway as the join's right side, so run it NOW, persist
-        # it, and count: when the group cardinality is broadcast-sized,
-        # the hint removes the fact-table shuffle entirely (3.2x on the
-        # grouped-deviation shape at sf1); when it isn't, the plan stays
-        # the shuffled join. Streaming frames skip the probe (no eager
-        # actions on an unstarted stream).
-        if not getattr(base, "isStreaming", False):
-            memo_key = ("gagg_n", tuple(sorted(self.pending_group_aggs)))
-            if memo_key not in self._job_cache:
-                from pyspark import StorageLevel
-
-                aggdf = aggdf.persist(StorageLevel.MEMORY_AND_DISK)
-                try:
-                    self._job_cache[memo_key] = (aggdf, aggdf.count())
-                except Exception:
-                    self._job_cache[memo_key] = (aggdf, None)
-            aggdf, n = self._job_cache[memo_key]
-            if n is not None and n <= AGG_BROADCAST_MAX_ROWS:
-                aggdf = F.broadcast(aggdf)
+        if not self.groups:
+            # global scalars: exactly one row — broadcast cross join
+            # (BroadcastNestedLoopJoin, a per-row passthrough).
+            return df.crossJoin(F.broadcast(aggdf))
+        # Runtime-adaptive broadcast WITHOUT a compile-time probe. Left
+        # alone, AQE cannot save the fact-table shuffle here: both
+        # join-side exchanges are submitted together, so by the time the
+        # agg side's size is known the fact shuffle write has already
+        # run (observed on Spark 4.1 — the SMJ does get demoted to BHJ,
+        # but only after paying the 100 TB shuffle write). The gate
+        # below serializes stage submission declaratively: the fact
+        # side is cross-joined with a 1-row broadcast DERIVED FROM THE
+        # AGG SIDE'S OWN EXCHANGE (ReusedExchange — the aggregation runs
+        # once), so the fact stage cannot be submitted until the agg
+        # exchange has materialized. At that point AQE re-optimizes the
+        # join with the agg side's true size: broadcast-sized groups
+        # become a BroadcastHashJoin and the fact table never shuffles
+        # (3.2x on the grouped-deviation shape at sf1); oversized groups
+        # keep the shuffled join. Plan construction launches ZERO Spark
+        # jobs and nothing is persisted (r3 probed eagerly with
+        # persist+count, which leaked cached frames and made a
+        # never-collected pipeline pay a full scan).
+        if not getattr(base, "isStreaming", False) and self._aqe_enabled():
+            df = self._gate_on_agg(df, aggdf)
         cond = None
         for i, g in enumerate(self.groups):
             c = F.col(g).eqNullSafe(F.col(f"__datar_gk_{i}__"))
             cond = c if cond is None else cond & c
         out = df.join(aggdf, cond, "left")
         return out.drop(*[f"__datar_gk_{i}__" for i in range(len(self.groups))])
+
+    def _aqe_enabled(self) -> bool:
+        try:
+            return (
+                self.tibble.df.sparkSession.conf.get(
+                    "spark.sql.adaptive.enabled", "true"
+                ).lower()
+                == "true"
+            )
+        except Exception:
+            return True
+
+    @staticmethod
+    def _gate_on_agg(df: "DataFrame", aggdf: "DataFrame") -> "DataFrame":
+        """Make ``df`` depend on a 1-row broadcast computed FROM
+        ``aggdf`` so AQE materializes the agg exchange before the fact
+        side is submitted (see apply_pending_group_aggs). The anchor
+        hashes every agg output column — that keeps the aggregation
+        alive through column pruning, which in turn lets ReuseExchange
+        share the agg-side shuffle between the gate and the join. The
+        always-true filter (max(hash) over >=1 row is never null; an
+        empty agg side implies an empty fact side) is what stops
+        Catalyst from pruning the gate value away."""
+        gate_col = "__datar_gate__"
+        try:
+            gate = aggdf.agg(
+                F.max(F.hash(*[F.col(c) for c in aggdf.columns])).alias(gate_col)
+            )
+            gate.schema  # force analysis: unhashable col types raise here
+        except Exception:
+            return df  # un-gated plan is correct, just not broadcast-able
+        return (
+            df.crossJoin(F.broadcast(gate))
+            .filter(F.col(gate_col).isNotNull())
+            .drop(gate_col)
+        )
 
     # ---- two-pass distributed cumulative windows -----------------------
     # Ungrouped order-sensitive windows are semantically a total order,

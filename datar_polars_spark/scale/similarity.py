@@ -141,35 +141,85 @@ def lsh_topk(
 # IVF (inverted-file) ANN: k-means coarse quantizer + probed clusters
 # ---------------------------------------------------------------------------
 
+# above this sample size the driver-side Lloyd's loop is no longer the
+# right tool (memory is O(sample x k)); training switches to
+# pyspark.ml's distributed KMeans over the full frame
+DRIVER_KMEANS_MAX_SAMPLE = 200_000
+
+
 def ivf_train(
     td: Tibble,
     embedding: Any = "embedding",
     n_clusters: int = 64,
     iters: int = 5,
-    sample_size: int = 10_000,
+    sample_size: int | None = None,
     seed: int = 42,
 ) -> list[list[float]]:
-    """Train the coarse quantizer: Lloyd's k-means on a driver-side
-    sample (the centroid table is tiny — k × dim floats — and training
-    on a sample is the standard IVF recipe). Returns the centroids."""
+    """Train the coarse quantizer. Returns the centroids (k x dim).
+
+    ``sample_size`` defaults to ``max(10_000, 50 * n_clusters)`` so the
+    sample always carries enough points per centroid — a fixed 10k
+    sample silently caps the effective k at large corpus sizes (e.g.
+    ``n_clusters = sqrt(n)`` passes 10^4 clusters at 10^8 docs, and a
+    10k sample then seeds most centroids from a single point). When the
+    required sample exceeds ``DRIVER_KMEANS_MAX_SAMPLE`` the training
+    runs as pyspark.ml distributed KMeans over the full frame instead
+    of a driver-side loop — the centroid table stays tiny either way."""
     import numpy as np
 
     col = _name_of(embedding)
+    if sample_size is None:
+        sample_size = max(10_000, 50 * n_clusters)
     n = td.df.count()
+    if sample_size > DRIVER_KMEANS_MAX_SAMPLE and n > DRIVER_KMEANS_MAX_SAMPLE:
+        try:
+            return _ivf_train_distributed(td, col, n_clusters, iters, seed)
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ivf_train: distributed KMeans unavailable, falling back "
+                "to a capped driver sample (quantizer quality may drop "
+                "for k=%d)",
+                n_clusters,
+            )
+            sample_size = DRIVER_KMEANS_MAX_SAMPLE
     frac = min(1.0, sample_size / max(n, 1))
     rows = td.df.select(col).sample(fraction=frac, seed=seed).collect()
     X = np.array([list(r[0]) for r in rows], dtype="float64")
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    x2 = (X * X).sum(axis=1)
     for _ in range(iters):
-        # assign (sample_size × k distances — driver numpy, sub-second)
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # assign via ||x-c||^2 = x.x - 2 x.c + c.c: one matmul, O(s*k)
+        # memory (the naive (s,k,dim) difference tensor is dim-times
+        # larger and blew past driver memory at moderate k)
+        d2 = x2[:, None] - 2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
         for ci in range(len(cents)):
             members = X[assign == ci]
             if len(members):
                 cents[ci] = members.mean(axis=0)
     return [[float(v) for v in c] for c in cents]
+
+
+def _ivf_train_distributed(
+    td: Tibble, col: str, n_clusters: int, iters: int, seed: int
+) -> list[list[float]]:
+    """pyspark.ml KMeans over the full frame — the scale path for
+    k x 50 sample sizes past what a driver loop should hold. One extra
+    cache-free pass per iteration, all executor-side."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = td.df.select(
+        array_to_vector(F.col(col).cast("array<double>")).alias("__feat__")
+    )
+    km = KMeans(
+        k=n_clusters, maxIter=max(iters, 1), seed=seed, featuresCol="__feat__"
+    )
+    model = km.fit(feats)
+    return [[float(v) for v in c] for c in model.clusterCenters()]
 
 
 @verb

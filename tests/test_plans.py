@@ -201,16 +201,21 @@ def test_ungrouped_ntile_no_single_partition(spark):
     assert "SinglePartition" not in plan
 
 
-def test_ungrouped_window_aggregate_inlines_literal(spark):
-    """Ungrouped mutate(m=mean(x)) computes the scalar eagerly and
-    inlines it — no Window at all in the plan."""
+def test_ungrouped_window_aggregate_no_window_no_jobs(spark):
+    """Ungrouped mutate(m=mean(x)) compiles to a 1-row global agg
+    cross-joined back as a broadcast — no Window at all in the plan,
+    and building the plan launches ZERO Spark jobs (r3 computed the
+    scalar eagerly at compile time)."""
     from datar_polars_spark.functions import mean
 
-    td = read_parquet(spark, f"{SF}/orders.parquet") >> mutate(
-        m=mean(f.o_totalprice, na_rm=True)
-    )
+    base = read_parquet(spark, f"{SF}/orders.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    td = base >> mutate(m=mean(f.o_totalprice, na_rm=True))
     plan = _plan(td)
+    after = set(tracker.getJobIdsForGroup(None) or [])
     assert "Window" not in plan
+    assert after == before, f"plan construction ran Spark jobs: {after - before}"
 
 
 def test_grouped_agg_mutate_avoids_window_shuffle(spark):
@@ -377,15 +382,29 @@ def test_semantic_pairs_single_shuffle_no_funnel(spark):
 
 def test_grouped_agg_join_broadcasts_small_side(spark):
     """Grouped mutate of an unordered aggregate (the q22 shape): the
-    agg side is probed at compile and broadcast when small, removing
-    the fact-table shuffle (r3 — AQE never demotes this SMJ itself)."""
+    agg-side exchange gates the fact side's stage submission, so AQE
+    learns the agg size FIRST and demotes the join to broadcast at
+    runtime — the fact table is never hash-exchanged (r4: this replaced
+    r3's eager compile-time persist+count probe). Checked on the FINAL
+    adaptive plan after an action; plan construction itself must launch
+    zero jobs."""
     from datar_polars_spark.functions import mean
 
-    td = (
-        read_parquet(spark, f"{SF}/lineitem.parquet")
-        >> group_by(f.l_suppkey)
-        >> mutate(dev=f.l_extendedprice - mean(f.l_extendedprice, na_rm=True))
-    )
+    base = read_parquet(spark, f"{SF}/lineitem.parquet") >> group_by(f.l_suppkey)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    td = base >> mutate(dev=f.l_extendedprice - mean(f.l_extendedprice, na_rm=True))
     plan = _plan(td)
-    assert "BroadcastHashJoin" in plan
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, f"plan construction ran Spark jobs: {after - before}"
     assert "Window" not in plan
+    td.df.collect()  # materialize THIS plan -> AQE finalizes the join
+    final = _plan(td).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    # the fact side must reach the join unshuffled: the only
+    # hashpartitioning exchange in the final plan is the agg side's,
+    # shared with the gate via exchange reuse
+    # (a ReusedExchange line repeats its target's name, so count only
+    # real Exchange operator nodes)
+    assert len(re.findall(r"[+:]- Exchange hashpartitioning", final)) <= 1
+    assert "ReusedExchange" in final
