@@ -658,9 +658,16 @@ def q33_dedup(spark, sf):
         dedup_exact(d, f.lang, f.source, id_col=f.doc_id)
         >> select(f.doc_id, f.lang, f.source)
     )
+    # Null-symmetric key: concat_ws SKIPS nulls while SQL `||` yields
+    # NULL, so both sides coalesce each field to a sentinel first — a
+    # NULL lang/source then hashes identically in Spark and the oracle.
     ex_block = _finish(ex).select(
         F.lit("exact").alias("op"),
-        F.concat_ws("|", "lang", "source").alias("key"),
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("lang"), F.lit("<NA>")),
+            F.coalesce(F.col("source"), F.lit("<NA>")),
+        ).alias("key"),
         F.lit(None).cast("long").alias("n_copies"),
         F.col("doc_id").alias("keep_id"),
     )
@@ -1829,7 +1836,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q33_dedup": """
             SELECT op, key, n_copies, keep_id FROM (
-                SELECT 'exact' AS op, lang || '|' || source AS key,
+                SELECT 'exact' AS op,
+                       COALESCE(lang, '<NA>') || '|' || COALESCE(source, '<NA>') AS key,
                        CAST(NULL AS BIGINT) AS n_copies,
                        MIN(doc_id) AS keep_id
                 FROM documents GROUP BY lang, source

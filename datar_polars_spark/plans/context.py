@@ -11,6 +11,7 @@ filter on a grouped tibble) — the Spark analogue of Polars'
 
 from __future__ import annotations
 
+import os
 from typing import Any, TYPE_CHECKING
 
 from pyspark.sql import Column, Window, WindowSpec
@@ -102,7 +103,7 @@ class EvalContext:
             # DEFAULT is fully lazy: register it as a pending agg that
             # apply_pending_group_aggs() cross-joins back as a 1-row
             # broadcast — plan construction launches no Spark jobs.
-            if self.allow_agg_join and "__datar_gagg_" not in str(aggregated):
+            if self.allow_agg_join and not self._contains_pending(aggregated):
                 alias = f"__datar_gagg_{len(self.pending_group_aggs)}__"
                 self.pending_group_aggs[alias] = aggregated
                 return F.col(alias)
@@ -111,7 +112,7 @@ class EvalContext:
             # scalar eagerly and inline the literal. Rare shapes only —
             # the one case plan construction still runs a job.
             df = self.tibble.df
-            if self.pending_group_aggs and "__datar_gagg_" in str(aggregated):
+            if self.pending_group_aggs and self._contains_pending(aggregated):
                 df = self.apply_pending_group_aggs(df)
             schema = df.select(aggregated.alias("__v__")).schema
             row = df.agg(aggregated.alias("__v__")).first()
@@ -124,7 +125,7 @@ class EvalContext:
             # an aggregate built on another pending aggregate (nested
             # window) can't be computed in one groupBy pass — keep the
             # window form, which fails/succeeds exactly as before
-            and "__datar_gagg_" not in str(aggregated)
+            and not self._contains_pending(aggregated)
         ):
             # Grouped unordered window aggregate -> per-group groupBy
             # agg (map-side partial combine) joined back on the keys.
@@ -137,6 +138,35 @@ class EvalContext:
             self.pending_group_aggs[alias] = aggregated
             return F.col(alias)
         return aggregated.over(self.partition())
+
+    def _contains_pending(self, col: Column) -> bool:
+        """True when ``col``'s expression tree REFERENCES a pending
+        placeholder column (``__datar_gagg_N__``). Detection is
+        structural — the set of attribute names the unresolved Catalyst
+        expression refers to — so a user STRING LITERAL containing the
+        token no longer forces the eager fallback, and a future change
+        to Column.__repr__ truncation can't silently misroute
+        expressions. The repr grep survives only as the catch-all for
+        Column objects without a JVM handle (e.g. Spark Connect)."""
+        if not self.pending_group_aggs:
+            return False
+        try:
+            # classic Spark 4: convert the ColumnNode to a Catalyst
+            # expression and scan its leaf UnresolvedAttributes.
+            # (references() is empty pre-analysis — AttributeSet drops
+            # unresolved attributes — so walk collectLeaves() instead.)
+            jexpr = self.tibble.df.sparkSession._jsparkSession.expression(col._jc)
+            leaves = jexpr.collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                if (
+                    leaf.getClass().getSimpleName() == "UnresolvedAttribute"
+                    and leaf.name() in self.pending_group_aggs
+                ):
+                    return True
+            return False
+        except Exception:
+            return "__datar_gagg_" in str(col)
 
     def apply_pending_group_aggs(self, df: "DataFrame") -> "DataFrame":
         """Compute all aggregates collected by agg() in ONE groupBy over
@@ -173,8 +203,18 @@ class EvalContext:
         # jobs and nothing is persisted (r3 probed eagerly with
         # persist+count, which leaked cached frames and made a
         # never-collected pipeline pay a full scan).
-        if not getattr(base, "isStreaming", False) and self._aqe_enabled():
-            df = self._gate_on_agg(df, aggdf)
+        if not getattr(base, "isStreaming", False):
+            if self._aqe_enabled():
+                df = self._gate_on_agg(df, aggdf)
+            elif os.environ.get("DATAR_AGG_BROADCAST", "0") == "1":
+                # AQE-off clusters have no runtime demotion path, so the
+                # SMJ always shuffles the fact side. DATAR_AGG_BROADCAST=1
+                # opts into a static broadcast hint for the agg side —
+                # correct whenever the per-group agg table fits in executor
+                # memory, but a FORCED hint (bypasses
+                # autoBroadcastJoinThreshold), hence opt-in. Replaces r3's
+                # DATAR_AGG_BROADCAST_MAX_ROWS compile-time probe.
+                aggdf = F.broadcast(aggdf)
         cond = None
         for i, g in enumerate(self.groups):
             c = F.col(g).eqNullSafe(F.col(f"__datar_gk_{i}__"))

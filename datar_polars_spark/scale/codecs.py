@@ -246,6 +246,17 @@ def _parse_mp3(b: bytes):
     first = _mp3_frame(b, i)
     if first is None:
         return None
+    # The 11-bit frame sync is weak (any 0xFF byte has a ~1/32 shot),
+    # so a lone plausible header is not enough evidence: require a
+    # SECOND consecutive valid frame header at i + frame_len — or a
+    # clean EOF exactly at the frame boundary (a one-frame stream) —
+    # before classifying arbitrary bytes as MP3. This is the standard
+    # demuxer sync-confirmation heuristic; without it random binary
+    # content in non-strict decode paths misreports as 'mp3' instead
+    # of falling through to the deterministic stub.
+    nxt = i + first[1]
+    if nxt != len(b) and _mp3_frame(b, nxt) is None:
+        return None
     sr, _, spf = first
     n_frames = 0
     while True:

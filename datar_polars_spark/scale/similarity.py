@@ -168,10 +168,31 @@ def ivf_train(
     import numpy as np
 
     col = _name_of(embedding)
+    # Only the DEFAULTED sample size may auto-route to distributed
+    # KMeans: an explicit sample_size is a deliberate caller choice
+    # (different algorithm, k-means|| init, full-scan-per-iteration
+    # cost would be a silent behavior change), so it is honored even
+    # past DRIVER_KMEANS_MAX_SAMPLE — with a warning about driver
+    # memory, since the sample is collected to the driver.
+    explicit_sample = sample_size is not None
     if sample_size is None:
         sample_size = max(10_000, 50 * n_clusters)
     n = td.df.count()
-    if sample_size > DRIVER_KMEANS_MAX_SAMPLE and n > DRIVER_KMEANS_MAX_SAMPLE:
+    if explicit_sample and sample_size > DRIVER_KMEANS_MAX_SAMPLE:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ivf_train: honoring explicit sample_size=%d above the "
+            "driver cap (%d); pass sample_size=None to allow "
+            "distributed KMeans instead",
+            sample_size,
+            DRIVER_KMEANS_MAX_SAMPLE,
+        )
+    if (
+        not explicit_sample
+        and sample_size > DRIVER_KMEANS_MAX_SAMPLE
+        and n > DRIVER_KMEANS_MAX_SAMPLE
+    ):
         try:
             return _ivf_train_distributed(td, col, n_clusters, iters, seed)
         except Exception:

@@ -153,8 +153,10 @@ class TestAudioParsers:
         assert parse_audio_header(b) == ("mp3", 44_100, 1152 * 3)
 
     def test_mp3_handbuilt_mpeg2_frame(self):
-        # MPEG-2 Layer III, 64 kbps, 22050 Hz -> 576 samples/frame
-        hdr = bytes([0xFF, 0xF3, (10 << 4) | (0 << 2), 0xC0])
+        # MPEG-2 Layer III, 64 kbps (V2 table index 8), 22050 Hz ->
+        # 576 samples/frame. The buffer ends exactly at the frame
+        # boundary so the clean-EOF single-frame path accepts it.
+        hdr = bytes([0xFF, 0xF3, (8 << 4) | (0 << 2), 0xC0])
         frame_len = (576 // 8) * 64_000 // 22_050
         b = hdr + b"\x00" * (frame_len - 4)
         assert parse_audio_header(b) == ("mp3", 22_050, 576)
@@ -163,6 +165,19 @@ class TestAudioParsers:
         # bitrate index 0 (free) and sr index 3 (reserved) are invalid
         assert parse_audio_header(bytes([0xFF, 0xFB, 0x00, 0xC0])) is None
         assert parse_audio_header(bytes([0xFF, 0xFB, (5 << 4) | (3 << 2), 0xC0])) is None
+
+    def test_mp3_requires_second_frame_or_clean_eof(self):
+        # A lone plausible header followed by garbage that neither parses
+        # as a frame at i+frame_len nor ends there must NOT classify as
+        # MP3 (the 11-bit sync is too weak on arbitrary binary content).
+        one = make_mp3(44_100, 1)
+        assert parse_audio_header(one + b"\x00garbage-tail-not-a-frame") is None
+        # truncated mid-frame: header claims a full frame that isn't there
+        assert parse_audio_header(one[: len(one) // 2]) is None
+        # clean EOF exactly at the frame boundary still accepts 1 frame
+        assert parse_audio_header(one) == ("mp3", 44_100, 1152)
+        # and two back-to-back frames confirm the sync as before
+        assert parse_audio_header(make_mp3(44_100, 2)) == ("mp3", 44_100, 2 * 1152)
 
 
 class TestDecodeMeta:

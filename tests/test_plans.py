@@ -408,3 +408,48 @@ def test_grouped_agg_join_broadcasts_small_side(spark):
     # real Exchange operator nodes)
     assert len(re.findall(r"[+:]- Exchange hashpartitioning", final)) <= 1
     assert "ReusedExchange" in final
+
+
+def test_pending_agg_detection_is_structural_not_repr(spark):
+    """A user STRING LITERAL containing '__datar_gagg_' inside an
+    aggregate must NOT be mistaken for a nested pending placeholder:
+    the grouped rewrite still applies (groupBy+join, no Window) and
+    plan construction launches zero Spark jobs (ADVICE r4: the old
+    substring grep over Column.__repr__ misrouted this to the window /
+    eager fallback)."""
+    from datar_polars_spark.functions import sum_ as dsum, if_else
+
+    base = read_parquet(spark, f"{SF}/lineitem.parquet") >> group_by(f.l_suppkey)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    td = base >> mutate(
+        odd=dsum(if_else(f.l_returnflag == "__datar_gagg_0__", 1, 0), na_rm=True)
+    )
+    plan = _plan(td)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, f"plan construction ran Spark jobs: {after - before}"
+    assert "Window" not in plan
+    assert "Join" in plan
+    # and the values are right: no shipmode matches the marker string
+    assert all(v == 0 for v in (r["odd"] for r in td.df.select("odd").collect()))
+
+
+def test_grouped_agg_join_aqe_off_broadcast_knob(spark):
+    """With AQE disabled there is no runtime demotion path; the
+    documented DATAR_AGG_BROADCAST=1 knob statically broadcast-hints
+    the agg side so the fact table still never hash-shuffles."""
+    import os
+
+    from datar_polars_spark.functions import mean
+
+    os.environ["DATAR_AGG_BROADCAST"] = "1"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        base = read_parquet(spark, f"{SF}/lineitem.parquet") >> group_by(f.l_suppkey)
+        td = base >> mutate(dev=f.l_extendedprice - mean(f.l_extendedprice, na_rm=True))
+        plan = _plan(td)
+        assert "BroadcastHashJoin" in plan
+        assert "Window" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        del os.environ["DATAR_AGG_BROADCAST"]

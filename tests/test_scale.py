@@ -543,3 +543,33 @@ class TestFreqItems:
         td = tibble(spark, a=[1, 1, 1, 2], b=["x", "x", "y", "z"])
         out = freq_items(td, f.a, f.b, support=0.5)
         assert out.df.columns == ["a_freqItems", "b_freqItems"]
+
+
+def test_ivf_train_honors_explicit_sample_size(spark, monkeypatch):
+    """An EXPLICIT sample_size is a deliberate caller choice: it must
+    never silently auto-route to distributed KMeans (different
+    algorithm + full-scan-per-iteration cost), even above the driver
+    cap. The defaulted path still routes (ADVICE r4)."""
+    from datar_polars_spark import f, read_parquet
+    from datar_polars_spark.scale import similarity as sim
+
+    e = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    monkeypatch.setattr(sim, "DRIVER_KMEANS_MAX_SAMPLE", 10)
+
+    def boom(*a, **kw):
+        raise AssertionError("distributed KMeans must not run for explicit sample_size")
+
+    monkeypatch.setattr(sim, "_ivf_train_distributed", boom)
+    cents = sim.ivf_train(e, f.embedding, n_clusters=4, iters=2, sample_size=50, seed=7)
+    assert len(cents) == 4
+
+    # defaulted sample_size above the cap -> distributed route is taken
+    called = {}
+
+    def fake(td, col, k, iters, seed):
+        called["yes"] = True
+        return [[0.0]] * k
+
+    monkeypatch.setattr(sim, "_ivf_train_distributed", fake)
+    out = sim.ivf_train(e, f.embedding, n_clusters=4, iters=2, seed=7)
+    assert called.get("yes") and len(out) == 4
