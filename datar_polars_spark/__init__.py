@@ -51,6 +51,7 @@ from .sources import (  # noqa: F401
     read_table,
     read_text,
     write_text,
+    read_binary,
     sql_,
     connect,
 )

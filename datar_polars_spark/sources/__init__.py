@@ -211,6 +211,45 @@ def write_text(td: Tibble, path: str, col: str = "text", mode: str = "overwrite"
     td.df.select(col).write.mode(mode).text(path)
 
 
+def read_binary(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> Tibble:
+    """Opaque-binary source for multimodal pipelines: one row per file
+    with ``path`` / ``modification_time`` / ``length`` / ``content``
+    (binary). Spark's built-in ``binaryFile`` format — a distributed
+    scan that never routes payloads through the driver, so a directory
+    of a billion images ingests like any other table. ``glob`` filters
+    by filename pattern pushed into file LISTING (not a post-scan
+    filter); ``recursive`` walks nested directories. Feed ``content``
+    straight to scale.multimodal.decode_images / decode_audio.
+
+    At 100 TB: files larger than
+    ``spark.sql.sources.binaryFile.maxLength`` (default 2 GiB, the
+    Spark row limit) fail the scan — shard oversized payloads upstream.
+    One file = one row = one task input; co-locate small files into
+    larger archives upstream when the file count (not byte size)
+    dominates listing time."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    return Tibble(
+        df.select(
+            "path",
+            F.col("modificationTime").alias("modification_time"),
+            "length",
+            "content",
+        )
+    )
+
+
 def sql_(spark: SparkSession, query: str, **views) -> Tibble:
     """Run an ANSI-SQL query through Spark SQL and wrap the result.
 

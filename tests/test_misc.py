@@ -198,3 +198,46 @@ def test_cache_unpersist_roundtrip(spark):
     assert t.nrow() == 3  # materializes the cache
     t2 = t >> unpersist_()
     assert not t2.df.is_cached
+
+
+def test_read_binary_decodes_multimodal(spark, tmp_path):
+    """binaryFile source -> decode_images: a directory of image files
+    ingests as one row per file (path/modification_time/length/content)
+    and the content column feeds the Arrow-batched decode pass; the
+    glob filter prunes at file LISTING, not post-scan."""
+    from datar_polars_spark import read_binary
+    from datar_polars_spark.scale import decode_images
+    from datar_polars_spark.scale.codecs import make_png, make_gif
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.png").write_bytes(make_png(12, 34))
+    (d / "b.png").write_bytes(make_png(56, 78))
+    (d / "c.gif").write_bytes(make_gif(9, 9))
+    (d / "notes.txt").write_text("not an image")
+
+    td = read_binary(spark, str(d))
+    assert td.columns == ["path", "modification_time", "length", "content"]
+    assert td.df.count() == 4
+
+    png_only = read_binary(spark, str(d), glob="*.png")
+    assert png_only.df.count() == 2
+
+    dec = decode_images(png_only, strict=True).collect()
+    got = {r["path"].rsplit("/", 1)[-1]: (r["format"], r["width"], r["height"])
+           for _, r in dec.iterrows()}
+    assert got == {"a.png": ("png", 12, 34), "b.png": ("png", 56, 78)}
+
+
+def test_read_binary_recursive(spark, tmp_path):
+    from datar_polars_spark import read_binary
+    from datar_polars_spark.scale.codecs import make_bmp
+
+    (tmp_path / "x" / "y").mkdir(parents=True)
+    (tmp_path / "x" / "y" / "deep.bmp").write_bytes(make_bmp(3, 4))
+    flat = read_binary(spark, str(tmp_path), glob="*.bmp")
+    deep = read_binary(spark, str(tmp_path), glob="*.bmp", recursive=True)
+    assert flat.df.count() == 0
+    assert deep.df.count() == 1
+    row = deep.df.select("length", "content").first()
+    assert row["length"] == len(row["content"])
