@@ -1,0 +1,116 @@
+"""Skew and partition diagnostics — operability tools for the 100 TB
+deployment recipes in README ("Known-skewed keys", shuffle sizing).
+
+Everything here is one distributed aggregation (map-side combine, tiny
+result) — safe to run against a full-scale table before committing to a
+join strategy. Reference parity: the reference engine is single-node and
+has no analogue (cited for absence: pwwang/datar-polars has no skew
+tooling); these exist because distributed joins/aggs need them.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from ..tibble import Tibble, ensure_tibble
+
+__all__ = ["key_skew", "skew_report", "partition_sizes"]
+
+
+def _names_of(td: Tibble, keys) -> list[str]:
+    from .similarity import _name_of
+
+    return [_name_of(k) for k in keys]
+
+
+def key_skew(td: Any, *keys, n: int = 20) -> Tibble:
+    """Top-``n`` heaviest key values with row counts and corpus
+    fraction. One groupBy + global top-n (``TakeOrderedAndProject`` —
+    no full sort, no collect of the key space)."""
+    td = ensure_tibble(td)
+    cols = _names_of(td, keys)
+    counts = td.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+    # fraction needs the total; it's one scalar — cross-join the 1-row
+    # agg back as a broadcast rather than a global window funnel
+    tot = counts.agg(F.sum("n").alias("__tot__"))
+    out = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(*cols, "n", (F.col("n") / F.col("__tot__")).alias("fraction"))
+        .orderBy(F.desc("n"), *cols)
+        .limit(n)
+    )
+    return Tibble(out)
+
+
+def skew_report(
+    td: Any,
+    *keys,
+    hot_fraction: float = 0.001,
+    broadcast_max_keys: int = 1_000_000,
+) -> dict:
+    """Summarize key-distribution skew and recommend a join strategy.
+
+    Returns a plain dict (driver-sized):
+      rows, distinct_keys, max_key_rows, mean_key_rows, p50_key_rows,
+      skew_ratio (max/mean), hot_keys (count holding > hot_fraction of
+      rows), recommendation ('broadcast' | 'aqe' | 'salted_join'),
+      suggested_salt (for 'salted_join', else None).
+
+    Decision rule (matches the README recipes):
+      - tiny distinct key space (< 1e6) on the OTHER side of a join
+        usually means broadcast that side;
+      - skew_ratio <= 8: AQE's skew-join split handles it — do nothing;
+      - beyond that: salted_join with salt ~ max/p50 (clamped 8..64).
+    All from ONE aggregation pass over (key -> count)."""
+    td = ensure_tibble(td)
+    cols = _names_of(td, keys)
+    counts = td.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.max("n").alias("max_key_rows"),
+        F.mean("n").alias("mean_key_rows"),
+        F.expr("percentile_approx(n, 0.5)").alias("p50_key_rows"),
+    ).first()
+    rows = stats["rows"] or 0
+    hot = counts.filter(F.col("n") > rows * hot_fraction).count() if rows else 0
+    mx = stats["max_key_rows"] or 0
+    mean = stats["mean_key_rows"] or 0.0
+    p50 = stats["p50_key_rows"] or 1
+    ratio = (mx / mean) if mean else 0.0
+    if stats["distinct_keys"] is not None and stats["distinct_keys"] < broadcast_max_keys:
+        rec, salt = "broadcast", None
+    elif ratio <= 8:
+        rec, salt = "aqe", None
+    else:
+        rec = "salted_join"
+        salt = max(8, min(64, math.ceil(mx / max(p50, 1))))
+    return {
+        "rows": rows,
+        "distinct_keys": stats["distinct_keys"],
+        "max_key_rows": mx,
+        "mean_key_rows": float(mean),
+        "p50_key_rows": p50,
+        "skew_ratio": float(ratio),
+        "hot_keys": hot,
+        "recommendation": rec,
+        "suggested_salt": salt,
+    }
+
+
+def partition_sizes(td: Any) -> Tibble:
+    """Rows per PHYSICAL partition (spark_partition_id groupBy — a
+    distributed agg, not a driver loop). Use to validate
+    spark.sql.files.maxPartitionBytes / shuffle sizing choices: a
+    healthy plan shows near-uniform counts; one giant partition means
+    a skewed key or a single-task funnel upstream."""
+    td = ensure_tibble(td)
+    out = (
+        td.df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("partition_id")
+    )
+    return Tibble(out)
