@@ -804,12 +804,17 @@ def q37_ann_topk(spark, sf):
     near-neighbors of the query are planted (q_v + 0.25*v_i, ids
     10001..10010) — the exact top-10 is the planted set, LSH must
     retrieve it from its probed buckets, and the oracle recomputes the
-    same construction + exact top-10 in SQL."""
+    same construction + exact top-10 in SQL. NEW r5: a 'knn{q}' block
+    runs the batch k-NN JOIN (every query row gets its top-k corpus
+    rows — broadcast queries x corpus scan + map-side WindowGroupLimit)
+    for queries 1..3, k=5; the oracle recomputes it with a ROW_NUMBER
+    window over all pairs."""
     from datar_polars_spark.scale import (
         cosine_topk,
         ivf_assign,
         ivf_topk,
         ivf_train,
+        knn_join,
         lsh_topk,
     )
     from datar_polars_spark.tibble import Tibble
@@ -841,9 +846,16 @@ def q37_ann_topk(spark, sf):
     lsh = lsh_topk(corpus, qv2, f.embedding, f.vec_id, k=10, probe_hamming=4).df.select(
         F.lit("lsh").alias("method"), "vec_id", F.round("cosine", 4).alias("cosine")
     )
+    queries = Tibble(e.df.filter(F.col("vec_id").between(1, 3)))
+    knn = knn_join(queries, e, k=5).df.select(
+        F.concat(F.lit("knn"), F.col("query_id").cast("string")).alias("method"),
+        F.col("match_id").alias("vec_id"),
+        F.round("cosine", 4).alias("cosine"),
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(lsh)
+        .unionByName(knn)
         .orderBy("method", F.col("cosine").desc(), "vec_id")
     )
 
@@ -1925,6 +1937,24 @@ def oracle_sql() -> dict[str, str]:
             ), lsh_top AS (
                 SELECT vec_id, ROUND(cos, 4) AS cosine
                 FROM lsh_scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+            ), knn_scored AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+                       list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.embedding,
+                                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+                FROM embeddings e, embeddings q
+                WHERE q.vec_id BETWEEN 1 AND 3
+            ), knn_top AS (
+                SELECT 'knn' || CAST(query_id AS VARCHAR) AS method,
+                       match_id AS vec_id, ROUND(cos, 4) AS cosine
+                FROM (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY query_id
+                          ORDER BY cos DESC, match_id ASC) AS rn
+                      FROM knn_scored)
+                WHERE rn <= 5
             )
             SELECT method, vec_id, cosine FROM (
                 SELECT 'brute' AS method, vec_id, cosine FROM top
@@ -1932,6 +1962,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'ivf' AS method, vec_id, cosine FROM top
                 UNION ALL
                 SELECT 'lsh' AS method, vec_id, cosine FROM lsh_top
+                UNION ALL
+                SELECT method, vec_id, cosine FROM knn_top
             ) ORDER BY method, cosine DESC, vec_id
         """,
         "q38_minhash_dedup": """

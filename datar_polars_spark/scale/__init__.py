@@ -22,6 +22,7 @@ from .similarity import (  # noqa: F401
     ivf_train,
     ivf_assign,
     ivf_topk,
+    knn_join,
 )
 from . import text  # noqa: F401 (registers text-analysis functions)
 from .filters import (  # noqa: F401 (also registers repetition metrics)

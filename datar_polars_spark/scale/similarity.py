@@ -28,7 +28,7 @@ from ..tibble import Tibble
 from .dedup import cosine_sim
 
 __all__ = ["cosine_topk", "lsh_plan_buckets", "lsh_topk",
-           "ivf_train", "ivf_assign", "ivf_topk"]
+           "ivf_train", "ivf_assign", "ivf_topk", "knn_join"]
 
 
 def _name_of(x: Any) -> str:
@@ -302,5 +302,113 @@ def ivf_topk(
         scored.select(idc, "cosine")
         .orderBy(F.col("cosine").desc(), F.col(idc).asc())
         .limit(k)
+    )
+    return Tibble(out)
+
+
+# ---------------------------------------------------------------------------
+# k-NN JOIN: every left (query) row gets its top-k right (corpus) rows
+# ---------------------------------------------------------------------------
+
+def _norm_col(vec: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double"))
+    )
+
+
+def _pair_cosine(a: Column, b: Column, an: Column, bn: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / (an * bn)
+
+
+def knn_join(
+    left: Any,
+    right: Any,
+    k: int = 10,
+    embedding: Any = "embedding",
+    id_col: Any = "vec_id",
+    method: str = "exact",
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 64,
+    nprobe: int = 4,
+) -> Tibble:
+    """Batch retrieval: for EVERY row of ``left`` (queries), the top-k
+    rows of ``right`` (corpus) by cosine similarity. Output columns:
+    ``query_id, match_id, cosine, rank`` (rank 1..k, ties broken by
+    match_id — a total order, reproducible across runs).
+
+    The single-query searchers (cosine_topk / lsh_topk / ivf_topk)
+    don't scale in the QUERY dimension; this join is the retrieval /
+    cross-corpus semantic-dedup workhorse.
+
+    ``method="exact"``: corpus scan x broadcast-hinted query side
+    (BroadcastNestedLoopJoin), pair cosine in JVM higher-order
+    functions with per-side norms precomputed (one pass per side, the
+    per-pair work is just the dot), then per-query top-k as a rank
+    window — Spark 4 executes it with map-side WindowGroupLimit, so
+    each corpus partition forwards only k candidates per query.
+    Exact and embarrassingly parallel over the corpus; the QUERY side
+    must fit in a broadcast (~<1M rows). Beyond that, use "ivf".
+
+    ``method="ivf"``: both sides quantize to the same coarse centroids
+    (trained from the corpus when not passed in); each query explodes
+    to its ``nprobe`` nearest clusters, the candidate join is a plain
+    keyed shuffle on the cluster id (co-locates by cluster — both
+    sides distribute, nothing broadcasts), and the same window top-k
+    finishes. Distributed in BOTH dimensions; recall governed by
+    nprobe/n_clusters exactly as in ivf_topk (nprobe = n_clusters is
+    exact). A mega-hot cluster is the skew risk — raise n_clusters so
+    clusters stay balanced (see scale.skew_report).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from ..tibble import ensure_tibble
+
+    left, right = ensure_tibble(left), ensure_tibble(right)
+    en, idn = _name_of(embedding), _name_of(id_col)
+    lq = left.df.select(
+        F.col(idn).alias("query_id"),
+        F.transform(en, lambda x: x.cast("double")).alias("__qe__"),
+    ).withColumn("__qn__", _norm_col(F.col("__qe__")))
+    rc = right.df.select(
+        F.col(idn).alias("match_id"),
+        F.transform(en, lambda x: x.cast("double")).alias("__re__"),
+    ).withColumn("__rn__", _norm_col(F.col("__re__")))
+
+    if method == "exact":
+        cand = rc.crossJoin(F.broadcast(lq))
+    elif method == "ivf":
+        if centroids is None:
+            centroids = ivf_train(right, embedding, n_clusters=n_clusters)
+        rc = ivf_assign(Tibble(rc), centroids, "__re__", "__c__").df
+        C = np.array(centroids, dtype="float64")
+
+        @F.pandas_udf("array<int>")
+        def probes(s: pd.Series) -> pd.Series:
+            X = np.array(s.tolist(), dtype="float64")
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+            p = np.argsort(d, axis=1)[:, : min(nprobe, len(C))]
+            return pd.Series(list(p.astype("int32")))
+
+        lq = lq.withColumn("__c__", F.explode(probes(F.col("__qe__"))))
+        cand = rc.join(lq, "__c__", "inner")
+    else:
+        raise ValueError(f"unknown method {method!r}; use 'exact' or 'ivf'")
+
+    scored = cand.withColumn(
+        "cosine",
+        _pair_cosine(F.col("__qe__"), F.col("__re__"), F.col("__qn__"), F.col("__rn__")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
     )
     return Tibble(out)

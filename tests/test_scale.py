@@ -573,3 +573,57 @@ def test_ivf_train_honors_explicit_sample_size(spark, monkeypatch):
     monkeypatch.setattr(sim, "_ivf_train_distributed", fake)
     out = sim.ivf_train(e, f.embedding, n_clusters=4, iters=2, seed=7)
     assert called.get("yes") and len(out) == 4
+
+
+class TestKnnJoin:
+    def test_exact_matches_per_query_brute_force(self, spark):
+        from datar_polars_spark import f, filter_, read_parquet
+        from datar_polars_spark.scale import cosine_topk, knn_join
+
+        e = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+        queries = e >> filter_(f.vec_id < 4)
+        out = knn_join(queries, e, k=5).collect()
+        assert list(out.columns) == ["query_id", "match_id", "cosine", "rank"]
+        assert sorted(out["query_id"].unique()) == [0, 1, 2, 3]
+        assert out.groupby("query_id").size().eq(5).all()
+        # per-query agreement with the single-query searcher
+        for qid in range(4):
+            qv = [float(v) for v in
+                  e.df.filter(f"vec_id = {qid}").select("embedding").first()[0]]
+            brute = cosine_topk(e, qv, f.embedding, f.vec_id, k=5).collect()
+            mine = out[out["query_id"] == qid].sort_values("rank")
+            assert list(mine["match_id"]) == list(brute["vec_id"])
+            # rank 1 is the query itself (cosine 1.0)
+            assert mine.iloc[0]["match_id"] == qid
+            assert abs(mine.iloc[0]["cosine"] - 1.0) < 1e-9
+
+    def test_ivf_full_probe_is_exact_and_partial_recalls(self, spark):
+        from datar_polars_spark import f, filter_, read_parquet
+        from datar_polars_spark.scale import ivf_train, knn_join
+
+        e = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+        queries = e >> filter_(f.vec_id < 3)
+        cents = ivf_train(e, f.embedding, n_clusters=8, iters=3, seed=7)
+        exact = knn_join(queries, e, k=10).collect()
+        full = knn_join(queries, e, k=10, method="ivf",
+                        centroids=cents, nprobe=8).collect()
+        assert full.values.tolist() == exact.values.tolist()
+        part = knn_join(queries, e, k=10, method="ivf",
+                        centroids=cents, nprobe=4).collect()
+        # probing half the clusters recovers most of the exact top-10
+        for qid in range(3):
+            ex = set(exact[exact["query_id"] == qid]["match_id"])
+            got = set(part[part["query_id"] == qid]["match_id"])
+            assert len(got & ex) >= 5
+
+    def test_exact_plan_broadcasts_queries_and_group_limits(self, spark):
+        """The corpus side must not shuffle: queries broadcast (BNLJ)
+        and the top-k window runs with map-side WindowGroupLimit."""
+        from datar_polars_spark import f, filter_, read_parquet
+        from datar_polars_spark.scale import knn_join
+
+        e = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+        q = e >> filter_(f.vec_id < 2)
+        plan = knn_join(q, e, k=3).df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "WindowGroupLimit" in plan
