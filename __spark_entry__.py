@@ -332,19 +332,40 @@ def q13_conditionals(spark, sf):
 
 def q14_decontaminate(spark, sf):
     """Covers: contamination_report (GPT-3/PaLM-style word-n-gram
-    decontamination; scale/filters.py). Benchmark = every 17th doc;
-    corpus 3-gram instances joined against broadcast distinct benchmark
-    grams, counted per doc — corpus side never shuffles."""
+    decontamination; scale/filters.py) AND minhash_join fuzzy
+    cross-corpus matching (scale/dedup.py; merged r5 for the 50-row
+    driver cap). 'exact' block: benchmark = every 17th doc; corpus
+    3-gram instances joined against broadcast distinct benchmark grams,
+    counted per doc — corpus side never shuffles. 'fuzzy' block:
+    train (non-benchmark docs) vs benchmark via MinHash-LSH banding
+    (32 bands x 2 rows; candidate recall ~1-6e-15 at the corpus's
+    j>=0.8 dup structure) with verify='exact', so per-train-doc
+    matched-benchmark counts equal DuckDB's brute-force cross join."""
     from datar_polars_spark.scale import contamination_report
+    from datar_polars_spark.scale.dedup import minhash_join
 
     d = _t(spark, sf, "documents")
     bench = d >> filter_(f.doc_id % 17 == 0)
-    out = (
+    rep = (
         contamination_report(d, bench, text="text", id="doc_id", n=3)
         >> filter_(f.contaminated_ngrams > 0)
-        >> arrange(f.doc_id)
     )
-    return _finish(out)
+    exact_block = _finish(rep).select(
+        F.lit("exact").alias("op"),
+        "doc_id",
+        F.col("contaminated_ngrams").cast("bigint").alias("val"),
+    )
+    train = d >> filter_(f.doc_id % 17 != 0)
+    hits = minhash_join(
+        train, bench, f.text, f.doc_id,
+        num_perm=64, bands=32, threshold=0.5, verify="exact",
+    )
+    fuzzy_block = (
+        hits.df.groupBy("id_a")
+        .agg(F.count_distinct("id_b").cast("bigint").alias("val"))
+        .select(F.lit("fuzzy").alias("op"), F.col("id_a").alias("doc_id"), "val")
+    )
+    return exact_block.unionByName(fuzzy_block).orderBy("op", "doc_id")
 
 
 def q15_string_functions(spark, sf):
@@ -1686,12 +1707,31 @@ def oracle_sql() -> dict[str, str]:
                        unnest(list_transform(range(1, len(words) - 1),
                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram
                 FROM w),
-            b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0)
-            SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS contaminated_ngrams
-            FROM g JOIN b USING (gram)
-            GROUP BY g.doc_id
-            HAVING COUNT(*) > 0
-            ORDER BY doc_id
+            b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+            t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents),
+            sg AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                                      FOR i IN range(0, greatest(len(toks)-3, 0)+1)]) AS grams
+                FROM t),
+            fz AS (
+                SELECT a.doc_id, CAST(COUNT(DISTINCT bb.doc_id) AS BIGINT) AS val
+                FROM sg a JOIN sg bb
+                  ON a.doc_id % 17 != 0 AND bb.doc_id % 17 = 0
+                 AND len(list_intersect(a.grams, bb.grams)) * 1.0
+                     / len(list_distinct(a.grams || bb.grams)) >= 0.5
+                GROUP BY a.doc_id)
+            SELECT op, doc_id, val FROM (
+                SELECT 'exact' AS op, g.doc_id, CAST(COUNT(*) AS BIGINT) AS val
+                FROM g JOIN b USING (gram)
+                GROUP BY g.doc_id
+                HAVING COUNT(*) > 0
+                UNION ALL
+                SELECT 'fuzzy' AS op, doc_id, val FROM fz
+            ) ORDER BY op, doc_id
         """,
         "q15_string_functions": """
             SELECT c_custkey,

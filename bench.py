@@ -122,6 +122,13 @@ def main() -> None:
             "semantic_dedup": lambda: __import__(
                 "datar_polars_spark.scale.dedup", fromlist=["semantic_dedup"]
             ).semantic_dedup(emb, f.embedding, f.vec_id, eps=0.05).df.count(),
+            # batch retrieval: 64 query rows x corpus, exact path
+            # (broadcast queries + map-side WindowGroupLimit top-k)
+            "knn_join": lambda: __import__(
+                "datar_polars_spark.scale.similarity", fromlist=["knn_join"]
+            ).knn_join(
+                emb.df.filter("vec_id < 64"), emb, k=10
+            ).df.count(),
         }
         for pass_timings in (scale_ops, scale_ops_warm):
             for op_name, op in ops.items():

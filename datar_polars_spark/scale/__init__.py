@@ -4,6 +4,8 @@
 from .dedup import (  # noqa: F401
     dedup_exact,
     minhash_pairs,
+    minhash_join,
+    decontaminate_fuzzy,
     minhash_dedup,
     simhash_dedup,
     simhash64,

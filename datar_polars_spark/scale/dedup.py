@@ -28,6 +28,8 @@ __all__ = [
     "char_shingles",
     "minhash_signature",
     "minhash_pairs",
+    "minhash_join",
+    "decontaminate_fuzzy",
     "minhash_dedup",
     "simhash64",
     "simhash_signatures",
@@ -186,6 +188,37 @@ def _banded(df: DataFrame, sig: str, bands: int, rows_per_band: int) -> DataFram
     return df.select("*", F.posexplode(bh).alias("band", "bhash"))
 
 
+def _minhash_sigs(df: DataFrame, tname: str, idn: str, num_perm: int,
+                  shingle_words: int) -> DataFrame:
+    """(id, sig) minhash signatures. Signature via explode -> num_perm
+    partial-aggregated mins: each shingle is constructed and hashed
+    exactly once. The naive expression form (array_min(transform(
+    shingles, hash_i)) per permutation) re-inlines the whole
+    shingle-array construction num_perm times after Catalyst's
+    CollapseProject — ~60x slower at sf0.1. The gram STRING is hashed
+    once, then the num_perm permutation hashes derive by re-hashing the
+    8-byte base hash with the seed — ~2x cheaper, same minhash family
+    (xxhash64 of (base, seed) is as uniform as of (string, seed)).
+    Deterministic seeds mean two tables signed separately are directly
+    comparable (the property minhash_join relies on)."""
+    shingled = _ensure_parallelism(df).select(
+        F.col(idn).alias("id"),
+        F.explode(word_shingles(F.col(tname), shingle_words)).alias("__g__"),
+    )
+    return (
+        shingled.withColumn("__hg__", F.xxhash64(F.col("__g__")))
+        .groupBy("id")
+        .agg(
+            F.array(
+                *[
+                    F.min(F.xxhash64(F.col("__hg__"), F.lit(i)))
+                    for i in range(num_perm)
+                ]
+            ).alias("sig")
+        )
+    )
+
+
 @verb
 def minhash_pairs(
     td: Tibble,
@@ -209,31 +242,7 @@ def minhash_pairs(
     pathological boilerplate)."""
     tname, idn = _name_of(text), _name_of(id_col)
     rows_per_band = num_perm // bands
-    # signature via explode -> 64 partial-aggregated mins: each shingle
-    # is constructed and hashed exactly once. The naive expression form
-    # (array_min(transform(shingles, hash_i)) per permutation) re-inlines
-    # the whole shingle-array construction num_perm times after
-    # Catalyst's CollapseProject — ~60x slower at sf0.1.
-    shingled = _ensure_parallelism(td.df).select(
-        F.col(idn).alias("id"),
-        F.explode(word_shingles(F.col(tname), shingle_words)).alias("__g__"),
-    )
-    # hash the gram STRING once, then derive the num_perm permutation
-    # hashes by re-hashing the 8-byte base hash with the seed — ~2x
-    # cheaper than hashing the string per permutation, same minhash
-    # family (xxhash64 of (base, seed) is as uniform as of (string, seed))
-    base = (
-        shingled.withColumn("__hg__", F.xxhash64(F.col("__g__")))
-        .groupBy("id")
-        .agg(
-            F.array(
-                *[
-                    F.min(F.xxhash64(F.col("__hg__"), F.lit(i)))
-                    for i in range(num_perm)
-                ]
-            ).alias("sig")
-        )
-    )
+    base = _minhash_sigs(td.df, tname, idn, num_perm, shingle_words)
     # the signature frame feeds THREE consumers (bucket census, join
     # left, join right) — without a persist the shingle explode + 64
     # partial-agg mins re-run per consumer. Signatures are tiny
@@ -268,6 +277,120 @@ def minhash_pairs(
         .select("id_a", "id_b", "jaccard_est")
     )
     return Tibble(out)
+
+
+def minhash_join(
+    left: Any,
+    right: Any,
+    text: Any,
+    id_col: Any,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+    log_dropped: bool = False,
+    verify: str = "estimate",
+) -> Tibble:
+    """CROSS-TABLE fuzzy match: (id_a from ``left``, id_b from
+    ``right``, jaccard) for document pairs with n-gram Jaccard >=
+    threshold. The record-linkage / fuzzy-decontamination workhorse —
+    minhash_pairs finds near-dups WITHIN one corpus, this finds them
+    BETWEEN two (train vs benchmark, crawl vs crawl).
+
+    ``verify="estimate"`` (default) scores candidates by signature
+    agreement (column ``jaccard_est`` — one pass, no second look at the
+    text); ``verify="exact"`` re-joins the candidates to each side's
+    shingle sets and emits exact n-gram Jaccard (column ``jaccard``) —
+    deterministic, oracle-checkable decisions at the cost of carrying
+    the gram arrays through one more join (same trade ngram_jaccard_
+    pairs makes within one corpus).
+
+    Both sides sign with the same deterministic xxhash64 permutation
+    family, so signatures computed independently are directly
+    comparable; the candidate join is a keyed shuffle on (band,
+    band-hash) — each side distributes, nothing broadcasts, and bucket
+    capping applies per side so a boilerplate mega-bucket on either
+    corpus can't go quadratic. Text/id column names are shared by both
+    sides (select/rename first if they differ)."""
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
+    left, right = ensure_tibble(left), ensure_tibble(right)
+    tname, idn = _name_of(text), _name_of(id_col)
+    rows_per_band = num_perm // bands
+    sides = []
+    for df, tag in ((left.df, "a"), (right.df, "b")):
+        sig = _minhash_sigs(df, tname, idn, num_perm, shingle_words)
+        banded = _banded(sig, "sig", bands, rows_per_band)
+        banded = _cap_buckets(banded, ["band", "bhash"], max_bucket, log_dropped)
+        sides.append(
+            banded.select(
+                "band", "bhash",
+                F.col("id").alias(f"id_{tag}"), F.col("sig").alias(f"sig_{tag}"),
+            )
+        )
+    pairs = sides[0].join(sides[1], on=["band", "bhash"]).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    if verify == "exact":
+        grams = {
+            tag: df.select(
+                F.col(idn).alias(f"id_{tag}"),
+                F.array_distinct(
+                    word_shingles(F.col(tname), shingle_words)
+                ).alias(f"g_{tag}"),
+            )
+            for df, tag in ((left.df, "a"), (right.df, "b"))
+        }
+        out = (
+            pairs.select("id_a", "id_b")
+            .join(grams["a"], on="id_a")
+            .join(grams["b"], on="id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("g_a", "g_b"))
+                / F.size(F.array_union("g_a", "g_b")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return Tibble(out)
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    ) / F.lit(num_perm)
+    out = (
+        pairs.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+    return Tibble(out)
+
+
+def decontaminate_fuzzy(
+    td: Any,
+    benchmark: Any,
+    text: Any,
+    id_col: Any,
+    threshold: float = 0.8,
+    **minhash_kwargs,
+) -> Tibble:
+    """Drop training documents whose estimated Jaccard against ANY
+    benchmark document reaches ``threshold`` — the near-duplicate
+    complement of the exact n-gram ``decontaminate`` (filters.py),
+    catching lightly-edited benchmark copies exact overlap misses.
+    One minhash_join + one anti-join; the benchmark side is usually
+    tiny but nothing here requires it to be."""
+    from ..operators.join import anti_join
+
+    td = ensure_tibble(td)
+    hits = minhash_join(
+        td, benchmark, text, id_col, threshold=threshold, **minhash_kwargs
+    )
+    idn = _name_of(id_col)
+    return anti_join(td, hits, by={idn: "id_a"})
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:

@@ -70,6 +70,54 @@ def test_ngram_jaccard(docs):
     assert (1, 2) in rows and 0.5 <= rows[(1, 2)] < 1.0
 
 
+def test_minhash_join_cross_corpus(spark):
+    train = tibble(
+        spark,
+        doc_id=[10, 11, 12],
+        text=[BASE, FAR, "totally unrelated text about pandas arrow batches"],
+    )
+    bench = tibble(spark, doc_id=[1, 2], text=[NEAR, "benchmark only prose here"])
+    from datar_polars_spark.scale import minhash_join
+
+    pairs = minhash_join(train, bench, f.text, f.doc_id, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.df.collect()}
+    assert (10, 1) in got  # near-dup across tables caught
+    assert all(b == 1 for _, b in got)  # nothing matches the unrelated bench doc
+    ests = {r.id_a: r.jaccard_est for r in pairs.df.collect()}
+    assert 0.5 <= ests[10] <= 1.0
+    exact = minhash_join(
+        train, bench, f.text, f.doc_id, threshold=0.5, verify="exact"
+    )
+    rows = {(r.id_a, r.id_b): r.jaccard for r in exact.df.collect()}
+    assert set(rows) == {(10, 1)}
+    assert 0.5 <= rows[(10, 1)] < 1.0  # one word differs -> exact jaccard < 1
+
+
+def test_minhash_join_self_is_pairs(docs):
+    """Joining a corpus against itself finds the same near-dup pairs
+    minhash_pairs finds (signatures are deterministic across calls)."""
+    from datar_polars_spark.scale import minhash_join
+
+    pairs = minhash_join(docs, docs, f.text, f.doc_id, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.df.collect()}
+    assert (1, 4) in got and (4, 1) in got  # exact dup, both directions
+    assert not any(3 in p and p != (3, 3) for p in got)
+
+
+def test_decontaminate_fuzzy(spark):
+    train = tibble(
+        spark,
+        doc_id=[10, 11, 12],
+        text=[NEAR, FAR, "clean training document with its own words"],
+    )
+    bench = tibble(spark, doc_id=[1], text=[BASE])
+    from datar_polars_spark.scale import decontaminate_fuzzy
+
+    out = decontaminate_fuzzy(train, bench, f.text, f.doc_id, threshold=0.5)
+    kept = sorted(r.doc_id for r in out.df.collect())
+    assert kept == [11, 12]  # the lightly-edited benchmark copy is dropped
+
+
 def test_cosine_topk(spark):
     emb = tibble(
         spark,
