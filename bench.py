@@ -52,6 +52,7 @@ def build_session(cpus: str) -> SparkSession:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    loadavg_start = list(os.getloadavg())
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -69,19 +70,28 @@ def main() -> None:
         except Exception:
             pass
 
-    # two timed passes per query: pass 1 includes residual JVM/codegen
-    # warm-up, pass 2 is steady-state — the split shows how much of the
-    # headline number is session overhead vs actual plan execution
+    # pass 1 (cold) includes residual JVM/codegen warm-up; then THREE
+    # steady-state passes so the warm number defends itself: the
+    # reported warm timing is the per-query MEDIAN and the [min, max]
+    # spread is recorded alongside, so a noise-inflated run is visible
+    # in the artifact instead of masquerading as a code regression
+    # (the r3 recorded/re-run totals differed 45% on identical code)
     cold: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    for pass_timings in (cold, warm):
+    warm_runs: dict[str, list[float]] = {name: [] for name in names}
+    for pass_timings in (cold, None, None, None):
         for name in names:
             fn = qs[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n_rows = df.count()  # materialize the whole result
-            pass_timings[name] = round(time.perf_counter() - t0, 3)
+            dt = round(time.perf_counter() - t0, 3)
+            if pass_timings is None:
+                warm_runs[name].append(dt)
+            else:
+                pass_timings[name] = dt
             _ = n_rows
+    warm = {n: sorted(r)[1] for n, r in warm_runs.items()}
+    warm_spread = {n: [min(r), max(r)] for n, r in warm_runs.items()}
 
     # scale-pipeline ops (LLM-training-data path): two timed passes like
     # the headline queries — pass 1 is dominated by whole-stage-codegen
@@ -202,6 +212,10 @@ def main() -> None:
                 "queries": cold,
                 "warm_total": round(sum(warm.values()), 3),
                 "queries_warm": warm,
+                "queries_warm_spread": warm_spread,
+                "warm_runs": 3,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": list(os.getloadavg()),
                 "scale_ops": scale_ops,
                 "scale_ops_warm": scale_ops_warm,
                 "sf1_total": round(sum(sf1.values()), 3) if sf1 else None,

@@ -12,6 +12,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     embedding_cosine_pairs,
     embedding_dedup,
+    dropped_pairs_estimate,
     cosine_sim,
     word_shingles,
     char_shingles,

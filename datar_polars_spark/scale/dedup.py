@@ -35,6 +35,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_dedup",
     "ngram_jaccard_pairs",
+    "dropped_pairs_estimate",
     "embedding_cosine_pairs",
     "embedding_dedup",
     "semantic_pairs",
@@ -139,8 +140,42 @@ def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     )
 
 
+# ---- recall accounting for skew guards -----------------------------------
+# Each lossy guard (LSH bucket caps, semantic salt splits) registers a
+# LAZY census frame with a single `dropped` column = estimated candidate
+# pairs it removed. dropped_pairs_estimate(op) runs the census on demand
+# (one small aggregate job per guard) so a pipeline can alert on recall
+# loss instead of scraping warning logs. Keyed per op; each top-level op
+# call resets its own key, so the estimate always describes the most
+# recent invocation.
+_DROPPED_PAIRS: dict[str, list[DataFrame]] = {}
+
+
+def _register_dropped_pairs(op: str, frame: DataFrame, reset: bool = True) -> None:
+    if reset:
+        _DROPPED_PAIRS[op] = []
+    _DROPPED_PAIRS.setdefault(op, []).append(frame)
+
+
+def dropped_pairs_estimate(op: str) -> float:
+    """Estimated candidate pairs lost to skew guards (bucket caps /
+    salt splits) in the MOST RECENT call of ``op`` on this session —
+    e.g. ``dropped_pairs_estimate("minhash_pairs")``. 0.0 means the
+    guards were no-ops and the op's recall is its blocking-scheme
+    recall. Triggers one small aggregate Spark job per registered
+    guard (the census is lazy; building the op's plan never runs it).
+    The bucket-cap figure is an upper bound: a pair dropped from one
+    oversized bucket may still be a candidate via another band."""
+    total = 0.0
+    for fr in _DROPPED_PAIRS.get(op, []):
+        v = fr.agg(F.sum("dropped").alias("d")).first()["d"]
+        total += float(v or 0.0)
+    return total
+
+
 def _cap_buckets(
-    banded: DataFrame, keys: list[str], max_bucket: int, log_dropped: bool = False
+    banded: DataFrame, keys: list[str], max_bucket: int,
+    log_dropped: bool = False, op: str | None = None,
 ) -> DataFrame:
     """Skew guard for LSH bucket self-joins: buckets larger than
     ``max_bucket`` members (giant boilerplate/duplicate clusters in web
@@ -150,6 +185,14 @@ def _cap_buckets(
     a tiny aggregate broadcast back as an anti-join."""
     counts = banded.groupBy(*keys).count()
     oversized = counts.filter(F.col("count") > max_bucket).select(*keys)
+    if op is not None:
+        _register_dropped_pairs(
+            op,
+            counts.filter(F.col("count") > max_bucket).select(
+                (F.col("count") * (F.col("count") - 1) / 2).alias("dropped")
+            ),
+            reset=False,
+        )
     if log_dropped:
         import logging
 
@@ -240,6 +283,7 @@ def minhash_pairs(
     ``max_bucket`` members are excluded from candidate generation (run
     exact dedup first — minhash_dedup does — so they only arise from
     pathological boilerplate)."""
+    _DROPPED_PAIRS["minhash_pairs"] = []
     tname, idn = _name_of(text), _name_of(id_col)
     rows_per_band = num_perm // bands
     base = _minhash_sigs(td.df, tname, idn, num_perm, shingle_words)
@@ -253,7 +297,9 @@ def minhash_pairs(
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     banded = _banded(base, "sig", bands, rows_per_band)
-    banded = _cap_buckets(banded, ["band", "bhash"], max_bucket, log_dropped)
+    banded = _cap_buckets(
+        banded, ["band", "bhash"], max_bucket, log_dropped, op="minhash_pairs"
+    )
     left = banded.select(
         F.col("band"), F.col("bhash"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
     )
@@ -313,6 +359,7 @@ def minhash_join(
     capping applies per side so a boilerplate mega-bucket on either
     corpus can't go quadratic. Text/id column names are shared by both
     sides (select/rename first if they differ)."""
+    _DROPPED_PAIRS["minhash_join"] = []
     if verify not in ("estimate", "exact"):
         raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
     left, right = ensure_tibble(left), ensure_tibble(right)
@@ -322,7 +369,9 @@ def minhash_join(
     for df, tag in ((left.df, "a"), (right.df, "b")):
         sig = _minhash_sigs(df, tname, idn, num_perm, shingle_words)
         banded = _banded(sig, "sig", bands, rows_per_band)
-        banded = _cap_buckets(banded, ["band", "bhash"], max_bucket, log_dropped)
+        banded = _cap_buckets(
+            banded, ["band", "bhash"], max_bucket, log_dropped, op="minhash_join"
+        )
         sides.append(
             banded.select(
                 "band", "bhash",
@@ -544,6 +593,7 @@ def simhash_dedup(
     quarter, by pigeonhole), verify with exact hamming distance.
     Fingerprint pre-pass + bucket cap guard against duplicate-cluster
     skew exactly as in minhash_dedup; ``resolve`` as in minhash_dedup."""
+    _DROPPED_PAIRS["simhash_dedup"] = []
     tname, idn = _name_of(text), _name_of(id_col)
     pre = _fingerprint_survivors(td.df.select(*td.columns), tname, idn)
     base = simhash_signatures(pre, tname, idn)
@@ -565,7 +615,7 @@ def simhash_dedup(
     blocked = base.withColumn("__q__", F.explode(quarters)).select(
         "id", "sh", F.col("__q__.q").alias("q"), F.col("__q__.qk").alias("qk")
     )
-    blocked = _cap_buckets(blocked, ["q", "qk"], max_bucket)
+    blocked = _cap_buckets(blocked, ["q", "qk"], max_bucket, op="simhash_dedup")
     left = blocked.select("q", "qk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     right = blocked.select("q", "qk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = (
@@ -665,6 +715,7 @@ def embedding_cosine_pairs(
     the corpus has identical-vector clusters. At planet scale, lower
     candidate volume further with more planes_per_band (AND) plus more
     bands (OR), or pre-cluster with IVF (scale/similarity.py)."""
+    _DROPPED_PAIRS["embedding_cosine_pairs"] = []
     ename, idn = _name_of(embedding), _name_of(id_col)
     from pyspark.sql.functions import pandas_udf
 
@@ -707,7 +758,9 @@ def embedding_cosine_pairs(
     from pyspark import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = _cap_buckets(banded, ["band", "bhash"], max_bucket)
+    banded = _cap_buckets(
+        banded, ["band", "bhash"], max_bucket, op="embedding_cosine_pairs"
+    )
     left = banded.select(
         "band", "bhash", F.col("id").alias("id_a"), F.col("vec").alias("v_a")
     )
@@ -767,9 +820,9 @@ def semantic_pairs(
     cluster of size m. Clusters larger than ``max_cluster`` are
     salt-split on the id hash so no task materializes more than
     ``max_cluster`` vectors — near-identical vectors still co-locate by
-    cluster, and only pairs straddling a salt split are lost (logged;
-    raise ``n_clusters`` to shrink clusters instead of relying on the
-    salt). Complements ``embedding_cosine_pairs`` (hyperplane LSH):
+    cluster, and only pairs straddling a salt split are lost
+    (quantify with ``dropped_pairs_estimate("semantic_pairs")``; raise
+    ``n_clusters`` to shrink clusters instead of relying on the salt). Complements ``embedding_cosine_pairs`` (hyperplane LSH):
     LSH targets high-threshold near-dups with per-pair recall
     guarantees; SemDeDup prunes semantic redundancy at lower cosine
     where LSH banding would need impractically many bands."""
@@ -797,26 +850,36 @@ def semantic_pairs(
     d = assigned.df.select(
         F.col(idn).alias("id"), F.col(ename).alias("vec"), "__sem_c__"
     )
-    # salt-split census: tiny aggregate (k rows), broadcast as a map
-    counts = d.groupBy("__sem_c__").count().collect()
-    splits = {
-        int(r["__sem_c__"]): max(1, -(-int(r["count"]) // max_cluster))
-        for r in counts
-    }
-    if any(v > 1 for v in splits.values()):
-        import logging
+    # salt-split factor from a DISTRIBUTED window count over the cluster
+    # id — no driver census, no k-entry literal map in the plan (the old
+    # create_map form collected k rows at build time and inlined 2k
+    # literals; at k=sqrt(10^9) that's a 60k-literal expression). The
+    # window's hash partitioning on __sem_c__ already satisfies the
+    # downstream groupBy(__sem_c__, __sem_s__) clustering requirement
+    # (same-cluster rows co-locate), so this adds NO extra shuffle.
+    from pyspark.sql.window import Window
 
-        logging.getLogger(__name__).warning(
-            "semantic_pairs: %d clusters exceed max_cluster=%d and were "
-            "salt-split (cross-split pairs are not compared); raise "
-            "n_clusters for full within-cluster recall",
-            sum(1 for v in splits.values() if v > 1),
-            max_cluster,
-        )
-    pairs_kv = [F.lit(v) for kv in splits.items() for v in kv]
-    split_of = F.create_map(*pairs_kv)[F.col("__sem_c__")]
+    csize = F.count("*").over(Window.partitionBy("__sem_c__"))
+    split_of = F.greatest(
+        F.lit(1).cast("long"), F.ceil(csize / F.lit(max_cluster))
+    )
     d = d.withColumn(
         "__sem_s__", F.pmod(F.xxhash64(F.col("id")), split_of).cast("int")
+    ).withColumn("__sem_n__", csize)
+    # recall accounting: pairs straddling a salt split are not compared.
+    # Register the census lazily — dropped_pairs_estimate() runs it on
+    # demand; nothing here triggers a job.
+    salt_sizes = d.groupBy("__sem_c__", "__sem_s__").agg(
+        F.count("*").alias("m"), F.first("__sem_n__").alias("s")
+    )
+    _register_dropped_pairs(
+        "semantic_pairs",
+        salt_sizes.groupBy("__sem_c__").agg(
+            (
+                F.first("s") * (F.first("s") - 1) / 2
+                - F.sum(F.col("m") * (F.col("m") - 1) / 2)
+            ).alias("dropped")
+        ),
     )
 
     def find_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":

@@ -70,6 +70,16 @@ def test_ngram_jaccard(docs):
     assert (1, 2) in rows and 0.5 <= rows[(1, 2)] < 1.0
 
 
+def test_dropped_pairs_estimate_bucket_cap(docs):
+    from datar_polars_spark.scale.dedup import dropped_pairs_estimate
+
+    minhash_pairs(docs, f.text, f.doc_id, threshold=0.5).df.count()
+    assert dropped_pairs_estimate("minhash_pairs") == 0.0
+    # max_bucket=1 drops every bucket that holds a candidate pair
+    minhash_pairs(docs, f.text, f.doc_id, threshold=0.5, max_bucket=1).df.count()
+    assert dropped_pairs_estimate("minhash_pairs") > 0
+
+
 def test_minhash_join_cross_corpus(spark):
     train = tibble(
         spark,
@@ -431,6 +441,24 @@ class TestSemanticDedup:
         ids = sorted(out["vec_id"])
         assert 0 in ids and 1 not in ids and 2 not in ids
         assert len(ids) == 6
+
+    def test_dropped_pairs_estimate_semantic(self, spark):
+        # default max_cluster: no salt splits -> estimate 0; an
+        # undersized cap forces splits -> positive estimate (the r3
+        # "quantify salt-split recall loss" item)
+        from datar_polars_spark import f
+        from datar_polars_spark.scale.dedup import (
+            dropped_pairs_estimate,
+            semantic_pairs,
+        )
+
+        td = self._corpus(spark)
+        semantic_pairs(td, f.embedding, f.vec_id, eps=0.05).df.count()
+        assert dropped_pairs_estimate("semantic_pairs") == 0.0
+        semantic_pairs(
+            td, f.embedding, f.vec_id, eps=0.05, n_clusters=4, max_cluster=8
+        ).df.count()
+        assert dropped_pairs_estimate("semantic_pairs") > 0
 
     def test_semantic_pairs_salt_split_cap(self, spark):
         # oversized cluster: salt split keeps every task bounded; the
