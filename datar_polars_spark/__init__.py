@@ -28,6 +28,10 @@ from .plans.selection import (  # noqa: F401
     is_character,
 )
 from .tibble import Tibble, ensure_tibble, tibble, from_pandas  # noqa: F401
+from .plans.cache import (  # noqa: F401
+    release_internal_caches,
+    internal_cache_count,
+)
 from .operators.core import *  # noqa: F401,F403
 from .operators.join import *  # noqa: F401,F403
 from .operators.bind import *  # noqa: F401,F403

@@ -11,6 +11,7 @@ from typing import Any
 
 from pyspark.sql import functions as F
 
+from ..plans.cache import register_internal_cache
 from ..plans.context import ORDER_COL
 from ..plans.verb import verb, verb2
 from ..tibble import Tibble, ensure_tibble
@@ -107,6 +108,9 @@ def _with_pos(df):
         .withColumn("__datar_mono__", F.monotonically_increasing_id())
         .persist()
     )
+    # nondeterministic recompute (range-partitioner seed): registered
+    # as non-evictable; released only by release_internal_caches()
+    register_internal_cache(d, safe_to_evict=False)
     pid = F.shiftright(F.col("__datar_mono__"), 33)
     counts = d.groupBy(pid.alias("__p__")).count().collect()
     off, total = {}, 0

@@ -1,0 +1,88 @@
+"""Bounded registry for INTERNAL persisted frames.
+
+Several operators persist an intermediate frame because it feeds
+multiple consumers inside one returned plan (minhash/simhash/embedding
+LSH signatures) or because an unpersisted recompute would be
+nondeterministic (positional-id frames: the RangePartitioner samples
+with a per-compilation seed). Those persists used to live until session
+end — a long pipeline with many such steps accumulated cached data
+indefinitely.
+
+This registry caps the number of simultaneously-cached internal frames
+(``DATAR_MAX_INTERNAL_CACHES``, default 8): registering a new frame
+evicts (unpersists) the oldest *recompute-safe* entries beyond the cap,
+FIFO. Eviction is safe for deterministic frames — Spark transparently
+recomputes evicted data if a consumer still needs it; only speed is
+lost, never answers. Frames whose recompute is nondeterministic
+(positional ids) register with ``safe_to_evict=False`` and are never
+auto-evicted, but ARE released by ``release_internal_caches()`` —
+call it between pipeline stages when no frame derived from an earlier
+stage will be re-collected, or rely on session teardown.
+
+User-facing ``persist_``/``unpersist_`` verbs are untouched: caches the
+user asked for are the user's to manage.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from itertools import count
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+__all__ = ["register_internal_cache", "release_internal_caches",
+           "internal_cache_count"]
+
+_seq = count()
+# token -> (df, safe_to_evict); insertion-ordered for FIFO eviction
+_caches: "OrderedDict[int, tuple[DataFrame, bool]]" = OrderedDict()
+
+
+def _max_caches() -> int:
+    return int(os.environ.get("DATAR_MAX_INTERNAL_CACHES", "8"))
+
+
+def register_internal_cache(df: "DataFrame", safe_to_evict: bool = True) -> "DataFrame":
+    """Record an already-persisted internal frame; evict the oldest
+    recompute-safe entries beyond the cap. Returns ``df`` unchanged so
+    call sites can wrap the persist expression."""
+    _caches[next(_seq)] = (df, safe_to_evict)
+    n_over = internal_cache_count() - _max_caches()
+    if n_over > 0:
+        for token in list(_caches):
+            if n_over <= 0:
+                break
+            cached, safe = _caches[token]
+            if safe:
+                del _caches[token]
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass  # session already stopped
+                n_over -= 1
+    return df
+
+
+def release_internal_caches() -> int:
+    """Unpersist EVERY registered internal frame (including
+    non-evictable positional-id frames) and empty the registry.
+    Returns the number released. Safe to call at any stage boundary
+    where no earlier frame will be re-collected — derived results
+    recompute if needed (positional ids are only nondeterministic
+    across recomputes when the same cached frame must serve two passes
+    of one not-yet-collected plan, not after its plan has collected)."""
+    n = len(_caches)
+    for df, _safe in _caches.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _caches.clear()
+    return n
+
+
+def internal_cache_count() -> int:
+    return len(_caches)

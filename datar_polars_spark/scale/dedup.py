@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.cache import register_internal_cache
 from ..plans.expr import Ref
 from ..plans.verb import verb, verb2
 from ..tibble import Tibble, ensure_tibble
@@ -295,7 +296,7 @@ def minhash_pairs(
     # Spark evicts LRU when executors need the space.
     from pyspark import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = register_internal_cache(base.persist(StorageLevel.MEMORY_AND_DISK))
     banded = _banded(base, "sig", bands, rows_per_band)
     banded = _cap_buckets(
         banded, ["band", "bhash"], max_bucket, log_dropped, op="minhash_pairs"
@@ -602,7 +603,7 @@ def simhash_dedup(
     # sums run once (same recipe as minhash_pairs)
     from pyspark import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = register_internal_cache(base.persist(StorageLevel.MEMORY_AND_DISK))
     quarters = F.array(
         *[
             F.struct(
@@ -757,7 +758,7 @@ def embedding_cosine_pairs(
     # Arrow matmul signature UDF once instead of three times
     from pyspark import StorageLevel
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = register_internal_cache(banded.persist(StorageLevel.MEMORY_AND_DISK))
     banded = _cap_buckets(
         banded, ["band", "bhash"], max_bucket, op="embedding_cosine_pairs"
     )

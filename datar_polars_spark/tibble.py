@@ -179,6 +179,9 @@ class Tibble:
             .withColumn("__datar_mono__", F.monotonically_increasing_id())
             .persist()
         )
+        from .plans.cache import register_internal_cache
+
+        register_internal_cache(d, safe_to_evict=False)
         pid = F.shiftright(F.col("__datar_mono__"), 33)
         counts = d.groupBy(pid.alias("__p__")).count().collect()
         off, total = {}, 0
