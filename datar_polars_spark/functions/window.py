@@ -262,17 +262,20 @@ def _consecutive_id(ctx, *xs):
 # --------------------------------------------------------------------------
 
 def _roll(kind):
-    def impl(ctx, x, k, min_periods=None):
+    def impl(ctx, x, k, min_periods=None, order_by=None):
         kk = int(ctx.eval(k))
         if kk < 1:
             raise ValueError(f"roll_{kind}: k must be >= 1, got {kk}")
         mp = None if min_periods is None else int(ctx.eval(min_periods))
-        return ctx.roll_over(kind, ctx.col(x), kk, min_periods=mp)
+        return ctx.roll_over(
+            kind, ctx.col(x), kk, order_by=order_by, min_periods=mp
+        )
 
     impl.__name__ = f"_roll_{kind}"
     impl.__doc__ = (
-        f"Trailing k-row rolling {kind} in frame order (grouped: inside "
-        "the group partition; ungrouped: two-pass distributed — see "
+        f"Trailing k-row rolling {kind} in frame order, or in "
+        "``order_by=`` order when given (grouped: inside the group "
+        "partition; ungrouped: two-pass distributed — see "
         "EvalContext.roll_over). Rows before min_periods (default k) "
         "yield NULL."
     )

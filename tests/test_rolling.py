@@ -139,3 +139,106 @@ class TestRollingTwoPass:
         out = td >> mutate(r=roll_mean(f.o_totalprice, 8))
         plan = out.df._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
+
+
+class TestFallbackShapes:
+    """The least-exercised branches of the window engine (r3 verdict
+    #8): the k > MAX_TWO_PASS_SHIFT global-window fallback, large-n
+    lag/lead fallback, grouped rolling with order_by, and NULL
+    timestamps through trailing_agg."""
+
+    def test_large_k_falls_back_and_matches_pandas(self, spark):
+        # k-1 > MAX_TWO_PASS_SHIFT (32) -> the simple global window
+        # path must produce identical answers (only the plan differs)
+        rng = np.random.RandomState(11)
+        xs = rng.standard_normal(120).round(3).tolist()
+        k = 40
+        out = (
+            tibble(spark, x=xs)
+            >> mutate(rn=row_number(), r=roll_sum(f.x, k, min_periods=5))
+        ).collect().sort_values("rn")
+        exp = _oracle(pd.Series(xs), k, "sum", min_periods=5)
+        assert np.allclose(
+            np.nan_to_num(out["r"].to_numpy(dtype="float64"), nan=-9e17),
+            np.nan_to_num(np.asarray(exp, dtype="float64"), nan=-9e17),
+        )
+
+    def test_large_shift_falls_back_and_matches_pandas(self, spark):
+        from datar_polars_spark.functions import lag, lead
+
+        xs = list(range(100))
+        n = 40  # > MAX_TWO_PASS_SHIFT -> simple F.lag path
+        out = (
+            tibble(spark, x=xs)
+            >> mutate(rn=row_number(), l=lag(f.x, n, default=-1),
+                      d=lead(f.x, n, default=-1))
+        ).collect().sort_values("rn")
+        s = pd.Series(xs, dtype="float64")
+        assert out["l"].tolist() == s.shift(n, fill_value=-1).astype(int).tolist()
+        assert out["d"].tolist() == s.shift(-n, fill_value=-1).astype(int).tolist()
+
+    def test_grouped_rolling_with_order_by(self, spark):
+        # grouped roll in ANOTHER column's order: windows must follow
+        # order_by, not frame order
+        rng = np.random.RandomState(7)
+        n = 60
+        pdf = pd.DataFrame({
+            "g": rng.randint(0, 3, n),
+            "t": rng.permutation(n),
+            "v": rng.standard_normal(n).round(3),
+        })
+        td = tibble(spark, g=pdf["g"].tolist(), t=pdf["t"].tolist(),
+                    v=pdf["v"].tolist())
+        out = (
+            td >> group_by(f.g)
+            >> mutate(r=roll_sum(f.v, 3, order_by=f.t))
+        ).collect()
+        exp = (
+            pdf.sort_values(["g", "t"])
+            .groupby("g")["v"]
+            .transform(lambda s: s.rolling(3).sum())
+        )
+        got = out.sort_values(["g", "t"])["r"].to_numpy(dtype="float64")
+        e = pdf.assign(e=exp).sort_values(["g", "t"])["e"].to_numpy(dtype="float64")
+        assert np.allclose(np.nan_to_num(got, nan=-9e17),
+                           np.nan_to_num(e, nan=-9e17))
+
+    def test_trailing_agg_null_timestamps(self, spark):
+        # NULL ts rows: all NULL-ts rows of a group are RANGE peers (one
+        # shared frame), matching DuckDB's RANGE window semantics
+        import duckdb
+
+        from datar_polars_spark.scale.sessions import trailing_agg
+
+        pdf = pd.DataFrame({
+            "g": ["a", "a", "a", "b", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", None, "2024-01-01 00:30:00",
+                 None, None]
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        })
+        from datar_polars_spark.tibble import from_pandas
+
+        td = from_pandas(spark, pdf) >> group_by(f.g)
+        out = trailing_agg(td, f.ts, f.v, window="1 hour", fns=("sum",))
+        got = (
+            out.df.select("g", "ts", "v", "v_sum")
+            .toPandas()
+            .sort_values(["g", "v"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute(
+            """
+            SELECT g, ts, v, SUM(v) OVER (
+                PARTITION BY g ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+            ) AS v_sum FROM t ORDER BY g, v
+            """
+        ).df().reset_index(drop=True)
+        assert np.allclose(
+            np.nan_to_num(got["v_sum"].to_numpy(dtype="float64"), nan=-9e17),
+            np.nan_to_num(exp["v_sum"].to_numpy(dtype="float64"), nan=-9e17),
+        )
