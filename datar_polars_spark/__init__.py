@@ -52,6 +52,7 @@ from .sources import (  # noqa: F401
     write_json,
     write_orc,
     write_bucketed,
+    write_clustered,
     read_table,
     read_text,
     write_text,

@@ -182,6 +182,40 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_clustered(
+    td: Tibble,
+    path: str,
+    by: list[str] | str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout for data skipping:
+    ``repartitionByRange`` on the cluster keys + ``sortWithinPartitions``
+    before the write, so each output file covers a narrow, near-disjoint
+    key range. Parquet file/row-group min-max statistics then prune
+    reads that filter on the cluster keys — at 100 TB a range-clustered
+    table turns a full scan into reading only the files whose range
+    intersects the predicate (the same layout lever as Delta's OPTIMIZE
+    ZORDER for the single-key/prefix case, with zero table-format
+    dependencies).
+
+    ``n_files`` defaults to Spark's shuffle parallelism; size it so
+    files land near the 128m-1g sweet spot at your scale. The range
+    partitioner samples key quantiles, so skewed keys still yield
+    balanced files (identical keys beyond one file's worth of rows are
+    the exception — they hash to one partition; pre-dedup or add a
+    secondary key)."""
+    if isinstance(by, str):
+        by = [by]
+    d = _with_level_metadata(td)
+    d = (
+        d.repartitionByRange(n_files, *by)
+        if n_files
+        else d.repartitionByRange(*by)
+    )
+    d.sortWithinPartitions(*by).write.mode(mode).parquet(path)
+
+
 def read_table(spark: SparkSession, table: str) -> Tibble:
     """Read a catalog table (bucketed metadata + factor levels preserved)."""
     return _restore_levels(spark.table(table))

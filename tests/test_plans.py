@@ -463,3 +463,38 @@ def test_grouped_agg_join_aqe_off_broadcast_knob(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         del os.environ["DATAR_AGG_BROADCAST"]
+
+
+def test_write_clustered_layout_is_range_disjoint(spark, tmp_path):
+    """write_clustered (r5): files cover near-disjoint key ranges so
+    parquet min/max statistics can prune scans. Verified against the
+    ACTUAL file footers via pyarrow, not the plan."""
+    import pyarrow.parquet as pq
+    from datar_polars_spark.sources import write_clustered
+
+    o = read_parquet(spark, f"{SF}/orders.parquet")
+    dest = str(tmp_path / "clustered")
+    write_clustered(o, dest, by="o_orderdate", n_files=6)
+
+    import glob
+    ranges = []
+    for fp in glob.glob(f"{dest}/*.parquet"):
+        md = pq.ParquetFile(fp).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_orderdate"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    # consecutive files may share exactly one boundary key (the range
+    # partitioner puts identical keys in one partition, so overlap
+    # beyond a single shared key means clustering failed)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # and the filtered read-back pushes the predicate to the scan
+    td = read_parquet(spark, dest) >> filter_(f.o_orderdate >= "1995-06-01")
+    plan = _plan(td)
+    assert "PushedFilters: [" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:200]
