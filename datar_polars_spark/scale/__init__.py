@@ -27,6 +27,10 @@ from .similarity import (  # noqa: F401
     ivf_topk,
     knn_join,
 )
+from .relevance import (  # noqa: F401
+    tfidf_top_terms,
+    bm25_score,
+)
 from . import text  # noqa: F401 (registers text-analysis functions)
 from .filters import (  # noqa: F401 (also registers repetition metrics)
     gopher_quality_filter,
