@@ -25,6 +25,11 @@ if TYPE_CHECKING:
 ORDER_COL = "__datar_ro__"
 POS_COL = "__datar_pos__"
 
+# (file-set, key-set) -> distinct-count bound from parquet footers;
+# bounded FIFO so a long session over many tables stays small
+_FOOTER_BOUND_CACHE: dict = {}
+_FOOTER_BOUND_CACHE_MAX = 256
+
 
 
 class EvalContext:
@@ -185,36 +190,34 @@ class EvalContext:
             # global scalars: exactly one row — broadcast cross join
             # (BroadcastNestedLoopJoin, a per-row passthrough).
             return df.crossJoin(F.broadcast(aggdf))
-        # Runtime-adaptive broadcast WITHOUT a compile-time probe. Left
-        # alone, AQE cannot save the fact-table shuffle here: both
-        # join-side exchanges are submitted together, so by the time the
-        # agg side's size is known the fact shuffle write has already
-        # run (observed on Spark 4.1 — the SMJ does get demoted to BHJ,
-        # but only after paying the 100 TB shuffle write). The gate
-        # below serializes stage submission declaratively: the fact
-        # side is cross-joined with a 1-row broadcast DERIVED FROM THE
-        # AGG SIDE'S OWN EXCHANGE (ReusedExchange — the aggregation runs
-        # once), so the fact stage cannot be submitted until the agg
-        # exchange has materialized. At that point AQE re-optimizes the
-        # join with the agg side's true size: broadcast-sized groups
-        # become a BroadcastHashJoin and the fact table never shuffles
-        # (3.2x on the grouped-deviation shape at sf1); oversized groups
-        # keep the shuffled join. Plan construction launches ZERO Spark
-        # jobs and nothing is persisted (r3 probed eagerly with
-        # persist+count, which leaked cached frames and made a
-        # never-collected pipeline pay a full scan).
+        # Broadcast decision WITHOUT a compile-time Spark job. AQE never
+        # demotes this sort-merge join to broadcast at runtime on Spark
+        # 4.x (verified with a minimal repro: 600k-row fact left-joined
+        # to a 1k-row agg with adaptive.autoBroadcastJoinThreshold
+        # raised stays SMJ through the final adaptive plan — the r4
+        # stage-gate construction changed nothing and only re-ran the
+        # aggregation), and Catalyst's static estimate for an aggregate
+        # is its input size, so at 100 TB the fact table ALWAYS
+        # shuffles. Instead: bound the agg side's cardinality from
+        # parquet FOOTER STATISTICS (driver-side metadata only, zero
+        # Spark jobs) — for integer-domain group keys that resolve
+        # straight to a single parquet relation, distinct(k) <=
+        # max(k) - min(k) + 1 across file footers. When the bound
+        # proves the agg side fits under autoBroadcastJoinThreshold,
+        # hint broadcast: the 100 TB fact side never shuffles and the
+        # bound being a TRUE upper bound makes the hint safe. Unknown
+        # provenance / non-integer keys / too many files -> keep the
+        # shuffled join (plain Spark behavior).
         if not getattr(base, "isStreaming", False):
-            if self._aqe_enabled():
-                df = self._gate_on_agg(df, aggdf)
-            elif os.environ.get("DATAR_AGG_BROADCAST", "0") == "1":
-                # AQE-off clusters have no runtime demotion path, so the
-                # SMJ always shuffles the fact side. DATAR_AGG_BROADCAST=1
-                # opts into a static broadcast hint for the agg side —
-                # correct whenever the per-group agg table fits in executor
-                # memory, but a FORCED hint (bypasses
-                # autoBroadcastJoinThreshold), hence opt-in. Replaces r3's
-                # DATAR_AGG_BROADCAST_MAX_ROWS compile-time probe.
+            if os.environ.get("DATAR_AGG_BROADCAST", "0") == "1":
+                # operator override: FORCED hint for clusters where the
+                # per-group agg table is known to fit executor memory
+                # (bypasses autoBroadcastJoinThreshold), AQE on or off
                 aggdf = F.broadcast(aggdf)
+            else:
+                bound = self._footer_group_bound(base)
+                if bound is not None and self._fits_broadcast(aggdf, bound):
+                    aggdf = F.broadcast(aggdf)
         cond = None
         for i, g in enumerate(self.groups):
             c = F.col(g).eqNullSafe(F.col(f"__datar_gk_{i}__"))
@@ -222,41 +225,165 @@ class EvalContext:
         out = df.join(aggdf, cond, "left")
         return out.drop(*[f"__datar_gk_{i}__" for i in range(len(self.groups))])
 
-    def _aqe_enabled(self) -> bool:
+    # integer-domain types whose footer min/max bounds distinct count
+    _FOOTER_BOUND_TYPES = frozenset(
+        ["ByteType", "ShortType", "IntegerType", "LongType", "DateType",
+         "BooleanType"]
+    )
+
+    def _footer_group_bound(self, base: "DataFrame") -> int | None:
+        """Upper bound on the number of distinct group-key combinations,
+        derived from parquet FILE FOOTER statistics — driver-side
+        metadata reads only, never a Spark job. Returns None when no
+        sound bound is provable, i.e. when any group key does not
+        resolve (same exprId) to an attribute produced directly by the
+        plan's single parquet relation (a mutate/alias in between means
+        footer stats describe a different value), any key is not
+        integer-domain, the source exceeds the footer-read cap
+        (DATAR_AGG_BROADCAST_MAX_FOOTERS, default 1024 files), or any
+        footer lacks statistics. The bound max-min+1 (+1 for nulls) per
+        key, multiplied across keys, is a TRUE upper bound — it can
+        only overestimate distinctness (sparse domains), which merely
+        forgoes the broadcast, never forces an unsafe one."""
         try:
-            return (
-                self.tibble.df.sparkSession.conf.get(
-                    "spark.sql.adaptive.enabled", "true"
-                ).lower()
-                == "true"
-            )
+            jplan = base._jdf.queryExecution().analyzed()
+            leaves = jplan.collectLeaves()
+            if leaves.size() != 1:
+                return None
+            leaf = leaves.apply(0)
+            if leaf.getClass().getSimpleName() != "LogicalRelation":
+                return None
+            rel = leaf.relation()
+            if "Parquet" not in rel.fileFormat().toString():
+                return None
+            # group keys must be the relation's OWN attributes (exprId
+            # match), untouched by any intermediate alias/mutate
+            leaf_ids = {}
+            lo = leaf.output()
+            for i in range(lo.size()):
+                a = lo.apply(i)
+                # Scala type singletons print as e.g. "LongType$"
+                leaf_ids[a.exprId().id()] = (
+                    a.name(),
+                    a.dataType().getClass().getSimpleName().rstrip("$"),
+                )
+            out = jplan.output()
+            by_name = {}
+            for i in range(out.size()):
+                a = out.apply(i)
+                by_name[a.name()] = a.exprId().id()
+            key_cols = []
+            for g in self.groups:
+                eid = by_name.get(g)
+                if eid is None or eid not in leaf_ids:
+                    return None
+                name, dtype = leaf_ids[eid]
+                if dtype not in self._FOOTER_BOUND_TYPES:
+                    return None
+                key_cols.append(name)
+            files = [
+                f[len("file:"):] if f.startswith("file:") else None
+                for f in base.inputFiles()
+            ]
+            cap = int(os.environ.get("DATAR_AGG_BROADCAST_MAX_FOOTERS", "1024"))
+            if not files or None in files or len(files) > cap:
+                return None
+            # footer reads are pure metadata but not free at the file
+            # cap — memoize per (file set, key set) across plan builds
+            # (same table re-grouped repeatedly is the common case)
+            memo = (hash(tuple(sorted(files))), tuple(key_cols))
+            if memo in _FOOTER_BOUND_CACHE:
+                return _FOOTER_BOUND_CACHE[memo]
+            import pyarrow.parquet as pq
+
+            spans: dict[str, list] = {k: [None, None, False] for k in key_cols}
+            for fp in files:
+                md = pq.ParquetFile(fp).metadata
+                idx = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                for k in key_cols:
+                    if k not in idx:
+                        return None
+                    for rg in range(md.num_row_groups):
+                        col = md.row_group(rg).column(idx[k])
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            return None
+                        s = spans[k]
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bool):
+                            mn, mx = int(mn), int(mx)
+                        s[0] = mn if s[0] is None else min(s[0], mn)
+                        s[1] = mx if s[1] is None else max(s[1], mx)
+                        if st.null_count is None or st.null_count > 0:
+                            s[2] = True
+            bound = 1
+            for k in key_cols:
+                mn, mx, has_null = spans[k]
+                if mn is None:
+                    return None
+                width = self._domain_width(mn, mx)
+                if width is None:
+                    return None
+                bound *= width + (1 if has_null else 0)
+                if bound > (1 << 40):
+                    bound = None  # never broadcast-sized
+                    break
+            if len(_FOOTER_BOUND_CACHE) >= _FOOTER_BOUND_CACHE_MAX:
+                _FOOTER_BOUND_CACHE.pop(next(iter(_FOOTER_BOUND_CACHE)))
+            _FOOTER_BOUND_CACHE[memo] = bound
+            return bound
         except Exception:
-            return True
+            return None
 
     @staticmethod
-    def _gate_on_agg(df: "DataFrame", aggdf: "DataFrame") -> "DataFrame":
-        """Make ``df`` depend on a 1-row broadcast computed FROM
-        ``aggdf`` so AQE materializes the agg exchange before the fact
-        side is submitted (see apply_pending_group_aggs). The anchor
-        hashes every agg output column — that keeps the aggregation
-        alive through column pruning, which in turn lets ReuseExchange
-        share the agg-side shuffle between the gate and the join. The
-        always-true filter (max(hash) over >=1 row is never null; an
-        empty agg side implies an empty fact side) is what stops
-        Catalyst from pruning the gate value away."""
-        gate_col = "__datar_gate__"
+    def _domain_width(mn, mx) -> int | None:
+        import datetime
+
+        if isinstance(mn, bool) or isinstance(mn, int):
+            return int(mx) - int(mn) + 1
+        if isinstance(mn, datetime.date):
+            return (mx - mn).days + 1
+        return None
+
+    def _fits_broadcast(self, aggdf: "DataFrame", bound: int) -> bool:
+        """bound * estimated-row-bytes <= the session's
+        autoBroadcastJoinThreshold (the same knob users already size).
+        Row bytes estimated from the agg schema with conservative fixed
+        widths; -1 / unparsable threshold disables the hint."""
         try:
-            gate = aggdf.agg(
-                F.max(F.hash(*[F.col(c) for c in aggdf.columns])).alias(gate_col)
+            raw = self.tibble.df.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
             )
-            gate.schema  # force analysis: unhashable col types raise here
+            thresh = self._parse_bytes(raw)
+            if thresh is None or thresh <= 0:
+                return False
+            row_bytes = 20
+            for f_ in aggdf.schema.fields:
+                t = f_.dataType.simpleString()
+                row_bytes += 8 if t in (
+                    "tinyint", "smallint", "int", "bigint", "float",
+                    "double", "date", "boolean", "timestamp",
+                ) else 32
+            return bound * row_bytes <= thresh
         except Exception:
-            return df  # un-gated plan is correct, just not broadcast-able
-        return (
-            df.crossJoin(F.broadcast(gate))
-            .filter(F.col(gate_col).isNotNull())
-            .drop(gate_col)
-        )
+            return False
+
+    @staticmethod
+    def _parse_bytes(raw: str) -> int | None:
+        s = str(raw).strip().lower()
+        mult = 1
+        for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                       ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                       ("b", 1)):
+            if s.endswith(suf):
+                s, mult = s[: -len(suf)], m
+                break
+        try:
+            return int(float(s)) * mult
+        except ValueError:
+            return None
 
     # ---- two-pass distributed cumulative windows -----------------------
     # Ungrouped order-sensitive windows are semantically a total order,

@@ -392,11 +392,11 @@ def test_semantic_pairs_single_shuffle_no_funnel(spark):
 
 def test_grouped_agg_join_broadcasts_small_side(spark):
     """Grouped mutate of an unordered aggregate (the q22 shape): the
-    agg-side exchange gates the fact side's stage submission, so AQE
-    learns the agg size FIRST and demotes the join to broadcast at
-    runtime — the fact table is never hash-exchanged (r4: this replaced
-    r3's eager compile-time persist+count probe). Checked on the FINAL
-    adaptive plan after an action; plan construction itself must launch
+    parquet-footer cardinality bound proves the agg side is
+    broadcast-sized WITHOUT running a Spark job (r5: AQE never demotes
+    this SMJ at runtime on Spark 4.x — verified by minimal repro — so
+    r4's stage gate was removed in favor of the metadata-only bound).
+    The fact table is never hash-exchanged; plan construction launches
     zero jobs."""
     from datar_polars_spark.functions import mean
 
@@ -408,16 +408,66 @@ def test_grouped_agg_join_broadcasts_small_side(spark):
     after = set(tracker.getJobIdsForGroup(None) or [])
     assert after == before, f"plan construction ran Spark jobs: {after - before}"
     assert "Window" not in plan
-    td.df.collect()  # materialize THIS plan -> AQE finalizes the join
-    final = _plan(td).split("== Initial Plan ==")[0]
-    assert "BroadcastHashJoin" in final
+    assert "BroadcastHashJoin" in plan
     # the fact side must reach the join unshuffled: the only
-    # hashpartitioning exchange in the final plan is the agg side's,
-    # shared with the gate via exchange reuse
-    # (a ReusedExchange line repeats its target's name, so count only
-    # real Exchange operator nodes)
-    assert len(re.findall(r"[+:]- Exchange hashpartitioning", final)) <= 1
-    assert "ReusedExchange" in final
+    # hashpartitioning exchange is the agg side's partial-state shuffle
+    assert len(re.findall(r"[+:]- Exchange hashpartitioning", plan)) <= 1
+
+
+def test_footer_bound_broadcast_beats_static_estimate(spark):
+    """The discriminating scenario for the footer bound: a broadcast
+    threshold far below Catalyst's static size estimate for the agg
+    side (an aggregate's estimate is its INPUT size — at 100 TB the
+    static path always shuffles the fact table). The footer bound
+    (distinct suppkeys <= max-min+1 from file metadata, ~56 KB of agg
+    rows) proves the broadcast is safe anyway."""
+    from datar_polars_spark.functions import mean
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1 << 20))
+    try:
+        base = read_parquet(spark, f"{SF}/lineitem.parquet") >> group_by(
+            f.l_suppkey
+        )
+        td = base >> mutate(
+            dev=f.l_extendedprice - mean(f.l_extendedprice, na_rm=True)
+        )
+        assert "BroadcastHashJoin" in _plan(td)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_footer_bound_refuses_unsafe_keys(spark):
+    """The footer bound must bail (None -> shuffled join) when the key
+    is not a pristine relation attribute: a mutated key's footer stats
+    describe a DIFFERENT value, and a string key has no integer
+    domain. Both shapes must fall back to the plain shuffled join with
+    a 1 KB threshold (no broadcast from static estimates either)."""
+    from datar_polars_spark.functions import mean
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        # mutated key: l_suppkey overwritten before group_by
+        base = (
+            read_parquet(spark, f"{SF}/lineitem.parquet")
+            >> mutate(l_suppkey=f.l_suppkey % 7)
+            >> group_by(f.l_suppkey)
+        )
+        td = base >> mutate(
+            dev=f.l_extendedprice - mean(f.l_extendedprice, na_rm=True)
+        )
+        assert "BroadcastHashJoin" not in _plan(td)
+        # string key: no integer domain bound
+        base2 = read_parquet(spark, f"{SF}/lineitem.parquet") >> group_by(
+            f.l_returnflag
+        )
+        td2 = base2 >> mutate(
+            dev=f.l_extendedprice - mean(f.l_extendedprice, na_rm=True)
+        )
+        assert "BroadcastHashJoin" not in _plan(td2)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_pending_agg_detection_is_structural_not_repr(spark):
