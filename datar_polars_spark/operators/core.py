@@ -846,10 +846,22 @@ def add_count(
     names = [a._name if isinstance(a, Ref) else str(a) for a in args] + list(kwargs.keys())
     gvars = list(dict.fromkeys([*td.group_vars, *names]))
     nm = _count_name(td.columns, name)
-    ctx = EvalContext(td, "eval")
-    w = Window.partitionBy(*gvars) if gvars else Window.partitionBy()
-    agg = F.count(F.lit(1)).over(w) if wt is None else F.sum(ctx.col(wt)).over(w)
-    out = td.with_df(td.df.withColumn(nm, agg), keep_sort_meta=True)
+    # groupBy + join-back via the pending-agg machinery instead of an
+    # unordered Window: the window form hash-shuffles EVERY row by the
+    # count keys (and funnels through one task when ungrouped); the
+    # rewrite shuffles only per-group partial states, broadcasts the
+    # agg side when the parquet-footer bound proves it small, and the
+    # ungrouped case is a 1-row broadcast cross join (r5; same plan
+    # family as grouped mutate aggregates)
+    tmp = Tibble(td.df, groups=gvars, levels=td.levels)
+    ctx = EvalContext(tmp, "eval")
+    ctx.allow_agg_join = True
+    agg = ctx.agg(F.count(F.lit(1)) if wt is None else F.sum(ctx.col(wt)))
+    df = ctx.apply_pending_group_aggs(td.df).withColumn(nm, agg)
+    aliases = list(ctx.pending_group_aggs)
+    if aliases:
+        df = df.drop(*aliases)
+    out = td.with_df(df, keep_sort_meta=True)
     if sort:
         out = out.reassign_order(F.col(nm).desc())
     return out
