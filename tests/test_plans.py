@@ -548,3 +548,27 @@ def test_write_clustered_layout_is_range_disjoint(spark, tmp_path):
     td = read_parquet(spark, dest) >> filter_(f.o_orderdate >= "1995-06-01")
     plan = _plan(td)
     assert "PushedFilters: [" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_footer_bound_dominates_true_distinct(spark, tmp_path):
+    """Soundness property: for random integer data round-tripped
+    through parquet, the footer bound is always >= the true distinct
+    count (the broadcast decision may only ever over-estimate)."""
+    import numpy as np
+    import pandas as pd
+
+    from datar_polars_spark import read_parquet as rp
+    from datar_polars_spark.plans.context import EvalContext
+
+    rng = np.random.RandomState(5)
+    for trial, (lo, hi, n) in enumerate(
+        [(0, 10, 500), (-50, 50, 300), (1000, 1002, 64), (7, 7, 10)]
+    ):
+        pdf = pd.DataFrame({"k": rng.randint(lo, hi + 1, n), "v": rng.rand(n)})
+        p = str(tmp_path / f"t{trial}")
+        spark.createDataFrame(pdf).repartition(3).write.parquet(p)
+        td = rp(spark, p) >> group_by(f.k)
+        ctx = EvalContext(td)
+        bound = ctx._footer_group_bound(td.df)
+        true_distinct = int(pdf["k"].nunique())
+        assert bound is not None and bound >= true_distinct, (trial, bound)
