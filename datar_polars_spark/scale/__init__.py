@@ -47,7 +47,12 @@ from .filters import (  # noqa: F401 (also registers repetition metrics)
     cap_per_key,
 )
 from .graph import connected_components, components_from_pairs  # noqa: F401
-from .diagnostics import key_skew, skew_report, partition_sizes  # noqa: F401
+from .diagnostics import (  # noqa: F401
+    key_skew,
+    skew_report,
+    partition_sizes,
+    plan_lint,
+)
 from .sessions import sessionize_batch, session_stats, trailing_agg  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_binary_metadata,

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..tibble import Tibble, ensure_tibble
 
-__all__ = ["key_skew", "skew_report", "partition_sizes"]
+__all__ = ["key_skew", "skew_report", "partition_sizes", "plan_lint"]
 
 
 def _names_of(td: Tibble, keys) -> list[str]:
@@ -114,3 +114,91 @@ def partition_sizes(td: Any) -> Tibble:
         .orderBy("partition_id")
     )
     return Tibble(out)
+
+
+def plan_lint(td: Any) -> list[dict]:
+    """Static lint of a frame's PHYSICAL plan for distributed-scale
+    antipatterns — run before launching a job against a full-scale
+    table. Pure plan-text analysis: no Spark job, no data read.
+
+    Findings (list of {rule, severity, detail}), ordered most severe
+    first:
+
+    - ``cartesian-product`` (error): CartesianProduct / unconditioned
+      BroadcastNestedLoopJoin — O(n*m) row explosion.
+    - ``single-partition-exchange`` (error): an Exchange SinglePartition
+      below further processing funnels the whole table through one task
+      (a final 1-row aggregate is fine and not flagged).
+    - ``python-row-udf`` (warn): BatchEvalPython — row-at-a-time Python
+      in the executor loop (Arrow/pandas UDFs show as ArrowEvalPython /
+      FlatMapGroupsInPandas and are not flagged).
+    - ``unpushed-filter`` (warn): a parquet scan whose Filter parent
+      pushed nothing down (``PushedFilters: []`` with a Filter above) —
+      the scan reads every row group.
+    - ``wide-scan`` (info): a scan reading 20+ columns — check that the
+      projection is really needed (column pruning failures look like
+      this).
+    - ``global-sort`` (info): a rangepartitioning Exchange — a total
+      order over the full table; fine for final output, expensive as an
+      intermediate step.
+    """
+    td = ensure_tibble(td)
+    plan = td.df._jdf.queryExecution().executedPlan().toString()
+    findings: list[dict] = []
+
+    def add(rule: str, severity: str, detail: str) -> None:
+        findings.append({"rule": rule, "severity": severity, "detail": detail})
+
+    if "CartesianProduct" in plan:
+        add("cartesian-product", "error",
+            "CartesianProduct node: O(n*m) join with no key")
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith(("+- BroadcastNestedLoopJoin", ":- BroadcastNestedLoopJoin")) \
+                and "Cross" in s and "Inner" not in s:
+            # cross BNLJ against a 1-row broadcast (global-scalar
+            # pattern) is fine; against anything bigger it explodes —
+            # flag as warn since size isn't statically knowable
+            add("broadcast-nested-loop-cross", "warn",
+                "BroadcastNestedLoopJoin Cross: verify the broadcast "
+                "side is tiny (1-row scalar joins are fine)")
+            break
+    # SinglePartition exchanges that feed more processing (not the
+    # topmost final agg): flag when any operator other than the final
+    # aggregate consumes it
+    sp_count = plan.count("Exchange SinglePartition")
+    if sp_count:
+        # topmost final 1-row agg = SinglePartition directly under the
+        # root aggregate; more than one, or one deep in the tree, is
+        # the funnel pattern
+        first_idx = plan.find("Exchange SinglePartition")
+        depth = plan[:first_idx].count("\n")
+        if sp_count > 1 or depth > 6:
+            add("single-partition-exchange", "error",
+                f"{sp_count} SinglePartition exchange(s) mid-plan: "
+                "whole-table funnel through one task")
+    if "BatchEvalPython" in plan:
+        add("python-row-udf", "warn",
+            "BatchEvalPython: row-at-a-time Python UDF in the hot path "
+            "(use pandas_udf / built-in functions)")
+    import re as _re
+
+    for scan in _re.finditer(r"PushedFilters: \[(.*?)\]", plan):
+        if scan.group(1).strip() == "" and "Filter" in plan[: scan.start()]:
+            add("unpushed-filter", "warn",
+                "parquet scan with empty PushedFilters below a Filter: "
+                "predicate did not reach the scan")
+            break
+    for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        ncols = m.group(1).count(",") + 1 if m.group(1) else 0
+        if ncols >= 20:
+            add("wide-scan", "info",
+                f"scan reads {ncols} columns — verify the projection")
+            break
+    if "Exchange rangepartitioning" in plan:
+        add("global-sort", "info",
+            "rangepartitioning Exchange: total order over the table "
+            "(fine for final output, expensive mid-plan)")
+    sev_rank = {"error": 0, "warn": 1, "info": 2}
+    findings.sort(key=lambda d: sev_rank[d["severity"]])
+    return findings

@@ -60,3 +60,64 @@ def test_partition_sizes_sums_to_total(spark):
     out = partition_sizes(td).collect()
     assert out["n"].sum() == td.df.count()
     assert (out["n"] > 0).all()
+
+
+class TestPlanLint:
+    def test_clean_plan_has_no_errors(self, spark):
+        from datar_polars_spark import f, filter_, read_parquet, select
+        from datar_polars_spark.scale import plan_lint
+
+        td = (
+            read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+            >> filter_(f.l_quantity > 40)
+            >> select(f.l_orderkey, f.l_quantity)
+        )
+        findings = plan_lint(td)
+        assert not [x for x in findings if x["severity"] == "error"], findings
+
+    def test_flags_cartesian(self, spark):
+        from datar_polars_spark import read_parquet
+        from datar_polars_spark.scale import plan_lint
+        from datar_polars_spark.tibble import Tibble
+
+        a = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet").df
+        b = read_parquet(spark, "/root/testdata/sf0.001/customer.parquet").df
+        td = Tibble(a.crossJoin(b))
+        rules = {x["rule"] for x in plan_lint(td)}
+        assert "cartesian-product" in rules or "broadcast-nested-loop-cross" in rules
+
+    def test_flags_row_udf(self, spark):
+        from pyspark.sql.functions import udf
+        from pyspark.sql.types import DoubleType
+
+        from datar_polars_spark import read_parquet
+        from datar_polars_spark.scale import plan_lint
+        from datar_polars_spark.tibble import Tibble
+
+        slow = udf(lambda x: x * 2.0, DoubleType())
+        df = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet").df
+        td = Tibble(df.withColumn("y", slow(df.o_totalprice)))
+        rules = {x["rule"] for x in plan_lint(td)}
+        assert "python-row-udf" in rules
+
+    def test_flags_global_sort_as_info(self, spark):
+        from datar_polars_spark import arrange, f, read_parquet
+        from datar_polars_spark.scale import plan_lint
+
+        td = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet") >> arrange(
+            f.o_totalprice
+        )
+        hits = [x for x in plan_lint(td) if x["rule"] == "global-sort"]
+        assert hits and hits[0]["severity"] == "info"
+
+    def test_no_spark_job(self, spark):
+        from datar_polars_spark import f, group_by, mutate, read_parquet
+        from datar_polars_spark.functions import mean
+        from datar_polars_spark.scale import plan_lint
+
+        td = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        plan_lint(td)
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        assert after == before
