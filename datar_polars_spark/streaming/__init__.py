@@ -29,6 +29,8 @@ from __future__ import annotations
 import uuid
 from typing import Any
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -341,3 +343,80 @@ def stream_stream_join(
 
 
 __all__.append("stream_stream_join")
+
+
+def stream_decontaminate(
+    sdf: DataFrame,
+    benchmark: Any,
+    text: Any,
+    id_col: Any = None,
+    n: int = 3,
+    max_bench_grams: int = 5_000_000,
+    jvm_literal_max: int = 10_000,
+) -> DataFrame:
+    """Drop streaming documents that share ANY word ``n``-gram with a
+    STATIC benchmark corpus — the streaming complement of the batch
+    ``decontaminate`` (scale/filters.py), for filtering a live ingest
+    feed against held-out eval sets.
+
+    The benchmark side is collected ONCE at stream setup (a batch job —
+    legal before ``start()``): its distinct gram xxhash64 values become
+    either a JVM literal array (``<= jvm_literal_max`` grams: the
+    filter is pure whole-stage codegen, ``arrays_overlap`` per doc) or
+    a broadcast Python set probed by an Arrow pandas UDF (larger
+    benchmarks; one batch-wise set lookup per doc). Raises if the
+    benchmark exceeds ``max_bench_grams`` — decontamination benchmarks
+    are eval sets, not corpora; use batch ``decontaminate`` for
+    corpus-vs-corpus (or ``minhash_join`` for fuzzy matching).
+
+    Per-microbatch cost is one narrow map over the stream — no state
+    store, no watermark requirement, no shuffle."""
+    from ..scale.dedup import word_shingles
+
+    tname = _name_of(text)
+    bench_df = (
+        benchmark.df.select(*benchmark.columns)
+        if isinstance(benchmark, Tibble)
+        else benchmark
+    )
+    bench_hashes = [
+        r[0]
+        for r in bench_df.select(
+            F.explode(word_shingles(F.col(tname), n)).alias("g")
+        )
+        .select(F.xxhash64("g"))
+        .distinct()
+        .limit(max_bench_grams + 1)
+        .collect()
+    ]
+    if len(bench_hashes) > max_bench_grams:
+        raise ValueError(
+            f"stream_decontaminate: benchmark exceeds {max_bench_grams} "
+            "distinct grams — use batch decontaminate for corpus-vs-corpus"
+        )
+    grams = F.transform(
+        word_shingles(F.col(tname), n), lambda g: F.xxhash64(g)
+    )
+    if len(bench_hashes) <= jvm_literal_max:
+        bench_lit = F.lit(bench_hashes).cast("array<long>")
+        return sdf.filter(~F.arrays_overlap(grams, bench_lit))
+    from pyspark.sql.functions import pandas_udf
+
+    bcast = sdf.sparkSession.sparkContext.broadcast(set(bench_hashes))
+
+    @pandas_udf("boolean")
+    def _clean(hash_arrays: pd.Series) -> pd.Series:
+        bset = bcast.value
+        # Arrow hands array columns over as numpy arrays — `hs or []`
+        # would try truth-testing them
+        return hash_arrays.apply(
+            lambda hs: hs is None
+            or not any(int(h) in bset for h in hs)
+        )
+
+    return sdf.withColumn("__grams__", grams).filter(
+        _clean(F.col("__grams__"))
+    ).drop("__grams__")
+
+
+__all__.append("stream_decontaminate")

@@ -174,3 +174,40 @@ def test_stream_stream_join(spark):
     g = got.sort_values("user_id").reset_index(drop=True)
     bt = batch.sort_values("user_id").reset_index(drop=True)
     assert g["count"].tolist() == bt["count"].tolist()
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Streamed docs filtered against a static benchmark must equal the
+    batch decontaminate survivors on the same data (both literal-array
+    and pandas-UDF strategies)."""
+    import pandas as pd
+
+    from datar_polars_spark import read_parquet
+    from datar_polars_spark.scale import decontaminate
+    from datar_polars_spark.streaming import (
+        stream_decontaminate,
+        stream_read_parquet,
+        run_to_memory,
+    )
+
+    src = str(tmp_path / "docs")
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    docs.df.select("doc_id", "text").write.parquet(src)
+    from datar_polars_spark import f, filter_
+
+    bench = docs >> filter_(f.doc_id % 7 == 0)
+
+    expected = sorted(
+        r.doc_id
+        for r in decontaminate(docs, bench, text="text", id="doc_id", n=3)
+        .df.select("doc_id")
+        .collect()
+    )
+
+    sdf = stream_read_parquet(spark, src)
+    for jvm_max in (10_000, 0):  # literal-array path, then pandas-UDF path
+        out = stream_decontaminate(
+            sdf, bench, f.text, n=3, jvm_literal_max=jvm_max
+        )
+        got = run_to_memory(out.select("doc_id"), mode="append")
+        assert sorted(got["doc_id"].tolist()) == expected, f"jvm_max={jvm_max}"
