@@ -101,3 +101,37 @@ def test_two_table_verbs_on_empty(spark, empty):
 def test_pivot_wider_on_empty(spark, empty):
     out = empty >> pivot_wider(names_from=f.g, values_from=f.x)
     assert out.nrow() == 0
+
+
+def test_scale_ops_on_empty(spark):
+    """r5: the scale extensions must tolerate empty inputs too (empty
+    micro-batches / filtered-out corpora are routine at scale)."""
+    e = tibble(spark, doc_id=[1], text=["some words here"]) >> filter_(f.doc_id > 9)
+    full = tibble(spark, doc_id=[1, 2], text=["alpha beta gamma", "delta words"])
+    from datar_polars_spark.scale import (
+        bm25_score,
+        decontaminate_fuzzy,
+        dedup_exact,
+        minhash_join,
+        minhash_pairs,
+        tfidf_top_terms,
+    )
+
+    assert dedup_exact(e, f.text, id_col=f.doc_id).df.count() == 0
+    assert minhash_pairs(e, f.text, f.doc_id).df.count() == 0
+    assert minhash_join(e, full, f.text, f.doc_id).df.count() == 0
+    assert minhash_join(full, e, f.text, f.doc_id).df.count() == 0
+    assert decontaminate_fuzzy(full, e, f.text, f.doc_id).df.count() == 2
+    assert tfidf_top_terms(e, f.text, f.doc_id).df.count() == 0
+    assert bm25_score(e, f.text, f.doc_id, ["alpha"]).df.count() == 0
+
+
+def test_empty_embeddings_scale_ops(spark):
+    from datar_polars_spark.scale import cosine_topk, knn_join
+    from datar_polars_spark.scale.dedup import semantic_pairs
+
+    e = tibble(spark, vec_id=[1], embedding=[[1.0, 0.0]]) >> filter_(f.vec_id > 9)
+    full = tibble(spark, vec_id=[1, 2], embedding=[[1.0, 0.0], [0.0, 1.0]])
+    assert cosine_topk(e, [1.0, 0.0], f.embedding, f.vec_id, k=3).df.count() == 0
+    assert semantic_pairs(e, f.embedding, f.vec_id).df.count() == 0
+    assert knn_join(e.df, full, k=2).df.count() == 0
