@@ -234,32 +234,29 @@ def _banded(df: DataFrame, sig: str, bands: int, rows_per_band: int) -> DataFram
 
 def _minhash_sigs(df: DataFrame, tname: str, idn: str, num_perm: int,
                   shingle_words: int) -> DataFrame:
-    """(id, sig) minhash signatures. Signature via explode -> num_perm
-    partial-aggregated mins: each shingle is constructed and hashed
-    exactly once. The naive expression form (array_min(transform(
-    shingles, hash_i)) per permutation) re-inlines the whole
-    shingle-array construction num_perm times after Catalyst's
-    CollapseProject — ~60x slower at sf0.1. The gram STRING is hashed
-    once, then the num_perm permutation hashes derive by re-hashing the
-    8-byte base hash with the seed — ~2x cheaper, same minhash family
-    (xxhash64 of (base, seed) is as uniform as of (string, seed)).
-    Deterministic seeds mean two tables signed separately are directly
-    comparable (the property minhash_join relies on)."""
-    shingled = _ensure_parallelism(df).select(
-        F.col(idn).alias("id"),
-        F.explode(word_shingles(F.col(tname), shingle_words)).alias("__g__"),
-    )
+    """(id, sig) minhash signatures as a NARROW map: one
+    ``minhash_signature`` fold per row — no explode, no shuffle.
+    History: r2 replaced the then-naive expression form (num_perm
+    separate array_min(transform) projections, which CollapseProject
+    re-inlined into a 60x blowup) with explode + num_perm partial-min
+    aggregates; r3's single aggregate+zip_with fold fixed the codegen
+    blowup at the source, and measured head-to-head at sf0.1 the fold
+    is ~3.5x faster warm than explode+groupBy (0.3s vs 1.1s) — and at
+    100 TB the difference is structural: the fold ships NO shingle rows
+    through a shuffle. Deterministic (shingle, seed) xxhash64 means two
+    tables signed separately are directly comparable (the property
+    minhash_join relies on). Docs with NULL text yield all-null
+    signatures and are dropped, matching the explode form's behavior
+    (explode of NULL produced no rows)."""
     return (
-        shingled.withColumn("__hg__", F.xxhash64(F.col("__g__")))
-        .groupBy("id")
-        .agg(
-            F.array(
-                *[
-                    F.min(F.xxhash64(F.col("__hg__"), F.lit(i)))
-                    for i in range(num_perm)
-                ]
-            ).alias("sig")
+        _ensure_parallelism(df)
+        .select(
+            F.col(idn).alias("id"),
+            minhash_signature(
+                word_shingles(F.col(tname), shingle_words), num_perm
+            ).alias("sig"),
         )
+        .filter(F.col("sig")[0].isNotNull())
     )
 
 
