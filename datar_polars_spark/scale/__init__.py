@@ -31,6 +31,11 @@ from .relevance import (  # noqa: F401
     tfidf_top_terms,
     bm25_score,
 )
+from .bloom import (  # noqa: F401
+    Bloom,
+    build_bloom,
+    bloom_semi_reduce,
+)
 from . import text  # noqa: F401 (registers text-analysis functions)
 from .filters import (  # noqa: F401 (also registers repetition metrics)
     gopher_quality_filter,
