@@ -53,6 +53,8 @@ from .sources import (  # noqa: F401
     write_orc,
     write_bucketed,
     write_clustered,
+    write_zordered,
+    zorder_key,
     read_table,
     read_text,
     write_text,
