@@ -36,6 +36,10 @@ from .bloom import (  # noqa: F401
     build_bloom,
     bloom_semi_reduce,
 )
+from .substr import (  # noqa: F401
+    duplicate_spans,
+    mask_duplicate_spans,
+)
 from . import text  # noqa: F401 (registers text-analysis functions)
 from .filters import (  # noqa: F401 (also registers repetition metrics)
     gopher_quality_filter,

@@ -1,0 +1,210 @@
+"""Exact-substring duplicate spans across a corpus — the
+"deduplicate repeated training text, not just repeated documents"
+operation (Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better" — ExactSubstr): boilerplate, licenses, and
+templated passages repeat verbatim across documents that are NOT
+near-duplicates of each other, so document-level MinHash/SimHash never
+sees them.
+
+The reference ExactSubstr implementation builds a corpus-wide suffix
+array — inherently single-machine. The distributed re-expression here
+is the standard k-gram formulation: a substring of >= k words repeated
+anywhere in the corpus is exactly a run of repeated word k-grams, so
+
+  1. per document, hash every ordered word k-gram (one narrow map:
+     zip_with shingles + index-aware transform, JVM codegen, no UDF);
+  2. posexplode -> one shuffle keyed by gram hash; two window
+     aggregates over that single partitioning mark grams whose
+     occurrence count / distinct-document count clears the threshold;
+  3. one shuffle back by document assembles the flagged positions and
+     an ``aggregate`` HOF merges overlapping [pos, pos+k) runs into
+     maximal spans.
+
+Two keyed shuffles total, both on uniformly-distributed hash keys —
+the 100 TB shape of every dedup verb in this package. Granularity is
+k words: repeats shorter than k are invisible (by design, as in the
+paper), and span boundaries are word-aligned.
+
+``mask_duplicate_spans`` applies the report destructively: drop every
+word inside a flagged span. NOTE this removes ALL occurrences of a
+repeated passage, including its "canonical" first copy — keeping
+exactly one copy corpus-wide needs a global occurrence order and is
+deliberately out of scope (the paper's self-join variant also cuts
+every occurrence).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from ..plans.verb import verb
+from ..tibble import Tibble
+
+__all__ = ["duplicate_spans", "mask_duplicate_spans"]
+
+
+def _ordered_gram_hashes(col: Column, k: int) -> Column:
+    """xxhash64 of every ordered word k-gram; empty array when the
+    document has fewer than k words (no partial grams — a short doc
+    cannot contain a k-word repeat)."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    n = F.size(toks)
+    m = F.greatest(n - k + 1, F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.transform(grams, lambda g: F.xxhash64(g))
+
+
+def _merge_runs(positions: Column, k: int) -> Column:
+    """Merge a sorted array of 0-based gram positions into maximal
+    [start, end) word spans (gram at p covers words [p, p+k))."""
+    span = "struct<start:int,end:int>"
+    return F.aggregate(
+        positions,
+        F.expr(f"cast(array() as array<{span}>)"),
+        lambda acc, p: F.when(
+            F.size(acc) > 0,
+            F.when(
+                p <= F.element_at(acc, -1)["end"],
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["start"].alias("start"),
+                            F.greatest(
+                                F.element_at(acc, -1)["end"], (p + k).cast("int")
+                            ).alias("end"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(
+                            p.cast("int").alias("start"),
+                            (p + k).cast("int").alias("end"),
+                        )
+                    ),
+                )
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    p.cast("int").alias("start"), (p + k).cast("int").alias("end")
+                )
+            )
+        ),
+    )
+
+
+@verb
+def duplicate_spans(
+    td: Tibble,
+    text: Any = "text",
+    id: Any = "doc_id",
+    k: int = 20,
+    min_count: int = 2,
+    min_docs: int | None = None,
+) -> Tibble:
+    """Report, per document, the maximal word spans whose every k-gram
+    repeats elsewhere in the corpus.
+
+    A gram is flagged when its total occurrence count reaches
+    ``min_count`` (within-document repeats included); ``min_docs``
+    additionally requires it to appear in that many distinct documents
+    (cross-document boilerplate only). Output: one row per document
+    that has at least one flagged span —
+    ``(id, dup_spans array<struct<start,end>>, dup_words,
+    dup_word_fraction)`` with word-index [start, end) spans.
+    """
+    tname, idn = str(text), str(id)
+    df = td.df
+    grams = df.select(
+        F.col(idn).alias("__id"),
+        F.size(F.split(F.lower(F.trim(F.col(tname))), r"\s+")).alias("__nw"),
+        F.posexplode(_ordered_gram_hashes(F.col(tname), k)).alias(
+            "__pos", "__h"
+        ),
+    )
+
+    wh = Window.partitionBy("__h")
+    flagged = grams.withColumn("__cnt", F.count(F.lit(1)).over(wh))
+    if min_docs is not None:
+        # distinct docs per hash without a second shuffle: max dense_rank
+        # over the same hash partitioning, ranked by doc id
+        wr = Window.partitionBy("__h").orderBy("__id")
+        flagged = (
+            flagged.withColumn("__dr", F.dense_rank().over(wr))
+            .withColumn("__nd", F.max("__dr").over(wh))
+            .where(F.col("__nd") >= min_docs)
+        )
+    flagged = flagged.where(F.col("__cnt") >= min_count)
+
+    per_doc = (
+        flagged.groupBy("__id")
+        .agg(
+            F.array_sort(F.collect_list("__pos")).alias("__ps"),
+            F.first("__nw").alias("__nw"),
+        )
+        .select(
+            F.col("__id").alias(idn),
+            _merge_runs(F.col("__ps"), k).alias("dup_spans"),
+            F.col("__nw"),
+        )
+        .withColumn(
+            "dup_words",
+            F.aggregate(
+                F.col("dup_spans"),
+                F.lit(0),
+                lambda a, s: a + (s["end"] - s["start"]),
+            ),
+        )
+        .select(
+            idn,
+            "dup_spans",
+            "dup_words",
+            (
+                F.least(F.col("dup_words") / F.greatest("__nw", F.lit(1)), F.lit(1.0))
+            ).alias("dup_word_fraction"),
+        )
+    )
+    return td.with_df(per_doc)
+
+
+@verb
+def mask_duplicate_spans(
+    td: Tibble,
+    text: Any = "text",
+    id: Any = "doc_id",
+    k: int = 20,
+    min_count: int = 2,
+    min_docs: int | None = None,
+) -> Tibble:
+    """Remove every word inside a corpus-repeated span (all occurrences
+    — see module note) and return the frame with ``text`` rewritten.
+    Documents without flagged spans pass through untouched; word
+    boundaries collapse to single spaces in rewritten documents."""
+    tname, idn = str(text), str(id)
+    report = duplicate_spans(
+        td, text=text, id=id, k=k, min_count=min_count, min_docs=min_docs
+    ).df.select(F.col(idn), "dup_spans")
+    joined = td.df.join(report, idn, "left")
+    toks = F.split(F.trim(F.col(tname)), r"\s+")
+    kept = F.filter(
+        toks,
+        lambda w, i: ~F.exists(
+            F.col("dup_spans"), lambda s: (i >= s["start"]) & (i < s["end"])
+        ),
+    )
+    masked = F.when(
+        F.col("dup_spans").isNull(), F.col(tname)
+    ).otherwise(F.concat_ws(" ", kept))
+    out = joined.withColumn(tname, masked).drop("dup_spans")
+    return td.with_df(out)
