@@ -274,8 +274,11 @@ def q10_topk_per_group(spark, sf):
     return _finish(out)
 
 
-def q11_lag_delta(spark, sf):
-    """Covers: lag with explicit ordering, grouped window."""
+def q12_lag_cumsum(spark, sf):
+    """Covers: lag with explicit ordering AND cumsum running total over
+    the same grouped spine (merged r5 q11+q12 — identical partition and
+    order keys, so one query proves both window capabilities on the
+    same rows and frees a driver slot for q67_relevance)."""
     o = _t(spark, sf, "orders")
     out = (
         o
@@ -283,21 +286,9 @@ def q11_lag_delta(spark, sf):
         >> mutate(
             prev_price=lag(f.o_totalprice, order_by=f.o_orderkey),
             delta=round_(f.o_totalprice - f.prev_price, 4),
+            running=round_(cumsum(f.o_totalprice, order_by=f.o_orderkey), 4),
         )
-        >> select(f.o_orderkey, f.o_custkey, f.delta)
-        >> arrange(f.o_orderkey)
-    )
-    return _finish(out)
-
-
-def q12_cumsum_running(spark, sf):
-    """Covers: cumsum over explicit order, grouped."""
-    o = _t(spark, sf, "orders")
-    out = (
-        o
-        >> group_by(f.o_custkey)
-        >> mutate(running=round_(cumsum(f.o_totalprice, order_by=f.o_orderkey), 4))
-        >> select(f.o_orderkey, f.o_custkey, f.running)
+        >> select(f.o_orderkey, f.o_custkey, f.delta, f.running)
         >> arrange(f.o_orderkey)
     )
     return _finish(out)
@@ -1532,6 +1523,37 @@ def _fuzz_sql(spec: dict | None = None) -> str:
     """
 
 
+def q67_relevance(spark, sf):
+    """Covers: tfidf_top_terms (smoothed TF-IDF, deterministic per-doc
+    top-k via WindowGroupLimit) and bm25_score (Okapi BM25 against a
+    fixed query vocabulary) — the r5 corpus-relevance ops, driver-
+    proven. Per document: its top-3 TF-IDF terms joined with its BM25
+    score for query {spark, vector, stream}; docs missing every query
+    term score 0. Total order (doc_id, rank); scores rounded once to 4
+    decimals (comparator precision)."""
+    from datar_polars_spark.scale import bm25_score, tfidf_top_terms
+
+    d = _t(spark, sf, "documents")
+    top = tfidf_top_terms(d, f.text, f.doc_id, k=3)
+    bm = bm25_score(d, f.text, f.doc_id, query=["spark", "vector", "stream"])
+    out = (
+        top.df.join(
+            bm.df.withColumnRenamed("score", "bm25"), on="id", how="left"
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("score", 4).alias("tfidf"),
+            F.round(F.coalesce(F.col("bm25"), F.lit(0.0)), 4).alias("bm25"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1550,8 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_left_join_zero_counts": q07_left_join_zero_counts,
         "q08_semi_anti_join": q08_semi_anti_join,
         "q10_topk_per_group": q10_topk_per_group,
-        "q11_lag_delta": q11_lag_delta,
-        "q12_cumsum_running": q12_cumsum_running,
+        "q12_lag_cumsum": q12_lag_cumsum,
         "q13_conditionals": q13_conditionals,
         "q14_decontaminate": q14_decontaminate,
         "q15_string_functions": q15_string_functions,
@@ -1591,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_seeded_join_fuzz": q64_seeded_join_fuzz,
         "q65_rolling_windows": q65_rolling_windows,
         "q66_trailing_time_window": q66_trailing_time_window,
+        "q67_relevance": q67_relevance,
     }
 
 
@@ -1671,15 +1693,10 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE r <= 3
             ORDER BY o_orderpriority, o_orderkey
         """,
-        "q11_lag_delta": """
+        "q12_lag_cumsum": """
             SELECT o_orderkey, o_custkey,
                    ROUND(o_totalprice - LAG(o_totalprice) OVER (
-                       PARTITION BY o_custkey ORDER BY o_orderkey), 4) AS delta
-            FROM orders
-            ORDER BY o_orderkey
-        """,
-        "q12_cumsum_running": """
-            SELECT o_orderkey, o_custkey,
+                       PARTITION BY o_custkey ORDER BY o_orderkey), 4) AS delta,
                    ROUND(SUM(o_totalprice) OVER (
                        PARTITION BY o_custkey ORDER BY o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
@@ -2255,5 +2272,62 @@ def oracle_sql() -> dict[str, str]:
         # original corpus (see q62 docstring)
         "q62_semantic_dedup": """
             SELECT vec_id FROM embeddings ORDER BY vec_id
+        """,
+        "q67_relevance": r"""
+            WITH terms AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                    FROM documents
+                )
+                WHERE term <> ''
+                GROUP BY doc_id, term
+            ),
+            ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+            dfc AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY term
+            ),
+            top3 AS (
+                SELECT * FROM (
+                    SELECT t.doc_id, t.term, t.tf, d.df,
+                           t.tf * (LN(CAST(n.n + 1 AS DOUBLE) / (d.df + 1)) + 1.0)
+                               AS score,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY t.doc_id
+                               ORDER BY t.tf * (LN(CAST(n.n + 1 AS DOUBLE)
+                                   / (d.df + 1)) + 1.0) DESC, t.term ASC
+                           ) AS rank
+                    FROM terms t JOIN dfc d USING (term) CROSS JOIN ndocs n
+                ) WHERE rank <= 3
+            ),
+            doclen AS (SELECT doc_id, SUM(tf) AS dl FROM terms GROUP BY doc_id),
+            stats AS (
+                SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n,
+                       (SELECT AVG(dl) FROM doclen) AS avgdl
+            ),
+            qhits AS (
+                SELECT * FROM terms WHERE term IN ('spark', 'vector', 'stream')
+            ),
+            qdf AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df FROM qhits GROUP BY term
+            ),
+            bm AS (
+                SELECT q.doc_id,
+                       SUM(LN(1.0 + (s.n - qd.df + 0.5) / (qd.df + 0.5))
+                           * (q.tf * (1.2 + 1))
+                           / (q.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS bm25
+                FROM qhits q
+                JOIN qdf qd USING (term)
+                JOIN doclen dl USING (doc_id)
+                CROSS JOIN stats s
+                GROUP BY q.doc_id
+            )
+            SELECT top3.doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+                   ROUND(score, 4) AS tfidf,
+                   ROUND(COALESCE(bm.bm25, 0.0), 4) AS bm25
+            FROM top3 LEFT JOIN bm USING (doc_id)
+            ORDER BY top3.doc_id, rank
         """,
     }

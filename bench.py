@@ -27,7 +27,7 @@ HEADLINE = [
     "q06_join_revenue_per_nation",
     "q07_left_join_zero_counts",
     "q10_topk_per_group",
-    "q12_cumsum_running",
+    "q12_lag_cumsum",
     "q19_quantiles",
     "q20_n_distinct",
     "q22_group_deviation",
