@@ -697,7 +697,32 @@ def q33_dedup(spark, sf):
         "n_copies",
         "keep_id",
     )
-    return ex_block.unionByName(fp_block).orderBy("op", "key")
+
+    # r5 third block: exact-substring duplicate spans (Lee et al. style
+    # repeated 8-gram runs; scale/substr.py). key = the merged span
+    # list rendered "start-end,...", n_copies = duplicated word count.
+    # Span keys repeat across near-identical docs, so the total order
+    # adds keep_id.
+    from datar_polars_spark.scale import duplicate_spans
+
+    sp = duplicate_spans(d, text=f.text, id=f.doc_id, k=8, min_count=2)
+    sp_block = sp.df.select(
+        F.lit("spans").alias("op"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("dup_spans"),
+                lambda s: F.concat_ws("-", s["start"], s["end"]),
+            ),
+        ).alias("key"),
+        F.col("dup_words").cast("long").alias("n_copies"),
+        F.col("doc_id").alias("keep_id"),
+    )
+    return (
+        ex_block.unionByName(fp_block)
+        .unionByName(sp_block)
+        .orderBy("op", "key", "keep_id")
+    )
 
 
 def q35_text_stats(spark, sf):
@@ -1903,7 +1928,50 @@ def oracle_sql() -> dict[str, str]:
               ON g.l_returnflag = c.l_returnflag AND g.l_linestatus = c.l_linestatus
             ORDER BY g.l_returnflag, g.l_linestatus
         """,
-        "q33_dedup": """
+        "q33_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ),
+            positions AS (
+                SELECT doc_id, w,
+                       unnest(generate_series(0, len(w) - 8)) AS pos
+                FROM toks WHERE len(w) >= 8
+            ),
+            grams AS (
+                SELECT doc_id, pos,
+                       array_to_string(w[pos + 1 : pos + 8], ' ') AS gram
+                FROM positions
+            ),
+            cnt AS (SELECT gram, COUNT(*) AS c FROM grams GROUP BY gram),
+            flagged AS (
+                SELECT g.doc_id, g.pos
+                FROM grams g JOIN cnt USING (gram) WHERE c >= 2
+            ),
+            islands AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN prev IS NULL OR pos > prev + 8
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+                FROM (
+                    SELECT doc_id, pos,
+                           LAG(pos) OVER (
+                               PARTITION BY doc_id ORDER BY pos) AS prev
+                    FROM flagged
+                )
+            ),
+            spans AS (
+                SELECT doc_id, isl,
+                       MIN(pos) AS s, MAX(pos) + 8 AS e
+                FROM islands GROUP BY doc_id, isl
+            ),
+            span_docs AS (
+                SELECT doc_id,
+                       string_agg(s || '-' || e, ',' ORDER BY s) AS key,
+                       CAST(SUM(e - s) AS BIGINT) AS dup_words
+                FROM spans GROUP BY doc_id
+            )
             SELECT op, key, n_copies, keep_id FROM (
                 SELECT 'exact' AS op,
                        COALESCE(lang, '<NA>') || '|' || COALESCE(source, '<NA>') AS key,
@@ -1911,10 +1979,12 @@ def oracle_sql() -> dict[str, str]:
                        MIN(doc_id) AS keep_id
                 FROM documents GROUP BY lang, source
                 UNION ALL
-                SELECT 'fp', md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                SELECT 'fp', md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
                        COUNT(*), MIN(doc_id)
                 FROM documents GROUP BY 2
-            ) ORDER BY op, key
+                UNION ALL
+                SELECT 'spans', key, dup_words, doc_id FROM span_docs
+            ) ORDER BY op, key, keep_id
         """,
         "q35_text_stats": """
             WITH stats AS (

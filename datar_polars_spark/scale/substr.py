@@ -40,10 +40,15 @@ from typing import Any
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from ..plans.expr import Ref
 from ..plans.verb import verb
 from ..tibble import Tibble
 
 __all__ = ["duplicate_spans", "mask_duplicate_spans"]
+
+
+def _name_of(x: Any) -> str:
+    return x._name if isinstance(x, Ref) else str(x)
 
 
 def _ordered_gram_hashes(col: Column, k: int) -> Column:
@@ -124,7 +129,7 @@ def duplicate_spans(
     ``(id, dup_spans array<struct<start,end>>, dup_words,
     dup_word_fraction)`` with word-index [start, end) spans.
     """
-    tname, idn = str(text), str(id)
+    tname, idn = _name_of(text), _name_of(id)
     df = td.df
     grams = df.select(
         F.col(idn).alias("__id"),
@@ -191,7 +196,7 @@ def mask_duplicate_spans(
     — see module note) and return the frame with ``text`` rewritten.
     Documents without flagged spans pass through untouched; word
     boundaries collapse to single spaces in rewritten documents."""
-    tname, idn = str(text), str(id)
+    tname, idn = _name_of(text), _name_of(id)
     report = duplicate_spans(
         td, text=text, id=id, k=k, min_count=min_count, min_docs=min_docs
     ).df.select(F.col(idn), "dup_spans")
