@@ -240,12 +240,20 @@ def q07_left_join_zero_counts(spark, sf):
 
 def q08_semi_anti_join(spark, sf):
     """Covers: semi_join + anti_join (merged r1 q08+q09), tagged and
-    stacked with bind_rows so both verbs are hash-checked."""
+    stacked with bind_rows so both verbs are hash-checked. r5: the semi
+    leg first passes through bloom_semi_reduce (scale/bloom.py) — the
+    Bloom pre-filter has zero false negatives and the exact semi_join
+    eliminates its false positives, so the oracle is UNCHANGED; a bloom
+    regression (a lost true match) flips the hash. Driver-proves the
+    reduction's correctness-preservation contract."""
+    from datar_polars_spark.scale import bloom_semi_reduce
+
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
+    big = o >> filter_(f.o_totalprice > 200000)
     s = (
-        c
-        >> semi_join(o >> filter_(f.o_totalprice > 200000), by={"c_custkey": "o_custkey"})
+        bloom_semi_reduce(c, big.df, on=("c_custkey", "o_custkey"), fpp=0.05)
+        >> semi_join(big, by={"c_custkey": "o_custkey"})
         >> mutate(op="semi")
     )
     a = (
