@@ -26,6 +26,9 @@ from .similarity import (  # noqa: F401
     ivf_assign,
     ivf_topk,
     knn_join,
+    pq_train,
+    pq_encode,
+    pq_topk,
 )
 from .relevance import (  # noqa: F401
     tfidf_top_terms,

@@ -28,7 +28,8 @@ from ..tibble import Tibble
 from .dedup import cosine_sim
 
 __all__ = ["cosine_topk", "lsh_plan_buckets", "lsh_topk",
-           "ivf_train", "ivf_assign", "ivf_topk", "knn_join"]
+           "ivf_train", "ivf_assign", "ivf_topk", "knn_join",
+           "pq_train", "pq_encode", "pq_topk"]
 
 
 def _name_of(x: Any) -> str:
@@ -410,5 +411,165 @@ def knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
+    )
+    return Tibble(out)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-bounded ANN codes + asymmetric
+# distance search (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search")
+# ---------------------------------------------------------------------------
+
+def _lloyd_np(X, k: int, iters: int, seed: int):
+    """Driver-side Lloyd's k-means (same matmul formulation as
+    ivf_train's loop) — used per PQ subspace where k <= 256 and the
+    sample is small by construction."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    k = min(k, len(X))
+    cents = X[rng.choice(len(X), size=k, replace=False)].copy()
+    x2 = (X * X).sum(axis=1)
+    for _ in range(iters):
+        d2 = x2[:, None] - 2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        for ci in range(k):
+            members = X[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(axis=0)
+    return cents
+
+
+def pq_train(
+    td: Tibble,
+    embedding: Any = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    iters: int = 8,
+    sample_size: int | None = None,
+    seed: int = 42,
+) -> list:
+    """Train a product quantizer: split the vector into ``m`` subspaces
+    and k-means each with ``2**nbits`` centroids. Returns the codebook
+    as a nested list (m, 2**nbits, dim/m) — JSON-able, broadcastable,
+    tiny (m * 2^nbits * dsub floats; 8x256x16 = 32k floats for 128-d).
+
+    100 TB rationale: PQ codes compress a d-dim float32 vector to
+    ``m * nbits / 8`` bytes (128-d float32 -> 8 bytes at m=8, nbits=8,
+    a 64x reduction), so the candidate scan of a billion-vector ANN
+    index fits in executor memory where raw vectors cannot. Training
+    reads a bounded driver sample (default ``max(10k, 50 * 2^nbits)``
+    rows — per-subspace k is only 256, so the sample bound does NOT
+    grow with corpus size, unlike the ivf_train coarse quantizer)."""
+    import numpy as np
+
+    col = _name_of(embedding)
+    ksub = 1 << nbits
+    if sample_size is None:
+        sample_size = max(10_000, 50 * ksub)
+    n = td.df.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    rows = td.df.select(col).sample(fraction=frac, seed=seed).collect()
+    X = np.array([list(r[0]) for r in rows], dtype="float64")
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    book = []
+    for j in range(m):
+        Xj = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
+        cents = _lloyd_np(Xj, ksub, iters, seed + j)
+        book.append([[float(v) for v in c] for c in cents])
+    return book
+
+
+@verb
+def pq_encode(
+    td: Tibble,
+    codebook: list,
+    embedding: Any = "embedding",
+    code_col: str = "pq_code",
+) -> Tibble:
+    """Quantize each vector to its per-subspace nearest-centroid codes
+    (array<int> of length m). One Arrow-batched pandas UDF doing m
+    small matmuls per batch — narrow, no shuffle; at scale encode once
+    and persist the codes next to the ids (the raw vectors can then
+    stay cold)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = [np.array(cj, dtype="float64") for cj in codebook]
+    m = len(C)
+    dsub = C[0].shape[1]
+    cn2 = [(cj * cj).sum(axis=1) for cj in C]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(s: pd.Series) -> pd.Series:
+        X = np.array(s.tolist(), dtype="float64")
+        codes = np.empty((len(X), m), dtype="int32")
+        for j in range(m):
+            Xj = X[:, j * dsub : (j + 1) * dsub]
+            dist = cn2[j][None, :] - 2.0 * (Xj @ C[j].T)
+            codes[:, j] = dist.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    col = _name_of(embedding)
+    return td.with_df(td.df.withColumn(code_col, encode(F.col(col))))
+
+
+@verb
+def pq_topk(
+    td: Tibble,
+    query: Sequence[float],
+    codebook: list,
+    k: int = 10,
+    code_col: str = "pq_code",
+    id_col: Any = "vec_id",
+) -> Tibble:
+    """Approximate k-NN by asymmetric distance computation (ADC): a
+    per-query lookup table of partial squared-L2 distances from the
+    query to every centroid (m x 2^nbits floats, built driver-side and
+    broadcast inside the UDF closure), then each row's distance is m
+    table lookups + a sum — no vector math against the corpus at all.
+    TakeOrderedAndProject returns the global top-k without a full sort.
+
+    Returns (id, pq_dist, rank) ascending. Recall is bounded by code
+    resolution: raise m/nbits, or re-rank the PQ top-(c*k) against raw
+    vectors (compose with cosine_topk on the candidate ids)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType
+
+    q = np.array(list(query), dtype="float64")
+    C = [np.array(cj, dtype="float64") for cj in codebook]
+    m = len(C)
+    dsub = C[0].shape[1]
+    if len(q) != m * dsub:
+        raise ValueError(
+            f"pq_topk: query dim {len(q)} != codebook dim {m * dsub}"
+        )
+    lut = np.stack(
+        [
+            ((C[j] - q[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )  # (m, ksub)
+
+    @F.pandas_udf(DoubleType())
+    def adc(codes: pd.Series) -> pd.Series:
+        M = np.array(codes.tolist(), dtype="int64")  # (n, m)
+        return pd.Series(lut[np.arange(m)[None, :], M].sum(axis=1))
+
+    idn = _name_of(id_col)
+    scored = td.df.select(
+        F.col(idn).alias("id"), adc(F.col(code_col)).alias("pq_dist")
+    )
+    out = (
+        scored.orderBy(F.col("pq_dist").asc(), F.col("id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("pq_dist").asc(), F.col("id").asc())
+        ))
     )
     return Tibble(out)

@@ -1,0 +1,129 @@
+"""Product quantization ANN: codebook shape, encode determinism,
+ADC distance quality vs exact brute force, recall on planted
+neighbors, and plan shape (narrow encode, TakeOrdered search)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datar_polars_spark import read_parquet
+from datar_polars_spark.scale import pq_encode, pq_topk, pq_train
+from datar_polars_spark.tibble import ensure_tibble
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_parquet(spark, f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def book(emb):
+    return pq_train(emb, m=4, nbits=6, sample_size=500, seed=1)
+
+
+def test_codebook_shape(emb, book):
+    dim = len(emb.df.select("embedding").first()[0])
+    assert len(book) == 4
+    for cj in book:
+        assert len(cj) <= 64
+        assert all(len(c) == dim // 4 for c in cj)
+
+
+def test_encode_shape_and_determinism(spark, emb, book):
+    coded = pq_encode(emb, book, code_col="pq_code")
+    a = coded.df.select("vec_id", "pq_code").orderBy("vec_id").collect()
+    b = pq_encode(emb, book).df.select("vec_id", "pq_code").orderBy("vec_id").collect()
+    assert [r["pq_code"] for r in a] == [r["pq_code"] for r in b]
+    assert all(len(r["pq_code"]) == 4 for r in a)
+    assert all(0 <= c < 64 for r in a for c in r["pq_code"])
+
+
+def test_adc_equals_reconstruction_distance(spark, emb, book):
+    """The ADC contract: pq_dist is EXACTLY the L2^2 distance from the
+    query to the code's reconstruction (centroid concatenation) — the
+    lookup table contributes no approximation beyond quantization."""
+    q = list(emb.df.select("embedding").first()[0])
+    qv = np.array(q)
+    coded = pq_encode(emb, book)
+    got = pq_topk(coded, q, book, k=100).df.collect()
+    codes = {
+        r["vec_id"]: r["pq_code"]
+        for r in coded.df.select("vec_id", "pq_code").collect()
+    }
+    C = [np.array(cj) for cj in book]
+    for r in got:
+        rec = np.concatenate([C[j][codes[r["id"]][j]] for j in range(4)])
+        assert r["pq_dist"] == pytest.approx(
+            float(((qv - rec) ** 2).sum()), abs=1e-9
+        )
+
+
+def test_planted_clusters_perfect_recall(spark):
+    """On data with real cluster structure (the regime PQ exists for),
+    the ADC top-k must recover the query's cluster."""
+    rng = np.random.RandomState(3)
+    centers = rng.randn(5, 32) * 5
+    rows = []
+    for i in range(400):
+        c = i % 5
+        rows.append((i, (centers[c] + rng.randn(32) * 0.1).tolist(), c))
+    spark_df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>, label int"
+    )
+    td = ensure_tibble(spark_df)
+    book = pq_train(td, m=4, nbits=4, sample_size=400, seed=0)
+    coded = pq_encode(td, book)
+    q = rows[10][1]  # cluster 0
+    got = pq_topk(coded, q, book, k=40).df.collect()
+    labels = {r[2] for r in rows if r[0] in {g["id"] for g in got}}
+    assert labels == {rows[10][2]}  # every neighbor from the query's cluster
+
+
+def test_top1_recovers_query_vector(spark, emb, book):
+    # the query IS a corpus vector: its own code must be nearest
+    row = emb.df.select("vec_id", "embedding").first()
+    coded = pq_encode(emb, book)
+    top = pq_topk(coded, list(row["embedding"]), book, k=1).df.collect()
+    assert top[0]["id"] == row["vec_id"]
+
+
+def test_recall_at_10_vs_bruteforce(spark, emb, book):
+    rows = emb.df.select("vec_id", "embedding").collect()
+    q = list(rows[7]["embedding"])
+    qv = np.array(q)
+    exact = sorted(
+        rows, key=lambda r: float(((np.array(list(r["embedding"])) - qv) ** 2).sum())
+    )[:10]
+    exact_ids = {r["vec_id"] for r in exact}
+    coded = pq_encode(emb, book)
+    got = {r["id"] for r in pq_topk(coded, q, book, k=30).df.collect()}
+    recall = len(exact_ids & got) / 10
+    assert recall >= 0.5, f"recall@10 in top-30 = {recall}"
+
+
+def test_dim_validation(spark, emb, book):
+    with pytest.raises(ValueError):
+        pq_topk(pq_encode(emb, book), [0.0] * 3, book, k=5)
+    with pytest.raises(ValueError):
+        pq_train(emb, m=7, nbits=4, sample_size=100)  # dim % 7 != 0
+
+
+def test_plan_narrow_encode_takeordered_search(spark, emb, book):
+    coded = pq_encode(emb, book)
+    plan_enc = coded.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_enc  # encode is a narrow map
+    res = pq_topk(coded, [0.0] * len(emb.df.select("embedding").first()[0]), book, k=5)
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_code_compression_ratio(emb, book):
+    # the point of PQ: m ints vs dim floats
+    dim = len(emb.df.select("embedding").first()[0])
+    assert 4 / dim < 0.2
