@@ -43,6 +43,10 @@ from .substr import (  # noqa: F401
     duplicate_spans,
     mask_duplicate_spans,
 )
+from .lm import (  # noqa: F401
+    ngram_lm_train,
+    ngram_lm_score,
+)
 from . import text  # noqa: F401 (registers text-analysis functions)
 from .filters import (  # noqa: F401 (also registers repetition metrics)
     gopher_quality_filter,
