@@ -1562,13 +1562,28 @@ def q67_relevance(spark, sf):
     fixed query vocabulary) — the r5 corpus-relevance ops, driver-
     proven. Per document: its top-3 TF-IDF terms joined with its BM25
     score for query {spark, vector, stream}; docs missing every query
-    term score 0. Total order (doc_id, rank); scores rounded once to 4
-    decimals (comparator precision)."""
-    from datar_polars_spark.scale import bm25_score, tfidf_top_terms
+    term score 0. r5b: also ngram_lm_train/ngram_lm_score (Stupid
+    Backoff LM, scale/lm.py) — model trained on the lang='en' slice,
+    every document scored against it, per-doc lm_logprob/lm_oov joined
+    on; the oracle rebuilds the full count tables and backoff CASE in
+    SQL. Total order (doc_id, rank); scores rounded once to 4 decimals
+    (comparator precision)."""
+    from datar_polars_spark.scale import (
+        bm25_score,
+        ngram_lm_score,
+        ngram_lm_train,
+        tfidf_top_terms,
+    )
 
     d = _t(spark, sf, "documents")
     top = tfidf_top_terms(d, f.text, f.doc_id, k=3)
     bm = bm25_score(d, f.text, f.doc_id, query=["spark", "vector", "stream"])
+    ref = d.with_df(d.df.where(F.col("lang") == "en"))
+    lm = ngram_lm_score(d, ngram_lm_train(ref)).df.select(
+        "doc_id",
+        F.round("lm_logprob", 4).alias("lm_logprob"),
+        F.round("lm_oov_rate", 4).alias("lm_oov"),
+    )
     out = (
         top.df.join(
             bm.df.withColumnRenamed("score", "bm25"), on="id", how="left"
@@ -1582,6 +1597,7 @@ def q67_relevance(spark, sf):
             F.round("score", 4).alias("tfidf"),
             F.round(F.coalesce(F.col("bm25"), F.lit(0.0)), 4).alias("bm25"),
         )
+        .join(lm, "doc_id", "left")
         .orderBy("doc_id", "rank")
     )
     return out
@@ -2401,11 +2417,58 @@ def oracle_sql() -> dict[str, str]:
                 JOIN doclen dl USING (doc_id)
                 CROSS JOIN stats s
                 GROUP BY q.doc_id
+            ),
+            tokd AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS w,
+                       generate_subscripts(
+                           string_split_regex(lower(trim(text)), '\s+'), 1) AS i
+                FROM documents
+            ),
+            seq AS (
+                SELECT doc_id, w,
+                       COALESCE(LAG(w) OVER (
+                           PARTITION BY doc_id ORDER BY i), '<s>') AS prev
+                FROM tokd WHERE w <> ''
+            ),
+            refseq AS (
+                SELECT s.* FROM seq s
+                JOIN documents d ON s.doc_id = d.doc_id
+                WHERE d.lang = 'en'
+            ),
+            uni AS (SELECT w, COUNT(*) AS c FROM refseq GROUP BY w),
+            bi AS (
+                SELECT prev, w, COUNT(*) AS c FROM refseq GROUP BY prev, w
+            ),
+            ctx AS (SELECT prev, SUM(c) AS c FROM bi GROUP BY prev),
+            nt AS (SELECT SUM(c) AS n FROM uni),
+            sc AS (
+                SELECT s.doc_id,
+                       CASE WHEN b.c IS NOT NULL AND cx.c > 0
+                                THEN CAST(b.c AS DOUBLE) / cx.c
+                            WHEN u.c IS NOT NULL
+                                THEN 0.4 * u.c / nt.n
+                            ELSE 0.4 / nt.n END AS sval,
+                       CASE WHEN u.c IS NULL THEN 1.0 ELSE 0.0 END AS oov
+                FROM seq s
+                LEFT JOIN bi b ON s.prev = b.prev AND s.w = b.w
+                LEFT JOIN ctx cx ON s.prev = cx.prev
+                LEFT JOIN uni u ON s.w = u.w
+                CROSS JOIN nt
+            ),
+            lm AS (
+                SELECT doc_id,
+                       ROUND(AVG(LOG10(sval)), 4) AS lm_logprob,
+                       ROUND(AVG(oov), 4) AS lm_oov
+                FROM sc GROUP BY doc_id
             )
             SELECT top3.doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
                    ROUND(score, 4) AS tfidf,
-                   ROUND(COALESCE(bm.bm25, 0.0), 4) AS bm25
-            FROM top3 LEFT JOIN bm USING (doc_id)
+                   ROUND(COALESCE(bm.bm25, 0.0), 4) AS bm25,
+                   lm.lm_logprob, lm.lm_oov
+            FROM top3
+            LEFT JOIN bm USING (doc_id)
+            LEFT JOIN lm ON top3.doc_id = lm.doc_id
             ORDER BY top3.doc_id, rank
         """,
     }

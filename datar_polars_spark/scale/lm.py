@@ -143,10 +143,13 @@ def ngram_lm_score(
             .otherwise(F.lit(alpha) / F.col("n_total")),
         )
     )
+    # raw doubles, deliberately un-rounded: rounding is presentation,
+    # and pre-rounding here creates exact half-boundary values that
+    # later ROUND calls resolve differently across engines
     per_doc = scored.groupBy("id").agg(
-        F.round(F.avg(F.log10("__s")), 6).alias("lm_logprob"),
-        F.round(
-            F.avg(F.when(F.col("c_uni").isNull(), 1.0).otherwise(0.0)), 6
+        F.avg(F.log10("__s")).alias("lm_logprob"),
+        F.avg(
+            F.when(F.col("c_uni").isNull(), 1.0).otherwise(0.0)
         ).alias("lm_oov_rate"),
         F.count(F.lit(1)).alias("lm_tokens"),
     )

@@ -50,11 +50,7 @@ def _oracle_scores(ref_texts, docs, alpha=ALPHA, min_count=1):
                 oov += 1
             logs.append(math.log10(s))
             prev = w
-        out[i] = (
-            round(sum(logs) / len(logs), 6),
-            round(oov / len(toks), 6),
-            len(toks),
-        )
+        out[i] = (sum(logs) / len(logs), oov / len(toks), len(toks))
     return out
 
 
