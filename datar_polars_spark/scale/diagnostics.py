@@ -163,20 +163,28 @@ def plan_lint(td: Any) -> list[dict]:
                 "BroadcastNestedLoopJoin Cross: verify the broadcast "
                 "side is tiny (1-row scalar joins are fine)")
             break
-    # SinglePartition exchanges that feed more processing (not the
-    # topmost final agg): flag when any operator other than the final
-    # aggregate consumes it
-    sp_count = plan.count("Exchange SinglePartition")
-    if sp_count:
-        # topmost final 1-row agg = SinglePartition directly under the
-        # root aggregate; more than one, or one deep in the tree, is
-        # the funnel pattern
-        first_idx = plan.find("Exchange SinglePartition")
-        depth = plan[:first_idx].count("\n")
-        if sp_count > 1 or depth > 6:
-            add("single-partition-exchange", "error",
-                f"{sp_count} SinglePartition exchange(s) mid-plan: "
-                "whole-table funnel through one task")
+    # SinglePartition exchanges are a whole-table funnel UNLESS the
+    # exchange's input is an ungrouped partial aggregate: the canonical
+    # scalar-reduction shape (partial agg map-side -> exchange of ONE
+    # row per partition -> final agg) moves O(partitions) rows, not the
+    # table, and is fine at any scale. Everything else (a sort, a
+    # window, a raw scan under SinglePartition) funnels real data.
+    lines = plan.splitlines()
+    bad_sp = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        scalar_reduction = False
+        for child in lines[i + 1 : i + 4]:
+            if "Aggregate" in child and "keys=[]" in child and "partial_" in child:
+                scalar_reduction = True
+                break
+        if not scalar_reduction:
+            bad_sp += 1
+    if bad_sp:
+        add("single-partition-exchange", "error",
+            f"{bad_sp} SinglePartition exchange(s) funneling "
+            "non-aggregated data through one task")
     if "BatchEvalPython" in plan:
         add("python-row-udf", "warn",
             "BatchEvalPython: row-at-a-time Python UDF in the hot path "
