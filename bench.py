@@ -139,6 +139,24 @@ def main() -> None:
             ).knn_join(
                 emb.df.filter("vec_id < 64"), emb, k=10
             ).df.count(),
+            # r5 ops: exact-substring spans (two keyed shuffles),
+            # Stupid Backoff LM scoring (count tables + hash joins),
+            # Bloom semi-join reduction (build + narrow probe)
+            "duplicate_spans": lambda: __import__(
+                "datar_polars_spark.scale.substr", fromlist=["duplicate_spans"]
+            ).duplicate_spans(docs, k=8, min_count=2).df.count(),
+            "ngram_lm_score": lambda: (
+                lambda lmmod: lmmod.ngram_lm_score(
+                    docs, lmmod.ngram_lm_train(docs)
+                ).df.count()
+            )(__import__("datar_polars_spark.scale.lm", fromlist=["x"])),
+            "bloom_semi_reduce": lambda: __import__(
+                "datar_polars_spark.scale.bloom", fromlist=["bloom_semi_reduce"]
+            ).bloom_semi_reduce(
+                docs,
+                docs.df.filter("doc_id % 7 = 0").select("doc_id"),
+                on="doc_id",
+            ).df.count(),
         }
         for pass_timings in (scale_ops, scale_ops_warm):
             for op_name, op in ops.items():
