@@ -68,6 +68,7 @@ from .diagnostics import (  # noqa: F401
     skew_report,
     partition_sizes,
     plan_lint,
+    scan_stats,
 )
 from .sessions import sessionize_batch, session_stats, trailing_agg  # noqa: F401
 from .multimodal import (  # noqa: F401

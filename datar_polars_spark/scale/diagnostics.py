@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 
 from ..tibble import Tibble, ensure_tibble
 
-__all__ = ["key_skew", "skew_report", "partition_sizes", "plan_lint"]
+__all__ = [
+    "key_skew",
+    "skew_report",
+    "partition_sizes",
+    "plan_lint",
+    "scan_stats",
+]
 
 
 def _names_of(td: Tibble, keys) -> list[str]:
@@ -210,3 +216,84 @@ def plan_lint(td: Any) -> list[dict]:
     sev_rank = {"error": 0, "warn": 1, "info": 2}
     findings.sort(key=lambda d: sev_rank[d["severity"]])
     return findings
+
+
+def scan_stats(path: str) -> dict:
+    """Table statistics from parquet FILE FOOTERS only — pure driver
+    metadata reads, zero Spark jobs, safe against a 100 TB table.
+
+    The pre-flight planning numbers every sizing decision needs:
+
+    - ``rows`` / ``files`` / ``row_groups`` / ``bytes_compressed`` /
+      ``bytes_uncompressed`` — size ``spark.sql.files.maxPartitionBytes``
+      and ``shuffle.partitions`` from these, not from guesses;
+    - ``file_row_spread`` — (min, max) rows per file: a wildly uneven
+      layout means stragglers before any query runs;
+    - per-column ``min`` / ``max`` / ``null_count`` / ``bytes`` and
+      ``has_stats`` — a column without footer min/max can never prune
+      (re-write with ``write_clustered``/``write_zordered``), and
+      ``(max - min + 1)`` is the same distinct-count upper bound the
+      grouped-agg broadcast probe uses.
+
+    Returns a plain dict (JSON-able)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"scan_stats: no parquet files under {path!r}")
+
+    total_rows = 0
+    total_rg = 0
+    comp = 0
+    uncomp = 0
+    file_rows: list[int] = []
+    cols: dict[str, dict] = {}
+    for fp in files:
+        md = _pq.ParquetFile(fp).metadata
+        total_rows += md.num_rows
+        total_rg += md.num_row_groups
+        file_rows.append(md.num_rows)
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for i, name in enumerate(names):
+            c = cols.setdefault(
+                name,
+                {
+                    "min": None,
+                    "max": None,
+                    "null_count": 0,
+                    "bytes": 0,
+                    "has_stats": True,
+                },
+            )
+            for rg in range(md.num_row_groups):
+                cc = md.row_group(rg).column(i)
+                comp += cc.total_compressed_size
+                uncomp += cc.total_uncompressed_size
+                c["bytes"] += cc.total_compressed_size
+                st = cc.statistics
+                if st is None or not st.has_min_max:
+                    c["has_stats"] = False
+                    continue
+                mn, mx = st.min, st.max
+                try:
+                    c["min"] = mn if c["min"] is None else min(c["min"], mn)
+                    c["max"] = mx if c["max"] is None else max(c["max"], mx)
+                except TypeError:
+                    c["has_stats"] = False
+                if st.null_count is not None:
+                    c["null_count"] += st.null_count
+    return {
+        "files": len(files),
+        "rows": total_rows,
+        "row_groups": total_rg,
+        "bytes_compressed": comp,
+        "bytes_uncompressed": uncomp,
+        "file_row_spread": (min(file_rows), max(file_rows)),
+        "columns": cols,
+    }
