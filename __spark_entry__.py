@@ -1566,8 +1566,10 @@ def q67_relevance(spark, sf):
     Backoff LM, scale/lm.py) — model trained on the lang='en' slice,
     every document scored against it, per-doc lm_logprob/lm_oov joined
     on; the oracle rebuilds the full count tables and backoff CASE in
-    SQL. Total order (doc_id, rank); scores rounded once to 4 decimals
-    (comparator precision)."""
+    SQL. r6: the LM leg is TRIGRAM (order=3) — the oracle carries both
+    context lengths (LAG-built, BOS-padded) and the three-way backoff
+    CASE with alpha^2 on the unigram/OOV floor. Total order (doc_id,
+    rank); scores rounded once to 4 decimals (comparator precision)."""
     from datar_polars_spark.scale import (
         bm25_score,
         ngram_lm_score,
@@ -1579,7 +1581,7 @@ def q67_relevance(spark, sf):
     top = tfidf_top_terms(d, f.text, f.doc_id, k=3)
     bm = bm25_score(d, f.text, f.doc_id, query=["spark", "vector", "stream"])
     ref = d.with_df(d.df.where(F.col("lang") == "en"))
-    lm = ngram_lm_score(d, ngram_lm_train(ref)).df.select(
+    lm = ngram_lm_score(d, ngram_lm_train(ref, order=3), order=3).df.select(
         "doc_id",
         F.round("lm_logprob", 4).alias("lm_logprob"),
         F.round("lm_oov_rate", 4).alias("lm_oov"),
@@ -2428,7 +2430,12 @@ def oracle_sql() -> dict[str, str]:
             seq AS (
                 SELECT doc_id, w,
                        COALESCE(LAG(w) OVER (
-                           PARTITION BY doc_id ORDER BY i), '<s>') AS prev
+                           PARTITION BY doc_id ORDER BY i), '<s>') AS prev,
+                       COALESCE(LAG(w, 2) OVER (
+                           PARTITION BY doc_id ORDER BY i), '<s>')
+                       || ' ' ||
+                       COALESCE(LAG(w) OVER (
+                           PARTITION BY doc_id ORDER BY i), '<s>') AS prev2
                 FROM tokd WHERE w <> ''
             ),
             refseq AS (
@@ -2440,17 +2447,25 @@ def oracle_sql() -> dict[str, str]:
             bi AS (
                 SELECT prev, w, COUNT(*) AS c FROM refseq GROUP BY prev, w
             ),
+            tri AS (
+                SELECT prev2, w, COUNT(*) AS c FROM refseq GROUP BY prev2, w
+            ),
             ctx AS (SELECT prev, SUM(c) AS c FROM bi GROUP BY prev),
+            ctx2 AS (SELECT prev2, SUM(c) AS c FROM tri GROUP BY prev2),
             nt AS (SELECT SUM(c) AS n FROM uni),
             sc AS (
                 SELECT s.doc_id,
-                       CASE WHEN b.c IS NOT NULL AND cx.c > 0
-                                THEN CAST(b.c AS DOUBLE) / cx.c
+                       CASE WHEN t.c IS NOT NULL
+                                THEN CAST(t.c AS DOUBLE) / cx2.c
+                            WHEN b.c IS NOT NULL
+                                THEN 0.4 * b.c / cx.c
                             WHEN u.c IS NOT NULL
-                                THEN 0.4 * u.c / nt.n
-                            ELSE 0.4 / nt.n END AS sval,
+                                THEN 0.16 * u.c / nt.n
+                            ELSE 0.16 / nt.n END AS sval,
                        CASE WHEN u.c IS NULL THEN 1.0 ELSE 0.0 END AS oov
                 FROM seq s
+                LEFT JOIN tri t ON s.prev2 = t.prev2 AND s.w = t.w
+                LEFT JOIN ctx2 cx2 ON s.prev2 = cx2.prev2
                 LEFT JOIN bi b ON s.prev = b.prev AND s.w = b.w
                 LEFT JOIN ctx cx ON s.prev = cx.prev
                 LEFT JOIN uni u ON s.w = u.w

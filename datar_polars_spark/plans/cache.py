@@ -48,16 +48,26 @@ def _max_caches() -> int:
 def register_internal_cache(df: "DataFrame", safe_to_evict: bool = True) -> "DataFrame":
     """Record an already-persisted internal frame; evict the oldest
     recompute-safe entries beyond the cap. Returns ``df`` unchanged so
-    call sites can wrap the persist expression."""
-    _caches[next(_seq)] = (df, safe_to_evict)
-    n_over = internal_cache_count() - _max_caches()
+    call sites can wrap the persist expression.
+
+    The cap counts ONLY evictable entries: non-evictable positional-id
+    frames sit outside it (they can't be auto-released, so letting them
+    consume the budget would immediately evict every later evictable
+    frame — including the one being registered — and silently reinstate
+    the unbounded-recompute behavior the persists exist to prevent).
+    The frame being registered is never evicted by its own call."""
+    token = next(_seq)
+    _caches[token] = (df, safe_to_evict)
+    n_over = sum(1 for _df, safe in _caches.values() if safe) - _max_caches()
     if n_over > 0:
-        for token in list(_caches):
+        for tok in list(_caches):
             if n_over <= 0:
                 break
-            cached, safe = _caches[token]
+            if tok == token:
+                continue
+            cached, safe = _caches[tok]
             if safe:
-                del _caches[token]
+                del _caches[tok]
                 try:
                     cached.unpersist()
                 except Exception:

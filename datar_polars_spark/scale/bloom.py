@@ -62,12 +62,53 @@ class Bloom:
     k: int  # probe count
     n_items: int  # distinct keys inserted
     effective_fpp: float  # (1 - e^{-kn/m})^k with the realized m, k
+    hash_type: str = "raw"  # canonical dtype the keys were hashed as
 
-    def might_contain(self, col: Any) -> "F.Column":
+    def might_contain(self, col: Any, dtype: str | None = None) -> "F.Column":
         """Membership predicate for ``col`` against the broadcast bits
         column ``__bloom_bits`` (requires the crossJoin done by
-        :func:`bloom_semi_reduce`); exposed for custom pipelines."""
-        return _probe_predicate(col, self.m, self.k)
+        :func:`bloom_semi_reduce`); exposed for custom pipelines.
+
+        ``F.hash`` is type-sensitive: hash(int 5) != hash(bigint 5),
+        so a probe column whose dtype differs from the build side would
+        silently drop every true match. Pass the probe column's Spark
+        ``dtype`` string to canonicalize it exactly as the build side
+        was; a dtype that cannot canonicalize to ``self.hash_type``
+        raises rather than returning an always-false-ish predicate.
+        """
+        c = F.col(col) if isinstance(col, str) else col
+        if dtype is not None:
+            c, canon = _canonical_hash_input(c, dtype)
+            if canon != self.hash_type:
+                raise TypeError(
+                    f"bloom probe column dtype {dtype!r} canonicalizes to "
+                    f"{canon!r} but the filter was built over "
+                    f"{self.hash_type!r} keys; F.hash is type-sensitive so "
+                    "the probe would miss every true match. Cast one side "
+                    "so both canonicalize to the same type."
+                )
+        return _probe_predicate(c, self.m, self.k)
+
+
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT_TYPES = {"float", "double"}
+
+
+def _canonical_hash_input(c: F.Column, dtype: str) -> tuple[F.Column, str]:
+    """Cast ``c`` to a canonical hash type so equal values hash equally
+    across width variants (int vs bigint, float vs double, decimal
+    scales). ``F.hash`` folds the physical type into the digest, so an
+    int fact column probed against a bigint-built filter would lose
+    every true match — canonicalizing both sides restores the
+    zero-false-negative contract."""
+    base = dtype.strip().lower()
+    if base in _INTEGRAL_TYPES:
+        return c.cast("bigint"), "bigint"
+    if base in _FLOAT_TYPES:
+        return c.cast("double"), "double"
+    if base.startswith("decimal"):
+        return c.cast("decimal(38,18)"), "decimal(38,18)"
+    return c, base
 
 
 def _positions(col: Any, m: int, k: int) -> list[F.Column]:
@@ -120,7 +161,11 @@ def build_bloom(
     kt = ensure_tibble(keys) if not isinstance(keys, DataFrame) else None
     kdf = keys if isinstance(keys, DataFrame) else kt.df
     spark = kdf.sparkSession
-    keyed = kdf.select(F.col(col).alias("__bloom_key")).where(
+    key_dtype = dict(kdf.dtypes).get(col)
+    if key_dtype is None:
+        raise KeyError(f"build_bloom: no column {col!r} in key frame")
+    canon_col, hash_type = _canonical_hash_input(F.col(col), key_dtype)
+    keyed = kdf.select(canon_col.alias("__bloom_key")).where(
         F.col("__bloom_key").isNotNull()
     )
 
@@ -156,7 +201,10 @@ def build_bloom(
     bits_df = spark.createDataFrame(
         [(dense,)], "__bloom_bits array<bigint>"
     )
-    return Bloom(bits_df=bits_df, m=m, k=k, n_items=n, effective_fpp=eff)
+    return Bloom(
+        bits_df=bits_df, m=m, k=k, n_items=n, effective_fpp=eff,
+        hash_type=hash_type,
+    )
 
 
 @verb2
@@ -195,10 +243,13 @@ def bloom_semi_reduce(
         )
 
     fact = td.df
+    fact_dtype = dict(fact.dtypes).get(fact_col)
+    if fact_dtype is None:
+        raise KeyError(f"bloom_semi_reduce: no column {fact_col!r} in fact")
     reduced = (
         fact.where(F.col(fact_col).isNotNull())
         .crossJoin(F.broadcast(bloom.bits_df))
-        .where(bloom.might_contain(fact_col))
+        .where(bloom.might_contain(fact_col, dtype=fact_dtype))
         .drop("__bloom_bits")
     )
     return td.with_df(reduced)

@@ -594,6 +594,11 @@ def simhash_signatures(df: DataFrame, tname: str, idn: str) -> DataFrame:
             )
         ),
     )
+    # aggregate() folds a NULL token array to the zero-initialised
+    # accumulator, not NULL — gate on token presence so NULL-text docs
+    # are dropped exactly as in the old explode form (an sh=0 row would
+    # falsely pair with near-zero-signature docs downstream)
+    packed = F.when(toks.isNotNull(), packed)
     return (
         _ensure_parallelism(df)
         .select(F.col(idn).alias("id"), packed.alias("sh"))

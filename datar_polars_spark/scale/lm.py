@@ -6,19 +6,25 @@ Smoothing is Stupid Backoff (Brants et al. 2007, "Large Language
 Models in Machine Translation"), chosen deliberately: it was designed
 FOR distributed back-ends — scores need no normalization, so the model
 is just count tables and the scorer is joins + arithmetic, with no
-per-context normalization pass:
+per-context normalization pass. For order n (default 2, CCNet-style
+filtering conventionally 5):
 
-    S(w | prev) = c(prev w) / c(prev)        if c(prev w) > 0
-                = alpha * c(w) / N           otherwise (backoff)
-    oov words   = alpha * 1 / N              (unseen unigram floor)
+    S(w | ctx_{n-1}) = c(ctx_{n-1} w) / c(ctx_{n-1})   if seen
+                     = alpha * S(w | ctx_{n-2})         else (recurse)
+    S(w)             = c(w) / N                         unigram base
+    oov words        = alpha^{n-1} * 1 / N              (unseen floor)
 
-Model "training" is two exploded groupBy counts (unigrams + bigrams) —
-one model frame ``(context, word, c)`` with context NULL for unigrams.
-Scoring left-joins each document bigram against the model (hash joins
-on uniformly-distributed term keys; Spark broadcasts the model side
-automatically when it is small) and averages log10 scores per
-document. Per-token work is constant; everything shuffles on term or
-id keys only.
+Model "training" is one token explode + per-order keyed groupBys. Each
+stored k-gram row carries BOTH its count and the EXACT pre-pruning
+total of its context (``c_ctx``) — so ``min_count`` pruning (the
+standard web-scale LM memory lever) never corrupts the denominator
+(summing surviving rows would undercount), and scoring needs only ONE
+hash join per order instead of a gram join plus a context-total join.
+Scoring left-joins each document's per-order context keys against the
+model slices (hash joins on uniformly-distributed term keys; Spark
+broadcasts the model side automatically when it is small) and averages
+log10 scores per document. Per-token work is constant; everything
+shuffles on term or id keys only.
 """
 
 from __future__ import annotations
@@ -40,56 +46,95 @@ def _name_of(x: Any) -> str:
     return x._name if isinstance(x, Ref) else str(x)
 
 
-def _doc_bigrams(df: DataFrame, tname: str, idn: str) -> DataFrame:
-    """(id, prev, w) for every token with its predecessor (BOS-padded),
-    built from one narrow zip_with over the token array."""
+def _doc_grams(df: DataFrame, tname: str, idn: str, order: int) -> DataFrame:
+    """(id, w, ctx1..ctx{order-1}) for every token: the word plus its
+    preceding context of each length 1..order-1 (BOS-padded, contexts
+    space-joined), built from one narrow transform+explode over the
+    token array — no shuffle. Empty/NULL docs yield no rows."""
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(tname))), r"\s+"),
         lambda t: t != "",
     )
-    padded = F.concat(F.array(F.lit(BOS)), toks)
-    pairs = F.zip_with(
-        F.slice(padded, 1, F.greatest(F.size(toks), F.lit(0))),
-        toks,
-        lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
-    )
-    return df.select(
-        F.col(idn).alias("id"), F.explode(pairs).alias("p")
-    ).select("id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+    pad = order - 1
+    padded = F.concat(F.array_repeat(F.lit(BOS), pad), toks)
+
+    def gram_struct(i):
+        fields = [F.element_at(padded, i + pad).alias("w")]
+        for length in range(1, order):
+            fields.append(
+                F.array_join(
+                    F.slice(padded, i + pad - length, length), " "
+                ).alias(f"ctx{length}")
+            )
+        return F.struct(*fields)
+
+    # sequence(1, 0) would DESCEND ([1, 0]) — guard empty token arrays
+    idx = F.sequence(F.lit(1), F.size(toks))
+    grams = F.when(F.size(toks) > 0, F.transform(idx, gram_struct))
+    out = df.select(F.col(idn).alias("id"), F.explode(grams).alias("g"))
+    cols = ["id", F.col("g.w").alias("w")] + [
+        F.col(f"g.ctx{length}").alias(f"ctx{length}")
+        for length in range(1, order)
+    ]
+    return out.select(*cols)
 
 
 @verb
 def ngram_lm_train(
     td: Tibble,
     text: Any = "text",
+    order: int = 2,
     min_count: int = 1,
 ) -> Tibble:
     """Count model from a reference corpus: one frame
-    ``(context, word, c)`` — bigram rows carry their context, unigram
-    rows have context NULL. ``min_count`` prunes rare bigrams (count
-    pruning, the standard web-scale LM memory lever; unigrams are never
-    pruned so backoff stays total)."""
+    ``(n, context, word, c, c_ctx)`` with a row per surviving k-gram
+    for k = 1..order — unigram rows (n=1) have context NULL and
+    ``c_ctx`` = the corpus token total N; k-gram rows (n>=2) carry the
+    (k-1)-token context string and ``c_ctx`` = the EXACT pre-pruning
+    occurrence total of that context, so backoff denominators stay
+    correct under ``min_count`` pruning (unigrams are never pruned so
+    backoff stays total)."""
+    if order < 2:
+        raise ValueError(f"ngram_lm_train: order must be >= 2, got {order}")
     tname = _name_of(text)
     df = td.df.select(F.col(tname)).where(F.col(tname).isNotNull())
     # counts are corpus-global: the per-row id is irrelevant here
-    big = _doc_bigrams(df.withColumn("__rid", F.lit(0)), tname, "__rid")
-    bigrams = (
-        big.groupBy("prev", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(F.col("prev").alias("context"), F.col("w").alias("word"), "c")
-    )
-    if min_count > 1:
-        bigrams = bigrams.where(F.col("c") >= min_count)
+    grams = _doc_grams(df.withColumn("__rid", F.lit(0)), tname, "__rid", order)
+
+    uni = grams.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_total = uni.agg(F.sum("c").alias("__N"))
     unigrams = (
-        big.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        uni.crossJoin(F.broadcast(n_total))
         .select(
+            F.lit(1).alias("n"),
             F.lit(None).cast("string").alias("context"),
             F.col("w").alias("word"),
             "c",
+            F.col("__N").alias("c_ctx"),
         )
     )
-    return Tibble(bigrams.unionByName(unigrams))
+    parts = [unigrams]
+    for k in range(2, order + 1):
+        ctx = f"ctx{k - 1}"
+        counts = grams.groupBy(ctx, "w").agg(F.count(F.lit(1)).alias("c"))
+        # exact context totals BEFORE pruning — aggregated from the
+        # already-reduced (context, word) counts, then hash-joined back
+        totals = counts.groupBy(ctx).agg(F.sum("c").alias("c_ctx"))
+        if min_count > 1:
+            counts = counts.where(F.col("c") >= min_count)
+        parts.append(
+            counts.join(totals, ctx).select(
+                F.lit(k).alias("n"),
+                F.col(ctx).alias("context"),
+                F.col("w").alias("word"),
+                "c",
+                "c_ctx",
+            )
+        )
+    model = parts[0]
+    for p in parts[1:]:
+        model = model.unionByName(p)
+    return Tibble(model)
 
 
 @verb2
@@ -99,50 +144,63 @@ def ngram_lm_score(
     text: Any = "text",
     id: Any = "doc_id",
     alpha: float = 0.4,
+    order: int | None = None,
 ) -> Tibble:
     """Score each document against a trained model: adds
     ``lm_logprob`` (mean log10 Stupid Backoff score per token — higher
     is more reference-like), ``lm_oov_rate`` (fraction of tokens unseen
     as unigrams), and ``lm_tokens``. Empty documents get NULL scores.
 
-    Shape: two hash joins of the document bigrams against the model
-    (bigram leg on (context, word), backoff leg on word), one groupBy
-    id, one join back to the input — no UDFs, no driver data."""
+    ``order`` defaults to the model's own order (derived by one tiny
+    aggregate job over the model frame; pass it explicitly to keep plan
+    build job-free). Shape: one hash join per order of the document
+    context keys against that order's model slice (each gram row
+    already carries its exact context total), one unigram join, one
+    broadcast of N, one groupBy id, one join back — no UDFs, no driver
+    data."""
     mdf = model.df if isinstance(model, Tibble) else ensure_tibble(model).df
     tname, idn = _name_of(text), _name_of(id)
+    if order is None:
+        order = int(mdf.agg(F.max("n")).first()[0] or 2)
 
-    uni = mdf.where(F.col("context").isNull()).select(
-        F.col("word").alias("w"), F.col("c").alias("c_uni")
-    )
-    bi = mdf.where(F.col("context").isNotNull()).select(
-        F.col("context").alias("prev"),
+    uni = mdf.where(F.col("n") == 1).select(
         F.col("word").alias("w"),
-        F.col("c").alias("c_bi"),
+        F.col("c").alias("c_uni"),
+        F.col("c_ctx").alias("__N"),
     )
-    # context totals from the bigram table itself (c(prev ·)): exact
-    # denominator even under min_count pruning of the stored rows
-    ctx = bi.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
-    n_total = uni.agg(F.sum("c_uni").alias("n_total"))
+    n_total = uni.agg(F.max("__N").alias("n_total"))
 
-    toks = _doc_bigrams(td.df, tname, idn)
-    scored = (
-        toks.join(bi, ["prev", "w"], "left")
-        .join(ctx, "prev", "left")
-        .join(uni, "w", "left")
-        .crossJoin(F.broadcast(n_total))
-        .withColumn(
-            "__s",
-            F.when(
-                F.col("c_bi").isNotNull() & (F.col("c_ctx") > 0),
-                F.col("c_bi") / F.col("c_ctx"),
-            )
-            .when(
-                F.col("c_uni").isNotNull(),
-                F.lit(alpha) * F.col("c_uni") / F.col("n_total"),
-            )
-            .otherwise(F.lit(alpha) / F.col("n_total")),
+    scored = _doc_grams(td.df, tname, idn, order)
+    for k in range(2, order + 1):
+        ctx = f"ctx{k - 1}"
+        leg = mdf.where((F.col("n") == k) & F.col("word").isNotNull()).select(
+            F.col("context").alias(ctx),
+            F.col("word").alias("w"),
+            F.col("c").alias(f"c_{k}"),
+            F.col("c_ctx").alias(f"t_{k}"),
         )
+        scored = scored.join(leg, [ctx, "w"], "left")
+    scored = (
+        scored.join(uni.drop("__N"), "w", "left")
+        .crossJoin(F.broadcast(n_total))
     )
+
+    # Stupid Backoff CASE, highest order first; each backoff step
+    # multiplies by alpha. c_ctx is the exact pre-pruning total, so a
+    # present gram row always has t_k >= c_k >= 1 — no zero guard.
+    expr = None
+    for k in range(order, 1, -1):
+        penalty = alpha ** (order - k)
+        leg_s = F.lit(penalty) * F.col(f"c_{k}") / F.col(f"t_{k}")
+        cond = F.col(f"c_{k}").isNotNull()
+        expr = F.when(cond, leg_s) if expr is None else expr.when(cond, leg_s)
+    base_penalty = alpha ** (order - 1)
+    expr = expr.when(
+        F.col("c_uni").isNotNull(),
+        F.lit(base_penalty) * F.col("c_uni") / F.col("n_total"),
+    ).otherwise(F.lit(base_penalty) / F.col("n_total"))
+    scored = scored.withColumn("__s", expr)
+
     # raw doubles, deliberately un-rounded: rounding is presentation,
     # and pre-rounding here creates exact half-boundary values that
     # later ROUND calls resolve differently across engines

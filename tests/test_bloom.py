@@ -114,3 +114,46 @@ def test_explicit_expected_items_skips_count(spark, frames):
     bloom = build_bloom(dim, "k", fpp=0.01, expected_items=2000)
     assert isinstance(bloom, Bloom)
     assert bloom.n_items == 2000
+
+
+def test_cross_width_integral_keys_keep_all_matches(spark):
+    # F.hash is type-sensitive: without canonicalization an int fact
+    # probed against a bigint-built filter loses EVERY true match.
+    dim = spark.range(0, 500).select(F.col("id").alias("k"))  # bigint
+    fact = spark.createDataFrame(
+        [(i, i % 1000) for i in range(4000)], "id int, k int"  # int
+    )
+    red = bloom_semi_reduce(ensure_tibble(fact), dim, on="k").df
+    true_semi = fact.join(dim, "k", "left_semi")
+    assert true_semi.count() == 2000
+    assert true_semi.join(red, ["id", "k"], "left_anti").count() == 0
+
+
+def test_cross_width_float_double_keys(spark):
+    dim = spark.createDataFrame([(0.5,), (1.25,)], "k double")
+    fact = spark.createDataFrame(
+        [(1, 0.5), (2, 1.25), (3, 9.75)], "id int, k float"
+    )
+    red = bloom_semi_reduce(ensure_tibble(fact), dim, on="k").df
+    ids = {r["id"] for r in red.collect()}
+    assert {1, 2} <= ids
+
+
+def test_decimal_scale_variants_keep_matches(spark):
+    dim = spark.createDataFrame([("5.00",)], "k string").select(
+        F.col("k").cast("decimal(10,2)").alias("k")
+    )
+    fact = spark.createDataFrame([(1, "5.0000"), (2, "7.0000")], "id int, k string").select(
+        "id", F.col("k").cast("decimal(20,4)").alias("k")
+    )
+    red = bloom_semi_reduce(ensure_tibble(fact), dim, on="k").df
+    ids = {r["id"] for r in red.collect()}
+    assert 1 in ids
+
+
+def test_incompatible_probe_dtype_raises(spark):
+    dim = spark.range(0, 10).select(F.col("id").alias("k"))  # bigint
+    fact = spark.createDataFrame([(1, "5")], "id int, k string")
+    bloom = build_bloom(dim, "k")
+    with pytest.raises(TypeError, match="type-sensitive"):
+        bloom_semi_reduce(ensure_tibble(fact), dim, on=("k", bloom))

@@ -66,6 +66,45 @@ def test_positional_frames_survive_fifo_eviction(spark):
     release_internal_caches()
 
 
+def test_nonevictable_frames_do_not_consume_the_cap(spark):
+    # cap counts ONLY evictable entries: if non-evictable positional-id
+    # frames filled the budget, every later evictable frame — including
+    # the one being registered — would be unpersisted in the same call,
+    # silently defeating the LSH persists
+    import os
+
+    from datar_polars_spark.plans.cache import register_internal_cache
+
+    release_internal_caches()
+    os.environ["DATAR_MAX_INTERNAL_CACHES"] = "2"
+    try:
+        pinned = [spark.range(i, i + 5).persist() for i in range(3)]
+        for df in pinned:
+            register_internal_cache(df, safe_to_evict=False)
+            df.count()
+        fresh = spark.range(100, 200).persist()
+        register_internal_cache(fresh)
+        fresh.count()
+        # the just-registered evictable frame must still be cached
+        assert fresh.storageLevel.useMemory or fresh.storageLevel.useDisk
+        # and the pinned non-evictable frames were never touched
+        for df in pinned:
+            assert df.storageLevel.useMemory or df.storageLevel.useDisk
+        # churning more evictable frames still bounds the evictable set
+        extra = [spark.range(300 + i, 320 + i).persist() for i in range(4)]
+        for df in extra:
+            register_internal_cache(df)
+            df.count()
+        evictable_cached = [
+            df for df in [fresh, *extra]
+            if df.storageLevel.useMemory or df.storageLevel.useDisk
+        ]
+        assert len(evictable_cached) <= 2
+    finally:
+        del os.environ["DATAR_MAX_INTERNAL_CACHES"]
+        release_internal_caches()
+
+
 def test_eviction_is_recompute_safe(spark):
     # a result whose cached signature frame was evicted still collects
     # correctly (Spark recomputes the deterministic plan)

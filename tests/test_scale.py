@@ -63,6 +63,29 @@ def test_simhash_dedup(docs):
     assert 4 not in kept  # exact dup has hamming 0
 
 
+def test_simhash_null_text_docs_dropped(spark):
+    # the narrow fold's aggregate() yields the zero accumulator (not
+    # NULL) for a NULL token array — NULL-text docs must still be
+    # dropped, never signed sh=0 (which would falsely pair them with
+    # near-zero-signature docs)
+    from datar_polars_spark.scale.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, BASE), (2, None), (3, FAR)], "doc_id int, text string"
+    )
+    sigs = simhash_signatures(df, "text", "doc_id")
+    rows = {r["id"]: r["sh"] for r in sigs.collect()}
+    assert set(rows) == {1, 3}
+    # a NULL-text doc is never a duplicate of anything: it survives
+    # dedup (unsigned), and crucially cannot drag down other docs by
+    # pairing as sh=0
+    out = simhash_dedup(
+        tibble(spark, doc_id=[1, 2, 3], text=[BASE, None, FAR]),
+        f.text, f.doc_id,
+    ).collect()
+    assert sorted(out["doc_id"].tolist()) == [1, 2, 3]
+
+
 def test_ngram_jaccard(docs):
     pairs = ngram_jaccard_pairs(docs, f.text, f.doc_id, n=3, threshold=0.5)
     rows = {(r.id_a, r.id_b): r.jaccard for r in pairs.df.collect()}
