@@ -351,7 +351,18 @@ class EvalContext:
         """bound * estimated-row-bytes <= the session's
         autoBroadcastJoinThreshold (the same knob users already size).
         Row bytes estimated from the agg schema with conservative fixed
-        widths; -1 / unparsable threshold disables the hint."""
+        widths; -1 / unparsable threshold disables the hint.
+
+        The footer bound is a true ROW-COUNT bound, but a forced
+        F.broadcast hint bypasses Spark's own size check — so the byte
+        estimate must never be optimistic. Unbounded-width columns
+        (binary, array/map/struct — e.g. collect_list outputs) disable
+        the hint outright: a row-count bound says nothing about their
+        bytes, and broadcasting a multi-GB frame pressures every
+        executor plus the driver. Strings get a conservative 256-byte
+        width (group keys are typically short codes; 256 covers them
+        with a wide margin while still forgoing the hint for frames
+        whose row count leaves no headroom)."""
         try:
             raw = self.tibble.df.sparkSession.conf.get(
                 "spark.sql.autoBroadcastJoinThreshold", "10485760"
@@ -362,10 +373,17 @@ class EvalContext:
             row_bytes = 20
             for f_ in aggdf.schema.fields:
                 t = f_.dataType.simpleString()
-                row_bytes += 8 if t in (
+                if t in (
                     "tinyint", "smallint", "int", "bigint", "float",
                     "double", "date", "boolean", "timestamp",
-                ) else 32
+                ) or t.startswith("decimal"):
+                    row_bytes += 8
+                elif t == "string":
+                    row_bytes += 256
+                else:
+                    # binary/array/map/struct: width unbounded by the
+                    # row-count bound — never force a broadcast
+                    return False
             return bound * row_bytes <= thresh
         except Exception:
             return False

@@ -182,7 +182,16 @@ def plan_lint(td: Any) -> list[dict]:
             continue
         scalar_reduction = False
         for child in lines[i + 1 : i + 4]:
-            if "Aggregate" in child and "keys=[]" in child and "partial_" in child:
+            # an ungrouped aggregate below the exchange emits <=1 row
+            # per input partition, so the exchange moves O(partitions)
+            # rows. "partial_" marks the normal scalar reduction;
+            # "functions=[]" is the column-pruned degenerate form (a
+            # pruned scalar crossJoin leaves keys=[] functions=[]
+            # output=[] — same <=1-row-per-partition property, no
+            # partial_ marker to match on).
+            if "Aggregate" in child and "keys=[]" in child and (
+                "partial_" in child or "functions=[]" in child
+            ):
                 scalar_reduction = True
                 break
         if not scalar_reduction:

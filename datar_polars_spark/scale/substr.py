@@ -13,17 +13,22 @@ anywhere in the corpus is exactly a run of repeated word k-grams, so
 
   1. per document, hash every ordered word k-gram (one narrow map:
      zip_with shingles + index-aware transform, JVM codegen, no UDF);
-  2. posexplode -> one shuffle keyed by gram hash; two window
-     aggregates over that single partitioning mark grams whose
-     occurrence count / distinct-document count clears the threshold;
+  2. posexplode -> keyed groupBy on the gram hash computes occurrence
+     count (and exact distinct-doc count) with MAP-SIDE partial
+     aggregation — gram hashes are uniform but occurrence counts are
+     power-law, and partial aggregation is what keeps a 10^8-copy
+     boilerplate gram from funnelling into one task (r6: this replaced
+     a count-over-window, which has no partial aggregation) — then an
+     inner join back on the gram hash restores qualifying positions
+     (AQE skew-join splits the hot-key partitions);
   3. one shuffle back by document assembles the flagged positions and
      an ``aggregate`` HOF merges overlapping [pos, pos+k) runs into
      maximal spans.
 
-Two keyed shuffles total, both on uniformly-distributed hash keys —
-the 100 TB shape of every dedup verb in this package. Granularity is
-k words: repeats shorter than k are invisible (by design, as in the
-paper), and span boundaries are word-aligned.
+Three keyed shuffles total, each either partial-aggregated or
+skew-splittable — the 100 TB shape of every dedup verb in this
+package. Granularity is k words: repeats shorter than k are invisible
+(by design, as in the paper), and span boundaries are word-aligned.
 
 ``mask_duplicate_spans`` applies the report destructively: drop every
 word inside a flagged span. NOTE this removes ALL occurrences of a
@@ -37,7 +42,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import Column, Window
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..plans.expr import Ref
@@ -139,18 +144,22 @@ def duplicate_spans(
         ),
     )
 
-    wh = Window.partitionBy("__h")
-    flagged = grams.withColumn("__cnt", F.count(F.lit(1)).over(wh))
+    # Qualifying grams via groupBy + join-back, NOT a window over the
+    # gram hash: gram hashes are uniform but occurrence counts are
+    # power-law (a boilerplate 20-gram can appear 10^8 times), and
+    # count().over(partitionBy(__h)) ships every raw occurrence of a
+    # hot gram to ONE task. groupBy gets map-side partial aggregation
+    # (hot keys pre-reduced on each mapper), and the inner join back is
+    # AQE-skew-splittable, so no single task ever owns a hot gram.
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
     if min_docs is not None:
-        # distinct docs per hash without a second shuffle: max dense_rank
-        # over the same hash partitioning, ranked by doc id
-        wr = Window.partitionBy("__h").orderBy("__id")
-        flagged = (
-            flagged.withColumn("__dr", F.dense_rank().over(wr))
-            .withColumn("__nd", F.max("__dr").over(wh))
-            .where(F.col("__nd") >= min_docs)
-        )
-    flagged = flagged.where(F.col("__cnt") >= min_count)
+        # exact distinct docs per gram: planned as a two-phase
+        # aggregate over (__h, __id) — still partial-aggregated
+        aggs.append(F.countDistinct("__id").alias("__nd"))
+    hot = grams.groupBy("__h").agg(*aggs).where(F.col("__cnt") >= min_count)
+    if min_docs is not None:
+        hot = hot.where(F.col("__nd") >= min_docs)
+    flagged = grams.join(hot.select("__h"), "__h")
 
     per_doc = (
         flagged.groupBy("__id")

@@ -131,8 +131,52 @@ def test_plan_two_keyed_shuffles_no_python(spark, corpus):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # hash-keyed exchanges only: gram-hash window + per-doc assembly
+    # hash-keyed exchanges only: gram-hash agg + join-back + per-doc
     import re
 
     exchanges = re.findall(r"Exchange (\w+)", plan)
     assert all(e == "hashpartitioning" for e in exchanges)
+
+
+@pytest.mark.parametrize("min_docs", [None, 2])
+def test_plan_gram_count_is_partial_aggregated_not_window(
+    spark, corpus, min_docs
+):
+    """The r5 form counted grams with count().over(partitionBy(__h)) —
+    no map-side combine, so one hot boilerplate gram funnelled every
+    raw occurrence into a single task. The gram-qualification step must
+    be a partial HashAggregate on the gram key with NO Window anywhere
+    in the plan (the min_docs distinct-doc leg included)."""
+    _, td = corpus
+    plan = (
+        duplicate_spans(td, k=5, min_count=2, min_docs=min_docs)
+        .df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # partial-then-final aggregate pair keyed on the gram hash
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_skewed_hot_gram_fuzz(spark):
+    """Skew fixture: ONE gram repeated 100k times (plus normal docs) —
+    the de-skewed plan must still produce oracle-exact spans. 100k
+    copies of a single gram hash would have been one straggler task
+    under the window form; under groupBy it pre-reduces map-side."""
+    hot = "alpha beta gamma delta epsilon"  # one 5-gram, 100k copies
+    docs = [(i, hot) for i in range(100_000)]
+    docs += [(200_000, "unique prose with no repeats whatsoever today ok")]
+    docs += [(200_001, f"prefix words {hot} suffix words")]
+    td = ensure_tibble(spark.createDataFrame(docs, "doc_id int, text string"))
+    out = duplicate_spans(td, k=5, min_count=2).df
+    got_hot = out.where("doc_id < 100000")
+    assert got_hot.count() == 100_000
+    row = got_hot.where("doc_id = 7").collect()[0]
+    assert [(s["start"], s["end"]) for s in row["dup_spans"]] == [(0, 5)]
+    assert row["dup_word_fraction"] == 1.0
+    tail = {
+        r["doc_id"]: [(s["start"], s["end"]) for s in r["dup_spans"]]
+        for r in out.where("doc_id >= 100000").collect()
+    }
+    assert tail == {200_001: [(2, 7)]}

@@ -550,6 +550,34 @@ def test_write_clustered_layout_is_range_disjoint(spark, tmp_path):
     assert "PushedFilters: [" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:200]
 
 
+def test_fits_broadcast_refuses_variable_width_agg_values(spark):
+    """The footer bound is a row-count bound only: agg outputs whose
+    per-row bytes are unbounded (collect_list arrays, structs, binary)
+    must disable the forced broadcast hint — F.broadcast bypasses
+    Spark's own size check, so an optimistic estimate here OOMs
+    executors at scale. Strings get a conservative 256-byte width."""
+    from datar_polars_spark.plans.context import EvalContext
+
+    base = read_parquet(spark, f"{SF}/lineitem.parquet") >> group_by(f.l_suppkey)
+    ctx = EvalContext(base)
+    ok_df = spark.createDataFrame([], "k bigint, m double")
+    arr_df = spark.createDataFrame([], "k bigint, vals array<double>")
+    struct_df = spark.createDataFrame([], "k bigint, s struct<a:int>")
+    bin_df = spark.createDataFrame([], "k bigint, b binary")
+    str_df = spark.createDataFrame([], "k bigint, s string")
+    assert ctx._fits_broadcast(ok_df, 1000)
+    assert not ctx._fits_broadcast(arr_df, 1000)
+    assert not ctx._fits_broadcast(struct_df, 1000)
+    assert not ctx._fits_broadcast(bin_df, 1000)
+    # strings: allowed under a 256-byte-per-value assumption...
+    assert ctx._fits_broadcast(str_df, 1000)
+    # ...which forgoes the hint once the row count leaves no headroom
+    thresh = ctx._parse_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    )
+    assert not ctx._fits_broadcast(str_df, thresh // 200)
+
+
 def test_footer_bound_dominates_true_distinct(spark, tmp_path):
     """Soundness property: for random integer data round-tripped
     through parquet, the footer bound is always >= the true distinct
