@@ -33,7 +33,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datar_polars_spark import (
@@ -507,7 +507,21 @@ def q23_events_daily(spark, sf):
 
 
 def q25_rows_upsert(spark, sf):
-    """Covers: rows_upsert keyed DML."""
+    """Covers: rows_upsert keyed DML AND (r6, merged under the 50-row
+    cap) the write_zordered sink, driver-proven end to end: orders is
+    written z-ordered on (o_custkey, o_orderdate) to a temp dir, read
+    back through a two-dimensional box predicate, and the block emits
+    (a) 'zorder_agg' — row count + money sum of the box, which the
+    oracle recomputes from the ORIGINAL orders table (a clustered
+    LAYOUT must never change ANSWERS), and (b) 'zorder_pruned' —
+    key=1 iff the parquet footers prove at least one file is skippable
+    for the box on BOTH dimensions (min/max overlap test, the same
+    metadata Spark's scan pruning consumes), val = the overlap
+    fraction rounded down to prove it's < 1. Output unified as
+    (op, key, val) with a total order; money summed as integer cents
+    (playbook fixed-point convention)."""
+    import tempfile
+
     c = _t(spark, sf, "customer")
     x = c >> select(f.c_custkey, f.c_acctbal) >> filter_(f.c_custkey <= 1000)
     y = (
@@ -515,12 +529,71 @@ def q25_rows_upsert(spark, sf):
         >> filter_(f.c_acctbal > 5000)
         >> transmute(c_custkey=f.c_custkey, c_acctbal=round_(f.c_acctbal * 2, 4))
     )
-    out = (
+    ups = (
         rows_upsert(x, y, by=f.c_custkey)
         >> mutate(c_acctbal=round_(f.c_acctbal, 4))
-        >> arrange(f.c_custkey)
     )
-    return _finish(out)
+    up_block = _finish(ups).select(
+        F.lit("upsert").alias("op"),
+        F.col("c_custkey").cast("bigint").alias("key"),
+        F.col("c_acctbal").cast("double").alias("val"),
+    )
+
+    from datar_polars_spark.sources import write_zordered
+
+    o = _t(spark, sf, "orders")
+    dest = tempfile.mkdtemp(prefix="q25_zorder_")
+    write_zordered(o, dest, by=["o_custkey", "o_orderdate"], n_files=8)
+    zo = read_parquet(spark, dest)
+    lo_k, hi_k = 100, 400
+    lo_d, hi_d = "1995-01-01", "1995-12-31"
+    box = zo >> filter_(
+        (f.o_custkey >= lo_k) & (f.o_custkey <= hi_k),
+        (f.o_orderdate >= lo_d) & (f.o_orderdate <= hi_d),
+    )
+    agg = _finish(box).agg(
+        F.count(F.lit(1)).cast("bigint").alias("key"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ).cast("double").alias("val"),
+    ).select(F.lit("zorder_agg").alias("op"), "key", F.coalesce("val", F.lit(0.0)).alias("val"))
+
+    # footer-level pruning proof: a file is skippable when its min/max
+    # box on EITHER dim misses the predicate box
+    import datetime as _dt
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(f"{dest}/*.parquet"))
+    overlapping = 0
+    for fp in files:
+        md = _pq.ParquetFile(fp).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        k_lo = min(md.row_group(r).column(idx["o_custkey"]).statistics.min for r in range(md.num_row_groups))
+        k_hi = max(md.row_group(r).column(idx["o_custkey"]).statistics.max for r in range(md.num_row_groups))
+        d_lo = min(md.row_group(r).column(idx["o_orderdate"]).statistics.min for r in range(md.num_row_groups))
+        d_hi = max(md.row_group(r).column(idx["o_orderdate"]).statistics.max for r in range(md.num_row_groups))
+        if isinstance(d_lo, _dt.datetime):
+            d_lo, d_hi = d_lo.date(), d_hi.date()
+        if isinstance(d_lo, _dt.date):
+            lo_dd = _dt.date.fromisoformat(lo_d)
+            hi_dd = _dt.date.fromisoformat(hi_d)
+        else:
+            lo_dd, hi_dd = lo_d, hi_d
+        if k_hi >= lo_k and k_lo <= hi_k and d_hi >= lo_dd and d_lo <= hi_dd:
+            overlapping += 1
+    pruned_ok = 1 if (files and overlapping < len(files)) else 0
+    frac = overlapping / max(len(files), 1)
+    proof = spark.createDataFrame(
+        [("zorder_pruned", pruned_ok, float(int(frac < 1.0)))],
+        "op string, key bigint, val double",
+    )
+    return (
+        up_block.unionByName(agg)
+        .unionByName(proof)
+        .orderBy("op", "key", "val")
+    )
 
 
 def q26_pivot(spark, sf):
@@ -897,10 +970,85 @@ def q37_ann_topk(spark, sf):
         F.col("match_id").alias("vec_id"),
         F.round("cosine", 4).alias("cosine"),
     )
+
+    # r6 'pq_check' block: BATCH product-quantization retrieval
+    # (pq_knn_join, stacked per-query LUTs, one Arrow pass) proven
+    # against a full-resolution brute force computed IN SPARK: every
+    # corpus code is decoded to its centroid reconstruction (codebook
+    # rides a broadcast single-row frame, JVM element_at lookups) and
+    # exact L2^2 to each query is ranked by a per-query window. The
+    # k-means codebook is seed-defined, so no SQL oracle can recompute
+    # it; instead the block emits the SYMMETRIC DIFFERENCE COUNT of
+    # (query, match, rank) between the two paths, which the oracle pins
+    # at 0 — the same loss-proof pattern as q38's simhash_check.
+    from datar_polars_spark.scale import pq_encode, pq_knn_join, pq_train
+
+    book = pq_train(e, f.embedding, m=4, nbits=6, sample_size=2000, seed=7)
+    coded = pq_encode(e, book)
+    batch = pq_knn_join(
+        queries, coded, book, k=5,
+        query_id="vec_id", query_embedding="embedding",
+        id_col="vec_id", code_col="pq_code",
+    ).df.select("query_id", "match_id", "rank")
+
+    m_sub = len(book)
+    book_df = spark.createDataFrame(
+        [(book,)], "bk array<array<array<double>>>"
+    )
+    rec = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(m_sub)),
+            lambda j: F.element_at(
+                F.element_at(F.col("bk"), j),
+                F.element_at(F.col("pq_code"), j) + F.lit(1),
+            ),
+        )
+    )
+    qside = e.df.filter(F.col("vec_id").between(1, 3)).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__qe"),
+    )
+    exact = (
+        coded.df.select(F.col("vec_id").alias("match_id"), "pq_code")
+        .crossJoin(F.broadcast(book_df))
+        .withColumn("__rec", rec)
+        .crossJoin(F.broadcast(qside))
+        .withColumn(
+            "__d",
+            F.aggregate(
+                F.zip_with("__qe", "__rec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__d").asc(), F.col("match_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "match_id", "rank")
+    )
+    keys = ["query_id", "match_id", "rank"]
+    d1 = batch.join(exact, keys, "left_anti").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    d2 = exact.join(batch, keys, "left_anti").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    pq_check = d1.crossJoin(d2).select(
+        F.lit("pq_check").alias("method"),
+        (F.col("c1") + F.col("c2")).cast("bigint").alias("vec_id"),
+        F.lit(0.0).alias("cosine"),
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(lsh)
         .unionByName(knn)
+        .unionByName(pq_check)
         .orderBy("method", F.col("cosine").desc(), "vec_id")
     )
 
@@ -1878,11 +2026,25 @@ def oracle_sql() -> dict[str, str]:
             ), y AS (
                 SELECT c_custkey, ROUND(c_acctbal * 2, 4) AS c_acctbal
                 FROM customer WHERE c_acctbal > 5000
+            ), ups AS (
+                SELECT 'upsert' AS op,
+                       CAST(COALESCE(x.c_custkey, y.c_custkey) AS BIGINT) AS key,
+                       CAST(ROUND(COALESCE(y.c_acctbal, x.c_acctbal), 4) AS DOUBLE) AS val
+                FROM x FULL JOIN y ON x.c_custkey = y.c_custkey
+            ), zagg AS (
+                -- the z-ordered LAYOUT must not change answers: the box
+                -- aggregate recomputes from the original orders table
+                SELECT 'zorder_agg' AS op,
+                       CAST(COUNT(*) AS BIGINT) AS key,
+                       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)), 0) AS DOUBLE) AS val
+                FROM orders
+                WHERE o_custkey BETWEEN 100 AND 400
+                  AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
             )
-            SELECT COALESCE(x.c_custkey, y.c_custkey) AS c_custkey,
-                   ROUND(COALESCE(y.c_acctbal, x.c_acctbal), 4) AS c_acctbal
-            FROM x FULL JOIN y ON x.c_custkey = y.c_custkey
-            ORDER BY c_custkey
+            SELECT op, key, val FROM ups
+            UNION ALL SELECT op, key, val FROM zagg
+            UNION ALL SELECT 'zorder_pruned', 1, 1.0
+            ORDER BY op, key, val
         """,
         "q26_pivot": """
             WITH counts AS (
@@ -2117,6 +2279,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'lsh' AS method, vec_id, cosine FROM lsh_top
                 UNION ALL
                 SELECT method, vec_id, cosine FROM knn_top
+                UNION ALL
+                -- batch PQ vs Spark-side reconstruction brute force:
+                -- symmetric-difference count pinned at zero
+                SELECT 'pq_check', 0, 0.0
             ) ORDER BY method, cosine DESC, vec_id
         """,
         "q38_minhash_dedup": """

@@ -35,6 +35,26 @@ HEADLINE = [
 ]
 
 
+def _minhash_sigs_explode(docs_df, num_perm: int, shingle_words: int):
+    """The pre-r5 signature formulation, kept ONLY as the bench A/B
+    counterpart of `_minhash_sigs`: explode shingles to rows, then
+    num_perm partial-min aggregates back to one signature row per doc
+    (one full shuffle of the shingle rows, vs the fold's narrow map)."""
+    from pyspark.sql import functions as F
+
+    from datar_polars_spark.scale.dedup import word_shingles
+
+    ex = docs_df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_shingles(F.col("text"), shingle_words)).alias("sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
 def build_session(cpus: str) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -145,11 +165,24 @@ def main() -> None:
             "duplicate_spans": lambda: __import__(
                 "datar_polars_spark.scale.substr", fromlist=["duplicate_spans"]
             ).duplicate_spans(docs, k=8, min_count=2).df.count(),
+            # order passed explicitly on both sides: a real pipeline
+            # knows the order it trained, and the explicit arg keeps
+            # score's plan build job-free (no max(n) derivation)
             "ngram_lm_score": lambda: (
                 lambda lmmod: lmmod.ngram_lm_score(
-                    docs, lmmod.ngram_lm_train(docs)
+                    docs, lmmod.ngram_lm_train(docs, order=2), order=2
                 ).df.count()
             )(__import__("datar_polars_spark.scale.lm", fromlist=["x"])),
+            # r6 A/B: the narrow per-row signature fold vs the explode+
+            # groupBy form it replaced — same shingles, same 64 xxhash64
+            # permutations, counted signatures. Defends (or indicts) the
+            # r5 claim that the fold is faster AND shuffle-free.
+            "minhash_sig_fold": lambda: __import__(
+                "datar_polars_spark.scale.dedup", fromlist=["_minhash_sigs"]
+            )._minhash_sigs(docs.df, "text", "doc_id", 64, 3).count(),
+            "minhash_sig_explode": lambda: _minhash_sigs_explode(
+                docs.df, 64, 3
+            ).count(),
             "bloom_semi_reduce": lambda: __import__(
                 "datar_polars_spark.scale.bloom", fromlist=["bloom_semi_reduce"]
             ).bloom_semi_reduce(
@@ -221,8 +254,7 @@ def main() -> None:
 
     total = round(sum(cold.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
@@ -241,8 +273,17 @@ def main() -> None:
                 "sf1_scale_ops": sf1_scale_ops or None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
     )
+    # file copy FIRST: BENCH_r05's recorded JSON was truncated by the
+    # driver's stdout-tail capture ("parsed": null); the file makes the
+    # metrics independent of how much tail the harness keeps
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
+            fh.write(payload + "\n")
+    except Exception:
+        pass
+    print(payload)
 
 
 if __name__ == "__main__":

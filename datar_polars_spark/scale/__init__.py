@@ -29,6 +29,7 @@ from .similarity import (  # noqa: F401
     pq_train,
     pq_encode,
     pq_topk,
+    pq_knn_join,
 )
 from .relevance import (  # noqa: F401
     tfidf_top_terms,

@@ -234,29 +234,39 @@ def _banded(df: DataFrame, sig: str, bands: int, rows_per_band: int) -> DataFram
 
 def _minhash_sigs(df: DataFrame, tname: str, idn: str, num_perm: int,
                   shingle_words: int) -> DataFrame:
-    """(id, sig) minhash signatures as a NARROW map: one
-    ``minhash_signature`` fold per row — no explode, no shuffle.
-    History: r2 replaced the then-naive expression form (num_perm
-    separate array_min(transform) projections, which CollapseProject
-    re-inlined into a 60x blowup) with explode + num_perm partial-min
-    aggregates; r3's single aggregate+zip_with fold fixed the codegen
-    blowup at the source, and measured head-to-head at sf0.1 the fold
-    is ~3.5x faster warm than explode+groupBy (0.3s vs 1.1s) — and at
-    100 TB the difference is structural: the fold ships NO shingle rows
-    through a shuffle. Deterministic (shingle, seed) xxhash64 means two
-    tables signed separately are directly comparable (the property
-    minhash_join relies on). Docs with NULL text yield all-null
-    signatures and are dropped, matching the explode form's behavior
-    (explode of NULL produced no rows)."""
+    """(id, sig) minhash signatures via shingle explode + num_perm
+    partial-min aggregates.
+
+    History (three formulations, each measured): r2's naive expression
+    form (num_perm separate array_min(transform) projections) hit a
+    CollapseProject 60x re-inlining blowup; r3-r5 used a single
+    aggregate+zip_with fold (narrow, no shuffle); r6's bench A/B
+    (``minhash_sig_fold`` vs ``minhash_sig_explode``, same data, same
+    hashes) showed the fold 2.4x SLOWER warm — higher-order functions
+    evaluate interpreted, while the explode form's xxhash64+min runs
+    entirely inside whole-stage-codegen HashAggregate. The explode's
+    shuffle is NOT a scale concern: partial aggregation reduces each
+    doc's shingles to one 64-value state map-side (a doc's shingles
+    never span input partitions), so the exchange moves ~one signature
+    row per document, not shingle rows. Deterministic (shingle, seed)
+    xxhash64 means two tables signed separately are directly
+    comparable (the property minhash_join relies on). Docs with NULL
+    text produce no shingle rows and are dropped, as before."""
+    ex = _ensure_parallelism(df).select(
+        F.col(idn).alias("id"),
+        F.explode(word_shingles(F.col(tname), shingle_words)).alias("__sh"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__h{i}")
+        for i in range(num_perm)
+    ]
     return (
-        _ensure_parallelism(df)
+        ex.groupBy("id")
+        .agg(*mins)
         .select(
-            F.col(idn).alias("id"),
-            minhash_signature(
-                word_shingles(F.col(tname), shingle_words), num_perm
-            ).alias("sig"),
+            "id",
+            F.array(*[F.col(f"__h{i}") for i in range(num_perm)]).alias("sig"),
         )
-        .filter(F.col("sig")[0].isNotNull())
     )
 
 
@@ -554,56 +564,42 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_signatures(df: DataFrame, tname: str, idn: str) -> DataFrame:
-    """(id, sh) 64-bit SimHash per row, as a NARROW per-row fold — no
-    token explode, no shuffle (r5; byte-identical to the previous
-    explode + 65-partial-sum form, ~20% faster warm and structurally
-    shuffle-free at corpus scale). Each token is hashed ONCE into a
-    pre-materialized hash array; the per-bit majority counts accumulate
-    in a single aggregate loop (the bit extractions reference the
-    lambda variable, so nothing re-inlines); the final bit-pack binds
-    the counts array once via a 1-element transform so CollapseProject
-    cannot duplicate the whole fold 64 times."""
+    """(id, sh) 64-bit SimHash per row via distinct-token explode + 65
+    partial-sum aggregates (per-bit ones counts + token count), then a
+    single bit-pack projection.
+
+    History: r5 rewrote this as a narrow per-row aggregate/zip_with
+    fold on the theory that removing the explode removed a shuffle;
+    the r6 interleaved A/B (same data, same hashes, 5 reps) measured
+    the fold 4x SLOWER warm (5.8 s vs 1.4 s at sf0.1) — higher-order
+    functions evaluate interpreted, while this form's xxhash64 +
+    shiftright/sum runs inside whole-stage-codegen HashAggregate. The
+    shuffle is not a scale concern: partial aggregation reduces each
+    doc's tokens to one 65-value state map-side (a doc's exploded
+    tokens never span input partitions), so the exchange moves ~one
+    row per document. NULL-text docs produce no token rows and are
+    dropped — never signed sh=0 (which would falsely pair them with
+    near-zero-signature docs downstream)."""
     toks = F.array_distinct(tokenize_words(F.col(tname)))
-    hs = F.transform(toks, lambda t: F.xxhash64(t))
-    counts = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[F.shiftright(h, b).bitwiseAND(F.lit(1)) for b in range(64)]
-            ),
-            lambda a, o: a + o,
-        ),
-    )
-    n = F.size(toks)
-    zero = F.lit(0).cast("long")
-    packed = F.aggregate(
-        F.transform(F.array(F.lit(1)), lambda _: counts),
-        zero,
-        lambda a, cs: a.bitwiseOR(
-            sum(
-                [
-                    F.when(
-                        cs[b] * 2 > n,
-                        F.shiftleft(F.lit(1).cast("long"), b),
-                    ).otherwise(zero)
-                    for b in range(64)
-                ],
-                zero,
-            )
-        ),
-    )
-    # aggregate() folds a NULL token array to the zero-initialised
-    # accumulator, not NULL — gate on token presence so NULL-text docs
-    # are dropped exactly as in the old explode form (an sh=0 row would
-    # falsely pair with near-zero-signature docs downstream)
-    packed = F.when(toks.isNotNull(), packed)
-    return (
+    ex = (
         _ensure_parallelism(df)
-        .select(F.col(idn).alias("id"), packed.alias("sh"))
-        .filter(F.col("sh").isNotNull())
+        .select(F.col(idn).alias("id"), F.explode(toks).alias("__t"))
+        .select("id", F.xxhash64("__t").alias("__h"))
     )
+    aggs = [
+        F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
+        for b in range(64)
+    ]
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    g = ex.groupBy("id").agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        packed = packed.bitwiseOR(
+            F.shiftleft(
+                (F.col(f"__b{b}") * 2 > F.col("__n")).cast("long"), b
+            )
+        )
+    return g.select("id", packed.alias("sh"))
 
 
 @verb

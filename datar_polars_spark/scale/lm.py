@@ -50,7 +50,17 @@ def _doc_grams(df: DataFrame, tname: str, idn: str, order: int) -> DataFrame:
     """(id, w, ctx1..ctx{order-1}) for every token: the word plus its
     preceding context of each length 1..order-1 (BOS-padded, contexts
     space-joined), built from one narrow transform+explode over the
-    token array — no shuffle. Empty/NULL docs yield no rows."""
+    token array — no shuffle. Empty/NULL docs yield no rows.
+
+    The padded token array is BOUND ONCE per row via a 1-element
+    transform (the same trick as the simhash fold): referencing the
+    ``padded`` expression directly inside the per-token lambda would
+    re-inline — and re-evaluate — the whole split/filter/concat per
+    token, turning the map O(n^2) per document (measured 190 us/token
+    before the fix; the lambda-variable binding evaluates it once)."""
+    from .dedup import _ensure_parallelism
+
+    df = _ensure_parallelism(df)
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(tname))), r"\s+"),
         lambda t: t != "",
@@ -58,19 +68,27 @@ def _doc_grams(df: DataFrame, tname: str, idn: str, order: int) -> DataFrame:
     pad = order - 1
     padded = F.concat(F.array_repeat(F.lit(BOS), pad), toks)
 
-    def gram_struct(i):
-        fields = [F.element_at(padded, i + pad).alias("w")]
-        for length in range(1, order):
-            fields.append(
-                F.array_join(
-                    F.slice(padded, i + pad - length, length), " "
-                ).alias(f"ctx{length}")
-            )
-        return F.struct(*fields)
+    def per_padded(pd):
+        def gram_struct(i):
+            fields = [F.element_at(pd, i + pad).alias("w")]
+            for length in range(1, order):
+                fields.append(
+                    F.array_join(
+                        F.slice(pd, i + pad - length, length), " "
+                    ).alias(f"ctx{length}")
+                )
+            return F.struct(*fields)
+
+        return F.transform(
+            F.sequence(F.lit(1), F.size(pd) - pad), gram_struct
+        )
 
     # sequence(1, 0) would DESCEND ([1, 0]) — guard empty token arrays
-    idx = F.sequence(F.lit(1), F.size(toks))
-    grams = F.when(F.size(toks) > 0, F.transform(idx, gram_struct))
+    # (the when() guard keeps the branch unevaluated for empty docs)
+    grams = F.when(
+        F.size(toks) > 0,
+        F.element_at(F.transform(F.array(padded), per_padded), 1),
+    )
     out = df.select(F.col(idn).alias("id"), F.explode(grams).alias("g"))
     cols = ["id", F.col("g.w").alias("w")] + [
         F.col(f"g.ctx{length}").alias(f"ctx{length}")
@@ -160,6 +178,17 @@ def ngram_lm_score(
     data."""
     mdf = model.df if isinstance(model, Tibble) else ensure_tibble(model).df
     tname, idn = _name_of(text), _name_of(id)
+    # the model frame feeds one join leg per order plus the unigram leg
+    # and the N broadcast — persist it so a LAZY model (train output
+    # piped straight in) materializes its count tables ONCE instead of
+    # re-running training per consumer; bounded by the internal-cache
+    # registry. Spark's CacheManager dedupes by canonicalized plan, so
+    # re-scoring with a re-built identical model reuses the cache.
+    from pyspark import StorageLevel
+
+    from ..plans.cache import register_internal_cache
+
+    mdf = register_internal_cache(mdf.persist(StorageLevel.MEMORY_AND_DISK))
     if order is None:
         order = int(mdf.agg(F.max("n")).first()[0] or 2)
 

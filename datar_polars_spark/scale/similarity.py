@@ -29,7 +29,7 @@ from .dedup import cosine_sim
 
 __all__ = ["cosine_topk", "lsh_plan_buckets", "lsh_topk",
            "ivf_train", "ivf_assign", "ivf_topk", "knn_join",
-           "pq_train", "pq_encode", "pq_topk"]
+           "pq_train", "pq_encode", "pq_topk", "pq_knn_join"]
 
 
 def _name_of(x: Any) -> str:
@@ -571,5 +571,131 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(
             Window.orderBy(F.col("pq_dist").asc(), F.col("id").asc())
         ))
+    )
+    return Tibble(out)
+
+
+def pq_knn_join(
+    queries: Any,
+    corpus: Any,
+    codebook: list,
+    k: int = 10,
+    query_id: Any = "vec_id",
+    query_embedding: Any = "embedding",
+    id_col: Any = "vec_id",
+    code_col: str = "pq_code",
+    max_queries: int = 4096,
+) -> Tibble:
+    """Batch PQ retrieval: approximate k-NN of EVERY query row against
+    a PQ-encoded corpus — the retrieval-pipeline counterpart of
+    ``pq_topk`` (one query) with the surface of ``knn_join`` (a query
+    TABLE). Returns (query_id, match_id, pq_dist, rank) ascending by
+    asymmetric PQ distance, rank 1..k per query.
+
+    Shape, built for a billion-vector corpus:
+    - the query table is collected driver-side (bounded by
+      ``max_queries``; a query batch is small by definition — raise the
+      cap explicitly for bigger batches) and its per-query ADC lookup
+      tables are stacked into ONE (Q, m, 2^nbits) ndarray that ships to
+      executors once inside the UDF closure (Q=1024 at m=8,nbits=8 is
+      16 MiB);
+    - one ``mapInPandas`` pass over the corpus codes scores every
+      (query, row) pair as m table lookups via one fancy-index gather
+      per batch and emits ONLY each query's per-batch top-k (a
+      correct pre-filter: the global top-k is a subset of the union of
+      per-batch top-ks), so the shuffle moves <= Q*k rows per input
+      partition, never Q*N;
+    - a per-query WindowGroupLimit finalizes global rank <= k.
+
+    Ties break by ascending match id (deterministic). Recall equals
+    ``pq_topk``'s per query — the per-batch pre-filter is lossless."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    qtd = queries if isinstance(queries, Tibble) else Tibble(queries)
+    ctd = corpus if isinstance(corpus, Tibble) else Tibble(corpus)
+    qid, qemb, idn = _name_of(query_id), _name_of(query_embedding), _name_of(id_col)
+
+    qrows = qtd.df.select(qid, qemb).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_knn_join: query table exceeds max_queries={max_queries}; "
+            "raise the cap explicitly if the batch is really that large"
+        )
+    if not qrows:
+        raise ValueError("pq_knn_join: empty query table")
+    qids = [r[0] for r in qrows]
+    Qm = np.array([list(r[1]) for r in qrows], dtype="float64")  # (Q, d)
+    C = [np.array(cj, dtype="float64") for cj in codebook]
+    m = len(C)
+    dsub = C[0].shape[1]
+    if Qm.shape[1] != m * dsub:
+        raise ValueError(
+            f"pq_knn_join: query dim {Qm.shape[1]} != codebook dim {m * dsub}"
+        )
+    # stacked LUTs: luts[q, j, c] = ||query_q[j] - centroid_{j,c}||^2
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    ((C[j] - Qm[qi, j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+                    for j in range(m)
+                ]
+            )
+            for qi in range(len(qids))
+        ]
+    )  # (Q, m, ksub)
+    nq = len(qids)
+    kk = int(k)
+
+    def score_batches(batches):
+        import pandas as pd  # noqa: F811 (executor-side import)
+
+        ar = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["__code"].tolist(), dtype="int64")  # (n, m)
+            ids = pdf["__mid"].to_numpy()
+            # dist[q, i] = sum_j luts[q, j, M[i, j]]
+            dist = luts[:, ar[None, :], M].sum(axis=2)  # (Q, n)
+            take = min(kk, dist.shape[1])
+            part = np.argpartition(dist, take - 1, axis=1)[:, :take]  # (Q, take)
+            qix = np.repeat(np.arange(nq), take)
+            rix = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "__qix": qix.astype("int64"),
+                    "__mid": ids[rix],
+                    "pq_dist": dist[np.arange(nq)[:, None], part].ravel(),
+                }
+            )
+
+    spark = ctd.df.sparkSession
+    codes = ctd.df.select(
+        F.col(idn).alias("__mid"), F.col(code_col).alias("__code")
+    ).where(F.col("__code").isNotNull())
+    mid_type = dict(codes.dtypes)["__mid"]
+    cand = codes.mapInPandas(
+        score_batches, schema=f"__qix bigint, __mid {mid_type}, pq_dist double"
+    )
+    w = Window.partitionBy("__qix").orderBy(
+        F.col("pq_dist").asc(), F.col("__mid").asc()
+    )
+    topk = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= kk
+    )
+    qmap = spark.createDataFrame(
+        [(int(i), qids[i]) for i in range(nq)], f"__qix bigint, query_id {dict(qtd.df.select(F.col(qid)).dtypes)[qid]}"
+    )
+    out = (
+        topk.join(F.broadcast(qmap), "__qix")
+        .select(
+            "query_id",
+            F.col("__mid").alias("match_id"),
+            "pq_dist",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
     )
     return Tibble(out)

@@ -134,14 +134,28 @@ def duplicate_spans(
     ``(id, dup_spans array<struct<start,end>>, dup_words,
     dup_word_fraction)`` with word-index [start, end) spans.
     """
+    from .dedup import _ensure_parallelism
+
     tname, idn = _name_of(text), _name_of(id)
-    df = td.df
+    df = _ensure_parallelism(td.df)
     grams = df.select(
         F.col(idn).alias("__id"),
         F.size(F.split(F.lower(F.trim(F.col(tname))), r"\s+")).alias("__nw"),
         F.posexplode(_ordered_gram_hashes(F.col(tname), k)).alias(
             "__pos", "__h"
         ),
+    )
+    # the gram frame feeds BOTH the qualification aggregate and the
+    # join-back: persist it so the tokenize+hash map runs once instead
+    # of twice (at corpus scale, recomputing the k-gram hashes of every
+    # document costs more than spilling the gram rows to local disk);
+    # bounded by the internal-cache registry
+    from pyspark import StorageLevel
+
+    from ..plans.cache import register_internal_cache
+
+    grams = register_internal_cache(
+        grams.persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # Qualifying grams via groupBy + join-back, NOT a window over the

@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datar_polars_spark import read_parquet
-from datar_polars_spark.scale import pq_encode, pq_topk, pq_train
+from datar_polars_spark.scale import pq_encode, pq_knn_join, pq_topk, pq_train
 from datar_polars_spark.tibble import ensure_tibble
 
 SF = "/root/testdata/sf0.001"
@@ -127,3 +127,79 @@ def test_code_compression_ratio(emb, book):
     # the point of PQ: m ints vs dim floats
     dim = len(emb.df.select("embedding").first()[0])
     assert 4 / dim < 0.2
+
+
+# ---- batch retrieval: pq_knn_join ----------------------------------------
+
+def test_pq_knn_join_matches_per_query_pq_topk(spark, emb, book):
+    """Exactness contract: the batch path must return, for every query,
+    the SAME ids/distances as pq_topk run on that query alone (the
+    per-batch pre-filter is lossless and ties break identically)."""
+    coded = pq_encode(emb, book)
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 5")
+    )
+    got = pq_knn_join(queries, coded, book, k=8).df.collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        q = list(
+            emb.df.select("embedding").where(f"vec_id = {qid}").first()[0]
+        )
+        solo = pq_topk(coded, q, book, k=8).df.collect()
+        rows = sorted(rows, key=lambda r: r["rank"])
+        assert [r["match_id"] for r in rows] == [s["id"] for s in solo], qid
+        for r, s in zip(rows, solo):
+            assert r["pq_dist"] == pytest.approx(s["pq_dist"], abs=1e-9)
+            assert r["rank"] == s["rank"]
+
+
+def test_pq_knn_join_planted_clusters(spark):
+    """Every query's neighbors come from its own planted cluster —
+    batch analogue of the single-query recall gate."""
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 32) * 5
+    rows = [
+        (i, (centers[i % 4] + rng.randn(32) * 0.1).tolist(), i % 4)
+        for i in range(300)
+    ]
+    td = ensure_tibble(
+        spark.createDataFrame(rows, "vec_id int, embedding array<double>, label int")
+    )
+    book = pq_train(td, m=4, nbits=4, sample_size=300, seed=0)
+    coded = pq_encode(td, book)
+    queries = ensure_tibble(
+        td.df.select("vec_id", "embedding").where("vec_id < 8")
+    )
+    got = pq_knn_join(queries, coded, book, k=20).df.collect()
+    labels = {i: lab for i, _, lab in rows}
+    for r in got:
+        assert labels[r["match_id"]] == labels[r["query_id"]], r
+
+
+def test_pq_knn_join_caps_and_validation(spark, emb, book):
+    coded = pq_encode(emb, book)
+    queries = ensure_tibble(emb.df.select("vec_id", "embedding").limit(3))
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_knn_join(queries, coded, book, k=5, max_queries=2)
+    bad = ensure_tibble(
+        spark.createDataFrame([(1, [0.0] * 3)], "vec_id int, embedding array<double>")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        pq_knn_join(bad, coded, book, k=5)
+
+
+def test_pq_knn_join_plan_shape(spark, emb, book):
+    """One Arrow pass over the corpus codes + a per-query window limit:
+    no cartesian product, no row-at-a-time Python, and the window is
+    rank-limited (WindowGroupLimit pushes the top-k map-side)."""
+    coded = pq_encode(emb, book)
+    queries = ensure_tibble(emb.df.select("vec_id", "embedding").limit(4))
+    out = pq_knn_join(queries, coded, book, k=5)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan
