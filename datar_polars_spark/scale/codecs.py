@@ -1,8 +1,8 @@
 """Pure-Python media header parsers (no PIL/cv2/torchaudio needed).
 
 Real metadata decode for the dominant container formats — PNG, JPEG,
-GIF, BMP, WebP, TIFF images; WAV, FLAC, MP3 audio — using nothing but
-``struct`` over the leading bytes. Formats outside this set fall back
+GIF, BMP, WebP, TIFF images; WAV, FLAC, MP3, OGG (Vorbis/Opus) audio —
+using nothing but ``struct`` over the leading bytes. Formats outside this set fall back
 to the deterministic stub in ``multimodal.py`` (or raise in strict
 mode).
 
@@ -31,6 +31,7 @@ __all__ = [
     "make_wav",
     "make_flac",
     "make_mp3",
+    "make_ogg",
 ]
 
 # --------------------------------------------------------------------------
@@ -268,12 +269,85 @@ def _parse_mp3(b: bytes):
     return "mp3", sr, n_frames * spf
 
 
+def _ogg_page(b: bytes, i: int):
+    """Decode one Ogg page header at offset i ->
+    (header_type, granule_pos, payload_start, payload_len, next_off)
+    or None. Structure per RFC 3533: 'OggS' capture pattern, version 0,
+    1-byte header-type flags, 8-byte LE granule position, serial/seq/
+    CRC (not verified — metadata-only parse), segment count + lacing
+    table giving the payload length."""
+    if i + 27 > len(b) or b[i : i + 4] != b"OggS" or b[i + 4] != 0:
+        return None
+    htype = b[i + 5]
+    granule = struct.unpack("<q", b[i + 6 : i + 14])[0]
+    nseg = b[i + 26]
+    if i + 27 + nseg > len(b):
+        return None
+    paylen = sum(b[i + 27 : i + 27 + nseg])
+    start = i + 27 + nseg
+    if start + paylen > len(b):
+        return None
+    return htype, granule, start, paylen, start + paylen
+
+
+def _parse_ogg(b: bytes):
+    """Ogg container carrying Vorbis or Opus. The first page must be a
+    beginning-of-stream page whose packet is the codec identification
+    header ('\\x01vorbis' id header: 32-bit LE sample rate at offset
+    12; 'OpusHead': 16-bit pre-skip at 10, 32-bit LE INPUT sample rate
+    at 12). As with MP3, a lone plausible first page is not enough
+    evidence: require either a clean EOF exactly at the page boundary
+    or a second valid page header (the 'OggS' sync is 32 bits, but the
+    parse must not classify arbitrary binary as ogg in non-strict
+    decode paths). n_samples = the last page's granule position (PCM
+    sample count for Vorbis; 48 kHz ticks minus pre-skip for Opus) —
+    the header-only equivalent of a demuxer's duration probe."""
+    pg = _ogg_page(b, 0)
+    if pg is None:
+        return None
+    htype, granule, start, paylen, nxt = pg
+    if not (htype & 0x02):  # first page must be BOS
+        return None
+    payload = b[start : start + paylen]
+    pre_skip = 0
+    if payload[:7] == b"\x01vorbis" and len(payload) >= 30:
+        if struct.unpack("<I", payload[7:11])[0] != 0:  # vorbis version
+            return None
+        channels = payload[11]
+        sr = struct.unpack("<I", payload[12:16])[0]
+    elif payload[:8] == b"OpusHead" and len(payload) >= 19:
+        if payload[8] >> 4 != 0:  # OpusHead major version must be 0
+            return None
+        channels = payload[9]
+        pre_skip = struct.unpack("<H", payload[10:12])[0]
+        sr = struct.unpack("<I", payload[12:16])[0]
+    else:
+        return None
+    if not sr or not channels:
+        return None
+    # second-page validation + duration walk
+    last_granule = max(granule, 0)
+    i = nxt
+    if i != len(b):
+        if _ogg_page(b, i) is None:
+            return None
+        while i < len(b):
+            pg2 = _ogg_page(b, i)
+            if pg2 is None:
+                break
+            if pg2[1] > 0:  # -1 marks a page with no finished packet
+                last_granule = max(last_granule, pg2[1])
+            i = pg2[4]
+    n = max(last_granule - pre_skip, 0)
+    return "ogg", sr, n
+
+
 def parse_audio_header(b: bytes):
     """(format, sample_rate, n_samples) from leading bytes, or None if
-    the content is not a recognized WAV/FLAC/MP3 container."""
+    the content is not a recognized WAV/FLAC/MP3/OGG container."""
     if not b:
         return None
-    for parse in (_parse_wav, _parse_flac, _parse_mp3):
+    for parse in (_parse_wav, _parse_flac, _parse_mp3, _parse_ogg):
         out = parse(b)
         if out is not None:
             return out
@@ -398,3 +472,63 @@ def make_mp3(
     if id3:
         out = b"ID3\x04\x00\x00\x00\x00\x00\x00" + out
     return out
+
+
+def _ogg_page_bytes(
+    htype: int, granule: int, seq: int, payload: bytes
+) -> bytes:
+    """One Ogg page wrapping ``payload`` as a single packet (CRC left
+    zero — the metadata parser does not verify it)."""
+    assert len(payload) < 255 * 255
+    lacing = []
+    rem = len(payload)
+    while rem >= 255:
+        lacing.append(255)
+        rem -= 255
+    lacing.append(rem)
+    return (
+        b"OggS"
+        + bytes([0, htype])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", 0x1234)  # serial
+        + struct.pack("<I", seq)
+        + struct.pack("<I", 0)  # CRC unverified
+        + bytes([len(lacing)])
+        + bytes(lacing)
+        + payload
+    )
+
+
+def make_ogg(
+    sample_rate: int, n_samples: int, codec: str = "vorbis",
+    pre_skip: int = 0,
+) -> bytes:
+    """Two-page Ogg stream: a BOS page carrying the Vorbis or Opus
+    identification header, then an EOS page whose granule position
+    encodes ``n_samples`` (+ ``pre_skip`` for Opus, matching how real
+    muxers stamp granules so decoders subtract the pre-skip)."""
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + struct.pack("<I", 0)  # vorbis version
+            + bytes([1])  # channels
+            + struct.pack("<I", sample_rate)
+            + struct.pack("<iii", 0, 0, 0)  # bitrates
+            + bytes([0x66, 0x01])  # blocksizes + framing bit
+        )
+        eos_granule = n_samples
+    elif codec == "opus":
+        ident = (
+            b"OpusHead"
+            + bytes([1, 1])  # version 1, channels 1
+            + struct.pack("<H", pre_skip)
+            + struct.pack("<I", sample_rate)
+            + struct.pack("<h", 0)  # output gain
+            + bytes([0])  # channel mapping family
+        )
+        eos_granule = n_samples + pre_skip
+    else:
+        raise ValueError(f"make_ogg: unknown codec {codec!r}")
+    return _ogg_page_bytes(0x02, 0, 0, ident) + _ogg_page_bytes(
+        0x04, eos_granule, 1, b""
+    )

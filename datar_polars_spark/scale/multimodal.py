@@ -278,9 +278,10 @@ def _stub_decode_audio(content: bytes) -> tuple[str, int, int]:
 
 
 def _decode_audio_meta(content: bytes, strict: bool = False) -> tuple[str, int, int]:
-    """REAL metadata decode for WAV/FLAC/MP3 via pure-Python header
-    parsing (scale/codecs.py — no torchaudio needed); other formats
-    fall back to the deterministic stub, or raise when ``strict``."""
+    """REAL metadata decode for WAV/FLAC/MP3/OGG (Vorbis/Opus) via
+    pure-Python header parsing (scale/codecs.py — no torchaudio
+    needed); other formats fall back to the deterministic stub, or
+    raise when ``strict``."""
     from .codecs import parse_audio_header
 
     parsed = parse_audio_header(content)
@@ -288,8 +289,8 @@ def _decode_audio_meta(content: bytes, strict: bool = False) -> tuple[str, int, 
         return parsed
     if strict:
         raise NotImplementedError(
-            "unrecognized audio container (WAV/FLAC/MP3 supported without "
-            "torchaudio; other formats need a real codec library)"
+            "unrecognized audio container (WAV/FLAC/MP3/OGG supported "
+            "without torchaudio; other formats need a real codec library)"
         )
     return _stub_decode_audio(content)
 

@@ -18,6 +18,7 @@ from datar_polars_spark.scale.codecs import (
     make_gif,
     make_jpeg,
     make_mp3,
+    make_ogg,
     make_png,
     make_tiff,
     make_wav,
@@ -178,6 +179,56 @@ class TestAudioParsers:
         assert parse_audio_header(one) == ("mp3", 44_100, 1152)
         # and two back-to-back frames confirm the sync as before
         assert parse_audio_header(make_mp3(44_100, 2)) == ("mp3", 44_100, 2 * 1152)
+
+    @pytest.mark.parametrize("sr,n", [(44_100, 44_100), (8_000, 123_456)])
+    def test_ogg_vorbis_roundtrip(self, sr, n):
+        b = make_ogg(sr, n, codec="vorbis")
+        assert b[:4] == b"OggS"
+        assert parse_audio_header(b) == ("ogg", sr, n)
+
+    def test_ogg_opus_subtracts_preskip(self):
+        # muxers stamp granules at 48 kHz INCLUDING pre-skip; the
+        # reported sample count must subtract it (RFC 7845 §4)
+        b = make_ogg(48_000, 96_000, codec="opus", pre_skip=312)
+        assert parse_audio_header(b) == ("ogg", 48_000, 96_000)
+
+    def test_ogg_requires_second_page_or_clean_eof(self):
+        full = make_ogg(44_100, 1000, codec="vorbis")
+        bos_end = full.index(b"OggS", 4)
+        bos_only = full[:bos_end]
+        # clean EOF exactly at the page boundary: id-header-only stream
+        assert parse_audio_header(bos_only) == ("ogg", 44_100, 0)
+        # garbage after the first page: reject (weak 32-bit sync)
+        assert parse_audio_header(bos_only + b"not-an-ogg-page") is None
+        # truncated mid-page: the lacing table promises absent bytes
+        assert parse_audio_header(full[: len(full) - 1]) is None
+
+    def test_ogg_rejects_non_codec_payloads_and_bad_version(self):
+        from datar_polars_spark.scale.codecs import _ogg_page_bytes
+
+        # BOS page whose packet is neither a vorbis nor an opus header
+        junk = _ogg_page_bytes(0x02, 0, 0, b"\x01theora-ish-payload")
+        assert parse_audio_header(junk) is None
+        # vorbis id header with nonzero vorbis version
+        import struct as _s
+
+        bad = (
+            b"\x01vorbis" + _s.pack("<I", 5) + bytes([1])
+            + _s.pack("<I", 44_100) + _s.pack("<iii", 0, 0, 0)
+            + bytes([0x66, 0x01])
+        )
+        assert parse_audio_header(_ogg_page_bytes(0x02, 0, 0, bad)) is None
+        # first page missing the BOS flag
+        v = make_ogg(44_100, 10)
+        no_bos = bytearray(v)
+        no_bos[5] = 0
+        assert parse_audio_header(bytes(no_bos)) is None
+
+    def test_ogg_strict_decode_path(self):
+        # strict decode_audio path accepts real OGG and reports its meta
+        assert _decode_audio_meta(
+            make_ogg(22_050, 2_205, codec="vorbis"), strict=True
+        ) == ("ogg", 22_050, 2_205)
 
 
 class TestDecodeMeta:
