@@ -35,11 +35,50 @@ HEADLINE = [
 ]
 
 
+_PQ_STATE: dict = {}
+
+
+def _pq_knn_bench(emb):
+    """Batch PQ retrieval pipeline at bench scale: train once per
+    process (codebook sample bounded independent of corpus size),
+    encode the corpus, retrieve top-10 for 64 query rows."""
+    from datar_polars_spark.scale import pq_encode, pq_knn_join, pq_train
+    from datar_polars_spark.tibble import ensure_tibble
+
+    if "book" not in _PQ_STATE:
+        _PQ_STATE["book"] = pq_train(emb, m=4, nbits=6, sample_size=2000, seed=3)
+    book = _PQ_STATE["book"]
+    coded = pq_encode(emb, book)
+    queries = ensure_tibble(emb.df.select("vec_id", "embedding").filter("vec_id < 64"))
+    return pq_knn_join(queries, coded, book, k=10).df.count()
+
+
+def _minhash_sigs_fold(docs_df, num_perm: int, shingle_words: int) -> int:
+    """The r5 formulation, kept ONLY as the bench A/B counterpart: one
+    aggregate+zip_with HOF fold per row — narrow, shuffle-free, but
+    interpreted (not whole-stage-codegen), which is why it measured 3x
+    slower warm than the explode form and was retired from the main
+    path in r6."""
+    from pyspark.sql import functions as F
+
+    from datar_polars_spark.scale.dedup import minhash_signature, word_shingles
+
+    return (
+        docs_df.select(
+            F.col("doc_id").alias("id"),
+            minhash_signature(
+                word_shingles(F.col("text"), shingle_words), num_perm
+            ).alias("sig"),
+        )
+        .filter(F.col("sig")[0].isNotNull())
+        .count()
+    )
+
+
 def _minhash_sigs_explode(docs_df, num_perm: int, shingle_words: int):
-    """The pre-r5 signature formulation, kept ONLY as the bench A/B
-    counterpart of `_minhash_sigs`: explode shingles to rows, then
-    num_perm partial-min aggregates back to one signature row per doc
-    (one full shuffle of the shingle rows, vs the fold's narrow map)."""
+    """Explode shingles to rows, then num_perm partial-min aggregates
+    back to one signature row per doc — the main-path formulation
+    since r6 (map-side combine means the shuffle moves ~1 row/doc)."""
     from pyspark.sql import functions as F
 
     from datar_polars_spark.scale.dedup import word_shingles
@@ -173,13 +212,24 @@ def main() -> None:
                     docs, lmmod.ngram_lm_train(docs, order=2), order=2
                 ).df.count()
             )(__import__("datar_polars_spark.scale.lm", fromlist=["x"])),
-            # r6 A/B: the narrow per-row signature fold vs the explode+
-            # groupBy form it replaced — same shingles, same 64 xxhash64
-            # permutations, counted signatures. Defends (or indicts) the
-            # r5 claim that the fold is faster AND shuffle-free.
-            "minhash_sig_fold": lambda: __import__(
-                "datar_polars_spark.scale.dedup", fromlist=["_minhash_sigs"]
-            )._minhash_sigs(docs.df, "text", "doc_id", 64, 3).count(),
+            # r6: CCNet-style 5-gram quality filtering — the deep-order
+            # backoff costs one extra hash join per order; the bench
+            # guards that 5-gram stays within ~2x of bigram at sf0.1
+            "ngram_lm5_score": lambda: (
+                lambda lmmod: lmmod.ngram_lm_score(
+                    docs, lmmod.ngram_lm_train(docs, order=5), order=5
+                ).df.count()
+            )(__import__("datar_polars_spark.scale.lm", fromlist=["x"])),
+            # r6: batch PQ retrieval — encode the corpus once, stack 64
+            # query LUTs, one Arrow pass + WindowGroupLimit top-k
+            "pq_knn_join": lambda: _pq_knn_bench(emb),
+            # r6 A/B: the narrow per-row HOF signature fold (the r5
+            # formulation, built here explicitly) vs the explode+groupBy
+            # form that _minhash_sigs now uses — same shingles, same 64
+            # xxhash64 permutations, counted signatures. The r6 switch to
+            # explode rests on this measurement; it re-defends itself
+            # every round.
+            "minhash_sig_fold": lambda: _minhash_sigs_fold(docs.df, 64, 3),
             "minhash_sig_explode": lambda: _minhash_sigs_explode(
                 docs.df, 64, 3
             ).count(),
