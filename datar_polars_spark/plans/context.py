@@ -376,8 +376,14 @@ class EvalContext:
                 if t in (
                     "tinyint", "smallint", "int", "bigint", "float",
                     "double", "date", "boolean", "timestamp",
-                ) or t.startswith("decimal"):
+                ):
                     row_bytes += 8
+                elif t.startswith("decimal"):
+                    # precision > 18 occupies 16 bytes in UnsafeRow;
+                    # charge 16 for ALL decimals — the estimate must
+                    # never be optimistic (the forced hint bypasses
+                    # Spark's own size check)
+                    row_bytes += 16
                 elif t == "string":
                     row_bytes += 256
                 else:

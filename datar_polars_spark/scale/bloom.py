@@ -87,6 +87,14 @@ class Bloom:
                     "the probe would miss every true match. Cast one side "
                     "so both canonicalize to the same type."
                 )
+        elif self.hash_type != "raw":
+            # dtype omitted (custom pipelines): build_bloom ALWAYS
+            # canonicalizes (int->bigint, float->double), so a raw probe
+            # column of a narrower physical type would silently hash
+            # differently and miss every true match. Defaulting the
+            # probe to the filter's own hash type keeps the
+            # zero-false-negative contract without requiring dtype.
+            c = c.cast(self.hash_type)
         return _probe_predicate(c, self.m, self.k)
 
 
@@ -107,6 +115,25 @@ def _canonical_hash_input(c: F.Column, dtype: str) -> tuple[F.Column, str]:
     if base in _FLOAT_TYPES:
         return c.cast("double"), "double"
     if base.startswith("decimal"):
+        # decimal(38,18) holds 20 integer digits; a wider source decimal
+        # would overflow the cast to NULL (non-ANSI), and the build side
+        # then DROPS those keys while the probe side keeps the raw fact
+        # rows — true matches silently filtered. Refuse rather than
+        # break the zero-false-negative guarantee.
+        prec, scale = 10, 0
+        inner = base[base.find("(") + 1 : base.find(")")] if "(" in base else ""
+        if inner:
+            bits = [p.strip() for p in inner.split(",")]
+            prec = int(bits[0])
+            scale = int(bits[1]) if len(bits) > 1 else 0
+        if prec - scale > 20:
+            raise TypeError(
+                f"bloom key dtype {dtype!r} has {prec - scale} integer "
+                "digits; canonicalizing to decimal(38,18) would overflow "
+                "values past 20 digits to NULL and silently drop true "
+                "matches. Cast the key to a narrower decimal or to a "
+                "string on BOTH sides instead."
+            )
         return c.cast("decimal(38,18)"), "decimal(38,18)"
     return c, base
 

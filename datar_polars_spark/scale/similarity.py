@@ -575,6 +575,72 @@ def pq_topk(
     return Tibble(out)
 
 
+def _build_luts(Qm, codebook):
+    """Stacked ADC lookup tables: luts[q, j, c] =
+    ||query_q[j] - centroid_{j,c}||^2, shape (Q, m, ksub)."""
+    import numpy as np
+
+    C = [np.array(cj, dtype="float64") for cj in codebook]
+    m = len(C)
+    dsub = C[0].shape[1]
+    if Qm.shape[1] != m * dsub:
+        raise ValueError(
+            f"pq query dim {Qm.shape[1]} != codebook dim {m * dsub}"
+        )
+    return np.stack(
+        [
+            np.stack(
+                [
+                    ((C[j] - Qm[qi, j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(
+                        axis=1
+                    )
+                    for j in range(m)
+                ]
+            )
+            for qi in range(Qm.shape[0])
+        ]
+    )
+
+
+def _adc_candidates(luts, M, ids, kk, qchunk=512, rowchunk=65536):
+    """Tile-wise ADC scoring with a LOSSLESS per-tile pre-filter.
+
+    For each (query-chunk x row-chunk) tile, computes every (query,
+    row) PQ distance as m table lookups, finds each query's k-th
+    smallest tile distance, and emits every pair at or BELOW that
+    threshold — ties included, so the selection is lossless for ANY
+    downstream total order on (dist, tiebreak): a pair in the global
+    top-k under (dist, id) has at most k-1 tile rows strictly closer,
+    hence its distance is <= the tile's k-th smallest. (A plain
+    argpartition-k can drop the smallest-id member of a tie straddling
+    the boundary; the threshold form cannot.)
+
+    Memory: one qchunk x rowchunk float64 tile at a time (the defaults
+    bound it at 512*65536*8 = 256 MiB per in-flight Arrow batch per
+    core — NOT the full Q x n matrix, which at Q=4096 and 10k-row
+    batches would be ~330 MB per batch and scale with the query cap).
+
+    Yields (qix, mid, dist) numpy column triples per tile; qix indexes
+    the luts axis."""
+    import numpy as np
+
+    nq = luts.shape[0]
+    m = luts.shape[1]
+    n = M.shape[0]
+    ar = np.arange(m)
+    for r0 in range(0, n, rowchunk):
+        Mr = M[r0 : r0 + rowchunk]
+        idr = ids[r0 : r0 + rowchunk]
+        take = min(kk, Mr.shape[0])
+        for q0 in range(0, nq, qchunk):
+            lc = luts[q0 : q0 + qchunk]
+            # dist[q, i] = sum_j lc[q, j, Mr[i, j]]
+            dist = lc[:, ar[None, :], Mr].sum(axis=2)
+            thr = np.partition(dist, take - 1, axis=1)[:, take - 1]
+            qix, rix = np.nonzero(dist <= thr[:, None])
+            yield (qix + q0).astype("int64"), idr[rix], dist[qix, rix]
+
+
 def pq_knn_join(
     queries: Any,
     corpus: Any,
@@ -585,6 +651,7 @@ def pq_knn_join(
     id_col: Any = "vec_id",
     code_col: str = "pq_code",
     max_queries: int = 4096,
+    n_corpus_blocks: int | None = None,
 ) -> Tibble:
     """Batch PQ retrieval: approximate k-NN of EVERY query row against
     a PQ-encoded corpus — the retrieval-pipeline counterpart of
@@ -592,90 +659,89 @@ def pq_knn_join(
     TABLE). Returns (query_id, match_id, pq_dist, rank) ascending by
     asymmetric PQ distance, rank 1..k per query.
 
-    Shape, built for a billion-vector corpus:
-    - the query table is collected driver-side (bounded by
-      ``max_queries``; a query batch is small by definition — raise the
-      cap explicitly for bigger batches) and its per-query ADC lookup
-      tables are stacked into ONE (Q, m, 2^nbits) ndarray that ships to
-      executors once inside the UDF closure (Q=1024 at m=8,nbits=8 is
-      16 MiB);
-    - one ``mapInPandas`` pass over the corpus codes scores every
-      (query, row) pair as m table lookups via one fancy-index gather
-      per batch and emits ONLY each query's per-batch top-k (a
-      correct pre-filter: the global top-k is a subset of the union of
-      per-batch top-ks), so the shuffle moves <= Q*k rows per input
-      partition, never Q*N;
-    - a per-query WindowGroupLimit finalizes global rank <= k.
+    Two shapes, switched automatically on query-table size:
 
-    Ties break by ascending match id (deterministic). Recall equals
-    ``pq_topk``'s per query — the per-batch pre-filter is lossless."""
+    BATCH path (<= ``max_queries`` rows): the query table is collected
+    driver-side and its per-query ADC lookup tables are stacked into
+    ONE (Q, m, 2^nbits) ndarray that ships to executors once inside the
+    UDF closure (Q=1024 at m=8,nbits=8 is 16 MiB); one ``mapInPandas``
+    pass over the corpus codes scores tiles of at most 512 queries x
+    64k rows at a time (peak ~256 MiB of float64 per in-flight Arrow
+    batch per core — chunked so raising ``max_queries`` cannot OOM
+    executors) and emits only pairs at or below each query's per-tile
+    k-th distance; a per-query WindowGroupLimit finalizes rank <= k.
+
+    DISTRIBUTED path (query table larger than ``max_queries``): the
+    query table NEVER touches the driver. Queries hash into
+    ceil(Q/max_queries) chunks; corpus codes hash into
+    ``n_corpus_blocks`` blocks (default 2x the session's default
+    parallelism); both sides replicate across the other's key (codes
+    are m bytes + id per row, so the chunk-replication shuffle is the
+    honest Q*N scoring cost, not an overhead) and a cogrouped
+    ``applyInPandas`` scores each (chunk, block) cell with the same
+    tiled lossless pre-filter, building the chunk's LUTs executor-side
+    from the raw query vectors. The same global window finalizes.
+
+    Ties break by ascending match id (deterministic): the per-tile
+    pre-filter keeps ALL pairs at the boundary distance, so it is
+    lossless for the (pq_dist, match_id) total order even when corpus
+    vectors share identical PQ codes. Recall equals ``pq_topk``'s per
+    query on both paths."""
     import numpy as np
     from pyspark.sql import Window
 
     qtd = queries if isinstance(queries, Tibble) else Tibble(queries)
     ctd = corpus if isinstance(corpus, Tibble) else Tibble(corpus)
     qid, qemb, idn = _name_of(query_id), _name_of(query_embedding), _name_of(id_col)
+    kk = int(k)
+
+    codes = ctd.df.select(
+        F.col(idn).alias("__mid"), F.col(code_col).alias("__code")
+    ).where(F.col("__code").isNotNull())
+    mid_type = dict(codes.dtypes)["__mid"]
+    qid_type = dict(qtd.df.select(F.col(qid)).dtypes)[qid]
+    spark = ctd.df.sparkSession
 
     qrows = qtd.df.select(qid, qemb).limit(max_queries + 1).collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"pq_knn_join: query table exceeds max_queries={max_queries}; "
-            "raise the cap explicitly if the batch is really that large"
-        )
     if not qrows:
         raise ValueError("pq_knn_join: empty query table")
+
+    if len(qrows) > max_queries:
+        cand = _pq_knn_cogroup(
+            spark, qtd.df, codes, codebook, kk, qid, qemb,
+            qid_type, mid_type, max_queries, n_corpus_blocks,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("pq_dist").asc(), F.col("__mid").asc()
+        )
+        out = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+            .select(
+                "query_id", F.col("__mid").alias("match_id"), "pq_dist", "rank"
+            )
+            .orderBy("query_id", "rank")
+        )
+        return Tibble(out)
+
     qids = [r[0] for r in qrows]
     Qm = np.array([list(r[1]) for r in qrows], dtype="float64")  # (Q, d)
-    C = [np.array(cj, dtype="float64") for cj in codebook]
-    m = len(C)
-    dsub = C[0].shape[1]
-    if Qm.shape[1] != m * dsub:
-        raise ValueError(
-            f"pq_knn_join: query dim {Qm.shape[1]} != codebook dim {m * dsub}"
-        )
-    # stacked LUTs: luts[q, j, c] = ||query_q[j] - centroid_{j,c}||^2
-    luts = np.stack(
-        [
-            np.stack(
-                [
-                    ((C[j] - Qm[qi, j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1)
-                    for j in range(m)
-                ]
-            )
-            for qi in range(len(qids))
-        ]
-    )  # (Q, m, ksub)
+    luts = _build_luts(Qm, codebook)  # (Q, m, ksub)
     nq = len(qids)
-    kk = int(k)
 
     def score_batches(batches):
         import pandas as pd  # noqa: F811 (executor-side import)
 
-        ar = np.arange(m)
         for pdf in batches:
             if not len(pdf):
                 continue
             M = np.array(pdf["__code"].tolist(), dtype="int64")  # (n, m)
             ids = pdf["__mid"].to_numpy()
-            # dist[q, i] = sum_j luts[q, j, M[i, j]]
-            dist = luts[:, ar[None, :], M].sum(axis=2)  # (Q, n)
-            take = min(kk, dist.shape[1])
-            part = np.argpartition(dist, take - 1, axis=1)[:, :take]  # (Q, take)
-            qix = np.repeat(np.arange(nq), take)
-            rix = part.ravel()
-            yield pd.DataFrame(
-                {
-                    "__qix": qix.astype("int64"),
-                    "__mid": ids[rix],
-                    "pq_dist": dist[np.arange(nq)[:, None], part].ravel(),
-                }
-            )
+            for qix, mids, dists in _adc_candidates(luts, M, ids, kk):
+                yield pd.DataFrame(
+                    {"__qix": qix, "__mid": mids, "pq_dist": dists}
+                )
 
-    spark = ctd.df.sparkSession
-    codes = ctd.df.select(
-        F.col(idn).alias("__mid"), F.col(code_col).alias("__code")
-    ).where(F.col("__code").isNotNull())
-    mid_type = dict(codes.dtypes)["__mid"]
     cand = codes.mapInPandas(
         score_batches, schema=f"__qix bigint, __mid {mid_type}, pq_dist double"
     )
@@ -686,7 +752,8 @@ def pq_knn_join(
         F.col("rank") <= kk
     )
     qmap = spark.createDataFrame(
-        [(int(i), qids[i]) for i in range(nq)], f"__qix bigint, query_id {dict(qtd.df.select(F.col(qid)).dtypes)[qid]}"
+        [(int(i), qids[i]) for i in range(nq)],
+        f"__qix bigint, query_id {qid_type}",
     )
     out = (
         topk.join(F.broadcast(qmap), "__qix")
@@ -699,3 +766,69 @@ def pq_knn_join(
         .orderBy("query_id", "rank")
     )
     return Tibble(out)
+
+
+def _pq_knn_cogroup(
+    spark, qdf, codes, codebook, kk, qid, qemb,
+    qid_type, mid_type, max_queries, n_corpus_blocks,
+):
+    """Distributed query-side PQ scoring: cogroup query chunks against
+    corpus code blocks and run the tiled ADC scorer per cell. Returns
+    the un-ranked candidate frame (query_id, __mid, pq_dist)."""
+    import math as _math
+
+    import numpy as np
+
+    nq_total = qdf.count()
+    nchunks = max(1, _math.ceil(nq_total / max_queries))
+    if n_corpus_blocks is None:
+        n_corpus_blocks = max(2 * spark.sparkContext.defaultParallelism, 1)
+    nblocks = int(n_corpus_blocks)
+
+    q_rep = (
+        qdf.select(
+            F.col(qid).alias("query_id"),
+            F.col(qemb).alias("__qe"),
+            F.pmod(F.xxhash64(F.col(qid)), F.lit(nchunks)).alias("__chunk"),
+        )
+        .withColumn(
+            "__blk", F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1)))
+        )
+    )
+    c_rep = codes.select(
+        "__mid",
+        "__code",
+        F.pmod(F.xxhash64(F.col("__mid")), F.lit(nblocks)).alias("__blk"),
+    ).withColumn(
+        "__chunk", F.explode(F.sequence(F.lit(0), F.lit(nchunks - 1)))
+    )
+
+    def score_cell(qpdf, cpdf):
+        import pandas as pd  # noqa: F811 (executor-side import)
+
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {"query_id": [], "__mid": [], "pq_dist": []}
+            ).astype({"pq_dist": "float64"})
+        Qm = np.array(qpdf["__qe"].tolist(), dtype="float64")
+        luts = _build_luts(Qm, codebook)
+        qids = qpdf["query_id"].to_numpy()
+        M = np.array(cpdf["__code"].tolist(), dtype="int64")
+        ids = cpdf["__mid"].to_numpy()
+        parts = []
+        for qix, mids, dists in _adc_candidates(luts, M, ids, kk):
+            parts.append(
+                pd.DataFrame(
+                    {"query_id": qids[qix], "__mid": mids, "pq_dist": dists}
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    return (
+        q_rep.groupby("__chunk", "__blk")
+        .cogroup(c_rep.groupby("__chunk", "__blk"))
+        .applyInPandas(
+            score_cell,
+            schema=f"query_id {qid_type}, __mid {mid_type}, pq_dist double",
+        )
+    )

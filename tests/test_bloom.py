@@ -157,3 +157,40 @@ def test_incompatible_probe_dtype_raises(spark):
     bloom = build_bloom(dim, "k")
     with pytest.raises(TypeError, match="type-sensitive"):
         bloom_semi_reduce(ensure_tibble(fact), dim, on=("k", bloom))
+
+
+def test_wide_decimal_keys_raise_instead_of_dropping(spark):
+    # decimal(38,18) holds 20 integer digits; a wider source decimal
+    # would overflow the canonicalizing cast to NULL and the build side
+    # would silently drop the key while the probe keeps the fact row —
+    # a broken zero-false-negative contract. Refuse loudly instead.
+    dim = spark.createDataFrame(
+        [("123456789012345678901234567890",)], "k string"
+    ).select(F.col("k").cast("decimal(38,0)").alias("k"))
+    with pytest.raises(TypeError, match="integer digits"):
+        build_bloom(dim, "k")
+    fact = spark.createDataFrame([(1, "5")], "id int, k string").select(
+        "id", F.col("k").cast("decimal(30,2)").alias("k")
+    )
+    dim2 = spark.range(3).select(F.col("id").alias("k"))
+    bloom = build_bloom(dim2, "k")
+    with pytest.raises(TypeError, match="integer digits"):
+        bloom_semi_reduce(ensure_tibble(fact), dim2, on=("k", bloom))
+
+
+def test_might_contain_without_dtype_uses_filter_hash_type(spark):
+    # The documented custom-pipeline entry point: dtype omitted must
+    # default the probe to the FILTER's canonical hash type — an int
+    # probe against a bigint-built filter would otherwise silently
+    # miss every true match.
+    dim = spark.range(0, 100).select(F.col("id").alias("k"))  # bigint
+    bloom = build_bloom(dim, "k")
+    fact = spark.createDataFrame(
+        [(i, i) for i in range(100)], "id int, k int"  # narrower int
+    )
+    kept = (
+        fact.crossJoin(F.broadcast(bloom.bits_df))
+        .where(bloom.might_contain("k"))  # no dtype
+        .count()
+    )
+    assert kept == 100  # zero false negatives

@@ -179,16 +179,80 @@ def test_pq_knn_join_planted_clusters(spark):
         assert labels[r["match_id"]] == labels[r["query_id"]], r
 
 
-def test_pq_knn_join_caps_and_validation(spark, emb, book):
+def test_pq_knn_join_validation(spark, emb, book):
     coded = pq_encode(emb, book)
-    queries = ensure_tibble(emb.df.select("vec_id", "embedding").limit(3))
-    with pytest.raises(ValueError, match="max_queries"):
-        pq_knn_join(queries, coded, book, k=5, max_queries=2)
     bad = ensure_tibble(
         spark.createDataFrame([(1, [0.0] * 3)], "vec_id int, embedding array<double>")
     )
     with pytest.raises(ValueError, match="dim"):
         pq_knn_join(bad, coded, book, k=5)
+    empty = ensure_tibble(
+        spark.createDataFrame([], "vec_id int, embedding array<double>")
+    )
+    with pytest.raises(ValueError, match="empty"):
+        pq_knn_join(empty, coded, book, k=5)
+
+
+def test_pq_knn_join_distributed_matches_batch(spark, emb, book):
+    """A query table past max_queries switches to the cogrouped
+    executor-side path (the query table never touches the driver);
+    ids, distances, and ranks must match the driver-batch path
+    EXACTLY — the same tiled lossless pre-filter runs per (chunk,
+    block) cell."""
+    coded = pq_encode(emb, book)
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 9")
+    )
+    batch = pq_knn_join(queries, coded, book, k=6).df.collect()
+    dist = pq_knn_join(
+        queries, coded, book, k=6, max_queries=4, n_corpus_blocks=3
+    ).df.collect()
+    kf = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert [(r["query_id"], r["match_id"], r["rank"]) for r in sorted(batch, key=kf)] \
+        == [(r["query_id"], r["match_id"], r["rank"]) for r in sorted(dist, key=kf)]
+    for b, d in zip(sorted(batch, key=kf), sorted(dist, key=kf)):
+        assert b["pq_dist"] == pytest.approx(d["pq_dist"], abs=1e-9)
+
+
+def test_pq_knn_join_distributed_plan_shape(spark, emb, book):
+    """The distributed path is cogrouped Arrow (FlatMapCoGroupsInPandas)
+    with no driver collect of the query table, no cartesian product,
+    and no row-at-a-time Python."""
+    coded = pq_encode(emb, book)
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 9")
+    )
+    out = pq_knn_join(queries, coded, book, k=5, max_queries=4)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_pq_knn_join_tie_break_lossless(spark, book, emb):
+    """Identical embeddings -> identical PQ codes -> every distance
+    ties. The per-tile pre-filter must keep ALL boundary ties so the
+    final (pq_dist, match_id) order returns the k SMALLEST ids — on
+    both paths (an argpartition-k prefilter can drop the smallest id
+    when ties straddle the cut)."""
+    base = list(emb.df.select("embedding").first()[0])
+    rows = [(i, base) for i in range(60)]
+    corpus = ensure_tibble(
+        spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    )
+    coded = pq_encode(corpus, book)
+    queries = ensure_tibble(
+        spark.createDataFrame(rows[:3], "vec_id int, embedding array<double>")
+    )
+    for kwargs in ({}, {"max_queries": 2, "n_corpus_blocks": 4}):
+        got = pq_knn_join(queries, coded, book, k=7, **kwargs).df.collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, qrows in by_q.items():
+            qrows = sorted(qrows, key=lambda r: r["rank"])
+            assert [r["match_id"] for r in qrows] == list(range(7)), (qid, kwargs)
 
 
 def test_pq_knn_join_plan_shape(spark, emb, book):
