@@ -926,7 +926,10 @@ def q37_ann_topk(spark, sf):
     runs the batch k-NN JOIN (every query row gets its top-k corpus
     rows — broadcast queries x corpus scan + map-side WindowGroupLimit)
     for queries 1..3, k=5; the oracle recomputes it with a ROW_NUMBER
-    window over all pairs."""
+    window over all pairs. NEW r7: an 'ivfpq_check' block proves the
+    IVF-PQ composition (coarse cells + residual PQ codes) exact at
+    nprobe = nlist against an in-Spark centroid+residual reconstruction
+    brute force — symmetric difference pinned at 0."""
     from datar_polars_spark.scale import (
         cosine_topk,
         ivf_assign,
@@ -1044,11 +1047,83 @@ def q37_ann_topk(spark, sf):
         (F.col("c1") + F.col("c2")).cast("bigint").alias("vec_id"),
         F.lit(0.0).alias("cosine"),
     )
+
+    # r7 'ivfpq_check' block: IVF-PQ retrieval (coarse cells + RESIDUAL
+    # PQ codes, the billion-vector composition) at nprobe = nlist is
+    # the exact ADC ranking over residual codes — proven against an
+    # in-Spark full-resolution brute force that reconstructs every code
+    # as centroid[cell] + residual-codebook decode (both tables ride
+    # broadcast single-row frames, JVM element_at lookups) and ranks
+    # exact L2^2 per query. Emits the symmetric-difference count of
+    # (query, match, rank), pinned at 0 by the oracle — the same
+    # loss-proof pattern as pq_check.
+    from datar_polars_spark.scale import ivfpq_encode, ivfpq_knn_join, ivfpq_train
+
+    index = ivfpq_train(
+        e, n_clusters=8, m=4, nbits=5, iters=4, sample_size=2000, seed=13
+    )
+    icoded = ivfpq_encode(e, index)
+    ibatch = ivfpq_knn_join(
+        queries, icoded, index, k=5, nprobe=8,
+        query_id="vec_id", query_embedding="embedding", id_col="vec_id",
+    ).df.select("query_id", "match_id", "rank")
+
+    idx_df = spark.createDataFrame(
+        [(index["centroids"], index["codebook"])],
+        "cents array<array<double>>, bk array<array<array<double>>>",
+    )
+    irec = F.zip_with(
+        F.element_at(F.col("cents"), F.col("ivf_cell") + F.lit(1)),
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(len(index["codebook"]))),
+                lambda j: F.element_at(
+                    F.element_at(F.col("bk"), j),
+                    F.element_at(F.col("pq_code"), j) + F.lit(1),
+                ),
+            )
+        ),
+        lambda a, b: a + b,
+    )
+    iexact = (
+        icoded.df.select(
+            F.col("vec_id").alias("match_id"), "ivf_cell", "pq_code"
+        )
+        .crossJoin(F.broadcast(idx_df))
+        .withColumn("__rec", irec)
+        .crossJoin(F.broadcast(qside))
+        .withColumn(
+            "__d",
+            F.aggregate(
+                F.zip_with("__qe", "__rec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__d").asc(), F.col("match_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "match_id", "rank")
+    )
+    i1 = ibatch.join(iexact, keys, "left_anti").agg(F.count(F.lit(1)).alias("c1"))
+    i2 = iexact.join(ibatch, keys, "left_anti").agg(F.count(F.lit(1)).alias("c2"))
+    ivfpq_check = i1.crossJoin(i2).select(
+        F.lit("ivfpq_check").alias("method"),
+        (F.col("c1") + F.col("c2")).cast("bigint").alias("vec_id"),
+        F.lit(0.0).alias("cosine"),
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(lsh)
         .unionByName(knn)
         .unionByName(pq_check)
+        .unionByName(ivfpq_check)
         .orderBy("method", F.col("cosine").desc(), "vec_id")
     )
 
@@ -2283,6 +2358,11 @@ def oracle_sql() -> dict[str, str]:
                 -- batch PQ vs Spark-side reconstruction brute force:
                 -- symmetric-difference count pinned at zero
                 SELECT 'pq_check', 0, 0.0
+                UNION ALL
+                -- IVF-PQ (residual codes, nprobe = nlist) vs Spark-side
+                -- centroid+residual reconstruction brute force:
+                -- symmetric-difference count pinned at zero
+                SELECT 'ivfpq_check', 0, 0.0
             ) ORDER BY method, cosine DESC, vec_id
         """,
         "q38_minhash_dedup": """

@@ -30,6 +30,9 @@ from .similarity import (  # noqa: F401
     pq_encode,
     pq_topk,
     pq_knn_join,
+    ivfpq_train,
+    ivfpq_encode,
+    ivfpq_knn_join,
 )
 from .relevance import (  # noqa: F401
     tfidf_top_terms,

@@ -29,7 +29,8 @@ from .dedup import cosine_sim
 
 __all__ = ["cosine_topk", "lsh_plan_buckets", "lsh_topk",
            "ivf_train", "ivf_assign", "ivf_topk", "knn_join",
-           "pq_train", "pq_encode", "pq_topk", "pq_knn_join"]
+           "pq_train", "pq_encode", "pq_topk", "pq_knn_join",
+           "ivfpq_train", "ivfpq_encode", "ivfpq_knn_join"]
 
 
 def _name_of(x: Any) -> str:
@@ -832,3 +833,243 @@ def _pq_knn_cogroup(
             schema=f"query_id {qid_type}, __mid {mid_type}, pq_dist double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted-file quantizer + PQ codes over RESIDUALS —
+# the standard billion-vector ANN index (FAISS IndexIVFPQ; Jegou et
+# al. 2011 §V). The coarse cells prune the scan to ~nprobe/nlist of
+# the corpus; the residual PQ codes keep per-row memory at m bytes.
+# ---------------------------------------------------------------------------
+
+def ivfpq_train(
+    td: Tibble,
+    embedding: Any = "embedding",
+    n_clusters: int = 64,
+    m: int = 8,
+    nbits: int = 8,
+    iters: int = 8,
+    sample_size: int | None = None,
+    seed: int = 42,
+) -> dict:
+    """Train an IVF-PQ index: the coarse quantizer via :func:`ivf_train`
+    (driver sample or distributed KMeans past the cap), then a product
+    quantizer over the RESIDUALS (vector - assigned centroid) of a
+    bounded driver sample. Residual encoding is what makes the
+    composition beat flat PQ: residual magnitudes are a cell radius,
+    not a corpus radius, so the same 2^nbits centroids per subspace
+    resolve much finer distances.
+
+    Returns ``{"centroids": (nlist, d), "codebook": (m, 2^nbits, d/m)}``
+    as nested lists — JSON-able, tiny, ships in UDF closures."""
+    import numpy as np
+
+    col = _name_of(embedding)
+    centroids = ivf_train(
+        td, embedding, n_clusters=n_clusters, iters=iters, seed=seed
+    )
+    Cn = np.array(centroids, dtype="float64")
+    ksub = 1 << nbits
+    if sample_size is None:
+        sample_size = max(10_000, 50 * ksub)
+    n = td.df.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    rows = td.df.select(col).sample(fraction=frac, seed=seed).collect()
+    X = np.array([list(r[0]) for r in rows], dtype="float64")
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"ivfpq_train: dim {d} not divisible by m={m}")
+    # residuals of the sample against their nearest coarse centroid
+    d2 = (Cn * Cn).sum(axis=1)[None, :] - 2.0 * (X @ Cn.T)
+    R = X - Cn[d2.argmin(axis=1)]
+    dsub = d // m
+    book = []
+    for j in range(m):
+        Rj = np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub])
+        cents = _lloyd_np(Rj, ksub, iters, seed + j)
+        book.append([[float(v) for v in c] for c in cents])
+    return {"centroids": centroids, "codebook": book}
+
+
+@verb
+def ivfpq_encode(
+    td: Tibble,
+    index: dict,
+    embedding: Any = "embedding",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+) -> Tibble:
+    """Assign each vector to its coarse cell AND quantize its residual
+    in ONE Arrow pass (a struct-returning pandas UDF unpacked into two
+    columns) — narrow, no shuffle. At scale, write the result
+    partitioned/bucketed by ``cell_col``: probes then prune partitions
+    before any scoring runs."""
+    import numpy as np
+
+    Cn = np.array(index["centroids"], dtype="float64")
+    cn2 = (Cn * Cn).sum(axis=1)
+    B = [np.array(bj, dtype="float64") for bj in index["codebook"]]
+    m = len(B)
+    dsub = B[0].shape[1]
+    bn2 = [(bj * bj).sum(axis=1) for bj in B]
+
+    @F.pandas_udf("struct<cell:int, code:array<int>>")
+    def enc(s: pd.Series) -> pd.DataFrame:
+        X = np.array(s.tolist(), dtype="float64")
+        dc = cn2[None, :] - 2.0 * (X @ Cn.T)
+        cell = dc.argmin(axis=1)
+        R = X - Cn[cell]
+        codes = np.empty((len(X), m), dtype="int32")
+        for j in range(m):
+            Rj = R[:, j * dsub : (j + 1) * dsub]
+            dist = bn2[j][None, :] - 2.0 * (Rj @ B[j].T)
+            codes[:, j] = dist.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "code": list(codes)}
+        )
+
+    col = _name_of(embedding)
+    out = (
+        td.df.withColumn("__ivfpq__", enc(F.col(col)))
+        .withColumn(cell_col, F.col("__ivfpq__.cell"))
+        .withColumn(code_col, F.col("__ivfpq__.code"))
+        .drop("__ivfpq__")
+    )
+    return td.with_df(out)
+
+
+def ivfpq_knn_join(
+    queries: Any,
+    corpus: Any,
+    index: dict,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: Any = "vec_id",
+    query_embedding: Any = "embedding",
+    id_col: Any = "vec_id",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+    max_queries: int = 4096,
+) -> Tibble:
+    """Batch IVF-PQ retrieval: approximate k-NN of every query row
+    against an ivfpq-encoded corpus, probing only each query's
+    ``nprobe`` nearest coarse cells. Returns (query_id, match_id,
+    pq_dist, rank) ascending, rank 1..k per query — the same surface
+    as :func:`pq_knn_join`, with the scan pruned to ~nprobe/nlist of
+    the corpus instead of all of it.
+
+    Shape:
+    - queries collect driver-side (bounded by ``max_queries``; for a
+      million-row query table chunk the callers' side or use
+      ``pq_knn_join``'s distributed path over a flat-PQ encoding);
+      their probe cells come from one tiny numpy matmul;
+    - the corpus FILTERS to the union of probed cells BEFORE the
+      Arrow pass (a plain JVM ``isin`` predicate — partition-pruning
+      when the corpus is written partitioned by cell, and always
+      upstream of any Python);
+    - one ``mapInPandas`` over the surviving codes: per batch and per
+      cell present, the residual LUTs of the queries probing that cell
+      are rebuilt from the raw query vectors (m x 2^nbits x d/m flops
+      — cheaper than shipping Q x nprobe LUTs) and the same tiled
+      LOSSLESS threshold pre-filter as pq_knn_join emits candidates;
+    - a per-query WindowGroupLimit finalizes rank <= k.
+
+    With ``nprobe == len(index["centroids"])`` the result is the exact
+    ADC ranking over residual codes (ties by ascending match id)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    qtd = queries if isinstance(queries, Tibble) else Tibble(queries)
+    ctd = corpus if isinstance(corpus, Tibble) else Tibble(corpus)
+    qid, qemb, idn = _name_of(query_id), _name_of(query_embedding), _name_of(id_col)
+    kk = int(k)
+
+    qrows = qtd.df.select(qid, qemb).limit(max_queries + 1).collect()
+    if not qrows:
+        raise ValueError("ivfpq_knn_join: empty query table")
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivfpq_knn_join: query table exceeds max_queries="
+            f"{max_queries}; chunk the query side, or use pq_knn_join's "
+            "distributed path for unbounded query tables"
+        )
+    qids = [r[0] for r in qrows]
+    Qm = np.array([list(r[1]) for r in qrows], dtype="float64")
+    Cn = np.array(index["centroids"], dtype="float64")
+    codebook = index["codebook"]
+    mB = len(codebook)
+    dsub = len(codebook[0][0])
+    if Qm.shape[1] != mB * dsub:
+        raise ValueError(
+            f"ivfpq_knn_join: query dim {Qm.shape[1]} != codebook dim "
+            f"{mB * dsub}"
+        )
+    nq = len(qids)
+    npb = min(int(nprobe), Cn.shape[0])
+    dqc = (Cn * Cn).sum(axis=1)[None, :] - 2.0 * (Qm @ Cn.T)
+    probe = np.argsort(dqc, axis=1)[:, :npb]  # (Q, nprobe)
+    # cell -> array of query indices probing it (small driver dict)
+    probers: dict[int, Any] = {}
+    for qi in range(nq):
+        for c in probe[qi]:
+            probers.setdefault(int(c), []).append(qi)
+    probers = {c: np.array(v, dtype="int64") for c, v in probers.items()}
+    probed_cells = sorted(probers)
+
+    def score_batches(batches):
+        import pandas as pd  # noqa: F811 (executor-side import)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["__cell"].to_numpy()
+            M = np.array(pdf["__code"].tolist(), dtype="int64")
+            ids = pdf["__mid"].to_numpy()
+            for c in np.unique(cells):
+                qsub = probers.get(int(c))
+                if qsub is None:
+                    continue
+                sel = cells == c
+                Mc, idc = M[sel], ids[sel]
+                # residual LUTs for exactly the queries probing c
+                luts = _build_luts(Qm[qsub] - Cn[int(c)][None, :], codebook)
+                for qix, mids, dists in _adc_candidates(luts, Mc, idc, kk):
+                    yield pd.DataFrame(
+                        {
+                            "__qix": qsub[qix],
+                            "__mid": mids,
+                            "pq_dist": dists,
+                        }
+                    )
+
+    codes = ctd.df.select(
+        F.col(idn).alias("__mid"),
+        F.col(cell_col).alias("__cell"),
+        F.col(code_col).alias("__code"),
+    ).where(
+        F.col("__code").isNotNull()
+        & F.col("__cell").isin([int(c) for c in probed_cells])
+    )
+    mid_type = dict(codes.dtypes)["__mid"]
+    cand = codes.mapInPandas(
+        score_batches, schema=f"__qix bigint, __mid {mid_type}, pq_dist double"
+    )
+    w = Window.partitionBy("__qix").orderBy(
+        F.col("pq_dist").asc(), F.col("__mid").asc()
+    )
+    topk = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= kk
+    )
+    qid_type = dict(qtd.df.select(F.col(qid)).dtypes)[qid]
+    qmap = ctd.df.sparkSession.createDataFrame(
+        [(int(i), qids[i]) for i in range(nq)],
+        f"__qix bigint, query_id {qid_type}",
+    )
+    out = (
+        topk.join(F.broadcast(qmap), "__qix")
+        .select(
+            "query_id", F.col("__mid").alias("match_id"), "pq_dist", "rank"
+        )
+        .orderBy("query_id", "rank")
+    )
+    return Tibble(out)
