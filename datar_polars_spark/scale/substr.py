@@ -31,11 +31,14 @@ package. Granularity is k words: repeats shorter than k are invisible
 (by design, as in the paper), and span boundaries are word-aligned.
 
 ``mask_duplicate_spans`` applies the report destructively: drop every
-word inside a flagged span. NOTE this removes ALL occurrences of a
-repeated passage, including its "canonical" first copy — keeping
-exactly one copy corpus-wide needs a global occurrence order and is
-deliberately out of scope (the paper's self-join variant also cuts
-every occurrence).
+word inside a flagged span. ``keep="all"`` (the default, the paper's
+self-join behavior) removes ALL occurrences of a repeated passage,
+including its first copy. ``keep="first"`` retains the GLOBALLY-FIRST
+occurrence of each duplicated gram — min (doc id, position) per gram,
+computed as one extra min-of-struct expression inside the existing
+qualification aggregate (partial-aggregated, no extra shuffle) — so
+exactly one copy of common boilerplate survives corpus-wide, which is
+what a careful pipeline wants for licenses and templates.
 """
 
 from __future__ import annotations
@@ -114,30 +117,50 @@ def _merge_runs(positions: Column, k: int) -> Column:
     )
 
 
-@verb
-def duplicate_spans(
-    td: Tibble,
-    text: Any = "text",
-    id: Any = "doc_id",
-    k: int = 20,
-    min_count: int = 2,
-    min_docs: int | None = None,
-) -> Tibble:
-    """Report, per document, the maximal word spans whose every k-gram
-    repeats elsewhere in the corpus.
+# Persist size gate: the exploded gram frame caches ~(8 id + 4 pos +
+# 8 hash + row overhead) ~ 48 bytes per corpus WORD; raw text in the
+# source files averages ~6 bytes per word and parquet compresses ~2x,
+# so the cached gram frame is ~16x the scanned file bytes. Above the
+# cap we recompute the tokenize+hash map for the second consumer
+# instead of spilling that much to executor local disk.
+_GRAM_BYTES_PER_INPUT_BYTE = 16
 
-    A gram is flagged when its total occurrence count reaches
-    ``min_count`` (within-document repeats included); ``min_docs``
-    additionally requires it to appear in that many distinct documents
-    (cross-document boilerplate only). Output: one row per document
-    that has at least one flagged span —
-    ``(id, dup_spans array<struct<start,end>>, dup_words,
-    dup_word_fraction)`` with word-index [start, end) spans.
-    """
+
+def _estimate_input_bytes(df) -> int | None:
+    """Sum of the source files behind ``df`` (driver metadata only —
+    no job). None when the plan has no file source (in-memory frames),
+    or the paths are not local/stat-able."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    for fp in files:
+        p = urlparse(fp).path or fp
+        if not os.path.exists(p):
+            return None
+        total += os.path.getsize(p)
+    return total
+
+
+def _flagged_grams(
+    df, tname: str, idn: str, k: int, min_count: int,
+    min_docs: int | None, exclude_first: bool, persist_max_bytes: int,
+):
+    """(__id, __nw, __pos, __h) rows for every qualifying gram
+    occurrence — the shared core of the report and the mask.
+
+    ``exclude_first`` drops each gram's GLOBALLY-FIRST occurrence
+    (min (doc id, position), one extra min-of-struct expression in the
+    qualification aggregate — partial-aggregated, no extra shuffle)."""
     from .dedup import _ensure_parallelism
 
-    tname, idn = _name_of(text), _name_of(id)
-    df = _ensure_parallelism(td.df)
+    df = _ensure_parallelism(df)
     grams = df.select(
         F.col(idn).alias("__id"),
         F.size(F.split(F.lower(F.trim(F.col(tname))), r"\s+")).alias("__nw"),
@@ -147,16 +170,20 @@ def duplicate_spans(
     )
     # the gram frame feeds BOTH the qualification aggregate and the
     # join-back: persist it so the tokenize+hash map runs once instead
-    # of twice (at corpus scale, recomputing the k-gram hashes of every
-    # document costs more than spilling the gram rows to local disk);
-    # bounded by the internal-cache registry
-    from pyspark import StorageLevel
+    # of twice — but only while the estimated gram bytes fit under
+    # ``persist_max_bytes`` (the disk-vs-recompute tradeoff made
+    # explicit; past the cap the map recomputes, which at extreme
+    # corpus scale beats spilling ~(words x k) rows to local disk).
+    # Unknown input size (non-file sources) keeps the persist.
+    est = _estimate_input_bytes(df)
+    if est is None or est * _GRAM_BYTES_PER_INPUT_BYTE <= persist_max_bytes:
+        from pyspark import StorageLevel
 
-    from ..plans.cache import register_internal_cache
+        from ..plans.cache import register_internal_cache
 
-    grams = register_internal_cache(
-        grams.persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        grams = register_internal_cache(
+            grams.persist(StorageLevel.MEMORY_AND_DISK)
+        )
 
     # Qualifying grams via groupBy + join-back, NOT a window over the
     # gram hash: gram hashes are uniform but occurrence counts are
@@ -170,12 +197,31 @@ def duplicate_spans(
         # exact distinct docs per gram: planned as a two-phase
         # aggregate over (__h, __id) — still partial-aggregated
         aggs.append(F.countDistinct("__id").alias("__nd"))
+    if exclude_first:
+        aggs.append(
+            F.min(
+                F.struct(
+                    F.col("__id").alias("i"), F.col("__pos").alias("p")
+                )
+            ).alias("__first")
+        )
     hot = grams.groupBy("__h").agg(*aggs).where(F.col("__cnt") >= min_count)
     if min_docs is not None:
         hot = hot.where(F.col("__nd") >= min_docs)
-    flagged = grams.join(hot.select("__h"), "__h")
+    if exclude_first:
+        flagged = grams.join(hot.select("__h", "__first"), "__h").where(
+            ~(
+                (F.col("__id") == F.col("__first.i"))
+                & (F.col("__pos") == F.col("__first.p"))
+            )
+        ).drop("__first")
+    else:
+        flagged = grams.join(hot.select("__h"), "__h")
+    return flagged
 
-    per_doc = (
+
+def _spans_per_doc(flagged, idn: str, k: int):
+    return (
         flagged.groupBy("__id")
         .agg(
             F.array_sort(F.collect_list("__pos")).alias("__ps"),
@@ -203,7 +249,41 @@ def duplicate_spans(
             ).alias("dup_word_fraction"),
         )
     )
-    return td.with_df(per_doc)
+
+
+@verb
+def duplicate_spans(
+    td: Tibble,
+    text: Any = "text",
+    id: Any = "doc_id",
+    k: int = 20,
+    min_count: int = 2,
+    min_docs: int | None = None,
+    persist_max_bytes: int = 64 << 30,
+) -> Tibble:
+    """Report, per document, the maximal word spans whose every k-gram
+    repeats elsewhere in the corpus.
+
+    A gram is flagged when its total occurrence count reaches
+    ``min_count`` (within-document repeats included); ``min_docs``
+    additionally requires it to appear in that many distinct documents
+    (cross-document boilerplate only). Output: one row per document
+    that has at least one flagged span —
+    ``(id, dup_spans array<struct<start,end>>, dup_words,
+    dup_word_fraction)`` with word-index [start, end) spans.
+
+    ``persist_max_bytes`` gates the internal gram-frame persist: while
+    the estimated exploded-gram bytes (~16x the scanned file bytes) fit
+    under the cap, the tokenize+hash map is cached for its two
+    consumers; past it, the map recomputes instead of spilling
+    ~(words x k) rows to executor local disk.
+    """
+    tname, idn = _name_of(text), _name_of(id)
+    flagged = _flagged_grams(
+        td.df, tname, idn, k, min_count, min_docs,
+        exclude_first=False, persist_max_bytes=persist_max_bytes,
+    )
+    return td.with_df(_spans_per_doc(flagged, idn, k))
 
 
 @verb
@@ -214,15 +294,27 @@ def mask_duplicate_spans(
     k: int = 20,
     min_count: int = 2,
     min_docs: int | None = None,
+    keep: str = "all",
+    persist_max_bytes: int = 64 << 30,
 ) -> Tibble:
-    """Remove every word inside a corpus-repeated span (all occurrences
-    — see module note) and return the frame with ``text`` rewritten.
-    Documents without flagged spans pass through untouched; word
-    boundaries collapse to single spaces in rewritten documents."""
+    """Remove every word inside a corpus-repeated span and return the
+    frame with ``text`` rewritten. ``keep="all"`` (default) masks ALL
+    occurrences, the paper's self-join behavior; ``keep="first"``
+    retains each duplicated gram's globally-first occurrence
+    (min (doc id, position)), so exactly one copy of a repeated passage
+    survives corpus-wide — see the module note. Documents without
+    flagged spans pass through untouched; word boundaries collapse to
+    single spaces in rewritten documents."""
+    if keep not in ("all", "first"):
+        raise ValueError(
+            f"mask_duplicate_spans: keep must be 'all' or 'first', got {keep!r}"
+        )
     tname, idn = _name_of(text), _name_of(id)
-    report = duplicate_spans(
-        td, text=text, id=id, k=k, min_count=min_count, min_docs=min_docs
-    ).df.select(F.col(idn), "dup_spans")
+    flagged = _flagged_grams(
+        td.df, tname, idn, k, min_count, min_docs,
+        exclude_first=(keep == "first"), persist_max_bytes=persist_max_bytes,
+    )
+    report = _spans_per_doc(flagged, idn, k).select(F.col(idn), "dup_spans")
     joined = td.df.join(report, idn, "left")
     toks = F.split(F.trim(F.col(tname)), r"\s+")
     kept = F.filter(

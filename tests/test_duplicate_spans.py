@@ -186,3 +186,164 @@ def test_skewed_hot_gram_fuzz(spark):
         for r in out.where("doc_id >= 100000").collect()
     }
     assert tail == {200_001: [(2, 7)]}
+
+
+# ---- keep="first" canonical-occurrence masking ----------------------------
+
+def test_keep_first_exactly_one_copy_survives(spark, corpus):
+    """keep='first': the globally-first (min doc id, pos) occurrence of
+    the planted boilerplate survives; every other copy is masked."""
+    docs, td = corpus
+    out = {
+        r["doc_id"]: r["text"]
+        for r in mask_duplicate_spans(td, k=5, min_count=2, keep="first")
+        .df.collect()
+    }
+    boiler_words = BOILER.split()
+    def contains_boiler(text):
+        toks = text.strip().lower().split()
+        return any(
+            toks[i : i + len(boiler_words)] == boiler_words
+            for i in range(len(toks) - len(boiler_words) + 1)
+        )
+    # doc 1 is the earliest id containing the boilerplate -> keeps it
+    assert contains_boiler(out[1])
+    # docs 2 and 4 lose their copies
+    assert not contains_boiler(out[2])
+    assert not contains_boiler(out[4])
+    # exactly one copy corpus-wide
+    assert sum(contains_boiler(t) for t in out.values()) == 1
+    # non-boilerplate words of doc 2 survive
+    assert "other prefix content here" in out[2]
+    # untouched doc passes through verbatim
+    assert out[3] == docs[2][1]
+
+
+def test_keep_first_within_doc_repeats(spark):
+    """A passage repeating WITHIN the earliest doc keeps only its first
+    (lowest-position) occurrence there."""
+    filler1 = "aa bb cc dd ee"
+    filler2 = "ff gg hh ii jj"
+    docs = [
+        (1, f"{BOILER} {filler1} {BOILER} {filler2}"),
+        (2, f"prefix words here now {BOILER}"),
+    ]
+    td = ensure_tibble(spark.createDataFrame(docs, "doc_id int, text string"))
+    out = {
+        r["doc_id"]: r["text"]
+        for r in mask_duplicate_spans(td, k=5, min_count=2, keep="first")
+        .df.collect()
+    }
+    bw = BOILER.split()
+    def count_boiler(text):
+        toks = text.strip().lower().split()
+        return sum(
+            toks[i : i + len(bw)] == bw for i in range(len(toks) - len(bw) + 1)
+        )
+    assert count_boiler(out[1]) == 1
+    assert out[1].startswith(BOILER)  # the first occurrence survives
+    assert filler1 in out[1] and filler2 in out[1]
+    assert count_boiler(out[2]) == 0
+
+
+def test_keep_default_unchanged_and_validation(spark, corpus):
+    docs, td = corpus
+    a = mask_duplicate_spans(td, k=5, min_count=2).df.orderBy("doc_id").collect()
+    b = mask_duplicate_spans(td, k=5, min_count=2, keep="all").df.orderBy(
+        "doc_id"
+    ).collect()
+    assert [r["text"] for r in a] == [r["text"] for r in b]
+    with pytest.raises(ValueError, match="keep"):
+        mask_duplicate_spans(td, k=5, keep="canonical").df.collect()
+
+
+def test_keep_first_fuzz_against_oracle(spark):
+    """Randomized corpus: keep='first' output must equal a pure-Python
+    oracle that flags every qualifying gram occurrence EXCEPT its
+    global (doc, pos) minimum, then merges runs and masks."""
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    passage = " ".join(rng.choice(vocab) for _ in range(8))
+    docs = []
+    for i in range(12):
+        words = [rng.choice(vocab) for _ in range(rng.randint(6, 25))]
+        if rng.random() < 0.6:
+            at = rng.randint(0, len(words))
+            words[at:at] = passage.split()
+        docs.append((i, " ".join(words)))
+    td = ensure_tibble(spark.createDataFrame(docs, "doc_id int, text string"))
+    k, mc = 4, 2
+    got = {
+        r["doc_id"]: r["text"]
+        for r in mask_duplicate_spans(td, k=k, min_count=mc, keep="first")
+        .df.collect()
+    }
+
+    # oracle
+    tokenized = {i: t.strip().lower().split() for i, t in docs}
+    occ: dict = {}
+    for i in sorted(tokenized):
+        toks = tokenized[i]
+        for p in range(len(toks) - k + 1):
+            occ.setdefault(tuple(toks[p : p + k]), []).append((i, p))
+    flagged_by_doc: dict = {i: set() for i in tokenized}
+    for gram, sites in occ.items():
+        if len(sites) < mc:
+            continue
+        first = min(sites)
+        for site in sites:
+            if site != first:
+                flagged_by_doc[site[0]].add(site[1])
+    for i, toks in tokenized.items():
+        spans = []
+        for p in sorted(flagged_by_doc[i]):
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        masked = set()
+        for s, e0 in spans:
+            masked.update(range(s, e0))
+        want = " ".join(
+            w for j, w in enumerate(docs[i][1].strip().split()) if j not in masked
+        )
+        assert got[i] == want, (i, got[i], want)
+
+
+# ---- persist size gate ------------------------------------------------------
+
+def test_persist_gate_both_paths_same_answer(spark, corpus):
+    """persist_max_bytes=0 forces the recompute path; the report must
+    be identical to the (default) persisted path."""
+    docs, td = corpus
+    a = duplicate_spans(td, k=5, min_count=2).df.orderBy("doc_id").collect()
+    b = duplicate_spans(td, k=5, min_count=2, persist_max_bytes=0).df.orderBy(
+        "doc_id"
+    ).collect()
+    assert [
+        (r["doc_id"], [(s["start"], s["end"]) for s in r["dup_spans"]], r["dup_words"])
+        for r in a
+    ] == [
+        (r["doc_id"], [(s["start"], s["end"]) for s in r["dup_spans"]], r["dup_words"])
+        for r in b
+    ]
+
+
+def test_persist_gate_file_source(spark, tmp_path):
+    """A file-backed corpus estimates its input bytes from footers; a
+    tiny file stays under any realistic cap (persist fires), and a
+    zero cap disables it — both produce the same report."""
+    from datar_polars_spark import read_parquet
+    from datar_polars_spark.scale.substr import _estimate_input_bytes
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, BOILER + " xx yy"), (2, BOILER + " zz ww")],
+        "doc_id int, text string",
+    ).write.parquet(p)
+    td = read_parquet(spark, p)
+    est = _estimate_input_bytes(td.df)
+    assert est is not None and est > 0
+    a = duplicate_spans(td, k=5, min_count=2).df.collect()
+    b = duplicate_spans(td, k=5, min_count=2, persist_max_bytes=0).df.collect()
+    assert {r["doc_id"] for r in a} == {r["doc_id"] for r in b} == {1, 2}
