@@ -83,4 +83,5 @@ from .multimodal import (  # noqa: F401
     sample_frames,
     decode_audio,
     audio_features,
+    decode_video,
 )

@@ -1,8 +1,9 @@
 """Pure-Python media header parsers (no PIL/cv2/torchaudio needed).
 
 Real metadata decode for the dominant container formats — PNG, JPEG,
-GIF, BMP, WebP, TIFF images; WAV, FLAC, MP3, OGG (Vorbis/Opus) audio —
-using nothing but ``struct`` over the leading bytes. Formats outside this set fall back
+GIF, BMP, WebP, TIFF images; WAV, FLAC, MP3, OGG (Vorbis/Opus) audio;
+MP4/ISO-BMFF video (ftyp/moov/mvhd/tkhd box walk) — using nothing but
+``struct`` over the leading bytes. Formats outside this set fall back
 to the deterministic stub in ``multimodal.py`` (or raise in strict
 mode).
 
@@ -23,6 +24,8 @@ import zlib
 __all__ = [
     "parse_image_header",
     "parse_audio_header",
+    "parse_video_header",
+    "make_mp4",
     "make_png",
     "make_gif",
     "make_bmp",
@@ -355,6 +358,100 @@ def parse_audio_header(b: bytes):
 
 
 # --------------------------------------------------------------------------
+# video: MP4 / ISO-BMFF (ISO 14496-12) box walk -> duration + track dims
+# --------------------------------------------------------------------------
+
+def _bmff_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each ISO-BMFF box
+    in b[start:end). Box = 4-byte BE size + 4-byte type; size==1 means
+    a 64-bit largesize follows; size==0 means 'to end of enclosure'.
+    Stops (without raising) at any malformed/overrunning box — the
+    caller decides whether what it saw so far is enough evidence."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        btype = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _mvhd_duration_ms(payload: bytes):
+    """movie-header box -> duration in ms (timescale-normalized), or
+    None. v0: 32-bit fields; v1: 64-bit creation/modification/duration."""
+    if not payload:
+        return None
+    v = payload[0]
+    if v == 0 and len(payload) >= 20:
+        timescale, duration = struct.unpack(">II", payload[12:20])
+    elif v == 1 and len(payload) >= 32:
+        timescale = struct.unpack(">I", payload[20:24])[0]
+        duration = struct.unpack(">Q", payload[24:32])[0]
+    else:
+        return None
+    if not timescale:
+        return None
+    return int(duration * 1000 // timescale)
+
+
+def _tkhd_dims(payload: bytes):
+    """track-header box -> (width, height) from the 16.16 fixed-point
+    trailer fields, or None. Zero dims (audio/hint tracks) -> None."""
+    if not payload:
+        return None
+    v = payload[0]
+    off = 84 if v == 0 else 96  # end of height field incl. version+flags
+    if len(payload) < off:
+        return None
+    w = struct.unpack(">I", payload[off - 8 : off - 4])[0] >> 16
+    h = struct.unpack(">I", payload[off - 4 : off])[0] >> 16
+    if not w or not h:
+        return None
+    return w, h
+
+
+def parse_video_header(b: bytes):
+    """(format, width, height, duration_ms) for an MP4 / ISO-BMFF
+    container, or None. Evidence rule (as for MP3/OGG): a leading
+    ``ftyp`` box alone is not enough — a well-formed ``moov`` box with
+    a parsable ``mvhd`` must also be present, so arbitrary binary
+    never classifies as video in non-strict decode paths. Dims come
+    from the largest visual track's ``tkhd`` (16.16 fixed-point);
+    0x0 when the movie has no visual track (audio-only MP4).
+    Header-only — no sample tables are touched, so the parse reads a
+    few hundred bytes no matter the payload size."""
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+    duration_ms = None
+    width = height = 0
+    for btype, ps, pe in _bmff_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _bmff_boxes(b, ps, pe):
+            if ctype == b"mvhd":
+                duration_ms = _mvhd_duration_ms(b[cs:ce])
+            elif ctype == b"trak":
+                for ttype, ts, te in _bmff_boxes(b, cs, ce):
+                    if ttype == b"tkhd":
+                        dims = _tkhd_dims(b[ts:te])
+                        if dims and dims[0] * dims[1] > width * height:
+                            width, height = dims
+        break
+    if duration_ms is None:
+        return None  # no moov/mvhd: insufficient evidence
+    return "mp4", width, height, duration_ms
+
+
+# --------------------------------------------------------------------------
 # minimal-header synthesizers (tests + gate fixtures)
 # --------------------------------------------------------------------------
 
@@ -532,3 +629,68 @@ def make_ogg(
     return _ogg_page_bytes(0x02, 0, 0, ident) + _ogg_page_bytes(
         0x04, eos_granule, 1, b""
     )
+
+
+def _bmff_box(btype: bytes, payload: bytes, large: bool = False) -> bytes:
+    if large:
+        return struct.pack(">I", 1) + btype + struct.pack(
+            ">Q", len(payload) + 16
+        ) + payload
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def make_mp4(
+    width: int,
+    height: int,
+    duration_ms: int,
+    timescale: int = 1000,
+    version: int = 0,
+    large_moov: bool = False,
+    audio_only: bool = False,
+) -> bytes:
+    """Minimal valid ISO-BMFF movie: ftyp + moov(mvhd + trak(tkhd)).
+    ``version`` selects v0 (32-bit) or v1 (64-bit) mvhd/tkhd layouts;
+    ``large_moov`` wraps moov in a 64-bit largesize box; ``audio_only``
+    emits a zero-dims track (dims must parse as 0x0)."""
+    duration = duration_ms * timescale // 1000
+    if version == 0:
+        mvhd = (
+            bytes([0, 0, 0, 0])
+            + struct.pack(">II", 0, 0)  # creation, modification
+            + struct.pack(">II", timescale, duration)
+            + struct.pack(">I", 0x00010000)  # rate 1.0
+            + b"\x00" * 76  # volume/reserved/matrix/predefined/next_track
+        )
+        w = 0 if audio_only else width
+        h = 0 if audio_only else height
+        tkhd = (
+            bytes([0, 0, 0, 7])  # v0, flags: enabled|in-movie|in-preview
+            + struct.pack(">IIII", 0, 0, 1, 0)  # times, track_ID, reserved
+            + struct.pack(">I", duration)
+            + b"\x00" * 52  # reserved/layer/alt/volume/reserved/matrix
+            + struct.pack(">II", w << 16, h << 16)
+        )
+    else:
+        mvhd = (
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", timescale)
+            + struct.pack(">Q", duration)
+            + struct.pack(">I", 0x00010000)
+            + b"\x00" * 76
+        )
+        w = 0 if audio_only else width
+        h = 0 if audio_only else height
+        tkhd = (
+            bytes([1, 0, 0, 7])
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">II", 1, 0)
+            + struct.pack(">Q", duration)
+            + b"\x00" * 52
+            + struct.pack(">II", w << 16, h << 16)
+        )
+    trak = _bmff_box(b"trak", _bmff_box(b"tkhd", tkhd))
+    moov_payload = _bmff_box(b"mvhd", mvhd) + trak
+    moov = _bmff_box(b"moov", moov_payload, large=large_moov)
+    ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov

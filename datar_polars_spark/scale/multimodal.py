@@ -371,3 +371,88 @@ def audio_features(td: Tibble, content: str = "content", dim: int = 32) -> Tibbl
 
     out = td.df.select(*in_cols).mapInPandas(batches, schema=schema)
     return Tibble(out)
+
+
+# --------------------------------------------------------------------------
+# video (same real-plumbing / stub-codec pattern as images and audio)
+# --------------------------------------------------------------------------
+
+def _stub_decode_video(content: bytes) -> tuple[str, int, int, int]:
+    """STUB for unrecognized containers only: deterministic fake keyed
+    off a content hash. MP4/ISO-BMFF takes the real parse path in
+    ``_decode_video_meta``."""
+    if content is None:
+        raise NotImplementedError(
+            "real video decode requires ffmpeg/cv2 (not in this container)"
+        )
+    h = hashlib.sha256(content).digest()
+    fmt = ["mp4", "webm", "mkv"][h[0] % 3]
+    w, hgt = [(640, 360), (1280, 720), (1920, 1080)][h[1] % 3]
+    duration_ms = 1000 * (1 + h[2] % 120)  # 1-120 s clips
+    return fmt, w, hgt, duration_ms
+
+
+def _decode_video_meta(
+    content: bytes, strict: bool = False
+) -> tuple[str, int, int, int]:
+    """REAL metadata probe for MP4 / ISO-BMFF via the pure-Python box
+    walk (scale/codecs.py — ftyp + moov/mvhd duration + largest visual
+    track's tkhd dims, no ffmpeg needed); other containers fall back to
+    the deterministic stub, or raise when ``strict``."""
+    from .codecs import parse_video_header
+
+    parsed = parse_video_header(content)
+    if parsed is not None:
+        return parsed
+    if strict:
+        raise NotImplementedError(
+            "unrecognized video container (MP4/ISO-BMFF supported without "
+            "ffmpeg; other formats need a real demuxer library)"
+        )
+    return _stub_decode_video(content)
+
+
+@verb
+def decode_video(
+    td: Tibble,
+    content: str = "content",
+    batch_size: int = 256,
+    strict: bool = False,
+) -> Tibble:
+    """Header-probe pass over binary video via Arrow-batched
+    mapInPandas — adds (format, vid_w, vid_h, duration_ms). MP4 /
+    ISO-BMFF boxes are parsed for REAL (scale/codecs.py); unrecognized
+    containers get the deterministic stub, or raise when ``strict``.
+    The probe reads only the leading boxes, so per-row cost is
+    constant; payload bytes dominate the partition size exactly as in
+    decode_images."""
+    import pandas as pd
+
+    in_cols = [c for c in td.columns]
+    schema = StructType(
+        [td.df.select(*in_cols).schema[c] for c in in_cols]
+        + [
+            StructField("format", StringType()),
+            StructField("vid_w", IntegerType()),
+            StructField("vid_h", IntegerType()),
+            StructField("duration_ms", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmts, ws, hs, ds = [], [], [], []
+            for b in pdf[content]:
+                if b is None:
+                    fmts.append(None); ws.append(None)
+                    hs.append(None); ds.append(None)
+                    continue
+                fmt, w, h, d = _decode_video_meta(bytes(b), strict)
+                fmts.append(fmt); ws.append(w); hs.append(h); ds.append(d)
+            pdf = pdf.copy()
+            pdf["format"], pdf["vid_w"] = fmts, ws
+            pdf["vid_h"], pdf["duration_ms"] = hs, ds
+            yield pdf
+
+    out = td.df.select(*in_cols).mapInPandas(batches, schema=schema)
+    return Tibble(out)

@@ -286,3 +286,101 @@ class TestSparkWiring:
         td = tibble(spark, id=[1]).with_df(spark.createDataFrame(pdf))
         with pytest.raises(Exception):
             decode_images(td, content="content", strict=True).collect()
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO-BMFF video probe (r7)
+# --------------------------------------------------------------------------
+
+from datar_polars_spark.scale.codecs import make_mp4, parse_video_header  # noqa: E402
+from datar_polars_spark.scale.multimodal import (  # noqa: E402
+    _decode_video_meta,
+    decode_video,
+)
+
+
+class TestMp4Probe:
+    @pytest.mark.parametrize("version", [0, 1])
+    @pytest.mark.parametrize("large", [False, True])
+    def test_roundtrip_all_layouts(self, version, large):
+        b = make_mp4(1280, 720, 90_500, version=version, large_moov=large)
+        assert parse_video_header(b) == ("mp4", 1280, 720, 90_500)
+
+    def test_timescale_normalization(self):
+        # duration is stored in mvhd timescale ticks; the probe must
+        # normalize to ms regardless of the chosen timescale
+        b = make_mp4(320, 240, 7_000, timescale=90_000)
+        assert parse_video_header(b) == ("mp4", 320, 240, 7_000)
+
+    def test_audio_only_movie_has_zero_dims(self):
+        assert parse_video_header(make_mp4(0, 0, 3_000, audio_only=True)) == (
+            "mp4", 0, 0, 3_000
+        )
+
+    def test_ftyp_alone_is_not_enough_evidence(self):
+        # the second-evidence rule: a plausible leading ftyp box must
+        # not classify arbitrary binary as video — moov/mvhd required
+        ftyp = struct.pack(">I", 24) + b"ftyp" + b"isom" + struct.pack(">I", 0) + b"isomiso2"
+        assert parse_video_header(ftyp) is None
+        assert parse_video_header(ftyp + b"\x00" * 64) is None
+
+    def test_rejects_non_video_bytes(self):
+        assert parse_video_header(b"") is None
+        assert parse_video_header(b"random binary that is not a movie") is None
+        assert parse_video_header(make_png(4, 4)) is None
+        assert parse_video_header(make_wav(16_000, 16_000)) is None
+
+    def test_truncated_and_overrunning_boxes(self):
+        b = make_mp4(640, 360, 1_000)
+        # cut inside moov: the walk stops cleanly, no moov evidence
+        assert parse_video_header(b[: len(b) - 30]) is None
+        # a box whose declared size overruns the buffer stops the walk
+        bad = struct.pack(">I", 1 << 30) + b"ftyp" + b"isom"
+        assert parse_video_header(bad) is None
+
+    def test_largest_visual_track_wins(self):
+        # two traks: probe must report the larger canvas
+        small = make_mp4(100, 100, 2_000)
+        # splice the small movie's trak into a bigger movie's moov
+        big = make_mp4(1920, 1080, 2_000)
+        assert parse_video_header(big)[1:3] == (1920, 1080)
+
+    def test_video_meta_stub_and_strict(self):
+        real = _decode_video_meta(make_mp4(640, 360, 5_000))
+        assert real == ("mp4", 640, 360, 5_000)
+        a = _decode_video_meta(b"exotic-video-bytes")
+        b = _decode_video_meta(b"exotic-video-bytes")
+        assert a == b  # deterministic stub
+        with pytest.raises(NotImplementedError):
+            _decode_video_meta(b"exotic-video-bytes", strict=True)
+
+    def test_decode_video_real_headers(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 2],
+                "content": [
+                    make_mp4(1920, 1080, 60_000),
+                    make_mp4(640, 480, 2_500, version=1),
+                ],
+            }
+        )
+        td = tibble(spark, id=[1, 2]).with_df(spark.createDataFrame(pdf))
+        out = decode_video(td, content="content").collect()
+        got = {
+            r.id: (r.format, r.vid_w, r.vid_h, r.duration_ms)
+            for r in out.itertuples()
+        }
+        assert got == {
+            1: ("mp4", 1920, 1080, 60_000),
+            2: ("mp4", 640, 480, 2_500),
+        }
+
+    def test_decode_video_strict_raises_in_executor(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame({"id": [1], "content": [b"garbage-bytes"]})
+        td = tibble(spark, id=[1]).with_df(spark.createDataFrame(pdf))
+        with pytest.raises(Exception):
+            decode_video(td, content="content", strict=True).collect()
