@@ -46,11 +46,16 @@ def _name_of(x: Any) -> str:
     return x._name if isinstance(x, Ref) else str(x)
 
 
-def _doc_grams(df: DataFrame, tname: str, idn: str, order: int) -> DataFrame:
-    """(id, w, ctx1..ctx{order-1}) for every token: the word plus its
-    preceding context of each length 1..order-1 (BOS-padded, contexts
-    space-joined), built from one narrow transform+explode over the
-    token array — no shuffle. Empty/NULL docs yield no rows.
+def _doc_grams(
+    df: DataFrame, tname: str, idn: str, order: int,
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """(id, [extra...], w, ctx1..ctx{order-1}) for every token: the
+    word plus its preceding context of each length 1..order-1
+    (BOS-padded, contexts space-joined), built from one narrow
+    transform+explode over the token array — no shuffle. ``extra``
+    columns (e.g. a language key for per-group models) pass through
+    unchanged. Empty/NULL docs yield no rows.
 
     The padded token array is BOUND ONCE per row via a 1-element
     transform (the same trick as the simhash fold): referencing the
@@ -89,8 +94,11 @@ def _doc_grams(df: DataFrame, tname: str, idn: str, order: int) -> DataFrame:
         F.size(toks) > 0,
         F.element_at(F.transform(F.array(padded), per_padded), 1),
     )
-    out = df.select(F.col(idn).alias("id"), F.explode(grams).alias("g"))
-    cols = ["id", F.col("g.w").alias("w")] + [
+    passthru = list(extra or [])
+    out = df.select(
+        F.col(idn).alias("id"), *passthru, F.explode(grams).alias("g")
+    )
+    cols = ["id", *passthru, F.col("g.w").alias("w")] + [
         F.col(f"g.ctx{length}").alias(f"ctx{length}")
         for length in range(1, order)
     ]
@@ -103,6 +111,7 @@ def ngram_lm_train(
     text: Any = "text",
     order: int = 2,
     min_count: int = 1,
+    by: Any = None,
 ) -> Tibble:
     """Count model from a reference corpus: one frame
     ``(n, context, word, c, c_ctx)`` with a row per surviving k-gram
@@ -111,37 +120,57 @@ def ngram_lm_train(
     (k-1)-token context string and ``c_ctx`` = the EXACT pre-pruning
     occurrence total of that context, so backoff denominators stay
     correct under ``min_count`` pruning (unigrams are never pruned so
-    backoff stays total)."""
+    backoff stays total).
+
+    ``by`` trains one independent model PER GROUP (the CCNet pattern:
+    one LM per language): the output gains the group column, every
+    count table keys on (group, ...), and N is per group. The plan
+    shape is unchanged — the group key simply widens each groupBy/join
+    key, so partial aggregation and hash-join distribution carry over
+    verbatim."""
     if order < 2:
         raise ValueError(f"ngram_lm_train: order must be >= 2, got {order}")
     tname = _name_of(text)
-    df = td.df.select(F.col(tname)).where(F.col(tname).isNotNull())
-    # counts are corpus-global: the per-row id is irrelevant here
-    grams = _doc_grams(df.withColumn("__rid", F.lit(0)), tname, "__rid", order)
+    grp = _name_of(by) if by is not None else None
+    gcols = [grp] if grp else []
+    keep = [F.col(tname)] + ([F.col(grp)] if grp else [])
+    df = td.df.select(*keep).where(F.col(tname).isNotNull())
+    if grp:
+        df = df.where(F.col(grp).isNotNull())
+    # counts are corpus-global (per group): the per-row id is irrelevant
+    grams = _doc_grams(
+        df.withColumn("__rid", F.lit(0)), tname, "__rid", order, extra=gcols
+    )
 
-    uni = grams.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    n_total = uni.agg(F.sum("c").alias("__N"))
-    unigrams = (
-        uni.crossJoin(F.broadcast(n_total))
-        .select(
-            F.lit(1).alias("n"),
-            F.lit(None).cast("string").alias("context"),
-            F.col("w").alias("word"),
-            "c",
-            F.col("__N").alias("c_ctx"),
-        )
+    uni = grams.groupBy(*gcols, "w").agg(F.count(F.lit(1)).alias("c"))
+    if grp:
+        n_total = uni.groupBy(grp).agg(F.sum("c").alias("__N"))
+        uni_n = uni.join(n_total, grp)
+    else:
+        n_total = uni.agg(F.sum("c").alias("__N"))
+        uni_n = uni.crossJoin(F.broadcast(n_total))
+    unigrams = uni_n.select(
+        *gcols,
+        F.lit(1).alias("n"),
+        F.lit(None).cast("string").alias("context"),
+        F.col("w").alias("word"),
+        "c",
+        F.col("__N").alias("c_ctx"),
     )
     parts = [unigrams]
     for k in range(2, order + 1):
         ctx = f"ctx{k - 1}"
-        counts = grams.groupBy(ctx, "w").agg(F.count(F.lit(1)).alias("c"))
+        counts = grams.groupBy(*gcols, ctx, "w").agg(
+            F.count(F.lit(1)).alias("c")
+        )
         # exact context totals BEFORE pruning — aggregated from the
         # already-reduced (context, word) counts, then hash-joined back
-        totals = counts.groupBy(ctx).agg(F.sum("c").alias("c_ctx"))
+        totals = counts.groupBy(*gcols, ctx).agg(F.sum("c").alias("c_ctx"))
         if min_count > 1:
             counts = counts.where(F.col("c") >= min_count)
         parts.append(
-            counts.join(totals, ctx).select(
+            counts.join(totals, [*gcols, ctx]).select(
+                *gcols,
                 F.lit(k).alias("n"),
                 F.col(ctx).alias("context"),
                 F.col("w").alias("word"),
@@ -163,6 +192,7 @@ def ngram_lm_score(
     id: Any = "doc_id",
     alpha: float = 0.4,
     order: int | None = None,
+    by: Any = None,
 ) -> Tibble:
     """Score each document against a trained model: adds
     ``lm_logprob`` (mean log10 Stupid Backoff score per token — higher
@@ -175,7 +205,12 @@ def ngram_lm_score(
     context keys against that order's model slice (each gram row
     already carries its exact context total), one unigram join, one
     broadcast of N, one groupBy id, one join back — no UDFs, no driver
-    data."""
+    data.
+
+    ``by`` scores against a PER-GROUP model (the ``ngram_lm_train(by=)``
+    output): every join gains the group key and N resolves per group.
+    Documents whose group has no model rows (a language the reference
+    corpus never saw) get NULL scores rather than a misleading floor."""
     mdf = model.df if isinstance(model, Tibble) else ensure_tibble(model).df
     tname, idn = _name_of(text), _name_of(id)
     # the model frame feeds one join leg per order plus the unigram leg
@@ -191,28 +226,36 @@ def ngram_lm_score(
     mdf = register_internal_cache(mdf.persist(StorageLevel.MEMORY_AND_DISK))
     if order is None:
         order = int(mdf.agg(F.max("n")).first()[0] or 2)
+    grp = _name_of(by) if by is not None else None
+    gcols = [grp] if grp else []
 
     uni = mdf.where(F.col("n") == 1).select(
+        *gcols,
         F.col("word").alias("w"),
         F.col("c").alias("c_uni"),
         F.col("c_ctx").alias("__N"),
     )
-    n_total = uni.agg(F.max("__N").alias("n_total"))
+    if grp:
+        n_total = uni.groupBy(grp).agg(F.max("__N").alias("n_total"))
+    else:
+        n_total = uni.agg(F.max("__N").alias("n_total"))
 
-    scored = _doc_grams(td.df, tname, idn, order)
+    scored = _doc_grams(td.df, tname, idn, order, extra=gcols)
     for k in range(2, order + 1):
         ctx = f"ctx{k - 1}"
         leg = mdf.where((F.col("n") == k) & F.col("word").isNotNull()).select(
+            *gcols,
             F.col("context").alias(ctx),
             F.col("word").alias("w"),
             F.col("c").alias(f"c_{k}"),
             F.col("c_ctx").alias(f"t_{k}"),
         )
-        scored = scored.join(leg, [ctx, "w"], "left")
-    scored = (
-        scored.join(uni.drop("__N"), "w", "left")
-        .crossJoin(F.broadcast(n_total))
-    )
+        scored = scored.join(leg, [*gcols, ctx, "w"], "left")
+    scored = scored.join(uni.drop("__N"), [*gcols, "w"], "left")
+    if grp:
+        scored = scored.join(n_total, grp, "left")
+    else:
+        scored = scored.crossJoin(F.broadcast(n_total))
 
     # Stupid Backoff CASE, highest order first; each backoff step
     # multiplies by alpha. c_ctx is the exact pre-pruning total, so a

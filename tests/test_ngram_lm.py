@@ -216,3 +216,128 @@ def test_no_python_udfs(spark, ref_td):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- per-group models (by=) — the CCNet one-LM-per-language pattern --------
+
+REF_BY_LANG = [
+    ("en", "the quick brown fox jumps over the lazy dog"),
+    ("en", "the lazy dog sleeps in the warm sun"),
+    ("en", "a quick fox runs through the green field"),
+    ("xx", "zab zab rok min zab rok"),
+    ("xx", "rok min zab the quick"),
+]
+
+DOCS_BY_LANG = [
+    (1, "en", "the quick brown fox"),
+    (2, "xx", "zab rok min"),
+    (3, "en", "zab rok min"),           # en-scored: mostly OOV for en
+    (4, "xx", "the quick"),             # xx-scored: seen in xx ref once
+    (5, "zz", "anything at all here"),  # group with NO model -> NULL
+]
+
+
+@pytest.fixture(scope="module")
+def lang_model(spark):
+    ref = ensure_tibble(
+        spark.createDataFrame(REF_BY_LANG, "lang string, text string")
+    )
+    return ngram_lm_train(ref, order=3, by="lang")
+
+
+def test_per_group_model_shape(spark, lang_model):
+    rows = lang_model.df.collect()
+    assert set(lang_model.df.columns) == {"lang", "n", "context", "word", "c", "c_ctx"}
+    langs = {r["lang"] for r in rows}
+    assert langs == {"en", "xx"}
+    # per-group N: en has 25 tokens (9+8+8), xx has 11 (6+5)
+    n_by = {
+        r["lang"]: r["c_ctx"]
+        for r in rows
+        if r["n"] == 1
+    }
+    assert n_by["en"] == 25 and n_by["xx"] == 11
+
+
+def test_per_group_scores_match_per_group_oracle(spark, lang_model):
+    """Each group's scores must equal an independent single-group model
+    trained on only that group's reference texts — per-group training
+    is exactly group-sliced global training."""
+    got = {
+        r["doc_id"]: (r["lm_logprob"], r["lm_oov_rate"], r["lm_tokens"])
+        for r in ngram_lm_score(
+            ensure_tibble(
+                spark.createDataFrame(DOCS_BY_LANG, "doc_id int, lang string, text string")
+            ),
+            lang_model,
+            order=3,
+            by="lang",
+        ).df.collect()
+    }
+    for lang in ("en", "xx"):
+        refs = [t for lg, t in REF_BY_LANG if lg == lang]
+        docs = [(i, t) for i, lg, t in DOCS_BY_LANG if lg == lang]
+        want = _oracle_scores(refs, docs, order=3)
+        for i, w in want.items():
+            assert got[i][0] == pytest.approx(w[0], abs=2e-6), (lang, i)
+            assert got[i][1] == pytest.approx(w[1], abs=1e-9), (lang, i)
+            assert got[i][2] == w[2], (lang, i)
+    # unseen group: NULL logprob rather than a misleading floor
+    assert got[5][0] is None
+
+
+def test_per_group_differs_from_global(spark, lang_model):
+    """'zab rok min' must score high under xx and low under en — the
+    point of per-language models."""
+    docs = [(2, "xx", "zab rok min"), (3, "en", "zab rok min")]
+    got = {
+        r["doc_id"]: (r["lm_logprob"], r["lm_oov_rate"])
+        for r in ngram_lm_score(
+            ensure_tibble(
+                spark.createDataFrame(docs, "doc_id int, lang string, text string")
+            ),
+            lang_model,
+            order=3,
+            by="lang",
+        ).df.collect()
+    }
+    assert got[2][0] > got[3][0]
+    assert got[2][1] == 0.0 and got[3][1] == 1.0
+
+
+def test_per_group_min_count_pruning(spark):
+    """min_count pruning keeps EXACT pre-pruning denominators per
+    group (the c_ctx contract extends to grouped models)."""
+    ref = ensure_tibble(
+        spark.createDataFrame(REF_BY_LANG, "lang string, text string")
+    )
+    model = ngram_lm_train(ref, order=2, min_count=2, by="lang")
+    got = {
+        r["doc_id"]: (r["lm_logprob"], r["lm_oov_rate"], r["lm_tokens"])
+        for r in ngram_lm_score(
+            ensure_tibble(
+                spark.createDataFrame(
+                    [(1, "xx", "zab rok"), (2, "en", "the quick fox")],
+                    "doc_id int, lang string, text string",
+                )
+            ),
+            model,
+            order=2,
+            by="lang",
+        ).df.collect()
+    }
+    for lang, docs in (("xx", [(1, "zab rok")]), ("en", [(2, "the quick fox")])):
+        refs = [t for lg, t in REF_BY_LANG if lg == lang]
+        want = _oracle_scores(refs, docs, order=2, min_count=2)
+        for i, w in want.items():
+            assert got[i][0] == pytest.approx(w[0], abs=2e-6), (lang, i)
+
+
+def test_per_group_no_python_udfs(spark, lang_model):
+    docs = ensure_tibble(
+        spark.createDataFrame(DOCS_BY_LANG, "doc_id int, lang string, text string")
+    )
+    out = ngram_lm_score(docs, lang_model, order=3, by="lang")
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
