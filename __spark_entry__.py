@@ -815,11 +815,15 @@ def q35_text_stats(spark, sf):
     with width = doc_id % 1000 + 1, height = n_chars % 1000 + 1, and a
     genuine audio container — WAV (16 kHz, n_chars*10 samples) for even
     doc_id, CBR MP3 (44.1 kHz, (n_chars % 20 + 1) frames x 1152
-    samples, NEW r4 codec) for odd. The Arrow-batched STRICT decode
-    passes parse the bytes with the pure-Python codecs
-    (scale/codecs.py), then everything rolls up per lang; the oracle
-    recomputes every decoded field arithmetically from doc_id/n_chars,
-    so a parser regression flips the hash."""
+    samples, NEW r4 codec) for odd, and (NEW r7) a genuine MP4 movie —
+    v0 32-bit boxes for even doc_id, v1 64-bit + largesize moov for odd
+    — with dims (doc_id % 1280 + 16) x (n_chars % 720 + 16) and
+    duration (n_chars % 300 + 1) s, so BOTH ISO-BMFF layouts are
+    driver-proven. The Arrow-batched STRICT decode passes parse the
+    bytes with the pure-Python codecs (scale/codecs.py), then
+    everything rolls up per lang; the oracle recomputes every decoded
+    field arithmetically from doc_id/n_chars, so a parser regression
+    flips the hash."""
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
@@ -852,6 +856,28 @@ def q35_text_stats(spark, sf):
                 out.append(make_mp3(44_100, int(n_) % 20 + 1))
         return pd.Series(out)
 
+    # r7: synthesized MP4 movies — even docs exercise the v0 32-bit box
+    # layout, odd docs the v1 64-bit + largesize-moov layout, so BOTH
+    # parser paths are driver-proven; dims/duration derive from
+    # (doc_id, n_chars) so the SQL oracle recomputes them exactly
+    @F.pandas_udf(BinaryType())
+    def vid_bytes(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        from datar_polars_spark.scale.codecs import make_mp4
+
+        out = []
+        for d_, n_ in zip(doc_id, n_chars):
+            d_, n_ = int(d_), int(n_)
+            out.append(
+                make_mp4(
+                    d_ % 1280 + 16,
+                    n_ % 720 + 16,
+                    (n_ % 300 + 1) * 1000,
+                    version=d_ % 2,
+                    large_moov=bool(d_ % 2),
+                )
+            )
+        return pd.Series(out)
+
     d = _t(spark, sf, "documents")
     staged = d >> mutate(
         tokens=token_count(f.text),
@@ -863,6 +889,7 @@ def q35_text_stats(spark, sf):
         staged.df.withColumn("content", F.encode(F.col("text"), "utf-8"))
         .withColumn("img", img_bytes(F.col("doc_id"), F.col("n_chars")))
         .withColumn("aud", aud_bytes(F.col("doc_id"), F.col("n_chars")))
+        .withColumn("vid", vid_bytes(F.col("doc_id"), F.col("n_chars")))
     )
     feats = image_features(
         attach_binary_metadata(binary, "content"), content="content", dim=16
@@ -874,6 +901,12 @@ def q35_text_stats(spark, sf):
         )
     )
     decoded = decode_audio(imgs, content="aud", strict=True)
+    decoded = decoded.with_df(
+        decoded.df.withColumnRenamed("format", "aud_format")
+    )
+    from datar_polars_spark.scale import decode_video
+
+    decoded = decode_video(decoded, content="vid", strict=True)
     per_doc = decoded.df.select(
         "lang",
         "tokens",
@@ -884,9 +917,13 @@ def q35_text_stats(spark, sf):
         "img_format",
         "img_w",
         "img_h",
-        F.col("format").alias("aud_format"),
+        "aud_format",
         "sample_rate",
         "n_samples",
+        F.col("format").alias("vid_format"),
+        "vid_w",
+        "vid_h",
+        "duration_ms",
     )
     out = (
         Tibble(per_doc)
@@ -906,6 +943,10 @@ def q35_text_stats(spark, sf):
             n_mp3=sum_(if_else(f.aud_format == "mp3", 1, 0), na_rm=True),
             rate_sum=sum_(f.sample_rate, na_rm=True),
             samples_sum=sum_(f.n_samples, na_rm=True),
+            n_mp4=sum_(if_else(f.vid_format == "mp4", 1, 0), na_rm=True),
+            vid_w_sum=sum_(f.vid_w, na_rm=True),
+            vid_h_sum=sum_(f.vid_h, na_rm=True),
+            duration_sum=sum_(f.duration_ms, na_rm=True),
         )
         >> arrange(f.lang)
     )
@@ -2284,7 +2325,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mp3,
                    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END) AS BIGINT) AS rate_sum,
                    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars * 10
-                                 ELSE 1152 * (n_chars % 20 + 1) END) AS BIGINT) AS samples_sum
+                                 ELSE 1152 * (n_chars % 20 + 1) END) AS BIGINT) AS samples_sum,
+                   -- r7 video leg: MP4 box-walk probe must round-trip the
+                   -- synthesized dims/duration exactly (v0 and v1 layouts)
+                   COUNT(*) AS n_mp4,
+                   CAST(SUM(doc_id % 1280 + 16) AS BIGINT) AS vid_w_sum,
+                   CAST(SUM(n_chars % 720 + 16) AS BIGINT) AS vid_h_sum,
+                   CAST(SUM((n_chars % 300 + 1) * 1000) AS BIGINT) AS duration_sum
             FROM stats GROUP BY lang
             ORDER BY lang
         """,

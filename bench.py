@@ -53,6 +53,41 @@ def _pq_knn_bench(emb):
     return pq_knn_join(queries, coded, book, k=10).df.count()
 
 
+def _pq_knn_dist_bench(emb):
+    """r7: the DISTRIBUTED query-side PQ path — same 64-query batch
+    forced through the cogrouped applyInPandas (max_queries=16 splits
+    it into 4 chunks x 8 corpus blocks), so the executor-side path's
+    overhead vs the driver-batch path is visible in the artifact."""
+    from datar_polars_spark.scale import pq_encode, pq_knn_join, pq_train
+    from datar_polars_spark.tibble import ensure_tibble
+
+    if "book" not in _PQ_STATE:
+        _PQ_STATE["book"] = pq_train(emb, m=4, nbits=6, sample_size=2000, seed=3)
+    book = _PQ_STATE["book"]
+    coded = pq_encode(emb, book)
+    queries = ensure_tibble(emb.df.select("vec_id", "embedding").filter("vec_id < 64"))
+    return pq_knn_join(
+        queries, coded, book, k=10, max_queries=16, n_corpus_blocks=8
+    ).df.count()
+
+
+def _ivfpq_bench(emb):
+    """r7: IVF-PQ retrieval — coarse cells prune the code scan to
+    ~nprobe/nlist (4/16 here) before the Arrow pass; residual codes
+    keep per-row memory at m bytes. Train once per process."""
+    from datar_polars_spark.scale import ivfpq_encode, ivfpq_knn_join, ivfpq_train
+    from datar_polars_spark.tibble import ensure_tibble
+
+    if "ivfpq" not in _PQ_STATE:
+        _PQ_STATE["ivfpq"] = ivfpq_train(
+            emb, n_clusters=16, m=4, nbits=6, iters=4, sample_size=2000, seed=3
+        )
+    index = _PQ_STATE["ivfpq"]
+    coded = ivfpq_encode(emb, index)
+    queries = ensure_tibble(emb.df.select("vec_id", "embedding").filter("vec_id < 64"))
+    return ivfpq_knn_join(queries, coded, index, k=10, nprobe=4).df.count()
+
+
 def _minhash_sigs_fold(docs_df, num_perm: int, shingle_words: int) -> int:
     """The r5 formulation, kept ONLY as the bench A/B counterpart: one
     aggregate+zip_with HOF fold per row — narrow, shuffle-free, but
@@ -223,6 +258,11 @@ def main() -> None:
             # r6: batch PQ retrieval — encode the corpus once, stack 64
             # query LUTs, one Arrow pass + WindowGroupLimit top-k
             "pq_knn_join": lambda: _pq_knn_bench(emb),
+            # r7: the same batch through the distributed (cogrouped)
+            # query path, and the IVF-PQ composition (probed cells +
+            # residual codes) — the billion-vector shapes
+            "pq_knn_join_dist": lambda: _pq_knn_dist_bench(emb),
+            "ivfpq_knn_join": lambda: _ivfpq_bench(emb),
             # r6 A/B: the narrow per-row HOF signature fold (the r5
             # formulation, built here explicitly) vs the explode+groupBy
             # form that _minhash_sigs now uses — same shingles, same 64

@@ -682,6 +682,11 @@ def pq_knn_join(
     ``applyInPandas`` scores each (chunk, block) cell with the same
     tiled lossless pre-filter, building the chunk's LUTs executor-side
     from the raw query vectors. The same global window finalizes.
+    Cogroup materializes one (chunk, block) cell per call, so size
+    ``n_corpus_blocks`` to make corpus_rows/n_corpus_blocks code rows
+    (~8*(m+2) bytes each as int64 ndarrays) fit executor memory — e.g.
+    a 10^9-row corpus at m=8 wants >= 512 blocks for ~2 M rows/160 MB
+    per cell.
 
     Ties break by ascending match id (deterministic): the per-tile
     pre-filter keeps ALL pairs at the boundary distance, so it is
