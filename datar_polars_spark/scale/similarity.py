@@ -955,6 +955,7 @@ def ivfpq_knn_join(
     cell_col: str = "ivf_cell",
     code_col: str = "pq_code",
     max_queries: int = 4096,
+    n_query_blocks: int | None = None,
 ) -> Tibble:
     """Batch IVF-PQ retrieval: approximate k-NN of every query row
     against an ivfpq-encoded corpus, probing only each query's
@@ -963,10 +964,22 @@ def ivfpq_knn_join(
     as :func:`pq_knn_join`, with the scan pruned to ~nprobe/nlist of
     the corpus instead of all of it.
 
-    Shape:
-    - queries collect driver-side (bounded by ``max_queries``; for a
-      million-row query table chunk the callers' side or use
-      ``pq_knn_join``'s distributed path over a flat-PQ encoding);
+    A query table larger than ``max_queries`` switches to a
+    DISTRIBUTED path that never collects it: each query's probe cells
+    are assigned executor-side (one Arrow matmul against the broadcast
+    centroids) and exploded, queries hash into ``n_query_blocks``
+    sub-blocks per cell (default: enough that <= max_queries queries
+    land in one cogroup cell), and a cogrouped ``applyInPandas`` on
+    (cell, query-block) scores that cell's codes against exactly the
+    queries probing it — the corpus side replicates per query-block,
+    which is the honest probing cost since distinct query blocks need
+    the same codes. Cells are KMeans-balanced (~corpus/nlist rows
+    each), so one cogroup cell holds ~rows/nlist codes; raise
+    ``n_clusters`` at ivfpq_train time if cells outgrow executor
+    memory.
+
+    Shape (batch path, <= ``max_queries`` rows):
+    - queries collect driver-side;
       their probe cells come from one tiny numpy matmul;
     - the corpus FILTERS to the union of probed cells BEFORE the
       Arrow pass (a plain JVM ``isin`` predicate — partition-pruning
@@ -993,11 +1006,22 @@ def ivfpq_knn_join(
     if not qrows:
         raise ValueError("ivfpq_knn_join: empty query table")
     if len(qrows) > max_queries:
-        raise ValueError(
-            f"ivfpq_knn_join: query table exceeds max_queries="
-            f"{max_queries}; chunk the query side, or use pq_knn_join's "
-            "distributed path for unbounded query tables"
+        cand = _ivfpq_knn_cogroup(
+            qtd.df, ctd.df, index, kk, nprobe, qid, qemb, idn,
+            cell_col, code_col, max_queries, n_query_blocks,
         )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("pq_dist").asc(), F.col("__mid").asc()
+        )
+        out = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+            .select(
+                "query_id", F.col("__mid").alias("match_id"), "pq_dist", "rank"
+            )
+            .orderBy("query_id", "rank")
+        )
+        return Tibble(out)
     qids = [r[0] for r in qrows]
     Qm = np.array([list(r[1]) for r in qrows], dtype="float64")
     Cn = np.array(index["centroids"], dtype="float64")
@@ -1078,3 +1102,82 @@ def ivfpq_knn_join(
         .orderBy("query_id", "rank")
     )
     return Tibble(out)
+
+
+def _ivfpq_knn_cogroup(
+    qdf, cdf, index, kk, nprobe, qid, qemb, idn,
+    cell_col, code_col, max_queries, n_query_blocks,
+):
+    """Distributed query-side IVF-PQ scoring: queries explode to their
+    executor-assigned probe cells, hash into query blocks, and a
+    cogrouped applyInPandas on (cell, query-block) runs the tiled ADC
+    scorer with residual LUTs built in the group. Returns the un-ranked
+    candidate frame (query_id, __mid, pq_dist)."""
+    import math as _math
+
+    import numpy as np
+
+    Cn = np.array(index["centroids"], dtype="float64")
+    codebook = index["codebook"]
+    npb = min(int(nprobe), Cn.shape[0])
+    cn2 = (Cn * Cn).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def probes(s: pd.Series) -> pd.Series:
+        X = np.array(s.tolist(), dtype="float64")
+        d = cn2[None, :] - 2.0 * (X @ Cn.T)
+        p = np.argsort(d, axis=1)[:, :npb]
+        return pd.Series(list(p.astype("int32")))
+
+    if n_query_blocks is None:
+        nq_total = qdf.count()
+        n_query_blocks = max(1, _math.ceil(nq_total / max_queries))
+    nblocks = int(n_query_blocks)
+
+    q_rep = qdf.select(
+        F.col(qid).alias("query_id"),
+        F.col(qemb).alias("__qe"),
+        F.explode(probes(F.col(qemb))).alias("__cell"),
+        F.pmod(F.xxhash64(F.col(qid)), F.lit(nblocks)).alias("__qblk"),
+    )
+    codes = cdf.select(
+        F.col(idn).alias("__mid"),
+        F.col(cell_col).alias("__cell"),
+        F.col(code_col).alias("__code"),
+    ).where(F.col("__code").isNotNull())
+    c_rep = codes.withColumn(
+        "__qblk", F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1)))
+    )
+    qid_type = dict(qdf.select(F.col(qid)).dtypes)[qid]
+    mid_type = dict(codes.dtypes)["__mid"]
+
+    def score_cell(qpdf, cpdf):
+        import pandas as pd  # noqa: F811 (executor-side import)
+
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {"query_id": [], "__mid": [], "pq_dist": []}
+            ).astype({"pq_dist": "float64"})
+        cell = int(qpdf["__cell"].iloc[0])
+        Qm = np.array(qpdf["__qe"].tolist(), dtype="float64")
+        luts = _build_luts(Qm - Cn[cell][None, :], codebook)
+        qids = qpdf["query_id"].to_numpy()
+        M = np.array(cpdf["__code"].tolist(), dtype="int64")
+        ids = cpdf["__mid"].to_numpy()
+        parts = []
+        for qix, mids, dists in _adc_candidates(luts, M, ids, kk):
+            parts.append(
+                pd.DataFrame(
+                    {"query_id": qids[qix], "__mid": mids, "pq_dist": dists}
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    return (
+        q_rep.groupby("__cell", "__qblk")
+        .cogroup(c_rep.groupby("__cell", "__qblk"))
+        .applyInPandas(
+            score_cell,
+            schema=f"query_id {qid_type}, __mid {mid_type}, pq_dist double",
+        )
+    )

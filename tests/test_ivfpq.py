@@ -184,8 +184,39 @@ def test_validation(spark, emb, index, coded):
     )
     with pytest.raises(ValueError, match="empty"):
         ivfpq_knn_join(empty, coded, index, k=3)
-    queries = ensure_tibble(emb.df.select("vec_id", "embedding").limit(5))
-    with pytest.raises(ValueError, match="max_queries"):
-        ivfpq_knn_join(queries, coded, index, k=3, max_queries=2)
     with pytest.raises(ValueError, match="divisible"):
         ivfpq_train(emb, n_clusters=4, m=7, sample_size=100)
+
+
+def test_distributed_matches_batch(spark, emb, index, coded):
+    """A query table past max_queries switches to the cogrouped
+    (cell, query-block) path; ids, distances, and ranks must match the
+    driver-batch path exactly at every nprobe."""
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 10")
+    )
+    for nprobe in (2, 8):
+        batch = ivfpq_knn_join(queries, coded, index, k=5, nprobe=nprobe).df.collect()
+        dist = ivfpq_knn_join(
+            queries, coded, index, k=5, nprobe=nprobe,
+            max_queries=4, n_query_blocks=3,
+        ).df.collect()
+        kf = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        assert [(r["query_id"], r["match_id"], r["rank"]) for r in sorted(batch, key=kf)] \
+            == [(r["query_id"], r["match_id"], r["rank"]) for r in sorted(dist, key=kf)], nprobe
+        for b, d in zip(sorted(batch, key=kf), sorted(dist, key=kf)):
+            assert b["pq_dist"] == pytest.approx(d["pq_dist"], abs=1e-9)
+
+
+def test_distributed_plan_shape(spark, emb, index, coded):
+    """Cogrouped Arrow path: FlatMapCoGroupsInPandas, no cartesian
+    product, no row-at-a-time Python, WindowGroupLimit finalize."""
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 10")
+    )
+    out = ivfpq_knn_join(queries, coded, index, k=5, nprobe=2, max_queries=4)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
