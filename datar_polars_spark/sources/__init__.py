@@ -129,8 +129,17 @@ def write_parquet(td: Tibble, path: str, mode: str = "overwrite", partition_by=N
     factors round-trip through the lake without a side table."""
     w = _with_level_metadata(td).write.mode(mode)
     if partition_by:
-        w = w.partitionBy(*partition_by)
+        w = w.partitionBy(*_partition_cols(partition_by))
     w.parquet(path)
+
+
+def _partition_cols(partition_by) -> list[str]:
+    """Normalize a str-or-list partition spec: a bare string must not
+    splat into characters (partitionBy(*"cell") would ask for columns
+    'c', 'e', 'l', 'l' — a duplicate-column AnalysisException)."""
+    if isinstance(partition_by, str):
+        return [partition_by]
+    return list(partition_by)
 
 
 def write_csv(td: Tibble, path: str, mode: str = "overwrite", header: bool = True) -> None:
@@ -144,7 +153,7 @@ def write_json(td: Tibble, path: str, mode: str = "overwrite") -> None:
 def write_orc(td: Tibble, path: str, mode: str = "overwrite", partition_by=None) -> None:
     w = _with_level_metadata(td).write.mode(mode)
     if partition_by:
-        w = w.partitionBy(*partition_by)
+        w = w.partitionBy(*_partition_cols(partition_by))
     w.orc(path)
 
 

@@ -220,3 +220,35 @@ def test_distributed_plan_shape(spark, emb, index, coded):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_cell_partitioned_layout_prunes_partitions(spark, emb, index, tmp_path):
+    """The 100 TB story end-to-end: encode once, write the code table
+    partitioned by ivf_cell, and a probed retrieval's SCAN must carry
+    the probed cells as PartitionFilters — Spark reads only nprobe/nlist
+    of the files, before any scoring runs."""
+    from datar_polars_spark import read_parquet
+    from datar_polars_spark.sources import write_parquet
+
+    coded = ivfpq_encode(emb, index)
+    path = str(tmp_path / "ivfpq_codes")
+    write_parquet(
+        coded.with_df(coded.df.select("vec_id", "ivf_cell", "pq_code")),
+        path,
+        partition_by="ivf_cell",
+    )
+    back = read_parquet(spark, path)
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 2")
+    )
+    out = ivfpq_knn_join(queries, back, index, k=5, nprobe=2)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*ivf_cell[^\]]*IN", plan)
+    assert m, "probed-cell isin must reach the scan as a PartitionFilter"
+    # and the result is still correct vs the unpartitioned frame
+    want = ivfpq_knn_join(queries, ivfpq_encode(emb, index), index, k=5, nprobe=2)
+    kw = [(r["query_id"], r["rank"], r["match_id"]) for r in want.df.collect()]
+    kg = [(r["query_id"], r["rank"], r["match_id"]) for r in out.df.collect()]
+    assert sorted(kg) == sorted(kw)

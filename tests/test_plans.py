@@ -600,3 +600,24 @@ def test_footer_bound_dominates_true_distinct(spark, tmp_path):
         bound = ctx._footer_group_bound(td.df)
         true_distinct = int(pdf["k"].nunique())
         assert bound is not None and bound >= true_distinct, (trial, bound)
+
+
+def test_partitioned_write_accepts_bare_string(spark, tmp_path):
+    """partition_by='col' must partition on ONE column — the r7 bug was
+    partitionBy(*'col') splatting the string into characters and dying
+    on a duplicate single-letter column name."""
+    from datar_polars_spark import read_parquet
+    from datar_polars_spark.sources import write_orc, write_parquet
+
+    li = read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    p = str(tmp_path / "li_str")
+    write_parquet(li, p, partition_by="l_returnflag")
+    back = read_parquet(spark, p)
+    assert set(back.df.select("l_returnflag").distinct().toPandas()["l_returnflag"]) \
+        == set(li.df.select("l_returnflag").distinct().toPandas()["l_returnflag"])
+    import os
+
+    assert any(d.startswith("l_returnflag=") for d in os.listdir(p))
+    o = str(tmp_path / "li_orc")
+    write_orc(li, o, partition_by="l_returnflag")
+    assert any(d.startswith("l_returnflag=") for d in os.listdir(o))

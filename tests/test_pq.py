@@ -267,3 +267,35 @@ def test_pq_knn_join_plan_shape(spark, emb, book):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_adc_candidates_tiling_lossless_fuzz():
+    """numpy-level contract of the tiled prefilter: for ANY tile sizes
+    (including tiles smaller than k, ragged final tiles, and duplicated
+    distances), the emitted candidates must contain every query's true
+    top-k under the (dist, id) total order."""
+    from datar_polars_spark.scale.similarity import _adc_candidates
+
+    rng = np.random.RandomState(42)
+    for trial in range(6):
+        nq, n, m, ksub = rng.randint(3, 9), rng.randint(10, 60), 4, 8
+        kk = rng.randint(1, 7)
+        luts = rng.rand(nq, m, ksub)
+        M = rng.randint(0, ksub, size=(n, m)).astype("int64")
+        if trial % 2:
+            # force heavy distance ties: many rows share identical codes
+            M[: n // 2] = M[0]
+        ids = np.arange(n) * 3 + 1
+        qchunk = rng.randint(1, nq + 1)
+        rowchunk = rng.randint(1, n + 1)
+        got: dict[int, set] = {q: set() for q in range(nq)}
+        for qix, mids, dists in _adc_candidates(
+            luts, M, ids, kk, qchunk=qchunk, rowchunk=rowchunk
+        ):
+            for q, mid in zip(qix, mids):
+                got[int(q)].add(int(mid))
+        dist_full = luts[:, np.arange(m)[None, :], M].sum(axis=2)
+        for q in range(nq):
+            order = sorted(zip(dist_full[q], ids))[: min(kk, n)]
+            want = {int(mid) for _, mid in order}
+            assert want <= got[q], (trial, q, qchunk, rowchunk)
