@@ -653,12 +653,22 @@ def pq_knn_join(
     code_col: str = "pq_code",
     max_queries: int = 4096,
     n_corpus_blocks: int | None = None,
+    rerank: int = 0,
+    corpus_embedding: Any = "embedding",
 ) -> Tibble:
     """Batch PQ retrieval: approximate k-NN of EVERY query row against
     a PQ-encoded corpus — the retrieval-pipeline counterpart of
     ``pq_topk`` (one query) with the surface of ``knn_join`` (a query
     TABLE). Returns (query_id, match_id, pq_dist, rank) ascending by
     asymmetric PQ distance, rank 1..k per query.
+
+    ``rerank=c`` (c > 0) retrieves the ADC top-(c*k) per query and
+    re-ranks those candidates by EXACT squared L2 against the raw
+    ``corpus_embedding`` vectors — the standard recall lever for
+    quantized indexes (FAISS's refine step): the code scan stays
+    memory-bounded, the exact math touches only <= Q*c*k rows via two
+    keyed hash joins. With rerank, ``pq_dist`` holds the exact squared
+    L2 of the surviving candidates.
 
     Two shapes, switched automatically on query-table size:
 
@@ -700,6 +710,9 @@ def pq_knn_join(
     ctd = corpus if isinstance(corpus, Tibble) else Tibble(corpus)
     qid, qemb, idn = _name_of(query_id), _name_of(query_embedding), _name_of(id_col)
     kk = int(k)
+    # with rerank, the ADC stage over-retrieves c*k candidates; the
+    # exact stage then cuts back to k
+    rk = kk * int(rerank) if rerank else kk
 
     codes = ctd.df.select(
         F.col(idn).alias("__mid"), F.col(code_col).alias("__code")
@@ -714,21 +727,25 @@ def pq_knn_join(
 
     if len(qrows) > max_queries:
         cand = _pq_knn_cogroup(
-            spark, qtd.df, codes, codebook, kk, qid, qemb,
+            spark, qtd.df, codes, codebook, rk, qid, qemb,
             qid_type, mid_type, max_queries, n_corpus_blocks,
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("pq_dist").asc(), F.col("__mid").asc()
         )
-        out = (
+        adc = (
             cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= kk)
+            .filter(F.col("rank") <= rk)
             .select(
                 "query_id", F.col("__mid").alias("match_id"), "pq_dist", "rank"
             )
-            .orderBy("query_id", "rank")
         )
-        return Tibble(out)
+        if rerank:
+            return Tibble(_exact_rerank(
+                adc, qtd.df, ctd.df, qid, qemb, idn,
+                _name_of(corpus_embedding), kk,
+            ))
+        return Tibble(adc.orderBy("query_id", "rank"))
 
     qids = [r[0] for r in qrows]
     Qm = np.array([list(r[1]) for r in qrows], dtype="float64")  # (Q, d)
@@ -743,7 +760,7 @@ def pq_knn_join(
                 continue
             M = np.array(pdf["__code"].tolist(), dtype="int64")  # (n, m)
             ids = pdf["__mid"].to_numpy()
-            for qix, mids, dists in _adc_candidates(luts, M, ids, kk):
+            for qix, mids, dists in _adc_candidates(luts, M, ids, rk):
                 yield pd.DataFrame(
                     {"__qix": qix, "__mid": mids, "pq_dist": dists}
                 )
@@ -755,23 +772,70 @@ def pq_knn_join(
         F.col("pq_dist").asc(), F.col("__mid").asc()
     )
     topk = cand.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= kk
+        F.col("rank") <= rk
     )
     qmap = spark.createDataFrame(
         [(int(i), qids[i]) for i in range(nq)],
         f"__qix bigint, query_id {qid_type}",
     )
-    out = (
-        topk.join(F.broadcast(qmap), "__qix")
-        .select(
-            "query_id",
-            F.col("__mid").alias("match_id"),
-            "pq_dist",
-            "rank",
+    adc = topk.join(F.broadcast(qmap), "__qix").select(
+        "query_id",
+        F.col("__mid").alias("match_id"),
+        "pq_dist",
+        "rank",
+    )
+    if rerank:
+        return Tibble(_exact_rerank(
+            adc, qtd.df, ctd.df, qid, qemb, idn,
+            _name_of(corpus_embedding), kk,
+        ))
+    return Tibble(adc.orderBy("query_id", "rank"))
+
+
+def _exact_rerank(adc, qdf, cdf, qid, qemb, idn, cemb, kk):
+    """Exact-L2 refine of ADC candidates: join the <= Q*c*k candidate
+    rows back to the raw query and corpus vectors (two keyed hash
+    joins — candidates are tiny next to the corpus), score squared L2
+    in JVM higher-order functions, and take the per-query top-k. The
+    memory-bounded ADC scan picks WHO to score exactly; this stage
+    never touches more than the candidate set."""
+    from pyspark.sql import Window
+
+    if cemb not in cdf.columns:
+        raise ValueError(
+            f"rerank needs the raw corpus vectors: column {cemb!r} not in "
+            f"the corpus frame (pass corpus_embedding=...)"
         )
+    q = qdf.select(
+        F.col(qid).alias("query_id"),
+        F.transform(F.col(qemb), lambda x: x.cast("double")).alias("__qe"),
+    )
+    c = cdf.select(
+        F.col(idn).alias("match_id"),
+        F.transform(F.col(cemb), lambda x: x.cast("double")).alias("__re"),
+    )
+    scored = (
+        adc.select("query_id", "match_id")
+        .join(q, "query_id")
+        .join(c, "match_id")
+        .withColumn(
+            "pq_dist",
+            F.aggregate(
+                F.zip_with("__qe", "__re", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "match_id", "pq_dist", "rank")
         .orderBy("query_id", "rank")
     )
-    return Tibble(out)
 
 
 def _pq_knn_cogroup(
@@ -956,6 +1020,8 @@ def ivfpq_knn_join(
     code_col: str = "pq_code",
     max_queries: int = 4096,
     n_query_blocks: int | None = None,
+    rerank: int = 0,
+    corpus_embedding: Any = "embedding",
 ) -> Tibble:
     """Batch IVF-PQ retrieval: approximate k-NN of every query row
     against an ivfpq-encoded corpus, probing only each query's
@@ -963,6 +1029,13 @@ def ivfpq_knn_join(
     pq_dist, rank) ascending, rank 1..k per query — the same surface
     as :func:`pq_knn_join`, with the scan pruned to ~nprobe/nlist of
     the corpus instead of all of it.
+
+    ``rerank=c`` retrieves the ADC top-(c*k) and re-ranks them by
+    EXACT squared L2 against the raw ``corpus_embedding`` vectors
+    (FAISS's refine step — two keyed hash joins over <= Q*c*k rows);
+    ``pq_dist`` then holds the exact distance. This recovers recall
+    lost to residual quantization without touching the probed-cell
+    pruning.
 
     A query table larger than ``max_queries`` switches to a
     DISTRIBUTED path that never collects it: each query's probe cells
@@ -1001,27 +1074,32 @@ def ivfpq_knn_join(
     ctd = corpus if isinstance(corpus, Tibble) else Tibble(corpus)
     qid, qemb, idn = _name_of(query_id), _name_of(query_embedding), _name_of(id_col)
     kk = int(k)
+    rk = kk * int(rerank) if rerank else kk
 
     qrows = qtd.df.select(qid, qemb).limit(max_queries + 1).collect()
     if not qrows:
         raise ValueError("ivfpq_knn_join: empty query table")
     if len(qrows) > max_queries:
         cand = _ivfpq_knn_cogroup(
-            qtd.df, ctd.df, index, kk, nprobe, qid, qemb, idn,
+            qtd.df, ctd.df, index, rk, nprobe, qid, qemb, idn,
             cell_col, code_col, max_queries, n_query_blocks,
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("pq_dist").asc(), F.col("__mid").asc()
         )
-        out = (
+        adc = (
             cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= kk)
+            .filter(F.col("rank") <= rk)
             .select(
                 "query_id", F.col("__mid").alias("match_id"), "pq_dist", "rank"
             )
-            .orderBy("query_id", "rank")
         )
-        return Tibble(out)
+        if rerank:
+            return Tibble(_exact_rerank(
+                adc, qtd.df, ctd.df, qid, qemb, idn,
+                _name_of(corpus_embedding), kk,
+            ))
+        return Tibble(adc.orderBy("query_id", "rank"))
     qids = [r[0] for r in qrows]
     Qm = np.array([list(r[1]) for r in qrows], dtype="float64")
     Cn = np.array(index["centroids"], dtype="float64")
@@ -1062,7 +1140,7 @@ def ivfpq_knn_join(
                 Mc, idc = M[sel], ids[sel]
                 # residual LUTs for exactly the queries probing c
                 luts = _build_luts(Qm[qsub] - Cn[int(c)][None, :], codebook)
-                for qix, mids, dists in _adc_candidates(luts, Mc, idc, kk):
+                for qix, mids, dists in _adc_candidates(luts, Mc, idc, rk):
                     yield pd.DataFrame(
                         {
                             "__qix": qsub[qix],
@@ -1087,21 +1165,22 @@ def ivfpq_knn_join(
         F.col("pq_dist").asc(), F.col("__mid").asc()
     )
     topk = cand.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= kk
+        F.col("rank") <= rk
     )
     qid_type = dict(qtd.df.select(F.col(qid)).dtypes)[qid]
     qmap = ctd.df.sparkSession.createDataFrame(
         [(int(i), qids[i]) for i in range(nq)],
         f"__qix bigint, query_id {qid_type}",
     )
-    out = (
-        topk.join(F.broadcast(qmap), "__qix")
-        .select(
-            "query_id", F.col("__mid").alias("match_id"), "pq_dist", "rank"
-        )
-        .orderBy("query_id", "rank")
+    adc = topk.join(F.broadcast(qmap), "__qix").select(
+        "query_id", F.col("__mid").alias("match_id"), "pq_dist", "rank"
     )
-    return Tibble(out)
+    if rerank:
+        return Tibble(_exact_rerank(
+            adc, qtd.df, ctd.df, qid, qemb, idn,
+            _name_of(corpus_embedding), kk,
+        ))
+    return Tibble(adc.orderBy("query_id", "rank"))
 
 
 def _ivfpq_knn_cogroup(

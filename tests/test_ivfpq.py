@@ -252,3 +252,92 @@ def test_cell_partitioned_layout_prunes_partitions(spark, emb, index, tmp_path):
     kw = [(r["query_id"], r["rank"], r["match_id"]) for r in want.df.collect()]
     kg = [(r["query_id"], r["rank"], r["match_id"]) for r in out.df.collect()]
     assert sorted(kg) == sorted(kw)
+
+
+# ---- exact re-ranking (FAISS refine step) ----------------------------------
+
+def test_rerank_covering_equals_exact_bruteforce(spark, emb, index, coded):
+    """With nprobe = nlist and a rerank window covering the whole
+    corpus, the result must equal the TRUE exact L2 top-k over raw
+    vectors — quantization error fully refined away."""
+    n = emb.df.count()
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 3")
+    )
+    k = 5
+    got = ivfpq_knn_join(
+        queries, coded, index, k=k, nprobe=8,
+        rerank=(n // k) + 1,  # c*k >= corpus size: candidates = everything
+    ).df.collect()
+    rows = emb.df.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(list(r["embedding"]), dtype="float64") for r in rows}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, qrows in by_q.items():
+        q = vecs[qid]
+        exact = sorted(
+            ((float(((q - v) ** 2).sum()), mid) for mid, v in vecs.items())
+        )[:k]
+        qrows = sorted(qrows, key=lambda r: r["rank"])
+        assert [r["match_id"] for r in qrows] == [mid for _, mid in exact], qid
+        for r, (d, _) in zip(qrows, exact):
+            assert r["pq_dist"] == pytest.approx(d, abs=1e-9)
+
+
+def test_rerank_improves_recall(spark, emb, index, coded):
+    """rerank=4 recall vs the exact ground truth must be >= the
+    no-rerank ADC recall (the point of the refine step)."""
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 8")
+    )
+    k = 10
+    rows = emb.df.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(list(r["embedding"]), dtype="float64") for r in rows}
+    truth = {}
+    for qid in range(8):
+        q = vecs[qid]
+        truth[qid] = {
+            mid for _, mid in sorted(
+                ((float(((q - v) ** 2).sum()), m) for m, v in vecs.items())
+            )[:k]
+        }
+
+    def recall(res):
+        hit = tot = 0
+        for r in res:
+            tot += 1
+            hit += r["match_id"] in truth[r["query_id"]]
+        return hit / tot
+
+    plain = recall(ivfpq_knn_join(queries, coded, index, k=k, nprobe=8).df.collect())
+    refined = recall(
+        ivfpq_knn_join(queries, coded, index, k=k, nprobe=8, rerank=4).df.collect()
+    )
+    # unstructured random embeddings at m=4/nbits=5 are the WORST case
+    # for PQ resolution; the refine step still roughly doubles recall
+    # (measured 0.34 -> 0.64 on this fixture)
+    assert refined >= plain + 0.1, (plain, refined)
+    assert refined >= 0.5, (plain, refined)
+
+
+def test_rerank_distributed_path_matches_batch(spark, emb, index, coded):
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 9")
+    )
+    b = ivfpq_knn_join(queries, coded, index, k=4, nprobe=4, rerank=3).df.collect()
+    d = ivfpq_knn_join(
+        queries, coded, index, k=4, nprobe=4, rerank=3, max_queries=4
+    ).df.collect()
+    kf = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert [(r["query_id"], r["match_id"], r["rank"]) for r in sorted(b, key=kf)] \
+        == [(r["query_id"], r["match_id"], r["rank"]) for r in sorted(d, key=kf)]
+
+
+def test_rerank_requires_raw_vectors(spark, emb, index, coded):
+    stripped = ensure_tibble(coded.df.select("vec_id", "ivf_cell", "pq_code"))
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 2")
+    )
+    with pytest.raises(ValueError, match="raw corpus vectors"):
+        ivfpq_knn_join(queries, stripped, index, k=3, rerank=2).df.collect()

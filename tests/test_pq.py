@@ -299,3 +299,30 @@ def test_adc_candidates_tiling_lossless_fuzz():
             order = sorted(zip(dist_full[q], ids))[: min(kk, n)]
             want = {int(mid) for _, mid in order}
             assert want <= got[q], (trial, q, qchunk, rowchunk)
+
+
+def test_pq_knn_join_rerank_covering_equals_exact(spark, emb, book):
+    """pq_knn_join(rerank=covering) must equal the true exact L2 top-k
+    over raw vectors, on both the batch and distributed paths."""
+    coded = pq_encode(emb, book)
+    n = emb.df.count()
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 3")
+    )
+    k = 4
+    rows = emb.df.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(list(r["embedding"]), dtype="float64") for r in rows}
+    for kwargs in ({}, {"max_queries": 2}):
+        got = pq_knn_join(
+            queries, coded, book, k=k, rerank=(n // k) + 1, **kwargs
+        ).df.collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, qrows in by_q.items():
+            q = vecs[qid]
+            exact = sorted(
+                ((float(((q - v) ** 2).sum()), mid) for mid, v in vecs.items())
+            )[:k]
+            qrows = sorted(qrows, key=lambda r: r["rank"])
+            assert [r["match_id"] for r in qrows] == [m for _, m in exact], (qid, kwargs)
