@@ -1298,9 +1298,14 @@ def q45_gopher_packing(spark, sf):
     """Covers: Gopher repetition metrics (top/dup word-bigram char
     fractions, alpha-word ratio — scale/filters.py) + token counting +
     pack_documents(mode="chunk") sequence packing, aggregated per pack.
-    duplicated() (former q45) retains pytest coverage."""
+    duplicated() (former q45) retains pytest coverage. NEW r7: a
+    pack_id = -1 row proves chunk_documents (context-length chunking,
+    max_tokens=120, overlap=10) — chunk count, per-chunk token sums,
+    rewritten-text lengths (pinning the overlap regions char-exactly),
+    and full-chunk count, all recomputed arithmetically by the oracle
+    from each document's whitespace tokens."""
     from datar_polars_spark.functions import builder
-    from datar_polars_spark.scale import pack_documents
+    from datar_polars_spark.scale import chunk_documents, pack_documents
 
     top_ngram_char_fraction = builder("top_ngram_char_fraction")
     dup_ngram_char_fraction = builder("dup_ngram_char_fraction")
@@ -1332,7 +1337,29 @@ def q45_gopher_packing(spark, sf):
         )
         >> arrange(f.pack_id)
     )
-    return _finish(out)
+    ch = chunk_documents(d, max_tokens=120, overlap=10)
+    chunk_row = (
+        ch.df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chunk_tokens").cast("bigint").alias("tok_total"),
+            F.sum("chunk_id").cast("bigint").alias("sum_top2_e4"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_dup2_e4"),
+            F.sum((F.col("chunk_tokens") == 120).cast("int"))
+            .cast("bigint")
+            .alias("sum_awr_e4"),
+        )
+        .select(
+            F.lit(-1).cast("bigint").alias("pack_id"),
+            "n_docs",
+            "tok_total",
+            "sum_top2_e4",
+            "sum_dup2_e4",
+            "sum_awr_e4",
+        )
+    )
+    return (
+        _finish(out).unionByName(chunk_row).orderBy("pack_id")
+    )
 
 
 def q46_fct_collapse(spark, sf):
@@ -2520,15 +2547,44 @@ def oracle_sql() -> dict[str, str]:
                        CAST(FLOOR(COALESCE(SUM(toks) OVER (ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                            / 500.0) AS BIGINT) AS pack_id
-                FROM metrics)
-            SELECT pack_id,
-                   COUNT(*) AS n_docs,
-                   CAST(SUM(toks) AS BIGINT) AS tok_total,
-                   CAST(SUM(CAST(ROUND(top2 * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_top2_e4,
-                   CAST(SUM(CAST(ROUND(dup2 * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_dup2_e4,
-                   CAST(SUM(CAST(ROUND(awr * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_awr_e4
-            FROM packed GROUP BY pack_id
-            ORDER BY pack_id
+                FROM metrics),
+            -- r7 chunk_documents proof: max_tokens=120, overlap=10
+            -- (step 110); per-doc chunk count, per-chunk token counts,
+            -- rewritten-text char lengths (sum of token lengths +
+            -- single-space joins — pins the overlap regions exactly)
+            cdoc AS (
+                SELECT doc_id, wtoks, len(wtoks) AS n,
+                       CASE WHEN len(wtoks) <= 120 THEN 1
+                            ELSE 1 + CAST(CEIL((len(wtoks) - 120) / 110.0) AS BIGINT)
+                       END AS c
+                FROM w),
+            cstat AS (
+                SELECT
+                    CAST(SUM(c) AS BIGINT) AS n_chunks,
+                    CAST(SUM(list_sum([GREATEST(LEAST(n - i*110, 120), 0)
+                                       FOR i IN range(0, c)])) AS BIGINT) AS tok_sum,
+                    CAST(SUM(c*(c-1)//2) AS BIGINT) AS cid_sum,
+                    CAST(SUM(list_sum([
+                        COALESCE(list_sum(list_transform(
+                            wtoks[i*110+1 : i*110+120], x -> len(x))), 0)
+                        + GREATEST(len(wtoks[i*110+1 : i*110+120]) - 1, 0)
+                        FOR i IN range(0, c)])) AS BIGINT) AS chars_sum,
+                    CAST(SUM(len(list_filter([LEAST(n - i*110, 120)
+                                              FOR i IN range(0, c)],
+                                             t -> t = 120))) AS BIGINT) AS full_chunks
+                FROM cdoc)
+            SELECT * FROM (
+                SELECT pack_id,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(toks) AS BIGINT) AS tok_total,
+                       CAST(SUM(CAST(ROUND(top2 * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_top2_e4,
+                       CAST(SUM(CAST(ROUND(dup2 * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_dup2_e4,
+                       CAST(SUM(CAST(ROUND(awr * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_awr_e4
+                FROM packed GROUP BY pack_id
+                UNION ALL
+                SELECT -1, n_chunks, tok_sum, cid_sum, chars_sum, full_chunks
+                FROM cstat
+            ) ORDER BY pack_id
         """,
         "q46_fct_collapse": """
             SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'

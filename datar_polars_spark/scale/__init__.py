@@ -65,6 +65,7 @@ from .filters import (  # noqa: F401 (also registers repetition metrics)
     classifier_score,
     domain_filter,
     cap_per_key,
+    chunk_documents,
 )
 from .graph import connected_components, components_from_pairs  # noqa: F401
 from .diagnostics import (  # noqa: F401

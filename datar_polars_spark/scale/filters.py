@@ -34,6 +34,7 @@ __all__ = [
     "classifier_score",
     "domain_filter",
     "cap_per_key",
+    "chunk_documents",
 ]
 
 
@@ -634,3 +635,67 @@ def cap_per_key(
         .drop("__cap_rn__")
     )
     return td.with_df(out)
+
+
+def chunk_documents(
+    td: Tibble,
+    text: Any = "text",
+    max_tokens: int = 512,
+    overlap: int = 0,
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "chunk_tokens",
+) -> Tibble:
+    """Split over-long documents into fixed token windows — the
+    context-length chunking step of a pretraining / RAG pipeline
+    (every chunk holds <= ``max_tokens`` whitespace tokens; consecutive
+    chunks share ``overlap`` tokens so no boundary context is lost).
+
+    Pure JVM: split -> sequence over the chunk count -> one
+    slice+array_join per chunk -> posexplode. A narrow 1->N map with no
+    UDF and NO shuffle — at 100 TB this runs inside the scan stage,
+    upstream of pack_documents/tokenize. Documents at or under the
+    budget pass through as their single chunk 0 (text unchanged up to
+    whitespace normalization); the trailing chunk may be shorter; a
+    chunk is never emitted fully inside the previous one.
+
+    Output: the input rows exploded to one row per chunk, ``text``
+    rewritten to the chunk, plus ``chunk_col`` (0-based) and
+    ``tokens_col``."""
+    tname = text._name if hasattr(text, "_name") else str(text)
+    if not (0 <= int(overlap) < int(max_tokens)):
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap < max_tokens, got "
+            f"overlap={overlap}, max_tokens={max_tokens}"
+        )
+    step = int(max_tokens) - int(overlap)
+    # whitespace tokens of the ORIGINAL text (not the lowercased
+    # punctuation-stripped _words) — the rewritten chunks must preserve
+    # the document's actual content
+    toks = F.filter(
+        F.split(F.trim(F.col(tname)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    n = F.size(toks)
+    # smallest c with (c-1)*step + max_tokens >= n; empty/short docs -> 1
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(int(max_tokens))) / F.lit(step)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(toks, i * step + 1, int(max_tokens)), " "
+            ).alias("t"),
+            F.least(n - i * step, F.lit(int(max_tokens))).alias("nt"),
+        ),
+    )
+    others = [c for c in td.columns if c != tname]
+    out = (
+        td.df.select(*td.columns, F.posexplode(chunks).alias(chunk_col, "__ch"))
+        .select(
+            *others,
+            F.col("__ch.t").alias(tname),
+            F.col(chunk_col),
+            F.col("__ch.nt").cast("int").alias(tokens_col),
+        )
+    )
+    return Tibble(out)

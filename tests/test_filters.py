@@ -222,3 +222,109 @@ def test_stratified_sample(spark):
     cx = (out["g"] == "x").sum()
     cy = (out["g"] == "y").sum()
     assert cx < 150 and cy > 350  # fractions respected per stratum
+
+
+# ---- chunk_documents (r7): context-length chunking with overlap -----------
+
+class TestChunkDocuments:
+    def _mk(self, spark, docs):
+        from datar_polars_spark.tibble import ensure_tibble
+
+        return ensure_tibble(
+            spark.createDataFrame(docs, "doc_id int, text string")
+        )
+
+    def _oracle(self, text, max_tokens, overlap):
+        toks = text.strip().split()
+        if len(toks) <= max_tokens:
+            return [(" ".join(toks), len(toks))]
+        step = max_tokens - overlap
+        out = []
+        i = 0
+        while True:
+            w = toks[i : i + max_tokens]
+            out.append((" ".join(w), len(w)))
+            if i + max_tokens >= len(toks):
+                break
+            i += step
+        return out
+
+    def test_matches_oracle_fuzz(self, spark):
+        import random
+
+        from datar_polars_spark.scale import chunk_documents
+
+        rng = random.Random(5)
+        docs = [
+            (i, " ".join(f"w{rng.randint(0, 50)}" for _ in range(rng.randint(0, 40))))
+            for i in range(25)
+        ]
+        td = self._mk(spark, docs)
+        for max_tokens, overlap in ((8, 0), (8, 3), (5, 4), (100, 10)):
+            got = {}
+            rows = chunk_documents(
+                td, max_tokens=max_tokens, overlap=overlap
+            ).df.collect()
+            for r in rows:
+                got.setdefault(r["doc_id"], []).append(
+                    (r["chunk_id"], r["text"], r["chunk_tokens"])
+                )
+            for i, t in docs:
+                want = self._oracle(t, max_tokens, overlap)
+                have = [
+                    (c[1], c[2]) for c in sorted(got[i])
+                ]
+                assert have == want, (i, max_tokens, overlap, have, want)
+
+    def test_overlap_property(self, spark):
+        from datar_polars_spark.scale import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(23))
+        td = self._mk(spark, [(1, text)])
+        rows = sorted(
+            chunk_documents(td, max_tokens=10, overlap=4).df.collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        for a, b in zip(rows, rows[1:]):
+            ta, tb = a["text"].split(), b["text"].split()
+            assert ta[-4:] == tb[:4]  # consecutive chunks share `overlap`
+
+    def test_reconstruction(self, spark):
+        """Dropping each chunk's first `overlap` tokens (after chunk 0)
+        and concatenating reproduces the document's token stream."""
+        from datar_polars_spark.scale import chunk_documents
+
+        text = " ".join(f"x{i}" for i in range(57))
+        td = self._mk(spark, [(1, text)])
+        rows = sorted(
+            chunk_documents(td, max_tokens=12, overlap=5).df.collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        rebuilt = rows[0]["text"].split()
+        for r in rows[1:]:
+            rebuilt += r["text"].split()[5:]
+        assert rebuilt == text.split()
+
+    def test_short_and_empty_docs_pass_through(self, spark):
+        from datar_polars_spark.scale import chunk_documents
+
+        td = self._mk(spark, [(1, "just five words in here"), (2, "   ")])
+        rows = chunk_documents(td, max_tokens=100).df.collect()
+        by = {r["doc_id"]: r for r in rows}
+        assert by[1]["chunk_id"] == 0 and by[1]["text"] == "just five words in here"
+        assert by[1]["chunk_tokens"] == 5
+        assert by[2]["chunk_id"] == 0 and by[2]["text"] == ""
+
+    def test_validation_and_plan(self, spark):
+        import pytest as _pytest
+
+        from datar_polars_spark.scale import chunk_documents
+
+        td = self._mk(spark, [(1, "a b c")])
+        with _pytest.raises(ValueError, match="overlap"):
+            chunk_documents(td, max_tokens=5, overlap=5)
+        out = chunk_documents(td, max_tokens=2, overlap=1)
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # narrow 1->N map, no shuffle
+        assert "BatchEvalPython" not in plan
+        assert "Generate" in plan  # the posexplode
