@@ -670,9 +670,11 @@ def chunk_documents(
     step = int(max_tokens) - int(overlap)
     # whitespace tokens of the ORIGINAL text (not the lowercased
     # punctuation-stripped _words) — the rewritten chunks must preserve
-    # the document's actual content
+    # the document's actual content; NULL text behaves like empty
+    # (one empty chunk, chunk_tokens 0)
     toks = F.filter(
-        F.split(F.trim(F.col(tname)), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.trim(F.coalesce(F.col(tname), F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0,
     )
     n = F.size(toks)
     # smallest c with (c-1)*step + max_tokens >= n; empty/short docs -> 1

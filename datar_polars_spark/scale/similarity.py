@@ -710,9 +710,17 @@ def pq_knn_join(
     ctd = corpus if isinstance(corpus, Tibble) else Tibble(corpus)
     qid, qemb, idn = _name_of(query_id), _name_of(query_embedding), _name_of(id_col)
     kk = int(k)
+    if int(rerank) < 0:
+        raise ValueError(f"pq_knn_join: rerank must be >= 0, got {rerank}")
     # with rerank, the ADC stage over-retrieves c*k candidates; the
     # exact stage then cuts back to k
     rk = kk * int(rerank) if rerank else kk
+    # a NULL id cannot join back and a NULL embedding cannot score:
+    # drop them identically on BOTH paths (the distributed hash-chunk
+    # would silently orphan them; the driver collect would crash)
+    qtd = Tibble(
+        qtd.df.where(F.col(qid).isNotNull() & F.col(qemb).isNotNull())
+    )
 
     codes = ctd.df.select(
         F.col(idn).alias("__mid"), F.col(code_col).alias("__code")
@@ -1074,7 +1082,14 @@ def ivfpq_knn_join(
     ctd = corpus if isinstance(corpus, Tibble) else Tibble(corpus)
     qid, qemb, idn = _name_of(query_id), _name_of(query_embedding), _name_of(id_col)
     kk = int(k)
+    if int(rerank) < 0:
+        raise ValueError(f"ivfpq_knn_join: rerank must be >= 0, got {rerank}")
     rk = kk * int(rerank) if rerank else kk
+    # NULL ids/embeddings: dropped identically on both paths (see
+    # pq_knn_join)
+    qtd = Tibble(
+        qtd.df.where(F.col(qid).isNotNull() & F.col(qemb).isNotNull())
+    )
 
     qrows = qtd.df.select(qid, qemb).limit(max_queries + 1).collect()
     if not qrows:

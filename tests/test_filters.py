@@ -328,3 +328,16 @@ class TestChunkDocuments:
         assert "Exchange" not in plan  # narrow 1->N map, no shuffle
         assert "BatchEvalPython" not in plan
         assert "Generate" in plan  # the posexplode
+
+
+def test_chunk_documents_null_text(spark):
+    from datar_polars_spark.scale import chunk_documents
+    from datar_polars_spark.tibble import ensure_tibble
+
+    td = ensure_tibble(
+        spark.createDataFrame([(1, None), (2, "a b")], "doc_id int, text string")
+    )
+    rows = {r["doc_id"]: r for r in chunk_documents(td, max_tokens=10).df.collect()}
+    assert rows[1]["chunk_id"] == 0 and rows[1]["chunk_tokens"] == 0
+    assert rows[1]["text"] == ""
+    assert rows[2]["chunk_tokens"] == 2

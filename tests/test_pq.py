@@ -326,3 +326,23 @@ def test_pq_knn_join_rerank_covering_equals_exact(spark, emb, book):
             )[:k]
             qrows = sorted(qrows, key=lambda r: r["rank"])
             assert [r["match_id"] for r in qrows] == [m for _, m in exact], (qid, kwargs)
+
+
+def test_pq_knn_join_null_queries_dropped_both_paths(spark, emb, book):
+    """NULL query ids / embeddings are dropped identically on the batch
+    and distributed paths (the hash-chunk would silently orphan them;
+    the driver collect would crash)."""
+    coded = pq_encode(emb, book)
+    good = emb.df.select("vec_id", "embedding").where("vec_id < 4")
+    dim = len(emb.df.select("embedding").first()[0])
+    bad = spark.createDataFrame(
+        [(None, [0.0] * dim), (999, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = ensure_tibble(good.unionByName(bad))
+    for kwargs in ({}, {"max_queries": 2}):
+        got = pq_knn_join(queries, coded, book, k=3, **kwargs).df.collect()
+        qids = {r["query_id"] for r in got}
+        assert qids == {0, 1, 2, 3}, kwargs
+    with pytest.raises(ValueError, match="rerank"):
+        pq_knn_join(queries, coded, book, k=3, rerank=-1)
