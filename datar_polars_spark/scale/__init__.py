@@ -85,4 +85,5 @@ from .multimodal import (  # noqa: F401
     decode_audio,
     audio_features,
     decode_video,
+    sniff_media,
 )

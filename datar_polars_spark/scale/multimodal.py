@@ -41,6 +41,8 @@ __all__ = [
     "image_features",
     "resize_images",
     "sample_frames",
+    "decode_video",
+    "sniff_media",
 ]
 
 # canonical multimodal column convention: content + typed metadata struct
@@ -452,6 +454,66 @@ def decode_video(
             pdf = pdf.copy()
             pdf["format"], pdf["vid_w"] = fmts, ws
             pdf["vid_h"], pdf["duration_ms"] = hs, ds
+            yield pdf
+
+    out = td.df.select(*in_cols).mapInPandas(batches, schema=schema)
+    return Tibble(out)
+
+
+@verb
+def sniff_media(
+    td: Tibble,
+    content: str = "content",
+    type_col: str = "media_type",
+    format_col: str = "media_format",
+) -> Tibble:
+    """Classify a mixed binary column by its REAL container headers —
+    the routing step of a multimodal ingest pipeline (send images to
+    decode_images, audio to decode_audio, movies to decode_video,
+    everything else to quarantine). Adds ``media_type`` in
+    {'image','audio','video',NULL} and the concrete ``media_format``
+    ('png', 'mp3', 'mp4', ...). NULL/unrecognized bytes get NULL type.
+
+    One Arrow-batched pass; each parser reads a few header bytes, so
+    per-row cost is constant regardless of payload size. The same
+    anti-false-positive evidence rules as the decode passes apply
+    (MP3 second frame, OGG second page, MP4 moov box)."""
+    import pandas as pd
+
+    from .codecs import parse_audio_header, parse_image_header, parse_video_header
+
+    in_cols = [c for c in td.columns]
+    schema = StructType(
+        [td.df.select(*in_cols).schema[c] for c in in_cols]
+        + [
+            StructField(type_col, StringType()),
+            StructField(format_col, StringType()),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            types, fmts = [], []
+            for b in pdf[content]:
+                if b is None:
+                    types.append(None); fmts.append(None)
+                    continue
+                bb = bytes(b)
+                img = parse_image_header(bb)
+                if img is not None:
+                    types.append("image"); fmts.append(img[0])
+                    continue
+                aud = parse_audio_header(bb)
+                if aud is not None:
+                    types.append("audio"); fmts.append(aud[0])
+                    continue
+                vid = parse_video_header(bb)
+                if vid is not None:
+                    types.append("video"); fmts.append(vid[0])
+                    continue
+                types.append(None); fmts.append(None)
+            pdf = pdf.copy()
+            pdf[type_col], pdf[format_col] = types, fmts
             yield pdf
 
     out = td.df.select(*in_cols).mapInPandas(batches, schema=schema)

@@ -384,3 +384,48 @@ class TestMp4Probe:
         td = tibble(spark, id=[1]).with_df(spark.createDataFrame(pdf))
         with pytest.raises(Exception):
             decode_video(td, content="content", strict=True).collect()
+
+
+class TestSniffMedia:
+    def test_routes_mixed_binary(self, spark):
+        import pandas as pd
+
+        from datar_polars_spark.scale.multimodal import sniff_media
+
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4, 5, 6],
+                "content": [
+                    make_png(4, 4),
+                    make_mp3(44_100, 2),
+                    make_mp4(640, 360, 1_000),
+                    make_ogg(48_000, 960, codec="opus"),
+                    b"not any known container at all",
+                    None,
+                ],
+            }
+        )
+        td = tibble(spark, id=[1, 2, 3, 4, 5, 6]).with_df(spark.createDataFrame(pdf))
+        out = {
+            r.id: (r.media_type, r.media_format)
+            for r in sniff_media(td, content="content").collect().itertuples()
+        }
+        assert out[1] == ("image", "png")
+        assert out[2] == ("audio", "mp3")
+        assert out[3] == ("video", "mp4")
+        assert out[4] == ("audio", "ogg")
+        assert out[5] == (None, None)
+        assert out[6] == (None, None)
+
+    def test_plan_is_one_arrow_pass(self, spark):
+        import pandas as pd
+
+        from datar_polars_spark.scale.multimodal import sniff_media
+
+        pdf = pd.DataFrame({"id": [1], "content": [make_png(2, 2)]})
+        td = tibble(spark, id=[1]).with_df(spark.createDataFrame(pdf))
+        out = sniff_media(td, content="content")
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan  # narrow, no shuffle
