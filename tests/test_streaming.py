@@ -211,3 +211,49 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
         )
         got = run_to_memory(out.select("doc_id"), mode="append")
         assert sorted(got["doc_id"].tolist()) == expected, f"jvm_max={jvm_max}"
+
+
+def test_streaming_multimodal_sniff_and_decode(spark, tmp_path):
+    """The multimodal passes are plain mapInPandas, so they run
+    unchanged on a STREAMING frame — live binary ingest routes by real
+    container headers and probes metadata, matching the batch result on
+    the same files."""
+    import pandas as pd
+
+    from datar_polars_spark import read_parquet
+    from datar_polars_spark.scale import decode_video, sniff_media
+    from datar_polars_spark.scale.codecs import make_mp4, make_png, make_wav
+    from datar_polars_spark.streaming import run_to_memory
+    from datar_polars_spark.tibble import Tibble
+
+    src = str(tmp_path / "media")
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "content": [
+                make_png(8, 6),
+                make_wav(16_000, 1_600),
+                make_mp4(640, 360, 9_000),
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("id bigint, content binary").parquet(src)
+    )
+    sniffed = sniff_media(Tibble(stream), content="content")
+    probed = decode_video(sniffed, content="content")
+    got = run_to_memory(probed.df, mode="append")
+    got = got.sort_values("id").reset_index(drop=True)
+    assert list(got["media_type"]) == ["image", "audio", "video"]
+    assert list(got["media_format"]) == ["png", "wav", "mp4"]
+    vid = got[got["id"] == 3].iloc[0]
+    assert (vid["vid_w"], vid["vid_h"], vid["duration_ms"]) == (640, 360, 9_000)
+
+    # batch parity on the same files
+    batch = decode_video(
+        sniff_media(read_parquet(spark, src), content="content"),
+        content="content",
+    ).df.orderBy("id").collect()
+    assert [r["media_type"] for r in batch] == ["image", "audio", "video"]
