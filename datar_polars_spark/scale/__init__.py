@@ -33,6 +33,7 @@ from .similarity import (  # noqa: F401
     ivfpq_train,
     ivfpq_encode,
     ivfpq_knn_join,
+    l2_normalize,
 )
 from .relevance import (  # noqa: F401
     tfidf_top_terms,

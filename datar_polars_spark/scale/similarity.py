@@ -30,7 +30,8 @@ from .dedup import cosine_sim
 __all__ = ["cosine_topk", "lsh_plan_buckets", "lsh_topk",
            "ivf_train", "ivf_assign", "ivf_topk", "knn_join",
            "pq_train", "pq_encode", "pq_topk", "pq_knn_join",
-           "ivfpq_train", "ivfpq_encode", "ivfpq_knn_join"]
+           "ivfpq_train", "ivfpq_encode", "ivfpq_knn_join",
+           "l2_normalize"]
 
 
 def _name_of(x: Any) -> str:
@@ -1275,3 +1276,29 @@ def _ivfpq_knn_cogroup(
             schema=f"query_id {qid_type}, __mid {mid_type}, pq_dist double",
         )
     )
+
+
+@verb
+def l2_normalize(
+    td: Tibble,
+    embedding: Any = "embedding",
+    out_col: str | None = None,
+) -> Tibble:
+    """L2-normalize an embedding column (one JVM transform, narrow, no
+    shuffle). The composition lever that turns EVERY L2 index in this
+    module into a COSINE retrieval engine: for unit vectors
+    ||a - b||^2 = 2 - 2*cos(a, b), so L2 ranking over normalized
+    vectors IS cosine ranking — normalize the corpus before
+    pq_encode/ivfpq_encode and the queries before *_knn_join (the
+    rerank stage then also ranks by cosine). Zero vectors pass through
+    unchanged (no NaNs)."""
+    ename = _name_of(embedding)
+    out = out_col or ename
+    vec = F.transform(F.col(ename), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v)
+    )
+    normalized = F.when(
+        norm > 0, F.transform(vec, lambda x: x / norm)
+    ).otherwise(vec)
+    return td.with_df(td.df.withColumn(out, normalized))

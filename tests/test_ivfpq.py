@@ -341,3 +341,58 @@ def test_rerank_requires_raw_vectors(spark, emb, index, coded):
     )
     with pytest.raises(ValueError, match="raw corpus vectors"):
         ivfpq_knn_join(queries, stripped, index, k=3, rerank=2).df.collect()
+
+
+def test_l2_normalize_makes_any_l2_index_cosine(spark, emb):
+    """The composition contract: normalize corpus AND queries, index
+    with IVF-PQ, full probe + covering rerank — the result must equal
+    the exact brute-force COSINE top-k (for unit vectors
+    ||a-b||^2 = 2 - 2 cos, a monotone map)."""
+    from datar_polars_spark.scale import l2_normalize
+
+    n = emb.df.count()
+    k = 5
+    norm = l2_normalize(emb)
+    index = ivfpq_train(norm, n_clusters=4, m=4, nbits=5, iters=3,
+                        sample_size=600, seed=3)
+    coded = ivfpq_encode(norm, index)
+    queries = ensure_tibble(
+        l2_normalize(emb).df.select("vec_id", "embedding").where("vec_id < 3")
+    )
+    got = ivfpq_knn_join(
+        queries, coded, index, k=k, nprobe=4, rerank=(n // k) + 1
+    ).df.collect()
+
+    rows = emb.df.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(list(r["embedding"]), dtype="float64") for r in rows}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, qrows in by_q.items():
+        q = vecs[qid]
+        qn = q / np.linalg.norm(q)
+        cos = sorted(
+            (
+                (-float(v @ qn / np.linalg.norm(v)), mid)
+                for mid, v in vecs.items()
+            )
+        )[:k]
+        qrows = sorted(qrows, key=lambda r: r["rank"])
+        assert [r["match_id"] for r in qrows] == [mid for _, mid in cos], qid
+
+
+def test_l2_normalize_unit_norms_and_zero_vectors(spark):
+    from datar_polars_spark.scale import l2_normalize
+
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None)],
+            "vec_id int, embedding array<double>",
+        )
+    )
+    rows = {r["vec_id"]: r["embedding"] for r in l2_normalize(td).df.collect()}
+    assert rows[1] == pytest.approx([0.6, 0.8])
+    assert rows[2] == [0.0, 0.0]  # zero vector passes through, no NaN
+    assert rows[3] is None
+    plan = l2_normalize(td).df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
