@@ -1859,8 +1859,12 @@ def q67_relevance(spark, sf):
     on; the oracle rebuilds the full count tables and backoff CASE in
     SQL. r6: the LM leg is TRIGRAM (order=3) — the oracle carries both
     context lengths (LAG-built, BOS-padded) and the three-way backoff
-    CASE with alpha^2 on the unigram/OOV floor. Total order (doc_id,
-    rank); scores rounded once to 4 decimals (comparator precision)."""
+    CASE with alpha^2 on the unigram/OOV floor. r7: a SECOND LM column
+    (lm_lang) scores every doc against its OWN language's trigram model
+    (ngram_lm_train/score by=lang — the CCNet per-language pattern);
+    the oracle rebuilds the lang-keyed count tables with every join key
+    widened by lang. Total order (doc_id, rank); scores rounded once to
+    4 decimals (comparator precision)."""
     from datar_polars_spark.scale import (
         bm25_score,
         ngram_lm_score,
@@ -1877,6 +1881,13 @@ def q67_relevance(spark, sf):
         F.round("lm_logprob", 4).alias("lm_logprob"),
         F.round("lm_oov_rate", 4).alias("lm_oov"),
     )
+    # r7: PER-GROUP models (ngram_lm_train/score by=lang, the CCNet
+    # one-LM-per-language pattern) — every doc scored against its OWN
+    # language's trigram model; the oracle rebuilds the lang-keyed
+    # count tables and backoff CASE in SQL
+    lmg = ngram_lm_score(
+        d, ngram_lm_train(d, order=3, by="lang"), order=3, by="lang"
+    ).df.select("doc_id", F.round("lm_logprob", 4).alias("lm_lang"))
     out = (
         top.df.join(
             bm.df.withColumnRenamed("score", "bm25"), on="id", how="left"
@@ -1891,6 +1902,7 @@ def q67_relevance(spark, sf):
             F.round(F.coalesce(F.col("bm25"), F.lit(0.0)), 4).alias("bm25"),
         )
         .join(lm, "doc_id", "left")
+        .join(lmg, "doc_id", "left")
         .orderBy("doc_id", "rank")
     )
     return out
@@ -2825,14 +2837,59 @@ def oracle_sql() -> dict[str, str]:
                        ROUND(AVG(LOG10(sval)), 4) AS lm_logprob,
                        ROUND(AVG(oov), 4) AS lm_oov
                 FROM sc GROUP BY doc_id
+            ),
+            -- r7 per-language models: the same trigram count tables and
+            -- 3-way backoff CASE, every key widened by lang (training
+            -- corpus = the full table, sliced per group)
+            seql AS (
+                SELECT s.*, d.lang FROM seq s
+                JOIN documents d ON s.doc_id = d.doc_id
+            ),
+            unil AS (SELECT lang, w, COUNT(*) AS c FROM seql GROUP BY lang, w),
+            bil AS (
+                SELECT lang, prev, w, COUNT(*) AS c
+                FROM seql GROUP BY lang, prev, w
+            ),
+            tril AS (
+                SELECT lang, prev2, w, COUNT(*) AS c
+                FROM seql GROUP BY lang, prev2, w
+            ),
+            ctxl AS (SELECT lang, prev, SUM(c) AS c FROM bil GROUP BY lang, prev),
+            ctx2l AS (
+                SELECT lang, prev2, SUM(c) AS c FROM tril GROUP BY lang, prev2
+            ),
+            ntl AS (SELECT lang, SUM(c) AS n FROM unil GROUP BY lang),
+            scl AS (
+                SELECT s.doc_id,
+                       CASE WHEN t.c IS NOT NULL
+                                THEN CAST(t.c AS DOUBLE) / cx2.c
+                            WHEN b.c IS NOT NULL
+                                THEN 0.4 * b.c / cx.c
+                            WHEN u.c IS NOT NULL
+                                THEN 0.16 * u.c / nl.n
+                            ELSE 0.16 / nl.n END AS sval
+                FROM seql s
+                LEFT JOIN tril t
+                    ON s.lang = t.lang AND s.prev2 = t.prev2 AND s.w = t.w
+                LEFT JOIN ctx2l cx2 ON s.lang = cx2.lang AND s.prev2 = cx2.prev2
+                LEFT JOIN bil b
+                    ON s.lang = b.lang AND s.prev = b.prev AND s.w = b.w
+                LEFT JOIN ctxl cx ON s.lang = cx.lang AND s.prev = cx.prev
+                LEFT JOIN unil u ON s.lang = u.lang AND s.w = u.w
+                LEFT JOIN ntl nl ON s.lang = nl.lang
+            ),
+            lml AS (
+                SELECT doc_id, ROUND(AVG(LOG10(sval)), 4) AS lm_lang
+                FROM scl GROUP BY doc_id
             )
             SELECT top3.doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
                    ROUND(score, 4) AS tfidf,
                    ROUND(COALESCE(bm.bm25, 0.0), 4) AS bm25,
-                   lm.lm_logprob, lm.lm_oov
+                   lm.lm_logprob, lm.lm_oov, lml.lm_lang
             FROM top3
             LEFT JOIN bm USING (doc_id)
             LEFT JOIN lm ON top3.doc_id = lm.doc_id
+            LEFT JOIN lml ON top3.doc_id = lml.doc_id
             ORDER BY top3.doc_id, rank
         """,
     }
