@@ -739,10 +739,12 @@ def q32_complete_grid(spark, sf):
 def q33_dedup(spark, sf):
     """Covers: exact deduplication (hash-groupBy keep-min-id) AND
     document fingerprinting (md5 of normalized text) + fingerprint-keyed
-    dedup (merged r4 q33+q34 for the 50-row driver cap). Both blocks
-    project to one (op, key, n_copies, keep_id) schema; the 'exact'
-    block's n_copies is NULL (dedup_exact emits survivors, not group
-    sizes — the fp block covers the counted path)."""
+    dedup (merged r4 q33+q34 for the 50-row driver cap), exact-substring
+    duplicate spans (r5), and (r7) destructive span MASKING in both
+    keep='all' and keep='first' variants. All blocks project to one
+    (op, key, n_copies, keep_id) schema; the 'exact' block's n_copies is
+    NULL (dedup_exact emits survivors, not group sizes — the fp block
+    covers the counted path)."""
     from datar_polars_spark.functions.registry import builder
     from datar_polars_spark.scale import dedup_exact
 
@@ -799,9 +801,53 @@ def q33_dedup(spark, sf):
         F.col("dup_words").cast("long").alias("n_copies"),
         F.col("doc_id").alias("keep_id"),
     )
+
+    # r7 fourth block: destructive span masking, BOTH variants — 'all'
+    # (the paper's self-join behavior, every occurrence cut) and
+    # 'first' (the globally-first occurrence of each duplicated gram
+    # survives). One row per variant: n_copies = corpus-wide surviving
+    # word count after the rewrite, keep_id = number of documents whose
+    # text changed; the oracle recomputes both from flagged gram
+    # positions (keep='first' excludes each gram's min (doc_id, pos)
+    # occurrence before the coverage union).
+    from datar_polars_spark.scale import mask_duplicate_spans
+
+    def _wc(c):
+        return F.size(
+            F.filter(
+                F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        )
+
+    ow = d.df.select(F.col("doc_id"), _wc(F.col("text")).alias("__ow"))
+    mask_blocks = []
+    for keep in ("all", "first"):
+        m = mask_duplicate_spans(
+            d, text=f.text, id=f.doc_id, k=8, min_count=2, keep=keep
+        ).df
+        agg = (
+            m.select("doc_id", _wc(F.col("text")).alias("__mw"))
+            .join(ow, "doc_id")
+            .agg(
+                F.sum("__mw").cast("long").alias("n_copies"),
+                F.sum((F.col("__mw") < F.col("__ow")).cast("int"))
+                .cast("long")
+                .alias("keep_id"),
+            )
+            .select(
+                F.lit("mask").alias("op"),
+                F.lit(keep).alias("key"),
+                "n_copies",
+                "keep_id",
+            )
+        )
+        mask_blocks.append(agg)
     return (
         ex_block.unionByName(fp_block)
         .unionByName(sp_block)
+        .unionByName(mask_blocks[0])
+        .unionByName(mask_blocks[1])
         .orderBy("op", "key", "keep_id")
     )
 
@@ -2314,6 +2360,44 @@ def oracle_sql() -> dict[str, str]:
                        string_agg(s || '-' || e, ',' ORDER BY s) AS key,
                        CAST(SUM(e - s) AS BIGINT) AS dup_words
                 FROM spans GROUP BY doc_id
+            ),
+            -- r7 mask blocks: word coverage of flagged grams, keep=all
+            -- vs keep=first (each gram's min (doc_id, pos) occurrence
+            -- excluded before the coverage union)
+            occ_rank AS (
+                SELECT g.doc_id, g.pos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY g.gram
+                           ORDER BY g.doc_id, g.pos) AS rn
+                FROM grams g JOIN cnt USING (gram) WHERE c >= 2
+            ),
+            mask_cov AS (
+                SELECT 'all' AS variant, doc_id, COUNT(DISTINCT idx) AS cov
+                FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS idx
+                      FROM flagged)
+                GROUP BY doc_id
+                UNION ALL
+                SELECT 'first', doc_id, COUNT(DISTINCT idx)
+                FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS idx
+                      FROM occ_rank WHERE rn > 1)
+                GROUP BY doc_id
+            ),
+            wcount AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> len(x) > 0)) AS nw
+                FROM documents
+            ),
+            mask_stats AS (
+                SELECT v.variant,
+                       CAST(SUM(w.nw - COALESCE(m.cov, 0)) AS BIGINT) AS surv,
+                       CAST(SUM(CASE WHEN COALESCE(m.cov, 0) > 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS changed
+                FROM (SELECT 'all' AS variant UNION ALL SELECT 'first') v
+                CROSS JOIN wcount w
+                LEFT JOIN mask_cov m
+                    ON m.variant = v.variant AND m.doc_id = w.doc_id
+                GROUP BY v.variant
             )
             SELECT op, key, n_copies, keep_id FROM (
                 SELECT 'exact' AS op,
@@ -2327,6 +2411,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents GROUP BY 2
                 UNION ALL
                 SELECT 'spans', key, dup_words, doc_id FROM span_docs
+                UNION ALL
+                SELECT 'mask', variant, surv, changed FROM mask_stats
             ) ORDER BY op, key, keep_id
         """,
         "q35_text_stats": """
