@@ -667,6 +667,22 @@ def chunk_documents(
             f"chunk_documents: need 0 <= overlap < max_tokens, got "
             f"overlap={overlap}, max_tokens={max_tokens}"
         )
+    # output-name hygiene: a frame already carrying chunk_col /
+    # tokens_col / the scratch "__ch" would otherwise produce duplicate
+    # column names and an ambiguous-reference AnalysisException several
+    # operators downstream — fail here with the actual story
+    if chunk_col == tokens_col:
+        raise ValueError(
+            f"chunk_documents: chunk_col and tokens_col must differ, both "
+            f"are {chunk_col!r}"
+        )
+    clash = sorted({chunk_col, tokens_col, "__ch"} & set(td.columns))
+    if clash:
+        raise ValueError(
+            f"chunk_documents: column(s) {clash} already exist in the input "
+            f"frame ('__ch' is reserved scratch); rename them or pass "
+            f"different chunk_col=/tokens_col= names"
+        )
     step = int(max_tokens) - int(overlap)
     # whitespace tokens of the ORIGINAL text (not the lowercased
     # punctuation-stripped _words) — the rewritten chunks must preserve

@@ -150,6 +150,40 @@ def lsh_topk(
 DRIVER_KMEANS_MAX_SAMPLE = 200_000
 
 
+def _train_sample(df, col: str, sample_size: int, n: int, seed: int, who: str):
+    """Bounded driver-side training sample shared by the quantizer
+    trainers, guarding the failure modes a plain Bernoulli
+    ``sample().collect()`` hides on small frames:
+
+    - empty table -> clear ValueError instead of ``X.shape[1]``
+      IndexError downstream;
+    - Bernoulli undershoot (a low fraction on a small frame can return
+      far fewer rows than requested, silently shrinking codebooks via
+      ``_lloyd_np``'s ``k = min(k, len(X))``) -> deterministic bounded
+      ``limit(sample_size)`` top-up;
+    - NULL vectors in the sample -> dropped (they cannot train), with
+      a clear error when nothing survives.
+
+    Returns the sample as a float64 numpy matrix."""
+    import numpy as np
+
+    if n == 0:
+        raise ValueError(f"{who}: cannot train on an empty table")
+    if n <= sample_size:
+        rows = df.select(col).collect()
+    else:
+        frac = sample_size / n
+        rows = df.select(col).sample(fraction=frac, seed=seed).collect()
+        if len(rows) < min(n, max(2, sample_size // 2)):
+            rows = df.select(col).limit(sample_size).collect()
+    rows = [r for r in rows if r[0] is not None]
+    if not rows:
+        raise ValueError(
+            f"{who}: no non-NULL {col!r} vectors to train on"
+        )
+    return np.array([list(r[0]) for r in rows], dtype="float64")
+
+
 def ivf_train(
     td: Tibble,
     embedding: Any = "embedding",
@@ -208,9 +242,7 @@ def ivf_train(
                 n_clusters,
             )
             sample_size = DRIVER_KMEANS_MAX_SAMPLE
-    frac = min(1.0, sample_size / max(n, 1))
-    rows = td.df.select(col).sample(fraction=frac, seed=seed).collect()
-    X = np.array([list(r[0]) for r in rows], dtype="float64")
+    X = _train_sample(td.df, col, sample_size, n, seed, "ivf_train")
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
     x2 = (X * X).sum(axis=1)
@@ -471,9 +503,7 @@ def pq_train(
     if sample_size is None:
         sample_size = max(10_000, 50 * ksub)
     n = td.df.count()
-    frac = min(1.0, sample_size / max(n, 1))
-    rows = td.df.select(col).sample(fraction=frac, seed=seed).collect()
-    X = np.array([list(r[0]) for r in rows], dtype="float64")
+    X = _train_sample(td.df, col, sample_size, n, seed, "pq_train")
     d = X.shape[1]
     if d % m:
         raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
@@ -723,9 +753,12 @@ def pq_knn_join(
         qtd.df.where(F.col(qid).isNotNull() & F.col(qemb).isNotNull())
     )
 
+    # NULL __mid rows must not score: a NULL match id cannot join back
+    # to the corpus, and NULLS-FIRST ascending tie-breaking would rank
+    # it AHEAD of real ids at equal distance
     codes = ctd.df.select(
         F.col(idn).alias("__mid"), F.col(code_col).alias("__code")
-    ).where(F.col("__code").isNotNull())
+    ).where(F.col("__code").isNotNull() & F.col("__mid").isNotNull())
     mid_type = dict(codes.dtypes)["__mid"]
     qid_type = dict(qtd.df.select(F.col(qid)).dtypes)[qid]
     spark = ctd.df.sparkSession
@@ -807,7 +840,18 @@ def _exact_rerank(adc, qdf, cdf, qid, qemb, idn, cemb, kk):
     joins — candidates are tiny next to the corpus), score squared L2
     in JVM higher-order functions, and take the per-query top-k. The
     memory-bounded ADC scan picks WHO to score exactly; this stage
-    never touches more than the candidate set."""
+    never touches more than the candidate set.
+
+    NULL policy: a candidate whose corpus row has a NULL raw embedding
+    (or whose id has no raw-vector row at all) CANNOT be exactly
+    scored, so it is excluded from the re-ranking — the ADC stage
+    over-retrieved ``c*k`` candidates precisely so survivors fill the
+    top-k. Without the explicit filter, the ``zip_with``/``aggregate``
+    fold yields a NULL distance and Spark's NULLS-FIRST ascending sort
+    would rank every unscorable candidate ABOVE all real matches —
+    latent wrong answers whenever any corpus vector is NULL. The
+    ``asc_nulls_last`` ordering is belt-and-braces on top of the
+    filter."""
     from pyspark.sql import Window
 
     if cemb not in cdf.columns:
@@ -818,11 +862,11 @@ def _exact_rerank(adc, qdf, cdf, qid, qemb, idn, cemb, kk):
     q = qdf.select(
         F.col(qid).alias("query_id"),
         F.transform(F.col(qemb), lambda x: x.cast("double")).alias("__qe"),
-    )
+    ).where(F.col("__qe").isNotNull())
     c = cdf.select(
         F.col(idn).alias("match_id"),
         F.transform(F.col(cemb), lambda x: x.cast("double")).alias("__re"),
-    )
+    ).where(F.col("__re").isNotNull())
     scored = (
         adc.select("query_id", "match_id")
         .join(q, "query_id")
@@ -835,9 +879,10 @@ def _exact_rerank(adc, qdf, cdf, qid, qemb, idn, cemb, kk):
                 lambda acc, v: acc + v,
             ),
         )
+        .where(F.col("pq_dist").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_dist").asc(), F.col("match_id").asc()
+        F.col("pq_dist").asc_nulls_last(), F.col("match_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -951,9 +996,7 @@ def ivfpq_train(
     if sample_size is None:
         sample_size = max(10_000, 50 * ksub)
     n = td.df.count()
-    frac = min(1.0, sample_size / max(n, 1))
-    rows = td.df.select(col).sample(fraction=frac, seed=seed).collect()
-    X = np.array([list(r[0]) for r in rows], dtype="float64")
+    X = _train_sample(td.df, col, sample_size, n, seed, "ivfpq_train")
     d = X.shape[1]
     if d % m:
         raise ValueError(f"ivfpq_train: dim {d} not divisible by m={m}")
@@ -1171,6 +1214,7 @@ def ivfpq_knn_join(
         F.col(code_col).alias("__code"),
     ).where(
         F.col("__code").isNotNull()
+        & F.col("__mid").isNotNull()
         & F.col("__cell").isin([int(c) for c in probed_cells])
     )
     mid_type = dict(codes.dtypes)["__mid"]
@@ -1239,7 +1283,7 @@ def _ivfpq_knn_cogroup(
         F.col(idn).alias("__mid"),
         F.col(cell_col).alias("__cell"),
         F.col(code_col).alias("__code"),
-    ).where(F.col("__code").isNotNull())
+    ).where(F.col("__code").isNotNull() & F.col("__mid").isNotNull())
     c_rep = codes.withColumn(
         "__qblk", F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1)))
     )
@@ -1298,7 +1342,17 @@ def l2_normalize(
     norm = F.sqrt(
         F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v)
     )
-    normalized = F.when(
-        norm > 0, F.transform(vec, lambda x: x / norm)
-    ).otherwise(vec)
+    # Bind the O(d) norm ONCE via a 1-element transform (the repo's
+    # bind-once idiom): referencing `norm` directly inside the
+    # per-element division lambda re-inlines and re-evaluates the whole
+    # aggregate PER ELEMENT — O(d^2) per row.
+    normalized = F.element_at(
+        F.transform(
+            F.array(norm),
+            lambda n: F.when(
+                n > 0, F.transform(vec, lambda x: x / n)
+            ).otherwise(vec),
+        ),
+        1,
+    )
     return td.with_df(td.df.withColumn(out, normalized))

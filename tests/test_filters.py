@@ -341,3 +341,38 @@ def test_chunk_documents_null_text(spark):
     assert rows[1]["chunk_id"] == 0 and rows[1]["chunk_tokens"] == 0
     assert rows[1]["text"] == ""
     assert rows[2]["chunk_tokens"] == 2
+
+
+def test_chunk_documents_column_collision_raises(spark):
+    """ADVICE r8: frames already carrying the output / scratch names
+    must fail fast with a clear message, not an ambiguous-reference
+    AnalysisException downstream."""
+    from datar_polars_spark.scale import chunk_documents
+    from datar_polars_spark.tibble import ensure_tibble
+
+    base = [(1, "a b c", 9)]
+    td = ensure_tibble(
+        spark.createDataFrame(base, "doc_id int, text string, chunk_id int")
+    )
+    with pytest.raises(ValueError, match="chunk_id"):
+        chunk_documents(td, max_tokens=2)
+    td2 = ensure_tibble(
+        spark.createDataFrame(base, "doc_id int, text string, chunk_tokens int")
+    )
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(td2, max_tokens=2)
+    td3 = ensure_tibble(
+        spark.createDataFrame(base, "doc_id int, text string, __ch int")
+    )
+    with pytest.raises(ValueError, match="reserved scratch"):
+        chunk_documents(td3, max_tokens=2)
+    td4 = ensure_tibble(
+        spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    )
+    with pytest.raises(ValueError, match="must differ"):
+        chunk_documents(td4, max_tokens=2, chunk_col="c", tokens_col="c")
+    # renaming the outputs around an occupied default works
+    out = chunk_documents(
+        td, max_tokens=2, chunk_col="win_id", tokens_col="win_tokens"
+    ).df.collect()
+    assert {r["win_id"] for r in out} == {0, 1}

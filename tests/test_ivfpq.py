@@ -396,3 +396,93 @@ def test_l2_normalize_unit_norms_and_zero_vectors(spark):
     assert rows[3] is None
     plan = l2_normalize(td).df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+# ---- NULL hygiene (ADVICE r8: rerank displacement + NULL ids) --------------
+
+def test_rerank_null_corpus_embedding_never_displaces(spark, emb, index, coded):
+    """A corpus row whose RAW embedding is NULL (codes present — e.g.
+    the vector column was dropped/corrupted after encoding) must not
+    poison the refine stage: pre-fix, its NULL exact distance sorted
+    NULLS-FIRST and displaced every real match. The result must equal
+    the brute-force exact top-k over the scorable (non-NULL) rows,
+    rank 1 a real match, no NULL match_id / pq_dist anywhere."""
+    n = emb.df.count()
+    k = 5
+    # null out the raw vectors of three corpus rows, keep their codes
+    nulled = {7, 11, 13}
+    corpus = ensure_tibble(
+        coded.df.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id").isin(*nulled), F.lit(None)
+            ).otherwise(F.col("embedding")),
+        )
+    )
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 3")
+    )
+    got = ivfpq_knn_join(
+        queries, corpus, index, k=k, nprobe=8,
+        rerank=(n // k) + 1,  # covering: every code row is a candidate
+    ).df.collect()
+    assert got, "rerank returned nothing"
+    assert all(r["match_id"] is not None for r in got)
+    assert all(r["pq_dist"] is not None for r in got)
+    rows = emb.df.select("vec_id", "embedding").collect()
+    vecs = {
+        r["vec_id"]: np.array(list(r["embedding"]), dtype="float64")
+        for r in rows
+        if r["vec_id"] not in nulled
+    }
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, qrows in by_q.items():
+        q = np.array(
+            list(next(r["embedding"] for r in rows if r["vec_id"] == qid)),
+            dtype="float64",
+        )
+        exact = sorted(
+            ((float(((q - v) ** 2).sum()), mid) for mid, v in vecs.items())
+        )[:k]
+        qrows = sorted(qrows, key=lambda r: r["rank"])
+        assert len(qrows) == k, qid  # survivors fill the top-k
+        assert [r["match_id"] for r in qrows] == [m for _, m in exact], qid
+
+
+def test_null_corpus_id_not_scored(spark, emb, index, coded):
+    """A corpus row with a NULL id must be excluded BEFORE scoring:
+    its code would tie with its source row and NULLS-FIRST id
+    tie-breaking would rank the NULL ahead of the real id."""
+    idt = dict(coded.df.dtypes)["vec_id"]
+    planted = coded.df.limit(1).withColumn(
+        "vec_id", F.lit(None).cast(idt)
+    )
+    corpus = ensure_tibble(coded.df.unionByName(planted))
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 3")
+    )
+    clean = ivfpq_knn_join(queries, coded, index, k=4, nprobe=8).df.collect()
+    got = ivfpq_knn_join(queries, corpus, index, k=4, nprobe=8).df.collect()
+    assert all(r["match_id"] is not None for r in got)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert [(r["query_id"], r["match_id"], r["rank"]) for r in sorted(got, key=key)] \
+        == [(r["query_id"], r["match_id"], r["rank"]) for r in sorted(clean, key=key)]
+
+
+def test_ivfpq_train_empty_and_all_null_raise(spark, emb):
+    from datar_polars_spark.scale import ivfpq_train as _train
+
+    empty = ensure_tibble(
+        spark.createDataFrame([], "vec_id long, embedding array<double>")
+    )
+    with pytest.raises(ValueError, match="empty table"):
+        _train(empty, n_clusters=2, m=2, nbits=2)
+    allnull = ensure_tibble(
+        spark.createDataFrame(
+            [(1, None), (2, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        _train(allnull, n_clusters=2, m=2, nbits=2)

@@ -346,3 +346,46 @@ def test_pq_knn_join_null_queries_dropped_both_paths(spark, emb, book):
         assert qids == {0, 1, 2, 3}, kwargs
     with pytest.raises(ValueError, match="rerank"):
         pq_knn_join(queries, coded, book, k=3, rerank=-1)
+
+# ---- training-sample guards (ADVICE r8) ------------------------------------
+
+def test_pq_train_empty_table_raises(spark):
+    empty = ensure_tibble(
+        spark.createDataFrame([], "vec_id long, embedding array<double>")
+    )
+    with pytest.raises(ValueError, match="empty table"):
+        pq_train(empty, m=2, nbits=2)
+
+
+def test_pq_train_all_null_vectors_raise(spark):
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [(1, None), (2, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        pq_train(td, m=2, nbits=2)
+
+
+def test_pq_train_tiny_corpus_small_sample_never_empty(spark):
+    """A low Bernoulli fraction on a small frame can return zero rows;
+    the guard tops up deterministically instead of crashing with an
+    IndexError, across seeds."""
+    rows = [(i, [float(i), float(i) + 0.5, -float(i), 1.0]) for i in range(40)]
+    td = ensure_tibble(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    for seed in range(6):
+        book = pq_train(td, m=2, nbits=2, sample_size=3, seed=seed)
+        assert len(book) == 2
+        assert 1 <= len(book[0]) <= 4
+        assert all(len(c) == 2 for cj in book for c in cj)
+
+
+def test_pq_train_null_rows_skipped(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(20)] + [(99, None)]
+    td = ensure_tibble(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    book = pq_train(td, m=2, nbits=2, sample_size=50, seed=0)
+    assert len(book) == 2  # the NULL row trains nothing, no crash
