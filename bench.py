@@ -88,6 +88,28 @@ def _ivfpq_bench(emb):
     return ivfpq_knn_join(queries, coded, index, k=10, nprobe=4).df.count()
 
 
+def _ivfpq_dist_bench(emb):
+    """r9: the DISTRIBUTED query-side IVF-PQ path — the 64-query batch
+    forced through the cogrouped (cell, query-block) scorer
+    (max_queries=16). Corpus codes join the broadcast distinct live
+    (cell, block) pairs instead of exploding to every block, so only
+    probed cells enter the cogroup shuffle — the artifact tracks that
+    pruning's cost vs the driver-batch path."""
+    from datar_polars_spark.scale import ivfpq_encode, ivfpq_knn_join, ivfpq_train
+    from datar_polars_spark.tibble import ensure_tibble
+
+    if "ivfpq" not in _PQ_STATE:
+        _PQ_STATE["ivfpq"] = ivfpq_train(
+            emb, n_clusters=16, m=4, nbits=6, iters=4, sample_size=2000, seed=3
+        )
+    index = _PQ_STATE["ivfpq"]
+    coded = ivfpq_encode(emb, index)
+    queries = ensure_tibble(emb.df.select("vec_id", "embedding").filter("vec_id < 64"))
+    return ivfpq_knn_join(
+        queries, coded, index, k=10, nprobe=4, max_queries=16, n_query_blocks=4
+    ).df.count()
+
+
 def _minhash_sigs_fold(docs_df, num_perm: int, shingle_words: int) -> int:
     """The r5 formulation, kept ONLY as the bench A/B counterpart: one
     aggregate+zip_with HOF fold per row — narrow, shuffle-free, but
@@ -263,6 +285,8 @@ def main() -> None:
             # residual codes) — the billion-vector shapes
             "pq_knn_join_dist": lambda: _pq_knn_dist_bench(emb),
             "ivfpq_knn_join": lambda: _ivfpq_bench(emb),
+            # r9: the distributed IVF-PQ path with live-pair pruning
+            "ivfpq_knn_join_dist": lambda: _ivfpq_dist_bench(emb),
             # r6 A/B: the narrow per-row HOF signature fold (the r5
             # formulation, built here explicitly) vs the explode+groupBy
             # form that _minhash_sigs now uses — same shingles, same 64

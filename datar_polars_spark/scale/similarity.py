@@ -1251,7 +1251,18 @@ def _ivfpq_knn_cogroup(
     executor-assigned probe cells, hash into query blocks, and a
     cogrouped applyInPandas on (cell, query-block) runs the tiled ADC
     scorer with residual LUTs built in the group. Returns the un-ranked
-    candidate frame (query_id, __mid, pq_dist)."""
+    candidate frame (query_id, __mid, pq_dist).
+
+    Probed-cell pruning (the distributed mirror of the batch path's
+    JVM ``isin``): corpus codes join the DISTINCT live (cell,
+    query-block) pairs — a tiny frame, <= nlist * n_query_blocks rows,
+    broadcast — instead of exploding every code row to every block.
+    A code row therefore replicates exactly once per query block that
+    actually probes its cell, and cells no query probes never enter
+    the cogroup shuffle at all. At nprobe << nlist this is the
+    difference between a pruned index scan and a near-full-corpus
+    shuffle; it costs one extra narrow pass over the query side to
+    enumerate the live pairs."""
     import math as _math
 
     import numpy as np
@@ -1284,8 +1295,27 @@ def _ivfpq_knn_cogroup(
         F.col(cell_col).alias("__cell"),
         F.col(code_col).alias("__code"),
     ).where(F.col("__code").isNotNull() & F.col("__mid").isNotNull())
-    c_rep = codes.withColumn(
-        "__qblk", F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1)))
+    # live (cell, block) pairs: recomputes the probe UDF once more on
+    # the query side (a narrow Arrow matmul pass) to save shuffling
+    # every corpus code row to every one of the nblocks query blocks.
+    # Re-aliased to fresh attribute ids — the cogroup's query side is
+    # the same subtree, and sharing exprIds trips the ambiguous
+    # self-join check.
+    live = (
+        q_rep.select(
+            F.col("__cell").alias("__live_cell"),
+            F.col("__qblk").alias("__live_qblk"),
+        )
+        .distinct()
+    )
+    c_rep = (
+        codes.join(
+            F.broadcast(live), codes["__cell"] == live["__live_cell"]
+        )
+        .select(
+            "__mid", "__cell", "__code",
+            F.col("__live_qblk").alias("__qblk"),
+        )
     )
     qid_type = dict(qdf.select(F.col(qid)).dtypes)[qid]
     mid_type = dict(codes.dtypes)["__mid"]

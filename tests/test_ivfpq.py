@@ -486,3 +486,25 @@ def test_ivfpq_train_empty_and_all_null_raise(spark, emb):
     )
     with pytest.raises(ValueError, match="non-NULL"):
         _train(allnull, n_clusters=2, m=2, nbits=2)
+
+
+def test_distributed_path_prunes_unprobed_cells(spark, emb, index, coded):
+    """The distributed cogroup must NOT replicate every corpus code row
+    to every query block: codes join the broadcast distinct live
+    (cell, block) pairs, so unprobed cells never enter the shuffle.
+    Locked at the plan level — the corpus side of the cogroup carries a
+    BroadcastHashJoin on the cell key and the old explode(sequence(0,
+    nblocks-1)) replication is gone — plus result equality above."""
+    queries = ensure_tibble(
+        emb.df.select("vec_id", "embedding").where("vec_id < 10")
+    )
+    out = ivfpq_knn_join(
+        queries, coded, index, k=5, nprobe=2, max_queries=4, n_query_blocks=3
+    )
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan, "live-pair pruning join missing"
+    assert "sequence(0" not in plan, (
+        "corpus codes must join live (cell, block) pairs, not explode to "
+        "all blocks"
+    )
