@@ -380,7 +380,19 @@ def pack_documents(
 
     mode="greedy" runs first-fit-decreasing *within* each `by`
     partition via applyInPandas — tighter packs, one shuffle, local
-    quadratic work; requires `by`."""
+    quadratic work; requires `by`.
+
+    ``tokens`` is ANY precomputed per-document count column — the
+    budget is tokenizer-honest by construction: materialize real BPE
+    counts (or the ``bpe_token_estimate``/``token_count`` registry
+    estimators) into a column first and pack against that."""
+    if tokens not in td.columns:
+        raise ValueError(
+            f"pack_documents: token-count column {tokens!r} not in the "
+            f"frame; materialize one first, e.g. "
+            f"mutate(n_tokens=token_count(f.text)) or "
+            f"bpe_token_estimate(f.text) for a BPE-ish budget"
+        )
     t = td.ensure_order()
     from ..plans.context import ORDER_COL
 
@@ -644,11 +656,23 @@ def chunk_documents(
     overlap: int = 0,
     chunk_col: str = "chunk_id",
     tokens_col: str = "chunk_tokens",
+    tokens_per_word: float = 1.0,
 ) -> Tibble:
     """Split over-long documents into fixed token windows — the
     context-length chunking step of a pretraining / RAG pipeline
     (every chunk holds <= ``max_tokens`` whitespace tokens; consecutive
     chunks share ``overlap`` tokens so no boundary context is lost).
+
+    Tokenizer-honest budgets: real context budgets are BPE tokens, not
+    whitespace words. ``tokens_per_word`` declares the (corpus-measured)
+    expansion ratio of the target tokenizer — e.g. ~1.3 for GPT-style
+    BPE over English prose (measure yours: mutate
+    ``bpe_token_estimate(text) / token_count(text)`` and average). The
+    word window becomes ``floor(max_tokens / tokens_per_word)`` and the
+    overlap converts the same way, so every emitted chunk fits the BPE
+    budget conservatively while ``tokens_col`` keeps reporting the
+    chunk's actual whitespace-token count. The default 1.0 budgets in
+    plain whitespace tokens (unchanged behavior).
 
     Pure JVM: split -> sequence over the chunk count -> one
     slice+array_join per chunk -> posexplode. A narrow 1->N map with no
@@ -667,6 +691,26 @@ def chunk_documents(
             f"chunk_documents: need 0 <= overlap < max_tokens, got "
             f"overlap={overlap}, max_tokens={max_tokens}"
         )
+    ratio = float(tokens_per_word)
+    if not ratio > 0:
+        raise ValueError(
+            f"chunk_documents: tokens_per_word must be > 0, got "
+            f"{tokens_per_word}"
+        )
+    # convert the budget into whitespace-word units (floor: the chunk
+    # must FIT the budget, never exceed it)
+    max_tokens = int(int(max_tokens) / ratio)
+    overlap = int(int(overlap) / ratio)
+    if max_tokens < 1:
+        raise ValueError(
+            f"chunk_documents: the budget rounds to zero words at "
+            f"tokens_per_word={tokens_per_word}; raise max_tokens"
+        )
+    if overlap >= max_tokens:
+        # a legal (overlap, max_tokens) pair can collapse under the
+        # ratio's floor; shrink the overlap rather than error (it is a
+        # lower bound on context carried over, not a hard contract)
+        overlap = max_tokens - 1
     # output-name hygiene: a frame already carrying chunk_col /
     # tokens_col / the scratch "__ch" would otherwise produce duplicate
     # column names and an ambiguous-reference AnalysisException several

@@ -376,3 +376,103 @@ def test_chunk_documents_column_collision_raises(spark):
         td, max_tokens=2, chunk_col="win_id", tokens_col="win_tokens"
     ).df.collect()
     assert {r["win_id"] for r in out} == {0, 1}
+
+
+class TestTokenizerHonestBudgets:
+    """r9: BPE-aware budgets — chunk_documents' tokens_per_word ratio
+    and pack_documents' precomputed-count contract."""
+
+    def _mk(self, spark, docs):
+        from datar_polars_spark.tibble import ensure_tibble
+
+        return ensure_tibble(
+            spark.createDataFrame(docs, "doc_id int, text string")
+        )
+
+    def test_ratio_equals_shrunk_word_budget(self, spark):
+        """tokens_per_word=r must chunk EXACTLY like a word budget of
+        floor(max_tokens / r) — the conservative conversion."""
+        from datar_polars_spark.scale import chunk_documents
+
+        import random
+
+        rng = random.Random(11)
+        docs = [
+            (i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(rng.randint(0, 60))))
+            for i in range(15)
+        ]
+        td = self._mk(spark, docs)
+        key = lambda r: (r["doc_id"], r["chunk_id"])  # noqa: E731
+        got = sorted(
+            chunk_documents(td, max_tokens=16, overlap=4, tokens_per_word=2.6).df.collect(),
+            key=key,
+        )
+        want = sorted(
+            chunk_documents(td, max_tokens=6, overlap=1).df.collect(), key=key
+        )
+        assert [(r["doc_id"], r["chunk_id"], r["text"], r["chunk_tokens"]) for r in got] \
+            == [(r["doc_id"], r["chunk_id"], r["text"], r["chunk_tokens"]) for r in want]
+
+    def test_every_chunk_fits_the_bpe_budget(self, spark):
+        """With ratio r, every chunk's words * r stays <= max_tokens."""
+        from datar_polars_spark.scale import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(200))
+        td = self._mk(spark, [(1, text)])
+        rows = chunk_documents(td, max_tokens=50, tokens_per_word=1.3).df.collect()
+        assert len(rows) > 1
+        for r in rows:
+            assert r["chunk_tokens"] * 1.3 <= 50 + 1e-9
+        # reconstruction still holds (overlap 0): concatenation == doc
+        rebuilt = []
+        for r in sorted(rows, key=lambda r: r["chunk_id"]):
+            rebuilt += r["text"].split()
+        assert rebuilt == text.split()
+
+    def test_ratio_validation(self, spark):
+        from datar_polars_spark.scale import chunk_documents
+
+        td = self._mk(spark, [(1, "a b c")])
+        with pytest.raises(ValueError, match="tokens_per_word"):
+            chunk_documents(td, max_tokens=8, tokens_per_word=0)
+        with pytest.raises(ValueError, match="rounds to zero"):
+            chunk_documents(td, max_tokens=2, tokens_per_word=5.0)
+
+    def test_default_ratio_unchanged(self, spark):
+        from datar_polars_spark.scale import chunk_documents
+
+        text = " ".join(f"x{i}" for i in range(30))
+        td = self._mk(spark, [(1, text)])
+        a = sorted(
+            chunk_documents(td, max_tokens=8, overlap=2).df.collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        b = sorted(
+            chunk_documents(td, max_tokens=8, overlap=2, tokens_per_word=1.0).df.collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [(r["text"], r["chunk_tokens"]) for r in a] \
+            == [(r["text"], r["chunk_tokens"]) for r in b]
+
+    def test_pack_documents_bpe_column(self, spark):
+        """pack_documents over a BPE-estimate column: the budget math
+        runs on the provided counts (oracle prefix-sum check), and a
+        missing column fails with the actionable message."""
+        from datar_polars_spark.scale import pack_documents
+        from datar_polars_spark.tibble import ensure_tibble
+
+        rows = [(i, 100 + 37 * (i % 5)) for i in range(40)]
+        td = ensure_tibble(
+            spark.createDataFrame(rows, "doc_id int, bpe_tokens int")
+        )
+        out = pack_documents(td, tokens="bpe_tokens", budget=400)
+        got = {
+            r["doc_id"]: r["pack_id"]
+            for r in out.df.select("doc_id", "pack_id").collect()
+        }
+        acc = 0
+        for i, tk in rows:
+            assert got[i] == acc // 400, (i, got[i], acc)
+            acc += tk
+        with pytest.raises(ValueError, match="token-count column"):
+            pack_documents(td, tokens="n_tokens", budget=400)
