@@ -1503,11 +1503,58 @@ def q48_streaming(spark, sf):
     # the accumulator's 0.0 is its additive identity)
     spdf.loc[spdf["max_value"].isna(), "total"] = None
 
+    # block 'neardup' (r9): streaming MinHash/LSH vs a static history
+    # (stream_near_dedup) — the stream is the documents table itself
+    # and the history the same docs, so (a) the in-stream flagged pair
+    # set must EQUAL the batch minhash_join pair set on identical
+    # data/params (both hash-defined by the same xxhash64 permutation
+    # family; symmetric difference pinned 0) and (b) every signable
+    # doc must match ITSELF at jaccard_est 1.0 — self-recall, which
+    # the oracle recounts as COUNT(*) of non-NULL-text documents.
+    from datar_polars_spark.scale.dedup import minhash_join
+    from datar_polars_spark.streaming import stream_near_dedup
+
+    docs = _t(spark, sf, "documents")
+    s3 = stream_read_parquet(spark, f"{sf}/documents.parquet")
+    out3 = stream_near_dedup(
+        s3, docs, text="text", id_col="doc_id",
+        num_perm=64, bands=16, shingle_words=3, threshold=0.5,
+        mode="matches",
+    )
+    npdf = run_to_memory(out3.select("doc_id", "match_id"), mode="append")
+    stream_pairs = set(
+        zip(npdf["doc_id"].astype("int64"), npdf["match_id"].astype("int64"))
+    )
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_join(
+            docs, docs, text="text", id_col="doc_id",
+            num_perm=64, bands=16, shingle_words=3, threshold=0.5,
+        ).df.select("id_a", "id_b").collect()
+    }
+    ndf = pd.DataFrame(
+        {
+            "op": ["neardup", "neardup"],
+            "k": ["diff", "self"],
+            "n_events": [
+                len(stream_pairs ^ batch_pairs),
+                sum(1 for a, b in stream_pairs if a == b),
+            ],
+            "total": [None, None],
+            "max_value": [None, None],
+        }
+    )
+
     cols = ["op", "k", "n_events", "total", "max_value"]
     # astype(object) so the all-NA max_value block concatenates without
     # pandas' future dtype-inference change warning
     both = pd.concat(
-        [wpdf[cols].astype({"max_value": object}), spdf[cols]], ignore_index=True
+        [
+            wpdf[cols].astype({"max_value": object}),
+            spdf[cols],
+            ndf[cols].astype({"total": object, "max_value": object}),
+        ],
+        ignore_index=True,
     )
     return spark.createDataFrame(
         both, "op string, k string, n_events long, total double, max_value double"
@@ -2717,6 +2764,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'state', LPAD(CAST(user_id AS VARCHAR), 10, '0'),
                        COUNT(*), ROUND(SUM(value), 4), ROUND(MAX(value), 4)
                 FROM events GROUP BY user_id
+                UNION ALL
+                SELECT 'neardup', 'diff', 0,
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+                UNION ALL
+                SELECT 'neardup', 'self',
+                       (SELECT COUNT(*) FROM documents
+                        WHERE text IS NOT NULL),
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
             ) ORDER BY op, k
         """,
         "q49_ngram_jaccard": """

@@ -64,7 +64,12 @@ def read_parquet(spark: SparkSession, path: str) -> Tibble:
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Driver-side footer peek: which columns are timestamp[ns]?"""
+    """Driver-side footer peek: which top-level columns are genuine
+    TIMESTAMP(NANOS) (INT64 + nanos logical annotation)? Checked
+    against the PARQUET schema, not the arrow view: pyarrow reports
+    legacy INT96 timestamps (Spark's own default output type) as
+    timestamp[ns] too, but Spark reads INT96 natively as TIMESTAMP —
+    flagging those would make the reader divide a TIMESTAMP by 1000."""
     try:
         import glob
         import os
@@ -77,12 +82,18 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
             if not files:
                 return []
             target = files[0]
-        schema = pq.read_schema(target)
-        return [
-            field.name
-            for field in schema
-            if str(field.type).startswith("timestamp[ns")
-        ]
+        ps = pq.ParquetFile(target).schema
+        out = []
+        for i in range(len(ps)):
+            col = ps.column(i)
+            if "." in col.path:  # nested — the reader only fixes top-level
+                continue
+            if col.physical_type != "INT64":
+                continue
+            lt = str(col.logical_type).lower()
+            if "timestamp" in lt and "nano" in lt:
+                out.append(col.name)
+        return out
     except Exception:
         return []
 

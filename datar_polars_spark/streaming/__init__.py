@@ -420,3 +420,214 @@ def stream_decontaminate(
 
 
 __all__.append("stream_decontaminate")
+
+
+def _band_hash_array(sig: str, bands: int, rows_per_band: int):
+    """Per-band combined LSH hashes of a signature column, as
+    array<long> — xxhash64(band_idx, comma-joined band slice). The
+    band index is MIXED IN (unlike batch ``_banded``, which carries it
+    as a separate join key) so a flat array element is equivalent to
+    the batch (band, bhash) pair."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            b.cast("long"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col(sig), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
+            ),
+        ),
+    )
+
+
+def stream_near_dedup(
+    sdf: DataFrame,
+    history: Any,
+    text: Any = "text",
+    id_col: Any = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    threshold: float = 0.7,
+    mode: str = "matches",
+    ts: Any = None,
+    watermark: str = "1 hour",
+    max_history: int = 200_000,
+) -> DataFrame:
+    """Streaming MinHash/LSH near-duplicate detection against a STATIC
+    historical corpus — the fuzzy complement of ``stream_dedup`` (exact
+    keys) and ``stream_decontaminate`` (exact n-gram overlap), for
+    flagging documents of a live crawl that near-duplicate what's
+    already in the lake.
+
+    Stream docs sign with the stateless per-row HOF fold
+    (``minhash_signature`` — narrow map, no aggregation, no state
+    store); the same deterministic xxhash64 permutation family as the
+    batch ``_minhash_sigs`` explode form means both sides' signatures
+    are directly comparable (identical values, different evaluation
+    strategy — the fold costs more CPU per row but streaming cannot
+    use the explode+groupBy form without dragging in stateful
+    aggregation).
+
+    ``mode="matches"`` (the 100 TB path): the history signs ONCE at
+    setup with the batch explode form, bands, and persists
+    (re-probed every micro-batch); the stream explodes to its
+    ``bands`` (band, band-hash) buckets and a stream-static EQUI join
+    on (band, bhash) — stateless, shuffle keyed by bucket, history
+    side arbitrarily large — generates candidates verified by
+    signature agreement >= ``threshold``. Emits one row per stream doc
+    x matching history doc (columns: the stream's, plus ``match_id``,
+    ``jaccard_est``) — a pair that collides in several bands emits
+    once per band UNLESS ``ts=`` is given, in which case
+    ``dropDuplicatesWithinWatermark`` on (id, match_id) collapses them
+    with watermark-bounded state.
+
+    ``mode="filter"`` passes through only CLEAN stream rows (no
+    verified near-dup in history). "Clean" is a per-doc ALL-bands
+    decision, which a relational anti-join cannot express post-explode,
+    so the history index (combined band-hash -> signature rows) is
+    collected and BROADCAST, and an Arrow pandas UDF probes it per doc:
+    O(bands) dict lookups + signature verification against only
+    colliding candidates. Bounded by ``max_history`` rows (default
+    200k; ~100 MB broadcast at num_perm=64) — raise if your history
+    outgrows it and use ``mode="matches"`` + a batch join-back instead
+    (histories past driver memory are exactly what the equi-join path
+    is for)."""
+    from ..scale.dedup import (
+        _banded, _minhash_sigs, minhash_signature, word_shingles,
+    )
+
+    if mode not in ("matches", "filter"):
+        raise ValueError(
+            f"stream_near_dedup: mode must be 'matches' or 'filter', "
+            f"got {mode!r}"
+        )
+    if num_perm % bands:
+        raise ValueError(
+            f"stream_near_dedup: num_perm={num_perm} not divisible by "
+            f"bands={bands}"
+        )
+    tname, idn = _name_of(text), _name_of(id_col)
+    rows_per_band = num_perm // bands
+    hist_df = (
+        history.df.select(*history.columns)
+        if isinstance(history, Tibble)
+        else history
+    )
+
+    sig = minhash_signature(
+        word_shingles(F.col(tname), shingle_words), num_perm
+    )
+    # docs with no shingles (NULL/empty text) sign all-NULL and can
+    # never verify; drop them up front, mirroring the batch explode
+    # form (no shingle rows -> no signature row)
+    s = sdf.withColumn("__sig", sig).where(
+        F.element_at(F.col("__sig"), 1).isNotNull()
+    )
+
+    if mode == "matches":
+        hist_sigs = _minhash_sigs(
+            hist_df, tname, idn, num_perm, shingle_words
+        )
+        from pyspark import StorageLevel
+
+        from ..plans.cache import register_internal_cache
+
+        hist_banded = register_internal_cache(
+            _banded(hist_sigs, "sig", bands, rows_per_band)
+            .select(
+                "band", "bhash",
+                F.col("id").alias("match_id"),
+                F.col("sig").alias("__hsig"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        banded = _banded(s, "__sig", bands, rows_per_band)
+        est = F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("__sig"), F.col("__hsig"), lambda a, b: a == b
+                ),
+                lambda x: x,
+            )
+        ) / F.lit(num_perm)
+        out = (
+            banded.join(hist_banded, on=["band", "bhash"])
+            .withColumn("jaccard_est", est)
+            .where(F.col("jaccard_est") >= threshold)
+            .select(*sdf.columns, "match_id", "jaccard_est")
+        )
+        if ts is not None:
+            tcol = _name_of(ts)
+            out = _as_event_time(out, tcol).withWatermark(
+                tcol, watermark
+            ).dropDuplicatesWithinWatermark([idn, "match_id"])
+        return out
+
+    # mode == "filter": broadcast band-hash index + Arrow probe
+    import numpy as np
+
+    hist_sigs = _minhash_sigs(hist_df, tname, idn, num_perm, shingle_words)
+    hist_rows = (
+        hist_sigs.withColumn(
+            "__bh", _band_hash_array("sig", bands, rows_per_band)
+        )
+        .select("__bh", "sig")
+        .limit(max_history + 1)
+        .collect()
+    )
+    if len(hist_rows) > max_history:
+        raise ValueError(
+            f"stream_near_dedup: history exceeds max_history="
+            f"{max_history} signed docs; use mode='matches' with a "
+            f"batch join-back for unbounded histories"
+        )
+    sigs_mat = np.array([list(r["sig"]) for r in hist_rows], dtype="int64")
+    buckets: dict[int, list[int]] = {}
+    for i, r in enumerate(hist_rows):
+        for bh in r["__bh"]:
+            buckets.setdefault(int(bh), []).append(i)
+    bcast = sdf.sparkSession.sparkContext.broadcast((buckets, sigs_mat))
+    need = int(np.ceil(threshold * num_perm))
+    out_cols = list(sdf.columns)
+    out_schema = sdf.schema
+
+    # one Arrow mapInPandas pass (NOT a pandas_udf inside a Filter:
+    # project-collapsing can inline the whole signature fold into the
+    # UDF's argument expressions, and the resulting
+    # PythonUDF-in-Filter crashes the interpreted predicate evaluator
+    # on the streaming write path)
+    def _drop_dups(batches):
+        import numpy as _np
+
+        bks, mat = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+
+            def clean(row) -> bool:
+                cand: set[int] = set()
+                for bh in row["__bh"]:
+                    hit = bks.get(int(bh))
+                    if hit:
+                        cand.update(hit)
+                if not cand:
+                    return True
+                sv = _np.array(list(row["__sig"]), dtype="int64")
+                idx = _np.fromiter(cand, dtype="int64")
+                agree = (mat[idx] == sv[None, :]).sum(axis=1)
+                return bool(agree.max() < need)
+
+            keep = pdf.apply(clean, axis=1)
+            yield pdf.loc[keep, out_cols]
+
+    probed = s.withColumn(
+        "__bh", _band_hash_array("__sig", bands, rows_per_band)
+    )
+    return probed.mapInPandas(_drop_dups, schema=out_schema)
+
+
+__all__.append("stream_near_dedup")

@@ -1,0 +1,130 @@
+"""Streaming MinHash/LSH near-dup vs a static history: a planted
+near-duplicate of a lake document is flagged in-stream, matches/filter
+modes agree with the batch minhash_join on the same data, and the plan
+stays stateless (no state store) in matches mode without ts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datar_polars_spark import f, filter_, read_parquet
+from datar_polars_spark.streaming import (
+    run_to_memory,
+    stream_near_dedup,
+    stream_read_parquet,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+PARAMS = dict(num_perm=64, bands=16, shingle_words=3, threshold=0.5)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """history = docs 0..349; stream = docs 350..499 plus a PLANTED
+    near-dup of history doc (lowest id) with one word changed."""
+    docs = read_parquet(spark, DOCS)
+    hist = docs >> filter_(f.doc_id < 350)
+    base = docs.df.where("doc_id = 0").select("text").first()["text"]
+    words = base.split()
+    words[len(words) // 2] = "PLANTEDWORD"
+    planted = " ".join(words)
+    stream_batch = (
+        docs.df.where("doc_id >= 350")
+        .select("doc_id", "text")
+        .unionByName(
+            docs.df.sparkSession.createDataFrame(
+                [(100_000, planted)], "doc_id long, text string"
+            )
+        )
+    )
+    return hist, stream_batch
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, corpus, tmp_path_factory):
+    _, stream_batch = corpus
+    src = str(tmp_path_factory.mktemp("near_dedup") / "stream_docs")
+    stream_batch.write.parquet(src)
+    return src
+
+
+def _batch_pairs(spark, corpus):
+    from datar_polars_spark.scale import minhash_join
+    from datar_polars_spark.tibble import ensure_tibble
+
+    hist, stream_batch = corpus
+    got = minhash_join(
+        ensure_tibble(stream_batch), hist, text="text", id_col="doc_id",
+        **PARAMS,
+    ).df.collect()
+    return {(r["id_a"], r["id_b"]) for r in got}
+
+
+def test_planted_near_dup_flagged_in_stream(spark, corpus, stream_src):
+    hist, _ = corpus
+    sdf = stream_read_parquet(spark, stream_src)
+    out = stream_near_dedup(sdf, hist, mode="matches", **PARAMS)
+    got = run_to_memory(out, mode="append")
+    flagged = set(zip(got["doc_id"], got["match_id"]))
+    assert (100_000, 0) in flagged
+    ests = got.set_index(["doc_id", "match_id"])["jaccard_est"]
+    assert float(ests.loc[(100_000, 0)].max()) >= 0.5
+
+
+def test_matches_mode_batch_parity(spark, corpus, stream_src):
+    """Distinct flagged pairs in-stream == the batch minhash_join
+    pair set on identical data/params (same hash family both sides)."""
+    hist, _ = corpus
+    sdf = stream_read_parquet(spark, stream_src)
+    out = stream_near_dedup(sdf, hist, mode="matches", **PARAMS)
+    got = run_to_memory(out, mode="append")
+    stream_pairs = set(zip(got["doc_id"], got["match_id"]))
+    assert stream_pairs == _batch_pairs(spark, corpus)
+
+
+def test_filter_mode_batch_parity(spark, corpus, stream_src):
+    """Filter-mode survivors == stream docs minus batch-flagged ids
+    (per-doc ANY-match decision via the broadcast Arrow probe)."""
+    hist, stream_batch = corpus
+    sdf = stream_read_parquet(spark, stream_src)
+    out = stream_near_dedup(sdf, hist, mode="filter", **PARAMS)
+    got = run_to_memory(out, mode="append")
+    dup_ids = {a for a, _ in _batch_pairs(spark, corpus)}
+    all_ids = {r["doc_id"] for r in stream_batch.select("doc_id").collect()}
+    assert set(got["doc_id"]) == all_ids - dup_ids
+    assert 100_000 not in set(got["doc_id"])
+    assert list(got.columns) == ["doc_id", "text"]  # scratch cols dropped
+
+
+def test_ts_dedups_band_multiplicity(spark, corpus, stream_src, tmp_path):
+    """With ts=, a pair colliding in several bands emits exactly once
+    (dropDuplicatesWithinWatermark on (id, match_id))."""
+    import shutil
+
+    hist, _ = corpus
+    src = str(tmp_path / "ts_docs")
+    spark.read.parquet(stream_src).withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    ).write.parquet(src)
+    sdf = stream_read_parquet(spark, src)
+    out = stream_near_dedup(
+        sdf, hist, mode="matches", ts=f.ts, watermark="1 hour", **PARAMS
+    )
+    got = run_to_memory(out, mode="append")
+    pairs = list(zip(got["doc_id"], got["match_id"]))
+    assert len(pairs) == len(set(pairs))
+    assert (100_000, 0) in set(pairs)
+
+
+def test_validation(spark, corpus):
+    hist, _ = corpus
+    sdf = stream_read_parquet(
+        hist.df.sparkSession, DOCS
+    )
+    with pytest.raises(ValueError, match="mode"):
+        stream_near_dedup(sdf, hist, mode="nope")
+    with pytest.raises(ValueError, match="divisible"):
+        stream_near_dedup(sdf, hist, num_perm=64, bands=13)
+    with pytest.raises(ValueError, match="max_history"):
+        stream_near_dedup(sdf, hist, mode="filter", max_history=10, **{
+            k: v for k, v in PARAMS.items()
+        })

@@ -257,3 +257,36 @@ def test_streaming_multimodal_sniff_and_decode(spark, tmp_path):
         content="content",
     ).df.orderBy("id").collect()
     assert [r["media_type"] for r in batch] == ["image", "audio", "video"]
+
+
+def test_nanos_detection_ignores_int96(spark, tmp_path):
+    """r9 regression: pyarrow reports Spark's legacy INT96 timestamps
+    as timestamp[ns], but Spark reads INT96 natively as TIMESTAMP —
+    the footer peek must flag only genuine INT64 TIMESTAMP(NANOS), or
+    the reader divides a TIMESTAMP column by 1000."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datar_polars_spark.sources import _nanos_timestamp_cols
+    from datar_polars_spark.streaming import stream_read_parquet, run_to_memory
+
+    # genuine nanos file (pyarrow INT64 + nanos annotation)
+    ns_path = str(tmp_path / "ns.parquet")
+    tbl = pa.table({
+        "x": pa.array([1, 2]),
+        "ts": pa.array(pd.to_datetime(["2026-01-01", "2026-01-02"])).cast(
+            pa.timestamp("ns")
+        ),
+    })
+    pq.write_table(tbl, ns_path, store_schema=False)
+    assert _nanos_timestamp_cols(ns_path) == ["ts"]
+
+    # Spark-written file (INT96 by default): NOT nanos, reads natively
+    sp_dir = str(tmp_path / "spark_ts")
+    spark.createDataFrame(
+        [(1,)], "x int"
+    ).selectExpr("x", "timestamp'2026-01-01 00:00:00' as ts").write.parquet(sp_dir)
+    assert _nanos_timestamp_cols(sp_dir) == []
+    got = run_to_memory(stream_read_parquet(spark, sp_dir), mode="append")
+    assert str(got["ts"].iloc[0]) == "2026-01-01 00:00:00"
