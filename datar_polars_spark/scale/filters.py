@@ -14,6 +14,8 @@ definitions; the quadratic-in-lines HOF scans are per-document arrays
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
@@ -668,10 +670,13 @@ def chunk_documents(
     expansion ratio of the target tokenizer — e.g. ~1.3 for GPT-style
     BPE over English prose (measure yours: mutate
     ``bpe_token_estimate(text) / token_count(text)`` and average). The
-    word window becomes ``floor(max_tokens / tokens_per_word)`` and the
-    overlap converts the same way, so every emitted chunk fits the BPE
-    budget conservatively while ``tokens_col`` keeps reporting the
-    chunk's actual whitespace-token count. The default 1.0 budgets in
+    word window becomes ``floor(max_tokens / tokens_per_word)`` (floor:
+    never exceed the budget) and the overlap becomes
+    ``ceil(overlap / tokens_per_word)`` clamped below the window (ceil:
+    the overlap is a minimum of carried context, never under-deliver
+    it), so every emitted chunk fits the BPE budget conservatively
+    while ``tokens_col`` keeps reporting the chunk's actual
+    whitespace-token count. The default 1.0 budgets in
     plain whitespace tokens (unchanged behavior).
 
     Pure JVM: split -> sequence over the chunk count -> one
@@ -697,10 +702,14 @@ def chunk_documents(
             f"chunk_documents: tokens_per_word must be > 0, got "
             f"{tokens_per_word}"
         )
-    # convert the budget into whitespace-word units (floor: the chunk
-    # must FIT the budget, never exceed it)
+    # convert the budget into whitespace-word units. The two bounds
+    # round in OPPOSITE directions: the window floors (the chunk must
+    # FIT the budget, never exceed it) while the overlap ceils — it is
+    # a MINIMUM of boundary context carried over, so rounding it down
+    # would under-deliver context (e.g. overlap=4 at tokens_per_word=
+    # 2.6 must carry 2 words ~ 5.2 tokens, not 1 word ~ 2.6).
     max_tokens = int(int(max_tokens) / ratio)
-    overlap = int(int(overlap) / ratio)
+    overlap = math.ceil(int(overlap) / ratio)
     if max_tokens < 1:
         raise ValueError(
             f"chunk_documents: the budget rounds to zero words at "

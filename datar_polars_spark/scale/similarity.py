@@ -175,7 +175,18 @@ def _train_sample(df, col: str, sample_size: int, n: int, seed: int, who: str):
         frac = sample_size / n
         rows = df.select(col).sample(fraction=frac, seed=seed).collect()
         if len(rows) < min(n, max(2, sample_size // 2)):
-            rows = df.select(col).limit(sample_size).collect()
+            # Bernoulli undershoot top-up. NOT limit(sample_size): that
+            # takes whole leading partitions, which on sorted/clustered
+            # corpora trains codebooks on one file's biased prefix. A
+            # seeded shuffle-then-limit stays deterministic but draws
+            # from every partition; the fallback only fires on small
+            # frames, where the extra sort is negligible.
+            rows = (
+                df.select(col)
+                .orderBy(F.rand(seed), F.col(col).cast("string"))
+                .limit(sample_size)
+                .collect()
+            )
     rows = [r for r in rows if r[0] is not None]
     if not rows:
         raise ValueError(

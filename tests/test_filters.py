@@ -391,7 +391,9 @@ class TestTokenizerHonestBudgets:
 
     def test_ratio_equals_shrunk_word_budget(self, spark):
         """tokens_per_word=r must chunk EXACTLY like a word budget of
-        floor(max_tokens / r) — the conservative conversion."""
+        floor(max_tokens / r) with an overlap of ceil(overlap / r) —
+        the window floors (fit the budget), the overlap ceils (carry
+        at least the requested context)."""
         from datar_polars_spark.scale import chunk_documents
 
         import random
@@ -408,10 +410,38 @@ class TestTokenizerHonestBudgets:
             key=key,
         )
         want = sorted(
-            chunk_documents(td, max_tokens=6, overlap=1).df.collect(), key=key
+            chunk_documents(td, max_tokens=6, overlap=2).df.collect(), key=key
         )
         assert [(r["doc_id"], r["chunk_id"], r["text"], r["chunk_tokens"]) for r in got] \
             == [(r["doc_id"], r["chunk_id"], r["text"], r["chunk_tokens"]) for r in want]
+
+    def test_overlap_ceils_so_context_is_never_underdelivered(self, spark):
+        """overlap=4 at tokens_per_word=2.6 must carry 2 words (~5.2
+        estimated tokens >= 4 requested), not floor's 1 word (~2.6 <
+        4): consecutive chunks share ceil(overlap/ratio) words."""
+        from datar_polars_spark.scale import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(40))
+        td = self._mk(spark, [(1, text)])
+        rows = sorted(
+            chunk_documents(
+                td, max_tokens=16, overlap=4, tokens_per_word=2.6
+            ).df.collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert len(rows) > 1
+        for prev, cur in zip(rows, rows[1:]):
+            pw, cw = prev["text"].split(), cur["text"].split()
+            shared = max(
+                (k for k in range(1, min(len(pw), len(cw)) + 1)
+                 if pw[-k:] == cw[:k]),
+                default=0,
+            )
+            # carried words * ratio must meet or beat the requested
+            # token overlap (ceil direction)
+            assert shared * 2.6 >= 4
+            # and the window budget still holds
+            assert len(cur["text"].split()) * 2.6 <= 16 + 1e-9
 
     def test_every_chunk_fits_the_bpe_budget(self, spark):
         """With ratio r, every chunk's words * r stays <= max_tokens."""

@@ -389,3 +389,35 @@ def test_pq_train_null_rows_skipped(spark):
     )
     book = pq_train(td, m=2, nbits=2, sample_size=50, seed=0)
     assert len(book) == 2  # the NULL row trains nothing, no crash
+
+
+def test_train_sample_topup_draws_from_all_partitions(spark, monkeypatch):
+    """The Bernoulli-undershoot top-up must not be limit(n) — that
+    takes whole leading partitions, so a sorted/clustered corpus would
+    train codebooks on one file's biased prefix. Force the undershoot
+    and check the sample carries BOTH modes of a two-partition,
+    two-mode frame (ADVICE r9)."""
+    import numpy as np
+
+    from datar_polars_spark.scale.similarity import _train_sample
+
+    lo = [([float(i) * 1e-3, 0.0],) for i in range(200)]
+    hi = [([100.0 + float(i) * 1e-3, 100.0],) for i in range(200)]
+    df = (
+        spark.createDataFrame(lo, "embedding array<double>")
+        .coalesce(1)
+        .unionAll(
+            spark.createDataFrame(hi, "embedding array<double>").coalesce(1)
+        )
+    )
+    # force the undershoot branch: Bernoulli returns nothing (patch the
+    # CONCRETE DataFrame class — pyspark.sql.DataFrame is a base whose
+    # subclass overrides sample)
+    monkeypatch.setattr(
+        type(df), "sample", lambda self, *a, **k: self.limit(0)
+    )
+    X = _train_sample(df, "embedding", 50, 400, seed=7, who="test")
+    assert len(X) == 50
+    second = np.asarray(X)[:, 1]
+    assert (second < 50).any(), "top-up sample missed the first partition"
+    assert (second > 50).any(), "top-up sample is a first-partition prefix"
