@@ -456,6 +456,7 @@ def stream_near_dedup(
     ts: Any = None,
     watermark: str = "1 hour",
     max_history: int = 200_000,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Streaming MinHash/LSH near-duplicate detection against a STATIC
     historical corpus — the fuzzy complement of ``stream_dedup`` (exact
@@ -495,9 +496,25 @@ def stream_near_dedup(
     200k; ~100 MB broadcast at num_perm=64) — raise if your history
     outgrows it and use ``mode="matches"`` + a batch join-back instead
     (histories past driver memory are exactly what the equi-join path
-    is for)."""
+    is for). Unsignable stream rows (NULL/empty text) have no verified
+    near-dup in history by definition, so filter mode passes them
+    through untouched; matches mode drops them (they can never emit a
+    match row) — mirroring the batch explode form.
+
+    ``max_bucket`` is the same skew guard the batch ``minhash_join``
+    applies: HISTORY buckets larger than ``max_bucket`` members (giant
+    boilerplate clusters) are dropped from candidate generation, so a
+    mega-bucket can't replicate against every colliding stream row
+    (the O(bucket^2) blowup on the 100 TB path). The STREAM side cannot
+    be censused statelessly (a micro-batch sees only its own rows), so
+    unlike the batch form its buckets stay uncapped — the stream may
+    emit candidate pairs batch ``minhash_join`` would have dropped when
+    the stream-side bucket is the oversized one: a superset, never a
+    miss. Dropped-candidate accounting registers under op
+    ``"stream_near_dedup"`` (see ``dropped_pairs_estimate``)."""
     from ..scale.dedup import (
-        _banded, _minhash_sigs, minhash_signature, word_shingles,
+        _DROPPED_PAIRS, _banded, _cap_buckets, _minhash_sigs,
+        minhash_signature, word_shingles,
     )
 
     if mode not in ("matches", "filter"):
@@ -510,6 +527,21 @@ def stream_near_dedup(
             f"stream_near_dedup: num_perm={num_perm} not divisible by "
             f"bands={bands}"
         )
+    if max_bucket < 1:
+        raise ValueError(
+            f"stream_near_dedup: max_bucket must be >= 1, got {max_bucket}"
+        )
+    # scratch/output-name hygiene (same fail-fast contract as
+    # chunk_documents): a stream frame already carrying any of these
+    # would produce duplicate/ambiguous columns downstream
+    reserved = {"__sig", "__bh", "band", "bhash", "match_id", "jaccard_est"}
+    clash = sorted(reserved & set(sdf.columns))
+    if clash:
+        raise ValueError(
+            f"stream_near_dedup: column(s) {clash} already exist in the "
+            f"stream frame and are reserved (scratch: __sig/__bh/band/"
+            f"bhash; output: match_id/jaccard_est); rename them first"
+        )
     tname, idn = _name_of(text), _name_of(id_col)
     rows_per_band = num_perm // bands
     hist_df = (
@@ -521,14 +553,18 @@ def stream_near_dedup(
     sig = minhash_signature(
         word_shingles(F.col(tname), shingle_words), num_perm
     )
+    _DROPPED_PAIRS["stream_near_dedup"] = []
+    s_all = sdf.withColumn("__sig", sig)
     # docs with no shingles (NULL/empty text) sign all-NULL and can
-    # never verify; drop them up front, mirroring the batch explode
-    # form (no shingle rows -> no signature row)
-    s = sdf.withColumn("__sig", sig).where(
-        F.element_at(F.col("__sig"), 1).isNotNull()
-    )
+    # never verify a match; matches mode drops them up front, mirroring
+    # the batch explode form (no shingle rows -> no signature row).
+    # Filter mode must NOT drop them — a row with no verifiable
+    # near-dup in history is CLEAN and passes through (the Arrow probe
+    # below routes unsignable rows around the index).
+    signable = F.element_at(F.col("__sig"), 1).isNotNull()
 
     if mode == "matches":
+        s = s_all.where(signable)
         hist_sigs = _minhash_sigs(
             hist_df, tname, idn, num_perm, shingle_words
         )
@@ -537,7 +573,10 @@ def stream_near_dedup(
         from ..plans.cache import register_internal_cache
 
         hist_banded = register_internal_cache(
-            _banded(hist_sigs, "sig", bands, rows_per_band)
+            _cap_buckets(
+                _banded(hist_sigs, "sig", bands, rows_per_band),
+                ["band", "bhash"], max_bucket, op="stream_near_dedup",
+            )
             .select(
                 "band", "bhash",
                 F.col("id").alias("match_id"),
@@ -590,6 +629,13 @@ def stream_near_dedup(
     for i, r in enumerate(hist_rows):
         for bh in r["__bh"]:
             buckets.setdefault(int(bh), []).append(i)
+    # the same skew cap the matches path applies to the history side:
+    # an oversized boilerplate bucket leaves candidate generation (its
+    # pair cost is what max_bucket bounds) — parity with minhash_join
+    oversized = [bh for bh, members in buckets.items()
+                 if len(members) > max_bucket]
+    for bh in oversized:
+        del buckets[bh]
     bcast = sdf.sparkSession.sparkContext.broadcast((buckets, sigs_mat))
     need = int(np.ceil(threshold * num_perm))
     out_cols = list(sdf.columns)
@@ -607,25 +653,45 @@ def stream_near_dedup(
         for pdf in batches:
             if not len(pdf):
                 continue
-
-            def clean(row) -> bool:
+            m = len(pdf)
+            sigs = pdf["__sig"].tolist()
+            bhs = pdf["__bh"].tolist()
+            keep = _np.ones(m, dtype=bool)
+            # gather (stream row, history candidate) index pairs across
+            # the WHOLE batch — the dict lookups stay per row (cheap),
+            # but the signature verification collapses to a single
+            # fancy-indexed comparison per batch instead of a Python
+            # loop per row
+            row_pos: list[int] = []
+            cand_pos: list[int] = []
+            for i in range(m):
+                sv = sigs[i]
+                if sv is None or len(sv) == 0 or sv[0] is None:
+                    continue  # unsignable (NULL/empty text) -> clean
                 cand: set[int] = set()
-                for bh in row["__bh"]:
-                    hit = bks.get(int(bh))
-                    if hit:
-                        cand.update(hit)
-                if not cand:
-                    return True
-                sv = _np.array(list(row["__sig"]), dtype="int64")
-                idx = _np.fromiter(cand, dtype="int64")
-                agree = (mat[idx] == sv[None, :]).sum(axis=1)
-                return bool(agree.max() < need)
-
-            keep = pdf.apply(clean, axis=1)
+                bh_i = bhs[i]
+                if bh_i is not None:
+                    for bh in bh_i:
+                        hit = bks.get(int(bh))
+                        if hit:
+                            cand.update(hit)
+                if cand:
+                    row_pos.extend([i] * len(cand))
+                    cand_pos.extend(cand)
+            if row_pos:
+                ri = _np.asarray(row_pos, dtype="int64")
+                ci = _np.asarray(cand_pos, dtype="int64")
+                uniq, inv = _np.unique(ri, return_inverse=True)
+                smat = _np.array(
+                    [list(sigs[int(u)]) for u in uniq], dtype="int64"
+                )
+                agree = (mat[ci] == smat[inv]).sum(axis=1)
+                keep[_np.unique(ri[agree >= need])] = False
             yield pdf.loc[keep, out_cols]
 
-    probed = s.withColumn(
-        "__bh", _band_hash_array("__sig", bands, rows_per_band)
+    probed = s_all.withColumn(
+        "__bh",
+        F.when(signable, _band_hash_array("__sig", bands, rows_per_band)),
     )
     return probed.mapInPandas(_drop_dups, schema=out_schema)
 

@@ -128,3 +128,94 @@ def test_validation(spark, corpus):
         stream_near_dedup(sdf, hist, mode="filter", max_history=10, **{
             k: v for k, v in PARAMS.items()
         })
+
+
+def test_filter_mode_null_text_rows_pass_through(spark, corpus, tmp_path):
+    """Filter mode passes through only CLEAN rows — an unsignable
+    (NULL/empty text) row has no verified near-dup in history, so it
+    must SURVIVE, not vanish (ADVICE r9: the shared signability
+    pre-filter silently dropped it)."""
+    hist, stream_batch = corpus
+    src = str(tmp_path / "null_docs")
+    stream_batch.unionByName(
+        spark.createDataFrame(
+            [(200_000, None), (200_001, ""), (200_002, "   ")],
+            "doc_id long, text string",
+        )
+    ).write.parquet(src)
+    sdf = stream_read_parquet(spark, src)
+    out = stream_near_dedup(sdf, hist, mode="filter", **PARAMS)
+    got = run_to_memory(out, mode="append")
+    survivors = set(got["doc_id"])
+    assert {200_000, 200_001, 200_002} <= survivors
+    assert 100_000 not in survivors  # the planted near-dup still drops
+    # and matches mode still ignores them (they can never emit a match)
+    sdf2 = stream_read_parquet(spark, src)
+    out2 = stream_near_dedup(sdf2, hist, mode="matches", **PARAMS)
+    got2 = run_to_memory(out2, mode="append")
+    assert not ({200_000, 200_001, 200_002} & set(got2["doc_id"]))
+
+
+def test_history_bucket_cap_matches_batch(spark, corpus, stream_src, tmp_path):
+    """max_bucket caps the HISTORY side exactly like minhash_join's
+    right-side cap: a boilerplate mega-bucket leaves candidate
+    generation in BOTH modes, and the dropped-pair accounting
+    registers (ADVICE r9: the stream-static join ran uncapped)."""
+    from datar_polars_spark.scale import minhash_join
+    from datar_polars_spark.scale.dedup import dropped_pairs_estimate
+    from datar_polars_spark.tibble import ensure_tibble
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    hist = ensure_tibble(
+        spark.createDataFrame(
+            [(i, boiler) for i in range(8)], "doc_id long, text string"
+        )
+    )
+    src = str(tmp_path / "boiler_stream")
+    spark.createDataFrame(
+        [(900, boiler + " extra")], "doc_id long, text string"
+    ).write.parquet(src)
+
+    # capped: the 8-member history bucket exceeds max_bucket=4 -> no
+    # candidates -> no matches, and the estimator saw the drop
+    out = stream_near_dedup(
+        stream_read_parquet(spark, src), hist, mode="matches",
+        max_bucket=4, **PARAMS,
+    )
+    got = run_to_memory(out, mode="append")
+    assert len(got) == 0
+    assert dropped_pairs_estimate("stream_near_dedup") > 0
+    # batch minhash_join with the same cap agrees (empty pair set)
+    batch = minhash_join(
+        ensure_tibble(spark.read.parquet(src)), hist,
+        text="text", id_col="doc_id", max_bucket=4, **PARAMS,
+    ).df.collect()
+    assert batch == []
+
+    # uncapped default: the near-dup IS flagged in both modes
+    out2 = stream_near_dedup(
+        stream_read_parquet(spark, src), hist, mode="matches", **PARAMS
+    )
+    got2 = run_to_memory(out2, mode="append")
+    assert set(got2["doc_id"]) == {900}
+
+    # filter mode honors the same cap: capped -> the row looks clean
+    out3 = stream_near_dedup(
+        stream_read_parquet(spark, src), hist, mode="filter",
+        max_bucket=4, **PARAMS,
+    )
+    assert set(run_to_memory(out3, mode="append")["doc_id"]) == {900}
+    out4 = stream_near_dedup(
+        stream_read_parquet(spark, src), hist, mode="filter", **PARAMS
+    )
+    assert len(run_to_memory(out4, mode="append")) == 0
+
+
+def test_reserved_column_clash_raises(spark, corpus):
+    hist, _ = corpus
+    sdf = stream_read_parquet(spark, DOCS)
+    clashing = sdf.withColumn("match_id", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        stream_near_dedup(clashing, hist, **PARAMS)
+    with pytest.raises(ValueError, match="max_bucket"):
+        stream_near_dedup(sdf, hist, max_bucket=0, **PARAMS)
