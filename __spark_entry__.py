@@ -902,26 +902,32 @@ def q35_text_stats(spark, sf):
                 out.append(make_mp3(44_100, int(n_) % 20 + 1))
         return pd.Series(out)
 
-    # r7: synthesized MP4 movies — even docs exercise the v0 32-bit box
-    # layout, odd docs the v1 64-bit + largesize-moov layout, so BOTH
-    # parser paths are driver-proven; dims/duration derive from
-    # (doc_id, n_chars) so the SQL oracle recomputes them exactly
+    # r7: synthesized MP4 movies — v0 32-bit and v1 64-bit + largesize
+    # box layouts both driver-proven; r10 adds WebM (doc_id % 4 == 2)
+    # and Matroska (% 4 == 3) via the EBML element walk, so all four
+    # real video-probe paths run in the gate. Dims/duration derive from
+    # (doc_id, n_chars) so the SQL oracle recomputes them exactly.
     @F.pandas_udf(BinaryType())
     def vid_bytes(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
-        from datar_polars_spark.scale.codecs import make_mp4
+        from datar_polars_spark.scale.codecs import make_mp4, make_webm
 
         out = []
         for d_, n_ in zip(doc_id, n_chars):
             d_, n_ = int(d_), int(n_)
-            out.append(
-                make_mp4(
-                    d_ % 1280 + 16,
-                    n_ % 720 + 16,
-                    (n_ % 300 + 1) * 1000,
-                    version=d_ % 2,
-                    large_moov=bool(d_ % 2),
+            w, h = d_ % 1280 + 16, n_ % 720 + 16
+            dur = (n_ % 300 + 1) * 1000
+            leg = d_ % 4
+            if leg == 0:
+                out.append(make_mp4(w, h, dur, version=0))
+            elif leg == 1:
+                out.append(make_mp4(w, h, dur, version=1, large_moov=True))
+            elif leg == 2:
+                out.append(make_webm(w, h, dur))
+            else:
+                out.append(
+                    make_webm(w, h, dur, doctype="matroska",
+                              duration_double=True)
                 )
-            )
         return pd.Series(out)
 
     d = _t(spark, sf, "documents")
@@ -990,6 +996,8 @@ def q35_text_stats(spark, sf):
             rate_sum=sum_(f.sample_rate, na_rm=True),
             samples_sum=sum_(f.n_samples, na_rm=True),
             n_mp4=sum_(if_else(f.vid_format == "mp4", 1, 0), na_rm=True),
+            n_webm=sum_(if_else(f.vid_format == "webm", 1, 0), na_rm=True),
+            n_mkv=sum_(if_else(f.vid_format == "mkv", 1, 0), na_rm=True),
             vid_w_sum=sum_(f.vid_w, na_rm=True),
             vid_h_sum=sum_(f.vid_h, na_rm=True),
             duration_sum=sum_(f.duration_ms, na_rm=True),
@@ -2499,8 +2507,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars * 10
                                  ELSE 1152 * (n_chars % 20 + 1) END) AS BIGINT) AS samples_sum,
                    -- r7 video leg: MP4 box-walk probe must round-trip the
-                   -- synthesized dims/duration exactly (v0 and v1 layouts)
-                   COUNT(*) AS n_mp4,
+                   -- synthesized dims/duration exactly (v0 and v1 layouts);
+                   -- r10: doc_id%4 in (2,3) route to the WebM/Matroska
+                   -- EBML walk, reported as 'webm'/'mkv'
+                   CAST(SUM(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_mp4,
+                   CAST(SUM(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_webm,
+                   CAST(SUM(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_mkv,
                    CAST(SUM(doc_id % 1280 + 16) AS BIGINT) AS vid_w_sum,
                    CAST(SUM(n_chars % 720 + 16) AS BIGINT) AS vid_h_sum,
                    CAST(SUM((n_chars % 300 + 1) * 1000) AS BIGINT) AS duration_sum

@@ -2,8 +2,9 @@
 
 Real metadata decode for the dominant container formats — PNG, JPEG,
 GIF, BMP, WebP, TIFF images; WAV, FLAC, MP3, OGG (Vorbis/Opus) audio;
-MP4/ISO-BMFF video (ftyp/moov/mvhd/tkhd box walk) — using nothing but
-``struct`` over the leading bytes. Formats outside this set fall back
+MP4/ISO-BMFF (ftyp/moov/mvhd/tkhd box walk) and WebM/Matroska (EBML
+element walk) video — using nothing but ``struct`` over the leading
+bytes. Formats outside this set fall back
 to the deterministic stub in ``multimodal.py`` (or raise in strict
 mode).
 
@@ -26,6 +27,7 @@ __all__ = [
     "parse_audio_header",
     "parse_video_header",
     "make_mp4",
+    "make_webm",
     "make_png",
     "make_gif",
     "make_bmp",
@@ -419,7 +421,7 @@ def _tkhd_dims(payload: bytes):
     return w, h
 
 
-def parse_video_header(b: bytes):
+def _parse_mp4(b: bytes):
     """(format, width, height, duration_ms) for an MP4 / ISO-BMFF
     container, or None. Evidence rule (as for MP3/OGG): a leading
     ``ftyp`` box alone is not enough — a well-formed ``moov`` box with
@@ -449,6 +451,147 @@ def parse_video_header(b: bytes):
     if duration_ms is None:
         return None  # no moov/mvhd: insufficient evidence
     return "mp4", width, height, duration_ms
+
+
+# --------------------------------------------------------------------------
+# video: WebM / Matroska (EBML, RFC 8794) element walk -> duration + dims
+# --------------------------------------------------------------------------
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"  # also the EBML-header element's ID
+_EBML_SEGMENT = b"\x18\x53\x80\x67"
+_EBML_DOCTYPE = b"\x42\x82"
+_EBML_INFO = b"\x15\x49\xa9\x66"
+_EBML_TIMESTAMP_SCALE = b"\x2a\xd7\xb1"
+_EBML_DURATION = b"\x44\x89"
+_EBML_TRACKS = b"\x16\x54\xae\x6b"
+_EBML_TRACK_ENTRY = b"\xae"
+_EBML_VIDEO = b"\xe0"
+_EBML_PIXEL_WIDTH = b"\xb0"
+_EBML_PIXEL_HEIGHT = b"\xba"
+
+
+def _ebml_vint(b: bytes, i: int, end: int, max_len: int):
+    """Decode one EBML variable-length integer at b[i:]. Returns
+    (raw_bytes, value_without_marker, next_offset, is_all_ones) or
+    None on malformed/truncated input. The leading byte's first set
+    bit encodes the total length (RFC 8794 §4)."""
+    if i >= end:
+        return None
+    first = b[i]
+    if first == 0:
+        return None  # >8-byte vints don't occur in IDs/sizes we read
+    length = 9 - first.bit_length()
+    if length > max_len or i + length > end:
+        return None
+    mask = (1 << (8 - length)) - 1
+    val = first & mask
+    all_ones = val == mask
+    for j in range(1, length):
+        byte = b[i + j]
+        val = (val << 8) | byte
+        all_ones = all_ones and byte == 0xFF
+    return b[i : i + length], val, i + length, all_ones
+
+
+def _ebml_elements(b: bytes, start: int, end: int):
+    """Yield (id_bytes, payload_start, payload_end) for each EBML
+    element in b[start:end). IDs keep their marker bit (matching the
+    spec's notation, e.g. Segment = 0x18538067); sizes strip it. An
+    all-ones size means 'unknown' (live-muxed Segments) and is read as
+    'to end of enclosure'. Stops silently at any malformed element —
+    the caller decides whether what it saw is enough evidence."""
+    i = start
+    while i < end:
+        rid = _ebml_vint(b, i, end, max_len=4)
+        if rid is None:
+            return
+        eid, _, j, _ = rid
+        rsz = _ebml_vint(b, j, end, max_len=8)
+        if rsz is None:
+            return
+        _, size, k, unknown = rsz
+        pend = end if unknown else k + size
+        if pend > end:
+            return
+        yield eid, k, pend
+        i = pend
+
+
+def _parse_webm(b: bytes):
+    """(format, width, height, duration_ms) for a WebM / Matroska
+    container, or None. Evidence rule (as for MP4's moov): the EBML
+    magic alone is not enough — the header's DocType must read 'webm'
+    or 'matroska' AND a Segment with a parsable Info Duration must be
+    present. Dims come from the largest video track's
+    PixelWidth/PixelHeight; 0x0 for audio-only files. Duration is the
+    Info float in timestamp units, normalized by TimestampScale
+    (nanoseconds per unit, default 1,000,000 = milliseconds).
+    Header-only: Clusters (the media payload) are never yielded into,
+    so the walk reads a few hundred leading bytes regardless of size."""
+    if len(b) < 8 or b[:4] != _EBML_MAGIC:
+        return None
+    doctype = None
+    duration_ms = None
+    width = height = 0
+    saw_segment = False
+    for eid, ps, pe in _ebml_elements(b, 0, len(b)):
+        if eid == _EBML_MAGIC:  # the EBML header element
+            for cid, cs, ce in _ebml_elements(b, ps, pe):
+                if cid == _EBML_DOCTYPE:
+                    doctype = (
+                        b[cs:ce].split(b"\x00")[0].decode("ascii", "replace")
+                    )
+        elif eid == _EBML_SEGMENT:
+            saw_segment = True
+            for cid, cs, ce in _ebml_elements(b, ps, pe):
+                if cid == _EBML_INFO:
+                    tscale = 1_000_000  # ns per timestamp unit (default)
+                    dur_units = None
+                    for gid, gs, ge in _ebml_elements(b, cs, ce):
+                        if gid == _EBML_TIMESTAMP_SCALE:
+                            tscale = int.from_bytes(b[gs:ge], "big") or tscale
+                        elif gid == _EBML_DURATION:
+                            n = ge - gs
+                            if n == 4:
+                                dur_units = struct.unpack(">f", b[gs:ge])[0]
+                            elif n == 8:
+                                dur_units = struct.unpack(">d", b[gs:ge])[0]
+                    if dur_units is not None and dur_units >= 0:
+                        duration_ms = int(dur_units * tscale / 1e6)
+                elif cid == _EBML_TRACKS:
+                    for tid, ts, te in _ebml_elements(b, cs, ce):
+                        if tid != _EBML_TRACK_ENTRY:
+                            continue
+                        for vid, vs, ve in _ebml_elements(b, ts, te):
+                            if vid != _EBML_VIDEO:
+                                continue
+                            w = h = 0
+                            for pid, qs, qe in _ebml_elements(b, vs, ve):
+                                if pid == _EBML_PIXEL_WIDTH:
+                                    w = int.from_bytes(b[qs:qe], "big")
+                                elif pid == _EBML_PIXEL_HEIGHT:
+                                    h = int.from_bytes(b[qs:qe], "big")
+                            if w * h > width * height:
+                                width, height = w, h
+            break  # first Segment only (multi-segment files are rare)
+    if doctype not in ("webm", "matroska") or not saw_segment \
+            or duration_ms is None:
+        return None  # insufficient evidence
+    return ("webm" if doctype == "webm" else "mkv"), width, height, duration_ms
+
+
+def parse_video_header(b: bytes):
+    """(format, width, height, duration_ms) from leading bytes —
+    format in {'mp4', 'webm', 'mkv'} — or None if the content is not a
+    recognized MP4/ISO-BMFF or WebM/Matroska container (each parser
+    applies its own second-evidence rule; see _parse_mp4/_parse_webm)."""
+    if not b:
+        return None
+    for parse in (_parse_mp4, _parse_webm):
+        out = parse(b)
+        if out is not None:
+            return out
+    return None
 
 
 # --------------------------------------------------------------------------
@@ -694,3 +837,66 @@ def make_mp4(
     moov = _bmff_box(b"moov", moov_payload, large=large_moov)
     ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
     return ftyp + moov
+
+
+def _ebml_size_bytes(n: int) -> bytes:
+    """Shortest EBML vint encoding of size ``n`` (avoiding the
+    all-ones 'unknown size' pattern)."""
+    length = 1
+    while n >= (1 << (7 * length)) - 1:
+        length += 1
+    return (n | (1 << (7 * length))).to_bytes(length, "big")
+
+
+def _ebml_el(eid: bytes, payload: bytes) -> bytes:
+    return eid + _ebml_size_bytes(len(payload)) + payload
+
+
+def make_webm(
+    width: int,
+    height: int,
+    duration_ms: int,
+    timescale_ns: int = 1_000_000,
+    doctype: str = "webm",
+    duration_double: bool = False,
+    unknown_size_segment: bool = False,
+    audio_only: bool = False,
+) -> bytes:
+    """Minimal valid WebM / Matroska file: EBML header (DocType) +
+    Segment(Info(TimestampScale + Duration) + Tracks(TrackEntry)).
+    ``doctype`` selects 'webm' or 'matroska' (parsed as 'mkv');
+    ``duration_double`` emits the Duration float as 64-bit instead of
+    32-bit; ``unknown_size_segment`` stamps the Segment with the
+    all-ones 'unknown size' vint live muxers write; ``audio_only``
+    emits a track with no Video element (dims must parse as 0x0)."""
+    head = _ebml_el(
+        _EBML_MAGIC,
+        _ebml_el(b"\x42\x86", b"\x01")  # EBMLVersion
+        + _ebml_el(b"\x42\xf7", b"\x01")  # EBMLReadVersion
+        + _ebml_el(_EBML_DOCTYPE, doctype.encode("ascii"))
+        + _ebml_el(b"\x42\x87", b"\x04")  # DocTypeVersion
+        + _ebml_el(b"\x42\x85", b"\x02"),  # DocTypeReadVersion
+    )
+    dur_units = duration_ms * 1_000_000 / timescale_ns
+    dur = struct.pack(">d", dur_units) if duration_double \
+        else struct.pack(">f", dur_units)
+    info = _ebml_el(
+        _EBML_INFO,
+        _ebml_el(_EBML_TIMESTAMP_SCALE, timescale_ns.to_bytes(4, "big"))
+        + _ebml_el(_EBML_DURATION, dur),
+    )
+    if audio_only:
+        entry = _ebml_el(b"\x83", b"\x02")  # TrackType: audio
+    else:
+        entry = _ebml_el(b"\x83", b"\x01") + _ebml_el(  # TrackType: video
+            _EBML_VIDEO,
+            _ebml_el(_EBML_PIXEL_WIDTH, width.to_bytes(2, "big"))
+            + _ebml_el(_EBML_PIXEL_HEIGHT, height.to_bytes(2, "big")),
+        )
+    tracks = _ebml_el(_EBML_TRACKS, _ebml_el(_EBML_TRACK_ENTRY, entry))
+    seg_payload = info + tracks
+    if unknown_size_segment:
+        seg = _EBML_SEGMENT + b"\xff" + seg_payload
+    else:
+        seg = _ebml_el(_EBML_SEGMENT, seg_payload)
+    return head + seg

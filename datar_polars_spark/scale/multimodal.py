@@ -381,8 +381,8 @@ def audio_features(td: Tibble, content: str = "content", dim: int = 32) -> Tibbl
 
 def _stub_decode_video(content: bytes) -> tuple[str, int, int, int]:
     """STUB for unrecognized containers only: deterministic fake keyed
-    off a content hash. MP4/ISO-BMFF takes the real parse path in
-    ``_decode_video_meta``."""
+    off a content hash. MP4/ISO-BMFF and WebM/Matroska take the real
+    parse path in ``_decode_video_meta``."""
     if content is None:
         raise NotImplementedError(
             "real video decode requires ffmpeg/cv2 (not in this container)"
@@ -397,9 +397,11 @@ def _stub_decode_video(content: bytes) -> tuple[str, int, int, int]:
 def _decode_video_meta(
     content: bytes, strict: bool = False
 ) -> tuple[str, int, int, int]:
-    """REAL metadata probe for MP4 / ISO-BMFF via the pure-Python box
-    walk (scale/codecs.py — ftyp + moov/mvhd duration + largest visual
-    track's tkhd dims, no ffmpeg needed); other containers fall back to
+    """REAL metadata probe for MP4 / ISO-BMFF (pure-Python box walk:
+    ftyp + moov/mvhd duration + largest visual track's tkhd dims) and
+    WebM / Matroska (EBML element walk: DocType + Segment/Info
+    duration + largest video track's PixelWidth/PixelHeight) — both in
+    scale/codecs.py, no ffmpeg needed. Other containers fall back to
     the deterministic stub, or raise when ``strict``."""
     from .codecs import parse_video_header
 
@@ -408,8 +410,9 @@ def _decode_video_meta(
         return parsed
     if strict:
         raise NotImplementedError(
-            "unrecognized video container (MP4/ISO-BMFF supported without "
-            "ffmpeg; other formats need a real demuxer library)"
+            "unrecognized video container (MP4/ISO-BMFF and WebM/Matroska "
+            "supported without ffmpeg; other formats need a real demuxer "
+            "library)"
         )
     return _stub_decode_video(content)
 
@@ -423,8 +426,9 @@ def decode_video(
 ) -> Tibble:
     """Header-probe pass over binary video via Arrow-batched
     mapInPandas — adds (format, vid_w, vid_h, duration_ms). MP4 /
-    ISO-BMFF boxes are parsed for REAL (scale/codecs.py); unrecognized
-    containers get the deterministic stub, or raise when ``strict``.
+    ISO-BMFF boxes and WebM/Matroska EBML elements are parsed for REAL
+    (scale/codecs.py); unrecognized containers get the deterministic
+    stub, or raise when ``strict``.
     The probe reads only the leading boxes, so per-row cost is
     constant; payload bytes dominate the partition size exactly as in
     decode_images."""

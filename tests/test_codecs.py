@@ -429,3 +429,111 @@ class TestSniffMedia:
         assert plan.count("MapInPandas") == 1
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan  # narrow, no shuffle
+
+
+class TestWebmProbe:
+    """WebM / Matroska EBML element walk (r10): Segment->Info duration
+    (TimestampScale-normalized), Tracks->Video PixelWidth/PixelHeight,
+    same second-evidence rule as the MP4 box walk."""
+
+    def _mk(self, **kw):
+        from datar_polars_spark.scale.codecs import make_webm
+
+        return make_webm(1280, 720, 90_500, **kw)
+
+    @pytest.mark.parametrize("doctype,fmt", [("webm", "webm"), ("matroska", "mkv")])
+    @pytest.mark.parametrize("dbl", [False, True])
+    @pytest.mark.parametrize("unk", [False, True])
+    def test_roundtrip_all_layouts(self, doctype, fmt, dbl, unk):
+        b = self._mk(doctype=doctype, duration_double=dbl, unknown_size_segment=unk)
+        assert parse_video_header(b) == (fmt, 1280, 720, 90_500)
+
+    def test_timestamp_scale_normalization(self):
+        # Duration is stored in TimestampScale units (ns each); the
+        # probe must normalize to ms for any scale, including the
+        # spec default when the element is absent
+        from datar_polars_spark.scale.codecs import make_webm
+
+        b = make_webm(320, 240, 7_000, timescale_ns=500_000)
+        assert parse_video_header(b) == ("webm", 320, 240, 7_000)
+
+    def test_audio_only_has_zero_dims(self):
+        b = self._mk(audio_only=True)
+        assert parse_video_header(b) == ("webm", 0, 0, 90_500)
+
+    def test_magic_alone_is_not_enough_evidence(self):
+        # EBML magic without a parsable DocType + Segment/Info must not
+        # classify arbitrary binary as video
+        from datar_polars_spark.scale.codecs import _EBML_MAGIC
+
+        assert parse_video_header(_EBML_MAGIC) is None
+        assert parse_video_header(_EBML_MAGIC + b"\x00" * 64) is None
+        # a valid header but a foreign DocType is rejected too
+        from datar_polars_spark.scale.codecs import make_webm
+
+        alien = make_webm(64, 64, 1_000, doctype="notmedia")
+        assert parse_video_header(alien) is None
+
+    def test_truncated_stops_cleanly(self):
+        b = self._mk()
+        assert parse_video_header(b[:20]) is None
+        assert parse_video_header(b[: len(b) - 10]) is None
+
+    def test_video_meta_and_sniff_routing(self, spark):
+        import pandas as pd
+
+        from datar_polars_spark.scale.codecs import make_webm
+        from datar_polars_spark.scale.multimodal import sniff_media
+
+        assert _decode_video_meta(make_webm(640, 360, 5_000)) == (
+            "webm", 640, 360, 5_000
+        )
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 2],
+                "content": [
+                    make_webm(640, 360, 1_000),
+                    make_webm(0, 0, 2_000, doctype="matroska", audio_only=True),
+                ],
+            }
+        )
+        td = tibble(spark, id=[1, 2]).with_df(spark.createDataFrame(pdf))
+        out = {
+            r.id: (r.media_type, r.media_format)
+            for r in sniff_media(td, content="content").collect().itertuples()
+        }
+        assert out[1] == ("video", "webm")
+        assert out[2] == ("video", "mkv")
+
+    def test_decode_video_real_webm_headers(self, spark):
+        import pandas as pd
+
+        from datar_polars_spark.scale.codecs import make_webm
+
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 2],
+                "content": [
+                    make_webm(1920, 1080, 60_000),
+                    make_webm(640, 480, 2_500, doctype="matroska",
+                              duration_double=True),
+                ],
+            }
+        )
+        td = tibble(spark, id=[1, 2]).with_df(spark.createDataFrame(pdf))
+        out = decode_video(td, content="content", strict=True).collect()
+        got = {
+            r.id: (r.format, r.vid_w, r.vid_h, r.duration_ms)
+            for r in out.itertuples()
+        }
+        assert got == {
+            1: ("webm", 1920, 1080, 60_000),
+            2: ("mkv", 640, 480, 2_500),
+        }
+
+    def test_not_confused_with_other_containers(self):
+        assert parse_video_header(make_png(4, 4))[0] if parse_video_header(make_png(4, 4)) else True
+        b = self._mk()
+        # a webm never parses as mp4 and vice versa
+        assert parse_video_header(b)[0] == "webm"
+        assert parse_video_header(make_mp4(64, 64, 500))[0] == "mp4"
