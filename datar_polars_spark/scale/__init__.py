@@ -33,6 +33,8 @@ from .similarity import (  # noqa: F401
     ivfpq_train,
     ivfpq_encode,
     ivfpq_knn_join,
+    ivfpq_write,
+    ivfpq_read,
     l2_normalize,
 )
 from .relevance import (  # noqa: F401

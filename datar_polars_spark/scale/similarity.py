@@ -1026,7 +1026,7 @@ def ivfpq_train(
 @verb
 def ivfpq_encode(
     td: Tibble,
-    index: dict,
+    index: dict | str,
     embedding: Any = "embedding",
     cell_col: str = "ivf_cell",
     code_col: str = "pq_code",
@@ -1038,6 +1038,7 @@ def ivfpq_encode(
     before any scoring runs."""
     import numpy as np
 
+    index = _load_ivfpq_index(td.df.sparkSession, index)
     Cn = np.array(index["centroids"], dtype="float64")
     cn2 = (Cn * Cn).sum(axis=1)
     B = [np.array(bj, dtype="float64") for bj in index["codebook"]]
@@ -1073,7 +1074,7 @@ def ivfpq_encode(
 def ivfpq_knn_join(
     queries: Any,
     corpus: Any,
-    index: dict,
+    index: dict | str,
     k: int = 10,
     nprobe: int = 4,
     query_id: Any = "vec_id",
@@ -1129,12 +1130,16 @@ def ivfpq_knn_join(
     - a per-query WindowGroupLimit finalizes rank <= k.
 
     With ``nprobe == len(index["centroids"])`` the result is the exact
-    ADC ranking over residual codes (ties by ascending match id)."""
+    ADC ranking over residual codes (ties by ascending match id).
+
+    ``index`` may also be the str path of a deployment
+    :func:`ivfpq_write` persisted — the JSON sidecar loads itself."""
     import numpy as np
     from pyspark.sql import Window
 
     qtd = queries if isinstance(queries, Tibble) else Tibble(queries)
     ctd = corpus if isinstance(corpus, Tibble) else Tibble(corpus)
+    index = _load_ivfpq_index(qtd.df.sparkSession, index)
     qid, qemb, idn = _name_of(query_id), _name_of(query_embedding), _name_of(id_col)
     kk = int(k)
     if int(rerank) < 0:
@@ -1361,6 +1366,119 @@ def _ivfpq_knn_cogroup(
             schema=f"query_id {qid_type}, __mid {mid_type}, pq_dist double",
         )
     )
+
+
+def ivfpq_write(
+    coded: Any,
+    index: dict,
+    path: str,
+    cell_col: str = "ivf_cell",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF-PQ deployment in one call — the index lifecycle
+    that turns the probed-retrieval recipe into an API:
+
+    - ``<path>/codes/``: the encoded code table as parquet
+      PARTITIONED BY the coarse cell, so a probed retrieval's isin
+      predicate reaches the scan as a PartitionFilter and Spark reads
+      only ~nprobe/nlist of the files (the layout
+      tests/test_ivfpq.py::test_cell_partitioned_layout_prunes_partitions
+      proves);
+    - ``<path>/ivfpq_index.json``: the tiny index dict (coarse
+      centroids + residual codebooks, a few MB at most) plus layout
+      metadata, written through the Hadoop FileSystem API so the same
+      call works on file://, hdfs://, s3a://, ...
+
+    Deployment recipe::
+
+        index = ivfpq_train(corpus, n_clusters=1024, m=16)
+        coded = ivfpq_encode(corpus, index)      # keep id + cell + code
+        ivfpq_write(coded, index, "s3a://lake/ann/docs_v1")
+        ...
+        codes, index = ivfpq_read(spark, "s3a://lake/ann/docs_v1")
+        hits = ivfpq_knn_join(queries, codes, index, k=10, nprobe=8)
+        # or skip the dict entirely: ivfpq_knn_join(q, codes,
+        #   "s3a://lake/ann/docs_v1", ...) loads the sidecar itself
+
+    JSON round-trips Python floats exactly (repr-based), so a
+    write->read->query cycle is bit-identical to querying the
+    in-memory index."""
+    import json
+
+    df = coded.df if isinstance(coded, Tibble) else coded
+    if cell_col not in df.columns:
+        raise ValueError(
+            f"ivfpq_write: cell column {cell_col!r} not in the coded "
+            f"frame (columns: {list(df.columns)}); run ivfpq_encode first"
+        )
+    if not (isinstance(index, dict) and "centroids" in index
+            and "codebook" in index):
+        raise ValueError(
+            "ivfpq_write: index must be the dict ivfpq_train returned "
+            "(keys 'centroids' and 'codebook')"
+        )
+    from ..sources import write_parquet
+
+    td = coded if isinstance(coded, Tibble) else Tibble(coded)
+    write_parquet(td, f"{path}/codes", mode=mode, partition_by=cell_col)
+    payload = {
+        "format": "ivfpq-index",
+        "version": 1,
+        "cell_col": cell_col,
+        "nlist": len(index["centroids"]),
+        "dim": len(index["centroids"][0]) if index["centroids"] else 0,
+        "m": len(index["codebook"]),
+        "ksub": len(index["codebook"][0]) if index["codebook"] else 0,
+        "centroids": index["centroids"],
+        "codebook": index["codebook"],
+    }
+    sc = df.sparkSession.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/ivfpq_index.json")
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _load_ivfpq_index(spark, index: Any) -> dict:
+    """Accept the trained dict as-is, or a str path to a deployment
+    ivfpq_write produced (the JSON sidecar is read with wholetext —
+    one tiny file, any Hadoop-supported filesystem)."""
+    import json
+
+    if isinstance(index, dict):
+        return index
+    if not isinstance(index, str):
+        raise TypeError(
+            f"index must be the ivfpq_train dict or an ivfpq_write path, "
+            f"got {type(index).__name__}"
+        )
+    rows = (
+        spark.read.option("wholetext", "true")
+        .text(f"{index}/ivfpq_index.json")
+        .collect()
+    )
+    loaded = json.loads(rows[0][0])
+    if loaded.get("format") != "ivfpq-index" or "centroids" not in loaded:
+        raise ValueError(
+            f"{index}/ivfpq_index.json is not an ivfpq_write sidecar"
+        )
+    return loaded
+
+
+def ivfpq_read(spark, path: str):
+    """Load a deployment ivfpq_write persisted: returns
+    ``(codes, index)`` — the cell-partitioned code table as a Tibble
+    (scans prune to probed cells via PartitionFilters) and the index
+    dict, exactly equal to what was written (JSON preserves float64).
+    The pair feeds :func:`ivfpq_knn_join` directly."""
+    from ..sources import read_parquet
+
+    index = _load_ivfpq_index(spark, path)
+    codes = read_parquet(spark, f"{path}/codes")
+    return codes, index
 
 
 @verb

@@ -508,3 +508,98 @@ def test_distributed_path_prunes_unprobed_cells(spark, emb, index, coded):
         "corpus codes must join live (cell, block) pairs, not explode to "
         "all blocks"
     )
+
+
+# ---- index lifecycle: ivfpq_write / ivfpq_read (r10) -----------------------
+
+class TestIndexLifecycle:
+    def test_write_read_roundtrip_exact(self, spark, emb, index, coded, tmp_path):
+        """write -> read returns the EXACT index (JSON round-trips
+        float64) and a code table equal to what was encoded."""
+        from datar_polars_spark.scale import ivfpq_read, ivfpq_write
+
+        path = str(tmp_path / "deploy")
+        ivfpq_write(
+            coded.with_df(coded.df.select("vec_id", "ivf_cell", "pq_code")),
+            index, path,
+        )
+        codes, loaded = ivfpq_read(spark, path)
+        assert loaded["centroids"] == index["centroids"]
+        assert loaded["codebook"] == index["codebook"]
+        assert loaded["nlist"] == 8 and loaded["m"] == 4
+        assert loaded["ksub"] == 32 and loaded["cell_col"] == "ivf_cell"
+        want = {
+            r["vec_id"]: (r["ivf_cell"], tuple(r["pq_code"]))
+            for r in coded.df.select("vec_id", "ivf_cell", "pq_code").collect()
+        }
+        got = {
+            r["vec_id"]: (r["ivf_cell"], tuple(r["pq_code"]))
+            for r in codes.df.collect()
+        }
+        assert got == want
+
+    def test_read_handle_query_equals_in_memory(self, spark, emb, index, coded, tmp_path):
+        """A retrieval over the read handle is bit-identical to the
+        in-memory one, AND the probed isin reaches the scan as a
+        PartitionFilter (the pruned deployment path as an API)."""
+        import re
+
+        from datar_polars_spark.scale import ivfpq_read, ivfpq_write
+
+        path = str(tmp_path / "deploy2")
+        ivfpq_write(
+            coded.with_df(coded.df.select("vec_id", "ivf_cell", "pq_code")),
+            index, path,
+        )
+        codes, loaded = ivfpq_read(spark, path)
+        queries = ensure_tibble(
+            emb.df.select("vec_id", "embedding").where("vec_id < 5")
+        )
+        got = ivfpq_knn_join(queries, codes, loaded, k=5, nprobe=2)
+        plan = got.df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[[^\]]*ivf_cell[^\]]*IN", plan)
+        want = ivfpq_knn_join(queries, coded, index, k=5, nprobe=2)
+        kw = [(r["query_id"], r["rank"], r["match_id"], round(r["pq_dist"], 9))
+              for r in want.df.collect()]
+        kg = [(r["query_id"], r["rank"], r["match_id"], round(r["pq_dist"], 9))
+              for r in got.df.collect()]
+        assert sorted(kg) == sorted(kw)
+
+    def test_index_path_accepted_directly(self, spark, emb, index, coded, tmp_path):
+        """ivfpq_knn_join / ivfpq_encode accept the deployment path in
+        place of the dict — the sidecar loads itself."""
+        from datar_polars_spark.scale import ivfpq_read, ivfpq_write
+
+        path = str(tmp_path / "deploy3")
+        ivfpq_write(
+            coded.with_df(coded.df.select("vec_id", "ivf_cell", "pq_code")),
+            index, path,
+        )
+        codes, _ = ivfpq_read(spark, path)
+        queries = ensure_tibble(
+            emb.df.select("vec_id", "embedding").where("vec_id < 3")
+        )
+        by_path = ivfpq_knn_join(queries, codes, path, k=5, nprobe=2)
+        by_dict = ivfpq_knn_join(queries, codes, index, k=5, nprobe=2)
+        key = lambda r: (r["query_id"], r["rank"], r["match_id"])  # noqa: E731
+        assert sorted(map(key, by_path.df.collect())) \
+            == sorted(map(key, by_dict.df.collect()))
+        re_coded = ivfpq_encode(emb, path)
+        assert re_coded.df.select("ivf_cell").distinct().count() \
+            == coded.df.select("ivf_cell").distinct().count()
+
+    def test_validation(self, spark, emb, index, tmp_path):
+        from datar_polars_spark.scale import ivfpq_write
+
+        with pytest.raises(ValueError, match="ivfpq_encode first"):
+            ivfpq_write(emb, index, str(tmp_path / "x"))
+        coded = ivfpq_encode(emb, index)
+        with pytest.raises(ValueError, match="ivfpq_train"):
+            ivfpq_write(coded, {"nope": 1}, str(tmp_path / "y"))
+        with pytest.raises(TypeError, match="ivfpq_write path"):
+            ivfpq_knn_join(emb, coded, 42)
+        # a path with no sidecar fails with the Spark read error
+        with pytest.raises(Exception):
+            from datar_polars_spark.scale import ivfpq_read
+
+            ivfpq_read(spark, str(tmp_path / "missing"))
