@@ -659,6 +659,7 @@ def chunk_documents(
     chunk_col: str = "chunk_id",
     tokens_col: str = "chunk_tokens",
     tokens_per_word: float = 1.0,
+    token_counts: Any = None,
 ) -> Tibble:
     """Split over-long documents into fixed token windows — the
     context-length chunking step of a pretraining / RAG pipeline
@@ -679,7 +680,25 @@ def chunk_documents(
     whitespace-token count. The default 1.0 budgets in
     plain whitespace tokens (unchanged behavior).
 
-    Pure JVM: split -> sequence over the chunk count -> one
+    EXACT budgets (r10): ``token_counts=`` names an ``array`` column
+    carrying the true tokenizer cost of EACH whitespace word
+    (precompute once with your real BPE over ``split(text)``). Chunk
+    boundaries then bin-pack the actual counts: every chunk's true
+    token sum fits ``max_tokens`` exactly (a single word costing more
+    than the whole budget is emitted as its own oversized chunk rather
+    than looping), and consecutive chunks carry AT LEAST ``overlap``
+    true tokens of boundary context whenever the budget allows.
+    ``tokens_col`` then reports the chunk's true token sum and the
+    ``token_counts`` column is rewritten to each chunk's aligned
+    slice, so downstream budget math (pack_documents over the same
+    counts) stays honest. Boundaries come from one Arrow-vectorized
+    prefix-sum pass over the small counts arrays; the text itself
+    never leaves the JVM (slice/array_join stay codegen), so payload
+    bytes never cross into Python. A counts array whose length
+    disagrees with the document's word count fails fast. Mutually
+    exclusive with ``tokens_per_word``.
+
+    Pure JVM (ratio path): split -> sequence over the chunk count -> one
     slice+array_join per chunk -> posexplode. A narrow 1->N map with no
     UDF and NO shuffle — at 100 TB this runs inside the scan stage,
     upstream of pack_documents/tokenize. Documents at or under the
@@ -702,24 +721,33 @@ def chunk_documents(
             f"chunk_documents: tokens_per_word must be > 0, got "
             f"{tokens_per_word}"
         )
-    # convert the budget into whitespace-word units. The two bounds
-    # round in OPPOSITE directions: the window floors (the chunk must
-    # FIT the budget, never exceed it) while the overlap ceils — it is
-    # a MINIMUM of boundary context carried over, so rounding it down
-    # would under-deliver context (e.g. overlap=4 at tokens_per_word=
-    # 2.6 must carry 2 words ~ 5.2 tokens, not 1 word ~ 2.6).
-    max_tokens = int(int(max_tokens) / ratio)
-    overlap = math.ceil(int(overlap) / ratio)
-    if max_tokens < 1:
+    if token_counts is not None and ratio != 1.0:
         raise ValueError(
-            f"chunk_documents: the budget rounds to zero words at "
-            f"tokens_per_word={tokens_per_word}; raise max_tokens"
+            "chunk_documents: token_counts= (exact per-word costs) and "
+            "tokens_per_word= (corpus-average ratio) are mutually "
+            "exclusive; pass one budget model"
         )
-    if overlap >= max_tokens:
-        # a legal (overlap, max_tokens) pair can collapse under the
-        # ratio's floor; shrink the overlap rather than error (it is a
-        # lower bound on context carried over, not a hard contract)
-        overlap = max_tokens - 1
+    if token_counts is None:
+        # convert the budget into whitespace-word units. The two bounds
+        # round in OPPOSITE directions: the window floors (the chunk
+        # must FIT the budget, never exceed it) while the overlap ceils
+        # — it is a MINIMUM of boundary context carried over, so
+        # rounding it down would under-deliver context (e.g. overlap=4
+        # at tokens_per_word=2.6 must carry 2 words ~ 5.2 tokens, not
+        # 1 word ~ 2.6).
+        max_tokens = int(int(max_tokens) / ratio)
+        overlap = math.ceil(int(overlap) / ratio)
+        if max_tokens < 1:
+            raise ValueError(
+                f"chunk_documents: the budget rounds to zero words at "
+                f"tokens_per_word={tokens_per_word}; raise max_tokens"
+            )
+        if overlap >= max_tokens:
+            # a legal (overlap, max_tokens) pair can collapse under the
+            # ratio's floor; shrink the overlap rather than error (it
+            # is a lower bound on context carried over, not a hard
+            # contract)
+            overlap = max_tokens - 1
     # output-name hygiene: a frame already carrying chunk_col /
     # tokens_col / the scratch "__ch" would otherwise produce duplicate
     # column names and an ambiguous-reference AnalysisException several
@@ -736,7 +764,6 @@ def chunk_documents(
             f"frame ('__ch' is reserved scratch); rename them or pass "
             f"different chunk_col=/tokens_col= names"
         )
-    step = int(max_tokens) - int(overlap)
     # whitespace tokens of the ORIGINAL text (not the lowercased
     # punctuation-stripped _words) — the rewritten chunks must preserve
     # the document's actual content; NULL text behaves like empty
@@ -745,6 +772,12 @@ def chunk_documents(
         F.split(F.trim(F.coalesce(F.col(tname), F.lit(""))), r"\s+"),
         lambda t: F.length(t) > 0,
     )
+    if token_counts is not None:
+        return _chunk_exact(
+            td, tname, token_counts, int(max_tokens), int(overlap),
+            chunk_col, tokens_col, toks,
+        )
+    step = int(max_tokens) - int(overlap)
     n = F.size(toks)
     # smallest c with (c-1)*step + max_tokens >= n; empty/short docs -> 1
     n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
@@ -767,6 +800,127 @@ def chunk_documents(
             F.col("__ch.t").alias(tname),
             F.col(chunk_col),
             F.col("__ch.nt").cast("int").alias(tokens_col),
+        )
+    )
+    return Tibble(out)
+
+
+def _chunk_exact(
+    td: Tibble,
+    tname: str,
+    token_counts: Any,
+    max_tokens: int,
+    overlap: int,
+    chunk_col: str,
+    tokens_col: str,
+    toks: Column,
+) -> Tibble:
+    """The token_counts= path of chunk_documents: greedy bin-packing of
+    TRUE per-word token costs via prefix sums + binary search. Per
+    chunk [s, e): e is the largest index with sum(counts[s..e)) <=
+    max_tokens (at least one word, so a single over-budget word emits
+    alone); the next start is the largest s' that still carries >=
+    ``overlap`` true tokens of context, pushed forward if the budget
+    couldn't otherwise admit word e (budget wins over overlap, exactly
+    like the ratio path's clamp). Starts advance strictly, so a chunk
+    is never emitted inside the previous one.
+
+    Only the small integer counts arrays cross into Python (one
+    Arrow-vectorized pandas UDF computing (start, len, tokens)
+    boundary structs); the text is sliced and joined JVM-side, so at
+    100 TB the payload bytes never leave codegen and the operator
+    stays a narrow 1->N map with no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    cname = (
+        token_counts._name if hasattr(token_counts, "_name")
+        else str(token_counts)
+    )
+    if cname not in td.columns:
+        raise ValueError(
+            f"chunk_documents: token_counts column {cname!r} not in the "
+            f"frame (columns: {list(td.columns)})"
+        )
+    if "__bounds" in td.columns:
+        raise ValueError(
+            "chunk_documents: column '__bounds' is reserved scratch on "
+            "the token_counts path; rename it first"
+        )
+
+    @F.pandas_udf("array<struct<s:int,l:int,nt:bigint>>")
+    def bounds(counts, nwords):
+        out = []
+        for c, nw in zip(counts, nwords):
+            nw = int(nw)
+            if c is None:
+                if nw > 0:
+                    raise ValueError(
+                        "chunk_documents: token_counts is NULL for a "
+                        f"document with {nw} words; precompute a count "
+                        "per whitespace word"
+                    )
+                out.append([{"s": 0, "l": 0, "nt": 0}])
+                continue
+            cv = np.asarray(list(c), dtype="int64")
+            if len(cv) != nw:
+                raise ValueError(
+                    f"chunk_documents: token_counts length {len(cv)} != "
+                    f"word count {nw}; counts must align with "
+                    "split(text) on whitespace"
+                )
+            if len(cv) and cv.min() < 0:
+                raise ValueError(
+                    "chunk_documents: negative token count in "
+                    "token_counts"
+                )
+            n = len(cv)
+            if n == 0:
+                out.append([{"s": 0, "l": 0, "nt": 0}])
+                continue
+            ps = np.concatenate(([0], np.cumsum(cv)))
+            res = []
+            s = 0
+            while s < n:
+                e = int(np.searchsorted(ps, ps[s] + max_tokens, "right")) - 1
+                if e <= s:
+                    e = s + 1  # single word over budget: emitted alone
+                res.append(
+                    {"s": s, "l": e - s, "nt": int(ps[e] - ps[s])}
+                )
+                if e >= n:
+                    break
+                # largest s' still carrying >= overlap true tokens ...
+                s_ov = int(np.searchsorted(ps, ps[e] - overlap, "right")) - 1
+                # ... unless the budget can't then admit word e
+                s_min = int(
+                    np.searchsorted(ps, ps[e + 1] - max_tokens, "left")
+                )
+                nxt = min(e, max(s_min, s_ov))
+                s = nxt if nxt > s else s + 1
+            out.append(res)
+        return pd.Series(out)
+
+    chunks = F.transform(
+        F.col("__bounds"),
+        lambda b: F.struct(
+            F.array_join(
+                F.slice(toks, b["s"] + F.lit(1), b["l"]), " "
+            ).alias("t"),
+            b["nt"].alias("nt"),
+            F.slice(F.col(cname), b["s"] + F.lit(1), b["l"]).alias("tc"),
+        ),
+    )
+    others = [c for c in td.columns if c not in (tname, cname)]
+    out = (
+        td.df.withColumn("__bounds", bounds(F.col(cname), F.size(toks)))
+        .select(*td.columns, F.posexplode(chunks).alias(chunk_col, "__ch"))
+        .select(
+            *others,
+            F.col("__ch.t").alias(tname),
+            F.col("__ch.tc").alias(cname),
+            F.col(chunk_col),
+            F.col("__ch.nt").alias(tokens_col),
         )
     )
     return Tibble(out)

@@ -506,3 +506,149 @@ class TestTokenizerHonestBudgets:
             acc += tk
         with pytest.raises(ValueError, match="token-count column"):
             pack_documents(td, tokens="n_tokens", budget=400)
+
+
+class TestExactTokenBudgets:
+    """r10: chunk_documents(token_counts=) bin-packs TRUE per-word
+    tokenizer costs — boundaries honor the real budget exactly instead
+    of a corpus-average ratio."""
+
+    MAXT, OV = 12, 3
+
+    def _mk(self, spark, docs):
+        from datar_polars_spark.tibble import ensure_tibble
+
+        return ensure_tibble(
+            spark.createDataFrame(docs, "doc_id long, text string, tc array<int>")
+        )
+
+    @staticmethod
+    def _oracle(counts, maxt, ov):
+        """Reference greedy: e maximal with sum <= budget (>= 1 word);
+        next start carries >= ov true tokens unless the budget can't
+        admit word e; starts strictly advance."""
+        import numpy as np
+
+        n = len(counts)
+        if n == 0:
+            return [(0, 0, 0)]
+        ps = np.concatenate(([0], np.cumsum(np.asarray(counts, "int64"))))
+        res, s = [], 0
+        while s < n:
+            e = int(np.searchsorted(ps, ps[s] + maxt, "right")) - 1
+            if e <= s:
+                e = s + 1
+            res.append((s, e - s, int(ps[e] - ps[s])))
+            if e >= n:
+                break
+            s_ov = int(np.searchsorted(ps, ps[e] - ov, "right")) - 1
+            s_min = int(np.searchsorted(ps, ps[e + 1] - maxt, "left"))
+            nxt = min(e, max(s_min, s_ov))
+            s = nxt if nxt > s else s + 1
+        return res
+
+    def test_varying_cost_tokenizer_oracle_parity(self, spark):
+        """A tokenizer whose cost VARIES by word (len//2+1): every chunk
+        equals the reference greedy's slice, the rewritten token_counts
+        stays aligned, budget/coverage/min-overlap invariants hold."""
+        import random
+
+        from datar_polars_spark.scale import chunk_documents
+
+        rng = random.Random(3)
+        docs = []
+        for i in range(20):
+            words = ["w" * rng.randint(1, 9) for _ in range(rng.randint(0, 80))]
+            docs.append((i, " ".join(words), [len(w) // 2 + 1 for w in words]))
+        docs.append((102, "hugeword", [99]))  # single word over budget
+        td = self._mk(spark, docs)
+        out = chunk_documents(
+            td, max_tokens=self.MAXT, overlap=self.OV, token_counts="tc"
+        ).df.collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, txt, tc in docs:
+            rows = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+            words = txt.split()
+            want = self._oracle(tc, self.MAXT, self.OV)
+            assert len(rows) == len(want)
+            covered = set()
+            for r, (s, l, nt) in zip(rows, want):
+                assert r["text"].split() == words[s : s + l]
+                assert list(r["tc"]) == tc[s : s + l]
+                assert r["chunk_tokens"] == nt
+                assert nt <= self.MAXT or l == 1  # budget (or lone word)
+                covered |= set(range(s, s + l))
+            assert covered == set(range(len(words)))  # nothing dropped
+            for (s1, l1, _), (s2, _, _) in zip(want, want[1:]):
+                carried = sum(tc[s2 : s1 + l1])
+                budget_limited = (
+                    s1 + l1 < len(tc)
+                    and sum(tc[s2 : s1 + l1 + 1]) > self.MAXT
+                )
+                assert carried >= self.OV or budget_limited or s2 == s1 + 1
+
+    def test_uniform_counts_equal_default_path(self, spark):
+        """counts == all-ones must reproduce the whitespace-word path
+        exactly (same chunks, same token totals)."""
+        from datar_polars_spark.scale import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(100))
+        td = self._mk(spark, [(1, text, [1] * 100)])
+        key = lambda r: r["chunk_id"]  # noqa: E731
+        exact = sorted(
+            chunk_documents(
+                td, max_tokens=8, overlap=2, token_counts="tc"
+            ).df.collect(),
+            key=key,
+        )
+        plain = sorted(
+            chunk_documents(td, max_tokens=8, overlap=2).df.collect(), key=key
+        )
+        assert [(r["text"], r["chunk_tokens"]) for r in exact] == [
+            (r["text"], r["chunk_tokens"]) for r in plain
+        ]
+
+    def test_null_and_empty_docs(self, spark):
+        from datar_polars_spark.scale import chunk_documents
+
+        td = self._mk(spark, [(1, None, None), (2, "  ", [])])
+        rows = chunk_documents(
+            td, max_tokens=8, token_counts="tc"
+        ).df.collect()
+        got = {(r["doc_id"], r["chunk_id"], r["text"], r["chunk_tokens"]) for r in rows}
+        assert got == {(1, 0, "", 0), (2, 0, "", 0)}
+
+    def test_text_stays_jvm_side(self, spark):
+        """Only the counts arrays cross into Python: the plan carries
+        one ArrowEvalPython (the bounds UDF), no row-wise Python, no
+        shuffle."""
+        from datar_polars_spark.scale import chunk_documents
+
+        td = self._mk(spark, [(1, "a bb ccc", [1, 2, 3])])
+        out = chunk_documents(td, max_tokens=4, token_counts="tc")
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
+
+    def test_validation(self, spark):
+        import pytest as pt
+
+        from datar_polars_spark.scale import chunk_documents
+
+        td = self._mk(spark, [(1, "a b c", [1, 1])])  # length mismatch
+        with pt.raises(Exception, match="word count"):
+            chunk_documents(td, max_tokens=8, token_counts="tc").df.collect()
+        td2 = self._mk(spark, [(1, "a b", None)])  # NULL counts, words
+        with pt.raises(Exception, match="NULL"):
+            chunk_documents(td2, max_tokens=8, token_counts="tc").df.collect()
+        td3 = self._mk(spark, [(1, "a b", [1, -2])])
+        with pt.raises(Exception, match="negative"):
+            chunk_documents(td3, max_tokens=8, token_counts="tc").df.collect()
+        td4 = self._mk(spark, [(1, "a b", [1, 1])])
+        with pt.raises(ValueError, match="mutually"):
+            chunk_documents(td4, max_tokens=8, token_counts="tc", tokens_per_word=1.3)
+        with pt.raises(ValueError, match="not in the"):
+            chunk_documents(td4, max_tokens=8, token_counts="nope")
