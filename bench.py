@@ -363,6 +363,27 @@ def main() -> None:
             t0 = time.perf_counter()
             (docs1 >> _mh(_f.text, _f.doc_id, threshold=0.7)).df.count()
             sf1_scale_ops["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+            # r10: scale-factor evidence for the ANN paths and the
+            # substring-span pipeline — the IVF-PQ indexes trained on
+            # the sf0.1 pass stay valid (sf1 is a key-shifted
+            # replication of the same vectors), so these time pure
+            # retrieval/scan scaling, not training
+            from datar_polars_spark.scale import duplicate_spans as _dsp
+
+            emb1 = _rp(spark, f"{sf1_dir}/embeddings.parquet")
+            t0 = time.perf_counter()
+            _ivfpq_bench(emb1)
+            sf1_scale_ops["ivfpq_knn_join"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            _ivfpq_dist_bench(emb1)
+            sf1_scale_ops["ivfpq_knn_join_dist"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            _dsp(docs1, k=8, min_count=2).df.count()
+            sf1_scale_ops["duplicate_spans"] = round(
+                time.perf_counter() - t0, 3
+            )
         except Exception:
             pass
 
