@@ -2009,6 +2009,52 @@ def q67_relevance(spark, sf):
     return out
 
 
+def q68_semantic_decon(spark, sf):
+    """Covers: embedding_join (cross-table cosine match, r10) in its
+    broadcast mode — EXACT by construction (tiled matmuls against the
+    broadcast benchmark, no LSH), so DuckDB's brute-force cross join
+    is a value-level oracle — and decontaminate_semantic (anti-join
+    survivors), the embedding-space complement of q14's exact-n-gram
+    decontamination. Benchmark = rescaled copies of corpus vectors
+    0..9 under shifted ids (cosine 1 with their sources; the widest
+    natural non-planted cosine at sf0.01 is ~0.40, so threshold 0.9
+    sits in a wide gap and no FP boundary can flip the comparator).
+    Output: 'match' rows (id_a, id_b, cos rounded 4) plus one 'clean'
+    row carrying the survivor count."""
+    from datar_polars_spark.scale import (
+        decontaminate_semantic,
+        embedding_join,
+    )
+    from datar_polars_spark.tibble import ensure_tibble
+
+    emb = _t(spark, sf, "embeddings")
+    bench = ensure_tibble(
+        emb.df.where("vec_id < 10").select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda v: v * F.lit(0.5)
+            ).alias("embedding"),
+        )
+    )
+    hits = embedding_join(emb, bench, threshold=0.9, mode="broadcast")
+    matches = hits.df.select(
+        F.lit("match").alias("op"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("cos", 4).alias("cos"),
+    )
+    clean = decontaminate_semantic(
+        emb, bench, threshold=0.9, mode="broadcast"
+    )
+    summary = clean.df.agg(F.count("*").alias("n")).select(
+        F.lit("clean").alias("op"),
+        F.col("n").cast("bigint").alias("id_a"),
+        F.lit(-1).cast("bigint").alias("id_b"),
+        F.lit(-1.0).alias("cos"),
+    )
+    return matches.unionByName(summary).orderBy("op", "id_a")
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2068,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_rolling_windows": q65_rolling_windows,
         "q66_trailing_time_window": q66_trailing_time_window,
         "q67_relevance": q67_relevance,
+        "q68_semantic_decon": q68_semantic_decon,
     }
 
 
@@ -3044,5 +3091,36 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lm ON top3.doc_id = lm.doc_id
             LEFT JOIN lml ON top3.doc_id = lml.doc_id
             ORDER BY top3.doc_id, rank
+        """,
+        "q68_semantic_decon": """
+            -- r10 embedding_join broadcast mode is EXACT, so the
+            -- brute-force cosine cross join is a value-level oracle;
+            -- 'clean' recounts decontaminate_semantic's anti-join
+            WITH bench AS (
+                SELECT vec_id + 100000 AS bid,
+                       list_transform(embedding,
+                           v -> CAST(v AS DOUBLE) * 0.5) AS be
+                FROM embeddings WHERE vec_id < 10
+            ), pairs AS (
+                SELECT e.vec_id AS id_a, b.bid AS id_b,
+                       list_sum(list_transform(list_zip(e.embedding, b.be),
+                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.be,
+                             v -> v * v)))) AS cos
+                FROM embeddings e, bench b
+            ), hits AS (
+                SELECT * FROM pairs WHERE cos >= 0.9
+            )
+            SELECT 'match' AS op, CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b, ROUND(cos, 4) AS cos
+            FROM hits
+            UNION ALL
+            SELECT 'clean',
+                   (SELECT COUNT(*) FROM embeddings e2
+                    WHERE e2.vec_id NOT IN (SELECT id_a FROM hits)),
+                   -1, -1.0
+            ORDER BY op, id_a
         """,
     }

@@ -6,6 +6,8 @@ from .dedup import (  # noqa: F401
     minhash_pairs,
     minhash_join,
     decontaminate_fuzzy,
+    decontaminate_semantic,
+    embedding_join,
     minhash_dedup,
     simhash_dedup,
     simhash64,

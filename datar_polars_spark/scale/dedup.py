@@ -801,6 +801,229 @@ def embedding_cosine_pairs(
     return Tibble(out)
 
 
+def embedding_join(
+    left: Any,
+    right: Any,
+    embedding: Any = "embedding",
+    id_col: Any = "vec_id",
+    threshold: float = 0.95,
+    mode: str = "auto",
+    max_broadcast: int = 100_000,
+    bands: int = 32,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> Tibble:
+    """CROSS-TABLE embedding match: (id_a from ``left``, id_b from
+    ``right``, cos) for row pairs with cosine >= ``threshold`` — the
+    embedding-space sibling of :func:`minhash_join` (lexical n-grams)
+    for record linkage, paraphrase mining, and semantic
+    decontamination. Column names (embedding, id) are shared by both
+    sides, exactly as minhash_join shares text/id.
+
+    ``mode="broadcast"`` — the decontamination shape (``right`` is a
+    benchmark/eval set, orders of magnitude smaller than ``left``):
+    the right side's non-NULL vectors collect, L2-normalize, and
+    broadcast; ONE Arrow ``mapInPandas`` pass over the left computes
+    tiled matmuls against the broadcast matrix and emits every pair at
+    or above the threshold. No shuffle, no LSH, EXACT results — at
+    100 TB this runs inside the left side's scan stage. Bounded by
+    ``max_broadcast`` right rows (memory is rows x dim x 8 bytes per
+    executor: the 100k default is ~60 MB at dim 768 — raise it
+    knowingly or switch modes past that).
+
+    ``mode="lsh"`` — both sides large: each side signs with the SAME
+    deterministic random-hyperplane family (so signatures computed
+    independently are comparable, exactly like minhash_join's shared
+    permutations), bands explode, buckets cap per side
+    (``max_bucket`` — a giant identical-vector cluster on either side
+    can't go quadratic), and a keyed equi join on (band, band-hash)
+    generates candidates verified by exact cosine. Probabilistic
+    recall: the 32x8 default misses a 0.95-cosine pair with
+    probability ~2e-8 (see :func:`embedding_cosine_pairs`); dropped
+    oversized-bucket volume registers under op ``"embedding_join"``.
+
+    ``mode="auto"`` routes on the right side's row count
+    (<= max_broadcast -> broadcast). NULL embeddings on either side
+    can never verify and emit no pairs."""
+    if mode not in ("auto", "broadcast", "lsh"):
+        raise ValueError(
+            f"embedding_join: mode must be 'auto', 'broadcast' or 'lsh', "
+            f"got {mode!r}"
+        )
+    left, right = ensure_tibble(left), ensure_tibble(right)
+    ename, idn = _name_of(embedding), _name_of(id_col)
+    ta = left.df.schema[idn].dataType.simpleString()
+    tb = right.df.schema[idn].dataType.simpleString()
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if right.df.count() <= max_broadcast
+            else "lsh"
+        )
+
+    if mode == "broadcast":
+        rows = (
+            right.df.select(idn, ename)
+            .where(F.col(ename).isNotNull())
+            .limit(max_broadcast + 1)
+            .collect()
+        )
+        if len(rows) > max_broadcast:
+            raise ValueError(
+                f"embedding_join: right side exceeds max_broadcast="
+                f"{max_broadcast} non-NULL vectors; use mode='lsh' (or "
+                f"raise max_broadcast if executors hold rows x dim x 8 "
+                f"bytes comfortably)"
+            )
+        if not rows:
+            return Tibble(
+                left.df.sparkSession.createDataFrame(
+                    [], f"id_a {ta}, id_b {tb}, cos double"
+                )
+            )
+        ids_b = np.array([r[0] for r in rows])
+        B = np.array([list(r[1]) for r in rows], dtype="float64")
+        nb = np.linalg.norm(B, axis=1)
+        nb[nb == 0] = 1.0
+        Bn = B / nb[:, None]
+        bcast = left.df.sparkSession.sparkContext.broadcast((ids_b, Bn))
+        thr = float(threshold)
+
+        def _match(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            rid, M = bcast.value
+            for pdf in batches:
+                vec_ok = pdf[ename].notna()
+                sub = pdf.loc[vec_ok]
+                if not len(sub):
+                    continue
+                X = _np.array(sub[ename].tolist(), dtype="float64")
+                if X.shape[1] != M.shape[1]:
+                    raise ValueError(
+                        f"embedding_join: left dim {X.shape[1]} != right "
+                        f"dim {M.shape[1]}"
+                    )
+                nx = _np.linalg.norm(X, axis=1)
+                nx[nx == 0] = 1.0
+                Xn = X / nx[:, None]
+                la = sub[idn].to_numpy()
+                # tile both axes so no temp outgrows ~32 MB regardless
+                # of Arrow batch size or broadcast width
+                parts = []
+                for i in range(0, len(Xn), 2048):
+                    Xi = Xn[i : i + 2048]
+                    for j in range(0, len(M), 2048):
+                        S = Xi @ M[j : j + 2048].T
+                        hit = _np.argwhere(S >= thr)
+                        if len(hit):
+                            parts.append(
+                                _pd.DataFrame(
+                                    {
+                                        "id_a": la[i + hit[:, 0]],
+                                        "id_b": rid[j + hit[:, 1]],
+                                        "cos": S[hit[:, 0], hit[:, 1]],
+                                    }
+                                )
+                            )
+                if parts:
+                    yield _pd.concat(parts, ignore_index=True)
+
+        out = left.df.select(idn, ename).mapInPandas(
+            _match, schema=f"id_a {ta}, id_b {tb}, cos double"
+        )
+        return Tibble(out)
+
+    # mode == "lsh": shared hyperplane family, banded, capped, verified
+    _DROPPED_PAIRS["embedding_join"] = []
+    from pyspark import StorageLevel
+    from pyspark.sql.functions import pandas_udf
+
+    first = (
+        left.df.select(ename).where(F.col(ename).isNotNull()).first()
+        or right.df.select(ename).where(F.col(ename).isNotNull()).first()
+    )
+    if first is None:
+        return Tibble(
+            left.df.sparkSession.createDataFrame(
+                [], f"id_a {ta}, id_b {tb}, cos double"
+            )
+        )
+    dim = len(first[0])
+    planes = np.random.RandomState(seed).standard_normal(
+        (bands * planes_per_band, dim)
+    )
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _band_hashes(vecs: pd.Series) -> pd.Series:
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)
+        bits = (M @ planes.T) > 0
+        H = bits.reshape(len(M), bands, planes_per_band) @ weights
+        return pd.Series(list(H.astype(np.int64)))
+
+    sides = []
+    for td_, tag in ((left, "a"), (right, "b")):
+        base = _ensure_parallelism(
+            td_.df.select(F.col(idn).alias("id"), F.col(ename).alias("vec"))
+            .where(F.col(ename).isNotNull())
+        )
+        banded = base.withColumn("__bh__", _band_hashes(F.col("vec"))).select(
+            "id", "vec", F.posexplode(F.col("__bh__")).alias("band", "bhash")
+        )
+        banded = register_internal_cache(
+            banded.persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        banded = _cap_buckets(
+            banded, ["band", "bhash"], max_bucket, op="embedding_join"
+        )
+        sides.append(
+            banded.select(
+                "band", "bhash",
+                F.col("id").alias(f"id_{tag}"),
+                F.col("vec").alias(f"v_{tag}"),
+            )
+        )
+    out = (
+        sides[0].join(sides[1], on=["band", "bhash"])
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", cosine_sim(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+    return Tibble(out)
+
+
+def decontaminate_semantic(
+    td: Any,
+    benchmark: Any,
+    embedding: Any = "embedding",
+    id_col: Any = "vec_id",
+    threshold: float = 0.95,
+    **join_kwargs,
+) -> Tibble:
+    """Drop training rows whose embedding cosine against ANY benchmark
+    row reaches ``threshold`` — the semantic complement of the exact
+    n-gram ``decontaminate`` (filters.py) and the lexical
+    ``decontaminate_fuzzy`` (minhash), catching paraphrased or
+    translated benchmark leakage that no lexical overlap detector sees.
+    One :func:`embedding_join` + one anti-join; with the (default)
+    broadcast mode the whole decision runs inside the corpus scan —
+    no shuffle touches the 100 TB side. Rows with NULL embeddings have
+    no verifiable match and are KEPT (same contract as
+    stream_near_dedup's filter mode)."""
+    td = ensure_tibble(td)
+    hits = embedding_join(
+        td, benchmark, embedding, id_col, threshold=threshold, **join_kwargs
+    )
+    from ..operators.join import anti_join
+
+    idn = _name_of(id_col)
+    return anti_join(td, hits, by={idn: "id_a"})
+
+
 @verb
 def embedding_dedup(
     td: Tibble,

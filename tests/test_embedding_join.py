@@ -1,0 +1,166 @@
+"""Cross-table embedding match (embedding_join) + semantic
+decontamination: broadcast mode is EXACT (== brute-force cosine over
+the pair space), LSH mode recalls planted near-dups with capped
+buckets, and decontaminate_semantic drops exactly the leaked rows
+while keeping NULL-embedding rows."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datar_polars_spark import read_parquet
+from datar_polars_spark.scale import decontaminate_semantic, embedding_join
+from datar_polars_spark.tibble import ensure_tibble
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_parquet(spark, f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def bench(spark, emb):
+    """Benchmark = rescaled copies of corpus vectors 0..9 (cosine 1
+    with their sources) under shifted ids."""
+    return ensure_tibble(
+        emb.df.where("vec_id < 10").select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda v: v * F.lit(0.5)
+            ).alias("embedding"),
+        )
+    )
+
+
+def _brute(emb, bench, threshold):
+    want = set()
+    corpus = emb.df.select("vec_id", "embedding").collect()
+    bv = [
+        (r["vec_id"], np.array(r["embedding"], dtype="float64"))
+        for r in bench.df.collect()
+    ]
+    for r in corpus:
+        a = np.array(r["embedding"], dtype="float64")
+        na = np.linalg.norm(a) or 1.0
+        for bid, b in bv:
+            nb = np.linalg.norm(b) or 1.0
+            if float(a @ b / (na * nb)) >= threshold:
+                want.add((r["vec_id"], bid))
+    return want
+
+
+def test_broadcast_mode_equals_bruteforce(spark, emb, bench):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_join(emb, bench, threshold=0.99).df.collect()
+    }
+    assert got == _brute(emb, bench, 0.99)
+    assert got >= {(i, i + 100_000) for i in range(10)}  # planted pairs
+
+
+def test_broadcast_is_one_narrow_arrow_pass(spark, emb, bench):
+    out = embedding_join(emb, bench, threshold=0.99, mode="broadcast")
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # runs inside the corpus scan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_lsh_mode_recalls_planted_pairs(spark, emb, bench):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_join(
+            emb, bench, threshold=0.99, mode="lsh"
+        ).df.collect()
+    }
+    assert got >= {(i, i + 100_000) for i in range(10)}
+    # LSH candidates are verified by exact cosine: no false accepts
+    assert got <= _brute(emb, bench, 0.99)
+
+
+def test_lsh_bucket_cap_registers_drops(spark):
+    """An identical-vector mega-cluster on one side exceeds the cap:
+    candidates drop (no quadratic blowup) and accounting sees it."""
+    from datar_polars_spark.scale.dedup import dropped_pairs_estimate
+
+    left = ensure_tibble(
+        spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    right = ensure_tibble(
+        spark.createDataFrame(
+            [(100, [1.0, 2.0, 3.0, 4.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    out = embedding_join(
+        left, right, threshold=0.9, mode="lsh", max_bucket=5
+    )
+    assert out.df.count() == 0  # the 30-member buckets are capped away
+    assert dropped_pairs_estimate("embedding_join") > 0
+    # uncapped, every pair verifies
+    out2 = embedding_join(left, right, threshold=0.9, mode="lsh")
+    assert out2.df.count() == 30
+
+
+def test_null_embeddings_never_match_and_survive_decon(spark, emb, bench):
+    withnull = ensure_tibble(
+        emb.df.select("vec_id", "embedding").unionByName(
+            emb.df.sparkSession.createDataFrame(
+                [(999_999, None)], "vec_id long, embedding array<float>"
+            )
+        )
+    )
+    hits = embedding_join(withnull, bench, threshold=0.99)
+    assert 999_999 not in {r["id_a"] for r in hits.df.collect()}
+    clean = decontaminate_semantic(withnull, bench, threshold=0.99)
+    ids = {r["vec_id"] for r in clean.df.select("vec_id").collect()}
+    assert 999_999 in ids  # unverifiable -> kept
+    assert not (ids & set(range(10)))  # leaked sources dropped
+
+
+def test_decontaminate_semantic_drops_exactly_the_leaks(spark, emb, bench):
+    clean = decontaminate_semantic(emb, bench, threshold=0.99)
+    all_ids = {r["vec_id"] for r in emb.df.select("vec_id").collect()}
+    ids = {r["vec_id"] for r in clean.df.select("vec_id").collect()}
+    brute_dropped = {a for a, _ in _brute(emb, bench, 0.99)}
+    assert all_ids - ids == brute_dropped
+
+
+def test_auto_routing_and_validation(spark, emb, bench):
+    # auto with a tiny right side -> broadcast (exact == brute force)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_join(
+            emb, bench, threshold=0.99, mode="auto"
+        ).df.collect()
+    }
+    assert got == _brute(emb, bench, 0.99)
+    with pytest.raises(ValueError, match="mode"):
+        embedding_join(emb, bench, mode="nope")
+    with pytest.raises(ValueError, match="max_broadcast"):
+        embedding_join(emb, emb, mode="broadcast", max_broadcast=3)
+    # mismatched dims fail loudly in the Arrow pass
+    bad = ensure_tibble(
+        spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    with pytest.raises(Exception, match="dim"):
+        embedding_join(emb, bad, mode="broadcast").df.collect()
+
+
+def test_empty_right_side(spark, emb):
+    empty = ensure_tibble(
+        emb.df.sparkSession.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+    )
+    assert embedding_join(emb, empty).df.count() == 0
+    assert (
+        decontaminate_semantic(emb, empty).df.count() == emb.df.count()
+    )
