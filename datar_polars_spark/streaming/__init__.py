@@ -697,3 +697,98 @@ def stream_near_dedup(
 
 
 __all__.append("stream_near_dedup")
+
+
+def stream_decontaminate_semantic(
+    sdf: DataFrame,
+    benchmark: Any,
+    embedding: Any = "embedding",
+    threshold: float = 0.95,
+    max_benchmark: int = 100_000,
+) -> DataFrame:
+    """Drop streaming rows whose embedding cosine against ANY row of a
+    STATIC benchmark reaches ``threshold`` — the semantic member of
+    the streaming decontamination trio (``stream_decontaminate``:
+    exact n-grams; ``stream_near_dedup``: lexical MinHash; this one:
+    embeddings, catching paraphrased or translated benchmark leakage
+    no lexical detector sees).
+
+    The benchmark collects ONCE at stream setup (a batch job — legal
+    before ``start()``; bounded by ``max_benchmark`` non-NULL vectors,
+    memory rows x dim x 8 bytes per executor), L2-normalizes, and
+    broadcasts; each micro-batch is one narrow Arrow ``mapInPandas``
+    pass of tiled matmuls against the broadcast matrix — EXACT by
+    construction (the same probe as ``embedding_join``'s broadcast
+    mode), no state store, no watermark requirement, no shuffle. Rows
+    with NULL embeddings are unverifiable and pass through as clean
+    (the same contract as the batch ``decontaminate_semantic`` and
+    ``stream_near_dedup(mode='filter')``)."""
+    import numpy as np
+
+    ename = _name_of(embedding)
+    bench_df = (
+        benchmark.df.select(*benchmark.columns)
+        if isinstance(benchmark, Tibble)
+        else benchmark
+    )
+    rows = (
+        bench_df.select(ename)
+        .where(F.col(ename).isNotNull())
+        .limit(max_benchmark + 1)
+        .collect()
+    )
+    if len(rows) > max_benchmark:
+        raise ValueError(
+            f"stream_decontaminate_semantic: benchmark exceeds "
+            f"max_benchmark={max_benchmark} non-NULL vectors; "
+            f"decontamination benchmarks are eval sets, not corpora — "
+            f"use batch decontaminate_semantic(mode='lsh') for "
+            f"corpus-vs-corpus"
+        )
+    if not rows:
+        return sdf
+    B = np.array([list(r[0]) for r in rows], dtype="float64")
+    nb = np.linalg.norm(B, axis=1)
+    nb[nb == 0] = 1.0
+    bcast = sdf.sparkSession.sparkContext.broadcast(B / nb[:, None])
+    thr = float(threshold)
+    out_cols = list(sdf.columns)
+    out_schema = sdf.schema
+
+    def _drop_contaminated(batches):
+        import numpy as _np
+
+        M = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = _np.ones(len(pdf), dtype=bool)
+            idx = _np.flatnonzero(pdf[ename].notna().to_numpy())
+            if len(idx):
+                X = _np.array(
+                    pdf[ename].iloc[idx].tolist(), dtype="float64"
+                )
+                if X.shape[1] != M.shape[1]:
+                    raise ValueError(
+                        f"stream_decontaminate_semantic: stream dim "
+                        f"{X.shape[1]} != benchmark dim {M.shape[1]}"
+                    )
+                nx = _np.linalg.norm(X, axis=1)
+                nx[nx == 0] = 1.0
+                Xn = X / nx[:, None]
+                hit = _np.zeros(len(idx), dtype=bool)
+                # tile both axes so no temp outgrows ~32 MB
+                for i in range(0, len(Xn), 2048):
+                    sub = Xn[i : i + 2048]
+                    mx = _np.full(len(sub), -2.0)
+                    for j in range(0, len(M), 2048):
+                        S = sub @ M[j : j + 2048].T
+                        mx = _np.maximum(mx, S.max(axis=1))
+                    hit[i : i + len(sub)] = mx >= thr
+                keep[idx[hit]] = False
+            yield pdf.loc[keep, out_cols]
+
+    return sdf.mapInPandas(_drop_contaminated, schema=out_schema)
+
+
+__all__.append("stream_decontaminate_semantic")

@@ -164,3 +164,53 @@ def test_empty_right_side(spark, emb):
     assert (
         decontaminate_semantic(emb, empty).df.count() == emb.df.count()
     )
+
+
+class TestStreamDecontaminateSemantic:
+    """Streaming semantic decontamination: the broadcast-matrix probe
+    is stateless, so the same exact filter runs per micro-batch."""
+
+    def test_stream_matches_batch_survivors(self, spark, emb, bench, tmp_path):
+        from datar_polars_spark.streaming import (
+            run_to_memory,
+            stream_decontaminate_semantic,
+            stream_read_parquet,
+        )
+
+        src = str(tmp_path / "emb_stream")
+        emb.df.select("vec_id", "embedding").unionByName(
+            spark.createDataFrame(
+                [(999_999, None)], "vec_id long, embedding array<float>"
+            )
+        ).write.parquet(src)
+        sdf = stream_read_parquet(spark, src)
+        out = stream_decontaminate_semantic(sdf, bench, threshold=0.99)
+        got = run_to_memory(out, mode="append")
+        ids = set(got["vec_id"])
+        want = {
+            r["vec_id"]
+            for r in decontaminate_semantic(emb, bench, threshold=0.99)
+            .df.select("vec_id")
+            .collect()
+        } | {999_999}  # NULL embedding: unverifiable -> clean
+        assert ids == want
+        assert not (ids & set(range(10)))  # leaked sources dropped
+        assert list(got.columns) == ["vec_id", "embedding"]
+
+    def test_validation_and_empty_benchmark(self, spark, emb, bench, tmp_path):
+        from datar_polars_spark.streaming import (
+            stream_decontaminate_semantic,
+            stream_read_parquet,
+        )
+
+        src = str(tmp_path / "emb_stream2")
+        emb.df.select("vec_id", "embedding").write.parquet(src)
+        sdf = stream_read_parquet(spark, src)
+        with pytest.raises(ValueError, match="max_benchmark"):
+            stream_decontaminate_semantic(sdf, emb, max_benchmark=3)
+        # an empty benchmark is a no-op passthrough
+        empty = ensure_tibble(
+            spark.createDataFrame([], "vec_id long, embedding array<double>")
+        )
+        out = stream_decontaminate_semantic(sdf, empty)
+        assert out is sdf
