@@ -685,8 +685,13 @@ def stream_near_dedup(
                 smat = _np.array(
                     [list(sigs[int(u)]) for u in uniq], dtype="int64"
                 )
-                agree = (mat[ci] == smat[inv]).sum(axis=1)
-                keep[_np.unique(ri[agree >= need])] = False
+                # tile the gather so the fancy-indexed temp stays
+                # ~32 MB even when a batch is candidate-dense
+                tile = 1 << 16
+                for t0 in range(0, len(ci), tile):
+                    sl = slice(t0, t0 + tile)
+                    agree = (mat[ci[sl]] == smat[inv[sl]]).sum(axis=1)
+                    keep[_np.unique(ri[sl][agree >= need])] = False
             yield pdf.loc[keep, out_cols]
 
     probed = s_all.withColumn(
