@@ -304,6 +304,18 @@ def main() -> None:
                 docs.df.filter("doc_id % 7 = 0").select("doc_id"),
                 on="doc_id",
             ).df.count(),
+            # r10: cross-table embedding match, broadcast (exact) mode —
+            # the semantic-decontamination shape: a 64-row benchmark
+            # matrix broadcasts and ONE narrow Arrow pass over the
+            # corpus scores every pair, no shuffle
+            "embedding_join_bcast": lambda: __import__(
+                "datar_polars_spark.scale.dedup", fromlist=["embedding_join"]
+            ).embedding_join(
+                emb,
+                emb.df.filter("vec_id < 64").select("vec_id", "embedding"),
+                threshold=0.9,
+                mode="broadcast",
+            ).df.count(),
         }
         for pass_timings in (scale_ops, scale_ops_warm):
             for op_name, op in ops.items():

@@ -2,8 +2,8 @@
 
 Real metadata decode for the dominant container formats — PNG, JPEG,
 GIF, BMP, WebP, TIFF images; WAV, FLAC, MP3, OGG (Vorbis/Opus) audio;
-MP4/ISO-BMFF (ftyp/moov/mvhd/tkhd box walk) and WebM/Matroska (EBML
-element walk) video — using nothing but ``struct`` over the leading
+MP4/ISO-BMFF (ftyp/moov/mvhd/tkhd box walk), WebM/Matroska (EBML
+element walk), and RIFF AVI video — using nothing but ``struct`` over the leading
 bytes. Formats outside this set fall back
 to the deterministic stub in ``multimodal.py`` (or raise in strict
 mode).
@@ -28,6 +28,7 @@ __all__ = [
     "parse_video_header",
     "make_mp4",
     "make_webm",
+    "make_avi",
     "make_png",
     "make_gif",
     "make_bmp",
@@ -580,14 +581,52 @@ def _parse_webm(b: bytes):
     return ("webm" if doctype == "webm" else "mkv"), width, height, duration_ms
 
 
+# --------------------------------------------------------------------------
+# video: AVI (RIFF) header walk -> duration + dims
+# --------------------------------------------------------------------------
+
+def _parse_avi(b: bytes):
+    """(format, width, height, duration_ms) for a RIFF AVI container,
+    or None. Evidence rule: the RIFF/'AVI ' magic alone is not enough —
+    a parsable ``LIST hdrl`` with a well-formed ``avih`` main header
+    must be present. Duration = dwMicroSecPerFrame * dwTotalFrames;
+    dims from dwWidth/dwHeight. Header-only (the movi payload list is
+    never entered)."""
+    if len(b) < 24 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"LIST" and b[i + 8 : i + 12] == b"hdrl":
+            j = i + 12
+            end = min(i + 8 + size, len(b))
+            while j + 8 <= end:
+                sub = b[j : j + 4]
+                ssize = struct.unpack("<I", b[j + 4 : j + 8])[0]
+                if sub == b"avih" and ssize >= 40 and j + 8 + 40 <= end:
+                    p = j + 8
+                    usec_per_frame, = struct.unpack("<I", b[p : p + 4])
+                    total_frames, = struct.unpack("<I", b[p + 16 : p + 20])
+                    width, = struct.unpack("<I", b[p + 32 : p + 36])
+                    height, = struct.unpack("<I", b[p + 36 : p + 40])
+                    duration_ms = usec_per_frame * total_frames // 1000
+                    return "avi", width, height, duration_ms
+                j += 8 + ssize + (ssize & 1)
+            return None  # hdrl without avih: insufficient evidence
+        i += 8 + size + (size & 1)
+    return None
+
+
 def parse_video_header(b: bytes):
     """(format, width, height, duration_ms) from leading bytes —
-    format in {'mp4', 'webm', 'mkv'} — or None if the content is not a
-    recognized MP4/ISO-BMFF or WebM/Matroska container (each parser
-    applies its own second-evidence rule; see _parse_mp4/_parse_webm)."""
+    format in {'mp4', 'webm', 'mkv', 'avi'} — or None if the content is
+    not a recognized MP4/ISO-BMFF, WebM/Matroska, or RIFF AVI container
+    (each parser applies its own second-evidence rule; see
+    _parse_mp4/_parse_webm/_parse_avi)."""
     if not b:
         return None
-    for parse in (_parse_mp4, _parse_webm):
+    for parse in (_parse_mp4, _parse_webm, _parse_avi):
         out = parse(b)
         if out is not None:
             return out
@@ -900,3 +939,25 @@ def make_webm(
     else:
         seg = _ebml_el(_EBML_SEGMENT, seg_payload)
     return head + seg
+
+
+def make_avi(
+    width: int, height: int, duration_ms: int, fps: int = 25
+) -> bytes:
+    """Minimal valid RIFF AVI: LIST hdrl with a MainAVIHeader whose
+    dwMicroSecPerFrame * dwTotalFrames encodes the duration."""
+    usec_per_frame = 1_000_000 // fps
+    total_frames = duration_ms * 1000 // usec_per_frame
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame,  # dwMicroSecPerFrame
+        0, 0, 0,         # dwMaxBytesPerSec, dwPaddingGranularity, dwFlags
+        total_frames,    # dwTotalFrames
+        0, 1, 0,         # dwInitialFrames, dwStreams, dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,      # dwReserved[4]
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    payload = b"AVI " + lst
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload

@@ -537,3 +537,54 @@ class TestWebmProbe:
         # a webm never parses as mp4 and vice versa
         assert parse_video_header(b)[0] == "webm"
         assert parse_video_header(make_mp4(64, 64, 500))[0] == "mp4"
+
+
+class TestAviProbe:
+    """RIFF AVI header walk (r10): LIST hdrl -> avih MainAVIHeader
+    (dwMicroSecPerFrame x dwTotalFrames duration, dwWidth/dwHeight)."""
+
+    def test_roundtrip(self):
+        from datar_polars_spark.scale.codecs import make_avi
+
+        assert parse_video_header(make_avi(720, 480, 12_000)) == (
+            "avi", 720, 480, 12_000
+        )
+        assert parse_video_header(make_avi(1920, 1080, 3_600, fps=50)) == (
+            "avi", 1920, 1080, 3_600
+        )
+
+    def test_riff_magic_alone_is_not_enough(self):
+        # WAV is RIFF but not AVI; a bare AVI magic with no hdrl/avih
+        # never classifies
+        from datar_polars_spark.scale.codecs import make_avi
+
+        assert parse_video_header(make_wav(16_000, 100)) is None
+        assert parse_video_header(b"RIFF\x10\x00\x00\x00AVI \x00\x00") is None
+        assert parse_video_header(make_avi(1, 1, 1_000)[:20]) is None
+
+    def test_no_cross_container_confusion(self, spark):
+        import pandas as pd
+
+        from datar_polars_spark.scale.codecs import make_avi, make_webm
+        from datar_polars_spark.scale.multimodal import sniff_media
+
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "content": [
+                    make_avi(640, 360, 1_000),
+                    make_webm(640, 360, 1_000),
+                    make_mp4(640, 360, 1_000),
+                ],
+            }
+        )
+        td = tibble(spark, id=[1, 2, 3]).with_df(spark.createDataFrame(pdf))
+        out = {
+            r.id: (r.media_type, r.media_format)
+            for r in sniff_media(td, content="content").collect().itertuples()
+        }
+        assert out == {
+            1: ("video", "avi"),
+            2: ("video", "webm"),
+            3: ("video", "mp4"),
+        }
