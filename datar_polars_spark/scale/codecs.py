@@ -904,8 +904,9 @@ def make_webm(
     """Minimal valid WebM / Matroska file: EBML header (DocType) +
     Segment(Info(TimestampScale + Duration) + Tracks(TrackEntry)).
     ``doctype`` selects 'webm' or 'matroska' (parsed as 'mkv');
-    ``duration_double`` emits the Duration float as 64-bit instead of
-    32-bit; ``unknown_size_segment`` stamps the Segment with the
+    ``duration_double`` forces the Duration float to 64-bit (durations
+    past float32's 2^24 exact-integer range promote automatically);
+    ``unknown_size_segment`` stamps the Segment with the
     all-ones 'unknown size' vint live muxers write; ``audio_only``
     emits a track with no Video element (dims must parse as 0x0)."""
     head = _ebml_el(
@@ -917,7 +918,11 @@ def make_webm(
         + _ebml_el(b"\x42\x85", b"\x02"),  # DocTypeReadVersion
     )
     dur_units = duration_ms * 1_000_000 / timescale_ns
-    dur = struct.pack(">d", dur_units) if duration_double \
+    # float32 represents integers exactly only up to 2^24 (~4.66 h at
+    # ms units); auto-promote to the 8-byte double past that so the
+    # synthesized duration always round-trips bit-exactly
+    use_double = duration_double or abs(dur_units) > float(1 << 24)
+    dur = struct.pack(">d", dur_units) if use_double \
         else struct.pack(">f", dur_units)
     info = _ebml_el(
         _EBML_INFO,

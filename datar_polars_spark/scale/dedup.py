@@ -843,9 +843,12 @@ def embedding_join(
     probability ~2e-8 (see :func:`embedding_cosine_pairs`); dropped
     oversized-bucket volume registers under op ``"embedding_join"``.
 
-    ``mode="auto"`` routes on the right side's row count
-    (<= max_broadcast -> broadcast). NULL embeddings on either side
-    can never verify and emit no pairs."""
+    ``mode="auto"`` routes on the right side's NON-NULL vector count:
+    it attempts the bounded collect the broadcast path needs anyway and
+    falls back to LSH only when that overflows ``max_broadcast`` — no
+    extra census job, and exactness is never given up while the
+    broadcast bound holds. NULL embeddings on either side can never
+    verify and emit no pairs."""
     if mode not in ("auto", "broadcast", "lsh"):
         raise ValueError(
             f"embedding_join: mode must be 'auto', 'broadcast' or 'lsh', "
@@ -855,14 +858,13 @@ def embedding_join(
     ename, idn = _name_of(embedding), _name_of(id_col)
     ta = left.df.schema[idn].dataType.simpleString()
     tb = right.df.schema[idn].dataType.simpleString()
-    if mode == "auto":
-        mode = (
-            "broadcast"
-            if right.df.count() <= max_broadcast
-            else "lsh"
-        )
+    # reset accounting up front: a broadcast call is EXACT (drops
+    # nothing), and a stale figure from a previous LSH call must not
+    # survive it (dropped_pairs_estimate describes the LATEST call)
+    _DROPPED_PAIRS["embedding_join"] = []
 
-    if mode == "broadcast":
+    rows = None
+    if mode in ("auto", "broadcast"):
         rows = (
             right.df.select(idn, ename)
             .where(F.col(ename).isNotNull())
@@ -870,12 +872,16 @@ def embedding_join(
             .collect()
         )
         if len(rows) > max_broadcast:
-            raise ValueError(
-                f"embedding_join: right side exceeds max_broadcast="
-                f"{max_broadcast} non-NULL vectors; use mode='lsh' (or "
-                f"raise max_broadcast if executors hold rows x dim x 8 "
-                f"bytes comfortably)"
-            )
+            if mode == "broadcast":
+                raise ValueError(
+                    f"embedding_join: right side exceeds max_broadcast="
+                    f"{max_broadcast} non-NULL vectors; use mode='lsh' "
+                    f"(or raise max_broadcast if executors hold rows x "
+                    f"dim x 8 bytes comfortably)"
+                )
+            mode, rows = "lsh", None  # auto: too big for exact broadcast
+
+    if mode == "broadcast":
         if not rows:
             return Tibble(
                 left.df.sparkSession.createDataFrame(
@@ -937,7 +943,6 @@ def embedding_join(
         return Tibble(out)
 
     # mode == "lsh": shared hyperplane family, banded, capped, verified
-    _DROPPED_PAIRS["embedding_join"] = []
     from pyspark import StorageLevel
     from pyspark.sql.functions import pandas_udf
 

@@ -533,14 +533,22 @@ def stream_near_dedup(
         )
     # scratch/output-name hygiene (same fail-fast contract as
     # chunk_documents): a stream frame already carrying any of these
-    # would produce duplicate/ambiguous columns downstream
-    reserved = {"__sig", "__bh", "band", "bhash", "match_id", "jaccard_est"}
+    # would produce duplicate/ambiguous columns downstream. The set is
+    # per mode — filter mode's only scratch is __sig/__bh (it adds no
+    # output columns), so a domain column named e.g. 'band' stays legal
+    # there.
+    reserved = (
+        {"__sig", "__bh", "band", "bhash", "__hsig", "match_id",
+         "jaccard_est"}
+        if mode == "matches"
+        else {"__sig", "__bh"}
+    )
     clash = sorted(reserved & set(sdf.columns))
     if clash:
         raise ValueError(
             f"stream_near_dedup: column(s) {clash} already exist in the "
-            f"stream frame and are reserved (scratch: __sig/__bh/band/"
-            f"bhash; output: match_id/jaccard_est); rename them first"
+            f"stream frame and are reserved in mode={mode!r}; rename "
+            f"them first"
         )
     tname, idn = _name_of(text), _name_of(id_col)
     rows_per_band = num_perm // bands
@@ -631,9 +639,24 @@ def stream_near_dedup(
             buckets.setdefault(int(bh), []).append(i)
     # the same skew cap the matches path applies to the history side:
     # an oversized boilerplate bucket leaves candidate generation (its
-    # pair cost is what max_bucket bounds) — parity with minhash_join
+    # pair cost is what max_bucket bounds) — parity with minhash_join,
+    # including the dropped-pair accounting the docstring promises
     oversized = [bh for bh, members in buckets.items()
                  if len(members) > max_bucket]
+    if oversized:
+        from ..scale.dedup import _register_dropped_pairs
+
+        _register_dropped_pairs(
+            "stream_near_dedup",
+            sdf.sparkSession.createDataFrame(
+                [
+                    (float(len(buckets[bh]) * (len(buckets[bh]) - 1) / 2),)
+                    for bh in oversized
+                ],
+                "dropped double",
+            ),
+            reset=False,
+        )
     for bh in oversized:
         del buckets[bh]
     bcast = sdf.sparkSession.sparkContext.broadcast((buckets, sigs_mat))

@@ -532,11 +532,21 @@ class TestWebmProbe:
         }
 
     def test_not_confused_with_other_containers(self):
-        assert parse_video_header(make_png(4, 4))[0] if parse_video_header(make_png(4, 4)) else True
+        assert parse_video_header(make_png(4, 4)) is None
         b = self._mk()
         # a webm never parses as mp4 and vice versa
         assert parse_video_header(b)[0] == "webm"
         assert parse_video_header(make_mp4(64, 64, 500))[0] == "mp4"
+
+    def test_long_duration_auto_promotes_to_double(self):
+        # 6 h in ms exceeds float32's exact-integer range; the
+        # synthesizer must promote so the duration round-trips exactly
+        from datar_polars_spark.scale.codecs import make_webm
+
+        long_ms = 6 * 3600 * 1000 + 1
+        assert parse_video_header(make_webm(640, 360, long_ms)) == (
+            "webm", 640, 360, long_ms
+        )
 
 
 class TestAviProbe:

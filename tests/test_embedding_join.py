@@ -214,3 +214,26 @@ class TestStreamDecontaminateSemantic:
         )
         out = stream_decontaminate_semantic(sdf, empty)
         assert out is sdf
+
+
+def test_broadcast_clears_stale_lsh_accounting(spark):
+    """dropped_pairs_estimate describes the LATEST call: an exact
+    broadcast join after a capped LSH join must report 0.0."""
+    from datar_polars_spark.scale.dedup import dropped_pairs_estimate
+
+    left = ensure_tibble(
+        spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    right = ensure_tibble(
+        spark.createDataFrame(
+            [(100, [1.0, 2.0, 3.0, 4.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    embedding_join(left, right, threshold=0.9, mode="lsh", max_bucket=5).df.count()
+    assert dropped_pairs_estimate("embedding_join") > 0
+    embedding_join(left, right, threshold=0.9, mode="broadcast").df.count()
+    assert dropped_pairs_estimate("embedding_join") == 0.0

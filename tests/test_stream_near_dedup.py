@@ -219,3 +219,33 @@ def test_reserved_column_clash_raises(spark, corpus):
         stream_near_dedup(clashing, hist, **PARAMS)
     with pytest.raises(ValueError, match="max_bucket"):
         stream_near_dedup(sdf, hist, max_bucket=0, **PARAMS)
+
+
+def test_filter_mode_cap_registers_drops_and_frees_reserved_names(spark, tmp_path):
+    """Filter mode's broadcast-index cap must register dropped-pair
+    accounting like the matches path (the docstring points users at
+    dropped_pairs_estimate), and filter mode must NOT reserve the
+    matches-only names (band/bhash/match_id/jaccard_est are never used
+    there)."""
+    from datar_polars_spark.scale.dedup import dropped_pairs_estimate
+    from datar_polars_spark.tibble import ensure_tibble
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    hist = ensure_tibble(
+        spark.createDataFrame(
+            [(i, boiler) for i in range(8)], "doc_id long, text string"
+        )
+    )
+    src = str(tmp_path / "boiler_stream_f")
+    spark.createDataFrame(
+        [(900, boiler + " extra", 7)],
+        "doc_id long, text string, band int",  # domain col named 'band'
+    ).write.parquet(src)
+    sdf = stream_read_parquet(spark, src)
+    out = stream_near_dedup(sdf, hist, mode="filter", max_bucket=4, **PARAMS)
+    got = run_to_memory(out, mode="append")
+    assert set(got["doc_id"]) == {900}  # capped -> looks clean
+    assert dropped_pairs_estimate("stream_near_dedup") > 0
+    # matches mode still rejects the clash it actually suffers from
+    with pytest.raises(ValueError, match="reserved"):
+        stream_near_dedup(sdf, hist, mode="matches", **PARAMS)
