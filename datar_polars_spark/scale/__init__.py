@@ -6,6 +6,7 @@ from .dedup import (  # noqa: F401
     minhash_pairs,
     minhash_join,
     decontaminate_fuzzy,
+    contamination_report_semantic,
     decontaminate_semantic,
     embedding_join,
     minhash_dedup,

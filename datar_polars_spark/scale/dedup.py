@@ -1001,6 +1001,46 @@ def embedding_join(
     return Tibble(out)
 
 
+def contamination_report_semantic(
+    td: Any,
+    benchmark: Any,
+    embedding: Any = "embedding",
+    id_col: Any = "vec_id",
+    threshold: float = 0.95,
+    **join_kwargs,
+) -> Tibble:
+    """Per-row semantic contamination audit — the embedding-space
+    sibling of ``contamination_report`` (exact 13-grams, filters.py):
+    for every corpus row, how many benchmark rows its embedding
+    matches at ``threshold`` (``contaminated_matches``, 0 when clean)
+    and the strongest match (``max_cosine``, NULL when clean). Use it
+    to CALIBRATE the threshold before running
+    :func:`decontaminate_semantic` for real — the histogram of
+    max_cosine shows where leakage separates from topical similarity.
+    Same execution shape as embedding_join (broadcast: one narrow
+    Arrow pass; the aggregate + join-back touch only the match rows,
+    never the corpus payload)."""
+    td = ensure_tibble(td)
+    idn = _name_of(id_col)
+    hits = embedding_join(
+        td, benchmark, embedding, id_col, threshold=threshold, **join_kwargs
+    )
+    per_doc = hits.df.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("contaminated_matches"),
+        F.max("cos").alias("max_cosine"),
+    )
+    out = (
+        td.df.select(F.col(idn))
+        .join(per_doc, F.col(idn) == F.col("id_a"), "left")
+        .drop("id_a")
+        .withColumn(
+            "contaminated_matches",
+            F.coalesce(F.col("contaminated_matches"), F.lit(0)),
+        )
+    )
+    return Tibble(out)
+
+
 def decontaminate_semantic(
     td: Any,
     benchmark: Any,

@@ -237,3 +237,22 @@ def test_broadcast_clears_stale_lsh_accounting(spark):
     assert dropped_pairs_estimate("embedding_join") > 0
     embedding_join(left, right, threshold=0.9, mode="broadcast").df.count()
     assert dropped_pairs_estimate("embedding_join") == 0.0
+
+
+def test_contamination_report_semantic(spark, emb, bench):
+    """One row per corpus doc: match count (0 when clean) and max
+    cosine (NULL when clean); counts agree with brute force."""
+    from collections import Counter
+
+    from datar_polars_spark.scale import contamination_report_semantic
+
+    rep = contamination_report_semantic(emb, bench, threshold=0.99)
+    rows = {r["vec_id"]: r for r in rep.df.collect()}
+    assert len(rows) == emb.df.count()  # every doc reported
+    want = Counter(a for a, _ in _brute(emb, bench, 0.99))
+    for vid, r in rows.items():
+        assert r["contaminated_matches"] == want.get(vid, 0)
+        if want.get(vid, 0) == 0:
+            assert r["max_cosine"] is None
+        else:
+            assert r["max_cosine"] >= 0.99
