@@ -1391,9 +1391,8 @@ def q45_gopher_packing(spark, sf):
         )
         >> arrange(f.pack_id)
     )
-    ch = chunk_documents(d, max_tokens=120, overlap=10)
-    chunk_row = (
-        ch.df.agg(
+    def _chunk_stat_row(ch_df, tag):
+        return ch_df.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("chunk_tokens").cast("bigint").alias("tok_total"),
             F.sum("chunk_id").cast("bigint").alias("sum_top2_e4"),
@@ -1401,18 +1400,39 @@ def q45_gopher_packing(spark, sf):
             F.sum((F.col("chunk_tokens") == 120).cast("int"))
             .cast("bigint")
             .alias("sum_awr_e4"),
-        )
-        .select(
-            F.lit(-1).cast("bigint").alias("pack_id"),
+        ).select(
+            F.lit(tag).cast("bigint").alias("pack_id"),
             "n_docs",
             "tok_total",
             "sum_top2_e4",
             "sum_dup2_e4",
             "sum_awr_e4",
         )
+
+    ch = chunk_documents(d, max_tokens=120, overlap=10)
+    chunk_row = _chunk_stat_row(ch.df, -1)
+    # r10: pack_id = -2 proves the EXACT token_counts bin-packing path
+    # — uniform all-ones per-word costs must reproduce the whitespace
+    # budgeting bit-for-bit, so the -1 row's oracle arithmetic applies
+    # unchanged (the oracle emits the same figures under both tags)
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0,
     )
+    d2 = d.with_df(
+        d.df.withColumn(
+            "tc", F.transform(words, lambda _: F.lit(1).cast("int"))
+        )
+    )
+    ch2 = chunk_documents(
+        d2, max_tokens=120, overlap=10, token_counts="tc"
+    )
+    chunk_row2 = _chunk_stat_row(ch2.df, -2)
     return (
-        _finish(out).unionByName(chunk_row).orderBy("pack_id")
+        _finish(out)
+        .unionByName(chunk_row)
+        .unionByName(chunk_row2)
+        .orderBy("pack_id")
     )
 
 
@@ -2787,6 +2807,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM packed GROUP BY pack_id
                 UNION ALL
                 SELECT -1, n_chunks, tok_sum, cid_sum, chars_sum, full_chunks
+                FROM cstat
+                UNION ALL
+                -- r10: the exact token_counts path under uniform
+                -- all-ones costs is contractually identical to the
+                -- whitespace path, so the same figures recur at -2
+                SELECT -2, n_chunks, tok_sum, cid_sum, chars_sum, full_chunks
                 FROM cstat
             ) ORDER BY pack_id
         """,
