@@ -2072,7 +2072,28 @@ def q68_semantic_decon(spark, sf):
         F.lit(-1).cast("bigint").alias("id_b"),
         F.lit(-1.0).alias("cos"),
     )
-    return matches.unionByName(summary).orderBy("op", "id_a")
+    # r10: the audit variant — per contaminated doc, match count and
+    # strongest cosine (the oracle recomputes both from the same
+    # brute-force pair set)
+    from datar_polars_spark.scale import contamination_report_semantic
+
+    report = (
+        contamination_report_semantic(
+            emb, bench, threshold=0.9, mode="broadcast"
+        )
+        .df.where(F.col("contaminated_matches") > 0)
+        .select(
+            F.lit("report").alias("op"),
+            F.col("vec_id").cast("bigint").alias("id_a"),
+            F.col("contaminated_matches").cast("bigint").alias("id_b"),
+            F.round("max_cosine", 4).alias("cos"),
+        )
+    )
+    return (
+        matches.unionByName(summary)
+        .unionByName(report)
+        .orderBy("op", "id_a")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3147,6 +3168,12 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM embeddings e2
                     WHERE e2.vec_id NOT IN (SELECT id_a FROM hits)),
                    -1, -1.0
+            UNION ALL
+            -- r10 audit rows: per contaminated doc, match count +
+            -- strongest cosine from the same brute-force pair set
+            SELECT 'report', CAST(id_a AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT), ROUND(MAX(cos), 4)
+            FROM hits GROUP BY id_a
             ORDER BY op, id_a
         """,
     }
