@@ -40,6 +40,11 @@ from .similarity import (  # noqa: F401
     ivfpq_read,
     l2_normalize,
 )
+from .tokenizer import (  # noqa: F401
+    bpe_train,
+    bpe_encode,
+    bpe_token_counts,
+)
 from .relevance import (  # noqa: F401
     tfidf_top_terms,
     bm25_score,

@@ -1,0 +1,247 @@
+"""Trainable byte-pair-encoding tokenizer, Spark-first.
+
+Exact context-length budgets (``chunk_documents(token_counts=)``,
+``pack_documents``) need the REAL tokenizer's per-word costs, not a
+corpus-average ratio. This module provides a self-contained BPE so a
+pipeline can train, ship, and apply one without any external tokenizer
+library:
+
+- ``bpe_train`` — the corpus never collects: word frequencies come
+  from a distributed explode → groupBy → top-K aggregation (the
+  classic BPE training input is exactly that word-frequency table),
+  and only the bounded frequency table reaches the driver, where the
+  standard greedy pair-merge loop runs. Deterministic: ties break
+  lexicographically, so the same corpus always trains the same vocab.
+- ``bpe_token_counts`` — one Arrow pass producing the per-WORD token
+  cost array that ``chunk_documents(token_counts=)`` bin-packs; each
+  batch memoizes distinct words, so the per-row cost is a dict hit for
+  every repeated word.
+- ``bpe_encode`` — the token strings themselves (array<string>), for
+  inspection/debugging and vocabulary analytics.
+
+The merge table is a JSON-able dict (like the IVF-PQ index), tiny
+enough to ship in UDF closures; cite: the algorithm is standard BPE
+(Sennrich et al. 2016) with a GPT-2-style end-of-word marker.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column  # noqa: F401 (signature typing)
+from pyspark.sql import functions as F
+
+from ..tibble import Tibble, ensure_tibble
+
+__all__ = ["bpe_train", "bpe_encode", "bpe_token_counts", "bpe_apply_word"]
+
+_EOW = ""  # end-of-word sentinel (control char: never in text words)
+
+
+def _name_of(x: Any) -> str:
+    return x._name if hasattr(x, "_name") else str(x)
+
+
+def bpe_train(
+    td: Any,
+    text: Any = "text",
+    n_merges: int = 1000,
+    max_words: int = 200_000,
+    lowercase: bool = True,
+) -> dict:
+    """Train BPE merges on a corpus. Returns ``{"merges": [[a, b],
+    ...], "lowercase": bool, "version": 1}`` — JSON-able, ordered, and
+    deterministic (pair-frequency ties break lexicographically).
+
+    100 TB shape: the word-frequency table is a distributed explode →
+    groupBy(word) → count; only the ``max_words`` most frequent words
+    (one keyed shuffle + a TakeOrdered) reach the driver, where the
+    greedy merge loop runs over that bounded table. Truncating the
+    long tail of rare words barely moves pair statistics (frequencies
+    are Zipfian), which is why every practical BPE trainer does the
+    same."""
+    td = ensure_tibble(td)
+    tname = _name_of(text)
+    col = F.col(tname)
+    if lowercase:
+        col = F.lower(col)
+    words = F.explode(
+        F.filter(
+            F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    ).alias("w")
+    freq_rows = (
+        td.df.select(words)
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("w"))
+        .limit(max_words)
+        .collect()
+    )
+    if not freq_rows:
+        raise ValueError("bpe_train: no words to train on")
+    # word -> (symbol tuple, count); the EOW marker makes merges
+    # word-boundary-aware (GPT-2 style)
+    vocab: dict[tuple, int] = {}
+    for r in freq_rows:
+        syms = tuple(r["w"]) + (_EOW,)
+        vocab[syms] = vocab.get(syms, 0) + int(r["count"])
+    merges: list[list[str]] = []
+    for _ in range(int(n_merges)):
+        pairs: dict[tuple, int] = {}
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + cnt
+        if not pairs:
+            break
+        # deterministic argmax: highest count, then lexicographic
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break  # nothing left worth merging
+        a, b = best
+        ab = a + b
+        new_vocab: dict[tuple, int] = {}
+        for syms, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + cnt
+        vocab = new_vocab
+        merges.append([a, b])
+    return {"merges": merges, "lowercase": bool(lowercase), "version": 1}
+
+
+def bpe_apply_word(word: str, ranks: dict, cache: dict | None = None) -> list:
+    """Tokenize ONE word with a trained merge-rank table (lowest rank
+    merges first — the standard BPE inference order). Pure function,
+    importable for tests; ``cache`` memoizes across calls."""
+    if cache is not None and word in cache:
+        return cache[word]
+    syms = list(word) + [_EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    # surface form: strip the EOW marker (a bare trailing marker token
+    # still counts — it closed the word)
+    out = [s.replace(_EOW, "") for s in syms]
+    out = [s for s in out if s] or [""]
+    if cache is not None:
+        cache[word] = out
+    return out
+
+
+def _ranks(model: dict) -> dict:
+    if not (isinstance(model, dict) and "merges" in model):
+        raise ValueError(
+            "expected the dict bpe_train returned (key 'merges')"
+        )
+    return {(a, b): i for i, (a, b) in enumerate(model["merges"])}
+
+
+def _words_expr(tname: str, lowercase: bool):
+    col = F.col(tname)
+    if lowercase:
+        col = F.lower(col)
+    return F.filter(
+        F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+
+
+def bpe_token_counts(
+    td: Any,
+    model: dict,
+    text: Any = "text",
+    counts_col: str = "bpe_counts",
+) -> Tibble:
+    """Per-WORD BPE token cost array — exactly the shape
+    ``chunk_documents(token_counts=)`` bin-packs and
+    ``pack_documents`` budgets against (after ``aggregate``-summing).
+    One Arrow pass; distinct words memoize within each batch, so
+    Zipfian text costs ~one BPE run per distinct word. NULL/empty text
+    yields an empty array (zero words)."""
+    td = ensure_tibble(td)
+    tname = _name_of(text)
+    if counts_col in td.columns:
+        raise ValueError(
+            f"bpe_token_counts: column {counts_col!r} already exists; "
+            f"pass a different counts_col="
+        )
+    ranks = _ranks(model)
+    lowercase = bool(model.get("lowercase", True))
+
+    @F.pandas_udf("array<int>")
+    def counts(words_ser):
+        import pandas as pd
+
+        cache: dict = {}
+        out = []
+        for ws in words_ser:
+            if ws is None:
+                out.append([])
+                continue
+            out.append(
+                [len(bpe_apply_word(w, ranks, cache)) for w in ws]
+            )
+        return pd.Series(out)
+
+    out_df = td.df.withColumn(
+        counts_col, counts(_words_expr(tname, lowercase))
+    )
+    return td.with_df(out_df)
+
+
+def bpe_encode(
+    td: Any,
+    model: dict,
+    text: Any = "text",
+    tokens_col: str = "bpe_tokens",
+) -> Tibble:
+    """The token strings themselves (array<string>, whole document) —
+    for inspection and vocabulary analytics. Same Arrow/memoization
+    shape as :func:`bpe_token_counts`."""
+    td = ensure_tibble(td)
+    tname = _name_of(text)
+    if tokens_col in td.columns:
+        raise ValueError(
+            f"bpe_encode: column {tokens_col!r} already exists; pass a "
+            f"different tokens_col="
+        )
+    ranks = _ranks(model)
+    lowercase = bool(model.get("lowercase", True))
+
+    @F.pandas_udf("array<string>")
+    def encode(words_ser):
+        import pandas as pd
+
+        cache: dict = {}
+        out = []
+        for ws in words_ser:
+            if ws is None:
+                out.append([])
+                continue
+            toks: list = []
+            for w in ws:
+                toks.extend(bpe_apply_word(w, ranks, cache))
+            out.append(toks)
+        return pd.Series(out)
+
+    out_df = td.df.withColumn(
+        tokens_col, encode(_words_expr(tname, lowercase))
+    )
+    return td.with_df(out_df)

@@ -1,0 +1,130 @@
+"""Trainable BPE (scale/tokenizer.py): deterministic distributed
+training, surface-form round-trip, compression ordering, and the
+integration with exact token-budget chunking."""
+
+import json
+
+import pytest
+
+from datar_polars_spark import read_parquet
+from datar_polars_spark.scale import bpe_encode, bpe_token_counts, bpe_train
+from datar_polars_spark.scale.tokenizer import _ranks, bpe_apply_word
+from datar_polars_spark.tibble import ensure_tibble
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_parquet(spark, f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def model(docs):
+    return bpe_train(docs, n_merges=200)
+
+
+def test_training_is_deterministic_and_jsonable(docs, model):
+    again = bpe_train(docs, n_merges=200)
+    assert again == model
+    assert json.loads(json.dumps(model)) == model
+    assert model["version"] == 1 and len(model["merges"]) > 10
+
+
+def test_known_tiny_corpus_merges(spark):
+    """Hand-checkable corpus: words aa x6, ab x1, b x1. Pair counts
+    tie at 6 between ('a','a') and ('a', EOW); the lexicographic
+    tie-break picks ('a', EOW) deterministically (EOW = \\x01 < 'a'),
+    and the dominant word 'aa' still compresses to a single token."""
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [("aa aa aa aa ab",), ("aa aa b",)], "text string"
+        )
+    )
+    m = bpe_train(td, n_merges=10)
+    assert m["merges"][0] == ["a", "\x01"]
+    ranks = _ranks(m)
+    assert bpe_apply_word("aa", ranks, {}) == ["aa"]
+    # rare words keep more pieces than the dominant one
+    assert len(bpe_apply_word("ab", ranks, {})) >= 1
+    assert "".join(bpe_apply_word("ab", ranks, {})) == "ab"
+
+
+def test_surface_form_roundtrip_and_compression(model):
+    ranks = _ranks(model)
+    for w in ["the", "analysis", "spark", "zzzzunseen", "a", "x"]:
+        toks = bpe_apply_word(w, ranks, {})
+        assert "".join(toks) == w
+        assert all(toks)
+    # a stopword compresses at least as well as random char soup
+    assert len(bpe_apply_word("the", ranks, {})) <= len(
+        bpe_apply_word("xqzv", ranks, {})
+    )
+
+
+def test_counts_feed_exact_chunking(docs, model):
+    from datar_polars_spark.scale import chunk_documents
+
+    wc = bpe_token_counts(docs, model, counts_col="tc")
+    rows = wc.df.select("doc_id", "text", "tc").limit(50).collect()
+    ranks = _ranks(model)
+    for r in rows:
+        words = (r["text"] or "").lower().split()
+        assert list(r["tc"]) == [
+            len(bpe_apply_word(w, ranks, {})) for w in words
+        ]
+    chunked = chunk_documents(
+        wc, max_tokens=96, overlap=8, token_counts="tc"
+    )
+    out = chunked.df.limit(400).collect()
+    for r in out:
+        assert r["chunk_tokens"] <= 96 or len(r["text"].split()) == 1
+
+
+def test_encode_agrees_with_counts(docs, model):
+    enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, model).df.select(
+            "doc_id", "bpe_tokens"
+        ).limit(25).collect()
+    }
+    cnt = {
+        r["doc_id"]: r["tc"]
+        for r in bpe_token_counts(docs, model, counts_col="tc")
+        .df.select("doc_id", "tc")
+        .limit(25)
+        .collect()
+    }
+    for did, toks in enc.items():
+        assert len(toks) == sum(cnt[did])
+
+
+def test_null_and_empty_text(spark, model):
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [(1, None), (2, ""), (3, "  ")], "doc_id long, text string"
+        )
+    )
+    rows = bpe_token_counts(td, model, counts_col="tc").df.collect()
+    assert all(list(r["tc"]) == [] for r in rows)
+    rows2 = bpe_encode(td, model).df.collect()
+    assert all(list(r["bpe_tokens"]) == [] for r in rows2)
+
+
+def test_validation(spark, docs, model):
+    empty = ensure_tibble(spark.createDataFrame([], "text string"))
+    with pytest.raises(ValueError, match="no words"):
+        bpe_train(empty)
+    with pytest.raises(ValueError, match="merges"):
+        bpe_token_counts(docs, {"nope": 1})
+    clash = bpe_token_counts(docs, model, counts_col="tc")
+    with pytest.raises(ValueError, match="already exists"):
+        bpe_token_counts(clash, model, counts_col="tc")
+
+
+def test_plan_is_narrow_arrow(docs, model):
+    out = bpe_token_counts(docs, model, counts_col="tc")
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
