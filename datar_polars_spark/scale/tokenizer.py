@@ -81,41 +81,78 @@ def bpe_train(
     )
     if not freq_rows:
         raise ValueError("bpe_train: no words to train on")
-    # word -> (symbol tuple, count); the EOW marker makes merges
-    # word-boundary-aware (GPT-2 style)
-    vocab: dict[tuple, int] = {}
+    # word id -> (symbol list, count); the EOW marker makes merges
+    # word-boundary-aware (GPT-2 style). Pair statistics are maintained
+    # INCREMENTALLY (pair -> count, pair -> word ids containing it):
+    # each merge rewrites only the words that contain the merged pair,
+    # so training is O(total rewrites), not O(n_merges x vocab) — the
+    # difference between seconds and hours at max_words=200k.
+    words_syms: list[list[str]] = []
+    words_cnt: list[int] = []
+    seen: dict[tuple, int] = {}
     for r in freq_rows:
         syms = tuple(r["w"]) + (_EOW,)
-        vocab[syms] = vocab.get(syms, 0) + int(r["count"])
+        if syms in seen:
+            words_cnt[seen[syms]] += int(r["count"])
+        else:
+            seen[syms] = len(words_syms)
+            words_syms.append(list(syms))
+            words_cnt.append(int(r["count"]))
+    pair_counts: dict[tuple, int] = {}
+    pair_words: dict[tuple, set] = {}
+    for wi, syms in enumerate(words_syms):
+        cnt = words_cnt[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_words.setdefault(p, set()).add(wi)
+
+    def _bump(p: tuple, delta: int, wi: int) -> None:
+        c = pair_counts.get(p, 0) + delta
+        if c > 0:
+            pair_counts[p] = c
+            if delta > 0:
+                pair_words.setdefault(p, set()).add(wi)
+        else:
+            pair_counts.pop(p, None)
+            pair_words.pop(p, None)
+
     merges: list[list[str]] = []
     for _ in range(int(n_merges)):
-        pairs: dict[tuple, int] = {}
-        for syms, cnt in vocab.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pairs[p] = pairs.get(p, 0) + cnt
-        if not pairs:
+        if not pair_counts:
             break
         # deterministic argmax: highest count, then lexicographic
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pairs[best] < 2:
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
             break  # nothing left worth merging
         a, b = best
         ab = a + b
-        new_vocab: dict[tuple, int] = {}
-        for syms, cnt in vocab.items():
-            out = []
+        for wi in sorted(pair_words.get(best, ())):
+            syms = words_syms[wi]
+            cnt = words_cnt[wi]
+            out: list[str] = []
             i = 0
             while i < len(syms):
                 if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    # retire the old neighbor pairs, admit the new ones
+                    if out:
+                        _bump((out[-1], a), -cnt, wi)
+                        _bump((out[-1], ab), cnt, wi)
+                    if i + 2 < len(syms):
+                        nxt = syms[i + 2]
+                        # the right neighbor pair is corrected on the
+                        # NEXT loop step if it is itself (a, b)
+                        _bump((b, nxt), -cnt, wi)
+                        _bump((ab, nxt), cnt, wi)
                     out.append(ab)
                     i += 2
                 else:
                     out.append(syms[i])
                     i += 1
-            t = tuple(out)
-            new_vocab[t] = new_vocab.get(t, 0) + cnt
-        vocab = new_vocab
+            words_syms[wi] = out
+        # every occurrence of the merged pair is gone by construction
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
         merges.append([a, b])
     return {"merges": merges, "lowercase": bool(lowercase), "version": 1}
 

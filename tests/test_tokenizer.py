@@ -128,3 +128,64 @@ def test_plan_is_narrow_arrow(docs, model):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_incremental_trainer_equals_naive_reference(spark, docs):
+    """The incremental pair-count trainer must pick the exact same
+    merge sequence as a from-scratch recount each round (the naive
+    O(n_merges x vocab) formulation it replaced)."""
+    from datar_polars_spark.scale.tokenizer import _EOW
+
+    rows = (
+        docs.df.selectExpr(
+            "explode(filter(split(trim(lower(coalesce(text, ''))), "
+            "'\\\\s+'), t -> length(t) > 0)) AS w"
+        )
+        .groupBy("w")
+        .count()
+        .orderBy("count", "w", ascending=[False, True])
+        .limit(2000)
+        .collect()
+    )
+
+    def naive(n_merges):
+        vocab = {}
+        for r in rows:
+            syms = tuple(r["w"]) + (_EOW,)
+            vocab[syms] = vocab.get(syms, 0) + int(r["count"])
+        merges = []
+        for _ in range(n_merges):
+            pairs = {}
+            for syms, cnt in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pairs[p] = pairs.get(p, 0) + cnt
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if pairs[best] < 2:
+                break
+            a, b = best
+            ab = a + b
+            nv = {}
+            for syms, cnt in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                t = tuple(out)
+                nv[t] = nv.get(t, 0) + cnt
+            vocab = nv
+            merges.append([a, b])
+        return merges
+
+    got = bpe_train(docs, n_merges=120, max_words=2000)
+    assert got["merges"] == naive(120)
