@@ -44,6 +44,8 @@ from .tokenizer import (  # noqa: F401
     bpe_train,
     bpe_encode,
     bpe_token_counts,
+    bpe_write,
+    bpe_read,
 )
 from .relevance import (  # noqa: F401
     tfidf_top_terms,

@@ -1403,8 +1403,6 @@ def ivfpq_write(
     JSON round-trips Python floats exactly (repr-based), so a
     write->read->query cycle is bit-identical to querying the
     in-memory index."""
-    import json
-
     df = coded.df if isinstance(coded, Tibble) else coded
     if cell_col not in df.columns:
         raise ValueError(
@@ -1432,22 +1430,15 @@ def ivfpq_write(
         "centroids": index["centroids"],
         "codebook": index["codebook"],
     }
-    sc = df.sparkSession.sparkContext
-    jpath = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/ivfpq_index.json")
-    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    stream = fs.create(jpath, True)
-    try:
-        stream.write(bytearray(json.dumps(payload).encode("utf-8")))
-    finally:
-        stream.close()
+    from .jsonio import write_json_file
+
+    write_json_file(df.sparkSession, f"{path}/ivfpq_index.json", payload)
 
 
 def _load_ivfpq_index(spark, index: Any) -> dict:
     """Accept the trained dict as-is, or a str path to a deployment
     ivfpq_write produced (the JSON sidecar is read with wholetext —
     one tiny file, any Hadoop-supported filesystem)."""
-    import json
-
     if isinstance(index, dict):
         return index
     if not isinstance(index, str):
@@ -1455,12 +1446,9 @@ def _load_ivfpq_index(spark, index: Any) -> dict:
             f"index must be the ivfpq_train dict or an ivfpq_write path, "
             f"got {type(index).__name__}"
         )
-    rows = (
-        spark.read.option("wholetext", "true")
-        .text(f"{index}/ivfpq_index.json")
-        .collect()
-    )
-    loaded = json.loads(rows[0][0])
+    from .jsonio import read_json_file
+
+    loaded = read_json_file(spark, f"{index}/ivfpq_index.json")
     if loaded.get("format") != "ivfpq-index" or "centroids" not in loaded:
         raise ValueError(
             f"{index}/ivfpq_index.json is not an ivfpq_write sidecar"

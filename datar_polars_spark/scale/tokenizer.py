@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 
 from ..tibble import Tibble, ensure_tibble
 
-__all__ = ["bpe_train", "bpe_encode", "bpe_token_counts", "bpe_apply_word"]
+__all__ = [
+    "bpe_train", "bpe_encode", "bpe_token_counts", "bpe_apply_word",
+    "bpe_write", "bpe_read",
+]
 
 _EOW = ""  # end-of-word sentinel (control char: never in text words)
 
@@ -282,3 +285,30 @@ def bpe_encode(
         tokens_col, encode(_words_expr(tname, lowercase))
     )
     return td.with_df(out_df)
+
+
+def bpe_write(spark, model: dict, path: str) -> None:
+    """Persist a trained BPE model as a single JSON file on any
+    Hadoop-supported filesystem (file://, hdfs://, s3a://), so the
+    tokenizer that budgeted a dataset ships WITH the dataset."""
+    if not (isinstance(model, dict) and "merges" in model):
+        raise ValueError(
+            "bpe_write: expected the dict bpe_train returned "
+            "(key 'merges')"
+        )
+    from .jsonio import write_json_file
+
+    write_json_file(spark, path, {"format": "bpe-model", **model})
+
+
+def bpe_read(spark, path: str) -> dict:
+    """Load a model :func:`bpe_write` persisted — equal to the trained
+    dict (JSON round-trips the merge strings exactly)."""
+    from .jsonio import read_json_file
+
+    loaded = read_json_file(spark, path)
+    if loaded.get("format") != "bpe-model" or "merges" not in loaded:
+        raise ValueError(f"{path} is not a bpe_write artifact")
+    loaded.pop("format")
+    loaded["merges"] = [list(m) for m in loaded["merges"]]
+    return loaded

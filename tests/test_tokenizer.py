@@ -189,3 +189,20 @@ def test_incremental_trainer_equals_naive_reference(spark, docs):
 
     got = bpe_train(docs, n_merges=120, max_words=2000)
     assert got["merges"] == naive(120)
+
+
+def test_write_read_roundtrip(spark, docs, model, tmp_path):
+    from datar_polars_spark.scale import bpe_read, bpe_write
+
+    p = str(tmp_path / "bpe_model.json")
+    bpe_write(spark, model, p)
+    assert bpe_read(spark, p) == model
+    with pytest.raises(ValueError, match="merges"):
+        bpe_write(spark, {"nope": 1}, str(tmp_path / "x.json"))
+    # a foreign JSON file is rejected with a clear message
+    from datar_polars_spark.scale.jsonio import write_json_file
+
+    other = str(tmp_path / "other.json")
+    write_json_file(spark, other, {"hello": 1})
+    with pytest.raises(ValueError, match="bpe_write artifact"):
+        bpe_read(spark, other)
