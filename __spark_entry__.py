@@ -2096,6 +2096,43 @@ def q68_semantic_decon(spark, sf):
     )
 
 
+def q69_paragraph_dedup(spark, sf):
+    """Covers: dedup_paragraphs (r10) — corpus-level keep-first
+    paragraph dedup, the Dolma/FineWeb boilerplate-removal step. The
+    synthetic docs carry no paragraph structure, so the query
+    synthesizes it deterministically: head slice + a SHARED boilerplate
+    paragraph + tail slice per doc. Keep-first then leaves the
+    boilerplate only in the lowest doc_id (plus any naturally repeated
+    head/tail slices, which the oracle recomputes identically). The
+    per-lang rollup pins doc counts, total removals, and the rebuilt
+    text's exact char mass (reassembly order + separators)."""
+    from datar_polars_spark.scale import dedup_paragraphs
+    from datar_polars_spark.tibble import ensure_tibble
+
+    d = _t(spark, sf, "documents")
+    base = ensure_tibble(
+        d.df.select(
+            "doc_id",
+            "lang",
+            F.concat(
+                F.substring("text", 1, 100),
+                F.lit("\n\nSHARED BOILERPLATE PARAGRAPH.\n\n"),
+                F.substring("text", 101, 100),
+            ).alias("text"),
+        )
+    )
+    out = dedup_paragraphs(base)
+    return (
+        out.df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("paras_removed").cast("bigint").alias("removed"),
+            F.sum(F.length("text")).cast("bigint").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2156,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_trailing_time_window": q66_trailing_time_window,
         "q67_relevance": q67_relevance,
         "q68_semantic_decon": q68_semantic_decon,
+        "q69_paragraph_dedup": q69_paragraph_dedup,
     }
 
 
@@ -3175,5 +3213,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT), ROUND(MAX(cos), 4)
             FROM hits GROUP BY id_a
             ORDER BY op, id_a
+        """,
+        "q69_paragraph_dedup": r"""
+            -- r10 dedup_paragraphs: synthesize paragraph structure
+            -- (head + shared boilerplate + tail), keep-first by
+            -- (doc_id, pos) over normalized paragraphs (empty ones
+            -- exempt), reassemble with blank-line separators, roll up
+            -- per lang
+            WITH base AS (
+                SELECT doc_id, lang,
+                       substr(text, 1, 100) || chr(10) || chr(10) ||
+                       'SHARED BOILERPLATE PARAGRAPH.' ||
+                       chr(10) || chr(10) ||
+                       substr(text, 101, 100) AS text
+                FROM documents
+            ), p AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(
+                           coalesce(text, ''), '\n\n+')) AS para,
+                       unnest(range(1, len(regexp_split_to_array(
+                           coalesce(text, ''), '\n\n+')) + 1)) AS pos
+                FROM base
+            ), flagged AS (
+                SELECT *,
+                       len(trim(para)) < 1 AS exempt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY CASE WHEN len(trim(para)) < 1
+                                             THEN NULL
+                                             ELSE lower(trim(para)) END
+                           ORDER BY doc_id, pos) AS rn
+                FROM p
+            ), kept AS (
+                SELECT doc_id, lang, para, pos,
+                       (exempt OR rn = 1) AS keep
+                FROM flagged
+            ), rebuilt AS (
+                SELECT doc_id, ANY_VALUE(lang) AS lang,
+                       COALESCE(string_agg(
+                           CASE WHEN keep THEN para END,
+                           chr(10) || chr(10) ORDER BY pos), '') AS text,
+                       SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS removed
+                FROM kept GROUP BY doc_id
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(removed) AS BIGINT) AS removed,
+                   CAST(SUM(len(text)) AS BIGINT) AS chars
+            FROM rebuilt GROUP BY lang ORDER BY lang
         """,
     }

@@ -8,6 +8,7 @@ from .dedup import (  # noqa: F401
     decontaminate_fuzzy,
     contamination_report_semantic,
     decontaminate_semantic,
+    dedup_paragraphs,
     embedding_join,
     minhash_dedup,
     simhash_dedup,

@@ -1001,6 +1001,112 @@ def embedding_join(
     return Tibble(out)
 
 
+def dedup_paragraphs(
+    td: Any,
+    text: Any = "text",
+    id_col: Any = "doc_id",
+    sep: str = r"\n\n+",
+    join_sep: str = "\n\n",
+    min_chars: int = 1,
+    normalize: bool = True,
+    count_col: str | None = "paras_removed",
+) -> Tibble:
+    """CORPUS-LEVEL paragraph dedup (the Dolma/FineWeb curation step):
+    split every document into paragraphs on the ``sep`` regex, keep
+    only the FIRST occurrence (by ``(id, position)``) of each distinct
+    paragraph across the whole corpus, and reassemble the surviving
+    paragraphs with ``join_sep``. Boilerplate paragraphs (navigation,
+    cookie banners, license blocks) repeated across a crawl survive
+    doc-level near-dedup because the surrounding text differs — this
+    removes them at the granularity where they actually repeat.
+
+    ``normalize=True`` fingerprints paragraphs case-folded and trimmed
+    (light Dolma-style normalization; the REASSEMBLED text always uses
+    the original paragraph bytes). Paragraphs whose trimmed length is
+    under ``min_chars`` are EXEMPT — always kept, never treated as
+    duplicates of each other (with the default 1, empty paragraphs
+    never collapse across documents). ``count_col`` (default
+    ``paras_removed``) reports per-doc removals for auditing; pass
+    None to omit. NULL text stays NULL; ``id_col`` values must be
+    unique (they define keep-first order).
+
+    100 TB design: one keyed shuffle partitioned by the paragraph
+    fingerprint (a 64-bit xxhash — exempt paragraphs get unique
+    domain-separated keys so no giant NULL/empty skew partition forms)
+    + one groupBy(id) to reassemble. Both are plain keyed shuffles;
+    nothing collects."""
+    td = ensure_tibble(td)
+    tname, idn = _name_of(text), _name_of(id_col)
+    if int(min_chars) < 0:
+        raise ValueError(
+            f"dedup_paragraphs: min_chars must be >= 0, got {min_chars}"
+        )
+    scratch = {"__pos", "__para", "__key", "__rn", "__keep"}
+    clash = sorted(scratch & set(td.columns))
+    if clash:
+        raise ValueError(
+            f"dedup_paragraphs: column(s) {clash} are reserved scratch; "
+            f"rename them first"
+        )
+    if count_col and count_col in td.columns:
+        raise ValueError(
+            f"dedup_paragraphs: count_col {count_col!r} already exists; "
+            f"pass a different name or count_col=None"
+        )
+    others = [c for c in td.columns if c not in (tname, idn)]
+    norm = (
+        F.lower(F.trim(F.col("__para"))) if normalize
+        else F.col("__para")
+    )
+    exempt = F.length(F.trim(F.col("__para"))) < int(min_chars)
+    key = F.when(
+        exempt, F.xxhash64(F.lit("x"), F.col(idn), F.col("__pos"))
+    ).otherwise(F.xxhash64(F.lit("p"), norm))
+    paras = td.df.select(
+        *td.columns,
+        F.posexplode(
+            F.split(F.coalesce(F.col(tname), F.lit("")), sep)
+        ).alias("__pos", "__para"),
+    ).withColumn("__key", key)
+    w = Window.partitionBy("__key").orderBy(
+        F.col(idn).asc(), F.col("__pos").asc()
+    )
+    kept = paras.withColumn(
+        "__keep", F.row_number().over(w) == 1
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__keep"),
+                        F.struct(F.col("__pos"), F.col("__para")),
+                    )
+                )
+            ),
+            lambda s: s["__para"],
+        ),
+        join_sep,
+    )
+    agg_cols = [F.first(c).alias(c) for c in others]
+    agg_cols.append(
+        F.when(
+            F.isnull(F.first(F.col(tname))), F.lit(None).cast("string")
+        ).otherwise(rebuilt).alias(tname)
+    )
+    if count_col:
+        agg_cols.append(
+            F.sum((~F.col("__keep")).cast("int"))
+            .cast("int")
+            .alias(count_col)
+        )
+    out = kept.groupBy(idn).agg(*agg_cols)
+    final_cols = [
+        c if c != tname else tname for c in td.columns
+    ] + ([count_col] if count_col else [])
+    return Tibble(out.select(*final_cols))
+
+
 def contamination_report_semantic(
     td: Any,
     benchmark: Any,

@@ -1,0 +1,124 @@
+"""Corpus-level paragraph dedup (Dolma/FineWeb boilerplate removal):
+keep-first by (id, position) across documents, normalized fingerprints,
+exempt short/empty paragraphs, NULL-text passthrough, and the plan
+shape (two keyed shuffles, no collect)."""
+
+import pytest
+
+from datar_polars_spark import read_parquet
+from datar_polars_spark.scale import dedup_paragraphs
+from datar_polars_spark.tibble import ensure_tibble
+
+BOILER = "Cookie notice: we use cookies."
+
+
+@pytest.fixture()
+def td(spark):
+    docs = [
+        (1, f"Unique one.\n\n{BOILER}\n\nTail one.", "en"),
+        (2, f"{BOILER}\n\nUnique two.", "en"),
+        (3, f"Unique three.\n\n{BOILER}", "de"),
+        (4, None, "fr"),
+        (5, "", "en"),
+        (6, f"  {BOILER.upper()}  \n\nUnique six.", "en"),
+        (7, "Unique one.", "en"),
+    ]
+    return ensure_tibble(
+        spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    )
+
+
+def test_keep_first_across_corpus(spark, td):
+    out = {r["doc_id"]: r for r in dedup_paragraphs(td).df.collect()}
+    # the lowest-id occurrence keeps every paragraph
+    assert out[1]["text"] == f"Unique one.\n\n{BOILER}\n\nTail one."
+    assert out[1]["paras_removed"] == 0
+    # later occurrences lose the boilerplate (normalized: case/space)
+    assert out[2]["text"] == "Unique two." and out[2]["paras_removed"] == 1
+    assert out[3]["text"] == "Unique three."
+    assert out[6]["text"] == "Unique six."  # case-folded duplicate
+    # a doc that IS a duplicate paragraph empties out
+    assert out[7]["text"] == "" and out[7]["paras_removed"] == 1
+    # other columns survive reassembly
+    assert out[3]["lang"] == "de"
+
+
+def test_null_and_empty_docs(spark, td):
+    out = {r["doc_id"]: r for r in dedup_paragraphs(td).df.collect()}
+    assert out[4]["text"] is None and out[4]["paras_removed"] == 0
+    assert out[5]["text"] == "" and out[5]["paras_removed"] == 0
+
+
+def test_empty_paragraphs_are_exempt(spark):
+    docs = [(1, "A\n\n\n\nB"), (2, "C\n\n\n\nD")]
+    t = ensure_tibble(spark.createDataFrame(docs, "doc_id long, text string"))
+    # the sep regex collapses the blank runs; nothing is removed and
+    # no cross-doc collapse of emptiness happens
+    out = {r["doc_id"]: r for r in dedup_paragraphs(t).df.collect()}
+    assert out[1]["paras_removed"] == 0 and out[2]["paras_removed"] == 0
+
+
+def test_normalize_off_is_byte_exact(spark, td):
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(td, normalize=False).df.collect()
+    }
+    assert out[6]["paras_removed"] == 0  # uppercase variant survives
+    assert out[2]["paras_removed"] == 1  # byte-identical still dedups
+
+
+def test_min_chars_exemption(spark):
+    docs = [(1, "hi\n\nlong paragraph body"), (2, "hi\n\nother body")]
+    t = ensure_tibble(spark.createDataFrame(docs, "doc_id long, text string"))
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(t, min_chars=5).df.collect()
+    }
+    # 'hi' is under min_chars: exempt in BOTH docs
+    assert out[2]["text"].startswith("hi")
+    assert out[2]["paras_removed"] == 0
+
+
+def test_within_doc_duplicates_also_collapse(spark):
+    t = ensure_tibble(
+        spark.createDataFrame(
+            [(1, "same para\n\nsame para\n\nother")],
+            "doc_id long, text string",
+        )
+    )
+    out = dedup_paragraphs(t).df.first()
+    assert out["text"] == "same para\n\nother"
+    assert out["paras_removed"] == 1
+
+
+def test_real_corpus_roundtrip_when_all_unique(spark):
+    """On the synthetic docs table (no repeated paragraphs, no
+    newlines) the op is an identity up to the count column."""
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    out = dedup_paragraphs(docs)
+    rows = out.df.select("doc_id", "text", "paras_removed").collect()
+    orig = {
+        r["doc_id"]: r["text"]
+        for r in docs.df.select("doc_id", "text").collect()
+    }
+    for r in rows:
+        assert r["text"] == orig[r["doc_id"]]
+        assert r["paras_removed"] == 0
+
+
+def test_validation_and_plan(spark, td):
+    with pytest.raises(ValueError, match="reserved"):
+        dedup_paragraphs(
+            ensure_tibble(td.df.withColumn("__pos", td.df.doc_id))
+        )
+    with pytest.raises(ValueError, match="count_col"):
+        dedup_paragraphs(
+            ensure_tibble(td.df.withColumn("paras_removed", td.df.doc_id))
+        )
+    with pytest.raises(ValueError, match="min_chars"):
+        dedup_paragraphs(td, min_chars=-1)
+    out = dedup_paragraphs(td)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # pure JVM
+    assert plan.count("Exchange") <= 3  # fingerprint window + groupBy
