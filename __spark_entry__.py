@@ -2133,6 +2133,53 @@ def q69_paragraph_dedup(spark, sf):
     )
 
 
+def q70_url_canonical(spark, sf):
+    """Covers: url_normalize / url_registrable_domain (r10) — the
+    FineWeb-style crawl canonicalization step. URLs are synthesized
+    deterministically from doc_id in three shapes (mixed-case host +
+    default port + trailing slash + utm + fragment; non-default port +
+    gclid + unsorted params; bare), so the oracle can construct the
+    EXPECTED canonical strings directly and every normalized byte is
+    pinned via min() + distinct counts per registrable domain
+    (including the co.uk two-label-suffix rule)."""
+    from datar_polars_spark.scale import url_normalize, url_registrable_domain
+
+    d = _t(spark, sf, "documents").df.select("doc_id")
+    k = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Site"), k, F.lit(".COM:443/Page/"), i,
+                F.lit("/?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://news.site"), k, F.lit(".co.uk:8080/a/"), i,
+                F.lit("?z=9&gclid=t&y=8"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://site"), k, F.lit(".com/p"), i))
+    )
+    base = d.withColumn("url", url)
+    out = base.select(
+        url_registrable_domain(F.col("url")).alias("domain"),
+        url_normalize(F.col("url")).alias("norm"),
+    )
+    return (
+        out.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("norm").alias("n_norm"),
+            F.min("norm").alias("sample_norm"),
+        )
+        .orderBy("domain")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2194,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_relevance": q67_relevance,
         "q68_semantic_decon": q68_semantic_decon,
         "q69_paragraph_dedup": q69_paragraph_dedup,
+        "q70_url_canonical": q70_url_canonical,
     }
 
 
@@ -3259,5 +3307,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(removed) AS BIGINT) AS removed,
                    CAST(SUM(len(text)) AS BIGINT) AS chars
             FROM rebuilt GROUP BY lang ORDER BY lang
+        """,
+        "q70_url_canonical": """
+            -- r10 URL canonicalization: the synthesized URL shapes are
+            -- known, so the EXPECTED canonical strings construct
+            -- directly (lower-cased host, default port and trailing
+            -- slash and fragment stripped, tracking params dropped,
+            -- params sorted) and pin every byte via min() + distinct
+            -- counts per registrable domain
+            WITH u AS (
+                SELECT doc_id,
+                    CASE
+                        WHEN doc_id % 3 = 0 THEN
+                            'https://www.site' || (doc_id % 7) ||
+                            '.com/Page/' || doc_id || '?a=1&b=2'
+                        WHEN doc_id % 3 = 1 THEN
+                            'http://news.site' || (doc_id % 7) ||
+                            '.co.uk:8080/a/' || doc_id || '?y=8&z=9'
+                        ELSE
+                            'https://site' || (doc_id % 7) ||
+                            '.com/p' || doc_id
+                    END AS norm,
+                    CASE
+                        WHEN doc_id % 3 = 1 THEN
+                            'site' || (doc_id % 7) || '.co.uk'
+                        ELSE 'site' || (doc_id % 7) || '.com'
+                    END AS domain
+                FROM documents
+            )
+            SELECT domain, COUNT(*) AS n_urls,
+                   CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_norm,
+                   MIN(norm) AS sample_norm
+            FROM u GROUP BY domain ORDER BY domain
         """,
     }

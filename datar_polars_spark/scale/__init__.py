@@ -48,6 +48,11 @@ from .tokenizer import (  # noqa: F401
     bpe_write,
     bpe_read,
 )
+from .urls import (  # noqa: F401
+    url_host,
+    url_normalize,
+    url_registrable_domain,
+)
 from .relevance import (  # noqa: F401
     tfidf_top_terms,
     bm25_score,
