@@ -122,3 +122,44 @@ def test_validation_and_plan(spark, td):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan  # pure JVM
     assert plan.count("Exchange") <= 3  # fingerprint window + groupBy
+
+
+def test_randomized_differential_vs_python_reference(spark):
+    """Random corpora drawn from a SMALL paragraph alphabet (forcing
+    heavy cross-doc collisions) must match a straightforward Python
+    keep-first reference, doc by doc."""
+    import random
+
+    rng = random.Random(17)
+    alphabet = [f"para {i} body text" for i in range(12)] + ["", "  "]
+    docs = []
+    for i in range(60):
+        paras = [alphabet[rng.randrange(len(alphabet))]
+                 for _ in range(rng.randrange(0, 6))]
+        docs.append((i, "\n\n".join(paras) if paras else ""))
+    t = ensure_tibble(spark.createDataFrame(docs, "doc_id long, text string"))
+    got = {
+        r["doc_id"]: (r["text"], r["paras_removed"])
+        for r in dedup_paragraphs(t).df.collect()
+    }
+
+    # python reference: same rules (split '\n\n+', lower+trim
+    # fingerprint, trimmed-empty exempt, keep-first by (id, pos))
+    import re
+
+    seen = set()
+    want = {}
+    for i, text in docs:
+        paras = re.split(r"\n\n+", text if text is not None else "")
+        kept, removed = [], 0
+        for p in paras:
+            fp = p.strip().lower()
+            if len(p.strip()) < 1:
+                kept.append(p)
+            elif fp not in seen:
+                seen.add(fp)
+                kept.append(p)
+            else:
+                removed += 1
+        want[i] = ("\n\n".join(kept), removed)
+    assert got == want
