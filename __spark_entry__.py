@@ -491,7 +491,12 @@ def q22_group_deviation(spark, sf):
 
 
 def q23_events_daily(spark, sf):
-    """Covers: timestamp handling, multi-key group, avg."""
+    """Covers: timestamp handling, multi-key group, mean (carried as an
+    exact fixed-point SUM + count: ROUND(AVG(x), 4) is tie-unstable
+    across engines when a group mean lands on a .00005 boundary — it
+    DID at sf0.001 — while per-row floor(x*10000) is identical IEEE
+    math in both engines and the integer sum is exact; the q01/q45
+    playbook convention)."""
     e = _t(spark, sf, "events")
     out = (
         e
@@ -499,7 +504,9 @@ def q23_events_daily(spark, sf):
         >> group_by(f.day, f.event_type)
         >> summarise(
             n_events=n(),
-            avg_value=round_(mean(f.value, na_rm=True), 4),
+            value_sum_e4=sum_(
+                as_integer(floor(f.value * 10000)), na_rm=True
+            ),
         )
         >> arrange(f.day, f.event_type)
     )
@@ -2444,9 +2451,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_orderkey, l_linenumber, l_suppkey, ratio
         """,
         "q23_events_daily": """
+            -- the mean travels as an exact fixed-point sum + count:
+            -- ROUND(AVG, 4) flipped on a .00005 tie at sf0.001
             SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
                    COUNT(*) AS n_events,
-                   ROUND(AVG(value), 4) AS avg_value
+                   CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                       AS value_sum_e4
             FROM events GROUP BY 1, 2
             ORDER BY day, event_type
         """,
