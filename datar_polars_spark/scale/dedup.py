@@ -1010,6 +1010,7 @@ def dedup_paragraphs(
     min_chars: int = 1,
     normalize: bool = True,
     count_col: str | None = "paras_removed",
+    scope: str = "corpus",
 ) -> Tibble:
     """CORPUS-LEVEL paragraph dedup (the Dolma/FineWeb curation step):
     split every document into paragraphs on the ``sep`` regex, keep
@@ -1030,13 +1031,24 @@ def dedup_paragraphs(
     None to omit. NULL text stays NULL; ``id_col`` values must be
     unique (they define keep-first order).
 
-    100 TB design: one keyed shuffle partitioned by the paragraph
-    fingerprint (a 64-bit xxhash — exempt paragraphs get unique
-    domain-separated keys so no giant NULL/empty skew partition forms)
-    + one groupBy(id) to reassemble. Both are plain keyed shuffles;
-    nothing collects."""
+    ``scope="corpus"`` (default) dedups across the whole table;
+    ``scope="document"`` keeps only each document's own first
+    occurrence of a paragraph (Dolma's within-doc mode) and compiles
+    to PURE array expressions — a narrow map with ZERO shuffles that
+    runs inside the scan stage.
+
+    100 TB design (corpus scope): one keyed shuffle partitioned by the
+    paragraph fingerprint (a 64-bit xxhash — exempt paragraphs get
+    unique domain-separated keys so no giant NULL/empty skew partition
+    forms) + one groupBy(id) to reassemble. Both are plain keyed
+    shuffles; nothing collects."""
     td = ensure_tibble(td)
     tname, idn = _name_of(text), _name_of(id_col)
+    if scope not in ("corpus", "document"):
+        raise ValueError(
+            f"dedup_paragraphs: scope must be 'corpus' or 'document', "
+            f"got {scope!r}"
+        )
     if int(min_chars) < 0:
         raise ValueError(
             f"dedup_paragraphs: min_chars must be >= 0, got {min_chars}"
@@ -1053,6 +1065,51 @@ def dedup_paragraphs(
             f"dedup_paragraphs: count_col {count_col!r} already exists; "
             f"pass a different name or count_col=None"
         )
+    if scope == "document":
+        paras = F.split(F.coalesce(F.col(tname), F.lit("")), sep)
+        narr = (
+            F.transform(paras, lambda p: F.lower(F.trim(p)))
+            if normalize
+            else paras
+        )
+        keep_idx = F.filter(
+            F.sequence(F.lit(0), F.size(paras) - 1),
+            lambda i: (
+                F.length(F.trim(F.element_at(paras, i + 1)))
+                < F.lit(int(min_chars))
+            )
+            | (
+                F.array_position(
+                    F.slice(narr, F.lit(1), i),
+                    F.element_at(narr, i + 1),
+                )
+                == 0
+            ),
+        )
+        rebuilt_doc = F.array_join(
+            F.transform(keep_idx, lambda i: F.element_at(paras, i + 1)),
+            join_sep,
+        )
+        new_text = F.when(
+            F.col(tname).isNull(), F.lit(None).cast("string")
+        ).otherwise(rebuilt_doc)
+        out_df = td.df.withColumn("__newtext__", new_text)
+        if count_col:
+            out_df = out_df.withColumn(
+                count_col,
+                F.when(F.col(tname).isNull(), F.lit(0)).otherwise(
+                    F.size(paras) - F.size(keep_idx)
+                ).cast("int"),
+            )
+        out_df = out_df.withColumn(tname, F.col("__newtext__")).drop(
+            "__newtext__"
+        )
+        return Tibble(
+            out_df.select(
+                *td.columns, *( [count_col] if count_col else [] )
+            )
+        )
+
     others = [c for c in td.columns if c not in (tname, idn)]
     norm = (
         F.lower(F.trim(F.col("__para"))) if normalize

@@ -163,3 +163,74 @@ def test_randomized_differential_vs_python_reference(spark):
                 removed += 1
         want[i] = ("\n\n".join(kept), removed)
     assert got == want
+
+
+class TestDocumentScope:
+    """scope='document' (Dolma's within-doc mode): pure array
+    expressions, zero shuffles, no cross-document coupling."""
+
+    def test_within_doc_only(self, spark):
+        docs = [
+            (1, "same\n\nsame\n\nother"),
+            (2, "same\n\nunique two"),  # 'same' survives: other doc
+            (3, None),
+            (4, ""),
+        ]
+        t = ensure_tibble(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup_paragraphs(t, scope="document").df.collect()
+        }
+        assert out[1]["text"] == "same\n\nother"
+        assert out[1]["paras_removed"] == 1
+        assert out[2]["text"] == "same\n\nunique two"  # NOT removed
+        assert out[2]["paras_removed"] == 0
+        assert out[3]["text"] is None and out[3]["paras_removed"] == 0
+        assert out[4]["text"] == "" and out[4]["paras_removed"] == 0
+
+    def test_agrees_with_corpus_scope_on_one_doc(self, spark):
+        text = "a\n\nb\n\nA \n\nc\n\nb"
+        t = ensure_tibble(
+            spark.createDataFrame([(1, text)], "doc_id long, text string")
+        )
+        doc = dedup_paragraphs(t, scope="document").df.first()
+        cor = dedup_paragraphs(t, scope="corpus").df.first()
+        assert doc["text"] == cor["text"] == "a\n\nb\n\nc"
+        assert doc["paras_removed"] == cor["paras_removed"] == 2
+
+    def test_normalize_and_min_chars(self, spark):
+        t = ensure_tibble(
+            spark.createDataFrame(
+                [(1, "Hi\n\nhi\n\nHELLO WORLD\n\nhello world")],
+                "doc_id long, text string",
+            )
+        )
+        out = dedup_paragraphs(
+            t, scope="document", min_chars=5
+        ).df.first()
+        # 'Hi'/'hi' under min_chars: both exempt; the long dup collapses
+        assert out["text"] == "Hi\n\nhi\n\nHELLO WORLD"
+        byte = dedup_paragraphs(
+            t, scope="document", min_chars=5, normalize=False
+        ).df.first()
+        assert byte["paras_removed"] == 0  # case differs byte-wise
+
+    def test_zero_shuffle_plan(self, spark):
+        t = ensure_tibble(
+            spark.createDataFrame(
+                [(1, "a\n\nb")], "doc_id long, text string"
+            )
+        )
+        out = dedup_paragraphs(t, scope="document")
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # narrow: runs inside the scan
+        assert "Python" not in plan
+
+    def test_validation(self, spark):
+        t = ensure_tibble(
+            spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        )
+        with pytest.raises(ValueError, match="scope"):
+            dedup_paragraphs(t, scope="nope")

@@ -652,3 +652,64 @@ class TestExactTokenBudgets:
             chunk_documents(td4, max_tokens=8, token_counts="tc", tokens_per_word=1.3)
         with pt.raises(ValueError, match="not in the"):
             chunk_documents(td4, max_tokens=8, token_counts="nope")
+
+
+class TestExactChunkingProperties:
+    """Hypothesis property lock on the token_counts bin-packing: for
+    ANY cost profile and (budget, overlap) pair, coverage / budget /
+    min-overlap / strict-progress invariants hold and the chunks match
+    the reference greedy."""
+
+    @staticmethod
+    def _run(spark, counts, maxt, ov):
+        from datar_polars_spark.scale import chunk_documents
+        from datar_polars_spark.tibble import ensure_tibble
+
+        words = [f"w{i}" for i in range(len(counts))]
+        td = ensure_tibble(
+            spark.createDataFrame(
+                [(1, " ".join(words), counts)],
+                "doc_id long, text string, tc array<int>",
+            )
+        )
+        rows = sorted(
+            chunk_documents(
+                td, max_tokens=maxt, overlap=ov, token_counts="tc"
+            ).df.collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        return words, rows
+
+    def test_property_fuzz(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        oracle = TestExactTokenBudgets._oracle
+
+        @settings(
+            max_examples=25,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(
+            counts=st.lists(st.integers(0, 30), min_size=0, max_size=40),
+            maxt=st.integers(2, 25),
+            ov_frac=st.floats(0, 0.9),
+        )
+        def check(counts, maxt, ov_frac):
+            ov = int(ov_frac * (maxt - 1))
+            words, rows = self._run(spark, counts, maxt, ov)
+            want = oracle(counts, maxt, ov)
+            assert len(rows) == len(want)
+            covered = set()
+            prev_s = -1
+            for r, (s, l, nt) in zip(rows, want):
+                assert r["text"].split() == words[s : s + l]
+                assert r["chunk_tokens"] == nt
+                assert nt <= maxt or l == 1  # budget or lone word
+                assert s > prev_s  # strict progress
+                prev_s = s
+                covered |= set(range(s, s + l))
+            assert covered == set(range(len(counts)))  # full coverage
+
+        check()
