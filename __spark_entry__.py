@@ -1232,16 +1232,21 @@ def q37_ann_topk(spark, sf):
 
 def q38_minhash_dedup(spark, sf):
     """Covers: MinHash+LSH near-duplicate removal AND SimHash near-dup
-    consistency (merged r4 q38+q39 for the 50-row driver cap). The
-    'minhash' block: candidates from high-recall banding (32 bands x 2
-    rows: recall ~1-3e-15 for the corpus's j>=0.8 near-dup pairs),
-    verified with EXACT n-gram Jaccard — so survivors equal the DuckDB
-    brute-force all-pairs answer and are fully value-hash-checked. The
-    'simhash_check' row: the SimHash signature is hash-defined
-    (xxhash64) so no SQL oracle can recompute it; instead the query
-    PROVES the pigeonhole-blocked plan lossless by comparing its
-    survivors against a brute-force all-pairs hamming scan of the same
-    signatures, emitting (n_diff=0, n_docs) which the oracle pins."""
+    consistency (merged r4 q38+q39 for the 50-row driver cap) AND the
+    n-gram Jaccard pair miner itself (merged r11 q49 -> q38 to free a
+    gate slot). The 'minhash' block: candidates from high-recall
+    banding (32 bands x 2 rows: recall ~1-3e-15 for the corpus's
+    j>=0.8 near-dup pairs), verified with EXACT n-gram Jaccard — so
+    survivors equal the DuckDB brute-force all-pairs answer and are
+    fully value-hash-checked. The 'jpair' block: every mined pair at
+    j>=0.3 with its EXACT Jaccard value (doc_id=id_a, lang=id_b as
+    string, v=jaccard), hash-matched against a DuckDB brute-force
+    all-pairs scan. The 'simhash_check' row: the SimHash signature is
+    hash-defined (xxhash64) so no SQL oracle can recompute it; instead
+    the query PROVES the pigeonhole-blocked plan lossless by comparing
+    its survivors against a brute-force all-pairs hamming scan of the
+    same signatures, emitting (n_diff=0, n_docs) which the oracle
+    pins."""
     from datar_polars_spark.scale.dedup import (
         _fingerprint_survivors,
         ngram_jaccard_pairs,
@@ -1258,8 +1263,19 @@ def q38_minhash_dedup(spark, sf):
         >> anti_join(pairs >> select(f.id_b), by={"doc_id": "id_b"})
         >> select(f.doc_id, f.lang)
     )
+    nullv = F.lit(None).cast("double").alias("v")
     mh_block = _finish(surv).select(
-        F.lit("minhash").alias("op"), "doc_id", "lang"
+        F.lit("minhash").alias("op"), "doc_id", "lang", nullv
+    )
+
+    jp = ngram_jaccard_pairs(
+        d, f.text, f.doc_id, n=3, threshold=0.3, num_perm=64, bands=32
+    )
+    jp_block = jp.df.select(
+        F.lit("jpair").alias("op"),
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").cast("string").alias("lang"),
+        F.round("jaccard", 4).alias("v"),
     )
 
     surv_blocked = simhash_dedup(d, f.text, f.doc_id, max_hamming=3).df.select("doc_id")
@@ -1281,9 +1297,14 @@ def q38_minhash_dedup(spark, sf):
     )
     n_docs = d.df.count()
     sim_block = spark.createDataFrame(
-        [("simhash_check", n_diff, str(n_docs))], "op string, doc_id long, lang string"
+        [("simhash_check", n_diff, str(n_docs), None)],
+        "op string, doc_id long, lang string, v double",
     )
-    return mh_block.unionByName(sim_block).orderBy("op", "doc_id")
+    return (
+        mh_block.unionByName(sim_block)
+        .unionByName(jp_block)
+        .orderBy("op", "doc_id", "lang")
+    )
 
 
 def q41_fct_lump(spark, sf):
@@ -1596,64 +1617,19 @@ def q48_streaming(spark, sf):
     ).orderBy("op", "k")
 
 
-def q49_ngram_jaccard(spark, sf):
-    """Covers: n-gram Jaccard near-dup pair mining (exact set overlap on
-    word shingles, LSH-blocked). High-recall banding (32x2) makes the
-    candidate set complete for this corpus's j>=0.8 pairs, so the pairs
-    hash-match a DuckDB brute-force all-pairs oracle (r1: no oracle)."""
-    from datar_polars_spark.scale.dedup import ngram_jaccard_pairs
-
-    d = _t(spark, sf, "documents")
-    out = ngram_jaccard_pairs(
-        d, f.text, f.doc_id, n=3, threshold=0.3, num_perm=64, bands=32
-    )
-    return (
-        out.df.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-        .orderBy("id_a", "id_b")
-    )
-
-
-def q50_embedding_dedup(spark, sf):
-    """Covers: embedding-cosine near-duplicate removal (banded
-    hyperplane LSH + exact verify). The corpus has no organic pairs at
-    cosine>=0.95, so 50 near-duplicates are PLANTED (copy_i = v_i +
-    0.25*v_{i+1}, cosine ~0.96-0.99, ids 10000+i): survivors must be
-    exactly the original vec_ids, which the oracle states directly — a
-    missed pair leaves a planted id alive and fails the hash (this is
-    the recall>=~1 gate VERDICT asked for; r1: no oracle)."""
-    from datar_polars_spark.scale.dedup import embedding_dedup
-    from datar_polars_spark.tibble import Tibble
-
-    e = _t(spark, sf, "embeddings")
-    base = e.df.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-    )
-    nxt = base.select(
-        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("e2")
-    )
-    planted = (
-        base.filter(F.col("vec_id") < 50)
-        .join(nxt, "vec_id")
-        .select(
-            (F.col("vec_id") + 10000).alias("vec_id"),
-            F.zip_with("embedding", "e2", lambda x, y: x + 0.25 * y).alias("embedding"),
-        )
-    )
-    corpus = Tibble(base.unionByName(planted))
-    out = embedding_dedup(corpus, f.embedding, f.vec_id, threshold=0.95)
-    return out.df.select("vec_id").orderBy("vec_id")
-
-
 def q62_semantic_dedup(spark, sf):
-    """Covers: SemDeDup-style semantic dedup (NEW r3, scale/dedup.py
-    semantic_dedup — k-means cluster the embedding space, exact
-    within-cluster cosine prune). The corpus has no organic pairs at
-    cosine >= 0.95, so 50 near-duplicates are PLANTED
-    (copy_i = v_i + 0.05 * v_{i+1}, cosine ~0.9988, ids 20000+i):
-    survivors must be exactly the original vec_ids, which the oracle
-    states directly — a planted id surviving (missed pair: wrong
-    cluster assignment or a broken prune) fails the hash."""
-    from datar_polars_spark.scale.dedup import semantic_dedup
+    """Covers: SemDeDup-style semantic dedup AND hyperplane-LSH
+    embedding dedup (merged r11 q50 -> q62 to free a gate slot). The
+    corpus has no organic pairs at cosine >= 0.95, so each leg PLANTS
+    50 near-duplicates whose survivors must be exactly the original
+    vec_ids — the oracle states that directly; a planted id surviving
+    (missed pair) fails the hash. 'semantic' leg: semantic_dedup
+    (k-means cluster the embedding space, exact within-cluster cosine
+    prune; copies = v_i + 0.05*v_{i+1}, cosine ~0.9988, ids 20000+i).
+    'lshdedup' leg: embedding_dedup (banded hyperplane LSH + exact
+    verify; copies = v_i + 0.25*v_{i+1}, cosine ~0.96-0.99, ids
+    10000+i — the recall>=~1 gate VERDICT asked for)."""
+    from datar_polars_spark.scale.dedup import embedding_dedup, semantic_dedup
     from datar_polars_spark.tibble import Tibble
 
     e = _t(spark, sf, "embeddings")
@@ -1664,19 +1640,34 @@ def q62_semantic_dedup(spark, sf):
     nxt = base.select(
         (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("e2")
     )
-    planted = (
-        base.filter(F.col("vec_id") < 50)
-        .join(nxt, "vec_id")
-        .select(
-            (F.col("vec_id") + 20000).alias("vec_id"),
-            F.zip_with("embedding", "e2", lambda x, y: x + 0.05 * y).alias(
-                "embedding"
-            ),
+
+    def _planted(offset, w):
+        return (
+            base.filter(F.col("vec_id") < 50)
+            .join(nxt, "vec_id")
+            .select(
+                (F.col("vec_id") + offset).alias("vec_id"),
+                F.zip_with(
+                    "embedding", "e2", lambda x, y: x + w * y
+                ).alias("embedding"),
+            )
         )
+
+    sem = semantic_dedup(
+        Tibble(base.unionByName(_planted(20000, 0.05))),
+        f.embedding, f.vec_id, eps=0.05,
     )
-    corpus = Tibble(base.unionByName(planted))
-    out = semantic_dedup(corpus, f.embedding, f.vec_id, eps=0.05)
-    return out.df.select("vec_id").orderBy("vec_id")
+    lsh = embedding_dedup(
+        Tibble(base.unionByName(_planted(10000, 0.25))),
+        f.embedding, f.vec_id, threshold=0.95,
+    )
+    return (
+        sem.df.select(F.lit("semantic").alias("op"), "vec_id")
+        .unionByName(
+            lsh.df.select(F.lit("lshdedup").alias("op"), "vec_id")
+        )
+        .orderBy("op", "vec_id")
+    )
 
 
 def q65_rolling_windows(spark, sf):
@@ -2096,24 +2087,50 @@ def q68_semantic_decon(spark, sf):
             F.round("max_cosine", 4).alias("cos"),
         )
     )
+    # r11: the LSH mode against the same pair set — the benchmark
+    # vectors are exactly-scaled copies, so their hyperplane signs
+    # match their sources in EVERY band (positive scaling preserves
+    # sign), candidacy is guaranteed, and the exact-cosine verify
+    # makes lsh hits == broadcast hits == the brute-force oracle
+    lsh = embedding_join(emb, bench, threshold=0.9, mode="lsh")
+    lsh_rows = lsh.df.select(
+        F.lit("lsh").alias("op"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("cos", 4).alias("cos"),
+    )
     return (
         matches.unionByName(summary)
         .unionByName(report)
+        .unionByName(lsh_rows)
         .orderBy("op", "id_a")
     )
 
 
-def q69_paragraph_dedup(spark, sf):
-    """Covers: dedup_paragraphs (r10) — corpus-level keep-first
-    paragraph dedup, the Dolma/FineWeb boilerplate-removal step. The
-    synthetic docs carry no paragraph structure, so the query
-    synthesizes it deterministically: head slice + a SHARED boilerplate
-    paragraph + tail slice per doc. Keep-first then leaves the
-    boilerplate only in the lowest doc_id (plus any naturally repeated
-    head/tail slices, which the oracle recomputes identically). The
-    per-lang rollup pins doc counts, total removals, and the rebuilt
-    text's exact char mass (reassembly order + separators)."""
-    from datar_polars_spark.scale import dedup_paragraphs
+def q69_curation(spark, sf):
+    """Covers: dedup_paragraphs AND url_normalize /
+    url_registrable_domain (merged r11 q69+q70 to fit the 50-query
+    driver cap). 'para' leg — corpus-level keep-first paragraph dedup,
+    the Dolma/FineWeb boilerplate-removal step: the synthetic docs
+    carry no paragraph structure, so the query synthesizes it
+    deterministically (head slice + a SHARED boilerplate paragraph +
+    tail slice per doc); keep-first then leaves the boilerplate only
+    in the lowest doc_id (plus any naturally repeated head/tail
+    slices, which the oracle recomputes identically); the per-lang
+    rollup pins doc counts, total removals, and the rebuilt text's
+    exact char mass (reassembly order + separators). 'url' leg — the
+    FineWeb-style crawl canonicalization step: URLs are synthesized
+    deterministically from doc_id in three shapes (mixed-case host +
+    default port + trailing slash + utm + fragment; non-default port +
+    gclid + unsorted params; bare), so the oracle constructs the
+    EXPECTED canonical strings directly and every normalized byte is
+    pinned via min() + distinct counts per registrable domain
+    (including the co.uk PSL rule)."""
+    from datar_polars_spark.scale import (
+        dedup_paragraphs,
+        url_normalize,
+        url_registrable_domain,
+    )
     from datar_polars_spark.tibble import ensure_tibble
 
     d = _t(spark, sf, "documents")
@@ -2128,30 +2145,22 @@ def q69_paragraph_dedup(spark, sf):
             ).alias("text"),
         )
     )
-    out = dedup_paragraphs(base)
-    return (
-        out.df.groupBy("lang")
+    para = (
+        dedup_paragraphs(base)
+        .df.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("paras_removed").cast("bigint").alias("removed"),
+            F.count(F.lit(1)).alias("n1"),
+            F.sum("paras_removed").cast("bigint").alias("n2"),
             F.sum(F.length("text")).cast("bigint").alias("chars"),
         )
-        .orderBy("lang")
+        .select(
+            F.lit("para").alias("op"),
+            F.col("lang").alias("k"),
+            "n1", "n2",
+            F.col("chars").cast("string").alias("s"),
+        )
     )
 
-
-def q70_url_canonical(spark, sf):
-    """Covers: url_normalize / url_registrable_domain (r10) — the
-    FineWeb-style crawl canonicalization step. URLs are synthesized
-    deterministically from doc_id in three shapes (mixed-case host +
-    default port + trailing slash + utm + fragment; non-default port +
-    gclid + unsorted params; bare), so the oracle can construct the
-    EXPECTED canonical strings directly and every normalized byte is
-    pinned via min() + distinct counts per registrable domain
-    (including the co.uk two-label-suffix rule)."""
-    from datar_polars_spark.scale import url_normalize, url_registrable_domain
-
-    d = _t(spark, sf, "documents").df.select("doc_id")
     k = (F.col("doc_id") % 7).cast("string")
     i = F.col("doc_id").cast("string")
     url = (
@@ -2171,20 +2180,25 @@ def q70_url_canonical(spark, sf):
         )
         .otherwise(F.concat(F.lit("https://site"), k, F.lit(".com/p"), i))
     )
-    base = d.withColumn("url", url)
-    out = base.select(
-        url_registrable_domain(F.col("url")).alias("domain"),
-        url_normalize(F.col("url")).alias("norm"),
-    )
-    return (
-        out.groupBy("domain")
-        .agg(
-            F.count(F.lit(1)).alias("n_urls"),
-            F.countDistinct("norm").alias("n_norm"),
-            F.min("norm").alias("sample_norm"),
+    urls = (
+        d.df.select("doc_id")
+        .withColumn("url", url)
+        .select(
+            url_registrable_domain(F.col("url")).alias("domain"),
+            url_normalize(F.col("url")).alias("norm"),
         )
-        .orderBy("domain")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.countDistinct("norm").alias("n2"),
+            F.min("norm").alias("s"),
+        )
+        .select(
+            F.lit("url").alias("op"), F.col("domain").alias("k"),
+            "n1", "n2", "s",
+        )
     )
+    return para.unionByName(urls).orderBy("op", "k")
 
 
 # ---------------------------------------------------------------------------
@@ -2235,8 +2249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_fct_collapse": q46_fct_collapse,
         "q47_row_stats": q47_row_stats,
         "q48_streaming": q48_streaming,
-        "q49_ngram_jaccard": q49_ngram_jaccard,
-        "q50_embedding_dedup": q50_embedding_dedup,
         "q51_sessionize": q51_sessionize,
         "q53_nest_join": q53_nest_join,
         "q60_col_random": q60_col_random,
@@ -2247,8 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_trailing_time_window": q66_trailing_time_window,
         "q67_relevance": q67_relevance,
         "q68_semantic_decon": q68_semantic_decon,
-        "q69_paragraph_dedup": q69_paragraph_dedup,
-        "q70_url_canonical": q70_url_canonical,
+        "q69_curation": q69_curation,
     }
 
 
@@ -2789,19 +2800,26 @@ def oracle_sql() -> dict[str, str]:
                        list_distinct([array_to_string(toks[i+1:i+3], ' ')
                                       FOR i IN range(0, greatest(len(toks)-3, 0)+1)]) AS grams
                 FROM t
-            ), dup AS (
-                SELECT DISTINCT b.doc_id
+            ), jp AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.grams, b.grams)) * 1.0
+                       / len(list_distinct(a.grams || b.grams)) AS j
                 FROM g a JOIN g b ON a.doc_id < b.doc_id
-                WHERE len(list_intersect(a.grams, b.grams)) * 1.0
-                      / len(list_distinct(a.grams || b.grams)) >= 0.5
+            ), dup AS (
+                SELECT DISTINCT id_b AS doc_id FROM jp WHERE j >= 0.5
             )
-            SELECT op, doc_id, lang FROM (
-                SELECT 'minhash' AS op, doc_id, lang FROM documents
+            SELECT op, doc_id, lang, v FROM (
+                SELECT 'minhash' AS op, doc_id, lang,
+                       CAST(NULL AS DOUBLE) AS v FROM documents
                 WHERE doc_id NOT IN (SELECT doc_id FROM dup)
                 UNION ALL
                 SELECT 'simhash_check', 0,
-                       CAST((SELECT COUNT(*) FROM documents) AS VARCHAR)
-            ) ORDER BY op, doc_id
+                       CAST((SELECT COUNT(*) FROM documents) AS VARCHAR),
+                       CAST(NULL AS DOUBLE)
+                UNION ALL
+                SELECT 'jpair', id_a, CAST(id_b AS VARCHAR), ROUND(j, 4)
+                FROM jp WHERE j >= 0.3
+            ) ORDER BY op, doc_id, lang
         """,
         "q41_fct_lump": """
             WITH cnt AS (
@@ -2976,27 +2994,6 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
             ) ORDER BY op, k
         """,
-        "q49_ngram_jaccard": """
-            WITH t AS (
-                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-                FROM documents
-            ), g AS (
-                SELECT doc_id,
-                       list_distinct([array_to_string(toks[i+1:i+3], ' ')
-                                      FOR i IN range(0, greatest(len(toks)-3, 0)+1)]) AS grams
-                FROM t
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   ROUND(len(list_intersect(a.grams, b.grams)) * 1.0
-                         / len(list_distinct(a.grams || b.grams)), 4) AS jaccard
-            FROM g a JOIN g b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.grams, b.grams)) * 1.0
-                  / len(list_distinct(a.grams || b.grams)) >= 0.3
-            ORDER BY id_a, id_b
-        """,
-        "q50_embedding_dedup": """
-            SELECT vec_id FROM embeddings ORDER BY vec_id
-        """,
         "q51_sessionize": """
             WITH gaps AS (
                 SELECT user_id,
@@ -3068,10 +3065,14 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
             ORDER BY user_id, ts
         """,
-        # planted-duplicate construction: survivors are exactly the
-        # original corpus (see q62 docstring)
+        # planted-duplicate construction: each leg's survivors are
+        # exactly the original corpus (see q62 docstring)
         "q62_semantic_dedup": """
-            SELECT vec_id FROM embeddings ORDER BY vec_id
+            SELECT op, vec_id FROM (
+                SELECT 'semantic' AS op, vec_id FROM embeddings
+                UNION ALL
+                SELECT 'lshdedup', vec_id FROM embeddings
+            ) ORDER BY op, vec_id
         """,
         "q67_relevance": r"""
             WITH terms AS (
@@ -3270,14 +3271,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'report', CAST(id_a AS BIGINT),
                    CAST(COUNT(*) AS BIGINT), ROUND(MAX(cos), 4)
             FROM hits GROUP BY id_a
+            UNION ALL
+            -- r11 LSH-mode rows: scaled-copy benchmark guarantees
+            -- candidacy in every band; exact verify makes the LSH
+            -- hit set identical to the brute-force one
+            SELECT 'lsh', CAST(id_a AS BIGINT),
+                   CAST(id_b AS BIGINT), ROUND(cos, 4)
+            FROM hits
             ORDER BY op, id_a
         """,
-        "q69_paragraph_dedup": r"""
-            -- r10 dedup_paragraphs: synthesize paragraph structure
-            -- (head + shared boilerplate + tail), keep-first by
-            -- (doc_id, pos) over normalized paragraphs (empty ones
+        "q69_curation": r"""
+            -- 'para' leg (r10 dedup_paragraphs): synthesize paragraph
+            -- structure (head + shared boilerplate + tail), keep-first
+            -- by (doc_id, pos) over normalized paragraphs (empty ones
             -- exempt), reassemble with blank-line separators, roll up
-            -- per lang
+            -- per lang. 'url' leg (r10 url_normalize /
+            -- url_registrable_domain): the synthesized URL shapes are
+            -- known, so the EXPECTED canonical strings construct
+            -- directly and every byte is pinned via min() + distinct
+            -- counts per registrable domain.
             WITH base AS (
                 SELECT doc_id, lang,
                        substr(text, 1, 100) || chr(10) || chr(10) ||
@@ -3312,20 +3324,7 @@ def oracle_sql() -> dict[str, str]:
                            chr(10) || chr(10) ORDER BY pos), '') AS text,
                        SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS removed
                 FROM kept GROUP BY doc_id
-            )
-            SELECT lang, COUNT(*) AS n_docs,
-                   CAST(SUM(removed) AS BIGINT) AS removed,
-                   CAST(SUM(len(text)) AS BIGINT) AS chars
-            FROM rebuilt GROUP BY lang ORDER BY lang
-        """,
-        "q70_url_canonical": """
-            -- r10 URL canonicalization: the synthesized URL shapes are
-            -- known, so the EXPECTED canonical strings construct
-            -- directly (lower-cased host, default port and trailing
-            -- slash and fragment stripped, tracking params dropped,
-            -- params sorted) and pin every byte via min() + distinct
-            -- counts per registrable domain
-            WITH u AS (
+            ), u AS (
                 SELECT doc_id,
                     CASE
                         WHEN doc_id % 3 = 0 THEN
@@ -3345,9 +3344,16 @@ def oracle_sql() -> dict[str, str]:
                     END AS domain
                 FROM documents
             )
-            SELECT domain, COUNT(*) AS n_urls,
-                   CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_norm,
-                   MIN(norm) AS sample_norm
-            FROM u GROUP BY domain ORDER BY domain
+            SELECT op, k, n1, n2, s FROM (
+                SELECT 'para' AS op, lang AS k,
+                       COUNT(*) AS n1,
+                       CAST(SUM(removed) AS BIGINT) AS n2,
+                       CAST(CAST(SUM(len(text)) AS BIGINT) AS VARCHAR) AS s
+                FROM rebuilt GROUP BY lang
+                UNION ALL
+                SELECT 'url', domain, COUNT(*),
+                       CAST(COUNT(DISTINCT norm) AS BIGINT), MIN(norm)
+                FROM u GROUP BY domain
+            ) ORDER BY op, k
         """,
     }
