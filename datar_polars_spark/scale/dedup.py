@@ -1037,11 +1037,14 @@ def dedup_paragraphs(
     to PURE array expressions — a narrow map with ZERO shuffles that
     runs inside the scan stage.
 
-    100 TB design (corpus scope): one keyed shuffle partitioned by the
-    paragraph fingerprint (a 64-bit xxhash — exempt paragraphs get
+    100 TB design (corpus scope): the exploded frame carries ONLY
+    ``(id, position, paragraph)`` — one keyed shuffle partitioned by
+    the paragraph fingerprint (a 64-bit xxhash — exempt paragraphs get
     unique domain-separated keys so no giant NULL/empty skew partition
-    forms) + one groupBy(id) to reassemble. Both are plain keyed
-    shuffles; nothing collects."""
+    forms), one narrow groupBy(id) to reassemble, then a join back to
+    the original table by id. The document text and payload columns
+    ride a single exchange exactly once (the join), never the
+    P-rows-per-doc exploded frame; nothing collects."""
     td = ensure_tibble(td)
     tname, idn = _name_of(text), _name_of(id_col)
     if scope not in ("corpus", "document"):
@@ -1053,7 +1056,7 @@ def dedup_paragraphs(
         raise ValueError(
             f"dedup_paragraphs: min_chars must be >= 0, got {min_chars}"
         )
-    scratch = {"__pos", "__para", "__key", "__rn", "__keep"}
+    scratch = {"__pos", "__para", "__key", "__rn", "__keep", "__rebuilt"}
     clash = sorted(scratch & set(td.columns))
     if clash:
         raise ValueError(
@@ -1110,7 +1113,12 @@ def dedup_paragraphs(
             )
         )
 
-    others = [c for c in td.columns if c not in (tname, idn)]
+    # r11: ONLY (id, __pos, __para) enter the two keyed shuffles — the
+    # original text and payload columns never ride the exploded frame
+    # (which is P rows per doc). The rebuilt text joins back to the
+    # original table by id, so shuffle volume is the paragraph bytes
+    # once + the original row once, instead of P copies of the full
+    # document text AND payload through both exchanges.
     norm = (
         F.lower(F.trim(F.col("__para"))) if normalize
         else F.col("__para")
@@ -1120,7 +1128,7 @@ def dedup_paragraphs(
         exempt, F.xxhash64(F.lit("x"), F.col(idn), F.col("__pos"))
     ).otherwise(F.xxhash64(F.lit("p"), norm))
     paras = td.df.select(
-        *td.columns,
+        F.col(idn),
         F.posexplode(
             F.split(F.coalesce(F.col(tname), F.lit("")), sep)
         ).alias("__pos", "__para"),
@@ -1145,22 +1153,26 @@ def dedup_paragraphs(
         ),
         join_sep,
     )
-    agg_cols = [F.first(c).alias(c) for c in others]
-    agg_cols.append(
-        F.when(
-            F.isnull(F.first(F.col(tname))), F.lit(None).cast("string")
-        ).otherwise(rebuilt).alias(tname)
-    )
+    agg_cols = [rebuilt.alias("__rebuilt")]
     if count_col:
         agg_cols.append(
             F.sum((~F.col("__keep")).cast("int"))
             .cast("int")
             .alias(count_col)
         )
-    out = kept.groupBy(idn).agg(*agg_cols)
-    final_cols = [
-        c if c != tname else tname for c in td.columns
-    ] + ([count_col] if count_col else [])
+    narrow = kept.groupBy(idn).agg(*agg_cols)
+    out = td.df.join(narrow, on=idn, how="left").withColumn(
+        tname,
+        F.when(
+            F.col(tname).isNull(), F.lit(None).cast("string")
+        ).otherwise(F.coalesce(F.col("__rebuilt"), F.lit(""))),
+    )
+    if count_col:
+        out = out.withColumn(
+            count_col,
+            F.coalesce(F.col(count_col), F.lit(0)).cast("int"),
+        )
+    final_cols = list(td.columns) + ([count_col] if count_col else [])
     return Tibble(out.select(*final_cols))
 
 

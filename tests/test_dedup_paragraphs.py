@@ -121,7 +121,50 @@ def test_validation_and_plan(spark, td):
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan  # pure JVM
-    assert plan.count("Exchange") <= 3  # fingerprint window + groupBy
+    assert plan.count("Exchange") <= 4  # window + groupBy + join-back
+
+
+def _exchange_outputs(df):
+    """Output column names of every Exchange in the (pre-AQE) physical
+    plan — the columns that actually ride each shuffle."""
+    p = df._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in p.getClass().getSimpleName():
+        p = p.initialPlan()
+    found = []
+
+    def walk(n):
+        if "Exchange" in n.getClass().getSimpleName():
+            out = n.output()
+            found.append([out.apply(i).name() for i in range(out.size())])
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(p)
+    return found
+
+
+def test_corpus_scope_shuffles_are_narrow(spark, td):
+    """The r10 plan shipped the FULL document text + payload on every
+    exploded paragraph row through both wide exchanges (~Px byte
+    amplification). Lock the r11 fix: any exchange carrying the
+    exploded paragraph frame holds ONLY (id, pos, para, key[, keep]) —
+    the text and payload columns ride at most the single join-back
+    exchange."""
+    out = dedup_paragraphs(td)
+    exchanges = _exchange_outputs(out.df)
+    assert exchanges, "expected a physical plan with exchanges"
+    narrow_ok = {"doc_id", "__pos", "__para", "__key", "__keep"}
+    exploded = [
+        cols for cols in exchanges
+        if any(c.startswith("__p") or c == "__key" for c in cols)
+    ]
+    assert exploded, "expected the exploded paragraph frame to shuffle"
+    for cols in exploded:
+        assert set(cols) <= narrow_ok, f"wide exploded shuffle: {cols}"
+    # text/payload may ride only the join-back exchange (once)
+    wide = [cols for cols in exchanges if "text" in cols or "lang" in cols]
+    assert len(wide) <= 1, f"payload rides {len(wide)} exchanges: {wide}"
 
 
 def test_randomized_differential_vs_python_reference(spark):
