@@ -49,6 +49,9 @@ from .tokenizer import (  # noqa: F401
     bpe_read,
 )
 from .urls import (  # noqa: F401
+    PSLRules,
+    load_psl,
+    parse_psl,
     url_host,
     url_normalize,
     url_registrable_domain,

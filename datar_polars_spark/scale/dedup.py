@@ -1200,14 +1200,22 @@ def contamination_report_semantic(
     hits = embedding_join(
         td, benchmark, embedding, id_col, threshold=threshold, **join_kwargs
     )
+    # the hit ids live under a scratch name so a user id column
+    # literally called 'id_a' (embedding_join's fixed output name)
+    # can neither make the join condition ambiguous nor be dropped
     per_doc = hits.df.groupBy("id_a").agg(
         F.count(F.lit(1)).alias("contaminated_matches"),
         F.max("cos").alias("max_cosine"),
-    )
+    ).withColumnRenamed("id_a", "__hit_id__")
+    if "__hit_id__" in td.columns:
+        raise ValueError(
+            "contamination_report_semantic: column '__hit_id__' is "
+            "reserved scratch; rename it first"
+        )
     out = (
         td.df.select(F.col(idn))
-        .join(per_doc, F.col(idn) == F.col("id_a"), "left")
-        .drop("id_a")
+        .join(per_doc, F.col(idn) == F.col("__hit_id__"), "left")
+        .drop("__hit_id__")
         .withColumn(
             "contaminated_matches",
             F.coalesce(F.col("contaminated_matches"), F.lit(0)),

@@ -9,9 +9,12 @@ while naming the same resource.
 
 Everything here is a Column expression built from ``try_parse_url`` +
 array HOFs: no UDF, no shuffle, runs inside the scan stage at any
-scale. ``url_registrable_domain`` approximates the public suffix list
-(not shipped in this container) with the common two-label suffixes —
-documented approximation, exact for the major ccTLD patterns.
+scale. ``url_registrable_domain`` implements the public-suffix-list
+algorithm (https://publicsuffix.org/list/ — longest match, wildcard
+and exception rules) over a vendored snapshot (``psl_data.py``; a
+curated subset since the container is offline — load the full
+upstream ``public_suffix_list.dat`` with ``load_psl`` and pass it as
+``rules=`` for production).
 """
 
 from __future__ import annotations
@@ -19,34 +22,27 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .psl_data import PSLRules, load_psl, parse_psl, psl_rules
+
 __all__ = [
     "url_host",
     "url_registrable_domain",
     "url_normalize",
     "TRACKING_PARAMS",
+    "PSLRules",
+    "parse_psl",
+    "load_psl",
 ]
 
 # query parameters that never change the resource: analytics/session
-# tracking (the FineWeb/common-crawl canonicalization drop set)
+# tracking (the FineWeb/common-crawl canonicalization drop set).
+# Bare 'ref' is deliberately NOT here: on many sites it is
+# resource-determining (GitHub's ?ref=<branch>); pass a custom
+# drop_params including 'ref' if your crawl treats it as tracking.
 TRACKING_PARAMS = (
     r"utm_[^=&]*", "fbclid", "gclid", "gclsrc", "dclid", "msclkid",
-    "mc_cid", "mc_eid", "igshid", "ref", "ref_src", "ref_url",
+    "mc_cid", "mc_eid", "igshid", "ref_src", "ref_url",
     "_ga", "_gl", "yclid", "wbraid", "gbraid",
-)
-
-# common two-label public suffixes (co.uk style); a host ending in one
-# keeps THREE labels as its registrable domain
-_TWO_LABEL_SUFFIXES = (
-    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br", "gov.br",
-    "co.in", "net.in", "org.in", "gov.in", "ac.in",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "co.kr", "or.kr", "go.kr", "ac.kr",
-    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
-    "co.za", "co.nz", "co.th", "co.id", "com.my", "com.ph",
-    "com.vn", "com.eg", "com.sa", "com.co", "com.pe", "com.ve",
 )
 
 
@@ -56,24 +52,76 @@ def url_host(url: Column) -> Column:
     return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
-def url_registrable_domain(url: Column) -> Column:
+def url_registrable_domain(
+    url: Column, rules: PSLRules | None = None
+) -> Column:
     """The registrable ('pay-level') domain of a URL's host —
     ``news.bbc.co.uk -> bbc.co.uk``, ``a.b.example.com ->
-    example.com``. Approximates the public suffix list with the common
-    two-label suffixes; unknown multi-label suffixes fall back to the
-    last two labels. The per-domain grouping key for crawl caps and
-    domain statistics."""
+    example.com``, ``user.github.io -> user.github.io`` — the
+    per-domain grouping key for crawl caps and domain statistics.
+
+    Implements the public-suffix-list matching algorithm
+    (https://publicsuffix.org/list/): the LONGEST matching rule wins,
+    ``!`` exception rules beat ``*.`` wildcard rules, and a host
+    matching no rule falls back to the implicit ``*`` rule (last two
+    labels). ``rules`` defaults to the vendored snapshot
+    (``psl_data.PSL_SNAPSHOT`` — a curated subset; load the full
+    upstream file via :func:`load_psl` for production). A host that IS
+    a public suffix, a single label (``localhost``), an IPv4 literal,
+    or a bracketed IPv6 literal is returned unchanged — IP-hosted
+    pages must not merge under a meaningless pseudo-domain.
+
+    Compiles to a pure-JVM when-chain over hash-set ``isin`` lookups:
+    no UDF, no shuffle, no per-row regex beyond the IP guard."""
+    if rules is None:
+        rules = psl_rules()
     host = url_host(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
-    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
-    is_two_label_suffix = last2.isin(*_TWO_LABEL_SUFFIXES)
-    return (
-        F.when(n <= 2, host)
-        .when((n >= 3) & is_two_label_suffix, last3)
-        .otherwise(last2)
+
+    def last(k: int) -> Column:
+        # clamped start: only evaluated under an n >= k guard, but the
+        # clamp keeps slice() total for rows in other branches
+        return F.array_join(
+            F.slice(labels, F.greatest(n - (k - 1), F.lit(1)), k), "."
+        )
+
+    is_ip = host.rlike(r"^(\d{1,3}\.){3}\d{1,3}$") | host.contains(":")
+    expr = F.when(host.isNull(), F.lit(None).cast("string"))
+    expr = expr.when(is_ip | (n <= 1), host)
+
+    by_len = lambda names: sorted(
+        {name.count(".") + 1 for name in names}, reverse=True
     )
+    # 1. exception rules: the rule name itself IS the registrable
+    #    domain of every host at or under it
+    for k in by_len(rules.exception):
+        ek = sorted(e for e in rules.exception if e.count(".") + 1 == k)
+        if ek:
+            expr = expr.when((n >= k) & last(k).isin(*ek), last(k))
+    # 2. wildcard + exact rules, longest public suffix first. A host
+    #    equal to its own public suffix has no registrable domain;
+    #    return it unchanged (documented, keeps cap keys total).
+    wlens = [w.count(".") + 2 for w in rules.wildcard]  # suffix len
+    xlens = [x.count(".") + 1 for x in rules.exact]
+    for s in sorted(set(wlens + xlens), reverse=True):
+        conds = []
+        wp = sorted(
+            w for w in rules.wildcard if w.count(".") + 2 == s
+        )
+        if wp:
+            conds.append((n >= s) & last(s - 1).isin(*wp))
+        xs = sorted(x for x in rules.exact if x.count(".") + 1 == s)
+        if xs:
+            conds.append((n >= s) & last(s).isin(*xs))
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        expr = expr.when(
+            cond, F.when(n >= s + 1, last(s + 1)).otherwise(host)
+        )
+    # 3. implicit '*' default: public suffix = last label
+    return expr.otherwise(F.when(n >= 2, last(2)).otherwise(host))
 
 
 def url_normalize(

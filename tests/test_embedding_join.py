@@ -256,3 +256,22 @@ def test_contamination_report_semantic(spark, emb, bench):
             assert r["max_cosine"] is None
         else:
             assert r["max_cosine"] >= 0.99
+
+
+def test_contamination_report_with_id_a_named_column(spark, emb, bench):
+    """ADVICE r10: a user id column literally named 'id_a'
+    (embedding_join's fixed output name) must neither make the
+    join-back ambiguous nor get dropped from the report."""
+    from datar_polars_spark.scale import contamination_report_semantic
+
+    renamed = ensure_tibble(emb.df.withColumnRenamed("vec_id", "id_a"))
+    bench_renamed = ensure_tibble(
+        bench.df.withColumnRenamed("vec_id", "id_a")
+    )
+    rep = contamination_report_semantic(
+        renamed, bench_renamed, id_col="id_a", threshold=0.99
+    )
+    assert set(rep.columns) == {"id_a", "contaminated_matches", "max_cosine"}
+    rows = {r["id_a"]: r["contaminated_matches"] for r in rep.df.collect()}
+    assert len(rows) == emb.df.count()
+    assert all(rows[i] >= 1 for i in range(10))  # planted leaks counted

@@ -57,6 +57,16 @@ def test_param_order_canonicalizes_recrawls(spark):
     assert a2 != b2
 
 
+def _domains(spark, cases, **kw):
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    return [
+        r["d"]
+        for r in df.select(
+            url_registrable_domain(F.col("url"), **kw).alias("d")
+        ).collect()
+    ]
+
+
 def test_registrable_domain(spark):
     cases = {
         "https://news.bbc.co.uk/a": "bbc.co.uk",
@@ -65,14 +75,134 @@ def test_registrable_domain(spark):
         "https://localhost/x": "localhost",
         "https://shop.store.com.au/y": "store.com.au",
     }
-    df = spark.createDataFrame([(u,) for u in cases], "url string")
-    got = [
-        r["d"]
-        for r in df.select(
-            url_registrable_domain(F.col("url")).alias("d")
-        ).collect()
-    ]
+    assert _domains(spark, list(cases)) == list(cases.values())
+
+
+def test_registrable_domain_psl_fixture(spark):
+    """~50 known PSL cases across rule classes: exact 2/3/4-label
+    suffixes (ICANN + private), wildcard rules, exception rules, the
+    implicit '*' default, and hosts that ARE a public suffix."""
+    cases = {
+        # exact 2-label ICANN suffixes
+        "https://news.bbc.co.uk/a": "bbc.co.uk",
+        "https://a.b.canon.co.jp/": "canon.co.jp",
+        "http://x.gov.uk.example.org/": "example.org",  # not a suffix mid-host
+        "https://shop.big.com.br/": "big.com.br",
+        "https://e.corp.com.cn/": "corp.com.cn",
+        "https://e.samsung.co.kr/": "samsung.co.kr",
+        "https://w.x.firm.co.in/": "firm.co.in",
+        "https://uni.ac.za/": "uni.ac.za",
+        "https://a.gouv.fr/": "a.gouv.fr",
+        "https://sub.site.waw.pl/": "site.waw.pl",
+        "https://a.b.kiev.ua/": "b.kiev.ua",
+        "https://x.metro.tokyo.jp/": "metro.tokyo.jp",
+        # exact 3-label ICANN (US locality space)
+        "https://school.k12.ma.us/": "school.k12.ma.us",
+        "https://a.school.k12.ca.us/": "school.k12.ca.us",
+        "https://city.ca.us/": "city.ca.us",
+        # private section: hosting platforms are suffixes
+        "https://user.github.io/repo": "user.github.io",
+        "https://raw.githubusercontent.com/": "raw.githubusercontent.com",
+        "https://me.blogspot.com/post": "me.blogspot.com",
+        "https://me.blogspot.co.uk/": "me.blogspot.co.uk",
+        "https://me.blogspot.com.au/": "me.blogspot.com.au",
+        "https://site.wordpress.com/": "site.wordpress.com",
+        "https://d123.cloudfront.net/x": "d123.cloudfront.net",
+        "https://app.herokuapp.com/": "app.herokuapp.com",
+        "https://site.netlify.app/": "site.netlify.app",
+        "https://app.vercel.app/": "app.vercel.app",
+        "https://p.pages.dev/": "p.pages.dev",
+        "https://fn.workers.dev/": "fn.workers.dev",
+        "https://docs.readthedocs.io/": "docs.readthedocs.io",
+        "https://site.azurewebsites.net/": "site.azurewebsites.net",
+        "https://proj.appspot.com/": "proj.appspot.com",
+        # private 3/4-label exact (S3 buckets are per-bucket domains)
+        "https://bucket.s3.amazonaws.com/key": "bucket.s3.amazonaws.com",
+        "https://b.s3.us-west-2.amazonaws.com/": "b.s3.us-west-2.amazonaws.com",
+        # wildcard rules: *.bd, *.ck, *.compute.amazonaws.com
+        "http://site.com.bd/": "site.com.bd",
+        "http://a.site.com.bd/": "site.com.bd",
+        "http://biz.other.ck/": "biz.other.ck",
+        "https://ec2-1-2-3-4.us-east.compute.amazonaws.com/":
+            "ec2-1-2-3-4.us-east.compute.amazonaws.com",
+        "https://lb.us-east-1.elb.amazonaws.com/":
+            "lb.us-east-1.elb.amazonaws.com",
+        # exception rules beat wildcards
+        "http://www.ck/": "www.ck",
+        "http://sub.www.ck/": "www.ck",
+        "https://a.city.kawasaki.jp/": "city.kawasaki.jp",
+        "https://ward.sub.kawasaki.jp/": "ward.sub.kawasaki.jp",
+        # implicit '*' default (unknown TLD / plain gTLD)
+        "https://a.b.example.com/": "example.com",
+        "https://deep.a.b.c.example.net/": "example.net",
+        "https://example.dev/": "example.dev",
+        "https://x.y.example.unknowntld/": "example.unknowntld",
+        # host IS a public suffix / single label: unchanged
+        "https://github.io/": "github.io",
+        "https://co.uk/": "co.uk",
+        "https://s3.amazonaws.com/": "s3.amazonaws.com",
+        "https://localhost/": "localhost",
+    }
+    got = _domains(spark, list(cases))
+    mism = {
+        u: (g, w)
+        for u, g, w in zip(cases, got, cases.values())
+        if g != w
+    }
+    assert not mism, mism
+
+
+def test_registrable_domain_ip_literals(spark):
+    """IP-hosted pages must not merge under a meaningless
+    pseudo-domain (ADVICE r10): IPv4 and bracketed IPv6 hosts come
+    back unchanged."""
+    cases = {
+        "http://192.168.0.1/x": "192.168.0.1",
+        "http://10.0.0.2:8080/": "10.0.0.2",
+        "https://[2001:db8::1]/p": "[2001:db8::1]",
+    }
+    got = _domains(spark, list(cases))
     assert got == list(cases.values())
+
+
+def test_registrable_domain_custom_rules(spark):
+    """parse_psl + rules=: a full upstream public_suffix_list.dat is a
+    drop-in (same format: comments, wildcards, exceptions)."""
+    from datar_polars_spark.scale import parse_psl
+
+    rules = parse_psl(
+        """
+        // test list
+        internal
+        *.dyn.internal
+        !static.dyn.internal
+        """
+    )
+    cases = {
+        "https://a.team.internal/": "team.internal",
+        "https://x.a.dyn.internal/": "x.a.dyn.internal",
+        "https://x.static.dyn.internal/": "static.dyn.internal",
+        "https://a.b.example.com/": "example.com",  # implicit default
+    }
+    got = _domains(spark, list(cases), rules=rules)
+    assert got == list(cases.values())
+
+
+def test_ref_param_is_preserved(spark):
+    """ADVICE r10: bare ?ref= is resource-determining on many sites
+    (GitHub branches) — the default drop set keeps it, while ref_src /
+    ref_url (tracking) still drop."""
+    got = _norm(
+        spark,
+        [
+            "https://github.com/o/r/tree/main?ref=feature-branch",
+            "https://a.com/p?ref_src=twsrc&keep=1&ref_url=x",
+        ],
+    )
+    assert got == [
+        "https://github.com/o/r/tree/main?ref=feature-branch",
+        "https://a.com/p?keep=1",
+    ]
 
 
 def test_url_dedup_composition(spark):
