@@ -44,6 +44,8 @@ from .similarity import (  # noqa: F401
 from .tokenizer import (  # noqa: F401
     bpe_train,
     bpe_encode,
+    bpe_encode_ids,
+    bpe_decode_ids,
     bpe_token_counts,
     bpe_write,
     bpe_read,

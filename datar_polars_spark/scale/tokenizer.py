@@ -34,8 +34,8 @@ from pyspark.sql import functions as F
 from ..tibble import Tibble, ensure_tibble
 
 __all__ = [
-    "bpe_train", "bpe_encode", "bpe_token_counts", "bpe_apply_word",
-    "bpe_write", "bpe_read",
+    "bpe_train", "bpe_encode", "bpe_encode_ids", "bpe_token_counts",
+    "bpe_apply_word", "bpe_decode_ids", "bpe_write", "bpe_read",
 ]
 
 _EOW = ""  # end-of-word sentinel (control char: never in text words)
@@ -157,7 +157,36 @@ def bpe_train(
         pair_counts.pop(best, None)
         pair_words.pop(best, None)
         merges.append([a, b])
-    return {"merges": merges, "lowercase": bool(lowercase), "version": 1}
+
+    # r11: stable integer-id vocabulary. Downstream packing/training
+    # wants ids, not strings — the vocab enumerates every surface
+    # token this model can emit on its training alphabet, in the
+    # Sennrich convention: each token exists in a word-internal form
+    # and a word-final '</w>' form (the boundary info the id stream
+    # needs to decode back to text). ids 0/1 are the unknown-token
+    # fallbacks for characters never seen in training.
+    alphabet = sorted({ch for syms in seen for ch in syms if ch != _EOW})
+    vocab: list[str] = ["<unk>", "<unk></w>"]
+    vseen = set(vocab)
+    for ch in alphabet:
+        for cand in (ch, ch + "</w>"):
+            if cand not in vseen:
+                vseen.add(cand)
+                vocab.append(cand)
+    for a, b in merges:
+        s = (a + b).replace(_EOW, "")
+        if not s:
+            continue
+        for cand in (s, s + "</w>"):
+            if cand not in vseen:
+                vseen.add(cand)
+                vocab.append(cand)
+    return {
+        "merges": merges,
+        "vocab": vocab,
+        "lowercase": bool(lowercase),
+        "version": 1,
+    }
 
 
 def bpe_apply_word(word: str, ranks: dict, cache: dict | None = None) -> list:
@@ -285,6 +314,88 @@ def bpe_encode(
         tokens_col, encode(_words_expr(tname, lowercase))
     )
     return td.with_df(out_df)
+
+
+def _vocab_map(model: dict) -> dict:
+    vocab = model.get("vocab")
+    if not vocab:
+        raise ValueError(
+            "this model has no 'vocab' table (trained before ids "
+            "support) — retrain with bpe_train to get stable ids"
+        )
+    return {t: i for i, t in enumerate(vocab)}
+
+
+def bpe_encode_ids(
+    td: Any,
+    model: dict,
+    text: Any = "text",
+    ids_col: str = "bpe_ids",
+) -> Tibble:
+    """Stable integer token ids (array<int>, whole document) — the
+    form packing/training pipelines consume. Word-final tokens map to
+    their ``</w>`` vocab entry, so the id stream round-trips to text
+    via :func:`bpe_decode_ids` (under the model's lowercase +
+    whitespace normalization); characters outside the training
+    alphabet hit the ``<unk>``/``<unk></w>`` ids (0/1). Same
+    Arrow/memoization shape as :func:`bpe_token_counts`, and the id
+    count per document equals its token count exactly."""
+    td = ensure_tibble(td)
+    tname = _name_of(text)
+    if ids_col in td.columns:
+        raise ValueError(
+            f"bpe_encode_ids: column {ids_col!r} already exists; pass "
+            f"a different ids_col="
+        )
+    ranks = _ranks(model)
+    vmap = _vocab_map(model)
+    lowercase = bool(model.get("lowercase", True))
+
+    @F.pandas_udf("array<int>")
+    def encode_ids(words_ser):
+        import pandas as pd
+
+        cache: dict = {}
+        out = []
+        for ws in words_ser:
+            if ws is None:
+                out.append([])
+                continue
+            ids: list = []
+            for w in ws:
+                toks = bpe_apply_word(w, ranks, cache)
+                ids.extend(vmap.get(t, 0) for t in toks[:-1])
+                ids.append(vmap.get(toks[-1] + "</w>", 1))
+            out.append(ids)
+        return pd.Series(out)
+
+    out_df = td.df.withColumn(
+        ids_col, encode_ids(_words_expr(tname, lowercase))
+    )
+    return td.with_df(out_df)
+
+
+def bpe_decode_ids(ids, model: dict) -> str:
+    """Rebuild text from a :func:`bpe_encode_ids` stream: ``</w>``
+    entries close a word, words join with single spaces (the inverse
+    of the trainer's whitespace normalization). Pure driver-side
+    function — the inspection/round-trip tool, not a distributed op."""
+    vocab = model.get("vocab")
+    if not vocab:
+        raise ValueError("model has no 'vocab' table")
+    words: list = []
+    cur: list = []
+    for i in ids:
+        t = vocab[i] if 0 <= int(i) < len(vocab) else "<unk>"
+        if t.endswith("</w>"):
+            cur.append(t[:-4])
+            words.append("".join(cur))
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        words.append("".join(cur))
+    return " ".join(words)
 
 
 def bpe_write(spark, model: dict, path: str) -> None:

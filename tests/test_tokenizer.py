@@ -99,6 +99,60 @@ def test_encode_agrees_with_counts(docs, model):
         assert len(toks) == sum(cnt[did])
 
 
+def test_ids_roundtrip_and_counts(spark, docs, model):
+    """r11 vocab/ids: ids -> tokens -> text round-trips (under the
+    model's lowercase + whitespace normalization), id counts equal
+    bpe_token_counts exactly, and the vocab is stable/deterministic."""
+    from datar_polars_spark.scale import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_token_counts,
+    )
+
+    vocab = model["vocab"]
+    assert vocab[0] == "<unk>" and vocab[1] == "<unk></w>"
+    assert len(vocab) == len(set(vocab))  # ids are injective
+    ids_rows = {
+        r["doc_id"]: (r["text"], r["bpe_ids"])
+        for r in bpe_encode_ids(docs, model)
+        .df.select("doc_id", "text", "bpe_ids")
+        .limit(25)
+        .collect()
+    }
+    cnt = {
+        r["doc_id"]: sum(r["tc"])
+        for r in bpe_token_counts(docs, model, counts_col="tc")
+        .df.select("doc_id", "tc")
+        .limit(25)
+        .collect()
+    }
+    for did, (text, ids) in ids_rows.items():
+        assert len(ids) == cnt[did]  # counts unchanged vs token_counts
+        want = " ".join((text or "").lower().split())
+        assert bpe_decode_ids(ids, model) == want
+
+
+def test_ids_unknown_chars_hit_unk(spark, model):
+    from datar_polars_spark.scale import bpe_decode_ids, bpe_encode_ids
+
+    td = ensure_tibble(
+        spark.createDataFrame([(1, "hello 世界")], "doc_id long, text string")
+    )
+    ids = bpe_encode_ids(td, model).df.first()["bpe_ids"]
+    assert 0 in ids or 1 in ids  # CJK chars are outside the alphabet
+    # decode still closes the unknown word at the boundary
+    decoded = bpe_decode_ids(ids, model)
+    assert decoded.startswith("hello ") and "<unk>" in decoded
+
+
+def test_ids_require_vocab(spark, docs, model):
+    from datar_polars_spark.scale import bpe_encode_ids
+
+    legacy = {k: v for k, v in model.items() if k != "vocab"}
+    with pytest.raises(ValueError, match="vocab"):
+        bpe_encode_ids(docs, legacy)
+
+
 def test_null_and_empty_text(spark, model):
     td = ensure_tibble(
         spark.createDataFrame(
