@@ -820,3 +820,186 @@ def stream_decontaminate_semantic(
 
 
 __all__.append("stream_decontaminate_semantic")
+
+
+def stream_dedup_paragraphs(
+    sdf: DataFrame,
+    history: Any,
+    text: Any = "text",
+    sep: str = r"\n\n+",
+    join_sep: str = "\n\n",
+    min_chars: int = 1,
+    normalize: bool = True,
+    count_col: str | None = "paras_removed",
+    max_history_paras: int = 5_000_000,
+    jvm_literal_max: int = 10_000,
+) -> DataFrame:
+    """Streaming paragraph-level boilerplate removal against a STATIC
+    history corpus — the Dolma/FineWeb step ``dedup_paragraphs``
+    (scale/dedup.py) runs in batch, applied to a live crawl: every
+    stream document drops each paragraph whose normalized fingerprint
+    already occurs in the history OR earlier in the SAME document,
+    then reassembles with ``join_sep``. Same knobs and fingerprint
+    scheme as the batch op (``sep`` regex split, lower+trim
+    fingerprints under ``normalize``, paragraphs under ``min_chars``
+    exempt, NULL text passes through NULL, ``count_col`` audits
+    removals) — so stream survivors equal the batch keep-first answer
+    on history-then-stream ordering whenever stream documents don't
+    share NEW paragraphs with each other. Cross-document duplicates
+    WITHIN the stream are deliberately not collapsed: a stateless
+    micro-batch cannot see other in-flight documents (the same
+    stream-vs-stream contract as ``stream_near_dedup``); re-run the
+    batch op over the landed data for full corpus dedup.
+
+    The history's distinct paragraph fingerprints (64-bit xxhash64,
+    identical to the batch keys) collect ONCE at stream setup —
+    bounded by ``max_history_paras`` (8 bytes each: the 5M default is
+    ~40 MB). Small histories (``<= jvm_literal_max``) compile to a
+    pure whole-stage-codegen array expression; larger ones broadcast a
+    Python set probed by one Arrow pandas UDF over the (narrow)
+    fingerprint arrays — paragraph text never crosses into Python
+    either way. No state store, no watermark requirement, no
+    shuffle."""
+    tname = _name_of(text)
+    if int(min_chars) < 0:
+        raise ValueError(
+            f"stream_dedup_paragraphs: min_chars must be >= 0, "
+            f"got {min_chars}"
+        )
+    reserved = {"__fps__", "__keep__"} | (
+        {count_col} if count_col else set()
+    )
+    clash = sorted(reserved & set(sdf.columns))
+    if clash:
+        raise ValueError(
+            f"stream_dedup_paragraphs: column(s) {clash} already exist "
+            f"in the stream frame; rename them first (or pass a "
+            f"different count_col)"
+        )
+    hist_df = (
+        history.df.select(*history.columns)
+        if isinstance(history, Tibble)
+        else history
+    )
+
+    def pnorm(c):
+        return F.lower(F.trim(c)) if normalize else c
+
+    hist_fps = [
+        r[0]
+        for r in hist_df.select(
+            F.explode(
+                F.split(F.coalesce(F.col(tname), F.lit("")), sep)
+            ).alias("__p")
+        )
+        .where(F.length(F.trim(F.col("__p"))) >= int(min_chars))
+        .select(F.xxhash64(F.lit("p"), pnorm(F.col("__p"))))
+        .distinct()
+        .limit(max_history_paras + 1)
+        .collect()
+    ]
+    if len(hist_fps) > max_history_paras:
+        raise ValueError(
+            f"stream_dedup_paragraphs: history exceeds "
+            f"{max_history_paras} distinct paragraphs — raise "
+            f"max_history_paras (8 bytes per fingerprint) or dedup in "
+            f"batch"
+        )
+
+    paras = F.split(F.coalesce(F.col(tname), F.lit("")), sep)
+    # per-paragraph fingerprints; exempt (short/empty) paragraphs are
+    # NULL = always kept, never matchable (the batch op's
+    # domain-separated exempt keys have the same effect)
+    fps = F.transform(
+        paras,
+        lambda p: F.when(
+            F.length(F.trim(p)) < int(min_chars),
+            F.lit(None).cast("long"),
+        ).otherwise(F.xxhash64(F.lit("p"), pnorm(p))),
+    )
+
+    if len(hist_fps) <= jvm_literal_max:
+        hist_lit = F.lit(hist_fps).cast("array<long>")
+        out = sdf.withColumn("__fps__", fps).withColumn(
+            "__keep__",
+            F.filter(
+                F.sequence(F.lit(0), F.size(F.col("__fps__")) - 1),
+                lambda i: F.element_at(F.col("__fps__"), i + 1).isNull()
+                | (
+                    ~F.array_contains(
+                        hist_lit, F.element_at(F.col("__fps__"), i + 1)
+                    )
+                    & (
+                        F.array_position(
+                            F.slice(F.col("__fps__"), F.lit(1), i),
+                            F.element_at(F.col("__fps__"), i + 1),
+                        )
+                        == 0
+                    )
+                ),
+            ),
+        )
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        bcast = sdf.sparkSession.sparkContext.broadcast(set(hist_fps))
+        # the Arrow transfer must NOT carry nulls inside the hash
+        # arrays: one null anywhere in a chunk's child array promotes
+        # the WHOLE chunk to float64, silently corrupting other rows'
+        # 64-bit hashes. Ship a null-free hash array (hashes computed
+        # for every paragraph) plus a separate exempt-flag array.
+        raw_fps = F.transform(
+            paras, lambda p: F.xxhash64(F.lit("p"), pnorm(p))
+        )
+        exempt_arr = F.transform(
+            paras, lambda p: F.length(F.trim(p)) < int(min_chars)
+        )
+
+        @pandas_udf("array<int>")
+        def _keep_idx(
+            fp_arrays: pd.Series, ex_arrays: pd.Series
+        ) -> pd.Series:
+            hset = bcast.value
+            out_lists = []
+            for fp_list, ex_list in zip(fp_arrays, ex_arrays):
+                if fp_list is None:
+                    out_lists.append([])
+                    continue
+                keep, seen = [], set()
+                for i, h in enumerate(fp_list):
+                    if ex_list[i]:
+                        keep.append(i)  # exempt: always kept
+                        continue
+                    h = int(h)
+                    if h not in hset and h not in seen:
+                        keep.append(i)
+                    seen.add(h)
+                out_lists.append(keep)
+            return pd.Series(out_lists)
+
+        out = sdf.withColumn("__keep__", _keep_idx(raw_fps, exempt_arr))
+
+    rebuilt = F.array_join(
+        F.transform(
+            F.col("__keep__"), lambda i: F.element_at(paras, i + 1)
+        ),
+        join_sep,
+    )
+    new_text = F.when(
+        F.col(tname).isNull(), F.lit(None).cast("string")
+    ).otherwise(rebuilt)
+    if count_col:
+        out = out.withColumn(
+            count_col,
+            F.when(F.col(tname).isNull(), F.lit(0))
+            .otherwise(F.size(paras) - F.size(F.col("__keep__")))
+            .cast("int"),
+        )
+    return (
+        out.withColumn(tname, new_text)
+        .drop("__fps__", "__keep__")
+        .select(*sdf.columns, *([count_col] if count_col else []))
+    )
+
+
+__all__.append("stream_dedup_paragraphs")
