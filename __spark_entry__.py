@@ -1255,9 +1255,13 @@ def q38_minhash_dedup(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, f.text, f.doc_id, n=3, threshold=0.5, num_perm=64, bands=32
+    # one mining pass serves both legs: the LSH candidate set is
+    # threshold-independent (same banding), so the j>=0.5 dedup set is
+    # a pure filter of the j>=0.3 pair table
+    jp = ngram_jaccard_pairs(
+        d, f.text, f.doc_id, n=3, threshold=0.3, num_perm=64, bands=32
     )
+    pairs = jp >> filter_(f.jaccard >= 0.5)
     surv = (
         d
         >> anti_join(pairs >> select(f.id_b), by={"doc_id": "id_b"})
@@ -1268,9 +1272,6 @@ def q38_minhash_dedup(spark, sf):
         F.lit("minhash").alias("op"), "doc_id", "lang", nullv
     )
 
-    jp = ngram_jaccard_pairs(
-        d, f.text, f.doc_id, n=3, threshold=0.3, num_perm=64, bands=32
-    )
     jp_block = jp.df.select(
         F.lit("jpair").alias("op"),
         F.col("id_a").alias("doc_id"),
