@@ -52,6 +52,7 @@ from .tokenizer import (  # noqa: F401
 )
 from .urls import (  # noqa: F401
     PSLRules,
+    domain_report,
     load_psl,
     parse_psl,
     url_host,

@@ -28,6 +28,7 @@ __all__ = [
     "url_host",
     "url_registrable_domain",
     "url_normalize",
+    "domain_report",
     "TRACKING_PARAMS",
     "PSLRules",
     "parse_psl",
@@ -175,3 +176,77 @@ def url_normalize(
         scheme.isNotNull() & host.isNotNull(),
         F.concat(scheme, F.lit("://"), host, port_part, path, query_part),
     )
+
+
+def domain_report(
+    td,
+    url="url",
+    text=None,
+    rules: PSLRules | None = None,
+    top_k: int | None = None,
+):
+    """Crawl triage per registrable domain — the audit a per-domain cap
+    or blocklist decision is made from: for every
+    :func:`url_registrable_domain` key, how many pages, how many
+    DISTINCT canonical URLs (:func:`url_normalize` — the gap to
+    ``n_docs`` is the recrawl rate), and, when ``text=`` is given, how
+    many distinct text fingerprints and total chars (the gap between
+    ``n_text_docs`` and ``n_unique_texts`` is the within-domain exact
+    boilerplate/mirror rate). ``dup_url_rate`` / ``dup_text_rate``
+    report both directly. Unparseable URLs group under domain NULL so
+    junk is visible, not dropped. ``top_k`` keeps the largest domains
+    by page count (a TakeOrdered, no full sort).
+
+    One groupBy on the domain key — a single keyed shuffle with
+    map-side partial aggregation, everything JVM expressions; at
+    100 TB this is a scan + one exchange of per-domain partials."""
+    from ..tibble import Tibble, ensure_tibble
+
+    td = ensure_tibble(td)
+    uname = url if isinstance(url, str) else url._name
+    cols = [
+        url_registrable_domain(F.col(uname), rules).alias("domain"),
+        url_normalize(F.col(uname)).alias("__norm__"),
+    ]
+    if text is not None:
+        tname = text if isinstance(text, str) else text._name
+        cols += [
+            # xxhash64(NULL) is the seed constant, not NULL — guard so
+            # NULL texts don't count as one shared "distinct text"
+            F.when(
+                F.col(tname).isNotNull(), F.xxhash64(F.col(tname))
+            ).alias("__th__"),
+            F.when(
+                F.col(tname).isNotNull(), F.length(F.col(tname))
+            ).alias("__chars__"),
+        ]
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__norm__").alias("n_unique_urls"),
+    ]
+    if text is not None:
+        aggs += [
+            F.count("__chars__").alias("n_text_docs"),
+            F.countDistinct("__th__").alias("n_unique_texts"),
+            F.coalesce(F.sum("__chars__"), F.lit(0)).alias("chars"),
+        ]
+    out = td.df.select(*cols).groupBy("domain").agg(*aggs)
+    out = out.withColumn(
+        "dup_url_rate",
+        F.round(1.0 - F.col("n_unique_urls") / F.col("n_docs"), 4),
+    )
+    if text is not None:
+        out = out.withColumn(
+            "dup_text_rate",
+            F.when(
+                F.col("n_text_docs") > 0,
+                F.round(
+                    1.0 - F.col("n_unique_texts") / F.col("n_text_docs"), 4
+                ),
+            ),
+        )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("n_docs").desc(), F.col("domain").asc()
+        ).limit(int(top_k))
+    return Tibble(out)

@@ -188,6 +188,54 @@ def test_registrable_domain_custom_rules(spark):
     assert got == list(cases.values())
 
 
+def test_domain_report(spark):
+    """Per-registrable-domain crawl triage: doc counts, distinct
+    canonical URLs (recrawl rate), distinct text fingerprints
+    (boilerplate/mirror rate), char mass — hand-checked."""
+    from datar_polars_spark.scale import domain_report
+
+    rows = [
+        # a.github.io: 3 pages, 2 canonical urls (one recrawl via utm),
+        # 2 distinct texts
+        ("https://a.github.io/p1", "alpha"),
+        ("https://a.github.io/p1?utm_source=x", "alpha"),
+        ("https://a.github.io/p2", "beta"),
+        # example.com: 2 pages, 2 urls, 1 text (mirror), one NULL text
+        ("https://www.example.com/x", "mirror"),
+        ("https://sub.example.com/y", "mirror"),
+        ("https://example.com/z", None),
+        # junk URL: groups under NULL domain, stays visible
+        ("not a url", "junk"),
+    ]
+    td = ensure_tibble(
+        spark.createDataFrame(rows, "url string, text string")
+    )
+    rep = {
+        r["domain"]: r
+        for r in domain_report(td, url="url", text="text").df.collect()
+    }
+    gh = rep["a.github.io"]
+    assert (gh["n_docs"], gh["n_unique_urls"], gh["n_unique_texts"]) == (3, 2, 2)
+    assert gh["dup_url_rate"] == round(1 - 2 / 3, 4)
+    assert gh["chars"] == len("alpha") * 2 + len("beta")
+    ex = rep["example.com"]
+    assert (ex["n_docs"], ex["n_unique_urls"]) == (3, 3)
+    assert (ex["n_text_docs"], ex["n_unique_texts"]) == (2, 1)
+    assert ex["dup_text_rate"] == 0.5
+    assert rep[None]["n_docs"] == 1  # junk visible, not dropped
+
+    # top_k keeps the largest domains by page count
+    top = domain_report(td, url="url", top_k=1).df.collect()
+    assert len(top) == 1 and top[0]["domain"] in ("a.github.io", "example.com")
+
+    # single keyed shuffle, pure JVM
+    plan = (
+        domain_report(td, url="url", text="text")
+        .df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+
+
 def test_ref_param_is_preserved(spark):
     """ADVICE r10: bare ?ref= is resource-determining on many sites
     (GitHub branches) — the default drop set keeps it, while ref_src /
