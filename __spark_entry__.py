@@ -2126,7 +2126,10 @@ def q69_curation(spark, sf):
     gclid + unsorted params; bare), so the oracle constructs the
     EXPECTED canonical strings directly and every normalized byte is
     pinned via min() + distinct counts per registrable domain
-    (including the co.uk PSL rule)."""
+    (including the co.uk PSL rule). 'dreport' leg — domain_report
+    (r11, the per-domain crawl audit) over the same URLs with lang as
+    the text column: distinct-text, distinct-canonical-URL, and
+    char-mass aggregates per domain, oracle-recomputed."""
     from datar_polars_spark.scale import (
         dedup_paragraphs,
         url_normalize,
@@ -2199,7 +2202,27 @@ def q69_curation(spark, sf):
             "n1", "n2", "s",
         )
     )
-    return para.unionByName(urls).orderBy("op", "k")
+    # r11 'dreport' leg: domain_report (the per-domain crawl audit)
+    # over the same synthesized URLs with lang as the text — pins the
+    # distinct-text / distinct-canonical-URL / char-mass aggregation
+    # path end to end (rates are pure derivations of these counts)
+    from datar_polars_spark.scale import domain_report
+
+    rep = domain_report(
+        ensure_tibble(d.df.select("doc_id", "lang").withColumn("url", url)),
+        url="url",
+        text="lang",
+    )
+    rep_block = rep.df.select(
+        F.lit("dreport").alias("op"),
+        F.col("domain").alias("k"),
+        F.col("n_unique_texts").cast("bigint").alias("n1"),
+        F.col("n_unique_urls").cast("bigint").alias("n2"),
+        F.col("chars").cast("string").alias("s"),
+    )
+    return (
+        para.unionByName(urls).unionByName(rep_block).orderBy("op", "k")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3326,7 +3349,7 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS removed
                 FROM kept GROUP BY doc_id
             ), u AS (
-                SELECT doc_id,
+                SELECT doc_id, lang,
                     CASE
                         WHEN doc_id % 3 = 0 THEN
                             'https://www.site' || (doc_id % 7) ||
@@ -3354,6 +3377,14 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'url', domain, COUNT(*),
                        CAST(COUNT(DISTINCT norm) AS BIGINT), MIN(norm)
+                FROM u GROUP BY domain
+                UNION ALL
+                -- r11 domain_report leg: distinct texts (= langs),
+                -- distinct canonical URLs, char mass per domain
+                SELECT 'dreport', domain,
+                       CAST(COUNT(DISTINCT lang) AS BIGINT),
+                       CAST(COUNT(DISTINCT norm) AS BIGINT),
+                       CAST(CAST(SUM(len(lang)) AS BIGINT) AS VARCHAR)
                 FROM u GROUP BY domain
             ) ORDER BY op, k
         """,
