@@ -259,6 +259,50 @@ def test_streaming_multimodal_sniff_and_decode(spark, tmp_path):
     assert [r["media_type"] for r in batch] == ["image", "audio", "video"]
 
 
+def test_streaming_token_budget_pipeline(spark, tmp_path):
+    """r11: the token-budget pipeline (bpe_token_counts -> exact
+    chunk_documents) is narrow maps + Arrow passes end to end, so it
+    runs unchanged on a STREAMING frame — live ingest chunks under
+    exact trained-tokenizer budgets, matching the batch result."""
+    from datar_polars_spark import read_parquet
+    from datar_polars_spark.scale import (
+        bpe_token_counts,
+        bpe_train,
+        chunk_documents,
+    )
+    from datar_polars_spark.streaming import run_to_memory
+    from datar_polars_spark.tibble import Tibble
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    model = bpe_train(docs, n_merges=100)
+    src = str(tmp_path / "docs_stream")
+    docs.df.select("doc_id", "text").limit(50).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    chunked = chunk_documents(
+        bpe_token_counts(Tibble(stream), model, counts_col="tc"),
+        max_tokens=64,
+        overlap=4,
+        token_counts="tc",
+    )
+    got = run_to_memory(chunked.df.select("doc_id", "chunk_id", "chunk_tokens", "text"), mode="append")
+
+    batch = chunk_documents(
+        bpe_token_counts(
+            Tibble(spark.read.parquet(src)), model, counts_col="tc"
+        ),
+        max_tokens=64,
+        overlap=4,
+        token_counts="tc",
+    ).df.select("doc_id", "chunk_id", "chunk_tokens", "text").collect()
+    want = {(r["doc_id"], r["chunk_id"]): (r["chunk_tokens"], r["text"]) for r in batch}
+    got_map = {
+        (r.doc_id, r.chunk_id): (r.chunk_tokens, r.text)
+        for r in got.itertuples(index=False)
+    }
+    assert got_map == want and len(want) > 50  # real chunking happened
+
+
 def test_nanos_detection_ignores_int96(spark, tmp_path):
     """r9 regression: pyarrow reports Spark's legacy INT96 timestamps
     as timestamp[ns], but Spark reads INT96 natively as TIMESTAMP —
