@@ -184,6 +184,7 @@ def domain_report(
     text=None,
     rules: PSLRules | None = None,
     top_k: int | None = None,
+    approx: bool = False,
 ):
     """Crawl triage per registrable domain — the audit a per-domain cap
     or blocklist decision is made from: for every
@@ -199,11 +200,28 @@ def domain_report(
 
     One groupBy on the domain key — a single keyed shuffle with
     map-side partial aggregation, everything JVM expressions; at
-    100 TB this is a scan + one exchange of per-domain partials."""
+    100 TB this is a scan + one exchange of per-domain partials.
+
+    ``approx=True`` swaps the exact distinct counts for Datasketches
+    HLL (``hll_sketch_agg``, ~±2% error): exact ``countDistinct``
+    rewrites to an expanded two-phase aggregation whose shuffle
+    carries every distinct ``(domain, url)`` pair — at crawl scale
+    that's the corpus's URL mass; sketches keep the exchange at a few
+    KB per domain and merge map-side. Counts become estimates (still
+    BIGINT); the rates derive from the same estimates."""
     from ..tibble import Tibble, ensure_tibble
 
     td = ensure_tibble(td)
     uname = url if isinstance(url, str) else url._name
+
+    def _ndv(c):
+        if approx:
+            # all-NULL groups yield a NULL sketch; countDistinct says 0
+            return F.coalesce(
+                F.hll_sketch_estimate(F.hll_sketch_agg(c)), F.lit(0)
+            )
+        return F.countDistinct(c)
+
     cols = [
         url_registrable_domain(F.col(uname), rules).alias("domain"),
         url_normalize(F.col(uname)).alias("__norm__"),
@@ -222,12 +240,12 @@ def domain_report(
         ]
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("__norm__").alias("n_unique_urls"),
+        _ndv("__norm__").alias("n_unique_urls"),
     ]
     if text is not None:
         aggs += [
             F.count("__chars__").alias("n_text_docs"),
-            F.countDistinct("__th__").alias("n_unique_texts"),
+            _ndv("__th__").alias("n_unique_texts"),
             F.coalesce(F.sum("__chars__"), F.lit(0)).alias("chars"),
         ]
     out = td.df.select(*cols).groupBy("domain").agg(*aggs)

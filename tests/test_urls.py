@@ -188,6 +188,68 @@ def test_registrable_domain_custom_rules(spark):
     assert got == list(cases.values())
 
 
+def test_registrable_domain_randomized_differential(spark):
+    """The when-chain compilation must equal a straightforward Python
+    implementation of the published PSL algorithm on randomized hosts
+    built from rule fragments (exercises longest-match ordering,
+    wildcard/exception precedence, host==suffix edges, n<k clamps)."""
+    import random
+
+    from datar_polars_spark.scale.urls import psl_rules
+
+    rules = psl_rules()
+
+    def py_registrable(host):
+        labels = host.split(".")
+        n = len(labels)
+        if n <= 1:
+            return host
+
+        def last(k):
+            return ".".join(labels[n - k:])
+
+        # exceptions first (the rule IS the registrable domain)
+        for k in sorted({e.count(".") + 1 for e in rules.exception},
+                        reverse=True):
+            if n >= k and last(k) in rules.exception:
+                return last(k)
+        suffix_lens = sorted(
+            {w.count(".") + 2 for w in rules.wildcard}
+            | {x.count(".") + 1 for x in rules.exact},
+            reverse=True,
+        )
+        for s in suffix_lens:
+            wild = n >= s and last(s - 1) in rules.wildcard
+            exact = n >= s and last(s) in rules.exact
+            if wild or exact:
+                return last(s + 1) if n >= s + 1 else host
+        return last(2) if n >= 2 else host
+
+    rng = random.Random(11)
+    frag_sources = (
+        sorted(rules.exact)[::7]
+        + sorted(rules.wildcard)
+        + sorted(rules.exception)
+        + ["example.com", "a.b.c", "x"]
+    )
+    hosts = []
+    for _ in range(300):
+        base = rng.choice(frag_sources)
+        depth = rng.randrange(0, 3)
+        prefix = [
+            rng.choice(["www", "a", "sub", "city", "deep"])
+            for _ in range(depth)
+        ]
+        hosts.append(".".join(prefix + [base]))
+    urls = [f"https://{h}/p" for h in hosts]
+    got = _domains(spark, urls)
+    want = [py_registrable(h) for h in hosts]
+    mism = [
+        (h, g, w) for h, g, w in zip(hosts, got, want) if g != w
+    ]
+    assert not mism, mism[:10]
+
+
 def test_domain_report(spark):
     """Per-registrable-domain crawl triage: doc counts, distinct
     canonical URLs (recrawl rate), distinct text fingerprints
@@ -234,6 +296,46 @@ def test_domain_report(spark):
         .df._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan
+
+
+def test_domain_report_approx_mode(spark):
+    """approx=True swaps exact countDistinct (whose rewrite shuffles
+    every distinct (domain, url) pair) for mergeable HLL sketches; at
+    these cardinalities the estimates are exact, and the expand-free
+    plan carries ONE aggregate pass."""
+    from datar_polars_spark.scale import domain_report
+
+    rows = [
+        (f"https://s{i % 3}.example{i % 5}.com/p{i}", f"text {i % 11}")
+        for i in range(200)
+    ]
+    td = ensure_tibble(
+        spark.createDataFrame(rows, "url string, text string")
+    )
+    exact = {
+        r["domain"]: r
+        for r in domain_report(td, url="url", text="text").df.collect()
+    }
+    approx = {
+        r["domain"]: r
+        for r in domain_report(
+            td, url="url", text="text", approx=True
+        ).df.collect()
+    }
+    assert set(exact) == set(approx)
+    for d, e in exact.items():
+        a = approx[d]
+        assert (a["n_docs"], a["chars"]) == (e["n_docs"], e["chars"])
+        # HLL is exact at these cardinalities (sparse mode)
+        assert a["n_unique_urls"] == e["n_unique_urls"]
+        assert a["n_unique_texts"] == e["n_unique_texts"]
+    # exact countDistinct needs the Expand rewrite; the sketch plan
+    # does not
+    plan_a = (
+        domain_report(td, url="url", text="text", approx=True)
+        .df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan_a and "Python" not in plan_a
 
 
 def test_ref_param_is_preserved(spark):
