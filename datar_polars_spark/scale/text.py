@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.registry import register
 
-__all__ = ["STOPWORDS"]
+__all__ = ["STOPWORDS", "normalize_text"]
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 STOPWORDS: dict[str, list[str]] = {
@@ -195,3 +195,100 @@ def _fingerprint_overlap(ctx, a, b):
     aa, bb = ctx.col(a), ctx.col(b)
     inter = F.size(F.array_intersect(aa, bb))
     return F.when(F.size(aa) > 0, inter / F.size(aa))
+
+
+def normalize_text(
+    td,
+    text="text",
+    out_col: str | None = None,
+    form: str | None = None,
+    strip_control: bool = True,
+    zero_width: bool = True,
+    unify_spaces: bool = True,
+    unify_punct: bool = True,
+    collapse_whitespace: bool = False,
+):
+    """Unicode text normalization — the ftfy/Dolma-style cleanup pass a
+    crawl runs BEFORE fingerprinting, so byte-level noise (zero-width
+    characters, exotic spaces, curly quotes) doesn't defeat exact and
+    near dedup. Knobs, all on by default except the lossy ones:
+
+    - ``strip_control``: drop C0/C1 control characters except ``\\n``
+      and ``\\t`` (terminal escapes, NULs from broken decoders).
+    - ``zero_width``: drop ZWSP/ZWNJ/ZWJ/BOM/soft-hyphen — invisible
+      codepoints that make visually identical strings hash apart.
+    - ``unify_spaces``: map NBSP and the Unicode space block to ASCII
+      space.
+    - ``unify_punct``: curly quotes -> ASCII quotes, en/em dash and
+      minus -> ``-``, ellipsis -> ``...``.
+    - ``collapse_whitespace``: runs of spaces/tabs -> one space
+      (newlines preserved — paragraph structure is load-bearing for
+      ``dedup_paragraphs``). Off by default: it's lossy.
+    - ``form``: ``"nfc"`` / ``"nfkc"`` full Unicode normalization via
+      ``unicodedata`` in one Arrow pandas UDF — the ONLY knob that
+      leaves the JVM; everything else compiles to ``translate`` /
+      ``regexp_replace`` and runs inside the scan at any scale.
+
+    ``out_col=None`` rewrites ``text`` in place. NULL stays NULL.
+    Order: form -> control -> zero-width -> spaces -> punct ->
+    collapse (NFKC first, so its expansions get cleaned too)."""
+    from ..tibble import ensure_tibble
+
+    td = ensure_tibble(td)
+    tname = text if isinstance(text, str) else text._name
+    dest = out_col or tname
+    if out_col and out_col in td.columns:
+        raise ValueError(
+            f"normalize_text: column {out_col!r} already exists; pass a "
+            f"different out_col"
+        )
+    col = F.col(tname)
+    if form is not None:
+        if form not in ("nfc", "nfkc", "nfd", "nfkd"):
+            raise ValueError(
+                f"normalize_text: form must be one of nfc/nfkc/nfd/nfkd "
+                f"or None, got {form!r}"
+            )
+        from pyspark.sql.functions import pandas_udf
+
+        uform = form.upper()
+
+        @pandas_udf("string")
+        def _unorm(s):
+            import unicodedata
+
+            return s.map(
+                lambda v: unicodedata.normalize(uform, v)
+                if v is not None
+                else None
+            )
+
+        col = _unorm(col)
+    if strip_control:
+        # C0 except \t\n (+ \r), DEL, C1
+        col = F.regexp_replace(
+            col, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u0080-\\u009F]", ""
+        )
+    if zero_width:
+        col = F.translate(
+            col,
+            "\u200b\u200c\u200d\u2060\ufeff\u00ad",
+            "",
+        )
+    if unify_spaces:
+        col = F.regexp_replace(
+            col,
+            "[\\u00A0\\u1680\\u2000-\\u200A\\u202F\\u205F\\u3000]",
+            " ",
+        )
+    if unify_punct:
+        col = F.translate(
+            col,
+            "\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u201f"
+            "\u2013\u2014\u2212\u00ab\u00bb",
+            "''''\"\"\"\"---\"\"",
+        )
+        col = F.regexp_replace(col, "\u2026", "...")
+    if collapse_whitespace:
+        col = F.regexp_replace(col, "[ \\t]{2,}", " ")
+    return td.with_df(td.df.withColumn(dest, col))
