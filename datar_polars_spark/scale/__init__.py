@@ -17,6 +17,8 @@ from .dedup import (  # noqa: F401
     embedding_cosine_pairs,
     embedding_dedup,
     dropped_pairs_estimate,
+    hyperplane_recall,
+    minhash_recall,
     cosine_sim,
     word_shingles,
     char_shingles,

@@ -174,6 +174,43 @@ def dropped_pairs_estimate(op: str) -> float:
     return total
 
 
+def minhash_recall(jaccard: float, bands: int, rows_per_band: int) -> float:
+    """Analytic probability that a document pair with the given TRUE
+    Jaccard similarity becomes an LSH candidate under (bands x
+    rows_per_band) MinHash banding: ``1 - (1 - j^r)^b``. Size banding
+    BEFORE a 100 TB run instead of measuring recall after —
+    e.g. ``minhash_recall(0.8, 32, 2) ≈ 1 - 3e-15`` is why the default
+    high-recall config can be verified by exact Jaccard afterwards."""
+    j, b, r = float(jaccard), int(bands), int(rows_per_band)
+    if not 0.0 <= j <= 1.0:
+        raise ValueError(f"minhash_recall: jaccard must be in [0,1], got {j}")
+    if b < 1 or r < 1:
+        raise ValueError("minhash_recall: bands and rows_per_band must be >= 1")
+    return 1.0 - (1.0 - j**r) ** b
+
+
+def hyperplane_recall(cosine: float, bands: int, planes_per_band: int) -> float:
+    """Analytic candidate probability for random-hyperplane (SimHash)
+    banding at a given TRUE cosine: per-plane agreement is
+    ``1 - theta/pi`` (Goemans-Williamson), a band needs all its planes
+    to agree, any band suffices: ``1 - (1 - p^r)^b``. The sizing tool
+    for ``embedding_join(mode='lsh')`` / ``embedding_cosine_pairs`` —
+    the 32x8 default misses a 0.95-cosine pair with probability ~2e-8."""
+    import math
+
+    c, b, r = float(cosine), int(bands), int(planes_per_band)
+    if not -1.0 <= c <= 1.0:
+        raise ValueError(
+            f"hyperplane_recall: cosine must be in [-1,1], got {c}"
+        )
+    if b < 1 or r < 1:
+        raise ValueError(
+            "hyperplane_recall: bands and planes_per_band must be >= 1"
+        )
+    p = 1.0 - math.acos(max(-1.0, min(1.0, c))) / math.pi
+    return 1.0 - (1.0 - p**r) ** b
+
+
 def _cap_buckets(
     banded: DataFrame, keys: list[str], max_bucket: int,
     log_dropped: bool = False, op: str | None = None,
