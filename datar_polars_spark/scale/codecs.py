@@ -1,7 +1,7 @@
 """Pure-Python media header parsers (no PIL/cv2/torchaudio needed).
 
 Real metadata decode for the dominant container formats — PNG, JPEG,
-GIF, BMP, WebP, TIFF images; WAV, FLAC, MP3, OGG (Vorbis/Opus) audio;
+GIF, BMP, WebP, TIFF, HEIF-family (AVIF/HEIC) images; WAV, FLAC, MP3, OGG (Vorbis/Opus) audio;
 MP4/ISO-BMFF (ftyp/moov/mvhd/tkhd box walk), WebM/Matroska (EBML
 element walk), and RIFF AVI video — using nothing but ``struct`` over the leading
 bytes. Formats outside this set fall back
@@ -29,6 +29,7 @@ __all__ = [
     "make_mp4",
     "make_webm",
     "make_avi",
+    "make_heif",
     "make_png",
     "make_gif",
     "make_bmp",
@@ -157,13 +158,74 @@ def _parse_tiff(b: bytes):
     return None
 
 
+# HEIF-family brands (ISO 23008-12 / AV1-AVIF): the ftyp must carry
+# one of these as major or compatible brand for the file to count as
+# a still-image BMFF container at all
+_HEIF_AVIF_BRANDS = frozenset({b"avif", b"avis"})
+_HEIF_HEIC_BRANDS = frozenset(
+    {b"heic", b"heix", b"heim", b"heis", b"hevc", b"hevx"}
+)
+_HEIF_GENERIC_BRANDS = frozenset({b"mif1", b"msf1"})
+
+
+def _parse_heif(b: bytes):
+    """(format, width, height) for a HEIF-family still image (AVIF /
+    HEIC / generic HEIF), or None. Reuses the ISO-BMFF box walk the
+    MP4 probe uses; HEIF puts image properties under
+    ``meta(FullBox) -> iprp -> ipco -> ispe`` instead of ``moov``.
+    Evidence rule: a HEIF brand in ``ftyp`` AND a parsable ``ispe``
+    must both be present — MP4 videos (non-HEIF brands) and arbitrary
+    ftyp-led binary never classify. Dims come from the LARGEST
+    ``ispe`` (thumbnails carry their own). Header-only: reads a few
+    hundred bytes regardless of payload size."""
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+    top = list(_bmff_boxes(b, 0, len(b)))
+    if not top or top[0][0] != b"ftyp":
+        return None
+    _, fs, fe = top[0]
+    brands = {b[fs : fs + 4]} | {
+        b[j : j + 4] for j in range(fs + 8, fe - 3, 4)
+    }
+    if brands & _HEIF_AVIF_BRANDS:
+        fmt = "avif"
+    elif brands & _HEIF_HEIC_BRANDS:
+        fmt = "heic"
+    elif brands & _HEIF_GENERIC_BRANDS:
+        fmt = "heif"
+    else:
+        return None
+    width = height = 0
+    for btype, ps, pe in top:
+        if btype != b"meta":
+            continue
+        # meta is a FullBox: 4 bytes of version+flags precede children
+        for ctype, cs, ce in _bmff_boxes(b, ps + 4, pe):
+            if ctype != b"iprp":
+                continue
+            for ptype, qs, qe in _bmff_boxes(b, cs, ce):
+                if ptype != b"ipco":
+                    continue
+                for itype, is_, ie in _bmff_boxes(b, qs, qe):
+                    if itype == b"ispe" and ie - is_ >= 12:
+                        w, h = struct.unpack(">II", b[is_ + 4 : is_ + 12])
+                        if w * h > width * height:
+                            width, height = w, h
+        break
+    if not width or not height:
+        return None  # brand without ispe: insufficient evidence
+    return fmt, width, height
+
+
 def parse_image_header(b: bytes):
     """(format, width, height) from leading bytes, or None if the
-    content is not a recognized PNG/JPEG/GIF/BMP/WebP/TIFF container."""
+    content is not a recognized PNG/JPEG/GIF/BMP/WebP/TIFF/HEIF-family
+    (AVIF/HEIC) container."""
     if not b:
         return None
     for parse in (
-        _parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_webp, _parse_tiff,
+        _parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_webp,
+        _parse_tiff, _parse_heif,
     ):
         out = parse(b)
         if out is not None:
@@ -820,6 +882,25 @@ def _bmff_box(btype: bytes, payload: bytes, large: bool = False) -> bytes:
         ) + payload
     return struct.pack(">I", len(payload) + 8) + btype + payload
 
+
+
+def make_heif(width: int, height: int, brand: str = "avif") -> bytes:
+    """Minimal valid HEIF-family still image: ftyp + meta(FullBox:
+    hdlr + iprp(ipco(ispe))) — exactly the boxes _parse_heif reads,
+    plus the pict handler real muxers write. ``brand``: "avif",
+    "heic", or "mif1" (generic HEIF)."""
+    bb = brand.encode("ascii")
+    ispe = _bmff_box(
+        b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", width, height)
+    )
+    ipco = _bmff_box(b"ipco", ispe)
+    iprp = _bmff_box(b"iprp", ipco)
+    hdlr = _bmff_box(
+        b"hdlr", b"\x00" * 8 + b"pict" + b"\x00" * 13
+    )
+    meta = _bmff_box(b"meta", b"\x00\x00\x00\x00" + hdlr + iprp)
+    ftyp = _bmff_box(b"ftyp", bb + struct.pack(">I", 0) + bb + b"mif1")
+    return ftyp + meta
 
 def make_mp4(
     width: int,

@@ -598,3 +598,99 @@ class TestAviProbe:
             2: ("video", "webm"),
             3: ("video", "mp4"),
         }
+
+
+class TestHeifProbe:
+    """HEIF-family still images (AVIF/HEIC/generic HEIF): BMFF meta ->
+    iprp -> ipco -> ispe walk, brand-based naming, evidence rules, and
+    sniff routing as IMAGES (never video)."""
+
+    @pytest.mark.parametrize(
+        "brand,fmt",
+        [("avif", "avif"), ("heic", "heic"), ("mif1", "heif")],
+    )
+    def test_roundtrip(self, brand, fmt):
+        from datar_polars_spark.scale.codecs import (
+            make_heif,
+            parse_image_header,
+        )
+
+        b = make_heif(1920, 1080, brand)
+        assert parse_image_header(b) == (fmt, 1920, 1080)
+
+    def test_largest_ispe_wins(self):
+        """Thumbnails carry their own ispe; the primary (largest) one
+        names the image dims."""
+        import struct
+
+        from datar_polars_spark.scale.codecs import (
+            _bmff_box,
+            _parse_heif,
+            make_heif,
+        )
+
+        def ispe(w, h):
+            return _bmff_box(
+                b"ispe", b"\x00" * 4 + struct.pack(">II", w, h)
+            )
+
+        ipco = _bmff_box(b"ipco", ispe(160, 90) + ispe(1280, 720))
+        iprp = _bmff_box(b"iprp", ipco)
+        meta = _bmff_box(b"meta", b"\x00" * 4 + iprp)
+        ftyp = _bmff_box(b"ftyp", b"avif" + b"\x00" * 4 + b"avifmif1")
+        assert _parse_heif(ftyp + meta) == ("avif", 1280, 720)
+
+    def test_evidence_rules(self):
+        from datar_polars_spark.scale.codecs import (
+            _parse_heif,
+            make_heif,
+            make_mp4,
+            parse_image_header,
+            parse_video_header,
+        )
+
+        # an MP4 video (isom brand) never classifies as an image
+        assert _parse_heif(make_mp4(640, 360, 1_000)) is None
+        # a HEIF never classifies as video (no moov)
+        assert parse_video_header(make_heif(64, 64)) is None
+        # a HEIF brand WITHOUT ispe is insufficient evidence
+        from datar_polars_spark.scale.codecs import _bmff_box
+
+        bare = _bmff_box(b"ftyp", b"avif" + b"\x00" * 4 + b"mif1")
+        assert _parse_heif(bare) is None
+        assert parse_image_header(bare) is None
+
+    def test_truncation_is_safe(self):
+        from datar_polars_spark.scale.codecs import make_heif, _parse_heif
+
+        b = make_heif(640, 480, "heic")
+        for cut in (0, 4, 9, 17, 25, len(b) - 3):
+            assert _parse_heif(b[:cut]) in (None, ("heic", 640, 480))
+
+    def test_sniff_routes_heif_as_image(self, spark):
+        import pandas as pd
+
+        from datar_polars_spark import tibble
+        from datar_polars_spark.scale import sniff_media
+        from datar_polars_spark.scale.codecs import make_heif, make_mp4
+
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "content": [
+                    make_heif(640, 360, "avif"),
+                    make_heif(640, 360, "heic"),
+                    make_mp4(640, 360, 1_000),
+                ],
+            }
+        )
+        td = tibble(spark, id=[1, 2, 3]).with_df(spark.createDataFrame(pdf))
+        out = {
+            r.id: (r.media_type, r.media_format)
+            for r in sniff_media(td, content="content").collect().itertuples()
+        }
+        assert out == {
+            1: ("image", "avif"),
+            2: ("image", "heic"),
+            3: ("video", "mp4"),
+        }
