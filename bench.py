@@ -151,6 +151,29 @@ def _minhash_sigs_explode(docs_df, num_perm: int, shingle_words: int):
     return ex.groupBy("id").agg(*aggs)
 
 
+def _dedup_paragraphs_bench(docs) -> int:
+    """Corpus-scope paragraph dedup over synthesized paragraph
+    structure (head + shared boilerplate + tail — the q69 gate shape):
+    times the r11 narrow plan (only id/pos/para in the exchanges)."""
+    from pyspark.sql import functions as F
+
+    from datar_polars_spark.scale import dedup_paragraphs
+    from datar_polars_spark.tibble import ensure_tibble
+
+    base = ensure_tibble(
+        docs.df.select(
+            "doc_id",
+            "lang",
+            F.concat(
+                F.substring("text", 1, 100),
+                F.lit("\n\nSHARED BOILERPLATE PARAGRAPH.\n\n"),
+                F.substring("text", 101, 100),
+            ).alias("text"),
+        )
+    )
+    return dedup_paragraphs(base).df.count()
+
+
 def build_session(cpus: str) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -316,6 +339,10 @@ def main() -> None:
                 threshold=0.9,
                 mode="broadcast",
             ).df.count(),
+            # r11: corpus-scope paragraph dedup after the shuffle
+            # narrowing (only id/pos/para ride the exchanges) — same
+            # synthesized-paragraph shape as the q69 gate
+            "dedup_paragraphs": lambda: _dedup_paragraphs_bench(docs),
         }
         for pass_timings in (scale_ops, scale_ops_warm):
             for op_name, op in ops.items():
@@ -393,6 +420,7 @@ def main() -> None:
                 "duplicate_spans": lambda: _dsp(
                     docs1, k=8, min_count=2
                 ).df.count(),
+                "dedup_paragraphs": lambda: _dedup_paragraphs_bench(docs1),
             }
             for op_name, op in sf1_ops.items():
                 runs = []
