@@ -108,3 +108,34 @@ def test_validation_and_plan(spark):
         .df._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" in plan_nfkc  # the one documented Python knob
+
+
+def test_idempotence_property(spark):
+    """normalize(normalize(x)) == normalize(x) over adversarial
+    unicode (hypothesis): every knob's output is a fixed point, so
+    re-running a cleanup pipeline never changes bytes again."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                categories=(
+                    "Lu", "Ll", "Nd", "Po", "Zs", "Cc", "Cf", "Pd", "Pi", "Pf",
+                ),
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(texts)
+    def check(batch):
+        once = _run(spark, batch, collapse_whitespace=True)
+        twice = _run(spark, once, collapse_whitespace=True)
+        assert twice == once
+
+    check()
