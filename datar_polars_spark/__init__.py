@@ -53,6 +53,7 @@ from .sources import (  # noqa: F401
     write_orc,
     write_bucketed,
     write_clustered,
+    write_training_shards,
     write_zordered,
     zorder_key,
     read_table,

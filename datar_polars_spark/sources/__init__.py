@@ -236,6 +236,48 @@ def write_clustered(
     d.sortWithinPartitions(*by).write.mode(mode).parquet(path)
 
 
+def write_training_shards(
+    td: Tibble,
+    path: str,
+    n_shards: int | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic training-order shard writer — the last-mile
+    export a training run reads sequentially. The global example order
+    is a seeded permutation (ascending ``xxhash64(seed, id)``, ties by
+    id), laid out with ``repartitionByRange`` + ``sortWithinPartitions``
+    so each shard file is a contiguous slice of that order and reading
+    shards in file order replays it exactly. Same seed -> same global
+    sequence on any cluster size; a bare ``repartition(n)`` shuffle is
+    NOT reproducible across runs, which silently changes training
+    order between restarts. Shard CUT points come from sampled range
+    quantiles, so shard sizes are near-even but boundaries can shift
+    slightly between runs — the ORDER never does. One total-sort
+    shuffle (range-partitioned, spill-safe, no driver collection)."""
+    from pyspark.sql import functions as F
+
+    if "__shuffle__" in td.columns:
+        raise ValueError(
+            "write_training_shards: column '__shuffle__' is reserved "
+            "scratch; rename it first"
+        )
+    key = F.xxhash64(F.lit(int(seed)).cast("long"), F.col(id_col))
+    d = _with_level_metadata(td).withColumn("__shuffle__", key)
+    d = (
+        d.repartitionByRange(n_shards, "__shuffle__", id_col)
+        if n_shards
+        else d.repartitionByRange("__shuffle__", id_col)
+    )
+    (
+        d.sortWithinPartitions("__shuffle__", id_col)
+        .drop("__shuffle__")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def zorder_key(
     df, by: list[str], bits: int = 12, stats: dict | None = None
 ):

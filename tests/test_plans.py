@@ -621,3 +621,60 @@ def test_partitioned_write_accepts_bare_string(spark, tmp_path):
     o = str(tmp_path / "li_orc")
     write_orc(li, o, partition_by="l_returnflag")
     assert any(d.startswith("l_returnflag=") for d in os.listdir(o))
+
+
+def test_write_training_shards_order_is_deterministic(spark, tmp_path):
+    """write_training_shards (r11): shard files are contiguous slices
+    of the seeded global permutation; reading files in name order
+    replays it exactly, and a re-run with the same seed reproduces the
+    identical sequence (a bare repartition(n) does not)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datar_polars_spark import read_parquet
+    from datar_polars_spark.sources import write_training_shards
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    want = [
+        r["doc_id"]
+        for r in docs.df.select("doc_id")
+        .orderBy(
+            F.xxhash64(F.lit(7).cast("long"), F.col("doc_id")).asc(),
+            F.col("doc_id").asc(),
+        )
+        .collect()
+    ]
+
+    def read_order(path):
+        ids = []
+        for fp in sorted(glob.glob(os.path.join(path, "part-*"))):
+            ids.extend(
+                r["doc_id"] for r in spark.read.parquet(fp).collect()
+            )
+        return ids
+
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, p1, n_shards=4, seed=7)
+    assert len(glob.glob(os.path.join(p1, "part-*"))) == 4
+    got1 = read_order(p1)
+    assert got1 == want  # file order replays the seeded permutation
+    write_training_shards(docs, p2, n_shards=4, seed=7)
+    assert read_order(p2) == got1  # reproducible across runs
+
+    # a different seed is a different permutation of the same rows
+    p3 = str(tmp_path / "s3")
+    write_training_shards(docs, p3, n_shards=4, seed=8)
+    got3 = read_order(p3)
+    assert sorted(got3) == sorted(want) and got3 != got1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="__shuffle__"):
+        from datar_polars_spark.tibble import ensure_tibble
+
+        write_training_shards(
+            ensure_tibble(docs.df.withColumn("__shuffle__", F.lit(1))),
+            str(tmp_path / "bad"),
+        )
