@@ -42,6 +42,10 @@ from .similarity import (  # noqa: F401
     ivfpq_write,
     ivfpq_read,
     l2_normalize,
+    pca_train,
+    pca_apply,
+    pca_write,
+    pca_read,
 )
 from .tokenizer import (  # noqa: F401
     bpe_train,

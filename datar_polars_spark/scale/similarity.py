@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..plans.expr import Ref
 from ..plans.verb import verb
-from ..tibble import Tibble
+from ..tibble import Tibble, ensure_tibble
 
 from .dedup import cosine_sim
 
@@ -31,7 +31,8 @@ __all__ = ["cosine_topk", "lsh_plan_buckets", "lsh_topk",
            "ivf_train", "ivf_assign", "ivf_topk", "knn_join",
            "pq_train", "pq_encode", "pq_topk", "pq_knn_join",
            "ivfpq_train", "ivfpq_encode", "ivfpq_knn_join",
-           "l2_normalize"]
+           "l2_normalize",
+           "pca_train", "pca_apply", "pca_write", "pca_read"]
 
 
 def _name_of(x: Any) -> str:
@@ -1503,3 +1504,193 @@ def l2_normalize(
         1,
     )
     return td.with_df(td.df.withColumn(out, normalized))
+
+
+def pca_train(
+    td: Any,
+    embedding: Any = "embedding",
+    dim_out: int | None = None,
+    combine_width: int = 64,
+) -> dict:
+    """EXACT distributed PCA over an embedding column — the standard
+    dimensionality-reduction step in front of an ANN index (FAISS's
+    PCA/OPQ preprocessing): train once, ``pca_apply`` the corpus and
+    queries, then IVF-PQ the reduced vectors (smaller codes, faster
+    scans, often better recall per byte).
+
+    100 TB shape: ONE Arrow ``mapInPandas`` pass emits a single
+    partial statistic row PER PARTITION (count, sum vector, flattened
+    Gramian X'X — the sufficient statistics for covariance), a second
+    combine level folds those ``combine_width``-to-1 (tree
+    aggregation; only ~d^2 doubles per row ever move), and the driver
+    eigendecomposes the d x d covariance. No sampling — the covariance
+    is exact regardless of corpus size. Deterministic: eigenvectors
+    are sign-fixed so each component's largest-magnitude coordinate is
+    positive.
+
+    Returns a JSON-able model dict: ``mean`` (d), ``components``
+    (dim_out x d rows, descending variance), ``explained_variance``
+    (dim_out). NULL embeddings are ignored in training."""
+    import numpy as np
+
+    td = ensure_tibble(td) if not isinstance(td, Tibble) else td
+    ename = _name_of(embedding)
+    src = td.df.select(ename).where(F.col(ename).isNotNull())
+    first = src.first()
+    if first is None:
+        raise ValueError("pca_train: no non-NULL vectors to train on")
+    d = len(first[0])
+    if dim_out is None:
+        dim_out = d
+    if not 1 <= int(dim_out) <= d:
+        raise ValueError(
+            f"pca_train: dim_out must be in [1, {d}], got {dim_out}"
+        )
+    schema = "n long, s array<double>, xtx array<double>"
+
+    def _partials(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        n_tot, s_tot, g_tot = 0, None, None
+        for pdf in batches:
+            vals = pdf[ename].dropna()
+            if not len(vals):
+                continue
+            X = _np.array(vals.tolist(), dtype="float64")
+            n_tot += len(X)
+            s = X.sum(axis=0)
+            g = X.T @ X
+            s_tot = s if s_tot is None else s_tot + s
+            g_tot = g if g_tot is None else g_tot + g
+        if n_tot:
+            yield _pd.DataFrame(
+                {"n": [n_tot], "s": [s_tot.tolist()],
+                 "xtx": [g_tot.ravel().tolist()]}
+            )
+
+    def _combine(batches):
+        # same reducer over partial rows instead of vectors
+        import numpy as _np
+        import pandas as _pd
+
+        n_tot, s_tot, g_tot = 0, None, None
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                n_tot += int(row["n"])
+                s = _np.asarray(row["s"], dtype="float64")
+                g = _np.asarray(row["xtx"], dtype="float64")
+                s_tot = s if s_tot is None else s_tot + s
+                g_tot = g if g_tot is None else g_tot + g
+        if n_tot:
+            yield _pd.DataFrame(
+                {"n": [n_tot], "s": [s_tot.tolist()],
+                 "xtx": [g_tot.tolist()]}
+            )
+
+    partials = src.mapInPandas(_partials, schema=schema)
+    combined = partials.repartition(max(1, int(combine_width))).mapInPandas(
+        _combine, schema=schema
+    )
+    rows = combined.collect()
+    n = sum(int(r["n"]) for r in rows)
+    if n < 2:
+        raise ValueError(f"pca_train: need >= 2 vectors, got {n}")
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum(
+        [np.asarray(r["xtx"]).reshape(d, d) for r in rows], axis=0
+    )
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][: int(dim_out)]
+    comps = evecs[:, order].T  # (dim_out, d)
+    # sign convention: largest-|coordinate| positive per component
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": [float(max(evals[k], 0.0)) for k in order],
+        "version": 1,
+    }
+
+
+def pca_apply(
+    td: Any,
+    model: dict,
+    embedding: Any = "embedding",
+    out_col: str | None = None,
+) -> Tibble:
+    """Project an embedding column through a :func:`pca_train` model:
+    ``(x - mean) @ components.T`` as ONE vectorized Arrow batch matmul
+    per partition — narrow, no shuffle, NULL embeddings stay NULL.
+    ``out_col=None`` replaces the embedding in place (array<double> of
+    dim_out)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    if not (isinstance(model, dict) and "components" in model):
+        raise ValueError(
+            "pca_apply: expected the dict pca_train returned "
+            "(key 'components')"
+        )
+    td = ensure_tibble(td) if not isinstance(td, Tibble) else td
+    ename = _name_of(embedding)
+    dest = out_col or ename
+    if out_col and out_col in td.columns:
+        raise ValueError(
+            f"pca_apply: column {out_col!r} already exists; pass a "
+            f"different out_col"
+        )
+    mean = np.asarray(model["mean"], dtype="float64")
+    W = np.asarray(model["components"], dtype="float64")
+
+    @pandas_udf("array<double>")
+    def _proj(vs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        ok = vs.notna().to_numpy()
+        res: list = [None] * len(vs)
+        idx = _np.flatnonzero(ok)
+        if len(idx):
+            X = _np.array(vs.iloc[idx].tolist(), dtype="float64")
+            if X.shape[1] != mean.shape[0]:
+                raise ValueError(
+                    f"pca_apply: vector dim {X.shape[1]} != model dim "
+                    f"{mean.shape[0]}"
+                )
+            Y = (X - mean) @ W.T
+            for k, i in enumerate(idx):
+                res[i] = Y[k].tolist()
+        return pd.Series(res)
+
+    return td.with_df(td.df.withColumn(dest, _proj(F.col(ename))))
+
+
+def pca_write(spark, model: dict, path: str) -> None:
+    """Persist a PCA model as one JSON file on any Hadoop filesystem
+    (file://, hdfs://, s3a://) — same lifecycle as bpe_write /
+    ivfpq_write."""
+    if not (isinstance(model, dict) and "components" in model):
+        raise ValueError(
+            "pca_write: expected the dict pca_train returned "
+            "(key 'components')"
+        )
+    from .jsonio import write_json_file
+
+    write_json_file(spark, path, {"format": "pca-model", **model})
+
+
+def pca_read(spark, path: str) -> dict:
+    """Load a :func:`pca_write` artifact."""
+    from .jsonio import read_json_file
+
+    loaded = read_json_file(spark, path)
+    if loaded.get("format") != "pca-model" or "components" not in loaded:
+        raise ValueError(f"{path} is not a pca_write artifact")
+    loaded.pop("format")
+    return loaded
