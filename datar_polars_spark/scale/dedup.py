@@ -1170,11 +1170,26 @@ def dedup_paragraphs(
             F.split(F.coalesce(F.col(tname), F.lit("")), sep)
         ).alias("__pos", "__para"),
     ).withColumn("__key", key)
-    w = Window.partitionBy("__key").orderBy(
-        F.col(idn).asc(), F.col("__pos").asc()
+    # keep-first = the (id, pos)-minimal row per fingerprint. r11: a
+    # min-AGGREGATION + equi-join instead of a row_number window —
+    # a window puts EVERY copy of a mega-boilerplate paragraph (the
+    # exact thing this op exists to remove) into one unsplittable
+    # task, while the aggregation partial-combines map-side (each
+    # mapper ships one row per distinct key) and the join back is an
+    # ordinary shuffle join AQE can skew-split.
+    winner = paras.groupBy("__key").agg(
+        F.min(
+            F.struct(F.col(idn).alias("i"), F.col("__pos").alias("p"))
+        ).alias("__w")
     )
-    kept = paras.withColumn(
-        "__keep", F.row_number().over(w) == 1
+    kept = (
+        paras.join(winner, "__key")
+        .withColumn(
+            "__keep",
+            (F.col(idn) == F.col("__w.i"))
+            & (F.col("__pos") == F.col("__w.p")),
+        )
+        .drop("__w")
     )
     rebuilt = F.array_join(
         F.transform(

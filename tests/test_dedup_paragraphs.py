@@ -154,7 +154,9 @@ def test_corpus_scope_shuffles_are_narrow(spark, td):
     out = dedup_paragraphs(td)
     exchanges = _exchange_outputs(out.df)
     assert exchanges, "expected a physical plan with exchanges"
-    narrow_ok = {"doc_id", "__pos", "__para", "__key", "__keep"}
+    # 'min'/'__w' are the keep-first winner aggregation's partial and
+    # final columns — a struct<id,pos>, still narrow
+    narrow_ok = {"doc_id", "__pos", "__para", "__key", "__keep", "min", "__w"}
     exploded = [
         cols for cols in exchanges
         if any(c.startswith("__p") or c == "__key" for c in cols)
