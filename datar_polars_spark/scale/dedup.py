@@ -529,19 +529,32 @@ def _fingerprint_survivors(df: DataFrame, tname: str, idn: str) -> DataFrame:
     """Exact-dup pre-pass: keep the min-id row per normalized-text md5.
     Identical copies share every LSH band, so running LSH on the raw
     corpus puts whole duplicate clusters into single buckets (O(k^2)
-    candidate pairs for a k-copy cluster). The pre-pass removes them
-    with one uniform hash-groupBy shuffle; LSH then only sees one
-    representative per exact cluster. Final survivors are identical:
-    both passes keep each cluster's minimum id."""
+    candidate pairs for a k-copy cluster). The pre-pass removes them;
+    LSH then only sees one representative per exact cluster. Final
+    survivors are identical: both passes keep each cluster's minimum
+    id.
+
+    r11: the winner is a min-AGGREGATION joined back null-safely (NULL
+    text is one cluster, as before) rather than a row_number window —
+    a window would put a 10^8-copy exact-dup cluster (empty pages,
+    error pages: the common case this pre-pass exists for) into ONE
+    task carrying full document rows; the aggregation partial-combines
+    map-side and the join back is AQE-skew-splittable."""
     fp = F.md5(
         F.regexp_replace(F.lower(F.trim(F.col(tname))), r"\s+", " ").cast("binary")
     )
-    w = Window.partitionBy("__fp__").orderBy(F.col(idn).asc())
+    with_fp = df.withColumn("__fp__", fp)
+    winner = (
+        with_fp.groupBy("__fp__")
+        .agg(F.min(F.col(idn)).alias("__fp_min__"))
+        .withColumnRenamed("__fp__", "__fp_w__")
+    )
     return (
-        df.withColumn("__fp__", fp)
-        .withColumn("__fp_rn__", F.row_number().over(w))
-        .filter(F.col("__fp_rn__") == 1)
-        .drop("__fp__", "__fp_rn__")
+        with_fp.join(
+            winner, F.col("__fp__").eqNullSafe(F.col("__fp_w__"))
+        )
+        .filter(F.col(idn) == F.col("__fp_min__"))
+        .drop("__fp__", "__fp_w__", "__fp_min__")
     )
 
 
