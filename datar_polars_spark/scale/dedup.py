@@ -56,18 +56,35 @@ def _name_of(x: Any) -> str:
 def dedup_exact(td: Tibble, *cols: Any, id_col: Any = None) -> Tibble:
     """Keep one row per distinct value of ``cols`` (all columns if
     empty). With ``id_col``, deterministically keeps the row with the
-    smallest id (hash-groupBy; one shuffle on the dedup key)."""
+    smallest id.
+
+    r11: the id_col path is a ``min_by`` aggregation (one hash-groupBy
+    shuffle with map-side partial combine) instead of a row_number
+    window — a window puts a huge duplicate cluster (empty pages,
+    recrawled URLs) into ONE unsplittable task, while the aggregation
+    collapses each mapper's copies to a single candidate row before
+    the shuffle."""
     names = [_name_of(c) for c in cols] or list(td.columns)
     if id_col is None:
         out = td.df.select(*td.columns).dropDuplicates(names)
         return Tibble(out, groups=td.group_vars, levels=td.levels)
     idn = _name_of(id_col)
-    w = Window.partitionBy(*names).orderBy(F.col(idn).asc())
+    others = [c for c in td.columns if c not in names]
+    if not others:
+        out = td.df.select(*td.columns).dropDuplicates(names)
+        return Tibble(out, groups=td.group_vars, levels=td.levels)
+    winner = F.min_by(
+        F.struct(*[F.col(c) for c in others]), F.col(idn)
+    ).alias("__w__")
     out = (
         td.df.select(*td.columns)
-        .withColumn("__dedup_rn__", F.row_number().over(w))
-        .filter(F.col("__dedup_rn__") == 1)
-        .drop("__dedup_rn__")
+        .groupBy(*names)
+        .agg(winner)
+        .select(
+            *names,
+            *[F.col(f"__w__.{c}").alias(c) for c in others],
+        )
+        .select(*td.columns)
     )
     return Tibble(out, groups=td.group_vars, levels=td.levels)
 
@@ -1389,22 +1406,26 @@ def semantic_pairs(
     d = assigned.df.select(
         F.col(idn).alias("id"), F.col(ename).alias("vec"), "__sem_c__"
     )
-    # salt-split factor from a DISTRIBUTED window count over the cluster
-    # id — no driver census, no k-entry literal map in the plan (the old
-    # create_map form collected k rows at build time and inlined 2k
-    # literals; at k=sqrt(10^9) that's a 60k-literal expression). The
-    # window's hash partitioning on __sem_c__ already satisfies the
-    # downstream groupBy(__sem_c__, __sem_s__) clustering requirement
-    # (same-cluster rows co-locate), so this adds NO extra shuffle.
-    from pyspark.sql.window import Window
-
-    csize = F.count("*").over(Window.partitionBy("__sem_c__"))
+    # salt-split factor from a DISTRIBUTED census joined back — no
+    # driver collect, no k-entry literal map in the plan (the old
+    # create_map form inlined 2k literals; at k=sqrt(10^9) that's a
+    # 60k-literal expression), and no count-over-window either (r11: a
+    # window puts an entire over-full cluster — the exact case the
+    # salt exists for — into ONE unsplittable task). The census is a
+    # map-side-combined groupBy of k tiny rows; the join back is
+    # broadcastable/AQE-splittable.
+    sizes = (
+        d.groupBy("__sem_c__")
+        .agg(F.count(F.lit(1)).alias("__sem_n__"))
+    )
+    d = d.join(sizes, "__sem_c__")
     split_of = F.greatest(
-        F.lit(1).cast("long"), F.ceil(csize / F.lit(max_cluster))
+        F.lit(1).cast("long"),
+        F.ceil(F.col("__sem_n__") / F.lit(max_cluster)),
     )
     d = d.withColumn(
         "__sem_s__", F.pmod(F.xxhash64(F.col("id")), split_of).cast("int")
-    ).withColumn("__sem_n__", csize)
+    )
     # recall accounting: pairs straddling a salt split are not compared.
     # Register the census lazily — dropped_pairs_estimate() runs it on
     # demand; nothing here triggers a job.

@@ -635,16 +635,38 @@ def cap_per_key(
     key: Any,
     n: int,
     id_col: Any = "doc_id",
+    salt: int = 64,
 ) -> Tibble:
     """Keep at most ``n`` rows per key (per-domain caps in web-corpus
     curation). Selection order is the deterministic hash of the id —
     reproducible across runs and cluster layouts, and NOT frame order,
-    so no global ordering materializes; one keyed window shuffle."""
+    so no global ordering materializes.
+
+    r11 skew design: crawl domains are Zipfian, so a single window per
+    key would put a mega-domain's entire row set into ONE task. The
+    selection runs in two levels instead: a first window over
+    ``(key, salt-bucket)`` keeps each bucket's ``n`` smallest hashes
+    (bounded partitions), then a second window over the key picks the
+    global ``n`` from the <= ``salt * n`` survivors — identical result
+    to a single window (every globally-selected row is its bucket's
+    local top-``n``), with no partition ever larger than
+    max(bucket_size, salt*n)."""
     kname = key._name if hasattr(key, "_name") else str(key)
     idn = id_col._name if hasattr(id_col, "_name") else str(id_col)
-    w = Window.partitionBy(kname).orderBy(F.xxhash64(F.col(idn)).asc())
+    order = F.xxhash64(F.col(idn)).asc()
+    if int(salt) > 1:
+        bucket = F.pmod(F.xxhash64(F.lit("s"), F.col(idn)), F.lit(int(salt)))
+        w1 = Window.partitionBy(F.col(kname), bucket).orderBy(order)
+        pre = (
+            td.df.withColumn("__cap_rn__", F.row_number().over(w1))
+            .filter(F.col("__cap_rn__") <= n)
+            .drop("__cap_rn__")
+        )
+    else:
+        pre = td.df
+    w2 = Window.partitionBy(kname).orderBy(order)
     out = (
-        td.df.withColumn("__cap_rn__", F.row_number().over(w))
+        pre.withColumn("__cap_rn__", F.row_number().over(w2))
         .filter(F.col("__cap_rn__") <= n)
         .drop("__cap_rn__")
     )

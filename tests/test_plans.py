@@ -378,16 +378,19 @@ def test_semantic_pairs_single_shuffle_no_funnel(spark):
     plan = pairs.df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "FlatMapGroupsInPandas" in plan
-    # r5: the salt-split factor comes from a window count over the
-    # cluster id, NOT a driver census inlined as a create_map literal
-    # (k entries in the plan) — and the window's hash partitioning on
-    # __sem_c__ is reused by the groupBy, so the pair search still has
-    # exactly ONE wide exchange (the id_a/id_b one is the tiny
-    # pair-level dropDuplicates)
+    # r5: the salt-split factor comes from a distributed census, NOT a
+    # driver collect inlined as a create_map literal (k entries in the
+    # plan). r11: the census is a map-side-combined groupBy joined
+    # back (a count-over-window put an over-full cluster — the exact
+    # case the salt exists for — into one unsplittable task), so BELOW
+    # the Arrow stage there are at most two hash exchanges: the wide
+    # (cluster, salt) one carrying vectors, and the tiny census one
+    # carrying only (cluster, partial count).
     assert "keys:" not in plan  # no map literal
     pre_pandas = plan.split("FlatMapGroupsInPandas")[-1]
-    assert pre_pandas.count("Exchange hashpartitioning") == 1
-    assert "Window" in pre_pandas
+    assert pre_pandas.count("Exchange hashpartitioning") <= 2
+    assert "partial_count" in pre_pandas  # census combines map-side
+    assert "Window" not in pre_pandas  # no unsplittable per-cluster task
 
 
 def test_grouped_agg_join_broadcasts_small_side(spark):

@@ -400,6 +400,23 @@ def test_cap_per_key_deterministic(spark):
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])  # reproducible
 
 
+def test_cap_per_key_two_level_equals_single_window(spark):
+    """r11 skew design: the salted two-level selection is IDENTICAL to
+    a single window (every globally selected row is its salt bucket's
+    local top-n), across cap sizes and skewed key distributions."""
+    from datar_polars_spark import f, tibble
+    from datar_polars_spark.scale import cap_per_key
+
+    ks = ["mega"] * 500 + ["mid"] * 40 + ["tiny"] * 2
+    td = tibble(spark, doc_id=list(range(len(ks))), k=ks)
+    for n in (1, 7, 50, 600):
+        salted = (td >> cap_per_key(f.k, n, id_col=f.doc_id)).collect()
+        single = (
+            td >> cap_per_key(f.k, n, id_col=f.doc_id, salt=1)
+        ).collect()
+        assert sorted(salted["doc_id"]) == sorted(single["doc_id"])
+
+
 class TestSemanticDedup:
     """SemDeDup-style cluster-then-prune dedup (round 3): planted
     near-identical vectors must be dropped, orthogonal-ish base vectors
