@@ -1105,12 +1105,14 @@ def dedup_paragraphs(
     runs inside the scan stage.
 
     100 TB design (corpus scope): the exploded frame carries ONLY
-    ``(id, position, paragraph)`` — one keyed shuffle partitioned by
-    the paragraph fingerprint (a 64-bit xxhash — exempt paragraphs get
-    unique domain-separated keys so no giant NULL/empty skew partition
-    forms), one narrow groupBy(id) to reassemble, then a join back to
-    the original table by id. The document text and payload columns
-    ride a single exchange exactly once (the join), never the
+    ``(id, position, paragraph)`` — keep-first is a min-aggregation on
+    the paragraph fingerprint (a 64-bit xxhash; exempt paragraphs get
+    unique domain-separated keys) that partial-combines map-side, so a
+    mega-boilerplate key cannot form a giant task, joined back with an
+    AQE-skew-splittable equi join; then one narrow groupBy(id)
+    reassembles and a final join attaches the rebuilt text to the
+    original table. The document text and payload columns ride a
+    single exchange exactly once (the final join), never the
     P-rows-per-doc exploded frame; nothing collects."""
     td = ensure_tibble(td)
     tname, idn = _name_of(text), _name_of(id_col)
