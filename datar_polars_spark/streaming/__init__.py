@@ -233,6 +233,70 @@ def stateful_running_agg(
     )
 
 
+def stream_cap_per_key(
+    sdf: DataFrame,
+    key: Any,
+    n: int,
+    timeout_minutes: int = 0,
+) -> DataFrame:
+    """Streaming per-key admission cap — the live-crawl counterpart of
+    the batch ``cap_per_key`` (per-domain caps): pass through at most
+    ``n`` rows per key ACROSS micro-batches, dropping everything after
+    the cap fills. State is ONE counter per key in the state store
+    (``applyInPandasWithState``); with ``timeout_minutes`` idle keys
+    expire, keeping the store bounded (and re-admitting a domain after
+    a quiet period — a rolling rather than all-time cap, documented).
+
+    Unlike the batch op (which selects the n smallest id-hashes —
+    a deterministic, order-free choice), a stream must decide at
+    arrival time, so admission is first-come: which rows land under
+    the cap depends on arrival order. Rows with a NULL key share the
+    NULL counter. Output schema == input schema."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if int(n) < 1:
+        raise ValueError(f"stream_cap_per_key: n must be >= 1, got {n}")
+    kname = _name_of(key)
+    if kname not in sdf.columns:
+        raise ValueError(
+            f"stream_cap_per_key: key column {kname!r} not in the "
+            f"stream frame"
+        )
+    out_schema = ", ".join(
+        f"{f_.name} {f_.dataType.simpleString()}" for f_ in sdf.schema
+    )
+    out_cols = [f_.name for f_ in sdf.schema]
+    state_schema = "admitted bigint"
+    cap = int(n)
+    to_ms = int(timeout_minutes) * 60 * 1000
+
+    def update(key_, pdfs, state: GroupState):
+        (admitted,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            room = cap - admitted
+            if room <= 0:
+                continue
+            take = pdf.iloc[:room]
+            admitted += len(take)
+            if len(take):
+                yield take[out_cols]
+        state.update((admitted,))
+        if to_ms:
+            state.setTimeoutDuration(to_ms)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return sdf.groupBy(kname).applyInPandasWithState(
+        update, out_schema, state_schema, "append", timeout
+    )
+
+
+__all__.append("stream_cap_per_key")
+
+
 def stream_enrich(
     sdf: DataFrame, static: Any, by: Any, how: str = "left"
 ) -> DataFrame:
