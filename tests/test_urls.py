@@ -384,3 +384,24 @@ def test_plan_is_pure_jvm(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "Exchange" not in plan
+
+
+def test_url_normalize_is_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u): the canonical form is
+    a fixed point, so re-canonicalizing landed data never changes keys
+    (fuzzed over scheme/host-case/port/path/params/fragment combos)."""
+    import itertools
+
+    urls = []
+    for scheme, host, port, path, q, frag in itertools.product(
+        ["http", "HTTPS"],
+        ["A.Example.COM", "news.site.co.uk"],
+        ["", ":80", ":443", ":8080"],
+        ["", "/", "/P/x/", "/a//b///"],
+        ["", "?b=2&a=1", "?utm_source=x", "?z=9&gclid=t&y=8&ref=keep"],
+        ["", "#frag"],
+    ):
+        urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+    once = _norm(spark, urls)
+    twice = _norm(spark, once)
+    assert twice == once
