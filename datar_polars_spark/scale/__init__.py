@@ -83,7 +83,7 @@ from .lm import (  # noqa: F401
     ngram_lm_score,
 )
 from . import text  # noqa: F401 (registers text-analysis functions)
-from .text import normalize_text  # noqa: F401
+from .text import html_to_text, normalize_text  # noqa: F401
 from .filters import (  # noqa: F401 (also registers repetition metrics)
     gopher_quality_filter,
     c4_clean,

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.registry import register
 
-__all__ = ["STOPWORDS", "normalize_text"]
+__all__ = ["STOPWORDS", "normalize_text", "html_to_text"]
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 STOPWORDS: dict[str, list[str]] = {
@@ -292,3 +292,83 @@ def normalize_text(
     if collapse_whitespace:
         col = F.regexp_replace(col, "[ \\t]{2,}", " ")
     return td.with_df(td.df.withColumn(dest, col))
+
+
+def html_to_text(
+    td,
+    html: str = "html",
+    out_col: str = "text",
+    full_entities: bool = False,
+):
+    """HTML -> text extraction (the WET-style step between a raw crawl
+    and every text op in this module): strips comments and
+    script/style/noscript/template blocks, turns block-level closes
+    and <br>/<hr> into newlines (so paragraph structure survives for
+    ``dedup_paragraphs``), removes remaining tags, decodes the common
+    named entities, and normalizes whitespace (runs of spaces -> one,
+    3+ newlines -> a blank line). A documented REGEX extractor, not an
+    HTML parser — the right scan-stage tradeoff for crawl-scale
+    boilerplate text; malformed markup degrades to leftover text, not
+    errors. NULL in -> NULL out.
+
+    Everything compiles to JVM ``regexp_replace``; only
+    ``full_entities=True`` (numeric ``&#..;`` and the long named-entity
+    tail via ``html.unescape``) crosses into one Arrow pass, mirroring
+    ``normalize_text(form=)``."""
+    from ..tibble import ensure_tibble
+
+    td = ensure_tibble(td)
+    hname = html if isinstance(html, str) else html._name
+    if out_col != hname and out_col in td.columns:
+        raise ValueError(
+            f"html_to_text: column {out_col!r} already exists; pass a "
+            f"different out_col"
+        )
+    col = F.col(hname)
+    # invisible content first (payload must not leak into text)
+    col = F.regexp_replace(col, r"(?s)<!--.*?-->", "")
+    for tag in ("script", "style", "noscript", "template"):
+        col = F.regexp_replace(
+            col, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", ""
+        )
+    # block structure BEFORE tag stripping: paragraph-level closes
+    # become blank lines (the \n\n boundaries dedup_paragraphs keys
+    # on); line-level breaks become single newlines
+    col = F.regexp_replace(
+        col,
+        r"(?i)</(p|div|section|article|ul|ol|h[1-6]|tr|table|"
+        r"blockquote|pre|figure|header|footer|title)\s*>",
+        "\n\n",
+    )
+    col = F.regexp_replace(col, r"(?i)</(li|td|th)\s*>|<(br|hr)\s*/?\s*>", "\n")
+    col = F.regexp_replace(col, r"(?s)<[^>]+>", "")
+    if full_entities:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _unescape(s):
+            import html as _html
+
+            return s.map(
+                lambda v: _html.unescape(v) if v is not None else None
+            )
+
+        col = _unescape(col)
+    else:
+        # common named entities; '&amp;' last so '&amp;lt;' stays '&lt;'
+        for ent, rep in (
+            ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+            ("&amp;", "&"),
+        ):
+            col = F.replace(col, F.lit(ent), F.lit(rep))
+    # whitespace normalization: spaces collapse, newlines keep at most
+    # one blank line, edges trimmed
+    col = F.regexp_replace(col, r"[ \t\x0B\r]+", " ")
+    col = F.regexp_replace(col, r" ?\n ?", "\n")
+    col = F.regexp_replace(col, r"\n{3,}", "\n\n")
+    col = F.regexp_replace(col, r"^\s+|\s+$", "")
+    col = F.when(F.col(hname).isNull(), F.lit(None).cast("string")).otherwise(
+        col
+    )
+    return td.with_df(td.df.withColumn(out_col, col))
