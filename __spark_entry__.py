@@ -2816,6 +2816,11 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY method, cosine DESC, vec_id
         """,
         "q38_minhash_dedup": """
+            -- r11: exact-equivalent gram-join formulation instead of
+            -- the all-pairs cross join (which was intractable past
+            -- sf0.01): |I| counts shared distinct grams per pair,
+            -- |U| = |A| + |B| - |I|; zero-overlap pairs have j = 0
+            -- and are correctly absent from every leg
             WITH t AS (
                 SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
                 FROM documents
@@ -2824,11 +2829,16 @@ def oracle_sql() -> dict[str, str]:
                        list_distinct([array_to_string(toks[i+1:i+3], ' ')
                                       FOR i IN range(0, greatest(len(toks)-3, 0)+1)]) AS grams
                 FROM t
+            ), ge AS (
+                SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram
+                FROM g
             ), jp AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       len(list_intersect(a.grams, b.grams)) * 1.0
-                       / len(list_distinct(a.grams || b.grams)) AS j
-                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                       COUNT(*) * 1.0
+                       / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS j
+                FROM ge a JOIN ge b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
             ), dup AS (
                 SELECT DISTINCT id_b AS doc_id FROM jp WHERE j >= 0.5
             )
