@@ -135,3 +135,40 @@ def test_empty_embeddings_scale_ops(spark):
     assert cosine_topk(e, [1.0, 0.0], f.embedding, f.vec_id, k=3).df.count() == 0
     assert semantic_pairs(e, f.embedding, f.vec_id).df.count() == 0
     assert knn_join(e.df, full, k=2).df.count() == 0
+
+
+def test_r11_curation_ops_on_empty(spark):
+    """r11 additions tolerate empty inputs (filtered-out corpora and
+    empty micro-batches are routine)."""
+    from datar_polars_spark.scale import (
+        dedup_paragraphs,
+        domain_report,
+        html_to_text,
+        normalize_text,
+        url_normalize,
+    )
+
+    e = tibble(
+        spark, doc_id=[1], text=["a\n\nb"], url=["https://a.com/x"]
+    ) >> filter_(f.doc_id > 9)
+    assert normalize_text(e).df.count() == 0
+    assert html_to_text(e, html="text", out_col="extracted").df.count() == 0
+    out = dedup_paragraphs(e)
+    assert out.df.count() == 0
+    assert "paras_removed" in out.columns  # schema intact on empty
+    rep = domain_report(e, url="url", text="text")
+    assert rep.df.count() == 0
+    from pyspark.sql import functions as F
+
+    assert e.df.select(url_normalize(F.col("url"))).count() == 0
+
+
+def test_r11_pca_and_ids_on_tiny(spark):
+    """pca_train needs >= 2 vectors (fail-fast on empty is covered in
+    test_pca); bpe ids on an empty frame yield empty arrays."""
+    from datar_polars_spark.scale import bpe_encode_ids, bpe_train
+
+    full = tibble(spark, doc_id=[1, 2], text=["alpha beta", "beta gamma"])
+    model = bpe_train(full, n_merges=5)
+    e = full >> filter_(f.doc_id > 9)
+    assert bpe_encode_ids(e, model).df.count() == 0
