@@ -1,7 +1,7 @@
 """Pure-Python media header parsers (no PIL/cv2/torchaudio needed).
 
 Real metadata decode for the dominant container formats — PNG, JPEG,
-GIF, BMP, WebP, TIFF, HEIF-family (AVIF/HEIC) images; WAV, FLAC, MP3, OGG (Vorbis/Opus) audio;
+GIF, BMP, WebP, TIFF, HEIF-family (AVIF/HEIC) images; WAV, FLAC, MP3, OGG (Vorbis/Opus), AIFF/AIFF-C audio;
 MP4/ISO-BMFF (ftyp/moov/mvhd/tkhd box walk), WebM/Matroska (EBML
 element walk), and RIFF AVI video — using nothing but ``struct`` over the leading
 bytes. Formats outside this set fall back
@@ -39,6 +39,7 @@ __all__ = [
     "make_flac",
     "make_mp3",
     "make_ogg",
+    "make_aiff",
 ]
 
 # --------------------------------------------------------------------------
@@ -410,12 +411,45 @@ def _parse_ogg(b: bytes):
     return "ogg", sr, n
 
 
+def _parse_aiff(b: bytes):
+    """(format, sample_rate, n_samples) for AIFF/AIFF-C (the IFF
+    sibling of WAV: big-endian FORM container, COMM chunk with an
+    80-bit extended-float sample rate), or None. Evidence = FORM
+    magic + AIFF/AIFC form type + a parsable COMM chunk."""
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    fmt = "aiff" if b[8:12] == b"AIFF" else "aifc"
+    i = 12
+    while i + 8 <= len(b):
+        ctype = b[i : i + 4]
+        (csize,) = struct.unpack(">I", b[i + 4 : i + 8])
+        if ctype == b"COMM" and i + 8 + 18 <= len(b):
+            p = i + 8
+            n_frames = struct.unpack(">I", b[p + 2 : p + 6])[0]
+            # 80-bit IEEE 754 extended float: 1 sign + 15 exponent bits,
+            # explicit-integer-bit 64-bit mantissa
+            exp = struct.unpack(">H", b[p + 8 : p + 10])[0]
+            mant = struct.unpack(">Q", b[p + 10 : p + 18])[0]
+            sign = -1 if exp & 0x8000 else 1
+            exp &= 0x7FFF
+            if mant == 0 and exp == 0:
+                rate = 0
+            else:
+                rate = sign * mant * 2.0 ** (exp - 16383 - 63)
+            if rate <= 0 or rate != rate:
+                return None
+            return fmt, int(round(rate)), n_frames
+        # IFF chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + csize + (csize & 1)
+    return None  # FORM without COMM: insufficient evidence
+
+
 def parse_audio_header(b: bytes):
     """(format, sample_rate, n_samples) from leading bytes, or None if
-    the content is not a recognized WAV/FLAC/MP3/OGG container."""
+    the content is not a recognized WAV/FLAC/MP3/OGG/AIFF container."""
     if not b:
         return None
-    for parse in (_parse_wav, _parse_flac, _parse_mp3, _parse_ogg):
+    for parse in (_parse_wav, _parse_flac, _parse_mp3, _parse_ogg, _parse_aiff):
         out = parse(b)
         if out is not None:
             return out
@@ -901,6 +935,28 @@ def make_heif(width: int, height: int, brand: str = "avif") -> bytes:
     meta = _bmff_box(b"meta", b"\x00\x00\x00\x00" + hdlr + iprp)
     ftyp = _bmff_box(b"ftyp", bb + struct.pack(">I", 0) + bb + b"mif1")
     return ftyp + meta
+
+
+def make_aiff(sample_rate: int, n_frames: int, compressed: bool = False) -> bytes:
+    """Minimal valid AIFF (or AIFF-C) header: FORM + COMM with the
+    80-bit extended-float sample rate real writers emit."""
+    import math
+
+    if sample_rate <= 0:
+        raise ValueError("make_aiff: sample_rate must be positive")
+    e = math.floor(math.log2(sample_rate))
+    mant = int(sample_rate / 2.0 ** (e - 63))
+    comm_body = (
+        struct.pack(">hIh", 1, n_frames, 16)
+        + struct.pack(">H", 16383 + e)
+        + struct.pack(">Q", mant)
+    )
+    if compressed:
+        comm_body += b"NONE" + b"\x0enot compressed\x00"
+    comm = b"COMM" + struct.pack(">I", len(comm_body)) + comm_body
+    form_type = b"AIFC" if compressed else b"AIFF"
+    body = form_type + comm
+    return b"FORM" + struct.pack(">I", len(body)) + body
 
 def make_mp4(
     width: int,

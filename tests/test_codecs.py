@@ -694,3 +694,51 @@ class TestHeifProbe:
             2: ("image", "heic"),
             3: ("video", "mp4"),
         }
+
+
+class TestAiffProbe:
+    """AIFF/AIFF-C (IFF sibling of WAV): big-endian FORM walk, COMM
+    chunk with the 80-bit extended-float sample rate."""
+
+    @pytest.mark.parametrize(
+        "sr,nf", [(44_100, 220_500), (16_000, 8_000), (48_000, 1), (8_000, 0)]
+    )
+    def test_roundtrip(self, sr, nf):
+        from datar_polars_spark.scale.codecs import make_aiff, parse_audio_header
+
+        assert parse_audio_header(make_aiff(sr, nf)) == ("aiff", sr, nf)
+
+    def test_aifc_variant(self):
+        from datar_polars_spark.scale.codecs import make_aiff, parse_audio_header
+
+        got = parse_audio_header(make_aiff(22_050, 500, compressed=True))
+        assert got == ("aifc", 22_050, 500)
+
+    def test_evidence_and_truncation(self):
+        from datar_polars_spark.scale.codecs import _parse_aiff, make_aiff
+
+        assert _parse_aiff(b"FORM\x00\x00\x00\x04AIFF") is None  # no COMM
+        assert _parse_aiff(b"RIFF\x00\x00\x00\x04WAVE") is None  # not IFF/AIFF
+        full = make_aiff(44_100, 500)
+        for cut in range(0, len(full), 3):
+            assert _parse_aiff(full[:cut]) in (None, ("aiff", 44_100, 500))
+
+    def test_sniff_routes_aiff_as_audio(self, spark):
+        import pandas as pd
+
+        from datar_polars_spark import tibble
+        from datar_polars_spark.scale import sniff_media
+        from datar_polars_spark.scale.codecs import make_aiff, make_wav
+
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 2],
+                "content": [make_aiff(16_000, 100), make_wav(16_000, 100)],
+            }
+        )
+        td = tibble(spark, id=[1, 2]).with_df(spark.createDataFrame(pdf))
+        out = {
+            r.id: (r.media_type, r.media_format)
+            for r in sniff_media(td, content="content").collect().itertuples()
+        }
+        assert out == {1: ("audio", "aiff"), 2: ("audio", "wav")}
