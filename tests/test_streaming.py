@@ -334,3 +334,37 @@ def test_nanos_detection_ignores_int96(spark, tmp_path):
     assert _nanos_timestamp_cols(sp_dir) == []
     got = run_to_memory(stream_read_parquet(spark, sp_dir), mode="append")
     assert str(got["ts"].iloc[0]) == "2026-01-01 00:00:00"
+
+
+def test_streaming_text_extraction_pipeline(spark, tmp_path):
+    """r11: html_to_text + normalize_text are pure column expressions,
+    so the crawl extraction front-end runs unchanged on a STREAMING
+    frame, matching batch byte-for-byte."""
+    from datar_polars_spark.scale import html_to_text, normalize_text
+    from datar_polars_spark.streaming import run_to_memory
+    from datar_polars_spark.tibble import Tibble
+
+    src = str(tmp_path / "raw_pages")
+    pages = [
+        (1, "<p>First’s “page”.</p><script>x</script><p>Tail&nbsp;bit.</p>"),
+        (2, None),
+        (3, "<ul><li>a</li><li>b</li></ul>"),
+    ]
+    spark.createDataFrame(pages, "doc_id long, html string").write.parquet(src)
+
+    def extract(frame):
+        return normalize_text(
+            html_to_text(Tibble(frame), html="html", out_col="text"),
+            text="text",
+        )
+
+    stream = spark.readStream.schema("doc_id bigint, html string").parquet(src)
+    got = run_to_memory(extract(stream).df.select("doc_id", "text"), mode="append")
+    smap = dict(zip(got["doc_id"], got["text"]))
+    batch = {
+        r["doc_id"]: r["text"]
+        for r in extract(spark.read.parquet(src)).df.select("doc_id", "text").collect()
+    }
+    assert smap == batch
+    assert smap[1] == "First's \"page\".\n\nTail bit."
+    assert smap[2] is None
