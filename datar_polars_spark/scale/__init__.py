@@ -84,7 +84,12 @@ from .lm import (  # noqa: F401
 )
 from . import text  # noqa: F401 (registers text-analysis functions)
 from .text import html_to_text, normalize_text  # noqa: F401
-from .warc import parse_warc_records, read_warc, warc_records  # noqa: F401
+from .warc import (  # noqa: F401
+    parse_warc_records,
+    read_warc,
+    stream_read_warc,
+    warc_records,
+)
 from .filters import (  # noqa: F401 (also registers repetition metrics)
     gopher_quality_filter,
     c4_clean,

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F  # noqa: F401 (parity with siblings)
 
 from ..tibble import Tibble, ensure_tibble
 
-__all__ = ["parse_warc_records", "warc_records", "read_warc"]
+__all__ = ["parse_warc_records", "warc_records", "read_warc", "stream_read_warc"]
 
 _CRLF = b"\r\n"
 
@@ -168,3 +168,22 @@ def read_warc(spark, path: str, **kwargs) -> Tibble:
     independently inside its scan task."""
     df = spark.read.format("binaryFile").load(path)
     return warc_records(Tibble(df), content="content", **kwargs)
+
+
+def stream_read_warc(spark, path: str, **kwargs):
+    """STREAMING WARC ingestion: watch a directory for new .warc /
+    .warc.gz files and emit one row per record as they land — the live
+    side of :func:`read_warc` (same record schema, same kwargs). The
+    record walk is a stateless ``mapInPandas``, so the query needs no
+    state store or watermark; each arriving file parses inside its own
+    scan task. Returns a streaming DataFrame (not a Tibble): wire it
+    to ``writeStream`` or the downstream stream_* curation ops."""
+    sdf = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+    )
+    return warc_records(Tibble(sdf), content="content", **kwargs).df

@@ -134,3 +134,31 @@ def test_types_filter_and_payload_cap(spark, tmp_path):
     capped = read_warc(spark, str(p), max_payload=5).df.collect()
     assert all(len(r["payload"]) <= 5 for r in capped)
     assert all(r["payload_len"] > 5 for r in capped)  # true length reported
+
+
+def test_stream_read_warc_matches_batch(spark, tmp_path):
+    """Live ingestion parity: streaming the same segment directory
+    yields exactly the batch records (stateless mapInPandas — no
+    state store, no watermark)."""
+    import gzip as _gzip
+
+    from datar_polars_spark.scale import stream_read_warc
+    from datar_polars_spark.streaming import run_to_memory
+
+    d = tmp_path / "live_segment"
+    d.mkdir()
+    (d / "a.warc").write_bytes(_warc_bytes())
+    (d / "b.warc.gz").write_bytes(
+        _gzip.compress(_record("response", "https://c.org/z", HTML2, http=True))
+    )
+    sdf = stream_read_warc(spark, str(d))
+    assert sdf.isStreaming
+    got = run_to_memory(sdf.select("target_uri", "payload_len"), mode="append")
+    batch = (
+        read_warc(spark, str(d))
+        .df.select("target_uri", "payload_len")
+        .collect()
+    )
+    assert sorted(zip(got["target_uri"], got["payload_len"])) == sorted(
+        (r["target_uri"], r["payload_len"]) for r in batch
+    )
