@@ -681,3 +681,18 @@ def test_write_training_shards_order_is_deterministic(spark, tmp_path):
             ensure_tibble(docs.df.withColumn("__shuffle__", F.lit(1))),
             str(tmp_path / "bad"),
         )
+
+
+def test_dedup_exact_id_path_has_no_window(spark):
+    """r11 skew lock: the id_col path is a min_by aggregation (map-side
+    partial combine), not a row_number window — a mega duplicate
+    cluster must never form one unsplittable task."""
+    from datar_polars_spark import read_parquet
+    from datar_polars_spark.scale import dedup_exact
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    out = dedup_exact(docs, f.text, id_col=f.doc_id)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min_by" in plan  # combines before the shuffle
+    assert "SinglePartition" not in plan
