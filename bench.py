@@ -151,6 +151,33 @@ def _minhash_sigs_explode(docs_df, num_perm: int, shingle_words: int):
     return ex.groupBy("id").agg(*aggs)
 
 
+def _html_extract_bench(docs) -> int:
+    """The r11 extraction front-end (html_to_text -> normalize_text)
+    over documents wrapped in synthetic HTML markup — pure JVM regex
+    chains inside the scan; times the per-byte cost of the stage."""
+    from pyspark.sql import functions as F
+
+    from datar_polars_spark.scale import html_to_text, normalize_text
+    from datar_polars_spark.tibble import ensure_tibble
+
+    pages = ensure_tibble(
+        docs.df.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head><script>x()</script></head><body><p>"),
+                F.substring("text", 1, 1000),
+                F.lit("</p><div>"),
+                F.substring("text", 1001, 1000),
+                F.lit("</div></body></html>"),
+            ).alias("html"),
+        )
+    )
+    out = normalize_text(
+        html_to_text(pages, html="html", out_col="text"), text="text"
+    )
+    return out.df.select(F.sum(F.length("text"))).first()[0] or 0
+
+
 def _dedup_paragraphs_bench(docs) -> int:
     """Corpus-scope paragraph dedup over synthesized paragraph
     structure (head + shared boilerplate + tail — the q69 gate shape):
@@ -343,6 +370,9 @@ def main() -> None:
             # narrowing (only id/pos/para ride the exchanges) — same
             # synthesized-paragraph shape as the q69 gate
             "dedup_paragraphs": lambda: _dedup_paragraphs_bench(docs),
+            # r11: the extraction front-end (html_to_text ->
+            # normalize_text) over synthetic markup — scan-stage regex
+            "html_extract": lambda: _html_extract_bench(docs),
         }
         for pass_timings in (scale_ops, scale_ops_warm):
             for op_name, op in ops.items():
