@@ -197,6 +197,38 @@ def _fingerprint_overlap(ctx, a, b):
     return F.when(F.size(aa) > 0, inter / F.size(aa))
 
 
+@register("compression_ratio")
+def _compression_ratio(ctx, x, level: int = 6):
+    """zlib-compressed size / raw UTF-8 size — the RefinedWeb/CCNet
+    repetitiveness signal: boilerplate and spammy near-repetition
+    compress far below natural prose (~0.3-0.6), machine noise sits
+    near 1.0. The one registry function that runs in Python — zlib has
+    no JVM expression — but Arrow-batched (one pandas_udf), and the
+    signal is per-row so it composes with filter_/mutate like every
+    other metric. NULL/empty text yields NULL."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(ctx.eval(level)) if not isinstance(level, int) else level
+
+    @pandas_udf("double")
+    def _ratio(s):
+        import pandas as pd
+
+        def one(v):
+            if v is None:
+                return None
+            raw = v.encode("utf-8", "replace")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, lvl)) / len(raw)
+
+        return s.map(one)
+
+    return _ratio(ctx.col(x))
+
+
 def normalize_text(
     td,
     text="text",

@@ -743,3 +743,43 @@ class TestKnnJoin:
         plan = knn_join(q, e, k=3).df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan
         assert "WindowGroupLimit" in plan
+
+
+def test_compression_ratio_signal(spark):
+    """compression_ratio (r11): the RefinedWeb/CCNet repetitiveness
+    signal — boilerplate repetition compresses far below natural
+    prose; random hex sits near (or above) it; NULL/empty -> NULL."""
+    import random
+
+    from datar_polars_spark import f, mutate, select, tibble
+
+    compression_ratio = builder("compression_ratio")
+    rng = random.Random(3)
+    prose = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "wildly different clauses wander through this paragraph, each "
+        "introducing fresh vocabulary, digressions, and numbers like "
+        "42, 1789, and 3.14159 so the entropy stays honest."
+    )
+    repetitive = "buy now click here " * 60
+    noise = "".join(rng.choice("0123456789abcdef") for _ in range(1000))
+    td = tibble(
+        spark,
+        doc_id=[1, 2, 3, 4, 5],
+        text=[prose, repetitive, noise, None, ""],
+    )
+    out = (
+        td
+        >> mutate(cr=compression_ratio(f.text))
+        >> select(f.doc_id, f.cr)
+    ).collect()
+    cr = dict(zip(out["doc_id"], out["cr"]))
+    # repetition compresses an order of magnitude below prose; hex
+    # noise sits between (4 bits of entropy per 8-bit char)
+    assert cr[2] < 0.1
+    assert cr[2] < cr[3] < cr[1] < 1.0
+    assert cr[1] > 0.5
+    import math
+
+    assert cr[4] is None or math.isnan(cr[4])
+    assert cr[5] is None or math.isnan(cr[5])

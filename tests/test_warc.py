@@ -162,3 +162,18 @@ def test_stream_read_warc_matches_batch(spark, tmp_path):
     assert sorted(zip(got["target_uri"], got["payload_len"])) == sorted(
         (r["target_uri"], r["payload_len"]) for r in batch
     )
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """CommonCrawl WET files are WARC files whose 'conversion' records
+    carry extracted plain text — types=('conversion',) reads them
+    directly."""
+    wet = _record("warcinfo", "urn:info", b"x\r\n") + _record(
+        "conversion", "https://a.com/x", b"Already extracted text."
+    )
+    p = tmp_path / "seg.warc.wet"
+    p.write_bytes(wet)
+    out = read_warc(spark, str(p), types=("conversion",)).df.collect()
+    assert len(out) == 1
+    assert bytes(out[0]["payload"]) == b"Already extracted text."
+    assert out[0]["content_type"] == "text/plain"
