@@ -63,7 +63,14 @@ def dedup_exact(td: Tibble, *cols: Any, id_col: Any = None) -> Tibble:
     window — a window puts a huge duplicate cluster (empty pages,
     recrawled URLs) into ONE unsplittable task, while the aggregation
     collapses each mapper's copies to a single candidate row before
-    the shuffle."""
+    the shuffle.
+
+    NULL ids order FIRST (matching Spark's default ascending NULLS
+    FIRST, i.e. the pre-r11 row_number semantics): a group containing
+    a NULL-id row keeps that row. The ordering key is null-safe — the
+    kept row is always a real input row, never a fabricated all-NULL
+    one (min_by over a bare nullable key skips NULL-ordered rows and
+    returns NULL for an all-NULL group)."""
     names = [_name_of(c) for c in cols] or list(td.columns)
     if id_col is None:
         out = td.df.select(*td.columns).dropDuplicates(names)
@@ -73,8 +80,14 @@ def dedup_exact(td: Tibble, *cols: Any, id_col: Any = None) -> Tibble:
     if not others:
         out = td.df.select(*td.columns).dropDuplicates(names)
         return Tibble(out, groups=td.group_vars, levels=td.levels)
+    # null-safe ordering key: (id IS NOT NULL, id) — false < true, so
+    # NULL-id rows sort first; the struct itself is never NULL, so
+    # min_by never skips a row and never fabricates an all-NULL winner.
+    ordkey = F.struct(
+        F.col(idn).isNotNull().alias("n"), F.col(idn).alias("i")
+    )
     winner = F.min_by(
-        F.struct(*[F.col(c) for c in others]), F.col(idn)
+        F.struct(*[F.col(c) for c in others]), ordkey
     ).alias("__w__")
     out = (
         td.df.select(*td.columns)
@@ -556,21 +569,35 @@ def _fingerprint_survivors(df: DataFrame, tname: str, idn: str) -> DataFrame:
     a window would put a 10^8-copy exact-dup cluster (empty pages,
     error pages: the common case this pre-pass exists for) into ONE
     task carrying full document rows; the aggregation partial-combines
-    map-side and the join back is AQE-skew-splittable."""
+    map-side and the join back is AQE-skew-splittable.
+
+    r12: rows whose id is NULL are EXEMPT from the pre-pass (always
+    kept). A NULL id carries no identity: the keep-first equi-filter
+    can't distinguish two NULL-id copies, and the downstream LSH drop
+    logic (id_a < id_b pairs, id anti-joins) never drops a NULL-id row
+    either, so exempting them here makes the whole near-dup family
+    consistent — NULL-id documents are never deleted — instead of the
+    old behavior where `id == min(id)` silently dropped EVERY NULL-id
+    row, including unique documents with no duplicates at all."""
     fp = F.md5(
         F.regexp_replace(F.lower(F.trim(F.col(tname))), r"\s+", " ").cast("binary")
     )
     with_fp = df.withColumn("__fp__", fp)
     winner = (
-        with_fp.groupBy("__fp__")
+        with_fp.filter(F.col(idn).isNotNull())
+        .groupBy("__fp__")
         .agg(F.min(F.col(idn)).alias("__fp_min__"))
         .withColumnRenamed("__fp__", "__fp_w__")
     )
     return (
         with_fp.join(
-            winner, F.col("__fp__").eqNullSafe(F.col("__fp_w__"))
+            winner,
+            F.col("__fp__").eqNullSafe(F.col("__fp_w__")),
+            "left",
         )
-        .filter(F.col(idn) == F.col("__fp_min__"))
+        .filter(
+            F.col(idn).isNull() | (F.col(idn) == F.col("__fp_min__"))
+        )
         .drop("__fp__", "__fp_w__", "__fp_min__")
     )
 
@@ -1096,7 +1123,12 @@ def dedup_paragraphs(
     never collapse across documents). ``count_col`` (default
     ``paras_removed``) reports per-doc removals for auditing; pass
     None to omit. NULL text stays NULL; ``id_col`` values must be
-    unique (they define keep-first order).
+    unique AND non-NULL (they define keep-first order, and the rebuilt
+    text joins back to the original row by id — a NULL id can neither
+    order nor join, so corpus scope raises at execution time on the
+    first NULL id rather than silently blanking that document's text;
+    duplicate ids reassemble each duplicate row with the merged
+    paragraph set, one output row per input row).
 
     ``scope="corpus"`` (default) dedups across the whole table;
     ``scope="document"`` keeps only each document's own first
@@ -1196,8 +1228,22 @@ def dedup_paragraphs(
     key = F.when(
         exempt, F.xxhash64(F.lit("x"), F.col(idn), F.col("__pos"))
     ).otherwise(F.xxhash64(F.lit("p"), norm))
-    paras = td.df.select(
+    # fail loudly on NULL ids (see docstring): assert_true returns
+    # NULL when the condition holds, so the coalesce is the identity
+    # on valid rows but raises on the first NULL id. It rides the id
+    # column itself so Catalyst cannot prune it away.
+    checked_id = F.when(
+        F.assert_true(
+            F.col(idn).isNotNull(),
+            F.lit(
+                f"dedup_paragraphs: NULL value in id_col {idn!r} — "
+                "ids must be non-null (they key the rebuild join)"
+            ),
+        ).isNull(),
         F.col(idn),
+    ).alias(idn)
+    paras = td.df.select(
+        checked_id,
         F.posexplode(
             F.split(F.coalesce(F.col(tname), F.lit("")), sep)
         ).alias("__pos", "__para"),

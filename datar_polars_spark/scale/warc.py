@@ -125,7 +125,10 @@ def warc_records(
     ``types`` keeps only the listed WARC-Types (default: responses —
     the records that carry page content; pass None for all).
     ``max_payload`` truncates huge payloads at ingestion (bytes), the
-    crawl-side guard against pathological single documents. One narrow
+    crawl-side guard against pathological single documents; for capped
+    records ``payload_len`` reports the ORIGINAL (pre-truncation) size
+    — ``payload_len > len(payload)`` is the truncation signal, and
+    slicing must use ``len(payload)``, not ``payload_len``. One narrow
     Arrow pass per file; no shuffle."""
     td = ensure_tibble(td)
     cname = content if isinstance(content, str) else content._name
@@ -152,6 +155,8 @@ def warc_records(
                     if keep is not None and r["warc_type"] not in keep:
                         continue
                     if cap is not None and len(r["payload"]) > cap:
+                        # payload_len stays the ORIGINAL size (see
+                        # docstring) — it is the truncation signal.
                         r["payload"] = r["payload"][:cap]
                     rows.append([r[c] for c in cols])
             if rows:

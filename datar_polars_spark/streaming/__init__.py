@@ -175,37 +175,19 @@ def stream_dedup(
     return sdf.dropDuplicates(kcols)
 
 
-def stateful_running_agg(
-    sdf: DataFrame,
-    *keys: Any,
-    value: Any,
-    timeout_minutes: int = 0,
-) -> DataFrame:
-    """Custom stateful operator via ``applyInPandasWithState``: a
-    per-key running (count, sum, max) maintained across micro-batches
-    in the state store — the pattern for stateful logic that windowed
-    aggregation can't express (counters, custom accumulators, per-key
-    model state). Emits one updated row per key per micro-batch.
+def _running_agg_update(kcols: list, vcol: str, timeout_minutes: int):
+    """State-machine for :func:`stateful_running_agg`, module-level so
+    the timeout path is unit-testable with a fake GroupState (a real
+    ProcessingTimeTimeout needs wall-clock between triggers)."""
 
-    State is one small tuple per key; with a timeout it is dropped for
-    idle keys, keeping the store bounded.
-    """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    kcols = [_name_of(k) for k in keys]
-    vcol = _name_of(value)
-
-    out_schema = (
-        ", ".join(
-            f"{f_.name} {f_.dataType.simpleString()}"
-            for f_ in sdf.schema
-            if f_.name in kcols
-        )
-        + ", n_events bigint, total double, max_value double"
-    )
-    state_schema = "n bigint, total double, mx double"
-
-    def update(key, pdfs, state: GroupState):
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            # idle-key expiry: drop the state and emit nothing — the
+            # timeout callback arrives with no data, and re-updating /
+            # re-arming here would keep every key alive (and firing)
+            # forever, growing the store unboundedly.
+            state.remove()
+            return
         n_, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
         for pdf in pdfs:
             vals = pdf[vcol].dropna()
@@ -223,6 +205,67 @@ def stateful_running_agg(
             columns=[*kcols, "n_events", "total", "max_value"],
         )
 
+    return update
+
+
+def _cap_update(cap: int, out_cols: list, to_ms: int):
+    """State-machine for :func:`stream_cap_per_key` (module-level for
+    the same fake-GroupState testability as _running_agg_update)."""
+
+    def update(key_, pdfs, state):
+        if state.hasTimedOut:
+            # idle-key expiry (the documented rolling re-admission):
+            # remove the counter and emit nothing. The callback carries
+            # no data; updating/re-arming here would keep every key's
+            # state alive forever and fire its timeout on every trigger.
+            state.remove()
+            return
+        (admitted,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            room = cap - admitted
+            if room <= 0:
+                continue
+            take = pdf.iloc[:room]
+            admitted += len(take)
+            if len(take):
+                yield take[out_cols]
+        state.update((admitted,))
+        if to_ms:
+            state.setTimeoutDuration(to_ms)
+
+    return update
+
+
+def stateful_running_agg(
+    sdf: DataFrame,
+    *keys: Any,
+    value: Any,
+    timeout_minutes: int = 0,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-key running (count, sum, max) maintained across micro-batches
+    in the state store — the pattern for stateful logic that windowed
+    aggregation can't express (counters, custom accumulators, per-key
+    model state). Emits one updated row per key per micro-batch.
+
+    State is one small tuple per key; with a timeout it is dropped for
+    idle keys, keeping the store bounded.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    kcols = [_name_of(k) for k in keys]
+    vcol = _name_of(value)
+
+    out_schema = (
+        ", ".join(
+            f"{f_.name} {f_.dataType.simpleString()}"
+            for f_ in sdf.schema
+            if f_.name in kcols
+        )
+        + ", n_events bigint, total double, max_value double"
+    )
+    state_schema = "n bigint, total double, mx double"
+    update = _running_agg_update(kcols, vcol, int(timeout_minutes))
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if timeout_minutes
@@ -252,7 +295,7 @@ def stream_cap_per_key(
     arrival time, so admission is first-come: which rows land under
     the cap depends on arrival order. Rows with a NULL key share the
     NULL counter. Output schema == input schema."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     if int(n) < 1:
         raise ValueError(f"stream_cap_per_key: n must be >= 1, got {n}")
@@ -269,21 +312,7 @@ def stream_cap_per_key(
     state_schema = "admitted bigint"
     cap = int(n)
     to_ms = int(timeout_minutes) * 60 * 1000
-
-    def update(key_, pdfs, state: GroupState):
-        (admitted,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
-            room = cap - admitted
-            if room <= 0:
-                continue
-            take = pdf.iloc[:room]
-            admitted += len(take)
-            if len(take):
-                yield take[out_cols]
-        state.update((admitted,))
-        if to_ms:
-            state.setTimeoutDuration(to_ms)
-
+    update = _cap_update(cap, out_cols, to_ms)
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if timeout_minutes

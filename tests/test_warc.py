@@ -134,6 +134,15 @@ def test_types_filter_and_payload_cap(spark, tmp_path):
     capped = read_warc(spark, str(p), max_payload=5).df.collect()
     assert all(len(r["payload"]) <= 5 for r in capped)
     assert all(r["payload_len"] > 5 for r in capped)  # true length reported
+    # documented contract: payload_len is the ORIGINAL (pre-cap) size,
+    # so payload_len > len(payload) is the truncation signal
+    uncapped = {
+        r["target_uri"]: r["payload_len"]
+        for r in read_warc(spark, str(p)).df.collect()
+    }
+    for r in capped:
+        assert r["payload_len"] == uncapped[r["target_uri"]]
+        assert r["payload"] == bytes(r["payload"])[: 5]
 
 
 def test_stream_read_warc_matches_batch(spark, tmp_path):
