@@ -314,6 +314,14 @@ def ivf_assign(
         d = cn2[None, :] - 2.0 * (X @ C.T)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
+    # The function IS deterministic; the marker only stops the
+    # optimizer from pushing downstream join null-filters INTO the
+    # UDF expression — under AQE replanning such a Filter(PythonUDF)
+    # survives to execution and dies with INTERNAL_ERROR
+    # "Cannot evaluate expression" (seen live: IsNotNull(enc(...))
+    # in an interpreted Filter after an ivf join).
+    assign = assign.asNondeterministic()
+
     col = _name_of(embedding)
     return td.with_df(td.df.withColumn(cluster_col, assign(F.col(col))))
 
@@ -441,7 +449,15 @@ def knn_join(
             p = np.argsort(d, axis=1)[:, : min(nprobe, len(C))]
             return pd.Series(list(p.astype("int32")))
 
-        lq = lq.withColumn("__c__", F.explode(probes(F.col("__qe__"))))
+        # deterministic in fact; marker stops predicate pushdown into
+        # the UDF (see ivf_assign). Materialize in a Project first —
+        # nondeterministic expressions aren't allowed inside Generate.
+        probes = probes.asNondeterministic()
+        lq = (
+            lq.withColumn("__ps__", probes(F.col("__qe__")))
+            .withColumn("__c__", F.explode(F.col("__ps__")))
+            .drop("__ps__")
+        )
         cand = rc.join(lq, "__c__", "inner")
     else:
         raise ValueError(f"unknown method {method!r}; use 'exact' or 'ivf'")
@@ -558,6 +574,9 @@ def pq_encode(
             codes[:, j] = dist.argmin(axis=1)
         return pd.Series(list(codes))
 
+    # deterministic in fact; see ivf_assign for why the marker
+    encode = encode.asNondeterministic()
+
     col = _name_of(embedding)
     return td.with_df(td.df.withColumn(code_col, encode(F.col(col))))
 
@@ -604,6 +623,9 @@ def pq_topk(
     def adc(codes: pd.Series) -> pd.Series:
         M = np.array(codes.tolist(), dtype="int64")  # (n, m)
         return pd.Series(lut[np.arange(m)[None, :], M].sum(axis=1))
+
+    # deterministic in fact; see ivf_assign for why the marker
+    adc = adc.asNondeterministic()
 
     idn = _name_of(id_col)
     scored = td.df.select(
@@ -1062,6 +1084,11 @@ def ivfpq_encode(
             {"cell": cell.astype("int32"), "code": list(codes)}
         )
 
+    # deterministic in fact; see ivf_assign for why the marker (this
+    # is the site where the bug was observed: the knn join's inferred
+    # IsNotNull(cell) was pushed into enc(...) under AQE)
+    enc = enc.asNondeterministic()
+
     col = _name_of(embedding)
     out = (
         td.df.withColumn("__ivfpq__", enc(F.col(col)))
@@ -1296,16 +1323,25 @@ def _ivfpq_knn_cogroup(
         p = np.argsort(d, axis=1)[:, :npb]
         return pd.Series(list(p.astype("int32")))
 
+    # deterministic in fact; marker stops predicate pushdown into the
+    # UDF (see ivf_assign). Materialized in a Project before the
+    # explode — nondeterministic exprs aren't allowed inside Generate.
+    probes = probes.asNondeterministic()
+
     if n_query_blocks is None:
         nq_total = qdf.count()
         n_query_blocks = max(1, _math.ceil(nq_total / max_queries))
     nblocks = int(n_query_blocks)
 
-    q_rep = qdf.select(
-        F.col(qid).alias("query_id"),
-        F.col(qemb).alias("__qe"),
-        F.explode(probes(F.col(qemb))).alias("__cell"),
-        F.pmod(F.xxhash64(F.col(qid)), F.lit(nblocks)).alias("__qblk"),
+    q_rep = (
+        qdf.select(
+            F.col(qid).alias("query_id"),
+            F.col(qemb).alias("__qe"),
+            probes(F.col(qemb)).alias("__pcells"),
+            F.pmod(F.xxhash64(F.col(qid)), F.lit(nblocks)).alias("__qblk"),
+        )
+        .withColumn("__cell", F.explode(F.col("__pcells")))
+        .drop("__pcells")
     )
     codes = cdf.select(
         F.col(idn).alias("__mid"),
@@ -1483,27 +1519,42 @@ def l2_normalize(
     vectors IS cosine ranking — normalize the corpus before
     pq_encode/ivfpq_encode and the queries before *_knn_join (the
     rerank stage then also ranks by cosine). Zero vectors pass through
-    unchanged (no NaNs)."""
+    unchanged (no NaNs).
+
+    The O(d) norm is bound ONCE as its own projection column (a real
+    Project attribute the division lambda references), NOT via the
+    1-element-array "let" transform used before r12. Two reasons:
+    CollapseProject keeps a non-cheap multi-referenced attribute
+    hoisted, so the aggregate still evaluates once per row; and the
+    nested let shape tickled a Spark 4.1 planner bug where a pandas
+    UDF applied over it silently LOST its ArrowEvalPython extraction
+    whenever any earlier job had run in the session (exprId-offset
+    dependent), leaving a raw PythonUDF in a Project that dies at
+    execution with INTERNAL_ERROR 'Cannot evaluate expression'
+    (reproduced on vanilla PySpark 4.1.2; tests/test_ivfpq.py
+    test_udf_extraction_survives_warm_session pins the fix)."""
     ename = _name_of(embedding)
     out = out_col or ename
     vec = F.transform(F.col(ename), lambda x: x.cast("double"))
     norm = F.sqrt(
         F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v)
     )
-    # Bind the O(d) norm ONCE via a 1-element transform (the repo's
-    # bind-once idiom): referencing `norm` directly inside the
-    # per-element division lambda re-inlines and re-evaluates the whole
-    # aggregate PER ELEMENT — O(d^2) per row.
-    normalized = F.element_at(
-        F.transform(
-            F.array(norm),
-            lambda n: F.when(
-                n > 0, F.transform(vec, lambda x: x / n)
-            ).otherwise(vec),
-        ),
-        1,
+    nrm_col = "__l2norm__"
+    if nrm_col in td.columns:
+        raise ValueError(
+            f"l2_normalize: column {nrm_col!r} is reserved scratch; "
+            f"rename it first"
+        )
+    normalized = F.when(
+        F.col(nrm_col) > 0,
+        F.transform(vec, lambda x: x / F.col(nrm_col)),
+    ).otherwise(vec)
+    df = (
+        td.df.withColumn(nrm_col, norm)
+        .withColumn(out, normalized)
+        .drop(nrm_col)
     )
-    return td.with_df(td.df.withColumn(out, normalized))
+    return td.with_df(df)
 
 
 def pca_train(
@@ -1520,9 +1571,10 @@ def pca_train(
 
     100 TB shape: ONE Arrow ``mapInPandas`` pass emits a single
     partial statistic row PER PARTITION (count, sum vector, flattened
-    Gramian X'X — the sufficient statistics for covariance), a second
-    combine level folds those ``combine_width``-to-1 (tree
-    aggregation; only ~d^2 doubles per row ever move), and the driver
+    Gramian X'X — the sufficient statistics for covariance), a tree
+    combine folds those ``combine_width``-to-1 and then 1-to-final on
+    the executors (only ~d^2 doubles per row ever move), the driver
+    collects EXACTLY ONE statistics row (d^2+d doubles), and
     eigendecomposes the d x d covariance. No sampling — the covariance
     is exact regardless of corpus size. Deterministic: eigenvectors
     are sign-fixed so each component's largest-magnitude coordinate is
@@ -1589,17 +1641,23 @@ def pca_train(
             )
 
     partials = src.mapInPandas(_partials, schema=schema)
-    combined = partials.repartition(max(1, int(combine_width))).mapInPandas(
-        _combine, schema=schema
+    # two fold levels: width-to-1 tree combine on executors, then a
+    # final 1-partition fold so the driver receives EXACTLY ONE
+    # (n, s, xtx) row — d^2+d doubles, not combine_width of them
+    # (~0.5 GB collected at d=1024 before r12).
+    combined = (
+        partials.repartition(max(1, int(combine_width)))
+        .mapInPandas(_combine, schema=schema)
+        .repartition(1)
+        .mapInPandas(_combine, schema=schema)
     )
     rows = combined.collect()
+    assert len(rows) <= 1, "pca_train: final fold must yield one row"
     n = sum(int(r["n"]) for r in rows)
     if n < 2:
         raise ValueError(f"pca_train: need >= 2 vectors, got {n}")
-    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
-    g = np.sum(
-        [np.asarray(r["xtx"]).reshape(d, d) for r in rows], axis=0
-    )
+    s = np.asarray(rows[0]["s"], dtype="float64")
+    g = np.asarray(rows[0]["xtx"], dtype="float64").reshape(d, d)
     mean = s / n
     cov = (g - n * np.outer(mean, mean)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending

@@ -146,17 +146,15 @@ def _url_host(ctx, x):
 
 @register("url_domain")
 def _url_domain(ctx, x):
-    """Registrable domain approximation: last two host labels (three
-    for common ccTLD second-levels like co.uk). Heuristic — a full
-    public-suffix list lookup would broadcast-join a suffix table."""
-    host = F.lower(F.parse_url(ctx.col(x), F.lit("HOST")))
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    second = F.element_at(parts, -2)
-    take3 = (n >= 3) & second.isin("co", "com", "org", "net", "ac", "gov", "edu")
-    return F.when(
-        take3, F.concat_ws(".", F.element_at(parts, -3), second, F.element_at(parts, -1))
-    ).otherwise(F.concat_ws(".", second, F.element_at(parts, -1)))
+    """Registrable ('pay-level') domain of a URL via the real
+    public-suffix-list algorithm — delegates to
+    :func:`scale.urls.url_registrable_domain` (same vendored PSL
+    snapshot, same pure-JVM when/isin chain), so the mutate-side
+    function and the standalone sibling agree by construction on
+    github.io, com.pl, IP literals, single labels, etc."""
+    from .urls import url_registrable_domain
+
+    return url_registrable_domain(ctx.col(x))
 
 
 @register("winnow_fingerprints")
@@ -326,6 +324,97 @@ def normalize_text(
     return td.with_df(td.df.withColumn(dest, col))
 
 
+# HTML5 numeric-charref remaps (Python html._invalid_charrefs): the
+# C1 range 0x80-0x9f reads through windows-1252, 0x00 and 0x0d are
+# special-cased. Public spec: https://html.spec.whatwg.org/ 13.2.5.80
+_CP1252_CHARREFS = {
+    0x00: "\ufffd", 0x0D: "\r", 0x80: "€", 0x81: "\x81",
+    0x82: "‚", 0x83: "ƒ", 0x84: "„", 0x85: "…",
+    0x86: "†", 0x87: "‡", 0x88: "ˆ", 0x89: "‰",
+    0x8A: "Š", 0x8B: "‹", 0x8C: "Œ", 0x8D: "\x8d",
+    0x8E: "Ž", 0x8F: "\x8f", 0x90: "\x90", 0x91: "‘",
+    0x92: "’", 0x93: "“", 0x94: "”", 0x95: "•",
+    0x96: "–", 0x97: "—", 0x98: "˜", 0x99: "™",
+    0x9A: "š", 0x9B: "›", 0x9C: "œ", 0x9D: "\x9d",
+    0x9E: "ž", 0x9F: "Ÿ",
+}
+
+# decoded '&' (&#38;) becomes this private-use sentinel until the
+# named-entity replaces have run, so numeric output can never seed a
+# second decode ('&#38;lt;' must end as '&lt;', not '<')
+_AMP_SENTINEL = "\ue000"
+
+
+def _numeric_charref_decode(col: Column) -> Column:
+    """Decode HTML numeric character references (``&#NN;`` /
+    ``&#xHH;``, trailing semicolon optional) to their characters —
+    entirely JVM-side, matching Python ``html.unescape``: full Unicode
+    via ``decode(unhex(lpad(hex(cp), 8)), 'UTF-32')``, the HTML5
+    windows-1252 remap of the C1 range, U+FFFD for out-of-range and
+    surrogate codepoints, and removal of noncharacters.
+
+    Shape: a lookahead split puts each candidate reference at the head
+    of its own chunk; a ``transform`` decodes chunk heads and
+    ``array_join`` reassembles — one pass over the string, no UDF."""
+    parts = F.split(col, r"(?=&#)")
+
+    def _chunk(p: Column) -> Column:
+        # leading zeros stripped BEFORE the length-overflow guard so
+        # '&#000000039;' still decodes (the guard sees 2 digits, not 9)
+        dec = F.regexp_replace(
+            F.regexp_extract(p, r"^&#([0-9]+)", 1), r"^0+(?=.)", ""
+        )
+        hx = F.regexp_replace(
+            F.regexp_extract(p, r"^&#[xX]([0-9a-fA-F]+)", 1),
+            r"^0+(?=.)",
+            "",
+        )
+        # >8 digits can't fit a valid codepoint: clamp to the
+        # out-of-range sentinel instead of overflowing the cast
+        too_big = F.lit(0x110000).cast("long")
+        cp = F.when(
+            F.length(dec) > 0,
+            F.when(F.length(dec) > 8, too_big).otherwise(
+                dec.cast("long")
+            ),
+        ).otherwise(
+            F.when(F.length(hx) > 8, too_big).otherwise(
+                F.conv(hx, 16, 10).cast("long")
+            )
+        )
+        ch = F.when(cp == 38, F.lit(_AMP_SENTINEL))
+        for k, v in _CP1252_CHARREFS.items():
+            ch = ch.when(cp == k, F.lit(v))
+        ch = ch.when(
+            (cp > 0x10FFFF) | ((cp >= 0xD800) & (cp <= 0xDFFF)),
+            F.lit("\ufffd"),
+        )
+        noncharacter = (
+            ((cp >= 0x01) & (cp <= 0x08))
+            | (cp == 0x0B)
+            | ((cp >= 0x0E) & (cp <= 0x1F))
+            | (cp == 0x7F)
+            | ((cp >= 0xFDD0) & (cp <= 0xFDEF))
+            | (cp.bitwiseAND(F.lit(0xFFFE).cast("long")) == 0xFFFE)
+        )
+        ch = ch.when(noncharacter, F.lit(""))
+        ch = ch.otherwise(
+            F.decode(F.unhex(F.lpad(F.hex(cp), 8, "0")), "UTF-32")
+        )
+        rest = F.regexp_replace(
+            p, r"^&#([0-9]+|[xX][0-9a-fA-F]+);?", ""
+        )
+        return F.when(
+            p.rlike(r"^&#([0-9]+|[xX][0-9a-fA-F]+)"),
+            F.concat(ch, rest),
+        ).otherwise(p)
+
+    return F.when(
+        col.contains("&#"),
+        F.array_join(F.transform(parts, _chunk), ""),
+    ).otherwise(col)
+
+
 def html_to_text(
     td,
     html: str = "html",
@@ -343,10 +432,15 @@ def html_to_text(
     boilerplate text; malformed markup degrades to leftover text, not
     errors. NULL in -> NULL out.
 
-    Everything compiles to JVM ``regexp_replace``; only
-    ``full_entities=True`` (numeric ``&#..;`` and the long named-entity
-    tail via ``html.unescape``) crosses into one Arrow pass, mirroring
-    ``normalize_text(form=)``."""
+    Everything compiles to JVM expressions. Numeric character
+    references (``&#NN;`` / ``&#xHH;``) decode FULLY in default mode —
+    all of Unicode with html.unescape's HTML5 semantics, see
+    :func:`_numeric_charref_decode` — alongside the common named
+    entities; only ``full_entities=True`` (the long named-entity tail
+    via ``html.unescape``) crosses into one Arrow pass, mirroring
+    ``normalize_text(form=)``. Known one-pass deviation in default
+    mode: text containing the private-use sentinel U+E000 would be
+    rewritten to '&' (never seen in real HTML)."""
     from ..tibble import ensure_tibble
 
     td = ensure_tibble(td)
@@ -387,13 +481,17 @@ def html_to_text(
 
         col = _unescape(col)
     else:
-        # common named entities; '&amp;' last so '&amp;lt;' stays '&lt;'
+        # numeric refs first (decoded '&' parks on a sentinel so it
+        # can't seed the named replaces), then common named entities;
+        # '&amp;' last so '&amp;lt;' stays '&lt;' — one-pass semantics
+        col = _numeric_charref_decode(col)
         for ent, rep in (
             ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-            ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+            ("&quot;", "\""), ("&apos;", "'"),
             ("&amp;", "&"),
         ):
             col = F.replace(col, F.lit(ent), F.lit(rep))
+        col = F.replace(col, F.lit(_AMP_SENTINEL), F.lit("&"))
     # whitespace normalization: spaces collapse, newlines keep at most
     # one blank line, edges trimmed
     col = F.regexp_replace(col, r"[ \t\x0B\r]+", " ")

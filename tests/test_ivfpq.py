@@ -603,3 +603,40 @@ class TestIndexLifecycle:
             from datar_polars_spark.scale import ivfpq_read
 
             ivfpq_read(spark, str(tmp_path / "missing"))
+
+
+def test_udf_extraction_survives_warm_session(spark, emb):
+    """r12 regression pin for a Spark 4.1 planner bug: a pandas UDF
+    applied over the pre-r12 nested-let normalize expression silently
+    lost its ArrowEvalPython extraction once ANY earlier job had run
+    in the session (exprId-offset dependent), leaving a raw PythonUDF
+    in a Project that fails at execution with INTERNAL_ERROR. The r12
+    l2_normalize binds the norm as a real projection column instead;
+    this test warms the session explicitly, then asserts both the
+    extraction and a clean end-to-end run — and that the norm stayed
+    hoisted (ONE aggregate per row, not one per element)."""
+    from datar_polars_spark.scale import l2_normalize
+
+    spark.range(1).count()  # ensure the session is warm
+    norm = l2_normalize(emb)
+    index = ivfpq_train(norm, n_clusters=4, m=4, nbits=5, iters=2,
+                        sample_size=400, seed=7)
+    coded = ivfpq_encode(norm, index)
+    queries = ensure_tibble(
+        l2_normalize(emb).df.select("vec_id", "embedding").where("vec_id < 3")
+    )
+    j = ivfpq_knn_join(queries, coded, index, k=3, nprobe=4, rerank=10)
+    plan = j.df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # extraction happened
+    # no raw PythonUDF left inside a plain Project/Filter
+    import re
+    for line in plan.splitlines():
+        if re.search(r"^\s*(:|\+|\|)*\s*[+-]*\s*(Project|Filter) ", line):
+            assert "enc(" not in line, line[:200]
+    rows = j.df.collect()
+    assert len(rows) == 9  # 3 queries x k=3
+    # the hoisted norm: aggregate( appears in a Project column, and the
+    # per-element division lambda references an attribute, not the
+    # aggregate itself
+    enc_lines = [l for l in plan.splitlines() if "ArrowEvalPython" in l]
+    assert enc_lines and "aggregate(" not in enc_lines[0]

@@ -160,3 +160,26 @@ def test_dim_mismatch_fails_fast(spark, model):
     )
     with pytest.raises(Exception, match="dim"):
         pca_apply(bad, model).df.collect()
+
+
+def test_final_fold_collects_exactly_one_row(spark, emb, monkeypatch):
+    """r12: the driver receives ONE (n, s, xtx) statistics row —
+    d^2+d doubles — not combine_width of them (~0.5 GB at d=1024).
+    Pinned by intercepting the collect at the DataFrame boundary."""
+    # Spark 4: the concrete class (pyspark.sql.classic) defines its
+    # own collect, so patching the abstract base would never fire
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    seen = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        if self.columns == ["n", "s", "xtx"]:
+            seen.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    m = pca_train(emb, dim_out=4, combine_width=8)
+    assert seen == [1]
+    assert len(m["components"]) == 4

@@ -405,3 +405,31 @@ def test_url_normalize_is_idempotent(spark):
     once = _norm(spark, urls)
     twice = _norm(spark, once)
     assert twice == once
+
+
+def test_registry_url_domain_equals_psl_sibling(spark):
+    """r12 (VERDICT #3): the mutate-side `url_domain` registry function
+    compiles to the SAME PSL when-chain as url_registrable_domain — no
+    more 7-suffix heuristic disagreeing on github.io / com.pl / IPs."""
+    from datar_polars_spark import f, mutate, tibble
+    from datar_polars_spark.functions.registry import builder
+
+    url_domain = builder("url_domain")
+    urls = [
+        "https://user.github.io/repo",       # private PSL suffix
+        "https://sub.site.waw.pl/",          # com.pl-style ccTLD space
+        "https://shop.big.com.br/",
+        "http://a.site.com.bd/",             # wildcard rule
+        "http://www.ck/",                    # exception rule
+        "https://a.b.example.com/",          # implicit default
+        "http://192.168.0.1/x",              # IPv4 literal unchanged
+        "https://localhost/",                # single label unchanged
+        "https://news.bbc.co.uk/a",
+        None,                                 # NULL stays NULL
+    ]
+    td = tibble(spark, i=list(range(len(urls))), url=urls)
+    out = (td >> mutate(d=url_domain(f.url))).collect()
+    want = _domains(spark, [u for u in urls if u is not None])
+    # align: NULL url -> NULL domain; the rest must equal the sibling
+    assert out["d"].tolist()[:-1] == want
+    assert out["d"].tolist()[-1] is None
