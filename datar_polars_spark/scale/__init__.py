@@ -105,6 +105,14 @@ from .filters import (  # noqa: F401 (also registers repetition metrics)
     cap_per_key,
     chunk_documents,
 )
+from .langid import (  # noqa: F401
+    seed_corpus,
+    lang_id_train,
+    lang_id_train_seed,
+    lang_id_predict,
+    lang_id_write,
+    lang_id_read,
+)
 from .graph import connected_components, components_from_pairs  # noqa: F401
 from .diagnostics import (  # noqa: F401
     key_skew,

@@ -1,0 +1,432 @@
+"""Trainable language identification: hashed character-n-gram
+multinomial Naive Bayes — the public fastText/langid.py technique
+(char n-grams hashed into a fixed bucket space, per-language
+multinomial log-probabilities, argmax + softmax confidence), sized for
+a crawl pipeline.
+
+Reference parity note: the reference engine has no language-ID
+operator; this is a beyond-reference scale op (SURVEY.md text-analysis
+family). The zero-dependency stopword heuristic (``lang_id`` in
+scale/text.py) remains as the fallback; this model replaces it when
+per-row confidence and >4-language coverage matter.
+
+100 TB shape:
+
+* ``lang_id_train`` is one distributed groupBy((lang, bucket)) count
+  with map-side combine — the only shuffle — followed by a BOUNDED
+  driver collect (at most ``langs x buckets`` rows, and ``top_k``
+  caps the per-language feature count, so the model is MBs no matter
+  the corpus size).
+* ``lang_id_predict`` broadcasts the model dict in the UDF closure and
+  scores each document in ONE Arrow pass (no shuffle, no join) — the
+  same documented Python-crossing class as ``compression_ratio``
+  (hash + table lookups have no JVM expression).
+* Models are JSON-able dicts, persisted/loaded via
+  ``lang_id_write`` / ``lang_id_read`` like the PCA and BPE artifacts.
+
+Train on your own labeled sample (e.g. a high-confidence subset of an
+earlier crawl) or start from :func:`seed_corpus` — a small built-in
+set of original sentences written for this module (7 Latin-script
+languages). CJK text is better served by the code-point heuristic in
+``lang_id`` (the seed corpus is Latin-script only; a real deployment
+trains on labeled CJK data the same way).
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+
+from ..tibble import Tibble, ensure_tibble
+
+__all__ = [
+    "seed_corpus",
+    "lang_id_train",
+    "lang_id_train_seed",
+    "lang_id_predict",
+    "lang_id_write",
+    "lang_id_read",
+]
+
+# Original sentences authored for this module (not quoted from any
+# corpus). Everyday register, ~12 per language, chosen to exercise the
+# diacritics and function words that separate these languages.
+_SEED: dict = {
+    "en": [
+        "the weather this morning was cold and the streets were quiet",
+        "she asked whether the train would arrive before noon",
+        "we should have finished the report by the end of the week",
+        "there is nothing better than fresh bread with butter",
+        "the children were playing in the garden behind the house",
+        "he could not remember where he had left his keys",
+        "this book explains how the engine actually works",
+        "they decided to walk home because the bus was late",
+        "my neighbour grows tomatoes and peppers every summer",
+        "the meeting was moved to thursday afternoon instead",
+        "i would rather stay home and read than go out tonight",
+        "the museum is closed on mondays during the winter",
+    ],
+    "de": [
+        "das wetter war heute morgen kalt und die straßen waren leer",
+        "sie fragte ob der zug vor mittag ankommen würde",
+        "wir sollten den bericht bis ende der woche fertig haben",
+        "es gibt nichts besseres als frisches brot mit butter",
+        "die kinder spielten im garten hinter dem haus",
+        "er konnte sich nicht erinnern wo er seine schlüssel gelassen hatte",
+        "dieses buch erklärt wie der motor wirklich funktioniert",
+        "sie beschlossen zu fuß nach hause zu gehen weil der bus zu spät kam",
+        "mein nachbar baut jeden sommer tomaten und paprika an",
+        "die besprechung wurde auf donnerstag nachmittag verschoben",
+        "ich würde lieber zu hause bleiben und lesen als heute abend auszugehen",
+        "das museum ist im winter montags geschlossen",
+    ],
+    "fr": [
+        "le temps était froid ce matin et les rues étaient calmes",
+        "elle a demandé si le train arriverait avant midi",
+        "nous devrions avoir terminé le rapport avant la fin de la semaine",
+        "il n'y a rien de meilleur que du pain frais avec du beurre",
+        "les enfants jouaient dans le jardin derrière la maison",
+        "il ne se souvenait plus où il avait laissé ses clés",
+        "ce livre explique comment le moteur fonctionne vraiment",
+        "ils ont décidé de rentrer à pied parce que le bus était en retard",
+        "mon voisin cultive des tomates et des poivrons chaque été",
+        "la réunion a été déplacée à jeudi après-midi",
+        "je préférerais rester à la maison et lire plutôt que sortir ce soir",
+        "le musée est fermé le lundi pendant l'hiver",
+    ],
+    "es": [
+        "el tiempo estaba frío esta mañana y las calles estaban tranquilas",
+        "ella preguntó si el tren llegaría antes del mediodía",
+        "deberíamos haber terminado el informe antes del fin de semana",
+        "no hay nada mejor que pan fresco con mantequilla",
+        "los niños jugaban en el jardín detrás de la casa",
+        "no podía recordar dónde había dejado sus llaves",
+        "este libro explica cómo funciona realmente el motor",
+        "decidieron volver a casa caminando porque el autobús llegaba tarde",
+        "mi vecino cultiva tomates y pimientos cada verano",
+        "la reunión se trasladó al jueves por la tarde",
+        "preferiría quedarme en casa leyendo antes que salir esta noche",
+        "el museo está cerrado los lunes durante el invierno",
+    ],
+    "it": [
+        "il tempo stamattina era freddo e le strade erano tranquille",
+        "lei ha chiesto se il treno sarebbe arrivato prima di mezzogiorno",
+        "dovremmo aver finito il rapporto entro la fine della settimana",
+        "non c'è niente di meglio del pane fresco con il burro",
+        "i bambini giocavano in giardino dietro la casa",
+        "non riusciva a ricordare dove avesse lasciato le chiavi",
+        "questo libro spiega come funziona davvero il motore",
+        "hanno deciso di tornare a casa a piedi perché l'autobus era in ritardo",
+        "il mio vicino coltiva pomodori e peperoni ogni estate",
+        "la riunione è stata spostata a giovedì pomeriggio",
+        "preferirei restare a casa a leggere piuttosto che uscire stasera",
+        "il museo è chiuso il lunedì durante l'inverno",
+    ],
+    "pt": [
+        "o tempo estava frio esta manhã e as ruas estavam calmas",
+        "ela perguntou se o trem chegaria antes do meio-dia",
+        "deveríamos ter terminado o relatório até o fim da semana",
+        "não há nada melhor do que pão fresco com manteiga",
+        "as crianças brincavam no jardim atrás da casa",
+        "ele não conseguia lembrar onde tinha deixado as chaves",
+        "este livro explica como o motor realmente funciona",
+        "eles decidiram voltar para casa a pé porque o ônibus estava atrasado",
+        "meu vizinho cultiva tomates e pimentões todo verão",
+        "a reunião foi transferida para quinta-feira à tarde",
+        "eu preferiria ficar em casa lendo do que sair esta noite",
+        "o museu está fechado às segundas durante o inverno",
+    ],
+    "nl": [
+        "het weer was vanochtend koud en de straten waren rustig",
+        "ze vroeg of de trein voor de middag zou aankomen",
+        "we zouden het rapport voor het einde van de week af moeten hebben",
+        "er is niets beters dan vers brood met boter",
+        "de kinderen speelden in de tuin achter het huis",
+        "hij kon zich niet herinneren waar hij zijn sleutels had gelaten",
+        "dit boek legt uit hoe de motor echt werkt",
+        "ze besloten naar huis te lopen omdat de bus te laat was",
+        "mijn buurman kweekt elke zomer tomaten en paprika's",
+        "de vergadering is verplaatst naar donderdagmiddag",
+        "ik blijf liever thuis lezen dan vanavond uit te gaan",
+        "het museum is 's winters op maandag gesloten",
+    ],
+}
+
+_PAD = "\x02"  # word-boundary padding marker in the gram space
+
+
+def seed_corpus(spark) -> Tibble:
+    """The built-in labeled seed corpus as a (text, lang) Tibble."""
+    rows = [(t, lang) for lang, ts in _SEED.items() for t in ts]
+    return Tibble(spark.createDataFrame(rows, "text string, lang string"))
+
+
+def _grams_expr(col: Column, n_lo: int, n_hi: int) -> Column:
+    """Char n-grams (n_lo..n_hi) of the normalized text, JVM-side:
+    lowercase, runs of whitespace/digits collapsed to a boundary
+    marker, then substring transforms. Returns array<string>."""
+    s = F.concat(
+        F.lit(_PAD),
+        F.regexp_replace(F.lower(col), r"[\s0-9]+", _PAD),
+        F.lit(_PAD),
+    )
+    # the lambda must be single-parameter: F.transform treats a
+    # two-parameter lambda as (element, index), so a `_n=n` default
+    # would be overwritten by the array index
+    def _slicer(nn: int):
+        return lambda i: F.substring(s, i, nn)
+
+    parts = []
+    for n in range(n_lo, n_hi + 1):
+        # guard: sequence(1, 0) would generate a DESCENDING [1, 0] —
+        # emit an empty array when the padded text is shorter than n,
+        # matching the predict path's empty range()
+        cnt = F.length(s) - n + 1
+        idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+            F.array().cast("array<int>")
+        )
+        parts.append(F.transform(idx, _slicer(n)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+def _bucket(gram: str, buckets: int) -> int:
+    """Python twin of the JVM ``pmod(crc32(encode(g,'UTF-8')), buckets)``
+    used in training — predict must hash identically (tested)."""
+    return zlib.crc32(gram.encode("utf-8")) % buckets
+
+
+def lang_id_train(
+    td: Any,
+    text: Any = "text",
+    label: Any = "lang",
+    n_lo: int = 1,
+    n_hi: int = 3,
+    buckets: int = 1 << 15,
+    top_k: int = 20_000,
+    alpha: float = 0.5,
+) -> dict:
+    """Train the hashed char-n-gram Naive Bayes model from a labeled
+    (text, label) table. One distributed gram explode + hash +
+    groupBy((label, bucket)) count (map-side combine), a per-language
+    ``top_k`` cap, then a bounded driver collect that turns counts
+    into Laplace-smoothed (``alpha``) log-probabilities.
+
+    Returns a JSON-able model dict: ``langs``, ``buckets``,
+    ``log_prior`` (per lang, from document counts), ``weights``
+    (per lang: {bucket: logp}), ``default_logp`` (per lang, the
+    smoothed logp of an unseen bucket), plus the gram config."""
+    td = ensure_tibble(td)
+    tname = text if isinstance(text, str) else text._name
+    lname = label if isinstance(label, str) else label._name
+    buckets = int(buckets)
+
+    # JVM gram explode + JVM crc32 bucket hash BEFORE the shuffle:
+    # Spark's crc32 is the same CRC-32 as zlib.crc32 (predict side), so
+    # the exchange carries (lang, bucket-int) with cardinality capped
+    # at langs x buckets after map-side combine — no gram string ever
+    # shuffles, and the top_k window below ranks at most ``buckets``
+    # rows per language.
+    grams = _grams_expr(F.col(tname), int(n_lo), int(n_hi))
+    counted = (
+        td.df.select(F.col(lname).alias("__lang"), grams.alias("__g"))
+        .where(F.col("__lang").isNotNull())
+        .select("__lang", F.explode("__g").alias("__gram"))
+        .where(F.length("__gram") > 0)
+        .select(
+            "__lang",
+            F.pmod(
+                F.crc32(F.encode(F.col("__gram"), "UTF-8")), F.lit(buckets)
+            ).alias("__b"),
+        )
+        .groupBy("__lang", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    doc_counts = {
+        r["__lang"]: r["n"]
+        for r in td.df.select(F.col(lname).alias("__lang"))
+        .where(F.col("__lang").isNotNull())
+        .groupBy("__lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not doc_counts:
+        raise ValueError("lang_id_train: no labeled rows to train on")
+
+    # per-language top_k feature cap over the <= buckets-row table,
+    # then a bounded driver collect (<= langs x min(top_k, buckets)
+    # int rows — model-sized no matter the corpus size)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__lang").orderBy(
+        F.col("__c").desc(), F.col("__b")
+    )
+    capped = (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(top_k))
+        .select("__lang", "__b", "__c")
+        .collect()
+    )
+    counts: dict = {lang: {} for lang in doc_counts}
+    totals: dict = {lang: 0 for lang in doc_counts}
+    for r in capped:
+        b = int(r["__b"])
+        d = counts.setdefault(r["__lang"], {})
+        d[b] = d.get(b, 0) + int(r["__c"])
+        totals[r["__lang"]] = totals.get(r["__lang"], 0) + int(r["__c"])
+
+    langs = sorted(doc_counts)
+    n_docs = sum(doc_counts.values())
+    alpha = float(alpha)
+    weights, default_logp = {}, {}
+    for lang in langs:
+        tot = totals.get(lang, 0)
+        denom = tot + alpha * buckets
+        weights[lang] = {
+            str(b): math.log((c + alpha) / denom)
+            for b, c in sorted(counts.get(lang, {}).items())
+        }
+        default_logp[lang] = math.log(alpha / denom)
+    return {
+        "format": "datar-langid",
+        "version": 1,
+        "langs": langs,
+        "buckets": buckets,
+        "n_lo": int(n_lo),
+        "n_hi": int(n_hi),
+        "log_prior": {
+            lang: math.log(doc_counts[lang] / n_docs) for lang in langs
+        },
+        "weights": weights,
+        "default_logp": default_logp,
+    }
+
+
+def lang_id_train_seed(spark, **kwargs) -> dict:
+    """Train on the built-in seed corpus (7 Latin-script languages) —
+    the zero-setup starting point; same kwargs as lang_id_train."""
+    return lang_id_train(seed_corpus(spark), "text", "lang", **kwargs)
+
+
+def lang_id_predict(
+    td: Any,
+    model: dict,
+    text: Any = "text",
+    out_col: str = "lang_pred",
+    conf_col: str | None = "lang_conf",
+) -> Tibble:
+    """Score a text column through a :func:`lang_id_train` model: adds
+    ``out_col`` (argmax language, NULL for NULL/empty text) and
+    ``conf_col`` (softmax probability of the winner; pass None to
+    omit). ONE Arrow pass, model broadcast in the closure, no
+    shuffle.
+
+    Pipeline order matters at scale: the scoring UDF carries the
+    asNondeterministic safety marker (see ivf_assign), which also
+    stops Catalyst from reordering later filters past it — apply
+    selective filters BEFORE lang_id_predict so they reach the
+    parquet scan (verified: filter-before pushes
+    ``GreaterThan(n_chars,100)`` into PushedFilters; filter-after
+    does not)."""
+    if not isinstance(model, dict) or "weights" not in model:
+        raise ValueError(
+            "lang_id_predict: model must be a lang_id_train dict "
+            "(with 'weights')"
+        )
+    td = ensure_tibble(td)
+    tname = text if isinstance(text, str) else text._name
+    langs = list(model["langs"])
+    buckets = int(model["buckets"])
+    n_lo, n_hi = int(model["n_lo"]), int(model["n_hi"])
+    log_prior = model["log_prior"]
+    default_logp = model["default_logp"]
+    weights = {
+        lang: {int(b): lp for b, lp in model["weights"][lang].items()}
+        for lang in langs
+    }
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<lang:string, conf:double>")
+    def _score(s: pd.Series) -> pd.DataFrame:
+        import re as _re
+
+        out_lang, out_conf = [], []
+        pat = _re.compile(r"[\s0-9]+")
+        for v in s:
+            if v is None or not str(v).strip():
+                out_lang.append(None)
+                out_conf.append(None)
+                continue
+            t = _PAD + pat.sub(_PAD, str(v).lower()) + _PAD
+            scores = {lang: log_prior[lang] for lang in langs}
+            n_grams = 0
+            for n in range(n_lo, n_hi + 1):
+                for i in range(len(t) - n + 1):
+                    g = t[i : i + n]
+                    b = zlib.crc32(g.encode("utf-8")) % buckets
+                    n_grams += 1
+                    for lang in langs:
+                        scores[lang] += weights[lang].get(
+                            b, default_logp[lang]
+                        )
+            if not n_grams:
+                out_lang.append(None)
+                out_conf.append(None)
+                continue
+            best = max(langs, key=lambda lang: scores[lang])
+            # softmax over per-gram-normalized scores so confidence
+            # doesn't saturate to 1.0 on long documents
+            norm = {lang: scores[lang] / n_grams for lang in langs}
+            m = max(norm.values())
+            z = sum(math.exp(norm[lang] - m) for lang in langs)
+            out_lang.append(best)
+            out_conf.append(math.exp(norm[best] - m) / z)
+        return pd.DataFrame({"lang": out_lang, "conf": out_conf})
+
+    # see ivf_assign (similarity.py): the marker keeps the optimizer
+    # from pushing downstream filters into the UDF expression
+    _score = _score.asNondeterministic()
+
+    scratch = "__langid__"
+    if scratch in td.columns or out_col in td.columns or (
+        conf_col and conf_col in td.columns
+    ):
+        clash = [
+            c for c in (scratch, out_col, conf_col) if c and c in td.columns
+        ]
+        raise ValueError(
+            f"lang_id_predict: column(s) {clash} already exist; pass "
+            f"different out_col/conf_col"
+        )
+    df = td.df.withColumn(scratch, _score(F.col(tname)))
+    df = df.withColumn(out_col, F.col(f"{scratch}.lang"))
+    if conf_col:
+        df = df.withColumn(conf_col, F.col(f"{scratch}.conf"))
+    return td.with_df(df.drop(scratch))
+
+
+def lang_id_write(spark, model: dict, path: str) -> None:
+    """Persist a model as a one-file JSON artifact (pca_write's
+    format envelope)."""
+    from .jsonio import write_json_file
+
+    write_json_file(spark, path, model)
+
+
+def lang_id_read(spark, path: str) -> dict:
+    """Load a lang_id_write artifact; validates the format tag."""
+    from .jsonio import read_json_file
+
+    model = read_json_file(spark, path)
+    if model.get("format") != "datar-langid":
+        raise ValueError(
+            f"lang_id_read: not a lang_id_write artifact at {path!r}"
+        )
+    return model

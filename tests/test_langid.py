@@ -1,0 +1,256 @@
+"""Trainable hashed char-n-gram language ID (scale/langid.py):
+train/predict on the built-in seed corpus, hash parity between the
+JVM training path and the Arrow predict path, accuracy floor vs the
+stopword heuristic, persistence, determinism, NULL semantics, and
+plan shape (predict is one Arrow pass, no shuffle)."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datar_polars_spark import f, mutate, tibble
+from datar_polars_spark.functions.registry import builder
+from datar_polars_spark.scale import (
+    lang_id_predict,
+    lang_id_read,
+    lang_id_train,
+    lang_id_train_seed,
+    lang_id_write,
+    seed_corpus,
+)
+from datar_polars_spark.scale.langid import _SEED, _bucket
+from datar_polars_spark.tibble import ensure_tibble
+
+# Held-out sentences (authored for this test, NOT in the seed corpus)
+# — one per seed language.
+HELD_OUT = {
+    "en": "yesterday evening we watched the storm roll in over the hills",
+    "de": "gestern abend haben wir zugesehen wie das gewitter über die hügel zog",
+    "fr": "hier soir nous avons regardé l'orage arriver au-dessus des collines",
+    "es": "anoche vimos cómo la tormenta llegaba sobre las colinas",
+    "it": "ieri sera abbiamo guardato il temporale arrivare sopra le colline",
+    "pt": "ontem à noite vimos a tempestade chegar sobre as colinas",
+    "nl": "gisteravond keken we hoe het onweer over de heuvels kwam aanrollen",
+}
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return lang_id_train_seed(spark)
+
+
+def _held_out_tbl(spark):
+    rows = [(lang, text) for lang, text in sorted(HELD_OUT.items())]
+    return ensure_tibble(
+        spark.createDataFrame(rows, "truth string, text string")
+    )
+
+
+def test_seed_model_shape(model):
+    assert model["format"] == "datar-langid"
+    assert model["langs"] == sorted(_SEED)
+    assert set(model["weights"]) == set(model["langs"])
+    assert set(model["log_prior"]) == set(model["langs"])
+    # log-probs are negative; priors sum to ~1
+    import math
+
+    assert all(lp < 0 for lp in model["default_logp"].values())
+    assert abs(sum(math.exp(p) for p in model["log_prior"].values()) - 1) < 1e-9
+
+
+def test_held_out_accuracy_perfect(spark, model):
+    got = lang_id_predict(_held_out_tbl(spark), model, "text")
+    rows = got.df.select("truth", "lang_pred", "lang_conf").collect()
+    assert len(rows) == len(HELD_OUT)
+    for r in rows:
+        assert r["lang_pred"] == r["truth"], (r["truth"], r["lang_pred"])
+        # winner confidence beats the uniform prior
+        assert r["lang_conf"] is not None and r["lang_conf"] > 1.0 / len(_SEED)
+        assert r["lang_conf"] <= 1.0 + 1e-12
+
+
+def test_accuracy_floor_vs_heuristic(spark, model):
+    """The trained model must do at least as well as the stopword
+    heuristic on the held-out set — and strictly better on the
+    languages the heuristic doesn't know (it, pt, nl)."""
+    lang_id = builder("lang_id")
+    td = _held_out_tbl(spark) >> mutate(heur=lang_id(f.text))
+    td = lang_id_predict(td, model, "text")
+    rows = td.df.collect()
+    model_acc = sum(r["lang_pred"] == r["truth"] for r in rows)
+    heur_acc = sum(r["heur"] == r["truth"] for r in rows)
+    assert model_acc >= heur_acc
+    assert model_acc == len(HELD_OUT)
+    assert heur_acc < len(HELD_OUT)  # it/pt/nl are outside the heuristic
+
+
+def test_bucket_hash_parity_jvm_python(spark):
+    """Training hashes grams JVM-side (pmod(crc32(encode(g)), B));
+    predict hashes Python-side (zlib.crc32 % B). Same function."""
+    grams = ["the", "ße", "ço", "à ", "\x02a", "日本", "'s ", "x"]
+    buckets = 1 << 15
+    df = spark.createDataFrame([(g,) for g in grams], "g string")
+    got = {
+        r["g"]: r["b"]
+        for r in df.select(
+            "g",
+            F.pmod(F.crc32(F.encode(F.col("g"), "UTF-8")), F.lit(buckets)).alias(
+                "b"
+            ),
+        ).collect()
+    }
+    for g in grams:
+        assert got[g] == _bucket(g, buckets), g
+
+
+def test_train_deterministic(spark):
+    m1 = lang_id_train_seed(spark, buckets=4096, top_k=500)
+    m2 = lang_id_train_seed(spark, buckets=4096, top_k=500)
+    assert m1 == m2
+
+
+def test_top_k_caps_feature_count(spark):
+    m = lang_id_train_seed(spark, top_k=50)
+    for lang, w in m["weights"].items():
+        assert len(w) <= 50, lang
+
+
+def test_null_and_empty_text(spark, model):
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [(1, None), (2, ""), (3, "   "), (4, "le temps était froid ce matin")],
+            "id long, text string",
+        )
+    )
+    rows = {
+        r["id"]: (r["lang_pred"], r["lang_conf"])
+        for r in lang_id_predict(td, model, "text").df.collect()
+    }
+    assert rows[1] == (None, None)
+    assert rows[2] == (None, None)
+    assert rows[3] == (None, None)
+    assert rows[4][0] == "fr"
+
+
+def test_conf_col_none_omits_column(spark, model):
+    td = _held_out_tbl(spark)
+    got = lang_id_predict(td, model, "text", conf_col=None)
+    assert "lang_conf" not in got.df.columns
+    assert "lang_pred" in got.df.columns
+
+
+def test_column_clash_raises(spark, model):
+    td = _held_out_tbl(spark) >> mutate(lang_pred=f.truth)
+    with pytest.raises(ValueError, match="already exist"):
+        lang_id_predict(td, model, "text")
+
+
+def test_bad_model_raises(spark):
+    td = _held_out_tbl(spark)
+    with pytest.raises(ValueError, match="lang_id_train dict"):
+        lang_id_predict(td, {"nope": 1}, "text")
+
+
+def test_no_labeled_rows_raises(spark):
+    td = ensure_tibble(
+        spark.createDataFrame([], "text string, lang string")
+    )
+    with pytest.raises(ValueError, match="no labeled rows"):
+        lang_id_train(td, "text", "lang")
+
+
+def test_custom_labels_two_way(spark):
+    """User-supplied labels, not just languages: the model separates
+    two synthetic dialects by their character distributions."""
+    rows = [("aaab aab aaab abba", "a-ish")] * 6 + [
+        ("zzyz zyy zzzy yzzy", "z-ish")
+    ] * 6
+    td = ensure_tibble(spark.createDataFrame(rows, "text string, lang string"))
+    m = lang_id_train(td, "text", "lang", buckets=1024)
+    probe = ensure_tibble(
+        spark.createDataFrame(
+            [(1, "abab aaba"), (2, "zyzy zzyy")], "id long, text string"
+        )
+    )
+    got = {
+        r["id"]: r["lang_pred"]
+        for r in lang_id_predict(probe, m, "text").df.collect()
+    }
+    assert got == {1: "a-ish", 2: "z-ish"}
+
+
+def test_write_read_roundtrip(spark, model, tmp_path):
+    path = str(tmp_path / "langid_model.json")
+    lang_id_write(spark, model, path)
+    loaded = lang_id_read(spark, path)
+    assert loaded == model
+    # predictions identical through the round-trip
+    a = lang_id_predict(_held_out_tbl(spark), model, "text").df.collect()
+    b = lang_id_predict(_held_out_tbl(spark), loaded, "text").df.collect()
+    assert a == b
+
+
+def test_read_rejects_foreign_artifact(spark, tmp_path):
+    from datar_polars_spark.scale.jsonio import write_json_file
+
+    path = str(tmp_path / "not_langid.json")
+    write_json_file(spark, path, {"format": "pca-model"})
+    with pytest.raises(ValueError, match="not a lang_id_write artifact"):
+        lang_id_read(spark, path)
+
+
+def test_predict_plan_no_shuffle(spark, model):
+    """Predict is one Arrow pass over the scan: ArrowEvalPython
+    present, no Exchange."""
+    td = _held_out_tbl(spark)
+    plan = (
+        lang_id_predict(td, model, "text")
+        .df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+
+
+def test_train_shuffle_bounded_by_buckets(spark):
+    """The training aggregate carries bucket ints, not gram strings —
+    the shuffled key column is the pmod(crc32) bucket."""
+    corpus = seed_corpus(spark)
+    from datar_polars_spark.scale.langid import _grams_expr
+
+    grams = _grams_expr(F.col("text"), 1, 3)
+    counted = (
+        corpus.df.select(F.col("lang").alias("__lang"), grams.alias("__g"))
+        .select("__lang", F.explode("__g").alias("__gram"))
+        .select(
+            "__lang",
+            F.pmod(F.crc32(F.encode(F.col("__gram"), "UTF-8")), F.lit(64)).alias(
+                "__b"
+            ),
+        )
+        .groupBy("__lang", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    assert counted.count() <= len(_SEED) * 64
+
+
+def test_grams_expr_padding_matches_predict(spark):
+    """JVM gram extraction and predict-side normalization agree:
+    lowercase, whitespace/digit runs -> one boundary marker, padded."""
+    import re
+
+    from datar_polars_spark.scale.langid import _PAD, _grams_expr
+
+    text = "The  rain\tin 1990 Spain"
+    expected_base = (
+        _PAD + re.sub(r"[\s0-9]+", _PAD, text.lower()) + _PAD
+    )
+    expected = []
+    for n in (1, 2, 3):
+        expected += [
+            expected_base[i : i + n]
+            for i in range(len(expected_base) - n + 1)
+        ]
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(_grams_expr(F.col("t"), 1, 3).alias("g")).head()["g"]
+    assert got == expected
