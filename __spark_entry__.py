@@ -2129,9 +2129,30 @@ def q69_curation(spark, sf):
     (including the co.uk PSL rule). 'dreport' leg — domain_report
     (r11, the per-domain crawl audit) over the same URLs with lang as
     the text column: distinct-text, distinct-canonical-URL, and
-    char-mass aggregates per domain, oracle-recomputed."""
+    char-mass aggregates per domain, oracle-recomputed. 'warc' leg
+    (NEW r12) — read_warc over a synthesized two-file archive (one
+    plain .warc with a warcinfo record, one member-per-record .warc.gz
+    with a request record; 24 HTTP response records split across them)
+    proves ingestion end to end: type filtering drops the non-response
+    records, the HTTP envelope is stripped, and the oracle
+    reconstructs every payload byte arithmetically (md5 over the
+    sorted body concatenation), so gzip-member walking, header
+    parsing, and envelope stripping are all hash-pinned. 'langid' leg
+    (NEW r12) — the trainable hashed char-n-gram language-ID model
+    (lang_id_train_seed + lang_id_predict): four fixed out-of-corpus
+    sentences (en/fr/de/es, none in the seed corpus) are assigned by
+    doc_id % 4 and the oracle asserts every row is routed to the
+    correct language — training + prediction are deterministic (crc32
+    buckets, no sampling), so a model regression flips counts."""
+    import gzip
+    import os as _os
+    import tempfile
+
     from datar_polars_spark.scale import (
         dedup_paragraphs,
+        lang_id_predict,
+        lang_id_train_seed,
+        read_warc,
         url_normalize,
         url_registrable_domain,
     )
@@ -2220,8 +2241,112 @@ def q69_curation(spark, sf):
         F.col("n_unique_urls").cast("bigint").alias("n2"),
         F.col("chars").cast("string").alias("s"),
     )
+
+    # r12 'warc' leg: synthesize the two standard WARC layouts and
+    # read them back through the real binaryFile + mapInPandas path.
+    def _rec(warc_type: str, uri, ctype: str, body: bytes) -> bytes:
+        lines = [b"WARC/1.0", b"WARC-Type: " + warc_type.encode()]
+        if uri is not None:
+            lines.append(b"WARC-Target-URI: " + uri.encode())
+        lines += [
+            b"WARC-Date: 2026-01-01T00:00:00Z",
+            b"Content-Type: " + ctype.encode(),
+            b"Content-Length: " + str(len(body)).encode(),
+        ]
+        return b"\r\n".join(lines) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+    def _resp(i: int) -> bytes:
+        body = (f"payload {i} " * (i % 5 + 1)).encode("ascii")
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n\r\n" + body
+        )
+        return _rec(
+            "response",
+            f"https://warc.example/{i}",
+            "application/http; msgtype=response",
+            http,
+        )
+
+    wdir = tempfile.mkdtemp(prefix="q69_warc_")
+    info = _rec("warcinfo", None, "application/warc-fields", b"software: datar\r\n")
+    req = _rec(
+        "request",
+        "https://warc.example/0",
+        "application/http; msgtype=request",
+        b"GET /0 HTTP/1.1\r\nHost: warc.example\r\n\r\n",
+    )
+    with open(_os.path.join(wdir, "part-0.warc"), "wb") as fh:
+        fh.write(info + b"".join(_resp(i) for i in range(12)))
+    with open(_os.path.join(wdir, "part-1.warc.gz"), "wb") as fh:
+        fh.write(
+            b"".join(
+                gzip.compress(m)
+                for m in ([req] + [_resp(i) for i in range(12, 24)])
+            )
+        )
+    warc_leg = (
+        read_warc(spark, wdir)
+        .df.select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("long")
+            .alias("i"),
+            F.col("payload").cast("string").alias("body"),
+            "payload_len",
+        )
+        .groupBy((F.col("i") % 3).cast("string").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum("payload_len").alias("n2"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("body")), "|")
+            ).alias("s"),
+        )
+        .select(F.lit("warc").alias("op"), "k", "n1", "n2", "s")
+    )
+
+    # r12 'langid' leg: four fixed sentences (none in the seed corpus),
+    # routed by doc_id % 4; the oracle asserts perfect routing.
+    s_en = (
+        "the engineers reviewed the plans carefully before the bridge "
+        "could open to morning traffic"
+    )
+    s_fr = (
+        "les ingénieurs ont examiné attentivement les plans avant que "
+        "le pont ne soit ouvert à la circulation du matin"
+    )
+    s_de = (
+        "die ingenieure prüften die pläne sorgfältig bevor die brücke "
+        "für den morgendlichen verkehr geöffnet werden konnte"
+    )
+    s_es = (
+        "los ingenieros revisaron los planos con cuidado antes de que "
+        "el puente se abriera al tráfico de la mañana"
+    )
+    model = lang_id_train_seed(spark)
+    sents = F.array(F.lit(s_en), F.lit(s_fr), F.lit(s_de), F.lit(s_es))
+    probe = ensure_tibble(
+        d.df.select("doc_id").withColumn(
+            "text", F.element_at(sents, (F.col("doc_id") % 4 + 1).cast("int"))
+        )
+    )
+    lang_leg = (
+        lang_id_predict(probe, model, text="text")
+        .df.groupBy(F.col("lang_pred").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.countDistinct(F.col("doc_id") % 4).alias("n2"),
+            F.min("text").alias("s"),
+        )
+        .select(F.lit("langid").alias("op"), "k", "n1", "n2", "s")
+    )
+
     return (
-        para.unionByName(urls).unionByName(rep_block).orderBy("op", "k")
+        para.unionByName(urls)
+        .unionByName(rep_block)
+        .unionByName(warc_leg)
+        .unionByName(lang_leg)
+        .orderBy("op", "k")
     )
 
 
@@ -3396,6 +3521,37 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(DISTINCT norm) AS BIGINT),
                        CAST(CAST(SUM(len(lang)) AS BIGINT) AS VARCHAR)
                 FROM u GROUP BY domain
+                UNION ALL
+                -- r12 warc leg: the query synthesizes 24 HTTP response
+                -- records (plain .warc + member-per-record .warc.gz)
+                -- and reads them through read_warc; the expected
+                -- payload bodies reconstruct arithmetically, so the
+                -- md5 over the sorted body concatenation pins every
+                -- ingested byte (gzip walk + envelope strip included)
+                SELECT 'warc', CAST(i % 3 AS VARCHAR), COUNT(*),
+                       CAST(SUM(len(body)) AS BIGINT),
+                       md5(string_agg(body, '|' ORDER BY body))
+                FROM (SELECT i,
+                             repeat('payload ' || i || ' ', (i % 5) + 1)
+                                 AS body
+                      FROM range(24) t(i))
+                GROUP BY i % 3
+                UNION ALL
+                -- r12 langid leg: the hashed char-n-gram model must
+                -- route each fixed out-of-corpus sentence (assigned by
+                -- doc_id % 4) to the right language; the oracle states
+                -- the expected routing directly
+                SELECT 'langid',
+                       CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+                                       WHEN 2 THEN 'de' ELSE 'es' END,
+                       COUNT(*),
+                       COUNT(DISTINCT doc_id % 4),
+                       MIN(CASE doc_id % 4
+                           WHEN 0 THEN 'the engineers reviewed the plans carefully before the bridge could open to morning traffic'
+                           WHEN 1 THEN 'les ingénieurs ont examiné attentivement les plans avant que le pont ne soit ouvert à la circulation du matin'
+                           WHEN 2 THEN 'die ingenieure prüften die pläne sorgfältig bevor die brücke für den morgendlichen verkehr geöffnet werden konnte'
+                           ELSE 'los ingenieros revisaron los planos con cuidado antes de que el puente se abriera al tráfico de la mañana' END)
+                FROM documents GROUP BY 1, 2
             ) ORDER BY op, k
         """,
     }
