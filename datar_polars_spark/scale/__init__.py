@@ -105,6 +105,12 @@ from .filters import (  # noqa: F401 (also registers repetition metrics)
     cap_per_key,
     chunk_documents,
 )
+from .classifier import (  # noqa: F401
+    quality_classifier_predict,
+    quality_classifier_read,
+    quality_classifier_train,
+    quality_classifier_write,
+)
 from .langid import (  # noqa: F401
     seed_corpus,
     lang_id_train,

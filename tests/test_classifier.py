@@ -1,0 +1,212 @@
+"""Trainable quality classifier (scale/classifier.py): feature
+extraction, distributed full-batch training vs a numpy reference on
+the SAME data, separability/accuracy floors, pos_label derivation,
+NULL semantics, persistence round-trip, loss monotonicity, and plan
+shape (predict is one Arrow pass, no shuffle)."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datar_polars_spark.scale import (
+    quality_classifier_predict,
+    quality_classifier_read,
+    quality_classifier_train,
+    quality_classifier_write,
+)
+from datar_polars_spark.scale.classifier import _doc_features
+from datar_polars_spark.tibble import ensure_tibble
+
+GOOD_WORDS = (
+    "research careful analysis method evidence result clear "
+    "structure paragraph citation measured detailed thorough"
+).split()
+BAD_WORDS = (
+    "click buy cheap winner prize free casino pills xxx "
+    "subscribe spam lottery jackpot viagra"
+).split()
+
+
+def _corpus(n=160, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        good = i % 2 == 0
+        words = GOOD_WORDS if good else BAD_WORDS
+        text = " ".join(rng.choice(words) for _ in range(30))
+        rows.append((text, 1 if good else 0))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return ensure_tibble(
+        spark.createDataFrame(_corpus(), "text string, label int")
+    )
+
+
+@pytest.fixture(scope="module")
+def model(corpus):
+    return quality_classifier_train(corpus, "text", "label", iters=30)
+
+
+def test_doc_features_mean_pooled():
+    idx, val = _doc_features("the cat sat", 1, 2, 1 << 17)
+    # 3 unigrams + 2 bigrams = 5 grams, values sum to 1
+    assert abs(sum(val) - 1.0) < 1e-12
+    assert len(idx) == len(val) and idx == sorted(idx)
+    assert _doc_features("", 1, 2, 64) is None
+    assert _doc_features("!!! ...", 1, 2, 64) is None
+
+
+def test_model_shape_and_loss_decreases(model):
+    assert model["format"] == "datar-quality-clf"
+    assert model["n_docs"] == 160
+    hist = model["loss_history"]
+    assert len(hist) == 30
+    # full-batch Adam on separable data: loss collapses
+    assert hist[-1] < hist[0] / 5
+    assert hist[0] <= math.log(2) + 0.01  # starts at ~ln 2 from w=0
+
+
+def test_separable_accuracy(spark, model, corpus):
+    scored = quality_classifier_predict(corpus, model, "text")
+    rows = scored.df.select("label", "quality_prob").collect()
+    acc = sum(
+        1 for r in rows if (r["quality_prob"] >= 0.5) == (r["label"] == 1)
+    ) / len(rows)
+    assert acc == 1.0
+    # confident margins on clearly separable data
+    assert all(
+        abs(r["quality_prob"] - 0.5) > 0.3 for r in rows
+    )
+
+
+def test_held_out_generalization(spark, model):
+    held = ensure_tibble(
+        spark.createDataFrame(
+            [
+                ("careful detailed research with measured evidence", 1),
+                ("free prize click buy cheap pills now", 0),
+            ],
+            "text string, label int",
+        )
+    )
+    rows = quality_classifier_predict(held, model, "text").df.collect()
+    by = {r["label"]: r["quality_prob"] for r in rows}
+    assert by[1] > 0.8 and by[0] < 0.2
+
+
+def test_matches_numpy_reference(spark):
+    """The distributed gradient must equal a single-machine
+    implementation of the same model on the same data — train 5 iters
+    both ways and compare predictions to float tolerance."""
+    rows = _corpus(n=40, seed=3)
+    td = ensure_tibble(spark.createDataFrame(rows, "text string, label int"))
+    buckets, n_lo, n_hi, iters, lr = 1 << 13, 1, 2, 5, 0.25
+    m = quality_classifier_train(
+        td, "text", "label", buckets=buckets, iters=iters, lr=lr
+    )
+
+    # numpy twin: identical features, full-batch gradient, Adam
+    feats = []
+    for text, y in rows:
+        fv = _doc_features(text, n_lo, n_hi, buckets)
+        feats.append((float(y), np.asarray(fv[0]), np.asarray(fv[1])))
+    w = np.zeros(buckets)
+    bias = 0.0
+    m_w, v_w = np.zeros(buckets), np.zeros(buckets)
+    m_b = v_b = 0.0
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    for it in range(1, iters + 1):
+        g = np.zeros(buckets)
+        bg = 0.0
+        for y, xi, xv in feats:
+            p = 1 / (1 + math.exp(-(bias + float(w[xi] @ xv))))
+            e = p - y
+            np.add.at(g, xi, e * xv)
+            bg += e
+        g /= len(feats)
+        bg /= len(feats)
+        m_w = b1 * m_w + (1 - b1) * g
+        v_w = b2 * v_w + (1 - b2) * g * g
+        m_b = b1 * m_b + (1 - b1) * bg
+        v_b = b2 * v_b + (1 - b2) * bg * bg
+        w = w - lr * (m_w / (1 - b1**it)) / (np.sqrt(v_w / (1 - b2**it)) + eps)
+        bias = bias - lr * (m_b / (1 - b1**it)) / (
+            math.sqrt(v_b / (1 - b2**it)) + eps
+        )
+
+    assert abs(m["bias"] - bias) < 1e-6
+    w_m = np.zeros(buckets)
+    for b, v in m["weights"].items():
+        w_m[int(b)] = v
+    assert float(np.max(np.abs(w_m - w))) < 1e-6
+
+
+def test_pos_label_and_null_semantics(spark, model):
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [("careful research", "keep"), ("spam spam", "drop"), (None, "keep")],
+            "text string, verdict string",
+        )
+    )
+    m = quality_classifier_train(
+        ensure_tibble(
+            spark.createDataFrame(
+                _corpus(n=40, seed=1), "text string, label int"
+            ).selectExpr(
+                "text", "CASE WHEN label = 1 THEN 'keep' ELSE 'drop' END AS verdict"
+            )
+        ),
+        "text",
+        "verdict",
+        pos_label="keep",
+        buckets=1 << 13,
+        iters=15,
+    )
+    rows = quality_classifier_predict(td, m, "text").df.collect()
+    probs = {r["verdict"]: r["quality_prob"] for r in rows if r["text"] is not None}
+    assert probs["keep"] > 0.5 and probs["drop"] < 0.5
+    assert [r["quality_prob"] for r in rows if r["text"] is None] == [None]
+
+
+def test_no_usable_rows_raises(spark):
+    td = ensure_tibble(
+        spark.createDataFrame([("", 1), (None, 0)], "text string, label int")
+    )
+    with pytest.raises(ValueError, match="no usable labeled rows"):
+        quality_classifier_train(td, "text", "label", iters=1, buckets=64)
+
+
+def test_persistence_roundtrip(spark, model, tmp_path):
+    path = str(tmp_path / "qclf.json")
+    quality_classifier_write(spark, model, path)
+    loaded = quality_classifier_read(spark, path)
+    assert loaded["bias"] == model["bias"]
+    assert loaded["weights"] == model["weights"]
+    with pytest.raises(ValueError, match="not a quality classifier"):
+        from datar_polars_spark.scale import lang_id_train_seed, lang_id_write
+
+        lid = str(tmp_path / "lid.json")
+        lang_id_write(spark, lang_id_train_seed(spark), lid)
+        quality_classifier_read(spark, lid)
+
+
+def test_predict_plan_no_shuffle(spark, model, corpus):
+    scored = quality_classifier_predict(corpus, model, "text")
+    plan = (
+        scored.df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_predict_rejects_existing_column_and_bad_model(corpus, model):
+    with pytest.raises(ValueError, match="already exists"):
+        quality_classifier_predict(corpus, model, "text", out_col="text")
+    with pytest.raises(ValueError, match="must be a"):
+        quality_classifier_predict(corpus, {"format": "nope"}, "text")
