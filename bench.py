@@ -7,6 +7,16 @@ Prints ONE JSON line:
 Query set = the shuffle/join/window-heavy subset of the correctness
 gate (the ones whose cost scales), so BENCH measures the same plans the
 driver verifies for correctness.
+
+NOISE DISCIPLINE (r12): every committed wall number carries a spread.
+The headline "value" is the per-query MEDIAN of THREE genuinely cold
+runs, each in its own fresh JVM (``--cold-child`` subprocess: new
+SparkSession, sf0.001 codegen warm-up, one timed sf-scale pass) — r11's
+single-shot cold swung 4.27->5.03 s within an hour on identical code
+and could not prove itself noise. A loadavg guard waits (bounded) for
+the box to quiet before timing and records what it saw, so a
+load-inflated artifact is visible as such instead of reading as a
+regression.
 """
 
 from __future__ import annotations
@@ -215,57 +225,170 @@ def build_session(cpus: str) -> SparkSession:
     )
 
 
+def _headline_names(qs) -> list:
+    return [n for n in HEADLINE if n in qs]
+
+
+def _warmup_headline(spark, qs, names, sf_dir: str) -> None:
+    """JVM/codegen warm-up: run EVERY headline plan once on the
+    smallest SF so whole-stage codegen classes are compiled before
+    timing; the timed passes then measure sf-scale execution, not
+    first-call classloading."""
+    warm_dir = "/root/testdata/sf0.001"
+    use = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    for name in names:
+        try:
+            qs[name](spark, use).count()
+        except Exception:
+            pass
+
+
+def _cold_child() -> None:
+    """One genuinely cold headline run in a fresh JVM: build a new
+    session, codegen-warm at sf0.001, time one sf-scale pass per
+    query, emit a tagged JSON line for the parent."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    names = _headline_names(qs)
+    _warmup_headline(spark, qs, names, sf_dir)
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    print("COLD_CHILD_JSON:" + json.dumps(out))
+
+
+def _cold_runs(n_runs: int = 3) -> list:
+    """Spawn ``n_runs`` sequential fresh-JVM cold children (never
+    concurrent — they would contend for the same cores and measure
+    each other)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    runs = []
+    for _ in range(n_runs):
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cold-child"],
+                capture_output=True,
+                text=True,
+                timeout=1200,
+                cwd=here,
+            )
+            for line in p.stdout.splitlines():
+                if line.startswith("COLD_CHILD_JSON:"):
+                    runs.append(json.loads(line.split(":", 1)[1]))
+                    break
+        except Exception:
+            continue
+    return runs
+
+
+def _med_spread(runs: dict) -> tuple:
+    """Per-key median + [median, min, max] spread over a {key: [t...]}
+    dict of repeated timings."""
+    med, spread = {}, {}
+    for k, r in runs.items():
+        s = sorted(r)
+        m = s[len(s) // 2]
+        med[k] = m
+        spread[k] = [m, s[0], s[-1]]
+    return med, spread
+
+
+def _loadavg_guard(cpus: int, limit_sec: float = 120.0) -> dict:
+    """Wait (bounded) for 1-min loadavg to drop below cpus/4 before
+    timing, and record what happened — a run that started hot is
+    annotated in the artifact instead of silently polluting the trend
+    (r11 vs r10 cold differed 30% on identical headline code with
+    loadavg_start 8.5 vs 4.7)."""
+    thresh = max(1.0, cpus / 4.0)
+    waited = 0.0
+    la = os.getloadavg()[0]
+    while la > thresh and waited < limit_sec:
+        time.sleep(5.0)
+        waited += 5.0
+        la = os.getloadavg()[0]
+    return {
+        "threshold": round(thresh, 2),
+        "waited_sec": waited,
+        "loadavg_after_wait": round(la, 2),
+        "satisfied": la <= thresh,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     loadavg_start = list(os.getloadavg())
+    guard = _loadavg_guard(int(cpus))
+
+    # ---- cold headline: THREE fresh-JVM runs (subprocesses), the
+    # committed number is the per-query median and every number carries
+    # its [median, min, max] spread. Falls back to one in-process pass
+    # if the children fail (the artifact says which mode produced it).
+    cold_children = _cold_runs(3)
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
-    names = [n for n in HEADLINE if n in qs]
+    names = _headline_names(qs)
+    _warmup_headline(spark, qs, names, sf_dir)
 
-    # JVM/codegen warm-up: run EVERY headline plan once on the smallest
-    # SF so whole-stage codegen classes are compiled before timing; the
-    # timed passes then measure sf-scale execution, not first-call
-    # classloading
-    warm_dir = "/root/testdata/sf0.001"
+    if cold_children:
+        cold_mode = f"median of {len(cold_children)} fresh-JVM runs"
+        cold_samples = {
+            n: [run[n] for run in cold_children if n in run] for n in names
+        }
+        cold_samples = {n: r for n, r in cold_samples.items() if r}
+        cold, cold_spread = _med_spread(cold_samples)
+    else:
+        cold_mode = "in-process single pass (cold children failed)"
+        cold = {}
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            cold[name] = round(time.perf_counter() - t0, 3)
+        cold_spread = {n: [v, v, v] for n, v in cold.items()}
+
+    # one untimed priming pass so the warm passes below are pure
+    # steady state (sf-scale codegen compiled), then THREE timed
+    # steady-state passes: per-query MEDIAN + [med, min, max] spread —
+    # a noise-inflated run is visible in the artifact instead of
+    # masquerading as a code regression (the r3 recorded/re-run totals
+    # differed 45% on identical code)
     for name in names:
         try:
-            qs[name](spark, warm_dir if os.path.isdir(warm_dir) else sf_dir).count()
+            qs[name](spark, sf_dir).count()
         except Exception:
             pass
-
-    # pass 1 (cold) includes residual JVM/codegen warm-up; then THREE
-    # steady-state passes so the warm number defends itself: the
-    # reported warm timing is the per-query MEDIAN and the [min, max]
-    # spread is recorded alongside, so a noise-inflated run is visible
-    # in the artifact instead of masquerading as a code regression
-    # (the r3 recorded/re-run totals differed 45% on identical code)
-    cold: dict[str, float] = {}
     warm_runs: dict[str, list[float]] = {name: [] for name in names}
-    for pass_timings in (cold, None, None, None):
+    for _ in range(3):
         for name in names:
             fn = qs[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n_rows = df.count()  # materialize the whole result
-            dt = round(time.perf_counter() - t0, 3)
-            if pass_timings is None:
-                warm_runs[name].append(dt)
-            else:
-                pass_timings[name] = dt
+            warm_runs[name].append(round(time.perf_counter() - t0, 3))
             _ = n_rows
-    warm = {n: sorted(r)[1] for n, r in warm_runs.items()}
-    warm_spread = {n: [min(r), max(r)] for n, r in warm_runs.items()}
+    warm, warm_spread = _med_spread(warm_runs)
 
-    # scale-pipeline ops (LLM-training-data path): two timed passes like
-    # the headline queries — pass 1 is dominated by whole-stage-codegen
-    # compilation of the wide signature expressions (a fixed per-plan
-    # cost that amortizes to zero at corpus scale), pass 2 is the
-    # steady-state execution cost that actually scales with data
+    # scale-pipeline ops (LLM-training-data path): pass 1 is dominated
+    # by whole-stage-codegen compilation of the wide signature
+    # expressions (a fixed per-plan cost that amortizes to zero at
+    # corpus scale) and is recorded as the first-call cost; then THREE
+    # steady-state passes give the warm median + [med, min, max]
+    # spread that actually scales with data
     scale_ops: dict[str, float] = {}
     scale_ops_warm: dict[str, float] = {}
+    scale_ops_warm_spread: dict[str, list] = {}
+    scale_ops_error: str | None = None
+    sf1_error: str | None = None
+    warm_dir = "/root/testdata/sf0.001"
     try:
         from datar_polars_spark import f, read_parquet
         from datar_polars_spark.scale import cosine_topk, minhash_dedup
@@ -374,13 +497,23 @@ def main() -> None:
             # normalize_text) over synthetic markup — scan-stage regex
             "html_extract": lambda: _html_extract_bench(docs),
         }
-        for pass_timings in (scale_ops, scale_ops_warm):
+        for op_name, op in ops.items():
+            t0 = time.perf_counter()
+            op()
+            scale_ops[op_name] = round(time.perf_counter() - t0, 3)
+        op_runs: dict[str, list[float]] = {n_: [] for n_ in ops}
+        for _ in range(3):
             for op_name, op in ops.items():
                 t0 = time.perf_counter()
                 op()
-                pass_timings[op_name] = round(time.perf_counter() - t0, 3)
+                op_runs[op_name].append(round(time.perf_counter() - t0, 3))
+        scale_ops_warm, scale_ops_warm_spread = _med_spread(op_runs)
     except Exception:
-        pass
+        # never silent: a failed section shows up in the artifact as an
+        # error string, not as a mysteriously missing block
+        import traceback
+
+        scale_ops_error = traceback.format_exc(limit=3).strip().splitlines()[-1]
 
     # ---- sf1 scaling pass (10x data): one timed pass per headline
     # query + the dedup scale op, after codegen is warm — the point is
@@ -390,6 +523,7 @@ def main() -> None:
     # 10x replication of sf0.1 (tools/make_sf1.py), generated on first
     # use and kept under benchdata/.
     sf1: dict[str, float] = {}
+    sf1_spread: dict[str, list] = {}
     sf1_scale_ops: dict[str, list] = {}
     sf1_loadavg: list | None = None
     sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchdata", "sf1")
@@ -421,10 +555,18 @@ def main() -> None:
                     capture_output=True,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
-            for name in names:
-                t0 = time.perf_counter()
-                qs[name](spark, sf1_dir).count()
-                sf1[name] = round(time.perf_counter() - t0, 3)
+            # THREE timed passes per headline query at sf1 (the r11
+            # single-shot section was the last spread-less number in
+            # the artifact): median + [med, min, max]
+            sf1_runs: dict[str, list[float]] = {name: [] for name in names}
+            for _ in range(3):
+                for name in names:
+                    t0 = time.perf_counter()
+                    qs[name](spark, sf1_dir).count()
+                    sf1_runs[name].append(
+                        round(time.perf_counter() - t0, 3)
+                    )
+            sf1, sf1_spread = _med_spread(sf1_runs)
             from datar_polars_spark import f as _f
             from datar_polars_spark import read_parquet as _rp
             from datar_polars_spark.scale import duplicate_spans as _dsp
@@ -462,7 +604,9 @@ def main() -> None:
                 sf1_scale_ops[op_name] = [runs[1], runs[0], runs[2]]
             sf1_loadavg = list(os.getloadavg())
         except Exception:
-            pass
+            import traceback
+
+            sf1_error = traceback.format_exc(limit=3).strip().splitlines()[-1]
 
     total = round(sum(cold.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -471,20 +615,27 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "value_definition": "sum of per-query cold medians; "
+                + cold_mode,
                 "queries": cold,
+                "queries_cold_spread": cold_spread,
+                "spread_format": "[median, min, max] of 3",
                 "warm_total": round(sum(warm.values()), 3),
                 "queries_warm": warm,
                 "queries_warm_spread": warm_spread,
                 "warm_runs": 3,
                 "loadavg_start": loadavg_start,
+                "loadavg_guard": guard,
                 "loadavg_end": list(os.getloadavg()),
-                "scale_ops": scale_ops,
+                "scale_ops_first_call": scale_ops,
                 "scale_ops_warm": scale_ops_warm,
+                "scale_ops_warm_spread": scale_ops_warm_spread,
+                "scale_ops_error": scale_ops_error,
+                "sf1_error": sf1_error,
                 "sf1_total": round(sum(sf1.values()), 3) if sf1 else None,
                 "sf1_queries": sf1 or None,
+                "sf1_queries_spread": sf1_spread or None,
                 "sf1_scale_ops": sf1_scale_ops or None,
-                "sf1_scale_ops_format": "[median, min, max] of 3"
-                if sf1_scale_ops else None,
                 "sf1_loadavg": sf1_loadavg,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
@@ -502,4 +653,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--cold-child" in sys.argv[1:]:
+        _cold_child()
+    else:
+        main()
