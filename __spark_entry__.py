@@ -2143,7 +2143,14 @@ def q69_curation(spark, sf):
     sentences (en/fr/de/es, none in the seed corpus) are assigned by
     doc_id % 4 and the oracle asserts every row is routed to the
     correct language — training + prediction are deterministic (crc32
-    buckets, no sampling), so a model regression flips counts."""
+    buckets, no sampling), so a model regression flips counts. 'qclf'
+    leg (NEW r12) — the trainable quality classifier
+    (quality_classifier_train + _predict): trained on a deterministic
+    separable word-salad fixture, it must route held-out high/low
+    quality texts (assigned by doc_id % 2) to the right side of 0.5;
+    margins on this fixture are extreme (p ~ 1 / ~0), so the float
+    last-bit nondeterminism of distributed gradient sums cannot flip
+    the routing the oracle asserts."""
     import gzip
     import os as _os
     import tempfile
@@ -2152,6 +2159,8 @@ def q69_curation(spark, sf):
         dedup_paragraphs,
         lang_id_predict,
         lang_id_train_seed,
+        quality_classifier_predict,
+        quality_classifier_train,
         read_warc,
         url_normalize,
         url_registrable_domain,
@@ -2341,11 +2350,65 @@ def q69_curation(spark, sf):
         .select(F.lit("langid").alias("op"), "k", "n1", "n2", "s")
     )
 
+    # r12 'qclf' leg: train the quality classifier on a deterministic
+    # separable fixture, then assert held-out routing by doc_id % 2.
+    good_pool = (
+        "research careful analysis method evidence result clear "
+        "structure citation measured detailed thorough"
+    ).split()
+    bad_pool = (
+        "click buy cheap winner prize free casino pills "
+        "subscribe spam lottery jackpot"
+    ).split()
+    fixture = [
+        (
+            " ".join(pool[(i + j) % len(pool)] for j in range(8)),
+            1 if pool is good_pool else 0,
+        )
+        for pool in (good_pool, bad_pool)
+        for i in range(24)
+    ]
+    clf = quality_classifier_train(
+        ensure_tibble(
+            spark.createDataFrame(fixture, "text string, label int")
+        ),
+        "text",
+        "label",
+        buckets=1 << 13,
+        iters=8,
+    )
+    hq = "careful measured analysis with detailed evidence and a clear method"
+    lq = "click the free prize and buy cheap casino pills from the spam lottery"
+    clf_probe = ensure_tibble(
+        d.df.select("doc_id").withColumn(
+            "text",
+            F.element_at(
+                F.array(F.lit(hq), F.lit(lq)),
+                (F.col("doc_id") % 2 + 1).cast("int"),
+            ),
+        )
+    )
+    qclf_leg = (
+        quality_classifier_predict(clf_probe, clf, text="text")
+        .df.groupBy(
+            F.when(F.col("quality_prob") >= 0.5, "hq")
+            .otherwise("lq")
+            .alias("k")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.countDistinct(F.col("doc_id") % 2).alias("n2"),
+            F.min("text").alias("s"),
+        )
+        .select(F.lit("qclf").alias("op"), "k", "n1", "n2", "s")
+    )
+
     return (
         para.unionByName(urls)
         .unionByName(rep_block)
         .unionByName(warc_leg)
         .unionByName(lang_leg)
+        .unionByName(qclf_leg)
         .orderBy("op", "k")
     )
 
@@ -3551,6 +3614,19 @@ def oracle_sql() -> dict[str, str]:
                            WHEN 1 THEN 'les ingénieurs ont examiné attentivement les plans avant que le pont ne soit ouvert à la circulation du matin'
                            WHEN 2 THEN 'die ingenieure prüften die pläne sorgfältig bevor die brücke für den morgendlichen verkehr geöffnet werden konnte'
                            ELSE 'los ingenieros revisaron los planos con cuidado antes de que el puente se abriera al tráfico de la mañana' END)
+                FROM documents GROUP BY 1, 2
+                UNION ALL
+                -- r12 qclf leg: the trained quality classifier must
+                -- route the held-out hq/lq texts (assigned by
+                -- doc_id % 2) to the right side of 0.5; the oracle
+                -- states the expected routing directly
+                SELECT 'qclf',
+                       CASE doc_id % 2 WHEN 0 THEN 'hq' ELSE 'lq' END,
+                       COUNT(*),
+                       COUNT(DISTINCT doc_id % 2),
+                       MIN(CASE doc_id % 2
+                           WHEN 0 THEN 'careful measured analysis with detailed evidence and a clear method'
+                           ELSE 'click the free prize and buy cheap casino pills from the spam lottery' END)
                 FROM documents GROUP BY 1, 2
             ) ORDER BY op, k
         """,
