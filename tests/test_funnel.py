@@ -1,0 +1,115 @@
+"""Curation-funnel accounting (scale/funnel.py): sequential vs
+independent counting, every stage-spec form (Column / SQL string /
+datar expression / callable), NULL-predicate drop semantics,
+consistency between kept and the funnel, single-aggregation plan
+shape, and scan pushdown of the kept filter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datar_polars_spark import f, read_parquet
+from datar_polars_spark.scale import filter_funnel
+from datar_polars_spark.tibble import ensure_tibble
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+
+
+def test_sequential_counts(spark):
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [(i, i % 2, i % 3) for i in range(60)], "id long, a long, b long"
+        )
+    )
+    kept, funnel = filter_funnel(
+        td, {"even": f.a == 0, "not_mult3": f.b != 0}
+    )
+    rows = funnel.df.collect()
+    assert [r["stage"] for r in rows] == ["even", "not_mult3"]
+    # 60 in, 30 even; of those (i ∈ 0,2,..58) the i%3==0 ones are
+    # i ∈ {0,6,...,54} = 10 → 20 survive
+    assert (rows[0]["n_in"], rows[0]["n_kept"], rows[0]["n_dropped"]) == (60, 30, 30)
+    assert (rows[1]["n_in"], rows[1]["n_kept"]) == (30, 20)
+    assert rows[0]["drop_rate"] == 0.5
+    assert kept.df.count() == rows[-1]["n_kept"] == 20
+
+
+def test_independent_counts(spark):
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [(i, i % 2, i % 3) for i in range(60)], "id long, a long, b long"
+        )
+    )
+    _, funnel = filter_funnel(
+        td, {"even": f.a == 0, "not_mult3": f.b != 0}, mode="independent"
+    )
+    rows = {r["stage"]: r for r in funnel.df.collect()}
+    assert rows["even"]["n_in"] == 60 and rows["even"]["n_kept"] == 30
+    # independent: counted against the full 60, not the 30 survivors
+    assert rows["not_mult3"]["n_in"] == 60
+    assert rows["not_mult3"]["n_kept"] == 40
+
+
+def test_stage_spec_forms(docs):
+    kept, funnel = filter_funnel(
+        docs,
+        {
+            "col": F.col("n_chars") > 100,          # Column
+            "sql": "lang is not null",               # SQL string
+            "dsl": f.doc_id >= 0,                    # datar expression
+            "call": lambda td: F.length(F.col("text")) > 0,  # callable
+        },
+    )
+    rows = funnel.df.collect()
+    assert len(rows) == 4
+    assert rows[0]["n_in"] == docs.df.count()
+    assert kept.df.count() == rows[-1]["n_kept"]
+
+
+def test_null_predicate_drops(spark):
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 5)], "id long, x long"
+        )
+    )
+    kept, funnel = filter_funnel(td, {"big": f.x > 6})
+    r = funnel.df.collect()[0]
+    # NULL > 6 is NULL → dropped, exactly like filter_/WHERE
+    assert (r["n_in"], r["n_kept"], r["n_dropped"]) == (3, 1, 2)
+    assert [row["id"] for row in kept.df.collect()] == [1]
+
+
+def test_single_aggregation_plan(docs):
+    _, funnel = filter_funnel(
+        docs,
+        {"a": F.col("n_chars") > 50, "b": F.col("lang") == "en",
+         "c": F.length("text") > 10},
+    )
+    plan = funnel.df._jdf.queryExecution().executedPlan().toString()
+    # one partial+final aggregate pair over a single-row exchange — NOT
+    # one count job per stage
+    assert plan.count("HashAggregate") <= 2
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan[:2000]
+
+
+def test_kept_filter_pushdown(docs):
+    kept, _ = filter_funnel(docs, {"chars": F.col("n_chars") > 100})
+    plan = kept.df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(n_chars,100)" in plan, plan[:2000]
+
+
+def test_validation(docs):
+    with pytest.raises(ValueError, match="at least one stage"):
+        filter_funnel(docs, {})
+    with pytest.raises(ValueError, match="mode must be"):
+        filter_funnel(docs, {"a": "1=1"}, mode="bogus")
+    from datar_polars_spark import group_by
+    from datar_polars_spark.functions import mean
+
+    with pytest.raises(ValueError, match="grouped aggregates"):
+        filter_funnel(
+            docs >> group_by(f.lang), {"agg": f.n_chars > mean(f.n_chars)}
+        )
