@@ -368,3 +368,71 @@ def test_streaming_text_extraction_pipeline(spark, tmp_path):
     assert smap == batch
     assert smap[1] == "First's \"page\".\n\nTail bit."
     assert smap[2] is None
+
+
+def test_streaming_model_scoring_pipeline(spark, tmp_path):
+    """r12: the trained-model scoring stages (lang_id_predict and
+    quality_classifier_predict) are stateless Arrow passes, so they
+    run unchanged on a STREAMING frame — live ingest scores language
+    and quality with results identical to the batch path."""
+    from datar_polars_spark.scale import (
+        lang_id_predict,
+        lang_id_train_seed,
+        quality_classifier_predict,
+        quality_classifier_train,
+    )
+    from datar_polars_spark.streaming import run_to_memory
+    from datar_polars_spark.tibble import Tibble, ensure_tibble
+
+    lid = lang_id_train_seed(spark)
+    qclf = quality_classifier_train(
+        ensure_tibble(
+            spark.createDataFrame(
+                [("careful detailed analysis with measured evidence", 1)] * 12
+                + [("click free prize buy cheap pills now", 0)] * 12,
+                "text string, label int",
+            )
+        ),
+        "text",
+        "label",
+        buckets=1 << 12,
+        iters=8,
+    )
+
+    rows = [
+        (1, "the storm rolled in over the hills before the evening train"),
+        (2, "les enfants jouaient dans le jardin derrière la maison"),
+        (3, "careful detailed analysis with measured evidence"),
+        (4, "click free prize buy cheap pills now"),
+        (5, None),
+    ]
+    src = str(tmp_path / "score_stream")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(src)
+
+    def pipe(df):
+        scored = lang_id_predict(Tibble(df), lid, text="text")
+        return quality_classifier_predict(scored, qclf, text="text").df.select(
+            "doc_id", "lang_pred", "quality_prob"
+        )
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    got = run_to_memory(pipe(stream), mode="append")
+    import pandas as pd
+
+    def norm(v):
+        # the memory sink materializes NULL doubles as pandas NaN;
+        # Spark collect() gives None — same value, normalize
+        return None if v is None or (isinstance(v, float) and pd.isna(v)) else v
+
+    smap = {
+        r.doc_id: (norm(r.lang_pred), norm(r.quality_prob))
+        for r in got.itertuples(index=False)
+    }
+    batch = {
+        r["doc_id"]: (norm(r["lang_pred"]), norm(r["quality_prob"]))
+        for r in pipe(spark.read.parquet(src)).collect()
+    }
+    assert smap == batch and len(smap) == 5
+    assert smap[1][0] == "en" and smap[2][0] == "fr"
+    assert smap[3][1] > 0.8 and smap[4][1] < 0.2
+    assert smap[5] == (None, None)
