@@ -26,10 +26,10 @@ per-row confidence and >4-language coverage matter.
 
 Train on your own labeled sample (e.g. a high-confidence subset of an
 earlier crawl) or start from :func:`seed_corpus` — a small built-in
-set of original sentences written for this module (7 Latin-script
-languages). CJK text is better served by the code-point heuristic in
-``lang_id`` (the seed corpus is Latin-script only; a real deployment
-trains on labeled CJK data the same way).
+set of original sentences written for this module (12 languages across
+Latin, Cyrillic, Arabic, and CJK scripts; char n-grams need no word
+segmentation, so unsegmented zh/ja text scores the same way). A real
+deployment retrains on a larger labeled sample with the same call.
 """
 
 from __future__ import annotations
@@ -153,6 +153,76 @@ _SEED: dict = {
         "de vergadering is verplaatst naar donderdagmiddag",
         "ik blijf liever thuis lezen dan vanavond uit te gaan",
         "het museum is 's winters op maandag gesloten",
+    ],
+    "ru": [
+        "сегодня утром было холодно и улицы были тихими",
+        "она спросила придет ли поезд до полудня",
+        "мы должны были закончить отчет к концу недели",
+        "нет ничего лучше свежего хлеба с маслом",
+        "дети играли в саду за домом",
+        "он не мог вспомнить где оставил свои ключи",
+        "эта книга объясняет как на самом деле работает двигатель",
+        "они решили пойти домой пешком потому что автобус опоздал",
+        "мой сосед каждое лето выращивает помидоры и перец",
+        "собрание перенесли на четверг после обеда",
+        "я бы лучше остался дома и читал чем идти куда-то вечером",
+        "музей зимой по понедельникам закрыт",
+    ],
+    "ar": [
+        "كان الطقس باردا هذا الصباح وكانت الشوارع هادئة",
+        "سألت إن كان القطار سيصل قبل الظهر",
+        "كان علينا أن ننهي التقرير قبل نهاية الأسبوع",
+        "لا شيء أفضل من الخبز الطازج مع الزبدة",
+        "كان الأطفال يلعبون في الحديقة خلف المنزل",
+        "لم يستطع أن يتذكر أين ترك مفاتيحه",
+        "يشرح هذا الكتاب كيف يعمل المحرك حقا",
+        "قرروا العودة إلى المنزل سيرا لأن الحافلة تأخرت",
+        "جاري يزرع الطماطم والفلفل كل صيف",
+        "تم نقل الاجتماع إلى بعد ظهر الخميس",
+        "أفضل البقاء في المنزل والقراءة على الخروج الليلة",
+        "المتحف مغلق أيام الاثنين في الشتاء",
+    ],
+    "zh": [
+        "今天早上天气很冷 街上很安静",
+        "她问火车会不会在中午之前到达",
+        "我们应该在周末之前完成报告",
+        "没有什么比新鲜面包加黄油更好的了",
+        "孩子们在房子后面的花园里玩耍",
+        "他想不起来把钥匙放在哪里了",
+        "这本书解释了发动机的实际工作原理",
+        "因为公交车晚点了 他们决定走路回家",
+        "我的邻居每年夏天都种西红柿和辣椒",
+        "会议改到了星期四下午",
+        "我宁愿待在家里看书也不想今晚出门",
+        "博物馆冬天每逢星期一闭馆",
+    ],
+    "ja": [
+        "今朝は天気が寒くて通りは静かだった",
+        "彼女は電車が正午までに着くかどうか尋ねた",
+        "週末までに報告書を終わらせるべきだった",
+        "焼きたてのパンとバターほど良いものはない",
+        "子供たちは家の裏の庭で遊んでいた",
+        "彼は鍵をどこに置いたか思い出せなかった",
+        "この本はエンジンの仕組みを説明している",
+        "バスが遅れたので歩いて帰ることにした",
+        "隣の人は毎年夏にトマトとピーマンを育てている",
+        "会議は木曜日の午後に変更された",
+        "今夜は出かけるより家で本を読みたい",
+        "博物館は冬の間月曜日は休みです",
+    ],
+    "ko": [
+        "오늘 아침 날씨가 추웠고 거리는 조용했다",
+        "그녀는 기차가 정오 전에 도착할지 물었다",
+        "우리는 주말까지 보고서를 끝냈어야 했다",
+        "갓 구운 빵과 버터보다 좋은 것은 없다",
+        "아이들은 집 뒤 정원에서 놀고 있었다",
+        "그는 열쇠를 어디에 두었는지 기억하지 못했다",
+        "이 책은 엔진이 실제로 어떻게 작동하는지 설명한다",
+        "버스가 늦어서 그들은 걸어서 집에 가기로 했다",
+        "내 이웃은 여름마다 토마토와 고추를 기른다",
+        "회의는 목요일 오후로 옮겨졌다",
+        "오늘 밤에는 나가기보다 집에서 책을 읽고 싶다",
+        "박물관은 겨울에 월요일마다 문을 닫는다",
     ],
 }
 
@@ -309,7 +379,8 @@ def lang_id_train(
 
 
 def lang_id_train_seed(spark, **kwargs) -> dict:
-    """Train on the built-in seed corpus (7 Latin-script languages) —
+    """Train on the built-in seed corpus (12 languages across Latin,
+    Cyrillic, Arabic, and CJK scripts) —
     the zero-setup starting point; same kwargs as lang_id_train."""
     return lang_id_train(seed_corpus(spark), "text", "lang", **kwargs)
 

@@ -32,6 +32,11 @@ HELD_OUT = {
     "it": "ieri sera abbiamo guardato il temporale arrivare sopra le colline",
     "pt": "ontem à noite vimos a tempestade chegar sobre as colinas",
     "nl": "gisteravond keken we hoe het onweer over de heuvels kwam aanrollen",
+    "ru": "вчера вечером мы смотрели как гроза приближалась над холмами",
+    "ar": "شاهدنا مساء أمس العاصفة وهي تقترب فوق التلال",
+    "zh": "昨天傍晚我们看着暴风雨从山丘那边过来",
+    "ja": "昨日の夕方 嵐が丘を越えてやって来るのを見ていた",
+    "ko": "어제 저녁 우리는 폭풍이 언덕 너머로 다가오는 것을 지켜보았다",
 }
 
 
