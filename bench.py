@@ -211,6 +211,36 @@ def _dedup_paragraphs_bench(docs) -> int:
     return dedup_paragraphs(base).df.count()
 
 
+def _lang_id_bench(spark, docs) -> int:
+    """r12: trained language-ID scoring over the documents table —
+    seed model trained once per process, then one Arrow pass."""
+    from datar_polars_spark.scale import lang_id_predict, lang_id_train_seed
+
+    if "lid" not in _PQ_STATE:
+        _PQ_STATE["lid"] = lang_id_train_seed(spark)
+    return (
+        lang_id_predict(docs, _PQ_STATE["lid"], text="text")
+        .df.groupBy("lang_pred")
+        .count()
+        .count()
+    )
+
+
+def _text_embed_bench(docs) -> int:
+    """r12: model-free hashing-trick embeddings over the documents
+    table — one Arrow pass, 64 dims."""
+    from pyspark.sql import functions as F
+
+    from datar_polars_spark.scale import text_embed
+
+    return (
+        text_embed(docs, "text", dim=64)
+        .df.select(F.sum(F.size("embedding")))
+        .first()[0]
+        or 0
+    )
+
+
 def build_session(cpus: str) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -496,6 +526,11 @@ def main() -> None:
             # r11: the extraction front-end (html_to_text ->
             # normalize_text) over synthetic markup — scan-stage regex
             "html_extract": lambda: _html_extract_bench(docs),
+            # r12: the trained-model scoring stages — language ID
+            # (dense-matrix gather scoring) and the model-free
+            # hashing-trick embedding, each ONE Arrow pass over docs
+            "lang_id_predict": lambda: _lang_id_bench(spark, docs),
+            "text_embed": lambda: _text_embed_bench(docs),
         }
         for op_name, op in ops.items():
             t0 = time.perf_counter()
