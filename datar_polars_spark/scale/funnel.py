@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..tibble import Tibble, ensure_tibble
 
-__all__ = ["filter_funnel"]
+__all__ = ["filter_funnel", "keep_top_fraction"]
 
 
 def _stage_columns(td: Tibble, stages: Mapping[str, Any]) -> dict:
@@ -142,3 +142,62 @@ def filter_funnel(
         keep_all = cols[name] if keep_all is None else (keep_all & cols[name])
     kept = td.with_df(td.df.filter(keep_all), keep_sort_meta=True)
     return kept, Tibble(funnel)
+
+
+def keep_top_fraction(
+    td: Any,
+    score: Any,
+    frac: float,
+    by: Any = None,
+    largest: bool = True,
+    relative_error: float = 1e-3,
+) -> Tibble:
+    """Keep (approximately) the top ``frac`` of rows by a score column
+    — the "keep the best 30% by quality_prob" step after a classifier
+    or perplexity stage.
+
+    The threshold is an ``approx_percentile`` (Greenwald-Khanna sketch:
+    map-side partial, one tiny exchange — never a sort of the corpus),
+    attached back by a broadcast join, so the whole thing is LAZY and
+    one scan-plus-sketch pass no matter the corpus size. Pass ``by``
+    (a column name or list) for PER-KEY thresholds (e.g. keep the best
+    30% of every language) — the per-key sketch rows join back keyed,
+    broadcast when small via AQE. NULL scores always drop;
+    ``largest=False`` keeps the bottom fraction (e.g. lowest
+    perplexity). Ties at the threshold are kept, so the realized
+    fraction can slightly exceed ``frac`` on heavily-tied scores.
+    """
+    td = ensure_tibble(td)
+    sname = score if isinstance(score, str) else score._name
+    if not (0.0 < float(frac) <= 1.0):
+        raise ValueError("keep_top_fraction: frac must be in (0, 1]")
+    if "__thr__" in td.columns:
+        raise ValueError(
+            "keep_top_fraction: reserved column '__thr__' already exists"
+        )
+    q = 1.0 - float(frac) if largest else float(frac)
+    acc = max(1, int(round(1.0 / float(relative_error))))
+    pct = F.expr(
+        f"approx_percentile({sname}, {q!r}, {acc})"
+    ).alias("__thr__")
+    cmp_ = (F.col(sname) >= F.col("__thr__")) if largest else (
+        F.col(sname) <= F.col("__thr__")
+    )
+    if by is None:
+        thr = td.df.agg(pct)
+        kept = (
+            td.df.crossJoin(F.broadcast(thr))
+            .filter(cmp_)
+            .drop("__thr__")
+        )
+    else:
+        keys = [by] if isinstance(by, str) else [
+            k if isinstance(k, str) else k._name for k in by
+        ]
+        thr = td.df.groupBy(*keys).agg(pct)
+        kept = (
+            td.df.join(thr, on=keys, how="inner")
+            .filter(cmp_)
+            .drop("__thr__")
+        )
+    return td.with_df(kept, keep_sort_meta=True)

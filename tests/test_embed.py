@@ -132,3 +132,45 @@ def test_existing_column_rejected(spark):
         text_embed(td, "text", out_col="text")
     with pytest.raises(ValueError, match="dim must be"):
         text_embed(td, "text", dim=1)
+
+
+def test_full_retrieval_chain_from_raw_text(spark):
+    """The complete no-external-model retrieval stack: raw text ->
+    text_embed -> pca_train/apply -> ivfpq_train/encode/knn_join. A
+    planted near-dup must come back as the top non-self neighbour of
+    its source through the WHOLE chain (embedding, reduction,
+    quantization, probed retrieval)."""
+    from pyspark.sql import functions as F
+
+    from datar_polars_spark.scale import (
+        ivfpq_encode,
+        ivfpq_knn_join,
+        ivfpq_train,
+        pca_apply,
+        pca_train,
+        text_embed,
+    )
+    from datar_polars_spark import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    base = docs.df.select("doc_id", "text").limit(120)
+    dup = base.limit(1).select(
+        F.lit(999999).cast("long").alias("doc_id"),
+        F.concat(F.lit("prefix "), F.col("text")).alias("text"),
+    )
+    corpus = ensure_tibble(base.unionByName(dup))
+    emb = ensure_tibble(
+        text_embed(corpus, "text", dim=48).df.where(
+            "embedding is not null"
+        ).withColumnRenamed("doc_id", "vec_id")
+    )
+    pca = pca_train(emb, "embedding", dim_out=16)
+    red = pca_apply(emb, pca, "embedding")
+    index = ivfpq_train(red, n_clusters=4, m=4, nbits=6, sample_size=200, seed=3)
+    coded = ivfpq_encode(red, index)
+    query = ensure_tibble(red.df.where("vec_id = 999999"))
+    top = ivfpq_knn_join(query, coded, index, k=2, nprobe=4)
+    # surface: (query_id, match_id, pq_dist, rank) ascending
+    ids = [r["match_id"] for r in top.df.orderBy("rank").collect()]
+    src = base.limit(1).collect()[0]["doc_id"]
+    assert 999999 in ids and src in ids, ids

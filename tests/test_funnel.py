@@ -113,3 +113,79 @@ def test_validation(docs):
         filter_funnel(
             docs >> group_by(f.lang), {"agg": f.n_chars > mean(f.n_chars)}
         )
+
+
+# ---------------------------------------------------------------------------
+# keep_top_fraction
+
+
+def test_keep_top_fraction_global(spark):
+    from datar_polars_spark.scale import keep_top_fraction
+
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(1000)], "id long, s double"
+        )
+    )
+    kept = keep_top_fraction(td, "s", 0.3)
+    n = kept.df.count()
+    assert 280 <= n <= 320, n
+    # every kept score beats every dropped score boundary
+    assert kept.df.agg(F.min("s")).first()[0] >= 650
+
+
+def test_keep_bottom_fraction_and_nulls(spark):
+    from datar_polars_spark.scale import keep_top_fraction
+
+    rows = [(i, float(i)) for i in range(100)] + [(1000, None)] * 5
+    td = ensure_tibble(spark.createDataFrame(rows, "id long, s double"))
+    kept = keep_top_fraction(td, "s", 0.2, largest=False)
+    got = [r["s"] for r in kept.df.collect()]
+    assert all(v is not None and v <= 25 for v in got)  # NULLs dropped
+    assert 15 <= len(got) <= 25
+
+
+def test_keep_top_fraction_per_key(spark):
+    from datar_polars_spark.scale import keep_top_fraction
+
+    rows = [("a", i, float(i)) for i in range(100)] + [
+        ("b", i, float(1000 + i)) for i in range(100)
+    ]
+    td = ensure_tibble(spark.createDataFrame(rows, "k string, id long, s double"))
+    kept = keep_top_fraction(td, "s", 0.1, by="k")
+    per = {
+        r["k"]: r["n"]
+        for r in kept.df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    # BOTH keys keep ~10% — a global threshold would keep only b rows
+    assert 8 <= per.get("a", 0) <= 14 and 8 <= per.get("b", 0) <= 14, per
+
+
+def test_keep_top_fraction_lazy_and_validated(spark):
+    from datar_polars_spark.scale import keep_top_fraction
+
+    td = ensure_tibble(
+        spark.createDataFrame([(1, 1.0)], "id long, s double")
+    )
+    out = keep_top_fraction(td, "s", 1.0)  # plan builds without a job
+    assert "Filter" in out.df._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError, match="frac must be"):
+        keep_top_fraction(td, "s", 0.0)
+    with pytest.raises(ValueError, match="frac must be"):
+        keep_top_fraction(td, "s", 1.5)
+
+
+def test_keep_top_fraction_funnel_composition(spark):
+    """The classifier -> threshold -> funnel chain composes: the
+    realized keep rate lands near the requested fraction."""
+    from datar_polars_spark.scale import keep_top_fraction
+
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [(i, (i * 37 % 1000) / 1000.0) for i in range(2000)],
+            "id long, quality double",
+        )
+    )
+    kept = keep_top_fraction(td, "quality", 0.25)
+    rate = kept.df.count() / 2000
+    assert 0.22 <= rate <= 0.28, rate
