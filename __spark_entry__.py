@@ -2150,7 +2150,10 @@ def q69_curation(spark, sf):
     quality texts (assigned by doc_id % 2) to the right side of 0.5;
     margins on this fixture are extreme (p ~ 1 / ~0), so the float
     last-bit nondeterminism of distributed gradient sums cannot flip
-    the routing the oracle asserts."""
+    the routing the oracle asserts. 'funnel' leg (NEW r12) —
+    filter_funnel's one-aggregation sequential accounting over three
+    deterministic predicates; the oracle recomputes each stage's
+    survivor chain as nested conditional sums."""
     import gzip
     import os as _os
     import tempfile
@@ -2378,6 +2381,27 @@ def q69_curation(spark, sf):
         iters=8,
     )
     hq = "careful measured analysis with detailed evidence and a clear method"
+    # r12 'funnel' leg: filter_funnel sequential accounting over three
+    # deterministic documents-table predicates — the oracle recomputes
+    # every stage's survivor count as nested conditional sums.
+    from datar_polars_spark.scale import filter_funnel
+
+    _, funnel = filter_funnel(
+        d,
+        {
+            "n200": F.col("n_chars") > 200,
+            "noz": F.col("lang") != "zh",
+            "even": F.col("doc_id") % 2 == 0,
+        },
+    )
+    funnel_leg = funnel.df.select(
+        F.lit("funnel").alias("op"),
+        F.col("stage").alias("k"),
+        F.col("n_in").alias("n1"),
+        F.col("n_kept").alias("n2"),
+        F.col("n_dropped").cast("string").alias("s"),
+    )
+
     lq = "click the free prize and buy cheap casino pills from the spam lottery"
     clf_probe = ensure_tibble(
         d.df.select("doc_id").withColumn(
@@ -2409,6 +2433,7 @@ def q69_curation(spark, sf):
         .unionByName(warc_leg)
         .unionByName(lang_leg)
         .unionByName(qclf_leg)
+        .unionByName(funnel_leg)
         .orderBy("op", "k")
     )
 
@@ -3628,6 +3653,34 @@ def oracle_sql() -> dict[str, str]:
                            WHEN 0 THEN 'careful measured analysis with detailed evidence and a clear method'
                            ELSE 'click the free prize and buy cheap casino pills from the spam lottery' END)
                 FROM documents GROUP BY 1, 2
+                UNION ALL
+                -- r12 funnel leg: filter_funnel's one-aggregation
+                -- sequential accounting — every stage's survivor
+                -- count recomputed as nested conditional sums
+                SELECT 'funnel', k, n1, n2, CAST(n1 - n2 AS VARCHAR)
+                FROM (
+                    SELECT 'n200' AS k, COUNT(*) AS n1,
+                           CAST(SUM(CASE WHEN n_chars > 200
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n2
+                    FROM documents
+                    UNION ALL
+                    SELECT 'noz',
+                           CAST(SUM(CASE WHEN n_chars > 200
+                                    THEN 1 ELSE 0 END) AS BIGINT),
+                           CAST(SUM(CASE WHEN n_chars > 200
+                                    AND lang != 'zh'
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                    FROM documents
+                    UNION ALL
+                    SELECT 'even',
+                           CAST(SUM(CASE WHEN n_chars > 200
+                                    AND lang != 'zh'
+                                    THEN 1 ELSE 0 END) AS BIGINT),
+                           CAST(SUM(CASE WHEN n_chars > 200
+                                    AND lang != 'zh' AND doc_id % 2 = 0
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                    FROM documents
+                )
             ) ORDER BY op, k
         """,
     }

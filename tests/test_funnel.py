@@ -189,3 +189,53 @@ def test_keep_top_fraction_funnel_composition(spark):
     kept = keep_top_fraction(td, "quality", 0.25)
     rate = kept.df.count() / 2000
     assert 0.22 <= rate <= 0.28, rate
+
+
+# ---------------------------------------------------------------------------
+# property: funnel accounting == chained filters, for random predicates
+
+
+def test_funnel_matches_chained_filters_property(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base_rows = [(i, i % 7, i % 5, i * 13 % 101) for i in range(200)]
+    td = ensure_tibble(
+        spark.createDataFrame(base_rows, "id long, a long, b long, c long")
+    )
+
+    pred = st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["<", "<=", ">", ">=", "=", "!="]),
+        st.integers(min_value=0, max_value=100),
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(preds=st.lists(pred, min_size=1, max_size=4))
+    def run(preds):
+        stages = {
+            f"s{i}": f"{c} {op} {v}" for i, (c, op, v) in enumerate(preds)
+        }
+        kept, funnel = filter_funnel(td, stages)
+        rows = funnel.df.collect()
+        # python twin of the sequential chain
+        import operator as _op
+
+        ops = {"<": _op.lt, "<=": _op.le, ">": _op.gt,
+               ">=": _op.ge, "=": _op.eq, "!=": _op.ne}
+        surv = base_rows
+        expect = []
+        for c, op, v in preds:
+            j = {"a": 1, "b": 2, "c": 3}[c]
+            nxt = [r for r in surv if ops[op](r[j], v)]
+            expect.append((len(surv), len(nxt)))
+            surv = nxt
+        got = [(r["n_in"], r["n_kept"]) for r in rows]
+        assert got == expect, (preds, got, expect)
+        assert kept.df.count() == len(surv)
+
+    run()
