@@ -106,7 +106,7 @@ from .filters import (  # noqa: F401 (also registers repetition metrics)
     chunk_documents,
 )
 from .embed import text_embed  # noqa: F401
-from .funnel import filter_funnel, keep_top_fraction  # noqa: F401
+from .funnel import drop_reason, filter_funnel, keep_top_fraction  # noqa: F401
 from .classifier import (  # noqa: F401
     quality_classifier_predict,
     quality_classifier_read,

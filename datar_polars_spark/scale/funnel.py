@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..tibble import Tibble, ensure_tibble
 
-__all__ = ["filter_funnel", "keep_top_fraction"]
+__all__ = ["drop_reason", "filter_funnel", "keep_top_fraction"]
 
 
 def _stage_columns(td: Tibble, stages: Mapping[str, Any]) -> dict:
@@ -201,3 +201,32 @@ def keep_top_fraction(
             .drop("__thr__")
         )
     return td.with_df(kept, keep_sort_meta=True)
+
+
+def drop_reason(
+    td: Any,
+    stages: Mapping[str, Any],
+    out_col: str = "drop_reason",
+) -> Tibble:
+    """Tag every row with the FIRST stage (in chain order) that would
+    drop it, or NULL for survivors — the row-level audit view of
+    :func:`filter_funnel` (inspect what a rule removes before enabling
+    it, sample dropped docs per reason, join reasons back to sources).
+
+    Pure JVM when-chain in the scan — no shuffle, no Python; the same
+    stage-spec forms as filter_funnel. NULL predicates count as drops,
+    matching filter semantics.
+    """
+    td = ensure_tibble(td)
+    if not stages:
+        raise ValueError("drop_reason: at least one stage required")
+    if out_col in td.columns:
+        raise ValueError(f"drop_reason: column {out_col!r} already exists")
+    cols = _stage_columns(td, stages)
+    # nested when-chain, first failing stage wins (built innermost-out)
+    expr = F.lit(None).cast("string")
+    for name in reversed(list(cols)):
+        expr = F.when(
+            ~F.coalesce(cols[name], F.lit(False)), F.lit(name)
+        ).otherwise(expr)
+    return td.with_df(td.df.withColumn(out_col, expr), keep_sort_meta=True)

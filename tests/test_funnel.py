@@ -239,3 +239,53 @@ def test_funnel_matches_chained_filters_property(spark):
         assert kept.df.count() == len(surv)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# drop_reason
+
+
+def test_drop_reason_first_stage_wins(spark):
+    from datar_polars_spark.scale import drop_reason
+
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [(1, 10, 10), (2, 0, 10), (3, 10, 0), (4, 0, 0), (5, None, 10)],
+            "id long, a long, b long",
+        )
+    )
+    tagged = drop_reason(td, {"a_pos": f.a > 0, "b_pos": f.b > 0})
+    got = {r["id"]: r["drop_reason"] for r in tagged.df.collect()}
+    # survivors NULL; first failing stage wins (id=4 fails both -> a_pos);
+    # NULL predicate counts as a drop (id=5)
+    assert got == {1: None, 2: "a_pos", 3: "b_pos", 4: "a_pos", 5: "a_pos"}
+
+
+def test_drop_reason_consistent_with_funnel(docs):
+    from datar_polars_spark.scale import drop_reason
+
+    stages = {"chars": F.col("n_chars") > 200, "noz": F.col("lang") != "zh"}
+    kept, funnel = filter_funnel(docs, stages)
+    tagged = drop_reason(docs, stages)
+    by_reason = {
+        r["drop_reason"]: r["n"]
+        for r in tagged.df.groupBy("drop_reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = {r["stage"]: r for r in funnel.df.collect()}
+    assert by_reason.get(None, 0) == kept.df.count()
+    assert by_reason.get("chars", 0) == rows["chars"]["n_dropped"]
+    assert by_reason.get("noz", 0) == rows["noz"]["n_dropped"]
+
+
+def test_drop_reason_plan_jvm_only(docs):
+    from datar_polars_spark.scale import drop_reason
+
+    tagged = drop_reason(docs, {"chars": F.col("n_chars") > 200})
+    plan = tagged.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    with pytest.raises(ValueError, match="at least one stage"):
+        drop_reason(docs, {})
+    with pytest.raises(ValueError, match="already exists"):
+        drop_reason(docs, {"a": "1=1"}, out_col="text")
