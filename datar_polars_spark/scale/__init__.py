@@ -108,6 +108,7 @@ from .filters import (  # noqa: F401 (also registers repetition metrics)
 from .embed import text_embed  # noqa: F401
 from .funnel import drop_reason, filter_funnel, keep_top_fraction  # noqa: F401
 from .classifier import (  # noqa: F401
+    quality_classifier_eval,
     quality_classifier_predict,
     quality_classifier_read,
     quality_classifier_train,

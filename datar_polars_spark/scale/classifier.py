@@ -42,6 +42,7 @@ from ..tibble import Tibble, ensure_tibble
 __all__ = [
     "quality_classifier_train",
     "quality_classifier_predict",
+    "quality_classifier_eval",
     "quality_classifier_write",
     "quality_classifier_read",
 ]
@@ -83,18 +84,26 @@ def quality_classifier_train(
     iters: int = 40,
     lr: float = 0.25,
     l2: float = 0.0,
+    class_weight: Any = None,
 ) -> dict:
     """Train a binary quality classifier from a labeled (text, label)
     table. ``label`` is 0/1 (numeric or boolean); pass ``pos_label``
     to derive y from an arbitrary label column (y = label == pos_label).
 
+    ``class_weight``: None (all rows weigh 1), ``"balanced"`` (each
+    class weighted n/(2*n_class) so a 1%-positive corpus — the typical
+    quality-filter shape — doesn't collapse to the majority), or a
+    ``{0: w0, 1: w1}`` dict. Balanced counts cost one extra aggregation
+    over the cached features.
+
     One tokenize-and-hash Arrow pass caches bounded sparse per-doc
     vectors; each of ``iters`` full-batch iterations computes the
-    logistic-loss gradient as per-partition dense accumulators reduced
-    by a groupBy(bucket) sum (map-side combine, <= ``buckets`` rows on
-    the wire), and the driver applies an Adam step. Returns a JSON-able
-    model dict (sparse ``weights``, ``bias``, gram config,
-    ``loss_history`` of per-doc mean log-loss).
+    (weighted) logistic-loss gradient as per-partition dense
+    accumulators reduced by a groupBy(bucket) sum (map-side combine,
+    <= ``buckets`` rows on the wire), and the driver applies an Adam
+    step. Returns a JSON-able model dict (sparse ``weights``,
+    ``bias``, gram config, ``loss_history`` of per-doc mean weighted
+    log-loss).
     """
     import numpy as np
 
@@ -134,6 +143,32 @@ def quality_classifier_train(
 
     feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        if class_weight == "balanced":
+            by = {
+                float(r["y"]): int(r["n"])
+                for r in feats.groupBy("y")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            n_all = sum(by.values())
+            if not n_all:
+                raise ValueError(
+                    "quality_classifier_train: no usable labeled rows "
+                    "(all texts empty or labels NULL)"
+                )
+            w0 = n_all / (2.0 * by.get(0.0, 1)) if by.get(0.0) else 1.0
+            w1 = n_all / (2.0 * by.get(1.0, 1)) if by.get(1.0) else 1.0
+        elif isinstance(class_weight, dict):
+            w0 = float(class_weight.get(0, 1.0))
+            w1 = float(class_weight.get(1, 1.0))
+        elif class_weight is None:
+            w0 = w1 = 1.0
+        else:
+            raise ValueError(
+                "quality_classifier_train: class_weight must be None, "
+                f"'balanced', or a {{0: w0, 1: w1}} dict, got "
+                f"{class_weight!r}"
+            )
         w = np.zeros(buckets)
         bias = 0.0
         m_w = np.zeros(buckets)
@@ -153,29 +188,33 @@ def quality_classifier_train(
                 bias_g = 0.0
                 loss = 0.0
                 cnt = 0
+                wsum = 0.0
                 for pdf in batches:
                     for y, idx, val in zip(pdf["y"], pdf["idx"], pdf["val"]):
                         xi = np.asarray(idx, dtype=np.int64)
                         xv = np.asarray(val, dtype=np.float64)
                         z = _b + float(_w[xi] @ xv)
                         p = 1.0 / (1.0 + math.exp(-z))
-                        e = p - float(y)
+                        cw = w1 if float(y) >= 0.5 else w0
+                        e = cw * (p - float(y))
                         np.add.at(g, xi, e * xv)
                         bias_g += e
                         # clamped log-loss (p can saturate to 0/1)
                         p = min(max(p, 1e-12), 1.0 - 1e-12)
-                        loss -= float(y) * math.log(p) + (
-                            1.0 - float(y)
-                        ) * math.log(1.0 - p)
+                        loss -= cw * (
+                            float(y) * math.log(p)
+                            + (1.0 - float(y)) * math.log(1.0 - p)
+                        )
                         cnt += 1
+                        wsum += cw
                 nz = np.nonzero(g)[0]
                 yield pd.DataFrame(
                     {
                         "bucket": np.concatenate(
-                            [nz, np.array([-1, -2, -3], dtype=np.int64)]
+                            [nz, np.array([-1, -2, -3, -4], dtype=np.int64)]
                         ),
                         "val": np.concatenate(
-                            [g[nz], np.array([bias_g, loss, float(cnt)])]
+                            [g[nz], np.array([bias_g, loss, float(cnt), wsum])]
                         ),
                     }
                 )
@@ -188,7 +227,7 @@ def quality_classifier_train(
             )
             g = np.zeros(buckets)
             bias_g = loss = 0.0
-            cnt = 0.0
+            cnt = wsum = 0.0
             for r in rows:
                 b = int(r["bucket"])
                 if b == -1:
@@ -197,6 +236,8 @@ def quality_classifier_train(
                     loss = float(r["val"])
                 elif b == -3:
                     cnt = float(r["val"])
+                elif b == -4:
+                    wsum = float(r["val"])
                 else:
                     g[b] = float(r["val"])
             if cnt == 0:
@@ -205,11 +246,11 @@ def quality_classifier_train(
                     "(all texts empty or labels NULL)"
                 )
             n_docs = int(cnt)
-            g /= cnt
-            bias_g /= cnt
+            g /= wsum
+            bias_g /= wsum
             if l2:
                 g += float(l2) * w
-            loss_history.append(round(loss / cnt, 6))
+            loss_history.append(round(loss / wsum, 6))
 
             # Adam step (driver-side; model-sized state only)
             m_w = beta1 * m_w + (1 - beta1) * g
@@ -236,6 +277,7 @@ def quality_classifier_train(
         "weights": {str(int(b)): float(w[b]) for b in nz},
         "n_docs": n_docs,
         "iters": int(iters),
+        "class_weight": None if w0 == w1 == 1.0 else [w0, w1],
         "loss_history": loss_history,
     }
 
@@ -315,3 +357,102 @@ def quality_classifier_read(spark, path: str) -> dict:
             f"artifact at {path!r}"
         )
     return model
+
+
+def quality_classifier_eval(
+    td: Any,
+    model: dict,
+    text: Any = "text",
+    label: Any = "label",
+    pos_label: Any = None,
+    auc_buckets: int = 1000,
+) -> dict:
+    """Held-out evaluation of a :func:`quality_classifier_train` model:
+    returns ``{"n", "n_pos", "accuracy", "log_loss", "auc"}``.
+
+    Distributed shape: ONE scoring Arrow pass + ONE aggregation.
+    Accuracy and log-loss are exact (conditional sums). AUC is
+    bucket-approximated: scores quantize into ``auc_buckets`` bins, a
+    groupBy(bin) counts positives/negatives per bin (map-side combine,
+    <= auc_buckets rows), and the driver integrates the ROC curve by
+    the trapezoid rule over those bins — the resolution error is
+    bounded by 1/auc_buckets, and NO global sort or single-task rank
+    window ever touches the corpus (the textbook rank-based AUC would
+    be exactly that bottleneck at 100 TB).
+    """
+    import numpy as np
+
+    td = ensure_tibble(td)
+    tname = text if isinstance(text, str) else text._name
+    lname = label if isinstance(label, str) else label._name
+    if pos_label is not None:
+        ycol = (F.col(lname) == F.lit(pos_label)).cast("double")
+    else:
+        ycol = F.col(lname).cast("double")
+    nb = int(auc_buckets)
+    scored = quality_classifier_predict(
+        ensure_tibble(
+            td.df.select(F.col(tname).alias("__t"), ycol.alias("__y")).where(
+                F.col("__y").isNotNull() & F.col(tname).isNotNull()
+            )
+        ),
+        model,
+        "__t",
+        out_col="__p",
+    ).df.where(F.col("__p").isNotNull())
+
+    p = F.col("__p")
+    yv = F.col("__y")
+    pc = F.greatest(F.least(p, F.lit(1.0 - 1e-12)), F.lit(1e-12))
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(yv).alias("n_pos"),
+        F.sum(
+            F.when((p >= 0.5) == (yv >= 0.5), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.sum(-(yv * F.log(pc) + (1 - yv) * F.log(1 - pc))).alias("ll"),
+    ).first()
+    n = int(stats["n"] or 0)
+    if n == 0:
+        raise ValueError("quality_classifier_eval: no usable labeled rows")
+    n_pos = int(stats["n_pos"])
+
+    # bucketed ROC: per-bin positive/negative counts, driver trapezoid
+    binned = (
+        scored.select(
+            F.least(
+                F.floor(p * nb).cast("int"), F.lit(nb - 1)
+            ).alias("__b"),
+            yv,
+        )
+        .groupBy("__b")
+        .agg(
+            F.sum(yv).alias("pos"),
+            F.sum(1 - yv).alias("neg"),
+        )
+        .collect()
+    )
+    pos = np.zeros(nb)
+    neg = np.zeros(nb)
+    for r in binned:
+        pos[int(r["__b"])] = float(r["pos"])
+        neg[int(r["__b"])] = float(r["neg"])
+    auc = None
+    if 0 < n_pos < n:
+        # pair-counting AUC over bins: a positive beats every negative
+        # in a LOWER bin, and half-credits ties in its own bin — exact
+        # up to the bin resolution (error bounded by 1/auc_buckets)
+        neg_below = 0.0
+        pairs = 0.0
+        for b in range(nb):
+            pairs += pos[b] * (neg_below + 0.5 * neg[b])
+            neg_below += neg[b]
+        auc = pairs / (n_pos * (n - n_pos))
+    return {
+        "n": n,
+        "n_pos": n_pos,
+        "accuracy": round(int(stats["n_correct"]) / n, 6),
+        "log_loss": round(float(stats["ll"]) / n, 6),
+        "auc": round(auc, 6) if auc is not None else None,
+        "auc_buckets": nb,
+    }

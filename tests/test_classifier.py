@@ -210,3 +210,101 @@ def test_predict_rejects_existing_column_and_bad_model(corpus, model):
         quality_classifier_predict(corpus, model, "text", out_col="text")
     with pytest.raises(ValueError, match="must be a"):
         quality_classifier_predict(corpus, {"format": "nope"}, "text")
+
+
+# ---------------------------------------------------------------------------
+# class weighting + evaluation
+
+
+def _imbalanced(n=200, pos_frac=0.05, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    n_pos = int(n * pos_frac)
+    for i in range(n):
+        good = i < n_pos
+        words = GOOD_WORDS if good else BAD_WORDS
+        # overlap: minority docs also carry majority words, so an
+        # unweighted fit profits from predicting the majority
+        mix = words + (BAD_WORDS[:6] if good else [])
+        rows.append((" ".join(rng.choice(mix) for _ in range(25)), int(good)))
+    return rows
+
+
+def test_balanced_class_weight_recovers_minority(spark):
+    td = ensure_tibble(
+        spark.createDataFrame(_imbalanced(), "text string, label int")
+    )
+    kwargs = dict(buckets=1 << 13, iters=12, lr=0.25)
+    plain = quality_classifier_train(td, "text", "label", **kwargs)
+    bal = quality_classifier_train(
+        td, "text", "label", class_weight="balanced", **kwargs
+    )
+    assert bal["class_weight"] is not None and plain["class_weight"] is None
+    w0, w1 = bal["class_weight"]
+    assert w1 > w0  # minority positives upweighted
+
+    def recall(model):
+        rows = quality_classifier_predict(td, model, "text").df.where(
+            "label = 1"
+        ).collect()
+        return sum(r["quality_prob"] >= 0.5 for r in rows) / len(rows)
+
+    assert recall(bal) >= recall(plain)
+    assert recall(bal) == 1.0  # separable vocab: balanced gets them all
+
+
+def test_explicit_class_weight_dict_and_validation(spark, corpus):
+    m = quality_classifier_train(
+        corpus, "text", "label", buckets=1 << 12, iters=3,
+        class_weight={0: 1.0, 1: 2.0},
+    )
+    assert m["class_weight"] == [1.0, 2.0]
+    with pytest.raises(ValueError, match="class_weight must be"):
+        quality_classifier_train(
+            corpus, "text", "label", iters=1, class_weight="bogus"
+        )
+
+
+def test_eval_metrics_match_local_reference(spark, model, corpus):
+    from datar_polars_spark.scale import quality_classifier_eval
+
+    ev = quality_classifier_eval(corpus, model, "text", "label")
+    assert ev["n"] == 160 and ev["n_pos"] == 80
+    assert ev["accuracy"] == 1.0
+
+    # local exact twin from the same predictions
+    rows = quality_classifier_predict(corpus, model, "text").df.select(
+        "label", "quality_prob"
+    ).collect()
+    ps = [(r["label"], min(max(r["quality_prob"], 1e-12), 1 - 1e-12)) for r in rows]
+    ll = -sum(
+        y * math.log(p) + (1 - y) * math.log(1 - p) for y, p in ps
+    ) / len(ps)
+    assert abs(ev["log_loss"] - ll) < 1e-6
+    # exact pairwise AUC (160 rows — fine locally)
+    pos = [p for y, p in ps if y == 1]
+    neg = [p for y, p in ps if y == 0]
+    pairs = sum(
+        1.0 if pp > pn else (0.5 if pp == pn else 0.0)
+        for pp in pos for pn in neg
+    )
+    auc_exact = pairs / (len(pos) * len(neg))
+    assert abs(ev["auc"] - auc_exact) < 1.0 / ev["auc_buckets"] + 1e-9
+
+
+def test_eval_degenerate_and_empty(spark, model):
+    from datar_polars_spark.scale import quality_classifier_eval
+
+    one_class = ensure_tibble(
+        spark.createDataFrame(
+            [("careful analysis", 1), ("measured evidence", 1)],
+            "text string, label int",
+        )
+    )
+    ev = quality_classifier_eval(one_class, model, "text", "label")
+    assert ev["auc"] is None and ev["n_pos"] == ev["n"]
+    empty = ensure_tibble(
+        spark.createDataFrame([], "text string, label int")
+    )
+    with pytest.raises(ValueError, match="no usable labeled rows"):
+        quality_classifier_eval(empty, model, "text", "label")
