@@ -85,6 +85,7 @@ def quality_classifier_train(
     lr: float = 0.25,
     l2: float = 0.0,
     class_weight: Any = None,
+    tol: float = 0.0,
 ) -> dict:
     """Train a binary quality classifier from a labeled (text, label)
     table. ``label`` is 0/1 (numeric or boolean); pass ``pos_label``
@@ -95,6 +96,11 @@ def quality_classifier_train(
     quality-filter shape — doesn't collapse to the majority), or a
     ``{0: w0, 1: w1}`` dict. Balanced counts cost one extra aggregation
     over the cached features.
+
+    ``tol``: early stopping — stop when the mean loss improves by less
+    than ``tol`` between iterations (0 disables). Each iteration is a
+    full corpus scan, so on a large labeled set a converged-at-12
+    run with ``tol=1e-4`` saves the remaining scans outright.
 
     One tokenize-and-hash Arrow pass caches bounded sparse per-doc
     vectors; each of ``iters`` full-batch iterations computes the
@@ -250,7 +256,15 @@ def quality_classifier_train(
             bias_g /= wsum
             if l2:
                 g += float(l2) * w
-            loss_history.append(round(loss / wsum, 6))
+            mean_loss = loss / wsum
+            if (
+                tol > 0
+                and loss_history
+                and loss_history[-1] - mean_loss < float(tol)
+            ):
+                loss_history.append(round(mean_loss, 6))
+                break
+            loss_history.append(round(mean_loss, 6))
 
             # Adam step (driver-side; model-sized state only)
             m_w = beta1 * m_w + (1 - beta1) * g

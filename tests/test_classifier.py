@@ -308,3 +308,16 @@ def test_eval_degenerate_and_empty(spark, model):
     )
     with pytest.raises(ValueError, match="no usable labeled rows"):
         quality_classifier_eval(empty, model, "text", "label")
+
+
+def test_early_stopping_tol(spark, corpus):
+    m = quality_classifier_train(
+        corpus, "text", "label", buckets=1 << 12, iters=40, tol=5e-3
+    )
+    # converges long before 40 full-corpus scans; tol cuts the run
+    assert len(m["loss_history"]) < 40
+    # and the stopped model still separates perfectly
+    rows = quality_classifier_predict(corpus, m, "text").df.collect()
+    assert all(
+        (r["quality_prob"] >= 0.5) == (r["label"] == 1) for r in rows
+    )
