@@ -50,9 +50,23 @@ __all__ = [
 _WORD_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
 
-def _doc_features(text: str, n_lo: int, n_hi: int, buckets: int):
-    """Sparse mean-pooled hashed-gram features for one document:
-    (sorted bucket ids, values summing to 1). None when no grams."""
+_WS_RE = re.compile(r"[\s0-9]+")
+
+
+def _doc_grams(text: str, n_lo: int, n_hi: int, analyzer: str) -> list:
+    """The document's gram list. ``analyzer="word"``: hashed word
+    1..n-grams (the fastText shape — right for whitespace-delimited
+    scripts). ``analyzer="char"``: boundary-padded char n-grams (the
+    langid shape — required for unsegmented CJK text, where the word
+    regex would collapse a whole run of hanzi/kana into ONE token and
+    every document would hash to near-unique grams)."""
+    if analyzer == "char":
+        t = "\x02" + _WS_RE.sub("\x02", text.lower()) + "\x02"
+        return [
+            t[i : i + n]
+            for n in range(n_lo, n_hi + 1)
+            for i in range(len(t) - n + 1)
+        ]
     toks = _WORD_RE.findall(text.lower())
     grams: list = []
     for n in range(n_lo, n_hi + 1):
@@ -62,6 +76,15 @@ def _doc_features(text: str, n_lo: int, n_hi: int, buckets: int):
             grams.extend(
                 " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
             )
+    return grams
+
+
+def _doc_features(
+    text: str, n_lo: int, n_hi: int, buckets: int, analyzer: str = "word"
+):
+    """Sparse mean-pooled hashed-gram features for one document:
+    (sorted bucket ids, values summing to 1). None when no grams."""
+    grams = _doc_grams(text, n_lo, n_hi, analyzer)
     if not grams:
         return None
     counts: dict = {}
@@ -86,6 +109,7 @@ def quality_classifier_train(
     l2: float = 0.0,
     class_weight: Any = None,
     tol: float = 0.0,
+    analyzer: str = "word",
 ) -> dict:
     """Train a binary quality classifier from a labeled (text, label)
     table. ``label`` is 0/1 (numeric or boolean); pass ``pos_label``
@@ -101,6 +125,12 @@ def quality_classifier_train(
     than ``tol`` between iterations (0 disables). Each iteration is a
     full corpus scan, so on a large labeled set a converged-at-12
     run with ``tol=1e-4`` saves the remaining scans outright.
+
+    ``analyzer``: ``"word"`` (hashed word n-grams, fastText shape) or
+    ``"char"`` (boundary-padded char n-grams — use with e.g.
+    ``n_lo=2, n_hi=4`` for unsegmented CJK corpora, where word
+    tokenization collapses whole hanzi/kana runs into single tokens).
+    Recorded in the model; predict/eval follow it automatically.
 
     One tokenize-and-hash Arrow pass caches bounded sparse per-doc
     vectors; each of ``iters`` full-batch iterations computes the
@@ -118,6 +148,11 @@ def quality_classifier_train(
     lname = label if isinstance(label, str) else label._name
     buckets = int(buckets)
     n_lo, n_hi = int(n_lo), int(n_hi)
+    if analyzer not in ("word", "char"):
+        raise ValueError(
+            f"quality_classifier_train: analyzer must be 'word' or "
+            f"'char', got {analyzer!r}"
+        )
 
     if pos_label is not None:
         ycol = (F.col(lname) == F.lit(pos_label)).cast("double")
@@ -133,7 +168,7 @@ def quality_classifier_train(
         for pdf in batches:
             ys, idxs, vals = [], [], []
             for y, t in zip(pdf["__y"], pdf["__t"]):
-                fv = _doc_features(str(t), n_lo, n_hi, buckets)
+                fv = _doc_features(str(t), n_lo, n_hi, buckets, analyzer)
                 if fv is None:
                     continue
                 ys.append(float(y))
@@ -291,6 +326,7 @@ def quality_classifier_train(
         "weights": {str(int(b)): float(w[b]) for b in nz},
         "n_docs": n_docs,
         "iters": int(iters),
+        "analyzer": analyzer,
         "class_weight": None if w0 == w1 == 1.0 else [w0, w1],
         "loss_history": loss_history,
     }
@@ -319,6 +355,7 @@ def quality_classifier_predict(
     tname = text if isinstance(text, str) else text._name
     buckets = int(model["buckets"])
     n_lo, n_hi = int(model["n_lo"]), int(model["n_hi"])
+    analyzer = model.get("analyzer", "word")  # pre-r12 artifacts: word
     bias = float(model["bias"])
     w = np.zeros(buckets)
     for b, v in model["weights"].items():
@@ -333,7 +370,7 @@ def quality_classifier_predict(
             if v is None:
                 out.append(None)
                 continue
-            fv = _doc_features(str(v), n_lo, n_hi, buckets)
+            fv = _doc_features(str(v), n_lo, n_hi, buckets, analyzer)
             if fv is None:
                 out.append(None)
                 continue

@@ -59,29 +59,22 @@ def _gram_row(h: int, dim: int, seed: int):
     return row
 
 
-def _embed_batch(texts, dim: int, n_lo: int, n_hi: int, seed: int):
+def _embed_batch(
+    texts, dim: int, n_lo: int, n_hi: int, seed: int, analyzer: str = "word"
+):
     """Per-batch embedding: for each gram, a deterministic Gaussian
     row generated from (gram hash, seed); summed with tf weights,
     l2-normalized."""
     import numpy as np
 
-    from .classifier import _WORD_RE
+    from .classifier import _doc_grams
 
     out = []
     for t in texts:
         if t is None:
             out.append(None)
             continue
-        toks = _WORD_RE.findall(str(t).lower())
-        grams: list = []
-        for n in range(n_lo, n_hi + 1):
-            if n == 1:
-                grams.extend(toks)
-            else:
-                grams.extend(
-                    " ".join(toks[i : i + n])
-                    for i in range(len(toks) - n + 1)
-                )
+        grams = _doc_grams(str(t), n_lo, n_hi, analyzer)
         if not grams:
             out.append(None)
             continue
@@ -105,10 +98,15 @@ def text_embed(
     n_lo: int = 1,
     n_hi: int = 2,
     seed: int = 0,
+    analyzer: str = "word",
 ) -> Tibble:
     """Add a deterministic ``array<double>`` embedding of a text column
     (hashed word 1..n-gram tf, signed Gaussian random projection to
     ``dim``, l2-normalized). NULL/gramless text embeds as NULL.
+    ``analyzer="char"`` switches to boundary-padded char n-grams (pass
+    e.g. ``n_lo=2, n_hi=4``) — required for unsegmented CJK text,
+    where word tokenization collapses whole hanzi/kana runs into
+    single tokens and near-dup cosines collapse toward zero.
 
     The output plugs directly into :func:`cosine_topk`,
     :func:`semantic_dedup`, :func:`embedding_join`,
@@ -123,12 +121,17 @@ def text_embed(
     dim, n_lo, n_hi, seed = int(dim), int(n_lo), int(n_hi), int(seed)
     if dim < 2:
         raise ValueError("text_embed: dim must be >= 2")
+    if analyzer not in ("word", "char"):
+        raise ValueError(
+            f"text_embed: analyzer must be 'word' or 'char', got "
+            f"{analyzer!r}"
+        )
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<double>")
     def _embed(s: pd.Series) -> pd.Series:
-        return pd.Series(_embed_batch(s, dim, n_lo, n_hi, seed))
+        return pd.Series(_embed_batch(s, dim, n_lo, n_hi, seed, analyzer))
 
     # see ivf_assign (similarity.py): the marker keeps the optimizer
     # from pushing downstream filters into the UDF expression

@@ -321,3 +321,33 @@ def test_early_stopping_tol(spark, corpus):
     assert all(
         (r["quality_prob"] >= 0.5) == (r["label"] == 1) for r in rows
     )
+
+
+def test_char_analyzer_cjk_classification(spark):
+    """Char-gram mode separates unsegmented CJK classes that word
+    tokenization cannot (every doc is one unique token there); the
+    analyzer rides in the model so predict follows automatically."""
+    good = ["这篇研究论文提供了详细的证据和分析", "作者用仔细的方法检验了每个结果",
+            "报告的结构清晰并且引用了大量文献", "研究方法严谨证据充分结论可靠"]
+    bad = ["点击这里赢取免费大奖马上购买", "便宜药品限时折扣立即订购",
+           "恭喜中奖请点击领取彩票奖金", "免费赌场奖金注册就送现金"]
+    rows = [(t, 1) for t in good] * 6 + [(t, 0) for t in bad] * 6
+    td = ensure_tibble(spark.createDataFrame(rows, "text string, label int"))
+    m = quality_classifier_train(
+        td, "text", "label", analyzer="char", n_lo=2, n_hi=3,
+        buckets=1 << 13, iters=20,
+    )
+    assert m["analyzer"] == "char"
+    held = ensure_tibble(
+        spark.createDataFrame(
+            [("研究提供了清晰的分析和证据", 1), ("点击购买免费彩票大奖", 0)],
+            "text string, label int",
+        )
+    )
+    probs = {
+        r["label"]: r["quality_prob"]
+        for r in quality_classifier_predict(held, m, "text").df.collect()
+    }
+    assert probs[1] > 0.6 and probs[0] < 0.4
+    with pytest.raises(ValueError, match="analyzer must be"):
+        quality_classifier_train(td, "text", "label", analyzer="x", iters=1)

@@ -174,3 +174,31 @@ def test_full_retrieval_chain_from_raw_text(spark):
     ids = [r["match_id"] for r in top.df.orderBy("rank").collect()]
     src = base.limit(1).collect()[0]["doc_id"]
     assert 999999 in ids and src in ids, ids
+
+
+def test_char_analyzer_for_cjk_near_dups(spark):
+    """Word tokenization collapses an unsegmented hanzi run into one
+    token, so CJK near-dups score ~0 cosine; the char analyzer
+    restores the lexical-overlap signal."""
+    cjk = [
+        (1, "今天早上天气很冷街上很安静孩子们在花园里玩耍"),
+        (2, "今天早上天气很冷街上很安静孩子们在公园里玩耍"),  # one-char diff
+        (3, "会议改到了星期四下午博物馆冬天每逢星期一闭馆"),
+    ]
+    td = ensure_tibble(spark.createDataFrame(cjk, "id long, text string"))
+    char_e = {
+        r["id"]: r["embedding"]
+        for r in text_embed(
+            td, "text", dim=64, n_lo=2, n_hi=4, analyzer="char"
+        ).df.collect()
+    }
+    assert _cos(char_e[1], char_e[2]) > 0.8          # near-dup found
+    assert _cos(char_e[1], char_e[3]) < 0.4          # different doc
+    word_e = {
+        r["id"]: r["embedding"]
+        for r in text_embed(td, "text", dim=64).df.collect()
+    }
+    # word analyzer: each run is one unique token -> no shared grams
+    assert _cos(word_e[1], word_e[2]) < 0.1
+    with pytest.raises(ValueError, match="analyzer must be"):
+        text_embed(td, "text", analyzer="bogus")
