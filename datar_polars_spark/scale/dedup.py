@@ -299,8 +299,25 @@ def _banded(df: DataFrame, sig: str, bands: int, rows_per_band: int) -> DataFram
     return df.select("*", F.posexplode(bh).alias("band", "bhash"))
 
 
+def _shingles(col: Column, shingle_words: int, analyzer: str,
+              shingle_chars: int) -> Column:
+    """Shingle dispatch: ``analyzer="word"`` -> distinct word n-grams
+    (whitespace-delimited scripts); ``analyzer="char"`` -> distinct
+    char k-grams (unsegmented CJK text, where word tokenization folds
+    a whole hanzi/kana run into one token and near-dup Jaccard
+    collapses to exact-match-only)."""
+    if analyzer == "char":
+        return char_shingles(col, shingle_chars)
+    if analyzer != "word":
+        raise ValueError(
+            f"analyzer must be 'word' or 'char', got {analyzer!r}"
+        )
+    return word_shingles(col, shingle_words)
+
+
 def _minhash_sigs(df: DataFrame, tname: str, idn: str, num_perm: int,
-                  shingle_words: int) -> DataFrame:
+                  shingle_words: int, analyzer: str = "word",
+                  shingle_chars: int = 12) -> DataFrame:
     """(id, sig) minhash signatures via shingle explode + num_perm
     partial-min aggregates.
 
@@ -321,7 +338,9 @@ def _minhash_sigs(df: DataFrame, tname: str, idn: str, num_perm: int,
     text produce no shingle rows and are dropped, as before."""
     ex = _ensure_parallelism(df).select(
         F.col(idn).alias("id"),
-        F.explode(word_shingles(F.col(tname), shingle_words)).alias("__sh"),
+        F.explode(
+            _shingles(F.col(tname), shingle_words, analyzer, shingle_chars)
+        ).alias("__sh"),
     )
     mins = [
         F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__h{i}")
@@ -348,8 +367,13 @@ def minhash_pairs(
     threshold: float = 0.7,
     max_bucket: int = 1000,
     log_dropped: bool = False,
+    analyzer: str = "word",
+    shingle_chars: int = 12,
 ) -> Tibble:
     """Candidate near-duplicate pairs with estimated Jaccard >= threshold.
+
+    ``analyzer="char"`` shingles on character k-grams (``shingle_chars``)
+    instead of word n-grams — required for unsegmented CJK corpora.
 
     Plan shape: one narrow pass computes signatures, one shuffle groups
     by (band, band_hash) — bucket sizes are tiny for non-duplicate data,
@@ -361,7 +385,9 @@ def minhash_pairs(
     _DROPPED_PAIRS["minhash_pairs"] = []
     tname, idn = _name_of(text), _name_of(id_col)
     rows_per_band = num_perm // bands
-    base = _minhash_sigs(td.df, tname, idn, num_perm, shingle_words)
+    base = _minhash_sigs(
+        td.df, tname, idn, num_perm, shingle_words, analyzer, shingle_chars
+    )
     # the signature frame feeds THREE consumers (bucket census, join
     # left, join right) — without a persist the shingle explode + 64
     # partial-agg mins re-run per consumer. Signatures are tiny
@@ -412,6 +438,8 @@ def minhash_join(
     max_bucket: int = 1000,
     log_dropped: bool = False,
     verify: str = "estimate",
+    analyzer: str = "word",
+    shingle_chars: int = 12,
 ) -> Tibble:
     """CROSS-TABLE fuzzy match: (id_a from ``left``, id_b from
     ``right``, jaccard) for document pairs with n-gram Jaccard >=
@@ -442,7 +470,9 @@ def minhash_join(
     rows_per_band = num_perm // bands
     sides = []
     for df, tag in ((left.df, "a"), (right.df, "b")):
-        sig = _minhash_sigs(df, tname, idn, num_perm, shingle_words)
+        sig = _minhash_sigs(
+            df, tname, idn, num_perm, shingle_words, analyzer, shingle_chars
+        )
         banded = _banded(sig, "sig", bands, rows_per_band)
         banded = _cap_buckets(
             banded, ["band", "bhash"], max_bucket, log_dropped, op="minhash_join"
@@ -461,7 +491,9 @@ def minhash_join(
             tag: df.select(
                 F.col(idn).alias(f"id_{tag}"),
                 F.array_distinct(
-                    word_shingles(F.col(tname), shingle_words)
+                    _shingles(
+                        F.col(tname), shingle_words, analyzer, shingle_chars
+                    )
                 ).alias(f"g_{tag}"),
             )
             for df, tag in ((left.df, "a"), (right.df, "b"))
@@ -613,6 +645,8 @@ def minhash_dedup(
     threshold: float = 0.7,
     max_bucket: int = 1000,
     resolve: str = "single_link",
+    analyzer: str = "word",
+    shingle_chars: int = 12,
 ) -> Tibble:
     """Drop near-duplicates, keeping the smallest id of each duplicate
     set. ``resolve='single_link'`` drops b when any a < b matches
@@ -626,7 +660,7 @@ def minhash_dedup(
     survivors = Tibble(_fingerprint_survivors(td.df.select(*td.columns), tname, idn))
     pairs = minhash_pairs(
         survivors, text, id_col, num_perm, bands, shingle_words, threshold,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, analyzer=analyzer, shingle_chars=shingle_chars,
     ).df
     out = _drop_duplicates_by_pairs(survivors.df, pairs, idn, resolve)
     return Tibble(out, groups=td.group_vars, levels=td.levels)

@@ -259,3 +259,37 @@ def test_grams_expr_padding_matches_predict(spark):
     df = spark.createDataFrame([(text,)], "t string")
     got = df.select(_grams_expr(F.col("t"), 1, 3).alias("g")).head()["g"]
     assert got == expected
+
+
+def test_minhash_char_analyzer_cjk(spark):
+    """analyzer='char' lets the minhash family catch CJK near-dups
+    that word shingling (whole-run tokens) structurally cannot."""
+    from datar_polars_spark import f
+    from datar_polars_spark.scale import minhash_dedup, minhash_pairs
+    from datar_polars_spark.tibble import ensure_tibble
+
+    base = "今天早上天气很冷街上很安静孩子们在房子后面的花园里玩耍他想不起来把钥匙放在哪里了" * 3
+    rows = [
+        (1, base),
+        (2, base[:-6] + "完全不同结尾六字"),   # high char-Jaccard variant
+        (3, "会议改到了星期四下午博物馆冬天每逢星期一闭馆我的邻居每年夏天都种西红柿和辣椒" * 3),
+    ]
+    td = ensure_tibble(spark.createDataFrame(rows, "doc_id long, text string"))
+    char_pairs = minhash_pairs(
+        td, f.text, f.doc_id, threshold=0.6, analyzer="char", shingle_chars=8
+    )
+    got = {(r["id_a"], r["id_b"]) for r in char_pairs.df.collect()}
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+    # word shingling on the same rows finds nothing (each text is a
+    # handful of giant run-tokens; edits change every shingle)
+    word_pairs = minhash_pairs(td, f.text, f.doc_id, threshold=0.6)
+    assert {(r["id_a"], r["id_b"]) for r in word_pairs.df.collect()} == set()
+    # dedup keeps the smallest id of the near-dup set
+    kept = minhash_dedup(
+        td, f.text, f.doc_id, threshold=0.6, analyzer="char", shingle_chars=8
+    )
+    assert sorted(r["doc_id"] for r in kept.df.collect()) == [1, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="analyzer must be"):
+        minhash_pairs(td, f.text, f.doc_id, analyzer="bogus").df.count()
