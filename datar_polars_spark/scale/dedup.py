@@ -691,7 +691,9 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_signatures(df: DataFrame, tname: str, idn: str) -> DataFrame:
+def simhash_signatures(df: DataFrame, tname: str, idn: str,
+                       analyzer: str = "word",
+                       shingle_chars: int = 4) -> DataFrame:
     """(id, sh) 64-bit SimHash per row via distinct-token explode + 65
     partial-sum aggregates (per-bit ones counts + token count), then a
     single bit-pack projection.
@@ -708,7 +710,14 @@ def simhash_signatures(df: DataFrame, tname: str, idn: str) -> DataFrame:
     row per document. NULL-text docs produce no token rows and are
     dropped — never signed sh=0 (which would falsely pair them with
     near-zero-signature docs downstream)."""
-    toks = F.array_distinct(tokenize_words(F.col(tname)))
+    if analyzer == "char":
+        toks = char_shingles(F.col(tname), shingle_chars)
+    elif analyzer == "word":
+        toks = F.array_distinct(tokenize_words(F.col(tname)))
+    else:
+        raise ValueError(
+            f"analyzer must be 'word' or 'char', got {analyzer!r}"
+        )
     ex = (
         _ensure_parallelism(df)
         .select(F.col(idn).alias("id"), F.explode(toks).alias("__t"))
@@ -738,6 +747,8 @@ def simhash_dedup(
     max_hamming: int = 3,
     max_bucket: int = 1000,
     resolve: str = "single_link",
+    analyzer: str = "word",
+    shingle_chars: int = 4,
 ) -> Tibble:
     """Near-dup removal via SimHash: block on 4 16-bit sub-keys (any
     pair within hamming distance 3 shares at least one identical
@@ -747,7 +758,7 @@ def simhash_dedup(
     _DROPPED_PAIRS["simhash_dedup"] = []
     tname, idn = _name_of(text), _name_of(id_col)
     pre = _fingerprint_survivors(td.df.select(*td.columns), tname, idn)
-    base = simhash_signatures(pre, tname, idn)
+    base = simhash_signatures(pre, tname, idn, analyzer, shingle_chars)
     # three consumers (census + both join sides) — persist the tiny
     # (id, 64-bit hash) frame so the token explode + 64 bit-majority
     # sums run once (same recipe as minhash_pairs)
@@ -793,15 +804,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     num_perm: int = 64,
     bands: int = 16,
+    analyzer: str = "word",
+    shingle_chars: int = 12,
 ) -> Tibble:
     """Exact n-gram Jaccard for pairs surviving MinHash-LSH blocking
-    (blocking keeps this O(candidates), not O(n^2))."""
+    (blocking keeps this O(candidates), not O(n^2)). ``analyzer="char"``
+    scores char ``shingle_chars``-gram Jaccard — the CJK path."""
     tname, idn = _name_of(text), _name_of(id_col)
     cands = minhash_pairs(
-        td, text, id_col, num_perm=num_perm, bands=bands, shingle_words=n, threshold=0.0
+        td, text, id_col, num_perm=num_perm, bands=bands, shingle_words=n,
+        threshold=0.0, analyzer=analyzer, shingle_chars=shingle_chars,
     ).df
     grams = td.df.select(
-        F.col(idn).alias("id"), word_shingles(F.col(tname), n).alias("grams")
+        F.col(idn).alias("id"),
+        _shingles(F.col(tname), n, analyzer, shingle_chars).alias("grams"),
     )
     out = (
         cands.join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "g_a"), on="id_a")

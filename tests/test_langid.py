@@ -293,3 +293,34 @@ def test_minhash_char_analyzer_cjk(spark):
 
     with _pytest.raises(ValueError, match="analyzer must be"):
         minhash_pairs(td, f.text, f.doc_id, analyzer="bogus").df.count()
+
+
+def test_simhash_and_jaccard_char_analyzer_cjk(spark):
+    """The char analyzer extends to the rest of the near-dup family:
+    simhash_dedup and ngram_jaccard_pairs catch the CJK variant the
+    word path cannot."""
+    from datar_polars_spark import f
+    from datar_polars_spark.scale import ngram_jaccard_pairs, simhash_dedup
+    from datar_polars_spark.tibble import ensure_tibble
+
+    base = "今天早上天气很冷街上很安静孩子们在房子后面的花园里玩耍他想不起来把钥匙放在哪里了" * 3
+    rows = [
+        (1, base),
+        (2, base[:-4] + "不同结尾"),
+        (3, "会议改到了星期四下午博物馆冬天每逢星期一闭馆我的邻居每年夏天都种西红柿和辣椒" * 3),
+    ]
+    td = ensure_tibble(spark.createDataFrame(rows, "doc_id long, text string"))
+    kept = simhash_dedup(
+        td, f.text, f.doc_id, max_hamming=8, analyzer="char", shingle_chars=4
+    )
+    assert sorted(r["doc_id"] for r in kept.df.collect()) == [1, 3]
+    # word mode: one giant token per text -> nothing pairs
+    kept_w = simhash_dedup(td, f.text, f.doc_id, max_hamming=8)
+    assert kept_w.df.count() == 3
+
+    jp = ngram_jaccard_pairs(
+        td, f.text, f.doc_id, threshold=0.5, analyzer="char", shingle_chars=8
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jp.df.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.5
+    assert (1, 3) not in got
