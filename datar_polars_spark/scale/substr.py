@@ -277,6 +277,12 @@ def duplicate_spans(
     under the cap, the tokenize+hash map is cached for its two
     consumers; past it, the map recomputes instead of spilling
     ~(words x k) rows to executor local disk.
+
+    Spans are WORD-indexed, so unsegmented CJK text (where a whole
+    hanzi/kana run is one "word") gets no useful spans — pre-segment
+    such corpora first, or use the char-analyzer near-dup family
+    (minhash_dedup/simhash_dedup/ngram_jaccard_pairs with
+    ``analyzer="char"``) for document-level CJK duplication.
     """
     tname, idn = _name_of(text), _name_of(id)
     flagged = _flagged_grams(
