@@ -1246,7 +1246,10 @@ def q38_minhash_dedup(spark, sf):
     the query PROVES the pigeonhole-blocked plan lossless by comparing
     its survivors against a brute-force all-pairs hamming scan of the
     same signatures, emitting (n_diff=0, n_docs) which the oracle
-    pins."""
+    pins. The 'idx' block (r12): the PERSISTENT dedup index lifecycle
+    (build to disk -> dedup a fresh batch against the store,
+    verify='exact') hash-matched against a brute-force cross-corpus
+    NOT EXISTS oracle."""
     from datar_polars_spark.scale.dedup import (
         _fingerprint_survivors,
         ngram_jaccard_pairs,
@@ -1301,9 +1304,38 @@ def q38_minhash_dedup(spark, sf):
         [("simhash_check", n_diff, str(n_docs), None)],
         "op string, doc_id long, lang string, v double",
     )
+
+    # r12 'idx' block: the PERSISTENT dedup index (scale/dedup_index.py)
+    # driven end-to-end — corpus (doc_id % 3 != 0) is indexed to disk
+    # (fingerprints + MinHash postings + gram store), then the batch
+    # (doc_id % 3 == 0) is deduped AGAINST THE STORE with verify='exact'
+    # (high-recall 32x2 banding, exact n-gram Jaccard decisions), so
+    # survivors equal the oracle's brute-force NOT EXISTS formulation:
+    # no identical normalized text in the corpus AND no corpus doc at
+    # 3-gram Jaccard >= 0.5.
+    import tempfile
+
+    from datar_polars_spark.scale import dedup_against_index, dedup_index_build
+    from datar_polars_spark.tibble import Tibble
+
+    idx_path = tempfile.mkdtemp(prefix="q38_didx_") + "/idx"
+    corpus = Tibble(d.df.filter(F.col("doc_id") % 3 != 0))
+    batch = Tibble(d.df.filter(F.col("doc_id") % 3 == 0))
+    dedup_index_build(
+        corpus, f.text, f.doc_id, idx_path,
+        num_perm=64, bands=32, store_grams=True,
+    )
+    idx_surv = dedup_against_index(
+        batch, idx_path, threshold=0.5, verify="exact"
+    )
+    idx_block = idx_surv.df.select(
+        F.lit("idx").alias("op"), "doc_id", "lang", nullv
+    )
+
     return (
         mh_block.unionByName(sim_block)
         .unionByName(jp_block)
+        .unionByName(idx_block)
         .orderBy("op", "doc_id", "lang")
     )
 
@@ -3054,6 +3086,35 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY a.doc_id, b.doc_id
             ), dup AS (
                 SELECT DISTINCT id_b AS doc_id FROM jp WHERE j >= 0.5
+            ),
+            -- r12 'idx' leg: batch (doc_id % 3 = 0) deduped against the
+            -- indexed corpus (doc_id % 3 != 0): drop on identical
+            -- normalized text OR cross 3-gram Jaccard >= 0.5
+            cfp AS (
+                SELECT DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g')) AS fp
+                FROM documents WHERE doc_id % 3 != 0
+            ),
+            bdoc AS (
+                SELECT doc_id, lang,
+                       md5(regexp_replace(lower(trim(text)),
+                                          '\\s+', ' ', 'g')) AS fp
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            xhit AS (
+                SELECT b.doc_id
+                FROM ge a JOIN ge b
+                  ON a.gram = b.gram
+                 AND a.doc_id % 3 != 0 AND b.doc_id % 3 = 0
+                GROUP BY a.doc_id, b.doc_id
+                HAVING COUNT(*) * 1.0
+                       / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5
+            ),
+            idx_surv AS (
+                SELECT doc_id, lang FROM bdoc b
+                WHERE NOT EXISTS (SELECT 1 FROM cfp c
+                                  WHERE c.fp IS NOT DISTINCT FROM b.fp)
+                  AND doc_id NOT IN (SELECT doc_id FROM xhit)
             )
             SELECT op, doc_id, lang, v FROM (
                 SELECT 'minhash' AS op, doc_id, lang,
@@ -3066,6 +3127,9 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'jpair', id_a, CAST(id_b AS VARCHAR), ROUND(j, 4)
                 FROM jp WHERE j >= 0.3
+                UNION ALL
+                SELECT 'idx', doc_id, lang, CAST(NULL AS DOUBLE)
+                FROM idx_surv
             ) ORDER BY op, doc_id, lang
         """,
         "q41_fct_lump": """

@@ -226,6 +226,30 @@ def _lang_id_bench(spark, docs) -> int:
     )
 
 
+def _index_dedup_bench(docs, phase: str) -> int:
+    """r12: persistent dedup index — 'build' indexes 2/3 of the corpus
+    to local parquet (fingerprints + narrow LSH postings), 'match'
+    dedups the remaining 1/3 against the store. The match side is the
+    steady-state incremental-crawl cost: only the batch is shingled,
+    the corpus contributes pre-computed stores through equi-joins."""
+    from pyspark.sql import functions as F
+
+    from datar_polars_spark.scale import dedup_against_index, dedup_index_build
+    from datar_polars_spark.tibble import Tibble
+
+    if "didx" not in _PQ_STATE:
+        import tempfile
+
+        _PQ_STATE["didx"] = tempfile.mkdtemp(prefix="bench_didx_") + "/idx"
+    path = _PQ_STATE["didx"]
+    if phase == "build":
+        corpus = Tibble(docs.df.filter(F.col("doc_id") % 3 != 0))
+        dedup_index_build(corpus, "text", "doc_id", path, num_perm=64, bands=16)
+        return 1
+    batch = Tibble(docs.df.filter(F.col("doc_id") % 3 == 0))
+    return dedup_against_index(batch, path, threshold=0.7).df.count()
+
+
 def _text_embed_bench(docs) -> int:
     """r12: model-free hashing-trick embeddings over the documents
     table — one Arrow pass, 64 dims."""
@@ -531,6 +555,11 @@ def main() -> None:
             # hashing-trick embedding, each ONE Arrow pass over docs
             "lang_id_predict": lambda: _lang_id_bench(spark, docs),
             "text_embed": lambda: _text_embed_bench(docs),
+            # r12: persistent dedup index — one-time corpus indexing
+            # vs the steady-state batch-vs-store match (dict order
+            # guarantees build runs before match in every round)
+            "dedup_index_build": lambda: _index_dedup_bench(docs, "build"),
+            "dedup_against_index": lambda: _index_dedup_bench(docs, "match"),
         }
         for op_name, op in ops.items():
             t0 = time.perf_counter()

@@ -24,6 +24,12 @@ from .dedup import (  # noqa: F401
     char_shingles,
     minhash_signature,
 )
+from .dedup_index import (  # noqa: F401
+    dedup_index_build,
+    dedup_index_append,
+    match_against_index,
+    dedup_against_index,
+)
 from .similarity import (  # noqa: F401
     cosine_topk,
     lsh_plan_buckets,

@@ -317,7 +317,8 @@ def _shingles(col: Column, shingle_words: int, analyzer: str,
 
 def _minhash_sigs(df: DataFrame, tname: str, idn: str, num_perm: int,
                   shingle_words: int, analyzer: str = "word",
-                  shingle_chars: int = 12) -> DataFrame:
+                  shingle_chars: int = 12,
+                  ensure_par: bool = True) -> DataFrame:
     """(id, sig) minhash signatures via shingle explode + num_perm
     partial-min aggregates.
 
@@ -336,7 +337,12 @@ def _minhash_sigs(df: DataFrame, tname: str, idn: str, num_perm: int,
     xxhash64 means two tables signed separately are directly
     comparable (the property minhash_join relies on). Docs with NULL
     text produce no shingle rows and are dropped, as before."""
-    ex = _ensure_parallelism(df).select(
+    # ensure_par=False lets a caller whose input frame carries joins
+    # in its lineage (dedup_index's batch-vs-store paths) skip the
+    # .rdd partition probe: under AQE that probe finalizes the plan
+    # and EXECUTES the upstream shuffle stages once, so the caller
+    # must guarantee parallelism itself (e.g. repartition the scan)
+    ex = (_ensure_parallelism(df) if ensure_par else df).select(
         F.col(idn).alias("id"),
         F.explode(
             _shingles(F.col(tname), shingle_words, analyzer, shingle_chars)

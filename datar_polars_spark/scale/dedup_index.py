@@ -1,0 +1,484 @@
+"""Persistent dedup index: incremental dedup against an on-lake store.
+
+The missing batch half of the crawl-over-crawl story: a 100 TB corpus
+cannot be re-shingled every time a new 1 TB crawl arrives.
+``stream_near_dedup`` (streaming/__init__.py) solves this for live
+feeds; this module solves it for batch — build the corpus's exact
+fingerprints + MinHash signatures ONCE, persist them next to the data
+(file://, hdfs://, s3a:// — everything goes through parquet + the
+Hadoop FileSystem JSON sidecar in jsonio.py), then dedup each incoming
+batch by joining only the BATCH's signatures against the store.
+
+Layout under ``<path>/`` (all parquet, all narrow on purpose):
+
+- ``fingerprints/``: (fp, id) — one row per DISTINCT normalized-text
+  md5 with the minimum id that carries it. Size ~ distinct docs, not
+  rows.
+- ``sigs/``: (id, sig array<bigint>) — one MinHash signature per
+  indexed doc (num_perm longs).
+- ``bands/`` (partitioned by ``band``): (band, bhash, id) — the LSH
+  bucket postings. Deliberately does NOT carry the signature: postings
+  are ~24 bytes/row instead of ~(8·num_perm) — at 10^11 docs × 16
+  bands that is the difference between 40 TB and 2 TB of index. The
+  verify step joins the few CANDIDATES back to ``sigs/`` instead.
+- ``grams/`` (only with ``store_grams=True``): (id, grams
+  array<string>) — the distinct shingle sets, enabling
+  ``verify="exact"`` (deterministic, oracle-checkable drops) at the
+  cost of re-storing ~the text mass. Off by default at corpus scale.
+- ``dedup_index.json``: the parameter sidecar. Matching ALWAYS uses
+  the sidecar's parameters — signatures are only comparable when both
+  sides hash the same shingles with the same permutation family.
+
+Read-after-append hazard: a frame computed against the store captures
+the store's file listing in its plan, and composing it with a
+POST-append read of the same path in one query lets Spark's
+scan/exchange reuse alias the fresh read back to the stale listing.
+``dedup_against_index(append=True)`` therefore materializes the
+survivors (bounded internal persist) before appending; if you call
+``dedup_index_append`` yourself, write or persist any frame you
+derived from the pre-append store before composing it with
+post-append reads.
+
+NULL handling follows the r12 family contract (NULL-id documents are
+never deleted): batch rows with NULL ids are exempt from matching and
+always survive; corpus rows with NULL ids contribute their fingerprint
+(exact dups of them are still caught) but not MinHash postings
+(``_minhash_sigs`` groups by id, and NULL would fold distinct docs
+into one bogus signature). NULL-text rows fingerprint as the NULL fp
+— a batch NULL-text doc is an exact dup of an indexed NULL-text doc
+(same "one cluster" semantics as ``_fingerprint_survivors``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tibble import Tibble, ensure_tibble
+from .dedup import (
+    _banded,
+    _cap_buckets,
+    _minhash_sigs,
+    _name_of,
+    _shingles,
+)
+from .jsonio import read_json_file, write_json_file
+
+__all__ = [
+    "dedup_index_build",
+    "dedup_index_append",
+    "match_against_index",
+    "dedup_against_index",
+]
+
+_FORMAT = "dedup-index"
+
+
+def _fingerprint(col):
+    """Normalized-text md5 — same normalization as
+    dedup._fingerprint_survivors (lowercase, trim, whitespace runs
+    collapsed to one space), so an index built here and an in-corpus
+    exact pre-pass agree on what "identical" means."""
+    return F.md5(
+        F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ").cast("binary")
+    )
+
+
+def _index_frames(
+    df: DataFrame, tname: str, idn: str, meta: dict,
+    probe_par: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame | None]:
+    """(fingerprints, sigs, bands, grams?) store frames for ``df``.
+
+    Shared by build and append so the two can never drift. Signatures
+    are computed for one representative per distinct fingerprint (the
+    minimum non-NULL id): identical copies share every band, so
+    indexing each copy would only inflate the postings and re-create
+    the giant-bucket problem the in-corpus exact pre-pass exists to
+    avoid. Exact copies are still all caught — by the fingerprint leg.
+    """
+    from .dedup import _ensure_parallelism
+
+    base = df.select(
+        F.col(idn).alias("id"),
+        F.col(tname).alias("__text__"),
+        _fingerprint(F.col(tname)).alias("fp"),
+    )
+    # probe_par=False for callers whose input already sits behind a
+    # shuffle (append after a match): the partition probe would
+    # finalize the AQE plan and re-execute those stages
+    if probe_par:
+        base = _ensure_parallelism(base)
+    fps = base.groupBy("fp").agg(F.min("id").alias("id"))
+    # one representative doc per distinct fp, minimum non-NULL id —
+    # ordering key (id IS NULL, id) so a NULL-id row only represents a
+    # cluster nobody else can (and is then dropped: no identity to
+    # post under)
+    rep = (
+        base.filter(F.col("id").isNotNull())
+        .groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct(F.col("id"), F.col("__text__")), F.col("id")
+            ).alias("__w__")
+        )
+        .select(
+            F.col("__w__.id").alias("id"),
+            F.col("__w__.__text__").alias("__text__"),
+        )
+    )
+    sigs = _minhash_sigs(
+        rep, "__text__", "id", meta["num_perm"],
+        meta["shingle_words"], meta["analyzer"], meta["shingle_chars"],
+        ensure_par=False,  # rep is post-shuffle: parallelism is set
+    )
+    rows_per_band = meta["num_perm"] // meta["bands"]
+    # postings are capped HERE, not at match time: the bucket census
+    # costs one scan+shuffle of the postings, so it must run once per
+    # build/append increment, never once per incoming batch (a match
+    # only censuses the BATCH side). Appends cap within their own
+    # increment — a bucket can exceed the cap across increments;
+    # rebuild when that matters.
+    bands = _cap_buckets(
+        _banded(sigs, "sig", meta["bands"], rows_per_band),
+        ["band", "bhash"], meta["max_bucket"],
+        op="dedup_index_build",
+    ).select("band", "bhash", "id")
+    grams = None
+    if meta["store_grams"]:
+        grams = rep.select(
+            "id",
+            F.array_distinct(
+                _shingles(
+                    F.col("__text__"), meta["shingle_words"],
+                    meta["analyzer"], meta["shingle_chars"],
+                )
+            ).alias("grams"),
+        )
+    return fps, sigs, bands, grams
+
+
+def _write_frames(
+    path: str, fps, sigs, bands, grams, mode: str
+) -> None:
+    fps.write.mode(mode).parquet(f"{path}/fingerprints")
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
+    bands.write.mode(mode).partitionBy("band").parquet(f"{path}/bands")
+    if grams is not None:
+        grams.write.mode(mode).parquet(f"{path}/grams")
+
+
+def dedup_index_build(
+    corpus: Any,
+    text: Any,
+    id_col: Any,
+    path: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    analyzer: str = "word",
+    shingle_chars: int = 12,
+    store_grams: bool = False,
+    max_bucket: int = 1000,
+    mode: str = "overwrite",
+) -> None:
+    """Build the persistent dedup index of ``corpus`` at ``path``.
+
+    One pass over the corpus: fingerprint aggregation + signature
+    computation for one representative per distinct fingerprint (see
+    _index_frames), written as the four parquet stores + the parameter
+    sidecar described in the module docstring. The corpus itself is
+    NOT self-deduplicated here — run minhash_dedup/dedup_exact first
+    if it needs to be; an index over a non-deduped corpus still drops
+    batch duplicates correctly (it just stores more fingerprints).
+
+    Matching always replays the sidecar's parameters, so pick
+    num_perm/bands here for the RECALL the pipeline needs at its
+    dedup threshold (minhash_recall gives the curve) — a later
+    match_against_index call cannot change them without rebuilding.
+    """
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+        )
+    td = ensure_tibble(corpus)
+    tname, idn = _name_of(text), _name_of(id_col)
+    meta = {
+        "format": _FORMAT,
+        "version": 1,
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_words": shingle_words,
+        "analyzer": analyzer,
+        "shingle_chars": shingle_chars,
+        "store_grams": store_grams,
+        "max_bucket": max_bucket,
+        "text_col": tname,
+        "id_col": idn,
+        # recorded so every store is read with an EXPLICIT schema:
+        # no footer sniffing at scan setup, and an empty store (e.g.
+        # a corpus whose docs all lacked text) still reads cleanly
+        "id_type": td.df.schema[idn].dataType.simpleString(),
+    }
+    fps, sigs, bands_df, grams = _index_frames(
+        td.df.select(*td.columns), tname, idn, meta
+    )
+    _write_frames(path, fps, sigs, bands_df, grams, mode)
+    write_json_file(td.df.sparkSession, f"{path}/dedup_index.json", meta)
+
+
+def _load_meta(spark, path: str) -> dict:
+    meta = read_json_file(spark, f"{path}/dedup_index.json")
+    if not (isinstance(meta, dict) and meta.get("format") == _FORMAT):
+        raise ValueError(
+            f"{path}/dedup_index.json is not a dedup_index_build sidecar"
+        )
+    return meta
+
+
+def dedup_index_append(
+    batch: Any,
+    path: str,
+    text: Any = None,
+    id_col: Any = None,
+) -> None:
+    """Append ``batch``'s fingerprints/signatures/postings to an
+    existing index — the "accept the survivors into the corpus" half
+    of the incremental loop (dedup_against_index(append=True) calls
+    this). Parameters come from the sidecar; text/id columns default
+    to the ones the index was built with.
+
+    Appending does not re-aggregate: a fingerprint the store already
+    holds gains a second (fp, id) row. That is correct for matching
+    (existence is what drops a future dup) and avoids rewriting the
+    store; rebuild when the accumulated duplication is worth
+    reclaiming."""
+    td = ensure_tibble(batch)
+    meta = _load_meta(td.df.sparkSession, path)
+    tname = _name_of(text) if text is not None else meta["text_col"]
+    idn = _name_of(id_col) if id_col is not None else meta["id_col"]
+    fps, sigs, bands_df, grams = _index_frames(
+        td.df.select(*td.columns), tname, idn, meta, probe_par=False
+    )
+    _write_frames(path, fps, sigs, bands_df, grams, "append")
+
+
+def match_against_index(
+    batch: Any,
+    path: str,
+    text: Any = None,
+    id_col: Any = None,
+    *,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+    verify: str = "estimate",
+    log_dropped: bool = False,
+) -> Tibble:
+    """All (batch doc, indexed doc) duplicate matches: columns
+    (id_a, id_b, via, jaccard[_est]) with id_a from ``batch``, id_b
+    the indexed doc's id, via in ('exact', 'minhash').
+
+    Exact matches (identical normalized text) come from one null-safe
+    equi-join of the batch's fingerprints against ``fingerprints/``
+    and carry jaccard 1.0. Fuzzy candidates come from signing ONLY the
+    exact-surviving batch rows (identical copies would flood their LSH
+    buckets — same pre-pass rationale as minhash_dedup) and joining
+    their band hashes against ``bands/`` — a keyed shuffle whose width
+    is the BATCH size, never the corpus size. ``verify="estimate"``
+    scores candidates by signature agreement against ``sigs/``
+    (column jaccard_est); ``verify="exact"`` requires the index to
+    have been built with ``store_grams=True`` and emits exact n-gram
+    Jaccard (column jaccard) — deterministic, oracle-checkable.
+    Bucket capping applies per side, like minhash_join.
+
+    Batch rows with NULL ids are exempt (never matched, never
+    dropped); an exactly-matching batch doc appears only in the
+    'exact' rows (it is excluded from fuzzy candidate generation)."""
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
+    td = ensure_tibble(batch)
+    spark = td.df.sparkSession
+    meta = _load_meta(spark, path)
+    if verify == "exact" and not meta["store_grams"]:
+        raise ValueError(
+            "verify='exact' needs the gram store; rebuild the index "
+            "with dedup_index_build(..., store_grams=True)"
+        )
+    tname = _name_of(text) if text is not None else meta["text_col"]
+    idn = _name_of(id_col) if id_col is not None else meta["id_col"]
+    jcol = "jaccard" if verify == "exact" else "jaccard_est"
+
+    from .dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(
+        td.df.select(*td.columns)
+        .filter(F.col(idn).isNotNull())
+        .select(
+            F.col(idn).alias("id_a"),
+            F.col(tname).alias("__text__"),
+            _fingerprint(F.col(tname)).alias("fp"),
+        )
+    )
+    idt = meta["id_type"]
+    store_fps = (
+        spark.read.schema(f"fp string, id {idt}")
+        .parquet(f"{path}/fingerprints")
+        .select(F.col("fp").alias("__sfp__"), F.col("id").alias("id_b"))
+    )
+    exact = (
+        base.join(store_fps, F.col("fp").eqNullSafe(F.col("__sfp__")), "inner")
+        .select(
+            "id_a", "id_b",
+            F.lit("exact").alias("via"),
+            F.lit(1.0).alias(jcol),
+        )
+    )
+
+    # fuzzy candidates come from the exact SURVIVORS — derived straight
+    # from the fp store (anti on the same null-safe key) rather than
+    # from `exact`, so the inner-join subtree isn't computed twice
+    fuzzy_in = base.join(
+        store_fps.select("__sfp__"),
+        F.col("fp").eqNullSafe(F.col("__sfp__")),
+        "left_anti",
+    )
+    sig_a = _minhash_sigs(
+        fuzzy_in.select(F.col("id_a").alias("id"), "__text__"),
+        "__text__", "id", meta["num_perm"],
+        meta["shingle_words"], meta["analyzer"], meta["shingle_chars"],
+        ensure_par=False,  # base was repartitioned above
+    )
+    rows_per_band = meta["num_perm"] // meta["bands"]
+    banded_a = _cap_buckets(
+        _banded(sig_a, "sig", meta["bands"], rows_per_band),
+        ["band", "bhash"], max_bucket, log_dropped, op="match_against_index",
+    ).select("band", "bhash", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    # the store was capped at build/append time (see _index_frames) —
+    # no index-side census here, matching scans the postings exactly
+    # once through the candidate join
+    store_bands = (
+        spark.read.schema(f"bhash bigint, id {idt}, band int")
+        .parquet(f"{path}/bands")
+        .select("band", "bhash", F.col("id").alias("id_b"))
+    )
+    cand = (
+        banded_a.join(store_bands, on=["band", "bhash"])
+        .select("id_a", "id_b", "sig_a")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if verify == "exact":
+        grams_a = fuzzy_in.select(
+            F.col("id_a"),
+            F.array_distinct(
+                _shingles(
+                    F.col("__text__"), meta["shingle_words"],
+                    meta["analyzer"], meta["shingle_chars"],
+                )
+            ).alias("g_a"),
+        )
+        grams_b = (
+            spark.read.schema(f"id {idt}, grams array<string>")
+            .parquet(f"{path}/grams")
+            .select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+        )
+        fuzzy = (
+            cand.select("id_a", "id_b")
+            .join(grams_a, on="id_a")
+            .join(grams_b, on="id_b")
+            .withColumn(
+                jcol,
+                F.size(F.array_intersect("g_a", "g_b"))
+                / F.size(F.array_union("g_a", "g_b")),
+            )
+            .filter(F.col(jcol) >= threshold)
+            .select("id_a", "id_b", F.lit("minhash").alias("via"), jcol)
+        )
+    else:
+        store_sigs = (
+            spark.read.schema(f"id {idt}, sig array<bigint>")
+            .parquet(f"{path}/sigs")
+            .select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        )
+        est = F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        ) / F.lit(meta["num_perm"])
+        fuzzy = (
+            cand.join(store_sigs, on="id_b")
+            .withColumn(jcol, est)
+            .filter(F.col(jcol) >= threshold)
+            .select("id_a", "id_b", F.lit("minhash").alias("via"), jcol)
+        )
+    return Tibble(exact.unionByName(fuzzy))
+
+
+def dedup_against_index(
+    batch: Any,
+    path: str,
+    text: Any = None,
+    id_col: Any = None,
+    *,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+    verify: str = "estimate",
+    append: bool = False,
+    log_dropped: bool = False,
+) -> Tibble:
+    """Drop every ``batch`` row that duplicates an indexed document
+    (exact normalized-text match, or n-gram Jaccard >= threshold via
+    the index's MinHash postings); return the survivors with their
+    original columns. The incremental-crawl workhorse:
+
+        dedup_index_build(corpus, f.text, f.doc_id, "s3a://lake/didx")
+        fresh = dedup_against_index(crawl, "s3a://lake/didx",
+                                    append=True)   # admit survivors
+
+    Only the batch is shingled/signed; the corpus contributes its
+    pre-computed stores through two equi-joins. ``append=True`` admits
+    the survivors into the index (dedup_index_append), so the next
+    batch also dedups against them. Within-batch duplicates are NOT
+    removed here — compose minhash_dedup/dedup_exact on the batch
+    first (orthogonal passes, same family semantics). NULL-id batch
+    rows always survive; on append they contribute their fingerprint
+    (future exact dups of them are caught) but no MinHash postings —
+    no identity to post under (family contract, same as build)."""
+    td = ensure_tibble(batch)
+    hits = match_against_index(
+        td, path, text, id_col,
+        threshold=threshold, max_bucket=max_bucket,
+        verify=verify, log_dropped=log_dropped,
+    )
+    meta = _load_meta(td.df.sparkSession, path)
+    idn = _name_of(id_col) if id_col is not None else meta["id_col"]
+    surv = td.df.select(*td.columns).join(
+        hits.df.select(F.col("id_a").alias(idn)).dropDuplicates(),
+        on=idn, how="left_anti",
+    )
+    if append:
+        # materialize the survivors BEFORE the append mutates the
+        # store: the lazy frame's plan reads the pre-append store, and
+        # composing it with a post-append read of the same path in one
+        # query lets Spark's scan/exchange reuse silently alias the
+        # fresh read to the stale file listing (verified live: a
+        # re-match of freshly appended survivors found 0 of them).
+        # localCheckpoint (not persist): the append's own write to the
+        # store path triggers CacheManager.recacheByPath, which
+        # invalidates and RECOMPUTES any cached plan reading that path
+        # — a persisted survivors frame silently re-evaluated against
+        # the post-append store and came back empty (verified live).
+        # Checkpointing truncates the lineage to the materialized rows
+        # themselves, so the returned frame has no store dependency at
+        # all. Cost: one batch-survivor-sized materialization on
+        # executor storage — the frame the caller is about to use
+        # anyway.
+        surv = surv.localCheckpoint(eager=True)
+    out = Tibble(surv, groups=td.group_vars, levels=td.levels)
+    if append:
+        tname = _name_of(text) if text is not None else meta["text_col"]
+        dedup_index_append(out, path, tname, idn)
+    return out

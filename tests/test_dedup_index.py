@@ -1,0 +1,215 @@
+"""Persistent dedup index: build / match / dedup / append lifecycle
+(scale/dedup_index.py) — the batch incremental-crawl dedup loop."""
+
+import pytest
+
+from datar_polars_spark import Tibble, f, tibble
+from datar_polars_spark.scale import (
+    dedup_against_index,
+    dedup_index_append,
+    dedup_index_build,
+    match_against_index,
+    minhash_join,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+FAR = "completely different content about spark catalyst optimizer internals"
+OTHER = "totally fresh sentences describing mountain weather patterns in spring"
+
+
+@pytest.fixture()
+def corpus(spark):
+    return tibble(spark, doc_id=[1, 2], text=[BASE, FAR])
+
+
+@pytest.fixture()
+def batch(spark):
+    return tibble(
+        spark,
+        doc_id=[10, 11, 12],
+        text=[BASE, NEAR, OTHER],  # exact dup, near dup, fresh
+    )
+
+
+def test_match_and_dedup(corpus, batch, tmp_path):
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path)
+    hits = match_against_index(batch, path, threshold=0.5)
+    got = {(r.id_a, r.id_b, r.via) for r in hits.df.collect()}
+    assert (10, 1, "exact") in got
+    assert (11, 1, "minhash") in got
+    assert not any(r[0] == 12 for r in got)
+    surv = dedup_against_index(batch, path, threshold=0.5).collect()
+    assert sorted(surv["doc_id"].tolist()) == [12]
+
+
+def test_exact_dup_reported_only_as_exact(corpus, batch, tmp_path):
+    # identical copies are excluded from fuzzy candidate generation
+    # (pre-pass rationale): doc 10 must appear ONLY in 'exact' rows
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path)
+    hits = match_against_index(batch, path, threshold=0.5).df.collect()
+    vias = {r.via for r in hits if r.id_a == 10}
+    assert vias == {"exact"}
+
+
+def test_verify_exact_matches_minhash_join(spark, tmp_path):
+    # verify='exact' drops must equal the from-scratch formulation:
+    # exact-fp anti + minhash_join(verify='exact') on the fp survivors
+    corpus = tibble(
+        spark,
+        doc_id=[1, 2, 3],
+        text=[BASE, FAR, OTHER],
+    )
+    batch = tibble(
+        spark,
+        doc_id=[10, 11, 12, 13],
+        text=[BASE, NEAR, OTHER + " and summer", "entirely novel text here"],
+    )
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path, store_grams=True)
+    surv = dedup_against_index(
+        batch, path, threshold=0.5, verify="exact"
+    ).collect()
+
+    from pyspark.sql import functions as F
+
+    from datar_polars_spark.scale.dedup_index import _fingerprint
+
+    bfp = batch.df.select("doc_id", _fingerprint(F.col("text")).alias("fp"))
+    cfp = corpus.df.select(_fingerprint(F.col("text")).alias("cfp")).distinct()
+    ex_surv = bfp.join(
+        cfp, F.col("fp").eqNullSafe(F.col("cfp")), "left_anti"
+    ).select("doc_id")
+    remaining = Tibble(batch.df.join(ex_surv, "doc_id", "left_semi"))
+    fuzzy_hits = minhash_join(
+        remaining, corpus, f.text, f.doc_id, threshold=0.5, verify="exact"
+    )
+    expect = (
+        remaining.df.join(
+            fuzzy_hits.df.select(F.col("id_a").alias("doc_id")).distinct(),
+            "doc_id", "left_anti",
+        )
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .tolist()
+    )
+    assert sorted(surv["doc_id"].tolist()) == sorted(expect)
+
+
+def test_append_cycle(corpus, tmp_path, spark):
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path)
+    b1 = tibble(spark, doc_id=[10], text=[OTHER])
+    s1 = dedup_against_index(b1, path, threshold=0.5, append=True).collect()
+    assert s1["doc_id"].tolist() == [10]
+    # second batch: exact copy of the admitted doc + a near-dup of it
+    b2 = tibble(
+        spark,
+        doc_id=[20, 21, 22],
+        text=[OTHER, OTHER + " indeed", "yet another brand new document"],
+    )
+    s2 = dedup_against_index(b2, path, threshold=0.5).collect()
+    assert sorted(s2["doc_id"].tolist()) == [22]
+
+
+def test_appended_survivors_rematch_as_dups(corpus, tmp_path, spark):
+    # regression (r12, found live): the survivors frame returned by
+    # append=True must be safe to compose with post-append store
+    # reads — without the internal materialization, Spark's
+    # scan/exchange reuse aliased the re-match's fresh fingerprint
+    # read to the stale pre-append listing and found 0 of the 154
+    # freshly admitted docs
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path)
+    batch = tibble(spark, doc_id=[10, 11], text=[OTHER, "another new doc"])
+    surv = dedup_against_index(batch, path, threshold=0.5, append=True)
+    hits = match_against_index(surv, path, threshold=0.5).df
+    assert {(r.id_a, r.via) for r in hits.collect()} == {
+        (10, "exact"),
+        (11, "exact"),
+    }
+    again = dedup_against_index(surv, path, threshold=0.5).df
+    assert again.count() == 0
+
+
+def test_standalone_append_uses_sidecar_columns(corpus, tmp_path, spark):
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path)
+    dedup_index_append(tibble(spark, doc_id=[5], text=[OTHER]), path)
+    hits = match_against_index(
+        tibble(spark, doc_id=[30], text=[OTHER]), path, threshold=0.5
+    ).df.collect()
+    assert {(r.id_a, r.id_b) for r in hits} == {(30, 5)}
+
+
+def test_null_id_batch_rows_always_survive(corpus, tmp_path, spark):
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path)
+    batch = Tibble(
+        spark.createDataFrame(
+            [(None, BASE), (40, BASE)], "doc_id bigint, text string"
+        )
+    )
+    surv = dedup_against_index(batch, path, threshold=0.5).collect()
+    # the NULL-id exact copy is exempt (family contract); 40 drops
+    assert surv["doc_id"].isna().tolist() == [True]
+
+
+def test_null_text_is_one_exact_cluster(tmp_path, spark):
+    corpus = Tibble(
+        spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    )
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path)
+    batch = Tibble(
+        spark.createDataFrame(
+            [(10, None), (11, OTHER)], "doc_id bigint, text string"
+        )
+    )
+    surv = dedup_against_index(batch, path, threshold=0.5).collect()
+    assert surv["doc_id"].tolist() == [11]
+
+
+def test_sidecar_params_drive_matching(corpus, batch, tmp_path):
+    # build with a non-default permutation family; matching must
+    # replay it from the sidecar (mismatched signatures would never
+    # agree and the near-dup would be missed)
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path, num_perm=32, bands=8)
+    hits = match_against_index(batch, path, threshold=0.5).df.collect()
+    assert any(r.id_a == 11 and r.via == "minhash" for r in hits)
+
+
+def test_verify_exact_without_grams_raises(corpus, batch, tmp_path):
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path)  # store_grams=False
+    with pytest.raises(ValueError, match="store_grams"):
+        match_against_index(batch, path, verify="exact")
+
+
+def test_bad_sidecar_rejected(corpus, tmp_path, spark):
+    from datar_polars_spark.scale.jsonio import write_json_file
+
+    path = str(tmp_path / "notidx")
+    write_json_file(spark, f"{path}/dedup_index.json", {"format": "other"})
+    with pytest.raises(ValueError, match="sidecar"):
+        match_against_index(corpus, path)
+
+
+def test_num_perm_bands_divisibility(corpus, tmp_path):
+    with pytest.raises(ValueError, match="divisible"):
+        dedup_index_build(
+            corpus, f.text, f.doc_id, str(tmp_path / "x"), num_perm=10, bands=4
+        )
+
+
+def test_no_cartesian_in_plan(corpus, batch, tmp_path):
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path)
+    plan = dedup_against_index(
+        batch, path, threshold=0.5
+    ).df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
