@@ -557,6 +557,15 @@ def stream_near_dedup(
     flagging documents of a live crawl that near-duplicate what's
     already in the lake.
 
+    ``history`` is a frame (signed at setup), or — r12 — a STRING path
+    to a persistent dedup index (``dedup_index_build``): then setup
+    just reads the pre-computed ``sigs``/``bands`` stores, no corpus
+    re-shingling, and the sidecar's num_perm/bands/shingle_words/
+    analyzer override the arguments (the stream must sign with the
+    index's permutation family). That is the 100 TB deployment: index
+    the lake once, dedup every live feed — and every fresh batch, via
+    ``dedup_against_index`` — against the same store.
+
     Stream docs sign with the stateless per-row HOF fold
     (``minhash_signature`` — narrow map, no aggregation, no state
     store); the same deterministic xxhash64 permutation family as the
@@ -606,7 +615,7 @@ def stream_near_dedup(
     miss. Dropped-candidate accounting registers under op
     ``"stream_near_dedup"`` (see ``dropped_pairs_estimate``)."""
     from ..scale.dedup import (
-        _DROPPED_PAIRS, _banded, _cap_buckets, _minhash_sigs,
+        _DROPPED_PAIRS, _banded, _cap_buckets, _minhash_sigs, _shingles,
         minhash_signature, word_shingles,
     )
 
@@ -615,6 +624,24 @@ def stream_near_dedup(
             f"stream_near_dedup: mode must be 'matches' or 'filter', "
             f"got {mode!r}"
         )
+    # history as a STR is a persistent dedup-index path
+    # (scale/dedup_index.py): the corpus was fingerprinted and signed
+    # ONCE at dedup_index_build time, so stream setup reads the
+    # sigs/postings stores instead of re-shingling the lake — the
+    # sidecar's parameters override num_perm/bands/shingle_words (the
+    # stream must sign with the index's permutation family or the
+    # signatures are incomparable)
+    index_meta = None
+    analyzer, shingle_chars = "word", 12
+    if isinstance(history, str):
+        from ..scale.dedup_index import _load_meta
+
+        index_meta = _load_meta(sdf.sparkSession, history)
+        num_perm = index_meta["num_perm"]
+        bands = index_meta["bands"]
+        shingle_words = index_meta["shingle_words"]
+        analyzer = index_meta["analyzer"]
+        shingle_chars = index_meta["shingle_chars"]
     if num_perm % bands:
         raise ValueError(
             f"stream_near_dedup: num_perm={num_perm} not divisible by "
@@ -652,7 +679,8 @@ def stream_near_dedup(
     )
 
     sig = minhash_signature(
-        word_shingles(F.col(tname), shingle_words), num_perm
+        _shingles(F.col(tname), shingle_words, analyzer, shingle_chars),
+        num_perm,
     )
     _DROPPED_PAIRS["stream_near_dedup"] = []
     s_all = sdf.withColumn("__sig", sig)
@@ -666,19 +694,37 @@ def stream_near_dedup(
 
     if mode == "matches":
         s = s_all.where(signable)
-        hist_sigs = _minhash_sigs(
-            hist_df, tname, idn, num_perm, shingle_words
-        )
         from pyspark import StorageLevel
 
         from ..plans.cache import register_internal_cache
 
-        hist_banded = register_internal_cache(
-            _cap_buckets(
+        if index_meta is not None:
+            # postings were bucket-capped at build/append time; the
+            # sig rides in via one setup join (verification needs it
+            # inline — a stream-static join can't look candidates up
+            # afterwards without a second static join per micro-batch)
+            idt = index_meta["id_type"]
+            spark_ = sdf.sparkSession
+            banded_hist_raw = (
+                spark_.read.schema(f"bhash bigint, id {idt}, band int")
+                .parquet(f"{history}/bands")
+                .join(
+                    spark_.read.schema(f"id {idt}, sig array<bigint>")
+                    .parquet(f"{history}/sigs"),
+                    on="id",
+                )
+            )
+        else:
+            hist_sigs = _minhash_sigs(
+                hist_df, tname, idn, num_perm, shingle_words,
+                analyzer, shingle_chars,
+            )
+            banded_hist_raw = _cap_buckets(
                 _banded(hist_sigs, "sig", bands, rows_per_band),
                 ["band", "bhash"], max_bucket, op="stream_near_dedup",
             )
-            .select(
+        hist_banded = register_internal_cache(
+            banded_hist_raw.select(
                 "band", "bhash",
                 F.col("id").alias("match_id"),
                 F.col("sig").alias("__hsig"),
@@ -710,7 +756,20 @@ def stream_near_dedup(
     # mode == "filter": broadcast band-hash index + Arrow probe
     import numpy as np
 
-    hist_sigs = _minhash_sigs(hist_df, tname, idn, num_perm, shingle_words)
+    if index_meta is not None:
+        # band hashes recompute from the stored signatures (xxhash64
+        # is deterministic) — cheaper than grouping the postings back
+        # into per-doc arrays, and identical by construction
+        hist_sigs = (
+            sdf.sparkSession.read
+            .schema(f"id {index_meta['id_type']}, sig array<bigint>")
+            .parquet(f"{history}/sigs")
+        )
+    else:
+        hist_sigs = _minhash_sigs(
+            hist_df, tname, idn, num_perm, shingle_words,
+            analyzer, shingle_chars,
+        )
     hist_rows = (
         hist_sigs.withColumn(
             "__bh", _band_hash_array("sig", bands, rows_per_band)

@@ -249,3 +249,74 @@ def test_filter_mode_cap_registers_drops_and_frees_reserved_names(spark, tmp_pat
     # matches mode still rejects the clash it actually suffers from
     with pytest.raises(ValueError, match="reserved"):
         stream_near_dedup(sdf, hist, mode="matches", **PARAMS)
+
+
+# ---------------------------------------------------------------------------
+# r12: history as a persistent dedup-index path (scale/dedup_index.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def didx_path(spark, corpus, tmp_path_factory):
+    from datar_polars_spark.scale import dedup_index_build
+
+    hist, _ = corpus
+    path = str(tmp_path_factory.mktemp("near_dedup_idx") / "idx")
+    dedup_index_build(hist, f.text, f.doc_id, path, **{
+        k: v for k, v in PARAMS.items() if k != "threshold"
+    })
+    return path
+
+
+def test_index_matches_mode_flags_same_docs(spark, corpus, stream_src, didx_path):
+    """Index-backed matches mode flags the same STREAM DOCS as the
+    frame-backed run (the index signs one representative per distinct
+    normalized text, so pair match_ids can collapse to the
+    representative — identical signature, same buckets, same
+    estimate — but the flagged id_a set is invariant)."""
+    sdf = stream_read_parquet(spark, stream_src)
+    out = stream_near_dedup(sdf, didx_path, mode="matches", **PARAMS)
+    got = run_to_memory(out, mode="append")
+    flagged = set(zip(got["doc_id"], got["match_id"]))
+    assert (100_000, 0) in flagged
+    assert set(got["doc_id"]) == {a for a, _ in _batch_pairs(spark, corpus)}
+
+
+def test_index_filter_mode_parity(spark, corpus, stream_src, didx_path):
+    hist, stream_batch = corpus
+    sdf = stream_read_parquet(spark, stream_src)
+    out = stream_near_dedup(sdf, didx_path, mode="filter", **PARAMS)
+    got = run_to_memory(out, mode="append")
+    dup_ids = {a for a, _ in _batch_pairs(spark, corpus)}
+    all_ids = {r["doc_id"] for r in stream_batch.select("doc_id").collect()}
+    assert set(got["doc_id"]) == all_ids - dup_ids
+
+
+def test_index_sidecar_params_override_arguments(spark, corpus, tmp_path,
+                                                 tmp_path_factory):
+    """The stream must sign with the index's permutation family: the
+    sidecar (num_perm=32) overrides the call's num_perm=64. The stream
+    doc is an EXACT copy of a history doc, so every band collides at
+    any banding; the discriminator is the estimate — signed per the
+    sidecar it is 32/32 = 1.0, while an un-overridden 64-perm stream
+    signature would zip 32 null-padded slots and score 32/64 = 0.5,
+    below the 0.6 threshold."""
+    from datar_polars_spark.scale import dedup_index_build
+
+    hist, _ = corpus
+    path = str(tmp_path_factory.mktemp("near_dedup_idx32") / "idx")
+    dedup_index_build(hist, f.text, f.doc_id, path, num_perm=32, bands=8)
+    base = hist.df.where("doc_id = 0").select("text").first()["text"]
+    src = str(tmp_path / "copy_stream")
+    spark.createDataFrame(
+        [(100_001, base)], "doc_id long, text string"
+    ).write.parquet(src)
+    sdf = stream_read_parquet(spark, src)
+    out = stream_near_dedup(
+        sdf, path, mode="matches", num_perm=64, bands=16, threshold=0.6
+    )
+    got = run_to_memory(out, mode="append")
+    pairs = set(zip(got["doc_id"], got["match_id"]))
+    assert (100_001, 0) in pairs
+    est = float(got.set_index(["doc_id", "match_id"])["jaccard_est"]
+                .loc[(100_001, 0)].max())
+    assert est == 1.0
