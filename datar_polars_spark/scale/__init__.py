@@ -27,6 +27,7 @@ from .dedup import (  # noqa: F401
 from .dedup_index import (  # noqa: F401
     dedup_index_build,
     dedup_index_append,
+    dedup_index_stats,
     match_against_index,
     dedup_against_index,
 )

@@ -69,6 +69,7 @@ from .jsonio import read_json_file, write_json_file
 __all__ = [
     "dedup_index_build",
     "dedup_index_append",
+    "dedup_index_stats",
     "match_against_index",
     "dedup_against_index",
 ]
@@ -264,6 +265,37 @@ def dedup_index_append(
         td.df.select(*td.columns), tname, idn, meta, probe_par=False
     )
     _write_frames(path, fps, sigs, bands_df, grams, "append")
+
+
+def dedup_index_stats(spark, path: str) -> dict:
+    """Sidecar parameters plus store row counts — the operational
+    health check before pointing a pipeline at an index. Counts come
+    from parquet footer metadata (count() on a bare scan), so this
+    reads no data pages even on a corpus-scale index. After appends,
+    ``n_fingerprints`` can exceed the number of distinct fingerprints
+    (dedup_index_append documents why); a large gap is the signal to
+    rebuild."""
+    meta = _load_meta(spark, path)
+    idt = meta["id_type"]
+    out = dict(meta)
+    out["n_fingerprints"] = (
+        spark.read.schema(f"fp string, id {idt}")
+        .parquet(f"{path}/fingerprints").count()
+    )
+    out["n_signatures"] = (
+        spark.read.schema(f"id {idt}, sig array<bigint>")
+        .parquet(f"{path}/sigs").count()
+    )
+    out["n_postings"] = (
+        spark.read.schema(f"bhash bigint, id {idt}, band int")
+        .parquet(f"{path}/bands").count()
+    )
+    if meta["store_grams"]:
+        out["n_grams"] = (
+            spark.read.schema(f"id {idt}, grams array<string>")
+            .parquet(f"{path}/grams").count()
+        )
+    return out
 
 
 def match_against_index(

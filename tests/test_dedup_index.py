@@ -213,3 +213,52 @@ def test_no_cartesian_in_plan(corpus, batch, tmp_path):
     ).df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_stats(corpus, tmp_path, spark):
+    from datar_polars_spark.scale import dedup_index_stats
+
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path, num_perm=32, bands=8)
+    st = dedup_index_stats(spark, path)
+    assert st["num_perm"] == 32 and st["bands"] == 8
+    assert st["n_fingerprints"] == 2 == st["n_signatures"]
+    assert st["n_postings"] == 2 * 8  # one posting per doc per band
+    assert "n_grams" not in st  # store_grams=False
+    dedup_index_append(tibble(spark, doc_id=[5], text=[OTHER]), path)
+    st2 = dedup_index_stats(spark, path)
+    assert st2["n_fingerprints"] == 3 and st2["n_postings"] == 3 * 8
+
+
+def test_empty_corpus_and_empty_batch(tmp_path, spark):
+    # build over zero rows, match a real batch (nothing drops), then
+    # match zero rows against a real index (empty survivors) — the
+    # classic empty-partition crash surfaces
+    empty = Tibble(
+        spark.createDataFrame([], "doc_id bigint, text string")
+    )
+    path = str(tmp_path / "didx_empty")
+    dedup_index_build(empty, f.text, f.doc_id, path)
+    batch = tibble(spark, doc_id=[1], text=[BASE])
+    assert dedup_against_index(batch, path).df.count() == 1
+    path2 = str(tmp_path / "didx_real")
+    dedup_index_build(batch, f.text, f.doc_id, path2)
+    assert dedup_against_index(empty, path2).df.count() == 0
+
+
+def test_char_analyzer_index(tmp_path, spark):
+    # unsegmented CJK: word shingles fold a hanzi run into one token,
+    # so an edited copy only matches through the char analyzer — the
+    # sidecar must carry analyzer through build AND match signing
+    zh = "机器学习模型训练数据质量直接决定下游任务表现因此需要系统化的数据清洗流程" * 2
+    zh_edit = zh[:20] + "改" + zh[21:]
+    corpus = tibble(spark, doc_id=[1], text=[zh])
+    batch = tibble(spark, doc_id=[10], text=[zh_edit])
+    wpath = str(tmp_path / "didx_word")
+    dedup_index_build(corpus, f.text, f.doc_id, wpath)  # word analyzer
+    assert dedup_against_index(batch, wpath, threshold=0.5).df.count() == 1
+    cpath = str(tmp_path / "didx_char")
+    dedup_index_build(
+        corpus, f.text, f.doc_id, cpath, analyzer="char", shingle_chars=8
+    )
+    assert dedup_against_index(batch, cpath, threshold=0.5).df.count() == 0
