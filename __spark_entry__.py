@@ -1249,7 +1249,9 @@ def q38_minhash_dedup(spark, sf):
     pins. The 'idx' block (r12): the PERSISTENT dedup index lifecycle
     (build to disk -> dedup a fresh batch against the store,
     verify='exact') hash-matched against a brute-force cross-corpus
-    NOT EXISTS oracle."""
+    NOT EXISTS oracle. The 'prank' block (r12): distributed PageRank
+    (3 power iterations, d=0.85, symmetric supplier<->part graph)
+    hash-matched against the same 3 iterations unrolled as SQL CTEs."""
     from datar_polars_spark.scale.dedup import (
         _fingerprint_survivors,
         ngram_jaccard_pairs,
@@ -1332,10 +1334,39 @@ def q38_minhash_dedup(spark, sf):
         F.lit("idx").alias("op"), "doc_id", "lang", nullv
     )
 
+    # r12 'prank' block: distributed PageRank (scale/graph.py) on the
+    # symmetric supplier<->part graph from lineitem (part nodes offset
+    # by 1e6), 3 power iterations at d=0.85 — the oracle unrolls the
+    # same 3 iterations as CTEs. Symmetric edges mean no dangling
+    # nodes, so both formulations are pure contribution sums. v =
+    # rank * N rounded to 4 (relative scale ~1.0; raw ranks are ~1/N
+    # and would round to zero).
+    from datar_polars_spark.scale import pagerank
+
+    li = _t(spark, sf, "lineitem")
+    e0 = li.df.select(
+        F.col("l_suppkey").cast("long").alias("s"),
+        (F.col("l_partkey").cast("long") + 1_000_000).alias("p"),
+    ).distinct()
+    pedges = e0.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionAll(
+        e0.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    pr = pagerank(pedges, iterations=3).df
+    n_nodes = pr.count()
+    prank_block = pr.select(
+        F.lit("prank").alias("op"),
+        F.col("node").alias("doc_id"),
+        F.when(F.col("node") >= 1_000_000, F.lit("p"))
+        .otherwise(F.lit("s"))
+        .alias("lang"),
+        F.round(F.col("rank") * F.lit(float(n_nodes)), 4).alias("v"),
+    )
+
     return (
         mh_block.unionByName(sim_block)
         .unionByName(jp_block)
         .unionByName(idx_block)
+        .unionByName(prank_block)
         .orderBy("op", "doc_id", "lang")
     )
 
@@ -3115,6 +3146,46 @@ def oracle_sql() -> dict[str, str]:
                 WHERE NOT EXISTS (SELECT 1 FROM cfp c
                                   WHERE c.fp IS NOT DISTINCT FROM b.fp)
                   AND doc_id NOT IN (SELECT doc_id FROM xhit)
+            ),
+            -- r12 'prank' leg: 3 unrolled PageRank power iterations
+            -- (d = 0.85) over the symmetric supplier<->part graph
+            -- (part node ids offset by 1e6; symmetric -> no dangling)
+            pe AS (
+                SELECT DISTINCT l_suppkey AS s,
+                       l_partkey + 1000000 AS p
+                FROM lineitem
+            ),
+            pedges AS (
+                SELECT s AS u, p AS v FROM pe
+                UNION ALL
+                SELECT p AS u, s AS v FROM pe
+            ),
+            pdeg AS (SELECT u, COUNT(*) AS deg FROM pedges GROUP BY u),
+            pn AS (SELECT COUNT(*) AS n FROM pdeg),
+            pr0 AS (SELECT u, 1.0 / (SELECT n FROM pn) AS r FROM pdeg),
+            pr1 AS (
+                SELECT e.v AS u,
+                       (1.0 - 0.85) / (SELECT n FROM pn)
+                       + 0.85 * SUM(r.r / d.deg) AS r
+                FROM pedges e
+                JOIN pr0 r ON e.u = r.u JOIN pdeg d ON e.u = d.u
+                GROUP BY e.v
+            ),
+            pr2 AS (
+                SELECT e.v AS u,
+                       (1.0 - 0.85) / (SELECT n FROM pn)
+                       + 0.85 * SUM(r.r / d.deg) AS r
+                FROM pedges e
+                JOIN pr1 r ON e.u = r.u JOIN pdeg d ON e.u = d.u
+                GROUP BY e.v
+            ),
+            pr3 AS (
+                SELECT e.v AS u,
+                       (1.0 - 0.85) / (SELECT n FROM pn)
+                       + 0.85 * SUM(r.r / d.deg) AS r
+                FROM pedges e
+                JOIN pr2 r ON e.u = r.u JOIN pdeg d ON e.u = d.u
+                GROUP BY e.v
             )
             SELECT op, doc_id, lang, v FROM (
                 SELECT 'minhash' AS op, doc_id, lang,
@@ -3130,6 +3201,11 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'idx', doc_id, lang, CAST(NULL AS DOUBLE)
                 FROM idx_surv
+                UNION ALL
+                SELECT 'prank', u,
+                       CASE WHEN u >= 1000000 THEN 'p' ELSE 's' END,
+                       ROUND(r * (SELECT n FROM pn), 4)
+                FROM pr3
             ) ORDER BY op, doc_id, lang
         """,
         "q41_fct_lump": """

@@ -66,6 +66,7 @@ from .tokenizer import (  # noqa: F401
 from .urls import (  # noqa: F401
     PSLRules,
     domain_report,
+    host_graph,
     load_psl,
     parse_psl,
     url_host,
@@ -90,7 +91,11 @@ from .lm import (  # noqa: F401
     ngram_lm_score,
 )
 from . import text  # noqa: F401 (registers text-analysis functions)
-from .text import html_to_text, normalize_text  # noqa: F401
+from .text import (  # noqa: F401
+    html_extract_links,
+    html_to_text,
+    normalize_text,
+)
 from .warc import (  # noqa: F401
     parse_warc_records,
     read_warc,
@@ -129,7 +134,11 @@ from .langid import (  # noqa: F401
     lang_id_write,
     lang_id_read,
 )
-from .graph import connected_components, components_from_pairs  # noqa: F401
+from .graph import (  # noqa: F401
+    connected_components,
+    components_from_pairs,
+    pagerank,
+)
 from .diagnostics import (  # noqa: F401
     key_skew,
     skew_report,

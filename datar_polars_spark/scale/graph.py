@@ -26,7 +26,7 @@ from ..plans.expr import Ref
 from ..plans.verb import verb
 from ..tibble import Tibble
 
-__all__ = ["connected_components", "components_from_pairs"]
+__all__ = ["connected_components", "components_from_pairs", "pagerank"]
 
 
 def _name_of(x: Any) -> str:
@@ -171,3 +171,108 @@ def connected_components(
         td.df.select(*td.columns), sn, dn, max_iter, small_graph_edges
     )
     return Tibble(out)
+
+
+def pagerank(
+    edges: Any,
+    src: Any = "src",
+    dst: Any = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    weight: Any = None,
+    checkpoint_every: int = 4,
+) -> Tibble:
+    """Distributed PageRank over a directed edge list (Page et al.,
+    "The PageRank Citation Ranking", 1999) — the domain-authority
+    quality prior of crawl curation (host_graph -> pagerank -> join
+    ranks onto documents as a filter/mixing signal).
+
+    Power iteration in the standard Google formulation: ranks start
+    uniform at 1/N; each round every node sends rank * w/out_w along
+    its out-edges, DANGLING nodes (no out-edges) spread their whole
+    mass uniformly, and every node keeps a (1-d)/N teleport floor.
+    Ranks sum to 1 after every iteration.
+
+    Each iteration is ONE keyed shuffle (contributions groupBy dst)
+    plus a one-row dangling-mass aggregate that joins back as a
+    broadcast — no collect, no driver loop over nodes, so a
+    billion-edge host graph runs at shuffle bandwidth. The iterative
+    lineage is truncated every ``checkpoint_every`` rounds with an
+    eager localCheckpoint (same discipline as the alternating-star
+    rounds above); with multi-round lazy plans AQE would otherwise
+    re-plan a growing DAG every action. ``weight=`` names an edge
+    weight column for weighted PageRank; rows with a NULL endpoint are
+    dropped (no identity to rank under).
+
+    Returns one row per distinct node: ``(node, rank)``.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    td = edges if isinstance(edges, Tibble) else Tibble(edges)
+    sn, dn = _name_of(src), _name_of(dst)
+    w = (
+        F.col(_name_of(weight)).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    e = (
+        td.df.select(
+            F.col(sn).alias("u"), F.col(dn).alias("v"), w.alias("w")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    )
+    # edge list + out-weight + node set materialize ONCE (every
+    # iteration re-reads them; recomputing the user's upstream plan
+    # 10x would dwarf the iteration cost)
+    e = e.localCheckpoint(eager=True)
+    outw = e.groupBy("u").agg(F.sum("w").alias("__ow__"))
+    nodes = (
+        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        spark = td.df.sparkSession
+        return Tibble(
+            spark.createDataFrame([], "node string, rank double").select(
+                F.col("node").alias(sn if sn != dn else "node"), "rank"
+            )
+        )
+    ranks = nodes.select("u", F.lit(1.0 / n).alias("r"))
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks, on="u")
+            .join(outw, on="u")
+            .select("v", (F.col("r") * F.col("w") / F.col("__ow__")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("__c__"))
+        )
+        # dangling mass: one row, broadcast back — stays lazy so an
+        # iteration costs no extra driver action
+        dangling = ranks.join(outw, on="u", how="left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("__dm__")
+        )
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("v", "u"), on="u", how="left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "u",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__c__"), F.lit(0.0))
+                        + F.col("__dm__") / F.lit(n)
+                    )
+                ).alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return Tibble(
+        ranks.select(F.col("u").alias("node"), F.col("r").alias("rank"))
+    )

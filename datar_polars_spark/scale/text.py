@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 
 from ..functions.registry import register
 
-__all__ = ["STOPWORDS", "normalize_text", "html_to_text"]
+__all__ = [
+    "STOPWORDS", "normalize_text", "html_to_text", "html_extract_links",
+]
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 STOPWORDS: dict[str, list[str]] = {
@@ -502,3 +504,44 @@ def html_to_text(
         col
     )
     return td.with_df(td.df.withColumn(out_col, col))
+
+
+def html_extract_links(td, html: str = "html", out_col: str = "link"):
+    """One output row per ``href`` value in each document's markup —
+    the crawl-graph feeder (``host_graph`` -> ``pagerank`` turns these
+    into the domain-authority quality prior). Same REGEX-extractor
+    contract as :func:`html_to_text`: one JVM
+    ``regexp_extract_all`` + ``explode``, no HTML parser, malformed
+    markup degrades to missed/extra links, never errors. Quoted and
+    bare attribute values both match; fragment-only links (``#...``)
+    are skipped; documents with no links produce no rows (explode, not
+    explode_outer — a link graph has no use for NULL edges)."""
+    from ..tibble import Tibble, ensure_tibble
+
+    td = ensure_tibble(td)
+    hname = html if isinstance(html, str) else html._name
+    if out_col in td.columns:
+        raise ValueError(
+            f"html_extract_links: column {out_col!r} already exists; "
+            f"pass a different out_col"
+        )
+    links = F.regexp_extract_all(
+        F.col(hname),
+        F.lit(r'(?i)\bhref\s*=\s*(?:"([^"#][^"]*)"|' r"'([^'#][^']*)'"
+              r"|([^\s\"'<>#][^\s\"'<>]*))"),
+        0,
+    )
+    # the 3-alternative pattern can't share one group index in
+    # regexp_extract_all, so extract the full attr match and strip the
+    # prefix/quotes with one more regexp
+    clean = F.transform(
+        links,
+        lambda m: F.regexp_replace(
+            F.regexp_replace(m, r"(?i)^\bhref\s*=\s*", ""),
+            r"""^["']|["']$""", "",
+        ),
+    )
+    out = td.df.select(
+        *td.columns, F.explode(clean).alias(out_col)
+    ).filter(F.length(out_col) > 0)
+    return Tibble(out)

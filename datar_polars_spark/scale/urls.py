@@ -29,6 +29,7 @@ __all__ = [
     "url_registrable_domain",
     "url_normalize",
     "domain_report",
+    "host_graph",
     "TRACKING_PARAMS",
     "PSLRules",
     "parse_psl",
@@ -268,3 +269,65 @@ def domain_report(
             F.col("n_docs").desc(), F.col("domain").asc()
         ).limit(int(top_k))
     return Tibble(out)
+
+
+def host_graph(
+    td,
+    url: Any = "url",
+    html: Any = "html",
+    drop_self: bool = True,
+):
+    """(src_host, dst_host, n_links) edges of the crawl's host-level
+    link graph — the input to :func:`~datar_polars_spark.scale.graph.
+    pagerank` for the domain-authority quality prior.
+
+    src_host is the document's own host (``url_host(url)``); each
+    ``href`` extracted from the markup (html_extract_links) resolves
+    to a dst host WITHOUT a full RFC 3986 resolver, because only the
+    HOST matters here: absolute http(s) links parse their own host,
+    protocol-relative ``//host/...`` links take the authority
+    directly, and every relative form stays on src_host (which
+    ``drop_self=True``, the default, then discards along with
+    same-host absolute links — a host graph is about cross-site
+    endorsement). Rows with an unparseable src or dst host are
+    dropped. One explode + one groupBy; counts are edge weights for
+    weighted PageRank."""
+    from ..plans.expr import Ref
+    from ..tibble import Tibble, ensure_tibble
+    from .text import html_extract_links
+
+    def _name_of(x):
+        return x._name if isinstance(x, Ref) else str(x)
+
+    td = ensure_tibble(td)
+    uname = _name_of(url)
+    links = html_extract_links(
+        td.df.select(url_host(F.col(uname)).alias("__src__"),
+                     F.col(_name_of(html))),
+        _name_of(html), out_col="__lnk__",
+    ).df
+    lnk = F.col("__lnk__")
+    dst = (
+        F.when(
+            lnk.rlike(r"(?i)^https?://"), url_host(lnk)
+        )
+        .when(
+            lnk.startswith("//"),
+            F.lower(F.regexp_extract(lnk, r"^//([^/?#:]+)", 1)),
+        )
+        .otherwise(F.col("__src__"))
+    )
+    out = (
+        links.select(
+            F.col("__src__").alias("src_host"), dst.alias("dst_host")
+        )
+        .filter(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+        .filter(F.length("dst_host") > 0)
+    )
+    if drop_self:
+        out = out.filter(F.col("src_host") != F.col("dst_host"))
+    return Tibble(
+        out.groupBy("src_host", "dst_host").agg(
+            F.count("*").alias("n_links")
+        )
+    )

@@ -1,0 +1,175 @@
+"""Crawl-graph ranking: html_extract_links -> host_graph -> pagerank
+(the domain-authority quality prior)."""
+
+import numpy as np
+import pytest
+
+from datar_polars_spark import Tibble, f, tibble
+from datar_polars_spark.scale import (
+    host_graph,
+    html_extract_links,
+    pagerank,
+)
+
+
+def _numpy_pagerank(edges, n, d=0.85, iters=30, weights=None):
+    import collections
+
+    outw = collections.Counter()
+    for i, (u, v) in enumerate(edges):
+        outw[u] += weights[i] if weights else 1.0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        c = np.zeros(n)
+        dm = sum(r[u] for u in range(n) if outw[u] == 0)
+        for i, (u, v) in enumerate(edges):
+            w = weights[i] if weights else 1.0
+            c[v] += r[u] * w / outw[u]
+        r = (1 - d) / n + d * (c + dm / n)
+    return r
+
+
+def test_pagerank_matches_numpy_with_dangling(spark):
+    # node 3 is dangling (no out-edges): its mass must redistribute
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=30).df.collect()}
+    ref = _numpy_pagerank(edges, 4, iters=30)
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    for i in range(4):
+        assert abs(got[i] - ref[i]) < 1e-12
+
+
+def test_pagerank_weighted(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0)]
+    weights = [3.0, 1.0, 1.0, 1.0]
+    df = spark.createDataFrame(
+        [e + (w,) for e, w in zip(edges, weights)],
+        "src long, dst long, w double",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight="w", iterations=20).df.collect()
+    }
+    ref = _numpy_pagerank(edges, 3, iters=20, weights=weights)
+    for i in range(3):
+        assert abs(got[i] - ref[i]) < 1e-12
+
+
+def test_pagerank_checkpoint_interval_invariant(spark):
+    # lineage truncation must not change values
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = pagerank(df, iterations=9, checkpoint_every=2).df.collect()
+    b = pagerank(df, iterations=9, checkpoint_every=100).df.collect()
+    ra = {r["node"]: r["rank"] for r in a}
+    rb = {r["node"]: r["rank"] for r in b}
+    assert all(abs(ra[k] - rb[k]) < 1e-12 for k in ra)
+
+
+def test_pagerank_null_endpoints_dropped_and_validation(spark):
+    df = spark.createDataFrame(
+        [(0, 1), (1, 0), (None, 2), (2, None)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).df.collect()}
+    # node 2 appears only via NULL-partnered edges -> never ranked
+    assert set(got) == {0, 1}
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=0)
+
+
+def test_pagerank_string_nodes_and_tibble_input(spark):
+    td = tibble(
+        spark,
+        src=["a.com", "b.org", "b.org"],
+        dst=["b.org", "a.com", "c.net"],
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(td, f.src, f.dst).df.collect()}
+    assert set(got) == {"a.com", "b.org", "c.net"}
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    # a and c are exactly symmetric receivers here (each gets half of
+    # b's mass plus the same teleport/dangling share); b, receiving
+    # a's FULL mass, strictly outranks both
+    assert abs(got["a.com"] - got["c.net"]) < 1e-12
+    assert got["b.org"] > got["a.com"]
+
+
+def test_html_extract_links_forms(spark):
+    td = Tibble(
+        spark.createDataFrame(
+            [
+                (1, '<a href="https://a.com/x">x</a> <a href=\'http://b.org\'>'
+                    "</a> <a href=/rel>r</a> "
+                    '<a href="#frag">f</a> <img src="i.png">'
+                    '<A HREF = "https://C.com">'),
+                (2, "no links"),
+                (3, None),
+            ],
+            "doc_id long, html string",
+        )
+    )
+    out = html_extract_links(td, "html").df.collect()
+    got = {(r["doc_id"], r["link"]) for r in out}
+    assert got == {
+        (1, "https://a.com/x"),
+        (1, "http://b.org"),
+        (1, "/rel"),
+        (1, "https://C.com"),
+    }
+    with pytest.raises(ValueError, match="already exists"):
+        html_extract_links(td, "html", out_col="doc_id")
+
+
+def test_host_graph_resolution_and_weights(spark):
+    td = tibble(
+        spark,
+        url=[
+            "https://news.site.com/a",
+            "https://news.site.com/b",
+            "https://other.org/",
+        ],
+        html=[
+            '<a href="https://other.org/x"></a>'
+            '<a href="//cdn.example.net/y"></a>'
+            '<a href="/internal"></a>'          # relative -> self, dropped
+            '<a href="https://news.site.com/z"></a>',  # same host, dropped
+            '<a href="https://other.org/q"></a>',
+            '<a href="HTTPS://News.Site.Com/home"></a>',
+        ],
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(td, f.url, f.html).df.collect()
+    }
+    assert got == {
+        ("news.site.com", "other.org"): 2,
+        ("news.site.com", "cdn.example.net"): 1,
+        ("other.org", "news.site.com"): 1,
+    }
+    # drop_self=False keeps intra-host edges (relative + same-host)
+    kept = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(td, f.url, f.html, drop_self=False).df.collect()
+    }
+    assert kept[("news.site.com", "news.site.com")] == 2
+
+
+def test_host_graph_to_pagerank_end_to_end(spark):
+    td = tibble(
+        spark,
+        url=["https://a.com/", "https://b.org/", "https://c.net/"],
+        html=[
+            '<a href="https://b.org/x"></a>',
+            '<a href="https://a.com/x"></a><a href="https://c.net/y"></a>',
+            '<a href="https://a.com/z"></a>',
+        ],
+    )
+    g = host_graph(td, f.url, f.html)
+    ranks = pagerank(g, f.src_host, f.dst_host, weight=f.n_links,
+                     iterations=30)
+    got = {r["node"]: r["rank"] for r in ranks.df.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    # a.com is endorsed by both others; it must rank highest
+    assert got["a.com"] == max(got.values())
