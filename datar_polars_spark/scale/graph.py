@@ -234,11 +234,9 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        spark = td.df.sparkSession
+        # empty graph: zero rows with the caller's node dtype
         return Tibble(
-            spark.createDataFrame([], "node string, rank double").select(
-                F.col("node").alias(sn if sn != dn else "node"), "rank"
-            )
+            nodes.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
         )
     ranks = nodes.select("u", F.lit(1.0 / n).alias("r"))
     for i in range(iterations):

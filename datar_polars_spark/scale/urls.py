@@ -307,6 +307,10 @@ def host_graph(
         _name_of(html), out_col="__lnk__",
     ).df
     lnk = F.col("__lnk__")
+    # links with a NON-http scheme (mailto:, javascript:, tel:, ftp:,
+    # data:) are not navigation edges — NULL them out (filtered below)
+    # instead of letting the relative-form fallback count them as
+    # self-links
     dst = (
         F.when(
             lnk.rlike(r"(?i)^https?://"), url_host(lnk)
@@ -314,6 +318,10 @@ def host_graph(
         .when(
             lnk.startswith("//"),
             F.lower(F.regexp_extract(lnk, r"^//([^/?#:]+)", 1)),
+        )
+        .when(
+            lnk.rlike(r"(?i)^[a-z][a-z0-9+.-]*:"),
+            F.lit(None).cast("string"),
         )
         .otherwise(F.col("__src__"))
     )

@@ -156,6 +156,32 @@ def test_host_graph_resolution_and_weights(spark):
     assert kept[("news.site.com", "news.site.com")] == 2
 
 
+def test_host_graph_non_http_schemes_are_not_edges(spark):
+    td = tibble(
+        spark,
+        url=["https://a.com/"],
+        html=[
+            '<a href="mailto:x@b.org"></a><a href="javascript:void(0)"></a>'
+            '<a href="tel:+123"></a><a href="ftp://files.c.net/f"></a>'
+            '<a href="https://d.io/p"></a>'
+        ],
+    )
+    got = {
+        (r["src_host"], r["dst_host"])
+        for r in host_graph(td, f.url, f.html, drop_self=False).df.collect()
+    }
+    # only the real http link survives; mailto/js/tel/ftp are neither
+    # cross-host edges nor self-links
+    assert got == {("a.com", "d.io")}
+
+
+def test_pagerank_empty_graph_keeps_node_dtype(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(df, iterations=3).df
+    assert out.count() == 0
+    assert dict(out.dtypes)["node"] == "bigint"
+
+
 def test_host_graph_to_pagerank_end_to_end(spark):
     td = tibble(
         spark,
