@@ -261,6 +261,16 @@ def dedup_index_append(
     meta = _load_meta(td.df.sparkSession, path)
     tname = _name_of(text) if text is not None else meta["text_col"]
     idn = _name_of(id_col) if id_col is not None else meta["id_col"]
+    got_t = td.df.schema[idn].dataType.simpleString()
+    if got_t != meta["id_type"]:
+        # appending a different physical type would poison the stores:
+        # the explicit-schema reads (and parquet itself) cannot merge
+        # int/bigint/string files under one column
+        raise ValueError(
+            f"dedup_index_append: id column {idn!r} is {got_t}, but the "
+            f"index at {path} was built with id_type="
+            f"{meta['id_type']!r}; cast the batch id first"
+        )
     fps, sigs, bands_df, grams = _index_frames(
         td.df.select(*td.columns), tname, idn, meta, probe_par=False
     )

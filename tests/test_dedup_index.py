@@ -262,3 +262,13 @@ def test_char_analyzer_index(tmp_path, spark):
         corpus, f.text, f.doc_id, cpath, analyzer="char", shingle_chars=8
     )
     assert dedup_against_index(batch, cpath, threshold=0.5).df.count() == 0
+
+
+def test_append_rejects_mismatched_id_dtype(corpus, tmp_path, spark):
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path)  # bigint ids
+    bad = Tibble(
+        spark.createDataFrame([(7, OTHER)], "doc_id int, text string")
+    )
+    with pytest.raises(ValueError, match="id_type"):
+        dedup_index_append(bad, path)
