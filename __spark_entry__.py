@@ -890,6 +890,8 @@ def q35_text_stats(spark, sf):
     punct_ratio = builder("punct_ratio")
     mean_word_length = builder("mean_word_length")
     quality_score = builder("quality_score")
+    flesch_reading_ease = builder("flesch_reading_ease")
+    type_token_ratio = builder("type_token_ratio")
 
     @F.pandas_udf(BinaryType())
     def img_bytes(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
@@ -943,6 +945,9 @@ def q35_text_stats(spark, sf):
         punct=round_(punct_ratio(f.text), 4),
         mwl=round_(mean_word_length(f.text), 4),
         q=quality_score(f.text, min_chars=100, max_chars=10000),
+        # r12 readability leg: Flesch reading ease + type-token ratio
+        fre=round_(flesch_reading_ease(f.text), 4),
+        ttr=round_(type_token_ratio(f.text), 4),
     )
     binary = staged.with_df(
         staged.df.withColumn("content", F.encode(F.col("text"), "utf-8"))
@@ -971,6 +976,8 @@ def q35_text_stats(spark, sf):
         "tokens",
         "mwl",
         "q",
+        "fre",
+        "ttr",
         F.col("media.n_bytes").alias("n_bytes"),
         F.size("features").alias("feat_dim"),
         "img_format",
@@ -991,6 +998,8 @@ def q35_text_stats(spark, sf):
             n_docs=n(),
             total_tokens=sum_(f.tokens, na_rm=True),
             avg_mwl=round_(mean(f.mwl, na_rm=True), 4),
+            avg_fre=round_(mean(f.fre, na_rm=True), 4),
+            avg_ttr=round_(mean(f.ttr, na_rm=True), 4),
             n_hq=sum_(if_else(f.q >= 0.8, 1, 0), na_rm=True),
             bytes_sum=sum_(f.n_bytes, na_rm=True),
             feat_dim_max=max_(f.feat_dim, na_rm=True),
@@ -2983,12 +2992,25 @@ def oracle_sql() -> dict[str, str]:
                      + (CASE WHEN
                            list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> length(t)))
                            * 1.0 / GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1)
-                           BETWEEN 2 AND 12 THEN 0.2 ELSE 0 END) AS q
+                           BETWEEN 2 AND 12 THEN 0.2 ELSE 0 END) AS q,
+                       -- r12 readability leg: same token/sentence/
+                       -- vowel-group heuristics as the Spark registry
+                       ROUND(206.835
+                         - 1.015 * (GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) * 1.0
+                                    / GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1))
+                         - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+')) * 1.0
+                                   / GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1)),
+                         4) AS fre,
+                       ROUND(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) * 1.0
+                             / GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1),
+                         4) AS ttr
                 FROM documents
             )
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(tokens) AS BIGINT) AS total_tokens,
                    ROUND(AVG(mwl), 4) AS avg_mwl,
+                   ROUND(AVG(fre), 4) AS avg_fre,
+                   ROUND(AVG(ttr), 4) AS avg_ttr,
                    CAST(SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_hq,
                    CAST(SUM(n_bytes) AS BIGINT) AS bytes_sum,
                    16 AS feat_dim_max,

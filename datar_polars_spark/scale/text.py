@@ -102,6 +102,58 @@ def _lang_id(ctx, x):
     return F.when(cjk > 0, F.lit("zh")).otherwise(best)
 
 
+@register("sentence_count")
+def _sentence_count(ctx, x):
+    """Terminal-punctuation-run count, clamped to >= 1 (a fragment
+    with no .!? is one sentence, and readability denominators stay
+    total)."""
+    return F.greatest(
+        F.regexp_count(ctx.col(x), F.lit(r"[.!?]+")), F.lit(1)
+    )
+
+
+@register("syllable_estimate")
+def _syllable_estimate(ctx, x):
+    """Vowel-group syllable heuristic (runs of [aeiouy] in lowered
+    text) — the standard cheap estimator readability formulas were
+    fitted against; exact syllabification needs a dictionary."""
+    return F.regexp_count(F.lower(ctx.col(x)), F.lit(r"[aeiouy]+"))
+
+
+@register("flesch_reading_ease")
+def _flesch_reading_ease(ctx, x):
+    """Flesch reading ease (Flesch 1948): 206.835 - 1.015*(words/
+    sentences) - 84.6*(syllables/words), with the vowel-group syllable
+    estimate. Higher = easier; English prose lands ~30-80. A crawl
+    quality signal (gibberish and boilerplate score far outside the
+    prose band), not a certified readability measurement."""
+    w = F.greatest(F.size(_tokens(ctx.col(x))), F.lit(1)).cast("double")
+    s = _sentence_count(ctx, x).cast("double")
+    y = _syllable_estimate(ctx, x).cast("double")
+    return F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w)
+
+
+@register("flesch_kincaid_grade")
+def _flesch_kincaid_grade(ctx, x):
+    """Flesch-Kincaid grade level (Kincaid et al. 1975):
+    0.39*(words/sentences) + 11.8*(syllables/words) - 15.59."""
+    w = F.greatest(F.size(_tokens(ctx.col(x))), F.lit(1)).cast("double")
+    s = _sentence_count(ctx, x).cast("double")
+    y = _syllable_estimate(ctx, x).cast("double")
+    return F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59)
+
+
+@register("type_token_ratio")
+def _type_token_ratio(ctx, x):
+    """Distinct-token fraction (lexical diversity): near 1 for varied
+    prose, collapsing toward 0 for repetitive boilerplate — the cheap
+    complement of the Gopher dup-n-gram fractions."""
+    toks = _tokens(ctx.col(x))
+    return F.size(F.array_distinct(toks)) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+
+
 @register("quality_score")
 def _quality_score(ctx, x, min_chars: int = 50, max_chars: int = 100_000):
     """Composite [0,1] quality score: length window, low punct/digit

@@ -783,3 +783,48 @@ def test_compression_ratio_signal(spark):
 
     assert cr[4] is None or math.isnan(cr[4])
     assert cr[5] is None or math.isnan(cr[5])
+
+
+def test_readability_functions_match_python_reference(spark):
+    # same formulas, same heuristics (whitespace tokens, [.!?]+ runs,
+    # [aeiouy]+ vowel groups) computed in pure Python
+    import re
+
+    from datar_polars_spark import f, mutate, tibble
+
+    texts = [
+        "The cat sat. The cat sat on the mat! Did the cat sit?",
+        "Antidisestablishmentarianism notwithstanding, comprehensive "
+        "epistemological frameworks necessitate extraordinary "
+        "perspicacity.",
+        "one two three",
+        "word word word word word",
+    ]
+
+    def ref(t):
+        toks = re.split(r"\s+", t.strip().lower())
+        w = max(len(toks), 1)
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        y = len(re.findall(r"[aeiouy]+", t.lower()))
+        fre = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        fkg = 0.39 * (w / s) + 11.8 * (y / w) - 15.59
+        ttr = len(set(toks)) / w
+        return round(fre, 4), round(fkg, 4), round(ttr, 4)
+
+    td = tibble(spark, i=list(range(len(texts))), text=texts)
+    fre = builder("flesch_reading_ease")
+    fkg = builder("flesch_kincaid_grade")
+    ttr = builder("type_token_ratio")
+    out = (
+        td
+        >> mutate(fre=fre(f.text), fkg=fkg(f.text), ttr=ttr(f.text))
+    ).collect().sort_values("i")
+    for i, t in enumerate(texts):
+        e_fre, e_fkg, e_ttr = ref(t)
+        assert abs(round(out["fre"].iloc[i], 4) - e_fre) < 1e-9, t
+        assert abs(round(out["fkg"].iloc[i], 4) - e_fkg) < 1e-9, t
+        assert abs(round(out["ttr"].iloc[i], 4) - e_ttr) < 1e-9, t
+    # ordering sanity: simple prose reads easier than the jargon wall
+    assert out["fre"].iloc[0] > out["fre"].iloc[1]
+    # repetitive text has minimal lexical diversity
+    assert out["ttr"].iloc[3] == pytest.approx(0.2)
