@@ -272,3 +272,76 @@ def test_append_rejects_mismatched_id_dtype(corpus, tmp_path, spark):
     )
     with pytest.raises(ValueError, match="id_type"):
         dedup_index_append(bad, path)
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_fuzz_against_python_brute_force(spark, tmp_path, seed):
+    """Randomized differential: dedup_against_index(verify='exact')
+    survivors == a pure-Python reference (normalized-md5 exact dedup
+    + brute-force word-3-gram Jaccard vs the corpus)."""
+    import hashlib
+    import random
+    import re
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 25)))
+
+    corpus_rows = [(i, doc()) for i in range(40)]
+    batch_rows = []
+    for j in range(30):
+        r = rng.random()
+        if r < 0.3:            # exact copy of a corpus doc
+            batch_rows.append((100 + j, rng.choice(corpus_rows)[1]))
+        elif r < 0.6:          # perturbed copy (possible near-dup)
+            words = rng.choice(corpus_rows)[1].split()
+            k = rng.randrange(len(words))
+            words[k] = rng.choice(vocab)
+            batch_rows.append((100 + j, " ".join(words)))
+        else:                  # fresh doc
+            batch_rows.append((100 + j, doc()))
+
+    def norm_fp(t):
+        return hashlib.md5(
+            re.sub(r"\s+", " ", t.strip().lower()).encode()
+        ).hexdigest()
+
+    def grams(t):
+        toks = re.split(r"\s+", t.strip().lower())
+        return {
+            " ".join(toks[i:i + 3]) for i in range(max(len(toks) - 3, 0) + 1)
+        } if len(toks) else set()
+
+    cfps = {norm_fp(t) for _, t in corpus_rows}
+    cgrams = [grams(t) for _, t in corpus_rows]
+    expect = []
+    for j, t in batch_rows:
+        if norm_fp(t) in cfps:
+            continue
+        g = grams(t)
+        if any(
+            len(g & cg) / len(g | cg) >= 0.5
+            for cg in cgrams if g | cg
+        ):
+            continue
+        expect.append(j)
+
+    corpus = Tibble(
+        spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    )
+    batch = Tibble(
+        spark.createDataFrame(batch_rows, "doc_id long, text string")
+    )
+    path = str(tmp_path / "didx")
+    # 32 bands x 2 rows: candidate recall ~1 at j >= 0.5 on this scale
+    dedup_index_build(
+        corpus, f.text, f.doc_id, path,
+        num_perm=64, bands=32, store_grams=True,
+    )
+    got = sorted(
+        dedup_against_index(batch, path, threshold=0.5, verify="exact")
+        .collect()["doc_id"].tolist()
+    )
+    assert got == sorted(expect)
