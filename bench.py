@@ -250,6 +250,26 @@ def _index_dedup_bench(docs, phase: str) -> int:
     return dedup_against_index(batch, path, threshold=0.7).df.count()
 
 
+def _pagerank_bench(spark, sf_dir: str) -> int:
+    """r12: 3 PageRank power iterations over the symmetric
+    supplier<->part graph from lineitem (the q38 'prank' construction)
+    — one keyed shuffle per iteration plus the edge/node
+    materialization."""
+    from pyspark.sql import functions as F
+
+    from datar_polars_spark.scale import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e0 = li.select(
+        F.col("l_suppkey").cast("long").alias("s"),
+        (F.col("l_partkey").cast("long") + 1_000_000).alias("p"),
+    ).distinct()
+    edges = e0.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionAll(
+        e0.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    return pagerank(edges, iterations=3).df.count()
+
+
 def _text_embed_bench(docs) -> int:
     """r12: model-free hashing-trick embeddings over the documents
     table — one Arrow pass, 64 dims."""
@@ -560,6 +580,10 @@ def main() -> None:
             # guarantees build runs before match in every round)
             "dedup_index_build": lambda: _index_dedup_bench(docs, "build"),
             "dedup_against_index": lambda: _index_dedup_bench(docs, "match"),
+            # r12: crawl-graph ranking — 3 power iterations over the
+            # symmetric supplier<->part graph (~2x distinct lineitem
+            # pairs as edges)
+            "pagerank": lambda: _pagerank_bench(spark, sf_dir),
         }
         for op_name, op in ops.items():
             t0 = time.perf_counter()
@@ -665,6 +689,7 @@ def main() -> None:
                 "dedup_against_index": lambda: _index_dedup_bench(
                     docs1, "match"
                 ),
+                "pagerank": lambda: _pagerank_bench(spark, sf1_dir),
             }
             for op_name, op in sf1_ops.items():
                 runs = []

@@ -436,3 +436,41 @@ def test_streaming_model_scoring_pipeline(spark, tmp_path):
     assert smap[1][0] == "en" and smap[2][0] == "fr"
     assert smap[3][1] > 0.8 and smap[4][1] < 0.2
     assert smap[5] == (None, None)
+
+
+def test_streaming_readability_and_link_extraction(spark, tmp_path):
+    """r12: readability registry functions are pure Column expressions
+    and html_extract_links is a stateless explode — both run unchanged
+    on a STREAMING frame with batch-identical results."""
+    from datar_polars_spark import mutate
+    from datar_polars_spark.functions.registry import builder
+    from datar_polars_spark.scale import html_extract_links
+    from datar_polars_spark.tibble import Tibble
+
+    fre = builder("flesch_reading_ease")
+    ttr = builder("type_token_ratio")
+    rows = [
+        (1, 'The cat sat. <a href="https://a.com/x">link</a> It sat!'),
+        (2, "plain repetitive text text text"),
+    ]
+    src = str(tmp_path / "read_stream")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(src)
+
+    def pipe(df):
+        td = Tibble(df) >> mutate(fre=fre(f.text), ttr=ttr(f.text))
+        return html_extract_links(td, "text").df.select(
+            "doc_id", "fre", "ttr", "link"
+        )
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    got = run_to_memory(pipe(stream), mode="append")
+    smap = {
+        (r.doc_id, r.link, round(r.fre, 6), round(r.ttr, 6))
+        for r in got.itertuples(index=False)
+    }
+    batch = {
+        (r["doc_id"], r["link"], round(r["fre"], 6), round(r["ttr"], 6))
+        for r in pipe(spark.read.parquet(src)).collect()
+    }
+    assert smap == batch
+    assert {r[1] for r in smap} == {"https://a.com/x"}  # doc 2 has no links
