@@ -225,8 +225,28 @@ def pagerank(
     )
     # edge list + out-weight + node set materialize ONCE (every
     # iteration re-reads them; recomputing the user's upstream plan
-    # 10x would dwarf the iteration cost)
-    e = e.localCheckpoint(eager=True)
+    # 10x would dwarf the iteration cost). The edges are HASH-
+    # PARTITIONED BY SOURCE and PERSISTED: InMemoryRelation reports
+    # the cached plan's output partitioning (AQE is barred from
+    # changing it — spark.sql.optimizer.canChangeCachedPlanOutput-
+    # Partitioning defaults false precisely to keep this property), so
+    # every iteration's edges-join-ranks and the out-weight aggregate
+    # satisfy their distribution requirement from the cached layout
+    # and only the RANKS side (one row per node) shuffles per round —
+    # the edge mass crosses the network once per pagerank() call, not
+    # once per iteration. (A checkpoint alone loses the partitioning:
+    # under AQE the physical plan reports UnknownPartitioning at
+    # checkpoint time, and the iteration joins re-exchanged the full
+    # edge list every round — verified in the plan.)
+    from pyspark import StorageLevel  # noqa: F401 (used below)
+
+    from ..plans.cache import register_internal_cache
+
+    e = register_internal_cache(
+        e.localCheckpoint(eager=True)
+        .repartition(F.col("u"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     outw = e.groupBy("u").agg(F.sum("w").alias("__ow__"))
     nodes = (
         e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
@@ -240,6 +260,17 @@ def pagerank(
         )
     ranks = nodes.select("u", F.lit(1.0 / n).alias("r"))
     for i in range(iterations):
+        # every iteration reads `ranks` TWICE (contributions + the
+        # dangling-mass aggregate); left lazy, each generation would
+        # re-evaluate both references and the plan cost doubles per
+        # round (2^k for k un-truncated iterations — verified: the
+        # 9-iteration lazy chain ran minutes on 5 rows). Persisting
+        # each generation makes the two references share ONE
+        # materialization; the periodic eager checkpoint below then
+        # only bounds lineage/plan size, not re-evaluation.
+        ranks = register_internal_cache(
+            ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        )
         contrib = (
             e.join(ranks, on="u")
             .join(outw, on="u")

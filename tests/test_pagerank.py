@@ -199,3 +199,26 @@ def test_host_graph_to_pagerank_end_to_end(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-12
     # a.com is endorsed by both others; it must rank highest
     assert got["a.com"] == max(got.values())
+
+
+def test_pagerank_edges_shuffle_once_not_per_iteration(spark):
+    """100 TB guard: the cached, source-partitioned edge list must
+    satisfy every iteration's join distribution from its cached layout
+    — no Exchange directly above any edge InMemoryTableScan (a
+    checkpoint alone loses partitioning under AQE and re-exchanged the
+    full edge list every round)."""
+    edges = [(i, (i * 7 + 1) % 50) for i in range(50)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    plan = (
+        pagerank(df, iterations=3, checkpoint_every=100)
+        .df._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    edge_scans = under_exchange = 0
+    for i, l in enumerate(lines):
+        if "InMemoryTableScan" in l and "v#" in l:
+            edge_scans += 1
+            if "Exchange hashpartitioning" in " ".join(lines[max(0, i - 4):i]):
+                under_exchange += 1
+    assert edge_scans >= 3  # one per iteration + the out-weight agg
+    assert under_exchange == 0
