@@ -222,3 +222,37 @@ def test_pagerank_edges_shuffle_once_not_per_iteration(spark):
                 under_exchange += 1
     assert edge_scans >= 3  # one per iteration + the out-weight agg
     assert under_exchange == 0
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_pagerank_fuzz_random_graphs(spark, seed):
+    """Seeded random digraphs (with duplicate edges, self-loops, and
+    dangling nodes) must match the numpy power iteration exactly."""
+    import random
+
+    rng = random.Random(seed)
+    n = 30
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(rng.randint(40, 80))
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=12).df.collect()}
+    # numpy reference over the same multigraph (duplicate edges count
+    # twice, matching the unweighted implementation)
+    import collections
+
+    outw = collections.Counter(u for u, _ in edges)
+    present = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {u: i for i, u in enumerate(present)}
+    m = len(present)
+    r = np.full(m, 1.0 / m)
+    for _ in range(12):
+        c = np.zeros(m)
+        dm = sum(r[idx[u]] for u in present if outw[u] == 0)
+        for u, v in edges:
+            c[idx[v]] += r[idx[u]] / outw[u]
+        r = 0.15 / m + 0.85 * (c + dm / m)
+    assert set(got) == set(present)
+    for u in present:
+        assert abs(got[u] - r[idx[u]]) < 1e-12
