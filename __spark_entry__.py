@@ -2172,10 +2172,35 @@ def q68_semantic_decon(spark, sf):
         F.col("id_b").cast("bigint").alias("id_b"),
         F.round("cos", 4).alias("cos"),
     )
+    # r12 'sidx' leg: the PERSISTENT semantic index
+    # (scale/semantic_index.py) — the corpus's hyperplane postings are
+    # built to disk once, then the benchmark matches AGAINST THE STORE
+    # (batch signs itself, candidates equi-join the postings, exact
+    # cosine verifies). Scaled copies share every band sign, so
+    # candidacy is guaranteed and the hit set equals the brute-force
+    # pair set with sides swapped (id_a = benchmark, id_b = corpus).
+    import tempfile
+
+    from datar_polars_spark.scale import (
+        match_against_semantic_index,
+        semantic_index_build,
+    )
+
+    sidx_path = tempfile.mkdtemp(prefix="q68_sidx_") + "/idx"
+    semantic_index_build(emb, f.embedding, f.vec_id, sidx_path)
+    sidx_rows = match_against_semantic_index(
+        bench, sidx_path, threshold=0.9
+    ).df.select(
+        F.lit("sidx").alias("op"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("cos", 4).alias("cos"),
+    )
     return (
         matches.unionByName(summary)
         .unionByName(report)
         .unionByName(lsh_rows)
+        .unionByName(sidx_rows)
         .orderBy("op", "id_a")
     )
 
@@ -3686,6 +3711,13 @@ def oracle_sql() -> dict[str, str]:
             -- hit set identical to the brute-force one
             SELECT 'lsh', CAST(id_a AS BIGINT),
                    CAST(id_b AS BIGINT), ROUND(cos, 4)
+            FROM hits
+            UNION ALL
+            -- r12 persistent-semantic-index rows: the benchmark
+            -- matched AGAINST THE STORE — same pair set, sides
+            -- swapped (id_a = benchmark id, id_b = corpus id)
+            SELECT 'sidx', CAST(id_b AS BIGINT),
+                   CAST(id_a AS BIGINT), ROUND(cos, 4)
             FROM hits
             ORDER BY op, id_a
         """,

@@ -31,6 +31,13 @@ from .dedup_index import (  # noqa: F401
     match_against_index,
     dedup_against_index,
 )
+from .semantic_index import (  # noqa: F401
+    semantic_index_build,
+    semantic_index_append,
+    semantic_index_stats,
+    match_against_semantic_index,
+    dedup_against_semantic_index,
+)
 from .similarity import (  # noqa: F401
     cosine_topk,
     lsh_plan_buckets,

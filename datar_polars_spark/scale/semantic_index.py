@@ -1,0 +1,339 @@
+"""Persistent semantic (embedding) index: incremental semantic
+dedup/decontamination against an on-lake store.
+
+The embedding sibling of ``dedup_index.py``: a 100 TB corpus's
+hyperplane-LSH postings are computed ONCE and persisted next to the
+data; each incoming batch then signs only ITSELF with the same
+deterministic hyperplane family and equi-joins the stores — no
+re-bucketing of the corpus, ever. The use cases are semantic dedup of
+fresh crawls against the lake and benchmark decontamination where the
+"benchmark" side is itself corpus-scale (the broadcast path of
+``embedding_join`` stops fitting).
+
+Layout under ``<path>/`` (parquet + JSON sidecar, same conventions as
+the dedup index):
+
+- ``vectors/``: (id, vec) — the indexed embeddings; candidate pairs
+  join back here for EXACT cosine verification, so matching decisions
+  are never left to the probabilistic layer.
+- ``postings/`` (partitioned by ``band``): (band, bhash, id) — the
+  hyperplane band hashes, bucket-capped at build/append time
+  (matching never censuses the corpus; see dedup_index for the
+  rationale).
+- ``semantic_index.json``: bands/planes_per_band/seed/dim + column
+  metadata. The hyperplane matrix itself is NOT stored — it
+  regenerates deterministically from (seed, dim), which is also what
+  makes independently signed sides comparable.
+
+Same family contracts as the dedup index: NULL-embedding rows can
+never match and always survive; NULL-id rows are exempt from matching
+and are not indexed (a posting needs an identity); the survivors
+frame materializes before an ``append=True`` write (Spark's scan
+reuse would otherwise alias post-append reads to the stale listing —
+see dedup_index's module docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tibble import Tibble, ensure_tibble
+from .dedup import _cap_buckets, _ensure_parallelism, _name_of, cosine_sim
+from .jsonio import read_json_file, write_json_file
+
+__all__ = [
+    "semantic_index_build",
+    "semantic_index_append",
+    "semantic_index_stats",
+    "match_against_semantic_index",
+    "dedup_against_semantic_index",
+]
+
+_FORMAT = "semantic-index"
+
+
+def _band_hash_udf(meta: dict):
+    """Arrow UDF computing the per-band hyperplane hashes — the same
+    (seed, dim)-keyed family as embedding_join's lsh mode, so an index
+    and any independently signed frame are directly comparable."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.random.RandomState(meta["seed"]).standard_normal(
+        (meta["bands"] * meta["planes_per_band"], meta["dim"])
+    )
+    bands, ppb = meta["bands"], meta["planes_per_band"]
+    weights = 1 << np.arange(ppb, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _hashes(vecs: pd.Series) -> pd.Series:
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)
+        if M.shape[1] != planes.shape[1]:
+            raise ValueError(
+                f"semantic index: embedding dim {M.shape[1]} != index "
+                f"dim {planes.shape[1]}"
+            )
+        bits = (M @ planes.T) > 0
+        H = bits.reshape(len(M), bands, ppb) @ weights
+        return pd.Series(list(H.astype(np.int64)))
+
+    return _hashes
+
+
+def _index_frames(
+    df: DataFrame, ename: str, idn: str, meta: dict, probe_par: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(vectors, postings) store frames — shared by build and append.
+    Only rows with BOTH an id and an embedding are indexable."""
+    # vectors are CAST to the sidecar's element type on write: a batch
+    # whose arithmetic promoted float embeddings to double (any
+    # transform() with a double literal does) would otherwise append
+    # parquet files the fixed-schema reads cannot reconcile
+    base = df.select(
+        F.col(idn).alias("id"),
+        F.col(ename).cast(meta["vec_type"]).alias("vec"),
+    ).filter(F.col(idn).isNotNull() & F.col(ename).isNotNull())
+    if probe_par:
+        base = _ensure_parallelism(base)
+    hashes = _band_hash_udf(meta)
+    postings = _cap_buckets(
+        base.select(
+            "id", F.posexplode(hashes(F.col("vec"))).alias("band", "bhash")
+        ),
+        ["band", "bhash"], meta["max_bucket"], op="semantic_index_build",
+    ).select("band", "bhash", "id")
+    return base, postings
+
+
+def _write_frames(path: str, vectors, postings, mode: str) -> None:
+    vectors.write.mode(mode).parquet(f"{path}/vectors")
+    postings.write.mode(mode).partitionBy("band").parquet(f"{path}/postings")
+
+
+def _vec_type(df: DataFrame, ename: str) -> str:
+    return df.schema[ename].dataType.simpleString()
+
+
+def semantic_index_build(
+    corpus: Any,
+    embedding: Any,
+    id_col: Any,
+    path: str,
+    *,
+    bands: int = 32,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    mode: str = "overwrite",
+) -> None:
+    """Build the persistent semantic index of ``corpus`` at ``path``.
+
+    ``dim`` is probed from the first non-NULL embedding (one tiny
+    driver job) and pinned in the sidecar — every later sign
+    (append, match, index-backed streaming) regenerates the identical
+    hyperplane family from (seed, dim). Pick bands/planes_per_band for
+    the recall the pipeline needs at its cosine threshold
+    (:func:`~datar_polars_spark.scale.dedup.hyperplane_recall` gives
+    the curve); matching cannot change them without rebuilding."""
+    td = ensure_tibble(corpus)
+    ename, idn = _name_of(embedding), _name_of(id_col)
+    first = (
+        td.df.select(ename).where(F.col(ename).isNotNull()).first()
+    )
+    dim = len(first[0]) if first is not None else 0
+    meta = {
+        "format": _FORMAT,
+        "version": 1,
+        "bands": bands,
+        "planes_per_band": planes_per_band,
+        "seed": seed,
+        "dim": dim,
+        "max_bucket": max_bucket,
+        "embedding_col": ename,
+        "id_col": idn,
+        "id_type": td.df.schema[idn].dataType.simpleString(),
+        "vec_type": _vec_type(td.df, ename),
+    }
+    if dim == 0:
+        # no signable vectors: write empty stores + the sidecar (the
+        # dim pins on the first real append)
+        empty_v = td.df.sparkSession.createDataFrame(
+            [], f"id {meta['id_type']}, vec {meta['vec_type']}"
+        )
+        empty_p = td.df.sparkSession.createDataFrame(
+            [], f"band int, bhash bigint, id {meta['id_type']}"
+        )
+        _write_frames(path, empty_v, empty_p, mode)
+    else:
+        vectors, postings = _index_frames(
+            td.df.select(*td.columns), ename, idn, meta
+        )
+        _write_frames(path, vectors, postings, mode)
+    write_json_file(td.df.sparkSession, f"{path}/semantic_index.json", meta)
+
+
+def _load_meta(spark, path: str) -> dict:
+    meta = read_json_file(spark, f"{path}/semantic_index.json")
+    if not (isinstance(meta, dict) and meta.get("format") == _FORMAT):
+        raise ValueError(
+            f"{path}/semantic_index.json is not a semantic_index_build "
+            f"sidecar"
+        )
+    return meta
+
+
+def semantic_index_append(
+    batch: Any,
+    path: str,
+    embedding: Any = None,
+    id_col: Any = None,
+) -> None:
+    """Append ``batch``'s vectors and postings to an existing index
+    (parameters from the sidecar; columns default to the build-time
+    names). A zero-dim sidecar (built from an all-NULL corpus) adopts
+    the first appended batch's dimensionality."""
+    td = ensure_tibble(batch)
+    spark = td.df.sparkSession
+    meta = _load_meta(spark, path)
+    ename = _name_of(embedding) if embedding is not None else meta["embedding_col"]
+    idn = _name_of(id_col) if id_col is not None else meta["id_col"]
+    got_t = td.df.schema[idn].dataType.simpleString()
+    if got_t != meta["id_type"]:
+        raise ValueError(
+            f"semantic_index_append: id column {idn!r} is {got_t}, but "
+            f"the index at {path} was built with id_type="
+            f"{meta['id_type']!r}; cast the batch id first"
+        )
+    if meta["dim"] == 0:
+        first = td.df.select(ename).where(F.col(ename).isNotNull()).first()
+        if first is None:
+            return  # nothing signable, nothing to append
+        meta["dim"] = len(first[0])
+        write_json_file(spark, f"{path}/semantic_index.json", meta)
+    vectors, postings = _index_frames(
+        td.df.select(*td.columns), ename, idn, meta, probe_par=False
+    )
+    _write_frames(path, vectors, postings, "append")
+
+
+def semantic_index_stats(spark, path: str) -> dict:
+    """Sidecar parameters plus footer-only store row counts."""
+    meta = _load_meta(spark, path)
+    out = dict(meta)
+    out["n_vectors"] = (
+        spark.read.schema(f"id {meta['id_type']}, vec {meta['vec_type']}")
+        .parquet(f"{path}/vectors").count()
+    )
+    out["n_postings"] = (
+        spark.read.schema(f"bhash bigint, id {meta['id_type']}, band int")
+        .parquet(f"{path}/postings").count()
+    )
+    return out
+
+
+def match_against_semantic_index(
+    batch: Any,
+    path: str,
+    embedding: Any = None,
+    id_col: Any = None,
+    *,
+    threshold: float = 0.95,
+    max_bucket: int = 1000,
+) -> Tibble:
+    """All (batch row, indexed row) semantic matches at cosine >=
+    ``threshold``: columns (id_a, id_b, cos), id_a from ``batch``.
+
+    The batch signs with the sidecar's hyperplane family (one Arrow
+    pass), bands explode and cap (batch side only — the store was
+    capped at build), candidates come from one keyed equi-join against
+    ``postings/``, and every candidate verifies with EXACT cosine
+    against ``vectors/`` — so false positives are impossible and the
+    only probabilistic behavior is LSH recall (size the banding with
+    hyperplane_recall). NULL-embedding and NULL-id batch rows never
+    match."""
+    td = ensure_tibble(batch)
+    spark = td.df.sparkSession
+    meta = _load_meta(spark, path)
+    ename = _name_of(embedding) if embedding is not None else meta["embedding_col"]
+    idn = _name_of(id_col) if id_col is not None else meta["id_col"]
+    idt = meta["id_type"]
+    ta = td.df.schema[idn].dataType.simpleString()
+    if meta["dim"] == 0:
+        return Tibble(
+            spark.createDataFrame([], f"id_a {ta}, id_b {idt}, cos double")
+        )
+    base = _ensure_parallelism(
+        td.df.select(F.col(idn).alias("id_a"), F.col(ename).alias("v_a"))
+        .filter(F.col(idn).isNotNull() & F.col(ename).isNotNull())
+    )
+    hashes = _band_hash_udf(meta)
+    banded = _cap_buckets(
+        base.select(
+            "id_a", "v_a",
+            F.posexplode(hashes(F.col("v_a"))).alias("band", "bhash"),
+        ),
+        ["band", "bhash"], max_bucket, op="match_against_semantic_index",
+    )
+    postings = (
+        spark.read.schema(f"bhash bigint, id {idt}, band int")
+        .parquet(f"{path}/postings")
+        .select("band", "bhash", F.col("id").alias("id_b"))
+    )
+    vectors = (
+        spark.read.schema(f"id {idt}, vec {meta['vec_type']}")
+        .parquet(f"{path}/vectors")
+        .select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
+    )
+    out = (
+        banded.join(postings, on=["band", "bhash"])
+        .select("id_a", "id_b", "v_a")
+        .dropDuplicates(["id_a", "id_b"])
+        .join(vectors, on="id_b")
+        .withColumn("cos", cosine_sim(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+    return Tibble(out)
+
+
+def dedup_against_semantic_index(
+    batch: Any,
+    path: str,
+    embedding: Any = None,
+    id_col: Any = None,
+    *,
+    threshold: float = 0.95,
+    max_bucket: int = 1000,
+    append: bool = False,
+) -> Tibble:
+    """Drop every ``batch`` row whose embedding matches an indexed row
+    at cosine >= ``threshold``; return survivors with their original
+    columns. ``append=True`` admits the survivors into the index (so
+    the next batch also dedups against them), materializing them first
+    (see the module docstring's read-after-append note). The
+    incremental semantic-dedup / corpus-scale decontamination loop."""
+    td = ensure_tibble(batch)
+    hits = match_against_semantic_index(
+        td, path, embedding, id_col,
+        threshold=threshold, max_bucket=max_bucket,
+    )
+    meta = _load_meta(td.df.sparkSession, path)
+    idn = _name_of(id_col) if id_col is not None else meta["id_col"]
+    surv = td.df.select(*td.columns).join(
+        hits.df.select(F.col("id_a").alias(idn)).dropDuplicates(),
+        on=idn, how="left_anti",
+    )
+    if append:
+        surv = surv.localCheckpoint(eager=True)
+    out = Tibble(surv, groups=td.group_vars, levels=td.levels)
+    if append:
+        ename = (
+            _name_of(embedding) if embedding is not None
+            else meta["embedding_col"]
+        )
+        semantic_index_append(out, path, ename, idn)
+    return out
