@@ -250,6 +250,34 @@ def _index_dedup_bench(docs, phase: str) -> int:
     return dedup_against_index(batch, path, threshold=0.7).df.count()
 
 
+def _semantic_index_bench(emb, phase: str) -> int:
+    """r12: persistent semantic index — 'build' writes hyperplane
+    postings + vectors for 2/3 of the embeddings, 'match' dedups the
+    remaining 1/3 against the store (sign batch, equi-join postings,
+    exact-cosine verify)."""
+    from pyspark.sql import functions as F
+
+    from datar_polars_spark.scale import (
+        dedup_against_semantic_index,
+        semantic_index_build,
+    )
+    from datar_polars_spark.tibble import Tibble
+
+    if "sidx" not in _PQ_STATE:
+        import tempfile
+
+        _PQ_STATE["sidx"] = tempfile.mkdtemp(prefix="bench_sidx_") + "/idx"
+    path = _PQ_STATE["sidx"]
+    if phase == "build":
+        corpus = Tibble(emb.df.filter(F.col("vec_id") % 3 != 0))
+        semantic_index_build(corpus, "embedding", "vec_id", path)
+        return 1
+    batch = Tibble(emb.df.filter(F.col("vec_id") % 3 == 0))
+    return dedup_against_semantic_index(
+        batch, path, threshold=0.9
+    ).df.count()
+
+
 def _pagerank_bench(spark, sf_dir: str) -> int:
     """r12: 3 PageRank power iterations over the symmetric
     supplier<->part graph from lineitem (the q38 'prank' construction)
@@ -584,6 +612,14 @@ def main() -> None:
             # symmetric supplier<->part graph (~2x distinct lineitem
             # pairs as edges)
             "pagerank": lambda: _pagerank_bench(spark, sf_dir),
+            # r12: persistent semantic index — corpus postings to
+            # disk once, steady-state batch-vs-store semantic match
+            "semantic_index_build": lambda: _semantic_index_bench(
+                emb, "build"
+            ),
+            "dedup_against_semantic_index": lambda: _semantic_index_bench(
+                emb, "match"
+            ),
         }
         for op_name, op in ops.items():
             t0 = time.perf_counter()

@@ -902,15 +902,32 @@ def stream_decontaminate_semantic(
     mode), no state store, no watermark requirement, no shuffle. Rows
     with NULL embeddings are unverifiable and pass through as clean
     (the same contract as the batch ``decontaminate_semantic`` and
-    ``stream_near_dedup(mode='filter')``)."""
+    ``stream_near_dedup(mode='filter')``).
+
+    ``benchmark`` may also be a STRING path to a persistent semantic
+    index (``semantic_index_build``): the broadcast matrix then loads
+    from the index's ``vectors/`` store — deploy the same on-lake
+    artifact to batch jobs (dedup_against_semantic_index) and live
+    feeds without carrying the original benchmark frame around. The
+    broadcast bound applies unchanged (this is the eval-set shape; a
+    corpus-scale index belongs to the batch path)."""
     import numpy as np
 
     ename = _name_of(embedding)
-    bench_df = (
-        benchmark.df.select(*benchmark.columns)
-        if isinstance(benchmark, Tibble)
-        else benchmark
-    )
+    if isinstance(benchmark, str):
+        from ..scale.semantic_index import _load_meta
+
+        meta = _load_meta(sdf.sparkSession, benchmark)
+        bench_df = (
+            sdf.sparkSession.read
+            .schema(f"id {meta['id_type']}, vec {meta['vec_type']}")
+            .parquet(f"{benchmark}/vectors")
+            .select(F.col("vec").alias(ename))
+        )
+    elif isinstance(benchmark, Tibble):
+        bench_df = benchmark.df.select(*benchmark.columns)
+    else:
+        bench_df = benchmark
     rows = (
         bench_df.select(ename)
         .where(F.col(ename).isNotNull())

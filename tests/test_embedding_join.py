@@ -275,3 +275,37 @@ def test_contamination_report_with_id_a_named_column(spark, emb, bench):
     rows = {r["id_a"]: r["contaminated_matches"] for r in rep.df.collect()}
     assert len(rows) == emb.df.count()
     assert all(rows[i] >= 1 for i in range(10))  # planted leaks counted
+
+
+def test_stream_decon_semantic_from_index_path(spark, emb, bench, tmp_path):
+    """r12: the benchmark may be a persistent semantic-index PATH —
+    the broadcast matrix loads from the index's vectors store, and
+    survivors equal the frame-backed run."""
+    from datar_polars_spark.scale import semantic_index_build
+    from datar_polars_spark.streaming import (
+        run_to_memory,
+        stream_decontaminate_semantic,
+        stream_read_parquet,
+    )
+
+    path = str(tmp_path / "sidx")
+    semantic_index_build(bench, "embedding", "vec_id", path)
+    src = str(tmp_path / "emb_stream_idx")
+    emb.df.select("vec_id", "embedding").write.parquet(src)
+    sdf = stream_read_parquet(spark, src)
+    got = set(
+        run_to_memory(
+            stream_decontaminate_semantic(sdf, path, threshold=0.99),
+            mode="append",
+        )["vec_id"]
+    )
+    want = set(
+        run_to_memory(
+            stream_decontaminate_semantic(
+                stream_read_parquet(spark, src), bench, threshold=0.99
+            ),
+            mode="append",
+        )["vec_id"]
+    )
+    assert got == want
+    assert not (got & set(range(10)))
