@@ -712,6 +712,8 @@ def main() -> None:
             # timed op is the steady-state batch-vs-store match
             _PQ_STATE.pop("didx", None)
             _index_dedup_bench(docs1, "build")
+            _PQ_STATE.pop("sidx", None)
+            _semantic_index_bench(emb1, "build")
             sf1_ops = {
                 "minhash_dedup": lambda: (
                     docs1 >> _mh(_f.text, _f.doc_id, threshold=0.7)
@@ -726,6 +728,8 @@ def main() -> None:
                     docs1, "match"
                 ),
                 "pagerank": lambda: _pagerank_bench(spark, sf1_dir),
+                "dedup_against_semantic_index": lambda:
+                    _semantic_index_bench(emb1, "match"),
             }
             for op_name, op in sf1_ops.items():
                 runs = []

@@ -113,10 +113,8 @@ def _index_frames(
     if probe_par:
         base = _ensure_parallelism(base)
     fps = base.groupBy("fp").agg(F.min("id").alias("id"))
-    # one representative doc per distinct fp, minimum non-NULL id —
-    # ordering key (id IS NULL, id) so a NULL-id row only represents a
-    # cluster nobody else can (and is then dropped: no identity to
-    # post under)
+    # one representative doc per distinct fp, minimum NON-NULL id
+    # (NULL-id rows are filtered out first: no identity to post under)
     rep = (
         base.filter(F.col("id").isNotNull())
         .groupBy("fp")
@@ -164,6 +162,16 @@ def _index_frames(
 def _write_frames(
     path: str, fps, sigs, bands, grams, mode: str
 ) -> None:
+    # postings range-cluster on (band, bhash) before the partitioned
+    # write: without it every shuffle partition writes a sliver into
+    # every band directory (partitions x bands tiny files — measured
+    # 7x slower matching at sf1 from file-open overhead alone), while
+    # ranged tasks each cover one or two bands and the within-file
+    # bhash ordering tightens parquet row-group min/max stats for any
+    # reader that pushes bhash predicates
+    bands = bands.repartitionByRange(
+        F.col("band"), F.col("bhash")
+    ).sortWithinPartitions("band", "bhash")
     fps.write.mode(mode).parquet(f"{path}/fingerprints")
     sigs.write.mode(mode).parquet(f"{path}/sigs")
     bands.write.mode(mode).partitionBy("band").parquet(f"{path}/bands")
@@ -394,10 +402,14 @@ def match_against_index(
         ensure_par=False,  # base was repartitioned above
     )
     rows_per_band = meta["num_perm"] // meta["bands"]
+    # candidate generation stays NARROW (same rationale as
+    # semantic_index): a near-dup pair collides in many bands, so the
+    # signature rides the bucket join once PER COLLIDING BAND if
+    # carried here; dedupe bare pairs first, join payloads back once
     banded_a = _cap_buckets(
         _banded(sig_a, "sig", meta["bands"], rows_per_band),
         ["band", "bhash"], max_bucket, log_dropped, op="match_against_index",
-    ).select("band", "bhash", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    ).select("band", "bhash", F.col("id").alias("id_a"))
     # the store was capped at build/append time (see _index_frames) —
     # no index-side census here, matching scans the postings exactly
     # once through the candidate join
@@ -408,7 +420,7 @@ def match_against_index(
     )
     cand = (
         banded_a.join(store_bands, on=["band", "bhash"])
-        .select("id_a", "id_b", "sig_a")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify == "exact":
@@ -451,7 +463,13 @@ def match_against_index(
             )
         ) / F.lit(meta["num_perm"])
         fuzzy = (
-            cand.join(store_sigs, on="id_b")
+            cand.join(
+                sig_a.select(
+                    F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+                ),
+                on="id_a",
+            )
+            .join(store_sigs, on="id_b")
             .withColumn(jcol, est)
             .filter(F.col(jcol) >= threshold)
             .select("id_a", "id_b", F.lit("minhash").alias("via"), jcol)

@@ -92,11 +92,17 @@ def _index_frames(
     # vectors are CAST to the sidecar's element type on write: a batch
     # whose arithmetic promoted float embeddings to double (any
     # transform() with a double literal does) would otherwise append
-    # parquet files the fixed-schema reads cannot reconcile
+    # parquet files the fixed-schema reads cannot reconcile. ``vh``
+    # (xxhash64 of the cast vector) rides along as the exact-identity
+    # key: byte-identical embeddings — recrawls, mirrored pages — are
+    # caught by one cheap hash join at match time instead of flooding
+    # the LSH buckets (every identical pair collides in EVERY band),
+    # the same pre-pass rationale as dedup_index's fingerprint leg.
     base = df.select(
         F.col(idn).alias("id"),
         F.col(ename).cast(meta["vec_type"]).alias("vec"),
     ).filter(F.col(idn).isNotNull() & F.col(ename).isNotNull())
+    base = base.withColumn("vh", F.xxhash64(F.col("vec")))
     if probe_par:
         base = _ensure_parallelism(base)
     hashes = _band_hash_udf(meta)
@@ -110,6 +116,12 @@ def _index_frames(
 
 
 def _write_frames(path: str, vectors, postings, mode: str) -> None:
+    # range-cluster postings on (band, bhash) before the partitioned
+    # write — same small-files fix as dedup_index._write_frames (a
+    # partitions-x-bands file explosion made sf1 matching 7x slower)
+    postings = postings.repartitionByRange(
+        F.col("band"), F.col("bhash")
+    ).sortWithinPartitions("band", "bhash")
     vectors.write.mode(mode).parquet(f"{path}/vectors")
     postings.write.mode(mode).partitionBy("band").parquet(f"{path}/postings")
 
@@ -162,7 +174,7 @@ def semantic_index_build(
         # no signable vectors: write empty stores + the sidecar (the
         # dim pins on the first real append)
         empty_v = td.df.sparkSession.createDataFrame(
-            [], f"id {meta['id_type']}, vec {meta['vec_type']}"
+            [], f"id {meta['id_type']}, vec {meta['vec_type']}, vh bigint"
         )
         empty_p = td.df.sparkSession.createDataFrame(
             [], f"band int, bhash bigint, id {meta['id_type']}"
@@ -225,7 +237,8 @@ def semantic_index_stats(spark, path: str) -> dict:
     meta = _load_meta(spark, path)
     out = dict(meta)
     out["n_vectors"] = (
-        spark.read.schema(f"id {meta['id_type']}, vec {meta['vec_type']}")
+        spark.read
+        .schema(f"id {meta['id_type']}, vec {meta['vec_type']}, vh bigint")
         .parquet(f"{path}/vectors").count()
     )
     out["n_postings"] = (
@@ -267,13 +280,52 @@ def match_against_semantic_index(
             spark.createDataFrame([], f"id_a {ta}, id_b {idt}, cos double")
         )
     base = _ensure_parallelism(
-        td.df.select(F.col(idn).alias("id_a"), F.col(ename).alias("v_a"))
+        td.df.select(
+            F.col(idn).alias("id_a"),
+            F.col(ename).alias("v_a"),
+            F.xxhash64(F.col(ename).cast(meta["vec_type"])).alias("vh"),
+        )
         .filter(F.col(idn).isNotNull() & F.col(ename).isNotNull())
     )
+    vectors = (
+        spark.read
+        .schema(f"id {idt}, vec {meta['vec_type']}, vh bigint")
+        .parquet(f"{path}/vectors")
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("v_b"),
+            F.col("vh").alias("__svh__"),
+        )
+    )
+    # EXACT pre-pass (same rationale as dedup_index's fingerprint
+    # leg): byte-identical embeddings — recrawls, mirrors — collide in
+    # EVERY LSH band, so they are caught by one narrow hash join and
+    # excluded from fuzzy candidate generation. The hash match is
+    # CONFIRMED by vector equality (an xxhash64 collision can
+    # therefore never drop a non-identical doc; the only theoretical
+    # artifact is a collided batch row skipping the fuzzy phase,
+    # p ~ 2^-64 per pair — far below any LSH miss probability).
+    # Identical vectors have cosine exactly 1.0 >= any threshold <= 1.
+    exact = (
+        base.join(vectors, base["vh"] == vectors["__svh__"])
+        .filter(F.col("v_a").cast(meta["vec_type"]) == F.col("v_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("cos"))
+    )
+    fuzzy_in = base.join(
+        vectors.select("__svh__"),
+        base["vh"] == vectors["__svh__"],
+        "left_anti",
+    )
     hashes = _band_hash_udf(meta)
+    # candidate generation stays NARROW: a near-identical pair
+    # collides in MANY bands, so carrying the query vector through the
+    # bucket join would shuffle it once per colliding band; dedupe
+    # bare (id_a, id_b) pairs first, then join each side's payload
+    # back exactly once (measured 3x at sf1 before the exact pre-pass
+    # absorbed the replicated-vector shape entirely)
     banded = _cap_buckets(
-        base.select(
-            "id_a", "v_a",
+        fuzzy_in.select(
+            "id_a",
             F.posexplode(hashes(F.col("v_a"))).alias("band", "bhash"),
         ),
         ["band", "bhash"], max_bucket, op="match_against_semantic_index",
@@ -283,21 +335,17 @@ def match_against_semantic_index(
         .parquet(f"{path}/postings")
         .select("band", "bhash", F.col("id").alias("id_b"))
     )
-    vectors = (
-        spark.read.schema(f"id {idt}, vec {meta['vec_type']}")
-        .parquet(f"{path}/vectors")
-        .select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
-    )
-    out = (
+    fuzzy = (
         banded.join(postings, on=["band", "bhash"])
-        .select("id_a", "id_b", "v_a")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .join(vectors, on="id_b")
+        .join(fuzzy_in.select("id_a", "v_a"), on="id_a")
+        .join(vectors.select("id_b", "v_b"), on="id_b")
         .withColumn("cos", cosine_sim(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
-    return Tibble(out)
+    return Tibble(exact.unionByName(fuzzy))
 
 
 def dedup_against_semantic_index(
