@@ -145,6 +145,7 @@ from .graph import (  # noqa: F401
     connected_components,
     components_from_pairs,
     pagerank,
+    pagerank_last_run,
 )
 from .diagnostics import (  # noqa: F401
     key_skew,

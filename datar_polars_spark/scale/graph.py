@@ -26,7 +26,12 @@ from ..plans.expr import Ref
 from ..plans.verb import verb
 from ..tibble import Tibble
 
-__all__ = ["connected_components", "components_from_pairs", "pagerank"]
+__all__ = [
+    "connected_components",
+    "components_from_pairs",
+    "pagerank",
+    "pagerank_last_run",
+]
 
 
 def _name_of(x: Any) -> str:
@@ -181,6 +186,7 @@ def pagerank(
     iterations: int = 10,
     weight: Any = None,
     checkpoint_every: int = 4,
+    tol: float | None = None,
 ) -> Tibble:
     """Distributed PageRank over a directed edge list (Page et al.,
     "The PageRank Citation Ranking", 1999) — the domain-authority
@@ -204,12 +210,21 @@ def pagerank(
     weight column for weighted PageRank; rows with a NULL endpoint are
     dropped (no identity to rank under).
 
+    ``tol=`` enables convergence-based early stopping: after each
+    round the L1 delta between consecutive rank vectors (one tiny join
+    + aggregate over already-persisted generations) is checked, and
+    iteration stops once it falls below ``tol`` — ``iterations`` then
+    acts as the upper bound. :func:`pagerank_last_run` reports the
+    rounds actually executed and the final delta.
+
     Returns one row per distinct node: ``(node, rank)``.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if tol is not None and tol <= 0:
+        raise ValueError(f"tol must be positive, got {tol}")
     td = edges if isinstance(edges, Tibble) else Tibble(edges)
     sn, dn = _name_of(src), _name_of(dst)
     w = (
@@ -259,6 +274,8 @@ def pagerank(
             nodes.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
         )
     ranks = nodes.select("u", F.lit(1.0 / n).alias("r"))
+    done = 0
+    delta = None
     for i in range(iterations):
         # every iteration reads `ranks` TWICE (contributions + the
         # dangling-mass aggregate); left lazy, each generation would
@@ -268,7 +285,7 @@ def pagerank(
         # each generation makes the two references share ONE
         # materialization; the periodic eager checkpoint below then
         # only bounds lineage/plan size, not re-evaluation.
-        ranks = register_internal_cache(
+        prev = ranks = register_internal_cache(
             ranks.persist(StorageLevel.MEMORY_AND_DISK)
         )
         contrib = (
@@ -302,6 +319,34 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+        done = i + 1
+        if tol is not None:
+            # one tiny join over the persisted previous generation —
+            # both frames are node-sized and co-keyed on u
+            ranks = register_internal_cache(
+                ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            delta = (
+                ranks.join(
+                    prev.select("u", F.col("r").alias("__rp__")), on="u"
+                )
+                .agg(F.sum(F.abs(F.col("r") - F.col("__rp__"))))
+                .first()[0]
+            )
+            if delta is not None and delta < tol:
+                break
+    _PAGERANK_LAST.clear()
+    _PAGERANK_LAST.update({"iterations": done, "delta": delta})
     return Tibble(
         ranks.select(F.col("u").alias("node"), F.col("r").alias("rank"))
     )
+
+
+_PAGERANK_LAST: dict = {}
+
+
+def pagerank_last_run() -> dict:
+    """Accounting for the most recent :func:`pagerank` call in this
+    process: ``{"iterations": rounds executed, "delta": final L1
+    change or None when tol wasn't requested}``."""
+    return dict(_PAGERANK_LAST)

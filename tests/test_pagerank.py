@@ -256,3 +256,27 @@ def test_pagerank_fuzz_random_graphs(spark, seed):
     assert set(got) == set(present)
     for u in present:
         assert abs(got[u] - r[idx[u]]) < 1e-12
+
+
+def test_pagerank_tol_early_stop_matches_converged(spark):
+    """tol= stops once the L1 delta falls below it; the early-stopped
+    vector must agree with a long fixed-k run to ~tol, and the run
+    accounting must show fewer rounds than the bound."""
+    from datar_polars_spark.scale import pagerank_last_run
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=60, tol=1e-10).df.collect()
+    }
+    acct = pagerank_last_run()
+    assert acct["delta"] is not None and acct["delta"] < 1e-10
+    assert 1 < acct["iterations"] < 60
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=80).df.collect()
+    }
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(df, tol=0.0)
