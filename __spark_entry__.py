@@ -2196,11 +2196,88 @@ def q68_semantic_decon(spark, sf):
         F.col("id_b").cast("bigint").alias("id_b"),
         F.round("cos", 4).alias("cos"),
     )
+    # r13 'embed'/'edet' legs: text_embed (scale/embed.py) oracle-
+    # gated end to end. 60 synthesized docs (4 disjoint-vocabulary
+    # templates x 3 filler variants, keyed by doc_id) embed with the
+    # deterministic hashing-trick + JL construction; embedding_join
+    # (broadcast, exact) then recovers the template structure: every
+    # doc's cos>=0.6 neighbor set is EXACTLY its template peers
+    # (within-template pairs share ~90% of their word 1-2-grams;
+    # cross-template vocab is disjoint, so those cosines sit near 0),
+    # vectors are unit-norm, and identical texts embed identically
+    # (edet: distinct vectors per template == distinct variants). The
+    # oracle states all three relationally — any drift in
+    # tokenization, gram hashing, projection seeding, or
+    # normalization moves a pinned number.
+    from datar_polars_spark.scale import text_embed
+
+    tmpl = [
+        "solar panels convert sunlight into renewable electricity "
+        "powering regional grids efficiently",
+        "violinists rehearse difficult concertos before orchestral "
+        "premieres under bright stage lights",
+        "migrating salmon navigate upstream rapids reaching ancestral "
+        "spawning gravel beds",
+        "quarterly ledgers reconcile vendor invoices against accrued "
+        "liabilities plus outstanding balances",
+    ]
+    fill = ["today", "carefully", "remarkably"]
+    docs60 = _t(spark, sf, "documents").df.where("doc_id < 60").select(
+        "doc_id",
+        F.concat(
+            F.element_at(
+                F.array(*[F.lit(t) for t in tmpl]),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+            F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(w) for w in fill]),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    emb60 = text_embed(
+        ensure_tibble(docs60), f.text, dim=64, seed=0
+    ).df.select(F.col("doc_id").alias("vec_id"), "embedding")
+    epairs = embedding_join(
+        ensure_tibble(emb60), ensure_tibble(emb60),
+        threshold=0.6, mode="broadcast",
+    ).df.where("id_a <> id_b")
+    npeers = epairs.groupBy("id_a").agg(F.count("*").alias("np"))
+    embed_rows = (
+        emb60.join(npeers, emb60["vec_id"] == npeers["id_a"], "left")
+        .select(
+            F.lit("embed").alias("op"),
+            F.col("vec_id").cast("bigint").alias("id_a"),
+            F.coalesce(F.col("np"), F.lit(0)).cast("bigint").alias("id_b"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("embedding"), F.lit(0.0),
+                        lambda a, x: a + x * x,
+                    )
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    edet_rows = (
+        emb60.groupBy((F.col("vec_id") % 4).alias("t"))
+        .agg(F.countDistinct("embedding").alias("nd"))
+        .select(
+            F.lit("edet").alias("op"),
+            (F.col("t") + 1000).cast("bigint").alias("id_a"),
+            F.col("nd").cast("bigint").alias("id_b"),
+            F.lit(-1.0).alias("cos"),
+        )
+    )
     return (
         matches.unionByName(summary)
         .unionByName(report)
         .unionByName(lsh_rows)
         .unionByName(sidx_rows)
+        .unionByName(embed_rows)
+        .unionByName(edet_rows)
         .orderBy("op", "id_a")
     )
 
@@ -3719,6 +3796,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'sidx', CAST(id_b AS BIGINT),
                    CAST(id_a AS BIGINT), ROUND(cos, 4)
             FROM hits
+            UNION ALL
+            -- r13 text_embed rows: the synthesized 60-doc corpus (4
+            -- disjoint-vocab templates x 3 variants by doc_id) must
+            -- embed to unit-norm vectors whose cos>=0.6 neighbor set
+            -- is exactly the template peer set — stated relationally:
+            -- each doc's neighbor count is its template's size - 1
+            SELECT 'embed', CAST(doc_id AS BIGINT),
+                   COUNT(*) OVER (PARTITION BY doc_id % 4) - 1, 1.0
+            FROM documents WHERE doc_id < 60
+            UNION ALL
+            -- identical texts embed identically: distinct vectors per
+            -- template == distinct filler variants present
+            SELECT 'edet', CAST(1000 + doc_id % 4 AS BIGINT),
+                   CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT), -1.0
+            FROM documents WHERE doc_id < 60 GROUP BY doc_id % 4
             ORDER BY op, id_a
         """,
         "q69_curation": r"""

@@ -278,11 +278,16 @@ def _semantic_index_bench(emb, phase: str) -> int:
     ).df.count()
 
 
-def _pagerank_bench(spark, sf_dir: str) -> int:
-    """r12: 3 PageRank power iterations over the symmetric
+def _pagerank_bench(spark, sf_dir: str, iterations: int = 3) -> int:
+    """r12: PageRank power iterations over the symmetric
     supplier<->part graph from lineitem (the q38 'prank' construction)
     — one keyed shuffle per iteration plus the edge/node
-    materialization."""
+    materialization. r13 adds a 12-iteration row: above the internal-
+    cache registry's FIFO cap, where the r12 implementation silently
+    lost its edge cache to eviction and re-exchanged the edge list
+    every remaining round — iteration caches are locally managed now,
+    and this row would catch a regression to registry-dependent
+    caching."""
     from pyspark.sql import functions as F
 
     from datar_polars_spark.scale import pagerank
@@ -295,7 +300,7 @@ def _pagerank_bench(spark, sf_dir: str) -> int:
     edges = e0.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionAll(
         e0.select(F.col("p").alias("src"), F.col("s").alias("dst"))
     )
-    return pagerank(edges, iterations=3).df.count()
+    return pagerank(edges, iterations=iterations).df.count()
 
 
 def _text_embed_bench(docs) -> int:
@@ -612,6 +617,13 @@ def main() -> None:
             # symmetric supplier<->part graph (~2x distinct lineitem
             # pairs as edges)
             "pagerank": lambda: _pagerank_bench(spark, sf_dir),
+            # r13: the long-run regime (12 > the FIFO registry cap of
+            # 8) — locks the locally-managed iteration caches; should
+            # scale ~linearly from the 3-iteration row, never jump to
+            # per-round edge re-exchange cost
+            "pagerank_12iter": lambda: _pagerank_bench(
+                spark, sf_dir, iterations=12
+            ),
             # r12: persistent semantic index — corpus postings to
             # disk once, steady-state batch-vs-store semantic match
             "semantic_index_build": lambda: _semantic_index_bench(
@@ -786,7 +798,23 @@ def main() -> None:
             fh.write(payload + "\n")
     except Exception:
         pass
-    print(payload)
+    # The payload must be the LAST thing this process emits: BENCH_r12
+    # had rc=0 but "parsed": null because a DAGScheduler
+    # PythonAccumulatorV2 broken-pipe stack trace was printed AFTER the
+    # JSON line and displaced it from the driver's stdout-tail capture.
+    # Stop every streaming query and the whole Spark JVM first — a dead
+    # JVM cannot emit post-payload traces — then print and exit.
+    try:
+        for q in list(spark.streams.active):
+            try:
+                q.stop()
+            except Exception:
+                pass
+        spark.stop()
+    except Exception:
+        pass
+    sys.stderr.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

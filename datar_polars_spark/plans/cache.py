@@ -33,8 +33,8 @@ from typing import TYPE_CHECKING
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
-__all__ = ["register_internal_cache", "release_internal_caches",
-           "internal_cache_count"]
+__all__ = ["register_internal_cache", "unregister_internal_cache",
+           "release_internal_caches", "internal_cache_count"]
 
 _seq = count()
 # token -> (df, safe_to_evict); insertion-ordered for FIFO eviction
@@ -74,6 +74,25 @@ def register_internal_cache(df: "DataFrame", safe_to_evict: bool = True) -> "Dat
                     pass  # session already stopped
                 n_over -= 1
     return df
+
+
+def unregister_internal_cache(df: "DataFrame") -> bool:
+    """Unpersist ``df`` and drop its registry entries (matched by
+    object identity). For operators that registered a frame —
+    evictable or pinned with ``safe_to_evict=False`` — and can release
+    it deterministically themselves: the explicit release frees the
+    slot (and the memory) immediately instead of leaking a pinned
+    frame until session teardown or waiting on FIFO eviction. Returns
+    True if an entry was found."""
+    found = False
+    for tok in [t for t, (c, _s) in _caches.items() if c is df]:
+        del _caches[tok]
+        found = True
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # session already stopped
+    return found
 
 
 def release_internal_caches() -> int:

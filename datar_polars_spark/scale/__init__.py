@@ -27,6 +27,7 @@ from .dedup import (  # noqa: F401
 from .dedup_index import (  # noqa: F401
     dedup_index_build,
     dedup_index_append,
+    dedup_index_compact,
     dedup_index_stats,
     match_against_index,
     dedup_against_index,
@@ -34,6 +35,7 @@ from .dedup_index import (  # noqa: F401
 from .semantic_index import (  # noqa: F401
     semantic_index_build,
     semantic_index_append,
+    semantic_index_compact,
     semantic_index_stats,
     match_against_semantic_index,
     dedup_against_semantic_index,
@@ -144,6 +146,7 @@ from .langid import (  # noqa: F401
 from .graph import (  # noqa: F401
     connected_components,
     components_from_pairs,
+    join_host_rank,
     pagerank,
     pagerank_last_run,
 )
@@ -158,7 +161,9 @@ from .sessions import sessionize_batch, session_stats, trailing_agg  # noqa: F40
 from .multimodal import (  # noqa: F401
     attach_binary_metadata,
     decode_images,
+    image_dhash,
     image_features,
+    image_near_dup_pairs,
     resize_images,
     sample_frames,
     decode_audio,

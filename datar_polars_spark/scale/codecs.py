@@ -23,6 +23,7 @@ import struct
 import zlib
 
 __all__ = [
+    "decode_raster",
     "parse_image_header",
     "parse_audio_header",
     "parse_video_header",
@@ -31,8 +32,10 @@ __all__ = [
     "make_avi",
     "make_heif",
     "make_png",
+    "make_png_pixels",
     "make_gif",
     "make_bmp",
+    "make_bmp_pixels",
     "make_jpeg",
     "make_tiff",
     "make_wav",
@@ -1103,3 +1106,183 @@ def make_avi(
     lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
     payload = b"AVI " + lst
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+# --------------------------------------------------------------------------
+# raster decode (grayscale pixels) for the perceptual-hash path
+# --------------------------------------------------------------------------
+
+def _raster_bmp(b: bytes):
+    """Grayscale float32 raster for uncompressed 24/32-bit BI_RGB BMPs
+    (the only BMP shape that decodes without a codec library)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(b) < need:
+        return None
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        rows = rows[::-1]
+    # BGR(A) order; ITU-R BT.601 luma
+    gray = (
+        0.114 * rows[:, :, 0].astype(np.float32)
+        + 0.587 * rows[:, :, 1].astype(np.float32)
+        + 0.299 * rows[:, :, 2].astype(np.float32)
+    )
+    return gray
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _raster_png(b: bytes):
+    """Grayscale float32 raster for 8-bit non-interlaced non-palette
+    PNGs: stdlib zlib inflate + the five scanline filters. Pure
+    Python per-row unfiltering — fine for thumbnail-scale fingerprint
+    inputs; corpus-scale pixel work should plug a real codec library
+    into the same batch shape."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = []
+    i = 8
+    while i + 8 <= len(b):
+        ln = struct.unpack_from(">I", b, i)[0]
+        typ = b[i + 4 : i + 8]
+        payload = b[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            if ln < 13:
+                return None
+            w, h = struct.unpack_from(">II", payload, 0)
+            bit_depth, color_type = payload[8], payload[9]
+            interlace = payload[12]
+        elif typ == b"IDAT":
+            idat.append(payload)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if (
+        not w or not h or bit_depth != 8 or interlace != 0
+        or color_type not in _PNG_CHANNELS or not idat
+    ):
+        return None
+    nch = _PNG_CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        if f == 0:
+            rec = row.copy()
+        elif f == 2:  # up
+            rec = (row.astype(np.int32) + prev).astype(np.uint8)
+        elif f in (1, 3, 4):  # sub / average / paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                up = int(prev[x])
+                if f == 1:
+                    rec[x] = (int(row[x]) + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (int(row[x]) + ((a + up) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    rec[x] = (int(row[x]) + pr) & 0xFF
+            rec = rec.astype(np.uint8)
+        else:
+            return None
+        out[y] = rec
+        prev = out[y]
+    px = out.reshape(h, w, nch)
+    if color_type == 0:
+        return px[:, :, 0].astype(np.float32)
+    if color_type == 4:
+        return px[:, :, 0].astype(np.float32)
+    return (
+        0.299 * px[:, :, 0].astype(np.float32)
+        + 0.587 * px[:, :, 1].astype(np.float32)
+        + 0.114 * px[:, :, 2].astype(np.float32)
+    )
+
+
+def decode_raster(b: bytes):
+    """Grayscale float32 pixel array for content this container can
+    decode WITHOUT a codec library: 8-bit non-interlaced PNG and
+    uncompressed 24/32-bit BMP. Returns None otherwise — callers
+    choose between a documented deterministic stub raster and
+    strict-mode failure (see multimodal.image_dhash)."""
+    if not b:
+        return None
+    out = _raster_png(b)
+    if out is None:
+        out = _raster_bmp(b)
+    return out
+
+
+def make_png_pixels(arr) -> bytes:
+    """Full 8-bit RGB PNG carrying real pixel data (HxWx3 uint8 array)
+    — the raster-path test fixture (decode_raster round-trips it)."""
+    import zlib as _zlib
+
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_bmp_pixels(arr) -> bytes:
+    """Full uncompressed 24-bit bottom-up BMP carrying real pixel data
+    (HxWx3 uint8 array, RGB order)."""
+    h, w, _ = arr.shape
+    row = (w * 3 + 3) & ~3
+    data = b"".join(
+        arr[y][:, ::-1].tobytes() + b"\x00" * (row - w * 3)
+        for y in range(h - 1, -1, -1)
+    )
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return hdr + info + data

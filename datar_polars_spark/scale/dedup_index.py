@@ -60,6 +60,7 @@ from ..tibble import Tibble, ensure_tibble
 from .dedup import (
     _banded,
     _cap_buckets,
+    _DROPPED_PAIRS,
     _minhash_sigs,
     _name_of,
     _shingles,
@@ -69,6 +70,7 @@ from .jsonio import read_json_file, write_json_file
 __all__ = [
     "dedup_index_build",
     "dedup_index_append",
+    "dedup_index_compact",
     "dedup_index_stats",
     "match_against_index",
     "dedup_against_index",
@@ -89,7 +91,7 @@ def _fingerprint(col):
 
 def _index_frames(
     df: DataFrame, tname: str, idn: str, meta: dict,
-    probe_par: bool = True,
+    probe_par: bool = True, op: str = "dedup_index_build",
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame | None]:
     """(fingerprints, sigs, bands, grams?) store frames for ``df``.
 
@@ -143,7 +145,7 @@ def _index_frames(
     bands = _cap_buckets(
         _banded(sigs, "sig", meta["bands"], rows_per_band),
         ["band", "bhash"], meta["max_bucket"],
-        op="dedup_index_build",
+        op=op,
     ).select("band", "bhash", "id")
     grams = None
     if meta["store_grams"]:
@@ -213,6 +215,10 @@ def dedup_index_build(
         raise ValueError(
             f"num_perm ({num_perm}) must be divisible by bands ({bands})"
         )
+    # dropped_pairs_estimate() documents "most recent call" semantics:
+    # reset this op's census list at entry (also releases the frame
+    # references the registry would otherwise retain indefinitely)
+    _DROPPED_PAIRS["dedup_index_build"] = []
     td = ensure_tibble(corpus)
     tname, idn = _name_of(text), _name_of(id_col)
     meta = {
@@ -265,6 +271,7 @@ def dedup_index_append(
     (existence is what drops a future dup) and avoids rewriting the
     store; rebuild when the accumulated duplication is worth
     reclaiming."""
+    _DROPPED_PAIRS["dedup_index_append"] = []
     td = ensure_tibble(batch)
     meta = _load_meta(td.df.sparkSession, path)
     tname = _name_of(text) if text is not None else meta["text_col"]
@@ -280,7 +287,8 @@ def dedup_index_append(
             f"{meta['id_type']!r}; cast the batch id first"
         )
     fps, sigs, bands_df, grams = _index_frames(
-        td.df.select(*td.columns), tname, idn, meta, probe_par=False
+        td.df.select(*td.columns), tname, idn, meta, probe_par=False,
+        op="dedup_index_append",
     )
     _write_frames(path, fps, sigs, bands_df, grams, "append")
 
@@ -349,6 +357,7 @@ def match_against_index(
     'exact' rows (it is excluded from fuzzy candidate generation)."""
     if verify not in ("estimate", "exact"):
         raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
+    _DROPPED_PAIRS["match_against_index"] = []
     td = ensure_tibble(batch)
     spark = td.df.sparkSession
     meta = _load_meta(spark, path)
@@ -541,4 +550,93 @@ def dedup_against_index(
     if append:
         tname = _name_of(text) if text is not None else meta["text_col"]
         dedup_index_append(out, path, tname, idn)
+    return out
+
+
+def dedup_index_compact(spark, path: str) -> dict:
+    """Rewrite the index's accumulated per-append file sets into one
+    compact, range-clustered layout and re-apply the bucket cap ACROSS
+    increments.
+
+    Every ``dedup_index_append`` adds a new file set to each store,
+    and its bucket cap applies only within that increment — after many
+    appends the postings are fragmented (file-open overhead measured
+    7x on matching at sf1) and a bucket can exceed ``max_bucket``
+    across increments even though every increment honored the cap
+    (cross-increment over-full buckets are exactly the giant clusters
+    the cap exists to guard the candidate join against). Compaction:
+
+    - drops byte-duplicate rows (the same (fp, id) / posting /
+      signature appended twice), preserving the entry SET — match
+      results over a duplicate-free append history are identical
+      before and after;
+    - re-applies the sidecar's ``max_bucket`` over the MERGED
+      postings, dropping over-full buckets with the drop accounted
+      under ``dropped_pairs_estimate("dedup_index_compact")``;
+    - rewrites each store once, postings range-clustered on
+      (band, bhash) exactly like a fresh build.
+
+    Single-writer maintenance op: each compacted store is fully
+    written beside the live one and swapped in via two FS renames
+    (jsonio.replace_dir) — a failure before the swap leaves the index
+    untouched, but don't compact while queries run against it.
+    Duplicate-CONTENT reclaim (same text appended under different ids)
+    still needs a rebuild: the stores hold hashes, not text, so
+    representatives cannot be re-chosen here.
+
+    Returns the post-compact ``dedup_index_stats`` plus
+    ``dropped_pairs`` (the cross-increment cap's candidate-pair drop
+    estimate).
+    """
+    from .dedup import dropped_pairs_estimate
+    from .jsonio import replace_dir
+
+    meta = _load_meta(spark, path)
+    _DROPPED_PAIRS["dedup_index_compact"] = []
+    idt = meta["id_type"]
+    fps = (
+        spark.read.schema(f"fp string, id {idt}")
+        .parquet(f"{path}/fingerprints")
+        .dropDuplicates(["fp", "id"])
+    )
+    sigs = (
+        spark.read.schema(f"id {idt}, sig array<bigint>")
+        .parquet(f"{path}/sigs")
+        .dropDuplicates(["id"])
+    )
+    bands = _cap_buckets(
+        spark.read.schema(f"bhash bigint, id {idt}, band int")
+        .parquet(f"{path}/bands")
+        .select("band", "bhash", "id")
+        .dropDuplicates(["band", "bhash", "id"]),
+        ["band", "bhash"], meta["max_bucket"],
+        op="dedup_index_compact",
+    ).repartitionByRange(
+        F.col("band"), F.col("bhash")
+    ).sortWithinPartitions("band", "bhash")
+    stores = {"fingerprints": fps, "sigs": sigs}
+    if meta["store_grams"]:
+        stores["grams"] = (
+            spark.read.schema(f"id {idt}, grams array<string>")
+            .parquet(f"{path}/grams")
+            .dropDuplicates(["id"])
+        )
+    # write EVERY compacted store before swapping ANY: all the tmp
+    # writes read only live stores, so a failure anywhere in this loop
+    # leaves the index exactly as it was
+    for name, frame in stores.items():
+        frame.write.mode("overwrite").parquet(f"{path}/{name}__compact")
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/bands__compact"
+    )
+    # the cap census is lazy over the LIVE bands path — pin its value
+    # before the swap replaces what that path contains
+    dropped = dropped_pairs_estimate("dedup_index_compact")
+    _DROPPED_PAIRS["dedup_index_compact"] = [
+        spark.createDataFrame([(float(dropped),)], "dropped double")
+    ]
+    for name in [*stores, "bands"]:
+        replace_dir(spark, f"{path}/{name}__compact", f"{path}/{name}")
+    out = dedup_index_stats(spark, path)
+    out["dropped_pairs"] = dropped
     return out

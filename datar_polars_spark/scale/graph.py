@@ -29,6 +29,7 @@ from ..tibble import Tibble
 __all__ = [
     "connected_components",
     "components_from_pairs",
+    "join_host_rank",
     "pagerank",
     "pagerank_last_run",
 ]
@@ -255,91 +256,169 @@ def pagerank(
     # edge list every round — verified in the plan.)
     from pyspark import StorageLevel  # noqa: F401 (used below)
 
-    from ..plans.cache import register_internal_cache
+    # The iteration caches are managed LOCALLY, not through the FIFO
+    # internal-cache registry: at the default iterations=10 the
+    # registry (cap 8) would evict the edge cache — the call's FIRST
+    # registration — around iteration 8, silently reverting every
+    # remaining round to a full edge re-exchange, exactly the
+    # per-round shuffle this cache exists to prevent. Local management
+    # keeps every in-flight cache alive for exactly as long as the
+    # call needs it (superseded rank generations release at each
+    # checkpoint/delta materialization, the rest before returning), so
+    # the one-edge-shuffle-per-call property holds at ANY iteration
+    # count and nothing pins memory past the call.
+    #
+    # Plan-STRING guard: generation k's cached plan nests generation
+    # k-1's cached plan TWICE (contributions + dangling read the rank
+    # frame twice), so the diagnostic tree string Spark renders for
+    # every action (SQLExecutionStart's physicalPlanDescription)
+    # grows EXPONENTIALLY in the un-checkpointed chain depth — at
+    # checkpoint_every far above `iterations` a 9-round chain's
+    # rendering OOMed a 1 GB driver in generateTreeString (observed
+    # live, r13). The plan string is diagnostics only, so bound it for
+    # the duration of this call; truncation is graceful
+    # ("...N more characters"), execution is untouched.
+    spark = td.df.sparkSession
+    _PLAN_STR_KEY = "spark.sql.maxPlanStringLength"
+    try:
+        prev_cap = spark.conf.get(_PLAN_STR_KEY)
+    except Exception:
+        prev_cap = None
+    # the conf is a byte-size string (e.g. "2147483632b"): keep the
+    # caller's cap when it is already tighter than ours
+    import re as _re
 
-    e = register_internal_cache(
-        e.localCheckpoint(eager=True)
-        .repartition(F.col("u"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    outw = e.groupBy("u").agg(F.sum("w").alias("__ow__"))
-    nodes = (
-        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = nodes.count()
-    if n == 0:
-        # empty graph: zero rows with the caller's node dtype
-        return Tibble(
-            nodes.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
+    m = _re.match(r"\d+", prev_cap or "")
+    cur = int(m.group(0)) if m else None
+    if cur is None or cur > 1_000_000:
+        spark.conf.set(_PLAN_STR_KEY, "1000000")
+    try:
+        e = (
+            e.localCheckpoint(eager=True)
+            .repartition(F.col("u"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    ranks = nodes.select("u", F.lit(1.0 / n).alias("r"))
-    done = 0
-    delta = None
-    for i in range(iterations):
-        # every iteration reads `ranks` TWICE (contributions + the
-        # dangling-mass aggregate); left lazy, each generation would
-        # re-evaluate both references and the plan cost doubles per
-        # round (2^k for k un-truncated iterations — verified: the
-        # 9-iteration lazy chain ran minutes on 5 rows). Persisting
-        # each generation makes the two references share ONE
-        # materialization; the periodic eager checkpoint below then
-        # only bounds lineage/plan size, not re-evaluation.
-        prev = ranks = register_internal_cache(
-            ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        live: list = [e]  # caches to release before returning
+        outw = e.groupBy("u").agg(F.sum("w").alias("__ow__"))
+        nodes = (
+            e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+            .localCheckpoint(eager=True)
         )
-        contrib = (
-            e.join(ranks, on="u")
-            .join(outw, on="u")
-            .select("v", (F.col("r") * F.col("w") / F.col("__ow__")).alias("c"))
-            .groupBy("v")
-            .agg(F.sum("c").alias("__c__"))
-        )
-        # dangling mass: one row, broadcast back — stays lazy so an
-        # iteration costs no extra driver action
-        dangling = ranks.join(outw, on="u", how="left_anti").agg(
-            F.coalesce(F.sum("r"), F.lit(0.0)).alias("__dm__")
-        )
-        ranks = (
-            nodes.join(
-                contrib.withColumnRenamed("v", "u"), on="u", how="left"
+        n = nodes.count()
+        if n == 0:
+            # empty graph: zero rows with the caller's node dtype; the
+            # accounting must still describe THIS call, not the previous
+            # one (0 rounds ran, no delta)
+            _PAGERANK_LAST.clear()
+            _PAGERANK_LAST.update({"iterations": 0, "delta": None})
+            return Tibble(
+                nodes.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
             )
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "u",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__c__"), F.lit(0.0))
-                        + F.col("__dm__") / F.lit(n)
-                    )
-                ).alias("r"),
+        ranks = nodes.select("u", F.lit(1.0 / n).alias("r"))
+        done = 0
+        delta = None
+        for i in range(iterations):
+            # every iteration reads `ranks` TWICE (contributions + the
+            # dangling-mass aggregate); left lazy, each generation would
+            # re-evaluate both references and the plan cost doubles per
+            # round (2^k for k un-truncated iterations — verified: the
+            # 9-iteration lazy chain ran minutes on 5 rows). Persisting
+            # each generation makes the two references share ONE
+            # materialization; the periodic eager checkpoint below then
+            # only bounds lineage/plan size, not re-evaluation.
+            prev = ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            live.append(ranks)
+            contrib = (
+                e.join(ranks, on="u")
+                .join(outw, on="u")
+                .select("v", (F.col("r") * F.col("w") / F.col("__ow__")).alias("c"))
+                .groupBy("v")
+                .agg(F.sum("c").alias("__c__"))
             )
-        )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
-        done = i + 1
-        if tol is not None:
-            # one tiny join over the persisted previous generation —
-            # both frames are node-sized and co-keyed on u
-            ranks = register_internal_cache(
-                ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            # dangling mass: one row, broadcast back — stays lazy so an
+            # iteration costs no extra driver action
+            dangling = ranks.join(outw, on="u", how="left_anti").agg(
+                F.coalesce(F.sum("r"), F.lit(0.0)).alias("__dm__")
             )
-            delta = (
-                ranks.join(
-                    prev.select("u", F.col("r").alias("__rp__")), on="u"
+            ranks = (
+                nodes.join(
+                    contrib.withColumnRenamed("v", "u"), on="u", how="left"
                 )
-                .agg(F.sum(F.abs(F.col("r") - F.col("__rp__"))))
-                .first()[0]
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "u",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("__c__"), F.lit(0.0))
+                            + F.col("__dm__") / F.lit(n)
+                        )
+                    ).alias("r"),
+                )
             )
-            if delta is not None and delta < tol:
-                break
-    _PAGERANK_LAST.clear()
-    _PAGERANK_LAST.update({"iterations": done, "delta": delta})
-    return Tibble(
-        ranks.select(F.col("u").alias("node"), F.col("r").alias("rank"))
-    )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+                # the eager checkpoint materializes everything up to here:
+                # every superseded rank generation can release NOW (live
+                # caches within a call stay bounded by checkpoint_every,
+                # never by a global registry's FIFO) — the edge cache at
+                # live[0] stays for the remaining rounds
+                ranks = ranks.localCheckpoint(eager=True)
+                for g in live[1:]:
+                    g.unpersist()
+                del live[1:]
+            done = i + 1
+            if tol is not None:
+                # one tiny join over the persisted previous generation —
+                # both frames are node-sized and co-keyed on u
+                ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+                live.append(ranks)
+                delta = (
+                    ranks.join(
+                        prev.select("u", F.col("r").alias("__rp__")), on="u"
+                    )
+                    .agg(F.sum(F.abs(F.col("r") - F.col("__rp__"))))
+                    .first()[0]
+                )
+                # the delta action materialized this generation — every
+                # older one (not the edges) is now releasable
+                for g in live[1:-1]:
+                    g.unpersist()
+                del live[1:-1]
+                if delta is not None and delta < tol:
+                    break
+        _PAGERANK_LAST.clear()
+        _PAGERANK_LAST.update({"iterations": done, "delta": delta})
+        final = ranks.select(
+            F.col("u").alias("node"), F.col("r").alias("rank")
+        )
+        # the executed plan of the LAST generation, rendered under the
+        # capped plan-string conf — the plan-lock tests assert on this
+        # (the returned frame below is a flat checkpoint scan, so the
+        # iteration structure is no longer visible from outside)
+        _PAGERANK_LAST["plan"] = (
+            final._jdf.queryExecution().executedPlan().toString()
+        )
+        # Materialize the result as an eager checkpoint, then release
+        # every iteration-internal cache (edges included): the
+        # returned frame is a FLAT LogicalRDD scan — nothing pinned
+        # past the call, no nested cached-plan chain for any later
+        # action to re-render (see the plan-string guard above), and
+        # repeated pagerank() calls cannot accumulate edge caches.
+        out = final.localCheckpoint(eager=True)
+        for g in live:
+            g.unpersist()
+        return Tibble(out)
+    finally:
+        # restore the caller's plan-string cap (diagnostics only)
+        try:
+            if prev_cap is None:
+                spark.conf.unset(_PLAN_STR_KEY)
+            else:
+                spark.conf.set(_PLAN_STR_KEY, prev_cap)
+        except Exception:
+            pass
+
 
 
 _PAGERANK_LAST: dict = {}
@@ -348,5 +427,52 @@ _PAGERANK_LAST: dict = {}
 def pagerank_last_run() -> dict:
     """Accounting for the most recent :func:`pagerank` call in this
     process: ``{"iterations": rounds executed, "delta": final L1
-    change or None when tol wasn't requested}``."""
+    change or None when tol wasn't requested, "plan": the last
+    generation's executed-plan text (rendered under the call's bounded
+    plan-string cap; absent for an empty graph)}`` — the returned
+    frame itself is a flat checkpoint scan, so the iteration plan is
+    only observable here."""
     return dict(_PAGERANK_LAST)
+
+
+def join_host_rank(
+    docs: Any,
+    ranks: Any,
+    url: Any = "url",
+    out_col: str = "host_rank",
+    fill: float | None = 0.0,
+) -> Tibble:
+    """Attach the crawl-graph authority prior to documents — the last
+    step of the host_graph -> pagerank -> document-prior loop as ONE
+    call: ``out_col`` is the PageRank of the document's host
+    (``url_host(url)`` joined against ``ranks``'s (node, rank) rows),
+    with hosts absent from the ranking — not in any crawled edge, or
+    an unparseable URL — filled with ``fill`` (``None`` keeps NULL so
+    callers can distinguish "unranked" from "low-ranked").
+
+    One keyed equi-join against the node-sized rank table (AQE
+    broadcasts it when it fits); the documents side is never
+    shuffled beyond that join."""
+    td = docs if isinstance(docs, Tibble) else Tibble(docs)
+    rt = ranks if isinstance(ranks, Tibble) else Tibble(ranks)
+    if out_col in td.columns:
+        raise ValueError(
+            f"join_host_rank: column {out_col!r} already exists"
+        )
+    from .urls import url_host
+
+    un = _name_of(url)
+    r = rt.df.select(
+        F.col("node").alias("__jhr_host__"),
+        F.col("rank").alias(out_col),
+    )
+    joined = (
+        td.df.withColumn("__jhr_host__", url_host(F.col(un)))
+        .join(r, on="__jhr_host__", how="left")
+        .drop("__jhr_host__")
+    )
+    if fill is not None:
+        joined = joined.withColumn(
+            out_col, F.coalesce(F.col(out_col), F.lit(float(fill)))
+        )
+    return Tibble(joined, groups=td.group_vars, levels=td.levels)

@@ -29,6 +29,30 @@ def write_json_file(spark, path: str, payload: Any) -> None:
         stream.close()
 
 
+def replace_dir(spark, tmp: str, dest: str) -> None:
+    """Replace directory ``dest`` with ``tmp`` via the Hadoop
+    FileSystem API (two renames + a delete, so it works on file://,
+    hdfs://, s3a://, ...). Used by the index compaction ops: the
+    compacted store is fully written to ``tmp`` first, so a failure
+    before the swap leaves the live store untouched; the swap itself
+    keeps the previous store at ``dest + "__old"`` until the new one
+    is in place (single-writer maintenance op — not concurrent-reader
+    atomic; don't compact an index while queries are running against
+    it)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path
+    jtmp, jdest, jold = hpath(tmp), hpath(dest), hpath(dest + "__old")
+    fs = jdest.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    if fs.exists(jdest) and not fs.rename(jdest, jold):
+        raise IOError(f"replace_dir: could not stage {dest} aside")
+    if not fs.rename(jtmp, jdest):
+        fs.rename(jold, jdest)  # restore the previous store
+        raise IOError(f"replace_dir: could not move {tmp} into {dest}")
+    fs.delete(jold, True)
+
+
 def read_json_file(spark, path: str) -> Any:
     """Read one JSON file written by :func:`write_json_file` (or any
     single-file JSON document) from any Hadoop-supported filesystem."""

@@ -391,12 +391,26 @@ def lang_id_predict(
     text: Any = "text",
     out_col: str = "lang_pred",
     conf_col: str | None = "lang_conf",
+    min_conf: float | None = None,
+    und_label: str | None = "und",
 ) -> Tibble:
     """Score a text column through a :func:`lang_id_train` model: adds
     ``out_col`` (argmax language, NULL for NULL/empty text) and
     ``conf_col`` (softmax probability of the winner; pass None to
     omit). ONE Arrow pass, model broadcast in the closure, no
     shuffle.
+
+    ``min_conf=`` sets an undetermined-language floor: the argmax is
+    ALWAYS one of the trained languages, so a script the model never
+    saw (Thai against a 12-language Latin/CJK/Cyrillic/Arabic seed)
+    would otherwise silently bin into whichever trained language its
+    hashed grams happen to collide with. With ``min_conf`` set,
+    predictions whose winner confidence falls below it emit
+    ``und_label`` instead ('und', ISO 639-2's undetermined code; pass
+    ``und_label=None`` for NULL). ``conf_col`` keeps the real winner
+    confidence either way, so the floor is auditable. The relabeling
+    is a JVM ``when()`` over the already-computed struct — no second
+    scoring pass.
 
     Pipeline order matters at scale: the scoring UDF carries the
     asNondeterministic safety marker (see ivf_assign), which also
@@ -494,8 +508,20 @@ def lang_id_predict(
             f"lang_id_predict: column(s) {clash} already exist; pass "
             f"different out_col/conf_col"
         )
+    if min_conf is not None and not 0.0 <= float(min_conf) <= 1.0:
+        raise ValueError(
+            f"lang_id_predict: min_conf must be in [0, 1], got {min_conf}"
+        )
     df = td.df.withColumn(scratch, _score(F.col(tname)))
-    df = df.withColumn(out_col, F.col(f"{scratch}.lang"))
+    lang_expr = F.col(f"{scratch}.lang")
+    if min_conf is not None:
+        # NULL/empty text stays NULL (never 'und' — there was nothing
+        # to be undetermined ABOUT); a scored row below the floor
+        # relabels to und_label
+        lang_expr = F.when(lang_expr.isNull(), F.lit(None).cast("string")).when(
+            F.col(f"{scratch}.conf") >= F.lit(float(min_conf)), lang_expr
+        ).otherwise(F.lit(und_label).cast("string"))
+    df = df.withColumn(out_col, lang_expr)
     if conf_col:
         df = df.withColumn(conf_col, F.col(f"{scratch}.conf"))
     return td.with_df(df.drop(scratch))

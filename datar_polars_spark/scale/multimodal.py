@@ -38,7 +38,9 @@ __all__ = [
     "audio_features",
     "attach_binary_metadata",
     "decode_images",
+    "image_dhash",
     "image_features",
+    "image_near_dup_pairs",
     "resize_images",
     "sample_frames",
     "decode_video",
@@ -522,3 +524,176 @@ def sniff_media(
 
     out = td.df.select(*in_cols).mapInPandas(batches, schema=schema)
     return Tibble(out)
+
+
+def _dhash64(gray) -> int:
+    """Classic difference hash (dHash): area-resample the grayscale
+    raster to 9x8, compare horizontally adjacent cells, pack the 64
+    bits little-endian into a SIGNED 64-bit int (Spark long)."""
+    import numpy as np
+
+    h, w = gray.shape
+    # area means over integer bin edges (deterministic, no resampling
+    # library): 8 rows x 9 cols
+    ye = [(i * h) // 8 for i in range(9)]
+    xe = [(j * w) // 9 for j in range(10)]
+    cells = np.empty((8, 9))
+    for r in range(8):
+        y0, y1 = ye[r], max(ye[r + 1], ye[r] + 1)
+        for c in range(9):
+            x0, x1 = xe[c], max(xe[c + 1], xe[c] + 1)
+            cells[r, c] = gray[y0:y1, x0:x1].mean()
+    bits = (cells[:, :-1] > cells[:, 1:]).flatten()
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(v.astype(np.int64))
+
+
+def _stub_raster(content: bytes):
+    """Deterministic pseudo-raster for content the container cannot
+    pixel-decode (JPEG/WebP/... need a real codec library): keyed off
+    the content hash, so the resulting 'fingerprint' is exact-content
+    identity, NOT perceptual — two near-identical JPEGs get unrelated
+    hashes. Real rasters (PNG/BMP via codecs.decode_raster) get the
+    real perceptual property."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    seed = int.from_bytes(_hl.sha256(content).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (16, 16)).astype("float32")
+
+
+def image_dhash(
+    td: Tibble,
+    content: str = "content",
+    out_col: str = "dhash",
+    strict: bool = False,
+    batch_size: int = 256,
+) -> Tibble:
+    """Perceptual image fingerprint column (64-bit dHash, Spark long;
+    NULL for NULL content) — the image-side analogue of the text
+    fingerprint: near-identical images (recompressions, small edits,
+    brightness shifts) land within a few Hamming bits, so exact
+    grouping catches re-encodes and :func:`image_near_dup_pairs`
+    catches near-dups, feeding the same curation loop as text dedup.
+
+    Pixels come from ``codecs.decode_raster`` where that is possible
+    without a codec library (8-bit non-interlaced PNG, uncompressed
+    24/32-bit BMP); other containers fall back to a DETERMINISTIC
+    stub raster keyed off the content hash (documented: exact-content
+    identity only, no perceptual property) or raise with
+    ``strict=True``. One Arrow ``mapInPandas`` pass, no shuffle."""
+    import pandas as pd
+
+    from .codecs import decode_raster
+
+    in_cols = [c for c in td.columns]
+    if out_col in in_cols:
+        raise ValueError(f"image_dhash: column {out_col!r} already exists")
+    schema = StructType(
+        [td.df.select(*in_cols).schema[c] for c in in_cols]
+        + [StructField(out_col, LongType())]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            hashes = []
+            for content_bytes in pdf[content]:
+                if content_bytes is None:
+                    hashes.append(None)
+                    continue
+                bb = bytes(content_bytes)
+                gray = decode_raster(bb)
+                if gray is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "image_dhash(strict=True): pixel decode "
+                            "needs PNG/BMP (other containers require a "
+                            "real codec library)"
+                        )
+                    gray = _stub_raster(bb)
+                hashes.append(_dhash64(gray))
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(hashes, dtype="Int64")
+            yield pdf
+
+    out = td.df.select(*in_cols).mapInPandas(batches, schema)
+    return Tibble(out)
+
+
+def image_near_dup_pairs(
+    td: Tibble,
+    content: str = "content",
+    id_col: str = "id",
+    max_hamming: int = 4,
+    strict: bool = False,
+    max_bucket: int = 1000,
+) -> Tibble:
+    """All (id_a, id_b, hamming) image pairs whose dHashes differ by
+    at most ``max_hamming`` bits (id_a < id_b under the id ordering).
+
+    100 TB shape — banded blocking with pigeonhole-exact recall: the
+    64-bit hash splits into ``max_hamming + 1`` disjoint bit bands, so
+    any pair within the Hamming budget agrees EXACTLY on at least one
+    band (pigeonhole); candidates come from equi-joins on (band,
+    band value) — a keyed shuffle, never an all-pairs compare — and
+    verify JVM-side with ``bit_count(a ^ b)``. Giant identical
+    clusters are bucket-capped (drop volume registers under op
+    ``"image_near_dup_pairs"`` for dropped_pairs_estimate). Everything
+    after the one Arrow hash pass is JVM expressions."""
+    from .dedup import _cap_buckets, _DROPPED_PAIRS
+
+    _DROPPED_PAIRS["image_near_dup_pairs"] = []
+    if max_hamming < 0:
+        raise ValueError("image_near_dup_pairs: max_hamming must be >= 0")
+    hashed = image_dhash(td, content, out_col="__dh__", strict=strict)
+    base = hashed.df.select(
+        F.col(id_col).alias("id"), F.col("__dh__")
+    ).filter(F.col("id").isNotNull() & F.col("__dh__").isNotNull())
+    nb = max_hamming + 1
+    bands = []
+    for i in range(nb):
+        lo = (i * 64) // nb
+        hi = ((i + 1) * 64) // nb
+        width = hi - lo
+        mask = (1 << width) - 1
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("__dh__"), lo)
+                .bitwiseAND(F.lit(mask)).alias("bval"),
+            )
+        )
+    banded = _cap_buckets(
+        base.select(
+            "id", "__dh__", F.explode(F.array(*bands)).alias("b")
+        ).select("id", "__dh__", F.col("b.band").alias("band"),
+                 F.col("b.bval").alias("bval")),
+        ["band", "bval"], max_bucket, op="image_near_dup_pairs",
+    )
+    left = banded.select(
+        "band", "bval", F.col("id").alias("id_a"),
+        F.col("__dh__").alias("__ha__"),
+    )
+    right = banded.select(
+        "band", "bval", F.col("id").alias("id_b"),
+        F.col("__dh__").alias("__hb__"),
+    )
+    pairs = (
+        left.join(right, on=["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("__ha__").bitwiseXOR(F.col("__hb__"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return Tibble(pairs)

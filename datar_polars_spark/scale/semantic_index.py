@@ -43,12 +43,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..tibble import Tibble, ensure_tibble
-from .dedup import _cap_buckets, _ensure_parallelism, _name_of, cosine_sim
+from .dedup import (
+    _cap_buckets,
+    _DROPPED_PAIRS,
+    _ensure_parallelism,
+    _name_of,
+    cosine_sim,
+)
 from .jsonio import read_json_file, write_json_file
 
 __all__ = [
     "semantic_index_build",
     "semantic_index_append",
+    "semantic_index_compact",
     "semantic_index_stats",
     "match_against_semantic_index",
     "dedup_against_semantic_index",
@@ -85,7 +92,8 @@ def _band_hash_udf(meta: dict):
 
 
 def _index_frames(
-    df: DataFrame, ename: str, idn: str, meta: dict, probe_par: bool = True
+    df: DataFrame, ename: str, idn: str, meta: dict,
+    probe_par: bool = True, op: str = "semantic_index_build",
 ) -> tuple[DataFrame, DataFrame]:
     """(vectors, postings) store frames — shared by build and append.
     Only rows with BOTH an id and an embedding are indexable."""
@@ -110,7 +118,7 @@ def _index_frames(
         base.select(
             "id", F.posexplode(hashes(F.col("vec"))).alias("band", "bhash")
         ),
-        ["band", "bhash"], meta["max_bucket"], op="semantic_index_build",
+        ["band", "bhash"], meta["max_bucket"], op=op,
     ).select("band", "bhash", "id")
     return base, postings
 
@@ -151,6 +159,9 @@ def semantic_index_build(
     the recall the pipeline needs at its cosine threshold
     (:func:`~datar_polars_spark.scale.dedup.hyperplane_recall` gives
     the curve); matching cannot change them without rebuilding."""
+    # "most recent call" semantics for dropped_pairs_estimate: reset
+    # this op's census list at entry (also drops retained frame refs)
+    _DROPPED_PAIRS["semantic_index_build"] = []
     td = ensure_tibble(corpus)
     ename, idn = _name_of(embedding), _name_of(id_col)
     first = (
@@ -208,6 +219,7 @@ def semantic_index_append(
     (parameters from the sidecar; columns default to the build-time
     names). A zero-dim sidecar (built from an all-NULL corpus) adopts
     the first appended batch's dimensionality."""
+    _DROPPED_PAIRS["semantic_index_append"] = []
     td = ensure_tibble(batch)
     spark = td.df.sparkSession
     meta = _load_meta(spark, path)
@@ -227,7 +239,8 @@ def semantic_index_append(
         meta["dim"] = len(first[0])
         write_json_file(spark, f"{path}/semantic_index.json", meta)
     vectors, postings = _index_frames(
-        td.df.select(*td.columns), ename, idn, meta, probe_par=False
+        td.df.select(*td.columns), ename, idn, meta, probe_par=False,
+        op="semantic_index_append",
     )
     _write_frames(path, vectors, postings, "append")
 
@@ -256,18 +269,38 @@ def match_against_semantic_index(
     *,
     threshold: float = 0.95,
     max_bucket: int = 1000,
+    _exact_prunes_fuzzy: bool = False,
 ) -> Tibble:
     """All (batch row, indexed row) semantic matches at cosine >=
     ``threshold``: columns (id_a, id_b, cos), id_a from ``batch``.
 
     The batch signs with the sidecar's hyperplane family (one Arrow
-    pass), bands explode and cap (batch side only — the store was
-    capped at build), candidates come from one keyed equi-join against
-    ``postings/``, and every candidate verifies with EXACT cosine
-    against ``vectors/`` — so false positives are impossible and the
-    only probabilistic behavior is LSH recall (size the banding with
-    hyperplane_recall). NULL-embedding and NULL-id batch rows never
-    match."""
+    pass) — ONE representative per distinct embedding is banded,
+    capped (batch side only — the store was capped at build), and
+    joined against ``postings/``; matches fan back out to every batch
+    row sharing that embedding. Byte-identical (batch, indexed) pairs
+    come from a narrow exact-hash pre-pass (confirmed by vector
+    equality, cos exactly 1.0) and are excluded from the fuzzy leg so
+    no pair is reported twice; exact-matched batch rows STILL receive
+    their fuzzy matches to other, non-identical indexed vectors (their
+    representative is banded like any other — the r12 revision skipped
+    them entirely). Every fuzzy candidate verifies with EXACT cosine
+    against ``vectors/``, so false positives are impossible; the
+    probabilistic behavior is LSH recall (size the banding with
+    hyperplane_recall) plus a theoretical xxhash64-collision miss at
+    p ~ 2^-64 per distinct-vector pair (two distinct embeddings
+    sharing a 64-bit hash band under one representative).
+    NULL-embedding and NULL-id batch rows never match.
+
+    ``_exact_prunes_fuzzy`` (internal, used by
+    dedup_against_semantic_index): exact-matched batch rows are
+    EXCLUDED from fuzzy candidate generation — an any-hit consumer
+    gets no extra information from their fuzzy matches, and a
+    replica-heavy recrawl batch then pays ~zero fuzzy cost (every
+    replica resolves in the narrow hash join). Leaves the "all
+    matches" contract deliberately incomplete; the public default
+    keeps it complete."""
+    _DROPPED_PAIRS["match_against_semantic_index"] = []
     td = ensure_tibble(batch)
     spark = td.df.sparkSession
     meta = _load_meta(spark, path)
@@ -311,22 +344,34 @@ def match_against_semantic_index(
         .filter(F.col("v_a").cast(meta["vec_type"]) == F.col("v_b"))
         .select("id_a", "id_b", F.lit(1.0).alias("cos"))
     )
-    fuzzy_in = base.join(
-        vectors.select("__svh__"),
-        base["vh"] == vectors["__svh__"],
-        "left_anti",
-    )
     hashes = _band_hash_udf(meta)
-    # candidate generation stays NARROW: a near-identical pair
-    # collides in MANY bands, so carrying the query vector through the
-    # bucket join would shuffle it once per colliding band; dedupe
-    # bare (id_a, id_b) pairs first, then join each side's payload
-    # back exactly once (measured 3x at sf1 before the exact pre-pass
-    # absorbed the replicated-vector shape entirely)
+    # DISTINCT-VECTOR fuzzy candidate generation (r13): one
+    # representative per distinct embedding hash is banded, bucketed
+    # against the postings, and rep-verified; surviving matches fan
+    # back out to every batch row sharing that hash. Two properties
+    # at once: (1) a replica-heavy batch (recrawls, mirrors — every
+    # identical pair collides in EVERY band) pays banding, the bucket
+    # join, the pair dedup, and the store-vector fetch at
+    # distinct-vector cost, not row cost; (2) a batch row
+    # byte-identical to SOME indexed vector still gets its fuzzy
+    # matches to OTHER indexed vectors (r12 excluded such rows from
+    # fuzzy generation entirely, under-reporting the documented "all
+    # matches" contract). Candidates stay NARROW — bare (vh, id_b)
+    # pairs first, payloads joined back exactly once.
+    fuzzy_base = base
+    if _exact_prunes_fuzzy:
+        # any-hit consumers: only exact-SURVIVING rows need fuzzy
+        # candidates (one narrow anti join on the 8-byte hash)
+        fuzzy_base = base.join(
+            vectors.select("__svh__"),
+            base["vh"] == vectors["__svh__"],
+            "left_anti",
+        )
+    reps = fuzzy_base.groupBy("vh").agg(F.first("v_a").alias("v_r"))
     banded = _cap_buckets(
-        fuzzy_in.select(
-            "id_a",
-            F.posexplode(hashes(F.col("v_a"))).alias("band", "bhash"),
+        reps.select(
+            "vh",
+            F.posexplode(hashes(F.col("v_r"))).alias("band", "bhash"),
         ),
         ["band", "bhash"], max_bucket, op="match_against_semantic_index",
     )
@@ -335,12 +380,27 @@ def match_against_semantic_index(
         .parquet(f"{path}/postings")
         .select("band", "bhash", F.col("id").alias("id_b"))
     )
-    fuzzy = (
+    # rep-level verify: exact cosine on the representative vector,
+    # and byte-identical pairs are EXCLUDED here — they are exactly
+    # the exact leg's rows (reporting both would duplicate pairs)
+    verified = (
         banded.join(postings, on=["band", "bhash"])
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .join(fuzzy_in.select("id_a", "v_a"), on="id_a")
+        .select("vh", "id_b")
+        .dropDuplicates(["vh", "id_b"])
+        .join(reps, on="vh")
         .join(vectors.select("id_b", "v_b"), on="id_b")
+        .filter(
+            (cosine_sim(F.col("v_r"), F.col("v_b")) >= threshold)
+            & ~(F.col("v_r").cast(meta["vec_type"]) == F.col("v_b"))
+        )
+        .select("vh", "id_b", "v_b")
+    )
+    # fan back out to every batch row with that hash; the final cosine
+    # is computed from the ROW's own vector and re-thresholded, so a
+    # hash-collided non-representative row can never emit a false
+    # positive (it can only miss, at the documented ~2^-64)
+    fuzzy = (
+        verified.join(fuzzy_base.select("id_a", "v_a", "vh"), on="vh")
         .withColumn("cos", cosine_sim(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
@@ -368,6 +428,10 @@ def dedup_against_semantic_index(
     hits = match_against_semantic_index(
         td, path, embedding, id_col,
         threshold=threshold, max_bucket=max_bucket,
+        # any hit drops the row, so exact-matched rows need no fuzzy
+        # matches: a replica-heavy recrawl batch resolves in the
+        # narrow hash join instead of banding every distinct vector
+        _exact_prunes_fuzzy=True,
     )
     meta = _load_meta(td.df.sparkSession, path)
     idn = _name_of(id_col) if id_col is not None else meta["id_col"]
@@ -384,4 +448,59 @@ def dedup_against_semantic_index(
             else meta["embedding_col"]
         )
         semantic_index_append(out, path, ename, idn)
+    return out
+
+
+def semantic_index_compact(spark, path: str) -> dict:
+    """Rewrite the semantic index's accumulated per-append file sets
+    into one compact, range-clustered layout and re-apply the bucket
+    cap ACROSS increments — the mirror of
+    :func:`~datar_polars_spark.scale.dedup_index.dedup_index_compact`
+    for the hyperplane index (same fragmentation and cross-increment
+    over-full-bucket lifecycle, same single-writer swap discipline).
+
+    Byte-duplicate rows (the same vector/posting appended twice) are
+    dropped; distinct ids stay distinct entries even when their
+    vectors are identical (dedup policy belongs to
+    dedup_against_semantic_index, not to store maintenance). The
+    cross-increment cap's drop estimate is pinned under
+    ``dropped_pairs_estimate("semantic_index_compact")`` and returned
+    alongside the post-compact stats."""
+    from .dedup import dropped_pairs_estimate
+    from .jsonio import replace_dir
+
+    meta = _load_meta(spark, path)
+    _DROPPED_PAIRS["semantic_index_compact"] = []
+    idt, vt = meta["id_type"], meta["vec_type"]
+    vectors = (
+        spark.read.schema(f"id {idt}, vec {vt}, vh bigint")
+        .parquet(f"{path}/vectors")
+        .dropDuplicates(["id", "vh"])
+    )
+    postings = _cap_buckets(
+        spark.read.schema(f"bhash bigint, id {idt}, band int")
+        .parquet(f"{path}/postings")
+        .select("band", "bhash", "id")
+        .dropDuplicates(["band", "bhash", "id"]),
+        ["band", "bhash"], meta["max_bucket"],
+        op="semantic_index_compact",
+    ).repartitionByRange(
+        F.col("band"), F.col("bhash")
+    ).sortWithinPartitions("band", "bhash")
+    # both tmp writes read only live stores — a failure here leaves
+    # the index untouched; the swap below is the only mutating step
+    vectors.write.mode("overwrite").parquet(f"{path}/vectors__compact")
+    postings.write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/postings__compact"
+    )
+    # pin the lazy cap census before the swap changes what the live
+    # postings path contains
+    dropped = dropped_pairs_estimate("semantic_index_compact")
+    _DROPPED_PAIRS["semantic_index_compact"] = [
+        spark.createDataFrame([(float(dropped),)], "dropped double")
+    ]
+    replace_dir(spark, f"{path}/vectors__compact", f"{path}/vectors")
+    replace_dir(spark, f"{path}/postings__compact", f"{path}/postings")
+    out = semantic_index_stats(spark, path)
+    out["dropped_pairs"] = dropped
     return out

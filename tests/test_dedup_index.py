@@ -345,3 +345,93 @@ def test_fuzz_against_python_brute_force(spark, tmp_path, seed):
         .collect()["doc_id"].tolist()
     )
     assert got == sorted(expect)
+
+
+def _parquet_files(root):
+    import pathlib
+
+    return [
+        p for p in pathlib.Path(root).rglob("*.parquet") if p.is_file()
+    ]
+
+
+def test_compact_preserves_matches_and_reduces_files(corpus, tmp_path, spark):
+    """N disjoint appends + compact: match results byte-identical,
+    strictly fewer store files, nothing dropped (no over-cap bucket),
+    and byte-duplicate appended rows are folded."""
+    from datar_polars_spark.scale import dedup_index_compact, dedup_index_stats
+
+    path = str(tmp_path / "didx")
+    dedup_index_build(corpus, f.text, f.doc_id, path)
+    for i, txt in enumerate([OTHER, "fresh doc about rivers and dams",
+                             "a third unique doc on glaciers"]):
+        dedup_index_append(
+            tibble(spark, doc_id=[100 + i], text=[txt]), path
+        )
+    # the same (id, text) appended twice: byte-duplicate store rows
+    dedup_index_append(tibble(spark, doc_id=[100], text=[OTHER]), path)
+    probe = tibble(
+        spark,
+        doc_id=[10, 11, 12],
+        text=[BASE, NEAR, OTHER],
+    )
+    before = sorted(
+        (r.id_a, r.id_b, r.via, round(r.jaccard_est, 9))
+        for r in match_against_index(probe, path, threshold=0.5).df.collect()
+    )
+    files_before = len(_parquet_files(path))
+    out = dedup_index_compact(spark, path)
+    after = sorted(
+        (r.id_a, r.id_b, r.via, round(r.jaccard_est, 9))
+        for r in match_against_index(probe, path, threshold=0.5).df.collect()
+    )
+    # SET-identical (and non-trivial): the byte-duplicate append made
+    # the (12, 100) exact pair appear TWICE pre-compact; folding the
+    # duplicated store row collapses it to once
+    assert set(after) == set(before) and before
+    dup = (12, 100, "exact", 1.0)
+    assert before.count(dup) == 2 and after.count(dup) == 1
+    assert len(after) == len(set(after))  # no other multiplicity
+    assert len(_parquet_files(path)) < files_before
+    assert out["dropped_pairs"] == 0.0
+    # the duplicate (fp, id) rows folded to one
+    stats = dedup_index_stats(spark, path)
+    fps = spark.read.schema("fp string, id bigint").parquet(
+        f"{path}/fingerprints"
+    )
+    assert stats["n_fingerprints"] == fps.dropDuplicates().count()
+
+
+def test_compact_caps_cross_increment_bucket(tmp_path, spark):
+    """Each increment honors max_bucket, but the MERGED bucket exceeds
+    it: compact must drop the over-full buckets and account the drop
+    under dropped_pairs_estimate('dedup_index_compact')."""
+    from datar_polars_spark.scale import (
+        dedup_index_compact,
+        dropped_pairs_estimate,
+    )
+
+    path = str(tmp_path / "didx")
+    # identical TEXT under distinct ids, one per increment: every
+    # increment posts exactly one entry per band bucket (one rep per
+    # distinct fp), so each of the 16 band buckets grows by 1 per
+    # increment — 4 after build+3 appends, over the cap of 3, while
+    # every single increment stayed under it
+    dedup_index_build(
+        tibble(spark, doc_id=[1], text=[BASE]), f.text, f.doc_id, path,
+        num_perm=64, bands=16, max_bucket=3,
+    )
+    for i in range(3):
+        dedup_index_append(
+            tibble(spark, doc_id=[101 + i], text=[BASE]), path
+        )
+    out = dedup_index_compact(spark, path)
+    # all 16 buckets held 4 entries -> dropped pairs 16 * C(4,2) = 96
+    assert out["dropped_pairs"] == 96.0
+    assert dropped_pairs_estimate("dedup_index_compact") == 96.0
+    assert out["n_postings"] == 0  # over-full buckets drop entirely
+    # exact matching is untouched by the posting cap
+    hit = match_against_index(
+        tibble(spark, doc_id=[9], text=[BASE]), path, threshold=0.5
+    ).df.collect()
+    assert {r.via for r in hit} == {"exact"}

@@ -324,3 +324,52 @@ def test_simhash_and_jaccard_char_analyzer_cjk(spark):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jp.df.collect()}
     assert (1, 2) in got and got[(1, 2)] > 0.5
     assert (1, 3) not in got
+
+
+def test_min_conf_und_floor(spark, model):
+    """r13: min_conf= relabels below-floor predictions to 'und' (an
+    out-of-model script must not silently bin into the nearest trained
+    language), keeps confident predictions and the audit conf column,
+    and never turns NULL/empty text into 'und'."""
+    # Thai is absent from the 12-language seed corpus (its script is
+    # in none of the four seeded script families)
+    thai = "ผู้เชี่ยวชาญตรวจสอบแผนการอย่างละเอียดก่อนเปิดใช้งานสะพานในตอนเช้า"
+    en = HELD_OUT["en"]
+    td = ensure_tibble(
+        spark.createDataFrame(
+            [(1, en), (2, thai), (3, None), (4, "   ")],
+            "i long, text string",
+        )
+    )
+    # first establish the floor is meaningful: the Thai row's winner
+    # confidence under the model
+    raw = {
+        r["i"]: (r["lang_pred"], r["lang_conf"])
+        for r in lang_id_predict(td, model, "text").df.collect()
+    }
+    assert raw[1][0] == "en"
+    floor = (raw[2][1] + raw[1][1]) / 2  # between thai's and en's conf
+    assert raw[2][1] < floor < raw[1][1], (
+        "fixture drift: thai must score below en for the floor to split"
+    )
+    out = {
+        r["i"]: (r["lang_pred"], r["lang_conf"])
+        for r in lang_id_predict(
+            td, model, "text", min_conf=floor
+        ).df.collect()
+    }
+    assert out[1][0] == "en"            # confident row untouched
+    assert out[2][0] == "und"           # out-of-model script floored
+    assert out[2][1] == raw[2][1]       # audit conf preserved
+    assert out[3][0] is None and out[4][0] is None  # NULL/empty stay NULL
+    # und_label=None yields NULL instead
+    out_null = {
+        r["i"]: r["p2"]
+        for r in lang_id_predict(
+            td, model, "text", out_col="p2", conf_col=None,
+            min_conf=floor, und_label=None,
+        ).df.collect()
+    }
+    assert out_null[1] == "en" and out_null[2] is None
+    with pytest.raises(ValueError, match="min_conf"):
+        lang_id_predict(td, model, "text", out_col="p3", min_conf=1.5)

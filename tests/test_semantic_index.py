@@ -83,6 +83,43 @@ def test_dedup_drops_planted_and_append_cycle(spark, split, tmp_path):
     assert dedup_against_semantic_index(b2, path, threshold=0.95).df.count() == 0
 
 
+def test_exact_identical_row_still_gets_fuzzy_matches(spark, tmp_path):
+    """r13 contract fix: a batch vector byte-identical to ONE indexed
+    vector must still report its cos>=threshold matches to OTHER,
+    non-identical indexed vectors (r12's exact pre-pass excluded such
+    rows from fuzzy candidate generation entirely) — and no pair may
+    be reported twice."""
+    rng = np.random.default_rng(7)
+    v = _vec(rng)
+    near = [x + 1e-6 for x in v]          # cos ~ 1, NOT byte-identical
+    far = _vec(rng)
+    corpus = Tibble(
+        spark.createDataFrame(
+            [(1, v), (2, near), (3, far)],
+            "vec_id bigint, embedding array<double>",
+        )
+    )
+    path = str(tmp_path / "sidx")
+    semantic_index_build(corpus, f.embedding, f.vec_id, path)
+    batch = Tibble(
+        spark.createDataFrame(
+            # 10 is byte-identical to indexed 1; 11 is a replica of 10
+            # (replicated batch shape must fan out per row)
+            [(10, v), (11, v)],
+            "vec_id bigint, embedding array<double>",
+        )
+    )
+    rows = match_against_semantic_index(batch, path, threshold=0.99).df.collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs))  # no duplicated pairs
+    got = {(a, b, round(r.cos, 6)) for (a, b), r in zip(pairs, rows)}
+    # exact twins at cos exactly 1.0 AND the near-identical neighbor
+    assert (10, 1, 1.0) in got and (11, 1, 1.0) in got
+    assert any(a == 10 and b == 2 for a, b, _ in got)
+    assert any(a == 11 and b == 2 for a, b, _ in got)
+    assert not any(b == 3 for _, b, _ in got)
+
+
 def test_null_embedding_and_null_id_exempt(spark, tmp_path):
     rng = np.random.default_rng(5)
     v = _vec(rng)
@@ -166,3 +203,80 @@ def test_bad_sidecar_rejected(spark, split, tmp_path):
     write_json_file(spark, f"{path}/semantic_index.json", {"format": "x"})
     with pytest.raises(ValueError, match="sidecar"):
         match_against_semantic_index(corpus, path)
+
+
+def test_semantic_compact_preserves_matches_and_caps(spark, tmp_path):
+    """Appends + compact: match results identical over a
+    duplicate-free history, fewer files, and a cross-increment
+    over-full bucket is capped with its drop accounted."""
+    import pathlib
+
+    from datar_polars_spark.scale import (
+        dropped_pairs_estimate,
+        semantic_index_compact,
+        semantic_index_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = [_vec(rng) for _ in range(6)]
+    path = str(tmp_path / "sidx")
+    semantic_index_build(
+        Tibble(spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs[:3])],
+            "vec_id bigint, embedding array<double>",
+        )),
+        f.embedding, f.vec_id, path,
+    )
+    for j, v in enumerate(vecs[3:]):
+        semantic_index_append(
+            Tibble(spark.createDataFrame(
+                [(100 + j, v)], "vec_id bigint, embedding array<double>"
+            )),
+            path,
+        )
+    batch = Tibble(spark.createDataFrame(
+        [(900, [x + 1e-7 for x in vecs[0]]), (901, vecs[4])],
+        "vec_id bigint, embedding array<double>",
+    ))
+    before = sorted(
+        (r.id_a, r.id_b, round(r.cos, 9))
+        for r in match_against_semantic_index(
+            batch, path, threshold=0.9
+        ).df.collect()
+    )
+    nfiles = len([p for p in pathlib.Path(path).rglob("*.parquet")])
+    out = semantic_index_compact(spark, path)
+    after = sorted(
+        (r.id_a, r.id_b, round(r.cos, 9))
+        for r in match_against_semantic_index(
+            batch, path, threshold=0.9
+        ).df.collect()
+    )
+    assert after == before and before
+    assert len([p for p in pathlib.Path(path).rglob("*.parquet")]) < nfiles
+    assert out["dropped_pairs"] == 0.0
+
+    # cross-increment over-full bucket: the SAME vector under a fresh
+    # id per increment fills every one of its band buckets by 1 per
+    # increment — 4 entries after build+3 appends, cap 3
+    path2 = str(tmp_path / "sidx2")
+    v = _vec(rng)
+    semantic_index_build(
+        Tibble(spark.createDataFrame(
+            [(1, v)], "vec_id bigint, embedding array<double>"
+        )),
+        f.embedding, f.vec_id, path2, bands=16, planes_per_band=4,
+        max_bucket=3,
+    )
+    for j in range(3):
+        semantic_index_append(
+            Tibble(spark.createDataFrame(
+                [(200 + j, v)], "vec_id bigint, embedding array<double>"
+            )),
+            path2,
+        )
+    out2 = semantic_index_compact(spark, path2)
+    # 16 buckets x C(4,2) pairs
+    assert out2["dropped_pairs"] == 96.0
+    assert dropped_pairs_estimate("semantic_index_compact") == 96.0
+    assert semantic_index_stats(spark, path2)["n_postings"] == 0
