@@ -939,6 +939,39 @@ def q35_text_stats(spark, sf):
                 )
         return pd.Series(out)
 
+    # r13 dhash leg: PIXEL-bearing images (not just headers) —
+    # template raster keyed by doc_id % 4, a uniform brightness shift
+    # by (doc_id//4) % 3, container PNG/BMP by (doc_id//8) % 2. dHash
+    # is invariant to a uniform shift (adjacent-cell comparisons) and
+    # to the container (same raster through either pixel decoder), so
+    # the distinct fingerprints per lang must equal the distinct
+    # templates present — the oracle states that relationally; a
+    # raster-decode or hash regression splits a template group and
+    # flips the hash.
+    @F.pandas_udf(BinaryType())
+    def pix_bytes(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from datar_polars_spark.scale.codecs import (
+            make_bmp_pixels,
+            make_png_pixels,
+        )
+
+        out = []
+        for d_ in doc_id:
+            d_ = int(d_)
+            rng = np.random.default_rng(d_ % 4)
+            img = (
+                rng.integers(0, 247, (16, 24, 3), dtype=np.uint8)
+                + 3 * ((d_ // 4) % 3)
+            ).astype(np.uint8)
+            out.append(
+                make_png_pixels(img)
+                if (d_ // 8) % 2 == 0
+                else make_bmp_pixels(img)
+            )
+        return pd.Series(out)
+
     d = _t(spark, sf, "documents")
     staged = d >> mutate(
         tokens=token_count(f.text),
@@ -954,6 +987,8 @@ def q35_text_stats(spark, sf):
         .withColumn("img", img_bytes(F.col("doc_id"), F.col("n_chars")))
         .withColumn("aud", aud_bytes(F.col("doc_id"), F.col("n_chars")))
         .withColumn("vid", vid_bytes(F.col("doc_id"), F.col("n_chars")))
+        .withColumn("pix", pix_bytes(F.col("doc_id")))
+        .withColumn("tmpl", F.col("doc_id") % 4)
     )
     feats = image_features(
         attach_binary_metadata(binary, "content"), content="content", dim=16
@@ -968,11 +1003,15 @@ def q35_text_stats(spark, sf):
     decoded = decoded.with_df(
         decoded.df.withColumnRenamed("format", "aud_format")
     )
-    from datar_polars_spark.scale import decode_video
+    from datar_polars_spark.scale import decode_video, image_dhash
 
     decoded = decode_video(decoded, content="vid", strict=True)
+    decoded = image_dhash(decoded, content="pix", out_col="dhash",
+                          strict=True)
     per_doc = decoded.df.select(
         "lang",
+        "dhash",
+        "tmpl",
         "tokens",
         "mwl",
         "q",
@@ -1017,6 +1056,10 @@ def q35_text_stats(spark, sf):
             vid_w_sum=sum_(f.vid_w, na_rm=True),
             vid_h_sum=sum_(f.vid_h, na_rm=True),
             duration_sum=sum_(f.duration_ms, na_rm=True),
+            # distinct perceptual fingerprints == distinct templates:
+            # brightness-shift AND container invariance in one number
+            n_dhash=n_distinct(f.dhash),
+            n_tmpl=n_distinct(f.tmpl),
         )
         >> arrange(f.lang)
     )
@@ -1336,6 +1379,12 @@ def q38_minhash_dedup(spark, sf):
         corpus, f.text, f.doc_id, idx_path,
         num_perm=64, bands=32, store_grams=True,
     )
+    # r13: compact the freshly built index before matching — compaction
+    # must be match-invisible (same stores, range-clustered layout), so
+    # any compaction defect breaks this leg's value hash
+    from datar_polars_spark.scale import dedup_index_compact
+
+    dedup_index_compact(spark, idx_path)
     idx_surv = dedup_against_index(
         batch, idx_path, threshold=0.5, verify="exact"
     )
@@ -2188,6 +2237,10 @@ def q68_semantic_decon(spark, sf):
 
     sidx_path = tempfile.mkdtemp(prefix="q68_sidx_") + "/idx"
     semantic_index_build(emb, f.embedding, f.vec_id, sidx_path)
+    # r13: compaction must be match-invisible — defects break the hash
+    from datar_polars_spark.scale import semantic_index_compact
+
+    semantic_index_compact(spark, sidx_path)
     sidx_rows = match_against_semantic_index(
         bench, sidx_path, threshold=0.9
     ).df.select(
@@ -3134,7 +3187,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_mkv,
                    CAST(SUM(doc_id % 1280 + 16) AS BIGINT) AS vid_w_sum,
                    CAST(SUM(n_chars % 720 + 16) AS BIGINT) AS vid_h_sum,
-                   CAST(SUM((n_chars % 300 + 1) * 1000) AS BIGINT) AS duration_sum
+                   CAST(SUM((n_chars % 300 + 1) * 1000) AS BIGINT) AS duration_sum,
+                   -- r13 dhash leg: distinct perceptual fingerprints
+                   -- must equal distinct raster templates (dHash is
+                   -- invariant to the synthesized brightness shift and
+                   -- to the PNG/BMP container)
+                   CAST(COUNT(DISTINCT doc_id % 4) AS BIGINT) AS n_dhash,
+                   CAST(COUNT(DISTINCT doc_id % 4) AS BIGINT) AS n_tmpl
             FROM stats GROUP BY lang
             ORDER BY lang
         """,
