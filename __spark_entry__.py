@@ -1420,10 +1420,66 @@ def q38_minhash_dedup(spark, sf):
         F.round(F.col("rank") * F.lit(float(n_nodes)), 4).alias("v"),
     )
 
+    # r13 'iidx' block: the PERSISTENT image-fingerprint index driven
+    # end to end. Per-doc pixel images synthesize from doc_id: raster
+    # template = doc_id % 16 (distinct templates sit tens of dHash
+    # bits apart — seeded, deterministic), a uniform brightness shift
+    # by (doc_id//16) % 2 (dHash-invariant), container PNG/BMP by the
+    # same parity. Corpus (templates 0..11) indexes to disk, the index
+    # COMPACTS, then the batch (templates 8..15) dedups against the
+    # store — survivors are exactly the docs whose template the corpus
+    # never saw (12..15), which the oracle states relationally.
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from datar_polars_spark.scale import (
+        dedup_against_image_index,
+        image_index_build,
+        image_index_compact,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def doc_img(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from datar_polars_spark.scale.codecs import (
+            make_bmp_pixels,
+            make_png_pixels,
+        )
+
+        out = []
+        for d_ in doc_id:
+            d_ = int(d_)
+            rng = np.random.default_rng(1000 + d_ % 16)
+            img = (
+                rng.integers(0, 247, (16, 24, 3), dtype=np.uint8)
+                + 3 * ((d_ // 16) % 2)
+            ).astype(np.uint8)
+            out.append(
+                make_png_pixels(img) if (d_ // 16) % 2 == 0
+                else make_bmp_pixels(img)
+            )
+        return pd.Series(out)
+
+    imgs = d.df.select(
+        "doc_id", "lang", doc_img(F.col("doc_id")).alias("content")
+    )
+    iidx_path = tempfile.mkdtemp(prefix="q38_iidx_") + "/idx"
+    image_index_build(
+        Tibble(imgs.filter(F.col("doc_id") % 16 < 12)),
+        "content", "doc_id", iidx_path, strict=True,
+    )
+    image_index_compact(spark, iidx_path)
+    iidx_block = dedup_against_image_index(
+        Tibble(imgs.filter(F.col("doc_id") % 16 >= 8)),
+        iidx_path, strict=True,
+    ).df.select(F.lit("iidx").alias("op"), "doc_id", "lang", nullv)
+
     return (
         mh_block.unionByName(sim_block)
         .unionByName(jp_block)
         .unionByName(idx_block)
+        .unionByName(iidx_block)
         .unionByName(prank_block)
         .orderBy("op", "doc_id", "lang")
     )
@@ -3384,6 +3440,14 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'idx', doc_id, lang, CAST(NULL AS DOUBLE)
                 FROM idx_surv
+                UNION ALL
+                -- r13 image-index block: survivors are exactly the
+                -- batch docs (templates 8..15 by doc_id % 16) whose
+                -- raster template the indexed corpus (templates 0..11)
+                -- never saw; brightness shift and PNG/BMP container
+                -- are dHash-invariant, so they never create survivors
+                SELECT 'iidx', doc_id, lang, CAST(NULL AS DOUBLE)
+                FROM documents WHERE doc_id % 16 >= 12
                 UNION ALL
                 SELECT 'prank', u,
                        CASE WHEN u >= 1000000 THEN 'p' ELSE 's' END,

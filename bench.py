@@ -278,6 +278,55 @@ def _semantic_index_bench(emb, phase: str) -> int:
     ).df.count()
 
 
+def _image_index_bench(docs, phase: str) -> int:
+    """r13: persistent image-fingerprint index — 'build' synthesizes a
+    pixel PNG per corpus doc (template raster by doc_id % 64), hashes,
+    and indexes to parquet; 'match' dedups the remaining third against
+    the store. The Arrow dHash pass dominates; everything after is JVM
+    band joins."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from datar_polars_spark.scale import (
+        dedup_against_image_index,
+        image_index_build,
+    )
+    from datar_polars_spark.tibble import Tibble
+
+    @F.pandas_udf(BinaryType())
+    def _img(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from datar_polars_spark.scale.codecs import make_png_pixels
+
+        out = []
+        for d_ in doc_id:
+            rng = np.random.default_rng(int(d_) % 64)
+            out.append(
+                make_png_pixels(
+                    rng.integers(0, 250, (16, 24, 3), dtype=np.uint8)
+                )
+            )
+        return pd.Series(out)
+
+    imgs = docs.df.select("doc_id", _img(F.col("doc_id")).alias("content"))
+    if "iidx" not in _PQ_STATE:
+        import tempfile
+
+        _PQ_STATE["iidx"] = tempfile.mkdtemp(prefix="bench_iidx_") + "/idx"
+    path = _PQ_STATE["iidx"]
+    if phase == "build":
+        image_index_build(
+            Tibble(imgs.filter(F.col("doc_id") % 3 != 0)),
+            "content", "doc_id", path, strict=True,
+        )
+        return 1
+    return dedup_against_image_index(
+        Tibble(imgs.filter(F.col("doc_id") % 3 == 0)), path, strict=True
+    ).df.count()
+
+
 def _pagerank_bench(spark, sf_dir: str, iterations: int = 3) -> int:
     """r12: PageRank power iterations over the symmetric
     supplier<->part graph from lineitem (the q38 'prank' construction)
@@ -613,6 +662,12 @@ def main() -> None:
             # guarantees build runs before match in every round)
             "dedup_index_build": lambda: _index_dedup_bench(docs, "build"),
             "dedup_against_index": lambda: _index_dedup_bench(docs, "match"),
+            # r13: persistent image-fingerprint index — same build/
+            # match split over per-doc synthesized pixel PNGs
+            "image_index_build": lambda: _image_index_bench(docs, "build"),
+            "dedup_against_image_index": lambda: _image_index_bench(
+                docs, "match"
+            ),
             # r12: crawl-graph ranking — 3 power iterations over the
             # symmetric supplier<->part graph (~2x distinct lineitem
             # pairs as edges)

@@ -32,6 +32,14 @@ from .dedup_index import (  # noqa: F401
     match_against_index,
     dedup_against_index,
 )
+from .image_index import (  # noqa: F401
+    image_index_build,
+    image_index_append,
+    image_index_compact,
+    image_index_stats,
+    match_against_image_index,
+    dedup_against_image_index,
+)
 from .semantic_index import (  # noqa: F401
     semantic_index_build,
     semantic_index_append,
