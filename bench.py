@@ -26,6 +26,10 @@ import os
 import sys
 import time
 
+# module-level so pandas_udf type hints ('pd.Series' strings under the
+# postponed-annotations future import) resolve against module globals
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -1172,3 +1172,195 @@ def stream_dedup_paragraphs(
 
 
 __all__.append("stream_dedup_paragraphs")
+
+
+def stream_image_dedup(
+    sdf: DataFrame,
+    index_path: str,
+    content: Any = None,
+    id_col: Any = None,
+    mode: str = "matches",
+    max_hamming: int | None = None,
+    strict: bool = False,
+    ts: Any = None,
+    watermark: str = "1 hour",
+    max_history: int = 2_000_000,
+) -> DataFrame:
+    """Streaming perceptual image dedup against a PERSISTENT image
+    index (``image_index_build``) — the image member of the streaming
+    index-consumer family (``stream_near_dedup``: lexical;
+    ``stream_decontaminate_semantic``: embeddings; this: pixels). The
+    lake's images were dHashed once at index time; each micro-batch
+    hashes only ITSELF (one Arrow pass, stateless) and joins the
+    stores.
+
+    ``mode="matches"`` (the 100 TB path): byte-identical fingerprints
+    come from a stream-static equi-join on the 8-byte hash (hamming 0)
+    and near-dups from the banded posting join (pigeonhole-exact
+    within the build budget), verified JVM-side with ``bit_count`` —
+    stateless, history side arbitrarily large. Emits the stream's
+    columns plus ``match_id``/``hamming``; a near-dup pair colliding
+    in several bands emits once per band UNLESS ``ts=`` is given
+    (``dropDuplicatesWithinWatermark`` on (id, match_id) collapses
+    them with watermark-bounded state; requires ``id_col``).
+
+    ``mode="filter"`` passes through only CLEAN rows (per-doc
+    ALL-bands decision): the fingerprint store broadcasts (bounded by
+    ``max_history`` rows — 16 bytes each, ~32 MB at the 2M default)
+    and the same Arrow pass that hashes each row probes a band dict.
+    NULL-content rows are unverifiable and pass through as clean
+    (family contract). ``max_hamming`` may tighten the build-time
+    budget, never widen it."""
+    from ..scale.image_index import _band_cols, _load_meta
+
+    if mode not in ("matches", "filter"):
+        raise ValueError(
+            f"stream_image_dedup: mode must be 'matches' or 'filter', "
+            f"got {mode!r}"
+        )
+    spark = sdf.sparkSession
+    meta = _load_meta(spark, index_path)
+    budget = meta["max_hamming"] if max_hamming is None else int(max_hamming)
+    if budget > meta["max_hamming"]:
+        raise ValueError(
+            f"stream_image_dedup: max_hamming={budget} exceeds the "
+            f"build-time budget {meta['max_hamming']}; rebuild the index"
+        )
+    cname = _name_of(content) if content is not None else meta["content_col"]
+    idn = _name_of(id_col) if id_col is not None else meta["id_col"]
+    idt = meta["id_type"]
+    in_cols = list(sdf.columns)
+    for scratch in ("__dh__", "band", "bval", "match_id", "hamming"):
+        if scratch in in_cols and (mode == "matches" or scratch == "__dh__"):
+            raise ValueError(
+                f"stream_image_dedup: input column {scratch!r} collides "
+                f"with a scratch/output name; rename it first"
+            )
+
+    from ..scale.codecs import decode_raster
+    from ..scale.multimodal import _dhash64, _stub_raster
+
+    def _hash_one(b):
+        if b is None:
+            return None
+        bb = bytes(b)
+        gray = decode_raster(bb)
+        if gray is None:
+            if strict:
+                raise NotImplementedError(
+                    "stream_image_dedup(strict=True): pixel decode needs "
+                    "PNG/BMP (other containers require a codec library)"
+                )
+            gray = _stub_raster(bb)
+        return _dhash64(gray)
+
+    if mode == "matches":
+        @F.pandas_udf("long")
+        def _dh(s: pd.Series) -> pd.Series:
+            return pd.Series([_hash_one(b) for b in s], dtype="Int64")
+
+        hashed = sdf.withColumn("__dh__", _dh(F.col(cname))).filter(
+            F.col("__dh__").isNotNull()
+        )
+        store = (
+            spark.read.schema(f"id {idt}, dhash bigint")
+            .parquet(f"{index_path}/hashes")
+            .select(F.col("id").alias("match_id"),
+                    F.col("dhash").alias("__sh__"))
+        )
+        exact = (
+            hashed.join(store, hashed["__dh__"] == store["__sh__"])
+            .select(*in_cols, "match_id", F.lit(0).alias("hamming"))
+        )
+        out = exact
+        if budget > 0:
+            postings = (
+                spark.read.schema(f"bval bigint, id {idt}, band int")
+                .parquet(f"{index_path}/postings")
+                .select("band", "bval", F.col("id").alias("match_id"))
+            )
+            fuzzy = (
+                hashed.select(
+                    *in_cols, "__dh__",
+                    F.explode(
+                        F.array(*_band_cols(F.col("__dh__"), meta["bands"]))
+                    ).alias("b"),
+                )
+                .select(*in_cols, "__dh__",
+                        F.col("b.band").alias("band"),
+                        F.col("b.bval").alias("bval"))
+                .join(postings, on=["band", "bval"])
+                .join(
+                    spark.read.schema(f"id {idt}, dhash bigint")
+                    .parquet(f"{index_path}/hashes")
+                    .select(F.col("id").alias("match_id"),
+                            F.col("dhash").alias("__mh__")),
+                    on="match_id",
+                )
+                .withColumn(
+                    "hamming",
+                    F.bit_count(
+                        F.col("__dh__").bitwiseXOR(F.col("__mh__"))
+                    ).cast("int"),
+                )
+                .filter(
+                    (F.col("hamming") > 0) & (F.col("hamming") <= budget)
+                )
+                .select(*in_cols, "match_id", "hamming")
+            )
+            out = exact.unionByName(fuzzy)
+        if ts is not None:
+            tname = _name_of(ts)
+            out = out.withWatermark(tname, watermark)
+            out = out.dropDuplicatesWithinWatermark([idn, "match_id"])
+        return out
+
+    # filter mode: broadcast band dict + in-pass probe
+    rows = (
+        spark.read.schema(f"id {idt}, dhash bigint")
+        .parquet(f"{index_path}/hashes")
+        .select("dhash").limit(max_history).collect()
+    )
+    nb = meta["bands"]
+    band_dict: dict = {}
+    for r in rows:
+        dh = r["dhash"]
+        u = dh & ((1 << 64) - 1)
+        for i in range(nb):
+            lo = (i * 64) // nb
+            hi = ((i + 1) * 64) // nb
+            key = (i, (u >> lo) & ((1 << (hi - lo)) - 1))
+            band_dict.setdefault(key, []).append(dh)
+
+    @F.pandas_udf("boolean")
+    def _clean(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            dh = _hash_one(b)
+            if dh is None:
+                out.append(True)  # unverifiable -> clean (family contract)
+                continue
+            u = dh & ((1 << 64) - 1)
+            hit = False
+            seen = set()
+            for i in range(nb):
+                lo = (i * 64) // nb
+                hi = ((i + 1) * 64) // nb
+                for cand in band_dict.get(
+                    (i, (u >> lo) & ((1 << (hi - lo)) - 1)), ()
+                ):
+                    if cand in seen:
+                        continue
+                    seen.add(cand)
+                    if bin((dh ^ cand) & ((1 << 64) - 1)).count("1") <= budget:
+                        hit = True
+                        break
+                if hit:
+                    break
+            out.append(not hit)
+        return pd.Series(out)
+
+    return sdf.filter(_clean(F.col(cname)))
+
+
+__all__.append("stream_image_dedup")
