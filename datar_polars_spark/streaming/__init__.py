@@ -1315,12 +1315,20 @@ def stream_image_dedup(
             out = out.dropDuplicatesWithinWatermark([idn, "match_id"])
         return out
 
-    # filter mode: broadcast band dict + in-pass probe
+    # filter mode: broadcast band dict + in-pass probe — loud failure
+    # past the bound (family convention: never silently truncate the
+    # history a "clean" decision is made against)
     rows = (
         spark.read.schema(f"id {idt}, dhash bigint")
         .parquet(f"{index_path}/hashes")
-        .select("dhash").limit(max_history).collect()
+        .select("dhash").limit(max_history + 1).collect()
     )
+    if len(rows) > max_history:
+        raise ValueError(
+            f"stream_image_dedup: index holds more than max_history="
+            f"{max_history} fingerprints; use mode='matches' with a "
+            f"batch join-back for unbounded histories"
+        )
     nb = meta["bands"]
     band_dict: dict = {}
     for r in rows:

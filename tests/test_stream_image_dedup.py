@@ -94,3 +94,10 @@ def test_budget_validation(spark, setup):
         stream_image_dedup(sdf, path, max_hamming=60)
     with pytest.raises(ValueError, match="mode"):
         stream_image_dedup(sdf, path, mode="nope")
+
+
+def test_filter_mode_history_bound_is_loud(spark, setup):
+    path, _, src = setup
+    sdf = stream_read_parquet(spark, src)
+    with pytest.raises(ValueError, match="max_history"):
+        stream_image_dedup(sdf, path, mode="filter", max_history=2)
