@@ -244,9 +244,18 @@ def match_against_image_index(
     cname = _name_of(content) if content is not None else meta["content_col"]
     idn = _name_of(id_col) if id_col is not None else meta["id_col"]
     idt = meta["id_type"]
-    base = _hashed_base(
-        td.df.select(*td.columns), cname, idn, strict, True
-    ).select(F.col("id").alias("id_a"), F.col("dhash").alias("dh_a"))
+    from ..plans.cache import register_internal_cache
+
+    # the Arrow decode+hash pass is the expensive part of a match, and
+    # the hashed batch feeds THREE consumers (exact leg, distinct-
+    # fingerprint reps, fuzzy fan-out) — persist it so the batch is
+    # hashed once, not once per consumer (plan-audited: 3 ArrowEval
+    # passes without this)
+    base = register_internal_cache(
+        _hashed_base(td.df.select(*td.columns), cname, idn, strict, True)
+        .select(F.col("id").alias("id_a"), F.col("dhash").alias("dh_a"))
+        .persist()
+    )
     store = (
         spark.read.schema(f"id {idt}, dhash bigint")
         .parquet(f"{path}/hashes")
