@@ -873,7 +873,36 @@ def main() -> None:
     except Exception:
         pass
     sys.stderr.flush()
-    print(payload, flush=True)
+    # The last line must also FIT the driver's stdout-tail capture:
+    # BENCH_r13 printed the full 6,088-byte payload last (post-stop, so
+    # nothing displaced it) and STILL recorded "parsed": null because
+    # the tail window keeps only ~2,000 chars — the JSON's head was cut
+    # off. Emit a compact summary (<1,000 bytes) as the final line; the
+    # full artifact (spreads, scale ops, sf1 section) lives in
+    # BENCH_LAST.json, written above.
+    summary = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": cold,
+            "warm_total": round(sum(warm.values()), 3),
+            "loadavg_start": loadavg_start,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "full_payload": "BENCH_LAST.json",
+        }
+    )
+    if len(summary) > 1900:  # hard guard: never exceed the tail window
+        summary = json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "full_payload": "BENCH_LAST.json",
+            }
+        )
+    print(summary, flush=True)
 
 
 if __name__ == "__main__":

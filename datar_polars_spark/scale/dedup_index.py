@@ -599,10 +599,15 @@ def dedup_index_compact(spark, path: str) -> dict:
         .parquet(f"{path}/fingerprints")
         .dropDuplicates(["fp", "id"])
     )
+    # key on (id, sig) — not id alone: an id appended twice with
+    # DIFFERENT text must keep both signatures (both its fingerprints
+    # and postings survive compaction, so folding to one arbitrary sig
+    # would make compaction visible to match); only byte-duplicate rows
+    # fold, matching semantic_index_compact's ['id','vh'] contract
     sigs = (
         spark.read.schema(f"id {idt}, sig array<bigint>")
         .parquet(f"{path}/sigs")
-        .dropDuplicates(["id"])
+        .dropDuplicates(["id", "sig"])
     )
     bands = _cap_buckets(
         spark.read.schema(f"bhash bigint, id {idt}, band int")
@@ -619,7 +624,7 @@ def dedup_index_compact(spark, path: str) -> dict:
         stores["grams"] = (
             spark.read.schema(f"id {idt}, grams array<string>")
             .parquet(f"{path}/grams")
-            .dropDuplicates(["id"])
+            .dropDuplicates(["id", "grams"])
         )
     # write EVERY compacted store before swapping ANY: all the tmp
     # writes read only live stores, so a failure anywhere in this loop

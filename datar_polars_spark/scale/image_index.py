@@ -60,18 +60,24 @@ _FORMAT = "image-index"
 
 def _band_cols(dh, n_bands: int):
     """The fingerprint's ``n_bands`` disjoint bit bands as (band, bval)
-    structs — pure JVM shifts/masks, mirrors image_near_dup_pairs."""
+    structs — pure JVM shifts/masks, shared with image_near_dup_pairs.
+
+    A full-width band (n_bands=1, i.e. max_hamming=0) keeps the raw
+    hash as its value: the 64-bit mask (1<<64)-1 overflows a signed
+    long and py4j's F.lit would raise NumberFormatException, and no
+    mask is needed when the band IS the whole fingerprint."""
     out = []
     for i in range(n_bands):
         lo = (i * 64) // n_bands
         hi = ((i + 1) * 64) // n_bands
-        mask = (1 << (hi - lo)) - 1
+        width = hi - lo
+        shifted = F.shiftrightunsigned(dh, lo)
+        bval = (
+            shifted if width >= 64
+            else shifted.bitwiseAND(F.lit((1 << width) - 1))
+        )
         out.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(dh, lo).bitwiseAND(F.lit(mask))
-                .alias("bval"),
-            )
+            F.struct(F.lit(i).alias("band"), bval.alias("bval"))
         )
     return out
 
@@ -227,6 +233,27 @@ def match_against_image_index(
     and fan back out, verified JVM-side with ``bit_count(a ^ b)``.
     ``max_hamming`` may tighten the build-time budget, never widen it
     (the band layout only guarantees recall up to the build's)."""
+    pairs, _base = _match_with_base(
+        batch, path, content, id_col,
+        max_hamming=max_hamming, max_bucket=max_bucket, strict=strict,
+    )
+    return pairs
+
+
+def _match_with_base(
+    batch: Any,
+    path: str,
+    content: Any = None,
+    id_col: Any = None,
+    *,
+    max_hamming: int | None = None,
+    max_bucket: int = 10_000,
+    strict: bool = False,
+) -> tuple[Tibble, Any]:
+    """match_against_image_index plus the persisted hashed-batch frame,
+    so callers that MATERIALIZE the result (dedup's append path) can
+    release the persist deterministically via unregister_internal_cache
+    instead of waiting on FIFO eviction."""
     _DROPPED_PAIRS["match_against_image_index"] = []
     td = ensure_tibble(batch)
     spark = td.df.sparkSession
@@ -266,7 +293,7 @@ def match_against_image_index(
         .select("id_a", "id_b", F.lit(0).alias("hamming"))
     )
     if budget == 0:
-        return Tibble(exact)
+        return Tibble(exact), base
     # distinct-fingerprint candidate generation (the fingerprint is 8
     # bytes, so banding every distinct one is cheap even when replicas
     # dominate); identical pairs are the exact leg's — excluded here
@@ -297,7 +324,7 @@ def match_against_image_index(
         .join(base, base["dh_a"] == F.col("dh"))
         .select("id_a", "id_b", "hamming")
     )
-    return Tibble(exact.unionByName(fuzzy))
+    return Tibble(exact.unionByName(fuzzy)), base
 
 
 def dedup_against_image_index(
@@ -316,7 +343,7 @@ def dedup_against_image_index(
     columns. ``append=True`` admits the survivors into the index
     (materialized first — the family's read-after-append contract)."""
     td = ensure_tibble(batch)
-    hits = match_against_image_index(
+    hits, hashed_batch = _match_with_base(
         td, path, content, id_col,
         max_hamming=max_hamming, max_bucket=max_bucket, strict=strict,
     )
@@ -328,6 +355,12 @@ def dedup_against_image_index(
     )
     if append:
         surv = surv.localCheckpoint(eager=True)
+        # the eager checkpoint just consumed the match plan in full —
+        # the persisted hashed batch has no remaining consumer, so
+        # release it now instead of waiting on FIFO eviction
+        from ..plans.cache import unregister_internal_cache
+
+        unregister_internal_cache(hashed_batch)
     out = Tibble(surv, groups=td.group_vars, levels=td.levels)
     if append:
         cname = (

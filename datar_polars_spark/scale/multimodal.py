@@ -646,6 +646,7 @@ def image_near_dup_pairs(
     ``"image_near_dup_pairs"`` for dropped_pairs_estimate). Everything
     after the one Arrow hash pass is JVM expressions."""
     from .dedup import _cap_buckets, _DROPPED_PAIRS
+    from .image_index import _band_cols
 
     _DROPPED_PAIRS["image_near_dup_pairs"] = []
     if max_hamming < 0:
@@ -654,20 +655,7 @@ def image_near_dup_pairs(
     base = hashed.df.select(
         F.col(id_col).alias("id"), F.col("__dh__")
     ).filter(F.col("id").isNotNull() & F.col("__dh__").isNotNull())
-    nb = max_hamming + 1
-    bands = []
-    for i in range(nb):
-        lo = (i * 64) // nb
-        hi = ((i + 1) * 64) // nb
-        width = hi - lo
-        mask = (1 << width) - 1
-        bands.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("__dh__"), lo)
-                .bitwiseAND(F.lit(mask)).alias("bval"),
-            )
-        )
+    bands = _band_cols(F.col("__dh__"), max_hamming + 1)
     banded = _cap_buckets(
         base.select(
             "id", "__dh__", F.explode(F.array(*bands)).alias("b")

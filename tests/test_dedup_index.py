@@ -435,3 +435,42 @@ def test_compact_caps_cross_increment_bucket(tmp_path, spark):
         tibble(spark, doc_id=[9], text=[BASE]), path, threshold=0.5
     ).df.collect()
     assert {r.via for r in hit} == {"exact"}
+
+
+def test_compact_keeps_both_sigs_for_reused_id(tmp_path, spark):
+    """r13 ADVICE: an id appended twice with DIFFERENT text used to
+    fold to one arbitrary signature at compact (dedupe on ['id']
+    alone) while both fingerprints and postings survived — compaction
+    was visible to match. Sigs now key on ['id','sig']: only
+    byte-duplicate rows fold, match results identical pre/post."""
+    from datar_polars_spark.scale import dedup_index_compact
+
+    path = str(tmp_path / "didx")
+    dedup_index_build(
+        tibble(spark, doc_id=[1], text=[BASE]), f.text, f.doc_id, path,
+        num_perm=64, bands=16,
+    )
+    # the SAME id under different text: the index now holds two
+    # distinct signatures for id 1
+    dedup_index_append(tibble(spark, doc_id=[1], text=[FAR]), path)
+    probe = tibble(spark, doc_id=[10, 11], text=[NEAR, FAR])
+    before = sorted(
+        (r.id_a, r.id_b, r.via, round(r.jaccard_est, 9))
+        for r in match_against_index(probe, path, threshold=0.5).df.collect()
+    )
+    # both texts' entries are live: NEAR fuzzy-matches BASE's sig and
+    # FAR exact-matches FAR's fp — if compact dropped either sig the
+    # fuzzy leg (or its jaccard estimate) would change
+    assert {(a, b, v) for a, b, v, _ in before} == {
+        (10, 1, "minhash"), (11, 1, "exact")
+    }
+    dedup_index_compact(spark, path)
+    after = sorted(
+        (r.id_a, r.id_b, r.via, round(r.jaccard_est, 9))
+        for r in match_against_index(probe, path, threshold=0.5).df.collect()
+    )
+    assert after == before
+    sigs = spark.read.schema("id bigint, sig array<bigint>").parquet(
+        f"{path}/sigs"
+    )
+    assert sigs.count() == 2  # both signatures survived the fold

@@ -141,3 +141,62 @@ def test_compact_preserves_matches_and_caps(spark, tmp_path):
     assert after == before and len(before) == 4
     assert out["dropped_pairs"] == 30.0
     assert out["n_postings"] == 0
+
+
+def test_max_hamming_zero_builds_exact_only_index(spark, tmp_path):
+    # r13 ADVICE: a single full-width band's mask (1<<64)-1 overflowed
+    # py4j's long, so max_hamming=0 crashed instead of building an
+    # exact-dup-only index; the band now keeps the raw hash unmasked
+    path = str(tmp_path / "iidx0")
+    corpus = _td(spark, [(i + 1, make_png_pixels(_img(i))) for i in range(3)])
+    image_index_build(corpus, "content", "img_id", path, max_hamming=0)
+    st = image_index_stats(spark, path)
+    assert st["max_hamming"] == 0 and st["bands"] == 1
+    batch = _td(spark, [
+        (10, make_bmp_pixels(_img(0))),   # same pixels, other container
+        (11, make_png_pixels(_img(9))),   # unrelated
+    ])
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in match_against_image_index(batch, path).df.collect()
+    }
+    assert got == {(10, 1): 0}
+    image_index_append(_td(spark, [(20, make_png_pixels(_img(9)))]), path)
+    assert dedup_against_image_index(batch, path).df.count() == 0
+    image_index_compact(spark, path)
+    assert image_index_stats(spark, path)["n_images"] == 4
+
+
+def test_near_dup_pairs_max_hamming_zero(spark):
+    # sibling crash site (multimodal.py banding, now shared _band_cols)
+    from datar_polars_spark.scale import image_near_dup_pairs
+
+    td = _td(spark, [
+        (1, make_png_pixels(_img(0))),
+        (2, make_bmp_pixels(_img(0))),
+        (3, make_png_pixels(_img(9))),
+    ])
+    got = [
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_near_dup_pairs(
+            td, "content", "img_id", max_hamming=0
+        ).df.collect()
+    ]
+    assert got == [(1, 2, 0)]
+
+
+def test_dedup_append_releases_hashed_batch_cache(spark, built):
+    # the append path materializes survivors eagerly, so the persisted
+    # hashed batch has no remaining consumer — dedup must release it
+    # (unregister_internal_cache) instead of leaving it to FIFO
+    from datar_polars_spark.plans.cache import (
+        internal_cache_count,
+        release_internal_caches,
+    )
+
+    batch = _td(spark, [(60, make_png_pixels(_img(11)))])
+    # start from an empty registry: at cap, registering evicts an older
+    # entry and the before/after count comparison would drift
+    release_internal_caches()
+    dedup_against_image_index(batch, built, append=True)
+    assert internal_cache_count() == 0  # registered, then released
