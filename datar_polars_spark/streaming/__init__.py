@@ -1184,7 +1184,7 @@ def stream_image_dedup(
     strict: bool = False,
     ts: Any = None,
     watermark: str = "1 hour",
-    max_history: int = 2_000_000,
+    max_history: int = 1_000_000,
 ) -> DataFrame:
     """Streaming perceptual image dedup against a PERSISTENT image
     index (``image_index_build``) — the image member of the streaming
@@ -1205,9 +1205,11 @@ def stream_image_dedup(
     them with watermark-bounded state; requires ``id_col``).
 
     ``mode="filter"`` passes through only CLEAN rows (per-doc
-    ALL-bands decision): the fingerprint store broadcasts (bounded by
-    ``max_history`` rows — 16 bytes each, ~32 MB at the 2M default)
-    and the same Arrow pass that hashes each row probes a band dict.
+    ALL-bands decision): the fingerprint store broadcasts as per-band
+    sorted numpy tables (bounded by ``max_history`` rows — 16 bytes x
+    ``bands`` per fingerprint, ~80 MB at the 1M default with 5 bands)
+    and the same Arrow pass that hashes each row probes them with
+    ``searchsorted``.
     NULL-content rows are unverifiable and pass through as clean
     (family contract). ``max_hamming`` may tighten the build-time
     budget, never widen it."""
@@ -1315,9 +1317,17 @@ def stream_image_dedup(
             out = out.dropDuplicatesWithinWatermark([idn, "match_id"])
         return out
 
-    # filter mode: broadcast band dict + in-pass probe — loud failure
-    # past the bound (family convention: never silently truncate the
-    # history a "clean" decision is made against)
+    # filter mode: broadcast per-band SORTED numpy tables + in-pass
+    # searchsorted probe — loud failure past the bound (family
+    # convention: never silently truncate the history a "clean"
+    # decision is made against). Packed arrays, not a Python dict of
+    # tuple keys: the dict layout cost 100+ bytes per (band, value)
+    # entry — several GB pickled at the old 2M default — while the
+    # tables cost exactly 16 bytes x bands per fingerprint (sorted
+    # band values + co-sorted hashes, both uint64), ~80 MB at the
+    # 1M default with 5 bands.
+    import numpy as np
+
     rows = (
         spark.read.schema(f"id {idt}, dhash bigint")
         .parquet(f"{index_path}/hashes")
@@ -1330,15 +1340,32 @@ def stream_image_dedup(
             f"batch join-back for unbounded histories"
         )
     nb = meta["bands"]
-    band_dict: dict = {}
-    for r in rows:
-        dh = r["dhash"]
-        u = dh & ((1 << 64) - 1)
-        for i in range(nb):
-            lo = (i * 64) // nb
-            hi = ((i + 1) * 64) // nb
-            key = (i, (u >> lo) & ((1 << (hi - lo)) - 1))
-            band_dict.setdefault(key, []).append(dh)
+    hashes_np = np.array(
+        [r["dhash"] for r in rows], dtype=np.int64
+    ).view(np.uint64)
+    shifts = [np.uint64((i * 64) // nb) for i in range(nb)]
+    masks = [
+        np.uint64(
+            (1 << (((i + 1) * 64) // nb - (i * 64) // nb)) - 1
+            if ((i + 1) * 64) // nb - (i * 64) // nb < 64
+            else 0xFFFFFFFFFFFFFFFF
+        )
+        for i in range(nb)
+    ]
+    band_tables = []
+    for i in range(nb):
+        bv = (hashes_np >> shifts[i]) & masks[i]
+        order = np.argsort(bv, kind="stable")
+        band_tables.append((bv[order], hashes_np[order]))
+
+    def _popcount64(x: "np.ndarray") -> "np.ndarray":
+        # SWAR popcount — numpy 1.x has no bitwise_count ufunc
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
     @F.pandas_udf("boolean")
     def _clean(s: pd.Series) -> pd.Series:
@@ -1348,22 +1375,20 @@ def stream_image_dedup(
             if dh is None:
                 out.append(True)  # unverifiable -> clean (family contract)
                 continue
-            u = dh & ((1 << 64) - 1)
+            u = np.uint64(dh & ((1 << 64) - 1))
             hit = False
-            seen = set()
             for i in range(nb):
-                lo = (i * 64) // nb
-                hi = ((i + 1) * 64) // nb
-                for cand in band_dict.get(
-                    (i, (u >> lo) & ((1 << (hi - lo)) - 1)), ()
+                bvals, cands = band_tables[i]
+                v = (u >> shifts[i]) & masks[i]
+                lo_ix = np.searchsorted(bvals, v, side="left")
+                hi_ix = np.searchsorted(bvals, v, side="right")
+                if lo_ix == hi_ix:
+                    continue
+                if (
+                    _popcount64(cands[lo_ix:hi_ix] ^ u).min()
+                    <= budget
                 ):
-                    if cand in seen:
-                        continue
-                    seen.add(cand)
-                    if bin((dh ^ cand) & ((1 << 64) - 1)).count("1") <= budget:
-                        hit = True
-                        break
-                if hit:
+                    hit = True
                     break
             out.append(not hit)
         return pd.Series(out)
