@@ -1423,9 +1423,14 @@ def q38_minhash_dedup(spark, sf):
     # r13 'iidx' block: the PERSISTENT image-fingerprint index driven
     # end to end. Per-doc pixel images synthesize from doc_id: raster
     # template = doc_id % 16 (distinct templates sit tens of dHash
-    # bits apart — seeded, deterministic), a uniform brightness shift
-    # by (doc_id//16) % 2 (dHash-invariant), container PNG/BMP by the
-    # same parity. Corpus (templates 0..11) indexes to disk, the index
+    # bits apart — seeded, deterministic), variant = (doc_id//16) % 2.
+    # Container is keyed by TEMPLATE % 3: PNG / BMP (variant = a
+    # uniform +3 brightness shift, dHash-invariant) / baseline JPEG
+    # (r14: variant = a quality-40 4:2:0 re-encode of the quality-90
+    # 4:4:4 original — the DC-thumbnail dHashes sit <= 1 Hamming bit
+    # apart, verified against >= 21 bits across templates, so the
+    # JPEG near-dups exercise the banded FUZZY path, not the exact
+    # leg). Corpus (templates 0..11) indexes to disk, the index
     # COMPACTS, then the batch (templates 8..15) dedups against the
     # store — survivors are exactly the docs whose template the corpus
     # never saw (12..15), which the oracle states relationally.
@@ -1444,21 +1449,30 @@ def q38_minhash_dedup(spark, sf):
 
         from datar_polars_spark.scale.codecs import (
             make_bmp_pixels,
+            make_jpeg_pixels,
             make_png_pixels,
         )
 
         out = []
         for d_ in doc_id:
             d_ = int(d_)
-            rng = np.random.default_rng(1000 + d_ % 16)
+            t, v = d_ % 16, (d_ // 16) % 2
+            rng = np.random.default_rng(1000 + t)
             img = (
-                rng.integers(0, 247, (16, 24, 3), dtype=np.uint8)
-                + 3 * ((d_ // 16) % 2)
+                rng.integers(0, 247, (16, 24, 3), dtype=np.uint8) + 3 * v
             ).astype(np.uint8)
-            out.append(
-                make_png_pixels(img) if (d_ // 16) % 2 == 0
-                else make_bmp_pixels(img)
-            )
+            c = t % 3
+            if c == 0:
+                out.append(make_png_pixels(img))
+            elif c == 1:
+                out.append(make_bmp_pixels(img))
+            else:
+                # x8 blocky upsample: the JPEG DC thumbnail decodes
+                # back to (about) the 16x24 template raster itself
+                big = np.repeat(np.repeat(img, 8, axis=0), 8, axis=1)
+                out.append(make_jpeg_pixels(
+                    big, quality=90 if v == 0 else 40, subsample=v == 1,
+                ))
         return pd.Series(out)
 
     imgs = d.df.select(

@@ -1242,17 +1242,275 @@ def _raster_png(b: bytes):
     )
 
 
+class _JpegBitReader:
+    """MSB-first bit reader over a JPEG entropy-coded segment with
+    0xFF00 byte-stuffing removal; stops at any real marker."""
+
+    __slots__ = ("b", "i", "end", "acc", "nbits", "marker")
+
+    def __init__(self, b: bytes, i: int):
+        self.b = b
+        self.i = i
+        self.end = len(b)
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None  # marker byte that ended the segment
+
+    def _fill(self) -> bool:
+        while self.nbits <= 24:
+            if self.i >= self.end:
+                return self.nbits > 0
+            byte = self.b[self.i]
+            if byte == 0xFF:
+                if self.i + 1 >= self.end:
+                    return self.nbits > 0
+                nxt = self.b[self.i + 1]
+                if nxt == 0x00:  # stuffed
+                    self.i += 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart: caller consumes
+                    self.marker = nxt
+                    return self.nbits > 0
+                else:  # real marker: end of scan
+                    self.marker = nxt
+                    return self.nbits > 0
+                self.acc = (self.acc << 8) | byte
+                self.nbits += 8
+            else:
+                self.i += 1
+                self.acc = (self.acc << 8) | byte
+                self.nbits += 8
+        return True
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            got = self.nbits
+            if not self._fill() or self.nbits == got:
+                raise ValueError("jpeg: bitstream exhausted")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def restart(self) -> None:
+        """Drop padding bits, resync past the next RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+        while self.i + 1 < self.end:
+            if self.b[self.i] == 0xFF and 0xD0 <= self.b[self.i + 1] <= 0xD7:
+                self.i += 2
+                return
+            self.i += 1
+        raise ValueError("jpeg: expected restart marker")
+
+
+def _jpeg_huff_table(bits_counts, values):
+    """(mincode, maxcode, valptr) per code length for canonical JPEG
+    Huffman decode — ITU T.81 F.2.2.3."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        n = bits_counts[ln - 1]
+        if n:
+            valptr[ln] = k
+            mincode[ln] = code
+            code += n
+            k += n
+            maxcode[ln] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, values
+
+
+def _jpeg_decode_sym(r: "_JpegBitReader", tbl) -> int:
+    mincode, maxcode, valptr, values = tbl
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bits(1)
+        if code <= maxcode[ln]:
+            return values[valptr[ln] + code - mincode[ln]]
+    raise ValueError("jpeg: bad huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _raster_jpeg(b: bytes):
+    """DC-only grayscale raster for baseline (SOF0/SOF1) Huffman JPEG:
+    the Y channel's dequantized DC coefficients ARE the standard
+    1/8-scale grayscale thumbnail (DC = 8 x block mean after level
+    shift), so a perceptual dHash needs no IDCT and no AC storage —
+    the AC symbols are Huffman-decoded only to advance the bitstream.
+    Returns None for progressive/arithmetic/12-bit streams (those need
+    a real codec library). Pure Python, thumbnail-appropriate; the
+    Arrow batch shape upstream is the corpus-scale contract."""
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: dict = {}
+    huff: dict = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    try:
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            m = b[i + 1]
+            if m == 0x01 or 0xD0 <= m <= 0xD8:
+                i += 2
+                continue
+            if m == 0xD9:  # EOI before SOS
+                return None
+            ln = (b[i + 2] << 8) | b[i + 3]
+            seg = b[i + 4 : i + 2 + ln]
+            if m == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 15
+                    p += 1
+                    if pq != 0:  # 16-bit tables: not baseline
+                        return None
+                    qt[tq] = bytes(seg[p : p + 64])
+                    p += 64
+            elif m in (0xC0, 0xC1):  # baseline / ext sequential huffman
+                prec = seg[0]
+                if prec != 8:
+                    return None
+                h = (seg[1] << 8) | seg[2]
+                w = (seg[3] << 8) | seg[4]
+                nc = seg[5]
+                comps = []
+                for c in range(nc):
+                    cid = seg[6 + 3 * c]
+                    hv = seg[7 + 3 * c]
+                    comps.append(
+                        (cid, hv >> 4, hv & 15, seg[8 + 3 * c])
+                    )
+                frame = (h, w, comps)
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / lossless / arithmetic
+            elif m == 0xC4:  # DHT
+                p = 0
+                while p + 17 <= len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    counts = seg[p + 1 : p + 17]
+                    nvals = sum(counts)
+                    vals = seg[p + 17 : p + 17 + nvals]
+                    huff[(tc, th)] = _jpeg_huff_table(counts, vals)
+                    p += 17 + nvals
+            elif m == 0xDD:  # DRI
+                restart_interval = (seg[0] << 8) | seg[1]
+            elif m == 0xDA:  # SOS
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scan = []  # (comp_index, dc_tbl, ac_tbl)
+                for s_ in range(ns):
+                    cs = seg[1 + 2 * s_]
+                    td_ta = seg[2 + 2 * s_]
+                    ci = next(
+                        (k for k, c in enumerate(frame[2]) if c[0] == cs),
+                        None,
+                    )
+                    if ci is None:
+                        return None
+                    scan.append((ci, td_ta >> 4, td_ta & 15))
+                if len(scan) != len(frame[2]):
+                    return None  # multi-scan sequential: skip
+                data_start = i + 2 + ln
+                return _jpeg_decode_scan(
+                    b, data_start, frame, scan, qt, huff,
+                    restart_interval, np,
+                )
+            i += 2 + ln
+    except (ValueError, IndexError, KeyError):
+        return None
+    return None
+
+
+def _jpeg_decode_scan(
+    b, start, frame, scan, qt, huff, restart_interval, np
+):
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    yc = scan[0][0]  # first scan component: Y by JPEG convention
+    y_h, y_v = comps[yc][1], comps[yc][2]
+    yq = qt[comps[yc][3]][0]  # DC quantizer (zigzag index 0)
+    dc_map = np.zeros((mcus_y * y_v, mcus_x * y_h), dtype=np.float32)
+    dc_tbls = [huff[(0, s[1])] for s in scan]
+    ac_tbls = [huff[(1, s[2])] for s in scan]
+    pred = [0] * len(scan)
+    r = _JpegBitReader(b, start)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.restart()
+                pred = [0] * len(scan)
+            for si, (ci, _td, _ta) in enumerate(scan):
+                ch, cv = comps[ci][1], comps[ci][2]
+                for bv in range(cv):
+                    for bh in range(ch):
+                        t = _jpeg_decode_sym(r, dc_tbls[si])
+                        diff = _jpeg_extend(r.bits(t), t)
+                        pred[si] += diff
+                        if ci == yc:
+                            dc_map[my * y_v + bv, mx * y_h + bh] = (
+                                pred[si]
+                            )
+                        k = 1
+                        while k < 64:  # AC: advance the stream only
+                            rs = _jpeg_decode_sym(r, ac_tbls[si])
+                            rr, ss = rs >> 4, rs & 15
+                            if ss == 0:
+                                if rr != 15:
+                                    break  # EOB
+                                k += 16
+                            else:
+                                k += rr
+                                r.bits(ss)
+                                k += 1
+            mcu += 1
+    # crop the Y DC grid to the true block extent and dequantize into
+    # pixel space: block mean = dc*q/8 + 128
+    by = -(-(h * y_v) // (8 * vmax))
+    bx = -(-(w * y_h) // (8 * hmax))
+    out = dc_map[:by, :bx] * (yq / 8.0) + 128.0
+    return np.clip(out, 0.0, 255.0).astype(np.float32)
+
+
 def decode_raster(b: bytes):
     """Grayscale float32 pixel array for content this container can
-    decode WITHOUT a codec library: 8-bit non-interlaced PNG and
-    uncompressed 24/32-bit BMP. Returns None otherwise — callers
-    choose between a documented deterministic stub raster and
-    strict-mode failure (see multimodal.image_dhash)."""
+    decode WITHOUT a codec library: 8-bit non-interlaced PNG,
+    uncompressed 24/32-bit BMP, and baseline Huffman JPEG (DC-only:
+    the 1/8-scale Y thumbnail — exactly the raster a perceptual hash
+    wants). Returns None otherwise — callers choose between a
+    documented deterministic stub raster and strict-mode failure (see
+    multimodal.image_dhash)."""
     if not b:
         return None
     out = _raster_png(b)
     if out is None:
         out = _raster_bmp(b)
+    if out is None:
+        out = _raster_jpeg(b)
     return out
 
 
@@ -1269,6 +1527,255 @@ def make_png_pixels(arr) -> bytes:
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", _zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
+    )
+
+
+# ITU T.81 Annex K reference tables (public spec): example quant
+# matrices and the typical Huffman tables every baseline encoder ships
+_JPEG_QL = [  # luminance, natural (row-major) order
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [  # chrominance
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+_JPEG_ZZ = [  # natural index for each zigzag position
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_HT_DC_L = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_C = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HT_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_huff_codes(bits_counts, values):
+    """symbol -> (code, length) for canonical JPEG Huffman encode."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits_counts[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        pad = (8 - self.nbits % 8) % 8
+        if pad:
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        self.acc = 0
+        self.nbits = 0
+
+
+def _jpeg_scale_q(table, quality: int):
+    import numpy as np
+
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (np.array(table, dtype=np.int64) * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def make_jpeg_pixels(
+    arr, quality: int = 75, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Full baseline JPEG carrying real pixel data (HxWx3 uint8 RGB
+    array) — the raster-path test fixture for _raster_jpeg: two
+    encodes of the same array at different qualities are near-identical
+    images whose DC thumbnails (and therefore dHashes) stay close.
+    Standard Annex K quantization (quality-scaled) and Huffman tables,
+    matrix FDCT; ``subsample=True`` emits 4:2:0 (the dominant web
+    layout — exercises the decoder's multi-block MCU interleave),
+    else 4:4:4."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    # RGB -> YCbCr (JPEG full-range BT.601)
+    rgb = arr.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
+    qy = _jpeg_scale_q(_JPEG_QL, quality)
+    qc = _jpeg_scale_q(_JPEG_QC, quality)
+    y_hv = (2, 2) if subsample else (1, 1)
+    mcu_px = 8 * y_hv[0]  # MCU pixel span (square sampling)
+    ph, pw = -(-h // mcu_px) * mcu_px, -(-w // mcu_px) * mcu_px
+
+    def _pad(ch):
+        return np.pad(ch, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    y = _pad(y)
+    cb, cr = _pad(cb), _pad(cr)
+    if subsample:  # 2x2 box-average chroma
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    # (plane, quant, (hsamp, vsamp)) in component order Y, Cb, Cr
+    planes = [(y, qy, y_hv), (cb, qc, (1, 1)), (cr, qc, (1, 1))]
+    # orthonormal 8x8 DCT-II matrix
+    k = np.arange(8)
+    d = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.sqrt(0.25)
+    d[0] *= np.sqrt(0.5)
+    dc_codes = [_jpeg_huff_codes(*_HT_DC_L), _jpeg_huff_codes(*_HT_DC_C)]
+    ac_codes = [_jpeg_huff_codes(*_HT_AC_L), _jpeg_huff_codes(*_HT_AC_C)]
+    wtr = _JpegBitWriter()
+    pred = [0, 0, 0]
+    zz = np.array(_JPEG_ZZ)
+
+    def _encode_block(plane, q, ci, r0, c0):
+        blk = plane[r0 : r0 + 8, c0 : c0 + 8] - 128.0
+        coef = d @ blk @ d.T
+        qz = np.round(coef.flatten() / q.astype(np.float64))
+        qz = qz.astype(np.int32)[zz]  # zigzag order
+        ti = 0 if ci == 0 else 1
+        diff = int(qz[0]) - pred[ci]
+        pred[ci] = int(qz[0])
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[ti][s]
+        wtr.put(code, ln)
+        if s:
+            wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for kk in range(1, 64):
+            v = int(qz[kk])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[ti][0xF0]  # ZRL
+                wtr.put(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            code, ln = ac_codes[ti][(run << 4) | s]
+            wtr.put(code, ln)
+            wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, ln = ac_codes[ti][0x00]  # EOB
+            wtr.put(code, ln)
+
+    mcu = 0
+    for my in range(ph // mcu_px):
+        for mx in range(pw // mcu_px):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                pred[:] = [0, 0, 0]
+            for ci, (plane, q, (csh, csv)) in enumerate(planes):
+                for bv in range(csv):
+                    for bh in range(csh):
+                        _encode_block(
+                            plane, q, ci,
+                            (my * csv + bv) * 8, (mx * csh + bh) * 8,
+                        )
+            mcu += 1
+    wtr.flush()
+    # assemble the stream
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+    dqt = seg(0xDB, bytes([0]) + bytes(int(qy[i]) for i in _JPEG_ZZ)) + seg(
+        0xDB, bytes([1]) + bytes(int(qc[i]) for i in _JPEG_ZZ)
+    )
+    y_hv_byte = (y_hv[0] << 4) | y_hv[1]
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, y_hv_byte, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    def dht(tc, th, tbl):
+        counts, vals = tbl
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(vals))
+    dhts = (
+        dht(0, 0, _HT_DC_L) + dht(1, 0, _HT_AC_L)
+        + dht(0, 1, _HT_DC_C) + dht(1, 1, _HT_AC_C)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval else b""
+    )
+    return (
+        b"\xff\xd8" + dqt + sof + dhts + dri + sos + bytes(wtr.out)
+        + b"\xff\xd9"
     )
 
 

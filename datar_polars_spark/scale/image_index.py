@@ -32,8 +32,10 @@ out. NULL-content and NULL-id batch rows never match and always
 survive dedup (the family's NULL contract).
 
 Pixel source caveat (same as image_dhash): PNG/BMP rasters decode for
-real; other containers hash a deterministic content-keyed stub raster,
-i.e. exact-content identity only — or raise with ``strict=True``.
+real, baseline JPEG decodes to its DC (1/8-scale luma) thumbnail —
+all three get the real perceptual property; other containers hash a
+deterministic content-keyed stub raster, i.e. exact-content identity
+only — or raise with ``strict=True``.
 """
 
 from __future__ import annotations

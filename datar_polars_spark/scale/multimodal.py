@@ -553,11 +553,12 @@ def _dhash64(gray) -> int:
 
 def _stub_raster(content: bytes):
     """Deterministic pseudo-raster for content the container cannot
-    pixel-decode (JPEG/WebP/... need a real codec library): keyed off
-    the content hash, so the resulting 'fingerprint' is exact-content
-    identity, NOT perceptual — two near-identical JPEGs get unrelated
-    hashes. Real rasters (PNG/BMP via codecs.decode_raster) get the
-    real perceptual property."""
+    pixel-decode (WebP/GIF/TIFF/progressive-JPEG/... need a real codec
+    library): keyed off the content hash, so the resulting
+    'fingerprint' is exact-content identity, NOT perceptual — two
+    near-identical such images get unrelated hashes. Real rasters
+    (PNG, BMP, and baseline JPEG's DC thumbnail via
+    codecs.decode_raster) get the real perceptual property."""
     import hashlib as _hl
 
     import numpy as np
@@ -582,11 +583,16 @@ def image_dhash(
     catches near-dups, feeding the same curation loop as text dedup.
 
     Pixels come from ``codecs.decode_raster`` where that is possible
-    without a codec library (8-bit non-interlaced PNG, uncompressed
-    24/32-bit BMP); other containers fall back to a DETERMINISTIC
-    stub raster keyed off the content hash (documented: exact-content
-    identity only, no perceptual property) or raise with
-    ``strict=True``. One Arrow ``mapInPandas`` pass, no shuffle."""
+    without a codec library: 8-bit non-interlaced PNG, uncompressed
+    24/32-bit BMP, and baseline Huffman JPEG — the dominant crawl
+    format — whose DC coefficients decode (no IDCT) into the standard
+    1/8-scale luma thumbnail, exactly the raster dHash resamples
+    anyway, so JPEG re-encodes land within a few Hamming bits of each
+    other. Other containers (WebP, progressive JPEG, ...) fall back
+    to a DETERMINISTIC stub raster keyed off the content hash
+    (documented: exact-content identity only, no perceptual property)
+    or raise with ``strict=True``. One Arrow ``mapInPandas`` pass, no
+    shuffle."""
     import pandas as pd
 
     from .codecs import decode_raster
@@ -612,8 +618,8 @@ def image_dhash(
                     if strict:
                         raise NotImplementedError(
                             "image_dhash(strict=True): pixel decode "
-                            "needs PNG/BMP (other containers require a "
-                            "real codec library)"
+                            "needs PNG/BMP/baseline-JPEG (other "
+                            "containers require a real codec library)"
                         )
                     gray = _stub_raster(bb)
                 hashes.append(_dhash64(gray))

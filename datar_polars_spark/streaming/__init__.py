@@ -1251,7 +1251,8 @@ def stream_image_dedup(
             if strict:
                 raise NotImplementedError(
                     "stream_image_dedup(strict=True): pixel decode needs "
-                    "PNG/BMP (other containers require a codec library)"
+                    "PNG/BMP/baseline-JPEG (other containers require a "
+                    "codec library)"
                 )
             gray = _stub_raster(bb)
         return _dhash64(gray)

@@ -124,3 +124,105 @@ def test_image_near_dup_pairs_banded_join(spark):
     assert set(pairs) == expect
     with pytest.raises(ValueError, match="max_hamming"):
         image_near_dup_pairs(td, "content", "id", max_hamming=-1)
+
+
+def test_decode_raster_jpeg_dc_thumbnail():
+    # r14: baseline JPEG decodes DC-only to the 1/8-scale luma
+    # thumbnail — no IDCT, pure Python — for all layout variants
+    from datar_polars_spark.scale.codecs import make_jpeg_pixels
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 256, (8, 12, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 16, axis=0), 16, axis=1)  # 128x192
+    y = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    block_means = y.reshape(16, 8, 24, 8).mean(axis=(1, 3))
+    for kw in (
+        {},                                     # 4:4:4
+        {"subsample": True},                    # 4:2:0 MCU interleave
+        {"restart_interval": 3},                # DRI/RSTn resync
+        {"subsample": True, "restart_interval": 1},
+    ):
+        dc = decode_raster(make_jpeg_pixels(img, quality=90, **kw))
+        assert dc.shape == (16, 24), kw
+        assert float(np.abs(dc - block_means).mean()) < 1.0, kw
+    # odd (non-MCU-multiple) dims crop to the true block extent
+    odd = decode_raster(
+        make_jpeg_pixels(img[:100, :150], quality=75, subsample=True)
+    )
+    assert odd.shape == (13, 19)
+
+
+def test_jpeg_reencodes_are_perceptual_near_dups(spark):
+    # the r13 gap: JPEG fell to the exact-identity stub, so re-encodes
+    # got unrelated hashes; with the DC decode they collide or nearly
+    from datar_polars_spark.scale.codecs import make_jpeg_pixels
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (8, 12, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 16, axis=0), 16, axis=1)
+    far = np.repeat(
+        np.repeat(rng.integers(0, 256, (8, 12, 3), dtype=np.uint8), 16, 0),
+        16, 1,
+    )
+    rows = [
+        (1, bytearray(make_jpeg_pixels(img, quality=90))),
+        (2, bytearray(make_jpeg_pixels(img, quality=40))),        # re-encode
+        (3, bytearray(make_jpeg_pixels(img, quality=85, subsample=True))),
+        (4, bytearray(make_jpeg_pixels(far, quality=90))),
+    ]
+    td = Tibble(spark.createDataFrame(rows, "id long, content binary"))
+    # strict mode now ACCEPTS baseline JPEG (no stub, no raise)
+    hashes = {
+        r["id"]: r["dhash"]
+        for r in image_dhash(td, "content", strict=True).df.collect()
+    }
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(hashes[1], hashes[2]) <= 4
+    assert ham(hashes[1], hashes[3]) <= 4
+    assert ham(hashes[1], hashes[4]) > 16
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup_pairs(
+            td, "content", "id", max_hamming=4, strict=True
+        ).df.collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_jpeg_via_image_index(spark, tmp_path):
+    from datar_polars_spark.scale import (
+        dedup_against_image_index,
+        image_index_build,
+        match_against_image_index,
+    )
+    from datar_polars_spark.scale.codecs import make_jpeg_pixels
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 256, (8, 12, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 16, axis=0), 16, axis=1)
+    far = np.repeat(
+        np.repeat(rng.integers(0, 256, (8, 12, 3), dtype=np.uint8), 16, 0),
+        16, 1,
+    )
+    path = str(tmp_path / "iidx")
+    corpus = Tibble(spark.createDataFrame(
+        [(1, bytearray(make_jpeg_pixels(img, quality=90))),
+         (2, bytearray(make_jpeg_pixels(far, quality=90)))],
+        "img_id long, content binary",
+    ))
+    image_index_build(corpus, "content", "img_id", path, strict=True)
+    batch = Tibble(spark.createDataFrame(
+        [(10, bytearray(make_jpeg_pixels(img, quality=40)))],  # re-encode
+        "img_id long, content binary",
+    ))
+    got = [
+        (r.id_a, r.id_b, r.hamming)
+        for r in match_against_image_index(
+            batch, path, strict=True
+        ).df.collect()
+    ]
+    assert len(got) == 1 and got[0][:2] == (10, 1) and got[0][2] <= 4
+    surv = dedup_against_image_index(batch, path, strict=True)
+    assert surv.df.count() == 0  # the re-encode drops as a dup
