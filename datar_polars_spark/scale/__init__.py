@@ -28,6 +28,7 @@ from .dedup_index import (  # noqa: F401
     dedup_index_build,
     dedup_index_append,
     dedup_index_compact,
+    dedup_index_delete,
     dedup_index_stats,
     match_against_index,
     dedup_against_index,
@@ -36,6 +37,7 @@ from .image_index import (  # noqa: F401
     image_index_build,
     image_index_append,
     image_index_compact,
+    image_index_delete,
     image_index_stats,
     match_against_image_index,
     dedup_against_image_index,
@@ -44,6 +46,7 @@ from .semantic_index import (  # noqa: F401
     semantic_index_build,
     semantic_index_append,
     semantic_index_compact,
+    semantic_index_delete,
     semantic_index_stats,
     match_against_semantic_index,
     dedup_against_semantic_index,

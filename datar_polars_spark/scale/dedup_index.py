@@ -66,11 +66,18 @@ from .dedup import (
     _shingles,
 )
 from .jsonio import read_json_file, write_json_file
+from .tombstones import (
+    append_tombstones,
+    delete_dir,
+    mask_tombstones,
+    tombstones_df,
+)
 
 __all__ = [
     "dedup_index_build",
     "dedup_index_append",
     "dedup_index_compact",
+    "dedup_index_delete",
     "dedup_index_stats",
     "match_against_index",
     "dedup_against_index",
@@ -321,7 +328,21 @@ def dedup_index_stats(spark, path: str) -> dict:
             spark.read.schema(f"id {idt}, grams array<string>")
             .parquet(f"{path}/grams").count()
         )
+    tombs = tombstones_df(spark, path, idt)
+    out["n_tombstones"] = 0 if tombs is None else tombs.count()
     return out
+
+
+def dedup_index_delete(spark, path: str, ids: Any) -> dict:
+    """Tombstone ``ids`` out of the index (takedowns/retention without
+    a rebuild): matching, dedup, and the streaming consumer mask them
+    immediately; ``dedup_index_compact`` folds them physically and
+    clears the sidecar. Returns the post-delete stats. Mask-until-
+    compact contract in scale/tombstones.py — re-appending a
+    tombstoned id requires a compact first."""
+    meta = _load_meta(spark, path)
+    append_tombstones(spark, path, ids, meta["id_type"])
+    return dedup_index_stats(spark, path)
 
 
 def match_against_index(
@@ -382,11 +403,12 @@ def match_against_index(
         )
     )
     idt = meta["id_type"]
-    store_fps = (
+    tombs = tombstones_df(spark, path, idt)
+    store_fps = mask_tombstones(
         spark.read.schema(f"fp string, id {idt}")
-        .parquet(f"{path}/fingerprints")
-        .select(F.col("fp").alias("__sfp__"), F.col("id").alias("id_b"))
-    )
+        .parquet(f"{path}/fingerprints"),
+        tombs,
+    ).select(F.col("fp").alias("__sfp__"), F.col("id").alias("id_b"))
     exact = (
         base.join(store_fps, F.col("fp").eqNullSafe(F.col("__sfp__")), "inner")
         .select(
@@ -422,11 +444,11 @@ def match_against_index(
     # the store was capped at build/append time (see _index_frames) —
     # no index-side census here, matching scans the postings exactly
     # once through the candidate join
-    store_bands = (
+    store_bands = mask_tombstones(
         spark.read.schema(f"bhash bigint, id {idt}, band int")
-        .parquet(f"{path}/bands")
-        .select("band", "bhash", F.col("id").alias("id_b"))
-    )
+        .parquet(f"{path}/bands"),
+        tombs,
+    ).select("band", "bhash", F.col("id").alias("id_b"))
     cand = (
         banded_a.join(store_bands, on=["band", "bhash"])
         .select("id_a", "id_b")
@@ -442,11 +464,11 @@ def match_against_index(
                 )
             ).alias("g_a"),
         )
-        grams_b = (
+        grams_b = mask_tombstones(
             spark.read.schema(f"id {idt}, grams array<string>")
-            .parquet(f"{path}/grams")
-            .select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
-        )
+            .parquet(f"{path}/grams"),
+            tombs,
+        ).select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
         fuzzy = (
             cand.select("id_a", "id_b")
             .join(grams_a, on="id_a")
@@ -460,11 +482,11 @@ def match_against_index(
             .select("id_a", "id_b", F.lit("minhash").alias("via"), jcol)
         )
     else:
-        store_sigs = (
+        store_sigs = mask_tombstones(
             spark.read.schema(f"id {idt}, sig array<bigint>")
-            .parquet(f"{path}/sigs")
-            .select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-        )
+            .parquet(f"{path}/sigs"),
+            tombs,
+        ).select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
         est = F.size(
             F.filter(
                 F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
@@ -594,24 +616,28 @@ def dedup_index_compact(spark, path: str) -> dict:
     meta = _load_meta(spark, path)
     _DROPPED_PAIRS["dedup_index_compact"] = []
     idt = meta["id_type"]
-    fps = (
+    tombs = tombstones_df(spark, path, idt)
+    fps = mask_tombstones(
         spark.read.schema(f"fp string, id {idt}")
-        .parquet(f"{path}/fingerprints")
-        .dropDuplicates(["fp", "id"])
-    )
+        .parquet(f"{path}/fingerprints"),
+        tombs,
+    ).dropDuplicates(["fp", "id"])
     # key on (id, sig) — not id alone: an id appended twice with
     # DIFFERENT text must keep both signatures (both its fingerprints
     # and postings survive compaction, so folding to one arbitrary sig
     # would make compaction visible to match); only byte-duplicate rows
     # fold, matching semantic_index_compact's ['id','vh'] contract
-    sigs = (
+    sigs = mask_tombstones(
         spark.read.schema(f"id {idt}, sig array<bigint>")
-        .parquet(f"{path}/sigs")
-        .dropDuplicates(["id", "sig"])
-    )
+        .parquet(f"{path}/sigs"),
+        tombs,
+    ).dropDuplicates(["id", "sig"])
     bands = _cap_buckets(
-        spark.read.schema(f"bhash bigint, id {idt}, band int")
-        .parquet(f"{path}/bands")
+        mask_tombstones(
+            spark.read.schema(f"bhash bigint, id {idt}, band int")
+            .parquet(f"{path}/bands"),
+            tombs,
+        )
         .select("band", "bhash", "id")
         .dropDuplicates(["band", "bhash", "id"]),
         ["band", "bhash"], meta["max_bucket"],
@@ -621,11 +647,11 @@ def dedup_index_compact(spark, path: str) -> dict:
     ).sortWithinPartitions("band", "bhash")
     stores = {"fingerprints": fps, "sigs": sigs}
     if meta["store_grams"]:
-        stores["grams"] = (
+        stores["grams"] = mask_tombstones(
             spark.read.schema(f"id {idt}, grams array<string>")
-            .parquet(f"{path}/grams")
-            .dropDuplicates(["id", "grams"])
-        )
+            .parquet(f"{path}/grams"),
+            tombs,
+        ).dropDuplicates(["id", "grams"])
     # write EVERY compacted store before swapping ANY: all the tmp
     # writes read only live stores, so a failure anywhere in this loop
     # leaves the index exactly as it was
@@ -642,6 +668,11 @@ def dedup_index_compact(spark, path: str) -> dict:
     ]
     for name in [*stores, "bands"]:
         replace_dir(spark, f"{path}/{name}__compact", f"{path}/{name}")
+    # tombstones are folded into the rewritten stores: clear the
+    # sidecar LAST (a crash before this line leaves tombstones
+    # harmlessly masking already-absent ids)
+    if tombs is not None:
+        delete_dir(spark, f"{path}/tombstones")
     out = dedup_index_stats(spark, path)
     out["dropped_pairs"] = dropped
     return out

@@ -47,11 +47,18 @@ from pyspark.sql import functions as F
 from ..tibble import Tibble, ensure_tibble
 from .dedup import _cap_buckets, _DROPPED_PAIRS, _ensure_parallelism, _name_of
 from .jsonio import read_json_file, replace_dir, write_json_file
+from .tombstones import (
+    append_tombstones,
+    delete_dir,
+    mask_tombstones,
+    tombstones_df,
+)
 
 __all__ = [
     "image_index_build",
     "image_index_append",
     "image_index_compact",
+    "image_index_delete",
     "image_index_stats",
     "match_against_image_index",
     "dedup_against_image_index",
@@ -200,7 +207,10 @@ def image_index_append(
 
 
 def image_index_stats(spark, path: str) -> dict:
-    """Sidecar parameters plus footer-only store row counts."""
+    """Sidecar parameters plus footer-only store row counts.
+    ``n_images``/``n_postings`` are PHYSICAL counts (footer metadata,
+    no data pages); ``n_tombstones`` counts ids masked since the last
+    compact — live rows are the difference."""
     meta = _load_meta(spark, path)
     idt = meta["id_type"]
     out = dict(meta)
@@ -212,7 +222,20 @@ def image_index_stats(spark, path: str) -> dict:
         spark.read.schema(f"bval bigint, id {idt}, band int")
         .parquet(f"{path}/postings").count()
     )
+    tombs = tombstones_df(spark, path, idt)
+    out["n_tombstones"] = 0 if tombs is None else tombs.count()
     return out
+
+
+def image_index_delete(spark, path: str, ids: Any) -> dict:
+    """Tombstone ``ids`` out of the index: every match/dedup/stream
+    consumer masks them immediately; ``image_index_compact`` folds
+    them physically and clears the sidecar. Returns the post-delete
+    stats. See scale/tombstones.py for the mask-until-compact
+    contract (re-appending a tombstoned id requires a compact first)."""
+    meta = _load_meta(spark, path)
+    append_tombstones(spark, path, ids, meta["id_type"])
+    return image_index_stats(spark, path)
 
 
 def match_against_image_index(
@@ -285,11 +308,12 @@ def _match_with_base(
         .select(F.col("id").alias("id_a"), F.col("dhash").alias("dh_a"))
         .persist()
     )
-    store = (
+    tombs = tombstones_df(spark, path, idt)
+    store = mask_tombstones(
         spark.read.schema(f"id {idt}, dhash bigint")
-        .parquet(f"{path}/hashes")
-        .select(F.col("id").alias("id_b"), F.col("dhash").alias("dh_b"))
-    )
+        .parquet(f"{path}/hashes"),
+        tombs,
+    ).select(F.col("id").alias("id_b"), F.col("dhash").alias("dh_b"))
     exact = (
         base.join(store, base["dh_a"] == store["dh_b"])
         .select("id_a", "id_b", F.lit(0).alias("hamming"))
@@ -308,11 +332,11 @@ def _match_with_base(
                  F.col("b.bval").alias("bval")),
         ["band", "bval"], max_bucket, op="match_against_image_index",
     )
-    postings = (
+    postings = mask_tombstones(
         spark.read.schema(f"bval bigint, id {idt}, band int")
-        .parquet(f"{path}/postings")
-        .select("band", "bval", F.col("id").alias("id_b"))
-    )
+        .parquet(f"{path}/postings"),
+        tombs,
+    ).select("band", "bval", F.col("id").alias("id_b"))
     fuzzy = (
         banded.join(postings, on=["band", "bval"])
         .select("dh", "id_b")
@@ -375,22 +399,27 @@ def dedup_against_image_index(
 
 def image_index_compact(spark, path: str) -> dict:
     """Rewrite accumulated per-append file sets into one compact
-    range-clustered layout, folding byte-duplicate rows and re-applying
-    the bucket cap ACROSS increments — same lifecycle, swap discipline,
-    and drop accounting as dedup_index_compact/semantic_index_compact."""
+    range-clustered layout, folding byte-duplicate rows, tombstoned
+    ids (see image_index_delete), and re-applying the bucket cap
+    ACROSS increments — same lifecycle, swap discipline, and drop
+    accounting as dedup_index_compact/semantic_index_compact."""
     from .dedup import dropped_pairs_estimate
 
     meta = _load_meta(spark, path)
     _DROPPED_PAIRS["image_index_compact"] = []
     idt = meta["id_type"]
-    hashes = (
+    tombs = tombstones_df(spark, path, idt)
+    hashes = mask_tombstones(
         spark.read.schema(f"id {idt}, dhash bigint")
-        .parquet(f"{path}/hashes")
-        .dropDuplicates(["id", "dhash"])
-    )
+        .parquet(f"{path}/hashes"),
+        tombs,
+    ).dropDuplicates(["id", "dhash"])
     postings = _cap_buckets(
-        spark.read.schema(f"bval bigint, id {idt}, band int")
-        .parquet(f"{path}/postings")
+        mask_tombstones(
+            spark.read.schema(f"bval bigint, id {idt}, band int")
+            .parquet(f"{path}/postings"),
+            tombs,
+        )
         .select("band", "bval", "id")
         .dropDuplicates(["band", "bval", "id"]),
         ["band", "bval"], meta["max_bucket"],
@@ -408,6 +437,11 @@ def image_index_compact(spark, path: str) -> dict:
     ]
     replace_dir(spark, f"{path}/hashes__compact", f"{path}/hashes")
     replace_dir(spark, f"{path}/postings__compact", f"{path}/postings")
+    # the rewritten stores no longer hold the dead ids: clear the
+    # sidecar (LAST — a crash before this line leaves tombstones
+    # harmlessly masking already-absent ids)
+    if tombs is not None:
+        delete_dir(spark, f"{path}/tombstones")
     out = image_index_stats(spark, path)
     out["dropped_pairs"] = dropped
     return out

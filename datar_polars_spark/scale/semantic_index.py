@@ -51,11 +51,18 @@ from .dedup import (
     cosine_sim,
 )
 from .jsonio import read_json_file, write_json_file
+from .tombstones import (
+    append_tombstones,
+    delete_dir,
+    mask_tombstones,
+    tombstones_df,
+)
 
 __all__ = [
     "semantic_index_build",
     "semantic_index_append",
     "semantic_index_compact",
+    "semantic_index_delete",
     "semantic_index_stats",
     "match_against_semantic_index",
     "dedup_against_semantic_index",
@@ -258,7 +265,21 @@ def semantic_index_stats(spark, path: str) -> dict:
         spark.read.schema(f"bhash bigint, id {meta['id_type']}, band int")
         .parquet(f"{path}/postings").count()
     )
+    tombs = tombstones_df(spark, path, meta["id_type"])
+    out["n_tombstones"] = 0 if tombs is None else tombs.count()
     return out
+
+
+def semantic_index_delete(spark, path: str, ids: Any) -> dict:
+    """Tombstone ``ids`` out of the index (takedowns/retention without
+    a rebuild): matching, dedup, and the streaming consumer mask them
+    immediately; ``semantic_index_compact`` folds them physically and
+    clears the sidecar. Returns the post-delete stats. Mask-until-
+    compact contract in scale/tombstones.py — re-appending a
+    tombstoned id requires a compact first."""
+    meta = _load_meta(spark, path)
+    append_tombstones(spark, path, ids, meta["id_type"])
+    return semantic_index_stats(spark, path)
 
 
 def match_against_semantic_index(
@@ -320,15 +341,16 @@ def match_against_semantic_index(
         )
         .filter(F.col(idn).isNotNull() & F.col(ename).isNotNull())
     )
-    vectors = (
+    tombs = tombstones_df(spark, path, idt)
+    vectors = mask_tombstones(
         spark.read
         .schema(f"id {idt}, vec {meta['vec_type']}, vh bigint")
-        .parquet(f"{path}/vectors")
-        .select(
-            F.col("id").alias("id_b"),
-            F.col("vec").alias("v_b"),
-            F.col("vh").alias("__svh__"),
-        )
+        .parquet(f"{path}/vectors"),
+        tombs,
+    ).select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("v_b"),
+        F.col("vh").alias("__svh__"),
     )
     # EXACT pre-pass (same rationale as dedup_index's fingerprint
     # leg): byte-identical embeddings — recrawls, mirrors — collide in
@@ -375,11 +397,11 @@ def match_against_semantic_index(
         ),
         ["band", "bhash"], max_bucket, op="match_against_semantic_index",
     )
-    postings = (
+    postings = mask_tombstones(
         spark.read.schema(f"bhash bigint, id {idt}, band int")
-        .parquet(f"{path}/postings")
-        .select("band", "bhash", F.col("id").alias("id_b"))
-    )
+        .parquet(f"{path}/postings"),
+        tombs,
+    ).select("band", "bhash", F.col("id").alias("id_b"))
     # rep-level verify: exact cosine on the representative vector,
     # and byte-identical pairs are EXCLUDED here — they are exactly
     # the exact leg's rows (reporting both would duplicate pairs)
@@ -472,14 +494,18 @@ def semantic_index_compact(spark, path: str) -> dict:
     meta = _load_meta(spark, path)
     _DROPPED_PAIRS["semantic_index_compact"] = []
     idt, vt = meta["id_type"], meta["vec_type"]
-    vectors = (
+    tombs = tombstones_df(spark, path, idt)
+    vectors = mask_tombstones(
         spark.read.schema(f"id {idt}, vec {vt}, vh bigint")
-        .parquet(f"{path}/vectors")
-        .dropDuplicates(["id", "vh"])
-    )
+        .parquet(f"{path}/vectors"),
+        tombs,
+    ).dropDuplicates(["id", "vh"])
     postings = _cap_buckets(
-        spark.read.schema(f"bhash bigint, id {idt}, band int")
-        .parquet(f"{path}/postings")
+        mask_tombstones(
+            spark.read.schema(f"bhash bigint, id {idt}, band int")
+            .parquet(f"{path}/postings"),
+            tombs,
+        )
         .select("band", "bhash", "id")
         .dropDuplicates(["band", "bhash", "id"]),
         ["band", "bhash"], meta["max_bucket"],
@@ -501,6 +527,11 @@ def semantic_index_compact(spark, path: str) -> dict:
     ]
     replace_dir(spark, f"{path}/vectors__compact", f"{path}/vectors")
     replace_dir(spark, f"{path}/postings__compact", f"{path}/postings")
+    # tombstones are folded into the rewritten stores: clear the
+    # sidecar LAST (a crash before this line leaves tombstones
+    # harmlessly masking already-absent ids)
+    if tombs is not None:
+        delete_dir(spark, f"{path}/tombstones")
     out = semantic_index_stats(spark, path)
     out["dropped_pairs"] = dropped
     return out

@@ -705,12 +705,21 @@ def stream_near_dedup(
             # afterwards without a second static join per micro-batch)
             idt = index_meta["id_type"]
             spark_ = sdf.sparkSession
+            from ..scale.tombstones import mask_tombstones, tombstones_df
+
+            _tombs = tombstones_df(spark_, history, idt)
             banded_hist_raw = (
-                spark_.read.schema(f"bhash bigint, id {idt}, band int")
-                .parquet(f"{history}/bands")
+                mask_tombstones(
+                    spark_.read.schema(f"bhash bigint, id {idt}, band int")
+                    .parquet(f"{history}/bands"),
+                    _tombs,
+                )
                 .join(
-                    spark_.read.schema(f"id {idt}, sig array<bigint>")
-                    .parquet(f"{history}/sigs"),
+                    mask_tombstones(
+                        spark_.read.schema(f"id {idt}, sig array<bigint>")
+                        .parquet(f"{history}/sigs"),
+                        _tombs,
+                    ),
                     on="id",
                 )
             )
@@ -760,10 +769,15 @@ def stream_near_dedup(
         # band hashes recompute from the stored signatures (xxhash64
         # is deterministic) — cheaper than grouping the postings back
         # into per-doc arrays, and identical by construction
-        hist_sigs = (
+        from ..scale.tombstones import mask_tombstones, tombstones_df
+
+        hist_sigs = mask_tombstones(
             sdf.sparkSession.read
             .schema(f"id {index_meta['id_type']}, sig array<bigint>")
-            .parquet(f"{history}/sigs")
+            .parquet(f"{history}/sigs"),
+            tombstones_df(
+                sdf.sparkSession, history, index_meta["id_type"]
+            ),
         )
     else:
         hist_sigs = _minhash_sigs(
@@ -918,12 +932,14 @@ def stream_decontaminate_semantic(
         from ..scale.semantic_index import _load_meta
 
         meta = _load_meta(sdf.sparkSession, benchmark)
-        bench_df = (
+        from ..scale.tombstones import mask_tombstones, tombstones_df
+
+        bench_df = mask_tombstones(
             sdf.sparkSession.read
             .schema(f"id {meta['id_type']}, vec {meta['vec_type']}")
-            .parquet(f"{benchmark}/vectors")
-            .select(F.col("vec").alias(ename))
-        )
+            .parquet(f"{benchmark}/vectors"),
+            tombstones_df(sdf.sparkSession, benchmark, meta["id_type"]),
+        ).select(F.col("vec").alias(ename))
     elif isinstance(benchmark, Tibble):
         bench_df = benchmark.df.select(*benchmark.columns)
     else:
@@ -1257,6 +1273,10 @@ def stream_image_dedup(
             gray = _stub_raster(bb)
         return _dhash64(gray)
 
+    from ..scale.tombstones import mask_tombstones, tombstones_df
+
+    _tombs = tombstones_df(spark, index_path, idt)
+
     if mode == "matches":
         @F.pandas_udf("long")
         def _dh(s: pd.Series) -> pd.Series:
@@ -1265,23 +1285,23 @@ def stream_image_dedup(
         hashed = sdf.withColumn("__dh__", _dh(F.col(cname))).filter(
             F.col("__dh__").isNotNull()
         )
-        store = (
+        store = mask_tombstones(
             spark.read.schema(f"id {idt}, dhash bigint")
-            .parquet(f"{index_path}/hashes")
-            .select(F.col("id").alias("match_id"),
-                    F.col("dhash").alias("__sh__"))
-        )
+            .parquet(f"{index_path}/hashes"),
+            _tombs,
+        ).select(F.col("id").alias("match_id"),
+                 F.col("dhash").alias("__sh__"))
         exact = (
             hashed.join(store, hashed["__dh__"] == store["__sh__"])
             .select(*in_cols, "match_id", F.lit(0).alias("hamming"))
         )
         out = exact
         if budget > 0:
-            postings = (
+            postings = mask_tombstones(
                 spark.read.schema(f"bval bigint, id {idt}, band int")
-                .parquet(f"{index_path}/postings")
-                .select("band", "bval", F.col("id").alias("match_id"))
-            )
+                .parquet(f"{index_path}/postings"),
+                _tombs,
+            ).select("band", "bval", F.col("id").alias("match_id"))
             fuzzy = (
                 hashed.select(
                     *in_cols, "__dh__",
@@ -1294,10 +1314,12 @@ def stream_image_dedup(
                         F.col("b.bval").alias("bval"))
                 .join(postings, on=["band", "bval"])
                 .join(
-                    spark.read.schema(f"id {idt}, dhash bigint")
-                    .parquet(f"{index_path}/hashes")
-                    .select(F.col("id").alias("match_id"),
-                            F.col("dhash").alias("__mh__")),
+                    mask_tombstones(
+                        spark.read.schema(f"id {idt}, dhash bigint")
+                        .parquet(f"{index_path}/hashes"),
+                        _tombs,
+                    ).select(F.col("id").alias("match_id"),
+                             F.col("dhash").alias("__mh__")),
                     on="match_id",
                 )
                 .withColumn(
@@ -1330,8 +1352,11 @@ def stream_image_dedup(
     import numpy as np
 
     rows = (
-        spark.read.schema(f"id {idt}, dhash bigint")
-        .parquet(f"{index_path}/hashes")
+        mask_tombstones(
+            spark.read.schema(f"id {idt}, dhash bigint")
+            .parquet(f"{index_path}/hashes"),
+            _tombs,
+        )
         .select("dhash").limit(max_history + 1).collect()
     )
     if len(rows) > max_history:
