@@ -33,7 +33,16 @@ import pandas as pd  # noqa: F401
 from pyspark.sql import SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_t_imp = time.perf_counter()
 import __spark_entry__ as entry_mod
+
+# recorded in the artifact (and each cold child's line): the r13 drift
+# audit asked whether growing import cost inflates the fresh-JVM cold
+# numbers — it cannot (import happens once per child, OUTSIDE the
+# per-query timers), but the number makes that checkable per round
+# (r14 measurement: ~0.7 s, dominated by pandas/pyspark/pyarrow;
+# datar_polars_spark.scale itself is ~80 ms)
+_IMPORT_SEC = round(time.perf_counter() - _t_imp, 3)
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -419,6 +428,7 @@ def _cold_child() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
         out[name] = round(time.perf_counter() - t0, 3)
+    out["__import_sec__"] = _IMPORT_SEC
     print("COLD_CHILD_JSON:" + json.dumps(out))
 
 
@@ -835,6 +845,15 @@ def main() -> None:
                 "loadavg_start": loadavg_start,
                 "loadavg_guard": guard,
                 "loadavg_end": list(os.getloadavg()),
+                # r13 drift audit: package+entry import cost per fresh
+                # cold child — sits OUTSIDE the per-query timers, so a
+                # uniform per-query drift cannot be import growth
+                # (r14: ~0.7 s/child, scale/ itself ~80 ms); a uniform
+                # drift with stable import + quiet loadavg is box-state
+                # (page cache / cgroup), not code
+                "cold_child_import_sec": [
+                    run.get("__import_sec__") for run in cold_children
+                ] or None,
                 "scale_ops_first_call": scale_ops,
                 "scale_ops_warm": scale_ops_warm,
                 "scale_ops_warm_spread": scale_ops_warm_spread,

@@ -85,6 +85,14 @@ __all__ = [
 
 _FORMAT = "dedup-index"
 
+# broadcast-pin bound for the hashed batch side of the store joins: a
+# normalized batch row in the exact leg is (id, 32-char fp) ~ 70
+# bytes, and the banded frame is (band, bhash, id) ~ 24 — 2M rows
+# lands the biggest broadcast near 140 MB, cheap on any executor
+# profile and far past where a recrawl batch stops being "small"
+# relative to the corpus store
+_BROADCAST_BATCH_ROWS = 2_000_000
+
 
 def _fingerprint(col):
     """Normalized-text md5 — same normalization as
@@ -391,17 +399,34 @@ def match_against_index(
     idn = _name_of(id_col) if id_col is not None else meta["id_col"]
     jcol = "jaccard" if verify == "exact" else "jaccard_est"
 
+    from ..plans.cache import register_internal_cache
     from .dedup import _ensure_parallelism
 
-    base = _ensure_parallelism(
-        td.df.select(*td.columns)
-        .filter(F.col(idn).isNotNull())
-        .select(
-            F.col(idn).alias("id_a"),
-            F.col(tname).alias("__text__"),
-            _fingerprint(F.col(tname)).alias("fp"),
-        )
+    # persist the normalized batch: it feeds the exact leg, the
+    # fuzzy-survivor derivation, and the signing/gram passes — and the
+    # count() both materializes the persist and gives the EXACT batch
+    # cardinality for the broadcast decision (runtime truth, not an
+    # estimate)
+    base = register_internal_cache(
+        _ensure_parallelism(
+            td.df.select(*td.columns)
+            .filter(F.col(idn).isNotNull())
+            .select(
+                F.col(idn).alias("id_a"),
+                F.col(tname).alias("__text__"),
+                _fingerprint(F.col(tname)).alias("fp"),
+            )
+        ).persist()
     )
+    n_batch = base.count()
+    # below the bound, PIN the batch side broadcast so the
+    # corpus-scale stores never shuffle for a small batch (the r5
+    # finding: AQE does not reliably demote to broadcast)
+    small = n_batch <= _BROADCAST_BATCH_ROWS
+
+    def _pin(df):
+        return F.broadcast(df) if small else df
+
     idt = meta["id_type"]
     tombs = tombstones_df(spark, path, idt)
     store_fps = mask_tombstones(
@@ -410,7 +435,8 @@ def match_against_index(
         tombs,
     ).select(F.col("fp").alias("__sfp__"), F.col("id").alias("id_b"))
     exact = (
-        base.join(store_fps, F.col("fp").eqNullSafe(F.col("__sfp__")), "inner")
+        _pin(base.select("id_a", "fp"))
+        .join(store_fps, F.col("fp").eqNullSafe(F.col("__sfp__")), "inner")
         .select(
             "id_a", "id_b",
             F.lit("exact").alias("via"),
@@ -418,14 +444,34 @@ def match_against_index(
         )
     )
 
-    # fuzzy candidates come from the exact SURVIVORS — derived straight
-    # from the fp store (anti on the same null-safe key) rather than
-    # from `exact`, so the inner-join subtree isn't computed twice
-    fuzzy_in = base.join(
-        store_fps.select("__sfp__"),
-        F.col("fp").eqNullSafe(F.col("__sfp__")),
-        "left_anti",
-    )
+    # fuzzy candidates come from the exact SURVIVORS. For a small
+    # batch, a direct anti-join against the fp store would SHUFFLE the
+    # corpus-scale store (left_anti cannot broadcast its probe side):
+    # derive the matched-fp set instead — batch-bounded, broadcastable
+    # — scanning the narrow fp store a second time without any
+    # exchange. Big batches keep the single-scan shuffled anti-join.
+    if small:
+        matched_fps = (
+            _pin(base.select("fp").dropDuplicates())
+            .join(
+                store_fps.select("__sfp__"),
+                F.col("fp").eqNullSafe(F.col("__sfp__")),
+                "inner",
+            )
+            .select("fp")
+            .dropDuplicates()
+        )
+        fuzzy_in = base.join(
+            F.broadcast(matched_fps.select(F.col("fp").alias("__mfp__"))),
+            F.col("fp").eqNullSafe(F.col("__mfp__")),
+            "left_anti",
+        )
+    else:
+        fuzzy_in = base.join(
+            store_fps.select("__sfp__"),
+            F.col("fp").eqNullSafe(F.col("__sfp__")),
+            "left_anti",
+        )
     sig_a = _minhash_sigs(
         fuzzy_in.select(F.col("id_a").alias("id"), "__text__"),
         "__text__", "id", meta["num_perm"],
@@ -437,10 +483,10 @@ def match_against_index(
     # semantic_index): a near-dup pair collides in many bands, so the
     # signature rides the bucket join once PER COLLIDING BAND if
     # carried here; dedupe bare pairs first, join payloads back once
-    banded_a = _cap_buckets(
+    banded_a = _pin(_cap_buckets(
         _banded(sig_a, "sig", meta["bands"], rows_per_band),
         ["band", "bhash"], max_bucket, log_dropped, op="match_against_index",
-    ).select("band", "bhash", F.col("id").alias("id_a"))
+    ).select("band", "bhash", F.col("id").alias("id_a")))
     # the store was capped at build/append time (see _index_frames) —
     # no index-side census here, matching scans the postings exactly
     # once through the candidate join

@@ -66,6 +66,12 @@ __all__ = [
 
 _FORMAT = "image-index"
 
+# a hashed batch row is 16 bytes (8-byte id-ish key + 8-byte
+# fingerprint): 4M rows broadcast as a ~64 MB hash relation — cheap on
+# any executor profile, and far past the point where a recrawl batch
+# stops being "small" relative to the corpus store it matches against
+_BROADCAST_BATCH_ROWS = 4_000_000
+
 
 def _band_cols(dh, n_bands: int):
     """The fingerprint's ``n_bands`` disjoint bit bands as (band, bval)
@@ -108,13 +114,22 @@ def _hashed_base(df, cname: str, idn: str, strict: bool, probe_par: bool):
 
 
 def _index_frames(base, meta: dict, op: str):
-    """(hashes, postings) store frames — shared by build and append."""
+    """(hashes, postings) store frames — shared by build and append.
+
+    Postings carry the FULL fingerprint next to each band value (v2
+    layout, +8 bytes/row over the text/semantic siblings' narrow
+    postings): the fingerprint is only 8 bytes — unlike a MinHash
+    signature or an embedding — so candidate VERIFICATION
+    (bit_count(a ^ b)) happens inline on the posting join's output and
+    the fuzzy leg never needs a second corpus-scale join back to
+    ``hashes/``. One store scan per match instead of two."""
     postings = _cap_buckets(
         base.select(
-            "id", F.explode(F.array(*_band_cols(F.col("dhash"),
-                                                meta["bands"]))).alias("b")
+            "id", "dhash",
+            F.explode(F.array(*_band_cols(F.col("dhash"),
+                                          meta["bands"]))).alias("b"),
         ).select(F.col("b.band").alias("band"),
-                 F.col("b.bval").alias("bval"), "id"),
+                 F.col("b.bval").alias("bval"), "id", "dhash"),
         ["band", "bval"], meta["max_bucket"], op=op,
     )
     return base, postings
@@ -155,7 +170,7 @@ def image_index_build(
     cname, idn = _name_of(content), _name_of(id_col)
     meta = {
         "format": _FORMAT,
-        "version": 1,
+        "version": 2,  # v2: postings carry the fingerprint inline
         "max_hamming": max_hamming,
         "bands": max_hamming + 1,
         "max_bucket": max_bucket,
@@ -174,6 +189,16 @@ def _load_meta(spark, path: str) -> dict:
     if not (isinstance(meta, dict) and meta.get("format") == _FORMAT):
         raise ValueError(
             f"{path}/image_index.json is not an image_index_build sidecar"
+        )
+    if meta.get("version") != 2:
+        # an explicit-schema read of v1 postings (no dhash column)
+        # would yield NULL fingerprints and silently wrong hammings —
+        # refuse loudly instead
+        raise ValueError(
+            f"image index at {path} is layout version "
+            f"{meta.get('version')}; this build reads version 2 "
+            f"(postings carry the fingerprint inline) — rebuild with "
+            f"image_index_build"
         )
     return meta
 
@@ -219,7 +244,7 @@ def image_index_stats(spark, path: str) -> dict:
         .parquet(f"{path}/hashes").count()
     )
     out["n_postings"] = (
-        spark.read.schema(f"bval bigint, id {idt}, band int")
+        spark.read.schema(f"bval bigint, id {idt}, dhash bigint, band int")
         .parquet(f"{path}/postings").count()
     )
     tombs = tombstones_df(spark, path, idt)
@@ -302,12 +327,24 @@ def _match_with_base(
     # the hashed batch feeds THREE consumers (exact leg, distinct-
     # fingerprint reps, fuzzy fan-out) — persist it so the batch is
     # hashed once, not once per consumer (plan-audited: 3 ArrowEval
-    # passes without this)
+    # passes without this). The count() both materializes the persist
+    # and gives the EXACT batch cardinality for the broadcast decision
+    # below — runtime truth, not an estimate.
     base = register_internal_cache(
         _hashed_base(td.df.select(*td.columns), cname, idn, strict, True)
         .select(F.col("id").alias("id_a"), F.col("dhash").alias("dh_a"))
         .persist()
     )
+    n_batch = base.count()
+    # a hashed batch row is 16 bytes; below the bound, PIN the batch
+    # side broadcast so the corpus-scale stores NEVER shuffle for a
+    # small batch (the r5 finding: AQE does not reliably demote a
+    # planned sort-merge join to broadcast at runtime)
+    small = n_batch <= _BROADCAST_BATCH_ROWS
+
+    def _pin(df):
+        return F.broadcast(df) if small else df
+
     tombs = tombstones_df(spark, path, idt)
     store = mask_tombstones(
         spark.read.schema(f"id {idt}, dhash bigint")
@@ -315,7 +352,7 @@ def _match_with_base(
         tombs,
     ).select(F.col("id").alias("id_b"), F.col("dhash").alias("dh_b"))
     exact = (
-        base.join(store, base["dh_a"] == store["dh_b"])
+        _pin(base).join(store, base["dh_a"] == store["dh_b"])
         .select("id_a", "id_b", F.lit(0).alias("hamming"))
     )
     if budget == 0:
@@ -332,22 +369,30 @@ def _match_with_base(
                  F.col("b.bval").alias("bval")),
         ["band", "bval"], max_bucket, op="match_against_image_index",
     )
+    # v2 postings carry the fingerprint inline, so the Hamming verify
+    # runs ON the posting join's output — the fuzzy leg touches ONE
+    # corpus-scale store (postings), not two (the old join-back to
+    # hashes/ is gone)
     postings = mask_tombstones(
-        spark.read.schema(f"bval bigint, id {idt}, band int")
+        spark.read.schema(f"bval bigint, id {idt}, dhash bigint, band int")
         .parquet(f"{path}/postings"),
         tombs,
-    ).select("band", "bval", F.col("id").alias("id_b"))
+    ).select("band", "bval", F.col("id").alias("id_b"),
+             F.col("dhash").alias("dh_b"))
     fuzzy = (
-        banded.join(postings, on=["band", "bval"])
-        .select("dh", "id_b")
-        .dropDuplicates(["dh", "id_b"])
-        .join(store, on="id_b")
+        _pin(banded).join(postings, on=["band", "bval"])
         .withColumn(
             "hamming",
             F.bit_count(F.col("dh").bitwiseXOR(F.col("dh_b"))).cast("int"),
         )
         .filter((F.col("hamming") > 0) & (F.col("hamming") <= budget))
-        .join(base, base["dh_a"] == F.col("dh"))
+        # band-collision dedupe keys include the STORED hash: an id
+        # appended under two different fingerprints legitimately
+        # matches once per fingerprint (hamming is a pure function of
+        # (dh, dh_b), so this is exactly one row per true pair)
+        .select("dh", "id_b", "dh_b", "hamming")
+        .dropDuplicates(["dh", "id_b", "dh_b"])
+        .join(_pin(base), base["dh_a"] == F.col("dh"))
         .select("id_a", "id_b", "hamming")
     )
     return Tibble(exact.unionByName(fuzzy)), base
@@ -416,12 +461,14 @@ def image_index_compact(spark, path: str) -> dict:
     ).dropDuplicates(["id", "dhash"])
     postings = _cap_buckets(
         mask_tombstones(
-            spark.read.schema(f"bval bigint, id {idt}, band int")
+            spark.read.schema(
+                f"bval bigint, id {idt}, dhash bigint, band int"
+            )
             .parquet(f"{path}/postings"),
             tombs,
         )
-        .select("band", "bval", "id")
-        .dropDuplicates(["band", "bval", "id"]),
+        .select("band", "bval", "id", "dhash")
+        .dropDuplicates(["band", "bval", "id", "dhash"]),
         ["band", "bval"], meta["max_bucket"],
         op="image_index_compact",
     ).repartitionByRange(

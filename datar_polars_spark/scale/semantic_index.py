@@ -333,14 +333,33 @@ def match_against_semantic_index(
         return Tibble(
             spark.createDataFrame([], f"id_a {ta}, id_b {idt}, cos double")
         )
-    base = _ensure_parallelism(
-        td.df.select(
-            F.col(idn).alias("id_a"),
-            F.col(ename).alias("v_a"),
-            F.xxhash64(F.col(ename).cast(meta["vec_type"])).alias("vh"),
-        )
-        .filter(F.col(idn).isNotNull() & F.col(ename).isNotNull())
+    from ..plans.cache import register_internal_cache
+
+    # persist the hashed batch (it feeds the exact leg, the fuzzy-base
+    # derivation, the rep aggregation, and the fan-out); the count()
+    # materializes the persist and gives the exact cardinality for the
+    # broadcast decision — byte-aware, because a batch row carries the
+    # full embedding (dim doubles, not a 16-byte fingerprint)
+    base = register_internal_cache(
+        _ensure_parallelism(
+            td.df.select(
+                F.col(idn).alias("id_a"),
+                F.col(ename).alias("v_a"),
+                F.xxhash64(F.col(ename).cast(meta["vec_type"])).alias("vh"),
+            )
+            .filter(F.col(idn).isNotNull() & F.col(ename).isNotNull())
+        ).persist()
     )
+    n_batch = base.count()
+    est_bytes = n_batch * (meta["dim"] * 8 + 48)
+    # pin the batch-side broadcast below ~256 MB of estimated payload
+    # (the r5 finding: AQE does not reliably demote to broadcast) —
+    # the corpus-scale vector/posting stores then never shuffle for a
+    # small batch
+    small = est_bytes <= 256 * 1024 * 1024
+
+    def _pin(df):
+        return F.broadcast(df) if small else df
     tombs = tombstones_df(spark, path, idt)
     vectors = mask_tombstones(
         spark.read
@@ -362,7 +381,7 @@ def match_against_semantic_index(
     # p ~ 2^-64 per pair — far below any LSH miss probability).
     # Identical vectors have cosine exactly 1.0 >= any threshold <= 1.
     exact = (
-        base.join(vectors, base["vh"] == vectors["__svh__"])
+        _pin(base).join(vectors, base["vh"] == vectors["__svh__"])
         .filter(F.col("v_a").cast(meta["vec_type"]) == F.col("v_b"))
         .select("id_a", "id_b", F.lit(1.0).alias("cos"))
     )
@@ -383,12 +402,33 @@ def match_against_semantic_index(
     fuzzy_base = base
     if _exact_prunes_fuzzy:
         # any-hit consumers: only exact-SURVIVING rows need fuzzy
-        # candidates (one narrow anti join on the 8-byte hash)
-        fuzzy_base = base.join(
-            vectors.select("__svh__"),
-            base["vh"] == vectors["__svh__"],
-            "left_anti",
-        )
+        # candidates. For a small batch, derive the matched-vh set
+        # (batch-bounded, broadcastable) instead of anti-joining the
+        # corpus store directly — left_anti cannot broadcast its probe
+        # side, so the direct form would shuffle the vector store; the
+        # second narrow store scan costs no exchange.
+        if small:
+            matched_vh = (
+                _pin(base.select("vh").dropDuplicates())
+                .join(
+                    vectors.select("__svh__"),
+                    F.col("vh") == F.col("__svh__"),
+                    "inner",
+                )
+                .select("vh")
+                .dropDuplicates()
+            )
+            fuzzy_base = base.join(
+                F.broadcast(matched_vh.select(F.col("vh").alias("__mvh__"))),
+                base["vh"] == F.col("__mvh__"),
+                "left_anti",
+            )
+        else:
+            fuzzy_base = base.join(
+                vectors.select("__svh__"),
+                base["vh"] == vectors["__svh__"],
+                "left_anti",
+            )
     reps = fuzzy_base.groupBy("vh").agg(F.first("v_a").alias("v_r"))
     banded = _cap_buckets(
         reps.select(
@@ -406,7 +446,7 @@ def match_against_semantic_index(
     # and byte-identical pairs are EXCLUDED here — they are exactly
     # the exact leg's rows (reporting both would duplicate pairs)
     verified = (
-        banded.join(postings, on=["band", "bhash"])
+        _pin(banded).join(postings, on=["band", "bhash"])
         .select("vh", "id_b")
         .dropDuplicates(["vh", "id_b"])
         .join(reps, on="vh")

@@ -1297,11 +1297,17 @@ def stream_image_dedup(
         )
         out = exact
         if budget > 0:
+            # v2 postings carry the fingerprint inline: the Hamming
+            # verify runs on the posting join's output — one
+            # stream-static store join in the fuzzy leg, not two
             postings = mask_tombstones(
-                spark.read.schema(f"bval bigint, id {idt}, band int")
+                spark.read.schema(
+                    f"bval bigint, id {idt}, dhash bigint, band int"
+                )
                 .parquet(f"{index_path}/postings"),
                 _tombs,
-            ).select("band", "bval", F.col("id").alias("match_id"))
+            ).select("band", "bval", F.col("id").alias("match_id"),
+                     F.col("dhash").alias("__mh__"))
             fuzzy = (
                 hashed.select(
                     *in_cols, "__dh__",
@@ -1313,15 +1319,6 @@ def stream_image_dedup(
                         F.col("b.band").alias("band"),
                         F.col("b.bval").alias("bval"))
                 .join(postings, on=["band", "bval"])
-                .join(
-                    mask_tombstones(
-                        spark.read.schema(f"id {idt}, dhash bigint")
-                        .parquet(f"{index_path}/hashes"),
-                        _tombs,
-                    ).select(F.col("id").alias("match_id"),
-                             F.col("dhash").alias("__mh__")),
-                    on="match_id",
-                )
                 .withColumn(
                     "hamming",
                     F.bit_count(

@@ -200,3 +200,26 @@ def test_dedup_append_releases_hashed_batch_cache(spark, built):
     release_internal_caches()
     dedup_against_image_index(batch, built, append=True)
     assert internal_cache_count() == 0  # registered, then released
+
+
+def test_small_batch_match_plan_is_pinned(spark, built):
+    """Plan locks (r14): (1) hash-once — every MapInPandas render in
+    the executed match plan sits inside the persisted batch's
+    InMemoryRelation, so the Arrow decode+hash pass runs once, not
+    once per consumer (the 24fd3ce property, previously only
+    hand-audited); (2) small-batch broadcast pinning — zero
+    SortMergeJoin: the corpus-scale stores never shuffle for a small
+    batch (explicit hints; the r5 finding that AQE does not reliably
+    demote applies); (3) v2 single-store fuzzy leg — exactly two
+    FileScans (hashes once, postings once; the pre-v2 join-back to
+    hashes/ is gone)."""
+    batch = _td(spark, [(70, make_png_pixels(_img(0)))])
+    plan = (
+        match_against_image_index(batch, built)
+        .df._jdf.queryExecution().executedPlan().toString()
+    )
+    n_arrow = plan.count("MapInPandas") + plan.count("ArrowEval")
+    assert n_arrow == plan.count("InMemoryRelation") and n_arrow > 0
+    assert plan.count("InMemoryTableScan") > 0
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("FileScan") == 2

@@ -220,3 +220,48 @@ def test_delete_input_validation(tmp_path, spark):
         dedup_index_delete(
             spark, path, spark.createDataFrame([(1, 2)], "a long, b long")
         )
+
+
+def _final_plan(df):
+    """Execute, then render the FINAL adaptive plan (post-AQE join
+    strategies, not the speculative initial ones)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedup_index_small_batch_store_joins_broadcast(tmp_path, spark):
+    """r14 plan lock: for a small batch, the batch side of every
+    store join is broadcast (explicit pins for the exact/anti/bucket
+    legs — the r5 finding that AQE does not reliably demote applies)
+    and the fuzzy-survivor derivation uses the broadcastable
+    matched-fp set, so NO corpus-scale store shuffles: zero
+    SortMergeJoin in the final plan."""
+    path = str(tmp_path / "didx")
+    dedup_index_build(
+        tibble(spark, doc_id=[1, 2], text=[BASE, FAR]),
+        f.text, f.doc_id, path,
+    )
+    probe = tibble(spark, doc_id=[10, 11], text=[BASE, NEAR])
+    plan = _final_plan(match_against_index(probe, path, threshold=0.5).df)
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") > 0
+
+
+def test_semantic_index_small_batch_store_joins_broadcast(tmp_path, spark):
+    path = str(tmp_path / "sidx")
+    corpus = Tibble(spark.createDataFrame(
+        [(1, _vec(1)), (2, _vec(2))], "id long, emb array<double>"
+    ))
+    semantic_index_build(corpus, f.emb, f.id, path, bands=8, planes_per_band=4)
+    batch = Tibble(spark.createDataFrame(
+        [(10, _vec(1)), (11, _vec(3))], "id long, emb array<double>"
+    ))
+    plan = _final_plan(
+        match_against_semantic_index(batch, path, threshold=0.9).df
+    )
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") > 0
+    # hash-once: every Arrow signing render sits inside the persisted
+    # batch's InMemoryRelation (mirror of the image index's lock)
+    n_mem = plan.count("InMemoryTableScan")
+    assert n_mem > 0
