@@ -42,6 +42,15 @@ from .image_index import (  # noqa: F401
     match_against_image_index,
     dedup_against_image_index,
 )
+from .audio_index import (  # noqa: F401
+    audio_index_build,
+    audio_index_append,
+    audio_index_compact,
+    audio_index_delete,
+    audio_index_stats,
+    match_against_audio_index,
+    dedup_against_audio_index,
+)
 from .semantic_index import (  # noqa: F401
     semantic_index_build,
     semantic_index_append,
@@ -179,6 +188,8 @@ from .multimodal import (  # noqa: F401
     sample_frames,
     decode_audio,
     audio_features,
+    audio_fingerprint,
+    audio_near_dup_pairs,
     decode_video,
     sniff_media,
 )

@@ -1,27 +1,29 @@
-"""Persistent image-fingerprint index: incremental image dedup against
-an on-lake store — the image member of the index family (text MinHash:
-dedup_index.py; embeddings: semantic_index.py; pixels: this; audio
-spectra: audio_index.py).
+"""Persistent audio-fingerprint index: incremental audio dedup against
+an on-lake store — the audio member of the index family (text MinHash:
+dedup_index.py; embeddings: semantic_index.py; pixels: image_index.py;
+audio spectra: this).
 
-A recrawl's images cannot be re-hashed against the whole corpus every
-day any more than its text can be re-shingled: the corpus's perceptual
-fingerprints (64-bit dHash, multimodal.image_dhash) are computed ONCE
-and persisted next to the data; each incoming batch hashes only ITSELF
-and equi-joins the stores.
+A crawl's audio cannot be re-fingerprinted against the whole corpus
+every day any more than its text can be re-shingled: the corpus's
+perceptual fingerprints (64-bit spectral hash,
+multimodal.audio_fingerprint) are computed ONCE and persisted next to
+the data; each incoming batch hashes only ITSELF and equi-joins the
+stores.
 
 The layout, banding (pigeonhole-EXACT recall within the build-time
 Hamming budget), match semantics, NULL contract, tombstone lifecycle,
 and compaction are the shared 64-bit-fingerprint engine's — see
-scale/fp_index.py, which this module instantiates with the dHash; the
-audio index is the same engine under a spectral fingerprint. Stores
-live under ``<path>/``: ``hashes/`` (id, dhash), ``postings/``
-(band-partitioned, fingerprint inline — v2), ``image_index.json``.
+scale/fp_index.py, which this module instantiates with the spectral
+fingerprint; the image index is the same engine under the dHash.
+Stores live under ``<path>/``: ``hashes/`` (id, afp), ``postings/``
+(band-partitioned, fingerprint inline — v2), ``audio_index.json``.
 
-Pixel source caveat (same as image_dhash): PNG/BMP rasters decode for
-real, baseline JPEG decodes to its DC (1/8-scale luma) thumbnail —
-all three get the real perceptual property; other containers hash a
-deterministic content-keyed stub raster, i.e. exact-content identity
-only — or raise with ``strict=True``.
+Waveform source caveat (same as audio_fingerprint): raw-PCM WAV and
+AIFF/AIFF-C decode for real — re-gained, resampled, bit-width
+re-encoded, or mono-downmixed copies land within a few Hamming bits;
+compressed containers (FLAC/MP3/OGG) hash a deterministic
+content-keyed stub, i.e. exact-content identity only — or raise with
+``strict=True``.
 """
 
 from __future__ import annotations
@@ -33,7 +35,6 @@ from pyspark.sql import functions as F
 from ..tibble import Tibble
 from .fp_index import (
     FpFamily,
-    band_cols,
     fp_dedup_against_index,
     fp_index_append,
     fp_index_build,
@@ -45,57 +46,61 @@ from .fp_index import (
 )
 
 __all__ = [
-    "image_index_build",
-    "image_index_append",
-    "image_index_compact",
-    "image_index_delete",
-    "image_index_stats",
-    "match_against_image_index",
-    "dedup_against_image_index",
+    "audio_index_build",
+    "audio_index_append",
+    "audio_index_compact",
+    "audio_index_delete",
+    "audio_index_stats",
+    "match_against_audio_index",
+    "dedup_against_audio_index",
 ]
-
-# shared engine band splitter — streaming + multimodal import it here
-_band_cols = band_cols
 
 
 def _hashed_base(df, cname: str, idn: str, strict: bool):
-    """(id, dhash) for every row with both an id and hashable content
-    — the one Arrow decode+hash pass the engine builds everything on."""
-    from .multimodal import image_dhash
+    """(id, afp) for every row with both an id and hashable content —
+    the one Arrow decode+hash pass the engine builds everything on."""
+    from .multimodal import audio_fingerprint
 
     return (
-        image_dhash(
+        audio_fingerprint(
             Tibble(df.select(F.col(idn).alias("id"),
                              F.col(cname).alias("__content__"))),
-            "__content__", out_col="dhash", strict=strict,
+            "__content__", out_col="afp", strict=strict,
         )
-        .df.select("id", "dhash")
-        .filter(F.col("id").isNotNull() & F.col("dhash").isNotNull())
+        .df.select("id", "afp")
+        .filter(F.col("id").isNotNull() & F.col("afp").isNotNull())
     )
 
 
 _FAMILY = FpFamily(
-    name="image", fp_col="dhash", count_key="n_images",
+    name="audio", fp_col="afp", count_key="n_clips",
     hash_base=_hashed_base,
 )
 
 
-def image_index_build(
+def _load_meta(spark, path: str) -> dict:
+    return load_meta(_FAMILY, spark, path)
+
+
+def audio_index_build(
     corpus: Any,
     content: Any,
     id_col: Any,
     path: str,
     *,
-    max_hamming: int = 4,
+    max_hamming: int = 6,
     max_bucket: int = 10_000,
     strict: bool = False,
     mode: str = "overwrite",
 ) -> None:
-    """Build the persistent image index of ``corpus`` at ``path``: one
-    Arrow dHash pass + the banded postings write. ``max_hamming`` is
-    pinned in the sidecar (it fixes the band count and therefore the
-    pigeonhole recall guarantee); matching may tighten it but never
-    widen it without a rebuild."""
+    """Build the persistent audio index of ``corpus`` at ``path``: one
+    Arrow fingerprint pass + the banded postings write. ``max_hamming``
+    is pinned in the sidecar (it fixes the band count and therefore
+    the pigeonhole recall guarantee); matching may tighten it but
+    never widen it without a rebuild. The default budget is wider than
+    the image index's (6 vs 4): spectral bits flip a little more under
+    noise than dHash bits do under brightness shifts (see
+    multimodal._afp64's measurements)."""
     fp_index_build(
         _FAMILY, corpus, content, id_col, path,
         max_hamming=max_hamming, max_bucket=max_bucket,
@@ -103,11 +108,7 @@ def image_index_build(
     )
 
 
-def _load_meta(spark, path: str) -> dict:
-    return load_meta(_FAMILY, spark, path)
-
-
-def image_index_append(
+def audio_index_append(
     batch: Any,
     path: str,
     content: Any = None,
@@ -121,24 +122,24 @@ def image_index_append(
     fp_index_append(_FAMILY, batch, path, content, id_col, strict=strict)
 
 
-def image_index_stats(spark, path: str) -> dict:
+def audio_index_stats(spark, path: str) -> dict:
     """Sidecar parameters plus footer-only store row counts.
-    ``n_images``/``n_postings`` are PHYSICAL counts (footer metadata,
+    ``n_clips``/``n_postings`` are PHYSICAL counts (footer metadata,
     no data pages); ``n_tombstones`` counts ids masked since the last
     compact — live rows are the difference."""
     return fp_index_stats(_FAMILY, spark, path)
 
 
-def image_index_delete(spark, path: str, ids: Any) -> dict:
+def audio_index_delete(spark, path: str, ids: Any) -> dict:
     """Tombstone ``ids`` out of the index: every match/dedup/stream
-    consumer masks them immediately; ``image_index_compact`` folds
+    consumer masks them immediately; ``audio_index_compact`` folds
     them physically and clears the sidecar. Returns the post-delete
     stats. See scale/tombstones.py for the mask-until-compact
     contract (re-appending a tombstoned id requires a compact first)."""
     return fp_index_delete(_FAMILY, spark, path, ids)
 
 
-def match_against_image_index(
+def match_against_audio_index(
     batch: Any,
     path: str,
     content: Any = None,
@@ -148,8 +149,8 @@ def match_against_image_index(
     max_bucket: int = 10_000,
     strict: bool = False,
 ) -> Tibble:
-    """All (batch image, indexed image) pairs within the Hamming
-    budget: columns (id_a, id_b, hamming), id_a from ``batch``.
+    """All (batch clip, indexed clip) pairs within the Hamming budget:
+    columns (id_a, id_b, hamming), id_a from ``batch``.
 
     Byte-identical fingerprints come from one narrow 8-byte hash
     equi-join (hamming 0, every replica resolved there); near-dup
@@ -165,7 +166,7 @@ def match_against_image_index(
     return pairs
 
 
-def dedup_against_image_index(
+def dedup_against_audio_index(
     batch: Any,
     path: str,
     content: Any = None,
@@ -176,7 +177,7 @@ def dedup_against_image_index(
     strict: bool = False,
     append: bool = False,
 ) -> Tibble:
-    """Drop every ``batch`` row whose image matches an indexed image
+    """Drop every ``batch`` row whose audio matches an indexed clip
     within the Hamming budget; return survivors with their original
     columns. ``append=True`` admits the survivors into the index
     (materialized first — the family's read-after-append contract)."""
@@ -187,10 +188,10 @@ def dedup_against_image_index(
     )
 
 
-def image_index_compact(spark, path: str) -> dict:
+def audio_index_compact(spark, path: str) -> dict:
     """Rewrite accumulated per-append file sets into one compact
     range-clustered layout, folding byte-duplicate rows, tombstoned
-    ids (see image_index_delete), and re-applying the bucket cap
+    ids (see audio_index_delete), and re-applying the bucket cap
     ACROSS increments — same lifecycle, swap discipline, and drop
-    accounting as dedup_index_compact/semantic_index_compact."""
+    accounting as the sibling indexes' compacts."""
     return fp_index_compact(_FAMILY, spark, path)

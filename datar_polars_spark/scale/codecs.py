@@ -39,10 +39,13 @@ __all__ = [
     "make_jpeg",
     "make_tiff",
     "make_wav",
+    "make_wav_pcm",
     "make_flac",
     "make_mp3",
     "make_ogg",
     "make_aiff",
+    "make_aiff_pcm",
+    "decode_pcm",
 ]
 
 # --------------------------------------------------------------------------
@@ -1793,3 +1796,224 @@ def make_bmp_pixels(arr) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
     return hdr + info + data
+
+
+# --------------------------------------------------------------------------
+# PCM sample decode for the audio-fingerprint path (audio analogue of
+# decode_raster): WAV and AIFF carry raw PCM, so a struct/numpy walk
+# recovers the actual waveform with no codec library. FLAC/MP3/OGG
+# payloads need real entropy/transform decoding and return None —
+# callers choose between the documented deterministic stub fingerprint
+# and strict-mode failure (see multimodal.audio_fingerprint).
+# --------------------------------------------------------------------------
+
+
+def _pcm_int_to_float(data: bytes, bits: int, big_endian: bool):
+    """Raw integer PCM bytes -> float32 in [-1, 1). 8-bit WAV is
+    unsigned per the RIFF spec; 8-bit AIFF is signed — callers pass
+    the bytes pre-offset for that case via ``big_endian``/signedness
+    handled here (WAV is never big-endian, AIFF never 8-bit-unsigned)."""
+    import numpy as np
+
+    if bits == 8:
+        raw = np.frombuffer(data, dtype=np.int8 if big_endian else np.uint8)
+        x = raw.astype(np.float32)
+        return (x / 128.0) if big_endian else ((x - 128.0) / 128.0)
+    if bits == 16:
+        dt = ">i2" if big_endian else "<i2"
+        return np.frombuffer(data, dtype=dt).astype(np.float32) / 32768.0
+    if bits == 24:
+        u = np.frombuffer(data, dtype=np.uint8)
+        u = u[: (len(u) // 3) * 3].reshape(-1, 3).astype(np.uint32)
+        if big_endian:
+            v = (u[:, 0] << 16) | (u[:, 1] << 8) | u[:, 2]
+        else:
+            v = (u[:, 2] << 16) | (u[:, 1] << 8) | u[:, 0]
+        s = v.astype(np.int32)
+        s[s >= (1 << 23)] -= 1 << 24  # sign-extend
+        return s.astype(np.float32) / float(1 << 23)
+    if bits == 32:
+        dt = ">i4" if big_endian else "<i4"
+        return np.frombuffer(data, dtype=dt).astype(np.float32) / float(
+            1 << 31
+        )
+    return None
+
+
+def _decode_pcm_wav(b: bytes):
+    if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    import numpy as np
+
+    i = 12
+    afmt = sr = channels = bits = None
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            afmt = struct.unpack("<H", b[i + 8 : i + 10])[0]
+            channels = struct.unpack("<H", b[i + 10 : i + 12])[0]
+            sr = struct.unpack("<I", b[i + 12 : i + 16])[0]
+            bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+            if afmt == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE:
+                # the real format is the first 2 GUID bytes of the
+                # extension (offset 24 into the chunk body)
+                afmt = struct.unpack("<H", b[i + 32 : i + 34])[0]
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if not (sr and channels and bits and data is not None):
+        return None
+    if afmt == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(
+                data[: (len(data) // 4) * 4], dtype="<f4"
+            ).astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(
+                data[: (len(data) // 8) * 8], dtype="<f8"
+            ).astype(np.float32)
+        else:
+            return None
+    elif afmt == 1:  # integer PCM
+        frame = bits // 8
+        data = data[: (len(data) // frame) * frame]
+        x = _pcm_int_to_float(data, bits, big_endian=False)
+        if x is None:
+            return None
+    else:
+        return None  # ADPCM / a-law / mu-law etc. need codec tables
+    if channels > 1:
+        n = (len(x) // channels) * channels
+        x = x[:n].reshape(-1, channels).mean(axis=1).astype(np.float32)
+    return sr, x
+
+
+def _decode_pcm_aiff(b: bytes):
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    import numpy as np
+
+    is_aifc = b[8:12] == b"AIFC"
+    i = 12
+    sr = channels = bits = None
+    comp = b"NONE"
+    data = None
+    while i + 8 <= len(b):
+        ctype = b[i : i + 4]
+        (csize,) = struct.unpack(">I", b[i + 4 : i + 8])
+        if ctype == b"COMM" and i + 8 + 18 <= len(b):
+            p = i + 8
+            channels = struct.unpack(">H", b[p : p + 2])[0]
+            bits = struct.unpack(">H", b[p + 6 : p + 8])[0]
+            exp = struct.unpack(">H", b[p + 8 : p + 10])[0]
+            mant = struct.unpack(">Q", b[p + 10 : p + 18])[0]
+            exp &= 0x7FFF
+            sr = (
+                0 if mant == 0 and exp == 0
+                else int(round(mant * 2.0 ** (exp - 16383 - 63)))
+            )
+            if is_aifc and csize >= 22:
+                comp = b[p + 18 : p + 22]
+        elif ctype == b"SSND" and i + 16 <= len(b):
+            (off,) = struct.unpack(">I", b[i + 8 : i + 12])
+            data = b[i + 16 + off : i + 8 + csize]
+        i += 8 + csize + (csize & 1)
+    if not (sr and channels and bits and data is not None):
+        return None
+    if comp not in (b"NONE", b"sowt"):
+        return None  # compressed AIFF-C needs a codec
+    big = comp == b"NONE"  # 'sowt' = byte-swapped (little-endian) PCM
+    frame = bits // 8
+    if frame == 0:
+        return None
+    data = data[: (len(data) // frame) * frame]
+    x = _pcm_int_to_float(data, bits, big_endian=big)
+    if x is None:
+        return None
+    if bits == 8 and not big:
+        # AIFF 8-bit is SIGNED even in sowt layouts; redo as signed
+        x = np.frombuffer(data, dtype=np.int8).astype(np.float32) / 128.0
+    if channels > 1:
+        n = (len(x) // channels) * channels
+        x = x[:n].reshape(-1, channels).mean(axis=1).astype(np.float32)
+    return sr, x
+
+
+def decode_pcm(b: bytes):
+    """(sample_rate, float32 mono waveform in [-1, 1]) for audio this
+    container carries as raw PCM — RIFF WAV (integer 8/16/24/32-bit
+    and IEEE float 32/64-bit, incl. WAVE_FORMAT_EXTENSIBLE) and
+    AIFF/AIFF-C uncompressed ('NONE' big-endian / 'sowt'
+    little-endian). Multi-channel audio downmixes to mono (mean).
+    Returns None for FLAC/MP3/OGG/unknown (their payloads need real
+    entropy/transform decoding) — callers choose between a documented
+    deterministic stub fingerprint and strict-mode failure."""
+    if not b:
+        return None
+    out = _decode_pcm_wav(b)
+    if out is None:
+        out = _decode_pcm_aiff(b)
+    return out
+
+
+def make_wav_pcm(
+    samples, sample_rate: int, bits: int = 16, channels: int = 1
+) -> bytes:
+    """Full RIFF WAV carrying real integer-PCM data (float array in
+    [-1, 1], mono or (n, channels)) — the PCM-path test fixture
+    (decode_pcm round-trips it)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1 and channels > 1:
+        x = np.repeat(x[:, None], channels, axis=1)
+    elif x.ndim == 2:
+        channels = x.shape[1]
+    x = np.clip(x, -1.0, 1.0 - 1e-9).reshape(-1)
+    if bits == 16:
+        data = (x * 32768.0).astype("<i2").tobytes()
+    elif bits == 8:
+        data = (x * 128.0 + 128.0).astype(np.uint8).tobytes()
+    elif bits == 32:
+        data = (x * float(1 << 31)).astype("<i4").tobytes()
+    else:
+        raise ValueError(f"make_wav_pcm: bits must be 8/16/32, got {bits}")
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * (bits // 8),
+        channels * (bits // 8), bits,
+    )
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def make_aiff_pcm(samples, sample_rate: int) -> bytes:
+    """Full AIFF carrying real 16-bit big-endian mono PCM data — the
+    AIFF leg of the decode_pcm round-trip fixture."""
+    import numpy as np
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0 - 1e-9)
+    data = (x * 32768.0).astype(">i2").tobytes()
+    n = len(x)
+    # 80-bit extended float for the rate: mant * 2^(exp - 16383 - 63)
+    e = sample_rate.bit_length() - 1
+    mant = sample_rate << (63 - e)
+    comm = (
+        struct.pack(">HIH", 1, n, 16)
+        + struct.pack(">H", 16383 + e)
+        + struct.pack(">Q", mant)
+    )
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        + (b"\x00" if len(ssnd) & 1 else b"")
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body

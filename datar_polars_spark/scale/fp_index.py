@@ -1,0 +1,478 @@
+"""Generic persistent 64-bit-fingerprint index engine.
+
+The image index (scale/image_index.py) and the audio index
+(scale/audio_index.py) are the SAME data structure over different
+perceptual hash functions: a 64-bit fingerprint per item, stored as
+
+- ``hashes/``: (id, <fp>) — one 16-byte row per indexed item.
+- ``postings/`` (partitioned by ``band``): (band, bval, id, <fp>) —
+  the fingerprint split into ``max_hamming + 1`` disjoint bit bands.
+  By pigeonhole, any pair within the build-time Hamming budget agrees
+  EXACTLY on at least one band, so candidate generation is a keyed
+  equi-join with EXACT recall (no probabilistic layer — unlike
+  MinHash/hyperplane LSH, the banding loses nothing within the
+  budget). Bands are pinned at build time: matching with a larger
+  ``max_hamming`` than the build's would silently lose the pigeonhole
+  guarantee, so it is rejected.
+- ``<sidecar>.json``: the parameter sidecar.
+
+This module holds the engine once, parameterized by a tiny family
+descriptor (:class:`FpFamily`): the modality-specific pieces are the
+hash function (one Arrow pass producing the (id, fingerprint) frame),
+the fingerprint column name, and the naming/op strings. Everything
+scale-critical — the banded layout, the exact-hash pre-join, the
+one-representative-per-distinct-fingerprint candidate generation, the
+broadcast pinning, bucket caps with drop accounting, tombstone
+masking, and the staged-rename compaction — is shared, so a fix in
+one modality is a fix in all of them.
+
+Match semantics (shared): all (batch item, indexed item) pairs with
+Hamming distance <= the budget; byte-identical fingerprints via one
+narrow 8-byte hash equi-join (hamming 0) and near-dups via the banded
+join — candidates generate from ONE representative per distinct
+fingerprint (a replica-heavy batch pays distinct-fingerprint cost)
+and fan back out. NULL-content and NULL-id batch rows never match and
+always survive dedup (the index family's NULL contract).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import functions as F
+
+from ..tibble import Tibble, ensure_tibble
+from .dedup import _cap_buckets, _DROPPED_PAIRS, _ensure_parallelism, _name_of
+from .jsonio import read_json_file, replace_dir, write_json_file
+from .tombstones import (
+    append_tombstones,
+    delete_dir,
+    mask_tombstones,
+    tombstones_df,
+)
+
+__all__ = ["FpFamily", "band_cols"]
+
+# a hashed batch row is 16 bytes (8-byte id-ish key + 8-byte
+# fingerprint): 4M rows broadcast as a ~64 MB hash relation — cheap on
+# any executor profile, and far past the point where a recrawl batch
+# stops being "small" relative to the corpus store it matches against
+_BROADCAST_BATCH_ROWS = 4_000_000
+
+
+@dataclass(frozen=True)
+class FpFamily:
+    """One modality of the fingerprint-index family.
+
+    ``hash_base(df, content_col, id_col, strict, probe_parallelism)``
+    must return a DataFrame of (id, <fp_col>) with NULL-id and
+    NULL-fingerprint rows already dropped — the one Arrow pass that
+    turns raw content bytes into the 64-bit perceptual hash."""
+
+    name: str  # "image" / "audio" — derives op + error strings
+    fp_col: str  # fingerprint column name in the stores
+    count_key: str  # stats key for the hashes/ row count
+    hash_base: Callable[..., Any]
+
+    @property
+    def format(self) -> str:
+        return f"{self.name}-index"
+
+    @property
+    def sidecar(self) -> str:
+        return f"{self.name}_index.json"
+
+    def op(self, suffix: str) -> str:
+        return f"{self.name}_index_{suffix}"
+
+    @property
+    def op_match(self) -> str:
+        return f"match_against_{self.name}_index"
+
+
+def band_cols(fp, n_bands: int):
+    """The fingerprint's ``n_bands`` disjoint bit bands as (band, bval)
+    structs — pure JVM shifts/masks, shared with the *_near_dup_pairs
+    batch operators and the streaming consumers.
+
+    A full-width band (n_bands=1, i.e. max_hamming=0) keeps the raw
+    hash as its value: the 64-bit mask (1<<64)-1 overflows a signed
+    long and py4j's F.lit would raise NumberFormatException, and no
+    mask is needed when the band IS the whole fingerprint."""
+    out = []
+    for i in range(n_bands):
+        lo = (i * 64) // n_bands
+        hi = ((i + 1) * 64) // n_bands
+        width = hi - lo
+        shifted = F.shiftrightunsigned(fp, lo)
+        bval = (
+            shifted if width >= 64
+            else shifted.bitwiseAND(F.lit((1 << width) - 1))
+        )
+        out.append(
+            F.struct(F.lit(i).alias("band"), bval.alias("bval"))
+        )
+    return out
+
+
+def _index_frames(fam: FpFamily, base, meta: dict, op: str):
+    """(hashes, postings) store frames — shared by build and append.
+
+    Postings carry the FULL fingerprint next to each band value (v2
+    layout, +8 bytes/row over the text/semantic siblings' narrow
+    postings): the fingerprint is only 8 bytes — unlike a MinHash
+    signature or an embedding — so candidate VERIFICATION
+    (bit_count(a ^ b)) happens inline on the posting join's output and
+    the fuzzy leg never needs a second corpus-scale join back to
+    ``hashes/``. One store scan per match instead of two."""
+    fp = fam.fp_col
+    postings = _cap_buckets(
+        base.select(
+            "id", fp,
+            F.explode(F.array(*band_cols(F.col(fp),
+                                         meta["bands"]))).alias("b"),
+        ).select(F.col("b.band").alias("band"),
+                 F.col("b.bval").alias("bval"), "id", fp),
+        ["band", "bval"], meta["max_bucket"], op=op,
+    )
+    return base, postings
+
+
+def _write_frames(path: str, hashes, postings, mode: str) -> None:
+    # range-cluster postings before the partitioned write — same
+    # small-files discipline as the text/semantic indexes
+    postings = postings.repartitionByRange(
+        F.col("band"), F.col("bval")
+    ).sortWithinPartitions("band", "bval")
+    hashes.write.mode(mode).parquet(f"{path}/hashes")
+    postings.write.mode(mode).partitionBy("band").parquet(f"{path}/postings")
+
+
+def fp_index_build(
+    fam: FpFamily,
+    corpus: Any,
+    content: Any,
+    id_col: Any,
+    path: str,
+    *,
+    max_hamming: int,
+    max_bucket: int,
+    strict: bool,
+    mode: str,
+) -> None:
+    op = fam.op("build")
+    if max_hamming < 0:
+        raise ValueError(f"{op}: max_hamming must be >= 0, got {max_hamming}")
+    _DROPPED_PAIRS[op] = []
+    td = ensure_tibble(corpus)
+    cname, idn = _name_of(content), _name_of(id_col)
+    meta = {
+        "format": fam.format,
+        "version": 2,  # v2: postings carry the fingerprint inline
+        "max_hamming": max_hamming,
+        "bands": max_hamming + 1,
+        "max_bucket": max_bucket,
+        "content_col": cname,
+        "id_col": idn,
+        "id_type": td.df.schema[idn].dataType.simpleString(),
+    }
+    base = _ensure_parallelism(
+        fam.hash_base(td.df.select(*td.columns), cname, idn, strict)
+    )
+    hashes, postings = _index_frames(fam, base, meta, op)
+    _write_frames(path, hashes, postings, mode)
+    write_json_file(td.df.sparkSession, f"{path}/{fam.sidecar}", meta)
+
+
+def load_meta(fam: FpFamily, spark, path: str) -> dict:
+    meta = read_json_file(spark, f"{path}/{fam.sidecar}")
+    if not (isinstance(meta, dict) and meta.get("format") == fam.format):
+        raise ValueError(
+            f"{path}/{fam.sidecar} is not a {fam.op('build')} sidecar"
+        )
+    if meta.get("version") != 2:
+        # an explicit-schema read of v1 postings (no fingerprint
+        # column) would yield NULL fingerprints and silently wrong
+        # hammings — refuse loudly instead
+        raise ValueError(
+            f"{fam.name} index at {path} is layout version "
+            f"{meta.get('version')}; this build reads version 2 "
+            f"(postings carry the fingerprint inline) — rebuild with "
+            f"{fam.op('build')}"
+        )
+    return meta
+
+
+def fp_index_append(
+    fam: FpFamily,
+    batch: Any,
+    path: str,
+    content: Any,
+    id_col: Any,
+    *,
+    strict: bool,
+) -> None:
+    op = fam.op("append")
+    _DROPPED_PAIRS[op] = []
+    td = ensure_tibble(batch)
+    meta = load_meta(fam, td.df.sparkSession, path)
+    cname = _name_of(content) if content is not None else meta["content_col"]
+    idn = _name_of(id_col) if id_col is not None else meta["id_col"]
+    got_t = td.df.schema[idn].dataType.simpleString()
+    if got_t != meta["id_type"]:
+        raise ValueError(
+            f"{op}: id column {idn!r} is {got_t}, but the index at "
+            f"{path} was built with id_type={meta['id_type']!r}; cast "
+            f"the batch id first"
+        )
+    base = fam.hash_base(td.df.select(*td.columns), cname, idn, strict)
+    hashes, postings = _index_frames(fam, base, meta, op)
+    _write_frames(path, hashes, postings, "append")
+
+
+def _hashes_schema(fam: FpFamily, idt: str) -> str:
+    return f"id {idt}, {fam.fp_col} bigint"
+
+
+def _postings_schema(fam: FpFamily, idt: str) -> str:
+    return f"bval bigint, id {idt}, {fam.fp_col} bigint, band int"
+
+
+def fp_index_stats(fam: FpFamily, spark, path: str) -> dict:
+    """Sidecar parameters plus footer-only store row counts: the item
+    and posting counts are PHYSICAL (footer metadata, no data pages);
+    ``n_tombstones`` counts ids masked since the last compact — live
+    rows are the difference."""
+    meta = load_meta(fam, spark, path)
+    idt = meta["id_type"]
+    out = dict(meta)
+    out[fam.count_key] = (
+        spark.read.schema(_hashes_schema(fam, idt))
+        .parquet(f"{path}/hashes").count()
+    )
+    out["n_postings"] = (
+        spark.read.schema(_postings_schema(fam, idt))
+        .parquet(f"{path}/postings").count()
+    )
+    tombs = tombstones_df(spark, path, idt)
+    out["n_tombstones"] = 0 if tombs is None else tombs.count()
+    return out
+
+
+def fp_index_delete(fam: FpFamily, spark, path: str, ids: Any) -> dict:
+    """Tombstone ``ids`` out of the index: every match/dedup/stream
+    consumer masks them immediately; compact folds them physically and
+    clears the sidecar. Returns the post-delete stats. See
+    scale/tombstones.py for the mask-until-compact contract
+    (re-appending a tombstoned id requires a compact first)."""
+    meta = load_meta(fam, spark, path)
+    append_tombstones(spark, path, ids, meta["id_type"])
+    return fp_index_stats(fam, spark, path)
+
+
+def fp_match_with_base(
+    fam: FpFamily,
+    batch: Any,
+    path: str,
+    content: Any,
+    id_col: Any,
+    *,
+    max_hamming: int | None,
+    max_bucket: int,
+    strict: bool,
+) -> tuple[Tibble, Any]:
+    """The match operator plus the persisted hashed-batch frame, so
+    callers that MATERIALIZE the result (dedup's append path) can
+    release the persist deterministically via unregister_internal_cache
+    instead of waiting on FIFO eviction."""
+    op = fam.op_match
+    _DROPPED_PAIRS[op] = []
+    td = ensure_tibble(batch)
+    spark = td.df.sparkSession
+    meta = load_meta(fam, spark, path)
+    budget = meta["max_hamming"] if max_hamming is None else int(max_hamming)
+    if budget > meta["max_hamming"]:
+        raise ValueError(
+            f"{op}: max_hamming={budget} exceeds the build-time budget "
+            f"{meta['max_hamming']} — the banded layout only guarantees "
+            f"recall up to the build's; rebuild with a larger budget"
+        )
+    if budget < 0:
+        raise ValueError(f"{op}: max_hamming must be >= 0")
+    cname = _name_of(content) if content is not None else meta["content_col"]
+    idn = _name_of(id_col) if id_col is not None else meta["id_col"]
+    idt = meta["id_type"]
+    from ..plans.cache import register_internal_cache
+
+    # the Arrow decode+hash pass is the expensive part of a match, and
+    # the hashed batch feeds THREE consumers (exact leg, distinct-
+    # fingerprint reps, fuzzy fan-out) — persist it so the batch is
+    # hashed once, not once per consumer (plan-audited: 3 ArrowEval
+    # passes without this). The count() both materializes the persist
+    # and gives the EXACT batch cardinality for the broadcast decision
+    # below — runtime truth, not an estimate.
+    fp = fam.fp_col
+    base = register_internal_cache(
+        _ensure_parallelism(
+            fam.hash_base(td.df.select(*td.columns), cname, idn, strict)
+        )
+        .select(F.col("id").alias("id_a"), F.col(fp).alias("fp_a"))
+        .persist()
+    )
+    n_batch = base.count()
+    # a hashed batch row is 16 bytes; below the bound, PIN the batch
+    # side broadcast so the corpus-scale stores NEVER shuffle for a
+    # small batch (the r5 finding: AQE does not reliably demote a
+    # planned sort-merge join to broadcast at runtime)
+    small = n_batch <= _BROADCAST_BATCH_ROWS
+
+    def _pin(df):
+        return F.broadcast(df) if small else df
+
+    tombs = tombstones_df(spark, path, idt)
+    store = mask_tombstones(
+        spark.read.schema(_hashes_schema(fam, idt))
+        .parquet(f"{path}/hashes"),
+        tombs,
+    ).select(F.col("id").alias("id_b"), F.col(fp).alias("fp_b"))
+    exact = (
+        _pin(base).join(store, base["fp_a"] == store["fp_b"])
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    if budget == 0:
+        return Tibble(exact), base
+    # distinct-fingerprint candidate generation (the fingerprint is 8
+    # bytes, so banding every distinct one is cheap even when replicas
+    # dominate); identical pairs are the exact leg's — excluded here
+    reps = base.select(F.col("fp_a").alias("fp")).dropDuplicates()
+    banded = _cap_buckets(
+        reps.select(
+            "fp", F.explode(F.array(*band_cols(F.col("fp"),
+                                               meta["bands"]))).alias("b")
+        ).select("fp", F.col("b.band").alias("band"),
+                 F.col("b.bval").alias("bval")),
+        ["band", "bval"], max_bucket, op=op,
+    )
+    # v2 postings carry the fingerprint inline, so the Hamming verify
+    # runs ON the posting join's output — the fuzzy leg touches ONE
+    # corpus-scale store (postings), not two (no join-back to hashes/)
+    postings = mask_tombstones(
+        spark.read.schema(_postings_schema(fam, idt))
+        .parquet(f"{path}/postings"),
+        tombs,
+    ).select("band", "bval", F.col("id").alias("id_b"),
+             F.col(fp).alias("fp_b"))
+    fuzzy = (
+        _pin(banded).join(postings, on=["band", "bval"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fp").bitwiseXOR(F.col("fp_b"))).cast("int"),
+        )
+        .filter((F.col("hamming") > 0) & (F.col("hamming") <= budget))
+        # band-collision dedupe keys include the STORED hash: an id
+        # appended under two different fingerprints legitimately
+        # matches once per fingerprint (hamming is a pure function of
+        # (fp, fp_b), so this is exactly one row per true pair)
+        .select("fp", "id_b", "fp_b", "hamming")
+        .dropDuplicates(["fp", "id_b", "fp_b"])
+        .join(_pin(base), base["fp_a"] == F.col("fp"))
+        .select("id_a", "id_b", "hamming")
+    )
+    return Tibble(exact.unionByName(fuzzy)), base
+
+
+def fp_dedup_against_index(
+    fam: FpFamily,
+    batch: Any,
+    path: str,
+    content: Any,
+    id_col: Any,
+    *,
+    max_hamming: int | None,
+    max_bucket: int,
+    strict: bool,
+    append: bool,
+) -> Tibble:
+    """Drop every ``batch`` row whose content matches an indexed item
+    within the Hamming budget; return survivors with their original
+    columns. ``append=True`` admits the survivors into the index
+    (materialized first — the family's read-after-append contract)."""
+    td = ensure_tibble(batch)
+    hits, hashed_batch = fp_match_with_base(
+        fam, td, path, content, id_col,
+        max_hamming=max_hamming, max_bucket=max_bucket, strict=strict,
+    )
+    meta = load_meta(fam, td.df.sparkSession, path)
+    idn = _name_of(id_col) if id_col is not None else meta["id_col"]
+    surv = td.df.select(*td.columns).join(
+        hits.df.select(F.col("id_a").alias(idn)).dropDuplicates(),
+        on=idn, how="left_anti",
+    )
+    if append:
+        surv = surv.localCheckpoint(eager=True)
+        # the eager checkpoint just consumed the match plan in full —
+        # the persisted hashed batch has no remaining consumer, so
+        # release it now instead of waiting on FIFO eviction
+        from ..plans.cache import unregister_internal_cache
+
+        unregister_internal_cache(hashed_batch)
+    out = Tibble(surv, groups=td.group_vars, levels=td.levels)
+    if append:
+        cname = (
+            _name_of(content) if content is not None
+            else meta["content_col"]
+        )
+        fp_index_append(fam, out, path, cname, idn, strict=strict)
+    return out
+
+
+def fp_index_compact(fam: FpFamily, spark, path: str) -> dict:
+    """Rewrite accumulated per-append file sets into one compact
+    range-clustered layout, folding byte-duplicate rows, tombstoned
+    ids, and re-applying the bucket cap ACROSS increments — same
+    lifecycle, swap discipline, and drop accounting as
+    dedup_index_compact/semantic_index_compact."""
+    from .dedup import dropped_pairs_estimate
+
+    op = fam.op("compact")
+    meta = load_meta(fam, spark, path)
+    _DROPPED_PAIRS[op] = []
+    idt = meta["id_type"]
+    fp = fam.fp_col
+    tombs = tombstones_df(spark, path, idt)
+    hashes = mask_tombstones(
+        spark.read.schema(_hashes_schema(fam, idt))
+        .parquet(f"{path}/hashes"),
+        tombs,
+    ).dropDuplicates(["id", fp])
+    postings = _cap_buckets(
+        mask_tombstones(
+            spark.read.schema(_postings_schema(fam, idt))
+            .parquet(f"{path}/postings"),
+            tombs,
+        )
+        .select("band", "bval", "id", fp)
+        .dropDuplicates(["band", "bval", "id", fp]),
+        ["band", "bval"], meta["max_bucket"], op=op,
+    ).repartitionByRange(
+        F.col("band"), F.col("bval")
+    ).sortWithinPartitions("band", "bval")
+    hashes.write.mode("overwrite").parquet(f"{path}/hashes__compact")
+    postings.write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/postings__compact"
+    )
+    dropped = dropped_pairs_estimate(op)
+    _DROPPED_PAIRS[op] = [
+        spark.createDataFrame([(float(dropped),)], "dropped double")
+    ]
+    replace_dir(spark, f"{path}/hashes__compact", f"{path}/hashes")
+    replace_dir(spark, f"{path}/postings__compact", f"{path}/postings")
+    # the rewritten stores no longer hold the dead ids: clear the
+    # sidecar (LAST — a crash before this line leaves tombstones
+    # harmlessly masking already-absent ids)
+    if tombs is not None:
+        delete_dir(spark, f"{path}/tombstones")
+    out = fp_index_stats(fam, spark, path)
+    out["dropped_pairs"] = dropped
+    return out

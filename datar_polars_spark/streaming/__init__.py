@@ -1190,88 +1190,63 @@ def stream_dedup_paragraphs(
 __all__.append("stream_dedup_paragraphs")
 
 
-def stream_image_dedup(
+def _stream_fp_dedup(
     sdf: DataFrame,
     index_path: str,
-    content: Any = None,
-    id_col: Any = None,
-    mode: str = "matches",
-    max_hamming: int | None = None,
-    strict: bool = False,
-    ts: Any = None,
-    watermark: str = "1 hour",
-    max_history: int = 1_000_000,
+    fam,
+    hash_one,
+    op: str,
+    content: Any,
+    id_col: Any,
+    mode: str,
+    max_hamming: int | None,
+    ts: Any,
+    watermark: str,
+    max_history: int,
 ) -> DataFrame:
-    """Streaming perceptual image dedup against a PERSISTENT image
-    index (``image_index_build``) — the image member of the streaming
-    index-consumer family (``stream_near_dedup``: lexical;
-    ``stream_decontaminate_semantic``: embeddings; this: pixels). The
-    lake's images were dHashed once at index time; each micro-batch
-    hashes only ITSELF (one Arrow pass, stateless) and joins the
-    stores.
+    """Shared streaming consumer of the 64-bit-fingerprint index
+    family (scale/fp_index.py): stream_image_dedup and
+    stream_audio_dedup are this engine under their modality's hash
+    function. See those wrappers for the user-facing contract; the
+    scale notes live here once.
 
     ``mode="matches"`` (the 100 TB path): byte-identical fingerprints
     come from a stream-static equi-join on the 8-byte hash (hamming 0)
     and near-dups from the banded posting join (pigeonhole-exact
     within the build budget), verified JVM-side with ``bit_count`` —
-    stateless, history side arbitrarily large. Emits the stream's
-    columns plus ``match_id``/``hamming``; a near-dup pair colliding
-    in several bands emits once per band UNLESS ``ts=`` is given
-    (``dropDuplicatesWithinWatermark`` on (id, match_id) collapses
-    them with watermark-bounded state; requires ``id_col``).
+    stateless, history side arbitrarily large.
 
     ``mode="filter"`` passes through only CLEAN rows (per-doc
     ALL-bands decision): the fingerprint store broadcasts as per-band
-    sorted numpy tables (bounded by ``max_history`` rows — 16 bytes x
-    ``bands`` per fingerprint, ~80 MB at the 1M default with 5 bands)
-    and the same Arrow pass that hashes each row probes them with
-    ``searchsorted``.
-    NULL-content rows are unverifiable and pass through as clean
-    (family contract). ``max_hamming`` may tighten the build-time
-    budget, never widen it."""
-    from ..scale.image_index import _band_cols, _load_meta
+    SORTED numpy tables (bounded by ``max_history`` rows — 16 bytes x
+    ``bands`` per fingerprint, ~80 MB at the 1M default with 5 bands;
+    loud failure past the bound) and the same Arrow pass that hashes
+    each row probes them with ``searchsorted``."""
+    from ..scale.fp_index import band_cols, load_meta
 
     if mode not in ("matches", "filter"):
         raise ValueError(
-            f"stream_image_dedup: mode must be 'matches' or 'filter', "
-            f"got {mode!r}"
+            f"{op}: mode must be 'matches' or 'filter', got {mode!r}"
         )
     spark = sdf.sparkSession
-    meta = _load_meta(spark, index_path)
+    meta = load_meta(fam, spark, index_path)
     budget = meta["max_hamming"] if max_hamming is None else int(max_hamming)
     if budget > meta["max_hamming"]:
         raise ValueError(
-            f"stream_image_dedup: max_hamming={budget} exceeds the "
-            f"build-time budget {meta['max_hamming']}; rebuild the index"
+            f"{op}: max_hamming={budget} exceeds the build-time budget "
+            f"{meta['max_hamming']}; rebuild the index"
         )
     cname = _name_of(content) if content is not None else meta["content_col"]
     idn = _name_of(id_col) if id_col is not None else meta["id_col"]
     idt = meta["id_type"]
+    fp = fam.fp_col
     in_cols = list(sdf.columns)
-    for scratch in ("__dh__", "band", "bval", "match_id", "hamming"):
-        if scratch in in_cols and (mode == "matches" or scratch == "__dh__"):
+    for scratch in ("__fp__", "band", "bval", "match_id", "hamming"):
+        if scratch in in_cols and (mode == "matches" or scratch == "__fp__"):
             raise ValueError(
-                f"stream_image_dedup: input column {scratch!r} collides "
-                f"with a scratch/output name; rename it first"
+                f"{op}: input column {scratch!r} collides with a "
+                f"scratch/output name; rename it first"
             )
-
-    from ..scale.codecs import decode_raster
-    from ..scale.multimodal import _dhash64, _stub_raster
-
-    def _hash_one(b):
-        if b is None:
-            return None
-        bb = bytes(b)
-        gray = decode_raster(bb)
-        if gray is None:
-            if strict:
-                raise NotImplementedError(
-                    "stream_image_dedup(strict=True): pixel decode needs "
-                    "PNG/BMP/baseline-JPEG (other containers require a "
-                    "codec library)"
-                )
-            gray = _stub_raster(bb)
-        return _dhash64(gray)
 
     from ..scale.tombstones import mask_tombstones, tombstones_df
 
@@ -1279,20 +1254,20 @@ def stream_image_dedup(
 
     if mode == "matches":
         @F.pandas_udf("long")
-        def _dh(s: pd.Series) -> pd.Series:
-            return pd.Series([_hash_one(b) for b in s], dtype="Int64")
+        def _fp_udf(s: pd.Series) -> pd.Series:
+            return pd.Series([hash_one(b) for b in s], dtype="Int64")
 
-        hashed = sdf.withColumn("__dh__", _dh(F.col(cname))).filter(
-            F.col("__dh__").isNotNull()
+        hashed = sdf.withColumn("__fp__", _fp_udf(F.col(cname))).filter(
+            F.col("__fp__").isNotNull()
         )
         store = mask_tombstones(
-            spark.read.schema(f"id {idt}, dhash bigint")
+            spark.read.schema(f"id {idt}, {fp} bigint")
             .parquet(f"{index_path}/hashes"),
             _tombs,
         ).select(F.col("id").alias("match_id"),
-                 F.col("dhash").alias("__sh__"))
+                 F.col(fp).alias("__sh__"))
         exact = (
-            hashed.join(store, hashed["__dh__"] == store["__sh__"])
+            hashed.join(store, hashed["__fp__"] == store["__sh__"])
             .select(*in_cols, "match_id", F.lit(0).alias("hamming"))
         )
         out = exact
@@ -1302,27 +1277,27 @@ def stream_image_dedup(
             # stream-static store join in the fuzzy leg, not two
             postings = mask_tombstones(
                 spark.read.schema(
-                    f"bval bigint, id {idt}, dhash bigint, band int"
+                    f"bval bigint, id {idt}, {fp} bigint, band int"
                 )
                 .parquet(f"{index_path}/postings"),
                 _tombs,
             ).select("band", "bval", F.col("id").alias("match_id"),
-                     F.col("dhash").alias("__mh__"))
+                     F.col(fp).alias("__mh__"))
             fuzzy = (
                 hashed.select(
-                    *in_cols, "__dh__",
+                    *in_cols, "__fp__",
                     F.explode(
-                        F.array(*_band_cols(F.col("__dh__"), meta["bands"]))
+                        F.array(*band_cols(F.col("__fp__"), meta["bands"]))
                     ).alias("b"),
                 )
-                .select(*in_cols, "__dh__",
+                .select(*in_cols, "__fp__",
                         F.col("b.band").alias("band"),
                         F.col("b.bval").alias("bval"))
                 .join(postings, on=["band", "bval"])
                 .withColumn(
                     "hamming",
                     F.bit_count(
-                        F.col("__dh__").bitwiseXOR(F.col("__mh__"))
+                        F.col("__fp__").bitwiseXOR(F.col("__mh__"))
                     ).cast("int"),
                 )
                 .filter(
@@ -1350,21 +1325,21 @@ def stream_image_dedup(
 
     rows = (
         mask_tombstones(
-            spark.read.schema(f"id {idt}, dhash bigint")
+            spark.read.schema(f"id {idt}, {fp} bigint")
             .parquet(f"{index_path}/hashes"),
             _tombs,
         )
-        .select("dhash").limit(max_history + 1).collect()
+        .select(fp).limit(max_history + 1).collect()
     )
     if len(rows) > max_history:
         raise ValueError(
-            f"stream_image_dedup: index holds more than max_history="
-            f"{max_history} fingerprints; use mode='matches' with a "
-            f"batch join-back for unbounded histories"
+            f"{op}: index holds more than max_history={max_history} "
+            f"fingerprints; use mode='matches' with a batch join-back "
+            f"for unbounded histories"
         )
     nb = meta["bands"]
     hashes_np = np.array(
-        [r["dhash"] for r in rows], dtype=np.int64
+        [r[fp] for r in rows], dtype=np.int64
     ).view(np.uint64)
     shifts = [np.uint64((i * 64) // nb) for i in range(nb)]
     masks = [
@@ -1394,11 +1369,11 @@ def stream_image_dedup(
     def _clean(s: pd.Series) -> pd.Series:
         out = []
         for b in s:
-            dh = _hash_one(b)
-            if dh is None:
+            h = hash_one(b)
+            if h is None:
                 out.append(True)  # unverifiable -> clean (family contract)
                 continue
-            u = np.uint64(dh & ((1 << 64) - 1))
+            u = np.uint64(h & ((1 << 64) - 1))
             hit = False
             for i in range(nb):
                 bvals, cands = band_tables[i]
@@ -1419,4 +1394,116 @@ def stream_image_dedup(
     return sdf.filter(_clean(F.col(cname)))
 
 
+def stream_image_dedup(
+    sdf: DataFrame,
+    index_path: str,
+    content: Any = None,
+    id_col: Any = None,
+    mode: str = "matches",
+    max_hamming: int | None = None,
+    strict: bool = False,
+    ts: Any = None,
+    watermark: str = "1 hour",
+    max_history: int = 1_000_000,
+) -> DataFrame:
+    """Streaming perceptual image dedup against a PERSISTENT image
+    index (``image_index_build``) — the image member of the streaming
+    index-consumer family (``stream_near_dedup``: lexical;
+    ``stream_decontaminate_semantic``: embeddings; this: pixels;
+    ``stream_audio_dedup``: audio spectra). The lake's images were
+    dHashed once at index time; each micro-batch hashes only ITSELF
+    (one Arrow pass, stateless) and joins the stores.
+
+    ``mode="matches"`` (the 100 TB path) emits the stream's columns
+    plus ``match_id``/``hamming``; a near-dup pair colliding in
+    several bands emits once per band UNLESS ``ts=`` is given
+    (``dropDuplicatesWithinWatermark`` on (id, match_id) collapses
+    them with watermark-bounded state; requires ``id_col``).
+    ``mode="filter"`` passes through only CLEAN rows. NULL-content
+    rows are unverifiable and pass through as clean (family
+    contract). ``max_hamming`` may tighten the build-time budget,
+    never widen it. Mechanics shared with the audio member — see
+    :func:`_stream_fp_dedup`."""
+    from ..scale.codecs import decode_raster
+    from ..scale.image_index import _FAMILY
+    from ..scale.multimodal import _dhash64, _stub_raster
+
+    def _hash_one(b):
+        if b is None:
+            return None
+        bb = bytes(b)
+        gray = decode_raster(bb)
+        if gray is None:
+            if strict:
+                raise NotImplementedError(
+                    "stream_image_dedup(strict=True): pixel decode needs "
+                    "PNG/BMP/baseline-JPEG (other containers require a "
+                    "codec library)"
+                )
+            gray = _stub_raster(bb)
+        return _dhash64(gray)
+
+    return _stream_fp_dedup(
+        sdf, index_path, _FAMILY, _hash_one, "stream_image_dedup",
+        content, id_col, mode, max_hamming, ts, watermark, max_history,
+    )
+
+
 __all__.append("stream_image_dedup")
+
+
+def stream_audio_dedup(
+    sdf: DataFrame,
+    index_path: str,
+    content: Any = None,
+    id_col: Any = None,
+    mode: str = "matches",
+    max_hamming: int | None = None,
+    strict: bool = False,
+    ts: Any = None,
+    watermark: str = "1 hour",
+    max_history: int = 1_000_000,
+) -> DataFrame:
+    """Streaming perceptual audio dedup against a PERSISTENT audio
+    index (``audio_index_build``) — the audio member of the streaming
+    index-consumer family. The lake's clips were fingerprinted once
+    at index time (64-bit spectral hash, multimodal.audio_fingerprint
+    — raw-PCM WAV/AIFF decode for real; compressed containers hash a
+    content-keyed stub, exact identity only, or raise with
+    ``strict=True``); each micro-batch hashes only ITSELF (one Arrow
+    pass, stateless) and joins the stores.
+
+    Same modes and contracts as :func:`stream_image_dedup`:
+    ``mode="matches"`` is the stateless 100 TB path emitting
+    ``match_id``/``hamming`` (optionally watermark-collapsed via
+    ``ts=``), ``mode="filter"`` broadcasts the fingerprint store as
+    packed numpy band tables bounded by ``max_history`` and passes
+    through only CLEAN rows; NULL content passes as clean. Mechanics
+    shared via :func:`_stream_fp_dedup`."""
+    from ..scale.audio_index import _FAMILY
+    from ..scale.codecs import decode_pcm
+    from ..scale.multimodal import _afp64, _stub_audio_fp
+
+    def _hash_one(b):
+        if b is None:
+            return None
+        bb = bytes(b)
+        pcm = decode_pcm(bb)
+        h = None if pcm is None else _afp64(pcm[0], pcm[1])
+        if h is None:
+            if strict:
+                raise NotImplementedError(
+                    "stream_audio_dedup(strict=True): waveform decode "
+                    "needs raw-PCM WAV/AIFF >= 256 samples (compressed "
+                    "containers require a codec library)"
+                )
+            h = _stub_audio_fp(bb)
+        return h
+
+    return _stream_fp_dedup(
+        sdf, index_path, _FAMILY, _hash_one, "stream_audio_dedup",
+        content, id_col, mode, max_hamming, ts, watermark, max_history,
+    )
+
+
+__all__.append("stream_audio_dedup")
