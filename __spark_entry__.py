@@ -2735,6 +2735,168 @@ def q69_curation(spark, sf):
     )
 
 
+
+
+def q70_audio_dedup(spark, sf):
+    """The AUDIO perceptual-dedup family end to end, oracle-locked —
+    spectral fingerprint (scale/multimodal.audio_fingerprint over
+    codecs.decode_pcm: real WAV int8/int16 + AIFF PCM decode),
+    audio_near_dup_pairs (banded, pigeonhole-exact), and the
+    PERSISTENT audio index lifecycle including TOMBSTONE DELETE:
+    build -> delete -> dedup (mask path) -> compact -> dedup (folded
+    path).
+
+    Per-doc clips synthesize from doc_id: tonal template = doc_id % 16
+    (8 slices x 3 band-center tones, seeded — distinct templates sit
+    >= 20 fingerprint bits apart), variant = (doc_id // 16) % 2 (a
+    0.35x re-gain + light noise re-master, <= 4 bits from its
+    original; both measured, budget 6). Container keys off
+    TEMPLATE % 3: 16-bit WAV / AIFF ('NONE' big-endian) / 8-bit WAV —
+    all three real PCM decode paths, and since variant distances hold
+    ACROSS the re-quantized container, the fingerprints are
+    container-invariant by construction.
+
+    'afp' leg: every doc with the same (template, variant) shares ONE
+    fingerprint (byte-identical synthesis -> identical fingerprint,
+    stated as countDistinct == 1). 'apair' leg: near-dup pairs over
+    one representative per (template, variant) are EXACTLY the
+    same-template pairs. 'amask'/'afold' legs: corpus (templates
+    0..11) indexes to disk; template 11's ids are DELETED (tombstoned);
+    the batch (templates 8..15) dedups against the store before the
+    compact (tombstones masking) and after it (tombstones physically
+    folded) — survivors both times are exactly the docs whose template
+    is gone or was never indexed (>= 11), which the oracle states
+    relationally."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from datar_polars_spark.tibble import Tibble
+    from datar_polars_spark.scale import (
+        audio_fingerprint,
+        audio_index_build,
+        audio_index_compact,
+        audio_index_delete,
+        audio_near_dup_pairs,
+        dedup_against_audio_index,
+    )
+
+    d = _t(spark, sf, "documents")
+
+    @F.pandas_udf(BinaryType())
+    def doc_clip(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from datar_polars_spark.scale.codecs import (
+            make_aiff_pcm,
+            make_wav_pcm,
+        )
+
+        out = []
+        for d_ in doc_id:
+            d_ = int(d_)
+            t, v = d_ % 16, (d_ // 16) % 2
+            sr = 8000
+            edges = np.geomspace(100.0, 3600.0, 9)
+            centers = np.sqrt(edges[:-1] * edges[1:])
+            rng = np.random.default_rng(700 + t)
+            n = sr // 2
+            x = np.zeros(n)
+            te = [(i * n) // 8 for i in range(9)]
+            for s in range(8):
+                for b in rng.choice(8, size=3, replace=False):
+                    tt = np.arange(te[s], te[s + 1]) / sr
+                    x[te[s]: te[s + 1]] += np.sin(
+                        2 * np.pi * centers[b] * tt
+                    )
+            x = x / np.abs(x).max() * 0.6
+            if v:
+                x = 0.35 * x + 0.008 * np.random.default_rng(
+                    4000 + t
+                ).standard_normal(n)
+            x = np.clip(x, -1, 1)
+            c = t % 3
+            if c == 0:
+                out.append(make_wav_pcm(x, sr))
+            elif c == 1:
+                out.append(make_aiff_pcm(x, sr))
+            else:
+                out.append(make_wav_pcm(x, sr, bits=8))
+        return pd.Series(out)
+
+    clips = d.df.select(
+        "doc_id", "lang", doc_clip(F.col("doc_id")).alias("content")
+    )
+    nullv = F.lit(None).cast("double").alias("v")
+
+    # 'afp': one fingerprint per (template, variant) — strict=True
+    # locks every clip onto the REAL PCM decode path (any stub
+    # fallback would raise, failing the gate loudly)
+    hashed = audio_fingerprint(
+        Tibble(clips), "content", out_col="afp", strict=True
+    ).df
+    afp_block = (
+        hashed.groupBy(
+            (F.col("doc_id") % 16).alias("t"),
+            ((F.col("doc_id") / 16).cast("long") % 2).alias("vv"),
+        )
+        .agg(F.countDistinct("afp").cast("double").alias("v"))
+        .select(
+            F.lit("afp").alias("op"), F.col("t").alias("doc_id"),
+            F.col("vv").cast("string").alias("lang"), "v",
+        )
+    )
+
+    # 'apair': near-dup pairs over one representative per (t, v)
+    reps = (
+        d.df.groupBy(
+            (F.col("doc_id") % 16).alias("t"),
+            ((F.col("doc_id") / 16).cast("long") % 2).alias("vv"),
+        )
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", doc_clip(F.col("doc_id")).alias("content"))
+    )
+    apair_block = audio_near_dup_pairs(
+        Tibble(reps), "content", id_col="doc_id", max_hamming=6,
+        strict=True,
+    ).df.select(
+        F.lit("apair").alias("op"),
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").cast("string").alias("lang"),
+        nullv,
+    )
+
+    # 'amask'/'afold': the persistent index lifecycle with deletion
+    aidx_path = tempfile.mkdtemp(prefix="q70_aidx_") + "/idx"
+    audio_index_build(
+        Tibble(clips.filter(F.col("doc_id") % 16 < 12)),
+        "content", "doc_id", aidx_path, strict=True,
+    )
+    audio_index_delete(
+        spark, aidx_path,
+        d.df.filter(F.col("doc_id") % 16 == 11).select("doc_id"),
+    )
+    batch = Tibble(clips.filter(F.col("doc_id") % 16 >= 8))
+    amask_block = dedup_against_audio_index(
+        batch, aidx_path, strict=True,
+    ).df.select(F.lit("amask").alias("op"), "doc_id", "lang", nullv)
+    # force the mask-path evaluation BEFORE the compact mutates the
+    # store (both legs share one lazy source otherwise)
+    amask_block = amask_block.localCheckpoint(eager=True)
+    audio_index_compact(spark, aidx_path)
+    afold_block = dedup_against_audio_index(
+        batch, aidx_path, strict=True,
+    ).df.select(F.lit("afold").alias("op"), "doc_id", "lang", nullv)
+
+    return (
+        afp_block.unionByName(apair_block)
+        .unionByName(amask_block)
+        .unionByName(afold_block)
+        .orderBy("op", "doc_id", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2794,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_relevance": q67_relevance,
         "q68_semantic_decon": q68_semantic_decon,
         "q69_curation": q69_curation,
+        "q70_audio_dedup": q70_audio_dedup,
     }
 
 
@@ -3949,6 +4112,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT), -1.0
             FROM documents WHERE doc_id < 60 GROUP BY doc_id % 4
             ORDER BY op, id_a
+        """,
+        "q70_audio_dedup": """
+            -- audio family oracle, stated relationally: clips are a
+            -- pure function of doc_id (template = doc_id % 16,
+            -- variant = (doc_id // 16) % 2), so fingerprint identity
+            -- is (t, v) identity, near-dup pairs over per-(t,v)
+            -- representatives are same-template pairs (variant
+            -- distance <= 4 bits measured vs >= 20 cross-template,
+            -- budget 6), and index-dedup survivors are the batch docs
+            -- whose template was deleted (11) or never indexed
+            -- (12..15) -- identically before and after the compact
+            WITH reps AS (
+                SELECT doc_id % 16 AS t, (doc_id // 16) % 2 AS vv,
+                       MIN(doc_id) AS rep
+                FROM documents GROUP BY 1, 2
+            )
+            SELECT op, doc_id, lang, v FROM (
+                SELECT DISTINCT 'afp' AS op, doc_id % 16 AS doc_id,
+                       CAST((doc_id // 16) % 2 AS VARCHAR) AS lang,
+                       CAST(1 AS DOUBLE) AS v
+                FROM documents
+                UNION ALL
+                SELECT 'apair', a.rep, CAST(b.rep AS VARCHAR),
+                       CAST(NULL AS DOUBLE)
+                FROM reps a JOIN reps b
+                  ON a.t = b.t AND a.rep < b.rep
+                UNION ALL
+                SELECT 'amask', doc_id, lang, CAST(NULL AS DOUBLE)
+                FROM documents WHERE doc_id % 16 >= 11
+                UNION ALL
+                SELECT 'afold', doc_id, lang, CAST(NULL AS DOUBLE)
+                FROM documents WHERE doc_id % 16 >= 11
+            ) ORDER BY op, doc_id, lang
         """,
         "q69_curation": r"""
             -- 'para' leg (r10 dedup_paragraphs): synthesize paragraph

@@ -340,6 +340,64 @@ def _image_index_bench(docs, phase: str) -> int:
     ).df.count()
 
 
+def _audio_index_bench(docs, phase: str) -> int:
+    """r14: persistent audio-fingerprint index — 'build' synthesizes a
+    tonal 16-bit WAV per corpus doc (chord template by doc_id % 64,
+    0.5 s at 8 kHz), fingerprints (one Arrow PCM-decode+FFT pass), and
+    indexes to parquet; 'match' dedups the remaining third against the
+    store. Same shape as the image-index rows — the shared fp_index
+    engine means any regression here is an engine regression."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from datar_polars_spark.scale import (
+        audio_index_build,
+        dedup_against_audio_index,
+    )
+    from datar_polars_spark.tibble import Tibble
+
+    @F.pandas_udf(BinaryType())
+    def _clip(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from datar_polars_spark.scale.codecs import make_wav_pcm
+
+        out = []
+        for d_ in doc_id:
+            t = int(d_) % 64
+            sr = 8000
+            edges = np.geomspace(100.0, 3600.0, 9)
+            centers = np.sqrt(edges[:-1] * edges[1:])
+            rng = np.random.default_rng(700 + t)
+            n = sr // 2
+            x = np.zeros(n)
+            te = [(i * n) // 8 for i in range(9)]
+            for s in range(8):
+                for b in rng.choice(8, size=3, replace=False):
+                    tt = np.arange(te[s], te[s + 1]) / sr
+                    x[te[s]: te[s + 1]] += np.sin(
+                        2 * np.pi * centers[b] * tt
+                    )
+            out.append(make_wav_pcm(np.clip(x / 2.4, -1, 1), sr))
+        return pd.Series(out)
+
+    clips = docs.df.select("doc_id", _clip(F.col("doc_id")).alias("content"))
+    if "aidx" not in _PQ_STATE:
+        import tempfile
+
+        _PQ_STATE["aidx"] = tempfile.mkdtemp(prefix="bench_aidx_") + "/idx"
+    path = _PQ_STATE["aidx"]
+    if phase == "build":
+        audio_index_build(
+            Tibble(clips.filter(F.col("doc_id") % 3 != 0)),
+            "content", "doc_id", path, strict=True,
+        )
+        return 1
+    return dedup_against_audio_index(
+        Tibble(clips.filter(F.col("doc_id") % 3 == 0)), path, strict=True
+    ).df.count()
+
 def _pagerank_bench(spark, sf_dir: str, iterations: int = 3) -> int:
     """r12: PageRank power iterations over the symmetric
     supplier<->part graph from lineitem (the q38 'prank' construction)
@@ -680,6 +738,12 @@ def main() -> None:
             # match split over per-doc synthesized pixel PNGs
             "image_index_build": lambda: _image_index_bench(docs, "build"),
             "dedup_against_image_index": lambda: _image_index_bench(
+                docs, "match"
+            ),
+            # r14: persistent audio-fingerprint index — same engine,
+            # spectral fingerprint over per-doc synthesized WAVs
+            "audio_index_build": lambda: _audio_index_bench(docs, "build"),
+            "dedup_against_audio_index": lambda: _audio_index_bench(
                 docs, "match"
             ),
             # r12: crawl-graph ranking — 3 power iterations over the
