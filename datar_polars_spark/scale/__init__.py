@@ -189,6 +189,7 @@ from .multimodal import (  # noqa: F401
     decode_audio,
     audio_features,
     audio_fingerprint,
+    audio_stats,
     audio_near_dup_pairs,
     decode_video,
     sniff_media,

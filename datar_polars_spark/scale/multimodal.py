@@ -37,6 +37,7 @@ __all__ = [
     "decode_audio",
     "audio_features",
     "audio_fingerprint",
+    "audio_stats",
     "audio_near_dup_pairs",
     "attach_binary_metadata",
     "decode_images",
@@ -877,3 +878,105 @@ def audio_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return Tibble(pairs)
+
+
+def audio_stats(
+    td: Tibble,
+    content: str = "content",
+    strict: bool = False,
+    silence_rms: float = 0.01,
+    clip_level: float = 0.999,
+) -> Tibble:
+    """Waveform quality signals for audio curation — the audio
+    analogue of text quality scoring (length/punct/stopword ratios):
+    adds ``sample_rate`` (int), ``duration_sec``, ``rms``, ``peak``,
+    ``clipping_ratio`` (fraction of samples at/above ``clip_level``
+    full scale — a distorted/hard-limited upload flag),
+    ``silence_ratio`` (fraction of 100 ms frames with RMS below
+    ``silence_rms`` — dead air), and ``zcr`` (mean zero-crossing rate
+    per sample — crude noisiness/speech-vs-tone signal). A pipeline
+    filters on these exactly like Gopher text gates: drop clips that
+    are mostly silence, clipped, or implausibly short.
+
+    Metrics come from ``codecs.decode_pcm`` (raw-PCM WAV/AIFF, mono
+    downmix); containers that need a real codec yield NULL metrics —
+    or raise with ``strict=True``. One Arrow ``mapInPandas`` pass, all
+    numpy-vectorized per clip, no shuffle."""
+    import pandas as pd
+
+    from .codecs import decode_pcm
+
+    in_cols = [c for c in td.columns]
+    added = [
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_sec", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("peak", FloatType()),
+        StructField("clipping_ratio", FloatType()),
+        StructField("silence_ratio", FloatType()),
+        StructField("zcr", FloatType()),
+    ]
+    for fld in added:
+        if fld.name in in_cols:
+            raise ValueError(
+                f"audio_stats: column {fld.name!r} already exists"
+            )
+    schema = StructType(
+        [td.df.select(*in_cols).schema[c] for c in in_cols] + added
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            cols = {f.name: [] for f in added}
+            for content_bytes in pdf[content]:
+                pcm = (
+                    decode_pcm(bytes(content_bytes))
+                    if content_bytes is not None
+                    else None
+                )
+                if pcm is None or len(pcm[1]) == 0:
+                    if strict and content_bytes is not None:
+                        raise NotImplementedError(
+                            "audio_stats(strict=True): waveform decode "
+                            "needs raw-PCM WAV/AIFF (compressed "
+                            "containers require a real codec library)"
+                        )
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                sr, x = pcm
+                n = len(x)
+                cols["sample_rate"].append(sr)
+                cols["duration_sec"].append(n / sr)
+                cols["rms"].append(float(np.sqrt(np.mean(x * x))))
+                ax = np.abs(x)
+                cols["peak"].append(float(ax.max()))
+                cols["clipping_ratio"].append(
+                    float((ax >= clip_level).mean())
+                )
+                frame = max(1, sr // 10)  # 100 ms
+                nf = n // frame
+                if nf:
+                    fr = x[: nf * frame].reshape(nf, frame)
+                    frms = np.sqrt((fr * fr).mean(axis=1))
+                    cols["silence_ratio"].append(
+                        float((frms < silence_rms).mean())
+                    )
+                else:
+                    cols["silence_ratio"].append(
+                        1.0 if float(ax.max()) < silence_rms else 0.0
+                    )
+                cols["zcr"].append(
+                    float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+                    if n > 1 else 0.0
+                )
+            pdf = pdf.copy()
+            for f_ in added:
+                dtype = "Int32" if f_.name == "sample_rate" else "Float32"
+                pdf[f_.name] = pd.array(cols[f_.name], dtype=dtype)
+            yield pdf
+
+    out = td.df.select(*in_cols).mapInPandas(batches, schema)
+    return Tibble(out)

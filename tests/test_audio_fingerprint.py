@@ -175,3 +175,57 @@ def test_audio_near_dup_pairs_max_hamming_zero_exact_only(spark):
         ).df.collect()
     }
     assert got == {(1, 2)}
+
+
+# ---------------------------------------------------------------- audio_stats
+
+def test_audio_stats_metrics(spark):
+    import numpy as np
+
+    from datar_polars_spark.scale import audio_stats
+    from datar_polars_spark.scale.codecs import make_flac
+
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 s
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    # half silence, half tone
+    half = np.concatenate([np.zeros(sr // 2), tone[: sr - sr // 2]])
+    clipped = np.clip(3.0 * tone, -1, 1)
+    td = _td(spark, [
+        (1, make_wav_pcm(tone, sr)),
+        (2, make_wav_pcm(half, sr)),
+        (3, make_wav_pcm(clipped, sr)),
+        (4, make_flac(44100, 4096)),  # not PCM-decodable -> NULL metrics
+        (5, None),
+    ])
+    rows = {r.clip_id: r for r in audio_stats(td, "content").df.collect()}
+    r1 = rows[1]
+    assert r1.sample_rate == sr and abs(r1.duration_sec - 1.0) < 1e-3
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+    assert abs(r1.rms - 0.5 / np.sqrt(2)) < 0.01
+    assert 0.49 < r1.peak <= 0.51 and r1.clipping_ratio == 0.0
+    assert r1.silence_ratio == 0.0
+    # 440 Hz sine crosses zero ~880 times/s -> zcr ~ 880/8000
+    assert abs(r1.zcr - 880 / sr) < 0.02
+    assert 0.4 < rows[2].silence_ratio <= 0.6
+    # 16-bit full scale decodes to 32767/32768, just under 1.0
+    assert rows[3].clipping_ratio > 0.3 and rows[3].peak > 0.999
+    assert rows[4].rms is None and rows[4].sample_rate is None
+    assert rows[5].rms is None
+
+
+def test_audio_stats_strict_and_collision(spark):
+    import pytest as _pytest
+
+    from datar_polars_spark.scale import audio_stats
+    from datar_polars_spark.scale.codecs import make_flac
+
+    td = _td(spark, [(1, make_flac(44100, 4096))])
+    with _pytest.raises(Exception, match="codec library"):
+        audio_stats(td, "content", strict=True).df.collect()
+    bad = Tibble(
+        spark.createDataFrame([(1, bytearray(b"x"), 0.0)],
+                              "clip_id long, content binary, rms double")
+    )
+    with _pytest.raises(ValueError, match="already exists"):
+        audio_stats(bad, "content")
