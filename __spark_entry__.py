@@ -2793,10 +2793,14 @@ def q70_audio_dedup(spark, sf):
             make_wav_pcm,
         )
 
+        cache = {}  # 32 distinct (template, variant) clips
         out = []
         for d_ in doc_id:
             d_ = int(d_)
             t, v = d_ % 16, (d_ // 16) % 2
+            if (t, v) in cache:
+                out.append(cache[(t, v)])
+                continue
             sr = 8000
             edges = np.geomspace(100.0, 3600.0, 9)
             centers = np.sqrt(edges[:-1] * edges[1:])
@@ -2818,11 +2822,13 @@ def q70_audio_dedup(spark, sf):
             x = np.clip(x, -1, 1)
             c = t % 3
             if c == 0:
-                out.append(make_wav_pcm(x, sr))
+                b = make_wav_pcm(x, sr)
             elif c == 1:
-                out.append(make_aiff_pcm(x, sr))
+                b = make_aiff_pcm(x, sr)
             else:
-                out.append(make_wav_pcm(x, sr, bits=8))
+                b = make_wav_pcm(x, sr, bits=8)
+            cache[(t, v)] = b
+            out.append(b)
         return pd.Series(out)
 
     clips = d.df.select(

@@ -363,9 +363,13 @@ def _audio_index_bench(docs, phase: str) -> int:
 
         from datar_polars_spark.scale.codecs import make_wav_pcm
 
+        cache = {}  # 64 distinct templates -> synthesize each once
         out = []
         for d_ in doc_id:
             t = int(d_) % 64
+            if t in cache:
+                out.append(cache[t])
+                continue
             sr = 8000
             edges = np.geomspace(100.0, 3600.0, 9)
             centers = np.sqrt(edges[:-1] * edges[1:])
@@ -379,7 +383,8 @@ def _audio_index_bench(docs, phase: str) -> int:
                     x[te[s]: te[s + 1]] += np.sin(
                         2 * np.pi * centers[b] * tt
                     )
-            out.append(make_wav_pcm(np.clip(x / 2.4, -1, 1), sr))
+            cache[t] = make_wav_pcm(np.clip(x / 2.4, -1, 1), sr)
+            out.append(cache[t])
         return pd.Series(out)
 
     clips = docs.df.select("doc_id", _clip(F.col("doc_id")).alias("content"))

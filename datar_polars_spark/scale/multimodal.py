@@ -347,17 +347,54 @@ def decode_audio(
 
 @verb
 def audio_features(td: Tibble, content: str = "content", dim: int = 32) -> Tibble:
-    """Feature-extraction pass -> array<float> embedding column.
-    STUB: hash-derived deterministic unit vector (real impl: an audio
-    encoder over the decoded waveform, same batch shape)."""
+    """Feature-extraction pass -> array<float> unit-norm embedding
+    column (r14: REAL for raw-PCM audio). Clips ``codecs.decode_pcm``
+    can decode (WAV/AIFF) embed as a mean-centered log band-energy
+    grid — ``dim // 8`` equal-duration time slices x 8 log-spaced
+    absolute-Hz bands when ``dim`` is a multiple of 8, else one slice
+    of ``dim`` bands — so re-gained/re-encoded copies land at cosine
+    ~1 and the vector feeds cosine_topk / semantic_dedup /
+    embedding_join directly (mean-centering cancels the uniform log
+    shift a gain applies; same invariance argument as
+    :func:`_afp64`'s threshold bits, but graded instead of binary).
+    Compressed containers keep the deterministic hash-derived STUB
+    vector (exact-content identity; a real codec library would slot
+    into the same batch loop)."""
     import numpy as np
     import pandas as pd
+
+    from .codecs import decode_pcm
 
     in_cols = [c for c in td.columns]
     schema = StructType(
         [td.df.select(*in_cols).schema[c] for c in in_cols]
         + [StructField("audio_features", ArrayType(FloatType()))]
     )
+    nt, nf = (dim // 8, 8) if dim >= 8 and dim % 8 == 0 else (1, dim)
+
+    def _pcm_embed(sr: int, x) -> "np.ndarray | None":
+        n = len(x)
+        if n < max(256, nt * 2) or sr <= 0:
+            return None
+        f_hi = min(3800.0, 0.45 * sr)
+        f_lo = min(100.0, f_hi / nf)
+        edges = np.geomspace(f_lo, f_hi, nf + 1)
+        E = np.empty(nt * nf)
+        te = [(i * n) // nt for i in range(nt + 1)]
+        for t in range(nt):
+            seg = x[te[t]: te[t + 1]]
+            P = np.abs(np.fft.rfft(seg)) ** 2
+            freqs = np.fft.rfftfreq(len(seg), 1.0 / sr)
+            idx = np.searchsorted(freqs, edges)
+            for b in range(nf):
+                E[t * nf + b] = np.log(
+                    P[idx[b]: max(idx[b + 1], idx[b] + 1)].sum() + 1e-12
+                )
+        E -= E.mean()
+        nrm = np.linalg.norm(E)
+        if nrm == 0:
+            return None
+        return (E / nrm).astype("float32")
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
@@ -366,12 +403,17 @@ def audio_features(td: Tibble, content: str = "content", dim: int = 32) -> Tibbl
                 if b is None:
                     feats.append(None)
                     continue
-                seed = int.from_bytes(
-                    hashlib.sha256(b"audio" + bytes(b)).digest()[:8], "big"
-                )
-                rng = np.random.default_rng(seed)
-                v = rng.standard_normal(dim)
-                feats.append((v / np.linalg.norm(v)).astype("float32").tolist())
+                bb = bytes(b)
+                pcm = decode_pcm(bb)
+                v = None if pcm is None else _pcm_embed(pcm[0], pcm[1])
+                if v is None:
+                    seed = int.from_bytes(
+                        hashlib.sha256(b"audio" + bb).digest()[:8], "big"
+                    )
+                    rng = np.random.default_rng(seed)
+                    v = rng.standard_normal(dim)
+                    v = (v / np.linalg.norm(v)).astype("float32")
+                feats.append(v.tolist())
             pdf = pdf.copy()
             pdf["audio_features"] = feats
             yield pdf

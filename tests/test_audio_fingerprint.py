@@ -229,3 +229,33 @@ def test_audio_stats_strict_and_collision(spark):
     )
     with _pytest.raises(ValueError, match="already exists"):
         audio_stats(bad, "content")
+
+
+# ------------------------------------------------------------- audio_features
+
+def test_audio_features_real_pcm_embedding(spark):
+    import numpy as np
+
+    from datar_polars_spark.scale import audio_features
+    from datar_polars_spark.scale.codecs import make_flac
+
+    flac = make_flac(44100, 4096)
+    td = _td(spark, [
+        (1, make_wav_pcm(tone_clip(0), 8000)),
+        (2, make_wav_pcm(tone_clip(0, gain=0.4, noise=0.008, seed=1), 8000)),
+        (3, make_wav_pcm(tone_clip(5), 8000)),
+        (4, flac),   # stub path (hash-derived)
+        (5, flac),   # same bytes -> same stub vector
+    ])
+    rows = {
+        r.clip_id: np.array(r.audio_features)
+        for r in audio_features(td, "content", dim=32).df.collect()
+    }
+    for v in rows.values():
+        assert len(v) == 32 and abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # the real spectral embedding: a re-gained + noised re-master of
+    # the same content sits near cosine 1; distinct content far below
+    assert float(rows[1] @ rows[2]) > 0.95
+    assert float(rows[1] @ rows[3]) < 0.8
+    # stub path is exact-content identity
+    assert np.allclose(rows[4], rows[5])
