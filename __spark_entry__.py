@@ -2450,7 +2450,16 @@ def q69_curation(spark, sf):
     the routing the oracle asserts. 'funnel' leg (NEW r12) —
     filter_funnel's one-aggregation sequential accounting over three
     deterministic predicates; the oracle recomputes each stage's
-    survivor chain as nested conditional sums."""
+    survivor chain as nested conditional sums. 'hrank' leg (NEW r14)
+    — the host_graph -> pagerank -> join_host_rank authority loop
+    composed end to end on a ring host graph whose exact PageRank is
+    the uniform vector (fixed point from the uniform start), with an
+    edge-absent host taking the 0.0 fill. 'idedup' leg (NEW r14) —
+    an image_dhash keep-min-survivor stage composed INTO
+    filter_funnel over per-doc synthesized PNG rasters (template
+    doc_id % 8, dHash-invariant brightness variant); the oracle
+    restates the survivor set as min-doc-id-per-template and the
+    funnel chain as nested conditional sums."""
     import gzip
     import os as _os
     import tempfile
@@ -2724,6 +2733,124 @@ def q69_curation(spark, sf):
         .select(F.lit("qclf").alias("op"), "k", "n1", "n2", "s")
     )
 
+    # r14 'hrank' leg: the crawl-authority loop COMPOSED — a 7-node
+    # ring host graph runs through pagerank (the uniform vector 1/7 is
+    # the exact fixed point of the power iteration from the uniform
+    # start, so every ranked host must carry rank*7 == 1 to fp
+    # precision at ANY iteration count) and join_host_rank attaches
+    # the prior to documents whose synthesized URLs point at the ring
+    # hosts — except doc_id % 5 == 0, whose host appears in no edge
+    # and must take the 0.0 fill. The oracle states the whole
+    # composition arithmetically: n2 (rows with rank*7 == 1 within
+    # 1e-9) equals the group size for ranked hosts and 0 for the
+    # unranked one; s pins the fill/ranked routing.
+    from datar_polars_spark.scale import join_host_rank, pagerank
+
+    ring = spark.createDataFrame(
+        [(f"h{i}.example", f"h{(i + 1) % 7}.example") for i in range(7)],
+        "src string, dst string",
+    )
+    ranks = pagerank(ring, iterations=8)
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("unranked.example"))
+        .otherwise(
+            F.concat(
+                F.lit("h"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example"),
+            )
+        )
+    )
+    hdocs = ensure_tibble(
+        d.df.select("doc_id").withColumn(
+            "url",
+            F.concat(
+                F.lit("https://"), host, F.lit("/p"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+    )
+    hr = join_host_rank(hdocs, ranks, url="url", fill=0.0)
+    hrank_leg = (
+        hr.df.groupBy(
+            F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("k")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("host_rank") * 7 - 1) < 1e-9, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n2"),
+            F.when(F.max("host_rank") == 0.0, F.lit("fill"))
+            .otherwise(F.lit("ranked"))
+            .alias("s"),
+        )
+        .select(F.lit("hrank").alias("op"), "k", "n1", "n2", "s")
+    )
+
+    # r14 'idedup' leg: an IMAGE-dedup stage composed INTO the funnel
+    # — per doc (bounded to doc_id < 96) a PNG raster synthesizes from
+    # template doc_id % 8 with a +3-brightness variant (dHash-exact
+    # invariant: dHash compares adjacent pixels, so a uniform shift
+    # changes no bit), image_dhash fingerprints them, the keep-min-id
+    # survivor per fingerprint becomes the funnel's first stage, and
+    # filter_funnel chains it with the n_chars / parity predicates.
+    # The oracle recomputes the survivor set relationally (min doc_id
+    # per template among doc_id < 96) and every stage's survivor
+    # chain as nested conditional sums — a wrong dHash bit anywhere
+    # (collapse failure OR cross-template collision) flips the counts.
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from datar_polars_spark.scale import image_dhash
+    from datar_polars_spark.tibble import Tibble
+
+    @F.pandas_udf(BinaryType())
+    def _q69_img(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from datar_polars_spark.scale.codecs import make_png_pixels
+
+        out = []
+        for d_ in doc_id:
+            d_ = int(d_)
+            t, v = d_ % 8, (d_ // 8) % 2
+            rng = np.random.default_rng(2000 + t)
+            img = (
+                rng.integers(0, 247, (16, 24, 3), dtype=np.uint8) + 3 * v
+            ).astype(np.uint8)
+            out.append(make_png_pixels(img))
+        return pd.Series(out)
+
+    sub = d.df.filter(F.col("doc_id") < 96).select(
+        "doc_id", "n_chars", _q69_img(F.col("doc_id")).alias("content")
+    )
+    dh = image_dhash(Tibble(sub), content="content", out_col="dh", strict=True)
+    ikeep = dh.df.groupBy("dh").agg(F.min("doc_id").alias("__keep_id__"))
+    flagged = (
+        dh.df.drop("content")
+        .join(ikeep, on="dh")
+        .withColumn("is_keeper", F.col("doc_id") == F.col("__keep_id__"))
+    )
+    _, iacct = filter_funnel(
+        Tibble(flagged),
+        {
+            "imgkeep": F.col("is_keeper"),
+            "n200": F.col("n_chars") > 200,
+            "even": F.col("doc_id") % 2 == 0,
+        },
+    )
+    idedup_leg = iacct.df.select(
+        F.lit("idedup").alias("op"),
+        F.col("stage").alias("k"),
+        F.col("n_in").alias("n1"),
+        F.col("n_kept").alias("n2"),
+        F.col("n_dropped").cast("string").alias("s"),
+    )
+
     return (
         para.unionByName(urls)
         .unionByName(rep_block)
@@ -2731,6 +2858,8 @@ def q69_curation(spark, sf):
         .unionByName(lang_leg)
         .unionByName(qclf_leg)
         .unionByName(funnel_leg)
+        .unionByName(hrank_leg)
+        .unionByName(idedup_leg)
         .orderBy("op", "k")
     )
 
@@ -4305,6 +4434,59 @@ def oracle_sql() -> dict[str, str]:
                                     AND lang != 'zh' AND doc_id % 2 = 0
                                     THEN 1 ELSE 0 END) AS BIGINT)
                     FROM documents
+                )
+                UNION ALL
+                -- r14 hrank leg: ring-graph PageRank is exactly the
+                -- uniform vector (the fixed point of the power
+                -- iteration from the uniform start), so every ranked
+                -- host carries rank*7 == 1 to fp precision and the
+                -- edge-absent host takes the 0.0 fill
+                SELECT 'hrank',
+                       CASE WHEN doc_id % 5 = 0 THEN 'unranked.example'
+                            ELSE 'h' || (doc_id % 7) || '.example' END,
+                       COUNT(*),
+                       CAST(SUM(CASE WHEN doc_id % 5 = 0
+                                THEN 0 ELSE 1 END) AS BIGINT),
+                       MIN(CASE WHEN doc_id % 5 = 0
+                                THEN 'fill' ELSE 'ranked' END)
+                FROM documents GROUP BY 1, 2
+                UNION ALL
+                -- r14 idedup leg: the image-dedup funnel stage — the
+                -- dHash survivor per template is the min doc_id among
+                -- doc_id < 96 sharing doc_id % 8 (brightness variants
+                -- collapse to the SAME 64-bit hash; distinct seeded
+                -- templates never collide), then the n_chars / parity
+                -- stages chain as nested conditional sums
+                SELECT 'idedup', k, n1, n2, CAST(n1 - n2 AS VARCHAR)
+                FROM (
+                    SELECT 'imgkeep' AS k, COUNT(*) AS n1,
+                           CAST(SUM(CASE WHEN keeper
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n2
+                    FROM (SELECT doc_id, n_chars,
+                                 doc_id = MIN(doc_id) OVER (
+                                     PARTITION BY doc_id % 8) AS keeper
+                          FROM documents WHERE doc_id < 96)
+                    UNION ALL
+                    SELECT 'n200',
+                           CAST(SUM(CASE WHEN keeper
+                                    THEN 1 ELSE 0 END) AS BIGINT),
+                           CAST(SUM(CASE WHEN keeper AND n_chars > 200
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                    FROM (SELECT doc_id, n_chars,
+                                 doc_id = MIN(doc_id) OVER (
+                                     PARTITION BY doc_id % 8) AS keeper
+                          FROM documents WHERE doc_id < 96)
+                    UNION ALL
+                    SELECT 'even',
+                           CAST(SUM(CASE WHEN keeper AND n_chars > 200
+                                    THEN 1 ELSE 0 END) AS BIGINT),
+                           CAST(SUM(CASE WHEN keeper AND n_chars > 200
+                                    AND doc_id % 2 = 0
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                    FROM (SELECT doc_id, n_chars,
+                                 doc_id = MIN(doc_id) OVER (
+                                     PARTITION BY doc_id % 8) AS keeper
+                          FROM documents WHERE doc_id < 96)
                 )
             ) ORDER BY op, k
         """,
