@@ -25,6 +25,8 @@ rowwise/c_across->q47, table_->q42, fill-up->q30, factor codes->q41,
 IVF->q37). Round-4 merges (q08's multi-block 'op'-tag pattern):
 pivot_longer->q26, fingerprint dedup->q33, multimodal codecs->q35,
 LSH ANN->q37, SimHash consistency proof->q38, stateful streaming->q48.
+Round-14 merge: fct_collapse->q41 ('coll' block), freeing the 50th
+driver-checked slot for the audio perceptual-dedup family (q70).
 Zero rows-only entries: every query hash-checks against its oracle.
 """
 
@@ -1502,11 +1504,14 @@ def q38_minhash_dedup(spark, sf):
 def q41_fct_lump(spark, sf):
     """Covers: factor subsystem — fct_infreq level ordering, fct_lump_n,
     factor->code casts (merged r1 q41+q57): top-3 levels by frequency
-    keep their infreq codes 1..3, the lump gets code 4."""
-    from datar_polars_spark import factor_, fct_infreq, fct_lump_n
+    keep their infreq codes 1..3, the lump gets code 4. 'coll' block
+    (merged r14 q41+q46, freeing the 50th driver-checked slot for the
+    audio family q70): fct_collapse many-to-few level recoding, with
+    the NULL level preserved."""
+    from datar_polars_spark import factor_, fct_collapse, fct_infreq, fct_lump_n
 
     e = _t(spark, sf, "events")
-    out = (
+    lump = (
         e
         >> factor_(f.event_type)
         >> fct_infreq(f.event_type)
@@ -1515,7 +1520,32 @@ def q41_fct_lump(spark, sf):
         >> count(f.event_type, f.code)
         >> arrange(f.code)
     )
-    return _finish(out)
+    coll = (
+        e
+        >> factor_(f.event_type)
+        >> fct_collapse(
+            f.event_type,
+            engagement=["click", "view"],
+            conversion=["signup", "purchase"],
+            other_level="misc",
+        )
+        >> count(f.event_type)
+    )
+    ldf = _finish(lump).select(
+        F.lit("lump").alias("op"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("code").cast("bigint").alias("code"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    cdf = _finish(coll).select(
+        F.lit("coll").alias("op"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("code"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    return ldf.unionByName(cdf).orderBy(
+        "op", F.asc_nulls_last("code"), F.asc_nulls_last("event_type")
+    )
 
 
 def q42_cut_buckets(spark, sf):
@@ -1654,28 +1684,6 @@ def q45_gopher_packing(spark, sf):
         .unionByName(chunk_row2)
         .orderBy("pack_id")
     )
-
-
-def q46_fct_collapse(spark, sf):
-    """Covers: fct_collapse (many-to-few level recoding). The sort key
-    is pushed through paste0 so it is NOT factor-level-ordered (matches
-    the oracle's plain alphabetical ORDER BY)."""
-    from datar_polars_spark import factor_, fct_collapse
-
-    e = _t(spark, sf, "events")
-    out = (
-        e
-        >> factor_(f.event_type)
-        >> fct_collapse(
-            f.event_type,
-            engagement=["click", "view"],
-            conversion=["signup", "purchase"],
-            other_level="misc",
-        )
-        >> count(f.event_type)
-        >> arrange(paste0(f.event_type, ""))
-    )
-    return _finish(out)
 
 
 def q47_row_stats(spark, sf):
@@ -3077,7 +3085,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_group_modify": q43_group_modify,
         "q44_add_count": q44_add_count,
         "q45_gopher_packing": q45_gopher_packing,
-        "q46_fct_collapse": q46_fct_collapse,
         "q47_row_stats": q47_row_stats,
         "q48_streaming": q48_streaming,
         "q51_sessionize": q51_sessionize,
@@ -3768,6 +3775,9 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY op, doc_id, lang
         """,
         "q41_fct_lump": """
+            -- 'lump' block: fct_infreq + fct_lump_n + factor codes;
+            -- 'coll' block (merged r14 q41+q46): fct_collapse with the
+            -- NULL level preserved, code NULL (no infreq coding)
             WITH cnt AS (
                 SELECT event_type, COUNT(*) AS c
                 FROM events WHERE event_type IS NOT NULL
@@ -3777,11 +3787,22 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (ORDER BY c DESC, event_type ASC) AS rn
                 FROM cnt
             )
-            SELECT CASE WHEN rn <= 3 THEN event_type ELSE 'Other' END AS event_type,
-                   CAST(CASE WHEN rn <= 3 THEN rn ELSE 4 END AS BIGINT) AS code,
-                   CAST(SUM(c) AS BIGINT) AS n
-            FROM ranked GROUP BY 1, 2
-            ORDER BY code
+            SELECT op, event_type, code, n FROM (
+                SELECT 'lump' AS op,
+                       CASE WHEN rn <= 3 THEN event_type ELSE 'Other' END AS event_type,
+                       CAST(CASE WHEN rn <= 3 THEN rn ELSE 4 END AS BIGINT) AS code,
+                       CAST(SUM(c) AS BIGINT) AS n
+                FROM ranked GROUP BY 1, 2, 3
+                UNION ALL
+                SELECT 'coll',
+                       CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                            WHEN event_type IN ('signup', 'purchase') THEN 'conversion'
+                            WHEN event_type IS NULL THEN NULL
+                            ELSE 'misc' END,
+                       CAST(NULL AS BIGINT),
+                       COUNT(*)
+                FROM events GROUP BY 2
+            ) ORDER BY op, code NULLS LAST, event_type NULLS LAST
         """,
         "q42_cut_buckets": """
             WITH b AS (
@@ -3896,15 +3917,6 @@ def oracle_sql() -> dict[str, str]:
                 SELECT -2, n_chunks, tok_sum, cid_sum, chars_sum, full_chunks
                 FROM cstat
             ) ORDER BY pack_id
-        """,
-        "q46_fct_collapse": """
-            SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
-                        WHEN event_type IN ('signup', 'purchase') THEN 'conversion'
-                        WHEN event_type IS NULL THEN NULL
-                        ELSE 'misc' END AS event_type,
-                   COUNT(*) AS n
-            FROM events GROUP BY 1
-            ORDER BY event_type
         """,
         "q47_row_stats": """
             SELECT p_partkey,
