@@ -51,6 +51,15 @@ from .audio_index import (  # noqa: F401
     match_against_audio_index,
     dedup_against_audio_index,
 )
+from .video_index import (  # noqa: F401
+    video_index_build,
+    video_index_append,
+    video_index_compact,
+    video_index_delete,
+    video_index_stats,
+    match_against_video_index,
+    dedup_against_video_index,
+)
 from .semantic_index import (  # noqa: F401
     semantic_index_build,
     semantic_index_append,
@@ -192,5 +201,7 @@ from .multimodal import (  # noqa: F401
     audio_stats,
     audio_near_dup_pairs,
     decode_video,
+    video_fingerprint,
+    video_near_dup_pairs,
     sniff_media,
 )

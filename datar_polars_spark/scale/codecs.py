@@ -30,6 +30,8 @@ __all__ = [
     "make_mp4",
     "make_webm",
     "make_avi",
+    "make_avi_mjpeg",
+    "extract_video_frames",
     "make_heif",
     "make_png",
     "make_png_pixels",
@@ -1109,6 +1111,102 @@ def make_avi(
     lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
     payload = b"AVI " + lst
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _riff_chunk(cid: bytes, data: bytes) -> bytes:
+    return cid + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def make_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """Full RIFF AVI carrying a REAL Motion-JPEG video stream: each
+    entry of ``frames`` is a standalone baseline JPEG (make_jpeg_pixels)
+    stored as a ``00dc`` data chunk inside ``LIST movi``, with a
+    well-formed ``LIST hdrl`` (avih + strl with an 'MJPG' strh/strf) so
+    header probes (_parse_avi) and frame extraction
+    (extract_video_frames) both work on the same bytes — the video-path
+    test/gate fixture: two make_avi_mjpeg renders of the same frame
+    arrays at different JPEG qualities are near-identical videos."""
+    if not frames:
+        raise ValueError("make_avi_mjpeg: at least one frame required")
+    dims = parse_image_header(frames[0])
+    if dims is None or dims[0] != "jpeg":
+        raise ValueError("make_avi_mjpeg: frames must be JPEG bytes")
+    _, width, height = dims
+    usec_per_frame = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, 0, 0, 0,
+        len(frames),            # dwTotalFrames
+        0, 1, 0,                # dwInitialFrames, dwStreams, dwSuggestedBufferSize
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps,                 # dwScale, dwRate -> fps frames/sec
+        0, len(frames), 0, 0xFFFF, 0,
+        0, 0, width, height,    # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    strl = _riff_list(
+        b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    )
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strl)
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", bytes(fr)) for fr in frames)
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def extract_video_frames(b: bytes, max_frames: int | None = None):
+    """Per-frame payload bytes of a RIFF AVI's video data chunks
+    (``##dc``/``##db`` inside ``LIST movi``; one nesting level of
+    ``LIST rec `` interleave groups supported), in stream order — or
+    None when the content is not a RIFF AVI at all. An AVI whose movi
+    list is absent or empty returns ``[]`` (a parsable container with
+    no frames — callers treat it like an undecodable one). For MJPEG
+    streams each payload is a standalone baseline JPEG that
+    ``decode_raster`` turns into the perceptual-hash raster; other
+    codecs' payloads simply fail that decode, routing the row to the
+    stub/strict path. Pure container walk — no entropy decode, cost
+    linear in the container size."""
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    frames: list = []
+    n = len(b)
+
+    def _walk(j: int, end: int, depth: int) -> bool:
+        while j + 8 <= end:
+            cid = b[j : j + 4]
+            size = struct.unpack("<I", b[j + 4 : j + 8])[0]
+            body_end = min(j + 8 + size, end)
+            if cid == b"LIST" and depth < 1 and b[j + 8 : j + 12] == b"rec ":
+                if not _walk(j + 12, body_end, depth + 1):
+                    return False
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(b[j + 8 : body_end])
+                if max_frames is not None and len(frames) >= max_frames:
+                    return False
+            j += 8 + size + (size & 1)
+        return True
+
+    i = 12
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"LIST" and b[i + 8 : i + 12] == b"movi":
+            _walk(i + 12, min(i + 8 + size, n), 0)
+            break
+        i += 8 + size + (size & 1)
+    return frames
 
 
 # --------------------------------------------------------------------------

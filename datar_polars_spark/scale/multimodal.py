@@ -47,6 +47,8 @@ __all__ = [
     "resize_images",
     "sample_frames",
     "decode_video",
+    "video_fingerprint",
+    "video_near_dup_pairs",
     "sniff_media",
 ]
 
@@ -571,10 +573,10 @@ def sniff_media(
     return Tibble(out)
 
 
-def _dhash64(gray) -> int:
-    """Classic difference hash (dHash): area-resample the grayscale
-    raster to 9x8, compare horizontally adjacent cells, pack the 64
-    bits little-endian into a SIGNED 64-bit int (Spark long)."""
+def _dhash_cells(gray):
+    """8x9 area-mean cell matrix of a grayscale raster — the resample
+    step of dHash, shared with the video fingerprint (which medians
+    these matrices across frames before thresholding)."""
     import numpy as np
 
     h, w = gray.shape
@@ -588,12 +590,28 @@ def _dhash64(gray) -> int:
         for c in range(9):
             x0, x1 = xe[c], max(xe[c + 1], xe[c] + 1)
             cells[r, c] = gray[y0:y1, x0:x1].mean()
+    return cells
+
+
+def _pack_adjacent_bits(cells) -> int:
+    """Compare horizontally adjacent cells of an 8x9 matrix and pack
+    the 64 comparison bits little-endian into a SIGNED 64-bit int
+    (Spark long)."""
+    import numpy as np
+
     bits = (cells[:, :-1] > cells[:, 1:]).flatten()
     v = np.uint64(0)
     for i, b in enumerate(bits):
         if b:
             v |= np.uint64(1) << np.uint64(i)
     return int(v.astype(np.int64))
+
+
+def _dhash64(gray) -> int:
+    """Classic difference hash (dHash): area-resample the grayscale
+    raster to 9x8, compare horizontally adjacent cells, pack the 64
+    bits little-endian into a SIGNED 64-bit int (Spark long)."""
+    return _pack_adjacent_bits(_dhash_cells(gray))
 
 
 def _stub_raster(content: bytes):
@@ -1022,3 +1040,194 @@ def audio_stats(
 
     out = td.df.select(*in_cols).mapInPandas(batches, schema)
     return Tibble(out)
+
+
+# --------------------------------------------------------------------------
+# video: temporal-median perceptual fingerprint over MJPEG AVI frames
+# --------------------------------------------------------------------------
+
+def _vfp64(grays) -> int:
+    """Perceptual video fingerprint: per-frame 8x9 dHash cell matrices
+    (``_dhash_cells``), elementwise MEDIAN across the sampled frames,
+    then the standard adjacent-cell comparison packs 64 bits (SIGNED
+    64-bit int, Spark long).
+
+    The temporal median keeps dHash's robustness (a re-encode perturbs
+    every cell slightly; only near-equal adjacent pairs can flip) and
+    adds frame-level robustness on top: a fully corrupted or inserted
+    frame moves each median by at most one order statistic, where a
+    mean would drag every cell. Frame ORDER does not enter the hash —
+    a re-encode that drops/duplicates boundary frames still matches,
+    the same trade image dHash makes with spatial layout. Measured on
+    the MJPEG fixtures: quality-90 4:4:4 vs quality-40 4:2:0
+    re-encodes land within ~1 Hamming bit on temporally-correlated
+    content and <= 7 on independent white-noise frames (the
+    worst-case JPEG input); 1-2-frame tail trims of correlated clips
+    within ~2 bits (uncorrelated frames re-sample freely — no trim
+    guarantee there); distinct seeded content 25+ apart."""
+    import numpy as np
+
+    stack = np.stack([_dhash_cells(g) for g in grays])
+    return _pack_adjacent_bits(np.median(stack, axis=0))
+
+
+def _stub_video_fp(content: bytes) -> int:
+    """Deterministic fingerprint for content the container cannot
+    frame-decode (MP4/WebM/MKV payloads need real codec libraries;
+    non-MJPEG AVI streams fail the per-frame raster decode): keyed off
+    the content hash, so it is exact-content identity, NOT perceptual.
+    MJPEG AVI (codecs.extract_video_frames + the baseline-JPEG DC
+    raster) gets the real perceptual property."""
+    d = hashlib.sha256(content).digest()[:8]
+    return int.from_bytes(d, "big", signed=True)
+
+
+def _video_fp_one(bb: bytes, n_frames: int, strict: bool, op: str) -> int:
+    """Fingerprint ONE video's bytes — shared by the batch column op
+    (video_fingerprint) and the streaming consumer (stream_video_dedup)
+    so both sides of an index match hash identically."""
+    from .codecs import decode_raster, extract_video_frames
+
+    frames = extract_video_frames(bb)
+    if frames:
+        k = min(n_frames, len(frames))
+        if k == 1:
+            idx = [0]
+        else:
+            idx = sorted(
+                {round(i * (len(frames) - 1) / (k - 1)) for i in range(k)}
+            )
+        grays = [decode_raster(frames[i]) for i in idx]
+        if all(g is not None for g in grays):
+            return _vfp64(grays)
+    if strict:
+        raise NotImplementedError(
+            f"{op}(strict=True): frame decode needs an MJPEG AVI "
+            "(baseline-JPEG frames; other containers/codecs require a "
+            "real codec library)"
+        )
+    return _stub_video_fp(bb)
+
+
+def video_fingerprint(
+    td: Tibble,
+    content: str = "content",
+    out_col: str = "vfp",
+    strict: bool = False,
+    n_frames: int = 8,
+    batch_size: int = 256,
+) -> Tibble:
+    """Perceptual video fingerprint column (64-bit temporal-median
+    dHash, Spark long; NULL for NULL content) — the video member of
+    the perceptual fingerprint family (image: dHash; audio: spectral
+    hash): re-encoded (JPEG quality / chroma layout), lightly-edited,
+    or boundary-trimmed copies of a clip land within a few Hamming
+    bits, so exact grouping catches byte-level re-muxes and
+    :func:`video_near_dup_pairs` catches near-dups, feeding the same
+    curation loop as the other modalities (trim robustness needs
+    temporally-correlated frames — real footage — see ``_vfp64``'s
+    measurements).
+
+    Frames come from ``codecs.extract_video_frames`` where the
+    container carries per-frame payloads without entropy decode — RIFF
+    AVI — and each sampled frame (up to ``n_frames``, evenly spaced)
+    rasterizes via ``codecs.decode_raster`` (real for baseline-JPEG
+    MJPEG streams, the dominant intra-only interchange layout). Other
+    containers (MP4/WebM/MKV) and codecs fall back to a DETERMINISTIC
+    stub keyed off the content hash (documented: exact-content
+    identity only, no perceptual property) or raise with
+    ``strict=True``. One Arrow ``mapInPandas`` pass, no shuffle."""
+    import pandas as pd
+
+    in_cols = [c for c in td.columns]
+    if out_col in in_cols:
+        raise ValueError(
+            f"video_fingerprint: column {out_col!r} already exists"
+        )
+    schema = StructType(
+        [td.df.select(*in_cols).schema[c] for c in in_cols]
+        + [StructField(out_col, LongType())]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            hashes = []
+            for content_bytes in pdf[content]:
+                if content_bytes is None:
+                    hashes.append(None)
+                    continue
+                hashes.append(
+                    _video_fp_one(
+                        bytes(content_bytes), n_frames, strict,
+                        "video_fingerprint",
+                    )
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(hashes, dtype="Int64")
+            yield pdf
+
+    out = td.df.select(*in_cols).mapInPandas(batches, schema)
+    return Tibble(out)
+
+
+def video_near_dup_pairs(
+    td: Tibble,
+    content: str = "content",
+    id_col: str = "id",
+    max_hamming: int = 4,
+    strict: bool = False,
+    max_bucket: int = 1000,
+) -> Tibble:
+    """All (id_a, id_b, hamming) video pairs whose temporal-median
+    fingerprints differ by at most ``max_hamming`` bits (id_a < id_b
+    under the id ordering).
+
+    Same 100 TB shape as the image/audio siblings — banded blocking
+    with pigeonhole-exact recall: the 64-bit fingerprint splits into
+    ``max_hamming + 1`` disjoint bit bands, so any pair within the
+    Hamming budget agrees EXACTLY on at least one band; candidates
+    come from equi-joins on (band, band value) — a keyed shuffle,
+    never an all-pairs compare — and verify JVM-side with
+    ``bit_count(a ^ b)``. Giant identical clusters are bucket-capped
+    (drop volume registers under op ``"video_near_dup_pairs"``).
+    Everything after the one Arrow hash pass is JVM expressions."""
+    from .dedup import _cap_buckets, _DROPPED_PAIRS
+    from .fp_index import band_cols
+
+    _DROPPED_PAIRS["video_near_dup_pairs"] = []
+    if max_hamming < 0:
+        raise ValueError("video_near_dup_pairs: max_hamming must be >= 0")
+    hashed = video_fingerprint(td, content, out_col="__vfp__", strict=strict)
+    base = hashed.df.select(
+        F.col(id_col).alias("id"), F.col("__vfp__")
+    ).filter(F.col("id").isNotNull() & F.col("__vfp__").isNotNull())
+    bands = band_cols(F.col("__vfp__"), max_hamming + 1)
+    banded = _cap_buckets(
+        base.select(
+            "id", "__vfp__", F.explode(F.array(*bands)).alias("b")
+        ).select("id", "__vfp__", F.col("b.band").alias("band"),
+                 F.col("b.bval").alias("bval")),
+        ["band", "bval"], max_bucket, op="video_near_dup_pairs",
+    )
+    left = banded.select(
+        "band", "bval", F.col("id").alias("id_a"),
+        F.col("__vfp__").alias("__ha__"),
+    )
+    right = banded.select(
+        "band", "bval", F.col("id").alias("id_b"),
+        F.col("__vfp__").alias("__hb__"),
+    )
+    pairs = (
+        left.join(right, on=["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("__ha__").bitwiseXOR(F.col("__hb__"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return Tibble(pairs)

@@ -1507,3 +1507,51 @@ def stream_audio_dedup(
 
 
 __all__.append("stream_audio_dedup")
+
+
+def stream_video_dedup(
+    sdf: DataFrame,
+    index_path: str,
+    content: Any = None,
+    id_col: Any = None,
+    mode: str = "matches",
+    max_hamming: int | None = None,
+    strict: bool = False,
+    n_frames: int = 8,
+    ts: Any = None,
+    watermark: str = "1 hour",
+    max_history: int = 1_000_000,
+) -> DataFrame:
+    """Streaming perceptual video dedup against a PERSISTENT video
+    index (``video_index_build``) — the video member of the streaming
+    index-consumer family. The lake's clips were fingerprinted once
+    at index time (64-bit temporal-median dHash,
+    multimodal.video_fingerprint — MJPEG RIFF AVI frame decode for
+    real; other containers hash a content-keyed stub, exact identity
+    only, or raise with ``strict=True``); each micro-batch hashes only
+    ITSELF (one Arrow pass, stateless) and joins the stores.
+
+    Same modes and contracts as :func:`stream_image_dedup`:
+    ``mode="matches"`` is the stateless 100 TB path emitting
+    ``match_id``/``hamming`` (optionally watermark-collapsed via
+    ``ts=``), ``mode="filter"`` broadcasts the fingerprint store as
+    packed numpy band tables bounded by ``max_history`` and passes
+    through only CLEAN rows; NULL content passes as clean. Mechanics
+    shared via :func:`_stream_fp_dedup`."""
+    from ..scale.multimodal import _video_fp_one
+    from ..scale.video_index import _FAMILY
+
+    def _hash_one(b):
+        if b is None:
+            return None
+        return _video_fp_one(
+            bytes(b), n_frames, strict, "stream_video_dedup"
+        )
+
+    return _stream_fp_dedup(
+        sdf, index_path, _FAMILY, _hash_one, "stream_video_dedup",
+        content, id_col, mode, max_hamming, ts, watermark, max_history,
+    )
+
+
+__all__.append("stream_video_dedup")

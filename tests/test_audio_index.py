@@ -154,3 +154,24 @@ def test_id_dtype_pinning(spark, built):
     )
     with pytest.raises(ValueError, match="id_type"):
         audio_index_append(bad, built)
+
+
+def test_small_batch_match_plan_is_pinned(spark, built):
+    """Plan locks (the image-index trio, engine-inherited but locked
+    per family): (1) hash-once — every MapInPandas render in the
+    executed match plan sits inside the persisted batch's
+    InMemoryRelation, so the Arrow decode+hash pass runs once, not
+    once per consumer; (2) small-batch broadcast pinning — zero
+    SortMergeJoin: the corpus-scale stores never shuffle for a small
+    batch; (3) v2 single-store fuzzy leg — exactly two FileScans
+    (hashes once, postings once)."""
+    batch = _td(spark, [(70, _wav(0))])
+    plan = (
+        match_against_audio_index(batch, built)
+        .df._jdf.queryExecution().executedPlan().toString()
+    )
+    n_arrow = plan.count("MapInPandas") + plan.count("ArrowEval")
+    assert n_arrow == plan.count("InMemoryRelation") and n_arrow > 0
+    assert plan.count("InMemoryTableScan") > 0
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("FileScan") == 2

@@ -1,7 +1,7 @@
 """Seeded fuzz of the shared 64-bit-fingerprint index engine
 (scale/fp_index.py) against a pure-Python brute-force reference.
 
-The modality members (image/audio) lock their hash functions in their
+The modality members (image/audio/video) lock their hash functions in their
 own suites; here a synthetic family whose "hash" IS the content column
 drives the ENGINE through random lifecycles — build, append (including
 an id re-appended under a different fingerprint), tombstone delete,
