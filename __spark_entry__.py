@@ -2874,14 +2874,16 @@ def q69_curation(spark, sf):
 
 
 
-def q70_audio_dedup(spark, sf):
-    """The AUDIO perceptual-dedup family end to end, oracle-locked —
-    spectral fingerprint (scale/multimodal.audio_fingerprint over
-    codecs.decode_pcm: real WAV int8/int16 + AIFF PCM decode),
-    audio_near_dup_pairs (banded, pigeonhole-exact), and the
-    PERSISTENT audio index lifecycle including TOMBSTONE DELETE:
-    build -> delete -> dedup (mask path) -> compact -> dedup (folded
-    path).
+def q70_av_dedup(spark, sf):
+    """The AUDIO and VIDEO perceptual-dedup families end to end,
+    oracle-locked — spectral fingerprint
+    (scale/multimodal.audio_fingerprint over codecs.decode_pcm: real
+    WAV int8/int16 + AIFF PCM decode), audio_near_dup_pairs (banded,
+    pigeonhole-exact), and the PERSISTENT audio index lifecycle
+    including TOMBSTONE DELETE: build -> delete -> dedup (mask path)
+    -> compact -> dedup (folded path); then the same four-leg contract
+    for the VIDEO family (r14: temporal-median fingerprint over real
+    MJPEG AVI frame decode — 'vfp'/'vpair'/'vmask'/'vfold' blocks).
 
     Per-doc clips synthesize from doc_id: tonal template = doc_id % 16
     (8 slices x 3 band-center tones, seeded — distinct templates sit
@@ -3032,10 +3034,143 @@ def q70_audio_dedup(spark, sf):
         batch, aidx_path, strict=True,
     ).df.select(F.lit("afold").alias("op"), "doc_id", "lang", nullv)
 
+    # ---- VIDEO legs (r14): the same contract under the temporal-
+    # median fingerprint. Clips synthesize per (template, variant):
+    # template = doc_id % 8 seeds a random-walk frame stack (4 frames,
+    # 16x24 base, x4 blocky upsample so the JPEG DC thumbnail recovers
+    # a smoothed base raster), variant = (doc_id // 8) % 2 selects a
+    # quality-90 4:4:4 vs quality-40 4:2:0 MJPEG re-encode (<= 2
+    # fingerprint bits measured within template vs >= 25 across, all
+    # 16 combos — budget 6). Index legs: templates 0..5 index to disk,
+    # template 5's ids are tombstoned, the batch (templates >= 4)
+    # dedups before the compact (mask path) and after it (folded path)
+    # — survivors both times have template >= 5. The video legs bound
+    # to doc_id < 240 (30 replicas per template — replica fan-out
+    # still exercised) so the per-row JPEG frame decode keeps q70's
+    # cost flat across scale factors; the audio legs stay corpus-wide.
+    from datar_polars_spark.scale import (
+        dedup_against_video_index,
+        video_fingerprint,
+        video_index_build,
+        video_index_compact,
+        video_index_delete,
+        video_near_dup_pairs,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def doc_vid(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from datar_polars_spark.scale.codecs import (
+            make_avi_mjpeg,
+            make_jpeg_pixels,
+        )
+
+        cache = {}  # 16 distinct (template, variant) clips
+        out = []
+        for d_ in doc_id:
+            d_ = int(d_)
+            t, v = d_ % 8, (d_ // 8) % 2
+            if (t, v) not in cache:
+                rng = np.random.default_rng(5000 + t)
+                base = rng.integers(32, 224, (16, 24, 3)).astype(np.int16)
+                frames = []
+                for _ in range(4):
+                    base = np.clip(
+                        base + rng.integers(-8, 9, (16, 24, 3)), 0, 255
+                    )
+                    frames.append(
+                        np.repeat(
+                            np.repeat(base.astype(np.uint8), 4, axis=0),
+                            4, axis=1,
+                        )
+                    )
+                cache[(t, v)] = make_avi_mjpeg(
+                    [
+                        make_jpeg_pixels(
+                            fr,
+                            quality=90 if v == 0 else 40,
+                            subsample=v == 1,
+                        )
+                        for fr in frames
+                    ],
+                    fps=10,
+                )
+            out.append(cache[(t, v)])
+        return pd.Series(out)
+
+    vids = (
+        d.df.filter(F.col("doc_id") < 240)
+        .select("doc_id", "lang", doc_vid(F.col("doc_id")).alias("content"))
+    )
+
+    # 'vfp': one fingerprint per (template, variant) — strict=True
+    # locks every clip onto the REAL MJPEG frame-decode path
+    vhashed = video_fingerprint(
+        Tibble(vids), "content", out_col="vfp", strict=True
+    ).df
+    vfp_block = (
+        vhashed.groupBy(
+            (F.col("doc_id") % 8).alias("t"),
+            ((F.col("doc_id") / 8).cast("long") % 2).alias("vv"),
+        )
+        .agg(F.countDistinct("vfp").cast("double").alias("v"))
+        .select(
+            F.lit("vfp").alias("op"), F.col("t").alias("doc_id"),
+            F.col("vv").cast("string").alias("lang"), "v",
+        )
+    )
+
+    # 'vpair': near-dup pairs over one representative per (t, v)
+    vreps = (
+        d.df.filter(F.col("doc_id") < 240)
+        .groupBy(
+            (F.col("doc_id") % 8).alias("t"),
+            ((F.col("doc_id") / 8).cast("long") % 2).alias("vv"),
+        )
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", doc_vid(F.col("doc_id")).alias("content"))
+    )
+    vpair_block = video_near_dup_pairs(
+        Tibble(vreps), "content", id_col="doc_id", max_hamming=6,
+        strict=True,
+    ).df.select(
+        F.lit("vpair").alias("op"),
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").cast("string").alias("lang"),
+        nullv,
+    )
+
+    # 'vmask'/'vfold': the persistent index lifecycle with deletion
+    vidx_path = tempfile.mkdtemp(prefix="q70_vidx_") + "/idx"
+    video_index_build(
+        Tibble(vids.filter(F.col("doc_id") % 8 < 6)),
+        "content", "doc_id", vidx_path, strict=True,
+    )
+    video_index_delete(
+        spark, vidx_path,
+        d.df.filter(
+            (F.col("doc_id") % 8 == 5) & (F.col("doc_id") < 240)
+        ).select("doc_id"),
+    )
+    vbatch = Tibble(vids.filter(F.col("doc_id") % 8 >= 4))
+    vmask_block = dedup_against_video_index(
+        vbatch, vidx_path, strict=True,
+    ).df.select(F.lit("vmask").alias("op"), "doc_id", "lang", nullv)
+    vmask_block = vmask_block.localCheckpoint(eager=True)
+    video_index_compact(spark, vidx_path)
+    vfold_block = dedup_against_video_index(
+        vbatch, vidx_path, strict=True,
+    ).df.select(F.lit("vfold").alias("op"), "doc_id", "lang", nullv)
+
     return (
         afp_block.unionByName(apair_block)
         .unionByName(amask_block)
         .unionByName(afold_block)
+        .unionByName(vfp_block)
+        .unionByName(vpair_block)
+        .unionByName(vmask_block)
+        .unionByName(vfold_block)
         .orderBy("op", "doc_id", "lang")
     )
 
@@ -3098,7 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_relevance": q67_relevance,
         "q68_semantic_decon": q68_semantic_decon,
         "q69_curation": q69_curation,
-        "q70_audio_dedup": q70_audio_dedup,
+        "q70_av_dedup": q70_av_dedup,
     }
 
 
@@ -4260,20 +4395,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 60 GROUP BY doc_id % 4
             ORDER BY op, id_a
         """,
-        "q70_audio_dedup": """
-            -- audio family oracle, stated relationally: clips are a
-            -- pure function of doc_id (template = doc_id % 16,
-            -- variant = (doc_id // 16) % 2), so fingerprint identity
-            -- is (t, v) identity, near-dup pairs over per-(t,v)
-            -- representatives are same-template pairs (variant
-            -- distance <= 4 bits measured vs >= 20 cross-template,
-            -- budget 6), and index-dedup survivors are the batch docs
-            -- whose template was deleted (11) or never indexed
-            -- (12..15) -- identically before and after the compact
+        "q70_av_dedup": """
+            -- audio + video family oracle, stated relationally: clips
+            -- are a pure function of doc_id (audio: template =
+            -- doc_id % 16, variant = (doc_id // 16) % 2; video:
+            -- template = doc_id % 8, variant = (doc_id // 8) % 2), so
+            -- fingerprint identity is (t, v) identity, near-dup pairs
+            -- over per-(t,v) representatives are same-template pairs
+            -- (audio variant distance <= 4 bits measured vs >= 20
+            -- cross-template; video <= 2 vs >= 25 — budget 6 both),
+            -- and index-dedup survivors are the batch docs whose
+            -- template was deleted (audio 11 / video 5) or never
+            -- indexed -- identically before and after the compact
             WITH reps AS (
                 SELECT doc_id % 16 AS t, (doc_id // 16) % 2 AS vv,
                        MIN(doc_id) AS rep
                 FROM documents GROUP BY 1, 2
+            ), vreps AS (
+                SELECT doc_id % 8 AS t, (doc_id // 8) % 2 AS vv,
+                       MIN(doc_id) AS rep
+                FROM documents WHERE doc_id < 240 GROUP BY 1, 2
             )
             SELECT op, doc_id, lang, v FROM (
                 SELECT DISTINCT 'afp' AS op, doc_id % 16 AS doc_id,
@@ -4291,6 +4432,22 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'afold', doc_id, lang, CAST(NULL AS DOUBLE)
                 FROM documents WHERE doc_id % 16 >= 11
+                UNION ALL
+                SELECT DISTINCT 'vfp', doc_id % 8,
+                       CAST((doc_id // 8) % 2 AS VARCHAR),
+                       CAST(1 AS DOUBLE)
+                FROM documents WHERE doc_id < 240
+                UNION ALL
+                SELECT 'vpair', a.rep, CAST(b.rep AS VARCHAR),
+                       CAST(NULL AS DOUBLE)
+                FROM vreps a JOIN vreps b
+                  ON a.t = b.t AND a.rep < b.rep
+                UNION ALL
+                SELECT 'vmask', doc_id, lang, CAST(NULL AS DOUBLE)
+                FROM documents WHERE doc_id % 8 >= 5 AND doc_id < 240
+                UNION ALL
+                SELECT 'vfold', doc_id, lang, CAST(NULL AS DOUBLE)
+                FROM documents WHERE doc_id % 8 >= 5 AND doc_id < 240
             ) ORDER BY op, doc_id, lang
         """,
         "q69_curation": r"""
