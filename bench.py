@@ -403,6 +403,87 @@ def _audio_index_bench(docs, phase: str) -> int:
         Tibble(clips.filter(F.col("doc_id") % 3 == 0)), path, strict=True
     ).df.count()
 
+
+def _video_index_bench(docs, phase: str) -> int:
+    """r14: persistent video-fingerprint index — 'build' synthesizes a
+    4-frame MJPEG AVI per corpus doc (random-walk raster template by
+    doc_id % 64, quality-85 baseline JPEG frames), fingerprints (one
+    Arrow frame-walk + JPEG-DC decode pass; byte-identical clips
+    decode once per batch via the fingerprint memo), and indexes to
+    parquet; 'match' dedups the remaining third against the store.
+    Same shape as the image/audio-index rows over the shared fp_index
+    engine — this row prices the most decode-heavy modality."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from datar_polars_spark.scale import (
+        dedup_against_video_index,
+        video_index_build,
+    )
+    from datar_polars_spark.tibble import Tibble
+
+    @F.pandas_udf(BinaryType())
+    def _clip(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from datar_polars_spark.scale.codecs import (
+            make_avi_mjpeg,
+            make_jpeg_pixels,
+        )
+
+        cache = {}  # 64 distinct templates -> synthesize each once
+        out = []
+        for d_ in doc_id:
+            t = int(d_) % 64
+            if t not in cache:
+                rng = np.random.default_rng(900 + t)
+                base = rng.integers(32, 224, (16, 24, 3)).astype(np.int16)
+                frames = []
+                for _ in range(4):
+                    base = np.clip(
+                        base + rng.integers(-8, 9, (16, 24, 3)), 0, 255
+                    )
+                    frames.append(
+                        np.repeat(
+                            np.repeat(base.astype(np.uint8), 4, axis=0),
+                            4, axis=1,
+                        )
+                    )
+                cache[t] = make_avi_mjpeg(
+                    [make_jpeg_pixels(fr, quality=85) for fr in frames],
+                    fps=10,
+                )
+            out.append(cache[t])
+        return pd.Series(out)
+
+    # synthesize + materialize the clips ONCE (pure-Python MJPEG
+    # encode is the expensive part of the generator, not of the
+    # index) — both phases then price the index work itself, as they
+    # would against real stored footage
+    if "vclips" not in _PQ_STATE:
+        _PQ_STATE["vclips"] = (
+            docs.df.select(
+                "doc_id", _clip(F.col("doc_id")).alias("content")
+            ).localCheckpoint(eager=True)
+        )
+    clips = _PQ_STATE["vclips"]
+    if "vidx" not in _PQ_STATE:
+        import tempfile
+
+        _PQ_STATE["vidx"] = tempfile.mkdtemp(prefix="bench_vidx_") + "/idx"
+    path = _PQ_STATE["vidx"]
+    if phase == "build":
+        video_index_build(
+            Tibble(clips.filter(F.col("doc_id") % 3 != 0)),
+            "content", "doc_id", path, strict=True,
+        )
+        return 1
+    return dedup_against_video_index(
+        Tibble(clips.filter(F.col("doc_id") % 3 == 0)), path, strict=True
+    ).df.count()
+
+
 def _pagerank_bench(spark, sf_dir: str, iterations: int = 3) -> int:
     """r12: PageRank power iterations over the symmetric
     supplier<->part graph from lineitem (the q38 'prank' construction)
@@ -749,6 +830,12 @@ def main() -> None:
             # spectral fingerprint over per-doc synthesized WAVs
             "audio_index_build": lambda: _audio_index_bench(docs, "build"),
             "dedup_against_audio_index": lambda: _audio_index_bench(
+                docs, "match"
+            ),
+            # r14: persistent video-fingerprint index — same engine,
+            # temporal-median fingerprint over per-doc MJPEG AVIs
+            "video_index_build": lambda: _video_index_bench(docs, "build"),
+            "dedup_against_video_index": lambda: _video_index_bench(
                 docs, "match"
             ),
             # r12: crawl-graph ranking — 3 power iterations over the

@@ -671,11 +671,19 @@ def image_dhash(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             hashes = []
+            # byte-identical content (the most common duplicate class
+            # in a crawl) decodes once per Arrow batch — the memo keys
+            # reference this batch's buffers only, so memory stays
+            # bounded by the batch itself
+            memo: dict = {}
             for content_bytes in pdf[content]:
                 if content_bytes is None:
                     hashes.append(None)
                     continue
                 bb = bytes(content_bytes)
+                if bb in memo:
+                    hashes.append(memo[bb])
+                    continue
                 gray = decode_raster(bb)
                 if gray is None:
                     if strict:
@@ -685,7 +693,8 @@ def image_dhash(
                             "containers require a real codec library)"
                         )
                     gray = _stub_raster(bb)
-                hashes.append(_dhash64(gray))
+                memo[bb] = _dhash64(gray)
+                hashes.append(memo[bb])
             pdf = pdf.copy()
             pdf[out_col] = pd.array(hashes, dtype="Int64")
             yield pdf
@@ -852,11 +861,17 @@ def audio_fingerprint(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             hashes = []
+            # byte-identical clips decode+FFT once per Arrow batch
+            # (memo keys reference this batch's buffers only)
+            memo: dict = {}
             for content_bytes in pdf[content]:
                 if content_bytes is None:
                     hashes.append(None)
                     continue
                 bb = bytes(content_bytes)
+                if bb in memo:
+                    hashes.append(memo[bb])
+                    continue
                 pcm = decode_pcm(bb)
                 fp = None if pcm is None else _afp64(pcm[0], pcm[1])
                 if fp is None:
@@ -868,6 +883,7 @@ def audio_fingerprint(
                             "real codec library)"
                         )
                     fp = _stub_audio_fp(bb)
+                memo[bb] = fp
                 hashes.append(fp)
             pdf = pdf.copy()
             pdf[out_col] = pd.array(hashes, dtype="Int64")
@@ -1152,16 +1168,21 @@ def video_fingerprint(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             hashes = []
+            # byte-identical clips walk the frame decode once per
+            # Arrow batch (memo keys reference this batch's buffers
+            # only) — per-frame JPEG decode is the expensive modality,
+            # so this matters most here
+            memo: dict = {}
             for content_bytes in pdf[content]:
                 if content_bytes is None:
                     hashes.append(None)
                     continue
-                hashes.append(
-                    _video_fp_one(
-                        bytes(content_bytes), n_frames, strict,
-                        "video_fingerprint",
+                bb = bytes(content_bytes)
+                if bb not in memo:
+                    memo[bb] = _video_fp_one(
+                        bb, n_frames, strict, "video_fingerprint"
                     )
-                )
+                hashes.append(memo[bb])
             pdf = pdf.copy()
             pdf[out_col] = pd.array(hashes, dtype="Int64")
             yield pdf
