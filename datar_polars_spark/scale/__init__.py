@@ -38,6 +38,7 @@ from .image_index import (  # noqa: F401
     image_index_append,
     image_index_compact,
     image_index_delete,
+    image_index_expire,
     image_index_stats,
     match_against_image_index,
     dedup_against_image_index,
@@ -47,6 +48,7 @@ from .audio_index import (  # noqa: F401
     audio_index_append,
     audio_index_compact,
     audio_index_delete,
+    audio_index_expire,
     audio_index_stats,
     match_against_audio_index,
     dedup_against_audio_index,
@@ -56,6 +58,7 @@ from .video_index import (  # noqa: F401
     video_index_append,
     video_index_compact,
     video_index_delete,
+    video_index_expire,
     video_index_stats,
     match_against_video_index,
     dedup_against_video_index,

@@ -40,6 +40,7 @@ from .fp_index import (
     fp_index_build,
     fp_index_compact,
     fp_index_delete,
+    fp_index_expire,
     fp_index_stats,
     fp_match_with_base,
     load_meta,
@@ -50,6 +51,7 @@ __all__ = [
     "audio_index_append",
     "audio_index_compact",
     "audio_index_delete",
+    "audio_index_expire",
     "audio_index_stats",
     "match_against_audio_index",
     "dedup_against_audio_index",
@@ -64,10 +66,11 @@ def _hashed_base(df, cname: str, idn: str, strict: bool):
     return (
         audio_fingerprint(
             Tibble(df.select(F.col(idn).alias("id"),
-                             F.col(cname).alias("__content__"))),
+                             F.col(cname).alias("__content__"),
+                             "__stamp__")),
             "__content__", out_col="afp", strict=strict,
         )
-        .df.select("id", "afp")
+        .df.select("id", "afp", F.col("__stamp__").alias("stamp"))
         .filter(F.col("id").isNotNull() & F.col("afp").isNotNull())
     )
 
@@ -92,6 +95,7 @@ def audio_index_build(
     max_bucket: int = 10_000,
     strict: bool = False,
     mode: str = "overwrite",
+    stamp: int | str = 0,
 ) -> None:
     """Build the persistent audio index of ``corpus`` at ``path``: one
     Arrow fingerprint pass + the banded postings write. ``max_hamming``
@@ -104,7 +108,7 @@ def audio_index_build(
     fp_index_build(
         _FAMILY, corpus, content, id_col, path,
         max_hamming=max_hamming, max_bucket=max_bucket,
-        strict=strict, mode=mode,
+        strict=strict, mode=mode, stamp=stamp,
     )
 
 
@@ -115,11 +119,13 @@ def audio_index_append(
     id_col: Any = None,
     *,
     strict: bool = False,
+    stamp: int | str = 0,
 ) -> None:
     """Append ``batch``'s fingerprints and postings to an existing
     index (parameters from the sidecar; columns default to the
     build-time names). Same id-dtype pinning as the sibling indexes."""
-    fp_index_append(_FAMILY, batch, path, content, id_col, strict=strict)
+    fp_index_append(_FAMILY, batch, path, content, id_col,
+                    strict=strict, stamp=stamp)
 
 
 def audio_index_stats(spark, path: str) -> dict:
@@ -139,6 +145,18 @@ def audio_index_delete(spark, path: str, ids: Any) -> dict:
     return fp_index_delete(_FAMILY, spark, path, ids)
 
 
+def audio_index_expire(spark, path: str, before: int) -> dict:
+    """Age-based retention — the TTL complement of the id-list
+    tombstones: raise the index's ``expire_before`` watermark so every
+    match/dedup/stream read immediately prunes rows stamped (at
+    build/append time, caller-defined units — e.g. a crawl date)
+    before ``before`` via a pushed-down scan predicate, and the next
+    ``audio_index_compact`` drops them physically. Monotonic, survives
+    compaction; no id list or join anywhere — expiry is one sidecar
+    write. Same semantics across the sibling indexes."""
+    return fp_index_expire(_FAMILY, spark, path, before)
+
+
 def match_against_audio_index(
     batch: Any,
     path: str,
@@ -148,6 +166,7 @@ def match_against_audio_index(
     max_hamming: int | None = None,
     max_bucket: int = 10_000,
     strict: bool = False,
+    min_stamp: int | None = None,
 ) -> Tibble:
     """All (batch clip, indexed clip) pairs within the Hamming budget:
     columns (id_a, id_b, hamming), id_a from ``batch``.
@@ -162,6 +181,7 @@ def match_against_audio_index(
     pairs, _base = fp_match_with_base(
         _FAMILY, batch, path, content, id_col,
         max_hamming=max_hamming, max_bucket=max_bucket, strict=strict,
+        min_stamp=min_stamp,
     )
     return pairs
 
@@ -176,6 +196,8 @@ def dedup_against_audio_index(
     max_bucket: int = 10_000,
     strict: bool = False,
     append: bool = False,
+    min_stamp: int | None = None,
+    stamp: int | str = 0,
 ) -> Tibble:
     """Drop every ``batch`` row whose audio matches an indexed clip
     within the Hamming budget; return survivors with their original
@@ -184,7 +206,7 @@ def dedup_against_audio_index(
     return fp_dedup_against_index(
         _FAMILY, batch, path, content, id_col,
         max_hamming=max_hamming, max_bucket=max_bucket,
-        strict=strict, append=append,
+        strict=strict, append=append, min_stamp=min_stamp, stamp=stamp,
     )
 
 

@@ -66,9 +66,12 @@ class FpFamily:
     """One modality of the fingerprint-index family.
 
     ``hash_base(df, content_col, id_col, strict, probe_parallelism)``
-    must return a DataFrame of (id, <fp_col>) with NULL-id and
+    must return a DataFrame of (id, <fp_col>, stamp) with NULL-id and
     NULL-fingerprint rows already dropped — the one Arrow pass that
-    turns raw content bytes into the 64-bit perceptual hash."""
+    turns raw content bytes into the 64-bit perceptual hash. The
+    engine attaches the retention stamp to the input as a reserved
+    ``__stamp__`` column; the hash pass carries it through untouched
+    and returns it as ``stamp``."""
 
     name: str  # "image" / "audio" — derives op + error strings
     fp_col: str  # fingerprint column name in the stores
@@ -116,6 +119,38 @@ def band_cols(fp, n_bands: int):
     return out
 
 
+def _stamp_expr(df, stamp, op: str):
+    """Resolve the retention stamp for an incoming increment: an int
+    stamps the whole increment, a str names a per-row long column in
+    the batch (e.g. a crawl date) — any caller-defined monotonic unit
+    works, the engine only ever compares stamps."""
+    if isinstance(stamp, str):
+        if stamp not in df.columns:
+            raise ValueError(
+                f"{op}: stamp column {stamp!r} not in the batch"
+            )
+        return F.col(stamp).cast("bigint")
+    return F.lit(int(stamp)).cast("bigint")
+
+
+def _stamped_base(base, stamp, op: str):
+    """Ensure the hashed base carries its retention ``stamp`` column.
+    The family hash passes return it (the engine feeds them a reserved
+    ``__stamp__`` input column); a hash_base that does NOT carry it —
+    e.g. a minimal external family — still supports whole-increment
+    int stamps, which attach fine after the hash. Only per-row column
+    stamps genuinely need the passthrough."""
+    if "stamp" in base.columns:
+        return base
+    if isinstance(stamp, str):
+        raise ValueError(
+            f"{op}: per-row stamp column {stamp!r} requires a "
+            f"hash_base that carries the reserved __stamp__ input "
+            f"column through to a 'stamp' output column"
+        )
+    return base.withColumn("stamp", F.lit(int(stamp)).cast("bigint"))
+
+
 def _index_frames(fam: FpFamily, base, meta: dict, op: str):
     """(hashes, postings) store frames — shared by build and append.
 
@@ -125,15 +160,21 @@ def _index_frames(fam: FpFamily, base, meta: dict, op: str):
     signature or an embedding — so candidate VERIFICATION
     (bit_count(a ^ b)) happens inline on the posting join's output and
     the fuzzy leg never needs a second corpus-scale join back to
-    ``hashes/``. One store scan per match instead of two."""
+    ``hashes/``. One store scan per match instead of two.
+
+    Both stores also carry an 8-byte retention ``stamp`` (r14): match
+    reads prune expired rows with a pushed-down ``stamp >= cutoff``
+    scan predicate (appends are stamp-ordered files, so whole row
+    groups skip via footer min/max), and compaction drops them
+    physically — no id-list join anywhere in the retention path."""
     fp = fam.fp_col
     postings = _cap_buckets(
         base.select(
-            "id", fp,
+            "id", fp, "stamp",
             F.explode(F.array(*band_cols(F.col(fp),
                                          meta["bands"]))).alias("b"),
         ).select(F.col("b.band").alias("band"),
-                 F.col("b.bval").alias("bval"), "id", fp),
+                 F.col("b.bval").alias("bval"), "id", fp, "stamp"),
         ["band", "bval"], meta["max_bucket"], op=op,
     )
     return base, postings
@@ -160,6 +201,7 @@ def fp_index_build(
     max_bucket: int,
     strict: bool,
     mode: str,
+    stamp: int | str = 0,
 ) -> None:
     op = fam.op("build")
     if max_hamming < 0:
@@ -170,6 +212,8 @@ def fp_index_build(
     meta = {
         "format": fam.format,
         "version": 2,  # v2: postings carry the fingerprint inline
+        "stamps": True,  # r14: stores carry a retention stamp column
+        "expire_before": 0,
         "max_hamming": max_hamming,
         "bands": max_hamming + 1,
         "max_bucket": max_bucket,
@@ -177,8 +221,16 @@ def fp_index_build(
         "id_col": idn,
         "id_type": td.df.schema[idn].dataType.simpleString(),
     }
-    base = _ensure_parallelism(
-        fam.hash_base(td.df.select(*td.columns), cname, idn, strict)
+    base = _stamped_base(
+        _ensure_parallelism(
+            fam.hash_base(
+                td.df.select(*td.columns).withColumn(
+                    "__stamp__", _stamp_expr(td.df, stamp, op)
+                ),
+                cname, idn, strict,
+            )
+        ),
+        stamp, op,
     )
     hashes, postings = _index_frames(fam, base, meta, op)
     _write_frames(path, hashes, postings, mode)
@@ -212,6 +264,7 @@ def fp_index_append(
     id_col: Any,
     *,
     strict: bool,
+    stamp: int | str = 0,
 ) -> None:
     op = fam.op("append")
     _DROPPED_PAIRS[op] = []
@@ -226,17 +279,66 @@ def fp_index_append(
             f"{path} was built with id_type={meta['id_type']!r}; cast "
             f"the batch id first"
         )
-    base = fam.hash_base(td.df.select(*td.columns), cname, idn, strict)
+    if (
+        isinstance(stamp, int)
+        and meta.get("expire_before", 0) > 0
+        and stamp < meta["expire_before"]
+    ):
+        raise ValueError(
+            f"{op}: stamp={stamp} is below the index's retention "
+            f"watermark expire_before={meta['expire_before']} — the "
+            f"rows would be dead on arrival; stamp the increment at "
+            f"or past the watermark"
+        )
+    base = _stamped_base(
+        fam.hash_base(
+            td.df.select(*td.columns).withColumn(
+                "__stamp__", _stamp_expr(td.df, stamp, op)
+            ),
+            cname, idn, strict,
+        ),
+        stamp, op,
+    )
     hashes, postings = _index_frames(fam, base, meta, op)
     _write_frames(path, hashes, postings, "append")
 
 
-def _hashes_schema(fam: FpFamily, idt: str) -> str:
-    return f"id {idt}, {fam.fp_col} bigint"
+def _hashes_schema(fam: FpFamily, idt: str, stamped: bool = False) -> str:
+    s = f"id {idt}, {fam.fp_col} bigint"
+    return s + ", stamp bigint" if stamped else s
 
 
-def _postings_schema(fam: FpFamily, idt: str) -> str:
-    return f"bval bigint, id {idt}, {fam.fp_col} bigint, band int"
+def _postings_schema(fam: FpFamily, idt: str, stamped: bool = False) -> str:
+    s = f"bval bigint, id {idt}, {fam.fp_col} bigint, band int"
+    return s + ", stamp bigint" if stamped else s
+
+
+def _retention_cutoff(
+    fam: FpFamily, meta: dict, min_stamp, op: str, path: str
+) -> int:
+    """Effective retention cutoff for a read: the caller's
+    ``min_stamp`` or the sidecar's ``expire_before`` watermark,
+    whichever is stricter. Requires a stamped index to be non-zero —
+    a pre-stamp index has no stamp column to compare (explicit-schema
+    reads would surface NULLs and silently expire everything)."""
+    eff = max(int(min_stamp or 0), int(meta.get("expire_before") or 0))
+    if eff > 0 and not meta.get("stamps"):
+        raise ValueError(
+            f"{op}: the index at {path} predates retention stamps "
+            f"(no 'stamps' flag in the sidecar) — rebuild with "
+            f"{fam.op('build')} to use min_stamp/expire"
+        )
+    return eff
+
+
+def _prune_expired(df, eff: int):
+    """Apply the retention cutoff to a store scan — a pushed-down
+    parquet predicate (appends are stamp-ordered file sets, so whole
+    row groups skip on footer min/max), then drop the stamp so
+    downstream joins keep their narrow shape."""
+    if eff <= 0:
+        return df
+    return df.filter(F.col("stamp") >= eff).drop("stamp")
 
 
 def fp_index_stats(fam: FpFamily, spark, path: str) -> dict:
@@ -271,6 +373,32 @@ def fp_index_delete(fam: FpFamily, spark, path: str, ids: Any) -> dict:
     return fp_index_stats(fam, spark, path)
 
 
+def fp_index_expire(fam: FpFamily, spark, path: str, before: int) -> dict:
+    """Age-based retention — the time/TTL complement of the id-list
+    tombstones: raise the index's ``expire_before`` watermark so every
+    subsequent match/dedup/stream read prunes rows stamped before
+    ``before`` via a pushed-down scan predicate (enforced immediately,
+    no rewrite), and the next compact drops them physically. The
+    watermark is monotonic (it never lowers — re-admitting expired
+    rows would silently resurrect matches) and survives compaction, so
+    a late append stamped below it is rejected loudly rather than
+    being dead on arrival. No id list or join anywhere: expiry cost is
+    one sidecar write. Returns the post-expire stats."""
+    op = fam.op("expire")
+    meta = load_meta(fam, spark, path)
+    if not meta.get("stamps"):
+        raise ValueError(
+            f"{op}: the index at {path} predates retention stamps — "
+            f"rebuild with {fam.op('build')} to use expiry"
+        )
+    if before < 0:
+        raise ValueError(f"{op}: before must be >= 0, got {before}")
+    meta["expire_before"] = max(int(meta.get("expire_before") or 0),
+                                int(before))
+    write_json_file(spark, f"{path}/{fam.sidecar}", meta)
+    return fp_index_stats(fam, spark, path)
+
+
 def fp_match_with_base(
     fam: FpFamily,
     batch: Any,
@@ -281,6 +409,7 @@ def fp_match_with_base(
     max_hamming: int | None,
     max_bucket: int,
     strict: bool,
+    min_stamp: int | None = None,
 ) -> tuple[Tibble, Any]:
     """The match operator plus the persisted hashed-batch frame, so
     callers that MATERIALIZE the result (dedup's append path) can
@@ -291,6 +420,7 @@ def fp_match_with_base(
     td = ensure_tibble(batch)
     spark = td.df.sparkSession
     meta = load_meta(fam, spark, path)
+    eff = _retention_cutoff(fam, meta, min_stamp, op, path)
     budget = meta["max_hamming"] if max_hamming is None else int(max_hamming)
     if budget > meta["max_hamming"]:
         raise ValueError(
@@ -315,7 +445,12 @@ def fp_match_with_base(
     fp = fam.fp_col
     base = register_internal_cache(
         _ensure_parallelism(
-            fam.hash_base(td.df.select(*td.columns), cname, idn, strict)
+            fam.hash_base(
+                td.df.select(*td.columns).withColumn(
+                    "__stamp__", F.lit(0).cast("bigint")
+                ),
+                cname, idn, strict,
+            )
         )
         .select(F.col("id").alias("id_a"), F.col(fp).alias("fp_a"))
         .persist()
@@ -332,8 +467,11 @@ def fp_match_with_base(
 
     tombs = tombstones_df(spark, path, idt)
     store = mask_tombstones(
-        spark.read.schema(_hashes_schema(fam, idt))
-        .parquet(f"{path}/hashes"),
+        _prune_expired(
+            spark.read.schema(_hashes_schema(fam, idt, stamped=eff > 0))
+            .parquet(f"{path}/hashes"),
+            eff,
+        ),
         tombs,
     ).select(F.col("id").alias("id_b"), F.col(fp).alias("fp_b"))
     exact = (
@@ -358,8 +496,11 @@ def fp_match_with_base(
     # runs ON the posting join's output — the fuzzy leg touches ONE
     # corpus-scale store (postings), not two (no join-back to hashes/)
     postings = mask_tombstones(
-        spark.read.schema(_postings_schema(fam, idt))
-        .parquet(f"{path}/postings"),
+        _prune_expired(
+            spark.read.schema(_postings_schema(fam, idt, stamped=eff > 0))
+            .parquet(f"{path}/postings"),
+            eff,
+        ),
         tombs,
     ).select("band", "bval", F.col("id").alias("id_b"),
              F.col(fp).alias("fp_b"))
@@ -393,15 +534,19 @@ def fp_dedup_against_index(
     max_bucket: int,
     strict: bool,
     append: bool,
+    min_stamp: int | None = None,
+    stamp: int | str = 0,
 ) -> Tibble:
     """Drop every ``batch`` row whose content matches an indexed item
     within the Hamming budget; return survivors with their original
     columns. ``append=True`` admits the survivors into the index
-    (materialized first — the family's read-after-append contract)."""
+    (materialized first — the family's read-after-append contract),
+    stamped with ``stamp``."""
     td = ensure_tibble(batch)
     hits, hashed_batch = fp_match_with_base(
         fam, td, path, content, id_col,
         max_hamming=max_hamming, max_bucket=max_bucket, strict=strict,
+        min_stamp=min_stamp,
     )
     meta = load_meta(fam, td.df.sparkSession, path)
     idn = _name_of(id_col) if id_col is not None else meta["id_col"]
@@ -423,7 +568,8 @@ def fp_dedup_against_index(
             _name_of(content) if content is not None
             else meta["content_col"]
         )
-        fp_index_append(fam, out, path, cname, idn, strict=strict)
+        fp_index_append(fam, out, path, cname, idn, strict=strict,
+                        stamp=stamp)
     return out
 
 
@@ -440,21 +586,38 @@ def fp_index_compact(fam: FpFamily, spark, path: str) -> dict:
     _DROPPED_PAIRS[op] = []
     idt = meta["id_type"]
     fp = fam.fp_col
+    stamped = bool(meta.get("stamps"))
+    eff = int(meta.get("expire_before") or 0) if stamped else 0
     tombs = tombstones_df(spark, path, idt)
     hashes = mask_tombstones(
-        spark.read.schema(_hashes_schema(fam, idt))
+        spark.read.schema(_hashes_schema(fam, idt, stamped=stamped))
         .parquet(f"{path}/hashes"),
         tombs,
-    ).dropDuplicates(["id", fp])
-    postings = _cap_buckets(
-        mask_tombstones(
-            spark.read.schema(_postings_schema(fam, idt))
-            .parquet(f"{path}/postings"),
-            tombs,
+    )
+    postings = mask_tombstones(
+        spark.read.schema(_postings_schema(fam, idt, stamped=stamped))
+        .parquet(f"{path}/postings"),
+        tombs,
+    )
+    if stamped:
+        # expired rows drop physically; byte-duplicate rows fold
+        # latest-stamp-wins (a re-append REFRESHES retention — keeping
+        # an arbitrary stamp could re-expire a refreshed row)
+        hashes = (
+            hashes.filter(F.col("stamp") >= eff) if eff > 0 else hashes
+        ).groupBy("id", fp).agg(F.max("stamp").alias("stamp"))
+        postings = (
+            postings.filter(F.col("stamp") >= eff) if eff > 0 else postings
+        ).groupBy("band", "bval", "id", fp).agg(
+            F.max("stamp").alias("stamp")
         )
-        .select("band", "bval", "id", fp)
-        .dropDuplicates(["band", "bval", "id", fp]),
-        ["band", "bval"], meta["max_bucket"], op=op,
+    else:
+        hashes = hashes.dropDuplicates(["id", fp])
+        postings = postings.select("band", "bval", "id", fp).dropDuplicates(
+            ["band", "bval", "id", fp]
+        )
+    postings = _cap_buckets(
+        postings, ["band", "bval"], meta["max_bucket"], op=op,
     ).repartitionByRange(
         F.col("band"), F.col("bval")
     ).sortWithinPartitions("band", "bval")

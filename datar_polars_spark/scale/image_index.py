@@ -39,6 +39,7 @@ from .fp_index import (
     fp_index_build,
     fp_index_compact,
     fp_index_delete,
+    fp_index_expire,
     fp_index_stats,
     fp_match_with_base,
     load_meta,
@@ -49,6 +50,7 @@ __all__ = [
     "image_index_append",
     "image_index_compact",
     "image_index_delete",
+    "image_index_expire",
     "image_index_stats",
     "match_against_image_index",
     "dedup_against_image_index",
@@ -66,10 +68,11 @@ def _hashed_base(df, cname: str, idn: str, strict: bool):
     return (
         image_dhash(
             Tibble(df.select(F.col(idn).alias("id"),
-                             F.col(cname).alias("__content__"))),
+                             F.col(cname).alias("__content__"),
+                             "__stamp__")),
             "__content__", out_col="dhash", strict=strict,
         )
-        .df.select("id", "dhash")
+        .df.select("id", "dhash", F.col("__stamp__").alias("stamp"))
         .filter(F.col("id").isNotNull() & F.col("dhash").isNotNull())
     )
 
@@ -90,6 +93,7 @@ def image_index_build(
     max_bucket: int = 10_000,
     strict: bool = False,
     mode: str = "overwrite",
+    stamp: int | str = 0,
 ) -> None:
     """Build the persistent image index of ``corpus`` at ``path``: one
     Arrow dHash pass + the banded postings write. ``max_hamming`` is
@@ -99,7 +103,7 @@ def image_index_build(
     fp_index_build(
         _FAMILY, corpus, content, id_col, path,
         max_hamming=max_hamming, max_bucket=max_bucket,
-        strict=strict, mode=mode,
+        strict=strict, mode=mode, stamp=stamp,
     )
 
 
@@ -114,11 +118,13 @@ def image_index_append(
     id_col: Any = None,
     *,
     strict: bool = False,
+    stamp: int | str = 0,
 ) -> None:
     """Append ``batch``'s fingerprints and postings to an existing
     index (parameters from the sidecar; columns default to the
     build-time names). Same id-dtype pinning as the sibling indexes."""
-    fp_index_append(_FAMILY, batch, path, content, id_col, strict=strict)
+    fp_index_append(_FAMILY, batch, path, content, id_col,
+                    strict=strict, stamp=stamp)
 
 
 def image_index_stats(spark, path: str) -> dict:
@@ -138,6 +144,18 @@ def image_index_delete(spark, path: str, ids: Any) -> dict:
     return fp_index_delete(_FAMILY, spark, path, ids)
 
 
+def image_index_expire(spark, path: str, before: int) -> dict:
+    """Age-based retention — the TTL complement of the id-list
+    tombstones: raise the index's ``expire_before`` watermark so every
+    match/dedup/stream read immediately prunes rows stamped (at
+    build/append time, caller-defined units — e.g. a crawl date)
+    before ``before`` via a pushed-down scan predicate, and the next
+    ``image_index_compact`` drops them physically. Monotonic, survives
+    compaction; no id list or join anywhere — expiry is one sidecar
+    write. Same semantics across the sibling indexes."""
+    return fp_index_expire(_FAMILY, spark, path, before)
+
+
 def match_against_image_index(
     batch: Any,
     path: str,
@@ -147,6 +165,7 @@ def match_against_image_index(
     max_hamming: int | None = None,
     max_bucket: int = 10_000,
     strict: bool = False,
+    min_stamp: int | None = None,
 ) -> Tibble:
     """All (batch image, indexed image) pairs within the Hamming
     budget: columns (id_a, id_b, hamming), id_a from ``batch``.
@@ -161,6 +180,7 @@ def match_against_image_index(
     pairs, _base = fp_match_with_base(
         _FAMILY, batch, path, content, id_col,
         max_hamming=max_hamming, max_bucket=max_bucket, strict=strict,
+        min_stamp=min_stamp,
     )
     return pairs
 
@@ -175,6 +195,8 @@ def dedup_against_image_index(
     max_bucket: int = 10_000,
     strict: bool = False,
     append: bool = False,
+    min_stamp: int | None = None,
+    stamp: int | str = 0,
 ) -> Tibble:
     """Drop every ``batch`` row whose image matches an indexed image
     within the Hamming budget; return survivors with their original
@@ -183,7 +205,7 @@ def dedup_against_image_index(
     return fp_dedup_against_index(
         _FAMILY, batch, path, content, id_col,
         max_hamming=max_hamming, max_bucket=max_bucket,
-        strict=strict, append=append,
+        strict=strict, append=append, min_stamp=min_stamp, stamp=stamp,
     )
 
 

@@ -1203,6 +1203,7 @@ def _stream_fp_dedup(
     ts: Any,
     watermark: str,
     max_history: int,
+    min_stamp: int | None = None,
 ) -> DataFrame:
     """Shared streaming consumer of the 64-bit-fingerprint index
     family (scale/fp_index.py): stream_image_dedup and
@@ -1222,7 +1223,12 @@ def _stream_fp_dedup(
     ``bands`` per fingerprint, ~80 MB at the 1M default with 5 bands;
     loud failure past the bound) and the same Arrow pass that hashes
     each row probes them with ``searchsorted``."""
-    from ..scale.fp_index import band_cols, load_meta
+    from ..scale.fp_index import (
+        _prune_expired,
+        _retention_cutoff,
+        band_cols,
+        load_meta,
+    )
 
     if mode not in ("matches", "filter"):
         raise ValueError(
@@ -1230,6 +1236,10 @@ def _stream_fp_dedup(
         )
     spark = sdf.sparkSession
     meta = load_meta(fam, spark, index_path)
+    # retention: the sidecar's expire_before watermark (or a stricter
+    # caller min_stamp) prunes expired store rows in-scan — the stream
+    # consumer honors expiry as immediately as the batch matchers
+    eff = _retention_cutoff(fam, meta, min_stamp, op, index_path)
     budget = meta["max_hamming"] if max_hamming is None else int(max_hamming)
     if budget > meta["max_hamming"]:
         raise ValueError(
@@ -1261,8 +1271,13 @@ def _stream_fp_dedup(
             F.col("__fp__").isNotNull()
         )
         store = mask_tombstones(
-            spark.read.schema(f"id {idt}, {fp} bigint")
-            .parquet(f"{index_path}/hashes"),
+            _prune_expired(
+                spark.read.schema(
+                    f"id {idt}, {fp} bigint"
+                    + (", stamp bigint" if eff > 0 else "")
+                ).parquet(f"{index_path}/hashes"),
+                eff,
+            ),
             _tombs,
         ).select(F.col("id").alias("match_id"),
                  F.col(fp).alias("__sh__"))
@@ -1276,10 +1291,13 @@ def _stream_fp_dedup(
             # verify runs on the posting join's output — one
             # stream-static store join in the fuzzy leg, not two
             postings = mask_tombstones(
-                spark.read.schema(
-                    f"bval bigint, id {idt}, {fp} bigint, band int"
-                )
-                .parquet(f"{index_path}/postings"),
+                _prune_expired(
+                    spark.read.schema(
+                        f"bval bigint, id {idt}, {fp} bigint, band int"
+                        + (", stamp bigint" if eff > 0 else "")
+                    ).parquet(f"{index_path}/postings"),
+                    eff,
+                ),
                 _tombs,
             ).select("band", "bval", F.col("id").alias("match_id"),
                      F.col(fp).alias("__mh__"))
@@ -1325,8 +1343,13 @@ def _stream_fp_dedup(
 
     rows = (
         mask_tombstones(
-            spark.read.schema(f"id {idt}, {fp} bigint")
-            .parquet(f"{index_path}/hashes"),
+            _prune_expired(
+                spark.read.schema(
+                    f"id {idt}, {fp} bigint"
+                    + (", stamp bigint" if eff > 0 else "")
+                ).parquet(f"{index_path}/hashes"),
+                eff,
+            ),
             _tombs,
         )
         .select(fp).limit(max_history + 1).collect()
@@ -1405,6 +1428,7 @@ def stream_image_dedup(
     ts: Any = None,
     watermark: str = "1 hour",
     max_history: int = 1_000_000,
+    min_stamp: int | None = None,
 ) -> DataFrame:
     """Streaming perceptual image dedup against a PERSISTENT image
     index (``image_index_build``) — the image member of the streaming
@@ -1446,6 +1470,7 @@ def stream_image_dedup(
     return _stream_fp_dedup(
         sdf, index_path, _FAMILY, _hash_one, "stream_image_dedup",
         content, id_col, mode, max_hamming, ts, watermark, max_history,
+        min_stamp,
     )
 
 
@@ -1463,6 +1488,7 @@ def stream_audio_dedup(
     ts: Any = None,
     watermark: str = "1 hour",
     max_history: int = 1_000_000,
+    min_stamp: int | None = None,
 ) -> DataFrame:
     """Streaming perceptual audio dedup against a PERSISTENT audio
     index (``audio_index_build``) — the audio member of the streaming
@@ -1503,6 +1529,7 @@ def stream_audio_dedup(
     return _stream_fp_dedup(
         sdf, index_path, _FAMILY, _hash_one, "stream_audio_dedup",
         content, id_col, mode, max_hamming, ts, watermark, max_history,
+        min_stamp,
     )
 
 
@@ -1521,6 +1548,7 @@ def stream_video_dedup(
     ts: Any = None,
     watermark: str = "1 hour",
     max_history: int = 1_000_000,
+    min_stamp: int | None = None,
 ) -> DataFrame:
     """Streaming perceptual video dedup against a PERSISTENT video
     index (``video_index_build``) — the video member of the streaming
@@ -1551,6 +1579,7 @@ def stream_video_dedup(
     return _stream_fp_dedup(
         sdf, index_path, _FAMILY, _hash_one, "stream_video_dedup",
         content, id_col, mode, max_hamming, ts, watermark, max_history,
+        min_stamp,
     )
 
 
