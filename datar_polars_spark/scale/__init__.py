@@ -29,6 +29,7 @@ from .dedup_index import (  # noqa: F401
     dedup_index_append,
     dedup_index_compact,
     dedup_index_delete,
+    dedup_index_expire,
     dedup_index_stats,
     match_against_index,
     dedup_against_index,
@@ -68,6 +69,7 @@ from .semantic_index import (  # noqa: F401
     semantic_index_append,
     semantic_index_compact,
     semantic_index_delete,
+    semantic_index_expire,
     semantic_index_stats,
     match_against_semantic_index,
     dedup_against_semantic_index,

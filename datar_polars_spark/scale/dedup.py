@@ -318,7 +318,8 @@ def _shingles(col: Column, shingle_words: int, analyzer: str,
 def _minhash_sigs(df: DataFrame, tname: str, idn: str, num_perm: int,
                   shingle_words: int, analyzer: str = "word",
                   shingle_chars: int = 12,
-                  ensure_par: bool = True) -> DataFrame:
+                  ensure_par: bool = True,
+                  carry: list | None = None) -> DataFrame:
     """(id, sig) minhash signatures via shingle explode + num_perm
     partial-min aggregates.
 
@@ -342,8 +343,13 @@ def _minhash_sigs(df: DataFrame, tname: str, idn: str, num_perm: int,
     # .rdd partition probe: under AQE that probe finalizes the plan
     # and EXECUTES the upstream shuffle stages once, so the caller
     # must guarantee parallelism itself (e.g. repartition the scan)
+    # ``carry`` columns (constant per doc, e.g. a retention stamp)
+    # ride the existing per-id aggregation as first() — map-side free,
+    # no join-back needed to re-attach them after signing
+    carry = carry or []
     ex = (_ensure_parallelism(df) if ensure_par else df).select(
         F.col(idn).alias("id"),
+        *carry,
         F.explode(
             _shingles(F.col(tname), shingle_words, analyzer, shingle_chars)
         ).alias("__sh"),
@@ -354,10 +360,11 @@ def _minhash_sigs(df: DataFrame, tname: str, idn: str, num_perm: int,
     ]
     return (
         ex.groupBy("id")
-        .agg(*mins)
+        .agg(*mins, *[F.first(c).alias(c) for c in carry])
         .select(
             "id",
             F.array(*[F.col(f"__h{i}") for i in range(num_perm)]).alias("sig"),
+            *carry,
         )
     )
 

@@ -78,6 +78,7 @@ __all__ = [
     "dedup_index_append",
     "dedup_index_compact",
     "dedup_index_delete",
+    "dedup_index_expire",
     "dedup_index_stats",
     "match_against_index",
     "dedup_against_index",
@@ -107,6 +108,7 @@ def _fingerprint(col):
 def _index_frames(
     df: DataFrame, tname: str, idn: str, meta: dict,
     probe_par: bool = True, op: str = "dedup_index_build",
+    stamp: int | str = 0,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame | None]:
     """(fingerprints, sigs, bands, grams?) store frames for ``df``.
 
@@ -116,20 +118,30 @@ def _index_frames(
     indexing each copy would only inflate the postings and re-create
     the giant-bucket problem the in-corpus exact pre-pass exists to
     avoid. Exact copies are still all caught — by the fingerprint leg.
+
+    Every store row carries a retention ``stamp`` (r14, same contract
+    as the fingerprint-index family). The store rows are per distinct
+    TEXT CLASS, so the class stamps with the max over its members in
+    this increment: a text class expires only when its youngest
+    indexed instance is older than the cutoff.
     """
     from .dedup import _ensure_parallelism
+    from .fp_index import _stamp_expr
 
     base = df.select(
         F.col(idn).alias("id"),
         F.col(tname).alias("__text__"),
         _fingerprint(F.col(tname)).alias("fp"),
+        _stamp_expr(df, stamp, op).alias("stamp"),
     )
     # probe_par=False for callers whose input already sits behind a
     # shuffle (append after a match): the partition probe would
     # finalize the AQE plan and re-execute those stages
     if probe_par:
         base = _ensure_parallelism(base)
-    fps = base.groupBy("fp").agg(F.min("id").alias("id"))
+    fps = base.groupBy("fp").agg(
+        F.min("id").alias("id"), F.max("stamp").alias("stamp")
+    )
     # one representative doc per distinct fp, minimum NON-NULL id
     # (NULL-id rows are filtered out first: no identity to post under)
     rep = (
@@ -138,17 +150,20 @@ def _index_frames(
         .agg(
             F.min_by(
                 F.struct(F.col("id"), F.col("__text__")), F.col("id")
-            ).alias("__w__")
+            ).alias("__w__"),
+            F.max("stamp").alias("stamp"),
         )
         .select(
             F.col("__w__.id").alias("id"),
             F.col("__w__.__text__").alias("__text__"),
+            "stamp",
         )
     )
     sigs = _minhash_sigs(
         rep, "__text__", "id", meta["num_perm"],
         meta["shingle_words"], meta["analyzer"], meta["shingle_chars"],
         ensure_par=False,  # rep is post-shuffle: parallelism is set
+        carry=["stamp"],  # rides the signing aggregation, no join-back
     )
     rows_per_band = meta["num_perm"] // meta["bands"]
     # postings are capped HERE, not at match time: the bucket census
@@ -161,7 +176,7 @@ def _index_frames(
         _banded(sigs, "sig", meta["bands"], rows_per_band),
         ["band", "bhash"], meta["max_bucket"],
         op=op,
-    ).select("band", "bhash", "id")
+    ).select("band", "bhash", "id", "stamp")
     grams = None
     if meta["store_grams"]:
         grams = rep.select(
@@ -172,6 +187,7 @@ def _index_frames(
                     meta["analyzer"], meta["shingle_chars"],
                 )
             ).alias("grams"),
+            "stamp",
         )
     return fps, sigs, bands, grams
 
@@ -210,6 +226,7 @@ def dedup_index_build(
     store_grams: bool = False,
     max_bucket: int = 1000,
     mode: str = "overwrite",
+    stamp: int | str = 0,
 ) -> None:
     """Build the persistent dedup index of ``corpus`` at ``path``.
 
@@ -239,6 +256,8 @@ def dedup_index_build(
     meta = {
         "format": _FORMAT,
         "version": 1,
+        "stamps": True,  # r14: stores carry a retention stamp column
+        "expire_before": 0,
         "num_perm": num_perm,
         "bands": bands,
         "shingle_words": shingle_words,
@@ -254,7 +273,7 @@ def dedup_index_build(
         "id_type": td.df.schema[idn].dataType.simpleString(),
     }
     fps, sigs, bands_df, grams = _index_frames(
-        td.df.select(*td.columns), tname, idn, meta
+        td.df.select(*td.columns), tname, idn, meta, stamp=stamp
     )
     _write_frames(path, fps, sigs, bands_df, grams, mode)
     write_json_file(td.df.sparkSession, f"{path}/dedup_index.json", meta)
@@ -274,6 +293,8 @@ def dedup_index_append(
     path: str,
     text: Any = None,
     id_col: Any = None,
+    *,
+    stamp: int | str = 0,
 ) -> None:
     """Append ``batch``'s fingerprints/signatures/postings to an
     existing index — the "accept the survivors into the corpus" half
@@ -301,9 +322,20 @@ def dedup_index_append(
             f"index at {path} was built with id_type="
             f"{meta['id_type']!r}; cast the batch id first"
         )
+    if (
+        isinstance(stamp, int)
+        and meta.get("expire_before", 0) > 0
+        and stamp < meta["expire_before"]
+    ):
+        raise ValueError(
+            f"dedup_index_append: stamp={stamp} is below the index's "
+            f"retention watermark expire_before="
+            f"{meta['expire_before']} — the rows would be dead on "
+            f"arrival; stamp the increment at or past the watermark"
+        )
     fps, sigs, bands_df, grams = _index_frames(
         td.df.select(*td.columns), tname, idn, meta, probe_par=False,
-        op="dedup_index_append",
+        op="dedup_index_append", stamp=stamp,
     )
     _write_frames(path, fps, sigs, bands_df, grams, "append")
 
@@ -363,6 +395,7 @@ def match_against_index(
     max_bucket: int = 1000,
     verify: str = "estimate",
     log_dropped: bool = False,
+    min_stamp: int | None = None,
 ) -> Tibble:
     """All (batch doc, indexed doc) duplicate matches: columns
     (id_a, id_b, via, jaccard[_est]) with id_a from ``batch``, id_b
@@ -390,6 +423,14 @@ def match_against_index(
     td = ensure_tibble(batch)
     spark = td.df.sparkSession
     meta = _load_meta(spark, path)
+    from .fp_index import _prune_expired, retention_cutoff
+
+    # retention cutoff (caller min_stamp or the sidecar watermark):
+    # enforced on every store scan as a pushed-down stamp predicate
+    eff = retention_cutoff(
+        meta, min_stamp, "match_against_index", path, "dedup_index_build"
+    )
+    _st = ", stamp bigint" if eff > 0 else ""
     if verify == "exact" and not meta["store_grams"]:
         raise ValueError(
             "verify='exact' needs the gram store; rebuild the index "
@@ -430,8 +471,11 @@ def match_against_index(
     idt = meta["id_type"]
     tombs = tombstones_df(spark, path, idt)
     store_fps = mask_tombstones(
-        spark.read.schema(f"fp string, id {idt}")
-        .parquet(f"{path}/fingerprints"),
+        _prune_expired(
+            spark.read.schema(f"fp string, id {idt}{_st}")
+            .parquet(f"{path}/fingerprints"),
+            eff,
+        ),
         tombs,
     ).select(F.col("fp").alias("__sfp__"), F.col("id").alias("id_b"))
     exact = (
@@ -491,8 +535,11 @@ def match_against_index(
     # no index-side census here, matching scans the postings exactly
     # once through the candidate join
     store_bands = mask_tombstones(
-        spark.read.schema(f"bhash bigint, id {idt}, band int")
-        .parquet(f"{path}/bands"),
+        _prune_expired(
+            spark.read.schema(f"bhash bigint, id {idt}, band int{_st}")
+            .parquet(f"{path}/bands"),
+            eff,
+        ),
         tombs,
     ).select("band", "bhash", F.col("id").alias("id_b"))
     cand = (
@@ -511,8 +558,11 @@ def match_against_index(
             ).alias("g_a"),
         )
         grams_b = mask_tombstones(
-            spark.read.schema(f"id {idt}, grams array<string>")
-            .parquet(f"{path}/grams"),
+            _prune_expired(
+                spark.read.schema(f"id {idt}, grams array<string>{_st}")
+                .parquet(f"{path}/grams"),
+                eff,
+            ),
             tombs,
         ).select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
         fuzzy = (
@@ -529,8 +579,11 @@ def match_against_index(
         )
     else:
         store_sigs = mask_tombstones(
-            spark.read.schema(f"id {idt}, sig array<bigint>")
-            .parquet(f"{path}/sigs"),
+            _prune_expired(
+                spark.read.schema(f"id {idt}, sig array<bigint>{_st}")
+                .parquet(f"{path}/sigs"),
+                eff,
+            ),
             tombs,
         ).select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
         est = F.size(
@@ -565,6 +618,8 @@ def dedup_against_index(
     verify: str = "estimate",
     append: bool = False,
     log_dropped: bool = False,
+    min_stamp: int | None = None,
+    stamp: int | str = 0,
 ) -> Tibble:
     """Drop every ``batch`` row that duplicates an indexed document
     (exact normalized-text match, or n-gram Jaccard >= threshold via
@@ -588,7 +643,7 @@ def dedup_against_index(
     hits = match_against_index(
         td, path, text, id_col,
         threshold=threshold, max_bucket=max_bucket,
-        verify=verify, log_dropped=log_dropped,
+        verify=verify, log_dropped=log_dropped, min_stamp=min_stamp,
     )
     meta = _load_meta(td.df.sparkSession, path)
     idn = _name_of(id_col) if id_col is not None else meta["id_col"]
@@ -617,8 +672,37 @@ def dedup_against_index(
     out = Tibble(surv, groups=td.group_vars, levels=td.levels)
     if append:
         tname = _name_of(text) if text is not None else meta["text_col"]
-        dedup_index_append(out, path, tname, idn)
+        dedup_index_append(out, path, tname, idn, stamp=stamp)
     return out
+
+
+def dedup_index_expire(spark, path: str, before: int) -> dict:
+    """Age-based retention — the TTL complement of the id-list
+    tombstones: raise the index's ``expire_before`` watermark so every
+    match/dedup/stream read immediately prunes store rows stamped (at
+    build/append time, caller-defined units — e.g. a crawl date)
+    before ``before`` via a pushed-down scan predicate, and the next
+    ``dedup_index_compact`` drops them physically. A store row is per
+    distinct text CLASS stamped with the max over its members, so a
+    class expires only when its youngest indexed instance is too old.
+    Monotonic, survives compaction; no id list or join anywhere —
+    expiry is one sidecar write. Same contract as the fingerprint
+    family's ``*_index_expire``. Returns the post-expire stats."""
+    meta = _load_meta(spark, path)
+    if not meta.get("stamps"):
+        raise ValueError(
+            f"dedup_index_expire: the index at {path} predates "
+            f"retention stamps — rebuild with dedup_index_build to "
+            f"use expiry"
+        )
+    if before < 0:
+        raise ValueError(
+            f"dedup_index_expire: before must be >= 0, got {before}"
+        )
+    meta["expire_before"] = max(int(meta.get("expire_before") or 0),
+                                int(before))
+    write_json_file(spark, f"{path}/dedup_index.json", meta)
+    return dedup_index_stats(spark, path)
 
 
 def dedup_index_compact(spark, path: str) -> dict:
@@ -662,30 +746,51 @@ def dedup_index_compact(spark, path: str) -> dict:
     meta = _load_meta(spark, path)
     _DROPPED_PAIRS["dedup_index_compact"] = []
     idt = meta["id_type"]
+    stamped = bool(meta.get("stamps"))
+    eff = int(meta.get("expire_before") or 0) if stamped else 0
+    _st = ", stamp bigint" if stamped else ""
+
+    def _fold(df, keys):
+        # expired rows drop physically; byte-duplicate rows fold
+        # latest-stamp-wins (a re-append REFRESHES retention — keeping
+        # an arbitrary stamp could re-expire a refreshed row). Key on
+        # the full row — e.g. (id, sig), not id alone: an id appended
+        # twice with DIFFERENT text must keep both signatures (both
+        # its fingerprints and postings survive compaction, so folding
+        # to one arbitrary sig would make compaction visible to match)
+        if not stamped:
+            return df.dropDuplicates(keys)
+        if eff > 0:
+            df = df.filter(F.col("stamp") >= eff)
+        return df.groupBy(*keys).agg(F.max("stamp").alias("stamp"))
+
     tombs = tombstones_df(spark, path, idt)
-    fps = mask_tombstones(
-        spark.read.schema(f"fp string, id {idt}")
-        .parquet(f"{path}/fingerprints"),
-        tombs,
-    ).dropDuplicates(["fp", "id"])
-    # key on (id, sig) — not id alone: an id appended twice with
-    # DIFFERENT text must keep both signatures (both its fingerprints
-    # and postings survive compaction, so folding to one arbitrary sig
-    # would make compaction visible to match); only byte-duplicate rows
-    # fold, matching semantic_index_compact's ['id','vh'] contract
-    sigs = mask_tombstones(
-        spark.read.schema(f"id {idt}, sig array<bigint>")
-        .parquet(f"{path}/sigs"),
-        tombs,
-    ).dropDuplicates(["id", "sig"])
-    bands = _cap_buckets(
+    fps = _fold(
         mask_tombstones(
-            spark.read.schema(f"bhash bigint, id {idt}, band int")
-            .parquet(f"{path}/bands"),
+            spark.read.schema(f"fp string, id {idt}{_st}")
+            .parquet(f"{path}/fingerprints"),
             tombs,
-        )
-        .select("band", "bhash", "id")
-        .dropDuplicates(["band", "bhash", "id"]),
+        ),
+        ["fp", "id"],
+    )
+    sigs = _fold(
+        mask_tombstones(
+            spark.read.schema(f"id {idt}, sig array<bigint>{_st}")
+            .parquet(f"{path}/sigs"),
+            tombs,
+        ),
+        ["id", "sig"],
+    )
+    bands = _cap_buckets(
+        _fold(
+            mask_tombstones(
+                spark.read.schema(f"bhash bigint, id {idt}, band int{_st}")
+                .parquet(f"{path}/bands"),
+                tombs,
+            ).select("band", "bhash", "id",
+                     *(["stamp"] if stamped else [])),
+            ["band", "bhash", "id"],
+        ),
         ["band", "bhash"], meta["max_bucket"],
         op="dedup_index_compact",
     ).repartitionByRange(
@@ -693,11 +798,14 @@ def dedup_index_compact(spark, path: str) -> dict:
     ).sortWithinPartitions("band", "bhash")
     stores = {"fingerprints": fps, "sigs": sigs}
     if meta["store_grams"]:
-        stores["grams"] = mask_tombstones(
-            spark.read.schema(f"id {idt}, grams array<string>")
-            .parquet(f"{path}/grams"),
-            tombs,
-        ).dropDuplicates(["id", "grams"])
+        stores["grams"] = _fold(
+            mask_tombstones(
+                spark.read.schema(f"id {idt}, grams array<string>{_st}")
+                .parquet(f"{path}/grams"),
+                tombs,
+            ),
+            ["id", "grams"],
+        )
     # write EVERY compacted store before swapping ANY: all the tmp
     # writes read only live stores, so a failure anywhere in this loop
     # leaves the index exactly as it was

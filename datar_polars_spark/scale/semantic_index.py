@@ -63,6 +63,7 @@ __all__ = [
     "semantic_index_append",
     "semantic_index_compact",
     "semantic_index_delete",
+    "semantic_index_expire",
     "semantic_index_stats",
     "match_against_semantic_index",
     "dedup_against_semantic_index",
@@ -101,9 +102,13 @@ def _band_hash_udf(meta: dict):
 def _index_frames(
     df: DataFrame, ename: str, idn: str, meta: dict,
     probe_par: bool = True, op: str = "semantic_index_build",
+    stamp: int | str = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """(vectors, postings) store frames — shared by build and append.
-    Only rows with BOTH an id and an embedding are indexable."""
+    Only rows with BOTH an id and an embedding are indexable. Every
+    store row carries a retention ``stamp`` (r14, same contract as the
+    fingerprint-index family)."""
+    from .fp_index import _stamp_expr
     # vectors are CAST to the sidecar's element type on write: a batch
     # whose arithmetic promoted float embeddings to double (any
     # transform() with a double literal does) would otherwise append
@@ -116,6 +121,7 @@ def _index_frames(
     base = df.select(
         F.col(idn).alias("id"),
         F.col(ename).cast(meta["vec_type"]).alias("vec"),
+        _stamp_expr(df, stamp, op).alias("stamp"),
     ).filter(F.col(idn).isNotNull() & F.col(ename).isNotNull())
     base = base.withColumn("vh", F.xxhash64(F.col("vec")))
     if probe_par:
@@ -123,10 +129,11 @@ def _index_frames(
     hashes = _band_hash_udf(meta)
     postings = _cap_buckets(
         base.select(
-            "id", F.posexplode(hashes(F.col("vec"))).alias("band", "bhash")
+            "id", "stamp",
+            F.posexplode(hashes(F.col("vec"))).alias("band", "bhash"),
         ),
         ["band", "bhash"], meta["max_bucket"], op=op,
-    ).select("band", "bhash", "id")
+    ).select("band", "bhash", "id", "stamp")
     return base, postings
 
 
@@ -156,6 +163,7 @@ def semantic_index_build(
     seed: int = 42,
     max_bucket: int = 1000,
     mode: str = "overwrite",
+    stamp: int | str = 0,
 ) -> None:
     """Build the persistent semantic index of ``corpus`` at ``path``.
 
@@ -178,6 +186,8 @@ def semantic_index_build(
     meta = {
         "format": _FORMAT,
         "version": 1,
+        "stamps": True,  # r14: stores carry a retention stamp column
+        "expire_before": 0,
         "bands": bands,
         "planes_per_band": planes_per_band,
         "seed": seed,
@@ -192,15 +202,17 @@ def semantic_index_build(
         # no signable vectors: write empty stores + the sidecar (the
         # dim pins on the first real append)
         empty_v = td.df.sparkSession.createDataFrame(
-            [], f"id {meta['id_type']}, vec {meta['vec_type']}, vh bigint"
+            [],
+            f"id {meta['id_type']}, vec {meta['vec_type']}, vh bigint, "
+            f"stamp bigint",
         )
         empty_p = td.df.sparkSession.createDataFrame(
-            [], f"band int, bhash bigint, id {meta['id_type']}"
+            [], f"band int, bhash bigint, id {meta['id_type']}, stamp bigint"
         )
         _write_frames(path, empty_v, empty_p, mode)
     else:
         vectors, postings = _index_frames(
-            td.df.select(*td.columns), ename, idn, meta
+            td.df.select(*td.columns), ename, idn, meta, stamp=stamp
         )
         _write_frames(path, vectors, postings, mode)
     write_json_file(td.df.sparkSession, f"{path}/semantic_index.json", meta)
@@ -221,6 +233,8 @@ def semantic_index_append(
     path: str,
     embedding: Any = None,
     id_col: Any = None,
+    *,
+    stamp: int | str = 0,
 ) -> None:
     """Append ``batch``'s vectors and postings to an existing index
     (parameters from the sidecar; columns default to the build-time
@@ -239,6 +253,17 @@ def semantic_index_append(
             f"the index at {path} was built with id_type="
             f"{meta['id_type']!r}; cast the batch id first"
         )
+    if (
+        isinstance(stamp, int)
+        and meta.get("expire_before", 0) > 0
+        and stamp < meta["expire_before"]
+    ):
+        raise ValueError(
+            f"semantic_index_append: stamp={stamp} is below the "
+            f"index's retention watermark expire_before="
+            f"{meta['expire_before']} — the rows would be dead on "
+            f"arrival; stamp the increment at or past the watermark"
+        )
     if meta["dim"] == 0:
         first = td.df.select(ename).where(F.col(ename).isNotNull()).first()
         if first is None:
@@ -247,7 +272,7 @@ def semantic_index_append(
         write_json_file(spark, f"{path}/semantic_index.json", meta)
     vectors, postings = _index_frames(
         td.df.select(*td.columns), ename, idn, meta, probe_par=False,
-        op="semantic_index_append",
+        op="semantic_index_append", stamp=stamp,
     )
     _write_frames(path, vectors, postings, "append")
 
@@ -290,6 +315,7 @@ def match_against_semantic_index(
     *,
     threshold: float = 0.95,
     max_bucket: int = 1000,
+    min_stamp: int | None = None,
     _exact_prunes_fuzzy: bool = False,
 ) -> Tibble:
     """All (batch row, indexed row) semantic matches at cosine >=
@@ -325,6 +351,15 @@ def match_against_semantic_index(
     td = ensure_tibble(batch)
     spark = td.df.sparkSession
     meta = _load_meta(spark, path)
+    from .fp_index import _prune_expired, retention_cutoff
+
+    # retention cutoff (caller min_stamp or the sidecar watermark):
+    # enforced on both store scans as a pushed-down stamp predicate
+    eff = retention_cutoff(
+        meta, min_stamp, "match_against_semantic_index", path,
+        "semantic_index_build",
+    )
+    _st = ", stamp bigint" if eff > 0 else ""
     ename = _name_of(embedding) if embedding is not None else meta["embedding_col"]
     idn = _name_of(id_col) if id_col is not None else meta["id_col"]
     idt = meta["id_type"]
@@ -362,9 +397,12 @@ def match_against_semantic_index(
         return F.broadcast(df) if small else df
     tombs = tombstones_df(spark, path, idt)
     vectors = mask_tombstones(
-        spark.read
-        .schema(f"id {idt}, vec {meta['vec_type']}, vh bigint")
-        .parquet(f"{path}/vectors"),
+        _prune_expired(
+            spark.read
+            .schema(f"id {idt}, vec {meta['vec_type']}, vh bigint{_st}")
+            .parquet(f"{path}/vectors"),
+            eff,
+        ),
         tombs,
     ).select(
         F.col("id").alias("id_b"),
@@ -438,8 +476,11 @@ def match_against_semantic_index(
         ["band", "bhash"], max_bucket, op="match_against_semantic_index",
     )
     postings = mask_tombstones(
-        spark.read.schema(f"bhash bigint, id {idt}, band int")
-        .parquet(f"{path}/postings"),
+        _prune_expired(
+            spark.read.schema(f"bhash bigint, id {idt}, band int{_st}")
+            .parquet(f"{path}/postings"),
+            eff,
+        ),
         tombs,
     ).select("band", "bhash", F.col("id").alias("id_b"))
     # rep-level verify: exact cosine on the representative vector,
@@ -479,6 +520,8 @@ def dedup_against_semantic_index(
     threshold: float = 0.95,
     max_bucket: int = 1000,
     append: bool = False,
+    min_stamp: int | None = None,
+    stamp: int | str = 0,
 ) -> Tibble:
     """Drop every ``batch`` row whose embedding matches an indexed row
     at cosine >= ``threshold``; return survivors with their original
@@ -490,6 +533,7 @@ def dedup_against_semantic_index(
     hits = match_against_semantic_index(
         td, path, embedding, id_col,
         threshold=threshold, max_bucket=max_bucket,
+        min_stamp=min_stamp,
         # any hit drops the row, so exact-matched rows need no fuzzy
         # matches: a replica-heavy recrawl batch resolves in the
         # narrow hash join instead of banding every distinct vector
@@ -509,8 +553,35 @@ def dedup_against_semantic_index(
             _name_of(embedding) if embedding is not None
             else meta["embedding_col"]
         )
-        semantic_index_append(out, path, ename, idn)
+        semantic_index_append(out, path, ename, idn, stamp=stamp)
     return out
+
+
+def semantic_index_expire(spark, path: str, before: int) -> dict:
+    """Age-based retention — the TTL complement of the id-list
+    tombstones: raise the index's ``expire_before`` watermark so every
+    match/dedup/stream read immediately prunes store rows stamped (at
+    build/append time, caller-defined units — e.g. a crawl date)
+    before ``before`` via a pushed-down scan predicate, and the next
+    ``semantic_index_compact`` drops them physically. Monotonic,
+    survives compaction; no id list or join anywhere — expiry is one
+    sidecar write. Same contract as the fingerprint family's
+    ``*_index_expire``. Returns the post-expire stats."""
+    meta = _load_meta(spark, path)
+    if not meta.get("stamps"):
+        raise ValueError(
+            f"semantic_index_expire: the index at {path} predates "
+            f"retention stamps — rebuild with semantic_index_build to "
+            f"use expiry"
+        )
+    if before < 0:
+        raise ValueError(
+            f"semantic_index_expire: before must be >= 0, got {before}"
+        )
+    meta["expire_before"] = max(int(meta.get("expire_before") or 0),
+                                int(before))
+    write_json_file(spark, f"{path}/semantic_index.json", meta)
+    return semantic_index_stats(spark, path)
 
 
 def semantic_index_compact(spark, path: str) -> dict:
@@ -534,20 +605,40 @@ def semantic_index_compact(spark, path: str) -> dict:
     meta = _load_meta(spark, path)
     _DROPPED_PAIRS["semantic_index_compact"] = []
     idt, vt = meta["id_type"], meta["vec_type"]
+    stamped = bool(meta.get("stamps"))
+    eff = int(meta.get("expire_before") or 0) if stamped else 0
+    _st = ", stamp bigint" if stamped else ""
     tombs = tombstones_df(spark, path, idt)
     vectors = mask_tombstones(
-        spark.read.schema(f"id {idt}, vec {vt}, vh bigint")
+        spark.read.schema(f"id {idt}, vec {vt}, vh bigint{_st}")
         .parquet(f"{path}/vectors"),
         tombs,
-    ).dropDuplicates(["id", "vh"])
-    postings = _cap_buckets(
-        mask_tombstones(
-            spark.read.schema(f"bhash bigint, id {idt}, band int")
-            .parquet(f"{path}/postings"),
-            tombs,
+    )
+    postings_raw = mask_tombstones(
+        spark.read.schema(f"bhash bigint, id {idt}, band int{_st}")
+        .parquet(f"{path}/postings"),
+        tombs,
+    ).select("band", "bhash", "id", *(["stamp"] if stamped else []))
+    if stamped:
+        # expired rows drop physically; byte-duplicate rows fold
+        # latest-stamp-wins (a re-append REFRESHES retention). Keys
+        # stay (id, vh) / full posting — distinct ids stay distinct
+        # entries even when their vectors are identical (dedup policy
+        # belongs to dedup_against_semantic_index, not maintenance)
+        if eff > 0:
+            vectors = vectors.filter(F.col("stamp") >= eff)
+            postings_raw = postings_raw.filter(F.col("stamp") >= eff)
+        vectors = vectors.groupBy("id", "vh").agg(
+            F.first("vec").alias("vec"), F.max("stamp").alias("stamp")
+        ).select("id", "vec", "vh", "stamp")
+        postings_raw = postings_raw.groupBy("band", "bhash", "id").agg(
+            F.max("stamp").alias("stamp")
         )
-        .select("band", "bhash", "id")
-        .dropDuplicates(["band", "bhash", "id"]),
+    else:
+        vectors = vectors.dropDuplicates(["id", "vh"])
+        postings_raw = postings_raw.dropDuplicates(["band", "bhash", "id"])
+    postings = _cap_buckets(
+        postings_raw,
         ["band", "bhash"], meta["max_bucket"],
         op="semantic_index_compact",
     ).repartitionByRange(

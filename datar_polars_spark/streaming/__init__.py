@@ -637,6 +637,15 @@ def stream_near_dedup(
         from ..scale.dedup_index import _load_meta
 
         index_meta = _load_meta(sdf.sparkSession, history)
+        # retention: honor the sidecar's expire_before watermark on
+        # every store scan, like the batch matchers
+        from ..scale.fp_index import _prune_expired, retention_cutoff
+
+        _eff = retention_cutoff(
+            index_meta, None, "stream_near_dedup", history,
+            "dedup_index_build",
+        )
+        _st = ", stamp bigint" if _eff > 0 else ""
         num_perm = index_meta["num_perm"]
         bands = index_meta["bands"]
         shingle_words = index_meta["shingle_words"]
@@ -710,14 +719,22 @@ def stream_near_dedup(
             _tombs = tombstones_df(spark_, history, idt)
             banded_hist_raw = (
                 mask_tombstones(
-                    spark_.read.schema(f"bhash bigint, id {idt}, band int")
-                    .parquet(f"{history}/bands"),
+                    _prune_expired(
+                        spark_.read.schema(
+                            f"bhash bigint, id {idt}, band int{_st}"
+                        ).parquet(f"{history}/bands"),
+                        _eff,
+                    ),
                     _tombs,
                 )
                 .join(
                     mask_tombstones(
-                        spark_.read.schema(f"id {idt}, sig array<bigint>")
-                        .parquet(f"{history}/sigs"),
+                        _prune_expired(
+                            spark_.read.schema(
+                                f"id {idt}, sig array<bigint>{_st}"
+                            ).parquet(f"{history}/sigs"),
+                            _eff,
+                        ),
                         _tombs,
                     ),
                     on="id",
@@ -772,9 +789,14 @@ def stream_near_dedup(
         from ..scale.tombstones import mask_tombstones, tombstones_df
 
         hist_sigs = mask_tombstones(
-            sdf.sparkSession.read
-            .schema(f"id {index_meta['id_type']}, sig array<bigint>")
-            .parquet(f"{history}/sigs"),
+            _prune_expired(
+                sdf.sparkSession.read
+                .schema(
+                    f"id {index_meta['id_type']}, sig array<bigint>{_st}"
+                )
+                .parquet(f"{history}/sigs"),
+                _eff,
+            ),
             tombstones_df(
                 sdf.sparkSession, history, index_meta["id_type"]
             ),
@@ -932,12 +954,24 @@ def stream_decontaminate_semantic(
         from ..scale.semantic_index import _load_meta
 
         meta = _load_meta(sdf.sparkSession, benchmark)
+        from ..scale.fp_index import _prune_expired, retention_cutoff
         from ..scale.tombstones import mask_tombstones, tombstones_df
 
+        # retention: honor the index's expire_before watermark
+        _eff = retention_cutoff(
+            meta, None, "stream_decontaminate_semantic", benchmark,
+            "semantic_index_build",
+        )
         bench_df = mask_tombstones(
-            sdf.sparkSession.read
-            .schema(f"id {meta['id_type']}, vec {meta['vec_type']}")
-            .parquet(f"{benchmark}/vectors"),
+            _prune_expired(
+                sdf.sparkSession.read
+                .schema(
+                    f"id {meta['id_type']}, vec {meta['vec_type']}"
+                    + (", stamp bigint" if _eff > 0 else "")
+                )
+                .parquet(f"{benchmark}/vectors"),
+                _eff,
+            ),
             tombstones_df(sdf.sparkSession, benchmark, meta["id_type"]),
         ).select(F.col("vec").alias(ename))
     elif isinstance(benchmark, Tibble):

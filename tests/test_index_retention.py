@@ -303,3 +303,218 @@ def test_stream_consumer_honors_watermark(spark, tmp_path, stamped):
     )
     # batch ids 100..104 hit only EXPIRED rows -> clean; 105..109 dirty
     assert clean == [100, 101, 102, 103, 104], clean
+
+
+def test_dedup_index_retention_lifecycle(spark, tmp_path):
+    """Text index: class-level stamps (max over members), min_stamp,
+    expire watermark, physical fold at compact, DOA append guard."""
+    from datar_polars_spark.scale import (
+        dedup_against_index,
+        dedup_index_append,
+        dedup_index_build,
+        dedup_index_compact,
+        dedup_index_expire,
+        dedup_index_stats,
+        match_against_index,
+    )
+
+    def txt(i):
+        words = [f"w{i}x{j}" for j in range(30)]
+        return " ".join(words)
+
+    p = str(tmp_path / "didx")
+    d1 = Tibble(spark.createDataFrame(
+        [(i, txt(i)) for i in range(5)], "doc_id long, text string"
+    ))
+    d2 = Tibble(spark.createDataFrame(
+        [(i, txt(i)) for i in range(5, 10)], "doc_id long, text string"
+    ))
+    dedup_index_build(d1, "text", "doc_id", p, stamp=10)
+    dedup_index_append(d2, p, stamp=20)
+
+    batch = Tibble(spark.createDataFrame(
+        [(100 + i, txt(i)) for i in range(10)], "doc_id long, text string"
+    ))
+    allm = sorted(
+        r.id_b for r in match_against_index(batch, p).df.collect()
+    )
+    assert allm == list(range(10)), allm
+    got = sorted(
+        r.id_b
+        for r in match_against_index(batch, p, min_stamp=15).df.collect()
+    )
+    assert got == [5, 6, 7, 8, 9], got
+
+    st = dedup_index_expire(spark, p, 15)
+    assert st["expire_before"] == 15
+    surv = sorted(
+        r.doc_id for r in dedup_against_index(batch, p).df.collect()
+    )
+    assert surv == [100, 101, 102, 103, 104], surv
+
+    pre = dedup_index_stats(spark, p)["n_fingerprints"]
+    dedup_index_compact(spark, p)
+    post = dedup_index_stats(spark, p)
+    assert pre == 10 and post["n_fingerprints"] == 5
+    assert post["expire_before"] == 15
+    assert sorted(
+        r.id_b for r in match_against_index(batch, p).df.collect()
+    ) == [5, 6, 7, 8, 9]
+
+    with pytest.raises(ValueError, match="dead on arrival"):
+        dedup_index_append(
+            Tibble(spark.createDataFrame(
+                [(50, txt(50))], "doc_id long, text string"
+            )),
+            p, stamp=10,
+        )
+
+
+def test_dedup_index_class_stamp_is_max_of_members(spark, tmp_path):
+    """The same TEXT indexed at stamps 10 and 20 in one increment
+    stamps its class 20: expiry at 15 keeps the class alive."""
+    from datar_polars_spark.scale import (
+        dedup_index_build,
+        dedup_index_expire,
+        match_against_index,
+    )
+
+    t = " ".join(f"tok{j}" for j in range(30))
+    p = str(tmp_path / "didx")
+    d = Tibble(spark.createDataFrame(
+        [(1, t, 10), (2, t, 20)],
+        "doc_id long, text string, day long",
+    ))
+    dedup_index_build(d, "text", "doc_id", p, stamp="day")
+    dedup_index_expire(spark, p, 15)
+    batch = Tibble(spark.createDataFrame(
+        [(100, t)], "doc_id long, text string"
+    ))
+    hit = match_against_index(batch, p).df.collect()
+    assert len(hit) == 1 and hit[0].id_b == 1  # class alive (rep id 1)
+
+
+def test_semantic_index_retention_lifecycle(spark, tmp_path):
+    from datar_polars_spark.scale import (
+        dedup_against_semantic_index,
+        match_against_semantic_index,
+        semantic_index_append,
+        semantic_index_build,
+        semantic_index_compact,
+        semantic_index_expire,
+        semantic_index_stats,
+    )
+
+    def vec(i):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        return v
+
+    p = str(tmp_path / "sidx")
+    d1 = Tibble(spark.createDataFrame(
+        [(i, vec(i)) for i in range(4)], "vec_id long, emb array<double>"
+    ))
+    d2 = Tibble(spark.createDataFrame(
+        [(i, vec(i)) for i in range(4, 8)], "vec_id long, emb array<double>"
+    ))
+    semantic_index_build(d1, "emb", "vec_id", p, stamp=10)
+    semantic_index_append(d2, p, stamp=20)
+
+    batch = Tibble(spark.createDataFrame(
+        [(100 + i, vec(i)) for i in range(8)],
+        "vec_id long, emb array<double>",
+    ))
+    assert sorted(
+        r.id_b
+        for r in match_against_semantic_index(batch, p).df.collect()
+    ) == list(range(8))
+    assert sorted(
+        r.id_b
+        for r in match_against_semantic_index(
+            batch, p, min_stamp=15
+        ).df.collect()
+    ) == [4, 5, 6, 7]
+
+    semantic_index_expire(spark, p, 15)
+    surv = sorted(
+        r.vec_id
+        for r in dedup_against_semantic_index(batch, p).df.collect()
+    )
+    assert surv == [100, 101, 102, 103], surv
+
+    assert semantic_index_stats(spark, p)["n_vectors"] == 8
+    semantic_index_compact(spark, p)
+    post = semantic_index_stats(spark, p)
+    assert post["n_vectors"] == 4 and post["expire_before"] == 15
+    assert sorted(
+        r.id_b
+        for r in match_against_semantic_index(batch, p).df.collect()
+    ) == [4, 5, 6, 7]
+
+    with pytest.raises(ValueError, match="dead on arrival"):
+        semantic_index_append(
+            Tibble(spark.createDataFrame(
+                [(50, vec(0))], "vec_id long, emb array<double>"
+            )),
+            p, stamp=10,
+        )
+
+
+def test_stream_near_dedup_honors_watermark(spark, tmp_path):
+    """stream_near_dedup over an index path prunes expired classes in
+    both matches and filter modes."""
+    from datar_polars_spark.scale import (
+        dedup_index_build,
+        dedup_index_expire,
+    )
+    from datar_polars_spark.streaming import stream_near_dedup
+
+    def txt(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    p = str(tmp_path / "didx")
+    d = Tibble(spark.createDataFrame(
+        [(i, txt(i), 10 if i < 3 else 20) for i in range(6)],
+        "doc_id long, text string, day long",
+    ))
+    dedup_index_build(d, "text", "doc_id", p, stamp="day")
+    dedup_index_expire(spark, p, 15)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(100 + i, txt(i)) for i in range(6)], "doc_id long, text string"
+    ).write.parquet(src)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    out = stream_near_dedup(
+        sdf, p, "text", "doc_id", mode="matches", threshold=0.7
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # matches mode emits one row per colliding band without ts=
+    got = sorted(
+        {r.match_id for r in spark.read.parquet(sink).collect()}
+    )
+    assert got == [3, 4, 5], got
+
+    out = stream_near_dedup(
+        sdf, p, "text", "doc_id", mode="filter", threshold=0.7
+    )
+    sink2 = str(tmp_path / "sink2")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink2)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    clean = sorted(r.doc_id for r in spark.read.parquet(sink2).collect())
+    assert clean == [100, 101, 102], clean
