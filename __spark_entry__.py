@@ -1362,28 +1362,38 @@ def q38_minhash_dedup(spark, sf):
     )
 
     # r12 'idx' block: the PERSISTENT dedup index (scale/dedup_index.py)
-    # driven end-to-end — corpus (doc_id % 3 != 0) is indexed to disk
-    # (fingerprints + MinHash postings + gram store), then the batch
-    # (doc_id % 3 == 0) is deduped AGAINST THE STORE with verify='exact'
-    # (high-recall 32x2 banding, exact n-gram Jaccard decisions), so
-    # survivors equal the oracle's brute-force NOT EXISTS formulation:
-    # no identical normalized text in the corpus AND no corpus doc at
-    # 3-gram Jaccard >= 0.5.
+    # driven end-to-end — r14 extends the leg with the RETENTION
+    # lifecycle: the corpus indexes as two stamped increments
+    # (doc_id % 3 == 1 at stamp 10, doc_id % 3 == 2 appended at stamp
+    # 20), the expire watermark rises to 15 (increment 1 expires), the
+    # index COMPACTS (expiry must fold physically AND compaction must
+    # stay match-invisible for the live rows), then the batch
+    # (doc_id % 3 == 0) dedups AGAINST THE STORE with verify='exact'
+    # (high-recall 32x2 banding, exact n-gram Jaccard decisions). The
+    # oracle therefore states survivors against the LIVE corpus only
+    # (doc_id % 3 == 2): no identical normalized text AND no live
+    # corpus doc at 3-gram Jaccard >= 0.5 — any defect in stamping,
+    # the watermark, or the expired-row fold breaks this value hash.
     import tempfile
 
-    from datar_polars_spark.scale import dedup_against_index, dedup_index_build
+    from datar_polars_spark.scale import (
+        dedup_against_index,
+        dedup_index_append,
+        dedup_index_build,
+        dedup_index_expire,
+    )
     from datar_polars_spark.tibble import Tibble
 
     idx_path = tempfile.mkdtemp(prefix="q38_didx_") + "/idx"
-    corpus = Tibble(d.df.filter(F.col("doc_id") % 3 != 0))
     batch = Tibble(d.df.filter(F.col("doc_id") % 3 == 0))
     dedup_index_build(
-        corpus, f.text, f.doc_id, idx_path,
-        num_perm=64, bands=32, store_grams=True,
+        Tibble(d.df.filter(F.col("doc_id") % 3 == 1)), f.text, f.doc_id,
+        idx_path, num_perm=64, bands=32, store_grams=True, stamp=10,
     )
-    # r13: compact the freshly built index before matching — compaction
-    # must be match-invisible (same stores, range-clustered layout), so
-    # any compaction defect breaks this leg's value hash
+    dedup_index_append(
+        Tibble(d.df.filter(F.col("doc_id") % 3 == 2)), idx_path, stamp=20,
+    )
+    dedup_index_expire(spark, idx_path, 15)
     from datar_polars_spark.scale import dedup_index_compact
 
     dedup_index_compact(spark, idx_path)
@@ -1480,11 +1490,27 @@ def q38_minhash_dedup(spark, sf):
     imgs = d.df.select(
         "doc_id", "lang", doc_img(F.col("doc_id")).alias("content")
     )
+    # r14 retention on the shared fp-index engine: corpus rows carry a
+    # per-row stamp column (templates 0..9 at 10, templates 10..11 at
+    # 20); the expire watermark rises to 15 BEFORE the compact, so the
+    # live corpus is templates 10..11 only — survivors gain templates
+    # 8..9 (their corpus copies expired) on top of the never-indexed
+    # 12..15. Any defect in per-row stamping, the watermark, or the
+    # expired-row fold at compact breaks this value hash.
+    from datar_polars_spark.scale import image_index_expire
+
     iidx_path = tempfile.mkdtemp(prefix="q38_iidx_") + "/idx"
     image_index_build(
-        Tibble(imgs.filter(F.col("doc_id") % 16 < 12)),
-        "content", "doc_id", iidx_path, strict=True,
+        Tibble(
+            imgs.filter(F.col("doc_id") % 16 < 12).withColumn(
+                "crawl_day",
+                F.when(F.col("doc_id") % 16 < 10, F.lit(10))
+                .otherwise(F.lit(20)),
+            )
+        ),
+        "content", "doc_id", iidx_path, strict=True, stamp="crawl_day",
     )
+    image_index_expire(spark, iidx_path, 15)
     image_index_compact(spark, iidx_path)
     iidx_block = dedup_against_image_index(
         Tibble(imgs.filter(F.col("doc_id") % 16 >= 8)),
@@ -2306,15 +2332,31 @@ def q68_semantic_decon(spark, sf):
     # cosine verifies). Scaled copies share every band sign, so
     # candidacy is guaranteed and the hit set equals the brute-force
     # pair set with sides swapped (id_a = benchmark, id_b = corpus).
+    # r14 retention: the corpus indexes as two stamped increments
+    # (vec_id % 2 == 0 at stamp 10, % 2 == 1 appended at stamp 20);
+    # the expire watermark rises to 15 and the index compacts, so only
+    # ODD corpus vectors stay matchable — the oracle filters the
+    # brute-force pair set to the live (odd) corpus side, and any
+    # defect in semantic stamping/expiry/fold breaks this value hash.
     import tempfile
 
     from datar_polars_spark.scale import (
         match_against_semantic_index,
+        semantic_index_append,
         semantic_index_build,
+        semantic_index_expire,
     )
+    from datar_polars_spark.tibble import Tibble as _Tb
 
     sidx_path = tempfile.mkdtemp(prefix="q68_sidx_") + "/idx"
-    semantic_index_build(emb, f.embedding, f.vec_id, sidx_path)
+    semantic_index_build(
+        _Tb(emb.df.filter(F.col("vec_id") % 2 == 0)),
+        f.embedding, f.vec_id, sidx_path, stamp=10,
+    )
+    semantic_index_append(
+        _Tb(emb.df.filter(F.col("vec_id") % 2 == 1)), sidx_path, stamp=20,
+    )
+    semantic_index_expire(spark, sidx_path, 15)
     # r13: compaction must be match-invisible — defects break the hash
     from datar_polars_spark.scale import semantic_index_compact
 
@@ -3811,13 +3853,15 @@ def oracle_sql() -> dict[str, str]:
             ), dup AS (
                 SELECT DISTINCT id_b AS doc_id FROM jp WHERE j >= 0.5
             ),
-            -- r12 'idx' leg: batch (doc_id % 3 = 0) deduped against the
-            -- indexed corpus (doc_id % 3 != 0): drop on identical
-            -- normalized text OR cross 3-gram Jaccard >= 0.5
+            -- r12 'idx' leg, r14 retention: the corpus indexed as two
+            -- stamped increments (doc_id % 3 = 1 at 10, % 3 = 2 at 20)
+            -- and expired before 15, so the LIVE corpus is % 3 = 2
+            -- only; batch (doc_id % 3 = 0) drops on identical
+            -- normalized text OR cross 3-gram Jaccard >= 0.5 vs LIVE
             cfp AS (
                 SELECT DISTINCT md5(regexp_replace(lower(trim(text)),
                                                    '\\s+', ' ', 'g')) AS fp
-                FROM documents WHERE doc_id % 3 != 0
+                FROM documents WHERE doc_id % 3 = 2
             ),
             bdoc AS (
                 SELECT doc_id, lang,
@@ -3829,7 +3873,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT b.doc_id
                 FROM ge a JOIN ge b
                   ON a.gram = b.gram
-                 AND a.doc_id % 3 != 0 AND b.doc_id % 3 = 0
+                 AND a.doc_id % 3 = 2 AND b.doc_id % 3 = 0
                 GROUP BY a.doc_id, b.doc_id
                 HAVING COUNT(*) * 1.0
                        / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5
@@ -3895,13 +3939,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'idx', doc_id, lang, CAST(NULL AS DOUBLE)
                 FROM idx_surv
                 UNION ALL
-                -- r13 image-index block: survivors are exactly the
-                -- batch docs (templates 8..15 by doc_id % 16) whose
-                -- raster template the indexed corpus (templates 0..11)
-                -- never saw; brightness shift and PNG/BMP container
-                -- are dHash-invariant, so they never create survivors
+                -- r13 image-index block, r14 retention: the corpus
+                -- (templates 0..11 by doc_id % 16) indexed with
+                -- per-row stamps (templates < 10 at 10, 10..11 at 20)
+                -- then expired before 15, so the LIVE corpus is
+                -- templates 10..11 only; survivors are the batch docs
+                -- (templates 8..15) whose template is not live:
+                -- 8..9 (expired) and 12..15 (never indexed)
                 SELECT 'iidx', doc_id, lang, CAST(NULL AS DOUBLE)
-                FROM documents WHERE doc_id % 16 >= 12
+                FROM documents
+                WHERE doc_id % 16 >= 12
+                   OR doc_id % 16 IN (8, 9)
                 UNION ALL
                 SELECT 'prank', u,
                        CASE WHEN u >= 1000000 THEN 'p' ELSE 's' END,
@@ -4374,10 +4422,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             -- r12 persistent-semantic-index rows: the benchmark
             -- matched AGAINST THE STORE — same pair set, sides
-            -- swapped (id_a = benchmark id, id_b = corpus id)
+            -- swapped (id_a = benchmark id, id_b = corpus id).
+            -- r14 retention: even corpus vectors indexed at stamp 10
+            -- then expired before 15 — only the ODD (live) corpus
+            -- side may appear
             SELECT 'sidx', CAST(id_b AS BIGINT),
                    CAST(id_a AS BIGINT), ROUND(cos, 4)
-            FROM hits
+            FROM hits WHERE id_a % 2 = 1
             UNION ALL
             -- r13 text_embed rows: the synthesized 60-doc corpus (4
             -- disjoint-vocab templates x 3 variants by doc_id) must
