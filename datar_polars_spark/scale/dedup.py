@@ -53,10 +53,52 @@ def _name_of(x: Any) -> str:
 # --------------------------------------------------------------------------
 
 @verb
-def dedup_exact(td: Tibble, *cols: Any, id_col: Any = None) -> Tibble:
+def _keep_ordkey(df, kname: str, keep: str, idkey, who: str):
+    """MIN-direction ordering key for quality-based winner selection,
+    shared by dedup_exact / the exact pre-pass / component resolution:
+    lexicographic struct compare — quality first (NULL quality sorts
+    as the WORST value under either policy), then the null-safe id key
+    ascending for the deterministic tiebreak. For ``keep="max"`` the
+    quality leg NEGATES (struct aggregates have one global direction),
+    so ``min_by`` keeps the max-quality row while ties still resolve
+    to the SMALLEST id — which is why keep='max' needs a numeric key."""
+    if keep == "max":
+        kt = df.schema[kname].dataType.simpleString()
+        if not any(
+            kt.startswith(t)
+            for t in ("int", "bigint", "smallint", "tinyint",
+                      "float", "double", "decimal", "long")
+        ):
+            raise ValueError(
+                f"{who}: keep='max' needs a numeric keep_by column "
+                f"(got {kname!r}: {kt}); derive a numeric score first"
+            )
+        q = (-F.col(kname)).alias("q")
+    else:
+        q = F.col(kname).alias("q")
+    return F.struct(
+        F.col(kname).isNull().alias("qn"),  # non-NULL quality first
+        q,
+        idkey.alias("k"),
+    )
+
+
+def dedup_exact(
+    td: Tibble, *cols: Any, id_col: Any = None,
+    keep_by: Any = None, keep: str = "min",
+) -> Tibble:
     """Keep one row per distinct value of ``cols`` (all columns if
     empty). With ``id_col``, deterministically keeps the row with the
     smallest id.
+
+    ``keep_by`` (r14) selects the cluster's winner by a QUALITY key
+    instead of the id: ``keep="max"`` keeps the row with the largest
+    ``keep_by`` value per cluster (e.g. keep the longest or
+    best-scored copy of a duplicated page), ``keep="min"`` the
+    smallest. Ties (and NULL ``keep_by`` values, which always lose to
+    non-NULL ones) break deterministically by smallest id; requires
+    ``id_col`` for that reason. Same single-aggregation plan shape —
+    a curation policy, not a new pass.
 
     r11: the id_col path is a ``min_by`` aggregation (one hash-groupBy
     shuffle with map-side partial combine) instead of a row_number
@@ -71,7 +113,15 @@ def dedup_exact(td: Tibble, *cols: Any, id_col: Any = None) -> Tibble:
     kept row is always a real input row, never a fabricated all-NULL
     one (min_by over a bare nullable key skips NULL-ordered rows and
     returns NULL for an all-NULL group)."""
+    if keep not in ("min", "max"):
+        raise ValueError(f"dedup_exact: keep must be 'min' or 'max', "
+                         f"got {keep!r}")
     names = [_name_of(c) for c in cols] or list(td.columns)
+    if keep_by is not None and id_col is None:
+        raise ValueError(
+            "dedup_exact: keep_by needs id_col for a deterministic "
+            "tiebreak"
+        )
     if id_col is None:
         out = td.df.select(*td.columns).dropDuplicates(names)
         return Tibble(out, groups=td.group_vars, levels=td.levels)
@@ -83,9 +133,15 @@ def dedup_exact(td: Tibble, *cols: Any, id_col: Any = None) -> Tibble:
     # null-safe ordering key: (id IS NOT NULL, id) — false < true, so
     # NULL-id rows sort first; the struct itself is never NULL, so
     # min_by never skips a row and never fabricates an all-NULL winner.
-    ordkey = F.struct(
+    idkey = F.struct(
         F.col(idn).isNotNull().alias("n"), F.col(idn).alias("i")
     )
+    if keep_by is None:
+        ordkey = idkey
+    else:
+        ordkey = _keep_ordkey(
+            td.df, _name_of(keep_by), keep, idkey, "dedup_exact"
+        )
     winner = F.min_by(
         F.struct(*[F.col(c) for c in others]), ordkey
     ).alias("__w__")
@@ -574,7 +630,8 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
 
 
 def _drop_duplicates_by_pairs(
-    survivors: DataFrame, pairs: DataFrame, idn: str, resolve: str
+    survivors: DataFrame, pairs: DataFrame, idn: str, resolve: str,
+    keep_by: str | None = None, keep: str = "min",
 ) -> DataFrame:
     """Turn a near-duplicate pair list into row drops.
 
@@ -583,13 +640,39 @@ def _drop_duplicates_by_pairs(
     members don't pair directly, more than one representative can
     survive. ``components`` runs true connected-components over the
     pair graph (scale/graph.py, O(log n) alternating-star rounds) and
-    keeps exactly each component's minimum id."""
+    keeps exactly each component's minimum id — or, with ``keep_by``,
+    the component member with the best quality value (ties to the
+    smallest id): the winner comes from one tiny per-component
+    aggregation over the LABELED ids (pair-graph members only, far
+    smaller than the corpus), never a corpus-wide window."""
     if resolve == "components":
         from .graph import components_from_pairs
 
         labels = components_from_pairs(pairs, "id_a", "id_b")
-        drop = labels.filter(F.col("id") != F.col("component")).select(
-            F.col("id").alias(idn)
+        if keep_by is None:
+            drop = labels.filter(F.col("id") != F.col("component")).select(
+                F.col("id").alias(idn)
+            )
+            return survivors.join(drop, on=idn, how="left_anti")
+        # quality-based winner per component: join the labeled ids
+        # (graph members only) to their quality, one min_by per
+        # component, drop every non-winner
+        idkey = F.struct(
+            F.col("id").isNotNull().alias("n"), F.col("id").alias("i")
+        )
+        q = survivors.select(
+            F.col(idn).alias("id"), F.col(keep_by).alias("__q__")
+        )
+        ordkey = _keep_ordkey(q, "__q__", keep, idkey, "minhash_dedup")
+        winners = (
+            labels.join(q, on="id")
+            .groupBy("component")
+            .agg(F.min_by(F.col("id"), ordkey).alias("__win__"))
+        )
+        drop = (
+            labels.join(winners, on="component")
+            .filter(F.col("id") != F.col("__win__"))
+            .select(F.col("id").alias(idn))
         )
         return survivors.join(drop, on=idn, how="left_anti")
     if resolve != "single_link":
@@ -600,7 +683,10 @@ def _drop_duplicates_by_pairs(
     return survivors.join(near, on=idn, how="left_anti")
 
 
-def _fingerprint_survivors(df: DataFrame, tname: str, idn: str) -> DataFrame:
+def _fingerprint_survivors(
+    df: DataFrame, tname: str, idn: str,
+    keep_by: str | None = None, keep: str = "min",
+) -> DataFrame:
     """Exact-dup pre-pass: keep the min-id row per normalized-text md5.
     Identical copies share every LSH band, so running LSH on the raw
     corpus puts whole duplicate clusters into single buckets (O(k^2)
@@ -628,10 +714,23 @@ def _fingerprint_survivors(df: DataFrame, tname: str, idn: str) -> DataFrame:
         F.regexp_replace(F.lower(F.trim(F.col(tname))), r"\s+", " ").cast("binary")
     )
     with_fp = df.withColumn("__fp__", fp)
+    if keep_by is None:
+        win_expr = F.min(F.col(idn)).alias("__fp_min__")
+    else:
+        # quality-based winner per exact cluster (r14): same
+        # min-aggregation shape, the aggregate just carries the
+        # quality ordering — the winner's ID is what joins back
+        idkey = F.struct(
+            F.col(idn).isNotNull().alias("n"), F.col(idn).alias("i")
+        )
+        win_expr = F.min_by(
+            F.col(idn), _keep_ordkey(df, keep_by, keep, idkey,
+                                     "minhash_dedup")
+        ).alias("__fp_min__")
     winner = (
         with_fp.filter(F.col(idn).isNotNull())
         .groupBy("__fp__")
-        .agg(F.min(F.col(idn)).alias("__fp_min__"))
+        .agg(win_expr)
         .withColumnRenamed("__fp__", "__fp_w__")
     )
     return (
@@ -660,6 +759,8 @@ def minhash_dedup(
     resolve: str = "single_link",
     analyzer: str = "word",
     shingle_chars: int = 12,
+    keep_by: Any = None,
+    keep: str = "min",
 ) -> Tibble:
     """Drop near-duplicates, keeping the smallest id of each duplicate
     set. ``resolve='single_link'`` drops b when any a < b matches
@@ -668,14 +769,46 @@ def minhash_dedup(
     distributed connected components over the pair graph so chained
     clusters keep exactly one representative. Runs an exact
     fingerprint-dedup pre-pass so giant identical-copy clusters never
-    reach the LSH bucket self-join (see _fingerprint_survivors)."""
+    reach the LSH bucket self-join (see _fingerprint_survivors).
+
+    ``keep_by`` (r14) keeps each duplicate set's BEST row by a quality
+    column instead of its smallest id (``keep="max"`` for
+    highest-wins, e.g. a quality-classifier score or text length; ties
+    and NULL qualities resolve to the smallest id). Winner selection
+    has a well-defined cluster to select over only under true
+    component resolution, so ``keep_by`` requires
+    ``resolve='components'``. Applied consistently in BOTH passes: the
+    exact pre-pass keeps the best copy per identical-text cluster, and
+    component resolution keeps the best member per near-dup component
+    — all via per-cluster aggregations, never a corpus-wide window."""
     tname, idn = _name_of(text), _name_of(id_col)
-    survivors = Tibble(_fingerprint_survivors(td.df.select(*td.columns), tname, idn))
+    kname = None
+    if keep_by is not None:
+        if resolve != "components":
+            raise ValueError(
+                "minhash_dedup: keep_by needs resolve='components' — "
+                "single-link drop order has no well-defined cluster "
+                "to pick a winner from"
+            )
+        kname = _name_of(keep_by)
+        # validate the quality dtype ONCE against the caller's frame
+        # so the error names the caller's column
+        idkey0 = F.struct(
+            F.col(idn).isNotNull().alias("n"), F.col(idn).alias("i")
+        )
+        _keep_ordkey(td.df, kname, keep, idkey0, "minhash_dedup")
+    survivors = Tibble(
+        _fingerprint_survivors(
+            td.df.select(*td.columns), tname, idn, kname, keep
+        )
+    )
     pairs = minhash_pairs(
         survivors, text, id_col, num_perm, bands, shingle_words, threshold,
         max_bucket=max_bucket, analyzer=analyzer, shingle_chars=shingle_chars,
     ).df
-    out = _drop_duplicates_by_pairs(survivors.df, pairs, idn, resolve)
+    out = _drop_duplicates_by_pairs(
+        survivors.df, pairs, idn, resolve, kname, keep
+    )
     return Tibble(out, groups=td.group_vars, levels=td.levels)
 
 
