@@ -756,6 +756,7 @@ def q33_dedup(spark, sf):
     covers the counted path)."""
     from datar_polars_spark.functions.registry import builder
     from datar_polars_spark.scale import dedup_exact
+    from datar_polars_spark.tibble import Tibble
 
     d = _t(spark, sf, "documents")
     ex = (
@@ -773,6 +774,30 @@ def q33_dedup(spark, sf):
             F.coalesce(F.col("source"), F.lit("<NA>")),
         ).alias("key"),
         F.lit(None).cast("long").alias("n_copies"),
+        F.col("doc_id").alias("keep_id"),
+    )
+
+    # r14 'best' block: quality-based winner selection — keep_by picks
+    # the LONGEST text per (lang, source) cluster (keep='max', ties to
+    # the smallest doc_id), stated in the oracle as an arg-max window.
+    # Any defect in the quality ordering, NULL-quality-loses, or the
+    # id tiebreak breaks this value hash.
+    best = dedup_exact(
+        Tibble(
+            d.df.select(*d.columns).withColumn(
+                "tlen", F.length("text").cast("long")
+            )
+        ),
+        "lang", "source", id_col="doc_id", keep_by="tlen", keep="max",
+    )
+    best_block = best.df.select(
+        F.lit("best").alias("op"),
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("lang"), F.lit("<NA>")),
+            F.coalesce(F.col("source"), F.lit("<NA>")),
+        ).alias("key"),
+        F.col("tlen").alias("n_copies"),
         F.col("doc_id").alias("keep_id"),
     )
 
@@ -853,7 +878,8 @@ def q33_dedup(spark, sf):
         )
         mask_blocks.append(agg)
     return (
-        ex_block.unionByName(fp_block)
+        ex_block.unionByName(best_block)
+        .unionByName(fp_block)
         .unionByName(sp_block)
         .unionByName(mask_blocks[0])
         .unionByName(mask_blocks[1])
@@ -3671,6 +3697,21 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS BIGINT) AS n_copies,
                        MIN(doc_id) AS keep_id
                 FROM documents GROUP BY lang, source
+                UNION ALL
+                -- r14 keep_by leg: winner per (lang, source) = the
+                -- LONGEST text, ties to the smallest doc_id, NULL
+                -- text length always loses
+                SELECT 'best',
+                       COALESCE(lang, '<NA>') || '|' || COALESCE(source, '<NA>'),
+                       CAST(LENGTH(text) AS BIGINT), doc_id
+                FROM (
+                    SELECT lang, source, text, doc_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY lang, source
+                               ORDER BY LENGTH(text) DESC NULLS LAST,
+                                        doc_id ASC) AS rn
+                    FROM documents
+                ) WHERE rn = 1
                 UNION ALL
                 SELECT 'fp', md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
                        COUNT(*), MIN(doc_id)
