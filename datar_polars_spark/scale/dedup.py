@@ -895,15 +895,34 @@ def simhash_dedup(
     resolve: str = "single_link",
     analyzer: str = "word",
     shingle_chars: int = 4,
+    keep_by: Any = None,
+    keep: str = "min",
 ) -> Tibble:
     """Near-dup removal via SimHash: block on 4 16-bit sub-keys (any
     pair within hamming distance 3 shares at least one identical
     quarter, by pigeonhole), verify with exact hamming distance.
     Fingerprint pre-pass + bucket cap guard against duplicate-cluster
-    skew exactly as in minhash_dedup; ``resolve`` as in minhash_dedup."""
+    skew exactly as in minhash_dedup; ``resolve`` and the quality-based
+    ``keep_by``/``keep`` winner policy (requires
+    ``resolve='components'``) as in minhash_dedup."""
     _DROPPED_PAIRS["simhash_dedup"] = []
     tname, idn = _name_of(text), _name_of(id_col)
-    pre = _fingerprint_survivors(td.df.select(*td.columns), tname, idn)
+    kname = None
+    if keep_by is not None:
+        if resolve != "components":
+            raise ValueError(
+                "simhash_dedup: keep_by needs resolve='components' — "
+                "single-link drop order has no well-defined cluster "
+                "to pick a winner from"
+            )
+        kname = _name_of(keep_by)
+        idkey0 = F.struct(
+            F.col(idn).isNotNull().alias("n"), F.col(idn).alias("i")
+        )
+        _keep_ordkey(td.df, kname, keep, idkey0, "simhash_dedup")
+    pre = _fingerprint_survivors(
+        td.df.select(*td.columns), tname, idn, kname, keep
+    )
     base = simhash_signatures(pre, tname, idn, analyzer, shingle_chars)
     # three consumers (census + both join sides) — persist the tiny
     # (id, 64-bit hash) frame so the token explode + 64 bit-majority
@@ -933,7 +952,7 @@ def simhash_dedup(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
-    out = _drop_duplicates_by_pairs(pre, pairs, idn, resolve)
+    out = _drop_duplicates_by_pairs(pre, pairs, idn, resolve, kname, keep)
     return Tibble(out, groups=td.group_vars, levels=td.levels)
 
 

@@ -152,3 +152,27 @@ class TestMinhashDedupKeepBy:
             resolve="components",
         ).df
         assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+class TestSimhashDedupKeepBy:
+    def test_component_keeps_best_scored_member(self, spark):
+        from datar_polars_spark.scale import simhash_dedup
+
+        rows = [
+            (1, _doc(0), 0.3), (2, _doc(0), 0.9),   # exact cluster
+            (3, _doc(7), None),                      # unique
+        ]
+        out = simhash_dedup(
+            _td(spark, rows), "text", "doc_id",
+            resolve="components", keep_by="score", keep="max",
+        ).df
+        assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+
+    def test_requires_components(self, spark):
+        from datar_polars_spark.scale import simhash_dedup
+
+        with pytest.raises(ValueError, match="resolve='components'"):
+            simhash_dedup(
+                _td(spark, [(1, _doc(0), 0.5)]), "text", "doc_id",
+                keep_by="score",
+            )
