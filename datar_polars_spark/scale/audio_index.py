@@ -128,12 +128,14 @@ def audio_index_append(
                     strict=strict, stamp=stamp)
 
 
-def audio_index_stats(spark, path: str) -> dict:
-    """Sidecar parameters plus footer-only store row counts.
+def audio_index_stats(spark, path: str, live: bool = False) -> dict:
+    """Sidecar parameters plus footer-only store row counts
+    (``live=True`` adds ``n_live`` — the matchable count with the
+    retention watermark and tombstones applied; costs a narrow scan).
     ``n_clips``/``n_postings`` are PHYSICAL counts (footer metadata,
     no data pages); ``n_tombstones`` counts ids masked since the last
     compact — live rows are the difference."""
-    return fp_index_stats(_FAMILY, spark, path)
+    return fp_index_stats(_FAMILY, spark, path, live=live)
 
 
 def audio_index_delete(spark, path: str, ids: Any) -> dict:

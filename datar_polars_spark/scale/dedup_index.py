@@ -340,7 +340,7 @@ def dedup_index_append(
     _write_frames(path, fps, sigs, bands_df, grams, "append")
 
 
-def dedup_index_stats(spark, path: str) -> dict:
+def dedup_index_stats(spark, path: str, live: bool = False) -> dict:
     """Sidecar parameters plus store row counts — the operational
     health check before pointing a pipeline at an index. Counts come
     from parquet footer metadata (count() on a bare scan), so this
@@ -370,6 +370,26 @@ def dedup_index_stats(spark, path: str) -> dict:
         )
     tombs = tombstones_df(spark, path, idt)
     out["n_tombstones"] = 0 if tombs is None else tombs.count()
+    if live:
+        # the MATCHABLE fingerprint-class count with the retention
+        # watermark and tombstones applied (costs a narrow scan; the
+        # default counts stay footer-only)
+        from .fp_index import _prune_expired
+
+        eff = (
+            int(meta.get("expire_before") or 0)
+            if meta.get("stamps") else 0
+        )
+        out["n_live"] = mask_tombstones(
+            _prune_expired(
+                spark.read.schema(
+                    f"fp string, id {idt}"
+                    + (", stamp bigint" if eff > 0 else "")
+                ).parquet(f"{path}/fingerprints"),
+                eff,
+            ),
+            tombs,
+        ).count()
     return out
 
 

@@ -313,22 +313,30 @@ def _postings_schema(fam: FpFamily, idt: str, stamped: bool = False) -> str:
     return s + ", stamp bigint" if stamped else s
 
 
-def _retention_cutoff(
-    fam: FpFamily, meta: dict, min_stamp, op: str, path: str
+def retention_cutoff(
+    meta: dict, min_stamp, op: str, path: str, build_op: str
 ) -> int:
     """Effective retention cutoff for a read: the caller's
     ``min_stamp`` or the sidecar's ``expire_before`` watermark,
     whichever is stricter. Requires a stamped index to be non-zero —
     a pre-stamp index has no stamp column to compare (explicit-schema
-    reads would surface NULLs and silently expire everything)."""
+    reads would surface NULLs and silently expire everything). Shared
+    with the text/semantic indexes — same retention contract across
+    the whole index family."""
     eff = max(int(min_stamp or 0), int(meta.get("expire_before") or 0))
     if eff > 0 and not meta.get("stamps"):
         raise ValueError(
             f"{op}: the index at {path} predates retention stamps "
             f"(no 'stamps' flag in the sidecar) — rebuild with "
-            f"{fam.op('build')} to use min_stamp/expire"
+            f"{build_op} to use min_stamp/expire"
         )
     return eff
+
+
+def _retention_cutoff(
+    fam: FpFamily, meta: dict, min_stamp, op: str, path: str
+) -> int:
+    return retention_cutoff(meta, min_stamp, op, path, fam.op("build"))
 
 
 def _prune_expired(df, eff: int):
@@ -341,11 +349,19 @@ def _prune_expired(df, eff: int):
     return df.filter(F.col("stamp") >= eff).drop("stamp")
 
 
-def fp_index_stats(fam: FpFamily, spark, path: str) -> dict:
+def fp_index_stats(
+    fam: FpFamily, spark, path: str, live: bool = False
+) -> dict:
     """Sidecar parameters plus footer-only store row counts: the item
     and posting counts are PHYSICAL (footer metadata, no data pages);
     ``n_tombstones`` counts ids masked since the last compact — live
-    rows are the difference."""
+    rows are the difference.
+
+    ``live=True`` additionally reports ``n_live`` — the MATCHABLE item
+    count with the retention watermark and tombstones applied (what a
+    match actually sees). This one reads data pages (the stamp column
+    and the tombstone anti-join), so it costs a narrow store scan;
+    the default stays footer-only."""
     meta = load_meta(fam, spark, path)
     idt = meta["id_type"]
     out = dict(meta)
@@ -359,6 +375,20 @@ def fp_index_stats(fam: FpFamily, spark, path: str) -> dict:
     )
     tombs = tombstones_df(spark, path, idt)
     out["n_tombstones"] = 0 if tombs is None else tombs.count()
+    if live:
+        eff = (
+            int(meta.get("expire_before") or 0)
+            if meta.get("stamps") else 0
+        )
+        out["n_live"] = mask_tombstones(
+            _prune_expired(
+                spark.read
+                .schema(_hashes_schema(fam, idt, stamped=eff > 0))
+                .parquet(f"{path}/hashes"),
+                eff,
+            ),
+            tombs,
+        ).count()
     return out
 
 

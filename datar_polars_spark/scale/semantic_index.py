@@ -277,8 +277,13 @@ def semantic_index_append(
     _write_frames(path, vectors, postings, "append")
 
 
-def semantic_index_stats(spark, path: str) -> dict:
-    """Sidecar parameters plus footer-only store row counts."""
+def semantic_index_stats(
+    spark, path: str, live: bool = False
+) -> dict:
+    """Sidecar parameters plus footer-only store row counts
+    (``live=True`` adds ``n_live`` — the matchable vector count with
+    the retention watermark and tombstones applied; costs a narrow
+    scan)."""
     meta = _load_meta(spark, path)
     out = dict(meta)
     out["n_vectors"] = (
@@ -292,6 +297,25 @@ def semantic_index_stats(spark, path: str) -> dict:
     )
     tombs = tombstones_df(spark, path, meta["id_type"])
     out["n_tombstones"] = 0 if tombs is None else tombs.count()
+    if live:
+        # matchable vector count with the watermark + tombstones
+        # applied (costs a narrow scan; default stays footer-only)
+        from .fp_index import _prune_expired
+
+        eff = (
+            int(meta.get("expire_before") or 0)
+            if meta.get("stamps") else 0
+        )
+        out["n_live"] = mask_tombstones(
+            _prune_expired(
+                spark.read.schema(
+                    f"id {meta['id_type']}, vh bigint"
+                    + (", stamp bigint" if eff > 0 else "")
+                ).parquet(f"{path}/vectors"),
+                eff,
+            ),
+            tombs,
+        ).count()
     return out
 
 

@@ -518,3 +518,53 @@ def test_stream_near_dedup_honors_watermark(spark, tmp_path):
     q.awaitTermination(120)
     clean = sorted(r.doc_id for r in spark.read.parquet(sink2).collect())
     assert clean == [100, 101, 102], clean
+
+
+def test_live_stats_counts(spark, stamped, tmp_path):
+    """stats(live=True) reports the MATCHABLE count: watermark +
+    tombstones applied — across all three stats implementations."""
+    p, _ = stamped
+    image_index_expire(spark, p, 15)
+    image_index_delete(
+        spark, p, _td(spark, [(9, None)]).df.select("doc_id")
+    )
+    st = image_index_stats(spark, p, live=True)
+    assert st["n_images"] == 10  # physical, unchanged
+    assert st["n_live"] == 4     # 5..9 live minus tombstoned 9
+
+    from datar_polars_spark.scale import (
+        dedup_index_build,
+        dedup_index_expire,
+        dedup_index_stats,
+        semantic_index_build,
+        semantic_index_expire,
+        semantic_index_stats,
+    )
+
+    def txt(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    pd_ = str(tmp_path / "didx")
+    dedup_index_build(
+        Tibble(spark.createDataFrame(
+            [(i, txt(i), 10 if i < 3 else 20) for i in range(6)],
+            "doc_id long, text string, day long",
+        )),
+        "text", "doc_id", pd_, stamp="day",
+    )
+    dedup_index_expire(spark, pd_, 15)
+    st = dedup_index_stats(spark, pd_, live=True)
+    assert st["n_fingerprints"] == 6 and st["n_live"] == 3
+
+    ps = str(tmp_path / "sidx")
+    semantic_index_build(
+        Tibble(spark.createDataFrame(
+            [(i, [float(i == j) for j in range(4)], 10 if i < 1 else 20)
+             for i in range(4)],
+            "vec_id long, emb array<double>, day long",
+        )),
+        "emb", "vec_id", ps, stamp="day",
+    )
+    semantic_index_expire(spark, ps, 15)
+    st = semantic_index_stats(spark, ps, live=True)
+    assert st["n_vectors"] == 4 and st["n_live"] == 3
