@@ -266,6 +266,10 @@ def fp_index_append(
     strict: bool,
     stamp: int | str = 0,
 ) -> None:
+    # NOTE: the dead-on-arrival guard below applies to whole-increment
+    # int stamps; per-row stamp columns are the caller's responsibility
+    # — rows stamped below an active watermark are admitted but never
+    # match (and fold away at the next compact).
     op = fam.op("append")
     _DROPPED_PAIRS[op] = []
     td = ensure_tibble(batch)
