@@ -568,3 +568,51 @@ def test_live_stats_counts(spark, stamped, tmp_path):
     semantic_index_expire(spark, ps, 15)
     st = semantic_index_stats(spark, ps, live=True)
     assert st["n_vectors"] == 4 and st["n_live"] == 3
+
+
+def test_stamp_predicate_is_pushed_down(spark, stamped):
+    """The retention cutoff must reach the parquet store scans as a
+    PushedFilters predicate (scan-level pruning is the whole point of
+    carrying the stamp in the stores — a post-scan Filter would read
+    every expired row group). Locked on the fp engine and the text
+    index; the semantic index shares the same _prune_expired helper."""
+    import re
+
+    p, batch = stamped
+    image_index_expire(spark, p, 15)
+    m = match_against_image_index(batch, p, strict=True)
+    plan = m.df._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    hits = [x for x in pushed if "GreaterThanOrEqual(stamp,15)" in x]
+    assert len(hits) >= 2, pushed  # hashes + postings scans
+    assert "stamp" not in m.df.columns
+
+
+def test_text_stamp_predicate_is_pushed_down(spark, tmp_path):
+    import re
+
+    from datar_polars_spark.scale import (
+        dedup_index_build,
+        dedup_index_expire,
+        match_against_index,
+    )
+
+    def txt(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    p = str(tmp_path / "didx")
+    dedup_index_build(
+        Tibble(spark.createDataFrame(
+            [(i, txt(i)) for i in range(6)], "doc_id long, text string"
+        )),
+        "text", "doc_id", p, stamp=10,
+    )
+    dedup_index_expire(spark, p, 15)
+    batch = Tibble(spark.createDataFrame(
+        [(100, txt(0))], "doc_id long, text string"
+    ))
+    m = match_against_index(batch, p)
+    plan = m.df._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    hits = [x for x in pushed if "GreaterThanOrEqual(stamp,15)" in x]
+    assert len(hits) >= 2, pushed  # fingerprints + bands (+ sigs)
