@@ -198,6 +198,7 @@ from .multimodal import (  # noqa: F401
     image_dhash,
     image_features,
     image_near_dup_pairs,
+    image_dedup,
     resize_images,
     sample_frames,
     decode_audio,
@@ -205,8 +206,10 @@ from .multimodal import (  # noqa: F401
     audio_fingerprint,
     audio_stats,
     audio_near_dup_pairs,
+    audio_dedup,
     decode_video,
     video_fingerprint,
     video_near_dup_pairs,
+    video_dedup,
     sniff_media,
 )

@@ -39,16 +39,19 @@ __all__ = [
     "audio_fingerprint",
     "audio_stats",
     "audio_near_dup_pairs",
+    "audio_dedup",
     "attach_binary_metadata",
     "decode_images",
     "image_dhash",
     "image_features",
     "image_near_dup_pairs",
+    "image_dedup",
     "resize_images",
     "sample_frames",
     "decode_video",
     "video_fingerprint",
     "video_near_dup_pairs",
+    "video_dedup",
     "sniff_media",
 ]
 
@@ -703,6 +706,50 @@ def image_dhash(
     return Tibble(out)
 
 
+
+def _fp_banded_pairs(base, max_hamming: int, max_bucket: int, op: str):
+    """(id_a, id_b, hamming) pairs from a hashed ``(id, __fp__)``
+    frame — the shared banded-blocking core of the three
+    *_near_dup_pairs operators and the *_dedup compositions: the
+    64-bit fingerprint splits into ``max_hamming + 1`` disjoint bit
+    bands (pigeonhole-exact recall within the budget), candidates come
+    from equi-joins on (band, bval) — a keyed shuffle, never an
+    all-pairs compare — and verify JVM-side with ``bit_count``.
+    Over-full buckets drop with their volume accounted under ``op``."""
+    from .dedup import _cap_buckets
+    from .fp_index import band_cols
+
+    bands = band_cols(F.col("__fp__"), max_hamming + 1)
+    banded = _cap_buckets(
+        base.select(
+            "id", "__fp__", F.explode(F.array(*bands)).alias("b")
+        ).select("id", "__fp__", F.col("b.band").alias("band"),
+                 F.col("b.bval").alias("bval")),
+        ["band", "bval"], max_bucket, op=op,
+    )
+    left = banded.select(
+        "band", "bval", F.col("id").alias("id_a"),
+        F.col("__fp__").alias("__ha__"),
+    )
+    right = banded.select(
+        "band", "bval", F.col("id").alias("id_b"),
+        F.col("__fp__").alias("__hb__"),
+    )
+    return (
+        left.join(right, on=["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("__ha__").bitwiseXOR(F.col("__hb__"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def image_near_dup_pairs(
     td: Tibble,
     content: str = "content",
@@ -723,46 +770,19 @@ def image_near_dup_pairs(
     clusters are bucket-capped (drop volume registers under op
     ``"image_near_dup_pairs"`` for dropped_pairs_estimate). Everything
     after the one Arrow hash pass is JVM expressions."""
-    from .dedup import _cap_buckets, _DROPPED_PAIRS
-    from .image_index import _band_cols
+    from .dedup import _DROPPED_PAIRS
 
     _DROPPED_PAIRS["image_near_dup_pairs"] = []
     if max_hamming < 0:
         raise ValueError("image_near_dup_pairs: max_hamming must be >= 0")
-    hashed = image_dhash(td, content, out_col="__dh__", strict=strict)
+    hashed = image_dhash(td, content, out_col="__fp__", strict=strict)
     base = hashed.df.select(
-        F.col(id_col).alias("id"), F.col("__dh__")
-    ).filter(F.col("id").isNotNull() & F.col("__dh__").isNotNull())
-    bands = _band_cols(F.col("__dh__"), max_hamming + 1)
-    banded = _cap_buckets(
-        base.select(
-            "id", "__dh__", F.explode(F.array(*bands)).alias("b")
-        ).select("id", "__dh__", F.col("b.band").alias("band"),
-                 F.col("b.bval").alias("bval")),
-        ["band", "bval"], max_bucket, op="image_near_dup_pairs",
+        F.col(id_col).alias("id"), F.col("__fp__")
+    ).filter(F.col("id").isNotNull() & F.col("__fp__").isNotNull())
+    return Tibble(
+        _fp_banded_pairs(base, max_hamming, max_bucket,
+                         "image_near_dup_pairs")
     )
-    left = banded.select(
-        "band", "bval", F.col("id").alias("id_a"),
-        F.col("__dh__").alias("__ha__"),
-    )
-    right = banded.select(
-        "band", "bval", F.col("id").alias("id_b"),
-        F.col("__dh__").alias("__hb__"),
-    )
-    pairs = (
-        left.join(right, on=["band", "bval"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("__ha__").bitwiseXOR(F.col("__hb__"))
-            ).cast("int"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return Tibble(pairs)
 
 
 def _afp64(sr: int, x) -> int | None:
@@ -914,46 +934,19 @@ def audio_near_dup_pairs(
     ``bit_count(a ^ b)``. Giant identical clusters are bucket-capped
     (drop volume registers under op ``"audio_near_dup_pairs"``).
     Everything after the one Arrow hash pass is JVM expressions."""
-    from .dedup import _cap_buckets, _DROPPED_PAIRS
-    from .fp_index import band_cols
+    from .dedup import _DROPPED_PAIRS
 
     _DROPPED_PAIRS["audio_near_dup_pairs"] = []
     if max_hamming < 0:
         raise ValueError("audio_near_dup_pairs: max_hamming must be >= 0")
-    hashed = audio_fingerprint(td, content, out_col="__afp__", strict=strict)
+    hashed = audio_fingerprint(td, content, out_col="__fp__", strict=strict)
     base = hashed.df.select(
-        F.col(id_col).alias("id"), F.col("__afp__")
-    ).filter(F.col("id").isNotNull() & F.col("__afp__").isNotNull())
-    bands = band_cols(F.col("__afp__"), max_hamming + 1)
-    banded = _cap_buckets(
-        base.select(
-            "id", "__afp__", F.explode(F.array(*bands)).alias("b")
-        ).select("id", "__afp__", F.col("b.band").alias("band"),
-                 F.col("b.bval").alias("bval")),
-        ["band", "bval"], max_bucket, op="audio_near_dup_pairs",
+        F.col(id_col).alias("id"), F.col("__fp__")
+    ).filter(F.col("id").isNotNull() & F.col("__fp__").isNotNull())
+    return Tibble(
+        _fp_banded_pairs(base, max_hamming, max_bucket,
+                         "audio_near_dup_pairs")
     )
-    left = banded.select(
-        "band", "bval", F.col("id").alias("id_a"),
-        F.col("__afp__").alias("__ha__"),
-    )
-    right = banded.select(
-        "band", "bval", F.col("id").alias("id_b"),
-        F.col("__afp__").alias("__hb__"),
-    )
-    pairs = (
-        left.join(right, on=["band", "bval"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("__ha__").bitwiseXOR(F.col("__hb__"))
-            ).cast("int"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return Tibble(pairs)
 
 
 def audio_stats(
@@ -1212,43 +1205,173 @@ def video_near_dup_pairs(
     ``bit_count(a ^ b)``. Giant identical clusters are bucket-capped
     (drop volume registers under op ``"video_near_dup_pairs"``).
     Everything after the one Arrow hash pass is JVM expressions."""
-    from .dedup import _cap_buckets, _DROPPED_PAIRS
-    from .fp_index import band_cols
+    from .dedup import _DROPPED_PAIRS
 
     _DROPPED_PAIRS["video_near_dup_pairs"] = []
     if max_hamming < 0:
         raise ValueError("video_near_dup_pairs: max_hamming must be >= 0")
-    hashed = video_fingerprint(td, content, out_col="__vfp__", strict=strict)
+    hashed = video_fingerprint(td, content, out_col="__fp__", strict=strict)
     base = hashed.df.select(
-        F.col(id_col).alias("id"), F.col("__vfp__")
-    ).filter(F.col("id").isNotNull() & F.col("__vfp__").isNotNull())
-    bands = band_cols(F.col("__vfp__"), max_hamming + 1)
-    banded = _cap_buckets(
-        base.select(
-            "id", "__vfp__", F.explode(F.array(*bands)).alias("b")
-        ).select("id", "__vfp__", F.col("b.band").alias("band"),
-                 F.col("b.bval").alias("bval")),
-        ["band", "bval"], max_bucket, op="video_near_dup_pairs",
+        F.col(id_col).alias("id"), F.col("__fp__")
+    ).filter(F.col("id").isNotNull() & F.col("__fp__").isNotNull())
+    return Tibble(
+        _fp_banded_pairs(base, max_hamming, max_bucket,
+                         "video_near_dup_pairs")
     )
-    left = banded.select(
-        "band", "bval", F.col("id").alias("id_a"),
-        F.col("__vfp__").alias("__ha__"),
+
+def _perceptual_dedup(
+    td: Tibble, fp_fn, content: str, id_col: str, max_hamming: int,
+    strict: bool, max_bucket: int, resolve: str, keep_by, keep: str,
+    op: str,
+) -> Tibble:
+    """In-corpus perceptual dedup, shared by image/audio/video_dedup —
+    the modality analogue of :func:`~.dedup.minhash_dedup`'s shape:
+
+    1. one Arrow fingerprint pass;
+    2. EXACT pre-pass: one winner per identical fingerprint (a
+       min-aggregation — giant byte/perceptual-identical clusters
+       collapse map-side and never reach the banded self-join, the
+       same skew rationale as the text family's fingerprint pre-pass);
+    3. banded near-dup pairs over the one-rep-per-fingerprint
+       survivors (pigeonhole-exact within the Hamming budget);
+    4. pair resolution: ``resolve='single_link'`` or true connected
+       ``'components'``, with the ``keep_by``/``keep`` quality winner
+       policy (requires components) — ties to the smallest id.
+
+    NULL-id and NULL-fingerprint rows are exempt and always survive
+    (the family NULL contract). Winner transitivity: under
+    ``keep="max"`` each exact cluster's rep is its best member, so the
+    component winner among reps is the best member overall."""
+    from .dedup import (
+        _DROPPED_PAIRS,
+        _drop_duplicates_by_pairs,
+        _keep_ordkey,
     )
-    right = banded.select(
-        "band", "bval", F.col("id").alias("id_b"),
-        F.col("__vfp__").alias("__hb__"),
-    )
-    pairs = (
-        left.join(right, on=["band", "bval"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("__ha__").bitwiseXOR(F.col("__hb__"))
-            ).cast("int"),
+
+    _DROPPED_PAIRS[op] = []
+    if keep not in ("min", "max"):
+        raise ValueError(f"{op}: keep must be 'min' or 'max', got {keep!r}")
+    if keep_by is not None and resolve != "components":
+        raise ValueError(
+            f"{op}: keep_by needs resolve='components' — single-link "
+            f"drop order has no well-defined cluster to pick a winner "
+            f"from"
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .dropDuplicates(["id_a", "id_b"])
+    if max_hamming < 0:
+        raise ValueError(f"{op}: max_hamming must be >= 0")
+    in_cols = list(td.columns)
+    hashed = fp_fn(td, content, out_col="__fp__", strict=strict).df
+    exempt = hashed.filter(
+        F.col(id_col).isNull() | F.col("__fp__").isNull()
+    ).select(*in_cols)
+    base = hashed.filter(
+        F.col(id_col).isNotNull() & F.col("__fp__").isNotNull()
     )
-    return Tibble(pairs)
+    idkey = F.struct(
+        F.col(id_col).isNotNull().alias("n"), F.col(id_col).alias("i")
+    )
+    ordkey = (
+        idkey if keep_by is None
+        else _keep_ordkey(base, keep_by, keep, idkey, op)
+    )
+    winners = base.groupBy("__fp__").agg(
+        F.min_by(F.col(id_col), ordkey).alias("__win__")
+    )
+    reps = base.join(
+        winners.select(F.col("__fp__").alias("__wfp__"), "__win__"),
+        (F.col("__fp__") == F.col("__wfp__"))
+        & (F.col(id_col) == F.col("__win__")),
+    ).drop("__wfp__", "__win__")
+    pairs = _fp_banded_pairs(
+        reps.select(F.col(id_col).alias("id"), "__fp__"),
+        max_hamming, max_bucket, op,
+    )
+    surv = _drop_duplicates_by_pairs(
+        reps, pairs, id_col, resolve,
+        keep_by if keep_by is None else str(keep_by), keep,
+    ).select(*in_cols)
+    return Tibble(
+        surv.unionByName(exempt), groups=td.group_vars, levels=td.levels
+    )
+
+
+def image_dedup(
+    td: Tibble,
+    content: str = "content",
+    id_col: str = "id",
+    max_hamming: int = 4,
+    strict: bool = False,
+    max_bucket: int = 1000,
+    resolve: str = "components",
+    keep_by: Any = None,
+    keep: str = "min",
+) -> Tibble:
+    """Drop perceptually duplicate images in one call (re-encodes,
+    recompressions, small edits within ``max_hamming`` dHash bits),
+    keeping each duplicate set's smallest id — or its best row by a
+    quality column via ``keep_by``/``keep`` (e.g. keep the
+    highest-resolution copy; requires ``resolve='components'``, the
+    default). Composition and scale shape in
+    :func:`_perceptual_dedup`; pair semantics in
+    :func:`image_near_dup_pairs`. For batch-vs-corpus incremental
+    dedup use the persistent index (``dedup_against_image_index``)."""
+    from .dedup import _name_of
+
+    return _perceptual_dedup(
+        td, image_dhash, _name_of(content), _name_of(id_col),
+        max_hamming, strict, max_bucket, resolve,
+        None if keep_by is None else _name_of(keep_by), keep,
+        "image_dedup",
+    )
+
+
+def audio_dedup(
+    td: Tibble,
+    content: str = "content",
+    id_col: str = "id",
+    max_hamming: int = 6,
+    strict: bool = False,
+    max_bucket: int = 1000,
+    resolve: str = "components",
+    keep_by: Any = None,
+    keep: str = "min",
+) -> Tibble:
+    """Drop perceptually duplicate audio clips in one call (re-gains,
+    PCM-width re-encodes, resamples within ``max_hamming`` spectral
+    bits) — same contract and composition as :func:`image_dedup` under
+    the audio fingerprint."""
+    from .dedup import _name_of
+
+    return _perceptual_dedup(
+        td, audio_fingerprint, _name_of(content), _name_of(id_col),
+        max_hamming, strict, max_bucket, resolve,
+        None if keep_by is None else _name_of(keep_by), keep,
+        "audio_dedup",
+    )
+
+
+def video_dedup(
+    td: Tibble,
+    content: str = "content",
+    id_col: str = "id",
+    max_hamming: int = 6,
+    strict: bool = False,
+    max_bucket: int = 1000,
+    resolve: str = "components",
+    keep_by: Any = None,
+    keep: str = "min",
+) -> Tibble:
+    """Drop perceptually duplicate video clips in one call
+    (JPEG-quality/chroma re-encodes and, on temporally correlated
+    footage, boundary trims within ``max_hamming`` temporal-median
+    bits) — same contract and composition as :func:`image_dedup` under
+    the video fingerprint."""
+    from .dedup import _name_of
+
+    return _perceptual_dedup(
+        td, video_fingerprint, _name_of(content), _name_of(id_col),
+        max_hamming, strict, max_bucket, resolve,
+        None if keep_by is None else _name_of(keep_by), keep,
+        "video_dedup",
+    )
+
