@@ -3209,6 +3209,25 @@ def q70_av_dedup(spark, sf):
         nullv,
     )
 
+    # 'vdd' (r14): the ONE-CALL perceptual dedup composition
+    # (video_dedup = fingerprint -> exact pre-pass -> banded pairs ->
+    # component winner) gate-locked with the keep_by policy INVERTED
+    # from the default: keep='max' on a quality column equal to doc_id
+    # keeps the LARGER rep of each template's near-dup pair, so any
+    # wiring bug that silently falls back to min-id flips every row
+    from datar_polars_spark.scale import video_dedup
+
+    vdd_block = video_dedup(
+        Tibble(vreps.withColumn("q", F.col("doc_id").cast("double"))),
+        "content", id_col="doc_id", max_hamming=6, strict=True,
+        keep_by="q", keep="max",
+    ).df.select(
+        F.lit("vdd").alias("op"),
+        "doc_id",
+        (F.col("doc_id") % 8).cast("string").alias("lang"),
+        nullv,
+    )
+
     # 'vmask'/'vfold': the persistent index lifecycle with deletion
     vidx_path = tempfile.mkdtemp(prefix="q70_vidx_") + "/idx"
     video_index_build(
@@ -3237,6 +3256,7 @@ def q70_av_dedup(spark, sf):
         .unionByName(afold_block)
         .unionByName(vfp_block)
         .unionByName(vpair_block)
+        .unionByName(vdd_block)
         .unionByName(vmask_block)
         .unionByName(vfold_block)
         .orderBy("op", "doc_id", "lang")
@@ -4534,6 +4554,13 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS DOUBLE)
                 FROM vreps a JOIN vreps b
                   ON a.t = b.t AND a.rep < b.rep
+                UNION ALL
+                -- r14 one-call video_dedup with keep='max' on a
+                -- quality column equal to doc_id: the survivor per
+                -- template is the LARGER of its two reps
+                SELECT 'vdd', MAX(rep), CAST(t AS VARCHAR),
+                       CAST(NULL AS DOUBLE)
+                FROM vreps GROUP BY t
                 UNION ALL
                 SELECT 'vmask', doc_id, lang, CAST(NULL AS DOUBLE)
                 FROM documents WHERE doc_id % 8 >= 5 AND doc_id < 240
