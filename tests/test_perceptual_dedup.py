@@ -168,3 +168,78 @@ def test_video_dedup_parity(spark):
         td, "content", "img_id", strict=True, keep_by="score", keep="max"
     ).df
     assert sorted(r.img_id for r in out.collect()) == [2, 3]
+
+
+class TestCompositionFuzz:
+    """Differential fuzz of the shared composition against a driver-side
+    brute force: random 64-bit fingerprints with planted near-dup
+    clusters, survivors must equal hamming-graph components' winners.
+    The fingerprint pass is injected (a column rename), so this
+    exercises exactly the pre-pass + banded pairs + resolution logic."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_brute_force(self, spark, seed):
+        from datar_polars_spark.scale.multimodal import _perceptual_dedup
+
+        rng = np.random.default_rng(seed)
+        max_h = 4
+        n_clusters, n_unique = 6, 8
+        rows = []
+        fps = {}
+        i = 0
+        for c in range(n_clusters):
+            base = int(rng.integers(0, 2**63))
+            k = int(rng.integers(2, 5))
+            for _ in range(k):
+                fp = base
+                for b in rng.choice(64, rng.integers(0, max_h // 2 + 1),
+                                    replace=False):
+                    fp ^= 1 << int(b)
+                fps[i] = fp
+                rows.append((i, fp, float(rng.integers(0, 100))))
+                i += 1
+        for _ in range(n_unique):
+            fps[i] = int(rng.integers(0, 2**63)) | (1 << 62)
+            rows.append((i, fps[i], float(rng.integers(0, 100))))
+            i += 1
+
+        def fake_fp(td, content, out_col="__fp__", strict=False):
+            return Tibble(td.df.withColumn(out_col, F.col(content)))
+
+        td = Tibble(spark.createDataFrame(
+            rows, "the_id long, fpcol long, score double"
+        ))
+        got = sorted(
+            r.the_id
+            for r in _perceptual_dedup(
+                td, fake_fp, "fpcol", "the_id", max_h, False, 1000,
+                "components", "score", "max", "fuzz_dedup",
+            ).df.collect()
+        )
+
+        # brute force: hamming graph over all pairs -> components ->
+        # keep max score (ties: min id)
+        ids = sorted(fps)
+        parent = {x: x for x in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a in ids:
+            for b in ids:
+                if a < b and bin(fps[a] ^ fps[b]).count("1") <= max_h:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        score = {r[0]: r[2] for r in rows}
+        for x in ids:
+            comps.setdefault(find(x), []).append(x)
+        want = sorted(
+            min(members, key=lambda m: (-score[m], m))
+            for members in comps.values()
+        )
+        assert got == want, (seed, got, want)
