@@ -232,9 +232,28 @@ def fp_index_build(
         ),
         stamp, op,
     )
-    hashes, postings = _index_frames(fam, base, meta, op)
-    _write_frames(path, hashes, postings, mode)
+    _write_stores(fam, td.df.sparkSession, base, meta, op, path, mode)
     write_json_file(td.df.sparkSession, f"{path}/{fam.sidecar}", meta)
+
+
+def _write_stores(fam, spark, base, meta, op, path, mode) -> None:
+    """Persist the hashed base across the TWO store writes (hashes +
+    postings are separate actions, and the Arrow decode+hash pass sits
+    behind no shuffle, so without the persist it runs once per write —
+    observed 2x the whole build cost on the decode-heavy video
+    family), then release it deterministically. Same hash-once
+    discipline as the match path (r13's 24fd3ce)."""
+    from ..plans.cache import (
+        register_internal_cache,
+        unregister_internal_cache,
+    )
+
+    base = register_internal_cache(base.persist())
+    try:
+        hashes, postings = _index_frames(fam, base, meta, op)
+        _write_frames(path, hashes, postings, mode)
+    finally:
+        unregister_internal_cache(base)
 
 
 def load_meta(fam: FpFamily, spark, path: str) -> dict:
@@ -303,8 +322,9 @@ def fp_index_append(
         ),
         stamp, op,
     )
-    hashes, postings = _index_frames(fam, base, meta, op)
-    _write_frames(path, hashes, postings, "append")
+    _write_stores(
+        fam, td.df.sparkSession, base, meta, op, path, "append"
+    )
 
 
 def _hashes_schema(fam: FpFamily, idt: str, stamped: bool = False) -> str:
