@@ -147,3 +147,39 @@ def test_fuzz_engine_vs_brute_force(spark, tmp_path, seed):
     assert st["n_tombstones"] == 0
     assert st["n_items"] == len({(i, fp) for i, fp in live})
     check()
+
+
+def test_build_hashes_each_row_once(spark, tmp_path):
+    """The build's fingerprint pass must run ONCE across the two store
+    writes (hashes + postings are separate actions; without the
+    internal persist the pass re-ran per write — 2x the whole build
+    cost on decode-heavy modalities). The counting hash uses
+    mapInPandas like the real families — a one-shot operator node that
+    a downstream filter cannot duplicate, unlike a scalar-UDF
+    expression (which a filter on its output evaluates a second time,
+    and which would make this count 2n even with the persist)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_hash(df, c, i, strict):
+        def batches(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                pdf = pdf.copy()
+                pdf["zfp"] = pdf[c]
+                yield pdf[[i, "zfp"]].rename(columns={i: "id"})
+
+        return df.mapInPandas(
+            batches, "id long, zfp long"
+        ).filter(F.col("id").isNotNull() & F.col("zfp").isNotNull())
+
+    fam = FpFamily(
+        name="count", fp_col="zfp", count_key="n_items",
+        hash_base=counting_hash,
+    )
+    n = 40
+    fp_index_build(
+        fam, _frame(spark, [(i, i * 7) for i in range(n)]),
+        "content", "item_id", str(tmp_path / "idx"),
+        max_hamming=4, max_bucket=1000, strict=False, mode="overwrite",
+    )
+    assert acc.value == n, acc.value  # once per row, not once per store
