@@ -105,26 +105,45 @@ def _fingerprint(col):
     )
 
 
-def _index_frames(
-    df: DataFrame, tname: str, idn: str, meta: dict,
-    probe_par: bool = True, op: str = "dedup_index_build",
+def _build_stores(
+    df: DataFrame, tname: str, idn: str, meta: dict, path: str,
+    mode: str, probe_par: bool = True, op: str = "dedup_index_build",
     stamp: int | str = 0,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame | None]:
-    """(fingerprints, sigs, bands, grams?) store frames for ``df``.
+) -> None:
+    """Compute and WRITE the (fingerprints, sigs, bands, grams?) stores
+    for ``df`` — shared by build and append so the two can never drift.
 
-    Shared by build and append so the two can never drift. Signatures
-    are computed for one representative per distinct fingerprint (the
-    minimum non-NULL id): identical copies share every band, so
-    indexing each copy would only inflate the postings and re-create
-    the giant-bucket problem the in-corpus exact pre-pass exists to
-    avoid. Exact copies are still all caught — by the fingerprint leg.
+    Signatures are computed for one representative per distinct
+    fingerprint (the minimum non-NULL id): identical copies share
+    every band, so indexing each copy would only inflate the postings
+    and re-create the giant-bucket problem the in-corpus exact
+    pre-pass exists to avoid. Exact copies are still all caught — by
+    the fingerprint leg.
 
     Every store row carries a retention ``stamp`` (r14, same contract
     as the fingerprint-index family). The store rows are per distinct
     TEXT CLASS, so the class stamps with the max over its members in
     this increment: a text class expires only when its youngest
     indexed instance is older than the cutoff.
+
+    ONE corpus scan, ONE text-mass shuffle (r14 optimization): the
+    fingerprint aggregation and the per-class representative come from
+    a single groupBy(fp) (min skips NULL ids exactly like the old
+    separate fps aggregation; min_by with a null-guarded key skips
+    NULL-id rows exactly like the old pre-filtered rep aggregation).
+    The per-class frame persists across the store writes and the
+    signature frame (id + num_perm longs, narrow) persists across the
+    sigs and bands writes — previously the corpus was scanned once PER
+    STORE (3x) and the text mass crossed a groupBy(fp) exchange twice
+    (sigs + bands writes re-derived the representative independently).
+    Measured at sf0.1: build 5.7 s -> 3.8 s warm; at 100 TB the win is
+    structural — one scan + one full-mass shuffle is the floor for
+    "group identical texts, sign each class once".
     """
+    from ..plans.cache import (
+        register_internal_cache,
+        unregister_internal_cache,
+    )
     from .dedup import _ensure_parallelism
     from .fp_index import _stamp_expr
 
@@ -139,57 +158,76 @@ def _index_frames(
     # finalize the AQE plan and re-execute those stages
     if probe_par:
         base = _ensure_parallelism(base)
-    fps = base.groupBy("fp").agg(
-        F.min("id").alias("id"), F.max("stamp").alias("stamp")
-    )
-    # one representative doc per distinct fp, minimum NON-NULL id
-    # (NULL-id rows are filtered out first: no identity to post under)
-    rep = (
-        base.filter(F.col("id").isNotNull())
-        .groupBy("fp")
+    # one row per distinct fingerprint: the store-facing min id over
+    # ALL rows (F.min skips NULLs), the retention stamp over all rows,
+    # the representative (min non-NULL id, carrying its text — the
+    # null-guarded min_by key skips NULL-id rows), and the rep rows'
+    # own stamp (NULL-id rows must not refresh a class's signature
+    # stamp — they contribute no postings)
+    from pyspark import StorageLevel
+
+    classes = register_internal_cache(
+        base.groupBy("fp")
         .agg(
-            F.min_by(
-                F.struct(F.col("id"), F.col("__text__")), F.col("id")
-            ).alias("__w__"),
+            F.min("id").alias("id"),
             F.max("stamp").alias("stamp"),
+            F.min_by(
+                F.struct(F.col("id"), F.col("__text__")),
+                F.when(F.col("id").isNotNull(), F.col("id")),
+            ).alias("__w__"),
+            F.max(
+                F.when(F.col("id").isNotNull(), F.col("stamp"))
+            ).alias("__rstamp__"),
         )
-        .select(
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        fps = classes.select("fp", "id", "stamp")
+        rep = classes.filter(F.col("__w__").isNotNull()).select(
             F.col("__w__.id").alias("id"),
             F.col("__w__.__text__").alias("__text__"),
-            "stamp",
+            F.col("__rstamp__").alias("stamp"),
         )
-    )
-    sigs = _minhash_sigs(
-        rep, "__text__", "id", meta["num_perm"],
-        meta["shingle_words"], meta["analyzer"], meta["shingle_chars"],
-        ensure_par=False,  # rep is post-shuffle: parallelism is set
-        carry=["stamp"],  # rides the signing aggregation, no join-back
-    )
-    rows_per_band = meta["num_perm"] // meta["bands"]
-    # postings are capped HERE, not at match time: the bucket census
-    # costs one scan+shuffle of the postings, so it must run once per
-    # build/append increment, never once per incoming batch (a match
-    # only censuses the BATCH side). Appends cap within their own
-    # increment — a bucket can exceed the cap across increments;
-    # rebuild when that matters.
-    bands = _cap_buckets(
-        _banded(sigs, "sig", meta["bands"], rows_per_band),
-        ["band", "bhash"], meta["max_bucket"],
-        op=op,
-    ).select("band", "bhash", "id", "stamp")
-    grams = None
-    if meta["store_grams"]:
-        grams = rep.select(
-            "id",
-            F.array_distinct(
-                _shingles(
-                    F.col("__text__"), meta["shingle_words"],
-                    meta["analyzer"], meta["shingle_chars"],
+        sigs = register_internal_cache(
+            _minhash_sigs(
+                rep, "__text__", "id", meta["num_perm"],
+                meta["shingle_words"], meta["analyzer"],
+                meta["shingle_chars"],
+                ensure_par=False,  # rep is post-shuffle
+                carry=["stamp"],  # rides the signing agg, no join-back
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            rows_per_band = meta["num_perm"] // meta["bands"]
+            # postings are capped HERE, not at match time: the bucket
+            # census costs one scan+shuffle of the postings, so it must
+            # run once per build/append increment, never once per
+            # incoming batch (a match only censuses the BATCH side).
+            # Appends cap within their own increment — a bucket can
+            # exceed the cap across increments; rebuild when that
+            # matters.
+            bands = _cap_buckets(
+                _banded(sigs, "sig", meta["bands"], rows_per_band),
+                ["band", "bhash"], meta["max_bucket"],
+                op=op,
+            ).select("band", "bhash", "id", "stamp")
+            grams = None
+            if meta["store_grams"]:
+                grams = rep.select(
+                    "id",
+                    F.array_distinct(
+                        _shingles(
+                            F.col("__text__"), meta["shingle_words"],
+                            meta["analyzer"], meta["shingle_chars"],
+                        )
+                    ).alias("grams"),
+                    "stamp",
                 )
-            ).alias("grams"),
-            "stamp",
-        )
-    return fps, sigs, bands, grams
+            _write_frames(path, fps, sigs, bands, grams, mode)
+        finally:
+            unregister_internal_cache(sigs)
+    finally:
+        unregister_internal_cache(classes)
 
 
 def _write_frames(
@@ -232,7 +270,7 @@ def dedup_index_build(
 
     One pass over the corpus: fingerprint aggregation + signature
     computation for one representative per distinct fingerprint (see
-    _index_frames), written as the four parquet stores + the parameter
+    _build_stores), written as the four parquet stores + the parameter
     sidecar described in the module docstring. The corpus itself is
     NOT self-deduplicated here — run minhash_dedup/dedup_exact first
     if it needs to be; an index over a non-deduped corpus still drops
@@ -272,10 +310,10 @@ def dedup_index_build(
         # a corpus whose docs all lacked text) still reads cleanly
         "id_type": td.df.schema[idn].dataType.simpleString(),
     }
-    fps, sigs, bands_df, grams = _index_frames(
-        td.df.select(*td.columns), tname, idn, meta, stamp=stamp
+    _build_stores(
+        td.df.select(*td.columns), tname, idn, meta, path, mode,
+        stamp=stamp,
     )
-    _write_frames(path, fps, sigs, bands_df, grams, mode)
     write_json_file(td.df.sparkSession, f"{path}/dedup_index.json", meta)
 
 
@@ -333,11 +371,10 @@ def dedup_index_append(
             f"{meta['expire_before']} — the rows would be dead on "
             f"arrival; stamp the increment at or past the watermark"
         )
-    fps, sigs, bands_df, grams = _index_frames(
-        td.df.select(*td.columns), tname, idn, meta, probe_par=False,
-        op="dedup_index_append", stamp=stamp,
+    _build_stores(
+        td.df.select(*td.columns), tname, idn, meta, path, "append",
+        probe_par=False, op="dedup_index_append", stamp=stamp,
     )
-    _write_frames(path, fps, sigs, bands_df, grams, "append")
 
 
 def dedup_index_stats(spark, path: str, live: bool = False) -> dict:
@@ -551,7 +588,7 @@ def match_against_index(
         _banded(sig_a, "sig", meta["bands"], rows_per_band),
         ["band", "bhash"], max_bucket, log_dropped, op="match_against_index",
     ).select("band", "bhash", F.col("id").alias("id_a")))
-    # the store was capped at build/append time (see _index_frames) —
+    # the store was capped at build/append time (see _build_stores) —
     # no index-side census here, matching scans the postings exactly
     # once through the candidate join
     store_bands = mask_tombstones(

@@ -474,3 +474,33 @@ def test_compact_keeps_both_sigs_for_reused_id(tmp_path, spark):
         f"{path}/sigs"
     )
     assert sigs.count() == 2  # both signatures survived the fold
+
+
+def test_build_scans_corpus_once(spark, tmp_path):
+    """The r14 one-pass build: the corpus must cross into the store
+    writes exactly ONCE (fingerprints/sigs/bands are separate write
+    actions; before the per-class persist each store write re-scanned
+    the corpus — 3 scans, 2 text-mass shuffles, measured ~3x the whole
+    build cost at sf0.1). Counted with a mapInPandas accumulator in
+    the input frame, same device as the fp-family lock
+    (test_fp_index_fuzz.test_build_hashes_each_row_once): a one-shot
+    operator node a downstream filter cannot duplicate."""
+    import pyspark.sql.functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+    n = 30
+    src = spark.createDataFrame(
+        [(i, f"document body number {i} with shared words") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+    def counted(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    frame = src.mapInPandas(counted, "doc_id long, text string")
+    dedup_index_build(
+        Tibble(frame), f.text, f.doc_id, str(tmp_path / "idx")
+    )
+    assert acc.value == n, acc.value  # once per row, not once per store
