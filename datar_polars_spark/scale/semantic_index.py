@@ -99,15 +99,22 @@ def _band_hash_udf(meta: dict):
     return _hashes
 
 
-def _index_frames(
-    df: DataFrame, ename: str, idn: str, meta: dict,
-    probe_par: bool = True, op: str = "semantic_index_build",
+def _build_stores(
+    df: DataFrame, ename: str, idn: str, meta: dict, path: str,
+    mode: str, probe_par: bool = True, op: str = "semantic_index_build",
     stamp: int | str = 0,
-) -> tuple[DataFrame, DataFrame]:
-    """(vectors, postings) store frames — shared by build and append.
-    Only rows with BOTH an id and an embedding are indexable. Every
-    store row carries a retention ``stamp`` (r14, same contract as the
-    fingerprint-index family)."""
+) -> None:
+    """Compute and WRITE the (vectors, postings) stores — shared by
+    build and append. Only rows with BOTH an id and an embedding are
+    indexable. Every store row carries a retention ``stamp`` (r14,
+    same contract as the fingerprint-index family).
+
+    ONE source scan (r14 optimization): the vector base (id, cast vec,
+    vh, stamp) persists across the two store writes — previously the
+    vectors and postings writes each re-derived it from the SOURCE
+    frame (two scans of the corpus, which may itself be an arbitrary
+    upstream pipeline, plus a second cast + xxhash64 pass). Same
+    hash-once discipline as fp_index._write_stores."""
     from .fp_index import _stamp_expr
     # vectors are CAST to the sidecar's element type on write: a batch
     # whose arithmetic promoted float embeddings to double (any
@@ -126,15 +133,24 @@ def _index_frames(
     base = base.withColumn("vh", F.xxhash64(F.col("vec")))
     if probe_par:
         base = _ensure_parallelism(base)
-    hashes = _band_hash_udf(meta)
-    postings = _cap_buckets(
-        base.select(
-            "id", "stamp",
-            F.posexplode(hashes(F.col("vec"))).alias("band", "bhash"),
-        ),
-        ["band", "bhash"], meta["max_bucket"], op=op,
-    ).select("band", "bhash", "id", "stamp")
-    return base, postings
+    from ..plans.cache import (
+        register_internal_cache,
+        unregister_internal_cache,
+    )
+
+    base = register_internal_cache(base.persist())
+    try:
+        hashes = _band_hash_udf(meta)
+        postings = _cap_buckets(
+            base.select(
+                "id", "stamp",
+                F.posexplode(hashes(F.col("vec"))).alias("band", "bhash"),
+            ),
+            ["band", "bhash"], meta["max_bucket"], op=op,
+        ).select("band", "bhash", "id", "stamp")
+        _write_frames(path, base, postings, mode)
+    finally:
+        unregister_internal_cache(base)
 
 
 def _write_frames(path: str, vectors, postings, mode: str) -> None:
@@ -211,10 +227,10 @@ def semantic_index_build(
         )
         _write_frames(path, empty_v, empty_p, mode)
     else:
-        vectors, postings = _index_frames(
-            td.df.select(*td.columns), ename, idn, meta, stamp=stamp
+        _build_stores(
+            td.df.select(*td.columns), ename, idn, meta, path, mode,
+            stamp=stamp,
         )
-        _write_frames(path, vectors, postings, mode)
     write_json_file(td.df.sparkSession, f"{path}/semantic_index.json", meta)
 
 
@@ -270,11 +286,10 @@ def semantic_index_append(
             return  # nothing signable, nothing to append
         meta["dim"] = len(first[0])
         write_json_file(spark, f"{path}/semantic_index.json", meta)
-    vectors, postings = _index_frames(
-        td.df.select(*td.columns), ename, idn, meta, probe_par=False,
-        op="semantic_index_append", stamp=stamp,
+    _build_stores(
+        td.df.select(*td.columns), ename, idn, meta, path, "append",
+        probe_par=False, op="semantic_index_append", stamp=stamp,
     )
-    _write_frames(path, vectors, postings, "append")
 
 
 def semantic_index_stats(

@@ -280,3 +280,32 @@ def test_semantic_compact_preserves_matches_and_caps(spark, tmp_path):
     assert out2["dropped_pairs"] == 96.0
     assert dropped_pairs_estimate("semantic_index_compact") == 96.0
     assert semantic_index_stats(spark, path2)["n_postings"] == 0
+
+
+def test_append_scans_source_once(spark, tmp_path):
+    """The r14 one-pass store write: the source frame must cross into
+    the store writes exactly ONCE (vectors and postings are separate
+    write actions; before the base persist each write re-derived from
+    the source — two scans plus a second cast+xxhash64 pass). Counted
+    with a mapInPandas accumulator in the appended frame (the append
+    path: build's dim probe would add a partial batch to the count)."""
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(7)
+    n = 20
+    rows = [(i, _vec(rng)) for i in range(n)]
+    schema = "vec_id long, embedding array<double>"
+    corpus = Tibble(spark.createDataFrame(rows[:4], schema))
+    path = str(tmp_path / "sidx")
+    semantic_index_build(corpus, f.embedding, f.vec_id, path)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    frame = spark.createDataFrame(rows, schema).mapInPandas(counted, schema)
+    semantic_index_append(Tibble(frame), path)
+    assert acc.value == n, acc.value  # once per row, not once per store
