@@ -1394,6 +1394,61 @@ class _JpegBitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def peek16(self) -> int:
+        """Next 16 bits without consuming; the stream tail pads with
+        zero bits (``skip`` still guards consumption against the real
+        available count, so padding can never be silently eaten)."""
+        while self.nbits < 16:
+            got = self.nbits
+            if not self._fill() or self.nbits == got:
+                return (self.acc << (16 - self.nbits)) & 0xFFFF
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        """Consume ``n`` already-peeked bits."""
+        if n > self.nbits:
+            raise ValueError("jpeg: bitstream exhausted")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def advance(self, n: int) -> None:
+        """Consume ``n`` bits, discarding the value (AC magnitude
+        bits only advance the stream on the DC-only raster path)."""
+        if n == 0:
+            return
+        while self.nbits < n:
+            got = self.nbits
+            if not self._fill() or self.nbits == got:
+                raise ValueError("jpeg: bitstream exhausted")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def read_sym(self, sym, lnt) -> int:
+        """peek16 + LUT lookup + skip fused into one call: the scan
+        loop decodes one symbol per call instead of three (profiled —
+        the call overhead itself was a third of the decode)."""
+        nb = self.nbits
+        while nb < 16:
+            got = nb
+            if not self._fill() or self.nbits == got:
+                break
+            nb = self.nbits
+        acc = self.acc
+        if nb >= 16:
+            v = (acc >> (nb - 16)) & 0xFFFF
+        else:
+            v = (acc << (16 - nb)) & 0xFFFF
+        s = sym[v]
+        if s < 0:
+            raise ValueError("jpeg: bad huffman code")
+        n = lnt[v]
+        if n > nb:
+            raise ValueError("jpeg: bitstream exhausted")
+        nb -= n
+        self.nbits = nb
+        self.acc = acc & ((1 << nb) - 1)
+        return s
+
     def restart(self) -> None:
         """Drop padding bits, resync past the next RSTn marker."""
         self.acc = 0
@@ -1407,34 +1462,52 @@ class _JpegBitReader:
         raise ValueError("jpeg: expected restart marker")
 
 
+_JPEG_LUT_MEMO: dict = {}
+
+
 def _jpeg_huff_table(bits_counts, values):
-    """(mincode, maxcode, valptr) per code length for canonical JPEG
-    Huffman decode — ITU T.81 F.2.2.3."""
-    mincode = [0] * 17
-    maxcode = [-1] * 17
-    valptr = [0] * 17
+    """16-bit prefix LUT (symbols, code lengths) for canonical JPEG
+    Huffman decode: every code is <= 16 bits (ITU T.81), so peeking 16
+    bits and indexing two flat lists decodes one symbol — replacing
+    F.2.2.3's per-bit walk, which cost up to 16 bit-reads per symbol
+    and dominated the DC raster path (measured 97% of a video
+    fingerprint, ~7 bit-reads/symbol average). Memoized on the table
+    bytes: real corpora overwhelmingly ship the Annex K tables, so a
+    long-lived worker builds each LUT once, not once per image."""
+    key = (bytes(bits_counts), bytes(values))
+    lut = _JPEG_LUT_MEMO.get(key)
+    if lut is not None:
+        return lut
+    import numpy as np
+
+    sym = np.full(1 << 16, -1, dtype=np.int32)
+    lnt = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for ln in range(1, 17):
-        n = bits_counts[ln - 1]
-        if n:
-            valptr[ln] = k
-            mincode[ln] = code
-            code += n
-            k += n
-            maxcode[ln] = code - 1
+        for _ in range(bits_counts[ln - 1]):
+            lo = code << (16 - ln)
+            hi = lo + (1 << (16 - ln))
+            if hi > (1 << 16):
+                raise ValueError("jpeg: bad huffman table")
+            sym[lo:hi] = values[k]
+            lnt[lo:hi] = ln
+            code += 1
+            k += 1
         code <<= 1
-    return mincode, maxcode, valptr, values
+    lut = (sym.tolist(), lnt.tolist())
+    _JPEG_LUT_MEMO[key] = lut
+    return lut
 
 
 def _jpeg_decode_sym(r: "_JpegBitReader", tbl) -> int:
-    mincode, maxcode, valptr, values = tbl
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | r.bits(1)
-        if code <= maxcode[ln]:
-            return values[valptr[ln] + code - mincode[ln]]
-    raise ValueError("jpeg: bad huffman code")
+    sym, lnt = tbl
+    v = r.peek16()
+    s = sym[v]
+    if s < 0:
+        raise ValueError("jpeg: bad huffman code")
+    r.skip(lnt[v])
+    return s
 
 
 def _jpeg_extend(v: int, s: int) -> int:
@@ -1559,18 +1632,31 @@ def _jpeg_decode_scan(
     ac_tbls = [huff[(1, s[2])] for s in scan]
     pred = [0] * len(scan)
     r = _JpegBitReader(b, start)
+    # hot-loop locals: bound methods and per-component LUT lists (one
+    # read_sym call per symbol; attribute lookups hoisted out of the
+    # per-block loop — profiled, this loop is the whole decode)
+    read_sym = r.read_sym
+    bits = r.bits
+    advance = r.advance
+    per_si = [
+        (ci, comps[ci][1], comps[ci][2],
+         dc_tbls[si][0], dc_tbls[si][1],
+         ac_tbls[si][0], ac_tbls[si][1])
+        for si, (ci, _td, _ta) in enumerate(scan)
+    ]
     mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 r.restart()
                 pred = [0] * len(scan)
-            for si, (ci, _td, _ta) in enumerate(scan):
-                ch, cv = comps[ci][1], comps[ci][2]
+            for si, (ci, ch, cv, dsym, dlen, asym, alen) in enumerate(
+                per_si
+            ):
                 for bv in range(cv):
                     for bh in range(ch):
-                        t = _jpeg_decode_sym(r, dc_tbls[si])
-                        diff = _jpeg_extend(r.bits(t), t)
+                        t = read_sym(dsym, dlen)
+                        diff = _jpeg_extend(bits(t), t)
                         pred[si] += diff
                         if ci == yc:
                             dc_map[my * y_v + bv, mx * y_h + bh] = (
@@ -1578,7 +1664,7 @@ def _jpeg_decode_scan(
                             )
                         k = 1
                         while k < 64:  # AC: advance the stream only
-                            rs = _jpeg_decode_sym(r, ac_tbls[si])
+                            rs = read_sym(asym, alen)
                             rr, ss = rs >> 4, rs & 15
                             if ss == 0:
                                 if rr != 15:
@@ -1586,7 +1672,7 @@ def _jpeg_decode_scan(
                                 k += 16
                             else:
                                 k += rr
-                                r.bits(ss)
+                                advance(ss)
                                 k += 1
             mcu += 1
     # crop the Y DC grid to the true block extent and dequantize into

@@ -742,3 +742,104 @@ class TestAiffProbe:
             for r in sniff_media(td, content="content").collect().itertuples()
         }
         assert out == {1: ("audio", "aiff"), 2: ("audio", "wav")}
+
+
+class TestJpegHuffmanLut:
+    """r14: the 16-bit prefix-LUT Huffman decoder (one read_sym per
+    symbol) replaced the T.81 F.2.2.3 per-bit walk. These lock the
+    LUT's equivalence with the spec walk, the restart-marker resync it
+    shares with the old reader, and the table-bytes memo."""
+
+    def _spec_walk(self, reader, counts, values):
+        # reference decoder: the removed F.2.2.3 bit-at-a-time walk
+        mincode = [0] * 17
+        maxcode = [-1] * 17
+        valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = counts[ln - 1]
+            if n:
+                valptr[ln] = k
+                mincode[ln] = code
+                code += n
+                k += n
+                maxcode[ln] = code - 1
+            code <<= 1
+        c = 0
+        for ln in range(1, 17):
+            c = (c << 1) | reader.bits(1)
+            if c <= maxcode[ln]:
+                return values[valptr[ln] + c - mincode[ln]]
+        raise ValueError("bad code")
+
+    def test_lut_matches_spec_walk_on_random_tables(self):
+        import random
+
+        from datar_polars_spark.scale.codecs import (
+            _JpegBitReader,
+            _jpeg_huff_table,
+        )
+
+        rng = random.Random(7)
+        for _ in range(20):
+            # random canonical table: lengths 1..8, 1-2 codes each
+            counts = [0] * 16
+            values = []
+            code_budget = 1
+            v = 0
+            for ln in range(1, 9):
+                code_budget *= 2
+                n = rng.randint(0, min(2, code_budget - sum(counts) - 1))
+                counts[ln - 1] = n
+                code_budget -= n
+                for _ in range(n):
+                    values.append(v)
+                    v += 1
+            if not values:
+                counts[0] = 1
+                values = [0]
+            lut = _jpeg_huff_table(bytes(counts), bytes(values))
+            sym, lnt = lut
+            payload = bytes(rng.randrange(256) for _ in range(64))
+            ra = _JpegBitReader(payload, 0)
+            rb = _JpegBitReader(payload, 0)
+            for _ in range(30):
+                try:
+                    expect = self._spec_walk(ra, counts, values)
+                except ValueError as e:
+                    import pytest as _pt
+
+                    with _pt.raises(ValueError):
+                        rb.read_sym(sym, lnt)
+                    break
+                got = rb.read_sym(sym, lnt)
+                assert got == expect
+                # readers must stay bit-synchronized
+                assert (ra.i, ra.nbits, ra.acc) == (rb.i, rb.nbits, rb.acc)
+
+    def test_restart_interval_stream_decodes_identically(self):
+        import numpy as np
+
+        from datar_polars_spark.scale.codecs import (
+            decode_raster,
+            make_jpeg_pixels,
+        )
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+        plain = decode_raster(make_jpeg_pixels(img, quality=80))
+        dri = decode_raster(
+            make_jpeg_pixels(img, quality=80, restart_interval=3)
+        )
+        assert plain is not None and dri is not None
+        assert np.array_equal(plain, dri)
+
+    def test_lut_memoized_on_table_bytes(self):
+        from datar_polars_spark.scale.codecs import _jpeg_huff_table
+
+        counts = bytes([0, 1, 1] + [0] * 13)
+        values = bytes([5, 9])
+        a = _jpeg_huff_table(counts, values)
+        b = _jpeg_huff_table(bytes(counts), bytes(values))
+        assert a is b  # same table bytes -> same LUT object
