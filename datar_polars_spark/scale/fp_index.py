@@ -221,14 +221,22 @@ def fp_index_build(
         "id_col": idn,
         "id_type": td.df.schema[idn].dataType.simpleString(),
     }
+    # parallelize the INPUT of the hash pass, not its output: the
+    # repartition must sit BELOW the Arrow decode+hash node or a
+    # single-partition corpus (one parquet file) runs the whole decode
+    # in one task and only the narrow (id, fp) result gets spread —
+    # observed: the bench's one-file clips frame decoded serially
+    # (guide §2.5 input skew / §4 parallelism for the Python pass). At
+    # corpus scale the scan already carries >= cores partitions and
+    # this is a no-op either way.
     base = _stamped_base(
-        _ensure_parallelism(
-            fam.hash_base(
+        fam.hash_base(
+            _ensure_parallelism(
                 td.df.select(*td.columns).withColumn(
                     "__stamp__", _stamp_expr(td.df, stamp, op)
-                ),
-                cname, idn, strict,
-            )
+                )
+            ),
+            cname, idn, strict,
         ),
         stamp, op,
     )
@@ -313,10 +321,15 @@ def fp_index_append(
             f"rows would be dead on arrival; stamp the increment at "
             f"or past the watermark"
         )
+    # same input-side parallelism as the build: a one-file batch must
+    # not decode serially (the repartition is a no-op once the scan
+    # carries >= cores partitions)
     base = _stamped_base(
         fam.hash_base(
-            td.df.select(*td.columns).withColumn(
-                "__stamp__", _stamp_expr(td.df, stamp, op)
+            _ensure_parallelism(
+                td.df.select(*td.columns).withColumn(
+                    "__stamp__", _stamp_expr(td.df, stamp, op)
+                )
             ),
             cname, idn, strict,
         ),
@@ -497,14 +510,16 @@ def fp_match_with_base(
     # and gives the EXACT batch cardinality for the broadcast decision
     # below — runtime truth, not an estimate.
     fp = fam.fp_col
+    # input-side parallelism (below the Arrow node — a one-file batch
+    # must not decode serially; no-op at corpus partition counts)
     base = register_internal_cache(
-        _ensure_parallelism(
-            fam.hash_base(
+        fam.hash_base(
+            _ensure_parallelism(
                 td.df.select(*td.columns).withColumn(
                     "__stamp__", F.lit(0).cast("bigint")
-                ),
-                cname, idn, strict,
-            )
+                )
+            ),
+            cname, idn, strict,
         )
         .select(F.col("id").alias("id_a"), F.col(fp).alias("fp_a"))
         .persist()
