@@ -29,6 +29,14 @@ POS_COL = "__datar_pos__"
 # bounded FIFO so a long session over many tables stays small
 _FOOTER_BOUND_CACHE: dict = {}
 _FOOTER_BOUND_CACHE_MAX = 256
+# r14: (plan semanticHash, file-set hash, group keys) -> bound. One
+# semanticHash + one inputFiles round trip replace the ~140-call
+# per-attribute plan walk when a semantically identical plan is
+# re-grouped by the same keys — the steady-state case (re-running a
+# pipeline template rebuilds the same plan; semanticHash canonicalizes
+# exprIds, verified stable across rebuilds). The file-set hash keeps
+# the memo honest when the same path gains files mid-session.
+_PLAN_BOUND_CACHE: dict = {}
 
 
 
@@ -247,6 +255,29 @@ class EvalContext:
         forgoes the broadcast, never forces an unsafe one."""
         try:
             jplan = base._jdf.queryExecution().analyzed()
+            files = [
+                f[len("file:"):] if f.startswith("file:") else None
+                for f in base.inputFiles()
+            ]
+            pkey = (
+                jplan.semanticHash(),
+                hash(tuple(sorted(f or "" for f in files))),
+                tuple(self.groups),
+            )
+            if pkey in _PLAN_BOUND_CACHE:
+                return _PLAN_BOUND_CACHE[pkey]
+            bound = self._footer_group_bound_walk(jplan, files)
+            if len(_PLAN_BOUND_CACHE) >= _FOOTER_BOUND_CACHE_MAX:
+                _PLAN_BOUND_CACHE.pop(next(iter(_PLAN_BOUND_CACHE)))
+            _PLAN_BOUND_CACHE[pkey] = bound
+            return bound
+        except Exception:
+            return None
+
+    def _footer_group_bound_walk(self, jplan, files) -> int | None:
+        """The per-attribute plan walk behind the plan-level memo: runs
+        once per distinct (plan, file set, keys) triple."""
+        try:
             leaves = jplan.collectLeaves()
             if leaves.size() != 1:
                 return None
@@ -281,10 +312,6 @@ class EvalContext:
                 if dtype not in self._FOOTER_BOUND_TYPES:
                     return None
                 key_cols.append(name)
-            files = [
-                f[len("file:"):] if f.startswith("file:") else None
-                for f in base.inputFiles()
-            ]
             cap = int(os.environ.get("DATAR_AGG_BROADCAST_MAX_FOOTERS", "1024"))
             if not files or None in files or len(files) > cap:
                 return None

@@ -44,22 +44,71 @@ def _restore_levels(df) -> Tibble:
     return out
 
 
+# r14: session-scoped lazy-PLAN memo for repeated reads of the same
+# path — every spark.read.parquet(path) call re-lists the directory
+# and re-infers the schema from footers JVM-side (path-based reads sit
+# outside Spark's catalog file-index cache), measured ~70-100 ms per
+# read and the single biggest Py4J site in a headline plan build. The
+# memo returns the SAME lazy DataFrame (plan) when the path's file set
+# (name, mtime, size) is unchanged; no rows or results are cached —
+# every action still computes from the parquet files, and a rewritten
+# or appended path changes the signature and misses. Keyed on the
+# application id so a new session never sees a dead plan.
+_READ_MEMO: dict = {}
+_READ_MEMO_MAX = 64
+
+
+def _parquet_sig(path: str):
+    import os
+
+    try:
+        if os.path.isdir(path):
+            return tuple(sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in os.scandir(path)
+                if e.name.endswith(".parquet") or e.name == "_SUCCESS"
+            ))
+        st = os.stat(path)
+        return ((path, st.st_mtime_ns, st.st_size),)
+    except OSError:
+        return None
+
+
 def read_parquet(spark: SparkSession, path: str) -> Tibble:
     """Parquet scan; transparently handles TIMESTAMP(NANOS) columns,
     which Spark's vectorized reader rejects (events.parquet uses ns
     precision): those are read as nano longs and converted to
     microsecond timestamps JVM-side — still a distributed scan. Factor
     levels persisted by write_parquet are restored from column
-    metadata."""
+    metadata. Re-reading an unchanged path reuses the first read's
+    lazy plan (see ``_READ_MEMO``)."""
+    sig = _parquet_sig(path)
+    key = None
+    if sig is not None:
+        try:
+            key = (spark.sparkContext.applicationId, path, sig)
+        except Exception:
+            key = None
+        if key is not None:
+            hit = _READ_MEMO.get(key)
+            if hit is not None:
+                return _restore_levels(hit)
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
-        return _restore_levels(spark.read.parquet(path))
-    from pyspark.sql import functions as F
+        df = spark.read.parquet(path)
+    else:
+        from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+            )
+    if key is not None:
+        if len(_READ_MEMO) >= _READ_MEMO_MAX:
+            _READ_MEMO.pop(next(iter(_READ_MEMO)))
+        _READ_MEMO[key] = df
     return _restore_levels(df)
 
 
