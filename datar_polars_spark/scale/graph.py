@@ -293,17 +293,57 @@ def pagerank(
     if cur is None or cur > 1_000_000:
         spark.conf.set(_PLAN_STR_KEY, "1000000")
     try:
+        # The eager checkpoint BELOW the repartition+persist is
+        # load-bearing for plan RENDERING, not execution: every
+        # generation's diagnostic render re-prints the edge cache's
+        # child plan at each of its 2^depth occurrences (contributions
+        # + dangling both read the previous generation), so the leaf
+        # under the InMemoryRelation must be FLAT. r14 measured the
+        # alternative (persist over the raw user plan, no checkpoint):
+        # execution was fine but a depth-9 un-checkpointed chain spent
+        # 490+ s of driver CPU in generateTreeString walking
+        # 2^9 x the user plan's AQE subtree — the maxPlanStringLength
+        # cap bounds the string, not the walk.
         e = (
             e.localCheckpoint(eager=True)
             .repartition(F.col("u"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        live: list = [e]  # caches to release before returning
-        outw = e.groupBy("u").agg(F.sum("w").alias("__ow__"))
+        # caches that live for the WHOLE call (edges + the two
+        # node-sized derivations below), kept apart from the per-
+        # generation caches so a mid-loop release can never drop them
+        pinned: list = [e]
+        live: list = []  # superseded rank generations
+        # r14: out-weights materialize ONCE — previously left lazy,
+        # every iteration re-ran this aggregation over the cached edge
+        # list TWICE (the contributions join and the dangling
+        # left_anti): 2 extra edge-cache scans per round (guide §2.4 /
+        # §5). Flat-checkpoint + repartition + persist (the edge-cache
+        # recipe above): the per-round consumers satisfy hash(u) from
+        # the cached layout AND each of the 2^depth render occurrences
+        # prints a 3-node leaf instead of the aggregation's AQE
+        # subtree.
+        outw = (
+            e.groupBy("u").agg(F.sum("w").alias("__ow__"))
+            .localCheckpoint(eager=True)
+            .repartition(F.col("u"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pinned.append(outw)
+        # r14: the bare localCheckpoint reported UnknownPartitioning
+        # and the per-round nodes-join-contributions re-exchanged the
+        # node spine every iteration; checkpoint + repartition +
+        # persist pins hash(u), so that join is exchange-free from the
+        # cached layout (the contributions side arrives
+        # hash-partitioned from its own groupBy — the ONE designed
+        # exchange per round) while the render leaf stays flat.
         nodes = (
             e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
             .localCheckpoint(eager=True)
+            .repartition(F.col("u"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        pinned.append(nodes)
         n = nodes.count()
         if n == 0:
             # empty graph: zero rows with the caller's node dtype; the
@@ -311,9 +351,12 @@ def pagerank(
             # one (0 rounds ran, no delta)
             _PAGERANK_LAST.clear()
             _PAGERANK_LAST.update({"iterations": 0, "delta": None})
-            return Tibble(
-                nodes.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
-            )
+            out0 = nodes.select(
+                F.col("u").alias("node"), F.lit(1.0).alias("rank")
+            ).localCheckpoint(eager=True)
+            for g in pinned:
+                g.unpersist()
+            return Tibble(out0)
         ranks = nodes.select("u", F.lit(1.0 / n).alias("r"))
         done = 0
         delta = None
@@ -364,9 +407,9 @@ def pagerank(
                 # never by a global registry's FIFO) — the edge cache at
                 # live[0] stays for the remaining rounds
                 ranks = ranks.localCheckpoint(eager=True)
-                for g in live[1:]:
+                for g in live:
                     g.unpersist()
-                del live[1:]
+                live.clear()
             done = i + 1
             if tol is not None:
                 # one tiny join over the persisted previous generation —
@@ -381,10 +424,10 @@ def pagerank(
                     .first()[0]
                 )
                 # the delta action materialized this generation — every
-                # older one (not the edges) is now releasable
-                for g in live[1:-1]:
+                # older one is now releasable
+                for g in live[:-1]:
                     g.unpersist()
-                del live[1:-1]
+                del live[:-1]
                 if delta is not None and delta < tol:
                     break
         _PAGERANK_LAST.clear()
@@ -406,7 +449,7 @@ def pagerank(
         # action to re-render (see the plan-string guard above), and
         # repeated pagerank() calls cannot accumulate edge caches.
         out = final.localCheckpoint(eager=True)
-        for g in live:
+        for g in pinned + live:
             g.unpersist()
         return Tibble(out)
     finally:
