@@ -535,49 +535,57 @@ def match_against_index(
         ),
         tombs,
     ).select(F.col("fp").alias("__sfp__"), F.col("id").alias("id_b"))
-    exact = (
+    # ONE scan of the corpus-scale fp store feeds BOTH the exact leg
+    # and the matched-fp derivation below (r14: the store was scanned
+    # twice — once for the exact join, once to derive the matched set
+    # for fuzzy-survivor pruning). The hit set is batch-bounded, so
+    # materializing it is cheap. localCheckpoint, NOT persist: a
+    # persisted plan that READS THE STORE is served by canonical-plan
+    # cache matching to the next match call even after a compact's
+    # staged-rename swap (FS renames fire no recacheByPath — verified:
+    # a post-compact match returned the pre-compact duplicate rows).
+    # The lazy checkpoint truncates lineage to the materialized rows,
+    # so each call reads the store fresh; eager=False defers the
+    # materialization into the query's own first job.
+    from pyspark import StorageLevel
+
+    hits_fp = (
         _pin(base.select("id_a", "fp"))
         .join(store_fps, F.col("fp").eqNullSafe(F.col("__sfp__")), "inner")
-        .select(
-            "id_a", "id_b",
-            F.lit("exact").alias("via"),
-            F.lit(1.0).alias(jcol),
-        )
+        .select("id_a", "fp", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    exact = hits_fp.select(
+        "id_a", "id_b",
+        F.lit("exact").alias("via"),
+        F.lit(1.0).alias(jcol),
     )
 
-    # fuzzy candidates come from the exact SURVIVORS. For a small
-    # batch, a direct anti-join against the fp store would SHUFFLE the
-    # corpus-scale store (left_anti cannot broadcast its probe side):
-    # derive the matched-fp set instead — batch-bounded, broadcastable
-    # — scanning the narrow fp store a second time without any
-    # exchange. Big batches keep the single-scan shuffled anti-join.
-    if small:
-        matched_fps = (
-            _pin(base.select("fp").dropDuplicates())
-            .join(
-                store_fps.select("__sfp__"),
-                F.col("fp").eqNullSafe(F.col("__sfp__")),
-                "inner",
-            )
-            .select("fp")
-            .dropDuplicates()
-        )
-        fuzzy_in = base.join(
-            F.broadcast(matched_fps.select(F.col("fp").alias("__mfp__"))),
-            F.col("fp").eqNullSafe(F.col("__mfp__")),
-            "left_anti",
-        )
-    else:
-        fuzzy_in = base.join(
-            store_fps.select("__sfp__"),
-            F.col("fp").eqNullSafe(F.col("__sfp__")),
-            "left_anti",
-        )
-    sig_a = _minhash_sigs(
-        fuzzy_in.select(F.col("id_a").alias("id"), "__text__"),
-        "__text__", "id", meta["num_perm"],
-        meta["shingle_words"], meta["analyzer"], meta["shingle_chars"],
-        ensure_par=False,  # base was repartitioned above
+    # fuzzy candidates come from the exact SURVIVORS. A direct
+    # anti-join against the fp store would SHUFFLE the corpus-scale
+    # store (left_anti cannot broadcast its probe side): the matched-fp
+    # set from the persisted hit set is batch-bounded — broadcast it
+    # for a small batch, shuffle batch-vs-matched (never batch-vs-
+    # store) for a big one.
+    matched_fps = hits_fp.select(F.col("fp").alias("__mfp__")).dropDuplicates()
+    fuzzy_in = base.join(
+        F.broadcast(matched_fps) if small else matched_fps,
+        F.col("fp").eqNullSafe(F.col("__mfp__")),
+        "left_anti",
+    )
+    # the signature pass (shingle + num_perm hashes, the dominant
+    # map-side work of the fuzzy leg) feeds THREE consumers — the
+    # bucket-cap census, the candidate band join, and the
+    # signature-agreement verify — so an unpersisted frame computes it
+    # three times per match (r14 measurement); persist the narrow
+    # (id, sig) result instead
+    sig_a = register_internal_cache(
+        _minhash_sigs(
+            fuzzy_in.select(F.col("id_a").alias("id"), "__text__"),
+            "__text__", "id", meta["num_perm"],
+            meta["shingle_words"], meta["analyzer"], meta["shingle_chars"],
+            ensure_par=False,  # base was repartitioned above
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     rows_per_band = meta["num_perm"] // meta["bands"]
     # candidate generation stays NARROW (same rationale as

@@ -138,18 +138,31 @@ def _build_stores(
         unregister_internal_cache,
     )
 
+    from pyspark import StorageLevel
+
     base = register_internal_cache(base.persist())
+    banded = None
     try:
         hashes = _band_hash_udf(meta)
-        postings = _cap_buckets(
+        # persist the banded frame: _cap_buckets consumes it twice
+        # (bucket census + capped output), and an unpersisted frame
+        # re-runs the Arrow hash pass over the whole corpus for each
+        # consumer (r14). Narrow rows (id, stamp, band, bhash), spills
+        # to disk past memory.
+        banded = register_internal_cache(
             base.select(
                 "id", "stamp",
                 F.posexplode(hashes(F.col("vec"))).alias("band", "bhash"),
-            ),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        postings = _cap_buckets(
+            banded,
             ["band", "bhash"], meta["max_bucket"], op=op,
         ).select("band", "bhash", "id", "stamp")
         _write_frames(path, base, postings, mode)
     finally:
+        if banded is not None:
+            unregister_internal_cache(banded)
         unregister_internal_cache(base)
 
 
@@ -457,8 +470,23 @@ def match_against_semantic_index(
     # artifact is a collided batch row skipping the fuzzy phase,
     # p ~ 2^-64 per pair — far below any LSH miss probability).
     # Identical vectors have cosine exactly 1.0 >= any threshold <= 1.
-    exact = (
+    # The hash-hit set is materialized when a second consumer exists
+    # (_exact_prunes_fuzzy derives the matched-vh set from it), so the
+    # corpus-scale vector store is scanned ONCE for the exact leg
+    # instead of twice (r14). localCheckpoint, NOT persist: a
+    # persisted plan that reads the store would be served stale by
+    # canonical-plan cache matching after a compact's rename swap
+    # (same hazard as dedup_index's hit set — verified there).
+    from pyspark import StorageLevel
+
+    hits_vh = (
         _pin(base).join(vectors, base["vh"] == vectors["__svh__"])
+        .select("id_a", "vh", "v_a", "id_b", "v_b")
+    )
+    if _exact_prunes_fuzzy:
+        hits_vh = hits_vh.localCheckpoint(eager=False)
+    exact = (
+        hits_vh
         .filter(F.col("v_a").cast(meta["vec_type"]) == F.col("v_b"))
         .select("id_a", "id_b", F.lit(1.0).alias("cos"))
     )
@@ -479,38 +507,36 @@ def match_against_semantic_index(
     fuzzy_base = base
     if _exact_prunes_fuzzy:
         # any-hit consumers: only exact-SURVIVING rows need fuzzy
-        # candidates. For a small batch, derive the matched-vh set
-        # (batch-bounded, broadcastable) instead of anti-joining the
-        # corpus store directly — left_anti cannot broadcast its probe
-        # side, so the direct form would shuffle the vector store; the
-        # second narrow store scan costs no exchange.
-        if small:
-            matched_vh = (
-                _pin(base.select("vh").dropDuplicates())
-                .join(
-                    vectors.select("__svh__"),
-                    F.col("vh") == F.col("__svh__"),
-                    "inner",
-                )
-                .select("vh")
-                .dropDuplicates()
-            )
-            fuzzy_base = base.join(
-                F.broadcast(matched_vh.select(F.col("vh").alias("__mvh__"))),
-                base["vh"] == F.col("__mvh__"),
-                "left_anti",
-            )
-        else:
-            fuzzy_base = base.join(
-                vectors.select("__svh__"),
-                base["vh"] == vectors["__svh__"],
-                "left_anti",
-            )
-    reps = fuzzy_base.groupBy("vh").agg(F.first("v_a").alias("v_r"))
+        # candidates. A direct anti-join against the vector store
+        # would SHUFFLE the corpus-scale store (left_anti cannot
+        # broadcast its probe side): the matched-vh set projected from
+        # the persisted hash-hit set is batch-bounded — broadcast it
+        # for a small batch, shuffle batch-vs-matched (never
+        # batch-vs-store) for a big one — and costs NO second store
+        # scan (r14: the store was scanned again here).
+        matched_vh = hits_vh.select(
+            F.col("vh").alias("__mvh__")
+        ).dropDuplicates()
+        fuzzy_base = base.join(
+            F.broadcast(matched_vh) if small else matched_vh,
+            base["vh"] == F.col("__mvh__"),
+            "left_anti",
+        )
+    # reps feeds the banding (whose bucket-cap census and candidate
+    # join are two separate consumers) and the rep-verify join — an
+    # unpersisted frame re-runs the groupBy per consumer, and the
+    # banded frame's Arrow hash pass would run twice (census + join).
+    # Persist both: narrow, distinct-vector-bounded (r14).
+    reps = register_internal_cache(
+        fuzzy_base.groupBy("vh").agg(F.first("v_a").alias("v_r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     banded = _cap_buckets(
-        reps.select(
-            "vh",
-            F.posexplode(hashes(F.col("v_r"))).alias("band", "bhash"),
+        register_internal_cache(
+            reps.select(
+                "vh",
+                F.posexplode(hashes(F.col("v_r"))).alias("band", "bhash"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         ),
         ["band", "bhash"], max_bucket, op="match_against_semantic_index",
     )
