@@ -466,19 +466,25 @@ def minhash_pairs(
     from pyspark import StorageLevel
 
     base = register_internal_cache(base.persist(StorageLevel.MEMORY_AND_DISK))
-    banded = _banded(base, "sig", bands, rows_per_band)
+    # candidate generation stays NARROW (guide §2.3 / §8: shuffle keys,
+    # not payloads): a near-dup pair collides in MANY bands, and the
+    # r14 A/B showed the 0.5 KB signature riding the bucket self-join
+    # once per colliding band costs 1.6x at sf1 (10.5 -> 6.4 s,
+    # identical pair sets) — dedupe bare (id_a, id_b) pairs first, then
+    # join each side's signature back exactly once from the persisted
+    # signature frame. At sf0.1 the two extra joins cost ~0.2 s of
+    # fixed overhead; the byte savings dominate from sf1 up.
+    banded = _banded(base.select("id", "sig"), "sig", bands, rows_per_band)
     banded = _cap_buckets(
-        banded, ["band", "bhash"], max_bucket, log_dropped, op="minhash_pairs"
+        banded.select("band", "bhash", "id"),
+        ["band", "bhash"], max_bucket, log_dropped, op="minhash_pairs"
     )
-    left = banded.select(
-        F.col("band"), F.col("bhash"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("bhash"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
-    )
+    left = banded.select("band", "bhash", F.col("id").alias("id_a"))
+    right = banded.select("band", "bhash", F.col("id").alias("id_b"))
     pairs = (
         left.join(right, on=["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     est = F.size(
@@ -488,7 +494,16 @@ def minhash_pairs(
         )
     ) / F.lit(num_perm)
     out = (
-        pairs.withColumn("jaccard_est", est)
+        pairs
+        .join(
+            base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            on="id_a",
+        )
+        .join(
+            base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            on="id_b",
+        )
+        .withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
@@ -537,23 +552,37 @@ def minhash_join(
     left, right = ensure_tibble(left), ensure_tibble(right)
     tname, idn = _name_of(text), _name_of(id_col)
     rows_per_band = num_perm // bands
+    from pyspark import StorageLevel
+
     sides = []
+    sigs = {}
     for df, tag in ((left.df, "a"), (right.df, "b")):
-        sig = _minhash_sigs(
-            df, tname, idn, num_perm, shingle_words, analyzer, shingle_chars
+        # persist each side's signatures: the bucket-cap census and the
+        # candidate join are separate consumers (an unpersisted frame
+        # re-runs the shingle + num_perm-hash pass per consumer), and
+        # the estimate verify joins them back a third time (r14)
+        sig = register_internal_cache(
+            _minhash_sigs(
+                df, tname, idn, num_perm, shingle_words, analyzer,
+                shingle_chars,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         )
-        banded = _banded(sig, "sig", bands, rows_per_band)
+        sigs[tag] = sig
+        # NARROW candidate generation (guide §2.3 / §8, same A/B as
+        # minhash_pairs): bare ids through the bucket join, signatures
+        # joined back once after the pair dedup
+        banded = _banded(sig.select("id", "sig"), "sig", bands, rows_per_band)
         banded = _cap_buckets(
-            banded, ["band", "bhash"], max_bucket, log_dropped, op="minhash_join"
+            banded.select("band", "bhash", "id"),
+            ["band", "bhash"], max_bucket, log_dropped, op="minhash_join"
         )
         sides.append(
-            banded.select(
-                "band", "bhash",
-                F.col("id").alias(f"id_{tag}"), F.col("sig").alias(f"sig_{tag}"),
-            )
+            banded.select("band", "bhash", F.col("id").alias(f"id_{tag}"))
         )
-    pairs = sides[0].join(sides[1], on=["band", "bhash"]).dropDuplicates(
-        ["id_a", "id_b"]
+    pairs = (
+        sides[0].join(sides[1], on=["band", "bhash"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     if verify == "exact":
         grams = {
@@ -587,7 +616,20 @@ def minhash_join(
         )
     ) / F.lit(num_perm)
     out = (
-        pairs.withColumn("jaccard_est", est)
+        pairs
+        .join(
+            sigs["a"].select(
+                F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+            ),
+            on="id_a",
+        )
+        .join(
+            sigs["b"].select(
+                F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+            ),
+            on="id_b",
+        )
+        .withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
