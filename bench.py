@@ -1055,6 +1055,12 @@ def main() -> None:
     # off. Emit a compact summary (<1,000 bytes) as the final line; the
     # full artifact (spreads, scale ops, sf1 section) lives in
     # BENCH_LAST.json, written above.
+    # r15: the compute-bound sf1 numbers ride in the parsed summary —
+    # at sf0.1 the headline queries are fixed-overhead-bound (~30 ms
+    # tasks; the r14 8-core run beat the 32-core run on every query),
+    # so the round-over-round and scaling trends need the 10x block
+    # where per-stage compute dominates. loadavg is rounded to keep the
+    # line compact.
     summary = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -1062,7 +1068,9 @@ def main() -> None:
             "unit": "sec",
             "queries": cold,
             "warm_total": round(sum(warm.values()), 3),
-            "loadavg_start": loadavg_start,
+            "sf1_total": round(sum(sf1.values()), 3) if sf1 else None,
+            "sf1_queries": sf1 or None,
+            "loadavg_start": [round(v, 2) for v in loadavg_start],
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "full_payload": "BENCH_LAST.json",
         }

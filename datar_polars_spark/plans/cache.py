@@ -34,7 +34,8 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 __all__ = ["register_internal_cache", "unregister_internal_cache",
-           "release_internal_caches", "internal_cache_count"]
+           "release_internal_caches", "internal_cache_count",
+           "reliable_checkpoint"]
 
 _seq = count()
 # token -> (df, safe_to_evict); insertion-ordered for FIFO eviction
@@ -115,3 +116,26 @@ def release_internal_caches() -> int:
 
 def internal_cache_count() -> int:
     return len(_caches)
+
+
+def reliable_checkpoint(df: "DataFrame", eager: bool = True) -> "DataFrame":
+    """Checkpoint that honours a configured checkpoint directory.
+
+    The iterative operators (pagerank, connected components) and the
+    store matchers truncate lineage with ``localCheckpoint``, which
+    stores the cut in EXECUTOR-local block storage: on a real cluster,
+    losing one executor mid-job makes that data unrecoverable and fails
+    the whole run — invisible locally, fatal at 100 TB. When the
+    deployment has called ``sparkContext.setCheckpointDir(...)`` (the
+    standard iterative-job hygiene on clusters), use the RELIABLE
+    ``checkpoint`` instead: blocks live in the fault-tolerant store and
+    survive executor loss. With no checkpoint dir configured (local
+    mode, tests, bench) the behaviour — and the physical plan — is
+    exactly the r14 ``localCheckpoint``."""
+    try:
+        has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -2,10 +2,11 @@
 
 Beyond reference parity (BASELINE.json north star): exact dedup,
 MinHash+LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine
-near-dup. All JVM-side (higher-order functions + xxhash64) — no Python
-UDFs in any hot path, so the plans scale to 100 TB: the only shuffles
-are the groupBy/join on hash buckets, which are uniformly distributed
-by construction.
+near-dup. Shuffles are only the groupBy/join on hash buckets, which
+are uniformly distributed by construction. The one Python node is the
+vectorized Arrow signature kernel (``_sig_min_udf``: whole-batch numpy
+over pre-hashed shingles — guide §4.2); everything else is JVM
+higher-order functions + xxhash64.
 """
 
 from __future__ import annotations
@@ -197,34 +198,116 @@ def char_shingles(col: Column, k: int = 8) -> Column:
 # MinHash + LSH (shingle -> minhash -> band -> bucket-join)
 # --------------------------------------------------------------------------
 
+def _sig_min_udf(num_perm: int):
+    """Vectorized signature kernel: array<long> of per-shingle
+    ``xxhash64(shingle)`` values -> the num_perm elementwise-min
+    signature, one Arrow batch at a time.
+
+    Exploits how Spark chains multi-argument xxhash64: for an int
+    literal seed ``i``, ``xxhash64(s, i) == XXH64.hashInt(i,
+    xxhash64(s))`` (the running hash of the first child seeds the
+    second child's 4-byte mix; verified value-for-value against Spark
+    for all 64 seeds incl. NULL/empty/unicode inputs, and locked by
+    tests/test_minhash_sig_kernel.py). So each shingle is string-hashed
+    ONCE in the JVM and the num_perm permutations become an 11-op
+    wrapping uint64 mix, computed here as one (shingles x num_perm)
+    numpy matrix per row-block with a segmented min back to rows —
+    guide §4.2 (whole-batch native code inside the UDF) replacing both
+    the interpreted per-shingle HOF fold and the 64-string-hashes-per-
+    shingle explode aggregation. Hash values are bit-identical, so
+    signatures, bands, and every downstream join are unchanged."""
+    udf = _SIG_UDFS.get(num_perm)
+    if udf is not None:
+        return udf
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(h0s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        U = np.uint64
+        P1 = U(0x9E3779B185EBCA87)
+        P2 = U(0xC2B2AE3D27D4EB4F)
+        P3 = U(0x165667B19E3779F9)
+        P5 = U(0x27D4EB2F165667C5)
+        base_add = P5 + U(4)  # hashInt: seed + PRIME64_5 + 4 bytes
+        # (i & 0xffffffff) * PRIME64_1 per permutation; i < 2^31 so the
+        # mask is a no-op
+        terms = np.arange(num_perm, dtype=np.uint64) * P1
+        vals = [
+            None if v is None else np.asarray(v, dtype=np.int64)
+            for v in h0s
+        ]
+        lens = np.fromiter(
+            (0 if v is None else v.size for v in vals),
+            dtype=np.int64, count=len(vals),
+        )
+        out: list = [[None] * num_perm] * len(vals)
+        nz = np.flatnonzero(lens)
+        if nz.size:
+            flat = np.concatenate([vals[i] for i in nz]).view(np.uint64)
+            nzlens = lens[nz]
+            mins = np.empty((nz.size, num_perm), dtype=np.int64)
+            # row-block the (shingles x num_perm) temp to ~32 MB
+            budget = max(int((1 << 22) / num_perm), 1024)
+            pos = off = 0
+            while pos < nz.size:
+                end, tot = pos, 0
+                while end < nz.size and (
+                    tot == 0 or tot + int(nzlens[end]) <= budget
+                ):
+                    tot += int(nzlens[end])
+                    end += 1
+                base = flat[off:off + tot] + base_add
+                H = base[:, None] ^ terms[None, :]
+                H = ((H << U(23)) | (H >> U(41))) * P2 + P3
+                H ^= H >> U(33)
+                H *= P2
+                H ^= H >> U(29)
+                H *= P3
+                H ^= H >> U(32)
+                # signed view BEFORE the min: F.min/F.least on longs
+                # compare signed, and so must we
+                Hs = H.view(np.int64)
+                starts = np.zeros(end - pos, dtype=np.int64)
+                np.cumsum(nzlens[pos:end - 1], out=starts[1:])
+                mins[pos:end] = np.minimum.reduceat(Hs, starts, axis=0)
+                off += tot
+                pos = end
+            for k, j in enumerate(nz):
+                out[j] = mins[k]
+        return pd.Series(out)
+
+    _SIG_UDFS[num_perm] = _sig
+    return _sig
+
+
+_SIG_UDFS: dict[int, Any] = {}
+
+
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     """num_perm minhash values: min over shingles of xxhash64(x, seed).
     xxhash64 with a distinct int seed per permutation plays the role of
-    the independent hash family — all JVM codegen.
+    the independent hash family.
 
-    Formulated as ONE fold over the shingles (aggregate + zip_with
-    least) rather than num_perm separate array_min(transform(...))
-    projections: hash values are identical (same (shingle, int-seed)
-    xxhash64 inputs), but codegen compiles a single loop instead of 64
-    unrolled array passes — r2 BENCH showed the wide form's codegen
-    dominating the cold path (9.1 s cold vs 2.6 s warm at sf0.1) — and
-    execution traverses the shingle array once instead of 64 times."""
-    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    long_max = F.lit(9223372036854775807).cast("long")
-    folded = F.aggregate(
-        shingles,
-        F.array_repeat(long_max, num_perm),
-        lambda acc, x: F.zip_with(
-            acc,
-            F.transform(seeds, lambda i: F.xxhash64(x, i)),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    # empty shingle arrays used to yield all-null signatures
-    # (array_min of nothing); preserve that exact contract
-    return F.when(F.size(shingles) > 0, folded).otherwise(
-        F.array_repeat(F.lit(None).cast("long"), num_perm)
-    )
+    History: r3-r5 evaluated this as ONE JVM fold over the shingles
+    (aggregate + zip_with least) — a single loop, but higher-order
+    functions evaluate interpreted, and every shingle still paid
+    num_perm full string hashes plus two 64-slot array allocations.
+    r15 factors the hash family instead: the JVM string-hashes each
+    shingle once (``transform(shingles, xxhash64)``, codegen), and the
+    per-permutation tail of Spark's hash chain — ``XXH64.hashInt(i,
+    h0)`` — runs as a vectorized numpy matrix inside one Arrow batch
+    kernel (``_sig_min_udf``; A/B vs both retired forms in
+    OPTIMIZATION_r15.md). Hash values are bit-identical to
+    ``xxhash64(shingle, lit(i))``, so signatures are unchanged; still a
+    narrow per-row map (no aggregation, no state), which is what
+    stream_near_dedup needs."""
+    h0s = F.transform(shingles, lambda s: F.xxhash64(s))
+    # NULL and empty shingle arrays yield all-null signatures
+    # (array_min of nothing); the kernel preserves that exact contract
+    return _sig_min_udf(num_perm)(h0s)
 
 
 # ---- recall accounting for skew guards -----------------------------------
@@ -375,47 +458,54 @@ def _minhash_sigs(df: DataFrame, tname: str, idn: str, num_perm: int,
                   shingle_words: int, analyzer: str = "word",
                   shingle_chars: int = 12,
                   ensure_par: bool = True,
-                  carry: list | None = None) -> DataFrame:
-    """(id, sig) minhash signatures via shingle explode + num_perm
-    partial-min aggregates.
+                  carry: list | None = None,
+                  unique_ids: bool = False) -> DataFrame:
+    """(id, sig) minhash signatures.
 
-    History (three formulations, each measured): r2's naive expression
+    History (four formulations, each measured): r2's naive expression
     form (num_perm separate array_min(transform) projections) hit a
     CollapseProject 60x re-inlining blowup; r3-r5 used a single
-    aggregate+zip_with fold (narrow, no shuffle); r6's bench A/B
-    (``minhash_sig_fold`` vs ``minhash_sig_explode``, same data, same
-    hashes) showed the fold 2.4x SLOWER warm — higher-order functions
-    evaluate interpreted, while the explode form's xxhash64+min runs
-    entirely inside whole-stage-codegen HashAggregate. The explode's
-    shuffle is NOT a scale concern: partial aggregation reduces each
-    doc's shingles to one 64-value state map-side (a doc's shingles
-    never span input partitions), so the exchange moves ~one signature
-    row per document, not shingle rows. Deterministic (shingle, seed)
-    xxhash64 means two tables signed separately are directly
-    comparable (the property minhash_join relies on). Docs with NULL
-    text produce no shingle rows and are dropped, as before."""
+    aggregate+zip_with fold (narrow, no shuffle, but interpreted); r6
+    switched to shingle explode + num_perm partial-min aggregates
+    (whole-stage codegen, but 64 full string hashes per shingle row);
+    r15 signs per ROW with the factored Arrow kernel
+    (``minhash_signature``: one JVM string hash per shingle, the
+    num_perm ``hashInt`` tails as one numpy matrix — bit-identical
+    values, see ``_sig_min_udf``). The groupBy(id) elementwise-min
+    fold stays ONLY to preserve the explode form's exact semantics on
+    duplicate ids (per-shingle min commutes with per-row min, so the
+    folded signature over the union of a duplicate id's shingles is
+    unchanged); ``unique_ids=True`` lets a caller that constructs
+    provably unique ids (dedup_index's per-fingerprint reps) skip that
+    exchange outright — the signing pass is then shuffle-free (§2.4).
+    Deterministic hashing means two tables signed separately are
+    directly comparable (the property minhash_join relies on). Docs
+    with NULL text sign all-NULL and are dropped, matching the explode
+    form's no-shingle-rows drop."""
     # ensure_par=False lets a caller whose input frame carries joins
     # in its lineage (dedup_index's batch-vs-store paths) skip the
     # .rdd partition probe: under AQE that probe finalizes the plan
     # and EXECUTES the upstream shuffle stages once, so the caller
     # must guarantee parallelism itself (e.g. repartition the scan)
     # ``carry`` columns (constant per doc, e.g. a retention stamp)
-    # ride the existing per-id aggregation as first() — map-side free,
-    # no join-back needed to re-attach them after signing
+    # ride the per-id fold as first() — map-side free, no join-back
+    # needed to re-attach them after signing
     carry = carry or []
-    ex = (_ensure_parallelism(df) if ensure_par else df).select(
+    rows = (_ensure_parallelism(df) if ensure_par else df).select(
         F.col(idn).alias("id"),
         *carry,
-        F.explode(
-            _shingles(F.col(tname), shingle_words, analyzer, shingle_chars)
-        ).alias("__sh"),
-    )
+        minhash_signature(
+            _shingles(F.col(tname), shingle_words, analyzer, shingle_chars),
+            num_perm,
+        ).alias("__sig"),
+    ).filter(F.col("__sig")[0].isNotNull())
+    if unique_ids:
+        return rows.select("id", F.col("__sig").alias("sig"), *carry)
     mins = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__h{i}")
-        for i in range(num_perm)
+        F.min(F.col("__sig")[i]).alias(f"__h{i}") for i in range(num_perm)
     ]
     return (
-        ex.groupBy("id")
+        rows.groupBy("id")
         .agg(*mins, *[F.first(c).alias(c) for c in carry])
         .select(
             "id",

@@ -66,6 +66,7 @@ from .dedup import (
     _shingles,
 )
 from .jsonio import read_json_file, write_json_file
+from ..plans.cache import reliable_checkpoint
 from .tombstones import (
     append_tombstones,
     delete_dir,
@@ -553,7 +554,7 @@ def match_against_index(
         _pin(base.select("id_a", "fp"))
         .join(store_fps, F.col("fp").eqNullSafe(F.col("__sfp__")), "inner")
         .select("id_a", "fp", "id_b")
-        .localCheckpoint(eager=False)
+        .transform(reliable_checkpoint, eager=False)
     )
     exact = hits_fp.select(
         "id_a", "id_b",
@@ -733,7 +734,7 @@ def dedup_against_index(
         # all. Cost: one batch-survivor-sized materialization on
         # executor storage — the frame the caller is about to use
         # anyway.
-        surv = surv.localCheckpoint(eager=True)
+        surv = surv.transform(reliable_checkpoint, eager=True)
     out = Tibble(surv, groups=td.group_vars, levels=td.levels)
     if append:
         tname = _name_of(text) if text is not None else meta["text_col"]

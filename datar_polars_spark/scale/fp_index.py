@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from ..tibble import Tibble, ensure_tibble
 from .dedup import _cap_buckets, _DROPPED_PAIRS, _ensure_parallelism, _name_of
 from .jsonio import read_json_file, replace_dir, write_json_file
+from ..plans.cache import reliable_checkpoint
 from .tombstones import (
     append_tombstones,
     delete_dir,
@@ -624,7 +625,7 @@ def fp_dedup_against_index(
         on=idn, how="left_anti",
     )
     if append:
-        surv = surv.localCheckpoint(eager=True)
+        surv = surv.transform(reliable_checkpoint, eager=True)
         # the eager checkpoint just consumed the match plan in full —
         # the persisted hashed batch has no remaining consumer, so
         # release it now instead of waiting on FIFO eviction

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..plans.expr import Ref
 from ..plans.verb import verb
 from ..tibble import Tibble
+from ..plans.cache import reliable_checkpoint
 
 __all__ = [
     "connected_components",
@@ -136,13 +137,13 @@ def components_from_pairs(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .transform(reliable_checkpoint, eager=True)
     )
     if small_graph_edges and edges.count() <= small_graph_edges:
         return _driver_union_find(edges)
     prev_sig = None
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)).transform(reliable_checkpoint, eager=True)
         # bit_xor: order-independent set fingerprint that can't overflow
         # under ANSI mode (edges are deduplicated, so XOR never cancels)
         sig = edges.agg(
@@ -305,7 +306,7 @@ def pagerank(
         # 2^9 x the user plan's AQE subtree — the maxPlanStringLength
         # cap bounds the string, not the walk.
         e = (
-            e.localCheckpoint(eager=True)
+            e.transform(reliable_checkpoint, eager=True)
             .repartition(F.col("u"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -325,7 +326,7 @@ def pagerank(
         # subtree.
         outw = (
             e.groupBy("u").agg(F.sum("w").alias("__ow__"))
-            .localCheckpoint(eager=True)
+            .transform(reliable_checkpoint, eager=True)
             .repartition(F.col("u"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -339,7 +340,7 @@ def pagerank(
         # exchange per round) while the render leaf stays flat.
         nodes = (
             e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
-            .localCheckpoint(eager=True)
+            .transform(reliable_checkpoint, eager=True)
             .repartition(F.col("u"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -353,7 +354,7 @@ def pagerank(
             _PAGERANK_LAST.update({"iterations": 0, "delta": None})
             out0 = nodes.select(
                 F.col("u").alias("node"), F.lit(1.0).alias("rank")
-            ).localCheckpoint(eager=True)
+            ).transform(reliable_checkpoint, eager=True)
             for g in pinned:
                 g.unpersist()
             return Tibble(out0)
@@ -406,7 +407,7 @@ def pagerank(
                 # caches within a call stay bounded by checkpoint_every,
                 # never by a global registry's FIFO) — the edge cache at
                 # live[0] stays for the remaining rounds
-                ranks = ranks.localCheckpoint(eager=True)
+                ranks = ranks.transform(reliable_checkpoint, eager=True)
                 for g in live:
                     g.unpersist()
                 live.clear()
@@ -448,7 +449,7 @@ def pagerank(
         # past the call, no nested cached-plan chain for any later
         # action to re-render (see the plan-string guard above), and
         # repeated pagerank() calls cannot accumulate edge caches.
-        out = final.localCheckpoint(eager=True)
+        out = final.transform(reliable_checkpoint, eager=True)
         for g in pinned + live:
             g.unpersist()
         return Tibble(out)

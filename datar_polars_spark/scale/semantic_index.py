@@ -51,6 +51,7 @@ from .dedup import (
     cosine_sim,
 )
 from .jsonio import read_json_file, write_json_file
+from ..plans.cache import reliable_checkpoint
 from .tombstones import (
     append_tombstones,
     delete_dir,
@@ -484,7 +485,7 @@ def match_against_semantic_index(
         .select("id_a", "vh", "v_a", "id_b", "v_b")
     )
     if _exact_prunes_fuzzy:
-        hits_vh = hits_vh.localCheckpoint(eager=False)
+        hits_vh = hits_vh.transform(reliable_checkpoint, eager=False)
     exact = (
         hits_vh
         .filter(F.col("v_a").cast(meta["vec_type"]) == F.col("v_b"))
@@ -611,7 +612,7 @@ def dedup_against_semantic_index(
         on=idn, how="left_anti",
     )
     if append:
-        surv = surv.localCheckpoint(eager=True)
+        surv = surv.transform(reliable_checkpoint, eager=True)
     out = Tibble(surv, groups=td.group_vars, levels=td.levels)
     if append:
         ename = (

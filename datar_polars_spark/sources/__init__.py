@@ -59,15 +59,29 @@ _READ_MEMO_MAX = 64
 
 
 def _parquet_sig(path: str):
+    """File-set signature for the read memo. Recursive: a partitioned
+    dir's data files live in partition SUBdirectories, and r14's
+    top-level-only scandir keyed on ``_SUCCESS`` alone there — a
+    non-Spark writer dropping a file into ``k=1/`` without touching
+    ``_SUCCESS`` served a stale plan. Walking every data file (relpath,
+    mtime_ns, size) catches appends, rewrites and deletes at any depth;
+    the walk is driver-side microseconds against the 70-100 ms JVM
+    re-list a memo hit saves."""
     import os
 
     try:
         if os.path.isdir(path):
-            return tuple(sorted(
-                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                for e in os.scandir(path)
-                if e.name.endswith(".parquet") or e.name == "_SUCCESS"
-            ))
+            sig = []
+            for root, _dirs, files in os.walk(path):
+                rel = os.path.relpath(root, path)
+                for name in files:
+                    if name.endswith(".parquet") or name == "_SUCCESS":
+                        st = os.stat(os.path.join(root, name))
+                        sig.append(
+                            (os.path.join(rel, name),
+                             st.st_mtime_ns, st.st_size)
+                        )
+            return tuple(sorted(sig))
         st = os.stat(path)
         return ((path, st.st_mtime_ns, st.st_size),)
     except OSError:

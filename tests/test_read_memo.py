@@ -57,6 +57,24 @@ def test_partitioned_append_invalidates_memo(spark, tmp_path):
     assert read_parquet(spark, str(p)).df.count() == 8
 
 
+def test_raw_file_append_into_partition_dir_invalidates_memo(
+    spark, tmp_path
+):
+    """r15: a NON-Spark writer dropping a parquet file into a partition
+    subdirectory does not touch _SUCCESS; the recursive signature must
+    still catch it (the r14 top-level scandir did not)."""
+    import glob
+    import shutil
+
+    p = tmp_path / "t"
+    _write(spark, p, 6, partition_by="k")
+    assert read_parquet(spark, str(p)).df.count() == 6
+    part = sorted(glob.glob(str(p / "k=1" / "*.parquet")))[0]
+    shutil.copy(part, part.replace(".parquet", "-rawcopy.parquet"))
+    # _SUCCESS untouched; the duplicate rows must be visible
+    assert read_parquet(spark, str(p)).df.count() > 6
+
+
 def test_memo_bounded(spark, tmp_path):
     start = len(sources._READ_MEMO)
     for i in range(3):
