@@ -272,6 +272,27 @@ def _bucket(gram: str, buckets: int) -> int:
     return zlib.crc32(gram.encode("utf-8")) % buckets
 
 
+_CRC_TAB = None
+
+
+def _crc_tab():
+    """The standard reflected CRC-32 byte table (poly 0xEDB88320) —
+    drives the vectorized gram hashing in lang_id_predict. Verified
+    bit-identical to zlib.crc32 by tests/test_langid_kernel.py."""
+    global _CRC_TAB
+    if _CRC_TAB is None:
+        import numpy as np
+
+        tab = np.empty(256, dtype=np.uint32)
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+            tab[i] = c
+        _CRC_TAB = tab
+    return _CRC_TAB
+
+
 def lang_id_train(
     td: Any,
     text: Any = "text",
@@ -461,36 +482,94 @@ def lang_id_predict(
 
     @pandas_udf("struct<lang:string, conf:double>")
     def _score(s: pd.Series) -> pd.DataFrame:
+        # r15 (guide §4.2): the r14 kernel built every char n-gram as a
+        # Python string and crc32'd it row by row — ~3 x len(text)
+        # slice+encode+hash calls per document dominated the pass. Now
+        # each document is utf-8-encoded ONCE; gram windows are byte
+        # slices located via the utf-8 start-byte mask, their crc32
+        # runs table-driven over a numpy matrix (bit-identical to
+        # zlib.crc32 — locked by tests/test_langid_kernel.py), and the
+        # per-language scores come from one W-gather + segmented sum.
+        # Scoring math is unchanged; only summation association
+        # differs (same tolerance note as the r14 dense-matrix change).
         import re as _re
 
-        out_lang, out_conf = [], []
         pat = _re.compile(r"[\s0-9]+")
-        crc = zlib.crc32
-        for v in s:
+        n_docs = len(s)
+        out_lang: list = [None] * n_docs
+        out_conf: list = [None] * n_docs
+        live: list = []
+        enc: list = []
+        for i, v in enumerate(s):
             if v is None or not str(v).strip():
-                out_lang.append(None)
-                out_conf.append(None)
                 continue
             t = _PAD + pat.sub(_PAD, str(v).lower()) + _PAD
-            hs = [
-                crc(t[i : i + n].encode("utf-8")) % buckets
-                for n in range(n_lo, n_hi + 1)
-                for i in range(len(t) - n + 1)
-            ]
-            if not hs:
-                out_lang.append(None)
-                out_conf.append(None)
-                continue
-            idx = np.fromiter(hs, dtype=np.int64, count=len(hs))
-            scores = prior + W[idx].sum(axis=0)
-            best = int(np.argmax(scores))
-            # softmax over per-gram-normalized scores so confidence
-            # doesn't saturate to 1.0 on long documents
-            norm = scores / len(hs)
-            m = float(norm.max())
-            z = float(np.exp(norm - m).sum())
-            out_lang.append(langs[best])
-            out_conf.append(math.exp(float(norm[best]) - m) / z)
+            live.append(i)
+            enc.append(t.encode("utf-8"))
+        if not live:
+            return pd.DataFrame({"lang": out_lang, "conf": out_conf})
+        tab = _crc_tab()
+        # chunk docs so the (grams x langs) gather stays ~100 MB
+        cap = max(int(1.2e6 / max(n_hi - n_lo + 1, 1)), 1 << 16)
+        lo = 0
+        while lo < len(enc):
+            hi, tot = lo, 0
+            while hi < len(enc) and (tot == 0 or tot + len(enc[hi]) <= cap):
+                tot += len(enc[hi])
+                hi += 1
+            chunk = enc[lo:hi]
+            B = np.frombuffer(b"".join(chunk), dtype=np.uint8)
+            doc_end = np.cumsum(
+                np.fromiter((len(b) for b in chunk), dtype=np.int64,
+                            count=len(chunk))
+            )
+            # utf-8 char starts: continuation bytes are 0b10xxxxxx
+            char_pos = np.flatnonzero((B & 0xC0) != 0x80)
+            char_ext = np.append(char_pos, len(B))
+            char_doc = np.searchsorted(doc_end, char_pos, side="right")
+            m = np.bincount(char_doc, minlength=len(chunk))
+            char_off = np.concatenate(([0], np.cumsum(m)[:-1]))
+            S = np.tile(prior, (len(chunk), 1))
+            gcnt = np.zeros(len(chunk), dtype=np.int64)
+            for n in range(n_lo, n_hi + 1):
+                cnt = np.maximum(m - n + 1, 0)
+                total = int(cnt.sum())
+                if total == 0:
+                    continue
+                cstart = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+                reps = np.repeat(np.arange(len(chunk)), cnt)
+                g = (np.arange(total) - np.repeat(cstart, cnt)
+                     + char_off[reps])
+                bs = char_ext[g]
+                L = char_ext[g + n] - bs
+                crc = np.full(total, 0xFFFFFFFF, dtype=np.uint32)
+                for j in range(int(L.max())):
+                    act = L > j
+                    c = crc[act]
+                    crc[act] = tab[(c ^ B[bs[act] + j]) & np.uint32(0xFF)] ^ (
+                        c >> np.uint32(8)
+                    )
+                crc ^= np.uint32(0xFFFFFFFF)
+                V = W[(crc % np.uint32(buckets)).astype(np.int64)]
+                nzd = np.flatnonzero(cnt)
+                S[nzd] += np.add.reduceat(V, cstart[nzd], axis=0)
+                gcnt += cnt
+            sc = np.flatnonzero(gcnt)
+            if sc.size:
+                scores = S[sc]
+                best = np.argmax(scores, axis=1)
+                # softmax over per-gram-normalized scores so confidence
+                # doesn't saturate to 1.0 on long documents
+                norm = scores / gcnt[sc, None]
+                mx = norm.max(axis=1)
+                z = np.exp(norm - mx[:, None]).sum(axis=1)
+                conf = (
+                    np.exp(norm[np.arange(sc.size), best] - mx) / z
+                )
+                for t_, d in enumerate(sc):
+                    out_lang[live[lo + d]] = langs[int(best[t_])]
+                    out_conf[live[lo + d]] = float(conf[t_])
+            lo = hi
         return pd.DataFrame({"lang": out_lang, "conf": out_conf})
 
     # see ivf_assign (similarity.py): the marker keeps the optimizer
