@@ -279,6 +279,14 @@ def _sig_min_udf(num_perm: int):
                 out[j] = mins[k]
         return pd.Series(out)
 
+    # deterministic in fact; the marker stops the optimizer from
+    # pushing the callers' sig[0]-isNotNull filter BELOW the kernel,
+    # which re-evaluates the whole UDF once for the filter and once
+    # for the projection (guide §4.4 — the r15 before-plan showed two
+    # ArrowEvalPython nodes for one signing pass). Same device as
+    # ivf_assign/lang_id/text_embed; apply selective filters before
+    # signing, as the internal callers already do.
+    _sig = _sig.asNondeterministic()
     _SIG_UDFS[num_perm] = _sig
     return _sig
 

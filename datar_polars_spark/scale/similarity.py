@@ -400,14 +400,23 @@ def knn_join(
     don't scale in the QUERY dimension; this join is the retrieval /
     cross-corpus semantic-dedup workhorse.
 
-    ``method="exact"``: corpus scan x broadcast-hinted query side
-    (BroadcastNestedLoopJoin), pair cosine in JVM higher-order
-    functions with per-side norms precomputed (one pass per side, the
-    per-pair work is just the dot), then per-query top-k as a rank
-    window — Spark 4 executes it with map-side WindowGroupLimit, so
-    each corpus partition forwards only k candidates per query.
-    Exact and embarrassingly parallel over the corpus; the QUERY side
-    must fit in a broadcast (~<1M rows). Beyond that, use "ivf".
+    ``method="exact"``: the query side collects and broadcasts (same
+    ~<1M-row bound the r5 BroadcastNestedLoopJoin form had) and ONE
+    Arrow ``mapInPandas`` pass over the corpus scores every batch
+    against the whole query matrix as a tiled numpy matmul (r15, guide
+    §4.2 — the r5-r14 form evaluated an interpreted zip_with+aggregate
+    dot per PAIR, which dominated the op), keeping only each query's
+    k best per batch (top-k is a monoid: the global top-k is the
+    top-k of the per-batch winners, so the window below sees
+    batches x k x queries rows instead of corpus x queries). The
+    kernel emits raw (dot, norm-product) and the division stays JVM-
+    side, so NULL (unscoreable: NULL vector / dim mismatch) and NaN
+    (zero-norm, 0/0) pairs keep their exact r14 semantics and
+    ordering; unscoreable pairs ride along k-per-query-per-batch as a
+    backstop (they can only reach the global top-k when a query has
+    fewer than k scoreable corpus rows). Per-query top-k finishes as
+    the same rank window. Exact and embarrassingly parallel over the
+    corpus. Beyond broadcastable queries, use "ivf".
 
     ``method="ivf"``: both sides quantize to the same coarse centroids
     (trained from the corpus when not passed in); each query explodes
@@ -435,7 +444,119 @@ def knn_join(
     ).withColumn("__rn__", _norm_col(F.col("__re__")))
 
     if method == "exact":
-        cand = rc.crossJoin(F.broadcast(lq))
+        qid_t = lq.schema["query_id"].dataType.simpleString()
+        mid_t = rc.schema["match_id"].dataType.simpleString()
+        qrows = lq.select("query_id", "__qe__").collect()
+        q_ids = [r["query_id"] for r in qrows]
+        q_vecs = [
+            None if r["__qe__"] is None else list(r["__qe__"]) for r in qrows
+        ]
+        bq = left.df.sparkSession.sparkContext.broadcast((q_ids, q_vecs))
+        kk = int(k)
+
+        def _score_corpus(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            qids, qvecs = bq.value
+            if not qids:
+                return
+            # group queries by dim: only same-length pairs can score
+            # (the r14 zip_with dot padded mismatches to a NULL cosine)
+            bylen: dict = {}
+            null_q = []
+            for qi, qv in enumerate(qvecs):
+                if qv is None:
+                    null_q.append(qi)
+                else:
+                    bylen.setdefault(len(qv), []).append(qi)
+            qmats = {}
+            for ln, qis in bylen.items():
+                Q = _np.array([qvecs[qi] for qi in qis], dtype="float64")
+                qn = _np.sqrt((Q * Q).sum(axis=1))
+                qmats[ln] = (qis, Q.T, qn)
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                mids = pdf["match_id"].to_numpy()
+                vecs = pdf["__re__"].tolist()
+                lens = _np.fromiter(
+                    (-1 if v is None else len(v) for v in vecs),
+                    dtype=_np.int64, count=n,
+                )
+                out_q: list = []
+                out_m: list = []
+                out_d: list = []
+                out_n: list = []
+
+                def _null_rows(qi, mid_subset):
+                    # unscoreable pairs: dot/den NULL -> cosine NULL,
+                    # which the window orders LAST, ties by match_id
+                    # asc — so the k smallest match_ids suffice
+                    if mid_subset.size == 0:
+                        return
+                    take = _np.sort(mid_subset)[:kk]
+                    out_q.extend([qids[qi]] * take.size)
+                    out_m.extend(take.tolist())
+                    out_d.extend([None] * take.size)
+                    out_n.extend([None] * take.size)
+
+                for ln, (qis, QT, qn) in qmats.items():
+                    sel = _np.flatnonzero(lens == ln)
+                    if sel.size:
+                        X = _np.array(
+                            [vecs[i] for i in sel], dtype="float64"
+                        )
+                        xn = _np.sqrt((X * X).sum(axis=1))
+                        D = X @ QT                      # (n_sel, n_q)
+                        den = _np.outer(xn, qn)
+                        with _np.errstate(invalid="ignore"):
+                            key = D / den
+                        # NaN (0/0, zero-norm) ranks FIRST in the
+                        # window's cosine DESC — mirror that here
+                        key = _np.where(_np.isnan(key), _np.inf, key)
+                        m_sel = mids[sel]
+                        for col, qi in enumerate(qis):
+                            if sel.size > kk:
+                                ord_ = _np.lexsort(
+                                    (m_sel, -key[:, col])
+                                )[:kk]
+                            else:
+                                ord_ = _np.arange(sel.size)
+                            out_q.extend([qids[qi]] * ord_.size)
+                            out_m.extend(m_sel[ord_].tolist())
+                            out_d.extend(
+                                float(v) for v in D[ord_, col]
+                            )
+                            out_n.extend(
+                                float(v) for v in den[ord_, col]
+                            )
+                    bad = mids[lens != ln]
+                    for qi in qis:
+                        _null_rows(qi, bad)
+                for qi in null_q:
+                    _null_rows(qi, mids)
+                # None -> NaN -> Arrow null: exactly the NULL dot/den
+                # the unscoreable backstop rows need (zero-norm pairs
+                # stay FINITE 0.0/0.0 here and become NaN only in the
+                # JVM division, preserving their NaN-first rank)
+                yield _pd.DataFrame(
+                    {
+                        "query_id": out_q,
+                        "match_id": out_m,
+                        "__dot__": _np.array(out_d, dtype="float64"),
+                        "__den__": _np.array(out_n, dtype="float64"),
+                    }
+                )
+
+        scored = rc.mapInPandas(
+            _score_corpus,
+            f"query_id {qid_t}, match_id {mid_t}, "
+            f"__dot__ double, __den__ double",
+        ).withColumn(
+            "cosine", F.col("__dot__") / F.col("__den__")
+        )
     elif method == "ivf":
         if centroids is None:
             centroids = ivf_train(right, embedding, n_clusters=n_clusters)
@@ -459,13 +580,16 @@ def knn_join(
             .drop("__ps__")
         )
         cand = rc.join(lq, "__c__", "inner")
+        scored = cand.withColumn(
+            "cosine",
+            _pair_cosine(
+                F.col("__qe__"), F.col("__re__"),
+                F.col("__qn__"), F.col("__rn__"),
+            ),
+        )
     else:
         raise ValueError(f"unknown method {method!r}; use 'exact' or 'ivf'")
 
-    scored = cand.withColumn(
-        "cosine",
-        _pair_cosine(F.col("__qe__"), F.col("__re__"), F.col("__qn__"), F.col("__rn__")),
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id").asc()
     )

@@ -29,6 +29,11 @@ from datar_polars_spark.scale.fp_index import (
     fp_match_with_base,
 )
 
+# r15: heavy property/fuzz breadth — skipped by the default
+# "-m not slow" run (driver verify window); tools/partest.py and
+# any explicit -m override still run it in full.
+pytestmark = pytest.mark.slow
+
 FAM = FpFamily(
     name="fuzz",
     fp_col="zfp",

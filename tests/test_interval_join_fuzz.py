@@ -14,6 +14,11 @@ from hypothesis import strategies as st
 from datar_polars_spark import f, tibble
 from datar_polars_spark.operators.join import overlap_join, range_join
 
+# r15: heavy property/fuzz breadth — skipped by the default
+# "-m not slow" run (driver verify window); tools/partest.py and
+# any explicit -m override still run it in full.
+pytestmark = pytest.mark.slow
+
 SET = settings(
     max_examples=10,
     deadline=None,

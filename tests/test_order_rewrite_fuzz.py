@@ -22,6 +22,11 @@ from datar_polars_spark.functions import cumsum, lag, min_rank, row_number
 from datar_polars_spark.operators.core import slice_head
 from datar_polars_spark.operators.tidyr import fill
 
+# r15: heavy property/fuzz breadth — skipped by the default
+# "-m not slow" run (driver verify window); tools/partest.py and
+# any explicit -m override still run it in full.
+pytestmark = pytest.mark.slow
+
 SET = settings(
     max_examples=12,
     deadline=None,

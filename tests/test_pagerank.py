@@ -56,6 +56,8 @@ def test_pagerank_weighted(spark):
         assert abs(got[i] - ref[i]) < 1e-12
 
 
+@pytest.mark.slow  # r15: ~2-5 min property sweep; partest/-m
+# override still runs it in full
 def test_pagerank_checkpoint_interval_invariant(spark):
     # lineage truncation must not change values
     edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
@@ -311,6 +313,8 @@ def test_pagerank_fuzz_random_graphs(spark, seed):
         assert abs(got[u] - r[idx[u]]) < 1e-12
 
 
+@pytest.mark.slow  # r15: ~2-5 min property sweep; partest/-m
+# override still runs it in full
 def test_pagerank_tol_early_stop_matches_converged(spark):
     """tol= stops once the L1 delta falls below it; the early-stopped
     vector must agree with a long fixed-k run to ~tol, and the run

@@ -22,6 +22,11 @@ from datar_polars_spark import (
 )
 from datar_polars_spark.functions import lag, lead, cumsum, row_number, sum_
 
+# r15: heavy property/fuzz breadth — skipped by the default
+# "-m not slow" run (driver verify window); tools/partest.py and
+# any explicit -m override still run it in full.
+pytestmark = pytest.mark.slow
+
 SET = settings(
     max_examples=12,
     deadline=None,

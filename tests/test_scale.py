@@ -723,7 +723,15 @@ class TestKnnJoin:
         exact = knn_join(queries, e, k=10).collect()
         full = knn_join(queries, e, k=10, method="ivf",
                         centroids=cents, nprobe=8).collect()
-        assert full.values.tolist() == exact.values.tolist()
+        # identical retrieval; cosines agree to fp association only
+        # (r15: exact mode scores via numpy matmul, ivf still scores
+        # via the JVM fold — same math, different summation order)
+        assert (full[["query_id", "match_id", "rank"]].values.tolist()
+                == exact[["query_id", "match_id", "rank"]].values.tolist())
+        import numpy as np
+
+        assert np.allclose(full["cosine"], exact["cosine"],
+                           rtol=1e-9, atol=1e-12)
         part = knn_join(queries, e, k=10, method="ivf",
                         centroids=cents, nprobe=4).collect()
         # probing half the clusters recovers most of the exact top-10
@@ -732,17 +740,25 @@ class TestKnnJoin:
             got = set(part[part["query_id"] == qid]["match_id"])
             assert len(got & ex) >= 5
 
-    def test_exact_plan_broadcasts_queries_and_group_limits(self, spark):
-        """The corpus side must not shuffle: queries broadcast (BNLJ)
-        and the top-k window runs with map-side WindowGroupLimit."""
+    def test_exact_plan_scores_in_scan_stage_and_group_limits(self, spark):
+        """r15 plan shape: the corpus must not shuffle below the
+        scorer — the Arrow matmul pass (MapInPandas) sits directly on
+        the corpus scan (queries ride a broadcast variable, replacing
+        the r5 BroadcastNestedLoopJoin + per-pair interpreted fold) —
+        and the only Exchange is the per-query top-k window's, which
+        runs with map-side WindowGroupLimit over the k-per-batch
+        survivors."""
         from datar_polars_spark import f, filter_, read_parquet
         from datar_polars_spark.scale import knn_join
 
         e = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
         q = e >> filter_(f.vec_id < 2)
         plan = knn_join(q, e, k=3).df._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastNestedLoopJoin" in plan
+        assert "MapInPandas" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
         assert "WindowGroupLimit" in plan
+        # exactly one exchange: the window's hashpartitioning(query_id)
+        assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_compression_ratio_signal(spark):

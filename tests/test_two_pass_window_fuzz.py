@@ -25,6 +25,11 @@ from datar_polars_spark.functions import (
     row_number,
 )
 
+# r15: heavy property/fuzz breadth — skipped by the default
+# "-m not slow" run (driver verify window); tools/partest.py and
+# any explicit -m override still run it in full.
+pytestmark = pytest.mark.slow
+
 SET = settings(
     max_examples=8,
     deadline=None,

@@ -53,7 +53,13 @@ def main() -> int:
             f"--master local[{args.cores_per_worker}] pyspark-shell"
         )
         env["SPARK_LOCAL_DIRS"] = f"/tmp/spark-partest-{i}"
-        cmd = [sys.executable, "-m", "pytest", "-q", *args.rest, *shard]
+        # tautology -m overrides pytest.ini's default "-m not slow":
+        # the dev/full gate runs EVERYTHING, slow fuzz suites included
+        env["DATAR_TEST_SHARD"] = f"partest-{i}"
+        cmd = [
+            sys.executable, "-m", "pytest", "-q",
+            "-m", "slow or not slow", *args.rest, *shard,
+        ]
         procs.append((i, subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT, env=env)))
         logs.append((i, log))
 
