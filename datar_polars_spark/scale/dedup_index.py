@@ -195,7 +195,12 @@ def _build_stores(
                 meta["shingle_words"], meta["analyzer"],
                 meta["shingle_chars"],
                 ensure_par=False,  # rep is post-shuffle
-                carry=["stamp"],  # rides the signing agg, no join-back
+                carry=["stamp"],  # rides the signing row, no join-back
+                # rep ids are unique non-NULL by construction (one
+                # min_by representative per distinct fingerprint; a
+                # doc has one fp) — skip the duplicate-id fold's
+                # exchange: the signing pass is a narrow map (r15)
+                unique_ids=True,
             ).persist(StorageLevel.MEMORY_AND_DISK)
         )
         try:

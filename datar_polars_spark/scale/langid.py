@@ -479,6 +479,11 @@ def lang_id_predict(
                 wl.values(), dtype=np.float64, count=len(wl)
             )
     prior = np.array([log_prior[lang] for lang in langs])
+    # r15 (guide §4.5): the dense matrix rides a BROADCAST, not the UDF
+    # closure — a closure is re-pickled and shipped per TASK (~3 MB x
+    # n_tasks per pass at the 2^15 x 12 default); a broadcast crosses
+    # once per executor and is cached
+    _bc = td.df.sparkSession.sparkContext.broadcast((W, prior, langs))
 
     @pandas_udf("struct<lang:string, conf:double>")
     def _score(s: pd.Series) -> pd.DataFrame:
@@ -494,6 +499,7 @@ def lang_id_predict(
         # differs (same tolerance note as the r14 dense-matrix change).
         import re as _re
 
+        W, prior, langs = _bc.value
         pat = _re.compile(r"[\s0-9]+")
         n_docs = len(s)
         out_lang: list = [None] * n_docs
