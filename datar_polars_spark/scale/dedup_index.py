@@ -553,6 +553,13 @@ def match_against_index(
     # The lazy checkpoint truncates lineage to the materialized rows,
     # so each call reads the store fresh; eager=False defers the
     # materialization into the query's own first job.
+    # Fault-tolerance trade (r15, advice): the truncated lineage means
+    # an executor loss mid-match fails the job instead of recomputing
+    # (locally invisible, real on clusters) — configure a checkpoint
+    # dir and reliable_checkpoint switches these cuts to fault-
+    # tolerant storage. Lifetime: the checkpointed blocks are released
+    # by the ContextCleaner when the plan is GC'd, which matches this
+    # hit set's one-call scope.
     from pyspark import StorageLevel
 
     hits_fp = (

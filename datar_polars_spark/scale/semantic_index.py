@@ -480,15 +480,25 @@ def match_against_semantic_index(
     # (same hazard as dedup_index's hit set — verified there).
     from pyspark import StorageLevel
 
+    # r15 (advice): the byte-equality flag is computed BEFORE the
+    # lineage cut, so the materialized hit set is (id_a, vh, id_b, eq)
+    # scalars — the r14 form checkpointed both full embedding vectors
+    # per hash hit (2 x dim x 8 bytes/hit of executor storage for a
+    # replica-heavy batch); the exact leg only needs the flag and
+    # matched_vh only needs vh.
     hits_vh = (
         _pin(base).join(vectors, base["vh"] == vectors["__svh__"])
-        .select("id_a", "vh", "v_a", "id_b", "v_b")
+        .select(
+            "id_a", "vh", "id_b",
+            (F.col("v_a").cast(meta["vec_type"]) == F.col("v_b"))
+            .alias("__eq__"),
+        )
     )
     if _exact_prunes_fuzzy:
         hits_vh = hits_vh.transform(reliable_checkpoint, eager=False)
     exact = (
         hits_vh
-        .filter(F.col("v_a").cast(meta["vec_type"]) == F.col("v_b"))
+        .filter(F.col("__eq__"))
         .select("id_a", "id_b", F.lit(1.0).alias("cos"))
     )
     hashes = _band_hash_udf(meta)
